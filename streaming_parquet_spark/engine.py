@@ -1,0 +1,264 @@
+"""Batch engine: RunSpec -> discover -> probe -> unify -> align -> union -> sink.
+
+The Spark-native rendering of the reference's pipeline
+(/root/reference/src/pipeline.rs:24-193; lifecycle SURVEY.md §3.1):
+
+  * discovery is driver-side metadata (same as the reference),
+  * per-file schema probing feeds the widening fold (schema.rs:76-115),
+  * align + UNION ALL is one declarative Catalyst plan — no shuffle:
+    scans union into a single stage, filters/projections push into the
+    scans, and Spark schedules one task per file split (the distributed
+    generalization of the reference's N-reader/1-writer topology),
+  * the sink is either single-file (CLI parity) or rolling/parallel
+    (the 100 TB path).
+
+Scale notes: inputs with IDENTICAL schemas are read as one multi-path
+DataFrame, so the union width is bounded by the number of *distinct
+schemas*, not the number of files — with a million homogeneous parquet
+files the plan is a single scan node. Parquet schema probing reads only
+footers (pyarrow, no Spark job); CSV probing samples ``infer_rows`` rows
+per distinct header shape.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from streaming_parquet_spark.plans.align import concat_aligned
+from streaming_parquet_spark.plans.unify import UnifiedSchema, unify_schemas
+from streaming_parquet_spark.runspec import RunSpec
+from streaming_parquet_spark.sinks.writers import SinkResult, write_csv, write_parquet
+from streaming_parquet_spark.sources.discover import (
+    DiscoveryConfig,
+    InputFile,
+    InputFormat,
+    discover_inputs,
+)
+from streaming_parquet_spark.sources.readers import CsvOptions, read_csv, read_parquet
+
+
+@dataclass
+class PlanInfo:
+    """--plan output (src/main.rs:65-71): discovered inputs + unified
+    schema + the Catalyst physical plan."""
+
+    files: list[InputFile]
+    unified: UnifiedSchema
+    explain: str
+
+    def describe(self) -> str:
+        lines = [f"Plan: would process {len(self.files)} input(s)"]
+        lines += [f"  {f.path} [{f.format.value}, {f.size} bytes]" for f in self.files]
+        lines.append("Unified schema:")
+        lines += [
+            f"  {name}: {kind.value}" for name, kind in self.unified.type_mapping.items()
+        ]
+        lines.append(self.explain)
+        return "\n".join(lines)
+
+
+@dataclass
+class RunResult:
+    """Metrics shaped like the reference's GlobalProgress
+    (src/progress.rs:6-61): files/bytes/rows totals + derived throughput."""
+
+    rows: int
+    input_files: int
+    input_bytes: int
+    output: SinkResult | None
+    seconds: float
+    verified: bool | None = None
+
+    @property
+    def mb_per_sec(self) -> float:
+        if self.seconds <= 0:
+            return 0.0
+        return self.input_bytes / 1e6 / self.seconds
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ---- plan construction -------------------------------------------
+
+    def discover(self, spec: RunSpec) -> list[InputFile]:
+        cfg = DiscoveryConfig(
+            recursive=spec.recursive, follow_symlinks=spec.follow_symlinks
+        )
+        return discover_inputs(spec.inputs, cfg)
+
+    def _probe_schema(self, f: InputFile, spec: RunSpec) -> T.StructType:
+        if f.format is InputFormat.PARQUET:
+            try:  # footer-only read, no Spark job
+                import pyarrow.parquet as pq
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                return from_arrow_schema(pq.read_schema(f.path))
+            except Exception:
+                return self.spark.read.parquet(f.path).schema
+        return read_csv(self.spark, f.path, self._csv_opts(spec)).schema
+
+    @staticmethod
+    def _csv_opts(spec: RunSpec) -> CsvOptions:
+        return CsvOptions(
+            delimiter=spec.delimiter,
+            quote=spec.quote,
+            headers=spec.headers,
+            encoding=spec.encoding,
+            na_values=spec.na_values,
+            infer_rows=spec.infer_rows,
+        )
+
+    def dataframe(
+        self, spec: RunSpec, files: list[InputFile] | None = None
+    ) -> tuple[DataFrame, UnifiedSchema, list[InputFile]]:
+        """Build the aligned UNION ALL DataFrame for a spec (lazy)."""
+        files = files if files is not None else self.discover(spec)
+        if not files:
+            raise ValueError("no input files discovered")
+
+        schemas = [self._probe_schema(f, spec) for f in files]
+        unified = unify_schemas(
+            schemas, rename=spec.rename, stringify_conflicts=spec.stringify_conflicts
+        )
+
+        # Group files by (format, schema) -> one multi-path read per group.
+        groups: dict[tuple, list[str]] = {}
+        for f, s in zip(files, schemas):
+            groups.setdefault((f.format, s.json()), []).append(f.path)
+
+        dfs = []
+        for (fmt, schema_json), paths in groups.items():
+            if fmt is InputFormat.PARQUET:
+                dfs.append(read_parquet(self.spark, paths))
+            else:
+                dfs.append(
+                    read_csv(
+                        self.spark,
+                        paths,
+                        self._csv_opts(spec),
+                        schema=T.StructType.fromJson(json.loads(schema_json)),
+                    )
+                )
+        df = concat_aligned(dfs, unified, include=spec.columns, exclude=spec.exclude)
+        return df, unified, files
+
+    # ---- entry points (SURVEY.md §3) ---------------------------------
+
+    def plan(self, spec: RunSpec) -> PlanInfo:
+        """--plan (main.rs:65-71), upgraded to list *discovered* files and
+        include the unified schema + physical plan."""
+        df, unified, files = self.dataframe(spec)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return PlanInfo(files=files, unified=unified, explain=buf.getvalue())
+
+    def dry_run(self, spec: RunSpec) -> RunResult:
+        """--dry-run (main.rs:73-76): execute the full plan into a no-op
+        sink — validates reads, coercions, and unions without writing."""
+        t0 = time.time()
+        df, _unified, files = self.dataframe(spec)
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observed.write.format("noop").mode("overwrite").save()
+        rows = int(obs.get["rows"])
+        return RunResult(
+            rows=rows,
+            input_files=len(files),
+            input_bytes=sum(f.size for f in files),
+            output=None,
+            seconds=time.time() - t0,
+        )
+
+    def run(self, spec: RunSpec) -> RunResult:
+        """The main CLI query: concat inputs -> sink (pipeline.rs:76-193)."""
+        if not spec.out:
+            raise ValueError("RunSpec.out is required for run()")
+        t0 = time.time()
+        df, _unified, files = self.dataframe(spec)
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+        max_records = self._rolling_records(spec, files)
+        fmt = spec.resolve_out_format()
+        if fmt == "parquet":
+            sink = write_parquet(
+                observed,
+                spec.out,
+                compression=spec.compression,
+                zstd_level=spec.zstd_level,
+                single_file=spec.single_file,
+                max_records_per_file=max_records,
+            )
+        else:
+            sink = write_csv(
+                observed,
+                spec.out,
+                delimiter=spec.delimiter,
+                quote=spec.quote,
+                single_file=spec.single_file,
+                max_records_per_file=max_records,
+            )
+        rows = int(obs.get["rows"])
+        verified = self._verify(spec, sink, rows) if spec.verify else None
+        return RunResult(
+            rows=rows,
+            input_files=len(files),
+            input_bytes=sum(f.size for f in files),
+            output=sink,
+            seconds=time.time() - t0,
+            verified=verified,
+        )
+
+    # ---- helpers ------------------------------------------------------
+
+    def _rolling_records(
+        self, spec: RunSpec, files: list[InputFile]
+    ) -> int | None:
+        """Rolling thresholds (cli.rs:70-77). Rows map exactly to
+        ``maxRecordsPerFile``; bytes are approximated as
+        roll_by_bytes / (input_bytes / input_rows) using parquet footer
+        row counts (no data scan) — documented approximation (SURVEY §7)."""
+        if spec.roll_by_rows:
+            return int(spec.roll_by_rows)
+        if not spec.roll_by_bytes:
+            return None
+        total_bytes = sum(f.size for f in files) or 1
+        total_rows = 0
+        for f in files:
+            if f.format is InputFormat.PARQUET:
+                try:
+                    import pyarrow.parquet as pq
+
+                    total_rows += pq.ParquetFile(f.path).metadata.num_rows
+                    continue
+                except Exception:
+                    pass
+            # CSV fallback: estimate ~100 bytes/row rather than scanning.
+            total_rows += max(1, f.size // 100)
+        bytes_per_row = max(1, total_bytes // max(1, total_rows))
+        return max(1, int(spec.roll_by_bytes // bytes_per_row))
+
+    def _verify(self, spec: RunSpec, sink: SinkResult, expected_rows: int) -> bool:
+        """--verify (cli.rs:118-120, never implemented in the reference):
+        re-read the output and reconcile row counts."""
+        fmt = spec.resolve_out_format()
+        if fmt == "parquet":
+            actual = self.spark.read.parquet(*sink.paths).count()
+        else:
+            actual = (
+                self.spark.read.option("header", "true")
+                .option("sep", spec.delimiter)
+                .csv(sink.paths)
+                .count()
+            )
+        return actual == expected_rows

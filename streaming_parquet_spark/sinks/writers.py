@@ -1,0 +1,142 @@
+"""Sinks: CSV and Parquet writers.
+
+Reimplements the reference's writer contracts
+(CSV: /root/reference/src/writer_csv.rs:38-127 — configurable
+delimiter/quote, null -> na_string, header written once, truncating
+create; Parquet: /root/reference/src/writer_parquet.rs:42-101 —
+statistics on, compression none/snappy/gzip/zstd(level), 128 MB
+row-group target) plus the declared-but-unwired rolling outputs
+(--roll-by-bytes/--roll-by-rows, src/cli.rs:70-77).
+
+Single-file mode reproduces the CLI ergonomics (one output file with one
+header) via ``coalesce(1)`` + part-file rename — a real semantic choice
+that serializes the final write, exactly like the reference's
+single-writer task (src/pipeline.rs:156-193). Rolling mode is the
+scale path: parallel writers, ``maxRecordsPerFile`` for row rolling,
+estimated rows-per-file for byte rolling.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class SinkResult:
+    paths: list[str]
+    bytes_written: int
+    files_written: int
+
+
+_PARQUET_CODECS = {
+    "none": "none",
+    "uncompressed": "none",
+    "snappy": "snappy",
+    "gzip": "gzip",
+    "zstd": "zstd",
+}
+
+
+def _finalize_single_file(tmp_dir: str, out_path: str, ext: str) -> SinkResult:
+    parts = sorted(glob.glob(os.path.join(tmp_dir, f"part-*{ext}*")))
+    if not parts:  # e.g. empty frame still emits a part file; guard anyway
+        parts = sorted(glob.glob(os.path.join(tmp_dir, "part-*")))
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    if os.path.exists(out_path):
+        os.remove(out_path)  # truncating create (writer_csv.rs:40-44)
+    shutil.move(parts[0], out_path)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    size = os.path.getsize(out_path)
+    return SinkResult(paths=[out_path], bytes_written=size, files_written=1)
+
+
+def _finalize_rolling(tmp_dir: str, out_path: str, ext: str) -> SinkResult:
+    """Rename Spark part files to the reference's rolling naming scheme
+    ``<stem>-%04d<ext>`` (README.md:49-50: output-0000.parquet, ...)."""
+    parts = sorted(glob.glob(os.path.join(tmp_dir, f"part-*{ext}*")))
+    stem, _ = os.path.splitext(out_path)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    outs, total = [], 0
+    for i, part in enumerate(parts):
+        dest = f"{stem}-{i:04d}{ext}"
+        if os.path.exists(dest):
+            os.remove(dest)
+        shutil.move(part, dest)
+        total += os.path.getsize(dest)
+        outs.append(dest)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return SinkResult(paths=outs, bytes_written=total, files_written=len(outs))
+
+
+def _tmp_out_dir(out_path: str) -> str:
+    parent = os.path.dirname(os.path.abspath(out_path)) or "."
+    return tempfile.mkdtemp(prefix=".maw_out_", dir=parent)
+
+
+def write_csv(
+    df: DataFrame,
+    out_path: str,
+    delimiter: str = ",",
+    quote: str = '"',
+    na_string: str = "",
+    header: bool = True,
+    single_file: bool = True,
+    max_records_per_file: int | None = None,
+) -> SinkResult:
+    """CSV sink (writer_csv.rs:38-127 semantics)."""
+    writer = (
+        df.coalesce(1) if single_file and max_records_per_file is None else df
+    ).write.mode("overwrite")
+    writer = (
+        writer.option("sep", delimiter)
+        .option("quote", quote)
+        .option("nullValue", na_string)
+        .option("header", str(header).lower())
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    tmp = _tmp_out_dir(out_path)
+    writer.csv(tmp)
+    if single_file and max_records_per_file is None:
+        return _finalize_single_file(tmp, out_path, ".csv")
+    return _finalize_rolling(tmp, out_path, ".csv")
+
+
+def write_parquet(
+    df: DataFrame,
+    out_path: str,
+    compression: str = "none",
+    zstd_level: int = 3,
+    single_file: bool = True,
+    max_records_per_file: int | None = None,
+    row_group_mb: int = 128,
+) -> SinkResult:
+    """Parquet sink (writer_parquet.rs:42-101 semantics): stats on by
+    default in Spark's writer, V2-capable, codec map cli.rs:158-164,
+    128 MB row-group target via ``parquet.block.size``."""
+    codec = _PARQUET_CODECS.get(compression.lower())
+    if codec is None:
+        raise ValueError(f"unsupported compression: {compression}")
+    writer = (
+        df.coalesce(1) if single_file and max_records_per_file is None else df
+    ).write.mode("overwrite")
+    writer = (
+        writer.option("compression", codec)
+        .option("parquet.block.size", row_group_mb * 1024 * 1024)
+    )
+    if codec == "zstd":
+        # Honored by parquet-mr when zstd is selected.
+        writer = writer.option("parquet.compression.codec.zstd.level", zstd_level)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    tmp = _tmp_out_dir(out_path)
+    writer.parquet(tmp)
+    if single_file and max_records_per_file is None:
+        return _finalize_single_file(tmp, out_path, ".parquet")
+    return _finalize_rolling(tmp, out_path, ".parquet")

@@ -1,0 +1,116 @@
+"""Input discovery: files, directories, globs, stdin.
+
+Reimplements the semantics of ``discover_inputs``
+(/root/reference/src/discover.rs:46-159): each input is stdin ``-``
+(assumed CSV; discover.rs:53-61), a file (extension-sniffed, 65-76), a
+directory (recursive walk unless disabled, 77-80,103-130), or a glob
+(81-85,132-159). Results are deduplicated and sorted lexicographically
+(discover.rs:88-90). ``.csv``/``.tsv`` -> CSV, ``.parquet`` -> Parquet,
+anything else skipped (discover.rs:20-28).
+
+Discovery is driver-side metadata work (same as the reference); the
+actual reads are distributed. At 100 TB / millions of files one would
+pass directories straight to ``spark.read`` (Hadoop FS listing is
+parallelized and supports ``recursiveFileLookup``/``pathGlobFilter``);
+this explicit listing exists to honor the reference's contract — mixed
+formats per run, deterministic ordering, and per-file schema probing
+for unification.
+"""
+
+from __future__ import annotations
+
+import enum
+import glob as globlib
+import os
+import sys
+import tempfile
+from dataclasses import dataclass
+
+
+class InputFormat(enum.Enum):
+    CSV = "csv"
+    PARQUET = "parquet"
+
+
+@dataclass(frozen=True)
+class InputFile:
+    path: str
+    format: InputFormat
+    size: int
+
+
+@dataclass
+class DiscoveryConfig:
+    recursive: bool = True          # reference: --no-recursive inverts
+    follow_symlinks: bool = False   # reference: --follow-symlinks
+    stdin_reader: object | None = None  # injectable for tests; defaults to sys.stdin
+
+
+_EXT_FORMAT = {
+    ".csv": InputFormat.CSV,
+    ".tsv": InputFormat.CSV,
+    ".parquet": InputFormat.PARQUET,
+}
+
+
+def detect_format(path: str) -> InputFormat | None:
+    """Extension sniffing (discover.rs:20-28); None => skip."""
+    return _EXT_FORMAT.get(os.path.splitext(path)[1].lower())
+
+
+def _add_file(path: str, out: list[InputFile]) -> None:
+    fmt = detect_format(path)
+    if fmt is None:
+        return
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return
+    out.append(InputFile(os.path.abspath(path), fmt, size))
+
+
+def _walk_dir(path: str, cfg: DiscoveryConfig, out: list[InputFile]) -> None:
+    if not cfg.recursive:
+        for entry in os.listdir(path):
+            full = os.path.join(path, entry)
+            if os.path.isfile(full):
+                _add_file(full, out)
+        return
+    for root, _dirs, files in os.walk(path, followlinks=cfg.follow_symlinks):
+        for f in files:
+            _add_file(os.path.join(root, f), out)
+
+
+def _spool_stdin(cfg: DiscoveryConfig) -> str:
+    """Materialize stdin to a temp CSV file (driver-side shim; the
+    reference wires stdin as a CSV byte stream, discover.rs:53-61)."""
+    reader = cfg.stdin_reader if cfg.stdin_reader is not None else sys.stdin
+    fd, tmp = tempfile.mkstemp(prefix="maw_stdin_", suffix=".csv")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(reader.read())
+    return tmp
+
+
+def discover_inputs(
+    inputs: list[str], cfg: DiscoveryConfig | None = None
+) -> list[InputFile]:
+    """Resolve raw CLI-style inputs into a deduped, sorted file list."""
+    cfg = cfg or DiscoveryConfig()
+    found: list[InputFile] = []
+    for raw in inputs:
+        if raw == "-":
+            _add_file(_spool_stdin(cfg), found)
+        elif os.path.isfile(raw):
+            _add_file(raw, found)
+        elif os.path.isdir(raw):
+            _walk_dir(raw, cfg, found)
+        else:
+            for match in globlib.glob(raw, recursive=True):
+                if os.path.isfile(match):
+                    _add_file(match, found)
+                elif os.path.isdir(match):
+                    _walk_dir(match, cfg, found)
+
+    # Dedup by path, lexicographic sort (discover.rs:88-90).
+    unique = {f.path: f for f in found}
+    return [unique[p] for p in sorted(unique)]

@@ -1,0 +1,185 @@
+"""End-to-end engine tests mirroring the reference's e2e suite
+(/root/reference/tests/integration.rs): concat two CSVs (6-40),
+directory recursion (42-71), plan mode (73-86), dry run (88-101),
+failure on no inputs (103-110), plus heterogeneous-schema concat per
+FIXTURES.md A5 and parquet round-trips."""
+
+import os
+
+import pytest
+
+from streaming_parquet_spark.engine import Engine
+from streaming_parquet_spark.plans.typesys import WidenError
+from streaming_parquet_spark.runspec import RunSpec
+
+
+@pytest.fixture
+def engine(spark):
+    return Engine(spark)
+
+
+def _write(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
+def test_concat_two_csvs_single_file(engine, tmp_path):
+    """integration.rs:6-40: header once + all rows present."""
+    _write(str(tmp_path / "in1.csv"), "a,b,c\n1,2,3\n4,5,6\n")
+    _write(str(tmp_path / "in2.csv"), "a,b,c\n7,8,9\n10,11,12\n")
+    out = str(tmp_path / "out.csv")
+    spec = RunSpec(
+        inputs=[str(tmp_path / "in1.csv"), str(tmp_path / "in2.csv")], out=out
+    )
+    res = engine.run(spec)
+    assert res.rows == 4
+    assert res.input_files == 2
+    with open(out) as fh:
+        lines = fh.read().strip().split("\n")
+    assert lines[0] == "a,b,c"
+    assert len(lines) == 5
+    assert set(lines[1:]) == {"1,2,3", "4,5,6", "7,8,9", "10,11,12"}
+
+
+def test_concat_directory(engine, tmp_path):
+    """integration.rs:42-71: directory input, recursive discovery."""
+    _write(str(tmp_path / "data" / "f1.csv"), "x,y\n1,2\n")
+    _write(str(tmp_path / "data" / "sub" / "f2.csv"), "x,y\n3,4\n")
+    out = str(tmp_path / "out.csv")
+    res = engine.run(RunSpec(inputs=[str(tmp_path / "data")], out=out))
+    assert res.rows == 2
+    assert res.input_files == 2
+
+
+def test_heterogeneous_schema_widening(engine, tmp_path):
+    """FIXTURES.md A5: k widens i64+f64->f64, v widens bool+i64->i64,
+    only_1/only_2 null-filled, columns alphabetical."""
+    _write(str(tmp_path / "f1.csv"), "k,v,only_1\n1,10,aa\n2,20,bb\n")
+    _write(str(tmp_path / "f2.csv"), "k,v,only_2\n1.5,true,xx\n2.5,false,yy\n")
+    out = str(tmp_path / "out.parquet")
+    spec = RunSpec(inputs=[str(tmp_path / "f1.csv"), str(tmp_path / "f2.csv")], out=out)
+    res = engine.run(spec)
+    assert res.rows == 4
+    df = engine.spark.read.parquet(out)
+    assert df.columns == ["k", "only_1", "only_2", "v"]
+    types = dict(df.dtypes)
+    assert types["k"] == "double"
+    assert types["v"] == "bigint"
+    rows = {tuple(r) for r in df.collect()}
+    assert (1.0, "aa", None, 10) in rows
+    assert (1.5, None, "xx", 1) in rows  # true -> 1 under bool->i64 widening
+
+
+def test_conflict_errors_without_stringify(engine, tmp_path):
+    """schema.rs:188-192: int + string conflict is an error..."""
+    _write(str(tmp_path / "f1.csv"), "w\n1\n")
+    _write(str(tmp_path / "f2.csv"), "w\nhello\n")
+    spec = RunSpec(inputs=[str(tmp_path / "f1.csv"), str(tmp_path / "f2.csv")])
+    with pytest.raises(WidenError):
+        engine.dataframe(spec)
+
+
+def test_conflict_stringifies_with_flag(engine, tmp_path):
+    """...and becomes string with --stringify-conflicts (schema.rs:184-185)."""
+    _write(str(tmp_path / "f1.csv"), "w\n1\n")
+    _write(str(tmp_path / "f2.csv"), "w\nhello\n")
+    out = str(tmp_path / "out.csv")
+    spec = RunSpec(
+        inputs=[str(tmp_path / "f1.csv"), str(tmp_path / "f2.csv")],
+        out=out,
+        stringify_conflicts=True,
+    )
+    res = engine.run(spec)
+    assert res.rows == 2
+    with open(out) as fh:
+        body = fh.read()
+    assert "hello" in body and "1" in body
+
+
+def test_include_exclude_rename(engine, tmp_path):
+    _write(str(tmp_path / "f.csv"), "old,b,c\n1,2,3\n")
+    out = str(tmp_path / "out.csv")
+    spec = RunSpec(
+        inputs=[str(tmp_path / "f.csv")],
+        out=out,
+        rename={"old": "a"},
+        exclude=["c"],
+    )
+    engine.run(spec)
+    with open(out) as fh:
+        lines = fh.read().strip().split("\n")
+    assert lines[0] == "a,b"
+    assert lines[1] == "1,2"
+
+
+def test_plan_mode(engine, tmp_path):
+    """integration.rs:73-86, upgraded: discovered files + schema + plan."""
+    _write(str(tmp_path / "f.csv"), "a,b\n1,2\n")
+    info = engine.plan(RunSpec(inputs=[str(tmp_path / "f.csv")]))
+    text = info.describe()
+    assert "would process 1 input" in text
+    assert "f.csv" in text
+    assert "a: i64" in text
+    # scans stay in the plan; no shuffle for pure concat
+    assert "Scan csv" in text or "FileScan" in text
+
+
+def test_dry_run(engine, tmp_path):
+    """integration.rs:88-101: validates without writing."""
+    _write(str(tmp_path / "f.csv"), "a,b\n1,2\n3,4\n")
+    res = engine.dry_run(RunSpec(inputs=[str(tmp_path / "f.csv")]))
+    assert res.rows == 2
+    assert res.output is None
+    assert not os.path.exists(str(tmp_path / "out.csv"))
+
+
+def test_no_inputs_fails(engine):
+    """integration.rs:103-110."""
+    with pytest.raises(ValueError):
+        engine.run(RunSpec(inputs=[], out="/tmp/nope.csv"))
+
+
+def test_missing_file_fails(engine, tmp_path):
+    """basic.rs:20-30: nonexistent input -> error (no files discovered)."""
+    with pytest.raises(ValueError):
+        engine.run(
+            RunSpec(inputs=[str(tmp_path / "missing.csv")], out=str(tmp_path / "o.csv"))
+        )
+
+
+def test_parquet_roundtrip_with_verify(engine, tmp_path, sf_dir):
+    src = os.path.join(sf_dir, "nation.parquet")
+    out = str(tmp_path / "nation_copy.parquet")
+    spec = RunSpec(inputs=[src], out=out, compression="zstd", verify=True)
+    res = engine.run(spec)
+    assert res.rows == 25
+    assert res.verified is True
+    df = engine.spark.read.parquet(out)
+    assert df.count() == 25
+    # alphabetical reorder of unified schema
+    assert df.columns == sorted(df.columns)
+
+
+def test_mixed_csv_parquet_concat(engine, tmp_path, sf_dir):
+    """CSV + Parquet inputs unify through the lattice in one run."""
+    src = os.path.join(sf_dir, "region.parquet")
+    _write(str(tmp_path / "extra.csv"), "r_regionkey,r_name\n99,NEWLAND\n")
+    out = str(tmp_path / "regions.csv")
+    spec = RunSpec(inputs=[src, str(tmp_path / "extra.csv")], out=out)
+    res = engine.run(spec)
+    assert res.rows == 6
+    with open(out) as fh:
+        content = fh.read()
+    assert "NEWLAND" in content
+
+
+def test_rolling_by_rows(engine, tmp_path):
+    _write(str(tmp_path / "f.csv"), "a\n" + "\n".join(str(i) for i in range(100)) + "\n")
+    out = str(tmp_path / "out.csv")
+    spec = RunSpec(inputs=[str(tmp_path / "f.csv")], out=out, roll_by_rows=30)
+    res = engine.run(spec)
+    assert res.rows == 100
+    assert res.output.files_written >= 4  # 100/30 -> >=4 part files
+    for p in res.output.paths:
+        assert os.path.basename(p).startswith("out-")
