@@ -1,0 +1,130 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "conversions_mb_per_sec": {...}, "conf": {...}}
+
+Queries execute into a no-op sink (full computation, no driver collect).
+Conversion benchmarks mirror the reference's three README throughput
+targets (/root/reference/README.md:68-70): CSV->CSV, CSV->Parquet(zstd),
+Parquet->Parquet over the lineitem table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streaming_parquet_spark.session import get_spark
+from streaming_parquet_spark.queries import QUERIES
+
+
+def _run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    # Warm the JVM/session so the first timed query doesn't pay init cost.
+    spark.range(1000).summary().write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        _run_query(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    conversions = _conversion_bench(spark, sf_dir)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "conversions_mb_per_sec": conversions,
+                "conf": {
+                    "master": f"local[{cpus}]",
+                    "shuffle_partitions": cpus,
+                    "aqe": True,
+                },
+            }
+        )
+    )
+
+
+def _conversion_bench(spark, sf_dir: str) -> dict[str, float]:
+    """CSV->CSV / CSV->Parquet(zstd) / Parquet->Parquet MB/s on lineitem,
+    matching the reference's throughput targets (README.md:68-70)."""
+    from streaming_parquet_spark.engine import Engine
+    from streaming_parquet_spark.runspec import RunSpec
+
+    eng = Engine(spark)
+    work = tempfile.mkdtemp(prefix="maw_bench_")
+    out: dict[str, float] = {}
+    try:
+        src_parquet = os.path.join(sf_dir, "lineitem.parquet")
+        csv_path = os.path.join(work, "lineitem.csv")
+        # Materialize the CSV corpus once (not timed).
+        spark.read.parquet(src_parquet).write.option("header", True).mode(
+            "overwrite"
+        ).csv(os.path.join(work, "csv_src"))
+
+        def timed(name: str, spec: RunSpec, in_bytes: int) -> None:
+            t0 = time.perf_counter()
+            eng.run(spec)
+            dt = time.perf_counter() - t0
+            out[name] = round(in_bytes / 1e6 / dt, 2)
+
+        csv_dir = os.path.join(work, "csv_src")
+        csv_bytes = sum(
+            os.path.getsize(os.path.join(csv_dir, f))
+            for f in os.listdir(csv_dir)
+            if f.endswith(".csv")
+        )
+        parquet_bytes = os.path.getsize(src_parquet)
+
+        timed(
+            "csv_to_csv",
+            RunSpec(inputs=[csv_dir], out=os.path.join(work, "o1.csv"),
+                    single_file=False, roll_by_rows=10**9),
+            csv_bytes,
+        )
+        timed(
+            "csv_to_parquet_zstd",
+            RunSpec(inputs=[csv_dir], out=os.path.join(work, "o2.parquet"),
+                    compression="zstd", single_file=False, roll_by_rows=10**9),
+            csv_bytes,
+        )
+        timed(
+            "parquet_to_parquet",
+            RunSpec(inputs=[src_parquet], out=os.path.join(work, "o3.parquet"),
+                    compression="snappy", single_file=False, roll_by_rows=10**9),
+            parquet_bytes,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+if __name__ == "__main__":
+    main()

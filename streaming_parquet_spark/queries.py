@@ -1,0 +1,679 @@
+"""Registered queries for the driver's correctness harness.
+
+Every entry returns (spark, sf_dir) -> DataFrame and has a matching ANSI
+SQL oracle in ``ORACLES`` (run by DuckDB over the same parquet). Column
+names are aliased identically on both sides; double aggregates are
+rounded (2dp for money sums, 4dp for ratios) so cross-engine float
+summation order cannot flip the hash; timestamps are emitted as
+formatted strings to sidestep timezone/precision representation
+differences.
+
+Groups:
+  engine_*  — the reference's own operator surface (concat/align/widen/
+              project/rename; SURVEY.md §2.1-2.8) expressed through the
+              engine's plan builders.
+  q*_/rel_* — relational built-ins exercised per SURVEY.md §2.2-2.7
+              (free in Spark; the work is the oracle-checked surface).
+  events_*  — event-time operations on the events table (§2.11).
+
+Scale notes are in each docstring: every query is shuffle-minimal —
+broadcast joins for dims, partial aggregation for group-bys, no
+driver-side collects anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from streaming_parquet_spark.plans.align import concat_aligned
+from streaming_parquet_spark.plans.unify import unify_schemas
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table reader. The fixture stores `ts` as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL); read nanos as long and floor-convert to
+    microseconds — identical to how DuckDB/Arrow truncate ns->us.
+    Integer `div` matters: double division is lossy at 1.7e18 ns."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# engine_* — reference operator surface through the engine's plan builders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "engine_concat_union",
+    """
+    SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority, o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders
+    """,
+)
+def engine_concat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two heterogeneous projections through unify+align
+    (reference core operator, src/pipeline.rs:76-100 + coercion null-fill
+    src/coercion.rs:206-230). Zero-shuffle: two scans into one union."""
+    orders = _t(spark, sf_dir, "orders")
+    d1 = orders.select("o_orderkey", "o_totalprice")
+    d2 = orders.select("o_orderkey", "o_orderpriority")
+    unified = unify_schemas([d1.schema, d2.schema])
+    return concat_aligned([d1, d2], unified)
+
+
+@query(
+    "engine_widen_union",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS k, CAST(p_size AS DOUBLE) AS v
+    FROM part
+    UNION ALL
+    SELECT CAST(p_partkey AS BIGINT) AS k, CAST(p_retailprice AS DOUBLE) AS v
+    FROM part
+    """,
+)
+def engine_widen_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening concat: i32 `p_size` + f64 `p_retailprice` widen to
+    F64 under the lattice (schema.rs:166-175); key stays I64."""
+    part = _t(spark, sf_dir, "part")
+    d1 = part.select(F.col("p_partkey").alias("k"), F.col("p_size").alias("v"))
+    d2 = part.select(F.col("p_partkey").alias("k"), F.col("p_retailprice").alias("v"))
+    unified = unify_schemas([d1.schema, d2.schema])
+    return concat_aligned([d1, d2], unified)
+
+
+@query(
+    "engine_project_rename",
+    """
+    SELECT p_partkey AS part_id, p_brand, p_retailprice
+    FROM part
+    """,
+)
+def engine_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Include/rename/reorder surface (cli.rs:46-60) in one aligned
+    projection; alphabetical output order per schema.rs:101-102."""
+    part = _t(spark, sf_dir, "part")
+    unified = unify_schemas([part.schema], rename={"p_partkey": "part_id"})
+    return concat_aligned(
+        [part], unified, include=["part_id", "p_brand", "p_retailprice"]
+    )
+
+
+@query(
+    "engine_stringify",
+    """
+    SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS v FROM nation
+    UNION ALL
+    SELECT n_name AS k, CAST(n_regionkey AS VARCHAR) AS v FROM nation
+    """,
+)
+def engine_stringify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stringify-conflicts path (schema.rs:184-185): int/string conflict
+    coerces to Utf8 instead of erroring."""
+    nation = _t(spark, sf_dir, "nation")
+    d1 = nation.select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("v"))
+    d2 = nation.select(F.col("n_name").alias("k"), F.col("n_regionkey").alias("v"))
+    unified = unify_schemas([d1.schema, d2.schema], stringify_conflicts=True)
+    return concat_aligned([d1, d2], unified)
+
+
+@query(
+    "engine_na_sentinels",
+    """
+    SELECT event_id,
+           CASE WHEN event_type IN ('error', 'signup') THEN NULL
+                ELSE event_type END AS event_type_clean
+    FROM events
+    """,
+)
+def engine_na_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NA-sentinel mapping (cli.rs:41-43, csv_in.rs:129-135): membership
+    test against a sentinel list -> null, as a vectorized expression."""
+    from streaming_parquet_spark.sources.readers import _apply_na_sentinels
+
+    events = _events(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("event_type_clean")
+    )
+    return _apply_na_sentinels(events, ("error", "signup"))
+
+
+# ---------------------------------------------------------------------------
+# relational built-ins (SURVEY.md §2.2-2.7) — TPC-H-style star queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. Scale: filter + partial agg push to the
+    scan; 4-group output — shuffle is a few KB regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. Scale: customer filter broadcast into orders,
+    orders side broadcast into lineitem when small; deterministic top-10
+    via (revenue desc, key) tiebreak."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. Scale: region/nation/supplier/
+    customer are dims -> all broadcast; lineitem never shuffles until the
+    tiny final agg."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+agg — every predicate pushes into the
+    parquet scan (row-group pruning on shipdate at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "rel_join_agg_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def rel_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join + aggregation; customer is the broadcast dim."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "rel_semi_anti_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers_without_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS). Scale: broadcast the *keys* of the probe
+    side when small; Spark rewrites to BroadcastHashJoin(LeftAnti)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+@query(
+    "rel_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate with map-side partials (SURVEY §2.5)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "rel_agg_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           ROUND(MIN(l_quantity), 2) AS min_qty,
+           ROUND(MAX(l_quantity), 2) AS max_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregate (expand + two-phase agg under Catalyst)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        )
+    )
+
+
+@query(
+    "rel_window_topk",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def rel_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number; deterministic (price, key) order.
+    Scale: Spark pushes a per-partition top-K (WindowGroupLimit) before
+    the shuffle, so the full sort never materializes."""
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "rel_window_running",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(SUM(l_quantity) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+    FROM lineitem
+    """,
+)
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with a total (shipdate, orderkey, linenumber) order —
+    deterministic under ties."""
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+@query(
+    "rel_sort_limit",
+    """
+    SELECT o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def rel_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
+    heaps, no full sort, no full shuffle."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "rel_set_ops",
+    """
+    SELECT p_brand FROM part WHERE p_size < 25
+    INTERSECT
+    SELECT p_brand FROM part WHERE p_retailprice > 1200
+    """,
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (absent in reference, SURVEY §2.3; Spark built-in)."""
+    part = _t(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") < 25).select("p_brand")
+    pricey = part.filter(F.col("p_retailprice") > 1200).select("p_brand")
+    return small.intersect(pricey)
+
+
+@query(
+    "rel_except",
+    """
+    SELECT p_brand FROM part WHERE p_size < 25
+    EXCEPT
+    SELECT p_brand FROM part WHERE p_retailprice > 1200
+    """,
+)
+def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") < 25).select("p_brand")
+    pricey = part.filter(F.col("p_retailprice") > 1200).select("p_brand")
+    return small.exceptAll(pricey).distinct()
+
+
+@query(
+    "rel_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in reference, SURVEY §2.5)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "rel_pivot",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT = conditional aggregation (one pass, no shuffle beyond agg)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_* — event-time operations (extensions; SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_window",
+    """
+    SELECT strftime(to_timestamp(FLOOR(epoch(ts) / 600) * 600),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregation (F.window). The same plan
+    runs under Structured Streaming with a watermark (streaming module);
+    here it is the batch rendering for the oracle check."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (get_json_object, JVM-side jsonpath)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("bigint")), 4
+        ).alias("avg_k"),
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap > 30min starts a new session.
+    Streaming equivalent uses F.session_window (streaming module)."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )

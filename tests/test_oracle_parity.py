@@ -1,0 +1,79 @@
+"""Local replica of the driver's DuckDB-oracle harness.
+
+For every registered query with an oracle: run the Spark version and the
+DuckDB SQL on the same sf parquet, sort columns by name and rows by
+value, and compare cell-by-cell — the same shape as the driver's
+row-count + schema + order-insensitive value-hash check, so failures
+surface here before the round gate."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from streaming_parquet_spark.queries import ORACLES, QUERIES
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    return con
+
+
+def _normalize(df):
+    """Sort columns by name, rows by stringified values; round floats."""
+    df = df[sorted(df.columns)]
+    records = []
+    for row in df.itertuples(index=False):
+        rec = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                rec.append(None)
+            elif isinstance(v, float):
+                rec.append(round(v, 6))
+            elif hasattr(v, "isoformat"):
+                rec.append(v.isoformat())
+            else:
+                rec.append(v)
+        records.append(tuple(rec))
+    return sorted(records, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    left, right = _normalize(sdf), _normalize(odf)
+    mismatches = [
+        (i, l, r) for i, (l, r) in enumerate(zip(left, right)) if l != r
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_every_query_has_callable():
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
