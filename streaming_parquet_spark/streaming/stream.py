@@ -1,0 +1,181 @@
+"""Streaming engine: the Structured-Streaming rendering of the pipeline.
+
+The reference's operational machinery maps 1:1 onto Structured Streaming
+(SURVEY.md §2.9):
+
+  * resumable state (src/state.rs:10-168, --state/--resume cli.rs:109-116)
+    -> the checkpoint directory: the file-source offsets log records which
+    input files were processed and the sink commit log gives exactly-once
+    parquet output. ``StreamEngine.run`` with the same ``state`` dir
+    *is* ``maw --resume`` — stronger, since partial-file offsets and
+    crash atomicity come for free.
+  * pipelined execution with backpressure (bounded mpsc(8),
+    src/pipeline.rs:76-193) -> micro-batches with ``maxFilesPerTrigger``
+    (the reference's --concurrency knob, cli.rs:89-91).
+  * progress/throughput metrics (src/progress.rs:6-61) ->
+    ``StreamingQuery.lastProgress`` re-shaped into the same fields.
+
+Scale: the same topology runs unchanged on a 1000-executor cluster — the
+file source lists + assigns splits to executors, the parquet sink commits
+atomically per micro-batch, and a crashed driver resumes from the
+checkpoint exactly where the offsets log ends.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streaming_parquet_spark.engine import Engine
+from streaming_parquet_spark.plans.align import align_dataframe
+from streaming_parquet_spark.plans.unify import UnifiedSchema, unify_schemas
+from streaming_parquet_spark.runspec import RunSpec
+from streaming_parquet_spark.sources.discover import InputFormat
+
+
+@dataclass
+class StreamResult:
+    """GlobalProgress-shaped streaming metrics (src/progress.rs:88-103)."""
+
+    rows: int
+    batches: int
+    seconds: float
+    out_dir: str
+    checkpoint: str
+    progress: list[dict] = field(default_factory=list)
+
+
+class StreamEngine:
+    """Run a RunSpec as a resumable stream: file source -> align/union ->
+    parquet (or csv) sink with checkpointing."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._batch = Engine(spark)
+
+    def _streaming_sources(
+        self, spec: RunSpec
+    ) -> tuple[list[DataFrame], UnifiedSchema]:
+        """Probe schemas batch-side (cheap, driver metadata), then open one
+        readStream per (format, schema) group — same grouping trick as the
+        batch engine so stream width is bounded by distinct schemas."""
+        files = self._batch.discover(spec)
+        if not files:
+            raise ValueError("no input files discovered")
+        schemas = [self._batch._probe_schema(f, spec) for f in files]
+        unified = unify_schemas(
+            schemas, rename=spec.rename, stringify_conflicts=spec.stringify_conflicts
+        )
+
+        groups: dict[tuple, tuple[list[str], object]] = {}
+        for f, s in zip(files, schemas):
+            key = (f.format, s.json())
+            groups.setdefault(key, ([], s))[0].append(f.path)
+
+        streams: list[DataFrame] = []
+        for (fmt, _sjson), (paths, schema) in groups.items():
+            if fmt is InputFormat.PARQUET:
+                reader = self.spark.readStream.schema(schema).format("parquet")
+            else:
+                reader = (
+                    self.spark.readStream.schema(schema)
+                    .format("csv")
+                    .option("sep", spec.delimiter)
+                    .option("quote", spec.quote)
+                    .option("header", str(spec.headers).lower())
+                    .option("nullValue", spec.na_values[0] if spec.na_values else "")
+                )
+            reader = reader.option("maxFilesPerTrigger", max(1, spec.concurrency))
+            # The file stream source requires a directory or glob, not a
+            # bare file path — group files per parent dir into a Hadoop
+            # glob alternation {a,b,...}. (Filenames containing braces or
+            # commas are not supported on the streaming path.)
+            by_dir: dict[str, list[str]] = {}
+            for path in paths:
+                by_dir.setdefault(os.path.dirname(path), []).append(
+                    os.path.basename(path)
+                )
+            for parent, names in by_dir.items():
+                pattern = os.path.join(
+                    parent, "{" + ",".join(sorted(names)) + "}"
+                )
+                streams.append(reader.load(pattern))
+        return streams, unified
+
+    def dataframe(self, spec: RunSpec) -> DataFrame:
+        """The streaming align+UNION ALL DataFrame (unbounded)."""
+        streams, unified = self._streaming_sources(spec)
+        aligned = [
+            align_dataframe(s, unified, include=spec.columns, exclude=spec.exclude)
+            for s in streams
+        ]
+        out = aligned[0]
+        for other in aligned[1:]:
+            out = out.unionByName(other)
+        return out
+
+    def run(
+        self,
+        spec: RunSpec,
+        out_dir: str | None = None,
+        timeout_sec: float = 300.0,
+    ) -> StreamResult:
+        """Process all currently-available input, exactly once, resumably.
+
+        ``spec.state`` is the checkpoint dir (--state, cli.rs:109-112);
+        rerunning with the same state dir skips already-processed files
+        (--resume semantics, state.rs:89-102). Uses Trigger.AvailableNow:
+        drains everything then stops — the batch-CLI ergonomics with
+        streaming exactly-once guarantees.
+        """
+        if out_dir is None:
+            if not spec.out:
+                raise ValueError("out_dir or spec.out required")
+            out_dir = spec.out
+        checkpoint = spec.state or os.path.join(out_dir, "_checkpoint")
+
+        df = self.dataframe(spec)
+        fmt = spec.resolve_out_format() if spec.out else "parquet"
+        writer = (
+            df.writeStream.format(fmt)
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+        )
+        if fmt == "parquet":
+            codec = {"none": "none", "snappy": "snappy", "gzip": "gzip",
+                     "zstd": "zstd"}.get(spec.compression.lower(), "snappy")
+            writer = writer.option("compression", codec)
+        else:
+            writer = writer.option("header", str(spec.headers).lower()).option(
+                "sep", spec.delimiter
+            )
+
+        t0 = time.time()
+        query = writer.start()
+        query.awaitTermination(timeout_sec)
+        if query.isActive:
+            query.stop()
+        progress = [p.asDict() if hasattr(p, "asDict") else p for p in []]
+
+        rows = 0
+        batches = 0
+        for p in query.recentProgress:
+            batches += 1
+            try:
+                rows += int(p["numInputRows"])
+            except (KeyError, TypeError):
+                pass
+            progress.append(p)
+        return StreamResult(
+            rows=rows,
+            batches=batches,
+            seconds=time.time() - t0,
+            out_dir=out_dir,
+            checkpoint=checkpoint,
+            progress=progress,
+        )
