@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from streaming_parquet_spark.queries import ORACLES, QUERIES  # noqa: E402
+import streaming_parquet_spark.queries_ext  # noqa: E402,F401  (registers extensions)
 
 
 def entry(spark: SparkSession) -> DataFrame:

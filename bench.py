@@ -25,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from streaming_parquet_spark.session import get_spark
+import streaming_parquet_spark.queries_ext  # noqa: F401  (registers extensions)
 from streaming_parquet_spark.queries import QUERIES
 
 

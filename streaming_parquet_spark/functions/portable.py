@@ -1,0 +1,184 @@
+"""Dialect-portable SQL expression builders.
+
+The dedup / fingerprint / similarity operators must hash *identically* in
+the engine (Spark) and the oracle (DuckDB) — neither engine exposes the
+other's native hash. These builders emit the same arithmetic in both
+dialects from one template:
+
+  * ``hex_to_i32`` — positional hex-digit parse of an md5 prefix:
+    deterministic 32-bit hash available everywhere md5 + instr + substr
+    exist. All arithmetic is explicit-BIGINT so Spark's ANSI mode cannot
+    overflow and DuckDB's INTEGER ops cannot saturate.
+  * ``word_hashes`` — md5 computed ONCE per word via chained
+    transforms, then hex-parsed (avoids 8x md5 recomputation).
+  * minhash / band / rolling-hash / simhash builders on top.
+
+Dialect cheat sheet (spark | duckdb):
+  transform | list_transform,  array_min | list_min,
+  aggregate | list_reduce(list_prepend(init, ...)),
+  element_at(a,i) | a[i]   (both 1-based),
+  size | len,  array_distinct | list_distinct,
+  sequence(1,n) incl. | range(1,n+1) excl.
+
+Everything here is a *string* expression: Spark consumes it via
+``F.expr`` (JVM-side, codegen'd — no Python in the hot path), DuckDB via
+the oracle SQL text.
+"""
+
+from __future__ import annotations
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, the modulus for all rolling hashes
+
+# Deterministic universal-hash coefficients (k-th minhash permutation:
+# h_k(x) = (A[k]*x + B[k]) mod 2^31-1). A[k] < 2^20 keeps A*x < 2^52.
+def _coeff_a(k: int) -> int:
+    return (999_983 * (k + 1) + 124_651) % 1_000_003 + 1
+
+
+def _coeff_b(k: int) -> int:
+    return (777_767 * (k + 1) + 911_382_323) % MERSENNE31
+
+
+def hex_to_i32(h: str) -> str:
+    """Parse the first 8 hex chars of ``h`` into a BIGINT in [0, 2^32).
+    Identical text in both dialects (instr/substr/casts exist in both)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def ordered_words_expr(dialect: str, text: str) -> str:
+    """Words of a text column in document order (whitespace-run split).
+    Use for order-sensitive ops: shingling, rolling fingerprints."""
+    if dialect == "spark":
+        return f"split(trim({text}), ' +')"
+    return f"string_split_regex(trim({text}), ' +')"
+
+
+def words_expr(dialect: str, text: str) -> str:
+    """DISTINCT words of a text column. Set semantics only — DuckDB's
+    list_distinct does NOT preserve order, so never build order-sensitive
+    structures (shingles, fingerprints) from this."""
+    if dialect == "spark":
+        return f"array_distinct(split(trim({text}), ' +'))"
+    return f"list_distinct(string_split_regex(trim({text}), ' +'))"
+
+
+def word_hashes_expr(dialect: str, words: str) -> str:
+    """32-bit hash per word, md5 computed once per word."""
+    t = "transform" if dialect == "spark" else "list_transform"
+    return f"{t}({t}({words}, s -> md5(s)), m -> {hex_to_i32('m')})"
+
+
+def shingles_expr(dialect: str, words: str, n: int = 3) -> str:
+    """Word n-gram shingles (default 3), distinct."""
+    if dialect == "spark":
+        parts = ", ".join(f"element_at({words}, i + {j})" for j in range(n))
+        body = (
+            f"transform(sequence(1, size({words}) - {n - 1}),"
+            f" i -> concat_ws(' ', {parts}))"
+        )
+        # sequence(1, k) descends when k < 1 -> guard short docs
+        return (
+            f"array_distinct(CASE WHEN size({words}) >= {n} THEN {body} "
+            f"ELSE array() END)"
+        )
+    parts = " || ' ' || ".join(f"{words}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len({words}) - {n - 2}),"
+        f" i -> {parts}))"
+    )
+
+
+def minhash_expr(dialect: str, hashes: str, k: int) -> str:
+    """k-th minhash over a BIGINT hash list."""
+    t = "transform" if dialect == "spark" else "list_transform"
+    amin = "array_min" if dialect == "spark" else "list_min"
+    a, b = _coeff_a(k), _coeff_b(k)
+    return (
+        f"{amin}({t}({hashes}, h -> (CAST({a} AS BIGINT) * h"
+        f" + CAST({b} AS BIGINT)) % {MERSENNE31}))"
+    )
+
+
+def band_hash_expr(minhashes: list[str]) -> str:
+    """Fold one band's minhashes into a single BIGINT (dialect-neutral
+    Horner fold; values < 2^31 so the fold stays < 2^46)."""
+    acc = minhashes[0]
+    for m in minhashes[1:]:
+        acc = f"(({acc}) * 31 + {m}) % {MERSENNE31}"
+    return f"({acc})"
+
+
+def rolling_hash_expr(dialect: str, hashes: str) -> str:
+    """Order-sensitive polynomial fingerprint over a hash list
+    (the document-fingerprint primitive)."""
+    if dialect == "spark":
+        return (
+            f"aggregate({hashes}, CAST(0 AS BIGINT),"
+            f" (acc, x) -> (acc * 31 + x) % {MERSENNE31})"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hashes}),"
+        f" (acc, x) -> (acc * 31 + x) % {MERSENNE31})"
+    )
+
+
+def simhash_expr(dialect: str, hashes: str, bits: int = 32) -> str:
+    """SimHash over a BIGINT hash list: bit j of the result is set when
+    the sum of (+1/-1) votes of bit j across hashes is positive."""
+    t = "transform" if dialect == "spark" else "list_transform"
+    lsum = "aggregate" if dialect == "spark" else "list_sum"
+    terms = []
+    for j in range(bits):
+        if dialect == "spark":
+            vote = (
+                f"aggregate({t}({hashes}, h -> CAST((h >> {j}) & 1 AS BIGINT)"
+                f" * 2 - 1), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+        else:
+            vote = f"list_sum({t}({hashes}, h -> ((h >> {j}) & 1) * 2 - 1))"
+        terms.append(
+            f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def jaccard_expr(dialect: str, a: str, b: str) -> str:
+    """Exact Jaccard of two DISTINCT element lists."""
+    if dialect == "spark":
+        return (
+            f"CAST(size(array_intersect({a}, {b})) AS DOUBLE)"
+            f" / size(array_union({a}, {b}))"
+        )
+    return (
+        f"CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+        f" / len(list_distinct(list_concat({a}, {b})))"
+    )
+
+
+def dot_expr(dialect: str, a: str, b: str) -> str:
+    """Double-precision dot product of two float-array columns
+    (sequential fold — deterministic and identical across engines)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def filter_count_expr(dialect: str, arr: str, inlist: list[str]) -> str:
+    """Count of elements of ``arr`` contained in a literal string list."""
+    t = "filter" if dialect == "spark" else "list_filter"
+    ln = "size" if dialect == "spark" else "len"
+    lits = ", ".join(f"'{w}'" for w in inlist)
+    return f"{ln}({t}({arr}, w -> w IN ({lits})))"

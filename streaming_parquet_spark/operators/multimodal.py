@@ -1,0 +1,168 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` payloads
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing is real and tested — schemas, batch iteration,
+partition sizing, UDF signatures. The *codec* step is stubbed: the
+container has no image/audio libraries, so decode falls back to a
+clearly-marked deterministic fake (derived from the payload bytes) and
+``decode_images(..., strict=True)`` raises NotImplementedError exactly
+where a real codec (PIL/ffmpeg) would plug in.
+
+Scale design: mapInPandas streams Arrow batches — peak memory is
+O(batch), not O(partition). Binary payloads at 100 TB should ride their
+own partitioning (repartition by a size-balanced key before decode;
+``target_batch_rows`` guards per-batch blob volume via
+spark.sql.execution.arrow.maxRecordsPerBatch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def attach_binary(
+    df: DataFrame, src_col: str = "text", out_col: str = "blob"
+) -> DataFrame:
+    """Materialize a binary payload column (here: utf-8 bytes of a string
+    column — the fixtures carry no real media; in production this is the
+    raw image/audio bytes from the lake)."""
+    return df.withColumn(out_col, F.col(src_col).cast("binary"))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic FAKE decode: pseudo-dimensions from a digest of the
+    payload. Stands in for PIL/libvips; replace in `_decode_one`."""
+    d = hashlib.md5(payload).digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    channels = 1 + (d[2] % 2) * 2  # 1 or 3
+    return width, height, channels, "fake"
+
+
+def _decode_one(payload: bytes, strict: bool) -> tuple[int, int, int, str]:
+    try:
+        from PIL import Image  # noqa: F401  (absent in this container)
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands()), im.format or "?"
+    except ImportError:
+        if strict:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "install Pillow or use strict=False for the fake decoder"
+            )
+        return _fake_decode(payload)
+
+
+def decode_images(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    strict: bool = False,
+    target_batch_rows: int = 1024,
+) -> DataFrame:
+    """Decode image metadata from binary payloads via mapInPandas.
+
+    Output schema: id, n_bytes, width, height, channels, format.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+        + list(IMAGE_META_SCHEMA.fields)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [_decode_one(bytes(b), strict) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[blob_col].map(len).astype("int64"),
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "channels": [m[2] for m in metas],
+                    "format": [m[3] for m in metas],
+                }
+            )
+
+    narrow = df.select(id_col, blob_col)
+    narrow.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(target_batch_rows)
+    )
+    return narrow.mapInPandas(batches, out_schema)
+
+
+def extract_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    dims: int = 16,
+) -> DataFrame:
+    """Deterministic fake feature vector (md5-seeded) per payload —
+    the plumbing for a model-based embedder: same signature, same
+    array<float> output column, mapInPandas batching."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for b in pdf[blob_col]:
+                d = hashlib.md5(bytes(b)).digest()
+                feats.append([((d[i % 16] / 255.0) * 2 - 1) for i in range(dims)])
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+) -> DataFrame:
+    """'Video' frame sampling stand-in: slice the payload into frame
+    chunks (JVM-side — no Python needed for the slicing itself), explode
+    to (id, frame_idx, frame_bytes). The real codec swaps the slicer for
+    keyframe extraction; the explode/partition shape is identical."""
+    last = F.greatest(
+        F.lit(0),
+        F.floor((F.length(blob_col) - 1) / every_n_bytes).cast("int"),
+    )
+    idx = F.sequence(F.lit(0), F.least(F.lit(max_frames - 1), last))
+    exploded = (
+        df.select(id_col, blob_col)
+        .withColumn("frame_idx", F.explode(idx))
+        .select(
+            F.col(id_col).alias("id"),
+            "frame_idx",
+            F.expr(
+                f"substring({blob_col}, frame_idx * {every_n_bytes} + 1,"
+                f" {every_n_bytes})"
+            ).alias("frame_bytes"),
+        )
+    )
+    return exploded

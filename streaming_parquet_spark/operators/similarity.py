@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY.md §2.11):
+  * brute-force cosine top-k — the exactness baseline. Query set is
+    broadcast against the corpus; per-partition top-k via window rank.
+    Exact, one pass, no state; O(|corpus| * |queries|) — fine whenever
+    |queries| is small or the corpus is pre-filtered.
+  * LSH-bucketed ANN (random hyperplanes) — the 100 TB path: each vector
+    gets a b-bit signature from sign(dot(v, plane_i)); candidates share a
+    bucket (equi-join on the signature), then exact cosine re-ranks
+    candidates only. Planes are deterministic pseudo-random vectors
+    derived from the portable hash so the oracle can re-derive them.
+
+Dot products run as JVM higher-order functions (zip_with + aggregate)
+in double precision — no Python UDF, no collect. Embeddings in the
+fixtures are L2-normalized, so dot == cosine; `cosine=True` divides by
+norms for the general case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from streaming_parquet_spark.functions.portable import MERSENNE31, dot_expr
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(dot_expr("spark", a, b))
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(dot_expr("spark", a, a)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Output: query_id, neighbor_id, sim (rounded 4dp), rank.
+    Plan: broadcast(queries) nested-loop join -> window top-k. The window
+    is partitioned by query_id, so WindowGroupLimit keeps only k rows per
+    partition before the final shuffle.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    sim = _dot("qv", "cv")
+    if cosine:
+        sim = sim / (_norm("qv") * _norm("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_raw", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 4).alias("sim"),
+            "rank",
+        )
+    )
+
+
+def similarity_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with dot similarity >= threshold (optionally blocked).
+    Unblocked is O(n^2) — test/bench scale only; at 100 TB always pass a
+    block (an LSH bucket from ``with_lsh_signature``, a label, ...)."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    sim = F.expr(dot_expr("spark", "a.v", "b.v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _plane_component(plane: int, dim: int) -> str:
+    """Deterministic pseudo-random plane component in [-1, 1): a portable
+    arithmetic PRN from (plane, dim) — reproducible in the oracle."""
+    h = f"(CAST({plane * 1_000_003 + 7} AS BIGINT) * {dim + 1} * 2654435761) % {MERSENNE31}"
+    return f"(CAST({h} AS DOUBLE) / {MERSENNE31} * 2 - 1)"
+
+
+def lsh_plane_dot(vec_col: str, plane: int, dims: int, dialect: str = "spark") -> str:
+    """dot(vec, plane_p) as a portable expression (plane derived
+    arithmetically, never materialized)."""
+    if dialect == "spark":
+        terms = " + ".join(
+            f"CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * {_plane_component(plane, d)}"
+            for d in range(dims)
+        )
+    else:
+        terms = " + ".join(
+            f"CAST({vec_col}[{d + 1}] AS DOUBLE) * {_plane_component(plane, d)}"
+            for d in range(dims)
+        )
+    return f"({terms})"
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dims: int = 64,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """b-bit random-hyperplane signature: bucket id in [0, 2^planes).
+    Vectors in the same bucket are ANN candidates; expected bucket
+    population is n / 2^planes — tune ``planes`` so buckets fit the
+    pairwise verify budget."""
+    bits = []
+    for p in range(planes):
+        d = lsh_plane_dot(vec_col, p, dims, "spark")
+        bits.append(f"(CASE WHEN {d} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return df.withColumn(out_col, F.expr("(" + " + ".join(bits) + ")"))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact-ranked. Recall trades off with ``planes``."""
+    c = with_lsh_signature(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv", planes, dims,
+    )
+    q = with_lsh_signature(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", planes, dims,
+    )
+    joined = c.join(
+        F.broadcast(q),
+        (c.lsh_bucket == q.lsh_bucket)
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    sim = F.expr(dot_expr("spark", "qv", "cv"))
+    w = W.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (
+        joined.withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )

@@ -1,0 +1,98 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting (SURVEY.md §2.11 extensions).
+
+All computed with portable JVM-side expressions (see
+functions.portable) so each has an exact DuckDB oracle. No Python UDFs:
+at 100 TB these run inside whole-stage codegen alongside the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from streaming_parquet_spark.functions.portable import (
+    filter_count_expr,
+    rolling_hash_expr,
+    word_hashes_expr,
+    words_expr,
+)
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID (deterministic, oracle-reproducible).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no"],
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count (whitespace) + a BPE-ish subword estimate: ceil of
+    chars/4 bounded below by word count — the standard cheap token-count
+    proxy when no tokenizer is available."""
+    words = words_expr("spark", text_col)
+    n_words = F.expr(f"size(split(trim({text_col}), ' +'))")
+    n_chars = F.length(text_col)
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn("n_distinct_words", F.expr(f"size({words})"))
+        .withColumn(
+            "est_tokens",
+            F.greatest(F.col("n_words"), F.ceil(n_chars / F.lit(4.0))),
+        )
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, punctuation ratio, mean word length,
+    stopword ratio, composite score in [0,1]."""
+    n_words = F.expr(f"size(split(trim({text_col}), ' +'))")
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(F.regexp_replace(text_col, PUNCT_CLASS, ""))
+    words = words_expr("spark", text_col)
+    stop_hits = F.expr(filter_count_expr("spark", words, STOPWORDS["en"]))
+    mean_wlen = (n_chars - n_words + 1) / n_words  # spaces removed
+    score = (
+        F.when(n_words >= 5, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct / n_chars < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("punct_ratio", F.round(punct / n_chars, 4))
+        .withColumn("mean_word_len", F.round(mean_wlen, 4))
+        .withColumn("stopword_hits", stop_hits)
+        .withColumn("quality_score", F.round(score, 2))
+    )
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: argmax of per-language stopword hit
+    counts, 'und' (undetermined) when all are zero. Deterministic
+    tie-break = language order en, de, fr, es."""
+    words = words_expr("spark", text_col)
+    df = df.withColumn("__w", F.expr(words))
+    hits = {
+        lang: F.expr(filter_count_expr("spark", "__w", sw))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # insertion order = tie-break order
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return df.withColumn("lang_pred", pred).drop("__w")
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint over word
+    hashes (mod 2^31-1): equal fingerprints => near-certain duplicates,
+    robust to trailing whitespace only (it is *exact* on word sequence)."""
+    # note: fingerprint uses the words IN ORDER (not distinct)
+    ordered = f"split(trim({text_col}), ' +')"
+    t = "transform"
+    hashes = word_hashes_expr("spark", ordered)
+    return df.withColumn("fingerprint", F.expr(rolling_hash_expr("spark", hashes)))

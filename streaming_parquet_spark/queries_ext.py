@@ -1,0 +1,475 @@
+"""Extension queries (dedup / similarity / text analysis) registered in
+the driver harness. Oracles are generated from the SAME portable
+expression builders as the Spark plans (functions.portable with
+dialect='duckdb'), so engine and oracle hash bit-for-bit.
+
+Importing this module populates streaming_parquet_spark.queries.QUERIES /
+ORACLES.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, DataFrame, functions as F
+
+from streaming_parquet_spark.functions.portable import (
+    band_hash_expr,
+    ordered_words_expr,
+    dot_expr,
+    filter_count_expr,
+    jaccard_expr,
+    minhash_expr,
+    rolling_hash_expr,
+    shingles_expr,
+    simhash_expr,
+    word_hashes_expr,
+    words_expr,
+)
+from streaming_parquet_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_minhash,
+    with_simhash,
+)
+from streaming_parquet_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    lsh_plane_dot,
+    similarity_pairs,
+)
+from streaming_parquet_spark.operators.text import (
+    STOPWORDS,
+    with_fingerprint,
+    with_langid,
+    with_quality,
+    with_token_stats,
+)
+from streaming_parquet_spark.queries import _t, query
+
+# ---------------------------------------------------------------------------
+# dedup suite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS rep_id,
+           COUNT(*) AS n_copies,
+           LENGTH(LOWER(TRIM(text))) AS key_len
+    FROM documents
+    GROUP BY LOWER(TRIM(text))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the normalized key; representative =
+    min id (deterministic)."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _duck_word_hashes(text: str = "text", distinct: bool = True) -> str:
+    w = (
+        words_expr("duckdb", text)
+        if distinct
+        else f"string_split_regex(trim({text}), ' +')"
+    )
+    return word_hashes_expr("duckdb", w)
+
+
+def _duck_shingle_hashes(text: str = "text") -> str:
+    return word_hashes_expr(
+        "duckdb", shingles_expr("duckdb", ordered_words_expr("duckdb", text), 3)
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           {rolling_hash_expr("duckdb", _duck_word_hashes(distinct=False))}
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (order-sensitive, mod 2^31-1)."""
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def _duck_minhash_cols(k: int) -> str:
+    wh = _duck_shingle_hashes()
+    return ", ".join(
+        f"{minhash_expr('duckdb', wh, i)} AS m{i}" for i in range(k)
+    )
+
+
+@query(
+    "dedup_minhash_sig",
+    f"""
+    WITH h AS MATERIALIZED (
+      SELECT doc_id, {_duck_shingle_hashes()} AS wh FROM documents
+    )
+    SELECT doc_id,
+           {", ".join(f"{minhash_expr('duckdb', 'wh', i)} AS m{i}" for i in range(4))}
+    FROM h
+    """,
+)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 MinHash signature components, bit-exact vs the oracle —
+    pins the permutation family + portable md5 hashing."""
+    sig = with_minhash(_t(spark, sf_dir, "documents"), num_hashes=4)
+    return sig.select(
+        "doc_id",
+        *[F.expr(f"element_at(minhash, {i + 1})").alias(f"m{i}") for i in range(4)],
+    )
+
+
+def _duck_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"{minhash_expr('duckdb', 'wh', i)} AS m{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        ms = [f"m{b * rows + i}" for i in range(rows)]
+        band_selects.append(
+            f"SELECT doc_id, sh, {b} AS band,"
+            f" {band_hash_expr(ms)} AS bh FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    j = jaccard_expr("duckdb", "a.sh", "b.sh")
+    sh = shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), 3)
+    return f"""
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id, {sh} AS sh FROM documents
+    ),
+    h AS MATERIALIZED (
+      SELECT doc_id, sh, {word_hashes_expr("duckdb", "sh")} AS wh FROM docs
+    ),
+    sig AS MATERIALIZED (SELECT doc_id, sh, {sig_cols} FROM h),
+    bandst AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandst a JOIN bandst b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ROUND({j}, 4) AS jaccard
+    FROM cand
+    JOIN docs a ON a.doc_id = id_a
+    JOIN docs b ON b.doc_id = id_b
+    WHERE ROUND({j}, 4) >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", _duck_lsh_oracle(16, 8, 0.2))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over 3-gram shingles: band equi-join
+    candidates (16 hashes, 8 bands of 2 -> P(candidate|j=0.5) = 0.90) +
+    exact shingle-Jaccard verify at >= 0.2. The scale path for fuzzy
+    dedup — no cross join anywhere."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=8,
+        jaccard_threshold=0.2,
+    )
+
+
+def _duck_ngram_oracle(n: int, threshold: float) -> str:
+    sh = shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), n)
+    j = jaccard_expr("duckdb", "a.sh", "b.sh")
+    return f"""
+    WITH d AS MATERIALIZED (SELECT doc_id, lang, source, {sh} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({j}, 4) AS jaccard
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+    WHERE ROUND({j}, 4) >= {threshold}
+    """
+
+
+@query("dedup_ngram_jaccard", _duck_ngram_oracle(3, 0.2))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard within (lang, source) blocks —
+    bounded quadratic; the verify-stage primitive."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"],
+        n=3,
+        threshold=0.2,
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH h AS MATERIALIZED (
+      SELECT doc_id, {_duck_shingle_hashes()} AS wh FROM documents
+    )
+    SELECT doc_id, {simhash_expr("duckdb", "wh", 32)} AS simhash
+    FROM h
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures, bit-exact vs oracle."""
+    return with_simhash(_t(spark, sf_dir, "documents"), bits=32).select(
+        "doc_id", "simhash"
+    )
+
+
+def _duck_simhash_pairs(bits: int, max_hamming: int) -> str:
+    return f"""
+    WITH h AS MATERIALIZED (
+      SELECT doc_id, lang, {_duck_shingle_hashes()} AS wh FROM documents
+    ),
+    s AS MATERIALIZED (
+      SELECT doc_id, lang, {simhash_expr("duckdb", "wh", bits)} AS simhash
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", _duck_simhash_pairs(32, 6))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 6 within lang
+    blocks (Spark `a ^ b` == DuckDB `xor(a, b)`)."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=6,
+        block_cols=["lang"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 {dot_expr("duckdb", "qv", "cv")} AS sim_raw
+          FROM c, q WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, sim_raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (embeddings are
+    L2-normalized -> dot == cosine). Broadcast queries, window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "embed_near_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({dot_expr("duckdb", "a.embedding", "b.embedding")}, 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({dot_expr("duckdb", "a.embedding", "b.embedding")}, 4) >= 0.4
+    """,
+)
+def embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (dot >= 0.4). Unblocked pairwise —
+    at scale this becomes LSH-bucketed (see embed_ann_lsh)."""
+    return similarity_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _duck_ann_oracle(k: int, planes: int, dims: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {lsh_plane_dot('embedding', p, dims, 'duckdb')} > 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(planes)
+    )
+    return f"""
+    WITH sig AS MATERIALIZED (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig
+          WHERE vec_id < 5),
+    s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 {dot_expr("duckdb", "qv", "c.embedding")} AS sim_raw
+          FROM sig c JOIN q ON c.bucket = q.bucket
+          WHERE c.vec_id <> query_id),
+    r AS (SELECT query_id, neighbor_id, sim_raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+@query("embed_ann_lsh", _duck_ann_oracle(10, 4, 64))
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH buckets (4 planes), exact
+    re-rank within bucket. Deterministic plane derivation makes even the
+    approximate path oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=10, planes=4)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           LEN(string_split_regex(TRIM(text), ' +')) AS n_words,
+           LEN(list_distinct(string_split_regex(TRIM(text), ' +')))
+             AS n_distinct_words,
+           GREATEST(LEN(string_split_regex(TRIM(text), ' +')),
+                    CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS est_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words, distinct words, BPE-ish
+    chars/4 estimate."""
+    d = with_token_stats(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_distinct_words").cast("bigint").alias("n_distinct_words"),
+        F.col("est_tokens").cast("bigint").alias("est_tokens"),
+    )
+
+
+_DUCK_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             LEN(string_split_regex(TRIM(text), ' +')) AS n_words,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CAST(punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+           ROUND(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 4)
+             AS mean_word_len,
+           ROUND((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                   BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN CAST(punct AS DOUBLE) / n_chars < 0.1
+                   THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation ratio, mean word length, composite."""
+    d = with_quality(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "punct_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+def _duck_langid() -> str:
+    w = words_expr("duckdb", "text")
+    hits = {
+        lang: filter_count_expr("duckdb", "words", sw)
+        for lang, sw in STOPWORDS.items()
+    }
+    best = f"GREATEST({', '.join(hits.values())})"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang, h in hits.items():
+        case += f"WHEN {h} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH d AS (SELECT doc_id, lang, {w} AS words FROM documents)
+    SELECT lang, {case} AS lang_pred, COUNT(*) AS n
+    FROM d GROUP BY lang, {case}
+    """
+
+
+@query("text_langid", _duck_langid())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID, reported as a (lang, lang_pred)
+    confusion distribution."""
+    d = with_langid(_t(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns (binary payload plumbing; codecs stubbed — see
+# operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_bytes",
+    """
+    SELECT doc_id, STRLEN(text) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload accounting: byte length of the blob column (the
+    fixture blob is the utf-8 text; real media swaps the source only)."""
+    from streaming_parquet_spark.operators.multimodal import attach_binary
+
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", F.length("blob").cast("bigint").alias("n_bytes"))
+
+
+@query(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(STRLEN(SUBSTRING(text, CAST(i * 64 + 1 AS INTEGER), 64))
+                AS BIGINT) AS frame_len
+    FROM documents,
+         UNNEST(range(0, LEAST(8, GREATEST(1, (STRLEN(text) - 1) // 64 + 1))))
+      AS t(i)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: payload sliced into <=8 chunks of 64
+    bytes; output (id, frame_idx, frame_len) is codec-independent."""
+    from streaming_parquet_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(d, max_frames=8, every_n_bytes=64)
+    return frames.select(
+        "id", "frame_idx", F.length("frame_bytes").cast("bigint").alias("frame_len")
+    )
+
+
+# rows-only check (no SQL-expressible oracle: fake codec digests bytes)
+@query("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas image-metadata decode (deterministic fake codec —
+    the real codec is a drop-in; see operators/multimodal.py)."""
+    from streaming_parquet_spark.operators.multimodal import (
+        attach_binary,
+        decode_images,
+    )
+
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    return decode_images(d)

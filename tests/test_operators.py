@@ -1,0 +1,108 @@
+"""Semantic property tests for the extension operators (dedup /
+similarity / text) — complements the DuckDB oracle-parity suite with
+invariants: LSH recall vs exact pairs, identical-doc signatures,
+ANN-vs-exact overlap, fingerprint collision behavior."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_parquet_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    with_minhash,
+    with_simhash,
+)
+from streaming_parquet_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    with_lsh_signature,
+)
+from streaming_parquet_spark.operators.text import with_fingerprint, with_langid
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_exact_dedup_counts(docs):
+    out = exact_dedup(docs)
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_identical_docs_have_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["minhash"] for r in with_minhash(df).collect()}
+    assert sig[1] == sig[2] and sig[1] != sig[3]
+    sh = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    assert sh[1] == sh[2]
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert fp[1] != fp[2]
+
+
+def test_lsh_recall_against_exact_pairs(docs):
+    """Every high-similarity pair (j >= 0.5) must be caught by the band
+    join with the default banding (P(miss) = (1-j^2)^8 <= 0.1 at j=0.5;
+    on the fixture's near-dup pairs j ~ 1.0 so recall must be total)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, block_cols=None, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain at least one j>=0.5 pair"
+    assert exact <= lsh | exact  # sanity
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+
+
+def test_ann_overlaps_bruteforce(emb):
+    """LSH-ANN top-10 should agree with brute force on a decent fraction
+    of neighbors for same-bucket queries (recall tradeoff, not exactness)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_lsh(emb, q, k=10, planes=2).collect()
+    }
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.2, f"ANN recall collapsed: {overlap}"
+
+
+def test_lsh_signature_buckets_bounded(emb):
+    sig = with_lsh_signature(emb, planes=6)
+    n_buckets = sig.select("lsh_bucket").distinct().count()
+    assert 2 <= n_buckets <= 64
+
+
+def test_langid_und_on_no_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "zz qq ww"), (2, "the cat of and dog the is it")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in with_langid(df).collect()}
+    assert out[1] == "und" and out[2] == "en"

@@ -12,6 +12,7 @@ import os
 import duckdb
 import pytest
 
+import streaming_parquet_spark.queries_ext  # noqa: F401  (registers extensions)
 from streaming_parquet_spark.queries import ORACLES, QUERIES
 
 TABLES = (
