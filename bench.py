@@ -73,9 +73,30 @@ def main() -> None:
     )
 
 
+def _replicate(src_files: list[str], dest_dir: str, copies: int, ext: str) -> int:
+    """Hardlink the corpus ``copies`` times under dest_dir (amortizes
+    Spark's fixed per-job overhead so MB/s measures the engine, not the
+    scheduler; also exercises the actual many-file concat path). Returns
+    total bytes."""
+    os.makedirs(dest_dir, exist_ok=True)
+    total = 0
+    for c in range(copies):
+        for i, src in enumerate(src_files):
+            dst = os.path.join(dest_dir, f"rep{c:03d}_{i:04d}{ext}")
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy(src, dst)
+            total += os.path.getsize(src)
+    return total
+
+
 def _conversion_bench(spark, sf_dir: str) -> dict[str, float]:
-    """CSV->CSV / CSV->Parquet(zstd) / Parquet->Parquet MB/s on lineitem,
-    matching the reference's throughput targets (README.md:68-70)."""
+    """CSV->CSV / CSV->Parquet(zstd) / Parquet->Parquet MB/s over a
+    replicated lineitem corpus (~0.5-1 GB), matching the reference's
+    throughput targets (README.md:68-70). Replication factor keeps the
+    run seconds-long while large enough that fixed job overhead is <10%
+    of wall time."""
     from streaming_parquet_spark.engine import Engine
     from streaming_parquet_spark.runspec import RunSpec
 
@@ -84,25 +105,26 @@ def _conversion_bench(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     try:
         src_parquet = os.path.join(sf_dir, "lineitem.parquet")
-        csv_path = os.path.join(work, "lineitem.csv")
         # Materialize the CSV corpus once (not timed).
+        seed_dir = os.path.join(work, "csv_seed")
         spark.read.parquet(src_parquet).write.option("header", True).mode(
             "overwrite"
-        ).csv(os.path.join(work, "csv_src"))
+        ).csv(seed_dir)
+        seed_files = [
+            os.path.join(seed_dir, f)
+            for f in sorted(os.listdir(seed_dir))
+            if f.endswith(".csv")
+        ]
+        csv_dir = os.path.join(work, "csv_src")
+        csv_bytes = _replicate(seed_files, csv_dir, 16, ".csv")
+        pq_dir = os.path.join(work, "pq_src")
+        parquet_bytes = _replicate([src_parquet], pq_dir, 64, ".parquet")
 
         def timed(name: str, spec: RunSpec, in_bytes: int) -> None:
             t0 = time.perf_counter()
             eng.run(spec)
             dt = time.perf_counter() - t0
             out[name] = round(in_bytes / 1e6 / dt, 2)
-
-        csv_dir = os.path.join(work, "csv_src")
-        csv_bytes = sum(
-            os.path.getsize(os.path.join(csv_dir, f))
-            for f in os.listdir(csv_dir)
-            if f.endswith(".csv")
-        )
-        parquet_bytes = os.path.getsize(src_parquet)
 
         timed(
             "csv_to_csv",
@@ -118,7 +140,7 @@ def _conversion_bench(spark, sf_dir: str) -> dict[str, float]:
         )
         timed(
             "parquet_to_parquet",
-            RunSpec(inputs=[src_parquet], out=os.path.join(work, "o3.parquet"),
+            RunSpec(inputs=[pq_dir], out=os.path.join(work, "o3.parquet"),
                     compression="snappy", single_file=False, roll_by_rows=10**9),
             parquet_bytes,
         )

@@ -41,7 +41,13 @@ from streaming_parquet_spark.sources.discover import (
     InputFormat,
     discover_inputs,
 )
-from streaming_parquet_spark.sources.readers import CsvOptions, read_csv, read_parquet
+from streaming_parquet_spark.sources.readers import (
+    CsvOptions,
+    infer_csv_schema_prefix,
+    infer_csv_schemas_per_file,
+    read_csv,
+    read_parquet,
+)
 
 
 @dataclass
@@ -95,16 +101,87 @@ class Engine:
         )
         return discover_inputs(spec.inputs, cfg)
 
-    def _probe_schema(self, f: InputFile, spec: RunSpec) -> T.StructType:
-        if f.format is InputFormat.PARQUET:
-            try:  # footer-only read, no Spark job
-                import pyarrow.parquet as pq
-                from pyspark.sql.pandas.types import from_arrow_schema
+    def _probe_parquet_schema(self, path: str) -> T.StructType:
+        try:  # footer-only read, no Spark job
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
 
-                return from_arrow_schema(pq.read_schema(f.path))
-            except Exception:
-                return self.spark.read.parquet(f.path).schema
-        return read_csv(self.spark, f.path, self._csv_opts(spec)).schema
+            return from_arrow_schema(pq.read_schema(path))
+        except Exception:
+            return self.spark.read.parquet(path).schema
+
+    def _csv_header_key(self, path: str, spec: RunSpec):
+        """Driver-side header sniff (first line only) to group CSV files
+        before inference. With --no-headers, files group by column count."""
+        import csv as _csv
+
+        enc = {"utf8": "utf-8-sig", "utf-8": "utf-8-sig", "latin1": "cp1252"}.get(
+            spec.encoding.lower(), spec.encoding
+        )
+        with open(path, "r", encoding=enc, errors="replace", newline="") as fh:
+            first = next(
+                _csv.reader(fh, delimiter=spec.delimiter, quotechar=spec.quote), []
+            )
+        return tuple(first) if spec.headers else len(first)
+
+    def probe_schemas(
+        self, files: list[InputFile], spec: RunSpec
+    ) -> list[T.StructType]:
+        """Per-file schemas with a bounded number of Spark jobs.
+
+        Parquet: pyarrow footer reads on a driver thread pool (no jobs).
+        CSV: files grouped by sniffed header; ONE inference job per
+        distinct header computes every member file's parse-probe schema
+        (see infer_csv_schemas_per_file). Job count is O(distinct CSV
+        headers), not O(files) — the difference between a million-file
+        input working and the driver melting.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        out: list[T.StructType | None] = [None] * len(files)
+
+        pq_idx = [i for i, f in enumerate(files) if f.format is InputFormat.PARQUET]
+        if pq_idx:
+            with ThreadPoolExecutor(max_workers=min(32, len(pq_idx))) as pool:
+                for i, schema in zip(
+                    pq_idx,
+                    pool.map(
+                        lambda i: self._probe_parquet_schema(files[i].path), pq_idx
+                    ),
+                ):
+                    out[i] = schema
+
+        csv_idx = [i for i, f in enumerate(files) if f.format is not InputFormat.PARQUET]
+        if not csv_idx:
+            return out  # type: ignore[return-value]
+
+        opts = self._csv_opts(spec)
+        if spec.infer_rows and spec.infer_rows > 0:
+            # Sampled inference (--infer-rows, the reference default):
+            # driver-side prefix reads, zero Spark jobs, thread pool.
+            with ThreadPoolExecutor(max_workers=min(32, len(csv_idx))) as pool:
+                for i, schema in zip(
+                    csv_idx,
+                    pool.map(
+                        lambda i: infer_csv_schema_prefix(files[i].path, opts),
+                        csv_idx,
+                    ),
+                ):
+                    out[i] = schema
+            return out  # type: ignore[return-value]
+
+        # Exact full-file inference: one Spark job per distinct header.
+        csv_groups: dict[object, list[int]] = {}
+        for i in csv_idx:
+            csv_groups.setdefault(
+                self._csv_header_key(files[i].path, spec), []
+            ).append(i)
+        for idxs in csv_groups.values():
+            paths = [files[i].path for i in idxs]
+            schemas = infer_csv_schemas_per_file(self.spark, paths, opts)
+            for i in idxs:
+                out[i] = schemas[files[i].path]
+        return out  # type: ignore[return-value]
 
     @staticmethod
     def _csv_opts(spec: RunSpec) -> CsvOptions:
@@ -125,7 +202,7 @@ class Engine:
         if not files:
             raise ValueError("no input files discovered")
 
-        schemas = [self._probe_schema(f, spec) for f in files]
+        schemas = self.probe_schemas(files, spec)
         unified = unify_schemas(
             schemas, rename=spec.rename, stringify_conflicts=spec.stringify_conflicts
         )
@@ -140,13 +217,25 @@ class Engine:
             if fmt is InputFormat.PARQUET:
                 dfs.append(read_parquet(self.spark, paths))
             else:
+                schema = T.StructType.fromJson(json.loads(schema_json))
+                # The CSV scan can't materialize NullType (probe result
+                # for valueless columns) — read those as string; every
+                # value is null, and the aligner casts to the unified
+                # type anyway.
+                read_schema = T.StructType(
+                    [
+                        T.StructField(
+                            fld.name,
+                            T.StringType()
+                            if isinstance(fld.dataType, T.NullType)
+                            else fld.dataType,
+                            fld.nullable,
+                        )
+                        for fld in schema.fields
+                    ]
+                )
                 dfs.append(
-                    read_csv(
-                        self.spark,
-                        paths,
-                        self._csv_opts(spec),
-                        schema=T.StructType.fromJson(json.loads(schema_json)),
-                    )
+                    read_csv(self.spark, paths, self._csv_opts(spec), schema=read_schema)
                 )
         df = concat_aligned(dfs, unified, include=spec.columns, exclude=spec.exclude)
         return df, unified, files

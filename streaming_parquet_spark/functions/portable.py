@@ -74,17 +74,25 @@ def word_hashes_expr(dialect: str, words: str) -> str:
 
 
 def shingles_expr(dialect: str, words: str, n: int = 3) -> str:
-    """Word n-gram shingles (default 3), distinct."""
+    """Word n-gram shingles (default 3), distinct.
+
+    Spark: the words array is LET-BOUND via a single-element-array
+    transform (``transform(array(words), ws -> ...)``), so the inner
+    per-position ``element_at(ws, i)`` hits a materialized array.
+    Naively inlining ``words`` into the lambda re-evaluates the split
+    per position — Spark's subexpression elimination does not run inside
+    higher-order-function lambdas, which made shingling ~10x slower.
+    """
     if dialect == "spark":
-        parts = ", ".join(f"element_at({words}, i + {j})" for j in range(n))
+        parts = ", ".join(f"element_at(ws, i + {j})" for j in range(n))
         body = (
-            f"transform(sequence(1, size({words}) - {n - 1}),"
+            f"transform(sequence(1, size(ws) - {n - 1}),"
             f" i -> concat_ws(' ', {parts}))"
         )
         # sequence(1, k) descends when k < 1 -> guard short docs
         return (
-            f"array_distinct(CASE WHEN size({words}) >= {n} THEN {body} "
-            f"ELSE array() END)"
+            f"array_distinct(element_at(transform(array({words}), ws -> "
+            f"CASE WHEN size(ws) >= {n} THEN {body} ELSE array() END), 1))"
         )
     parts = " || ' ' || ".join(f"{words}[i + {j}]" for j in range(n))
     return (
@@ -101,6 +109,62 @@ def minhash_expr(dialect: str, hashes: str, k: int) -> str:
     return (
         f"{amin}({t}({hashes}, h -> (CAST({a} AS BIGINT) * h"
         f" + CAST({b} AS BIGINT)) % {MERSENNE31}))"
+    )
+
+
+def minhash_sig_expr(dialect: str, hashes: str, num_hashes: int) -> str:
+    """ALL ``num_hashes`` minhash components as one array<bigint> in a
+    single pass (Spark dialect).
+
+    Building the signature as array(minhash_expr(0), minhash_expr(1), …)
+    is a trap: Catalyst's projection collapse inlines the upstream
+    ``word_hashes`` (an md5 per shingle) into every component, so md5
+    runs K times per document. This form keeps one aggregate over the
+    hash list — md5 once, K affine permutations per element, zip_with
+    min-fold. Same values, ~K× less hashing.
+
+    DuckDB has no list-accumulator reduce; the oracle keeps per-k
+    minhash_expr over a MATERIALIZED hash CTE (computed once there too).
+    """
+    if dialect != "spark":
+        raise ValueError("minhash_sig_expr is the Spark fast path; "
+                         "use minhash_expr per-k for duckdb oracles")
+    a_arr = ", ".join(f"CAST({_coeff_a(k)} AS BIGINT)" for k in range(num_hashes))
+    b_arr = ", ".join(f"CAST({_coeff_b(k)} AS BIGINT)" for k in range(num_hashes))
+    perms = (
+        f"transform(sequence(1, {num_hashes}), k ->"
+        f" (element_at(array({a_arr}), k) * h + element_at(array({b_arr}), k))"
+        f" % {MERSENNE31})"
+    )
+    init = f"transform(sequence(1, {num_hashes}), k -> CAST({MERSENNE31} AS BIGINT))"
+    return (
+        f"aggregate({hashes}, {init},"
+        f" (acc, h) -> zip_with(acc, {perms}, (x, y) -> least(x, y)))"
+    )
+
+
+def simhash_single_pass_expr(hashes: str, bits: int = 32) -> str:
+    """SimHash in ONE aggregate pass (Spark dialect): array-of-votes
+    accumulator, finish-lambda folds votes into the signature bigint.
+
+    The naive rendering (simhash_expr) scans the hash list once per bit
+    — and worse, projection collapse inlines the md5-per-shingle hash
+    computation into each of the ``bits`` vote terms. Identical values.
+    """
+    votes = (
+        f"transform(sequence(0, {bits - 1}), j ->"
+        f" CAST(shiftright(h, j) & 1 AS BIGINT) * 2 - 1)"
+    )
+    init = f"transform(sequence(0, {bits - 1}), j -> CAST(0 AS BIGINT))"
+    fold = (
+        f"aggregate(zip_with(acc, sequence(0, {bits - 1}),"
+        f" (v, j) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), j)"
+        f" ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    return (
+        f"aggregate({hashes}, {init},"
+        f" (acc, h) -> zip_with(acc, {votes}, (x, y) -> x + y),"
+        f" acc -> {fold})"
     )
 
 

@@ -136,11 +136,13 @@ def _duck_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     for b in range(bands):
         ms = [f"m{b * rows + i}" for i in range(rows)]
         band_selects.append(
-            f"SELECT doc_id, sh, {b} AS band,"
+            f"SELECT doc_id, {b} AS band,"
             f" {band_hash_expr(ms)} AS bh FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_selects)
-    j = jaccard_expr("duckdb", "a.sh", "b.sh")
+    # Verify Jaccard over DISTINCT 32-bit shingle hashes — mirrors the
+    # Spark plan (bigint set-intersection, not string comparison).
+    j = jaccard_expr("duckdb", "a.ws", "b.ws")
     sh = shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), 3)
     return f"""
     WITH docs AS MATERIALIZED (
@@ -149,7 +151,10 @@ def _duck_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     h AS MATERIALIZED (
       SELECT doc_id, sh, {word_hashes_expr("duckdb", "sh")} AS wh FROM docs
     ),
-    sig AS MATERIALIZED (SELECT doc_id, sh, {sig_cols} FROM h),
+    sets AS MATERIALIZED (
+      SELECT doc_id, list_distinct(wh) AS ws FROM h
+    ),
+    sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM h),
     bandst AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -158,8 +163,8 @@ def _duck_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     )
     SELECT id_a, id_b, ROUND({j}, 4) AS jaccard
     FROM cand
-    JOIN docs a ON a.doc_id = id_a
-    JOIN docs b ON b.doc_id = id_b
+    JOIN sets a ON a.doc_id = id_a
+    JOIN sets b ON b.doc_id = id_b
     WHERE ROUND({j}, 4) >= {threshold}
     """
 
@@ -177,10 +182,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_ngram_oracle(n: int, threshold: float) -> str:
-    sh = shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), n)
+    sh = word_hashes_expr(
+        "duckdb", shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), n)
+    )
     j = jaccard_expr("duckdb", "a.sh", "b.sh")
     return f"""
-    WITH d AS MATERIALIZED (SELECT doc_id, lang, source, {sh} AS sh FROM documents)
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, lang, source, list_distinct({sh}) AS sh FROM documents
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({j}, 4) AS jaccard
     FROM d a JOIN d b
       ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
@@ -272,19 +281,36 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-@query(
-    "embed_near_pairs",
-    f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND({dot_expr("duckdb", "a.embedding", "b.embedding")}, 4) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND({dot_expr("duckdb", "a.embedding", "b.embedding")}, 4) >= 0.4
-    """,
-)
+def _duck_near_pairs_oracle(threshold: float, planes: int, dims: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {lsh_plane_dot('embedding', p, dims, 'duckdb')} > 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(planes)
+    )
+    d = dot_expr("duckdb", "a.embedding", "b.embedding")
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({d}, 4) AS sim
+    FROM s a JOIN s b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+    WHERE ROUND({d}, 4) >= {threshold}
+    """
+
+
+@query("embed_near_pairs", _duck_near_pairs_oracle(0.4, 2, 64))
 def embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (dot >= 0.4). Unblocked pairwise —
-    at scale this becomes LSH-bucketed (see embed_ann_lsh)."""
-    return similarity_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Embedding near-duplicate pairs (dot >= 0.4) WITHIN random-
+    hyperplane LSH buckets (2 planes -> 4 blocks) — the 100 TB shape:
+    the pairwise join is quadratic per bucket, never global. Recall
+    trades against plane count; the deterministic plane derivation
+    keeps even the approximate path oracle-checkable."""
+    from streaming_parquet_spark.operators.similarity import with_lsh_signature
+
+    emb = with_lsh_signature(
+        _t(spark, sf_dir, "embeddings"), planes=2, dims=64
+    )
+    return similarity_pairs(emb, threshold=0.4, block_col="lsh_bucket")
 
 
 def _duck_ann_oracle(k: int, planes: int, dims: int) -> str:

@@ -28,6 +28,7 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from streaming_parquet_spark.engine import Engine
 from streaming_parquet_spark.plans.align import align_dataframe
@@ -48,6 +49,21 @@ class StreamResult:
     progress: list[dict] = field(default_factory=list)
 
 
+def _readable_schema(schema: T.StructType) -> T.StructType:
+    """Scans can't materialize NullType (the probe result for valueless
+    columns) — read as string, values are null either way."""
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.StringType() if isinstance(f.dataType, T.NullType) else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 class StreamEngine:
     """Run a RunSpec as a resumable stream: file source -> align/union ->
     parquet (or csv) sink with checkpointing."""
@@ -65,7 +81,7 @@ class StreamEngine:
         files = self._batch.discover(spec)
         if not files:
             raise ValueError("no input files discovered")
-        schemas = [self._batch._probe_schema(f, spec) for f in files]
+        schemas = self._batch.probe_schemas(files, spec)
         unified = unify_schemas(
             schemas, rename=spec.rename, stringify_conflicts=spec.stringify_conflicts
         )
@@ -77,6 +93,7 @@ class StreamEngine:
 
         streams: list[DataFrame] = []
         for (fmt, _sjson), (paths, schema) in groups.items():
+            schema = _readable_schema(schema)
             if fmt is InputFormat.PARQUET:
                 reader = self.spark.readStream.schema(schema).format("parquet")
             else:
