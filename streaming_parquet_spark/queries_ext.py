@@ -57,9 +57,9 @@ from streaming_parquet_spark.queries import _t, query
     """
     SELECT MIN(doc_id) AS rep_id,
            COUNT(*) AS n_copies,
-           LENGTH(LOWER(TRIM(text))) AS key_len
+           MAX(LENGTH(LOWER(TRIM(text)))) AS key_len
     FROM documents
-    GROUP BY LOWER(TRIM(text))
+    GROUP BY MD5(LOWER(TRIM(text)))
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
