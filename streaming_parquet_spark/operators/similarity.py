@@ -146,6 +146,87 @@ def with_lsh_signature(
     return df.withColumn(out_col, F.expr("(" + " + ".join(bits) + ")"))
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (max dot). Output: id, cluster, v.
+
+    Plan: broadcast(centroids) nested-loop -> per-id argmax via max_by
+    aggregation — one narrow shuffle on id. At 100 TB the centroid set
+    comes from a sampled KMeans fit (pyspark.ml.clustering.KMeans) and
+    the assignment pass writes a partitioned-by-cluster table (the
+    posting lists); the query path below is unchanged.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = v.join(F.broadcast(c)).withColumn(
+        "aff", F.expr(dot_expr("spark", "v", "cent_v"))
+    )
+    w = W.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("cent_id").alias("cluster"), "v")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists, probe the query's ``n_probe``
+    nearest lists, exact-rank candidates.
+
+    Deterministic 'training' stand-in: centroids are the n_centroids
+    lowest-id vectors (oracle-reproducible); swap in a KMeans fit at
+    scale — every other plan node stays identical. Search cost drops
+    from O(|corpus|) to O(|corpus| * n_probe / n_centroids) per query.
+    """
+    cents = corpus.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    c = cents.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qaff = q.join(F.broadcast(c)).withColumn(
+        "aff", F.expr(dot_expr("spark", "qv", "cent_v"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cent_id"))
+    probes = (
+        qaff.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", F.col("cent_id").alias("cluster"))
+    )
+
+    cand = assigned.join(
+        F.broadcast(probes), on="cluster"
+    ).filter(F.col("id") != F.col("query_id"))
+    sim = F.expr(dot_expr("spark", "qv", "v"))
+    w = W.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("id"))
+    return (
+        cand.withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round("sim_raw", 4).alias("sim"),
+            "rank",
+        )
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -23,6 +23,7 @@ from functools import reduce
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 from streaming_parquet_spark.plans.unify import UnifiedSchema
 
@@ -59,6 +60,12 @@ def align_dataframe(
     exprs: list[Column] = []
     for name in _effective_columns(unified, include, exclude):
         target = unified.type_mapping[name].to_spark_type()
+        if isinstance(target, T.NullType):
+            # Column had no values in ANY input (unified type = Null, the
+            # widening identity). Sinks can't write VOID — materialize as
+            # an all-null string column (CSV renders na_string, parquet
+            # a null string column).
+            target = T.StringType()
         if name in source_for:
             src = source_for[name]
             if df.schema[src].dataType == target:

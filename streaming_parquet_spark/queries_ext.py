@@ -336,6 +336,59 @@ def _duck_ann_oracle(k: int, planes: int, dims: int) -> str:
     """
 
 
+def _duck_ivf_oracle(k: int, n_centroids: int, n_probe: int) -> str:
+    aff = dot_expr("duckdb", "v.embedding", "c.embedding")
+    qaff = dot_expr("duckdb", "q.qv", "c.embedding")
+    sim = dot_expr("duckdb", "p.qv", "a.v")
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT vec_id AS cent_id, embedding FROM embeddings
+      WHERE vec_id < {n_centroids}
+    ),
+    assigned AS MATERIALIZED (
+      SELECT id, cluster, v FROM (
+        SELECT v.vec_id AS id, c.cent_id AS cluster, v.embedding AS v,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {aff} DESC, c.cent_id) AS rn
+        FROM embeddings v, cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT q.query_id, q.qv, c.cent_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {qaff} DESC, c.cent_id) AS crank
+        FROM q, cents c
+      ) WHERE crank <= {n_probe}
+    ),
+    ranked AS (
+      SELECT p.query_id, a.id AS neighbor_id,
+             {sim} AS sim_raw,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY {sim} DESC, a.id) AS INTEGER) AS rank
+      FROM probes p JOIN assigned a ON p.cluster = a.cluster
+      WHERE a.id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("embed_ann_ivf", _duck_ivf_oracle(10, 8, 2))
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: deterministic coarse centroids (lowest-id
+    vectors stand in for a KMeans fit; see operators.similarity.ivf_topk),
+    2-of-8 posting lists probed per query, exact re-rank of candidates."""
+    from streaming_parquet_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, n_probe=2
+    )
+
+
 @query("embed_ann_lsh", _duck_ann_oracle(10, 4, 64))
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH buckets (4 planes), exact

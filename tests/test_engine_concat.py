@@ -183,3 +183,52 @@ def test_rolling_by_rows(engine, tmp_path):
     assert res.output.files_written >= 4  # 100/30 -> >=4 part files
     for p in res.output.paths:
         assert os.path.basename(p).startswith("out-")
+
+def test_no_headers_synthetic_columns(engine, tmp_path):
+    """csv_in.rs:68-78: --no-headers synthesizes col_1..col_N."""
+    _write(str(tmp_path / "f.csv"), "1,aa\n2,bb\n")
+    out = str(tmp_path / "out.csv")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "f.csv")], out=out, headers=False)
+    )
+    assert res.rows == 2
+    lines = open(out).read().strip().split("\n")
+    assert lines[0] == "col_1,col_2"
+    assert sorted(lines[1:]) == ["1,aa", "2,bb"]
+
+
+def test_latin1_encoding(engine, tmp_path):
+    """csv_in.rs:80-84,156-168: latin1 decode (via cp1252, like the
+    reference's WINDOWS_1252)."""
+    raw = "name,v\ncaf\xe9,1\n".encode("cp1252")
+    with open(tmp_path / "f.csv", "wb") as fh:
+        fh.write(raw)
+    out = str(tmp_path / "out.csv")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "f.csv")], out=out, encoding="latin1")
+    )
+    assert res.rows == 1
+    assert "café" in open(out, encoding="utf-8").read()
+
+
+def test_na_sentinels_full_list(engine, tmp_path):
+    """cli.rs:41-43: all of NA, null, \\N become nulls."""
+    _write(str(tmp_path / "f.csv"), "a,b,c,d\nNA,null,\\N,5\n")
+    out = str(tmp_path / "out.csv")
+    res = engine.run(RunSpec(inputs=[str(tmp_path / "f.csv")], out=out))
+    assert res.rows == 1
+    lines = open(out).read().strip().split("\n")
+    assert lines[1] == ",,,5"
+
+
+def test_delimiter_and_quote(engine, tmp_path):
+    """cli.rs:25-31: custom delimiter and quote chars."""
+    _write(str(tmp_path / "f.csv"), "a;b\n'x;y';2\n")
+    out = str(tmp_path / "out.csv")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "f.csv")], out=out, delimiter=";",
+                quote="'")
+    )
+    assert res.rows == 1
+    body = open(out).read()
+    assert "x;y" in body
