@@ -106,3 +106,41 @@ def test_langid_und_on_no_stopwords(spark):
     )
     out = {r["doc_id"]: r["lang_pred"] for r in with_langid(df).collect()}
     assert out[1] == "und" and out[2] == "en"
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from streaming_parquet_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, ["o_custkey"], "inner")
+    salted = salted_join(orders, cust, ["o_custkey"], "inner", salt=4)
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
+    ps = plain.agg(F.sum("o_totalprice")).collect()[0][0]
+    ss = salted.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert abs(ps - ss) < 1e-6
+
+
+def test_write_partitioned(spark, sf_dir, tmp_path):
+    import os
+    from streaming_parquet_spark.sinks.writers import write_partitioned
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "part_out")
+    res = write_partitioned(li, out, ["l_returnflag"])
+    assert res.files_written >= 2
+    subdirs = {d for d in os.listdir(out) if d.startswith("l_returnflag=")}
+    assert len(subdirs) >= 2
+    # partition pruning: reading one partition only touches that subdir
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("l_returnflag") == "A")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == li.count()
+    assert one.count() == li.filter(F.col("l_returnflag") == "A").count()
