@@ -626,6 +626,40 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_window",
+    """
+    SELECT strftime(to_timestamp(FLOOR(epoch(ts) / 300) * 300 - k * 300),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events, UNNEST(range(0, 2)) AS t(k)
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min window, 5 min slide — each
+    event lands in window/slide = 2 overlapping windows). Oracle expands
+    windows arithmetically: starts are the 2 slide-aligned instants
+    within (ts - window, ts]. Streaming uses the identical plan plus a
+    watermark (streaming/operators.py::sliding_window_agg)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
     "events_json_extract",
     """
     SELECT event_type,
