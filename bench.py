@@ -121,6 +121,10 @@ def _conversion_bench(spark, sf_dir: str) -> dict[str, float]:
         parquet_bytes = _replicate([src_parquet], pq_dir, 64, ".parquet")
 
         def timed(name: str, spec: RunSpec, in_bytes: int) -> None:
+            # Warmup run (JIT + page cache), then the measured run — the
+            # reference's criterion harness likewise warms up before
+            # sampling (benches/throughput.rs).
+            eng.run(spec)
             t0 = time.perf_counter()
             eng.run(spec)
             dt = time.perf_counter() - t0

@@ -188,7 +188,11 @@ def main(argv: list[str] | None = None) -> int:
                     f"-> {sres.out_dir} (checkpoint: {sres.checkpoint})"
                 )
             return 0
-        res = engine.run(spec)
+        from streaming_parquet_spark.progress import ProgressReporter
+
+        show_bar = args.progress and not args.no_progress and not args.quiet
+        with ProgressReporter(spark, render=show_bar):
+            res = engine.run(spec)
         if not args.quiet:
             print(
                 f"Wrote {res.rows} rows from {res.input_files} file(s) "

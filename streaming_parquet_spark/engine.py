@@ -320,7 +320,10 @@ class Engine:
         read at scan planning of this run's queries."""
         total = sum(f.size for f in files)
         cores = self.spark.sparkContext.defaultParallelism or 1
-        target = max(4 << 20, min(128 << 20, total // (3 * cores) or (4 << 20)))
+        # Floor at 16 MB: smaller splits fragment parquet row groups
+        # (tasks than cannot split below a row group go idle) — measured
+        # slower than the 128 MB default on a row-group-heavy corpus.
+        target = max(16 << 20, min(128 << 20, total // (3 * cores) or (16 << 20)))
         self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
 
     def _rolling_records(

@@ -144,3 +144,16 @@ def test_write_partitioned(spark, sf_dir, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert back.count() == li.count()
     assert one.count() == li.filter(F.col("l_returnflag") == "A").count()
+
+
+def test_progress_reporter_samples(spark):
+    from streaming_parquet_spark.progress import ProgressReporter
+
+    with ProgressReporter(spark, input_bytes=10**6, interval_sec=0.05) as rep:
+        spark.range(0, 20_000_000, 1, 64).selectExpr(
+            "sum(crc32(cast(id as string)))"
+        ).collect()
+    # A multi-second job must yield at least one sample with sane fields.
+    assert rep.samples, "no progress samples captured"
+    s = rep.samples[-1]
+    assert 0 <= s.percent <= 100 and s.tasks_total > 0
