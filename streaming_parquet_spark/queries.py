@@ -568,6 +568,29 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (absent in reference, SURVEY §2.5) — all 2^k
+    grouping combinations in one partial-aggregated pass."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
     "rel_pivot",
     """
     SELECT l_returnflag,

@@ -133,3 +133,23 @@ def test_rename_and_columns(tmp_path):
     assert rc == 0
     lines = open(out).read().strip().split("\n")
     assert lines[0] == "keep,new"
+
+
+def test_streaming_state_resume_via_cli(tmp_path):
+    """--state routes through the streaming engine; a rerun with the
+    same state dir processes nothing new (resume, state.rs semantics)."""
+    src = tmp_path / "src"
+    os.makedirs(src)
+    _write(src / "a.csv", "x,y\n1,2\n3,4\n")
+    out = str(tmp_path / "out_dir")
+    state = str(tmp_path / "ckpt")
+    rc = main([str(src), "-o", out, "--out-format", "parquet",
+               "--state", state])
+    assert rc == 0
+    # second run: same state -> no new input
+    rc2 = main([str(src), "-o", out, "--out-format", "parquet",
+                "--state", state])
+    assert rc2 == 0
+    import glob as g
+    parts = g.glob(os.path.join(out, "*.parquet"))
+    assert parts, "no parquet output written"
