@@ -137,6 +137,117 @@ def extract_features(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+def resize_images(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+    strict: bool = False,
+) -> DataFrame:
+    """Resize stub with real Spark plumbing: mapInPandas over Arrow
+    batches, output (id, width, height, resized_bytes). The resample
+    kernel is the stubbed codec step — strict=True raises where
+    PIL.Image.resize would run; the fake path emits a deterministic
+    payload of the target size derived from the source digest, so batch
+    shapes, schemas, and partitioning are exercised end-to-end."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized_bytes", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for b in pdf[blob_col]:
+                try:
+                    from PIL import Image  # noqa: F401  (absent here)
+
+                    raise RuntimeError("unreachable in this container")
+                except ImportError:
+                    if strict:
+                        raise NotImplementedError(
+                            "image codec not available; install Pillow or "
+                            "use strict=False for the deterministic fake"
+                        )
+                # FAKE resample: digest-seeded bytes, one per target pixel
+                # (single channel) — deterministic and size-correct.
+                seed = hashlib.md5(bytes(b)).digest()
+                n = width * height
+                payloads.append((seed * (n // len(seed) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized_bytes": payloads,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, out_schema)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Audio metadata decode stub (the soundfile/ffprobe seam):
+    mapInPandas plumbing real, codec faked deterministically from the
+    payload (strict=True raises NotImplementedError at the codec)."""
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType())] + list(AUDIO_META_SCHEMA.fields)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, counts, durs, fmts = [], [], [], []
+            for b in pdf[blob_col]:
+                try:
+                    import soundfile  # noqa: F401  (absent here)
+
+                    raise RuntimeError("unreachable in this container")
+                except ImportError:
+                    if strict:
+                        raise NotImplementedError(
+                            "audio codec not available; install soundfile "
+                            "or use strict=False for the deterministic fake"
+                        )
+                d = hashlib.md5(bytes(b)).digest()
+                rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+                n = len(b) * 16 + d[1]
+                rates.append(rate)
+                counts.append(n)
+                durs.append(round(n / rate, 6))
+                fmts.append("fake")
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "duration_sec": durs,
+                    "format": fmts,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     blob_col: str = "blob",

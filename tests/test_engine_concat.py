@@ -232,3 +232,26 @@ def test_delimiter_and_quote(engine, tmp_path):
     assert res.rows == 1
     body = open(out).read()
     assert "x;y" in body
+
+
+def test_parquet_schema_evolution_concat(engine, spark, tmp_path):
+    """Heterogeneous parquet concat: int->double widening + null-fill
+    across files (the mergeSchema-plus-widening case Spark alone cannot
+    do — schema.rs:166-175 vs spark.read.option('mergeSchema'))."""
+    spark.createDataFrame([(1, 10)], "k long, a long").write.parquet(
+        str(tmp_path / "p1.parquet")
+    )
+    spark.createDataFrame([(2.5, "x")], "k double, b string").write.parquet(
+        str(tmp_path / "p2.parquet")
+    )
+    out = str(tmp_path / "out.parquet")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "p1.parquet"),
+                        str(tmp_path / "p2.parquet")], out=out)
+    )
+    assert res.rows == 2
+    back = engine.spark.read.parquet(out)
+    assert dict(back.dtypes)["k"] == "double"
+    # columns alphabetical: (a, b, k)
+    vals = {tuple(r) for r in back.collect()}
+    assert vals == {(10, None, 1.0), (None, "x", 2.5)}

@@ -58,3 +58,41 @@ def test_extract_features_dims(blobs):
     assert len(out) == 50
     assert all(len(r["features"]) == 16 for r in out)
     assert all(-1.0 <= v <= 1.0 for r in out for v in r["features"])
+
+
+def test_resize_images_shapes(blobs):
+    from streaming_parquet_spark.operators.multimodal import resize_images
+
+    out = resize_images(blobs, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == blobs.count()
+    for r in rows:
+        assert r["width"] == 8 and r["height"] == 4
+        assert len(r["resized_bytes"]) == 8 * 4
+    # deterministic: same payload -> same resized bytes
+    again = {r["id"]: bytes(r["resized_bytes"]) for r in resize_images(
+        blobs, width=8, height=4).collect()}
+    assert {r["id"]: bytes(r["resized_bytes"]) for r in rows} == again
+
+
+def test_resize_strict_raises(blobs):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from streaming_parquet_spark.operators.multimodal import resize_images
+
+    with _pytest.raises(Exception) as ei:
+        resize_images(blobs, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
+
+
+def test_decode_audio_meta(blobs):
+    from streaming_parquet_spark.operators.multimodal import decode_audio
+
+    rows = decode_audio(blobs).collect()
+    assert len(rows) == blobs.count()
+    for r in rows:
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert r["n_samples"] > 0
+        assert abs(r["duration_sec"] - r["n_samples"] / r["sample_rate"]) < 1e-4
