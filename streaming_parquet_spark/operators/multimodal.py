@@ -73,11 +73,16 @@ def decode_images(
     blob_col: str = "blob",
     id_col: str = "doc_id",
     strict: bool = False,
-    target_batch_rows: int = 1024,
+    target_batch_rows: int | None = None,
 ) -> DataFrame:
     """Decode image metadata from binary payloads via mapInPandas.
 
     Output schema: id, n_bytes, width, height, channels, format.
+
+    ``target_batch_rows``, when set, caps Arrow batch row counts via
+    spark.sql.execution.arrow.maxRecordsPerBatch — a SESSION-wide
+    setting (it outlives this call); set it when blobs are large enough
+    that the default 10k-row batches would not fit executor memory.
     """
     out_schema = T.StructType(
         [
@@ -102,9 +107,11 @@ def decode_images(
             )
 
     narrow = df.select(id_col, blob_col)
-    narrow.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(target_batch_rows)
-    )
+    if target_batch_rows is not None:
+        narrow.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(target_batch_rows),
+        )
     return narrow.mapInPandas(batches, out_schema)
 
 
