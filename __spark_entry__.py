@@ -18,7 +18,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
+# Spark Python workers resolve cloudpickled closures (mapInPandas
+# operators) by module name and read PYTHONPATH at worker-daemon spawn.
+# Export the repo root now — before any session runs a Python UDF — so
+# the contract works regardless of how the harness built its session.
+if _ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _ROOT + (os.pathsep + os.environ["PYTHONPATH"]
+                 if os.environ.get("PYTHONPATH") else "")
+    )
 
 from streaming_parquet_spark.queries import ORACLES, QUERIES  # noqa: E402
 import streaming_parquet_spark.queries_ext  # noqa: E402,F401  (registers extensions)
