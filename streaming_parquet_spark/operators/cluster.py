@@ -1,0 +1,89 @@
+"""Duplicate-cluster construction: connected components over near-dup
+pairs (the final stage of a fuzzy-dedup pipeline: pairs -> clusters ->
+keep one representative per cluster).
+
+Spark-first iterative min-label propagation: every node starts labeled
+with itself; each round, a node adopts the minimum label in its
+neighborhood (one join + one groupBy-min per round); converges in
+O(graph diameter) rounds. Near-dup graphs are unions of small
+quasi-cliques, so the diameter — and round count — is tiny in practice.
+The per-round convergence check is a scalar count (no data collected to
+the driver). For adversarially long-chain graphs at extreme scale,
+swap in the large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) — same
+operator signature.
+
+The reference has no clustering of any kind (SURVEY §2.11 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by pair rows.
+
+    Returns (id, component) where component = min node id reachable
+    from id. Only nodes appearing in ``pairs`` are returned (isolated
+    docs are their own cluster by definition — callers left-join).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+
+    for _ in range(max_iter):
+        # Each node pulls the min label among itself and its neighbors.
+        neighbor_labels = (
+            edges.join(labels, edges.b == labels.id)
+            .select(F.col("a").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        # localCheckpoint truncates the growing iterative lineage so each
+        # round's plan stays O(1) instead of O(rounds).
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Cluster summary over near-dup pairs: one row per duplicate
+    cluster with the representative (min id) and the member count.
+    Downstream dedup keeps rep_id and drops the other members."""
+    comp = connected_components(pairs, src_col, dst_col)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            F.col("component").alias("rep_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )

@@ -252,6 +252,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_clusters_oracle(lsh_inner: str) -> str:
+    """Components as min-reachable-id via recursive CTE over the same
+    LSH pairs the Spark side clusters."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({lsh_inner}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT component AS rep_id, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component
+    """
+
+
+@query("dedup_clusters", _duck_clusters_oracle(_duck_lsh_oracle(16, 8, 0.5)))
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: MinHash-LSH pairs at Jaccard >= 0.5 ->
+    connected components (iterative min-label propagation) -> one row
+    per cluster (rep_id = min doc_id, cluster_size). The pipeline's
+    keep-one-representative dedup stage."""
+    from streaming_parquet_spark.operators.cluster import dedup_clusters
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=8,
+        jaccard_threshold=0.5,
+    )
+    return dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -157,3 +157,22 @@ def test_progress_reporter_samples(spark):
     assert rep.samples, "no progress samples captured"
     s = rep.samples[-1]
     assert 0 <= s.percent <= 100 and s.tasks_total > 0
+
+
+def test_connected_components_chain_and_clique(spark):
+    from streaming_parquet_spark.operators.cluster import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4 (diameter 3) + triangle 10-11-12 + pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    clusters = {
+        r["rep_id"]: r["cluster_size"] for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters == {1: 4, 10: 3, 20: 2}
