@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verify", action="store_true")
 
+    # Partitioned output (extension; no reference analog)
+    p.add_argument(
+        "--partition-by",
+        help="comma-separated columns for Hive-style partitioned output",
+    )
+
     # Output/UX (cli.rs:122-149)
     p.add_argument("--progress", action="store_true", default=True)
     p.add_argument("--no-progress", action="store_true")
@@ -121,6 +127,7 @@ def spec_from_args(args: argparse.Namespace) -> RunSpec:
         resume=args.resume,
         verify=args.verify,
         single_file=args.roll_by_rows is None and args.roll_by_bytes is None,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
     )
 
 

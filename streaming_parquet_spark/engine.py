@@ -34,7 +34,12 @@ from pyspark.sql import types as T
 from streaming_parquet_spark.plans.align import concat_aligned
 from streaming_parquet_spark.plans.unify import UnifiedSchema, unify_schemas
 from streaming_parquet_spark.runspec import RunSpec
-from streaming_parquet_spark.sinks.writers import SinkResult, write_csv, write_parquet
+from streaming_parquet_spark.sinks.writers import (
+    SinkResult,
+    write_csv,
+    write_parquet,
+    write_partitioned,
+)
 from streaming_parquet_spark.sources.discover import (
     DiscoveryConfig,
     InputFile,
@@ -280,7 +285,19 @@ class Engine:
 
         max_records = self._rolling_records(spec, files)
         fmt = spec.resolve_out_format()
-        if fmt == "parquet":
+        if spec.partition_by:
+            sink = write_partitioned(
+                observed,
+                spec.out,
+                spec.partition_by,
+                out_format=fmt,
+                compression=spec.compression
+                if spec.compression != "none"
+                else "snappy",
+                delimiter=spec.delimiter,
+                max_records_per_file=max_records,
+            )
+        elif fmt == "parquet":
             sink = write_parquet(
                 observed,
                 spec.out,

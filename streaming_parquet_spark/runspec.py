@@ -61,6 +61,7 @@ class RunSpec:
 
     # Output ergonomics
     single_file: bool = True               # reference writes ONE output file
+    partition_by: list[str] | None = None  # Hive-style partitioned dir (ext)
 
     def resolve_out_format(self) -> str:
         """--out-format override, else by extension, default CSV

@@ -153,3 +153,13 @@ def test_streaming_state_resume_via_cli(tmp_path):
     import glob as g
     parts = g.glob(os.path.join(out, "*.parquet"))
     assert parts, "no parquet output written"
+
+
+def test_partitioned_output_via_cli(tmp_path):
+    _write(tmp_path / "a.csv", "k,grp\n1,x\n2,y\n3,x\n")
+    out = str(tmp_path / "part_out")
+    rc = main([str(tmp_path / "a.csv"), "-o", out, "--out-format", "parquet",
+               "--partition-by", "grp"])
+    assert rc == 0
+    subdirs = {d for d in os.listdir(out) if d.startswith("grp=")}
+    assert subdirs == {"grp=x", "grp=y"}
