@@ -233,9 +233,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape. Scale: customer filter broadcast into orders,
-    orders side broadcast into lineitem when small; deterministic top-10
-    via (revenue desc, key) tiebreak."""
+    """TPC-H Q3 shape. Scale: the filtered customer dim broadcasts into
+    orders; lineitem x orders stays a shuffle join at fact scale (no
+    explicit broadcast hint — at 100 TB a forced broadcast of orders
+    would OOM the executors; AQE still picks broadcast when the filtered
+    side is actually small). Deterministic top-10 via (revenue desc,
+    key) tiebreak."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -244,7 +247,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
         li.l_orderkey == orders.o_orderkey,
     )
     return (
@@ -284,9 +287,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. Scale: region/nation/supplier/
-    customer are dims -> all broadcast; lineitem never shuffles until the
-    tiny final agg."""
+    """TPC-H Q5 shape: 6-way star join. Scale: region/nation/supplier
+    are true dims -> broadcast hints; orders and customer are fact-scale
+    at 100 TB, so no forced broadcast — AQE promotes them to broadcast
+    only when their filtered size actually fits."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -299,9 +303,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -358,11 +362,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast equi-join + aggregation; customer is the broadcast dim."""
+    """Equi-join + aggregation. No forced broadcast: customer is only a
+    'dim' at test scale — AQE broadcasts it while it fits and falls back
+    to a shuffle join at 100 TB."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
