@@ -33,40 +33,49 @@ def connected_components(
     from id. Only nodes appearing in ``pairs`` are returned (isolated
     docs are their own cluster by definition — callers left-join).
     """
+    # Checkpoint the edge list ONCE: it feeds every iteration, and
+    # without this the (potentially expensive) upstream pair-generation
+    # lineage — e.g. an LSH band join — would re-execute per round.
     edges = (
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
-        # Each node pulls the min label among itself and its neighbors.
-        neighbor_labels = (
-            edges.join(labels, edges.b == labels.id)
-            .select(F.col("a").alias("id"), "component")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        # localCheckpoint truncates the growing iterative lineage so each
-        # round's plan stays O(1) instead of O(rounds).
-        labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
-            break
+    try:
+        for _ in range(max_iter):
+            # Each node pulls the min label among itself and its neighbors.
+            neighbor_labels = (
+                edges.join(labels, edges.b == labels.id)
+                .select(F.col("a").alias("id"), "component")
+            )
+            # localCheckpoint keeps each round's plan O(1), not O(rounds).
+            new_labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()  # release the previous round's blocks
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
     return labels
 
 
