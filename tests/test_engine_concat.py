@@ -255,3 +255,20 @@ def test_parquet_schema_evolution_concat(engine, spark, tmp_path):
     # columns alphabetical: (a, b, k)
     vals = {tuple(r) for r in back.collect()}
     assert vals == {(10, None, 1.0), (None, "x", 2.5)}
+
+
+def test_rolling_by_bytes_estimation(engine, tmp_path, sf_dir):
+    """W3 byte rolling (cli.rs:70-77): bytes/row estimated from parquet
+    footers; documented approximation (SURVEY §7)."""
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    spec = RunSpec(inputs=[src], out=str(tmp_path / "o.parquet"),
+                   roll_by_bytes=100_000, single_file=False)
+    files = engine.discover(spec)
+    est = engine._rolling_records(spec, files)
+    import pyarrow.parquet as pq
+    rows = pq.ParquetFile(src).metadata.num_rows
+    size = os.path.getsize(src)
+    assert est == max(1, int(100_000 // max(1, size // rows)))
+    res = engine.run(spec)
+    assert res.rows == rows
+    assert res.output.files_written > 1  # rolled into multiple parts
