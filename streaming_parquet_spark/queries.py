@@ -41,6 +41,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every fixture table as a temp view so users can drive
+    the engine through plain ``spark.sql`` — the SQL face of the same
+    Catalyst plans the DataFrame queries build."""
+    names = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for n in names:
+        df = _events(spark, sf_dir) if n == "events" else _t(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
+    return names
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table reader. The fixture stores `ts` as parquet
     TIMESTAMP(NANOS), which Spark's vectorized reader rejects
@@ -570,6 +584,37 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+@query(
+    "rel_exists_subquery",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_active
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
+    rewrites them to semi/anti joins (same physical plans as
+    rel_semi_anti_join builds with the DataFrame API)."""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_active
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        """
     )
 
 

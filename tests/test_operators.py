@@ -176,3 +176,32 @@ def test_connected_components_chain_and_clique(spark):
         r["rep_id"]: r["cluster_size"] for r in dedup_clusters(pairs).collect()
     }
     assert clusters == {1: 4, 10: 3, 20: 2}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed tables join with zero shuffles — the scale payoff of
+    bucketing: each task reads bucket i of both sides."""
+    from streaming_parquet_spark.sinks.writers import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        write_bucketed(orders, "b_orders", ["o_orderkey"], buckets=8,
+                       sort_by=["o_orderkey"])
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], buckets=8,
+                       sort_by=["l_orderkey"])
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        assert joined.count() == li.count()  # every lineitem has an order
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
