@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-headers", action="store_true")
     p.add_argument("--encoding", default="utf8")
     p.add_argument("--na", default="NA,null,\\N", help="comma-separated NA sentinels")
+    p.add_argument(
+        "--multiline",
+        action="store_true",
+        help="CSV records may contain quoted newlines (files become "
+        "non-splittable: one task per file)",
+    )
 
     # Schema options (cli.rs:46-68)
     p.add_argument("--columns", help="comma-separated include whitelist")
@@ -108,6 +114,7 @@ def spec_from_args(args: argparse.Namespace) -> RunSpec:
         headers=not args.no_headers,
         encoding=args.encoding,
         na_values=tuple(args.na.split(",")) if args.na else (),
+        multiline=args.multiline,
         columns=args.columns.split(",") if args.columns else None,
         exclude=args.exclude.split(",") if args.exclude else None,
         rename=rename,

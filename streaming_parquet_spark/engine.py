@@ -197,6 +197,7 @@ class Engine:
             encoding=spec.encoding,
             na_values=spec.na_values,
             infer_rows=spec.infer_rows,
+            multiline=spec.multiline,
         )
 
     def dataframe(

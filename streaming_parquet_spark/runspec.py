@@ -28,6 +28,7 @@ class RunSpec:
     headers: bool = True                   # reference --no-headers inverts
     encoding: str = "utf8"
     na_values: tuple[str, ...] = DEFAULT_NA_VALUES
+    multiline: bool = False                # quoted embedded newlines (ext)
 
     # Schema options (cli.rs:46-68)
     columns: list[str] | None = None       # include whitelist

@@ -40,6 +40,12 @@ class CsvOptions:
     na_values: tuple[str, ...] = DEFAULT_NA_VALUES
     infer_rows: int = 1000               # --infer-rows schema-inference sample
     infer_schema: bool = True
+    # Quoted fields containing newlines (the reference's csv crate parses
+    # them natively). Spark's default line-splittable reader breaks such
+    # records; multiline=True handles them at the cost of one task per
+    # file (files become non-splittable) — enable only when the data
+    # needs it.
+    multiline: bool = False
 
 
 def read_csv(
@@ -65,6 +71,7 @@ def read_csv(
         .option("header", str(opts.headers).lower())
         .option("encoding", _ENCODINGS.get(opts.encoding.lower(), opts.encoding))
         .option("mode", "PERMISSIVE")
+        .option("multiLine", str(opts.multiline).lower())
         .option("samplingRatio", "1.0")
     )
     # Spark accepts one nullValue natively; the rest are mapped post-read.
@@ -173,9 +180,9 @@ def infer_csv_schemas_per_file(
     schema.rs:188-192) while the job count drops to one per distinct
     header.
 
-    Flags aggregate over ALL rows of each file, not a prefix sample —
-    prefix sampling caused spurious conflicts when a column's first rows
-    happen to look numeric in one file but not another.
+    Flags aggregate over ALL rows of each file — this is the exact
+    (infer_rows=0) mode; the sampled default uses driver-side prefix
+    reads instead (infer_csv_schema_prefix).
     """
     opts = opts or CsvOptions()
     reader = (
@@ -184,6 +191,7 @@ def infer_csv_schemas_per_file(
         .option("header", str(opts.headers).lower())
         .option("encoding", _ENCODINGS.get(opts.encoding.lower(), opts.encoding))
         .option("mode", "PERMISSIVE")
+        .option("multiLine", str(opts.multiline).lower())
         .option("nullValue", opts.na_values[0] if opts.na_values else "")
         .option("inferSchema", "false")
     )

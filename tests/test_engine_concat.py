@@ -272,3 +272,17 @@ def test_rolling_by_bytes_estimation(engine, tmp_path, sf_dir):
     res = engine.run(spec)
     assert res.rows == rows
     assert res.output.files_written > 1  # rolled into multiple parts
+
+
+def test_multiline_quoted_records(engine, tmp_path):
+    """Quoted fields containing newlines (the reference's csv crate
+    parses these natively; Spark needs multiLine=true)."""
+    _write(str(tmp_path / "f.csv"), 'id,note\n1,"line one\nline two"\n2,plain\n')
+    out = str(tmp_path / "out.parquet")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "f.csv")], out=out, multiline=True)
+    )
+    assert res.rows == 2
+    back = {r["id"]: r["note"] for r in engine.spark.read.parquet(out).collect()}
+    assert back[1] == "line one\nline two"
+    assert back[2] == "plain"
