@@ -502,6 +502,66 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_clean_corpus() -> str:
+    w = words_expr("duckdb", "text")
+    hits = {
+        lang: filter_count_expr("duckdb", "words", sw)
+        for lang, sw in STOPWORDS.items()
+    }
+    best = f"GREATEST({', '.join(hits.values())})"
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text, {w} AS words,
+             LEN(string_split_regex(TRIM(text), ' +')) AS n_words,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, n_words,
+             ROUND((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                     BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN CAST(punct AS DOUBLE) / n_chars < 0.1
+                     THEN 0.3 ELSE 0.0 END), 2) AS quality_score,
+             {best} AS stop_best
+      FROM d
+    ),
+    reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents
+      GROUP BY MD5(LOWER(TRIM(text)))
+    )
+    SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words, s.quality_score
+    FROM scored s JOIN reps r ON s.doc_id = r.doc_id
+    WHERE s.quality_score >= 0.7 AND s.stop_best > 0
+    """
+
+
+@query("pipeline_clean_corpus", _duck_clean_corpus())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the operators composed as a
+    real LLM-data pipeline: quality scoring (keep score >= 0.7), a
+    language signal (some stopword hit in any known language), and
+    keep-one-representative exact dedup (min doc_id per normalized
+    text). One scan feeds the scoring; the dedup rep set joins back on
+    doc_id — all JVM expressions, one narrow shuffle each."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_langid(with_quality(docs))
+    reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    return (
+        scored.filter(
+            (F.col("quality_score") >= 0.7) & (F.col("lang_pred") != "und")
+        )
+        .join(reps, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            "quality_score",
+        )
+    )
+
+
 def _duck_langid() -> str:
     w = words_expr("duckdb", "text")
     hits = {
