@@ -35,6 +35,7 @@ from streaming_parquet_spark.plans.align import align_dataframe
 from streaming_parquet_spark.plans.unify import UnifiedSchema, unify_schemas
 from streaming_parquet_spark.runspec import RunSpec
 from streaming_parquet_spark.sources.discover import InputFormat
+from streaming_parquet_spark.sources.readers import _apply_na_sentinels
 
 
 @dataclass
@@ -103,6 +104,7 @@ class StreamEngine:
                     .option("sep", spec.delimiter)
                     .option("quote", spec.quote)
                     .option("header", str(spec.headers).lower())
+                    .option("multiLine", str(spec.multiline).lower())
                     .option("nullValue", spec.na_values[0] if spec.na_values else "")
                 )
             reader = reader.option("maxFilesPerTrigger", max(1, spec.concurrency))
@@ -119,7 +121,13 @@ class StreamEngine:
                 pattern = os.path.join(
                     parent, "{" + ",".join(sorted(names)) + "}"
                 )
-                streams.append(reader.load(pattern))
+                stream = reader.load(pattern)
+                if fmt is not InputFormat.PARQUET:
+                    # Parity with the batch reader: Spark's nullValue
+                    # takes one sentinel; the rest null out post-read
+                    # (cli.rs:41-43).
+                    stream = _apply_na_sentinels(stream, spec.na_values[1:])
+                streams.append(stream)
         return streams, unified
 
     def dataframe(self, spec: RunSpec) -> DataFrame:

@@ -143,3 +143,20 @@ def test_session_window_batch_parity(spark, sf_dir):
         for r in events_sessionize(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_applies_all_na_sentinels(streamer, spark, tmp_path):
+    """Streaming CSV nulls out the FULL sentinel list (cli.rs:41-43),
+    matching the batch reader."""
+    src = tmp_path / "src"
+    os.makedirs(src)
+    with open(src / "a.csv", "w") as fh:
+        fh.write("a,b,c,d\nNA,null,\\N,keep\n")
+    out = str(tmp_path / "out")
+    spec = RunSpec(inputs=[str(src)], out=out, out_format="parquet",
+                   state=str(tmp_path / "ckpt"))
+    res = streamer.run(spec)
+    assert res.rows == 1
+    row = spark.read.parquet(out).collect()[0]
+    assert row["a"] is None and row["b"] is None and row["c"] is None
+    assert row["d"] == "keep"
