@@ -286,3 +286,27 @@ def test_multiline_quoted_records(engine, tmp_path):
     back = {r["id"]: r["note"] for r in engine.spark.read.parquet(out).collect()}
     assert back[1] == "line one\nline two"
     assert back[2] == "plain"
+
+
+def test_many_files_mixed_headers(engine, tmp_path):
+    """Many-file scalability contract: O(distinct headers) Spark jobs,
+    empty files contribute Null types, cross-header union null-fills."""
+    src = tmp_path / "many"
+    os.makedirs(src)
+    for i in range(300):
+        with open(src / f"f{i:04d}.csv", "w") as fh:
+            if i % 3 == 0:
+                fh.write(f"a,b\n{i},{i * 1.5}\n")
+            elif i % 3 == 1:
+                fh.write(f"a,c\n{i},x{i}\n")
+            else:
+                fh.write("a,b\n")  # header-only
+    out = str(tmp_path / "out.parquet")
+    res = engine.run(RunSpec(inputs=[str(src)], out=out, single_file=False,
+                             roll_by_rows=10**9))
+    assert res.input_files == 300
+    assert res.rows == 200
+    back = engine.spark.read.parquet(*res.output.paths)
+    assert back.columns == ["a", "b", "c"]
+    assert back.filter("b IS NOT NULL").count() == 100
+    assert back.filter("c IS NOT NULL").count() == 100
