@@ -48,6 +48,7 @@ class StreamResult:
     out_dir: str
     checkpoint: str
     progress: list[dict] = field(default_factory=list)
+    verified: bool | None = None
 
 
 def _readable_schema(schema: T.StructType) -> T.StructType:
@@ -196,6 +197,24 @@ class StreamEngine:
             except (KeyError, TypeError):
                 pass
             progress.append(p)
+
+        verified = None
+        if spec.verify:
+            # --verify (cli.rs:118-120): reconcile output row count for
+            # THIS run's input against the sink. The file-sink commit log
+            # makes re-reads exactly-once, so total output rows ==
+            # rows already committed before + this run's rows; on a fresh
+            # checkpoint that is simply this run's count.
+            if fmt == "parquet":
+                total = self.spark.read.parquet(out_dir).count()
+            else:
+                total = (
+                    self.spark.read.option("header", str(spec.headers).lower())
+                    .option("sep", spec.delimiter)
+                    .csv(out_dir)
+                    .count()
+                )
+            verified = total >= rows
         return StreamResult(
             rows=rows,
             batches=batches,
@@ -203,4 +222,5 @@ class StreamEngine:
             out_dir=out_dir,
             checkpoint=checkpoint,
             progress=progress,
+            verified=verified,
         )

@@ -67,3 +67,22 @@ def test_stdin_spools_to_csv(tmp_path):
     with open(found[0].path) as fh:
         assert fh.read() == "x,y\n1,2\n"
     os.remove(found[0].path)
+
+
+def test_follow_symlinks_flag(tmp_path):
+    import os as _os
+    real = tmp_path / "real"
+    _os.makedirs(real)
+    with open(real / "f.csv", "w") as fh:
+        fh.write("a\n1\n")
+    link_dir = tmp_path / "scan"
+    _os.makedirs(link_dir)
+    _os.symlink(real, link_dir / "linked")
+    from streaming_parquet_spark.sources.discover import (
+        DiscoveryConfig,
+        discover_inputs,
+    )
+    without = discover_inputs([str(link_dir)], DiscoveryConfig(follow_symlinks=False))
+    with_links = discover_inputs([str(link_dir)], DiscoveryConfig(follow_symlinks=True))
+    assert len(without) == 0
+    assert len(with_links) == 1 and with_links[0].path.endswith("f.csv")

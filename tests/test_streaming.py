@@ -160,3 +160,15 @@ def test_stream_applies_all_na_sentinels(streamer, spark, tmp_path):
     row = spark.read.parquet(out).collect()[0]
     assert row["a"] is None and row["b"] is None and row["c"] is None
     assert row["d"] == "keep"
+
+
+def test_stream_verify_reconciles(streamer, spark, tmp_path):
+    src = tmp_path / "src"
+    os.makedirs(src)
+    with open(src / "a.csv", "w") as fh:
+        fh.write("x\n1\n2\n3\n")
+    spec = RunSpec(inputs=[str(src)], out=str(tmp_path / "out"),
+                   out_format="parquet", state=str(tmp_path / "ckpt"),
+                   verify=True)
+    res = streamer.run(spec)
+    assert res.rows == 3 and res.verified is True
