@@ -200,6 +200,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"Streamed {sres.rows} rows in {sres.batches} batch(es) "
                     f"-> {sres.out_dir} (checkpoint: {sres.checkpoint})"
+                    + ("" if sres.verified is None
+                       else f", verified={sres.verified}")
                 )
             return 0
         from streaming_parquet_spark.progress import ProgressReporter
