@@ -18,7 +18,7 @@ The reference has no clustering of any kind (SURVEY §2.11 extension).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def connected_components(
@@ -51,25 +51,42 @@ def connected_components(
 
     try:
         for _ in range(max_iter):
-            # Each node pulls the min label among itself and its neighbors.
+            # Each node pulls the min label among itself and its
+            # neighbors. The node's own row carries its previous label in
+            # old_comp, so the convergence count rides the SAME action as
+            # the label materialization (Observation) — one job per
+            # round, not a separate compare join.
             neighbor_labels = (
                 edges.join(labels, edges.b == labels.id)
-                .select(F.col("a").alias("id"), "component")
+                .select(
+                    F.col("a").alias("id"),
+                    "component",
+                    F.lit(None).cast("long").alias("old_comp"),
+                )
             )
-            # localCheckpoint keeps each round's plan O(1), not O(rounds).
+            merged = labels.select(
+                "id", "component", F.col("component").alias("old_comp")
+            ).unionByName(neighbor_labels)
+            obs = Observation()
             new_labels = (
-                labels.unionByName(neighbor_labels)
-                .groupBy("id")
-                .agg(F.min("component").alias("component"))
+                merged.groupBy("id")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.max("old_comp").alias("old_comp"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(
+                            F.col("component") != F.col("old_comp"), 1
+                        ).otherwise(0)
+                    ).alias("changed"),
+                )
+                .select("id", "component")
+                # localCheckpoint keeps each round's plan O(1), not O(rounds)
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
+            changed = int(obs.get["changed"] or 0)
             labels.unpersist()  # release the previous round's blocks
             labels = new_labels
             if changed == 0:
