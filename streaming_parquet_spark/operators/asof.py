@@ -1,0 +1,70 @@
+"""As-of (nearest-prior) join — a temporal operator Spark's built-in
+joins don't express directly (SURVEY §2.4: absent in the reference;
+extension).
+
+Spark-first rendering: the UNION + WINDOW trick, not a join.
+
+    tag left rows side=1, right rows side=0
+    union on (keys, time, side, right-payload or null)
+    per key, ordered by (time, side):
+        last(payload IGNORE NULLS) over rows unbounded preceding..current
+    keep side=1 rows
+
+One shuffle on the key, no row explosion — a range-condition theta join
+(``l.t >= r.t``) would expand to |left| x |right| per key before
+deduplication; this stays |left| + |right|. Ties at equal time resolve
+to the right row (side 0 sorts first), i.e. ``<=`` as-of semantics —
+matching DuckDB's native ASOF JOIN, which the oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    the same key and ``right_time <= left_time`` (null when none).
+
+    Output: all left columns + one ``<payload>_asof`` column per payload
+    column.
+    """
+    lt = F.col(left_time)
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        lt.alias("__t"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}")
+          for p in payload],
+    )
+    r_tagged = right.select(
+        *[F.col(c).alias(c) for c in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in on],
+        F.lit(0).alias("__side"),
+        F.col(right_time).alias("__t"),
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__side"),
+        *[
+            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"{p}{suffix}")
+            for p in payload
+        ],
+    )
+    return out.filter(F.col("__side") == 1).drop("__side")

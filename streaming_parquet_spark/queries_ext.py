@@ -502,6 +502,49 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, ROUND(p.value, 4) AS value_asof
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the value of the user's latest
+    purchase at or before the click. Spark renders it as UNION + window
+    last(IGNORE NULLS) — one shuffle, no row explosion (see
+    operators/asof.py); the oracle uses DuckDB's native ASOF JOIN, so
+    the trick is verified against a first-class implementation."""
+    from streaming_parquet_spark.operators.asof import asof_join
+    from streaming_parquet_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        clicks, purch, on=["user_id"], left_time="ts", right_time="ts",
+        payload=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_asof", 4).alias("value_asof")
+    )
+
+
 def _duck_clean_corpus() -> str:
     w = words_expr("duckdb", "text")
     hits = {

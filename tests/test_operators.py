@@ -205,3 +205,24 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_asof_join_semantics(spark):
+    from streaming_parquet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (2, 100, 20.0), (3, 200, 5.0)],
+        "id long, k long, t double",
+    )
+    right = spark.createDataFrame(
+        [(100, 10.0, "at_tie"), (100, 15.0, "mid"), (200, 99.0, "future")],
+        "k long, t double, tag string",
+    )
+    out = {
+        r["id"]: r["tag_asof"]
+        for r in asof_join(left, right, on=["k"], left_time="t",
+                           right_time="t", payload=["tag"]).collect()
+    }
+    assert out[1] == "at_tie"   # tie at equal time -> right row included
+    assert out[2] == "mid"      # latest prior
+    assert out[3] is None       # right row is in the future -> no match
