@@ -502,6 +502,37 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIZE_BANDS = [("tiny", 1, 20), ("small", 10, 30), ("mid", 25, 50)]
+
+
+@query(
+    "part_range_join",
+    f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _SIZE_BANDS)}
+    )
+    SELECT band, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS sum_size
+    FROM part JOIN bands ON p_size BETWEEN lo AND hi
+    GROUP BY band
+    """,
+)
+def part_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join of parts onto OVERLAPPING size bands through interval
+    bucketization (operators/range_join.py): an equi-join on bucket ids
+    plus a residual BETWEEN — never a nested loop."""
+    from streaming_parquet_spark.operators.range_join import range_join
+
+    bands = spark.createDataFrame(_SIZE_BANDS, "band string, lo int, hi int")
+    joined = range_join(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_size"),
+        bands, value_col="p_size", bucket_width=10,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").cast("bigint").alias("sum_size"),
+    )
+
+
 @query(
     "events_asof_join",
     """

@@ -226,3 +226,16 @@ def test_asof_join_semantics(spark):
     assert out[1] == "at_tie"   # tie at equal time -> right row included
     assert out[2] == "mid"      # latest prior
     assert out[3] is None       # right row is in the future -> no match
+
+
+def test_range_join_overlapping_bands(spark):
+    from streaming_parquet_spark.operators.range_join import range_join
+
+    vals = spark.createDataFrame([(1, 5), (2, 15), (3, 27), (4, 60)],
+                                 "id long, v long")
+    bands = spark.createDataFrame(
+        [("a", 1, 20), ("b", 10, 30)], "band string, lo long, hi long"
+    )
+    out = {(r["id"], r["band"]) for r in
+           range_join(vals, bands, "v", bucket_width=8).collect()}
+    assert out == {(1, "a"), (2, "a"), (2, "b"), (3, "b")}  # 60 matches none
