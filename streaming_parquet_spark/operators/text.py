@@ -87,6 +87,47 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred).drop("__w")
 
 
+# Deliberately simple, oracle-portable masking patterns (both engines
+# use RE2-ish syntax for these constructs).
+PII_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{3}[- .]\d{3,4}[- .]\d{4}\b", "<PHONE>"),
+)
+
+
+def with_pii_scrubbed(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Mask common PII shapes (emails, URLs, phone-like numbers) — the
+    standard pre-training scrub pass. Pure regexp_replace chain: runs
+    inside whole-stage codegen next to the scan; no Python."""
+    expr = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        expr = F.regexp_replace(expr, pat, repl)
+    return df.withColumn(out_col, expr)
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 2, min_count: int = 2
+) -> DataFrame:
+    """Corpus-level n-gram frequencies: explode shingles -> count.
+    Scale: one shuffle on the n-gram (map-side partial counts first);
+    min_count filters the long tail after the aggregate."""
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+        shingles_expr,
+    )
+
+    sh = shingles_expr("spark", ordered_words_expr("spark", text_col), n)
+    return (
+        df.select(F.explode(F.expr(sh)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint over word
     hashes (mod 2^31-1): equal fingerprints => near-certain duplicates,

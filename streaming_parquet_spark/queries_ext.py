@@ -636,6 +636,47 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_pii() -> str:
+    from streaming_parquet_spark.operators.text import PII_PATTERNS
+
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        pat_sql = pat.replace("\\", "\\\\").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text_clean FROM documents"
+
+
+@query("text_pii_scrub", _duck_pii())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (emails/URLs/phone shapes) — pre-training scrub as a
+    codegen'd regexp_replace chain."""
+    from streaming_parquet_spark.operators.text import with_pii_scrubbed
+
+    return with_pii_scrubbed(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_clean"
+    )
+
+
+@query(
+    "text_ngram_df",
+    f"""
+    WITH sh AS (
+      SELECT UNNEST({shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), 2)})
+        AS ngram
+      FROM documents
+    )
+    SELECT ngram, COUNT(*) AS n FROM sh GROUP BY ngram HAVING COUNT(*) >= 5
+    """,
+)
+def text_ngram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram DOCUMENT frequencies (each doc contributes each
+    distinct bigram once — the boilerplate-detection signal): explode ->
+    one partial-aggregated shuffle -> min-count filter."""
+    from streaming_parquet_spark.operators.text import ngram_counts
+
+    return ngram_counts(_t(spark, sf_dir, "documents"), n=2, min_count=5)
+
+
 def _duck_langid() -> str:
     w = words_expr("duckdb", "text")
     hits = {

@@ -239,3 +239,28 @@ def test_range_join_overlapping_bands(spark):
     out = {(r["id"], r["band"]) for r in
            range_join(vals, bands, "v", bucket_width=8).collect()}
     assert out == {(1, "a"), (2, "a"), (2, "b"), (3, "b")}  # 60 matches none
+
+
+def test_pii_scrub_masks_patterns(spark):
+    from streaming_parquet_spark.operators.text import with_pii_scrubbed
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@corp.io or visit https://a.b/c?d=1 "
+             "or call 555-123-4567 thanks")],
+        "doc_id long, text string",
+    )
+    out = with_pii_scrubbed(df).collect()[0]["text_clean"]
+    assert "<EMAIL>" in out and "<URL>" in out and "<PHONE>" in out
+    assert "corp.io" not in out and "a.b" not in out and "4567" not in out
+
+
+def test_ngram_counts_document_frequency(spark):
+    from streaming_parquet_spark.operators.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    # 'a b' appears in docs 1 and 2 (dedup within doc 1) -> df = 2
+    out = {r["ngram"]: r["n"] for r in ngram_counts(df, n=2, min_count=2).collect()}
+    assert out == {"a b": 2}
