@@ -37,13 +37,20 @@ def asof_join(
     Output: all left columns + one ``<payload>_asof`` column per payload
     column.
     """
+    # All payload columns ride in ONE struct so F.last(ignorenulls) picks a
+    # single right row atomically: the struct itself is NULL only on left-side
+    # rows, so a matched right row's NULL payload values are preserved (and
+    # columns can never mix values from different right rows).
     lt = F.col(left_time)
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
         lt.alias("__t"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}")
-          for p in payload],
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{p}:{right.schema[p].dataType.simpleString()}" for p in payload
+            ) + ">"
+        ).alias("__p"),
     )
     r_tagged = right.select(
         *[F.col(c).alias(c) for c in on],
@@ -51,7 +58,7 @@ def asof_join(
           for c in left.columns if c not in on],
         F.lit(0).alias("__side"),
         F.col(right_time).alias("__t"),
-        *[F.col(p).alias(f"__p_{p}") for p in payload],
+        F.struct(*[F.col(p).alias(p) for p in payload]).alias("__p"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -62,9 +69,9 @@ def asof_join(
     out = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
-        *[
-            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"{p}{suffix}")
-            for p in payload
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__match"),
     )
-    return out.filter(F.col("__side") == 1).drop("__side")
+    return out.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__match.{p}").alias(f"{p}{suffix}") for p in payload],
+    )

@@ -540,11 +540,13 @@ def part_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ),
     purch AS (
-      SELECT user_id, ts, MAX(value) AS value
+      SELECT user_id, ts, MAX(value) AS value,
+             CASE WHEN MAX(value) > 35 THEN MAX(value) END AS hi_value
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, ts
     )
-    SELECT c.event_id, c.user_id, ROUND(p.value, 4) AS value_asof
+    SELECT c.event_id, c.user_id, ROUND(p.value, 4) AS value_asof,
+           ROUND(p.hi_value, 4) AS hi_value_asof
     FROM clicks c ASOF LEFT JOIN purch p
       ON c.user_id = p.user_id AND p.ts <= c.ts
     """,
@@ -565,14 +567,22 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purch = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
+        .agg(
+            F.max("value").alias("value"),
+            # Sometimes-NULL payload: exercises NULL-preserving atomic match
+            # (a matched row's NULL must NOT be replaced by an older row's
+            # value — see operators/asof.py struct packing).
+            F.when(F.max("value") > 35, F.max("value")).alias("hi_value"),
+        )
     )
     out = asof_join(
         clicks, purch, on=["user_id"], left_time="ts", right_time="ts",
-        payload=["value"],
+        payload=["value", "hi_value"],
     )
     return out.select(
-        "event_id", "user_id", F.round("value_asof", 4).alias("value_asof")
+        "event_id", "user_id",
+        F.round("value_asof", 4).alias("value_asof"),
+        F.round("hi_value_asof", 4).alias("hi_value_asof"),
     )
 
 
@@ -641,7 +651,11 @@ def _duck_pii() -> str:
 
     expr = "text"
     for pat, repl in PII_PATTERNS:
-        pat_sql = pat.replace("\\", "\\\\").replace("'", "''")
+        # DuckDB single-quoted strings are literal — backslashes pass through
+        # to the RE2 engine as-is; only single quotes need escaping. (Doubling
+        # backslashes would turn '\b' into the two-char sequence \\b, which
+        # never matches — making the oracle a silent no-op.)
+        pat_sql = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
     return f"SELECT doc_id, {expr} AS text_clean FROM documents"
 

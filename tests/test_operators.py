@@ -228,6 +228,37 @@ def test_asof_join_semantics(spark):
     assert out[3] is None       # right row is in the future -> no match
 
 
+def test_asof_join_null_payload_atomic(spark):
+    """A matched right row's NULL payload must be attached as NULL (not
+    skipped for an older row), and multi-column payloads must all come
+    from the same matched right row."""
+    from streaming_parquet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 30.0), (2, 200, 30.0)], "id long, k long, t double"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10.0, "old", 1.0),
+            (100, 20.0, None, 2.0),   # latest match for id=1: tag is NULL
+            (200, 10.0, "x", None),   # latest match for id=2: num is NULL
+            (200, 5.0, "older", 9.0),
+        ],
+        "k long, t double, tag string, num double",
+    )
+    rows = {
+        r["id"]: (r["tag_asof"], r["num_asof"])
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            payload=["tag", "num"],
+        ).collect()
+    }
+    # id=1 matched (100, 20.0): tag NULL preserved, num from SAME row.
+    assert rows[1] == (None, 2.0)
+    # id=2 matched (200, 10.0): num NULL preserved, not 9.0 from the older row.
+    assert rows[2] == ("x", None)
+
+
 def test_range_join_overlapping_bands(spark):
     from streaming_parquet_spark.operators.range_join import range_join
 
@@ -252,6 +283,46 @@ def test_pii_scrub_masks_patterns(spark):
     out = with_pii_scrubbed(df).collect()[0]["text_clean"]
     assert "<EMAIL>" in out and "<URL>" in out and "<PHONE>" in out
     assert "corp.io" not in out and "a.b" not in out and "4567" not in out
+
+
+def test_pii_scrub_oracle_parity_on_pii_text(spark, tmp_path):
+    """Run the Spark scrub AND the generated DuckDB oracle on documents
+    that actually contain emails/URLs/phone numbers — non-vacuous parity
+    (the shared fixtures contain no PII-shaped text, so the driver-level
+    parity alone can't catch an oracle that silently no-ops)."""
+    import duckdb
+
+    from streaming_parquet_spark.operators.text import with_pii_scrubbed
+    from streaming_parquet_spark.queries_ext import _duck_pii
+
+    rows = [
+        (1, "reach a.b-c_d%e+f@sub.domain.org today"),
+        (2, "see http://x.io/p?q=1#frag and https://y.z/path, ok?"),
+        (3, "call 555-123-4567 or 555.9876.4321 x99"),
+        (4, "mixed j@k.co http://m.n 123-456-7890 end"),
+        (5, "no pii here at all"),
+        (6, ""),
+        (7, "almost@ an email, 12-345-6789 short phone, ftp://not.http"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "documents.parquet")
+    df.toPandas().to_parquet(pq)
+
+    spark_out = {
+        r["doc_id"]: r["text_clean"]
+        for r in with_pii_scrubbed(df).select("doc_id", "text_clean").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')"
+    )
+    duck_out = dict(con.execute(_duck_pii()).fetchall())
+    assert spark_out == duck_out
+    # The oracle must actually mask, not no-op.
+    assert "<EMAIL>" in duck_out[1] and "domain.org" not in duck_out[1]
+    assert duck_out[2].count("<URL>") == 2
+    assert duck_out[3].count("<PHONE>") == 2
+    assert duck_out[5] == "no pii here at all"
 
 
 def test_ngram_counts_document_frequency(spark):
