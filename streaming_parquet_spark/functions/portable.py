@@ -58,6 +58,15 @@ def ordered_words_expr(dialect: str, text: str) -> str:
     return f"string_split_regex(trim({text}), ' +')"
 
 
+def n_words_expr(dialect: str, text: str) -> str:
+    """Whitespace-token count: split on any whitespace run (spaces,
+    tabs, newlines) and drop empty tokens, so empty / whitespace-only
+    text counts 0 words (a bare split returns [''] → 1)."""
+    if dialect == "spark":
+        return f"size(filter(split({text}, '\\\\s+'), w -> w != ''))"
+    return f"len(list_filter(string_split_regex({text}, '\\s+'), w -> w != ''))"
+
+
 def words_expr(dialect: str, text: str) -> str:
     """DISTINCT words of a text column. Set semantics only — DuckDB's
     list_distinct does NOT preserve order, so never build order-sensitive

@@ -54,7 +54,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
 
 def _decode_one(payload: bytes, strict: bool) -> tuple[int, int, int, str]:
     try:
-        from PIL import Image  # noqa: F401  (absent in this container)
+        from PIL import Image  # absent in this container; real elsewhere
         import io
 
         with Image.open(io.BytesIO(payload)) as im:
@@ -65,6 +65,13 @@ def _decode_one(payload: bytes, strict: bool) -> tuple[int, int, int, str]:
                 "image codec not available in this environment; "
                 "install Pillow or use strict=False for the fake decoder"
             )
+        return _fake_decode(payload)
+    except Exception:
+        # Codec present but the payload is not a decodable image (the
+        # fixtures carry utf-8 text blobs). strict surfaces it; otherwise
+        # fall back to the deterministic fake so pipelines keep moving.
+        if strict:
+            raise
         return _fake_decode(payload)
 
 
@@ -167,25 +174,37 @@ def resize_images(
         ]
     )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for b in pdf[blob_col]:
-                try:
-                    from PIL import Image  # noqa: F401  (absent here)
+    def _fake_resize(b: bytes) -> bytes:
+        # FAKE resample: digest-seeded bytes, one per target pixel
+        # (single channel) — deterministic and size-correct.
+        seed = hashlib.md5(b).digest()
+        n = width * height
+        return (seed * (n // len(seed) + 1))[:n]
 
-                    raise RuntimeError("unreachable in this container")
-                except ImportError:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image
+            import io
+
+            def _resize(b: bytes) -> bytes:
+                try:
+                    with Image.open(io.BytesIO(b)) as im:
+                        return im.convert("L").resize((width, height)).tobytes()
+                except Exception:
                     if strict:
-                        raise NotImplementedError(
-                            "image codec not available; install Pillow or "
-                            "use strict=False for the deterministic fake"
-                        )
-                # FAKE resample: digest-seeded bytes, one per target pixel
-                # (single channel) — deterministic and size-correct.
-                seed = hashlib.md5(bytes(b)).digest()
-                n = width * height
-                payloads.append((seed * (n // len(seed) + 1))[:n])
+                        raise
+                    return _fake_resize(b)
+
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    "image codec not available; install Pillow or "
+                    "use strict=False for the deterministic fake"
+                )
+            _resize = _fake_resize
+
+        for pdf in it:
+            payloads = [_resize(bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
@@ -221,27 +240,45 @@ def decode_audio(
         [T.StructField("id", T.LongType())] + list(AUDIO_META_SCHEMA.fields)
     )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rates, counts, durs, fmts = [], [], [], []
-            for b in pdf[blob_col]:
-                try:
-                    import soundfile  # noqa: F401  (absent here)
+    def _fake_audio(b: bytes) -> tuple[int, int, float, str]:
+        d = hashlib.md5(b).digest()
+        rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+        n = len(b) * 16 + d[1]
+        return rate, n, round(n / rate, 6), "fake"
 
-                    raise RuntimeError("unreachable in this container")
-                except ImportError:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import soundfile as sf
+            import io
+
+            def _probe(b: bytes) -> tuple[int, int, float, str]:
+                try:
+                    info = sf.info(io.BytesIO(b))
+                    return (
+                        info.samplerate,
+                        info.frames,
+                        round(info.frames / info.samplerate, 6),
+                        info.format,
+                    )
+                except Exception:
                     if strict:
-                        raise NotImplementedError(
-                            "audio codec not available; install soundfile "
-                            "or use strict=False for the deterministic fake"
-                        )
-                d = hashlib.md5(bytes(b)).digest()
-                rate = (8000, 16000, 22050, 44100)[d[0] % 4]
-                n = len(b) * 16 + d[1]
-                rates.append(rate)
-                counts.append(n)
-                durs.append(round(n / rate, 6))
-                fmts.append("fake")
+                        raise
+                    return _fake_audio(b)
+
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    "audio codec not available; install soundfile "
+                    "or use strict=False for the deterministic fake"
+                )
+            _probe = _fake_audio
+
+        for pdf in it:
+            metas = [_probe(bytes(b)) for b in pdf[blob_col]]
+            rates = [m[0] for m in metas]
+            counts = [m[1] for m in metas]
+            durs = [m[2] for m in metas]
+            fmts = [m[3] for m in metas]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from streaming_parquet_spark.functions.portable import (
     filter_count_expr,
+    n_words_expr,
     rolling_hash_expr,
     word_hashes_expr,
     words_expr,
@@ -34,7 +35,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     chars/4 bounded below by word count — the standard cheap token-count
     proxy when no tokenizer is available."""
     words = words_expr("spark", text_col)
-    n_words = F.expr(f"size(split(trim({text_col}), ' +'))")
+    n_words = F.expr(n_words_expr("spark", text_col))
     n_chars = F.length(text_col)
     return (
         df.withColumn("n_words", n_words)
@@ -50,20 +51,23 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, punctuation ratio, mean word length,
     stopword ratio, composite score in [0,1]."""
-    n_words = F.expr(f"size(split(trim({text_col}), ' +'))")
+    n_words = F.expr(n_words_expr("spark", text_col))
     n_chars = F.length(text_col)
     punct = n_chars - F.length(F.regexp_replace(text_col, PUNCT_CLASS, ""))
     words = words_expr("spark", text_col)
     stop_hits = F.expr(filter_count_expr("spark", words, STOPWORDS["en"]))
-    mean_wlen = (n_chars - n_words + 1) / n_words  # spaces removed
+    # NULL for empty/whitespace-only docs (guards 0-divisors; a NULL
+    # condition below falls through to the 0.0 branch).
+    mean_wlen = F.when(n_words > 0, (n_chars - n_words + 1) / n_words)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars)
     score = (
         F.when(n_words >= 5, F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(punct / n_chars < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
     )
     return (
         df.withColumn("n_words", n_words)
-        .withColumn("punct_ratio", F.round(punct / n_chars, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
         .withColumn("mean_word_len", F.round(mean_wlen, 4))
         .withColumn("stopword_hits", stop_hits)
         .withColumn("quality_score", F.round(score, 2))

@@ -13,6 +13,7 @@ from pyspark.sql import SparkSession, DataFrame, functions as F
 
 from streaming_parquet_spark.functions.portable import (
     band_hash_expr,
+    n_words_expr,
     ordered_words_expr,
     dot_expr,
     filter_count_expr,
@@ -441,12 +442,12 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_tokens",
-    """
+    f"""
     SELECT doc_id,
-           LEN(string_split_regex(TRIM(text), ' +')) AS n_words,
+           {n_words_expr("duckdb", "text")} AS n_words,
            LEN(list_distinct(string_split_regex(TRIM(text), ' +')))
              AS n_distinct_words,
-           GREATEST(LEN(string_split_regex(TRIM(text), ' +')),
+           GREATEST({n_words_expr("duckdb", "text")},
                     CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS est_tokens
     FROM documents
     """,
@@ -471,7 +472,7 @@ _DUCK_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     f"""
     WITH t AS (
       SELECT doc_id, text,
-             LEN(string_split_regex(TRIM(text), ' +')) AS n_words,
+             {n_words_expr("duckdb", "text")} AS n_words,
              LENGTH(text) AS n_chars,
              LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
                AS punct
@@ -479,13 +480,18 @@ _DUCK_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     )
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
-           ROUND(CAST(punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
-           ROUND(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 4)
-             AS mean_word_len,
+           CASE WHEN n_chars > 0
+                THEN ROUND(CAST(punct AS DOUBLE) / n_chars, 4) END
+             AS punct_ratio,
+           CASE WHEN n_words > 0
+                THEN ROUND(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 4)
+                END AS mean_word_len,
            ROUND((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
-           + (CASE WHEN CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
-                   BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
-           + (CASE WHEN CAST(punct AS DOUBLE) / n_chars < 0.1
+           + (CASE WHEN n_words > 0
+                   AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                       BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN n_chars > 0
+                   AND CAST(punct AS DOUBLE) / n_chars < 0.1
                    THEN 0.3 ELSE 0.0 END), 2) AS quality_score
     FROM t
     """,
@@ -596,7 +602,7 @@ def _duck_clean_corpus() -> str:
     return f"""
     WITH d AS MATERIALIZED (
       SELECT doc_id, text, {w} AS words,
-             LEN(string_split_regex(TRIM(text), ' +')) AS n_words,
+             {n_words_expr("duckdb", "text")} AS n_words,
              LENGTH(text) AS n_chars,
              LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
                AS punct
@@ -605,9 +611,11 @@ def _duck_clean_corpus() -> str:
     scored AS (
       SELECT doc_id, text, n_words,
              ROUND((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
-             + (CASE WHEN CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+             + (CASE WHEN n_words > 0
+                     AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
                      BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
-             + (CASE WHEN CAST(punct AS DOUBLE) / n_chars < 0.1
+             + (CASE WHEN n_chars > 0
+                     AND CAST(punct AS DOUBLE) / n_chars < 0.1
                      THEN 0.3 ELSE 0.0 END), 2) AS quality_score,
              {best} AS stop_best
       FROM d

@@ -23,12 +23,15 @@ checkpoint exactly where the offsets log ends.
 
 from __future__ import annotations
 
+import json
 import os
 import time
+from collections import defaultdict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQueryListener
 
 from streaming_parquet_spark.engine import Engine
 from streaming_parquet_spark.plans.align import align_dataframe
@@ -49,6 +52,49 @@ class StreamResult:
     checkpoint: str
     progress: list[dict] = field(default_factory=list)
     verified: bool | None = None
+
+
+class _ProgressTally(StreamingQueryListener):
+    """Sum rows/batches across ALL micro-batches via onQueryProgress.
+
+    ``query.recentProgress`` is capped (spark.sql.streaming.
+    numRecentProgressUpdates, default 100): an availableNow run over many
+    files produces more batches than retained entries and undercounts.
+    The listener sees every progress event, keyed by query id so
+    concurrent queries on the session don't cross-talk."""
+
+    def __init__(self) -> None:
+        self.by_id: dict[str, dict] = defaultdict(
+            lambda: {"rows": 0, "batches": 0, "progress": []}
+        )
+        self.terminated: set[str] = set()
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        t = self.by_id[str(p.id)]
+        t["rows"] += int(p.numInputRows or 0)
+        t["batches"] += 1
+        try:
+            t["progress"].append(json.loads(p.json))
+        except Exception:
+            pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        self.terminated.add(str(event.id))
+
+    def drain(self, query_id: str, timeout_sec: float = 10.0) -> None:
+        """Listener events are delivered asynchronously on a separate
+        dispatch thread — wait for the terminated event so every
+        progress update for this query has been counted."""
+        deadline = time.time() + timeout_sec
+        while query_id not in self.terminated and time.time() < deadline:
+            time.sleep(0.05)
 
 
 def _readable_schema(schema: T.StructType) -> T.StructType:
@@ -143,6 +189,22 @@ class StreamEngine:
             out = out.unionByName(other)
         return out
 
+    def _sink_count(self, out_dir: str, fmt: str, spec: RunSpec) -> int:
+        """Rows currently committed in the file sink (0 if none yet)."""
+        if not os.path.exists(out_dir):
+            return 0
+        try:
+            if fmt == "parquet":
+                return self.spark.read.parquet(out_dir).count()
+            return (
+                self.spark.read.option("header", str(spec.headers).lower())
+                .option("sep", spec.delimiter)
+                .csv(out_dir)
+                .count()
+            )
+        except Exception:
+            return 0
+
     def run(
         self,
         spec: RunSpec,
@@ -181,40 +243,46 @@ class StreamEngine:
                 "sep", spec.delimiter
             )
 
-        t0 = time.time()
-        query = writer.start()
-        query.awaitTermination(timeout_sec)
-        if query.isActive:
-            query.stop()
-        progress = [p.asDict() if hasattr(p, "asDict") else p for p in []]
+        pre_total = self._sink_count(out_dir, fmt, spec) if spec.verify else 0
 
-        rows = 0
-        batches = 0
-        for p in query.recentProgress:
-            batches += 1
-            try:
-                rows += int(p["numInputRows"])
-            except (KeyError, TypeError):
-                pass
-            progress.append(p)
+        tally = _ProgressTally()
+        self.spark.streams.addListener(tally)
+        t0 = time.time()
+        try:
+            query = writer.start()
+            qid = str(query.id)
+            query.awaitTermination(timeout_sec)
+            if query.isActive:
+                query.stop()
+            tally.drain(qid)
+        finally:
+            self.spark.streams.removeListener(tally)
+
+        counted = tally.by_id.get(qid)
+        if counted is None:
+            # Listener machinery unavailable — fall back to the (capped)
+            # recentProgress buffer rather than report zero.
+            counted = {"rows": 0, "batches": 0, "progress": []}
+            for p in query.recentProgress:
+                counted["batches"] += 1
+                try:
+                    counted["rows"] += int(p["numInputRows"])
+                except (KeyError, TypeError):
+                    pass
+                counted["progress"].append(p)
+        rows, batches, progress = (
+            counted["rows"], counted["batches"], counted["progress"]
+        )
 
         verified = None
         if spec.verify:
             # --verify (cli.rs:118-120): reconcile output row count for
             # THIS run's input against the sink. The file-sink commit log
-            # makes re-reads exactly-once, so total output rows ==
-            # rows already committed before + this run's rows; on a fresh
-            # checkpoint that is simply this run's count.
-            if fmt == "parquet":
-                total = self.spark.read.parquet(out_dir).count()
-            else:
-                total = (
-                    self.spark.read.option("header", str(spec.headers).lower())
-                    .option("sep", spec.delimiter)
-                    .csv(out_dir)
-                    .count()
-                )
-            verified = total >= rows
+            # makes re-reads exactly-once, so total committed rows must
+            # equal rows committed before this run + this run's input
+            # rows — an exact reconciliation, not a lower bound.
+            total = self._sink_count(out_dir, fmt, spec)
+            verified = total == pre_total + rows
         return StreamResult(
             rows=rows,
             batches=batches,
