@@ -59,7 +59,12 @@ class TypeKind(enum.Enum):
 
     def to_spark_type(self) -> T.DataType:
         """Lattice -> Spark type (schema.rs:42-57). NULL maps to NullType;
-        DATETIME to TimestampType (reference: Timestamp(ms, no tz))."""
+        DATETIME to TimestampNTZType — the reference's Datetime is
+        Timestamp(ms, NO timezone) (schema.rs:36-37,49), and parquet
+        fixtures carry tz-less timestamps, so NTZ is both the faithful
+        mapping and the one that needs no per-row cast (a
+        timestamp_ntz->timestamp try_cast is a timezone conversion that
+        measurably halves scan throughput on a wide corpus)."""
         return _TO_SPARK[self]
 
 
@@ -92,7 +97,7 @@ _TO_SPARK: dict[TypeKind, T.DataType] = {
     TypeKind.F64: T.DoubleType(),
     TypeKind.UTF8: T.StringType(),
     TypeKind.DATE: T.DateType(),
-    TypeKind.DATETIME: T.TimestampType(),
+    TypeKind.DATETIME: T.TimestampNTZType(),
     TypeKind.BINARY: T.BinaryType(),
 }
 
