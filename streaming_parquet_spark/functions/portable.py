@@ -234,10 +234,28 @@ def jaccard_expr(dialect: str, a: str, b: str) -> str:
     )
 
 
-def dot_expr(dialect: str, a: str, b: str) -> str:
+def dot_expr(dialect: str, a: str, b: str, dims: int | None = None) -> str:
     """Double-precision dot product of two float-array columns
-    (sequential fold — deterministic and identical across engines)."""
+    (sequential fold — deterministic and identical across engines).
+
+    With ``dims`` (fixed-width vectors, e.g. 64-dim embeddings) the Spark
+    side emits an UNROLLED left-associated sum of element_at terms
+    instead of aggregate(zip_with(...)). Higher-order-function lambdas
+    are CodegenFallback — interpreted per element, closure allocation per
+    row — while the unrolled sum whole-stage-codegens; measured ~5x on a
+    pair-join of 64-dim vectors. Left-association reproduces the fold's
+    FP summation order exactly ((0+t1)+t2 == t1+t2 in IEEE), so results
+    stay bit-identical with the DuckDB oracle. Requires every array to
+    have >= dims elements (ANSI element_at raises otherwise — the
+    fixed-width contract this operator documents)."""
     if dialect == "spark":
+        if dims is not None:
+            terms = " + ".join(
+                f"CAST(element_at({a}, {i + 1}) AS DOUBLE)"
+                f" * CAST(element_at({b}, {i + 1}) AS DOUBLE)"
+                for i in range(dims)
+            )
+            return f"({terms})"
         return (
             f"aggregate(zip_with({a}, {b}, (x, y) ->"
             f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"

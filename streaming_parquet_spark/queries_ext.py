@@ -315,7 +315,7 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (embeddings are
     L2-normalized -> dot == cosine). Broadcast queries, window top-k."""
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dims=64)
 
 
 def _duck_near_pairs_oracle(threshold: float, planes: int, dims: int) -> str:
@@ -347,7 +347,7 @@ def embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_lsh_signature(
         _t(spark, sf_dir, "embeddings"), planes=2, dims=64
     )
-    return similarity_pairs(emb, threshold=0.4, block_col="lsh_bucket")
+    return similarity_pairs(emb, threshold=0.4, block_col="lsh_bucket", dims=64)
 
 
 def _duck_ann_oracle(k: int, planes: int, dims: int) -> str:
@@ -422,7 +422,8 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, n_probe=2
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, n_probe=2,
+        dims=64,
     )
 
 
