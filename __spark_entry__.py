@@ -32,6 +32,7 @@ if _ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
 
 from streaming_parquet_spark.queries import ORACLES, QUERIES  # noqa: E402
 import streaming_parquet_spark.queries_ext  # noqa: E402,F401  (registers extensions)
+import streaming_parquet_spark.queries_tpch  # noqa: E402,F401  (registers TPC-H family)
 
 
 def entry(spark: SparkSession) -> DataFrame:

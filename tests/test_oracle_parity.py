@@ -13,6 +13,7 @@ import duckdb
 import pytest
 
 import streaming_parquet_spark.queries_ext  # noqa: F401  (registers extensions)
+import streaming_parquet_spark.queries_tpch  # noqa: F401  (registers TPC-H family)
 from streaming_parquet_spark.queries import ORACLES, QUERIES
 
 TABLES = (
