@@ -273,3 +273,17 @@ def filter_count_expr(dialect: str, arr: str, inlist: list[str]) -> str:
     ln = "size" if dialect == "spark" else "len"
     lits = ", ".join(f"'{w}'" for w in inlist)
     return f"{ln}({t}({arr}, w -> w IN ({lits})))"
+
+
+def hash_bucket_expr(dialect: str, id_col: str, buckets: int = 100) -> str:
+    """Deterministic bucket in [0, buckets) from an integer id — the
+    portable primitive behind hash sampling and train/val/test splits.
+    Knuth multiplicative step mod 2^31-1; the id is first reduced mod
+    1_000_003 so the product stays < 2^52 (exact in BIGINT for Spark's
+    ANSI mode AND in DuckDB without HUGEINT promotion). Identical text
+    in both dialects — plain arithmetic only."""
+    h = (
+        f"((CAST({id_col} AS BIGINT) % 1000003) * 2654435761)"
+        f" % {MERSENNE31}"
+    )
+    return f"(({h}) % {buckets})"

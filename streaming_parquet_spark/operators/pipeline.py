@@ -1,0 +1,103 @@
+"""Training-data pipeline operators: deterministic sampling, dataset
+splits, and context-window sequence packing.
+
+These are the corpus-management steps a large-scale LLM-data pipeline
+runs between cleaning and training-shard write-out. None exist in the
+reference (SURVEY.md §2.11 — extension surface); each is expressed as
+pure built-in DataFrame ops (zero Python in the hot path) and is
+deterministic from the data alone, so the DuckDB oracle reproduces it
+bit-for-bit with the same portable arithmetic.
+
+Scale notes:
+  * hash sampling / splitting is a stateless per-row filter — no
+    shuffle, fully pushed into the scan stage, identical on resume and
+    across cluster sizes (unlike ``df.sample``, whose output depends on
+    partitioning).
+  * sequence packing is a running-sum window per (ordered) partition
+    key: one shuffle on the partition column. At 100 TB you pack within
+    shards (partition key = shard id) — exactly this plan with the
+    shard column as ``part_col`` — rather than one global stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from streaming_parquet_spark.functions.portable import hash_bucket_expr
+
+
+def with_hash_bucket(
+    df: DataFrame, id_col: str = "doc_id", buckets: int = 100,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Stable [0, buckets) bucket from an integer id (portable
+    arithmetic — see functions.portable.hash_bucket_expr)."""
+    return df.withColumn(
+        out_col, F.expr(hash_bucket_expr("spark", id_col, buckets))
+    )
+
+
+def hash_sample(
+    df: DataFrame, pct: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ``pct``-percent sample: keep rows whose hash bucket
+    < pct. Reproducible across runs, cluster sizes, and engines —
+    the property ``df.sample`` cannot give (its output depends on
+    partition layout). One scan, filter pushed down, no shuffle."""
+    return df.filter(
+        F.expr(hash_bucket_expr("spark", id_col, 100)) < F.lit(pct)
+    )
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket:
+    [0, train) -> train, [train, train+val) -> val, rest -> test.
+    Because membership is a pure function of the id, late-arriving data
+    lands in a stable split and no leakage occurs across reruns."""
+    b = F.expr(hash_bucket_expr("spark", id_col, 100))
+    return df.withColumn(
+        out_col,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    part_col: str | None = None,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: stream documents in
+    ``order_col`` order (within ``part_col`` if given), accumulate
+    token counts, and cut a new bin every ``budget`` tokens —
+    bin = floor((running_sum - tokens) / budget), i.e. the bin a
+    document *starts* in. This is GPT-style packing (documents
+    concatenated into a token stream, chunked into fixed context
+    windows), not first-fit bin packing — the standard shape for
+    pretraining shard prep.
+
+    Deterministic: token counts are integers, the running sum is exact,
+    and the order is total (order_col must be unique per partition).
+    Scale: one shuffle on part_col; the window is a running sum, which
+    Spark evaluates streaming per partition — no buffering beyond the
+    frame row."""
+    keys = [part_col] if part_col else []
+    w = (
+        W.partitionBy(*keys).orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(token_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.floor((running - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )

@@ -328,3 +328,33 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
     )
+
+
+def semantic_dedup_drops(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-cluster the corpus (IVF
+    assignment to the nearest centroid), then within each cluster mark
+    every vector whose similarity to a lower-id vector exceeds
+    ``threshold`` as a drop. Output: (dropped_id, rep_id) where rep_id
+    is the smallest surviving-candidate id that witnessed the drop.
+
+    Keep-lowest-id is the deterministic tie-break (matches the exact
+    dedup operator's representative rule). Scale: clustering bounds the
+    quadratic stage to within-cluster blocks — the same shape as
+    similarity_pairs(block_col=...); at 100 TB centroids come from a
+    sampled KMeans fit and clusters are sized to the pairwise budget."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, dims)
+    pairs = similarity_pairs(
+        assigned, threshold=threshold, id_col="id", vec_col="v",
+        block_col="cluster", dims=dims,
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias("dropped_id"))
+        .agg(F.min("id_a").alias("rep_id"))
+    )

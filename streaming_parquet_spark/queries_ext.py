@@ -786,3 +786,149 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_binary(_t(spark, sf_dir, "documents"))
     return decode_images(d)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: sampling / splits / packing / semantic dedup
+# ---------------------------------------------------------------------------
+
+from streaming_parquet_spark.functions.portable import hash_bucket_expr  # noqa: E402
+from streaming_parquet_spark.operators.pipeline import (  # noqa: E402
+    hash_sample,
+    pack_sequences,
+    with_split,
+)
+from streaming_parquet_spark.operators.similarity import (  # noqa: E402
+    semantic_dedup_drops,
+)
+
+
+def _duck_est_tokens(text: str = "text") -> str:
+    return (
+        f"GREATEST({n_words_expr('duckdb', text)},"
+        f" CAST(CEIL(LENGTH({text}) / 4.0) AS BIGINT))"
+    )
+
+
+@query(
+    "pipeline_hash_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {hash_bucket_expr('duckdb', 'doc_id', 100)} < 10
+    """,
+)
+def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by id hash — reproducible across
+    runs, engines, and cluster sizes (df.sample is not: its output
+    depends on partition layout). Stateless filter, pushed to the scan,
+    zero shuffle at any scale."""
+    return hash_sample(_t(spark, sf_dir, "documents"), pct=10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "pipeline_train_split",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN {hash_bucket_expr('duckdb', 'doc_id', 100)} < 80
+                  THEN 'train'
+                  WHEN {hash_bucket_expr('duckdb', 'doc_id', 100)} < 90
+                  THEN 'val' ELSE 'test' END AS split,
+             {_duck_est_tokens('text')} AS est_tokens
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(est_tokens) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split
+    """,
+)
+def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by id hash, summarized as doc and
+    token counts per split. Split membership is a pure function of the
+    id: late-arriving data lands in a stable split, reruns cannot leak
+    validation docs into train. One narrow aggregate — no shuffle of
+    the corpus itself."""
+    d = with_token_stats(_t(spark, sf_dir, "documents"))
+    return (
+        with_split(d, train_pct=80, val_pct=10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("est_tokens").cast("bigint")).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, {_duck_est_tokens('text')} AS est_tokens
+      FROM documents),
+    packed AS (
+      SELECT lang, doc_id, est_tokens,
+             CAST(FLOOR((SUM(est_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - est_tokens) / 2048.0) AS BIGINT) AS bin
+      FROM t)
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(est_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk context packing: per language, stream docs in
+    id order and cut a 2048-token window whenever the running estimate
+    crosses the budget (bin = the window each doc starts in), then
+    summarize bins. The running-sum window is exact integer arithmetic
+    -> bit-identical across engines. Scale: one shuffle on the pack
+    partition key (shard id at 100 TB); running-sum windows stream."""
+    d = with_token_stats(_t(spark, sf_dir, "documents")).select(
+        "lang", "doc_id", F.col("est_tokens").cast("bigint").alias("est_tokens")
+    )
+    packed = pack_sequences(
+        d, token_col="est_tokens", budget=2048,
+        order_col="doc_id", part_col="lang",
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("est_tokens").alias("bin_tokens"),
+    )
+
+
+def _duck_semantic_dedup(threshold: float, n_centroids: int, dims: int) -> str:
+    aff = dot_expr("duckdb", "v.embedding", "c.embedding")
+    sim = dot_expr("duckdb", "a.v", "b.v")
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT vec_id AS cent_id, embedding FROM embeddings
+      WHERE vec_id < {n_centroids}
+    ),
+    assigned AS MATERIALIZED (
+      SELECT id, cluster, v FROM (
+        SELECT v.vec_id AS id, c.cent_id AS cluster, v.embedding AS v,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {aff} DESC, c.cent_id) AS rn
+        FROM embeddings v, cents c
+      ) WHERE rn = 1
+    )
+    SELECT b.id AS dropped_id, MIN(a.id) AS rep_id
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.id < b.id
+    WHERE ROUND({sim}, 4) >= {threshold}
+    GROUP BY b.id
+    """
+
+
+@query("dedup_semantic", _duck_semantic_dedup(0.4, 8, 64))
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-cluster the embedding corpus
+    (8 coarse centroids), then drop any vector similar (dot >= 0.4) to
+    a lower-id vector in its cluster; emits (dropped_id, rep_id).
+    Clustering bounds the quadratic stage to within-cluster blocks —
+    the 100 TB path uses sampled-KMeans centroids and cluster sizes
+    tuned to the pairwise budget."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    return semantic_dedup_drops(emb, cents, threshold=0.4, dims=64)

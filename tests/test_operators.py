@@ -335,3 +335,70 @@ def test_ngram_counts_document_frequency(spark):
     # 'a b' appears in docs 1 and 2 (dedup within doc 1) -> df = 2
     out = {r["ngram"]: r["n"] for r in ngram_counts(df, n=2, min_count=2).collect()}
     assert out == {"a b": 2}
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    from streaming_parquet_spark.operators.pipeline import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    ids1 = sorted(r["doc_id"] for r in hash_sample(df, pct=10).collect())
+    # Same ids regardless of partition layout — the property df.sample lacks.
+    ids2 = sorted(
+        r["doc_id"] for r in hash_sample(df.repartition(7), pct=10).collect()
+    )
+    assert ids1 == ids2
+    assert 100 < len(ids1) < 350  # ~10% of 2000, hash-uniform
+    # Sample at a higher pct is a superset (bucket < p is monotone in p).
+    ids20 = set(r["doc_id"] for r in hash_sample(df, pct=20).collect())
+    assert set(ids1) <= ids20
+
+
+def test_with_split_partitions_completely(spark):
+    from streaming_parquet_spark.operators.pipeline import with_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in with_split(df).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_pack_sequences_budget_and_order(spark):
+    from streaming_parquet_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 600) for i in range(10)], "doc_id long, tok long"
+    )
+    rows = pack_sequences(df, "tok", budget=2048, order_col="doc_id").orderBy(
+        "doc_id"
+    ).collect()
+    bins = [r["bin"] for r in rows]
+    # 600-token docs, 2048 budget: doc i starts at offset 600*i.
+    assert bins == [600 * i // 2048 for i in range(10)]
+    assert bins == sorted(bins)  # packing never goes backwards
+
+
+def test_semantic_dedup_drops_keep_lowest(spark):
+    from streaming_parquet_spark.operators.similarity import (
+        semantic_dedup_drops,
+    )
+
+    # Two orthogonal directions; ids 0/1 are the centroids. 2 and 4
+    # duplicate direction x, 3 duplicates y.
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 2)
+    out = {
+        r["dropped_id"]: r["rep_id"]
+        for r in semantic_dedup_drops(
+            df, cents, threshold=0.9, dims=2
+        ).collect()
+    }
+    assert out == {2: 0, 4: 0, 3: 1}
