@@ -33,15 +33,33 @@ def connected_components(
     from id. Only nodes appearing in ``pairs`` are returned (isolated
     docs are their own cluster by definition — callers left-join).
     """
-    # Checkpoint the edge list ONCE: it feeds every iteration, and
-    # without this the (potentially expensive) upstream pair-generation
-    # lineage — e.g. an LSH band join — would re-execute per round.
+    # Materialize the pair list ONCE: it feeds both union branches and
+    # every iteration, and without this the (potentially expensive)
+    # upstream pair-generation lineage — e.g. an LSH band join — would
+    # re-execute per round. The count also right-sizes the iterative
+    # stage: a near-dup graph is tiny relative to the corpus (pairs ~
+    # dup-rate x docs), and launching defaultParallelism tasks per round
+    # on a few-hundred-edge graph makes fixed scheduling cost dominate
+    # (measured ~0.7 s/round at 32 threads vs ~0.1 s right-sized).
+    # ~100k edges per partition keeps each task meaningful at scale;
+    # coalesce never shuffles and is a no-op when p >= current.
+    spark = pairs.sparkSession
+    base = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).persist()
+    n_pairs = base.count()
+    p = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n_pairs // 100_000 + 1),
+    )
+    e = base.coalesce(p)
     edges = (
-        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        e.select(F.col("s").alias("a"), F.col("d").alias("b"))
+        .union(e.select(F.col("d").alias("a"), F.col("s").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    base.unpersist()
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()

@@ -15,11 +15,19 @@ Asserted invariants (the SURVEY §4 'what Catalyst gives us' contract):
 import pytest
 
 import streaming_parquet_spark.queries_ext  # noqa: F401  (registers extensions)
+import streaming_parquet_spark.queries_tpch  # noqa: F401  (registers TPC-H family)
 from streaming_parquet_spark.queries import QUERIES
 
 # Queries whose *intended* shape is a broadcast nested-loop (small
-# broadcast query/centroid set against the corpus).
-_BNLJ_OK = {"embed_cosine_topk", "embed_ann_lsh", "embed_ann_ivf"}
+# broadcast query/centroid set against the corpus, or a 1-row scalar
+# subquery result joined under a non-equi predicate).
+_BNLJ_OK = {
+    "embed_cosine_topk",
+    "embed_ann_lsh",
+    "embed_ann_ivf",
+    "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
+    "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
+}
 
 
 def _physical_plan(df) -> str:
@@ -37,3 +45,34 @@ def test_no_scale_hazards(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in plan"
     )
+
+
+def test_q19_pushes_brand_filter_to_part_scan(spark, sf_dir):
+    """Catalyst must extract the common p_brand conjunct from the OR and
+    push it into the part scan (PushedFilters: In(p_brand, ...))."""
+    plan = _physical_plan(QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "p_brand" in plan.split("PushedFilters", 2)[-1][:4000], (
+        "brand predicate not pushed to a scan"
+    )
+
+
+def test_q10_topk_avoids_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject, never a
+    full global Sort + Exchange of the aggregate output."""
+    plan = _physical_plan(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_q4_semi_join_carries_no_payload(spark, sf_dir):
+    """The correlated EXISTS compiles to a LeftSemi join, not an inner
+    join + dedup."""
+    plan = _physical_plan(QUERIES["q4_late_shipments"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_q1_aggregates_partially_before_shuffle(spark, sf_dir):
+    """Map-side partial aggregation must appear under the exchange
+    (two HashAggregate levels around one Exchange)."""
+    plan = _physical_plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
