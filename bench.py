@@ -46,11 +46,19 @@ def main() -> None:
     # Warm the JVM/session so the first timed query doesn't pay init cost.
     spark.range(1000).summary().write.format("noop").mode("overwrite").save()
 
+    # Two passes, best per query — the reference's criterion harness
+    # warms up then samples (benches/throughput.rs); a single pass
+    # charges whichever query runs first with the one-time JIT compile
+    # of the shared expression machinery (measured: the first minhash
+    # query pays ~7 s of C2 compilation the second pass doesn't).
     timings: dict[str, float] = {}
-    for name, fn in sorted(QUERIES.items()):
-        t0 = time.perf_counter()
-        _run_query(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name, fn in sorted(QUERIES.items()):
+            t0 = time.perf_counter()
+            _run_query(fn(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     conversions = _conversion_bench(spark, sf_dir)
 
@@ -68,6 +76,8 @@ def main() -> None:
                     "master": f"local[{cpus}]",
                     "shuffle_partitions": cpus,
                     "aqe": True,
+                    "runs": 2,
+                    "agg": "min",
                 },
             }
         )

@@ -37,6 +37,7 @@ from streaming_parquet_spark.runspec import RunSpec
 from streaming_parquet_spark.sinks.writers import (
     SinkResult,
     write_csv,
+    write_jsonl,
     write_parquet,
     write_partitioned,
 )
@@ -50,7 +51,9 @@ from streaming_parquet_spark.sources.readers import (
     CsvOptions,
     infer_csv_schema_prefix,
     infer_csv_schemas_per_file,
+    infer_jsonl_schema_prefix,
     read_csv,
+    read_jsonl,
     read_parquet,
 )
 
@@ -156,7 +159,26 @@ class Engine:
                 ):
                     out[i] = schema
 
-        csv_idx = [i for i, f in enumerate(files) if f.format is not InputFormat.PARQUET]
+        jl_idx = [i for i, f in enumerate(files) if f.format is InputFormat.JSONL]
+        if jl_idx:
+            # JSONL: always sampled prefix inference (driver-side, zero
+            # jobs) — a JSON record stream has no header to group by, so
+            # the exact-mode Spark path has no per-header batching to
+            # exploit; the prefix probe reads <= infer_rows records.
+            n_rows = spec.infer_rows if spec.infer_rows else 1000
+            with ThreadPoolExecutor(max_workers=min(32, len(jl_idx))) as pool:
+                for i, schema in zip(
+                    jl_idx,
+                    pool.map(
+                        lambda i: infer_jsonl_schema_prefix(
+                            files[i].path, n_rows, encoding=spec.encoding
+                        ),
+                        jl_idx,
+                    ),
+                ):
+                    out[i] = schema
+
+        csv_idx = [i for i, f in enumerate(files) if f.format is InputFormat.CSV]
         if not csv_idx:
             return out  # type: ignore[return-value]
 
@@ -223,6 +245,11 @@ class Engine:
         for (fmt, schema_json), paths in groups.items():
             if fmt is InputFormat.PARQUET:
                 dfs.append(read_parquet(self.spark, paths))
+            elif fmt is InputFormat.JSONL:
+                schema = T.StructType.fromJson(json.loads(schema_json))
+                dfs.append(
+                    read_jsonl(self.spark, paths, schema, encoding=spec.encoding)
+                )
             else:
                 schema = T.StructType.fromJson(json.loads(schema_json))
                 # The CSV scan can't materialize NullType (probe result
@@ -316,6 +343,13 @@ class Engine:
                 spec.out,
                 compression=spec.compression,
                 zstd_level=spec.zstd_level,
+                single_file=spec.single_file,
+                max_records_per_file=max_records,
+            )
+        elif fmt == "jsonl":
+            sink = write_jsonl(
+                observed,
+                spec.out,
                 single_file=spec.single_file,
                 max_records_per_file=max_records,
             )
@@ -423,6 +457,8 @@ class Engine:
         fmt = spec.resolve_out_format()
         if fmt == "parquet":
             actual = self.spark.read.parquet(*sink.paths).count()
+        elif fmt == "jsonl":
+            actual = self.spark.read.json(sink.paths).count()
         else:
             actual = (
                 self.spark.read.option("header", "true")

@@ -75,4 +75,6 @@ class RunSpec:
                 return "parquet"
             if lower.endswith(".csv") or lower.endswith(".tsv"):
                 return "csv"
+            if lower.endswith((".json", ".jsonl", ".ndjson")):
+                return "jsonl"
         return "csv"

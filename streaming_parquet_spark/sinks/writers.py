@@ -227,3 +227,25 @@ def write_parquet(
     if single_file and max_records_per_file is None:
         return _finalize_single_file(tmp, out_path, ".parquet")
     return _finalize_rolling(tmp, out_path, ".parquet")
+
+
+def write_jsonl(
+    df: DataFrame,
+    out_path: str,
+    single_file: bool = True,
+    max_records_per_file: int | None = None,
+) -> SinkResult:
+    """JSONL sink (extension beyond the reference's CSV/Parquet writer
+    pair): one JSON object per line, nulls omitted per JSON convention
+    (ignoreNullFields default). Same single-file / rolling contract as
+    the CSV sink."""
+    writer = (
+        df.coalesce(1) if single_file and max_records_per_file is None else df
+    ).write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    tmp = _tmp_out_dir(out_path)
+    writer.json(tmp)
+    if single_file and max_records_per_file is None:
+        return _finalize_single_file(tmp, out_path, ".json")
+    return _finalize_rolling(tmp, out_path, ".json")

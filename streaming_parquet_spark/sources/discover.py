@@ -30,6 +30,11 @@ from dataclasses import dataclass
 class InputFormat(enum.Enum):
     CSV = "csv"
     PARQUET = "parquet"
+    # Extension beyond the reference (discover.rs:20-28 skips unknown
+    # extensions): newline-delimited JSON, the lingua franca of LLM
+    # training corpora. Nested values degrade to Utf8 (JSON text) under
+    # the reference's own lattice rule (schema.rs:38).
+    JSONL = "jsonl"
 
 
 @dataclass(frozen=True)
@@ -50,6 +55,9 @@ _EXT_FORMAT = {
     ".csv": InputFormat.CSV,
     ".tsv": InputFormat.CSV,
     ".parquet": InputFormat.PARQUET,
+    ".json": InputFormat.JSONL,
+    ".jsonl": InputFormat.JSONL,
+    ".ndjson": InputFormat.JSONL,
 }
 
 

@@ -364,3 +364,108 @@ def read_parquet(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     if isinstance(paths, str):
         paths = [paths]
     return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# JSONL (extension beyond the reference — training corpora are JSONL)
+# ---------------------------------------------------------------------------
+
+
+def infer_jsonl_schema_prefix(
+    path: str,
+    infer_rows: int = 1000,
+    max_bytes: int = 8 << 20,
+    encoding: str = "utf8",
+) -> T.StructType:
+    """Sampled per-file JSONL inference, driver-side (same cost class as
+    ``infer_csv_schema_prefix``: zero Spark jobs, thread-poolable).
+
+    Per-key probe over up to ``infer_rows`` records: bool -> Boolean,
+    int -> Long, float (or int/float mix) -> Double, everything nested
+    (object/array) or mixed -> String — the reference's lattice degrades
+    unknown shapes to Utf8 (schema.rs:38), and Spark's JSON reader
+    faithfully yields the *literal JSON text* for any value read under a
+    declared StringType, so nested payloads survive round-trips intact.
+    Keys keep first-seen order (unification sorts downstream); keys
+    missing from some records are simply nullable."""
+    import json as _json
+
+    enc = {"utf8": "utf-8-sig", "utf-8": "utf-8-sig", "latin1": "cp1252"}.get(
+        encoding.lower(), encoding
+    )
+    with open(path, "rb") as fh:
+        blob = fh.read(max_bytes)
+    text = blob.decode(enc, errors="replace")
+    if len(blob) == max_bytes and "\n" in text:
+        text = text[: text.rfind("\n")]
+
+    limit = infer_rows if infer_rows and infer_rows > 0 else 10**9
+    order: list[str] = []
+    # capability mask per key: 1=long, 2=double, 4=boolean; 0=string only
+    masks: dict[str, int | None] = {}
+    seen = 0
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        if seen >= limit:
+            break
+        seen += 1
+        try:
+            rec = _json.loads(line)
+        except ValueError:
+            continue  # PERMISSIVE parity: bad record doesn't kill inference
+        if not isinstance(rec, dict):
+            continue
+        for k, v in rec.items():
+            if k not in masks:
+                masks[k] = None
+                order.append(k)
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                m = 4
+            elif isinstance(v, int):
+                m = 3
+            elif isinstance(v, float):
+                m = 2
+            else:  # str, dict, list -> string (nested degrades to JSON text)
+                m = 0
+            masks[k] = m if masks[k] is None else masks[k] & m
+    return T.StructType(
+        [T.StructField(k, _type_from_mask(masks[k]), True) for k in order]
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths: list[str] | str,
+    schema: T.StructType | None = None,
+    encoding: str = "utf8",
+) -> DataFrame:
+    """Newline-delimited JSON scan. With an explicit schema (the engine
+    path), struct/array-valued fields declared StringType come back as
+    their literal JSON text — the Utf8 degrade the unified lattice
+    expects. PERMISSIVE mode pads missing keys / malformed records with
+    nulls, mirroring the CSV ragged-row contract."""
+    if isinstance(paths, str):
+        paths = [paths]
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("encoding", _ENCODINGS.get(encoding.lower(), encoding))
+    )
+    if schema is not None:
+        # NullType columns (key never had a value) can't be scanned.
+        read_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.StringType()
+                    if isinstance(f.dataType, T.NullType)
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
+        )
+        return reader.schema(read_schema).json(paths)
+    return reader.json(paths)

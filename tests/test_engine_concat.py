@@ -310,3 +310,64 @@ def test_many_files_mixed_headers(engine, tmp_path):
     assert back.columns == ["a", "b", "c"]
     assert back.filter("b IS NOT NULL").count() == 100
     assert back.filter("c IS NOT NULL").count() == 100
+
+
+def test_jsonl_concat_with_widening_and_nested_degrade(engine, tmp_path):
+    """JSONL inputs unify like CSV: int widens with float -> double;
+    nested objects/arrays degrade to their literal JSON text (Utf8, the
+    schema.rs:38 lattice rule); keys missing per record are null."""
+    _write(
+        str(tmp_path / "a.jsonl"),
+        '{"k": 1, "v": 2, "meta": {"x": 1}}\n{"k": 2, "v": 3}\n',
+    )
+    _write(
+        str(tmp_path / "b.jsonl"),
+        '{"k": 3, "v": 4.5, "tags": [1, 2]}\n',
+    )
+    out = str(tmp_path / "out.parquet")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "a.jsonl"), str(tmp_path / "b.jsonl")],
+                out=out)
+    )
+    assert res.rows == 3
+    df = engine.spark.read.parquet(out)
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    assert types["v"] == "double"          # long + double widen
+    assert types["k"] == "bigint"
+    assert types["meta"] == "string"       # nested -> JSON text
+    import json as _json
+
+    rows = {r["k"]: r for r in df.collect()}
+    assert _json.loads(rows[1]["meta"]) == {"x": 1}
+    assert _json.loads(rows[3]["tags"]) == [1, 2]
+    assert rows[2]["meta"] is None and rows[1]["tags"] is None
+
+
+def test_mixed_csv_jsonl_inputs_unify(engine, tmp_path):
+    """One run over a CSV file + a JSONL file: same unified relation."""
+    _write(str(tmp_path / "a.csv"), "k,v\n1,10\n2,20\n")
+    _write(str(tmp_path / "b.jsonl"), '{"k": 3, "v": 30}\n')
+    out = str(tmp_path / "out.csv")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "a.csv"), str(tmp_path / "b.jsonl")],
+                out=out)
+    )
+    assert res.rows == 3
+    with open(out) as fh:
+        lines = fh.read().strip().split("\n")
+    assert lines[0] == "k,v"
+    assert sorted(lines[1:]) == ["1,10", "2,20", "3,30"]
+
+
+def test_jsonl_sink_roundtrip_with_verify(engine, tmp_path):
+    """parquet -> jsonl conversion with --verify re-read reconciliation."""
+    _write(str(tmp_path / "a.csv"), "k,txt\n1,hello\n2,world\n")
+    mid = str(tmp_path / "mid.jsonl")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "a.csv")], out=mid, verify=True)
+    )
+    assert res.rows == 2 and res.verified is True
+    import json as _json
+
+    recs = [_json.loads(l) for l in open(mid).read().strip().split("\n")]
+    assert {r["k"]: r["txt"] for r in recs} == {1: "hello", 2: "world"}
