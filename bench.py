@@ -54,6 +54,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name, fn in sorted(QUERIES.items()):
+            # Spark's CacheManager matches semantically-equal plans, so a
+            # second pass could silently reuse a prior pass's persisted
+            # signatures; clear between runs so every sample does its
+            # full work from parquet and min() removes only JIT noise.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _run_query(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 4)

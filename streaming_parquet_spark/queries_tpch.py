@@ -599,3 +599,123 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]
         ]
     )
+
+
+@query(
+    "rel_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): three grouping
+    shapes in one pass with grouping_id disambiguating the NULL-as-ALL
+    rows. Scale: Spark expands to a single Expand + one aggregate — one
+    shuffle regardless of the number of sets."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"],
+             ["o_orderstatus", "o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@query(
+    "events_gap_fill",
+    """
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    minutes AS (SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-05 00:00:00',
+                    TIMESTAMP '2024-01-05 06:00:00',
+                    INTERVAL 1 MINUTE)) AS m),
+    series AS (SELECT event_type, m FROM types, minutes),
+    obs AS (SELECT event_type, date_trunc('minute', ts) AS m,
+                   COUNT(*) AS n_obs
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts < TIMESTAMP '2024-01-05 06:01:00'
+            GROUP BY 1, 2)
+    SELECT s.event_type,
+           strftime(s.m, '%Y-%m-%d %H:%M:%S') AS minute,
+           COALESCE(o.n_obs, 0) AS n,
+           COALESCE(last_value(o.n_obs IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS n_filled
+    FROM series s LEFT JOIN obs o
+      ON s.event_type = o.event_type AND s.m = o.m
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling: a dense per-type minute spine
+    (sequence + explode), left join of observed per-minute counts, and
+    locf forward-fill (last ignore-nulls) with a 0 default — the
+    standard time-series densification a metrics store performs.
+    Integer counts -> bit-deterministic. Scale: the spine is
+    |keys| x |buckets| rows built by explode (no driver loop); the fill
+    is a running window per key — one shuffle on the series key."""
+    from streaming_parquet_spark.queries import _events
+
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-05 06:01:00").cast("timestamp"))
+    )
+    types = _events(spark, sf_dir).select("event_type").distinct()
+    spine = types.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+                F.lit("2024-01-05 06:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("m"),
+    )
+    obs = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    w = (
+        W.partitionBy(spine.event_type)
+        .orderBy("m")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(
+            obs,
+            (spine.event_type == obs.event_type) & (spine.m == obs.m),
+            "left_outer",
+        )
+        .select(
+            spine.event_type,
+            spine.m,
+            F.col("n_obs"),
+        )
+        .select(
+            "event_type",
+            F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            F.coalesce("n_obs", F.lit(0)).alias("n"),
+            F.coalesce(
+                F.last("n_obs", ignorenulls=True).over(
+                    W.partitionBy("event_type")
+                    .orderBy("m")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+                F.lit(0),
+            ).alias("n_filled"),
+        )
+    )
