@@ -719,3 +719,142 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_filled"),
         )
     )
+
+
+@query(
+    "rel_scalar_funcs",
+    """
+    SELECT o_orderkey,
+           UPPER(o_orderstatus) AS status_u,
+           SUBSTR(o_orderpriority, 1, 1) AS prio_code,
+           LENGTH(o_orderpriority) AS prio_len,
+           CONCAT(o_orderstatus, '/', o_orderpriority) AS status_prio,
+           LPAD(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+           REPLACE(o_orderpriority, '-', '_') AS prio_snake,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(day(o_orderdate) AS INTEGER) AS o_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
+           ROUND(SQRT(o_totalprice), 4) AS price_sqrt,
+           ROUND(LN(o_totalprice), 6) AS price_ln,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function parity sweep (SURVEY §2.7 — the reference has no
+    expression language; this is the Spark built-in surface): string
+    (upper/substr/length/concat/lpad/replace), date part extraction +
+    truncation, and math (floor/sqrt/ln/mod), all whole-stage-codegen'd
+    in one projection over a pruned scan."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit("/"), F.col("o_orderpriority")
+        ).alias("status_prio"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("prio_snake"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_format(
+            F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+        ).alias("month_start"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod"),
+    )
+
+
+@query(
+    "stream_ingest_counts",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end inside the correctness gate: the
+    events table is ingested through a file-source -> exactly-once
+    parquet-sink availableNow stream (checkpointed — the reference's
+    --state/--resume machinery, state.rs:10-168, as Spark checkpoints),
+    then the LANDED table is aggregated and hash-compared against the
+    batch oracle. Proves the streaming path loses/duplicates nothing.
+    Scale: file-stream source with maxFilesPerTrigger batches a 100 TB
+    backlog incrementally; the sink commit log makes reruns exactly-once."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import streaming_parquet_spark.queries as _q
+
+    work = _tempfile.mkdtemp(prefix="maw_stream_q_")
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir)
+    src = _os.path.join(sf_dir, "events.parquet")
+    try:  # hardlink (same fs) to give the file-stream source a directory
+        _os.link(src, _os.path.join(src_dir, "events.parquet"))
+    except OSError:
+        import shutil as _shutil
+
+        _shutil.copy(src, _os.path.join(src_dir, "events.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out_dir = _os.path.join(work, "landed")
+    (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", _os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    landed = spark.read.parquet(out_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@query(
+    "rel_salted_join_agg",
+    """
+    SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer, nation
+    WHERE c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def rel_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join through the correctness gate: customer><nation
+    via salted_join (each key spread over 8 salt buckets; the dim side
+    explode-replicated), then aggregate — results identical to the plain
+    join, which IS the oracle. The salting pattern is the manual escape
+    hatch when one key dominates a 100 TB shuffle and AQE's skew split
+    cannot kick in (e.g. a shuffle-hash join below the AQE threshold)."""
+    from streaming_parquet_spark.operators.skew import salted_join
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = salted_join(cust, nation, on=["c_nationkey"], salt=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
