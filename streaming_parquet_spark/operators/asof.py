@@ -30,27 +30,42 @@ def asof_join(
     right_time: str,
     payload: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row with
-    the same key and ``right_time <= left_time`` (null when none).
+    """For each left row, attach the payload of the nearest right row
+    with the same key — the latest with ``right_time <= left_time``
+    (``direction='backward'``, the default) or the earliest with
+    ``right_time >= left_time`` (``'forward'``); null when none.
+
+    ``tolerance`` (a SQL interval string, e.g. ``'5 minutes'``) bounds
+    the match distance: a nearest row farther than the tolerance yields
+    nulls, the pandas ``merge_asof(tolerance=...)`` contract.
 
     Output: all left columns + one ``<payload>_asof`` column per payload
     column.
     """
-    # All payload columns ride in ONE struct so F.last(ignorenulls) picks a
-    # single right row atomically: the struct itself is NULL only on left-side
-    # rows, so a matched right row's NULL payload values are preserved (and
-    # columns can never mix values from different right rows).
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    # All payload columns (plus the matched right time, for tolerance)
+    # ride in ONE struct so F.last(ignorenulls) picks a single right row
+    # atomically: the struct itself is NULL only on left-side rows, so a
+    # matched right row's NULL payload values are preserved (and columns
+    # can never mix values from different right rows).
     lt = F.col(left_time)
+    rt_type = right.schema[right_time].dataType.simpleString()
+    struct_type = (
+        "struct<__rt:" + rt_type + ","
+        + ",".join(
+            f"{p}:{right.schema[p].dataType.simpleString()}" for p in payload
+        )
+        + ">"
+    )
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
         lt.alias("__t"),
-        F.lit(None).cast(
-            "struct<" + ",".join(
-                f"{p}:{right.schema[p].dataType.simpleString()}" for p in payload
-            ) + ">"
-        ).alias("__p"),
+        F.lit(None).cast(struct_type).alias("__p"),
     )
     r_tagged = right.select(
         *[F.col(c).alias(c) for c in on],
@@ -58,20 +73,44 @@ def asof_join(
           for c in left.columns if c not in on],
         F.lit(0).alias("__side"),
         F.col(right_time).alias("__t"),
-        F.struct(*[F.col(p).alias(p) for p in payload]).alias("__p"),
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(p).alias(p) for p in payload],
+        ).alias("__p"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # Backward scans time ascending (latest prior right row is the last
+    # non-null); forward scans descending (earliest following row is the
+    # last non-null when walking from the future toward each left row).
+    # Either way right rows at the SAME time must sort before the left
+    # row so ties match inclusively — side 0 < 1 handles both.
+    order = (
+        [F.col("__t"), F.col("__side")]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__side")]
+    )
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col("__t"), F.col("__side"))
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     out = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
+        F.col("__t").alias("__lt"),
         F.last("__p", ignorenulls=True).over(w).alias("__match"),
     )
+    match = F.col("__match")
+    if tolerance is not None:
+        dist = (
+            (F.col("__lt") - match["__rt"])
+            if direction == "backward"
+            else (match["__rt"] - F.col("__lt"))
+        )
+        match = F.when(
+            dist <= F.expr(f"INTERVAL {tolerance}"), F.col("__match")
+        )
     return out.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"__match.{p}").alias(f"{p}{suffix}") for p in payload],
+        *[match[p].alias(f"{p}{suffix}") for p in payload],
     )

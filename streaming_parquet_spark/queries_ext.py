@@ -932,3 +932,89 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8)
     return semantic_dedup_drops(emb, cents, threshold=0.4, dims=64)
+
+
+@query(
+    "events_asof_tolerance",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN c.ts - p.ts <= INTERVAL 30 MINUTE
+                THEN ROUND(p.value, 4) END AS value_asof
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 30-minute staleness bound (the pandas
+    merge_asof tolerance contract): a matched purchase older than the
+    tolerance yields NULL instead of a stale value. Oracle: DuckDB
+    native ASOF JOIN + CASE on the match distance."""
+    from streaming_parquet_spark.operators.asof import asof_join
+    from streaming_parquet_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        clicks, purch, on=["user_id"], left_time="ts", right_time="ts",
+        payload=["value"], tolerance="30 MINUTES",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_asof", 4).alias("value_asof")
+    )
+
+
+@query(
+    "events_asof_forward",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, ROUND(p.value, 4) AS value_next
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click gets the user's NEXT purchase at
+    or after the click (attribution-style lookup). Same union + window
+    rendering scanning time descending; DuckDB's ASOF JOIN with >=
+    is the oracle."""
+    from streaming_parquet_spark.operators.asof import asof_join
+    from streaming_parquet_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        clicks, purch, on=["user_id"], left_time="ts", right_time="ts",
+        payload=["value"], suffix="_next", direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_next", 4).alias("value_next")
+    )
