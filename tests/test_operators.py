@@ -402,3 +402,56 @@ def test_semantic_dedup_drops_keep_lowest(spark):
         ).collect()
     }
     assert out == {2: 0, 4: 0, 3: 1}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized equivalence against pandas.merge_asof — an independent
+    reference implementation of backward/forward + tolerance as-of
+    semantics (ties inclusive both directions)."""
+    import random
+
+    import pandas as pd
+
+    from streaming_parquet_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    left_rows = [
+        (i, rng.randrange(3), rng.randrange(0, 1000))
+        for i in range(120)
+    ]
+    right_rows = [
+        (rng.randrange(3), t, float(i))
+        for i, t in enumerate(sorted(rng.sample(range(1000), 80)))
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, t long, v double")
+
+    lpd = pd.DataFrame(left_rows, columns=["lid", "k", "t"]).sort_values("t")
+    rpd = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+
+    for direction, tol_sql, tol_pd in [
+        ("backward", None, None),
+        ("forward", None, None),
+        ("backward", "50 SECONDS", 50),
+        ("forward", "25 SECONDS", 25),
+    ]:
+        # The operator's time columns accept any orderable type; use
+        # timestamps on the Spark side (interval tolerance), ints in pandas.
+        sl = left.withColumn("ts", F.timestamp_seconds("t"))
+        sr = right.withColumn("ts", F.timestamp_seconds("t"))
+        got = {
+            r["lid"]: r["v_asof"]
+            for r in asof_join(
+                sl, sr, on=["k"], left_time="ts", right_time="ts",
+                payload=["v"], direction=direction, tolerance=tol_sql,
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            lpd, rpd, on="t", by="k", direction=direction,
+            tolerance=tol_pd,
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.v) else float(r.v))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, f"direction={direction} tolerance={tol_sql}"
