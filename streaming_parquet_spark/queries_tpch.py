@@ -858,3 +858,45 @@ def rel_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "rel_window_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_price,
+           ROUND(LEAD(o_totalprice, 1) OVER w, 2) AS next_price,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS min_price,
+           ROUND(o_totalprice - LAG(o_totalprice, 1) OVER w, 2) AS delta
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def rel_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/navigation window-function sweep (SURVEY §2.6 built-in
+    surface): row_number, rank, dense_rank, ntile, percent_rank,
+    lag/lead, first_value, and a lag-delta — one window spec, one
+    shuffle, evaluated in a single Window node."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("min_price"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
+        ).alias("delta"),
+    )
