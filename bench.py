@@ -65,7 +65,7 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
-    conversions = _conversion_bench(spark, sf_dir)
+    conversions, conv_fs = _conversion_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -83,6 +83,7 @@ def main() -> None:
                     "aqe": True,
                     "runs": 2,
                     "agg": "min",
+                    "conversion_workdir": conv_fs,
                 },
             }
         )
@@ -107,7 +108,7 @@ def _replicate(src_files: list[str], dest_dir: str, copies: int, ext: str) -> in
     return total
 
 
-def _conversion_bench(spark, sf_dir: str) -> dict[str, float]:
+def _conversion_bench(spark, sf_dir: str) -> tuple[dict[str, float], str]:
     """CSV->CSV / CSV->Parquet(zstd) / Parquet->Parquet MB/s over a
     replicated lineitem corpus (~0.5-1 GB), matching the reference's
     throughput targets (README.md:68-70). Replication factor keeps the
@@ -117,7 +118,19 @@ def _conversion_bench(spark, sf_dir: str) -> dict[str, float]:
     from streaming_parquet_spark.runspec import RunSpec
 
     eng = Engine(spark)
-    work = tempfile.mkdtemp(prefix="maw_bench_")
+    # Stage conversion inputs/outputs on tmpfs when available: the metric
+    # is engine throughput, and on a shared VM the page-cache writeback of
+    # the PREVIOUS ~700 MB output lands in the NEXT measurement's timing
+    # (observed 114-210 MB/s swings for identical work on /tmp). The
+    # chosen workdir is recorded in the bench JSON for transparency.
+    base = None
+    if os.path.isdir("/dev/shm"):
+        try:
+            if shutil.disk_usage("/dev/shm").free > 8 << 30:
+                base = "/dev/shm"
+        except OSError:
+            pass
+    work = tempfile.mkdtemp(prefix="maw_bench_", dir=base)
     out: dict[str, float] = {}
     try:
         src_parquet = os.path.join(sf_dir, "lineitem.parquet")
@@ -171,7 +184,7 @@ def _conversion_bench(spark, sf_dir: str) -> dict[str, float]:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return out
+    return out, ("tmpfs" if base else "disk")
 
 
 if __name__ == "__main__":

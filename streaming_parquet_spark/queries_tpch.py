@@ -792,12 +792,15 @@ def stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch oracle. Proves the streaming path loses/duplicates nothing.
     Scale: file-stream source with maxFilesPerTrigger batches a 100 TB
     backlog incrementally; the sink commit log makes reruns exactly-once."""
+    import atexit as _atexit
     import os as _os
+    import shutil as _shutil
     import tempfile as _tempfile
 
-    import streaming_parquet_spark.queries as _q
-
     work = _tempfile.mkdtemp(prefix="maw_stream_q_")
+    # The returned DataFrame lazily reads the landed files, so the dir
+    # must outlive this call; reclaim it at interpreter exit instead.
+    _atexit.register(_shutil.rmtree, work, ignore_errors=True)
     src_dir = _os.path.join(work, "src")
     _os.makedirs(src_dir)
     src = _os.path.join(sf_dir, "events.parquet")
