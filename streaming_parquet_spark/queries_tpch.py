@@ -903,3 +903,36 @@ def rel_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
         ).alias("delta"),
     )
+
+
+@query(
+    "rel_array_agg",
+    """
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_nums,
+           CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
+           CAST(list_sort(list(l_linenumber))[1] AS INTEGER) AS first_line,
+           array_to_string(list_sort(list_distinct(list(l_returnflag))), ',')
+             AS flags
+    FROM lineitem
+    WHERE l_orderkey < 500
+    GROUP BY l_orderkey
+    """,
+)
+def rel_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface (SURVEY §2.7 — collection functions):
+    collect_list + sort_array + array_distinct + element_at, emitted as
+    joined strings so the cross-engine hash is representation-stable
+    (Spark hands numpy arrays to pandas; DuckDB hands lists). Scale:
+    collect_list is a hash aggregate; per-group arrays stay bounded by
+    the lines-per-order cardinality."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    nums = F.sort_array(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(nums.cast("array<string>"), ",").alias("line_nums"),
+        F.size(F.collect_list("l_linenumber")).cast("int").alias("n_lines"),
+        F.element_at(nums, 1).cast("int").alias("first_line"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.collect_list("l_returnflag"))), ","
+        ).alias("flags"),
+    )
