@@ -1018,3 +1018,55 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("value_next", 4).alias("value_next")
     )
+
+
+def _duck_sq8_oracle(k: int, dims: int) -> str:
+    from streaming_parquet_spark.operators.similarity import (
+        sq8_dot_expr,
+        sq8_quantize_exprs,
+    )
+
+    scale, quant = sq8_quantize_exprs("embedding", dims, "duckdb")
+    quant = quant.replace("__sq8_scale", "sq8_scale")
+    sim = sq8_dot_expr("q.q_q", "c.c_q", "q.sq8_scale", "c.sq8_scale", dims,
+                       "duckdb").replace("q.q_q[", "q_q[").replace(
+                           "c.c_q[", "c_q[")
+    return f"""
+    WITH scaled AS MATERIALIZED (
+      SELECT vec_id, embedding, {scale} AS sq8_scale FROM embeddings
+    ),
+    coded AS MATERIALIZED (
+      SELECT vec_id, sq8_scale,
+             CASE WHEN sq8_scale = 0
+                  THEN [CAST(0 AS BIGINT) FOR x IN range({dims})]
+                  ELSE {quant} END AS code
+      FROM scaled
+    ),
+    q AS (SELECT vec_id AS query_id, sq8_scale, code AS q_q FROM coded
+          WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, sq8_scale, code AS c_q FROM coded),
+    s AS (SELECT query_id, neighbor_id,
+                 {sq8_dot_expr("q_q", "c_q", "q.sq8_scale", "c.sq8_scale",
+                               dims, "duckdb")} AS sim_raw
+          FROM c, q WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, sim_raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+@query("embed_ann_sq8", _duck_sq8_oracle(10, 64))
+def embed_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors over int8 scalar-quantized embeddings (symmetric
+    per-vector scale, exact integer dot, scales reconstructed at score
+    time): the 4x-memory ANN tier for corpora whose float vectors don't
+    fit. Quantization and scoring are plain arithmetic, so DuckDB
+    reproduces the approximation bit-for-bit — the oracle checks the
+    approximate path itself, not a float reference."""
+    from streaming_parquet_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dims=64)

@@ -455,3 +455,30 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             for r in exp_df.itertuples()
         }
         assert got == exp, f"direction={direction} tolerance={tol_sql}"
+
+
+def test_sq8_quantization_bounds_and_recall(spark):
+    from streaming_parquet_spark.operators.similarity import (
+        cosine_topk,
+        sq8_topk,
+        with_sq8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coded = with_sq8(emb, dims=64).select("sq8_scale", "sq8").collect()
+    for r in coded[:50]:
+        assert all(-127 <= int(v) <= 127 for v in r["sq8"])
+        assert r["sq8_scale"] >= 0
+    # int8 approximation must agree with exact float top-k on most of
+    # the top-10 (normalized 64-dim vectors; SQ8 recall is high).
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=10, dims=64).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_topk(emb, q, k=10, dims=64).collect()
+    }
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.7, f"SQ8 recall@10 too low: {overlap}"

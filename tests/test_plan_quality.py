@@ -25,6 +25,7 @@ _BNLJ_OK = {
     "embed_cosine_topk",
     "embed_ann_lsh",
     "embed_ann_ivf",
+    "embed_ann_sq8",
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
 }
