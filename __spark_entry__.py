@@ -40,9 +40,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Round-2 driver budget covered only the first 50 registered queries;
+# run the queries that have never had a driver-side CORRECTNESS row
+# first so a partial sweep still lands hard signal where it is missing
+# (VERDICT.md round 2, item 1).  Names absent from this list keep their
+# registration order after it.
+_DRIVER_PRIORITY = [
+    "q4_late_shipments", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q12_priority_lines",
+    "q13_order_count_dist", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_idle_customers", "rel_percentiles", "rel_grouping_sets",
+    "rel_scalar_funcs", "rel_window_funcs", "rel_array_agg",
+    "rel_salted_join_agg", "events_gap_fill", "events_asof_forward",
+    "events_asof_tolerance", "pipeline_train_split",
+    "pipeline_pack_sequences", "dedup_semantic", "embed_ann_sq8",
+    "stream_ingest_counts",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -37,8 +37,23 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+# Per-session DataFrame cache: the driver's correctness sweep runs ~80
+# queries against the same sf_dir in one session, and every
+# `spark.read.parquet` call re-lists the path and re-reads footers on
+# the driver.  DataFrames are immutable, so handing back the same
+# logical plan is safe and shaves a fixed per-query startup cost.
+# Keyed by SparkContext id so a restarted session never sees stale
+# plans from a stopped one.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (id(spark.sparkContext), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
