@@ -67,7 +67,9 @@ def asof_join(
         lt.alias("__t"),
         F.lit(None).cast(struct_type).alias("__p"),
     )
-    r_tagged = right.select(
+    # NULL right times can never be "nearest" — drop them before the
+    # union (pandas merge_asof rejects them outright).
+    r_tagged = right.filter(F.col(right_time).isNotNull()).select(
         *[F.col(c).alias(c) for c in on],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in on],
@@ -83,11 +85,16 @@ def asof_join(
     # non-null); forward scans descending (earliest following row is the
     # last non-null when walking from the future toward each left row).
     # Either way right rows at the SAME time must sort before the left
-    # row so ties match inclusively — side 0 < 1 handles both.
+    # row so ties match inclusively — side 0 < 1 handles both.  Left
+    # rows with a NULL time sort FIRST in both directions (explicit
+    # null ordering — Spark's default asc=nulls-first / desc=nulls-last
+    # would otherwise hand forward-mode NULL rows the earliest right
+    # row): scanning from the front they see no right rows yet, so the
+    # running last(ignorenulls) is NULL and they stay unmatched.
     order = (
-        [F.col("__t"), F.col("__side")]
+        [F.col("__t").asc_nulls_first(), F.col("__side")]
         if direction == "backward"
-        else [F.col("__t").desc(), F.col("__side")]
+        else [F.col("__t").desc_nulls_first(), F.col("__side")]
     )
     w = (
         W.partitionBy(*on)

@@ -57,7 +57,27 @@ def _materialize(df: DataFrame, spread: bool = True) -> DataFrame:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     df = df.persist()
     df.count()
+    _PERSISTED.append(df)
+    # A long-lived session (the driver's ~80-query sweep) calls the
+    # dedup/similarity operators repeatedly; keep only the most recent
+    # handful of staged relations cached and release the rest.  The
+    # consuming action for a prior operator has run by the time the next
+    # one stages (the gate is sequential), so non-blocking unpersist of
+    # old entries is safe — worst case a still-running plan recomputes.
+    while len(_PERSISTED) > _PERSIST_KEEP:
+        _PERSISTED.pop(0).unpersist(blocking=False)
     return df
+
+
+_PERSISTED: list[DataFrame] = []
+_PERSIST_KEEP = 6
+
+
+def release_materialized() -> None:
+    """Unpersist every relation staged by ``_materialize`` — call when a
+    batch of similarity/dedup work is done and the session lives on."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking=False)
 
 
 def cosine_topk(
@@ -342,7 +362,10 @@ def semantic_dedup_drops(
     assignment to the nearest centroid), then within each cluster mark
     every vector whose similarity to a lower-id vector exceeds
     ``threshold`` as a drop. Output: (dropped_id, rep_id) where rep_id
-    is the smallest surviving-candidate id that witnessed the drop.
+    is the smallest lower-id WITNESS of the drop — under similarity
+    chains (1~2, 2~3, 1!~3) that witness can itself be dropped; resolve
+    reps transitively via ``operators.cluster.connected_components``
+    when a surviving representative is required.
 
     Keep-lowest-id is the deterministic tie-break (matches the exact
     dedup operator's representative rule). Scale: clustering bounds the

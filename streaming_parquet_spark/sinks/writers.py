@@ -123,20 +123,27 @@ def write_partitioned(
     columns for free, and writers parallelize per partition. (The
     reference has no partitioned output; this is an extension in the
     spirit of --roll-by-*, SURVEY §2.8.)"""
+    # Engine out-formats don't map 1:1 onto DataFrameWriter method
+    # names (jsonl -> .json); dispatch explicitly so an unknown format
+    # is a ValueError here, not an AttributeError mid-write.
+    methods = {"parquet": "parquet", "csv": "csv", "jsonl": "json"}
+    method = methods.get(out_format)
+    if method is None:
+        raise ValueError(f"unsupported partitioned out format: {out_format}")
     writer = df.write.mode("overwrite").partitionBy(*partition_by)
     if out_format == "parquet":
         codec = _PARQUET_CODECS.get(compression.lower())
         if codec is None:
             raise ValueError(f"unsupported compression: {compression}")
         writer = writer.option("compression", codec)
-    else:
+    elif out_format == "csv":
         writer = (
             writer.option("sep", delimiter)
             .option("header", str(header).lower())
         )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    getattr(writer, out_format)(out_dir)
+    getattr(writer, method)(out_dir)
     total, count = 0, 0
     for root, _dirs, files in os.walk(out_dir):
         for f in files:

@@ -399,6 +399,33 @@ def infer_jsonl_schema_prefix(
     if len(blob) == max_bytes and "\n" in text:
         text = text[: text.rfind("\n")]
 
+    # A .json file holding a JSON ARRAY or a pretty-printed document is
+    # not line-delimited: line-wise PERMISSIVE parsing would silently
+    # infer an empty/partial schema and read all-null rows.  Probe the
+    # shape up front and fail loudly instead.
+    if text.lstrip().startswith("["):
+        raise ValueError(
+            f"{path}: top-level JSON array, not newline-delimited JSONL; "
+            "re-export one object per line (or read via a multiLine JSON "
+            "reader)"
+        )
+    first_line = next((ln for ln in text.splitlines() if ln.strip()), "")
+    if first_line:
+        try:
+            _json.loads(first_line)
+        except ValueError:
+            try:
+                whole = _json.loads(text)
+            except ValueError:
+                pass  # malformed first record: PERMISSIVE skips it below
+            else:
+                if isinstance(whole, (dict, list)):
+                    raise ValueError(
+                        f"{path}: pretty-printed JSON document spanning "
+                        "multiple lines, not JSONL; re-export one object "
+                        "per line (or read via a multiLine JSON reader)"
+                    )
+
     limit = infer_rows if infer_rows and infer_rows > 0 else 10**9
     order: list[str] = []
     # capability mask per key: 1=long, 2=double, 4=boolean; 0=string only

@@ -482,3 +482,92 @@ def test_sq8_quantization_bounds_and_recall(spark):
     }
     overlap = len(exact & approx) / len(exact)
     assert overlap >= 0.7, f"SQ8 recall@10 too low: {overlap}"
+
+
+def test_write_partitioned_jsonl(spark, sf_dir, tmp_path):
+    """jsonl out-format must dispatch to DataFrameWriter.json (ADVICE r2:
+    getattr(writer, 'jsonl') raised AttributeError)."""
+    import os
+    from streaming_parquet_spark.sinks.writers import write_partitioned
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "part_jsonl_out")
+    res = write_partitioned(li, out, ["l_returnflag"], out_format="jsonl")
+    assert res.files_written >= 2
+    subdirs = {d for d in os.listdir(out) if d.startswith("l_returnflag=")}
+    assert len(subdirs) >= 2
+    back = spark.read.json(out)
+    assert back.count() == li.count()
+
+    import pytest
+    with pytest.raises(ValueError, match="unsupported partitioned"):
+        write_partitioned(li, out, ["l_returnflag"], out_format="orc")
+
+
+def test_asof_join_null_times_stay_unmatched(spark):
+    """NULL time keys: a left row with NULL time matches nothing; a right
+    row with NULL time is never attached (pandas merge_asof rejects null
+    keys outright; we degrade to no-match). ADVICE r2."""
+    from streaming_parquet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (2, 100, None), (3, 100, 3.0)],
+        "id long, k long, t double",
+    )
+    right = spark.createDataFrame(
+        [(100, None, "null_time"), (100, 5.0, "real")],
+        "k long, t double, tag string",
+    )
+    for direction, expect in (
+        ("backward", {1: "real", 2: None, 3: None}),
+        ("forward", {1: None, 2: None, 3: "real"}),
+    ):
+        out = {
+            r["id"]: r["tag_asof"]
+            for r in asof_join(
+                left, right, on=["k"], left_time="t", right_time="t",
+                payload=["tag"], direction=direction,
+            ).collect()
+        }
+        assert out == expect, direction
+
+
+def test_jsonl_inference_rejects_json_documents(tmp_path):
+    """A .json file holding an array / pretty-printed doc must raise, not
+    silently infer an empty schema (ADVICE r2)."""
+    import pytest
+    from streaming_parquet_spark.sources.readers import (
+        infer_jsonl_schema_prefix,
+    )
+
+    arr = tmp_path / "arr.json"
+    arr.write_text('[\n  {"a": 1},\n  {"a": 2}\n]\n')
+    with pytest.raises(ValueError, match="JSON array"):
+        infer_jsonl_schema_prefix(str(arr))
+
+    pretty = tmp_path / "pretty.json"
+    pretty.write_text('{\n  "a": 1,\n  "b": {"c": 2}\n}\n')
+    with pytest.raises(ValueError, match="pretty-printed"):
+        infer_jsonl_schema_prefix(str(pretty))
+
+    # malformed first record still degrades PERMISSIVE-style
+    ragged = tmp_path / "ragged.jsonl"
+    ragged.write_text('{"a": \n{"a": 1}\n{"a": 2}\n')
+    schema = infer_jsonl_schema_prefix(str(ragged))
+    assert [f.name for f in schema.fields] == ["a"]
+
+
+def test_materialize_cache_is_bounded(spark):
+    """_materialize keeps at most _PERSIST_KEEP relations cached and
+    release_materialized drains them (ADVICE r2 leak)."""
+    from streaming_parquet_spark.operators import similarity as S
+
+    S.release_materialized()
+    base = spark.range(10)
+    for i in range(S._PERSIST_KEEP + 3):
+        S._materialize(base.withColumn("i", F.lit(i)), spread=False)
+    assert len(S._PERSISTED) == S._PERSIST_KEEP
+    S.release_materialized()
+    assert not S._PERSISTED
