@@ -55,7 +55,9 @@ _DRIVER_PRIORITY = [
     "rel_salted_join_agg", "events_gap_fill", "events_asof_forward",
     "events_asof_tolerance", "pipeline_train_split",
     "pipeline_pack_sequences", "dedup_semantic", "embed_ann_sq8",
-    "stream_ingest_counts",
+    "stream_ingest_counts", "q2_min_cost_supplier", "q11_important_stock",
+    "q16_parts_supplier_cnt", "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -936,3 +936,397 @@ def rel_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.array_distinct(F.collect_list("l_returnflag"))), ","
         ).alias("flags"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp family (TPC-H q2/q11/q16/q20/q21)
+#
+# The fixtures ship no partsupp table and no commit/receipt dates
+# (TESTDATA.md), and the testdata directory is read-only — so the
+# missing relations are DERIVED deterministically from the columns that
+# do exist, with engine-portable integer arithmetic (+, *, %, date+int)
+# computed identically by the Spark plan and the DuckDB oracle CTEs.
+# TPC-H's own dbgen does exactly this (4 suppliers per part via modular
+# arithmetic over the supplier count); we keep that structure:
+#
+#   ps_suppkey   = (p_partkey*7 + i*13) % n_supp        for i in 0..3
+#   ps_availqty  = (p_partkey*17 + ps_suppkey*31) % 9999 + 1
+#   ps_supplycost_cents = (p_partkey*311 + ps_suppkey*53) % 10000 + 100
+#   l_commitdate  = date(l_shipdate) + (l_orderkey*31 + l_linenumber*7) % 61 - 30
+#   l_receiptdate = date(l_shipdate) + (l_orderkey*17 + l_linenumber*11) % 30 + 1
+#
+# Money stays in integer CENTS through every aggregate (q9 pattern:
+# double summation order flips 2dp rounding across engines); the /100.0
+# happens once on output.  All operands are non-negative so % agrees
+# across engines.  At 100 TB partsupp would be a real ingested table;
+# the derivation is dim-sized (|part| x 4) and broadcast-friendly.
+# ---------------------------------------------------------------------------
+
+_PS_ORACLE = """
+ps0 AS (
+  SELECT p_partkey,
+         (p_partkey * 7 + g.i * 13) % (SELECT COUNT(*) FROM supplier) AS sk
+  FROM part CROSS JOIN (VALUES (0),(1),(2),(3)) AS g(i)
+),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         sk AS ps_suppkey,
+         CAST((p_partkey * 17 + sk * 31) % 9999 + 1 AS INTEGER) AS ps_availqty,
+         (p_partkey * 311 + sk * 53) % 10000 + 100 AS ps_supplycost_cents,
+         CAST((p_partkey * 311 + sk * 53) % 10000 + 100 AS DOUBLE) / 100.0
+           AS ps_supplycost
+  FROM ps0
+)
+"""
+
+_LID_ORACLE = """
+lineitem_dated AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_shipdate,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey * 31 + l_linenumber * 7) % 61 - 30 AS INTEGER)
+           AS l_commitdate,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey * 17 + l_linenumber * 11) % 30 + 1 AS INTEGER)
+           AS l_receiptdate
+  FROM lineitem
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (see module comment). One broadcast of a 4-row
+    generator + a 1-row supplier count against the part dim — no
+    shuffle; the result inherits part's partitioning."""
+    part = _t(spark, sf_dir, "part")
+    nsupp = (
+        _t(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("__nsupp"))
+    )
+    gen = spark.range(4).select(F.col("id").alias("__i"))
+    base = (
+        part.crossJoin(F.broadcast(gen))
+        .crossJoin(F.broadcast(nsupp))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 7 + F.col("__i") * 13) % F.col("__nsupp"))
+            .alias("ps_suppkey"),
+        )
+    )
+    cents = (
+        F.col("ps_partkey") * 311 + F.col("ps_suppkey") * 53
+    ) % 10000 + 100
+    return base.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 17 + F.col("ps_suppkey") * 31) % 9999 + 1)
+        .cast("int").alias("ps_availqty"),
+        cents.alias("ps_supplycost_cents"),
+        (cents.cast("double") / 100.0).alias("ps_supplycost"),
+    )
+
+
+def _lineitem_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem + derived commit/receipt dates (see module comment).
+    Pure per-row projection — pushes through the scan untouched."""
+    li = _t(spark, sf_dir, "lineitem")
+    commit = F.date_add(
+        F.col("l_shipdate").cast("date"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 61 - 30)
+        .cast("int"),
+    )
+    receipt = F.date_add(
+        F.col("l_shipdate").cast("date"),
+        ((F.col("l_orderkey") * 17 + F.col("l_linenumber") * 11) % 30 + 1)
+        .cast("int"),
+    )
+    return (
+        li.withColumn("l_commitdate", commit)
+        .withColumn("l_receiptdate", receipt)
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_PS_ORACLE},
+    eligible AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost,
+             ps_supplycost_cents,
+             MIN(ps_supplycost_cents) OVER (PARTITION BY p_partkey)
+               AS min_cents
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      JOIN part ON p_partkey = ps_partkey
+      WHERE r_name = 'EUROPE' AND p_size IN (5, 15, 25, 35, 45)
+        AND p_type IN ('STANDARD', 'ECONOMY')
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM eligible WHERE ps_supplycost_cents = min_cents
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): the correlated MIN subquery,
+    rendered as a per-part window MIN over the region-filtered
+    partsupp><supplier join — one shuffle on p_partkey instead of a
+    second scan + self-join for the subquery. Dims (supplier, nation,
+    region, filtered part) all broadcast; integer-cents min avoids FP
+    ties. Scale: the window partitions on the same key the final rows
+    group naturally on; WindowGroupLimit-style pruning is not needed
+    because the filter keeps only min-cost rows."""
+    ps = _partsupp(spark, sf_dir)
+    part_f = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45)
+        & F.col("p_type").isin("STANDARD", "ECONOMY")
+    ).select("p_partkey", "p_brand")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        ps.join(F.broadcast(part_f), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+    )
+    w = W.partitionBy("ps_partkey")
+    return (
+        eligible.withColumn(
+            "__min_cents", F.min("ps_supplycost_cents").over(w)
+        )
+        .filter(F.col("ps_supplycost_cents") == F.col("__min_cents"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH {_PS_ORACLE},
+    national AS (
+      SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    SELECT ps_partkey, ROUND(SUM(v) / 100.0, 2) AS value
+    FROM national
+    GROUP BY ps_partkey
+    HAVING SUM(v) > (SELECT SUM(v) * 0.005 FROM national)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): GROUP BY + HAVING against a scalar
+    subquery over the SAME relation. The national partsupp slice is
+    computed once; the global total is a 1-row broadcast joined as the
+    HAVING bound. Integer-cents sums are exact in both engines (values
+    < 2^53), so the threshold comparison can never flip. Scale: one
+    shuffle on ps_partkey; the scalar total is a partial-agg tree."""
+    ps = _partsupp(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey")
+    )
+    national = (
+        ps.join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    total = national.agg((F.sum("v") * 0.005).alias("__thresh"))
+    return (
+        national.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("__sv"))
+        .join(F.broadcast(total), F.col("__sv") > F.col("__thresh"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("__sv") / 100.0, 2).alias("value"),
+        )
+    )
+
+
+@query(
+    "q16_parts_supplier_cnt",
+    f"""
+    WITH {_PS_ORACLE}
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#9' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 15, 22, 30, 45)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): NOT IN over an excluded
+    supplier set (negative balance standing in for the spec's complaint
+    filter), rendered as a broadcast LEFT ANTI join — keys are never
+    NULL so NOT IN and anti-join agree. Scale: both dims broadcast; the
+    COUNT(DISTINCT) shuffles once on the (brand, type, size) triple."""
+    ps = _partsupp(spark, sf_dir)
+    part_f = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 22, 30, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complainers = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part_f), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(complainers),
+              F.col("s_suppkey") == F.col("ps_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    f"""
+    WITH {_PS_ORACLE}, {_LID_ORACLE}
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19')
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%'
+                                OR p_name LIKE 'red%')
+          AND ps_availqty > (
+            SELECT 0.5 * SUM(l_quantity) FROM lineitem_dated
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): the nested correlated
+    scalar subquery (half of a year's shipped quantity per part+supplier)
+    becomes a pre-aggregated relation joined back INNER — an empty
+    correlation yields SQL NULL, and `avail > NULL` excludes the row,
+    which the inner join reproduces exactly. l_quantity values are
+    whole numbers, so the double SUM is order-independent (< 2^53).
+    Scale: lineitem aggregates partial-first on (partkey, suppkey);
+    partsupp is semi-joined against the filtered part dim before the
+    fact join, and the final supplier membership check is a broadcast
+    semi join."""
+    ps = _partsupp(spark, sf_dir)
+    wanted_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%") | F.col("p_name").like("red%")
+    ).select("p_partkey")
+    shipped = (
+        _lineitem_dated(spark, sf_dir)
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(wanted_parts),
+                F.col("p_partkey") == F.col("ps_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("__qty"))
+        .select("ps_suppkey")
+    )
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11", "NATION_19")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(qualifying, F.col("ps_suppkey") == F.col("s_suppkey"),
+              "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    f"""
+    WITH {_LID_ORACLE}
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem_dated l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_receiptdate > l1.l_commitdate
+      AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7')
+      AND EXISTS (SELECT 1 FROM lineitem_dated l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem_dated l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_receiptdate > l3.l_commitdate)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS /
+    NOT-EXISTS pair over sibling lineitems is rendered as ONE per-order
+    aggregate — n_supp = COUNT(DISTINCT supplier), n_late_supp =
+    COUNT(DISTINCT supplier among late lines) — then a late line l1
+    qualifies iff n_supp >= 2 (some other supplier exists) and
+    n_late_supp = 1 (l1 is late, so a lone late supplier must be l1's).
+    That replaces two correlated semi/anti joins with a single shuffle
+    on l_orderkey shared by the stats and the join-back. Scale: the
+    per-order stats relation is orderkey-partitioned exactly like the
+    join that consumes it; supplier+nation broadcast."""
+    lid = _lineitem_dated(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_receiptdate") > F.col("l_commitdate")).alias("__late"),
+    )
+    stats = lid.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("__n_late_supp"),
+    )
+    orders_f = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_3", "NATION_5", "NATION_7")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lid.filter(F.col("__late"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
