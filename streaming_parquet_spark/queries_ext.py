@@ -774,11 +774,36 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only check (no SQL-expressible oracle: fake codec digests bytes)
-@query("multimodal_decode")
+# The fake codec is deterministic digest arithmetic over the payload
+# bytes, so it has a FULL value oracle: DuckDB's md5(varchar) hashes the
+# same utf-8 bytes Python's hashlib.md5 sees, and the first three digest
+# bytes are parsed out of the hex rendering with a hex-digit strpos.
+_HEXD = "strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1"
+
+
+def _md5_byte(i: int) -> str:
+    """SQL for byte i (0-based) of md5(text) as an integer 0..255."""
+    hi = _HEXD.format(p=2 * i + 1)
+    lo = _HEXD.format(p=2 * i + 2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+@query(
+    "multimodal_decode",
+    f"""
+    SELECT doc_id AS id,
+           CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+           CAST(64 + {_md5_byte(0)} % 192 AS INTEGER) AS width,
+           CAST(64 + {_md5_byte(1)} % 192 AS INTEGER) AS height,
+           CAST(1 + ({_md5_byte(2)} % 2) * 2 AS INTEGER) AS channels,
+           'fake' AS format
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas image-metadata decode (deterministic fake codec —
-    the real codec is a drop-in; see operators/multimodal.py)."""
+    the real codec is a drop-in; see operators/multimodal.py). The fake
+    path is fully value-oracled: see the md5-hex arithmetic above."""
     from streaming_parquet_spark.operators.multimodal import (
         attach_binary,
         decode_images,
