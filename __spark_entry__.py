@@ -57,7 +57,7 @@ _DRIVER_PRIORITY = [
     "pipeline_pack_sequences", "dedup_semantic", "embed_ann_sq8",
     "stream_ingest_counts", "q2_min_cost_supplier", "q11_important_stock",
     "q16_parts_supplier_cnt", "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
+    "q21_waiting_suppliers", "embed_ann_ivf_sq8", "multimodal_decode",
 ]
 
 

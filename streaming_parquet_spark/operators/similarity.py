@@ -457,6 +457,82 @@ def with_sq8(
     )
 
 
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """IVF x SQ8 composed ANN — the actual 100 TB design: IVF posting
+    lists bound the candidate set to ``n_probe / n_centroids`` of the
+    corpus, the int8 quantized dot (4x smaller codes, exact integer
+    arithmetic) ranks candidates down to a ``rerank * k`` shortlist,
+    and only the shortlist touches float vectors for the exact re-rank.
+
+    Per query the float-dot cost drops from O(|corpus|) (sq8_topk alone
+    re-ranks nothing; ivf_topk alone float-scores every probed row) to
+    O(rerank * k); the probed posting lists are scanned with int8 codes
+    only. At 100 TB: centroids from a sampled KMeans fit, posting lists
+    stored as a cluster-partitioned table with (scale, code) columns —
+    the float column is only fetched for shortlist rows (lazy column
+    read in parquet via the id join-back, here kept inline since the
+    fixture vectors are small).
+
+    Every stage is portable arithmetic (deterministic centroid stand-in,
+    integer quantized dot, tie-breaks on id), so the DuckDB oracle
+    reproduces the full approximate pipeline bit-for-bit."""
+    cents = corpus.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, dims)
+    coded = with_sq8(assigned, "v", dims, "c_scale", "c_q")
+
+    c = cents.select(F.col(id_col).alias("cent_id"),
+                     F.col(vec_col).alias("cent_v"))
+    q = with_sq8(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")),
+        "qv", dims, "q_scale", "q_q",
+    )
+    qaff = q.join(F.broadcast(c)).withColumn(
+        "aff", F.expr(dot_expr("spark", "qv", "cent_v", dims))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cent_id"))
+    probes = (
+        qaff.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "q_scale", "q_q",
+                F.col("cent_id").alias("cluster"))
+    )
+
+    cand = coded.join(F.broadcast(probes), on="cluster").filter(
+        F.col("id") != F.col("query_id")
+    )
+    qsim = F.expr(sq8_dot_expr("q_q", "c_q", "q_scale", "c_scale", dims))
+    w1 = W.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("id"))
+    shortlist = (
+        cand.withColumn("qsim", qsim)
+        .withColumn("qrank", F.row_number().over(w1))
+        .filter(F.col("qrank") <= rerank * k)
+    )
+    sim = F.expr(dot_expr("spark", "qv", "v", dims))
+    w2 = W.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("id"))
+    return (
+        shortlist.withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round("sim_raw", 4).alias("sim"),
+            "rank",
+        )
+    )
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,

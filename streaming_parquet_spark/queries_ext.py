@@ -1083,6 +1083,91 @@ def _duck_sq8_oracle(k: int, dims: int) -> str:
     """
 
 
+def _duck_ivf_sq8_oracle(k: int, n_centroids: int, n_probe: int,
+                         rerank: int, dims: int) -> str:
+    from streaming_parquet_spark.operators.similarity import (
+        sq8_dot_expr,
+        sq8_quantize_exprs,
+    )
+
+    aff = dot_expr("duckdb", "v.embedding", "c.embedding")
+    qaff = dot_expr("duckdb", "q.qv", "c.embedding")
+    c_scale, c_quant = sq8_quantize_exprs("v", dims, "duckdb")
+    c_quant = c_quant.replace("__sq8_scale", "c_scale")
+    q_scale, q_quant = sq8_quantize_exprs("qv", dims, "duckdb")
+    q_quant = q_quant.replace("__sq8_scale", "q_scale")
+    zeros = f"[CAST(0 AS BIGINT) FOR x IN range({dims})]"
+    qsim = sq8_dot_expr("q_q", "c_q", "p.q_scale", "a.c_scale", dims, "duckdb")
+    sim = dot_expr("duckdb", "qv", "v")
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT vec_id AS cent_id, embedding FROM embeddings
+      WHERE vec_id < {n_centroids}
+    ),
+    assigned AS MATERIALIZED (
+      SELECT id, cluster, v FROM (
+        SELECT v.vec_id AS id, c.cent_id AS cluster, v.embedding AS v,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {aff} DESC, c.cent_id) AS rn
+        FROM embeddings v, cents c
+      ) WHERE rn = 1
+    ),
+    coded AS MATERIALIZED (
+      SELECT id, cluster, v, c_scale,
+             CASE WHEN c_scale = 0 THEN {zeros} ELSE {c_quant} END AS c_q
+      FROM (SELECT id, cluster, v, {c_scale} AS c_scale FROM assigned)
+    ),
+    qcoded AS MATERIALIZED (
+      SELECT query_id, qv, q_scale,
+             CASE WHEN q_scale = 0 THEN {zeros} ELSE {q_quant} END AS q_q
+      FROM (SELECT vec_id AS query_id, embedding AS qv,
+                   {q_scale} AS q_scale
+            FROM embeddings WHERE vec_id < 5)
+    ),
+    probes AS (
+      SELECT query_id, qv, q_scale, q_q, cluster FROM (
+        SELECT q.query_id, q.qv, q.q_scale, q.q_q, c.cent_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {qaff} DESC, c.cent_id) AS crank
+        FROM qcoded q, cents c
+      ) WHERE crank <= {n_probe}
+    ),
+    short AS (
+      SELECT query_id, qv, id, v, qrank FROM (
+        SELECT p.query_id, p.qv, a.id, a.v,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {qsim} DESC, a.id) AS qrank
+        FROM probes p JOIN coded a ON p.cluster = a.cluster
+        WHERE a.id <> p.query_id
+      ) WHERE qrank <= {rerank * k}
+    ),
+    ranked AS (
+      SELECT query_id, id AS neighbor_id, {sim} AS sim_raw,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {sim} DESC, id) AS INTEGER) AS rank
+      FROM short
+    )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("embed_ann_ivf_sq8", _duck_ivf_sq8_oracle(10, 8, 2, 4, 64))
+def embed_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF x SQ8 ANN top-10: posting lists bound candidates,
+    the int8 quantized dot ranks a 4k shortlist, and only shortlist
+    rows touch float vectors for the exact re-rank — the tiered
+    100 TB design (operators/similarity.py:ivf_sq8_topk). Fully
+    value-oracled: every stage is portable arithmetic."""
+    from streaming_parquet_spark.operators.similarity import ivf_sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=10, n_centroids=8, n_probe=2, rerank=4, dims=64,
+    )
+
+
 @query("embed_ann_sq8", _duck_sq8_oracle(10, 64))
 def embed_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors over int8 scalar-quantized embeddings (symmetric

@@ -994,17 +994,19 @@ lineitem_dated AS (
 
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived partsupp (see module comment). One broadcast of a 4-row
-    generator + a 1-row supplier count against the part dim — no
-    shuffle; the result inherits part's partitioning."""
+    """Derived partsupp (see module comment). The 4-way supplier fanout
+    is a Generate (explode of a literal array — no join node); the only
+    join is the 1-row supplier-count broadcast. No shuffle; the result
+    inherits part's partitioning."""
     part = _t(spark, sf_dir, "part")
     nsupp = (
         _t(spark, sf_dir, "supplier")
         .agg(F.count(F.lit(1)).alias("__nsupp"))
     )
-    gen = spark.range(4).select(F.col("id").alias("__i"))
     base = (
-        part.crossJoin(F.broadcast(gen))
+        part.withColumn(
+            "__i", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+        )
         .crossJoin(F.broadcast(nsupp))
         .select(
             F.col("p_partkey").alias("ps_partkey"),

@@ -484,6 +484,41 @@ def test_sq8_quantization_bounds_and_recall(spark):
     assert overlap >= 0.7, f"SQ8 recall@10 too low: {overlap}"
 
 
+def test_ivf_sq8_compose_recall_and_rerank(spark):
+    """Composed IVF x SQ8: recall vs exact top-k must be within the IVF
+    probe budget's reach, and the reported sim must be the EXACT float
+    dot (re-rank touched the float column), not the quantized score."""
+    from streaming_parquet_spark.operators.similarity import (
+        cosine_topk,
+        ivf_sq8_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact_rows = cosine_topk(emb, q, k=10, dims=64).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    composed_rows = ivf_sq8_topk(
+        emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
+    ).collect()
+    composed = {(r["query_id"], r["neighbor_id"]) for r in composed_rows}
+    overlap = len(exact & composed) / len(exact)
+    assert overlap >= 0.5, f"IVF x SQ8 recall@10 too low: {overlap}"
+    # sim values for shared (query, neighbor) pairs equal the exact dot
+    exact_sim = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact_rows}
+    for r in composed_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert abs(r["sim"] - exact_sim[key]) < 1e-9, key
+    # same probe budget: composed recall should not fall below the
+    # float-IVF path (identical candidate sets, shortlist >= k survivors)
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=10, n_centroids=8, n_probe=2, dims=64).collect()
+    }
+    assert len(composed & ivf) / len(ivf) >= 0.8
+
+
 def test_write_partitioned_jsonl(spark, sf_dir, tmp_path):
     """jsonl out-format must dispatch to DataFrameWriter.json (ADVICE r2:
     getattr(writer, 'jsonl') raised AttributeError)."""

@@ -28,6 +28,14 @@ _BNLJ_OK = {
     "embed_ann_sq8",
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
+    "embed_ann_ivf_sq8",   # IVF centroid assignment (8-row broadcast)
+    # derived-partsupp family: 1-row supplier-count broadcast (the only
+    # BNLJ left after the 4-way fanout became a Generate); q11 adds the
+    # 1-row HAVING-threshold non-equi broadcast
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier_cnt",
+    "q20_promotion_suppliers",
 }
 
 
