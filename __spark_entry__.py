@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     "stream_ingest_counts", "q2_min_cost_supplier", "q11_important_stock",
     "q16_parts_supplier_cnt", "q20_promotion_suppliers",
     "q21_waiting_suppliers", "embed_ann_ivf_sq8", "multimodal_decode",
+    "stream_late_dedup",
 ]
 
 

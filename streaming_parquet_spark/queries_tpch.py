@@ -835,6 +835,132 @@ def stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_late_dedup",
+    """
+    WITH e AS (SELECT event_id, ts, event_type FROM events),
+    b1 AS (SELECT * FROM e WHERE ts < TIMESTAMP '2024-01-05'),
+    b2 AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-05'
+                             AND ts < TIMESTAMP '2024-01-05 12:00:00'),
+    b3n AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-05 12:00:00'),
+    wm AS (
+      SELECT (SELECT MAX(ts) FROM b1) - INTERVAL 2 HOUR AS wm2
+    ),
+    retries AS (
+      SELECT event_id, ts + INTERVAL 36 HOUR AS ts, event_type,
+             ts AS orig_ts
+      FROM b1 WHERE event_id % 5 = 0
+    ),
+    emitted_retries AS (
+      SELECT event_id, ts, event_type FROM retries, wm
+      WHERE orig_ts + INTERVAL 2 HOUR < wm2
+        AND ts >= wm2
+    ),
+    emitted AS (
+      SELECT * FROM b1 UNION ALL SELECT * FROM b2
+      UNION ALL SELECT * FROM b3n
+      UNION ALL SELECT * FROM emitted_retries
+    )
+    SELECT event_type, COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_reemits,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM emitted GROUP BY event_type
+    """,
+)
+def stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup with LATE data, inside the oracle
+    gate: three deterministic micro-batches (maxFilesPerTrigger=1 over
+    mtime-ordered staged files) run dropDuplicatesWithinWatermark over
+    event_id with a 2-hour delay. Batch 1 seeds the keys, batch 2 is a
+    thin slice that only advances the watermark, and batch 3 carries
+    retimestamped RETRIES (+36 h) of one fifth of batch 1's keys.
+
+    Observed Spark semantics (pinned empirically, Spark 4.1):
+      * operative watermark for batch N = cumulative max event time
+        through batch N-1, minus the delay;
+      * the LATE filter in batch N uses the PREVIOUS operative
+        watermark (batch N-1's — Spark keeps two values:
+        watermarkForLateEvents lags watermarkForEviction by a batch)
+        and compares the event time DIRECTLY: drop iff
+        event_time < wm_{N-1} (no delay term);
+      * rows in batch N match dedup state that survived evictions
+        through batch N-1 — eviction (first_ts + delay < wm_M, strict)
+        runs at END of batch M, after that batch's rows are processed,
+        so a dup arriving in the batch where its key expires is still
+        dropped;
+      * therefore a retry in batch 3 re-emits iff its original's state
+        was evicted at end of batch 2 (orig_ts + delay < wm2) AND the
+        retry's own timestamp reaches wm2 = max(batch 1) - delay.
+    The DuckDB oracle reproduces exactly that arithmetic — late-data
+    behavior lands in the value hash, not just a row count. Retries of
+    still-live keys dedup away; ancient retries are late-dropped; the
+    36h-shifted band re-emits (n_reemits > 0 per affected type).
+
+    Scale: dropDuplicatesWithinWatermark state is bounded by the
+    watermark horizon (streaming/operators.py:streaming_dedup); the
+    file-stream source batches any backlog via maxFilesPerTrigger."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from streaming_parquet_spark.queries import _events
+
+    work = _tempfile.mkdtemp(prefix="maw_stream_late_")
+    _atexit.register(_shutil.rmtree, work, ignore_errors=True)
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir)
+
+    e = _events(spark, sf_dir).select("event_id", "ts", "event_type")
+    t1, t2 = _ts("2024-01-05"), _ts("2024-01-05 12:00:00")
+    b1 = e.filter(F.col("ts") < t1)
+    retries = (
+        b1.filter(F.col("event_id") % 5 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 36 HOURS"))
+    )
+    b2 = e.filter((F.col("ts") >= t1) & (F.col("ts") < t2))
+    b3 = e.filter(F.col("ts") >= t2).unionByName(retries)
+
+    base = 1_700_000_000  # any fixed past epoch; only ordering matters
+    for i, df in enumerate((b1, b2, b3)):
+        stage = _os.path.join(work, f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in _os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(src_dir, f"batch{i}.parquet")
+        _shutil.copy(_os.path.join(stage, part), dst)
+        _os.utime(dst, (base + i * 60, base + i * 60))
+
+    schema = e.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out_dir = _os.path.join(work, "landed")
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", _os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    landed = spark.read.parquet(out_dir)
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_reemits"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@query(
     "rel_salted_join_agg",
     """
     SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
