@@ -27,6 +27,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import types as T
 
 from streaming_parquet_spark.plans.align import concat_aligned
 from streaming_parquet_spark.plans.unify import unify_schemas
@@ -71,14 +72,23 @@ def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table reader. The fixture stores `ts` as parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-    (PARQUET_TYPE_ILLEGAL); read nanos as long and floor-convert to
-    microseconds — identical to how DuckDB/Arrow truncate ns->us.
-    Integer `div` matters: double division is lossy at 1.7e18 ns."""
+    """Events table reader, adaptive to the fixture's `ts` encoding.
+
+    Fixture generations have stored `ts` as either parquet
+    TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL), so read nanos as long and floor-convert to
+    microseconds (integer `div`: double division is lossy at 1.7e18 ns)
+    — or as TIMESTAMP(MICROS) without timezone, which Spark reads as
+    TIMESTAMP_NTZ; cast that to the session-TZ type so every downstream
+    window/interval op and the UTC DuckDB oracle agree on values."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def query(name: str, oracle: str | None = None):

@@ -18,6 +18,7 @@ Importing this module populates streaming_parquet_spark.queries.QUERIES.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import types as T
 
 from streaming_parquet_spark.queries import _t, query
 
@@ -824,9 +825,14 @@ def stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination(300)
     )
-    landed = spark.read.parquet(out_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    landed = spark.read.parquet(out_dir)
+    ts_type = landed.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # legacy nanos-as-long fixture
+        landed = landed.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        landed = landed.withColumn("ts", F.col("ts").cast("timestamp"))
     return landed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
