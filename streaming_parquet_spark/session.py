@@ -63,6 +63,12 @@ def get_spark(
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        # Listing <=1024 explicit input paths is driver-side microseconds;
+        # the default threshold (32) instead schedules a distributed
+        # file-listing JOB per plan build — measured ~0.3-0.5 s of pure
+        # overhead on a 64-file conversion. Million-file object-store
+        # corpora still get the parallel listing path above 1024.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
