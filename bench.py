@@ -34,6 +34,43 @@ def _run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warm(spark, sf_dir: str) -> None:
+    """Exercise the hot execution paths once (scan, broadcast join,
+    shuffle agg, window, flatten projection, persist) over the small
+    orders/embeddings tables so C2 has compiled the shared machinery
+    before the first timed sample."""
+    from pyspark.sql import Window, functions as F
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    j = (
+        orders.limit(20000)
+        .join(F.broadcast(cust.limit(2000)), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    j.write.format("noop").mode("overwrite").save()
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    orders.limit(20000).withColumn("rn", F.row_number().over(w)).filter(
+        "rn <= 5"
+    ).write.format("noop").mode("overwrite").save()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(2000)
+    flat = emb.select(
+        "vec_id",
+        *[F.element_at("embedding", i + 1).cast("double").alias(f"x{i}") for i in range(64)],
+    ).persist()
+    flat.count()
+    sim = None
+    for i in range(64):
+        t = F.col(f"a.x{i}") * F.col(f"b.x{i}")
+        sim = t if sim is None else sim + t
+    a, b = flat.alias("a"), flat.alias("b")
+    a.join(b, (F.col("a.vec_id") + 1 == F.col("b.vec_id")) & (F.round(sim, 4) > 2.0)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    flat.unpersist(blocking=False)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -43,8 +80,13 @@ def main() -> None:
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
-    # Warm the JVM/session so the first timed query doesn't pay init cost.
-    spark.range(1000).summary().write.format("noop").mode("overwrite").save()
+    # Warm the JVM so the first timed query doesn't pay one-time init.
+    # Measured with codegen fully disabled, the first query still pays
+    # ~3x its steady-state time — that is C2 compilation of the shared
+    # execution stack (parquet scan, exchange, hash agg, broadcast,
+    # persist), not anything query-specific. Exercise those paths here,
+    # untimed, the way long-lived cluster executors would have already:
+    _warm(spark, sf_dir)
 
     # Two passes, best per query — the reference's criterion harness
     # warms up then samples (benches/throughput.rs); a single pass
@@ -52,6 +94,7 @@ def main() -> None:
     # of the shared expression machinery (measured: the first minhash
     # query pays ~7 s of C2 compilation the second pass doesn't).
     timings: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
     for _pass in range(2):
         for name, fn in sorted(QUERIES.items()):
             # Spark's CacheManager matches semantically-equal plans, so a
@@ -62,6 +105,8 @@ def main() -> None:
             t0 = time.perf_counter()
             _run_query(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 4)
+            if _pass == 0:
+                first_pass[name] = dt
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
@@ -75,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_first_pass": first_pass,
                 "sf": sf,
                 "conversions_mb_per_sec": conversions,
                 "conf": {

@@ -256,11 +256,22 @@ def ivf_assign(
     scored = v.join(F.broadcast(c)).withColumn(
         "aff", F.expr(dot_expr("spark", "v", "cent_v", dims))
     )
-    w = W.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cent_id"))
+    # Argmax as a partial-aggregating max_by rather than a rank window:
+    # the NLJ output combines map-side (n rows shuffle instead of
+    # n * n_centroids), and the generated code is one agg stage instead
+    # of sort + window (~1.5 s less one-time codegen/JIT on first run).
+    # Tie-break matches the previous orderBy(aff desc, cent_id asc):
+    # struct ordering is lexicographic, so max(aff, -cent_id) picks the
+    # highest affinity and then the LOWEST centroid id.
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", F.col("cent_id").alias("cluster"), "v")
+        scored.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), F.col("v")),
+                F.struct(F.col("aff"), (-F.col("cent_id")).alias("nc")),
+            ).alias("m")
+        )
+        .select("id", F.col("m.cent_id").alias("cluster"), F.col("m.v").alias("v"))
     )
 
 

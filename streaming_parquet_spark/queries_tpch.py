@@ -996,6 +996,78 @@ def rel_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_skew_join_aqe",
+    """
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 5 > 0 THEN 1
+                  ELSE l_orderkey % 997 END AS k,
+             l_extendedprice, l_discount
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT o_orderkey AS k, o_totalprice AS unit_price
+      FROM orders WHERE o_orderkey < 997
+    )
+    SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS band,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(l_extendedprice / unit_price), 2) AS rel_price
+    FROM fact JOIN dim ON fact.k = dim.k
+    GROUP BY CAST(FLOOR(l_extendedprice / 10000) AS BIGINT)
+    """,
+)
+def rel_skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately skewed shuffle join — 80% of the fact rows share key
+    1 — left to AQE rather than hand-salted (the manual escape hatch is
+    ``rel_salted_join_agg``). Two shape choices let OptimizeSkewedJoin
+    act: (a) the downstream aggregate groups on a NON-key column (price
+    band), so the join's output partitioning carries no guarantee the
+    agg needs — an agg grouped BY the join key would pin the
+    partitioning and need forceOptimizeSkewedJoin (extra shuffle); (b)
+    the dim side is a plain filtered projection, so the join plans its
+    own exchange on both sides — a dim whose own aggregation already
+    partitions by k would put a HashAggregate between Sort and shuffle
+    stage and fall outside the rule's Sort-over-ShuffleQueryStage
+    pattern. The split is asserted as skew=true join nodes in
+    tests/test_plan_quality.py::test_skew_join_aqe_split. At gate scale
+    the dim side simply broadcasts, which is the correct plan when it
+    fits. Results are plan-independent — the oracle checks values, the
+    plan test checks the split."""
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 5 > 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_orderkey") % 997)
+        .alias("k"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 997)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("unit_price"),
+        )
+    )
+    return (
+        fact.join(dim, "k")
+        .groupBy(
+            F.floor(F.col("l_extendedprice") / 10000).alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(
+                F.sum(F.col("l_extendedprice") / F.col("unit_price")), 2
+            ).alias("rel_price"),
+        )
+        .select("band", "n", "revenue", "rel_price")
+    )
+
+
+@query(
     "rel_window_funcs",
     """
     SELECT o_orderkey,

@@ -85,3 +85,71 @@ def test_q1_aggregates_partially_before_shuffle(spark, sf_dir):
     (two HashAggregate levels around one Exchange)."""
     plan = _physical_plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_skew_join_aqe_split(spark, sf_dir, tmp_path):
+    """With broadcast disabled and AQE skew thresholds scaled to fixture
+    volume, the deliberately skewed join in rel_skew_join_aqe must be
+    split by OptimizeSkewedJoin — the runtime plan marks the join
+    skew=true and reads the hot partition in advisory-sized slices.
+    This is the AQE counterpart of the manual salted-join escape hatch
+    (rel_salted_join_agg): proof the engine's default configs let Spark
+    absorb a hot key without hand-tuning.
+
+    Skew slices are cut on MAPPER-output boundaries
+    (ShufflePartitionsUtil.createSkewPartitionSpecs), and the sf0.001
+    fixture is one parquet file with ONE row group — a single scan task
+    produces every row, so the hot partition is one indivisible block
+    no matter the thresholds. Re-chunk lineitem into many row groups
+    (what any at-scale input looks like) so the scan fans out into
+    several mappers, then AQE has boundaries to split on."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    skew_dir = tmp_path / "skew_sf"
+    skew_dir.mkdir()
+    for name in ("lineitem", "orders"):
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        if name == "lineitem":
+            pq.write_table(
+                pq.read_table(src), skew_dir / "lineitem.parquet",
+                row_group_size=800,
+            )
+        else:
+            os.symlink(src, skew_dir / f"{name}.parquet")
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        # One scan split per row group so several mappers feed the
+        # shuffle (splits only produce rows for row groups whose
+        # midpoint falls inside them).
+        "spark.sql.files.maxPartitionBytes": "24KB",
+        "spark.sql.files.openCostInBytes": "0",
+        # Coalescing first would merge the tiny non-skewed partitions
+        # into units larger than the skew threshold; keep them apart.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = QUERIES["rel_skew_join_aqe"](spark, str(skew_dir))
+        df.collect()  # executes the Dataset's own QueryExecution (AQE final plan)
+        plan = _physical_plan(df)
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
