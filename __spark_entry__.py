@@ -46,6 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (VERDICT.md round 2, item 1).  Names absent from this list keep their
 # registration order after it.
 _DRIVER_PRIORITY = [
+    # round-3 additions (no prior CORRECTNESS row) first
+    "rel_skew_join_aqe", "text_gopher_quality", "text_contamination",
+    "pipeline_domain_mix", "pipeline_stratified_sample",
+    "embed_kmeans_step",
+    # round-2 backlog
     "q4_late_shipments", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q12_priority_lines",
     "q13_order_count_dist", "q14_promo_revenue", "q15_top_supplier",

@@ -287,3 +287,60 @@ def hash_bucket_expr(dialect: str, id_col: str, buckets: int = 100) -> str:
         f" % {MERSENNE31}"
     )
     return f"(({h}) % {buckets})"
+
+
+def bigrams_all_expr(dialect: str, words: str) -> str:
+    """ALL word bigrams in document order (NOT distinct — repetition
+    statistics need multiplicity). Same let-binding discipline as
+    shingles_expr on the Spark side; short docs (<2 words) yield an
+    empty list in both dialects."""
+    if dialect == "spark":
+        body = (
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
+        )
+        return (
+            f"element_at(transform(array({words}), ws -> "
+            f"CASE WHEN size(ws) >= 2 THEN {body} ELSE array() END), 1)"
+        )
+    return (
+        f"list_transform(range(1, len({words})),"
+        f" i -> {words}[i] || ' ' || {words}[i + 1])"
+    )
+
+
+def top_count_expr(dialect: str, arr: str) -> str:
+    """Highest multiplicity of any element of ``arr`` (the mode's
+    count), 0 for an empty list. O(distinct * n) per row — documents are
+    short (hundreds of words), so this stays a per-row expression with
+    no shuffle; a corpus-wide mode would be a groupBy instead.
+
+    Spark's array_max errors on empty arrays under ANSI; guard both
+    dialects with an explicit CASE."""
+    if dialect == "spark":
+        body = (
+            "array_max(transform(array_distinct(xs),"
+            " x -> size(filter(xs, y -> y = x))))"
+        )
+        return (
+            f"element_at(transform(array({arr}), xs -> "
+            f"CASE WHEN size(xs) = 0 THEN CAST(0 AS INT) ELSE {body} END), 1)"
+        )
+    body = (
+        f"list_max(list_transform(list_distinct({arr}),"
+        f" x -> len(list_filter({arr}, y -> y = x))))"
+    )
+    return f"(CASE WHEN len({arr}) = 0 THEN 0 ELSE {body} END)"
+
+
+def word_len_sum_expr(dialect: str, words: str) -> str:
+    """Total character count over a word list (exact integer)."""
+    if dialect == "spark":
+        return (
+            f"aggregate({words}, CAST(0 AS BIGINT),"
+            f" (acc, w) -> acc + length(w))"
+        )
+    return (
+        f"list_sum(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform({words}, w -> CAST(strlen(w) AS BIGINT))))"
+    )

@@ -101,3 +101,65 @@ def pack_sequences(
         out_col,
         F.floor((running - F.col(token_col)) / F.lit(budget)).cast("long"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash
+    bucket (out of 1000) falls under the stratum's rate. The membership
+    test is a pure function of (id, stratum) — no RNG state, no
+    partition-layout dependence — so upsampling low-resource languages
+    or downsampling a dominant source is reproducible run-to-run and
+    engine-to-engine. One scan, filter only, no shuffle; the CASE
+    branches are a broadcast-free way to attach per-stratum thresholds
+    when the stratum set is small and known (a join against a rates
+    table is the dynamic-rate variant)."""
+    b = F.expr(hash_bucket_expr("spark", id_col, 1000))
+    expr = None
+    for val, rate in sorted(rates.items()):
+        branch = (F.col(strat_col) == val, F.lit(int(rate * 1000)))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    expr = expr.otherwise(F.lit(int(default_rate * 1000)))
+    return df.filter(b < expr)
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    token_col: str = "est_tokens",
+) -> DataFrame:
+    """Per-domain sampling weights toward a UNIFORM target mixture:
+    weight_g = min(1, (total_tokens / n_groups) / group_tokens). A
+    domain above its uniform share is downsampled by its weight; a
+    domain below keeps everything (weight 1 — upsampling is an epoch
+    multiplier decided downstream). Output: group, n_docs, n_tokens,
+    weight.
+
+    Plan: one partial-aggregated shuffle to per-group totals (narrow —
+    one row per domain), then a scalar total broadcast back via a
+    window over the unpartitioned frame of GROUP ROWS (domain count,
+    not corpus rows — safe single-partition window)."""
+    grouped = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("bigint")).alias("n_tokens"),
+    )
+    w = W.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    n_groups = F.count(F.lit(1)).over(w)
+    return grouped.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (total / n_groups) / F.col("n_tokens"),
+            ),
+            4,
+        ).alias("weight"),
+    )

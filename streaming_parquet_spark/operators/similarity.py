@@ -581,3 +581,49 @@ def sq8_topk(
             F.round("sim_raw", 4).alias("sim"), "rank",
         )
     )
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """One Lloyd iteration of k-means, the iterative-training primitive
+    behind real IVF/semantic-dedup centroids: assign every vector to its
+    nearest centroid (ivf_assign), then re-estimate each centroid as the
+    per-dimension mean of its members.
+
+    Per-dimension sums are taken over FLOOR(v_i * scale) fixed-point
+    integers: integer sums are exact and order-independent, so the
+    result is bit-identical regardless of partial-aggregation order —
+    float sums would make the oracle comparison flaky (double addition
+    is not associative) and make runs nondeterministic at high core
+    counts. Output: cluster, n, centroid_norm (the L2 norm of the new
+    mean, in original units, 4dp) — the scalar a training loop watches
+    for convergence.
+
+    Plan: broadcast(centroids) NLJ -> max_by argmax (one narrow shuffle
+    on id) -> one partial-aggregated shuffle on cluster with 64 exact
+    integer sums. Two shuffles total, both narrow."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, dims)
+    sums = [
+        F.sum(
+            F.floor(
+                F.expr(f"CAST(element_at(v, {i + 1}) AS DOUBLE)") * scale
+            ).cast("bigint")
+        ).alias(f"s{i}")
+        for i in range(dims)
+    ]
+    agg = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"), *sums
+    )
+    sq = None
+    for i in range(dims):
+        term = (F.col(f"s{i}") / F.col("n") / scale) ** 2
+        sq = term if sq is None else sq + term
+    return agg.select(
+        "cluster", "n", F.round(F.sqrt(sq), 4).alias("centroid_norm")
+    )

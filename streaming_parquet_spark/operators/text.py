@@ -141,3 +141,58 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = "transform"
     hashes = word_hashes_expr("spark", ordered)
     return df.withColumn("fingerprint", F.expr(rolling_hash_expr("spark", hashes)))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/diversity signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1, adapted to single-line docs):
+    top-word fraction, top-bigram fraction, unique-word fraction and
+    mean word length — the filters that catch boilerplate and
+    degenerate repetition which plain length/stopword scoring
+    (with_quality) misses.
+
+    All per-row JVM expressions over a let-bound word array — the mode
+    count is O(distinct*n) per document, which for natural documents
+    (hundreds of words) is far cheaper than an explode + per-doc
+    groupBy at corpus scale, and keeps the operator shuffle-free."""
+    from streaming_parquet_spark.functions.portable import (
+        bigrams_all_expr,
+        ordered_words_expr,
+        top_count_expr,
+        word_len_sum_expr,
+    )
+
+    words = ordered_words_expr("spark", text_col)
+    out = (
+        df.withColumn("__ws", F.expr(words))
+        .withColumn("n_words", F.expr(n_words_expr("spark", text_col)))
+        .withColumn("__bg", F.expr(bigrams_all_expr("spark", "__ws")))
+        .withColumn("__top_w", F.expr(top_count_expr("spark", "__ws")))
+        .withColumn("__top_b", F.expr(top_count_expr("spark", "__bg")))
+    )
+    nw = F.col("n_words")
+    nb = F.expr("size(__bg)")
+    return (
+        out.withColumn(
+            "top_word_frac",
+            F.when(nw > 0, F.round(F.col("__top_w") / nw, 4)).otherwise(0.0),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(nb > 0, F.round(F.col("__top_b") / nb, 4)).otherwise(0.0),
+        )
+        .withColumn(
+            "frac_unique_words",
+            F.when(
+                nw > 0, F.round(F.expr("size(array_distinct(__ws))") / nw, 4)
+            ).otherwise(0.0),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.when(
+                nw > 0,
+                F.round(F.expr(word_len_sum_expr("spark", "__ws")) / nw, 4),
+            ).otherwise(0.0),
+        )
+        .drop("__ws", "__bg", "__top_w", "__top_b")
+    )

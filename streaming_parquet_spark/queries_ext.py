@@ -1180,3 +1180,198 @@ def embed_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dims=64)
+
+
+# ---------------------------------------------------------------------------
+# round-3 training-pipeline extensions: repetition quality, benchmark
+# decontamination, domain mixing, stratified sampling, k-means training
+# ---------------------------------------------------------------------------
+
+
+def _duck_gopher() -> str:
+    from streaming_parquet_spark.functions.portable import (
+        bigrams_all_expr,
+        top_count_expr,
+        word_len_sum_expr,
+    )
+
+    ws = ordered_words_expr("duckdb", "text")
+    nw = n_words_expr("duckdb", "text")
+    top_w = top_count_expr("duckdb", "ws")
+    top_b = top_count_expr("duckdb", "bg")
+    wls = word_len_sum_expr("duckdb", "ws")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {ws} AS ws, {nw} AS n_words FROM documents
+    ),
+    e AS (
+      SELECT doc_id, ws, n_words, {bigrams_all_expr("duckdb", "ws")} AS bg
+      FROM d
+    )
+    SELECT doc_id, n_words,
+      CASE WHEN n_words > 0
+           THEN ROUND({top_w} / CAST(n_words AS DOUBLE), 4) ELSE 0.0
+      END AS top_word_frac,
+      CASE WHEN len(bg) > 0
+           THEN ROUND({top_b} / CAST(len(bg) AS DOUBLE), 4) ELSE 0.0
+      END AS top_bigram_frac,
+      CASE WHEN n_words > 0
+           THEN ROUND(len(list_distinct(ws)) / CAST(n_words AS DOUBLE), 4)
+           ELSE 0.0
+      END AS frac_unique_words,
+      CASE WHEN n_words > 0
+           THEN ROUND({wls} / CAST(n_words AS DOUBLE), 4) ELSE 0.0
+      END AS mean_word_len
+    FROM e
+    """
+
+
+@query("text_gopher_quality", _duck_gopher())
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity filters (top-word fraction,
+    top-bigram fraction, unique-word fraction, mean word length) — the
+    boilerplate/degenerate-repetition signals that length-based quality
+    scoring misses. Shuffle-free per-row expressions; see
+    operators.text.with_repetition_stats."""
+    from streaming_parquet_spark.operators.text import with_repetition_stats
+
+    d = with_repetition_stats(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "n_words", "top_word_frac", "top_bigram_frac",
+        "frac_unique_words", "mean_word_len",
+    )
+
+
+def _duck_contamination(n: int, min_overlap: int, modulus: int) -> str:
+    sh = shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), n)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({sh}) AS shingle FROM documents
+    ),
+    b AS (
+      SELECT doc_id AS bench_id, shingle FROM sh
+      WHERE doc_id % {modulus} = 0
+    )
+    SELECT s.doc_id, b.bench_id, COUNT(*) AS n_shared
+    FROM sh s JOIN b ON s.shingle = b.shingle AND s.doc_id <> b.bench_id
+    GROUP BY s.doc_id, b.bench_id
+    HAVING COUNT(*) >= {min_overlap}
+    """
+
+
+@query("text_contamination", _duck_contamination(3, 2, 211))
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 2 distinct
+    word trigrams with a (deterministic stand-in) benchmark set —
+    the n-gram-overlap scrub used to keep eval sets out of pretraining
+    corpora. Narrow equi-join on the shingle string; benchmark side
+    broadcast. See operators.dedup.cross_contamination."""
+    from streaming_parquet_spark.operators.dedup import cross_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 211 == 0)
+    return cross_contamination(docs, bench, n=3, min_overlap=2)
+
+
+def _duck_domain_mix() -> str:
+    return f"""
+    WITH t AS (
+      SELECT source, {_duck_est_tokens('text')} AS est_tokens FROM documents
+    ),
+    g AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(est_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+      ROUND(LEAST(1.0,
+        (SUM(n_tokens) OVER () / CAST(COUNT(*) OVER () AS DOUBLE))
+          / n_tokens), 4) AS weight
+    FROM g
+    """
+
+
+@query("pipeline_domain_mix", _duck_domain_mix())
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain sampling weights toward a uniform token mixture:
+    domains above their uniform share are downsampled (weight < 1),
+    domains below keep everything. One narrow per-domain aggregate plus
+    a domain-count-sized window. See
+    operators.pipeline.domain_mix_weights."""
+    from streaming_parquet_spark.operators.pipeline import domain_mix_weights
+    from streaming_parquet_spark.operators.text import with_token_stats
+
+    d = with_token_stats(_t(spark, sf_dir, "documents"))
+    return domain_mix_weights(d, group_col="source", token_col="est_tokens")
+
+
+_STRAT_RATES = {"en": 0.10, "de": 0.50, "fr": 0.50, "es": 0.50, "zh": 0.25}
+
+
+def _duck_stratified() -> str:
+    from streaming_parquet_spark.functions.portable import hash_bucket_expr
+
+    b = hash_bucket_expr("duckdb", "doc_id", 1000)
+    case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {int(v * 1000)}"
+        for k, v in sorted(_STRAT_RATES.items())
+    ) + " ELSE 0 END"
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {b} < {case}
+    """
+
+
+@query("pipeline_stratified_sample", _duck_stratified())
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling: downsample the
+    dominant language, keep low-resource languages at higher rates —
+    membership is a pure function of (doc_id, lang), so reruns and
+    engine ports reproduce the same sample. Filter-only plan. See
+    operators.pipeline.stratified_sample."""
+    from streaming_parquet_spark.operators.pipeline import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, _STRAT_RATES, strat_col="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _duck_kmeans_step(n_centroids: int, dims: int, scale: int) -> str:
+    aff = dot_expr("duckdb", "v.embedding", "c.embedding")
+    sums = " + ".join(
+        f"POWER(SUM(CAST(FLOOR(CAST(v[{i + 1}] AS DOUBLE) * {scale}) AS BIGINT))"
+        f" / CAST(COUNT(*) AS DOUBLE) / {scale}, 2)"
+        for i in range(dims)
+    )
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT vec_id AS cent_id, embedding FROM embeddings
+      WHERE vec_id < {n_centroids}
+    ),
+    assigned AS (
+      SELECT id, cluster, v FROM (
+        SELECT v.vec_id AS id, c.cent_id AS cluster, v.embedding AS v,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {aff} DESC, c.cent_id) AS rn
+        FROM embeddings v, cents c
+      ) WHERE rn = 1
+    )
+    SELECT cluster, COUNT(*) AS n, ROUND(SQRT({sums}), 4) AS centroid_norm
+    FROM assigned GROUP BY cluster
+    """
+
+
+@query("embed_kmeans_step", _duck_kmeans_step(8, 64, 1000))
+def embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus (assign
+    to nearest of 8 centroids, re-estimate centroids as member means) —
+    the iterative-training primitive behind real IVF / semantic-dedup
+    centroid fits. Fixed-point integer sums make the result
+    order-independent and oracle-exact. See
+    operators.similarity.kmeans_step."""
+    from streaming_parquet_spark.operators.similarity import kmeans_step
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    return kmeans_step(emb, cents, dims=64)

@@ -606,3 +606,90 @@ def test_materialize_cache_is_bounded(spark):
     assert len(S._PERSISTED) == S._PERSIST_KEEP
     S.release_materialized()
     assert not S._PERSISTED
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed repetition stats on a constructed doc."""
+    from streaming_parquet_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "x y"), (3, ""), (4, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 5
+    assert r1["top_word_frac"] == 0.6          # 'a' x3 of 5
+    assert r1["top_bigram_frac"] == 0.5        # 'a a' x2 of 4
+    assert r1["frac_unique_words"] == 0.6      # {a,b,c} of 5
+    assert r1["mean_word_len"] == 1.0
+    assert rows[2]["top_bigram_frac"] == 1.0   # single bigram
+    assert rows[3]["n_words"] == 0 and rows[3]["top_word_frac"] == 0.0
+    assert rows[4]["top_bigram_frac"] == 0.0   # no bigrams
+
+
+def test_cross_contamination_detects_planted_overlap(spark):
+    """A doc sharing a long n-gram run with a benchmark doc is flagged;
+    unrelated docs are not."""
+    from streaming_parquet_spark.operators.dedup import cross_contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),                          # the benchmark doc
+            (1, "prefix alpha beta gamma delta end"), # 2 shared trigrams
+            (2, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = cross_contamination(docs, bench, n=3, min_overlap=2).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in out] == [(1, 0)]
+    assert out[0]["n_shared"] == 2
+
+
+def test_stratified_sample_rates_and_determinism(docs):
+    from streaming_parquet_spark.operators.pipeline import stratified_sample
+
+    rates = {"en": 0.10, "de": 0.50, "fr": 0.50, "es": 0.50, "zh": 0.25}
+    s1 = stratified_sample(docs, rates, strat_col="lang")
+    s2 = stratified_sample(docs, rates, strat_col="lang")
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2 and ids1  # deterministic, non-empty
+    # realized per-stratum rates within loose bounds of the targets
+    counts = dict(
+        docs.join(s1.select("doc_id"), "doc_id")
+        .groupBy("lang").count().collect()
+    )
+    totals = dict(docs.groupBy("lang").count().collect())
+    for lang, rate in rates.items():
+        got = counts.get(lang, 0) / totals[lang]
+        assert abs(got - rate) < 0.25, (lang, got, rate)
+
+
+def test_domain_mix_weights_uniform_target(docs):
+    from streaming_parquet_spark.operators.pipeline import domain_mix_weights
+    from streaming_parquet_spark.operators.text import with_token_stats
+
+    d = with_token_stats(docs)
+    out = domain_mix_weights(d, group_col="source", token_col="est_tokens")
+    rows = out.collect()
+    assert len(rows) == d.select("source").distinct().count()
+    assert all(0 < r["weight"] <= 1.0 for r in rows)
+    # weighted token mass per domain never exceeds the uniform share
+    total = sum(r["n_tokens"] for r in rows)
+    share = total / len(rows)
+    for r in rows:
+        assert r["n_tokens"] * r["weight"] <= share * 1.001
+
+
+def test_kmeans_step_masses_and_norms(emb):
+    from streaming_parquet_spark.operators.similarity import kmeans_step
+
+    cents = emb.filter(F.col("vec_id") < 8)
+    out = kmeans_step(emb, cents, dims=64).collect()
+    assert sum(r["n"] for r in out) == emb.count()
+    # fixture embeddings are L2-normalized; a mean of unit vectors has
+    # norm in (0, 1]
+    assert all(0 < r["centroid_norm"] <= 1.0 + 1e-6 for r in out)
