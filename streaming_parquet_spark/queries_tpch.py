@@ -775,6 +775,20 @@ def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _stream_workdir(prefix: str) -> str:
+    """Streaming scratch (source dir, checkpoint, sink) on tmpfs when
+    available: checkpoint commit logs and sink part files are fsync-
+    heavy, and on a disk-backed /tmp the writeback dominates these
+    seconds-long gate queries (observed as iowait during the bench)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    return _tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 @query(
     "stream_ingest_counts",
     """
@@ -798,7 +812,7 @@ def stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
     import tempfile as _tempfile
 
-    work = _tempfile.mkdtemp(prefix="maw_stream_q_")
+    work = _stream_workdir("maw_stream_q_")
     # The returned DataFrame lazily reads the landed files, so the dir
     # must outlive this call; reclaim it at interpreter exit instead.
     _atexit.register(_shutil.rmtree, work, ignore_errors=True)
@@ -912,7 +926,7 @@ def stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from streaming_parquet_spark.queries import _events
 
-    work = _tempfile.mkdtemp(prefix="maw_stream_late_")
+    work = _stream_workdir("maw_stream_late_")
     _atexit.register(_shutil.rmtree, work, ignore_errors=True)
     src_dir = _os.path.join(work, "src")
     _os.makedirs(src_dir)
@@ -948,15 +962,25 @@ def stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     out_dir = _os.path.join(work, "landed")
-    (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", _os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination(300)
-    )
+    # The dedup state store instantiates one provider per shuffle
+    # partition per micro-batch; at gate volume 32 partitions are pure
+    # commit-log overhead (~100 state dirs for 200k rows). Pin the
+    # stream's state partitioning to 8 — baked into the checkpoint at
+    # first start, so the narrower width is also what a resume sees.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     landed = spark.read.parquet(out_dir)
     return landed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
