@@ -40,30 +40,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-2 driver budget covered only the first 50 registered queries;
-# run the queries that have never had a driver-side CORRECTNESS row
-# first so a partial sweep still lands hard signal where it is missing
-# (VERDICT.md round 2, item 1).  Names absent from this list keep their
-# registration order after it.
+# The driver budget caps CORRECTNESS at ~50 rows/round, so rotate:
+# queries with no CORRECTNESS row yet run first, then the queries whose
+# newest green row is oldest (r2, i.e. absent from CORRECTNESS_r03.json),
+# so no query's newest row ever goes >1 round stale (VERDICT.md round 3,
+# item 1).  Names absent from this list keep registration order after it.
 _DRIVER_PRIORITY = [
-    # round-3 additions (no prior CORRECTNESS row) first
-    "rel_skew_join_aqe", "text_gopher_quality", "text_contamination",
-    "pipeline_domain_mix", "pipeline_stratified_sample",
-    "embed_kmeans_step",
-    # round-2 backlog
-    "q4_late_shipments", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q12_priority_lines",
-    "q13_order_count_dist", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
-    "q22_idle_customers", "rel_percentiles", "rel_grouping_sets",
-    "rel_scalar_funcs", "rel_window_funcs", "rel_array_agg",
-    "rel_salted_join_agg", "events_gap_fill", "events_asof_forward",
-    "events_asof_tolerance", "pipeline_train_split",
-    "pipeline_pack_sequences", "dedup_semantic", "embed_ann_sq8",
-    "stream_ingest_counts", "q2_min_cost_supplier", "q11_important_stock",
-    "q16_parts_supplier_cnt", "q20_promotion_suppliers",
-    "q21_waiting_suppliers", "embed_ann_ivf_sq8", "multimodal_decode",
-    "stream_late_dedup",
+    # round-4 additions (no prior CORRECTNESS row) first
+    "embed_ann_recall", "dedup_clusters_ls",
+    # queries whose newest row is r2 (absent from CORRECTNESS_r03.json)
+    "rel_join_agg_segment", "rel_semi_anti_join", "rel_distinct",
+    "rel_agg_stats", "rel_window_topk", "rel_window_running",
+    "rel_sort_limit", "rel_set_ops", "rel_except", "rel_rollup",
+    "rel_exists_subquery", "rel_cube", "rel_pivot",
+    "events_tumbling_window", "events_sliding_window",
+    "events_json_extract", "events_sessionize", "dedup_exact",
+    "text_fingerprint", "dedup_minhash_sig", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_clusters", "embed_cosine_topk", "embed_near_pairs",
+    "embed_ann_ivf", "embed_ann_lsh", "text_tokens", "text_quality",
+    "part_range_join", "events_asof_join", "pipeline_clean_corpus",
+    "text_pii_scrub", "text_ngram_df", "text_langid", "multimodal_bytes",
+    "multimodal_frames", "pipeline_hash_sample",
 ]
 
 

@@ -111,6 +111,7 @@ def main() -> None:
                 timings[name] = dt
 
     conversions, conv_fs = _conversion_bench(spark, sf_dir)
+    from streaming_parquet_spark.queries_tpch import STREAM_WORKDIR_FS as stream_fs
 
     total = round(sum(timings.values()), 4)
     print(
@@ -129,8 +130,23 @@ def main() -> None:
                     "aqe": True,
                     "runs": 2,
                     "agg": "min",
+                    "query_warmup": (
+                        "1 untimed pre-pass: broadcast join+agg, window "
+                        "row_number top-5, 64-dim embedding self-join dot "
+                        "(persist+unpersist) over orders/customer/embeddings "
+                        "subsets — compiles the shared scan/exchange/agg/"
+                        "window/codegen machinery (see _warm)"
+                    ),
                     "conversion_runs": 4,
+                    "conversion_warmup_runs": 2,
                     "conversion_workdir": conv_fs,
+                    "streaming_workdir": stream_fs,
+                    "streaming_note": (
+                        "stream_* gate queries stage source/checkpoint/sink "
+                        "on streaming_workdir; pass 2 resumes the existing "
+                        "checkpoint (exactly-once rerun), so min-of-2 "
+                        "reports the warm resume path"
+                    ),
                 },
             }
         )
