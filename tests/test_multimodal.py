@@ -96,3 +96,174 @@ def test_decode_audio_meta(blobs):
         assert r["sample_rate"] in (8000, 16000, 22050, 44100)
         assert r["n_samples"] > 0
         assert abs(r["duration_sec"] - r["n_samples"] / r["sample_rate"]) < 1e-4
+
+
+# --- Real-bytes strict tier: pure-Python PNG / WAV parsing -----------
+# Fixtures are genuine container bytes built from the public specs
+# (PNG signature/IHDR/IDAT/IEND with CRCs; RIFF/WAVE fmt+data), so the
+# strict branch is exercised on REAL payloads with no codec installed.
+
+import struct
+import zlib
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(rows, color_type=2, filters=None):
+    """Assemble a real PNG from pixel rows (tuples per pixel for color
+    types 2/4/6, ints for 0), optionally applying a PNG filter type per
+    scanline (encoding side of the decoder's unfilter)."""
+    height = len(rows)
+    flat = [
+        [v for px in row for v in (px if isinstance(px, tuple) else (px,))]
+        for row in rows
+    ]
+    bpp = len(flat[0]) // len(rows[0])
+    width = len(rows[0])
+    stride = width * bpp
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = [0] * stride
+    for line, ftype in zip(flat, filters):
+        enc = list(line)
+        if ftype == 1:  # Sub
+            for i in range(stride - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            enc = [(line[i] - prev[i]) & 0xFF for i in range(stride)]
+        elif ftype == 3:  # Average
+            enc = [
+                (line[i] - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            ]
+        elif ftype == 4:  # Paeth
+            enc = []
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((line[i] - pred) & 0xFF)
+        raw += bytes([ftype]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_wav(rate=8000, n_frames=1600, channels=1, bits=16):
+    block = channels * bits // 8
+    data = bytes(n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_png_header_real_bytes():
+    from streaming_parquet_spark.operators.multimodal import parse_png_header
+
+    png = make_png([[(10, 20, 30), (40, 50, 60)], [(1, 2, 3), (4, 5, 6)]])
+    assert parse_png_header(png) == (2, 2, 3, 8, 2, 0)
+    assert parse_png_header(b"not a png at all, nope") is None
+    assert parse_png_header(png[:20]) is None
+
+
+def test_decode_png_gray_all_filter_types():
+    from streaming_parquet_spark.operators.multimodal import decode_png_gray
+
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+        for _ in range(5)
+    ]
+    expected_luma = [76, 150, 29, 255]  # (299R+587G+114B+500)//1000
+    png = make_png(rows, filters=[0, 1, 2, 3, 4])  # one of each type
+    w, h, pix = decode_png_gray(png)
+    assert (w, h) == (4, 5)
+    assert list(pix) == expected_luma * 5
+
+    gray = make_png([[7, 200], [3, 9]], color_type=0, filters=[0, 2])
+    assert decode_png_gray(gray) == (2, 2, bytes([7, 200, 3, 9]))
+
+
+def test_parse_wav_header_real_bytes():
+    from streaming_parquet_spark.operators.multimodal import parse_wav_header
+
+    wav = make_wav(rate=22050, n_frames=44100, channels=2, bits=16)
+    assert parse_wav_header(wav) == (22050, 44100, 2.0, "WAV")
+    assert parse_wav_header(b"RIFFxxxxJUNK") is None
+    assert parse_wav_header(b"plain text") is None
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    png = make_png(
+        [[(i * 16 % 256, j * 16 % 256, 128) for i in range(6)]
+         for j in range(4)]
+    )
+    wav = make_wav(rate=16000, n_frames=8000)
+    return spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav))], "doc_id long, blob binary"
+    )
+
+
+def test_decode_images_strict_real_png(real_media):
+    rows = decode_images(real_media.filter("doc_id = 1"), strict=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"], r["channels"], r["format"]) == (
+        6, 4, 3, "PNG",
+    )
+
+
+def test_resize_strict_real_png(real_media):
+    from streaming_parquet_spark.operators.multimodal import (
+        decode_png_gray,
+        resize_images,
+    )
+
+    src = real_media.filter("doc_id = 1")
+    rows = resize_images(src, width=3, height=2, strict=True).collect()
+    assert len(rows) == 1 and len(rows[0]["resized_bytes"]) == 6
+    # nearest-neighbor on the decoded luma: (x*6//3, y*4//2) sampling
+    blob = bytes(src.first()["blob"])
+    w, h, pix = decode_png_gray(blob)
+    expect = bytes(
+        pix[(y * 4 // 2) * w + (x * 6 // 3)] for y in range(2) for x in range(3)
+    )
+    assert bytes(rows[0]["resized_bytes"]) == expect
+
+
+def test_decode_audio_strict_real_wav(real_media):
+    from streaming_parquet_spark.operators.multimodal import decode_audio
+
+    rows = decode_audio(real_media.filter("doc_id = 2"), strict=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["sample_rate"], r["n_samples"], r["format"]) == (16000, 8000, "WAV")
+    assert abs(r["duration_sec"] - 0.5) < 1e-9
+
+
+def test_strict_still_raises_on_non_media(real_media, blobs):
+    from streaming_parquet_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(Exception) as exc:
+        decode_audio(blobs, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
