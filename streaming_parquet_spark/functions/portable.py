@@ -275,17 +275,27 @@ def filter_count_expr(dialect: str, arr: str, inlist: list[str]) -> str:
     return f"{ln}({t}({arr}, w -> w IN ({lits})))"
 
 
-def hash_bucket_expr(dialect: str, id_col: str, buckets: int = 100) -> str:
+def hash_bucket_expr(
+    dialect: str, id_col: str, buckets: int = 100, seed: int = 0
+) -> str:
     """Deterministic bucket in [0, buckets) from an integer id — the
     portable primitive behind hash sampling and train/val/test splits.
     Knuth multiplicative step mod 2^31-1; the id is first reduced mod
     1_000_003 so the product stays < 2^52 (exact in BIGINT for Spark's
     ANSI mode AND in DuckDB without HUGEINT promotion). Identical text
-    in both dialects — plain arithmetic only."""
-    h = (
-        f"((CAST({id_col} AS BIGINT) % 1000003) * 2654435761)"
-        f" % {MERSENNE31}"
-    )
+    in both dialects — plain arithmetic only.
+
+    ``seed`` salts the hash per PURPOSE: with one unseeded hash,
+    (h % 1000) % 100 == h % 100, so a 1000-bucket stratified-sample
+    filter composed with a later 100-bucket split over the same id
+    correlates (a kept stratum at a non-multiple-of-0.1 rate feeds the
+    downstream split a biased residue mix). Distinct seeds make the
+    bucket assignments of different pipeline stages independent. seed=0
+    reproduces the historical unsalted expression byte-for-byte."""
+    base = f"CAST({id_col} AS BIGINT) % 1000003"
+    if seed:
+        base = f"(({base}) + {int(seed)}) % 1000003"
+    h = f"(({base}) * 2654435761) % {MERSENNE31}"
     return f"(({h}) % {buckets})"
 
 

@@ -103,12 +103,20 @@ def pack_sequences(
     )
 
 
+#: Purpose salt for stratified sampling — distinct from the unseeded
+#: (seed=0) hash used by hash_sample/with_split so composing a stratum
+#: filter with a later split over the same id stays unbiased (see
+#: functions.portable.hash_bucket_expr).
+STRATIFIED_SEED = 1
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],
     strat_col: str = "lang",
     id_col: str = "doc_id",
     default_rate: float = 0.0,
+    seed: int = STRATIFIED_SEED,
 ) -> DataFrame:
     """Deterministic per-stratum sampling: keep a row iff its hash
     bucket (out of 1000) falls under the stratum's rate. The membership
@@ -118,13 +126,18 @@ def stratified_sample(
     engine-to-engine. One scan, filter only, no shuffle; the CASE
     branches are a broadcast-free way to attach per-stratum thresholds
     when the stratum set is small and known (a join against a rates
-    table is the dynamic-rate variant)."""
-    b = F.expr(hash_bucket_expr("spark", id_col, 1000))
-    expr = None
-    for val, rate in sorted(rates.items()):
-        branch = (F.col(strat_col) == val, F.lit(int(rate * 1000)))
-        expr = F.when(*branch) if expr is None else expr.when(*branch)
-    expr = expr.otherwise(F.lit(int(default_rate * 1000)))
+    table is the dynamic-rate variant).
+
+    The hash is salted with ``seed`` so this stage's buckets are
+    independent of the unseeded hash_sample/with_split buckets — an
+    unsalted 1000-bucket filter would leak into a later 100-bucket
+    split because (h % 1000) % 100 == h % 100."""
+    b = F.expr(hash_bucket_expr("spark", id_col, 1000, seed=seed))
+    expr = F.lit(int(default_rate * 1000))
+    for val, rate in sorted(rates.items(), reverse=True):
+        expr = F.when(
+            F.col(strat_col) == val, F.lit(int(rate * 1000))
+        ).otherwise(expr)
     return df.filter(b < expr)
 
 

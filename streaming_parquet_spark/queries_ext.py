@@ -1310,8 +1310,9 @@ _STRAT_RATES = {"en": 0.10, "de": 0.50, "fr": 0.50, "es": 0.50, "zh": 0.25}
 
 def _duck_stratified() -> str:
     from streaming_parquet_spark.functions.portable import hash_bucket_expr
+    from streaming_parquet_spark.operators.pipeline import STRATIFIED_SEED
 
-    b = hash_bucket_expr("duckdb", "doc_id", 1000)
+    b = hash_bucket_expr("duckdb", "doc_id", 1000, seed=STRATIFIED_SEED)
     case = "CASE lang " + " ".join(
         f"WHEN '{k}' THEN {int(v * 1000)}"
         for k, v in sorted(_STRAT_RATES.items())

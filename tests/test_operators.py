@@ -648,24 +648,73 @@ def test_cross_contamination_detects_planted_overlap(spark):
     assert out[0]["n_shared"] == 2
 
 
-def test_stratified_sample_rates_and_determinism(docs):
-    from streaming_parquet_spark.operators.pipeline import stratified_sample
+def _expected_bucket(doc_id: int, buckets: int, seed: int) -> int:
+    """Python replica of functions.portable.hash_bucket_expr."""
+    return (
+        ((doc_id % 1000003 + seed) % 1000003) * 2654435761 % (2**31 - 1)
+    ) % buckets
+
+
+def test_stratified_sample_exact_membership(docs):
+    """The kept set is EXACTLY the rows whose salted 1000-bucket falls
+    under the stratum rate — no tolerance, the hash is deterministic."""
+    from streaming_parquet_spark.operators.pipeline import (
+        STRATIFIED_SEED,
+        stratified_sample,
+    )
 
     rates = {"en": 0.10, "de": 0.50, "fr": 0.50, "es": 0.50, "zh": 0.25}
     s1 = stratified_sample(docs, rates, strat_col="lang")
-    s2 = stratified_sample(docs, rates, strat_col="lang")
-    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
-    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
-    assert ids1 == ids2 and ids1  # deterministic, non-empty
-    # realized per-stratum rates within loose bounds of the targets
-    counts = dict(
-        docs.join(s1.select("doc_id"), "doc_id")
-        .groupBy("lang").count().collect()
+    got = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    src = docs.select("doc_id", "lang").collect()
+    expect = sorted(
+        r["doc_id"]
+        for r in src
+        if _expected_bucket(r["doc_id"], 1000, STRATIFIED_SEED)
+        < int(rates.get(r["lang"], 0) * 1000)
     )
-    totals = dict(docs.groupBy("lang").count().collect())
-    for lang, rate in rates.items():
-        got = counts.get(lang, 0) / totals[lang]
-        assert abs(got - rate) < 0.25, (lang, got, rate)
+    assert got == expect and got  # exact and non-empty
+    # deterministic across invocations
+    got2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, rates, strat_col="lang")
+        .select("doc_id").collect()
+    )
+    assert got == got2
+
+
+def test_stratified_sample_empty_rates_uses_default(docs):
+    from streaming_parquet_spark.operators.pipeline import stratified_sample
+
+    assert stratified_sample(docs, {}, strat_col="lang").count() == 0
+    half = stratified_sample(docs, {}, strat_col="lang", default_rate=0.5)
+    n, total = half.count(), docs.count()
+    assert 0 < n < total
+
+
+def test_stratified_buckets_independent_of_split_buckets(docs):
+    """The purpose salt decorrelates the stratum filter from a later
+    split: within the stratified-kept set, the unseeded 100-bucket
+    residues stay near-uniform (unsalted, a 0.25 stratum rate would
+    give residues 0-49 ~3x the mass of 50-99)."""
+    from streaming_parquet_spark.operators.pipeline import (
+        STRATIFIED_SEED,
+        stratified_sample,
+    )
+
+    kept = stratified_sample(
+        docs, {"en": 0.25}, strat_col="lang"
+    ).select("doc_id").collect()
+    lo = sum(1 for r in kept if _expected_bucket(r["doc_id"], 100, 0) < 50)
+    hi = len(kept) - lo
+    assert len(kept) > 50
+    assert hi > 0.5 * lo, (lo, hi)  # unsalted composition gives hi ~= lo/3
+    # sanity: the salt actually changes the assignment
+    assert any(
+        _expected_bucket(r["doc_id"], 1000, STRATIFIED_SEED)
+        != _expected_bucket(r["doc_id"], 1000, 0)
+        for r in kept
+    )
 
 
 def test_domain_mix_weights_uniform_target(docs):
