@@ -2,23 +2,36 @@
 pairs (the final stage of a fuzzy-dedup pipeline: pairs -> clusters ->
 keep one representative per cluster).
 
-Spark-first iterative min-label propagation: every node starts labeled
-with itself; each round, a node adopts the minimum label in its
-neighborhood (one join + one groupBy-min per round); converges in
-O(graph diameter) rounds. Near-dup graphs are unions of small
-quasi-cliques, so the diameter — and round count — is tiny in practice.
-The per-round convergence check is a scalar count (no data collected to
-the driver). For adversarially long-chain graphs at extreme scale,
-swap in the large-star/small-star contraction (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC 2014) — same
-operator signature.
+Two interchangeable Spark-first iterations, same signature and same
+fixpoint (component = min reachable id):
+
+* ``connected_components`` — min-label propagation: every node starts
+  labeled with itself; each round a node adopts the minimum label in
+  its neighborhood (one join + one groupBy-min per round); converges in
+  O(graph diameter) rounds. Near-dup graphs are unions of small
+  quasi-cliques, so the diameter — and round count — is tiny in
+  practice.
+* ``connected_components_star`` — large-star/small-star edge
+  contraction (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC 2014): alternating rounds rewire every edge toward the
+  neighborhood minimum, converging in O(log^2 n) — the extreme-scale
+  swap when a component's diameter is adversarially long (chains) and
+  label propagation would need O(diameter) shuffles.
+
+Both run the per-round convergence check as an Observation riding the
+round's own materialization job (no data collected to the driver).
 
 The reference has no clustering of any kind (SURVEY §2.11 extension).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import (
+    DataFrame,
+    Observation,
+    Window as W,
+    functions as F,
+)
 
 
 def connected_components(
@@ -114,15 +127,153 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC 2014 — public algorithm). Same contract as
+    ``connected_components``: returns (id, component) with component =
+    min reachable node id, only for nodes appearing in ``pairs``.
+
+    Each round alternates two edge rewrites, each ONE window shuffle:
+
+    * large-star — for every node u with neighborhood G(u), connect
+      each strictly LARGER neighbor v > u to m = min(G(u) + {u}):
+      long chains contract toward small ids in halving steps;
+    * small-star — orient edges large->small, and for every node h
+      connect each smaller neighbor and h itself to m = min of the
+      smaller neighborhood: turns each local tree into a star.
+
+    Converges in O(log^2 n) rounds regardless of component diameter —
+    the property min-label propagation lacks — at the cost of touching
+    the edge set (not the label set) each round. At fixpoint the edge
+    set is a star forest: every edge is (node -> its component min).
+    Rewire counts ride each phase's materialization as Observations;
+    the driver sees two scalars per round."""
+    spark = pairs.sparkSession
+    base = pairs.select(
+        F.col(src_col).cast("long").alias("s"),
+        F.col(dst_col).cast("long").alias("d"),
+    ).persist()
+    n_pairs = base.count()
+    # Right-size like connected_components: the dup graph is tiny
+    # relative to the corpus; full-width rounds are scheduling overhead.
+    p = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n_pairs // 100_000 + 1),
+    )
+    edges = (
+        base.coalesce(p)
+        .filter(F.col("s") != F.col("d"))
+        .select(F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Self-pairs carry no connectivity but DO put their node in the
+    # output (contract: every node appearing in ``pairs``) — the label
+    # version gets this for free; track them explicitly here.
+    singles = (
+        base.filter(F.col("s") == F.col("d"))
+        .select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+
+    for _ in range(max_iter):
+        # -- large-star: for each u (as source, both orientations),
+        # m = min(neighbors + self); rewire larger neighbors to m.
+        bidir = edges.unionByName(
+            edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        wl = W.partitionBy("s")
+        obs_l = Observation()
+        ls = (
+            bidir.withColumn(
+                "m", F.least(F.min("d").over(wl), F.col("s"))
+            )
+            .filter(F.col("d") > F.col("s"))
+            # rewired iff the larger neighbor's new target m differs
+            # from its old target s
+            .observe(
+                obs_l,
+                F.sum(
+                    (F.col("m") != F.col("s")).cast("long")
+                ).alias("rewired"),
+            )
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rewired_l = int(obs_l.get["rewired"] or 0)
+
+        # -- small-star: edges are (larger -> smaller) after
+        # large-star; for each larger endpoint h, m = min of its
+        # smaller neighborhood; connect every smaller neighbor and
+        # h itself to m. flag marks actual rewires (l != m).
+        ws = W.partitionBy("s")
+        star = ls.withColumn("m", F.min("d").over(ws))
+        rewires = star.filter(F.col("d") != F.col("m")).select(
+            F.col("d").alias("s"),
+            F.col("m").alias("d"),
+            F.lit(1).alias("flag"),
+        )
+        spokes = star.select("s", F.col("m").alias("d"), F.lit(0).alias("flag"))
+        obs_s = Observation()
+        ss = (
+            rewires.unionByName(spokes)
+            .observe(obs_s, F.sum("flag").alias("rewired"))
+            .select("s", "d")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rewired_s = int(obs_s.get["rewired"] or 0)
+
+        edges.unpersist()
+        edges = ss
+        if rewired_l == 0 and rewired_s == 0:
+            break
+
+    # Star forest -> labels: every edge is (member -> component min);
+    # the final edge checkpoint stays live — the returned frame reads it
+    # (same lifetime discipline as connected_components' final labels).
+    # centers label themselves. groupBy-min guards the (max_iter hit
+    # before convergence) partial case with the same fixpoint semantics.
+    members = edges.select(F.col("s").alias("id"), F.col("d").alias("component"))
+    centers = (
+        edges.select(F.col("d").alias("id"))
+        .withColumn("component", F.col("id"))
+    )
+    return (
+        members.unionByName(centers)
+        .unionByName(singles)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Cluster summary over near-dup pairs: one row per duplicate
     cluster with the representative (min id) and the member count.
-    Downstream dedup keeps rep_id and drops the other members."""
-    comp = connected_components(pairs, src_col, dst_col)
+    Downstream dedup keeps rep_id and drops the other members.
+
+    ``algorithm``: "label" (min-label propagation, O(diameter) rounds —
+    right for quasi-clique dup graphs) or "star" (large-star/small-star,
+    O(log^2 n) rounds — right for adversarial diameters). Identical
+    fixpoint, so results match row-for-row."""
+    cc = {"label": connected_components, "star": connected_components_star}[
+        algorithm
+    ]
+    comp = cc(pairs, src_col, dst_col)
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -289,6 +289,22 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+@query("dedup_clusters_ls", _duck_clusters_oracle(_duck_lsh_oracle(16, 8, 0.5)))
+def dedup_clusters_ls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dup-cluster summary computed by the large-star/small-star
+    contraction (Kiveris et al., SoCC 2014) instead of min-label
+    propagation — O(log^2 n) rounds independent of component diameter,
+    the extreme-scale iteration. Shares the dedup_clusters oracle:
+    identical fixpoint, identical rows."""
+    from streaming_parquet_spark.operators.cluster import dedup_clusters
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=8,
+        jaccard_threshold=0.5,
+    )
+    return dedup_clusters(pairs, algorithm="star")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -178,6 +178,62 @@ def test_connected_components_chain_and_clique(spark):
     assert clusters == {1: 4, 10: 3, 20: 2}
 
 
+def test_star_cc_matches_label_cc(spark):
+    """Large-star/small-star reaches the same fixpoint as min-label
+    propagation on a mixed graph (chain + clique + random edges +
+    self-pair)."""
+    import random
+
+    from streaming_parquet_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+        dedup_clusters,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, i + 1) for i in range(20)]
+    rows += [(a, b) for a in range(100, 108) for b in range(a + 1, 108)]
+    rows += [
+        (rng.randrange(200, 320), rng.randrange(200, 320)) for _ in range(80)
+    ]
+    rows.append((400, 400))  # self-pair: node appears, no connectivity
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    a = sorted(map(tuple, connected_components(pairs, max_iter=60).collect()))
+    b = sorted(map(tuple, connected_components_star(pairs).collect()))
+    assert a == b and (400, 400) in b
+    # the two dedup_clusters algorithms agree row-for-row
+    c1 = sorted(map(tuple, dedup_clusters(pairs).collect()))
+    c2 = sorted(map(tuple, dedup_clusters(pairs, algorithm="star").collect()))
+    assert c1 == c2
+
+
+def test_star_cc_converges_where_label_cannot(spark):
+    """Iteration-count comparison: on a diameter-60 chain, the star
+    contraction converges within 8 rounds (O(log^2 n)) while min-label
+    propagation — one hop per round — provably cannot (needs ~60)."""
+    from streaming_parquet_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    star = connected_components_star(chain, max_iter=8).collect()
+    assert len(star) == 61 and all(r["component"] == 0 for r in star)
+    label = connected_components(chain, max_iter=8).collect()
+    assert any(r["component"] != 0 for r in label)
+
+
+def test_star_cc_empty_pairs(spark):
+    from streaming_parquet_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).collect() == []
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Co-bucketed tables join with zero shuffles — the scale payoff of
     bucketing: each task reads bucket i of both sides."""
