@@ -310,9 +310,8 @@ def dedup_clusters_ls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "embed_cosine_topk",
-    f"""
+def _duck_cosine_topk_oracle(k: int = 10) -> str:
+    return f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < 5),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -324,9 +323,11 @@ def dedup_clusters_ls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank
           FROM s)
     SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
-    FROM r WHERE rank <= 10
-    """,
-)
+    FROM r WHERE rank <= {k}
+    """
+
+
+@query("embed_cosine_topk", _duck_cosine_topk_oracle(10))
 def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (embeddings are
     L2-normalized -> dot == cosine). Broadcast queries, window top-k."""
@@ -1181,6 +1182,54 @@ def embed_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_sq8_topk(
         emb, emb.filter(F.col("vec_id") < 5),
         k=10, n_centroids=8, n_probe=2, rerank=4, dims=64,
+    )
+
+
+def _duck_ann_recall_oracle() -> str:
+    # Both sub-oracles are fully deterministic (ties broken by id), so
+    # the recall scalar is exact and hash-stable. DuckDB permits CTEs
+    # inside derived tables, so the two existing oracles compose as-is.
+    return f"""
+    SELECT e.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           ROUND(COUNT(a.neighbor_id) / 10.0, 4) AS recall_at_10
+    FROM ({_duck_cosine_topk_oracle(10)}) e
+    LEFT JOIN ({_duck_ivf_sq8_oracle(10, 8, 2, 4, 64)}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("embed_ann_recall", _duck_ann_recall_oracle())
+def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality pinned NUMERICALLY in the gate: recall@10 of the
+    tiered ivf_sq8_topk (n_centroids=8, n_probe=2, rerank=4) against
+    the exact cosine top-10, per query. Both sides are deterministic,
+    so the DuckDB oracle reproduces the same scalar — a recall
+    regression flips the value hash. Documented floor on the fixtures
+    (asserted in tests/test_operators.py::test_ann_recall_floor):
+    per-query recall_at_10 >= 0.7, mean >= 0.85; observed 0.8-1.0 at
+    sf0.001 and 0.7-1.0 at sf0.01."""
+    from streaming_parquet_spark.operators.similarity import (
+        cosine_topk,
+        ivf_sq8_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=10, dims=64).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_sq8_topk(
+        emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
+    ).select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(10.0), 4).alias("recall_at_10"),
+        )
     )
 
 

@@ -225,6 +225,21 @@ def test_star_cc_converges_where_label_cannot(spark):
     assert any(r["component"] != 0 for r in label)
 
 
+def test_ann_recall_floor(spark, sf_dir):
+    """Documented quality floor for the tiered ANN path (n_centroids=8,
+    n_probe=2, rerank=4 vs exact cosine): per-query recall@10 >= 0.7,
+    mean >= 0.85. The gate query embed_ann_recall pins the exact values
+    via the DuckDB oracle; this is the human-readable bound."""
+    import streaming_parquet_spark.queries_ext  # noqa: F401  (registers)
+    from streaming_parquet_spark.queries import QUERIES
+
+    rows = QUERIES["embed_ann_recall"](spark, sf_dir).collect()
+    recalls = [r["recall_at_10"] for r in rows]
+    assert len(recalls) == 5
+    assert min(recalls) >= 0.7, recalls
+    assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+
 def test_star_cc_empty_pairs(spark):
     from streaming_parquet_spark.operators.cluster import (
         connected_components_star,
