@@ -141,6 +141,86 @@ def stratified_sample(
     return df.filter(b < expr)
 
 
+#: Purpose salts (see hash_bucket_expr): 2 = fixed-size per-stratum
+#: sampling, 3 = domain-mix resampling — independent of each other and
+#: of the unseeded sample/split hash and the stratified seed 1.
+TOPN_SEED = 2
+RESAMPLE_SEED = 3
+
+
+def topn_per_stratum(
+    df: DataFrame,
+    n: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = TOPN_SEED,
+    safety: int = 4,
+) -> DataFrame:
+    """Deterministic EXACT-size per-stratum sample: the ``n`` rows of
+    each stratum with the smallest salted hash (ties by id). Unlike
+    rate-based sampling, output size is exactly min(n, stratum size) —
+    the shape for carving fixed eval/calibration sets.
+
+    Scale design: a naive window over each stratum puts a dominant
+    stratum's 100 TB of rows through one partition. Instead: (1) one
+    narrow count per stratum; (2) broadcast per-stratum hash thresholds
+    ~ safety * n / count of the million-bucket space, pruning the
+    corpus to ~safety*n rows per stratum at the scan; (3) the exact
+    row_number window runs on that tiny survivor set. Strata with
+    count <= safety*n keep threshold 1M (no pruning), so the result is
+    exact whenever the hash spreads at most ``safety``x worse than
+    uniform over the stratum — the deterministic analogue of reservoir
+    sampling's union bound, and the same integer arithmetic the DuckDB
+    oracle replays."""
+    h = F.expr(hash_bucket_expr("spark", id_col, 1_000_000, seed=seed))
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # Integer division (DIV) on both engines — double division + CAST
+    # would truncate in Spark but round in DuckDB. The numerator is
+    # precomputed in Python: written inline it would be an INT-literal
+    # product that overflows under ANSI for large n.
+    numer = 1_000_000 * int(n) * int(safety)
+    thresholds = counts.select(
+        strat_col,
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(f"CAST({numer} DIV __cnt AS BIGINT)"),
+        ).alias("__th"),
+    )
+    pruned = (
+        df.withColumn("__h", h)
+        .join(F.broadcast(thresholds), strat_col)
+        .filter(F.col("__h") < F.col("__th"))
+    )
+    w = W.partitionBy(strat_col).orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__h", "__th", "__rn")
+    )
+
+
+def domain_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = RESAMPLE_SEED,
+) -> DataFrame:
+    """Materialize a mixture: keep each row iff its salted hash bucket
+    (of 1000) falls under its domain's weight — the application step
+    for ``domain_mix_weights`` output (weights in [0, 1], column
+    ``weight``). Broadcast join against the domain-count weights table
+    (tiny), then a pure filter: no corpus shuffle, deterministic, and
+    composable with later splits because the hash is purpose-salted."""
+    b = F.expr(hash_bucket_expr("spark", id_col, 1000, seed=seed))
+    w = weights.select(group_col, F.floor(F.col("weight") * 1000).alias("__wth"))
+    return (
+        df.join(F.broadcast(w), group_col)
+        .filter(b < F.col("__wth"))
+        .drop("__wth")
+    )
+
+
 def domain_mix_weights(
     df: DataFrame,
     group_col: str = "source",

@@ -8,7 +8,7 @@ at 100 TB these run inside whole-stage codegen alongside the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from streaming_parquet_spark.functions.portable import (
     filter_count_expr,
@@ -129,6 +129,61 @@ def ngram_counts(
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Ranking key is the RATIONAL score tf * (N+1) / (df+1) — a monotone
+    idf in df for fixed tf, computed with one IEEE double division that
+    both engines round identically, so ranks are bit-stable cross-engine
+    (a log-based key would hang tie-breaks on libm's last ulp). The
+    familiar smoothed log score tf * (ln((N+1)/(df+1)) + 1) is emitted
+    alongside, rounded to 4dp, as ``score``.
+
+    Output: id, term, tf, df, score, rank (rank <= k, ties by term).
+    Shuffle shape at 100 TB: explode -> partial-aggregated (doc, term)
+    counts -> term-level document frequencies (vocab-sized, tiny) joined
+    back — the DF side is broadcastable; N rides a 1-row broadcast."""
+    words = F.expr(
+        f"filter(split(trim({text_col}), ' +'), w -> w <> '')"
+    )
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(words).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("__n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__key",
+            F.col("tf") * (F.col("__n") + 1) / (F.col("df") + 1),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1),
+                4,
+            ),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.col("__key").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "score", "rank")
     )
 
 

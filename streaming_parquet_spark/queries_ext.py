@@ -1403,6 +1403,112 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_topn_stratum(n: int, safety: int) -> str:
+    from streaming_parquet_spark.functions.portable import hash_bucket_expr
+    from streaming_parquet_spark.operators.pipeline import TOPN_SEED
+
+    hv = hash_bucket_expr("duckdb", "doc_id", 1_000_000, seed=TOPN_SEED)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang, source, {hv} AS hv FROM documents
+    ),
+    c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    t AS (SELECT lang,
+                 LEAST(1000000, {1_000_000 * n * safety} // cnt) AS th
+          FROM c),
+    p AS (SELECT h.doc_id, h.lang, h.source, h.hv
+          FROM h JOIN t ON h.lang = t.lang WHERE h.hv < t.th),
+    r AS (SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY hv, doc_id) AS rn
+          FROM p)
+    SELECT doc_id, lang, source FROM r WHERE rn <= {n}
+    """
+
+
+@query("pipeline_topn_per_stratum", _duck_topn_stratum(20, 4))
+def pipeline_topn_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size per-language sample (20 docs each): smallest salted
+    hash wins — the deterministic eval-set carve. Scale path: broadcast
+    per-stratum hash thresholds prune the corpus at the scan before the
+    tiny row_number window. See operators.pipeline.topn_per_stratum."""
+    from streaming_parquet_spark.operators.pipeline import topn_per_stratum
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return topn_per_stratum(d, n=20, strat_col="lang")
+
+
+def _duck_domain_resample() -> str:
+    from streaming_parquet_spark.functions.portable import hash_bucket_expr
+    from streaming_parquet_spark.operators.pipeline import RESAMPLE_SEED
+
+    b = hash_bucket_expr("duckdb", "doc_id", 1000, seed=RESAMPLE_SEED)
+    return f"""
+    WITH mix AS ({_duck_domain_mix()})
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN mix ON d.source = mix.source
+    WHERE {b} < CAST(FLOOR(mix.weight * 1000) AS BIGINT)
+    """
+
+
+@query("pipeline_domain_resample", _duck_domain_resample())
+def pipeline_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the uniform-target mix weights as an actual resample:
+    broadcast the tiny weights table, keep rows whose purpose-salted
+    hash falls under floor(weight*1000). The materialization step after
+    pipeline_domain_mix; filter-only over the corpus, no shuffle. See
+    operators.pipeline.domain_resample."""
+    from streaming_parquet_spark.operators.pipeline import (
+        domain_mix_weights,
+        domain_resample,
+    )
+    from streaming_parquet_spark.operators.text import with_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = domain_mix_weights(
+        with_token_stats(docs), group_col="source", token_col="est_tokens"
+    )
+    return domain_resample(
+        docs.select("doc_id", "source"), weights, group_col="source"
+    )
+
+
+def _duck_tfidf_topk(k: int) -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), ' +'),
+                                w -> w <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM w GROUP BY id, term),
+    dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+      SELECT tf.id, tf.term, tf.tf, dfr.df,
+             tf.tf * (n.n + 1) / (dfr.df + 1) AS key,
+             ROUND(tf.tf * (LN((n.n + 1) / (dfr.df + 1)) + 1), 4) AS score
+      FROM tf JOIN dfr ON tf.term = dfr.term, n
+    ),
+    r AS (SELECT id, term, tf, df, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY id
+                   ORDER BY key DESC, term) AS INTEGER) AS rank
+          FROM s)
+    SELECT id, term, tf, df, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query("text_tfidf_topk", _duck_tfidf_topk(5))
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF, ranked on the
+    rational key tf*(N+1)/(df+1) (one IEEE division — bit-stable
+    cross-engine, unlike a libm log) with the familiar smoothed-log
+    score emitted at 4dp. See operators.text.tfidf_topk."""
+    from streaming_parquet_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
 def _duck_kmeans_step(n_centroids: int, dims: int, scale: int) -> str:
     aff = dot_expr("duckdb", "v.embedding", "c.embedding")
     sums = " + ".join(

@@ -788,6 +788,80 @@ def test_stratified_buckets_independent_of_split_buckets(docs):
     )
 
 
+def test_topn_per_stratum_exact_size_and_determinism(docs):
+    from streaming_parquet_spark.operators.pipeline import topn_per_stratum
+
+    out = topn_per_stratum(
+        docs.select("doc_id", "lang"), n=10, strat_col="lang"
+    )
+    sizes = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    totals = dict(docs.groupBy("lang").count().collect())
+    assert sizes == {k: min(10, v) for k, v in totals.items()}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in topn_per_stratum(
+            docs.select("doc_id", "lang"), n=10, strat_col="lang"
+        ).collect()
+    )
+    assert a == b
+    # n larger than every stratum -> identity
+    n_all = topn_per_stratum(
+        docs.select("doc_id", "lang"), n=10**6, strat_col="lang"
+    ).count()
+    assert n_all == docs.count()
+
+
+def test_domain_resample_respects_weights(docs):
+    from streaming_parquet_spark.operators.pipeline import (
+        domain_mix_weights,
+        domain_resample,
+    )
+    from streaming_parquet_spark.operators.text import with_token_stats
+
+    weights = domain_mix_weights(
+        with_token_stats(docs), group_col="source", token_col="est_tokens"
+    )
+    kept = domain_resample(docs.select("doc_id", "source"), weights)
+    w = {r["source"]: r["weight"] for r in weights.collect()}
+    totals = dict(docs.groupBy("source").count().collect())
+    got = dict(kept.groupBy("source").count().collect())
+    for src, total in totals.items():
+        if w[src] >= 1.0:  # weight-1 domains keep everything
+            assert got.get(src, 0) == total
+        else:  # realized rate tracks the weight (binomial-ish bound)
+            rate = got.get(src, 0) / total
+            assert abs(rate - w[src]) < 0.15 + 2.0 / total**0.5, (src, rate)
+
+
+def test_tfidf_topk_ranks_rare_terms_higher(spark):
+    from streaming_parquet_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare common"),
+            (2, "common filler filler"),
+            (3, "common other words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: 'rare' (df=1) outranks 'common' (df=3) despite tf 1 vs 3?
+    # rational key: rare 1*4/2=2.0, common 3*4/4=3.0 -> common first,
+    # rare second; both in top-2 and ranks deterministic
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["term"] for r in d1] == ["common", "rare"]
+    assert d1[0]["df"] == 3 and d1[1]["df"] == 1
+    # every doc yields exactly min(k, n_distinct_terms) rows
+    assert len(by_doc[2]) == 2 and len(by_doc[3]) == 2
+    # ranks are 1..k with no gaps
+    for rows in by_doc.values():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
 def test_domain_mix_weights_uniform_target(docs):
     from streaming_parquet_spark.operators.pipeline import domain_mix_weights
     from streaming_parquet_spark.operators.text import with_token_stats
