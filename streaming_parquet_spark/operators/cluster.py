@@ -282,3 +282,48 @@ def dedup_clusters(
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
     )
+
+
+def cluster_representatives(
+    pairs: DataFrame,
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    algorithm: str = "label",
+) -> DataFrame:
+    """Quality-aware representative selection: cluster the near-dup
+    graph, then keep the highest-``quality_col`` member of each cluster
+    (ties broken by min id) instead of the arbitrary min-id rule — the
+    "keep the best copy" policy (longest text, highest quality score,
+    freshest crawl) used when dropping near-duplicates.
+
+    Output: one row per cluster — component, rep_id (the argmax
+    member), best quality value, cluster_size.
+
+    Plan: components (iterative, see connected_components*) -> join the
+    member ids back to ``docs`` (the dup graph is tiny relative to the
+    corpus, so the component map broadcasts; at extreme scale it's a
+    shuffle equi-join on the id) -> max_by argmax per component: a
+    single partial-aggregated shuffle carrying (quality, id) pairs, no
+    window over member rows."""
+    cc = {"label": connected_components, "star": connected_components_star}[
+        algorithm
+    ]
+    comp = cc(pairs)
+    members = comp.join(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+        ),
+        "id",
+    )
+    # argmax = max over (quality, -id): max_by with a struct key gives
+    # the lexicographic max, so negate the id to break ties downward.
+    key = F.struct(F.col("__q").alias("q"), (-F.col("id")).alias("nid"))
+    return (
+        members.groupBy("component")
+        .agg(
+            F.max_by(F.col("id"), key).alias("rep_id"),
+            F.max("__q").alias("best_quality"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
+    )

@@ -146,6 +146,7 @@ def stratified_sample(
 #: of the unseeded sample/split hash and the stratified seed 1.
 TOPN_SEED = 2
 RESAMPLE_SEED = 3
+BUDGET_SEED = 4
 
 
 def topn_per_stratum(
@@ -255,4 +256,42 @@ def domain_mix_weights(
             ),
             4,
         ).alias("weight"),
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = BUDGET_SEED,
+) -> DataFrame:
+    """Deterministic per-domain token-budget selection: stream each
+    domain's documents in salted-hash order (a stable uniform shuffle)
+    and keep documents until the domain's token budget is exhausted —
+    the "take N tokens per source" step that turns mixture weights into
+    an actual corpus. A document is kept iff it STARTS under budget, so
+    realized tokens may overshoot by at most one document (the standard
+    convention — never undershoots a non-empty domain).
+
+    Deterministic: order is (salted hash, id) — a pure function of the
+    id, reproducible across engines and cluster sizes, and independent
+    of other pipeline stages' buckets (purpose seed 4).
+
+    Scale: one shuffle on group_col; the running sum is a streaming
+    frame (no buffering). A domain is one window partition — right
+    whenever per-domain volume fits a partition's scan budget; for a
+    single domain at 100 TB, pre-shard the domain (salt the group key
+    mod k, budget/k per shard) — same plan, composed twice."""
+    h = F.expr(hash_bucket_expr("spark", id_col, 1_000_000, seed=seed))
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(F.col(token_col).cast("bigint")).over(w)
+    return (
+        df.withColumn("cum_tokens", running)
+        .filter(F.col("cum_tokens") - F.col(token_col) < budget)
     )

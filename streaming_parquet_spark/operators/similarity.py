@@ -627,3 +627,32 @@ def kmeans_step(
     return agg.select(
         "cluster", "n", F.round(F.sqrt(sq), 4).alias("centroid_norm")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Deterministic random-projection dimensionality reduction:
+    y_j = dot(v, plane_j) over the same arithmetically-derived
+    pseudo-random hyperplanes as the LSH signature (Johnson-
+    Lindenstrauss style; sign(y_j) IS the LSH bit, so this is the
+    continuous form of with_lsh_signature). Use it to cut embedding
+    width before pairwise stages — distances are preserved within
+    ~(1 +/- eps) at out_dims = O(log n / eps^2).
+
+    Output: id, p0..p{out_dims-1} (rounded 4dp). Shuffle-free: a pure
+    per-row projection evaluated inside the scan stage; the planes are
+    never materialized (each component is a constant-folded arithmetic
+    literal), so nothing broadcasts and the oracle replays the exact
+    same doubles."""
+    cols = [
+        F.round(
+            F.expr(lsh_plane_dot(vec_col, p, dims, "spark")), 4
+        ).alias(f"p{p}")
+        for p in range(out_dims)
+    ]
+    return df.select(F.col(id_col), *cols)

@@ -251,3 +251,53 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("__ws", "__bg", "__top_w", "__top_b")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Sliding-window document chunking: word windows of ``size`` tokens
+    every ``stride`` tokens (overlap = size - stride) — the retrieval /
+    context-window prep step (RAG indexing, long-doc truncation-free
+    pretraining). Chunk k covers words [k*stride+1, k*stride+size];
+    the last chunk may be short; a doc shorter than ``size`` yields one
+    chunk; an empty doc yields none.
+
+    Shape: narrow explode (no shuffle) — each row fans out to
+    ceil(max(n-size,0)/stride)+1 chunk rows inside the scan stage; at
+    100 TB the output lands ~size/stride x larger than the input and
+    flows straight into the next stage (tokenize/embed) with no
+    exchange. The word array is let-bound (see shingles_expr note) so
+    the split runs once per document, not once per chunk."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    from streaming_parquet_spark.functions.portable import ordered_words_expr
+
+    words = ordered_words_expr("spark", text_col)
+    n_chunks = (
+        f"1 + CAST((greatest(size(ws) - {size}, 0) + {stride - 1})"
+        f" DIV {stride} AS INT)"
+    )
+    chunks = (
+        f"element_at(transform(array({words}), ws -> "
+        f"CASE WHEN size(ws) = 0 OR ws = array('') THEN "
+        f"CAST(array() AS array<struct<n_tokens: bigint, chunk: string>>) "
+        f"ELSE transform(sequence(0, {n_chunks} - 1), k -> "
+        f"named_struct("
+        f"'n_tokens', CAST(least({size}, size(ws) - k * {stride}) AS BIGINT), "
+        f"'chunk', concat_ws(' ', slice(ws, k * {stride} + 1, {size})))) "
+        f"END), 1)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("chunk_id", "c"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
