@@ -49,6 +49,8 @@ _DRIVER_PRIORITY = [
     # round-4 additions (no prior CORRECTNESS row) first
     "embed_ann_recall", "dedup_clusters_ls", "pipeline_topn_per_stratum",
     "pipeline_domain_resample", "text_tfidf_topk",
+    "dedup_paragraphs", "text_chunk_docs", "pipeline_token_budget",
+    "dedup_cluster_reps", "embed_random_projection",
     # queries whose newest row is r2 (absent from CORRECTNESS_r03.json)
     "rel_join_agg_segment", "rel_semi_anti_join", "rel_distinct",
     "rel_agg_stats", "rel_window_topk", "rel_window_running",

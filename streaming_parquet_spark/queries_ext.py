@@ -1547,3 +1547,229 @@ def embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8)
     return kmeans_step(emb, cents, dims=64)
+
+
+# ---------------------------------------------------------------------------
+# round 4: span dedup / chunking / token budget / cluster reps / projection
+# ---------------------------------------------------------------------------
+
+
+def _block_spans_spark(text_col: str = "text", block: int = 10) -> str:
+    """Disjoint ``block``-word spans of a document as an array<string>
+    (the fixture has no paragraph separators, so the span-dedup gate
+    derives spans from word blocks — same operator, synthetic
+    paragraphs). Let-bound words array; empty docs -> empty array."""
+    words = ordered_words_expr("spark", text_col)
+    nb = f"CAST(ceil(size(ws) / {block}.0) AS INT)"
+    return (
+        f"element_at(transform(array({words}), ws -> "
+        f"CASE WHEN size(ws) = 0 OR ws = array('') THEN array() "
+        f"ELSE transform(sequence(1, {nb}), k -> "
+        f"concat_ws(' ', slice(ws, (k - 1) * {block} + 1, {block}))) END), 1)"
+    )
+
+
+def _duck_span_dedup(block: int = 10, sep: str = " | ") -> str:
+    nb = f"CAST(ceil(len(ws) / {block}.0) AS BIGINT)"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {ordered_words_expr('duckdb', 'text')} AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(range(1, {nb} + 1)) AS pos,
+             unnest(list_transform(range(1, {nb} + 1),
+               k -> array_to_string(ws[((k - 1) * {block} + 1):(k * {block})],
+                                    ' '))) AS para
+      FROM w WHERE len(ws) > 0 AND ws <> ['']
+    ),
+    r AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pos) AS rn
+      FROM b
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, '{sep}'
+                               ORDER BY pos), '') AS text,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+    FROM r GROUP BY doc_id
+    """
+
+
+@query("dedup_paragraphs", _duck_span_dedup(10, " | "))
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup (Raffel et al. 2020 §2.2): every
+    10-word span is kept only at its first (doc_id, pos) occurrence
+    corpus-wide; documents are reassembled from surviving spans. Two
+    shuffles (span-digest window + doc regroup) — the minimal shape for
+    a global first-occurrence rule. See operators.dedup.span_dedup."""
+    from streaming_parquet_spark.operators.dedup import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(_block_spans_spark("text", 10))).alias(
+            "pos", "para"
+        ),
+    )
+    return span_dedup(spans, "doc_id", "pos", "para", sep=" | ")
+
+
+def _duck_chunks(size: int, stride: int) -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {ordered_words_expr('duckdb', 'text')} AS ws
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, ws,
+             1 + (GREATEST(len(ws) - {size}, 0) + {stride - 1}) // {stride}
+               AS nk
+      FROM w WHERE len(ws) > 0 AND ws <> ['']
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, nk)) AS INTEGER) AS chunk_id,
+           unnest(list_transform(range(0, nk),
+             k2 -> CAST(LEAST({size}, len(ws) - k2 * {stride}) AS BIGINT)))
+             AS n_tokens,
+           unnest(list_transform(range(0, nk),
+             k2 -> array_to_string(
+               ws[(k2 * {stride} + 1):(k2 * {stride} + {size})], ' ')))
+             AS chunk
+    FROM k
+    """
+
+
+@query("text_chunk_docs", _duck_chunks(40, 30))
+def text_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (40-word windows, stride 30): the RAG /
+    context-window prep step. Narrow explode inside the scan stage — no
+    shuffle at any scale. See operators.text.chunk_documents."""
+    from streaming_parquet_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=40, stride=30
+    )
+
+
+def _duck_token_budget(budget: int) -> str:
+    from streaming_parquet_spark.operators.pipeline import BUDGET_SEED
+
+    hv = hash_bucket_expr("duckdb", "doc_id", 1_000_000, seed=BUDGET_SEED)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, {_duck_est_tokens('text')} AS est_tokens,
+             {hv} AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, est_tokens,
+             SUM(est_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, CAST(est_tokens AS BIGINT) AS est_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens - est_tokens < {budget}
+    """
+
+
+@query("pipeline_token_budget", _duck_token_budget(5000))
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget selection (5k tokens per source):
+    documents stream in salted-hash order and are kept while their
+    domain's budget lasts — the step that turns mixture weights into an
+    actual corpus. One shuffle on source; running-sum window. See
+    operators.pipeline.token_budget_select."""
+    from streaming_parquet_spark.operators.pipeline import (
+        token_budget_select,
+    )
+
+    d = with_token_stats(_t(spark, sf_dir, "documents"))
+    return token_budget_select(
+        d, budget=5000, token_col="est_tokens", group_col="source"
+    ).select(
+        "doc_id",
+        "source",
+        F.col("est_tokens").cast("bigint").alias("est_tokens"),
+        "cum_tokens",
+    )
+
+
+def _duck_cluster_reps(lsh_inner: str) -> str:
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({lsh_inner}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    m AS (
+      SELECT comp.id, comp.component, d.n_chars
+      FROM comp JOIN documents d ON comp.id = d.doc_id
+    ),
+    rk AS (
+      SELECT component, id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY component
+               ORDER BY n_chars DESC, id ASC) AS rn
+      FROM m
+    ),
+    s AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             MAX(n_chars) AS best_quality
+      FROM m GROUP BY component
+    )
+    SELECT rk.component, rk.id AS rep_id, s.best_quality, s.cluster_size
+    FROM rk JOIN s ON rk.component = s.component WHERE rk.rn = 1
+    """
+
+
+@query("dedup_cluster_reps", _duck_cluster_reps(_duck_lsh_oracle(16, 8, 0.5)))
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representatives: near-dup clusters keep
+    their LONGEST member (n_chars, ties to min id) instead of the
+    arbitrary min-id — the "keep the best copy" drop policy. Components
+    + one argmax aggregate (max_by over a (quality, -id) struct). See
+    operators.cluster.cluster_representatives."""
+    from streaming_parquet_spark.operators.cluster import (
+        cluster_representatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, jaccard_threshold=0.5
+    )
+    return cluster_representatives(pairs, docs, quality_col="n_chars")
+
+
+def _duck_random_projection(out_dims: int, dims: int) -> str:
+    cols = ", ".join(
+        f"ROUND({lsh_plane_dot('embedding', p, dims, 'duckdb')}, 4) AS p{p}"
+        for p in range(out_dims)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+@query("embed_random_projection", _duck_random_projection(8, 64))
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection 64 -> 8 dims over
+    the deterministic LSH hyperplanes (continuous form of the LSH
+    signature). Pure per-row expressions in the scan stage — shuffle-
+    free at any scale. See operators.similarity.random_projection."""
+    from streaming_parquet_spark.operators.similarity import (
+        random_projection,
+    )
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), out_dims=8, dims=64
+    )

@@ -887,3 +887,176 @@ def test_kmeans_step_masses_and_norms(emb):
     # fixture embeddings are L2-normalized; a mean of unit vectors has
     # norm in (0, 1]
     assert all(0 < r["centroid_norm"] <= 1.0 + 1e-6 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# round 4: span/paragraph dedup, chunking, token budget, reps, projection
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from streaming_parquet_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared block\n\ngamma"),
+            (2, "shared block\n\ndelta"),
+            (3, "shared block"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    # doc 1 saw "shared block" first -> keeps all three paragraphs
+    assert out[1]["text"] == "alpha beta\n\nshared block\n\ngamma"
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 0
+    # docs 2 and 3 lose the duplicate, keep the rest in order
+    assert out[2]["text"] == "delta"
+    assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    # every input doc appears exactly once
+    assert sorted(out) == [1, 2, 3]
+
+
+def test_paragraph_dedup_order_preserved_within_doc(spark):
+    from streaming_parquet_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(7, "z last\n\na first\n\nm middle")], "doc_id long, text string"
+    )
+    row = paragraph_dedup(df).collect()[0]
+    # reassembly follows document position, not span sort order
+    assert row["text"] == "z last\n\na first\n\nm middle"
+
+
+def test_chunk_documents_boundaries(spark):
+    from streaming_parquet_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 words
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "solo")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, size=4, stride=3)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk"])
+        for r in out.collect()
+    }
+    # doc 1: starts at words 0,3,6 -> 3 chunks; last one short (4 words
+    # from index 6 of 10 = 4 words exactly)
+    assert got[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert got[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert (1, 3) not in got
+    # doc 2 shorter than size -> one chunk, n_tokens = 3
+    assert got[(2, 0)] == (3, "a b c")
+    # single word
+    assert got[(3, 0)] == (1, "solo")
+
+
+def test_chunk_documents_covers_every_word(docs):
+    """Every word position of every doc is covered by >= 1 chunk and
+    total chunk tokens == n + overlap contributions (invariant:
+    sum(n_tokens) >= n_words, == when stride >= size)."""
+    from streaming_parquet_spark.operators.text import chunk_documents
+
+    out = chunk_documents(docs, size=50, stride=50)  # disjoint chunks
+    per_doc = {
+        r["doc_id"]: r["s"]
+        for r in out.groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    words = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.expr(
+                "size(filter(split(trim(text), ' +'), w -> w != ''))"
+            ).alias("n"),
+        ).collect()
+    }
+    for d, n in words.items():
+        assert per_doc.get(d, 0) == n, d
+
+
+def test_token_budget_select_overshoot_at_most_one_doc(docs):
+    from streaming_parquet_spark.operators.pipeline import (
+        token_budget_select,
+    )
+    from streaming_parquet_spark.operators.text import with_token_stats
+
+    budget = 3000
+    d = with_token_stats(docs)
+    kept = token_budget_select(
+        d, budget=budget, token_col="est_tokens", group_col="source"
+    )
+    rows = kept.select("source", "est_tokens", "cum_tokens").collect()
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, rs in per_src.items():
+        total = max(r["cum_tokens"] for r in rs)
+        biggest = max(r["est_tokens"] for r in rs)
+        # never undershoots while docs remain; overshoot < one doc
+        assert total >= min(
+            budget, sum(r["est_tokens"] for r in rs)
+        ), src
+        assert total < budget + biggest, src
+    # deterministic across invocations
+    again = token_budget_select(
+        d, budget=budget, token_col="est_tokens", group_col="source"
+    ).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"]
+        for r in kept.select("doc_id").collect()
+    )
+
+
+def test_cluster_representatives_argmax(spark):
+    from streaming_parquet_spark.operators.cluster import (
+        cluster_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2)],
+        "doc_id long, quality long",
+    )
+    out = {
+        r["component"]: r
+        for r in cluster_representatives(
+            pairs, docs, quality_col="quality"
+        ).collect()
+    }
+    # cluster {1,2,3}: quality tie 9 between 2 and 3 -> min id 2 wins
+    assert out[1]["rep_id"] == 2 and out[1]["best_quality"] == 9
+    assert out[1]["cluster_size"] == 3
+    # cluster {10,11}: 10 has higher quality
+    assert out[10]["rep_id"] == 10 and out[10]["cluster_size"] == 2
+
+
+def test_random_projection_sign_matches_lsh_bits(emb):
+    """sign(p_j) must equal bit j of the LSH signature — the projection
+    IS the continuous form of the bucket hash."""
+    from streaming_parquet_spark.operators.similarity import (
+        random_projection,
+        with_lsh_signature,
+    )
+
+    sub = emb.limit(50)
+    proj = {
+        r["vec_id"]: r
+        for r in random_projection(sub, out_dims=8, dims=64).collect()
+    }
+    sig = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in with_lsh_signature(sub, planes=8, dims=64).collect()
+    }
+    assert proj and sorted(proj) == sorted(sig)
+    for vid, row in proj.items():
+        for j in range(8):
+            bit = (sig[vid] >> j) & 1
+            # rounding to 4dp can zero a tiny positive dot; skip exact 0
+            if row[f"p{j}"] != 0.0:
+                assert (row[f"p{j}"] > 0) == (bit == 1), (vid, j)
