@@ -71,6 +71,23 @@ def _warm(spark, sf_dir: str) -> None:
     flat.unpersist(blocking=False)
 
 
+def _host_ref_mb_s() -> float:
+    """Fixed CPU-throughput probe (md5 over 64 MiB, single thread):
+    recorded so round-over-round query/conversion deltas can be
+    normalized for host variance — identical code measured 211 vs 134
+    MB/s parquet->parquet across rounds purely from VM/noisy-neighbor
+    throughput differences, and absolute seconds are meaningless
+    without a same-host yardstick next to them."""
+    import hashlib
+
+    buf = b"\x5a" * (8 << 20)
+    h = hashlib.md5()
+    t0 = time.perf_counter()
+    for _ in range(8):
+        h.update(buf)
+    return round(64 / (time.perf_counter() - t0), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -125,6 +142,12 @@ def main() -> None:
                 "sf": sf,
                 "conversions_mb_per_sec": conversions,
                 "conf": {
+                    "host_ref_md5_mb_s": _host_ref_mb_s(),
+                    "timing_note": (
+                        "absolute seconds vary with host throughput "
+                        "round-to-round (observed ~1.6x on identical "
+                        "code); compare rounds via host_ref_md5_mb_s"
+                    ),
                     "master": f"local[{cpus}]",
                     "shuffle_partitions": cpus,
                     "aqe": True,
