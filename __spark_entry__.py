@@ -51,6 +51,7 @@ _DRIVER_PRIORITY = [
     "pipeline_domain_resample", "text_tfidf_topk",
     "dedup_paragraphs", "text_chunk_docs", "pipeline_token_budget",
     "dedup_cluster_reps", "embed_random_projection",
+    "stream_interval_join", "stream_session_state",
     # queries whose newest row is r2 (absent from CORRECTNESS_r03.json)
     "rel_join_agg_segment", "rel_semi_anti_join", "rel_distinct",
     "rel_agg_stats", "rel_window_topk", "rel_window_running",

@@ -1595,3 +1595,218 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: stream-stream interval join + custom stateful sessions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_interval_join",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS pts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.pts >= c.cts
+                 AND p.pts <= c.cts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join through the oracle gate:
+    clicks and purchases from the SAME file-stream source self-join on
+    user with purchase_ts in [click_ts, click_ts + 1 h]; matches land
+    in a checkpointed parquet sink (availableNow), then the landed
+    pairs are aggregated per user and hash-compared against the batch
+    interval join.
+
+    The time bound is what makes this 100 TB-survivable: with both
+    sides watermarked, Spark evicts click state once the purchase
+    watermark passes click_ts + 1 h (and vice versa), so join state
+    holds ~(watermark + interval) of stream volume instead of the full
+    history. Money aggregates as integer cents — exact under any
+    partitioning. See streaming.operators.interval_join."""
+    import os as _os
+    import shutil as _shutil
+
+    from streaming_parquet_spark.queries import _events
+    from streaming_parquet_spark.streaming.operators import interval_join
+
+    work = _stream_workdir("maw_stream_ij_", sf_dir)
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir, exist_ok=True)
+    src = _os.path.join(sf_dir, "events.parquet")
+    staged = _os.path.join(src_dir, "events.parquet")
+    if not _os.path.exists(staged):
+        try:
+            _os.link(src, staged)
+        except OSError:
+            _shutil.copy(src, staged)
+
+    # _events handles the fixture's ts encoding (nanos-as-long or NTZ);
+    # replay the same normalization on the stream schema.
+    batch = _events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src_dir)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purch = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = interval_join(
+        clicks, purch, key="user_id", left_ts="cts", right_ts="pts",
+        upper="1 HOUR", watermark="1 hour",
+    )
+
+    out_dir = _os.path.join(work, "landed")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    landed = spark.read.parquet(out_dir)
+    return landed.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+@query(
+    "stream_session_state",
+    """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL 24 HOURS
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    ),
+    g AS (
+      SELECT user_id, sid,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS sum_cents
+      FROM s GROUP BY user_id, sid
+    ),
+    m AS (SELECT user_id, MAX(sid) AS last_sid FROM g GROUP BY user_id)
+    SELECT g.user_id, g.session_start, g.session_end, g.n_events,
+           g.sum_cents
+    FROM g JOIN m ON g.user_id = m.user_id
+    WHERE g.sid < m.last_sid
+    """,
+)
+def stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom stateful operator through the
+    oracle gate: per-user gap sessions (24 h) where a session is
+    emitted only when a LATER event proves the gap, and each user's
+    open session survives in the state store — across the two staged
+    micro-batches here (a session spanning the batch split must merge
+    from state), and across restarts in production. The DuckDB oracle
+    is batch gap-sessionization minus each user's final (still-open)
+    session — emission is watermark-independent by design (NoTimeout),
+    so the equivalence is exact. See
+    streaming.operators.stateful_sessions."""
+    import os as _os
+    import shutil as _shutil
+
+    from streaming_parquet_spark.queries import _events
+    from streaming_parquet_spark.streaming.operators import (
+        stateful_sessions,
+    )
+
+    work = _stream_workdir("maw_stream_sess_", sf_dir)
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir, exist_ok=True)
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "value")
+    if not _os.path.exists(_os.path.join(src_dir, "batch1.parquet")):
+        t1 = _ts("2024-01-16")
+        base = 1_700_000_000
+        for i, df in enumerate(
+            (e.filter(F.col("ts") < t1), e.filter(F.col("ts") >= t1))
+        ):
+            stage = _os.path.join(work, f"stage{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in _os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = _os.path.join(src_dir, f"batch{i}.parquet")
+            _shutil.copy(_os.path.join(stage, part), dst)
+            _os.utime(dst, (base + i * 60, base + i * 60))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sessions = stateful_sessions(stream, gap_hours=24)
+
+    out_dir = _os.path.join(work, "landed")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    landed = spark.read.parquet(out_dir)
+    return landed.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "sum_cents",
+    )

@@ -80,3 +80,144 @@ def streaming_dedup(
     if ts_col is not None and df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair rows with equal
+    ``key`` where right_ts in [left_ts, left_ts + upper]. In streaming
+    mode both sides get watermarks and the time bound makes join state
+    PRUNABLE — Spark evicts left rows once the right watermark passes
+    left_ts + upper and vice versa, so state is bounded by
+    (watermark + upper) of stream volume, never the full history. The
+    identical plan runs in batch mode (watermarks no-op), which is how
+    the oracle validates it."""
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= F.expr(f"{left_ts} + INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
+def stateful_sessions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_hours: int = 24,
+):
+    """Custom stateful session aggregation via applyInPandasWithState —
+    the arbitrary-state streaming operator Spark's built-in
+    session_window cannot express when per-session logic goes beyond
+    an aggregate (here: sessions are CLOSED and emitted only when a
+    later event proves the gap, and open sessions persist in the state
+    store across micro-batches / restarts, exactly like the engine's
+    --state/--resume semantics for aggregation state).
+
+    Semantics (deterministic, watermark-independent): events stream
+    per user in event-time order; an event more than ``gap_hours``
+    after the open session's end closes it (emitting one row) and
+    opens a new one. Each user's final session intentionally stays in
+    state — it belongs to the next run. NoTimeout keeps emission a
+    pure function of the data, so the DuckDB oracle reproduces it as
+    batch gap-sessionization minus each user's last session.
+
+    Money amounts aggregate as integer cents (floor(value*100)) — an
+    order-independent exact sum, immune to FP reassociation across
+    engines and partitionings.
+
+    Scale: state is one (start, end, n, cents) tuple per user — tiny
+    and bounded by |users|, not history; the shuffle is the groupBy
+    key exchange any stateful op pays. Arrow-batched (one pandas call
+    per user-batch), never row-at-a-time."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_ns", T.LongType()),
+            T.StructField("end_ns", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    gap_ns = int(gap_hours) * 3600 * 1_000_000_000
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        chunks = [p for p in pdfs]
+        rows = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=[ts_col, value_col])
+        )
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(ts_col, kind="stable")
+        # normalize to ns regardless of the Arrow-side unit (us vs ns)
+        ts_ns = (
+            rows[ts_col].astype("datetime64[ns]").astype("int64").tolist()
+        )
+        vals = rows[value_col].tolist()
+        if state.exists:
+            start, end, n, cents = state.get
+        else:
+            start = None
+            end = n = cents = 0
+        closed = []
+        for t, v in zip(ts_ns, vals):
+            c = 0 if v is None or v != v else int(v * 100 // 1)
+            if start is None:
+                start, end, n, cents = t, t, 1, c
+            elif t > end + gap_ns:
+                closed.append((uid, start, end, n, cents))
+                start, end, n, cents = t, t, 1, c
+            else:
+                end = max(end, t)
+                n += 1
+                cents += c
+        state.update((start, end, n, cents))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start", "session_end",
+                    "n_events", "sum_cents",
+                ],
+            )
+            out["session_start"] = pd.to_datetime(
+                out["session_start"], unit="ns"
+            )
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="ns")
+            yield out
+
+    return df.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col),
+        F.col(value_col),
+    ).groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

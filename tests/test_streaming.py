@@ -5,6 +5,7 @@ windows, session windows, and streaming dedup."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from streaming_parquet_spark.runspec import RunSpec
 from streaming_parquet_spark.streaming import StreamEngine
@@ -172,3 +173,88 @@ def test_stream_verify_reconciles(streamer, spark, tmp_path):
                    verify=True)
     res = streamer.run(spec)
     assert res.rows == 3 and res.verified is True
+
+
+def test_stateful_sessions_cross_batch_merge(spark, tmp_path):
+    """A session spanning the micro-batch split must merge from the
+    state store: events 10:00/10:30 (batch 1) and 11:00 (batch 2) are
+    ONE session, closed and emitted by the 3-days-later event."""
+    import os
+
+    from streaming_parquet_spark.streaming.operators import stateful_sessions
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:30:00", 2.0),
+    ]
+    rows2 = [
+        (1, "2024-01-01 11:00:00", 4.0),
+        (1, "2024-01-04 09:00:00", 8.0),  # >24h later: closes session 1
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    for i, rows in enumerate((rows1, rows2)):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = str(src / f"b{i}.parquet")
+        os.replace(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out")
+    (
+        stateful_sessions(stream, gap_hours=24)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out).collect()
+    # exactly one emitted session (the second stays open in state)
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 3 and r["sum_cents"] == 700
+    assert str(r["session_start"]).startswith("2024-01-01 10:00")
+    assert str(r["session_end"]).startswith("2024-01-01 11:00")
+
+
+def test_interval_join_batch_parity(spark, sf_dir):
+    """Batch rendering of interval_join == plain conditional join (the
+    oracle identity the gate relies on)."""
+    from streaming_parquet_spark.queries import _events
+    from streaming_parquet_spark.streaming.operators import interval_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("pts")
+    )
+    got = interval_join(
+        clicks, purch, key="user_id", left_ts="cts", right_ts="pts",
+        upper="1 HOUR",
+    ).count()
+    expect = (
+        clicks.alias("c")
+        .join(
+            purch.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .count()
+    )
+    assert got == expect and got > 0
