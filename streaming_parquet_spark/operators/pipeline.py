@@ -295,3 +295,30 @@ def token_budget_select(
         df.withColumn("cum_tokens", running)
         .filter(F.col("cum_tokens") - F.col(token_col) < budget)
     )
+
+
+def rank_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    min_pct: float = 0.5,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-group percentile filter: keep rows whose ``score_col``
+    percent_rank within their group is >= ``min_pct`` — "drop the
+    bottom half of every domain by quality" without hand-picking
+    absolute thresholds per domain. Ties share a rank (percent_rank =
+    (rank-1)/(n-1), identical rational arithmetic in any ANSI engine),
+    so the kept set is deterministic.
+
+    Scale note: exact ranks sort each group once (one shuffle on
+    group_col). When a single domain outweighs a partition's sort
+    budget, the one-line swap is approx thresholds — aggregate
+    approx_percentile(score, min_pct) per group, broadcast, filter —
+    trading exactness at the boundary for a shuffle-free scan."""
+    pr = F.percent_rank().over(
+        W.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    )
+    return df.withColumn(out_col, F.round(pr, 4)).filter(
+        F.col(out_col) >= min_pct
+    )

@@ -1773,3 +1773,122 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(
         _t(spark, sf_dir, "embeddings"), out_dims=8, dims=64
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: hypertable rollup / CDC upsert / percentile filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hypertable_rollup",
+    """
+    WITH cents AS (
+      SELECT ts, event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    hour AS (
+      SELECT date_trunc('hour', ts) AS b, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS total
+      FROM cents GROUP BY 1, 2
+    )
+    SELECT 'hour' AS granularity,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           event_type, n, total
+    FROM hour
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', b), '%Y-%m-%d %H:%M:%S'),
+           event_type, CAST(SUM(n) AS BIGINT), CAST(SUM(total) AS BIGINT)
+    FROM hour GROUP BY 2, event_type
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hypertable / continuous-aggregate
+    shape): hourly buckets aggregate raw events ONCE; the daily tier
+    re-aggregates the hourly tier — the summable-measure identity that
+    makes multi-resolution dashboards O(buckets), not O(rows), at
+    refresh time. Money as integer cents for exact sums. See
+    operators.timeseries.hypertable_rollup."""
+    from streaming_parquet_spark.operators.timeseries import (
+        hypertable_rollup,
+    )
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir).select(
+        "ts", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = hypertable_rollup(
+        e, ts_col="ts", keys=["event_type"], sum_col="cents",
+        granularities=("hour", "day"),
+    )
+    return out.select(
+        "granularity",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "event_type", "n", "total",
+    )
+
+
+@query(
+    "events_upsert_latest",
+    """
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+    FROM (
+      SELECT user_id, event_type, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot compaction: the LATEST event per (user, type) by
+    (ts, event_id) — MERGE-INTO semantics as a max_by aggregate, which
+    partial-aggregates map-side (one candidate per key per task crosses
+    the exchange) instead of shuffling and sorting every version the
+    way the row_number window rendering does. See
+    operators.cdc.upsert_latest."""
+    from streaming_parquet_spark.operators.cdc import upsert_latest
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    latest = upsert_latest(
+        e, keys=["user_id", "event_type"], seq_cols=["ts", "event_id"],
+        payload_cols=["cents"],
+    )
+    return latest.select(
+        "user_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id", "cents",
+    )
+
+
+@query(
+    "pipeline_rank_filter",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(PERCENT_RANK() OVER (PARTITION BY source
+               ORDER BY n_chars ASC), 4) AS pct_rank
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, pct_rank
+    FROM r WHERE pct_rank >= 0.5
+    """,
+)
+def pipeline_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain percentile filter: keep each source's top half by
+    document length — relative thresholds that adapt to every domain's
+    own distribution (no hand-picked absolute cutoffs). Exact ranks =
+    one sort per domain; approx_percentile thresholds are the
+    documented shuffle-free swap at extreme scale. See
+    operators.pipeline.rank_filter."""
+    from streaming_parquet_spark.operators.pipeline import rank_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return rank_filter(d, score_col="n_chars", group_col="source")

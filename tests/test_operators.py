@@ -1060,3 +1060,109 @@ def test_random_projection_sign_matches_lsh_bits(emb):
             # rounding to 4dp can zero a tiny positive dot; skip exact 0
             if row[f"p{j}"] != 0.0:
                 assert (row[f"p{j}"] > 0) == (bit == 1), (vid, j)
+
+
+def test_hypertable_rollup_reaggregation_identity(spark, sf_dir):
+    """Daily tier computed from the hourly tier must equal a daily
+    aggregate computed directly from raw rows (summable-measure
+    identity), and per-tier totals must all equal the corpus total."""
+    from streaming_parquet_spark.operators.timeseries import (
+        hypertable_rollup,
+    )
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir).select(
+        "ts", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = hypertable_rollup(
+        e, ts_col="ts", keys=["event_type"], sum_col="cents",
+        granularities=("hour", "day"),
+    )
+    day_from_hour = {
+        (r["bucket_ts"], r["event_type"]): (r["n"], r["total"])
+        for r in out.filter("granularity = 'day'").collect()
+    }
+    direct = {
+        (r["b"], r["event_type"]): (r["n"], r["t"])
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").alias("b"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("t"),
+        )
+        .collect()
+    }
+    assert day_from_hour == direct and direct
+    total_rows = e.count()
+    for g in ("hour", "day"):
+        assert (
+            out.filter(f"granularity = '{g}'").agg(F.sum("n")).collect()[0][0]
+            == total_rows
+        ), g
+
+
+def test_hypertable_rollup_rejects_bad_grain_order(spark, sf_dir):
+    from streaming_parquet_spark.operators.timeseries import (
+        hypertable_rollup,
+    )
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir)
+    with pytest.raises(ValueError):
+        hypertable_rollup(e, granularities=("day", "hour"))
+    with pytest.raises(ValueError):
+        hypertable_rollup(e, granularities=("hour", "fortnight"))
+
+
+def test_upsert_latest_matches_window_rendering(spark, sf_dir):
+    from streaming_parquet_spark.operators.cdc import upsert_latest
+    from streaming_parquet_spark.queries import _events
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    agg = upsert_latest(
+        e, keys=["user_id", "event_type"], seq_cols=["ts", "event_id"],
+        payload_cols=["value"],
+    )
+    win = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = (
+        e.withColumn("rn", F.row_number().over(win))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    cols = ["user_id", "event_type", "ts", "event_id", "value"]
+    assert sorted(map(repr, agg.select(cols).collect())) == sorted(
+        map(repr, expect.select(cols).collect())
+    )
+
+
+def test_rank_filter_keeps_top_half_per_group(docs):
+    from streaming_parquet_spark.operators.pipeline import rank_filter
+
+    kept = rank_filter(
+        docs.select("doc_id", "source", "n_chars"),
+        score_col="n_chars", group_col="source",
+    )
+    totals = dict(docs.groupBy("source").count().collect())
+    got = dict(kept.groupBy("source").count().collect())
+    for src, total in totals.items():
+        n = got.get(src, 0)
+        # percent_rank >= 0.5 keeps ~half (ties can push either way)
+        assert 0.3 * total <= n <= 0.7 * total, (src, n, total)
+    # kept min length >= dropped max length is false in general (ties),
+    # but within a source every kept doc is >= that source's median-ish
+    row = kept.groupBy("source").agg(F.min("n_chars").alias("m")).collect()
+    meds = {
+        r["source"]: r["m"]
+        for r in docs.groupBy("source")
+        .agg(F.expr("percentile(n_chars, 0.4)").alias("m"))
+        .collect()
+    }
+    for r in row:
+        assert r["m"] >= meds[r["source"]], r
