@@ -656,3 +656,156 @@ def random_projection(
         for p in range(out_dims)
     ]
     return df.select(F.col(id_col), *cols)
+
+
+# --- Product quantization (PQ) tier ---------------------------------------
+
+#: PQ layout: PQ_M subspaces of PQ_SUB dims, PQ_K codewords each.
+#: 64-dim vectors compress to 8 bytes (one code per subspace) — the
+#: memory tier below SQ8's 64 bytes; see pq_topk.
+PQ_M, PQ_K, PQ_SUB = 8, 16, 8
+
+
+def pq_codeword(s: int, c: int, d: int) -> int:
+    """Deterministic fixed-point codeword component in [-350, 350]
+    (~ the per-subspace component range of L2-normalized 64-dim
+    vectors x1000). A real deployment fits the codebook with k-means
+    per subspace (kmeans_step is the fitting primitive); the
+    arithmetic stand-in keeps the full PQ pipeline oracle-exact."""
+    h = (s * 1_000_003 + c * 7_919 + d * 104_729 + 13) * 2_654_435_761
+    return h % MERSENNE31 % 701 - 350
+
+
+def pq_codebook_df(spark) -> DataFrame:
+    """The PQ_M x PQ_K codebook as a tiny DataFrame (s, c, w) — 128
+    rows; always broadcast."""
+    rows = [
+        (s, c, [pq_codeword(s, c, d) for d in range(PQ_SUB)])
+        for s in range(PQ_M)
+        for c in range(PQ_K)
+    ]
+    return spark.createDataFrame(rows, "s int, c int, w array<bigint>")
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str,
+                   out_id: str) -> DataFrame:
+    """Explode vectors to (id, s, sub) fixed-point subvector rows —
+    sub[d] = floor(v[s*8+d] * 1000), exact integers both engines."""
+    structs = [
+        F.struct(
+            F.lit(s).alias("s"),
+            F.array(*[
+                F.floor(
+                    F.element_at(vec_col, s * PQ_SUB + d + 1).cast("double")
+                    * 1000
+                ).cast("long")
+                for d in range(PQ_SUB)
+            ]).alias("sub"),
+        )
+        for s in range(PQ_M)
+    ]
+    return df.select(
+        F.col(id_col).alias(out_id), F.explode(F.array(*structs)).alias("e")
+    ).select(out_id, "e.s", "e.sub")
+
+
+_PQ_IDOT = " + ".join(
+    f"(element_at(sub, {d + 1}) - element_at(w, {d + 1}))"
+    f" * (element_at(sub, {d + 1}) - element_at(w, {d + 1}))"
+    for d in range(PQ_SUB)
+)
+_PQ_ADC = " + ".join(
+    f"element_at(sub, {d + 1}) * element_at(w, {d + 1})"
+    for d in range(PQ_SUB)
+)
+
+
+def pq_encode(df: DataFrame, cb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ encoding: (id, s, code) — per subspace, the codeword with
+    the minimum exact-integer squared distance (ties to the lowest
+    code). Plan: explode to subvectors (narrow, x8) -> broadcast-join
+    the 128-row codebook -> partial-aggregated argmin (min over a
+    (dist, c) struct — lexicographic, so the tie rule is explicit).
+    No shuffle of vectors: the exchange carries (id, s, code) only."""
+    sub = _pq_subvectors(df, id_col, vec_col, "id")
+    cand = sub.join(F.broadcast(cb), "s").withColumn(
+        "dist", F.expr(_PQ_IDOT)
+    )
+    return (
+        cand.groupBy("id", "s")
+        .agg(F.min(F.struct("dist", "c")).alias("m"))
+        .select("id", "s", F.col("m.c").alias("code"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: corpus vectors live as 8 one-byte
+    codes (8 bytes/vector — 4x below SQ8, 32x below float32); each
+    query builds a PQ_M x PQ_K lookup table of exact-integer partial
+    dots (query subvector x codeword), candidate score = sum of 8 LUT
+    entries; an ADC shortlist of rerank*k rows is re-ranked with the
+    exact float dot.
+
+    Plan: codes equi-join the broadcast LUT on (s, code) -> partial-
+    aggregated per-(query, vec) sum -> WindowGroupLimit shortlist ->
+    float re-rank on shortlist rows only. Like sq8_topk this is the
+    full-scan memory tier (every code row is touched per query); the
+    scale path composes it behind IVF probing exactly as ivf_sq8_topk
+    does — same shape, smaller codes.
+
+    All ranking arithmetic is exact integers with explicit (score, id)
+    tie rules, so the DuckDB oracle reproduces the approximate
+    pipeline bit-for-bit."""
+    spark = corpus.sparkSession
+    cb = pq_codebook_df(spark)
+    codes = pq_encode(corpus, cb, id_col, vec_col)
+
+    qsub = _pq_subvectors(queries, id_col, vec_col, "query_id")
+    lut = (
+        qsub.join(F.broadcast(cb), "s")
+        .withColumn("adc", F.expr(_PQ_ADC))
+        .select("query_id", "s", F.col("c").alias("code"), "adc")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("adc").alias("adc_sim"))
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("id")
+    )
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(w1))
+        .filter(F.col("arank") <= rerank * k)
+    )
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    sim = F.expr(dot_expr("spark", "qv", "cv", dims))
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("id")
+    )
+    return (
+        shortlist.join(c, "id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round("sim_raw", 4).alias("sim"),
+            "rank",
+        )
+    )

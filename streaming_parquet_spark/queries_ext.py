@@ -1892,3 +1892,92 @@ def pipeline_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return rank_filter(d, score_col="n_chars", group_col="source")
+
+
+def _duck_pq_oracle(k: int, rerank: int) -> str:
+    from streaming_parquet_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_codeword,
+    )
+
+    rows = ", ".join(
+        f"({s}, {c}, [{', '.join(str(pq_codeword(s, c, d)) for d in range(PQ_SUB))}])"
+        for s in range(PQ_M)
+        for c in range(PQ_K)
+    )
+    idot = " + ".join(
+        f"(sub[{d + 1}] - w[{d + 1}]) * (sub[{d + 1}] - w[{d + 1}])"
+        for d in range(PQ_SUB)
+    )
+    adc = " + ".join(f"sub[{d + 1}] * w[{d + 1}]" for d in range(PQ_SUB))
+    return f"""
+    WITH cb(s, c, w) AS (VALUES {rows}),
+    v AS (
+      SELECT vec_id, embedding,
+             list_transform(range(1, 65),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000)
+                         AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, t.s, vq[t.s * 8 + 1 : t.s * 8 + 8] AS sub
+      FROM v, (SELECT unnest(range(0, {PQ_M})) AS s) t
+    ),
+    cand AS (
+      SELECT vec_id, subs.s, cb.c, {idot} AS dist
+      FROM subs JOIN cb ON subs.s = cb.s
+    ),
+    code AS (
+      SELECT vec_id, s, (MIN(struct_pack(d := dist, c := c))).c AS pcode
+      FROM cand GROUP BY vec_id, s
+    ),
+    lut AS (
+      SELECT subs.vec_id AS query_id, subs.s, cb.c AS pcode, {adc} AS adc
+      FROM subs JOIN cb ON subs.s = cb.s WHERE subs.vec_id < 5
+    ),
+    scored AS (
+      SELECT lut.query_id, code.vec_id AS neighbor_id,
+             SUM(adc) AS adc_sim
+      FROM code JOIN lut ON code.s = lut.s AND code.pcode = lut.pcode
+      WHERE code.vec_id <> lut.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_sim DESC, neighbor_id) AS arank
+      FROM scored
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             {dot_expr("duckdb", "qe.embedding", "ce.embedding")} AS sim_raw
+      FROM short s
+      JOIN v qe ON qe.vec_id = s.query_id
+      JOIN v ce ON ce.vec_id = s.neighbor_id
+      WHERE s.arank <= {rerank * k}
+    ),
+    fin AS (
+      SELECT query_id, neighbor_id, sim_raw,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank
+      FROM rr
+    )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    FROM fin WHERE rank <= {k}
+    """
+
+
+@query("embed_ann_pq", _duck_pq_oracle(10, 4))
+def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors as 8 one-byte codes (8 B/vec —
+    4x below SQ8, 32x below float32), asymmetric-distance scoring via a
+    per-query 8x16 integer LUT, exact float re-rank on the 40-row
+    shortlist only. Completes the quantization ladder exact -> SQ8 ->
+    PQ; compose behind IVF probing for the 100 TB path exactly as
+    ivf_sq8_topk does. See operators.similarity.pq_topk."""
+    from streaming_parquet_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, rerank=4)

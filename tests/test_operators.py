@@ -1166,3 +1166,37 @@ def test_rank_filter_keeps_top_half_per_group(docs):
     }
     for r in row:
         assert r["m"] >= meds[r["source"]], r
+
+
+def test_pq_recall_and_code_shape(emb):
+    """PQ-ADC top-10 with 4x rerank must recover a reasonable fraction
+    of the exact neighbors (approximation bound, not exactness), and
+    the encoding must emit exactly PQ_M codes in [0, PQ_K) per vector."""
+    from streaming_parquet_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codebook_df,
+        pq_encode,
+        pq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=10, dims=64).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, q, k=10, rerank=4).collect()
+    }
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.2, f"PQ recall collapsed: {overlap}"
+
+    codes = pq_encode(
+        emb.limit(20), pq_codebook_df(emb.sparkSession)
+    ).collect()
+    per_vec: dict = {}
+    for r in codes:
+        per_vec.setdefault(r["id"], []).append(r)
+        assert 0 <= r["code"] < PQ_K
+    assert all(len(v) == PQ_M for v in per_vec.values())
