@@ -809,3 +809,61 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def power_iteration_step(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = 1_000_000,
+    v0: list[float] | None = None,
+) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: y = G v0 where G = sum_x x x^T is the (uncentered) Gram
+    matrix — computed WITHOUT materializing G, as y_i = sum_x x_i (x.v0)
+    with a deterministic start vector v0 (the arithmetic plane-0
+    components, reproducible in any engine). The iterative primitive
+    behind PCA whitening / spectral embedding fits, analogous to
+    kmeans_step for IVF: a training loop re-invokes it with v0 <- y.
+
+    Determinism: the per-row projection s = x.v0 is one left-associated
+    double dot (bit-stable); each contribution is fixed-pointed as
+    FLOOR(x_i * s * scale) BEFORE the cross-row sum, so the 64 sums are
+    exact integers under any partial-aggregation order. Normalization
+    happens on the 64-row output (a window over dims rows, not corpus
+    rows).
+
+    Plan: one scan, one partial-aggregated shuffle to a single row of
+    64 integer sums, exploded to (dim, y, y_norm) for inspection.
+    Overflow budget: |x_i * s| <= ~8 with 1e6 scaling -> 8e6 per row;
+    exact up to ~1e12 rows per partial sum; shard-and-reaggregate (the
+    same integer identity) beyond that."""
+    if v0 is None:
+        v0c = [F.expr(_plane_component(0, d)) for d in range(dims)]
+    else:
+        v0c = [F.lit(float(x)) for x in v0]
+    s = None
+    for d in range(dims):
+        t = F.element_at(vec_col, d + 1).cast("double") * v0c[d]
+        s = t if s is None else s + t
+    df = corpus.withColumn("__s", s)
+    sums = [
+        F.sum(
+            F.floor(
+                F.element_at(vec_col, i + 1).cast("double")
+                * F.col("__s") * scale
+            ).cast("bigint")
+        ).alias(f"y{i}")
+        for i in range(dims)
+    ]
+    one = df.agg(F.count(F.lit(1)).alias("n"), *sums)
+    pairs = ", ".join(f"{i + 1}, y{i}" for i in range(dims))
+    exploded = one.select(
+        "n", F.expr(f"stack({dims}, {pairs}) AS (dim, y_fixed)")
+    )
+    norm = F.sqrt(F.sum((F.col("y_fixed") / scale) ** 2).over(W.partitionBy()))
+    return exploded.select(
+        F.col("dim").cast("int").alias("dim"),
+        "y_fixed",
+        F.round(F.col("y_fixed") / scale / norm, 4).alias("y_norm"),
+    )

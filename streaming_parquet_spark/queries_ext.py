@@ -1981,3 +1981,45 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, rerank=4)
+
+
+def _duck_power_step(dims: int, scale: int) -> str:
+    from streaming_parquet_spark.operators.similarity import (
+        _plane_component,
+    )
+
+    dot = ""
+    for d in range(dims):
+        t = f"CAST(embedding[{d + 1}] AS DOUBLE) * {_plane_component(0, d)}"
+        dot = t if not dot else f"{dot} + {t}"
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding, ({dot}) AS s FROM embeddings
+    ),
+    c AS (
+      SELECT t.i AS dim,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * s
+                                 * {scale}) AS BIGINT)) AS BIGINT) AS y_fixed
+      FROM s, (SELECT unnest(range(1, {dims + 1})) AS i) t
+      GROUP BY t.i
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, y_fixed,
+           ROUND(y_fixed / {scale}.0
+                 / SQRT(SUM(POWER(y_fixed / {scale}.0, 2)) OVER ()),
+                 4) AS y_norm
+    FROM c
+    """
+
+
+@query("embed_power_iteration", _duck_power_step(64, 1_000_000))
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction (y = Gram x v0, Gram never materialized) — the iterative
+    PCA/spectral primitive, fixed-point integer sums for exact order-
+    independent aggregation at any core count. See
+    operators.similarity.power_iteration_step."""
+    from streaming_parquet_spark.operators.similarity import (
+        power_iteration_step,
+    )
+
+    return power_iteration_step(_t(spark, sf_dir, "embeddings"))

@@ -1200,3 +1200,44 @@ def test_pq_recall_and_code_shape(emb):
         per_vec.setdefault(r["id"], []).append(r)
         assert 0 <= r["code"] < PQ_K
     assert all(len(v) == PQ_M for v in per_vec.values())
+
+
+def test_power_iteration_matches_numpy_and_converges(emb):
+    """y must equal the numpy rendering of sum_x floor(x_i (x.v0) S)
+    exactly (integer fixed point), y_norm must be unit-norm, and
+    iterating v0 <- y_norm must raise the Rayleigh quotient toward the
+    top eigenvalue (power-method monotonicity)."""
+    import numpy as np
+
+    from streaming_parquet_spark.operators.similarity import (
+        _plane_component,
+        power_iteration_step,
+    )
+
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    # replicate the arithmetic start vector
+    M = 2_147_483_647
+    v0 = np.array(
+        [((7 * (d + 1) * 2654435761) % M) / M * 2 - 1 for d in range(64)]
+    )
+    out = {r["dim"]: r for r in power_iteration_step(emb).collect()}
+    s = X @ v0
+    y_fixed = np.floor(X * s[:, None] * 1_000_000).astype(np.int64).sum(0)
+    for d in range(64):
+        assert out[d + 1]["y_fixed"] == y_fixed[d], d
+    norm_sq = sum(r["y_norm"] ** 2 for r in out.values())
+    assert abs(norm_sq - 1.0) < 1e-2
+    # one more step via the v0 parameter: Rayleigh quotient must not drop
+    G = X.T @ X
+    y1 = np.array([out[d + 1]["y_norm"] for d in range(64)])
+    out2 = {
+        r["dim"]: r
+        for r in power_iteration_step(emb, v0=list(y1)).collect()
+    }
+    y2 = np.array([out2[d + 1]["y_norm"] for d in range(64)])
+    r1 = y1 @ G @ y1
+    r2 = y2 @ G @ y2
+    assert r2 >= r1 - 1e-6, (r1, r2)
