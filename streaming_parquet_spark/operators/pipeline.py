@@ -226,13 +226,16 @@ def domain_mix_weights(
     df: DataFrame,
     group_col: str = "source",
     token_col: str = "est_tokens",
+    cap: bool = True,
 ) -> DataFrame:
     """Per-domain sampling weights toward a UNIFORM target mixture:
     weight_g = min(1, (total_tokens / n_groups) / group_tokens). A
     domain above its uniform share is downsampled by its weight; a
     domain below keeps everything (weight 1 — upsampling is an epoch
-    multiplier decided downstream). Output: group, n_docs, n_tokens,
-    weight.
+    multiplier decided downstream). With ``cap=False`` the raw ratio is
+    emitted instead (weights > 1 mean "this domain repeats w times") —
+    the input epoch_upsample materializes. Output: group, n_docs,
+    n_tokens, weight.
 
     Plan: one partial-aggregated shuffle to per-group totals (narrow —
     one row per domain), then a scalar total broadcast back via a
@@ -245,17 +248,14 @@ def domain_mix_weights(
     w = W.partitionBy()
     total = F.sum("n_tokens").over(w)
     n_groups = F.count(F.lit(1)).over(w)
+    raw = (total / n_groups) / F.col("n_tokens")
+    if cap:
+        raw = F.least(F.lit(1.0), raw)
     return grouped.select(
         group_col,
         "n_docs",
         "n_tokens",
-        F.round(
-            F.least(
-                F.lit(1.0),
-                (total / n_groups) / F.col("n_tokens"),
-            ),
-            4,
-        ).alias("weight"),
+        F.round(raw, 4).alias("weight"),
     )
 
 
@@ -321,4 +321,45 @@ def rank_filter(
     )
     return df.withColumn(out_col, F.round(pr, 4)).filter(
         F.col(out_col) >= min_pct
+    )
+
+
+EPOCH_SEED = 5
+
+
+def epoch_upsample(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = EPOCH_SEED,
+) -> DataFrame:
+    """Materialize UPSAMPLING epochs: a row with domain weight w
+    appears floor(w) times, plus once more iff its salted hash bucket
+    falls under the fractional part — so a 2.3x domain emits each doc
+    2 times and every ~3rd doc (deterministically chosen by id hash) a
+    3rd time. The complement of domain_resample (which only keeps/
+    drops); together they materialize any mixture weight. Output rows
+    carry ``epoch`` (1-based copy index) so shard writers can spread
+    copies across epochs.
+
+    Deterministic: copy count is a pure function of (id, weight); no
+    RNG state. Plan: broadcast the tiny weights table, per-row
+    sequence explode — a narrow map-side fanout, no shuffle; output
+    volume = sum(w_g x |g|), exactly the mixture's token budget."""
+    b = F.expr(hash_bucket_expr("spark", id_col, 1000, seed=seed))
+    w = weights.select(
+        group_col,
+        F.floor("weight").cast("int").alias("__full"),
+        ((F.col("weight") - F.floor("weight")) * 1000).alias("__fr"),
+    )
+    copies = F.col("__full") + F.when(b < F.col("__fr"), 1).otherwise(0)
+    return (
+        df.join(F.broadcast(w), group_col)
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.expr("sequence(1, __copies)"))
+        )
+        .drop("__full", "__fr", "__copies")
     )

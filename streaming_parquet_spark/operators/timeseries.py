@@ -70,3 +70,52 @@ def hypertable_rollup(
     for t in tiers[1:]:
         out = out.unionByName(t)
     return out
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    threshold: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group z-score anomaly flagging with EXACT moments: the
+    group's mean and variance come from integer sums of
+    floor(value*scale) and its square — bit-identical under any
+    partial-aggregation order, where naive double sums drift with
+    partitioning (and diverge from any oracle). z is then two FP ops
+    from exact integers.
+
+    Plan: one narrow agg (count + 2 integer sums per group, broadcast
+    back) + one corpus scan for the filter — two scans, but the corpus
+    itself is never shuffled (the window rendering would shuffle every
+    row to sort within groups). Zero-variance groups flag nothing.
+
+    Overflow: |v*scale| <= S per row bounds the squared sum by
+    S^2 * rows; with S ~ 1e4 that is exact to ~1e10 rows per group —
+    shard-and-reaggregate beyond."""
+    keys = keys or []
+    fixed = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
+    stats = (
+        df.withColumn("__f", fixed)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__f").alias("__s1"),
+            F.sum(F.col("__f") * F.col("__f")).alias("__s2"),
+        )
+    )
+    j = df.withColumn("__f", fixed)
+    j = j.join(F.broadcast(stats), keys) if keys else j.crossJoin(
+        F.broadcast(stats)
+    )
+    mean = F.col("__s1") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    z = (F.col("__f") - mean) / F.sqrt(var)
+    return (
+        j.withColumn("__z", z)
+        .filter(F.sqrt(var) > 0)
+        .filter(F.abs(F.col("__z")) >= threshold)
+        .withColumn("zscore", F.round(F.col("__z"), 4))
+        .drop("__f", "__n", "__s1", "__s2", "__z")
+    )

@@ -2023,3 +2023,94 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return power_iteration_step(_t(spark, sf_dir, "embeddings"))
+
+
+def _duck_epoch_upsample() -> str:
+    from streaming_parquet_spark.operators.pipeline import EPOCH_SEED
+
+    b = hash_bucket_expr("duckdb", "d.doc_id", 1000, seed=EPOCH_SEED)
+    return f"""
+    WITH t AS (
+      SELECT lang, {_duck_est_tokens('text')} AS est_tokens FROM documents
+    ),
+    g AS (
+      SELECT lang, CAST(SUM(est_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY lang
+    ),
+    w AS (
+      SELECT lang,
+             ROUND((SUM(n_tokens) OVER ()
+                    / CAST(COUNT(*) OVER () AS DOUBLE)) / n_tokens, 4)
+               AS weight
+      FROM g
+    ),
+    c AS (
+      SELECT d.doc_id, d.lang,
+             CAST(FLOOR(w.weight) AS INTEGER)
+               + CASE WHEN {b} < (w.weight - FLOOR(w.weight)) * 1000
+                      THEN 1 ELSE 0 END AS copies
+      FROM documents d JOIN w ON d.lang = w.lang
+    )
+    SELECT doc_id, lang,
+           CAST(unnest(range(1, copies + 1)) AS INTEGER) AS epoch
+    FROM c WHERE copies > 0
+    """
+
+
+@query("pipeline_epoch_upsample", _duck_epoch_upsample())
+def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture epochs from UNCAPPED uniform-target weights
+    over language: low-resource languages repeat floor(w) times plus a
+    deterministic hash-chosen fraction (de at w=1.53 -> every doc once,
+    ~53% twice), the dominant language downsamples (en at w=0.46 ->
+    ~46% kept) — one operator materializes the whole mixture, with an
+    ``epoch`` index so shard writers can spread copies. Broadcast
+    weights + narrow explode, no shuffle. See
+    operators.pipeline.epoch_upsample."""
+    from streaming_parquet_spark.operators.pipeline import (
+        domain_mix_weights,
+        epoch_upsample,
+    )
+
+    docs = with_token_stats(_t(spark, sf_dir, "documents"))
+    w = domain_mix_weights(
+        docs, group_col="lang", token_col="est_tokens", cap=False
+    )
+    return epoch_upsample(
+        docs.select("doc_id", "lang"), w, group_col="lang"
+    ).select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH f AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2
+      FROM f GROUP BY event_type
+    )
+    SELECT f.event_id, f.event_type,
+           ROUND((f.v - s1 / n) / SQRT(s2 / n - (s1 / n) * (s1 / n)), 4)
+             AS zscore
+    FROM f JOIN s ON f.event_type = s.event_type
+    WHERE SQRT(s2 / n - (s1 / n) * (s1 / n)) > 0
+      AND ABS((f.v - s1 / n) / SQRT(s2 / n - (s1 / n) * (s1 / n))) >= 3.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flags with EXACT moments: mean and
+    variance from integer sums of fixed-point values (order-independent
+    under any partial aggregation — naive double sums drift with
+    partitioning), then a broadcast join back; the corpus is scanned
+    twice but never shuffled. See operators.timeseries.anomaly_zscore."""
+    from streaming_parquet_spark.operators.timeseries import anomaly_zscore
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return anomaly_zscore(
+        e, value_col="value", keys=["event_type"], threshold=3.0
+    ).select("event_id", "event_type", "zscore")

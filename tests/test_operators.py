@@ -1241,3 +1241,69 @@ def test_power_iteration_matches_numpy_and_converges(emb):
     r1 = y1 @ G @ y1
     r2 = y2 @ G @ y2
     assert r2 >= r1 - 1e-6, (r1, r2)
+
+
+def test_epoch_upsample_copy_counts(spark, docs):
+    """Copy count per doc == floor(w) + {0,1} by the deterministic
+    fractional hash; realized per-group volume tracks weight * size."""
+    from streaming_parquet_spark.operators.pipeline import (
+        domain_mix_weights,
+        epoch_upsample,
+    )
+    from streaming_parquet_spark.operators.text import with_token_stats
+
+    d = with_token_stats(docs)
+    w = domain_mix_weights(d, group_col="lang", token_col="est_tokens",
+                           cap=False)
+    out = epoch_upsample(d.select("doc_id", "lang"), w, group_col="lang")
+    weights = {r["lang"]: r["weight"] for r in w.collect()}
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    import math
+
+    for doc, n in per_doc.items():
+        wv = weights[langs[doc]]
+        assert n in (math.floor(wv), math.floor(wv) + 1), (doc, wv, n)
+    # epochs are 1..copies with no gaps
+    bad = out.groupBy("doc_id").agg(
+        F.max("epoch").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).filter("mx != n").count()
+    assert bad == 0
+    # realized volume tracks the weight (within hash noise)
+    totals = dict(docs.groupBy("lang").count().collect())
+    got = dict(out.groupBy("lang").count().collect())
+    for lang, total in totals.items():
+        expect = weights[lang] * total
+        assert abs(got.get(lang, 0) - expect) < 0.2 * total + 10, lang
+
+
+def test_anomaly_zscore_moments_exact(spark):
+    """z-scores must match a direct computation from exact moments on a
+    small handcrafted group (one wild outlier)."""
+    from streaming_parquet_spark.operators.timeseries import anomaly_zscore
+
+    vals = [10.0] * 20 + [1000.0]
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    out = anomaly_zscore(df, value_col="value", keys=["grp"], threshold=3.0)
+    got = out.collect()
+    assert len(got) == 1 and got[0]["event_id"] == 20
+    import math
+
+    f = [math.floor(v * 100) for v in vals]
+    n = len(f)
+    mean = sum(f) / n
+    var = sum(x * x for x in f) / n - mean * mean
+    z = (f[20] - mean) / math.sqrt(var)
+    assert abs(got[0]["zscore"] - round(z, 4)) < 1e-9
+    # constant group flags nothing (zero variance guard)
+    const = spark.createDataFrame(
+        [(i, "c", 5.0) for i in range(10)],
+        "event_id long, grp string, value double",
+    )
+    assert anomaly_zscore(const, "value", ["grp"]).count() == 0
