@@ -301,3 +301,64 @@ def chunk_documents(
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk").alias("chunk"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-bigram LM fluency score (the perplexity-proxy quality
+    filter of CCNet-style pipelines, with the corpus itself as the LM):
+    score(doc) = mean over the doc's bigrams of p(w2 | w1), where
+    p(w2|w1) = C(w1 w2) / C(w1) from corpus counts. Repetitive /
+    formulaic documents score high, token-salad scores low; filter
+    tails downstream.
+
+    Numerics: every probability is fixed-pointed as
+    (C2 * 10^9) DIV C1 — one exact integer division per bigram, summed
+    exactly — so scores are identical under any join order, partition
+    layout, or engine; the only FP op is the final mean display. Docs
+    with < 2 words have no bigrams and drop out (both engines agree).
+
+    Plan: explode bigrams (narrow, in-scan) -> two count aggregates
+    (bigram vocab + unigram vocab, both vastly smaller than the
+    corpus) -> join counts back on the bigram / first-word keys ->
+    one partial-aggregated shuffle per doc. At 100 TB the count tables
+    shuffle-join (they no longer broadcast) but stay vocabulary-sized;
+    nothing quadratic anywhere."""
+    from streaming_parquet_spark.functions.portable import (
+        bigrams_all_expr,
+        ordered_words_expr,
+    )
+
+    bigrams = bigrams_all_expr(
+        "spark", ordered_words_expr("spark", text_col)
+    )
+    b = df.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(bigrams)).alias("bg")
+    )
+    uni = df.select(
+        F.explode(F.expr(ordered_words_expr("spark", text_col))).alias("w1")
+    ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        b.join(big, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(uni, "w1")
+        .withColumn(
+            "p_fixed", F.expr("CAST(c2 * 1000000000 DIV c1 AS BIGINT)")
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("p_fixed").alias("__s"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            F.round(F.col("__s") / F.col("n_bigrams") / 1e9, 6).alias(
+                "lm_score"
+            ),
+        )
+    )

@@ -2114,3 +2114,39 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_zscore(
         e, value_col="value", keys=["event_type"], threshold=3.0
     ).select("event_id", "event_type", "zscore")
+
+
+def _duck_bigram_lm() -> str:
+    words = ordered_words_expr("duckdb", "text")
+    from streaming_parquet_spark.functions.portable import bigrams_all_expr
+
+    bigrams = bigrams_all_expr("duckdb", words)
+    return f"""
+    WITH b AS (
+      SELECT doc_id AS id, unnest({bigrams}) AS bg FROM documents
+    ),
+    uw AS (SELECT unnest({words}) AS w1 FROM documents),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM uw GROUP BY w1),
+    big AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg),
+    scored AS (
+      SELECT b.id, CAST(big.c2 * 1000000000 // uni.c1 AS BIGINT) AS p_fixed
+      FROM b
+      JOIN big ON b.bg = big.bg
+      JOIN uni ON string_split(b.bg, ' ')[1] = uni.w1
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(p_fixed) AS BIGINT) / COUNT(*) / 1e9, 6)
+             AS lm_score
+    FROM scored GROUP BY id
+    """
+
+
+@query("text_lm_score", _duck_bigram_lm())
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM fluency scores (perplexity-proxy quality
+    signal, CCNet-shaped): mean conditional bigram probability per doc
+    in exact fixed-point integer arithmetic. See
+    operators.text.bigram_lm_score."""
+    from streaming_parquet_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))

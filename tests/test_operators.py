@@ -1307,3 +1307,23 @@ def test_anomaly_zscore_moments_exact(spark):
         "event_id long, grp string, value double",
     )
     assert anomaly_zscore(const, "value", ["grp"]).count() == 0
+
+
+def test_bigram_lm_score_ranks_formulaic_above_salad(spark):
+    """A document made of the corpus's dominant bigram pattern must
+    outscore a doc of unique one-off bigrams, and scores stay in
+    (0, 1]."""
+    from streaming_parquet_spark.operators.text import bigram_lm_score
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "zq xv bn mk lp qw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r["lm_score"] for r in bigram_lm_score(df).collect()}
+    assert out[0] > out[100]
+    assert all(0 < v <= 1.0 + 1e-9 for v in out.values())
+    # single-word docs have no bigrams and drop out
+    one = spark.createDataFrame(
+        [(1, "solo"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["id"] for r in bigram_lm_score(one).collect()}
+    assert got == {2}
