@@ -308,16 +308,19 @@ def bigram_lm_score(
 ) -> DataFrame:
     """Corpus-bigram LM fluency score (the perplexity-proxy quality
     filter of CCNet-style pipelines, with the corpus itself as the LM):
-    score(doc) = mean over the doc's bigrams of p(w2 | w1), where
-    p(w2|w1) = C(w1 w2) / C(w1) from corpus counts. Repetitive /
-    formulaic documents score high, token-salad scores low; filter
-    tails downstream.
+    score(doc) = mean over the doc's bigrams of the add-one-smoothed
+    conditional p(w2 | w1) = (C(w1 w2) + 1) / (C(w1) + V), with corpus
+    counts and unigram vocabulary size V (Laplace smoothing — without
+    it a one-off bigram over a one-off unigram scores a perfect 1/1
+    and token salad ranks ABOVE formulaic text). Common continuations
+    score high, unpredictable ones low; filter tails downstream.
 
     Numerics: every probability is fixed-pointed as
-    (C2 * 10^9) DIV C1 — one exact integer division per bigram, summed
-    exactly — so scores are identical under any join order, partition
-    layout, or engine; the only FP op is the final mean display. Docs
-    with < 2 words have no bigrams and drop out (both engines agree).
+    ((C2 + 1) * 10^9) DIV (C1 + V) — one exact integer division per
+    bigram, summed exactly — so scores are identical under any join
+    order, partition layout, or engine; the only FP op is the final
+    mean display. Docs with < 2 words have no bigrams and drop out
+    (both engines agree).
 
     Plan: explode bigrams (narrow, in-scan) -> two count aggregates
     (bigram vocab + unigram vocab, both vastly smaller than the
@@ -339,13 +342,16 @@ def bigram_lm_score(
     uni = df.select(
         F.explode(F.expr(ordered_words_expr("spark", text_col))).alias("w1")
     ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     big = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     scored = (
         b.join(big, "bg")
         .withColumn("w1", F.substring_index("bg", " ", 1))
         .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
         .withColumn(
-            "p_fixed", F.expr("CAST(c2 * 1000000000 DIV c1 AS BIGINT)")
+            "p_fixed",
+            F.expr("CAST((c2 + 1) * 1000000000 DIV (c1 + v) AS BIGINT)"),
         )
     )
     return (

@@ -2128,11 +2128,14 @@ def _duck_bigram_lm() -> str:
     uw AS (SELECT unnest({words}) AS w1 FROM documents),
     uni AS (SELECT w1, COUNT(*) AS c1 FROM uw GROUP BY w1),
     big AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
     scored AS (
-      SELECT b.id, CAST(big.c2 * 1000000000 // uni.c1 AS BIGINT) AS p_fixed
+      SELECT b.id,
+             CAST((big.c2 + 1) * 1000000000 // (uni.c1 + vocab.v)
+                  AS BIGINT) AS p_fixed
       FROM b
       JOIN big ON b.bg = big.bg
-      JOIN uni ON string_split(b.bg, ' ')[1] = uni.w1
+      JOIN uni ON string_split(b.bg, ' ')[1] = uni.w1, vocab
     )
     SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            ROUND(CAST(SUM(p_fixed) AS BIGINT) / COUNT(*) / 1e9, 6)
