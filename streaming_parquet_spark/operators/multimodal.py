@@ -431,7 +431,11 @@ def decode_audio(
         d = hashlib.md5(b).digest()
         rate = (8000, 16000, 22050, 44100)[d[0] % 4]
         n = len(b) * 16 + d[1]
-        return rate, n, round(n / rate, 6), "fake"
+        # duration floored to whole microseconds via integer division —
+        # round(n/rate, 6) is a half-even/half-up portability trap when
+        # n/rate terminates exactly at the 7th decimal (every odd n at
+        # 16 kHz: n/16000 = ...5e-7)
+        return rate, n, (n * 1_000_000 // rate) / 1e6, "fake"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:

@@ -2153,3 +2153,72 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_parquet_spark.operators.text import bigram_lm_score
 
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def _duck_audio_rate() -> str:
+    return (
+        f"(CASE ({_md5_byte(0)}) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000"
+        f" WHEN 2 THEN 22050 ELSE 44100 END)"
+    )
+
+
+@query(
+    "multimodal_audio",
+    f"""
+    SELECT doc_id AS id,
+           CAST({_duck_audio_rate()} AS INTEGER) AS sample_rate,
+           CAST(STRLEN(text) * 16 + ({_md5_byte(1)}) AS BIGINT) AS n_samples,
+           CAST((STRLEN(text) * 16 + ({_md5_byte(1)})) * 1000000
+                // {_duck_audio_rate()} AS DOUBLE) / 1000000
+             AS duration_sec,
+           'fake' AS format
+    FROM documents
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas audio-metadata decode (deterministic fake codec —
+    soundfile is the drop-in; the WAV-header parser handles real RIFF
+    bytes dependency-free). The fake path is fully value-oracled from
+    the same md5 arithmetic as multimodal_decode."""
+    from streaming_parquet_spark.operators.multimodal import (
+        attach_binary,
+        decode_audio,
+    )
+
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    return decode_audio(d)
+
+
+@query(
+    "multimodal_features",
+    f"""
+    WITH f AS (
+      SELECT doc_id AS id,
+             [{", ".join(f"CAST((({_md5_byte(i)}) / 255.0) * 2 - 1 AS FLOAT)" for i in range(16))}]
+               AS fs
+      FROM documents
+    )
+    SELECT id, CAST(unnest(range(0, 16)) AS INTEGER) AS dim,
+           ROUND(CAST(unnest(fs) AS DOUBLE), 4) AS fval
+    FROM f
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (md5-seeded deterministic fake —
+    a model-based embedder is the drop-in with the same array<float>
+    shape), exploded to (id, dim, value) so the float32 features
+    hash-compare exactly."""
+    from streaming_parquet_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+    )
+
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    f = extract_features(d, dims=16)
+    return f.select(
+        "id", F.posexplode("features").alias("dim", "v")
+    ).select(
+        "id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("v").cast("double"), 4).alias("fval"),
+    )
