@@ -363,3 +363,45 @@ def epoch_upsample(
         )
         .drop("__full", "__fr", "__copies")
     )
+
+
+SHARD_SEED = 6
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    bytes_col: str | None = None,
+    seed: int = SHARD_SEED,
+) -> DataFrame:
+    """Training-shard write plan: assign every row a deterministic
+    shard by salted id hash and emit one manifest row per shard
+    (n_docs, n_tokens, n_bytes, id range) — the pre-write audit that
+    catches shard skew BEFORE the job writes 100 TB, and the sharding
+    function the writer then reuses (`.repartition(n_shards, shard)`
+    followed by a partitioned write puts every row exactly where the
+    manifest promised).
+
+    Hash sharding makes shard volume multinomial-uniform in expectation
+    regardless of input order or skew in the id space; the manifest
+    proves it for the actual corpus. One partial-aggregated shuffle of
+    manifest-sized rows."""
+    shard = F.expr(hash_bucket_expr("spark", id_col, n_shards, seed=seed))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    ]
+    if token_col:
+        aggs.append(
+            F.sum(F.col(token_col).cast("bigint")).alias("n_tokens")
+        )
+    if bytes_col:
+        aggs.append(F.sum(F.col(bytes_col).cast("bigint")).alias("n_bytes"))
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .groupBy("shard")
+        .agg(*aggs)
+    )

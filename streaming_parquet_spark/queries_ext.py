@@ -2222,3 +2222,69 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         F.round(F.col("v").cast("double"), 4).alias("fval"),
     )
+
+
+def _duck_resize(w: int, h: int) -> str:
+    n = w * h
+    return f"""
+    SELECT doc_id AS id,
+           CAST({w} AS INTEGER) AS width,
+           CAST({h} AS INTEGER) AS height,
+           md5(substring(repeat(md5(text), {n // 16 + 1}), 1, {2 * n}))
+             AS payload_md5
+    FROM documents
+    """
+
+
+@query("multimodal_resize", _duck_resize(32, 24))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize plumbing end-to-end (deterministic fake
+    resample — PIL / the pure-Python PNG scanline decoder are the
+    drop-ins): the resized payload is digest-seeded and size-correct,
+    value-oracled via its hex-space md5 (DuckDB's md5 is
+    VARCHAR-only, so both engines hash the lowercase hex rendering of
+    the bytes)."""
+    from streaming_parquet_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    r = resize_images(d, width=32, height=24)
+    return r.select(
+        "id", "width", "height",
+        F.md5(F.lower(F.hex(F.col("resized_bytes")))).alias("payload_md5"),
+    )
+
+
+def _duck_shard_manifest(n_shards: int) -> str:
+    from streaming_parquet_spark.operators.pipeline import SHARD_SEED
+
+    b = hash_bucket_expr("duckdb", "doc_id", n_shards, seed=SHARD_SEED)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, CAST({b} AS INTEGER) AS shard,
+             {_duck_est_tokens('text')} AS est_tokens, n_chars
+      FROM documents
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+           CAST(SUM(est_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+    FROM t GROUP BY shard
+    """
+
+
+@query("pipeline_shard_manifest", _duck_shard_manifest(16))
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard write plan over 16 hash shards: per-shard doc /
+    token / byte totals and id ranges — the audit that surfaces shard
+    skew before a 100 TB write, using the same deterministic shard
+    function the writer repartitions by. See
+    operators.pipeline.shard_manifest."""
+    from streaming_parquet_spark.operators.pipeline import shard_manifest
+
+    d = with_token_stats(_t(spark, sf_dir, "documents"))
+    return shard_manifest(
+        d, n_shards=16, token_col="est_tokens", bytes_col="n_chars"
+    )

@@ -1327,3 +1327,72 @@ def test_bigram_lm_score_ranks_formulaic_above_salad(spark):
     )
     got = {r["id"] for r in bigram_lm_score(one).collect()}
     assert got == {2}
+
+
+def test_span_dedup_properties_random(spark):
+    """Property check over randomized corpora: (1) every distinct span
+    survives in exactly one document (its first occurrence); (2) kept +
+    dropped == total spans per doc; (3) reassembled text contains only
+    that doc's kept spans in position order."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.dedup import span_dedup
+
+    spans_strategy = st.lists(
+        st.tuples(
+            st.integers(0, 5),  # doc id
+            st.integers(0, 9),  # pos (deduped per doc below)
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(raw=spans_strategy)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(raw):
+        seen = set()
+        rows = []
+        for d, p, s in raw:
+            if (d, p) not in seen:
+                seen.add((d, p))
+                rows.append((d, p, s))
+        df = spark.createDataFrame(rows, "doc_id long, pos long, para string")
+        out = {
+            r["doc_id"]: r
+            for r in span_dedup(df, "doc_id", "pos", "para", sep="|").collect()
+        }
+        # conservation per doc
+        per_doc: dict = {}
+        for d, p, s in rows:
+            per_doc.setdefault(d, []).append((p, s))
+        assert sorted(out) == sorted(per_doc)
+        for d, items in per_doc.items():
+            assert out[d]["n_kept"] + out[d]["n_dropped"] == len(items)
+        # each distinct span survives exactly once, at its first site
+        first = {}
+        for d, p, s in sorted(rows):
+            first.setdefault(s, (d, p))
+        survivors = []
+        for d, r in out.items():
+            for s in (r["text"].split("|") if r["text"] else []):
+                survivors.append((d, s))
+        assert sorted(survivors) == sorted(
+            (d, s) for s, (d, p) in first.items()
+        )
+        # position order within each doc
+        for d, r in out.items():
+            kept = [
+                s for p, s in sorted(per_doc[d]) if first.get(s) == (d, p)
+            ]
+            assert (r["text"].split("|") if r["text"] else []) == kept
+
+    check()
