@@ -157,3 +157,41 @@ def test_skew_join_aqe_split(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name,table,allowed",
+    [
+        ("text_chunk_docs", "documents", {"doc_id", "text"}),
+        ("dedup_paragraphs", "documents", {"doc_id", "text"}),
+        ("pipeline_token_budget", "documents", {"doc_id", "source", "text"}),
+        ("pipeline_rank_filter", "documents",
+         {"doc_id", "source", "n_chars"}),
+        ("embed_random_projection", "embeddings", {"vec_id", "embedding"}),
+        ("events_upsert_latest", "events",
+         {"event_id", "ts", "user_id", "event_type", "value"}),
+    ],
+)
+def test_scan_prunes_columns(name, table, allowed, spark, sf_dir):
+    """Column pruning must reach the parquet scan: the ReadSchema of the
+    named table's scan may only contain the columns the query uses."""
+    plan = _physical_plan(QUERIES[name](spark, sf_dir))
+    import re
+
+    read = None
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if c}
+        # identify this scan by its column names being a subset of the
+        # table's schema; documents/events/embeddings never share names
+        read = cols if cols and not (cols - _TABLE_COLS[table]) else read
+    assert read is not None, f"{name}: no {table} scan found\n{plan[:1500]}"
+    assert read <= allowed, (
+        f"{name}: scan reads {sorted(read - allowed)} beyond {sorted(allowed)}"
+    )
+
+
+_TABLE_COLS = {
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+}
