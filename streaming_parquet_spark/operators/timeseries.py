@@ -119,3 +119,134 @@ def anomaly_zscore(
         .withColumn("zscore", F.round(F.col("__z"), 4))
         .drop("__f", "__n", "__s1", "__s2", "__z")
     )
+
+
+def ts_windows(
+    df: DataFrame,
+    m: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Segment each key's time-ordered series into disjoint windows of
+    ``m`` points (incomplete tails dropped) as exact fixed-point value
+    arrays: output (user, win, vals array<bigint>, s1, s2) where s1/s2
+    are the window's integer sum and sum-of-squares (the z-normalization
+    moments, exact under any aggregation order).
+
+    One shuffle on the key for the row_number window; the per-window
+    arrays are built by array_sort(collect_list(struct(rn, v))) so the
+    element order is total regardless of partitioning."""
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(user_col).orderBy(ts_col, "event_id")
+        if "event_id" in df.columns
+        else W.partitionBy(user_col).orderBy(ts_col)
+    )
+    fixed = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
+    seg = (
+        df.withColumn("__rn", rn)
+        .withColumn("__f", fixed)
+        .withColumn("win", F.expr(f"CAST((__rn - 1) DIV {m} AS INT)"))
+    )
+    return (
+        seg.groupBy(user_col, "win")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", "__f"))),
+                lambda x: x["__f"],
+            ).alias("vals"),
+            F.sum("__f").alias("s1"),
+            F.sum(F.col("__f") * F.col("__f")).alias("s2"),
+        )
+        .filter(F.col("__n") == m)
+        .drop("__n")
+    )
+
+
+def ts_similarity_topk(
+    series: DataFrame,
+    query_user: int,
+    query_win: int = 0,
+    k: int = 10,
+    m: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Top-k most similar subsequences to a query window under
+    z-normalized squared Euclidean distance — whole-series-matching
+    similarity search over streaming event series (the shape of
+    distributed time-series search engines; UCR-suite style
+    z-normalized distance, public literature).
+
+    Windows z-normalize from their EXACT integer moments (mean s1/m,
+    var s2/m - mean^2); the distance sum is a left-associated unrolled
+    expression over the m positions — deterministic IEEE order, so the
+    oracle reproduces every double bit-for-bit. Zero-variance windows
+    are excluded (z-normalization undefined).
+
+    Plan: one shuffle to build windows, broadcast the 1-row query
+    window, per-row distance expression, WindowGroupLimit top-k. At
+    100 TB: windows are built once and stored; each query is a
+    broadcast + scan — embarrassingly parallel."""
+    w = ts_windows(series, m, user_col, ts_col, value_col)
+    qw = w.filter(
+        (F.col(user_col) == query_user) & (F.col("win") == query_win)
+    ).select(
+        F.col("vals").alias("q_vals"),
+        F.col("s1").alias("q_s1"),
+        F.col("s2").alias("q_s2"),
+    )
+    cand = w.filter(
+        ~((F.col(user_col) == query_user) & (F.col("win") == query_win))
+    )
+    j = cand.crossJoin(F.broadcast(qw))
+
+    def znorm(vals: str, s1: str, s2: str, i: int) -> str:
+        mean = f"(CAST({s1} AS DOUBLE) / {m})"
+        var = f"(CAST({s2} AS DOUBLE) / {m} - {mean} * {mean})"
+        return f"((element_at({vals}, {i + 1}) - {mean}) / sqrt({var}))"
+
+    terms = []
+    for i in range(m):
+        d = (
+            f"({znorm('vals', 's1', 's2', i)}"
+            f" - {znorm('q_vals', 'q_s1', 'q_s2', i)})"
+        )
+        terms.append(f"{d} * {d}")
+    dist = "(" + " + ".join(terms) + ")"
+    var_ok = (
+        f"(CAST(s2 AS DOUBLE) / {m}"
+        f" - (CAST(s1 AS DOUBLE) / {m}) * (CAST(s1 AS DOUBLE) / {m})) > 0"
+    )
+    q_var_ok = (
+        f"(CAST(q_s2 AS DOUBLE) / {m}"
+        f" - (CAST(q_s1 AS DOUBLE) / {m}) * (CAST(q_s1 AS DOUBLE) / {m})) > 0"
+    )
+    from pyspark.sql import Window as W2
+
+    # ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    # top-k, then a k-row merge on the driver side of the exchange) —
+    # never a global sort; the rank window then runs over k rows only.
+    topk = (
+        j.filter(F.expr(var_ok)).filter(F.expr(q_var_ok))
+        .withColumn("dist_raw", F.expr(dist))
+        .orderBy(
+            F.col("dist_raw").asc(), F.col(user_col).asc(),
+            F.col("win").asc(),
+        )
+        .limit(k)
+    )
+    wrank = W2.partitionBy(F.lit(1)).orderBy(
+        F.col("dist_raw").asc(), F.col(user_col).asc(), F.col("win").asc()
+    )
+    return (
+        topk.withColumn("rank", F.row_number().over(wrank).cast("int"))
+        .select(
+            user_col, "win", F.round("dist_raw", 4).alias("dist"), "rank"
+        )
+    )

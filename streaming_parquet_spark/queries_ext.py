@@ -2398,3 +2398,80 @@ def embed_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _duck_ts_sim(qu: int, qw: int, k: int, m: int) -> str:
+    def znorm(vals: str, s1: str, s2: str, i: int) -> str:
+        mean = f"(CAST({s1} AS DOUBLE) / {m})"
+        var = f"(CAST({s2} AS DOUBLE) / {m} - {mean} * {mean})"
+        return f"(({vals}[{i + 1}] - {mean}) / sqrt({var}))"
+
+    terms = []
+    for i in range(m):
+        d = (
+            f"({znorm('vals', 's1', 's2', i)}"
+            f" - {znorm('q_vals', 'q_s1', 'q_s2', i)})"
+        )
+        terms.append(f"{d} * {d}")
+    dist = "(" + " + ".join(terms) + ")"
+    var_ok = (
+        f"(CAST(s2 AS DOUBLE) / {m}"
+        f" - (CAST(s1 AS DOUBLE) / {m}) * (CAST(s1 AS DOUBLE) / {m})) > 0"
+    )
+    q_var_ok = (
+        f"(CAST(q_s2 AS DOUBLE) / {m}"
+        f" - (CAST(q_s1 AS DOUBLE) / {m}) * (CAST(q_s1 AS DOUBLE) / {m}))"
+        f" > 0"
+    )
+    return f"""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS f,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, CAST((rn - 1) // {m} AS INTEGER) AS win,
+             list(f ORDER BY rn) AS vals,
+             CAST(SUM(f) AS BIGINT) AS s1,
+             CAST(SUM(f * f) AS BIGINT) AS s2
+      FROM seg GROUP BY 1, 2
+      HAVING COUNT(*) = {m}
+    ),
+    q AS (
+      SELECT vals AS q_vals, s1 AS q_s1, s2 AS q_s2
+      FROM w WHERE user_id = {qu} AND win = {qw}
+    ),
+    d AS (
+      SELECT user_id, win, {dist} AS dist_raw
+      FROM w, q
+      WHERE NOT (user_id = {qu} AND win = {qw})
+        AND {var_ok} AND {q_var_ok}
+    ),
+    r AS (
+      SELECT user_id, win, dist_raw,
+             CAST(ROW_NUMBER() OVER (ORDER BY dist_raw, user_id, win)
+                  AS INTEGER) AS rank
+      FROM d
+    )
+    SELECT user_id, win, ROUND(dist_raw, 4) AS dist, rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+@query("events_ts_similarity", _duck_ts_sim(1, 0, 10, 8))
+def events_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search: top-10 windows most
+    similar to user 1's first 8-point window under z-normalized
+    Euclidean distance (UCR-style whole-matching over distributed
+    series). Windows carry exact integer moments; the distance is a
+    fixed-order unrolled expression, so the approximate search is
+    bit-oracled. See operators.timeseries.ts_similarity_topk."""
+    from streaming_parquet_spark.operators.timeseries import (
+        ts_similarity_topk,
+    )
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return ts_similarity_topk(e, query_user=1, query_win=0, k=10, m=8)

@@ -1429,3 +1429,31 @@ def test_ivf_pq_recall_within_pq_budget(emb):
     for qid, nid in composed:
         per_q.setdefault(qid, set()).add(nid)
     assert len(per_q) == 5 and all(len(v) == 10 for v in per_q.values())
+
+
+def test_ts_similarity_invariant_to_affine_transform(spark):
+    """z-normalized distance must be 0 between a window and an affine
+    copy of it (v -> a*v + b), the defining property of the metric."""
+    from streaming_parquet_spark.operators.timeseries import (
+        ts_similarity_topk,
+    )
+
+    base = [3.0, 7.0, 1.0, 9.0, 4.0, 6.0, 2.0, 8.0]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, 1, f"2024-01-01 00:{i:02d}:00", v))
+        rows.append((100 + i, 2, f"2024-01-01 00:{i:02d}:00", 2.0 * v + 5.0))
+        rows.append((200 + i, 3, f"2024-01-01 00:{i:02d}:00", float(i % 2)))
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = ts_similarity_topk(df, query_user=1, query_win=0, k=5, m=8)
+    got = {(r["user_id"], r["win"]): r for r in out.collect()}
+    # affine copy is rank 1 with distance 0
+    assert got[(2, 0)]["rank"] == 1 and got[(2, 0)]["dist"] == 0.0
+    # the query window itself is excluded
+    assert (1, 0) not in got
+    # the alternating series is farther
+    assert got[(3, 0)]["dist"] > 0

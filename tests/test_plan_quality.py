@@ -33,6 +33,7 @@ _BNLJ_OK = {
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
     "embed_ann_ivf_sq8",   # IVF centroid assignment (8-row broadcast)
     "embed_ann_ivf_pq",    # IVF centroid assignment (8-row broadcast)
+    "events_ts_similarity",  # 1-row query-window broadcast
     "embed_kmeans_step",   # IVF centroid assignment (8-row broadcast)
     # derived-partsupp family: 1-row supplier-count broadcast (the only
     # BNLJ left after the 4-way fanout became a Generate); q11 adds the
