@@ -368,3 +368,67 @@ def bigram_lm_score(
             ),
         )
     )
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    topk_terms: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-to-document similarity by TF-IDF cosine over an
+    INVERTED-INDEX join — the sparse counterpart of the dense ANN
+    family: no embeddings needed, candidates meet only through shared
+    terms (docs sharing no term never pair — the index prunes the
+    quadratic space the way LSH bands do for shingles).
+
+    Each doc is reduced to its ``topk_terms`` strongest TF-IDF terms
+    (tfidf_topk), bounding postings per doc; term weights are the
+    RATIONAL tf-idf wf = (tf * 10^4 * (N+1)) DIV (df+1) — exact
+    integer arithmetic end-to-end (the log-smoothed display score
+    would hang the weights on libm's last ulp), so pair dot products
+    are order-independent and the only FP is the final norm division —
+    same double in any engine.
+
+    Plan: terms explode -> per-term postings self-join (shuffle on the
+    term key; hot terms are exactly the low-idf ones the top-k pruning
+    already demoted) -> partial-aggregated pair dot -> broadcast norms
+    -> WindowGroupLimit top-k per doc. At 100 TB: postings become a
+    stored inverted index; everything downstream is the same narrow
+    shuffle."""
+    t = tfidf_topk(df, k=topk_terms, text_col=text_col, id_col=id_col)
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    v = t.crossJoin(F.broadcast(n_docs)).select(
+        "id", "term",
+        F.expr(
+            "CAST(tf * 10000 * (__n + 1) DIV (df + 1) AS BIGINT)"
+        ).alias("wf"),
+    )
+    norms = v.groupBy("id").agg(
+        F.sum(F.col("wf") * F.col("wf")).alias("n2")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id"), F.col("b.id").alias("nbr"))
+        .agg(F.sum(F.col("a.wf") * F.col("b.wf")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("n2").cast("double") * F.col("nbr_n2").cast("double")
+    )
+    w = W.partitionBy("id").orderBy(F.col("cos_raw").desc(), F.col("nbr"))
+    return (
+        dots.join(norms, "id")
+        .join(
+            norms.select(
+                F.col("id").alias("nbr"), F.col("n2").alias("nbr_n2")
+            ),
+            "nbr",
+        )
+        .withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("id", "nbr", F.round("cos_raw", 4).alias("cos"), "rank")
+    )

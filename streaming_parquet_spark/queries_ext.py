@@ -2475,3 +2475,69 @@ def events_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     return ts_similarity_topk(e, query_user=1, query_win=0, k=10, m=8)
+
+
+def _duck_sparse_cosine(k: int, topk_terms: int) -> str:
+    return f"""
+    WITH w0 AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), ' +'),
+                                w -> w <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM w0 GROUP BY id, term),
+    dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    ranked AS (
+      SELECT tf.id, tf.term, tf.tf, dfr.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.id
+               ORDER BY tf.tf * (n.n + 1) / (dfr.df + 1) DESC, tf.term)
+               AS rnk
+      FROM tf JOIN dfr ON tf.term = dfr.term, n
+    ),
+    v AS (
+      SELECT id, term,
+             CAST(tf * 10000 * (n.n + 1) // (df + 1) AS BIGINT) AS wf
+      FROM ranked, n WHERE rnk <= {topk_terms}
+    ),
+    norms AS (SELECT id, CAST(SUM(wf * wf) AS BIGINT) AS n2
+              FROM v GROUP BY id),
+    dots AS (
+      SELECT a.id AS id, b.id AS nbr, CAST(SUM(a.wf * b.wf) AS BIGINT)
+               AS dot
+      FROM v a JOIN v b ON a.term = b.term AND a.id <> b.id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.id, d.nbr,
+             CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+               AS cos_raw
+      FROM dots d
+      JOIN norms na ON d.id = na.id
+      JOIN norms nb ON d.nbr = nb.id
+    ),
+    r AS (
+      SELECT id, nbr, cos_raw,
+             CAST(ROW_NUMBER() OVER (PARTITION BY id
+               ORDER BY cos_raw DESC, nbr) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT id, nbr, ROUND(cos_raw, 4) AS cos, rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+@query("text_sparse_cosine", _duck_sparse_cosine(5, 8))
+def text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-to-doc similarity by TF-IDF cosine over an inverted-index
+    join — the sparse counterpart of the dense ANN family (candidates
+    meet only through shared terms; postings bounded by top-8 terms
+    per doc). Weights are exact rational tf-idf integers; the only FP
+    op is the final norm division. See
+    operators.text.sparse_cosine_topk."""
+    from streaming_parquet_spark.operators.text import sparse_cosine_topk
+
+    return sparse_cosine_topk(
+        _t(spark, sf_dir, "documents"), k=5, topk_terms=8
+    )

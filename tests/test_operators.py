@@ -1457,3 +1457,28 @@ def test_ts_similarity_invariant_to_affine_transform(spark):
     assert (1, 0) not in got
     # the alternating series is farther
     assert got[(3, 0)]["dist"] > 0
+
+
+def test_sparse_cosine_identical_docs_are_top_neighbors(spark):
+    from streaming_parquet_spark.operators.text import sparse_cosine_topk
+
+    rows = [
+        (1, "quantum flux capacitor resonance chamber alpha"),
+        (2, "quantum flux capacitor resonance chamber alpha"),
+        (3, "banana smoothie recipe with yogurt and honey"),
+        (4, "banana smoothie recipe with yogurt and berries"),
+        (5, "unrelated solitary document about nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id"], r["rank"]): (r["nbr"], r["cos"])
+        for r in sparse_cosine_topk(df, k=2, topk_terms=8).collect()
+    }
+    # identical docs: cosine 1.0, mutual rank-1
+    assert out[(1, 1)][0] == 2 and abs(out[(1, 1)][1] - 1.0) < 1e-9
+    assert out[(2, 1)][0] == 1
+    # near-identical recipes pair up
+    assert out[(3, 1)][0] == 4 and out[(4, 1)][0] == 3
+    assert 0 < out[(3, 1)][1] < 1.0
+    # doc 5 shares no top term with anyone -> absent or low
+    assert (5, 1) not in out or out[(5, 1)][1] < 0.5
