@@ -376,6 +376,7 @@ def sparse_cosine_topk(
     topk_terms: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document-to-document similarity by TF-IDF cosine over an
     INVERTED-INDEX join — the sparse counterpart of the dense ANN
@@ -396,8 +397,17 @@ def sparse_cosine_topk(
     already demoted) -> partial-aggregated pair dot -> broadcast norms
     -> WindowGroupLimit top-k per doc. At 100 TB: postings become a
     stored inverted index; everything downstream is the same narrow
-    shuffle."""
+    shuffle.
+
+    ``max_df`` is the stop-term guard the index NEEDS on degenerate
+    vocabularies: a term in more than max_df docs contributes
+    O(postings^2) pairs while carrying ~zero idf signal — drop it from
+    the index entirely (its weight was near-minimal anyway). On the
+    synthetic fixture every term is corpus-wide, which is exactly that
+    pathology; the gate query therefore also samples the corpus."""
     t = tfidf_topk(df, k=topk_terms, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        t = t.filter(F.col("df") <= max_df)
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     v = t.crossJoin(F.broadcast(n_docs)).select(
         "id", "term",

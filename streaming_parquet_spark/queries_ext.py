@@ -2479,15 +2479,19 @@ def events_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_sparse_cosine(k: int, topk_terms: int) -> str:
     return f"""
-    WITH w0 AS (
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE {hash_bucket_expr('duckdb', 'doc_id', 100)} < 10
+    ),
+    w0 AS (
       SELECT doc_id AS id,
              unnest(list_filter(string_split_regex(trim(text), ' +'),
                                 w -> w <> '')) AS term
-      FROM documents
+      FROM corpus
     ),
     tf AS (SELECT id, term, COUNT(*) AS tf FROM w0 GROUP BY id, term),
     dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT COUNT(*) AS n FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM corpus),
     ranked AS (
       SELECT tf.id, tf.term, tf.tf, dfr.df,
              ROW_NUMBER() OVER (PARTITION BY tf.id
@@ -2534,10 +2538,16 @@ def text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the sparse counterpart of the dense ANN family (candidates
     meet only through shared terms; postings bounded by top-8 terms
     per doc). Weights are exact rational tf-idf integers; the only FP
-    op is the final norm division. See
+    op is the final norm division.
+
+    The gate runs over a 10% hash sample: the synthetic fixture's
+    ~40-word vocabulary makes EVERY term a corpus-wide posting (the
+    degenerate case the operator's max_df guard exists for), so the
+    unsampled index would be all-pairs at fixture scale while proving
+    nothing extra about the plan. See
     operators.text.sparse_cosine_topk."""
+    from streaming_parquet_spark.operators.pipeline import hash_sample
     from streaming_parquet_spark.operators.text import sparse_cosine_topk
 
-    return sparse_cosine_topk(
-        _t(spark, sf_dir, "documents"), k=5, topk_terms=8
-    )
+    corpus = hash_sample(_t(spark, sf_dir, "documents"), pct=10)
+    return sparse_cosine_topk(corpus, k=5, topk_terms=8)

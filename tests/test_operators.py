@@ -1482,3 +1482,25 @@ def test_sparse_cosine_identical_docs_are_top_neighbors(spark):
     assert 0 < out[(3, 1)][1] < 1.0
     # doc 5 shares no top term with anyone -> absent or low
     assert (5, 1) not in out or out[(5, 1)][1] < 0.5
+
+
+def test_sparse_cosine_max_df_drops_stop_terms(spark):
+    """A term present in every doc must vanish from the index under
+    max_df, removing pairs that only share it."""
+    from streaming_parquet_spark.operators.text import sparse_cosine_topk
+
+    rows = [
+        (1, "common alpha beta"),
+        (2, "common alpha beta"),
+        (3, "common gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = sparse_cosine_topk(df, k=2, topk_terms=8)
+    pruned = sparse_cosine_topk(df, k=2, topk_terms=8, max_df=2)
+    full_pairs = {(r["id"], r["nbr"]) for r in full.collect()}
+    pruned_pairs = {(r["id"], r["nbr"]) for r in pruned.collect()}
+    # with 'common' indexed, doc 3 pairs with 1 and 2; without it,
+    # doc 3 shares no indexed term and drops out entirely
+    assert (3, 1) in full_pairs and (1, 3) in full_pairs
+    assert all(3 not in p for p in pruned_pairs)
+    assert (1, 2) in pruned_pairs  # alpha/beta still pair 1-2
