@@ -1810,3 +1810,96 @@ def stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_cents",
     )
+
+
+@query(
+    "stream_windowed_counts",
+    """
+    WITH m AS (SELECT MAX(ts) AS mx FROM events),
+    w AS (
+      SELECT to_timestamp(FLOOR(epoch(ts) / 21600) * 21600) AS ws,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n, total_value
+    FROM w, m
+    WHERE ws + INTERVAL 6 HOURS <= m.mx - INTERVAL 2 HOURS
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming tumbling-window aggregation through the
+    oracle gate: 6-hour event-time windows with a 2-hour watermark in
+    APPEND mode — only FINALIZED windows (window_end <= final
+    watermark) ever land, which is the semantic the oracle reproduces:
+    batch windows filtered to end <= max(ts) - delay. Pinned
+    empirically (Spark 4.1): availableNow runs a final cleanup batch
+    with the end-of-data watermark, so emission depends only on the
+    data, not on batch boundaries. Late/retained windows stay in the
+    state store for the next run — the streaming-resume story for
+    aggregations, exactly like open sessions in stream_session_state.
+
+    Scale: state is bounded by (watermark / window) x |keys| live
+    windows; the append sink emits each window exactly once."""
+    import os as _os
+    import shutil as _shutil
+
+    from streaming_parquet_spark.queries import _events
+
+    work = _stream_workdir("maw_stream_win_", sf_dir)
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir, exist_ok=True)
+
+    e = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    if not _os.path.exists(_os.path.join(src_dir, "batch1.parquet")):
+        t1 = _ts("2024-01-16")
+        base = 1_700_000_000
+        for i, df in enumerate(
+            (e.filter(F.col("ts") < t1), e.filter(F.col("ts") >= t1))
+        ):
+            stage = _os.path.join(work, f"stage{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in _os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = _os.path.join(src_dir, f"batch{i}.parquet")
+            _shutil.copy(_os.path.join(stage, part), dst)
+            _os.utime(dst, (base + i * 60, base + i * 60))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out_dir = _os.path.join(work, "landed")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    landed = spark.read.parquet(out_dir)
+    return landed.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type", "n", "total_value",
+    )
