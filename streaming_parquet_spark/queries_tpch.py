@@ -1903,3 +1903,75 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type", "n", "total_value",
     )
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join through the oracle gate: the event
+    stream enriches against a BATCH dimension table (nation) inside
+    the streaming query — the standard fact-stream x dim-table shape.
+    The dim side broadcasts per micro-batch (re-read each trigger, so
+    a slowly-changing dimension is picked up on the next batch —
+    Structured Streaming's documented stream-static semantics); the
+    enriched rows land in the sink and aggregate batch-side. Money as
+    integer cents."""
+    import os as _os
+    import shutil as _shutil
+
+    from streaming_parquet_spark.queries import _events
+
+    work = _stream_workdir("maw_stream_dim_", sf_dir)
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir, exist_ok=True)
+    src = _os.path.join(sf_dir, "events.parquet")
+    staged = _os.path.join(src_dir, "events.parquet")
+    if not _os.path.exists(staged):
+        try:
+            _os.link(src, staged)
+        except OSError:
+            _shutil.copy(src, staged)
+
+    e = _events(spark, sf_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src_dir)
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    dim = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = (
+        stream.withColumn("cents", F.floor(F.col("value") * 100).cast("long"))
+        .withColumn("nk", F.col("user_id") % 25)
+        .join(F.broadcast(dim), F.col("nk") == F.col("n_nationkey"))
+        .select("n_name", "cents")
+    )
+    out_dir = _os.path.join(work, "landed")
+    (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", _os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    landed = spark.read.parquet(out_dir)
+    return landed.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
