@@ -2551,3 +2551,115 @@ def text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = hash_sample(_t(spark, sf_dir, "documents"), pct=10)
     return sparse_cosine_topk(corpus, k=5, topk_terms=8)
+
+
+def _duck_end_to_end() -> str:
+    from streaming_parquet_spark.operators.pipeline import STRATIFIED_SEED
+
+    strat = hash_bucket_expr("duckdb", "doc_id", 1000, seed=STRATIFIED_SEED)
+    split_b = hash_bucket_expr("duckdb", "doc_id", 100)
+    return f"""
+    WITH q AS (
+      SELECT doc_id, text, lang,
+             {n_words_expr('duckdb', 'text')} AS n_words,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS punct,
+             {_duck_est_tokens('text')} AS est_tokens
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, lang, est_tokens,
+             ROUND((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN n_words > 0
+                     AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                         BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN n_chars > 0
+                     AND CAST(punct AS DOUBLE) / n_chars < 0.1
+                     THEN 0.3 ELSE 0.0 END), 2) AS quality
+      FROM q
+    ),
+    clean AS (SELECT * FROM scored WHERE quality >= 0.7),
+    deduped AS (
+      SELECT doc_id, lang, est_tokens FROM (
+        SELECT doc_id, lang, est_tokens,
+               ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+                 ORDER BY doc_id) AS rn
+        FROM clean
+      ) WHERE rn = 1
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE {strat} < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
+    ),
+    splits AS (
+      SELECT doc_id, lang, est_tokens,
+             CASE WHEN {split_b} < 80 THEN 'train'
+                  WHEN {split_b} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM sampled
+    ),
+    packed AS (
+      SELECT doc_id, lang, split, CAST(est_tokens AS BIGINT) AS est_tokens,
+             CAST(FLOOR((SUM(est_tokens) OVER (PARTITION BY split
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                         - est_tokens) / 2048.0) AS BIGINT) AS bin
+      FROM splits
+    )
+    SELECT doc_id, lang, split, est_tokens, bin FROM packed
+    """
+
+
+@query("pipeline_end_to_end", _duck_end_to_end())
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus pipeline composed in ONE Catalyst plan:
+    quality filter (>= 0.7) -> exact dedup keep-first -> stratified
+    downsample of the dominant language (en at 50%) -> deterministic
+    80/10/10 split -> GPT-style sequence packing into 2048-token bins
+    per split. Every stage is an operator from this repo; the
+    composition proves they chain without materialization barriers
+    (one shuffle for dedup, one for packing — the sampling and split
+    stages stay filters). The DuckDB oracle replays the full five-
+    stage pipeline."""
+    from pyspark.sql import Window as W2
+
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_sequences,
+        stratified_sample,
+        with_split,
+    )
+    from streaming_parquet_spark.operators.text import (
+        with_quality,
+        with_token_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality(with_token_stats(docs))
+    clean = scored.filter(F.col("quality_score") >= 0.7)
+    deduped = (
+        clean.withColumn(
+            "__rn",
+            F.row_number().over(
+                W2.partitionBy(
+                    F.md5(F.lower(F.trim(F.col("text"))))
+                ).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "est_tokens")
+    )
+    sampled = stratified_sample(
+        deduped, {"en": 0.5}, strat_col="lang", default_rate=1.0
+    )
+    splits = with_split(sampled)
+    packed = pack_sequences(
+        splits, token_col="est_tokens", budget=2048,
+        order_col="doc_id", part_col="split",
+    )
+    return packed.select(
+        "doc_id", "lang", "split",
+        F.col("est_tokens").cast("bigint").alias("est_tokens"),
+        "bin",
+    )
