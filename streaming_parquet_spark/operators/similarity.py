@@ -895,7 +895,10 @@ def ivf_pq_topk(
     spark = corpus.sparkSession
     cb = pq_codebook_df(spark)
     cents = corpus.filter(F.col(id_col) < n_centroids)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col, dims)
+    # Materialized once: the assignment feeds BOTH the PQ encoding and
+    # the cluster map below — without this the centroid-affinity
+    # argmax (a broadcast NLJ over the corpus) executes twice.
+    assigned = _materialize(ivf_assign(corpus, cents, id_col, vec_col, dims))
     codes = pq_encode(
         assigned.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
         cb, id_col, vec_col,
