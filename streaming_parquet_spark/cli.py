@@ -35,7 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("inputs", nargs="+", help="files, directories, globs, or - for stdin")
     p.add_argument("-o", "--out", help="output file path")
     p.add_argument(
-        "--out-format", choices=["csv", "parquet", "jsonl"], dest="out_format"
+        "--out-format", choices=["csv", "parquet", "jsonl", "orc"],
+        dest="out_format"
     )
 
     # CSV input options (cli.rs:25-43)

@@ -38,6 +38,7 @@ from streaming_parquet_spark.sinks.writers import (
     SinkResult,
     write_csv,
     write_jsonl,
+    write_orc,
     write_parquet,
     write_partitioned,
 )
@@ -54,6 +55,7 @@ from streaming_parquet_spark.sources.readers import (
     infer_jsonl_schema_prefix,
     read_csv,
     read_jsonl,
+    read_orc,
     read_parquet,
 )
 
@@ -118,6 +120,15 @@ class Engine:
         except Exception:
             return self.spark.read.parquet(path).schema
 
+    def _probe_orc_schema(self, path: str) -> T.StructType:
+        try:  # footer-only read, no Spark job
+            import pyarrow.orc as po
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            return from_arrow_schema(po.ORCFile(path).schema)
+        except Exception:
+            return self.spark.read.orc(path).schema
+
     def _csv_header_key(self, path: str, spec: RunSpec):
         """Driver-side header sniff (first line only) to group CSV files
         before inference. With --no-headers, files group by column count."""
@@ -155,6 +166,17 @@ class Engine:
                     pq_idx,
                     pool.map(
                         lambda i: self._probe_parquet_schema(files[i].path), pq_idx
+                    ),
+                ):
+                    out[i] = schema
+
+        orc_idx = [i for i, f in enumerate(files) if f.format is InputFormat.ORC]
+        if orc_idx:
+            with ThreadPoolExecutor(max_workers=min(32, len(orc_idx))) as pool:
+                for i, schema in zip(
+                    orc_idx,
+                    pool.map(
+                        lambda i: self._probe_orc_schema(files[i].path), orc_idx
                     ),
                 ):
                     out[i] = schema
@@ -245,6 +267,8 @@ class Engine:
         for (fmt, schema_json), paths in groups.items():
             if fmt is InputFormat.PARQUET:
                 dfs.append(read_parquet(self.spark, paths))
+            elif fmt is InputFormat.ORC:
+                dfs.append(read_orc(self.spark, paths))
             elif fmt is InputFormat.JSONL:
                 schema = T.StructType.fromJson(json.loads(schema_json))
                 dfs.append(
@@ -350,6 +374,14 @@ class Engine:
             sink = write_jsonl(
                 observed,
                 spec.out,
+                single_file=spec.single_file,
+                max_records_per_file=max_records,
+            )
+        elif fmt == "orc":
+            sink = write_orc(
+                observed,
+                spec.out,
+                compression=spec.compression,
                 single_file=spec.single_file,
                 max_records_per_file=max_records,
             )
@@ -459,6 +491,8 @@ class Engine:
             actual = self.spark.read.parquet(*sink.paths).count()
         elif fmt == "jsonl":
             actual = self.spark.read.json(sink.paths).count()
+        elif fmt == "orc":
+            actual = self.spark.read.orc(sink.paths).count()
         else:
             actual = (
                 self.spark.read.option("header", "true")

@@ -77,4 +77,6 @@ class RunSpec:
                 return "csv"
             if lower.endswith((".json", ".jsonl", ".ndjson")):
                 return "jsonl"
+            if lower.endswith(".orc"):
+                return "orc"
         return "csv"

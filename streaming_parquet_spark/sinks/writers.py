@@ -126,7 +126,8 @@ def write_partitioned(
     # Engine out-formats don't map 1:1 onto DataFrameWriter method
     # names (jsonl -> .json); dispatch explicitly so an unknown format
     # is a ValueError here, not an AttributeError mid-write.
-    methods = {"parquet": "parquet", "csv": "csv", "jsonl": "json"}
+    methods = {"parquet": "parquet", "csv": "csv", "jsonl": "json",
+               "orc": "orc"}
     method = methods.get(out_format)
     if method is None:
         raise ValueError(f"unsupported partitioned out format: {out_format}")
@@ -234,6 +235,36 @@ def write_parquet(
     if single_file and max_records_per_file is None:
         return _finalize_single_file(tmp, out_path, ".parquet")
     return _finalize_rolling(tmp, out_path, ".parquet")
+
+
+_ORC_CODECS = {
+    "none": "none", "uncompressed": "none", "snappy": "snappy",
+    "zlib": "zlib", "gzip": "zlib", "zstd": "zstd", "lz4": "lz4",
+}
+
+
+def write_orc(
+    df: DataFrame,
+    out_path: str,
+    compression: str = "none",
+    single_file: bool = True,
+    max_records_per_file: int | None = None,
+) -> SinkResult:
+    """ORC sink (extension): same single-file / rolling contract as the
+    Parquet sink; gzip maps to zlib (ORC's DEFLATE codec name)."""
+    codec = _ORC_CODECS.get(compression.lower())
+    if codec is None:
+        raise ValueError(f"unsupported compression: {compression}")
+    writer = (
+        df.coalesce(1) if single_file and max_records_per_file is None else df
+    ).write.mode("overwrite").option("compression", codec)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    tmp = _tmp_out_dir(out_path)
+    writer.orc(tmp)
+    if single_file and max_records_per_file is None:
+        return _finalize_single_file(tmp, out_path, ".orc")
+    return _finalize_rolling(tmp, out_path, ".orc")
 
 
 def write_jsonl(

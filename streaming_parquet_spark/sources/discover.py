@@ -35,6 +35,9 @@ class InputFormat(enum.Enum):
     # training corpora. Nested values degrade to Utf8 (JSON text) under
     # the reference's own lattice rule (schema.rs:38).
     JSONL = "jsonl"
+    # Extension: ORC — the other columnar lake format Spark reads and
+    # writes natively; schema comes from file metadata like Parquet.
+    ORC = "orc"
 
 
 @dataclass(frozen=True)
@@ -58,6 +61,7 @@ _EXT_FORMAT = {
     ".json": InputFormat.JSONL,
     ".jsonl": InputFormat.JSONL,
     ".ndjson": InputFormat.JSONL,
+    ".orc": InputFormat.ORC,
 }
 
 

@@ -366,6 +366,19 @@ def read_parquet(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def read_orc(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """ORC scan (extension): Spark's vectorized ORC reader — stripe
+    pruning and predicate pushdown, same free lunch as Parquet.
+
+    Unlike ``DataFrameReader.parquet(*paths)``, the ``orc`` reader's
+    signature is ``orc(path_or_list, mergeSchema=..., ...)`` — star-
+    expanding a path list binds extra paths to keyword slots (a
+    NumberFormatException deep in the JVM), so always pass the list."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.orc(paths)
+
+
 # ---------------------------------------------------------------------------
 # JSONL (extension beyond the reference — training corpora are JSONL)
 # ---------------------------------------------------------------------------

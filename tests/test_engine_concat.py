@@ -371,3 +371,50 @@ def test_jsonl_sink_roundtrip_with_verify(engine, tmp_path):
 
     recs = [_json.loads(l) for l in open(mid).read().strip().split("\n")]
     assert {r["k"]: r["txt"] for r in recs} == {1: "hello", 2: "world"}
+
+
+def test_orc_round_trip_and_mixed_concat(spark, tmp_path):
+    """ORC source + sink (extension): write a table as ORC, concat it
+    with a CSV holding extra columns, land as ORC, verify contents."""
+    from streaming_parquet_spark.engine import Engine
+    from streaming_parquet_spark.runspec import RunSpec
+
+    eng = Engine(spark)
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    orc_in = str(tmp_path / "in.orc")
+    src.coalesce(1).write.mode("overwrite").orc(str(tmp_path / "orc_dir"))
+    import os, shutil
+
+    part = next(
+        f for f in os.listdir(tmp_path / "orc_dir") if f.endswith(".orc")
+    )
+    shutil.copy(str(tmp_path / "orc_dir" / part), orc_in)
+
+    csv_in = str(tmp_path / "extra.csv")
+    with open(csv_in, "w") as fh:
+        fh.write("id,name,extra\n3,c,9\n")
+
+    out = str(tmp_path / "out.orc")
+    res = eng.run(RunSpec(inputs=[orc_in, csv_in], out=out, verify=True))
+    assert res.rows == 3 and res.verified
+    got = spark.read.orc(out)
+    assert got.count() == 3
+    cols = set(got.columns)
+    assert {"id", "name", "v", "extra"} <= cols
+    vals = {r["id"]: r for r in got.collect()}
+    assert vals[1]["v"] == 1.5 and vals[3]["extra"] == 9
+    assert vals[3]["v"] is None  # null-filled by alignment
+
+
+def test_orc_compressed_rolling(spark, tmp_path):
+    from streaming_parquet_spark.sinks.writers import write_orc
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS x")
+    res = write_orc(
+        df, str(tmp_path / "roll.orc"), compression="zstd",
+        single_file=False, max_records_per_file=30,
+    )
+    assert len(res.paths) >= 4  # 100 rows / 30 per file
+    assert spark.read.orc(res.paths).count() == 100
