@@ -53,7 +53,7 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_reps", "embed_random_projection",
     "stream_interval_join", "stream_session_state",
     "events_hypertable_rollup", "events_upsert_latest",
-    "pipeline_rank_filter", "embed_ann_pq", "embed_power_iteration", "pipeline_epoch_upsample", "events_anomaly_zscore", "text_lm_score", "multimodal_audio", "multimodal_features", "multimodal_resize", "pipeline_shard_manifest", "embed_ann_ivf_pq", "events_ts_similarity", "text_sparse_cosine", "stream_windowed_counts", "stream_static_join", "pipeline_end_to_end",
+    "pipeline_rank_filter", "embed_ann_pq", "embed_power_iteration", "pipeline_epoch_upsample", "events_anomaly_zscore", "text_lm_score", "multimodal_audio", "multimodal_features", "multimodal_resize", "pipeline_shard_manifest", "embed_ann_ivf_pq", "events_ts_similarity", "text_sparse_cosine", "stream_windowed_counts", "stream_static_join", "pipeline_end_to_end", "dedup_containment",
     # queries whose newest row is r2 (absent from CORRECTNESS_r03.json)
     "rel_join_agg_segment", "rel_semi_anti_join", "rel_distinct",
     "rel_agg_stats", "rel_window_topk", "rel_window_running",

@@ -2663,3 +2663,33 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_tokens").cast("bigint").alias("est_tokens"),
         "bin",
     )
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id AS id, lang,
+             list_distinct({_duck_shingle_hashes()}) AS sh
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(a.sh), 4) AS containment
+    FROM s a JOIN s b ON a.lang = b.lang AND a.id <> b.id
+    WHERE len(a.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+          >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs within language blocks: doc a whose
+    shingle set is >= 80% inside doc b — the boilerplate-inclusion
+    case symmetric Jaccard misses (a small doc embedded in a large one
+    has low Jaccard, containment ~1). See
+    operators.dedup.containment_pairs."""
+    from streaming_parquet_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), block_cols=["lang"], threshold=0.8
+    )

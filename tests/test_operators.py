@@ -1504,3 +1504,28 @@ def test_sparse_cosine_max_df_drops_stop_terms(spark):
     assert (3, 1) in full_pairs and (1, 3) in full_pairs
     assert all(3 not in p for p in pruned_pairs)
     assert (1, 2) in pruned_pairs  # alpha/beta still pair 1-2
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment ~1 while
+    Jaccard is small — the asymmetric case the operator exists for."""
+    from streaming_parquet_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    rows = [(1, small), (2, small + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert cont[(1, 2)] >= 0.99          # 1 contained in 2
+    assert (2, 1) not in cont            # 2 NOT contained in 1
+    assert jac[(1, 2)] < 0.2             # Jaccard blind to inclusion
