@@ -609,7 +609,12 @@ def test_write_partitioned_jsonl(spark, sf_dir, tmp_path):
 
     import pytest
     with pytest.raises(ValueError, match="unsupported partitioned"):
-        write_partitioned(li, out, ["l_returnflag"], out_format="orc")
+        write_partitioned(li, out, ["l_returnflag"], out_format="avro")
+    # ORC is a supported partitioned format since round 4
+    out2 = str(tmp_path / "part_orc_out")
+    res2 = write_partitioned(li, out2, ["l_returnflag"], out_format="orc")
+    assert res2.files_written >= 2
+    assert spark.read.orc(out2).count() == li.count()
 
 
 def test_asof_join_null_times_stay_unmatched(spark):
