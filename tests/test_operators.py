@@ -1534,3 +1534,31 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert cont[(1, 2)] >= 0.99          # 1 contained in 2
     assert (2, 1) not in cont            # 2 NOT contained in 1
     assert jac[(1, 2)] < 0.2             # Jaccard blind to inclusion
+
+
+def test_fixed_point_ops_partition_invariant(spark, emb, sf_dir):
+    """The integer fixed-point designs claim bit-identical results
+    under ANY partitioning — verify by running each op over 1-partition
+    and 17-partition layouts of the same data."""
+    from streaming_parquet_spark.operators.similarity import (
+        kmeans_step,
+        power_iteration_step,
+    )
+    from streaming_parquet_spark.operators.timeseries import anomaly_zscore
+    from streaming_parquet_spark.queries import _events
+
+    def rows(df):
+        return sorted(map(repr, df.collect()))
+
+    e1 = emb.repartition(1)
+    e17 = emb.repartition(17)
+    cents = emb.filter(F.col("vec_id") < 8)
+    assert rows(kmeans_step(e1, cents, dims=64)) == rows(
+        kmeans_step(e17, cents, dims=64)
+    )
+    assert rows(power_iteration_step(e1)) == rows(power_iteration_step(e17))
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    assert rows(
+        anomaly_zscore(ev.repartition(1), "value", ["event_type"])
+    ) == rows(anomaly_zscore(ev.repartition(17), "value", ["event_type"]))
