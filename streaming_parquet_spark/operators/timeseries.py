@@ -121,6 +121,113 @@ def anomaly_zscore(
     )
 
 
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "cents",
+    tiebreak_col: str = "event_id",
+    grain: str = "hour",
+) -> DataFrame:
+    """Resample a point series into OHLC bars: one row per
+    (bucket, *keys) with open/high/low/close of ``value_col`` plus n
+    and volume (sum). ``value_col`` should already be exact (integer
+    cents) so volume sums identically under any aggregation order.
+
+    Shape choice: min_by/max_by over the (ts, tiebreak) struct — a
+    pure aggregate, so every map task reduces its partition to one
+    candidate per bar before the exchange (first/last via a sorted
+    window would shuffle and sort every raw point). The tiebreak
+    column makes open/close deterministic when two points share a
+    timestamp. This is the bar-building shape that survives 100 TB of
+    ticks: shuffle traffic is O(bars), not O(points)."""
+    keys = keys or []
+    ordk = F.struct(
+        F.col(ts_col).alias("t"), F.col(tiebreak_col).alias("i")
+    )
+    v = F.col(value_col)
+    return df.groupBy(
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"), *keys
+    ).agg(
+        F.min_by(v, ordk).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, ordk).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).cast("bigint").alias("volume"),
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel conversion: for each user, how far through the
+    ``steps`` sequence they progressed, where each step must occur
+    STRICTLY after the previous step's matched event. Output one row
+    per step: (step, step_name, users reaching that step).
+
+    Semantics match the classic sequential-min chain (step i's match
+    is the earliest step-i event after the step-(i-1) match; greedy
+    earliest-match is optimal, so a single forward scan reproduces
+    it). Plan: ONE shuffle — collect each user's events into a sorted
+    array, then a JVM aggregate() scan advances a (stage, last_ts)
+    accumulator per user; the per-step counts are a global aggregate
+    of 1 row per user. The self-join-per-step rendering would cost
+    len(steps) corpus shuffles; this costs one, and the scan state is
+    2 fields regardless of funnel length."""
+    n = len(steps)
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak_col).alias("i"),
+                F.col(type_col).alias("y"),
+            )
+        )
+    )
+    steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    scan = F.expr(
+        f"""
+        aggregate(
+          __evs,
+          named_struct('stage', 0, 'last', CAST(NULL AS TIMESTAMP)),
+          (acc, e) -> CASE
+            WHEN acc.stage < {n}
+                 AND e.y = element_at({steps_arr}, acc.stage + 1)
+                 AND (acc.stage = 0 OR e.t > acc.last)
+            THEN named_struct('stage', acc.stage + 1, 'last', e.t)
+            ELSE acc END,
+          acc -> acc.stage
+        )
+        """
+    )
+    per_user = (
+        df.filter(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .agg(evs.alias("__evs"))
+        .select(scan.alias("stage"))
+    )
+    counts = per_user.agg(
+        *[
+            F.sum((F.col("stage") >= i).cast("long")).alias(f"u{i}")
+            for i in range(1, n + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{steps[i - 1]}', u{i}" for i in range(1, n + 1)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({n}, {stack_args}) AS (step, step_name, users)"
+        )
+    ).select(F.col("step").cast("int"), "step_name", "users")
+
+
 def ts_windows(
     df: DataFrame,
     m: int,

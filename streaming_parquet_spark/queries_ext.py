@@ -2693,3 +2693,144 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _t(spark, sf_dir, "documents"), block_cols=["lang"], threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 (late): SCD2 intervals / OHLC bars / funnel conversion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_scd2",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, cents,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 build: each user's purchase history becomes validity
+    intervals — row i valid from its own ts until version i+1's ts
+    (NULL + is_current for the newest). One windowed shuffle; lead()
+    and row_number() share a single WindowExec pass. See
+    operators.cdc.scd2_intervals."""
+    from streaming_parquet_spark.operators.cdc import scd2_intervals
+    from streaming_parquet_spark.queries import _events
+
+    p = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = scd2_intervals(
+        p, keys=["user_id"], seq_cols=["ts", "event_id"],
+        payload_cols=["cents"],
+    )
+    return out.select(
+        "user_id", "cents",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "version", "is_current",
+    )
+
+
+@query(
+    "events_ohlc",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS b, event_type, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT b, event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type
+               ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type
+               ORDER BY ts DESC, event_id DESC) AS rd
+      FROM c
+    )
+    SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts, event_type,
+           MAX(CASE WHEN ra = 1 THEN cents END) AS open,
+           MAX(cents) AS high,
+           MIN(cents) AS low,
+           MAX(CASE WHEN rd = 1 THEN cents END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS volume
+    FROM w GROUP BY b, event_type
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event type's value series into hourly OHLC bars.
+    min_by/max_by aggregates (shuffle O(bars), not O(points)); the
+    oracle renders open/close via asc/desc row_number, which must
+    agree with the aggregate form under the same (ts, event_id)
+    tiebreak. See operators.timeseries.ohlc_bars."""
+    from streaming_parquet_spark.operators.timeseries import ohlc_bars
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir).select(
+        "ts", "event_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bars = ohlc_bars(
+        e, ts_col="ts", keys=["event_type"], value_col="cents",
+        tiebreak_col="event_id", grain="hour",
+    )
+    return bars.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "event_type", "open", "high", "low", "close", "n", "volume",
+    )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH e AS (SELECT user_id, ts, event_type FROM events),
+    s1 AS (SELECT user_id, MIN(ts) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+    s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+           JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+    SELECT 1 AS step, 'signup' AS step_name,
+           CAST(COUNT(*) AS BIGINT) AS users FROM s1
+    UNION ALL SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM s3
+    UNION ALL SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> view -> click -> purchase: users
+    reaching each step, every step strictly after the previous match.
+    One shuffle (per-user sorted array + JVM aggregate() scan) vs the
+    oracle's sequential-min join chain — greedy earliest-match equals
+    the chain, so both agree exactly. See
+    operators.timeseries.funnel_steps."""
+    from streaming_parquet_spark.operators.timeseries import funnel_steps
+    from streaming_parquet_spark.queries import _events
+
+    out = funnel_steps(
+        _events(spark, sf_dir),
+        steps=["signup", "view", "click", "purchase"],
+    )
+    return out.select(
+        "step", "step_name", F.coalesce("users", F.lit(0)).alias("users")
+    )

@@ -1562,3 +1562,83 @@ def test_fixed_point_ops_partition_invariant(spark, emb, sf_dir):
     assert rows(
         anomaly_zscore(ev.repartition(1), "value", ["event_type"])
     ) == rows(anomaly_zscore(ev.repartition(17), "value", ["event_type"]))
+
+
+def test_scd2_intervals_chain(spark):
+    """Versions per key are contiguous: version i's valid_to equals
+    version i+1's valid_from; exactly one is_current per key."""
+    from streaming_parquet_spark.operators.cdc import scd2_intervals
+
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        (2, 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, payload string")
+    out = scd2_intervals(
+        df, keys=["k"], seq_cols=["seq"], payload_cols=["payload"]
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in versions] == list(
+            range(1, len(versions) + 1)
+        )
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert not a["is_current"]
+        assert versions[-1]["is_current"]
+        assert versions[-1]["valid_to"] is None
+    assert by_key[1][0]["payload"] == "a"
+    assert by_key[2][0]["is_current"]
+
+
+def test_ohlc_bars_tie_break(spark):
+    """open/close are deterministic under timestamp ties (tiebreak id)
+    and match the time-ordered first/last points."""
+    import datetime as dt
+
+    from streaming_parquet_spark.operators.timeseries import ohlc_bars
+
+    t0 = dt.datetime(2024, 1, 1, 10, 5)
+    rows = [
+        (t0, 2, 300), (t0, 1, 100),              # same ts: id 1 opens
+        (t0.replace(minute=30), 3, 50),
+        (t0.replace(minute=59), 5, 400),
+        (t0.replace(minute=59), 4, 250),         # id 5 closes
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_id long, cents long")
+    [bar] = ohlc_bars(df, keys=[], tiebreak_col="event_id").collect()
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (
+        100, 400, 50, 400,
+    )
+    assert (bar["n"], bar["volume"]) == (5, 1100)
+
+
+def test_funnel_steps_strict_order(spark):
+    """A step event BEFORE the previous step's match must not count;
+    ts ties do not advance (strictly-after semantics)."""
+    import datetime as dt
+
+    from streaming_parquet_spark.operators.timeseries import funnel_steps
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "signup", 1), (1, t(1), "view", 2), (1, t(2), "click", 3),
+        # user 2: click precedes view -> stops after signup+view
+        (2, t(0), "signup", 4), (2, t(1), "click", 5), (2, t(2), "view", 6),
+        # user 3: view shares signup's ts -> strictly-after fails
+        (3, t(0), "signup", 7), (3, t(0), "view", 8),
+        # user 4: never signs up
+        (4, t(0), "view", 9), (4, t(1), "click", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        r["step_name"]: r["users"]
+        for r in funnel_steps(df, ["signup", "view", "click"]).collect()
+    }
+    assert got == {"signup": 3, "view": 2, "click": 1}
