@@ -1,0 +1,60 @@
+"""Multi-dimensional data layout: Z-order (Morton) keys for
+write-time clustering. Sorting a table by the bit-interleaved key of
+several filter columns makes every one of those columns LOCALLY dense
+inside each output file, so parquet min/max footer stats prune files
+for predicates on ANY of the dimensions — the layout trick behind
+Delta/Iceberg OPTIMIZE ZORDER BY, expressed as plain Spark column
+expressions (public technique: Morton 1966 ordering).
+
+Why not just sort by (a, b)? A lexicographic sort clusters only its
+leading column; files are effectively random in b, so b-predicates
+scan everything. The Z-curve gives every dimension ~1/n of the key's
+bits, so a 1/r range in any dimension prunes ~1/r of the files.
+
+Everything is shiftleft/bitwise-and expressions — JVM codegen, no
+UDF; the final repartitionByRange+sortWithinPartitions is the one
+exchange a layout rewrite fundamentally requires (it IS the
+clustering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def zorder_key(cols: list[F.Column], bits: int = 8) -> F.Column:
+    """Interleave the low ``bits`` bits of each (non-negative int)
+    column into one Morton key: bit b of column j lands at position
+    b*len(cols)+j. Callers normalize each dimension into [0, 2^bits)
+    first (modular bucketing or rank-based binning). The expression
+    unrolls to bits*len(cols) shift/and/or terms — whole-stage
+    codegen, constant-folded shifts."""
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = c.cast("long")
+        for b in range(bits):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1).cast("long"))
+            key = key + F.shiftleft(bit, b * n + j)
+    return key
+
+
+def zorder_repartition(
+    df: DataFrame,
+    cols: list[F.Column],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Cluster ``df`` along the Z-curve of ``cols``: range-partition on
+    the Morton key (AQE-sized unless ``num_files`` pins it) and sort
+    within partitions, so every output file covers a compact Z-range —
+    tight min/max stats in every interleaved dimension. Write the
+    result with any sink; the key column is dropped."""
+    key = zorder_key(cols, bits).alias("__z")
+    out = df.withColumn("__z", key)
+    out = (
+        out.repartitionByRange(num_files, "__z")
+        if num_files
+        else out.repartitionByRange("__z")
+    )
+    return out.sortWithinPartitions("__z").drop("__z")

@@ -228,6 +228,53 @@ def funnel_steps(
     ).select(F.col("step").cast("int"), "step_name", "users")
 
 
+def ewma_fixed(
+    df: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    value_col: str,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key in EXACT integer
+    arithmetic (alpha = 1/2): y_1 = v_1, y_t = (v_t + y_{t-1}) DIV 2
+    (floor). The floor division makes the recurrence genuinely
+    sequential — no closed form, no window rendering — so this is the
+    canonical per-key ordered stateful op: groupBy the key,
+    applyInPandas scans each key's history in (seq_cols) order.
+
+    Scale shape: ONE shuffle on the key; each group is processed as an
+    Arrow batch (vectorized transfer, a tight int64 loop inside).
+    State is a single accumulator per key regardless of history
+    length. Keys are independent — 1000 executors each own their key
+    range. A key whose history exceeds a task's memory needs
+    time-range pre-splitting with carried seed state (the same
+    split-and-stitch as any sequential scan).
+
+    Exactness: inputs are integers (cents), the recurrence is integer,
+    so results are bit-identical under any partitioning and
+    reproducible by any engine with floor division — which is how the
+    DuckDB recursive-CTE oracle checks it."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    out_fields = df.schema.fields
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + f", {out_col} bigint"
+    sort_cols = list(seq_cols)
+
+    def scan(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy()
+        out = vals.copy()
+        acc = 0
+        for i in range(len(vals)):
+            acc = vals[i] if i == 0 else (vals[i] + acc) // 2
+            out[i] = acc
+        return pdf.assign(**{out_col: out})
+
+    return df.groupBy(*keys).applyInPandas(scan, schema=schema)
+
+
 def ts_windows(
     df: DataFrame,
     m: int,

@@ -2834,3 +2834,146 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "step", "step_name", F.coalesce("users", F.lit(0)).alias("users")
     )
+
+
+def _duck_zorder_expr(x: str, y: str, bits: int = 8) -> str:
+    """Morton interleave of the low ``bits`` bits of x (even positions)
+    and y (odd) — the same unrolled shift/and/or arithmetic as
+    operators.layout.zorder_key, rendered for DuckDB."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "rel_bloom_semi_join",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join rendered as Bloom-prefilter + residual exact join:
+    urgent orders' bitmap (64 KiB, broadcast) rejects non-matching
+    lineitem rows inside the scan stage, before any exchange; the
+    residual semi join removes false positives, so the result is
+    byte-identical to the plain semi join the oracle runs. The
+    explicit form of runtime-filter join reduction. See
+    operators.bloom.bloom_semi_join."""
+    from streaming_parquet_spark.operators.bloom import bloom_semi_join
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+@query(
+    "pipeline_zorder",
+    f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS zx,
+             date_diff('day', DATE '1995-01-01', o_orderdate) % 256 AS zy
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
+           CAST({_duck_zorder_expr('zx', 'zy')} AS BIGINT) AS zval
+    FROM d
+    ORDER BY zval, o_orderkey
+    LIMIT 500
+    """,
+)
+def pipeline_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day)
+    buckets — the write-layout that lets parquet min/max stats prune
+    files for predicates on EITHER dimension. Pure shift/and codegen
+    arithmetic; the oracle re-derives the interleave bit-for-bit. The
+    first 500 curve positions shown; zorder_repartition applies the
+    same key as a range-partitioned sort at write time. See
+    operators.layout.zorder_key."""
+    from streaming_parquet_spark.operators.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("zx"),
+        F.pmod(
+            F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1995-01-01"))),
+            F.lit(256),
+        ).cast("long").alias("zy"),
+    )
+    return (
+        o.withColumn("zval", zorder_key([F.col("zx"), F.col("zy")], bits=8))
+        .orderBy("zval", "o_orderkey")
+        .limit(500)
+    )
+
+
+@query(
+    "events_ewma",
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, rn, ts, event_id, cents, cents AS ewma
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.ts, o.event_id, o.cents,
+             (o.cents + r.ewma) // 2
+      FROM ordered o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
+           cents, ewma
+    FROM r
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA (alpha=1/2, floor) over each user's purchase
+    history — a genuinely sequential recurrence (floor kills the
+    closed form), so the engine shape is groupBy(user) +
+    applyInPandas Arrow scan and the oracle is a recursive CTE
+    stepping the same recurrence. Exact integers -> bit-equal. See
+    operators.timeseries.ewma_fixed."""
+    from streaming_parquet_spark.operators.timeseries import ewma_fixed
+    from streaming_parquet_spark.queries import _events
+
+    p = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = ewma_fixed(
+        p, keys=["user_id"], seq_cols=["ts", "event_id"],
+        value_col="cents",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id", "cents", "ewma",
+    )

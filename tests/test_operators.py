@@ -1642,3 +1642,88 @@ def test_funnel_steps_strict_order(spark):
         for r in funnel_steps(df, ["signup", "view", "click"]).collect()
     }
     assert got == {"signup": 3, "view": 2, "click": 1}
+
+
+def test_bloom_semi_join_exact_and_reducing(spark):
+    """Bloom prefilter admits every true match (no false negatives),
+    rejects most non-matches, and the composed operator equals the
+    plain semi join exactly."""
+    from streaming_parquet_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 5000).select(F.col("id").alias("k"))
+    build = spark.createDataFrame(
+        [(i * 37,) for i in range(40)], "bk long"
+    )  # 40 keys inside [0, 1480]
+    got = sorted(
+        r["k"] for r in bloom_semi_join(fact, build, "k", "bk").collect()
+    )
+    assert got == sorted(i * 37 for i in range(40))
+
+    bitmap = bloom_bitmap(build.select(F.col("bk").alias("__k")), "__k")
+    kept = bloom_prefilter(fact, bitmap, "k").count()
+    assert kept >= 40                     # no false negatives
+    assert kept < 5000 * 0.05             # >95% of non-matches rejected
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    """The Morton key interleaves bits exactly, and neighbours on the
+    curve are close in BOTH dimensions (locality property that makes
+    min/max pruning work per dimension)."""
+    from streaming_parquet_spark.operators.layout import zorder_key
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long").select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    )
+    rows = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+
+    def morton(x, y):
+        z = 0
+        for b in range(4):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert all(rows[(x, y)] == morton(x, y) for x, y in pts)
+    # curve locality: any 16 consecutive curve positions span <= 8
+    # distinct values in each dimension (vs 16 for a row-major sort's
+    # trailing dimension)
+    by_z = sorted(pts, key=lambda p: rows[p])
+    for i in range(0, 256, 16):
+        chunk = by_z[i:i + 16]
+        assert len({x for x, _ in chunk}) <= 8
+        assert len({y for _, y in chunk}) <= 8
+
+
+def test_ewma_fixed_recurrence(spark):
+    """EWMA matches the floor recurrence independent of partitioning
+    and input order."""
+    import datetime as dt
+
+    from streaming_parquet_spark.operators.timeseries import ewma_fixed
+
+    rows = []
+    expect = {}
+    for u in (1, 2):
+        acc = 0
+        for i in range(7):
+            v = (u * 31 + i * 17) % 100
+            acc = v if i == 0 else (v + acc) // 2
+            rows.append((u, dt.datetime(2024, 1, 1, 0, i), i, v))
+            expect[(u, i)] = acc
+    import random
+
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, cents long"
+    ).repartition(5)
+    out = ewma_fixed(
+        df, keys=["user_id"], seq_cols=["ts", "event_id"],
+        value_col="cents",
+    )
+    got = {(r["user_id"], r["event_id"]): r["ewma"] for r in out.collect()}
+    assert got == expect

@@ -35,6 +35,7 @@ _BNLJ_OK = {
     "embed_ann_ivf_sq8",   # IVF centroid assignment (8-row broadcast)
     "embed_ann_ivf_pq",    # IVF centroid assignment (8-row broadcast)
     "events_ts_similarity",  # 1-row query-window broadcast
+    "rel_bloom_semi_join",   # 1-row Bloom-bitmap broadcast (scan-stage filter)
     "embed_kmeans_step",   # IVF centroid assignment (8-row broadcast)
     # derived-partsupp family: 1-row supplier-count broadcast (the only
     # BNLJ left after the 4-way fanout became a Generate); q11 adds the
