@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     # round-4 additions (no prior CORRECTNESS row) first
     "events_scd2", "events_ohlc", "events_funnel",
     "rel_bloom_semi_join", "pipeline_zorder", "events_ewma",
+    "text_distinct_hll", "text_heavy_hitters_cms", "events_transitions",
     "embed_ann_recall", "dedup_clusters_ls", "pipeline_topn_per_stratum",
     "pipeline_domain_resample", "text_tfidf_topk",
     "dedup_paragraphs", "text_chunk_docs", "pipeline_token_budget",

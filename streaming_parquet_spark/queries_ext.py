@@ -2977,3 +2977,208 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "event_id", "cents", "ewma",
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 (late): deterministic sketches + event transition matrix
+# ---------------------------------------------------------------------------
+
+
+def _duck_hll_oracle() -> str:
+    from streaming_parquet_spark.functions.portable import hex_to_i32, words_expr
+    from streaming_parquet_spark.operators.sketch import _HLL_ALPHA_64
+
+    m, bits = 64, 26
+    maxrho = bits + 1
+    numer = repr(_HLL_ALPHA_64 * m * m * (1 << maxrho))
+    w = f"CAST(floor(h / {m}) AS BIGINT)"
+    return f"""
+    WITH items AS (
+      SELECT source, unnest({words_expr('duckdb', 'text')}) AS word
+      FROM documents
+    ),
+    hashed AS (
+      SELECT source, {hex_to_i32('md5(word)')} AS h FROM items
+    ),
+    regs AS (
+      SELECT source, CAST(h % {m} AS INT) AS bucket,
+             MAX(CASE WHEN {w} = 0 THEN {maxrho}
+                 ELSE {bits} - length(bin({w})) + 1 END) AS rho
+      FROM hashed GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT source,
+             ROUND({numer} / (SUM((1::BIGINT << ({maxrho} - rho)))
+                   + ({m} - COUNT(*)) * (1::BIGINT << {maxrho})), 2)
+               AS hll_est
+      FROM regs GROUP BY 1
+    ),
+    exact AS (
+      SELECT source, CAST(COUNT(DISTINCT word) AS BIGINT) AS exact_distinct
+      FROM items GROUP BY 1
+    )
+    SELECT exact.source, exact_distinct, hll_est
+    FROM exact JOIN est USING (source)
+    """
+
+
+@query("text_distinct_hll", _duck_hll_oracle())
+def text_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality two ways: exact
+    COUNT(DISTINCT) next to a HyperLogLog estimate whose 64 registers
+    the oracle reproduces bit-for-bit (md5-derived 32-bit hash, exact
+    integer indicator sums, one final division). The sketch is the
+    100 TB path — registers merge by max, so each map task ships 64
+    ints per group instead of every distinct token. See
+    operators.sketch.hll_registers/hll_estimate."""
+    from streaming_parquet_spark.functions.portable import (
+        hex_to_i32,
+        words_expr,
+    )
+    from streaming_parquet_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    items = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.expr(words_expr("spark", "text"))).alias("word"),
+    )
+    hashed = items.select(
+        "source", F.expr(hex_to_i32("md5(word)")).alias("h")
+    )
+    est = hll_estimate(hll_registers(hashed, ["source"], "h"), ["source"])
+    exact = items.groupBy("source").agg(
+        F.countDistinct("word").alias("exact_distinct")
+    )
+    return exact.join(est, "source").select(
+        "source", "exact_distinct", "hll_est"
+    )
+
+
+def _duck_cms_oracle(d: int = 3, w: int = 1024, k: int = 20) -> str:
+    from streaming_parquet_spark.functions.portable import (
+        MERSENNE31,
+        _coeff_a,
+        _coeff_b,
+        hex_to_i32,
+        ordered_words_expr,
+    )
+
+    def bucket(i: int) -> str:
+        return (
+            f"CAST((({_coeff_a(i)} * h + {_coeff_b(i)})"
+            f" % {MERSENNE31}) % {w} AS INT)"
+        )
+
+    counter_rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS row, {bucket(i)} AS bucket FROM hashed"
+        for i in range(d)
+    )
+    probe_rows = "\n      UNION ALL ".join(
+        f"SELECT word, n, {i} AS row, {bucket(i)} AS bucket FROM cand"
+        for i in range(d)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({ordered_words_expr('duckdb', 'text')}) AS word
+      FROM documents
+    ),
+    hashed AS (
+      SELECT word, {hex_to_i32('md5(word)')} AS h FROM toks
+    ),
+    counters AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ({counter_rows}) GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN({hex_to_i32('md5(word)')}) AS h
+      FROM toks GROUP BY 1 ORDER BY n DESC, word LIMIT {k}
+    ),
+    probes AS ({probe_rows})
+    SELECT word, n, CAST(MIN(c) AS BIGINT) AS cms_est
+    FROM probes JOIN counters USING (row, bucket)
+    GROUP BY word, n
+    """
+
+
+@query("text_heavy_hitters_cms", _duck_cms_oracle())
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters under a count-min sketch: the top-20 exact
+    terms probed against a d=3 x w=1024 counter table the oracle
+    rebuilds counter-for-counter. Counters merge by addition (map-side
+    partials) and the whole sketch is 3072 rows — broadcastable
+    frequency answers at any corpus size; estimates only ever
+    overcount (one-sided error, asserted in tests). See
+    operators.sketch.cms_counters/cms_probe."""
+    from streaming_parquet_spark.functions.portable import (
+        hex_to_i32,
+        ordered_words_expr,
+    )
+    from streaming_parquet_spark.operators.sketch import (
+        cms_counters,
+        cms_probe,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.expr(ordered_words_expr("spark", "text"))).alias("word")
+    )
+    hashed = toks.select("word", F.expr(hex_to_i32("md5(word)")).alias("h"))
+    counters = cms_counters(hashed, "h")
+    cand = (
+        hashed.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("h").alias("h"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+    return cms_probe(counters, cand, "h").select("word", "n", "cms_est")
+
+
+@query(
+    "events_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM counts
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: lead() pairs up consecutive events (one keyed window),
+    then a 25-row matrix with row-normalized probabilities — the
+    session-behavior fingerprint. The corpus is shuffled once for the
+    window; normalization is a window over the 25 aggregated rows."""
+    from pyspark.sql import Window as W2
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir)
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    norm = W2.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(norm), 4
+        ).alias("p"),
+    )

@@ -1727,3 +1727,63 @@ def test_ewma_fixed_recurrence(spark):
     )
     got = {(r["user_id"], r["event_id"]): r["ewma"] for r in out.collect()}
     assert got == expect
+
+
+def test_hll_accuracy_and_merge(spark):
+    """HLL estimate lands within the ~1.04/sqrt(64)=13% standard-error
+    band (3 sigma) of the true cardinality, and register files built
+    from disjoint halves merge by max() to the full-data registers."""
+    from streaming_parquet_spark.functions.portable import hex_to_i32
+    from streaming_parquet_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.expr(hex_to_i32("md5(CAST(id AS STRING))")).alias("h"),
+    )
+    [row] = hll_estimate(hll_registers(df, ["g"], "h"), ["g"]).collect()
+    assert abs(row["hll_est"] - n) / n < 0.39  # 3 sigma at m=64
+
+    half1 = df.filter(F.col("h") % 2 == 0)
+    half2 = df.filter(F.col("h") % 2 == 1)
+    merged = (
+        hll_registers(half1, ["g"], "h")
+        .unionAll(hll_registers(half2, ["g"], "h"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = {
+        (r["bucket"]): r["rho"]
+        for r in hll_registers(df, ["g"], "h").collect()
+    }
+    got = {(r["bucket"]): r["rho"] for r in merged.collect()}
+    assert got == full
+
+
+def test_cms_one_sided_error(spark):
+    """CMS estimates never undercount, and exact-for-unique-hash terms
+    are exact when no collision lands in all d rows."""
+    from streaming_parquet_spark.functions.portable import hex_to_i32
+    from streaming_parquet_spark.operators.sketch import (
+        cms_counters,
+        cms_probe,
+    )
+
+    # zipf-ish: term t_i appears (50 - i) times
+    rows = [(f"t{i}",) for i in range(50) for _ in range(50 - i)]
+    df = spark.createDataFrame(rows, "word string").select(
+        "word", F.expr(hex_to_i32("md5(word)")).alias("h")
+    )
+    counters = cms_counters(df, "h")
+    cand = df.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n"), F.min("h").alias("h")
+    )
+    est = cms_probe(counters, cand, "h").collect()
+    assert len(est) == 50
+    assert all(r["cms_est"] >= r["n"] for r in est)
+    # with 50 distinct terms in 3x1024 counters, most are collision-free
+    exact = sum(1 for r in est if r["cms_est"] == r["n"])
+    assert exact >= 45
