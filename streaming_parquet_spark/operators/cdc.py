@@ -71,3 +71,42 @@ def scd2_intervals(
         F.row_number().over(w).cast("int").alias("version"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Diff two compacted snapshots of the same keyed dataset: one row
+    per key present in either side, labeled insert (new only), delete
+    (old only), update (payload differs, null-safe), or unchanged.
+    Output: keys + old_<payload> + new_<payload> + change.
+
+    This is the incremental-refresh primitive: feed only the
+    insert/update/delete rows downstream instead of reprocessing the
+    new snapshot wholesale. Plan: ONE full-outer shuffle join on the
+    key — both sides are already one-row-per-key snapshots (compact
+    with upsert_latest first), so the join input is |keys|, not
+    |updates|. At 100 TB, co-partitioning both snapshots on the key
+    (bucketed tables) removes even that exchange."""
+    o = old.select(
+        *keys, *[F.col(c).alias(f"old_{c}") for c in payload_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *keys, *[F.col(c).alias(f"new_{c}") for c in payload_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in payload_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    return j.withColumn("change", change).drop("__in_old", "__in_new")

@@ -405,3 +405,35 @@ def shard_manifest(
         .groupBy("shard")
         .agg(*aggs)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic weight-biased top-k selection: each row gets the
+    integer priority hash(id) * 1000 DIV max(weight, 1) (hash uniform
+    in [0, 1e6)); the k smallest priorities win, ties broken by id.
+    Inclusion likelihood rises monotonically with weight — the
+    hash-as-clock analog of priority (A-ES) sampling, kept in exact
+    integer arithmetic so any engine reproduces the same sample (an
+    exact exponential-clock scheme needs ln(), which is not
+    bit-portable across engines).
+
+    Scale: priority is a stateless per-row expression; top-k compiles
+    to TakeOrderedAndProject (per-partition heap + k-row driver-side
+    merge), so no global sort and no shuffle of non-winners. Salted
+    with its own purpose seed so composing with hash_sample/splits
+    stays independent."""
+    pr = F.expr(
+        f"({hash_bucket_expr('spark', id_col, 1_000_000, seed=seed)}"
+        f" * 1000) DIV greatest(CAST({weight_col} AS BIGINT), 1)"
+    )
+    return (
+        df.withColumn("priority", pr)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

@@ -1,0 +1,59 @@
+"""One-pass dataset profiling: per-column row/null counts, min/max,
+and a HyperLogLog distinct-cardinality estimate — the data-quality
+audit every ingest pipeline runs before training (and the statistics
+a layout optimizer or cost model feeds on).
+
+Scale shape: the table is unpivoted to (column, rendered value) rows —
+a Generate, no shuffle — then TWO aggregations, both of which
+partial-aggregate map-side to fixed-size state: groupBy(column) keeps
+ncols rows per task (count/nulls/min/max merge trivially), and the HLL
+register build keeps ncols*64 rows per task. So a 100 TB profile costs
+one scan + two exchanges whose traffic is O(ncols * tasks), not
+O(rows). COUNT(DISTINCT col1), COUNT(DISTINCT col2), ... in one
+aggregate would instead Expand every row ncols times AND shuffle every
+distinct value — the sketch is what makes wide-table profiling
+tractable.
+
+Determinism: values are rendered to strings with explicit CAST (only
+pass columns whose cast renders identically in the oracle dialect —
+integers and strings; render doubles/timestamps yourself first), and
+the HLL uses the portable md5 hash, so the oracle reproduces the
+estimate exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from streaming_parquet_spark.functions.portable import hex_to_i32
+from streaming_parquet_spark.operators.sketch import (
+    hll_estimate,
+    hll_registers,
+)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Profile ``cols`` of ``df``: one row per column with n_rows,
+    n_null, min_s/max_s (string-rendered), and distinct_est (HLL).
+    Total rows = len(cols)."""
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    long = df.select(
+        F.expr(
+            f"stack({len(cols)}, {pairs}) AS (col_name, val)"
+        )
+    )
+    base = long.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).cast("bigint").alias("n_null"),
+        F.min("val").alias("min_s"),
+        F.max("val").alias("max_s"),
+    )
+    hashed = long.filter(F.col("val").isNotNull()).select(
+        "col_name", F.expr(hex_to_i32("md5(val)")).alias("h")
+    )
+    est = hll_estimate(
+        hll_registers(hashed, ["col_name"], "h"), ["col_name"]
+    ).withColumnRenamed("hll_est", "distinct_est")
+    return base.join(est, "col_name", "left")

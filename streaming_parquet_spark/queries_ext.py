@@ -3182,3 +3182,160 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(norm), 4
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 (late): column profiling / snapshot diff / weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def _duck_profile_oracle() -> str:
+    from streaming_parquet_spark.functions.portable import hex_to_i32
+    from streaming_parquet_spark.operators.sketch import _HLL_ALPHA_64
+
+    m, bits = 64, 26
+    maxrho = bits + 1
+    numer = repr(_HLL_ALPHA_64 * m * m * (1 << maxrho))
+    w = f"CAST(floor(h / {m}) AS BIGINT)"
+    unions = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM customer"
+        for c in ("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    )
+    return f"""
+    WITH long AS ({unions}),
+    base AS (
+      SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             MIN(val) AS min_s, MAX(val) AS max_s
+      FROM long GROUP BY 1
+    ),
+    hashed AS (
+      SELECT col_name, {hex_to_i32('md5(val)')} AS h
+      FROM long WHERE val IS NOT NULL
+    ),
+    regs AS (
+      SELECT col_name, CAST(h % {m} AS INT) AS bucket,
+             MAX(CASE WHEN {w} = 0 THEN {maxrho}
+                 ELSE {bits} - length(bin({w})) + 1 END) AS rho
+      FROM hashed GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT col_name,
+             ROUND({numer} / (SUM((1::BIGINT << ({maxrho} - rho)))
+                   + ({m} - COUNT(*)) * (1::BIGINT << {maxrho})), 2)
+               AS distinct_est
+      FROM regs GROUP BY 1
+    )
+    SELECT base.col_name, n_rows, n_null, min_s, max_s, distinct_est
+    FROM base LEFT JOIN est USING (col_name)
+    """
+
+
+@query("engine_profile", _duck_profile_oracle())
+def engine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profile of the customer table: per-column counts, null
+    counts, string-rendered min/max, and a register-exact HLL distinct
+    estimate — one scan, two fixed-size-state aggregations (the
+    COUNT(DISTINCT)-per-column rendering would Expand every row ncols
+    times and shuffle every distinct value). See
+    operators.profile.profile_columns."""
+    from streaming_parquet_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    )
+
+
+@query(
+    "events_snapshot_diff",
+    """
+    WITH src AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, event_type, cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM src WHERE ts < TIMESTAMP '2024-01-16'
+      ) WHERE rn = 1
+    ),
+    n AS (
+      SELECT user_id, event_type, cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM src
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           COALESCE(o.event_type, n.event_type) AS event_type,
+           o.cents AS old_cents, n.cents AS new_cents,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                WHEN o.cents IS NOT DISTINCT FROM n.cents
+                  THEN 'unchanged'
+                ELSE 'update' END AS change
+    FROM o FULL OUTER JOIN n
+      ON o.user_id = n.user_id AND o.event_type = n.event_type
+    WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+               AND o.cents IS NOT DISTINCT FROM n.cents)
+    """,
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-refresh diff between the day-15 snapshot and the
+    full snapshot of the latest-event-per-(user, type) compaction:
+    only inserted/updated/deleted keys flow downstream. Both sides
+    compact to one row per key first, so the full-outer join carries
+    |keys|, not |updates|. See operators.cdc.snapshot_diff."""
+    from streaming_parquet_spark.operators.cdc import (
+        snapshot_diff,
+        upsert_latest,
+    )
+    from streaming_parquet_spark.queries import _events
+
+    src = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    compact = lambda d: upsert_latest(  # noqa: E731
+        d, keys=["user_id", "event_type"], seq_cols=["ts", "event_id"],
+        payload_cols=["cents"],
+    ).select("user_id", "event_type", "cents")
+    old = compact(src.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
+    new = compact(src)
+    out = snapshot_diff(
+        old, new, keys=["user_id", "event_type"], payload_cols=["cents"]
+    )
+    return out.filter(F.col("change") != "unchanged")
+
+
+def _duck_weighted_sample_oracle(k: int = 100, seed: int = 11) -> str:
+    from streaming_parquet_spark.functions.portable import hash_bucket_expr
+
+    h = hash_bucket_expr("duckdb", "doc_id", 1_000_000, seed=seed)
+    return f"""
+    SELECT doc_id, n_chars,
+           ({h} * 1000) // greatest(CAST(n_chars AS BIGINT), 1)
+             AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT {k}
+    """
+
+
+@query("pipeline_weighted_sample", _duck_weighted_sample_oracle())
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic document sample: integer
+    hash-clock priority DIV weight, k smallest win — inclusion odds
+    rise with document length, reproducible on any engine/cluster
+    size, and the top-k compiles to TakeOrderedAndProject (no global
+    sort). See operators.pipeline.weighted_sample."""
+    from streaming_parquet_spark.operators.pipeline import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, k=100, weight_col="n_chars").select(
+        "doc_id", "n_chars", "priority"
+    )

@@ -1787,3 +1787,60 @@ def test_cms_one_sided_error(spark):
     # with 50 distinct terms in 3x1024 counters, most are collision-free
     exact = sum(1 for r in est if r["cms_est"] == r["n"])
     assert exact >= 45
+
+
+def test_snapshot_diff_change_types(spark):
+    """All four change labels, null-safe payload compare."""
+    from streaming_parquet_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40)], "k long, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, None), (5, 50)], "k long, v long"
+    )
+    got = {
+        r["k"]: (r["change"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got[1] == ("unchanged", 10, 10)
+    assert got[2] == ("update", 20, 25)
+    assert got[3] == ("unchanged", None, None)   # null == null (null-safe)
+    assert got[4] == ("delete", 40, None)
+    assert got[5] == ("insert", None, 50)
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Heavier rows are sampled more often; the sample is identical
+    across partitionings."""
+    from streaming_parquet_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, 1000 if i % 2 == 0 else 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(df, k=200, weight_col="w").collect()
+    ]
+    heavy = sum(1 for i in got if i % 2 == 0)
+    assert heavy > 150  # heavy rows (100x weight) dominate the sample
+    got17 = [
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(17), k=200, weight_col="w"
+        ).collect()
+    ]
+    assert sorted(got) == sorted(got17)
+
+
+def test_profile_columns_counts_nulls(spark):
+    from streaming_parquet_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, s string"
+    )
+    got = {r["col_name"]: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+    assert got["s"]["n_null"] == 2
+    assert (got["id"]["min_s"], got["id"]["max_s"]) == ("1", "4")
+    assert (got["s"]["min_s"], got["s"]["max_s"]) == ("a", "c")
+    assert got["s"]["distinct_est"] is not None
