@@ -51,6 +51,7 @@ _DRIVER_PRIORITY = [
     "rel_bloom_semi_join", "pipeline_zorder", "events_ewma",
     "text_distinct_hll", "text_heavy_hitters_cms", "events_transitions",
     "engine_profile", "events_snapshot_diff", "pipeline_weighted_sample",
+    "rel_fuzzy_join", "stream_upsert_sink",
     "embed_ann_recall", "dedup_clusters_ls", "pipeline_topn_per_stratum",
     "pipeline_domain_resample", "text_tfidf_topk",
     "dedup_paragraphs", "text_chunk_docs", "pipeline_token_budget",

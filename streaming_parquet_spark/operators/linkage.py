@@ -1,0 +1,58 @@
+"""Record linkage: blocked fuzzy (edit-distance) self-join — the
+entity-resolution primitive for catalog/identity data (find records
+that are ALMOST the same string: typos, OCR noise, transliteration
+drift). Complements the shingle/minhash dedup family, which targets
+long documents; edit distance is the right metric for short keys
+(names, addresses, SKUs).
+
+Scale shape: NEVER the all-pairs O(n^2) join. Candidates come from an
+equi-join on a blocking key (prefix, length band, phonetic code —
+caller-supplied expression), so the quadratic term is bounded by the
+largest block; the Levenshtein evaluation is a JVM built-in running
+only on within-block pairs. At 100 TB, choose blocks like any other
+skew problem: multiple redundant blocking passes (prefix + suffix)
+catch pairs a single key misses, and a hard cap on block size (filter
+or salt oversized blocks) keeps the worst task bounded. Blocking is
+exact-recall only for pairs sharing the key — the standard
+precision/recall trade every linkage system documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_expr: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Within-block record pairs with levenshtein(text_a, text_b) <=
+    ``max_dist``. Output: id_a, id_b (id_a < id_b), text_a, text_b,
+    dist. ``block_expr`` is a SQL expression over the input columns
+    producing the blocking key (e.g. ``substr(name, 1, 16)`` or
+    ``concat(length(name), soundex(name))``)."""
+    side = df.select(
+        F.col(id_col), F.col(text_col), F.expr(block_expr).alias("__blk")
+    )
+    a = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        "__blk",
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        "__blk",
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("text_a"), F.col("text_b"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "text_a", "text_b", "dist")
+    )

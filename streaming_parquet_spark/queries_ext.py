@@ -3339,3 +3339,33 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, k=100, weight_col="n_chars").select(
         "doc_id", "n_chars", "priority"
     )
+
+
+@query(
+    "rel_fuzzy_join",
+    """
+    WITH s AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS text_a, b.c_name AS text_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM s a JOIN s b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (record linkage): customer-name pairs
+    within edit distance 1, candidates bounded by a 16-char-prefix
+    blocking equi-join — never all-pairs; Levenshtein runs only inside
+    blocks as a JVM built-in. See operators.linkage.fuzzy_pairs."""
+    from streaming_parquet_spark.operators.linkage import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        text_col="c_name",
+        block_expr="substr(c_name, 1, 16)",
+        max_dist=1,
+    ).withColumn("dist", F.col("dist").cast("int"))

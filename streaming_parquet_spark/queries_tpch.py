@@ -1975,3 +1975,126 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "stream_upsert_sink",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM latest GROUP BY event_type
+    """,
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO: a foreachBatch sink maintains a
+    latest-row-per-(user, type) table across micro-batches as
+    copy-on-write versions — v_N = upsert_latest(v_{N-1} UNION batch_N)
+    — the lakehouse streaming-upsert pattern with exactly-once via
+    idempotent epoch overwrite (a replayed epoch re-reads the version
+    BELOW its own id and overwrites its output). Two staged source
+    halves + maxFilesPerTrigger=1 force a real multi-batch merge; the
+    final version is read batch-side and aggregated against the
+    latest-per-key oracle. Batch order cannot change the result:
+    max_by compaction is commutative across batches. At 100 TB the
+    same shape runs with the versioned dirs replaced by a table
+    format's transactional commit."""
+    import os as _os
+
+    from streaming_parquet_spark.operators.cdc import upsert_latest
+    from streaming_parquet_spark.queries import _events
+
+    work = _stream_workdir("maw_stream_ups_", sf_dir)
+    src_dir = _os.path.join(work, "src")
+    table_root = _os.path.join(work, "table")
+    _os.makedirs(src_dir, exist_ok=True)
+    _os.makedirs(table_root, exist_ok=True)
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    if not _os.path.exists(_os.path.join(src_dir, "half1.parquet")):
+        import shutil as _shutil
+
+        mid = _ts("2024-01-16")
+        base = 1_700_000_000
+        for i, df in enumerate(
+            (e.filter(F.col("ts") < mid), e.filter(F.col("ts") >= mid))
+        ):
+            stage = _os.path.join(work, f"stage{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in _os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = _os.path.join(src_dir, f"half{i}.parquet")
+            _shutil.copy(_os.path.join(stage, part), dst)
+            _os.utime(dst, (base + i * 60, base + i * 60))
+
+    keys = ["user_id", "event_type"]
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(d[2:]) for d in _os.listdir(table_root)
+            if d.startswith("v_") and _os.path.exists(
+                _os.path.join(table_root, d, "_SUCCESS")
+            )
+        )
+
+    def merge(batch_df, epoch_id: int):
+        # Idempotent MERGE: base = newest version with id < this epoch
+        # (a replayed epoch ignores its own partial output), then
+        # overwrite v_{epoch}. Parquet's _SUCCESS marker gates reads.
+        prior = [v for v in _versions() if v < epoch_id]
+        merged = batch_df
+        if prior:
+            merged = merged.unionByName(
+                batch_df.sparkSession.read.parquet(
+                    _os.path.join(table_root, f"v_{prior[-1]}")
+                )
+            )
+        compact = upsert_latest(
+            merged, keys=keys, seq_cols=["ts", "event_id"],
+            payload_cols=["cents"],
+        )
+        compact.write.mode("overwrite").parquet(
+            _os.path.join(table_root, f"v_{epoch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    latest = spark.read.parquet(
+        _os.path.join(table_root, f"v_{_versions()[-1]}")
+    )
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -1844,3 +1844,43 @@ def test_profile_columns_counts_nulls(spark):
     assert (got["id"]["min_s"], got["id"]["max_s"]) == ("1", "4")
     assert (got["s"]["min_s"], got["s"]["max_s"]) == ("a", "c")
     assert got["s"]["distinct_est"] is not None
+
+
+def test_fuzzy_pairs_blocked(spark):
+    """Edit-distance pairs respect the block (cross-block near-misses
+    are not candidates) and the threshold."""
+    from streaming_parquet_spark.operators.linkage import fuzzy_pairs
+
+    rows = [
+        (1, "alpha-001"), (2, "alpha-002"), (3, "alpha-012"),
+        (4, "betaa-001"),  # 1 sub from alpha-001 ... but different block
+        (5, "alpha-xyz"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(
+            df, "id", "name", "substr(name, 1, 5)", max_dist=2
+        ).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(2, 3)] == 1
+    assert got[(1, 3)] == 2
+    assert all(4 not in pair for pair in got)  # blocked out
+    assert all(5 not in pair for pair in got)  # dist > 2
+
+
+def test_stream_upsert_sink_resumes(spark, sf_dir):
+    """Second invocation in the same process resumes the checkpointed
+    stream (no new files -> no new table version) and returns the
+    identical merged table."""
+    import streaming_parquet_spark.queries_tpch  # noqa: F401
+    from streaming_parquet_spark.queries import QUERIES
+
+    first = sorted(
+        map(repr, QUERIES["stream_upsert_sink"](spark, sf_dir).collect())
+    )
+    second = sorted(
+        map(repr, QUERIES["stream_upsert_sink"](spark, sf_dir).collect())
+    )
+    assert first == second and len(first) == 5
