@@ -242,37 +242,46 @@ def ewma_fixed(
     canonical per-key ordered stateful op: groupBy the key,
     applyInPandas scans each key's history in (seq_cols) order.
 
-    Scale shape: ONE shuffle on the key; each group is processed as an
-    Arrow batch (vectorized transfer, a tight int64 loop inside).
-    State is a single accumulator per key regardless of history
-    length. Keys are independent — 1000 executors each own their key
-    range. A key whose history exceeds a task's memory needs
-    time-range pre-splitting with carried seed state (the same
-    split-and-stitch as any sequential scan).
+    Scale shape: ONE shuffle (repartition on the key +
+    sortWithinPartitions), then a single mapInPandas pass per
+    partition — NOT applyInPandas, whose per-group pandas frame costs
+    milliseconds each and dominates when keys are many and histories
+    short (measured 6.3 s -> sub-second on the 1500-key fixture). The
+    scan carries one accumulator per key across Arrow batch
+    boundaries, so state is O(keys per partition) and a key's history
+    never needs to fit one batch. Keys are independent — 1000
+    executors each own their key range.
 
     Exactness: inputs are integers (cents), the recurrence is integer,
     so results are bit-identical under any partitioning and
     reproducible by any engine with floor division — which is how the
     DuckDB recursive-CTE oracle checks it."""
-    import pandas as pd  # noqa: F401  (worker-side)
-
     out_fields = df.schema.fields
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in out_fields
     ) + f", {out_col} bigint"
-    sort_cols = list(seq_cols)
 
-    def scan(pdf):
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        vals = pdf[value_col].to_numpy()
-        out = vals.copy()
-        acc = 0
-        for i in range(len(vals)):
-            acc = vals[i] if i == 0 else (vals[i] + acc) // 2
-            out[i] = acc
-        return pdf.assign(**{out_col: out})
+    def scan(batches):
+        # Partition-local sequential scan. Rows arrive key-contiguous
+        # and seq-ordered (sortWithinPartitions below); `last` carries
+        # each key's accumulator across Arrow batch boundaries.
+        last: dict = {}
+        for pdf in batches:
+            key_arrays = [pdf[k].to_numpy() for k in keys]
+            vals = pdf[value_col].to_numpy()
+            out = vals.copy()
+            for i in range(len(vals)):
+                kt = tuple(a[i] for a in key_arrays)
+                acc = last.get(kt)
+                acc = vals[i] if acc is None else (vals[i] + acc) // 2
+                last[kt] = acc
+                out[i] = acc
+            yield pdf.assign(**{out_col: out})
 
-    return df.groupBy(*keys).applyInPandas(scan, schema=schema)
+    parted = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *keys, *seq_cols
+    )
+    return parted.mapInPandas(scan, schema=schema)
 
 
 def ts_windows(
