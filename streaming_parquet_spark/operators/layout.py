@@ -39,6 +39,60 @@ def zorder_key(cols: list[F.Column], bits: int = 8) -> F.Column:
     return key
 
 
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_id",
+    start: int = 0,
+) -> DataFrame:
+    """Assign gapless global row ids 0..n-1 in ``order_cols`` order —
+    the distributed zipWithIndex (sample-id assignment, shard
+    manifests, stable example numbering). ``order_cols`` must be a
+    total order for a deterministic result.
+
+    The naive rendering — row_number() over one global ORDER BY — runs
+    a single-partition window: one task sorts the corpus. This does
+    the classic two-phase form instead: range-partition + local sort,
+    pin the partitioning (localCheckpoint), count rows per partition
+    (an O(#partitions) aggregate), turn counts into cumulative offsets
+    with a window over that TINY frame, then broadcast the offsets
+    back and add a per-partition row_number. Every corpus-sized step
+    is parallel; only the offset table (one row per partition) is
+    serial. Equivalent to the global window row-for-row, which is how
+    the oracle checks it."""
+    from pyspark.sql import Window as W
+
+    parted = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # Pin the range partitioning: the sampled range boundaries must
+        # be identical in the counts job and the id job.
+        .localCheckpoint()
+    )
+    counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = W.orderBy("__pid").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = W.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (
+                F.row_number().over(w_local).cast("long")
+                + F.col("__off")
+                + F.lit(start - 1).cast("long")
+            ),
+        )
+        .drop("__pid", "__off")
+    )
+
+
 def zorder_repartition(
     df: DataFrame,
     cols: list[F.Column],

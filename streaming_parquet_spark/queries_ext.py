@@ -3369,3 +3369,111 @@ def rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_expr="substr(c_name, 1, 16)",
         max_dist=1,
     ).withColumn("dist", F.col("dist").cast("int"))
+
+
+def _duck_pagerank_oracle(steps: int = 2, damping: int = 85) -> str:
+    from streaming_parquet_spark.operators.graph import SCALE
+
+    n = 25
+    base = (100 - damping) * (SCALE // n)
+    sql = f"""
+    WITH edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    r0 AS (
+      SELECT n_nationkey AS node, CAST({SCALE // n} AS BIGINT) AS rank
+      FROM nation
+    )"""
+    prev = "r0"
+    for i in range(1, steps + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node, SUM((r.rank * e.w) // o.ow) AS cin
+      FROM edges e JOIN outw o ON e.src = o.src
+      JOIN {prev} r ON r.node = e.src
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT {prev}.node,
+             CAST(({base} + {damping} * COALESCE(c{i}.cin, 0)) // 100
+                  AS BIGINT) AS rank
+      FROM {prev} LEFT JOIN c{i} USING (node)
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT n_name, rank FROM {prev}
+    JOIN nation ON node = n_nationkey
+    """
+    return sql
+
+
+@query("rel_pagerank_step", _duck_pagerank_oracle())
+def rel_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped PageRank iterations over the supplier-nation ->
+    customer-nation trade graph (edge weight = lineitem count), in
+    exact SCALE-fixed-point integers: rank flow, floor division, and
+    base mass all reproduce bit-for-bit in the oracle's CTE chain.
+    Each step is two narrow node-key shuffles over the 625-edge
+    aggregate; the expensive part — the fact joins building the edge
+    list — runs ONCE and is the same q7-shaped broadcast-dim plan. See
+    operators.graph.pagerank_step."""
+    from streaming_parquet_spark.operators.graph import (
+        pagerank_step,
+        uniform_ranks,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    nation = _t(spark, sf_dir, "nation")
+    ranks = uniform_ranks(nation, "n_nationkey", 25)
+    for _ in range(2):
+        ranks = pagerank_step(edges, ranks, n_nodes=25)
+    return ranks.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
+        "node",
+    ).select("n_name", "rank")
+
+
+@query(
+    "pipeline_assign_ids",
+    """
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1
+                AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def pipeline_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapless global example ids in (source, doc_id) order via the
+    two-phase distributed zipWithIndex — range partition + local sort,
+    per-partition counts -> cumulative offsets (a one-row-per-partition
+    frame), broadcast back, local row_number + offset. Row-for-row
+    equal to the oracle's single global window, but no single-task
+    corpus sort. See operators.layout.assign_contiguous_ids."""
+    from streaming_parquet_spark.operators.layout import (
+        assign_contiguous_ids,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_contiguous_ids(d, ["source", "doc_id"]).select(
+        "doc_id", "source", "row_id"
+    )

@@ -1884,3 +1884,54 @@ def test_stream_upsert_sink_resumes(spark, sf_dir):
         map(repr, QUERIES["stream_upsert_sink"](spark, sf_dir).collect())
     )
     assert first == second and len(first) == 5
+
+
+def test_pagerank_step_conservation_and_sink(spark):
+    """On a cycle graph ranks stay uniform; a sink-pointing star
+    concentrates mass on the hub; totals never exceed SCALE."""
+    from streaming_parquet_spark.operators.graph import (
+        SCALE,
+        pagerank_step,
+        uniform_ranks,
+    )
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 4, 1) for i in range(4)], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "n long")
+    r = uniform_ranks(nodes, "n", 4)
+    for _ in range(3):
+        r = pagerank_step(cycle, r, n_nodes=4)
+    vals = [x["rank"] for x in r.collect()]
+    assert len(set(vals)) == 1                       # symmetric fixpoint
+    assert abs(vals[0] - SCALE // 4) <= 3            # floor drift only
+
+    star = spark.createDataFrame(
+        [(i, 0, 1) for i in range(1, 4)], "src long, dst long, w long"
+    )
+    r2 = pagerank_step(star, uniform_ranks(nodes, "n", 4), n_nodes=4)
+    got = {x["node"]: x["rank"] for x in r2.collect()}
+    assert got[0] > got[1] == got[2] == got[3]
+    assert sum(got.values()) <= SCALE
+
+
+def test_assign_contiguous_ids_matches_global_order(spark):
+    """Ids are gapless 0..n-1 and equal the global sort order, across
+    partitionings."""
+    import random
+
+    from streaming_parquet_spark.operators.layout import (
+        assign_contiguous_ids,
+    )
+
+    rows = [(i, f"s{i % 7}") for i in range(500)]
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, s string").repartition(13)
+    got = {
+        (r["s"], r["id"]): r["row_id"]
+        for r in assign_contiguous_ids(df, ["s", "id"]).collect()
+    }
+    expected = {
+        key: i for i, key in enumerate(sorted(got))
+    }
+    assert got == expected
