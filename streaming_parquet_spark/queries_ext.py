@@ -3477,3 +3477,40 @@ def pipeline_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_contiguous_ids(d, ["source", "doc_id"]).select(
         "doc_id", "source", "row_id"
     )
+
+
+@query(
+    "events_max_concurrency",
+    """
+    WITH deltas AS (
+      SELECT ts AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE AS t, -1 AS d FROM events
+    ),
+    net AS (SELECT t, CAST(SUM(d) AS BIGINT) AS d FROM deltas GROUP BY 1),
+    run AS (SELECT t, SUM(d) OVER (ORDER BY t) AS concurrent FROM net)
+    SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+           CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY 1
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day by sweep line: every event
+    holds a 5-minute presence window; +1/-1 deltas net per timestamp
+    and the two-phase distributed running sum (no single-partition
+    window — the oracle's plain OVER (ORDER BY t) is exactly the
+    single-task plan this avoids) gives concurrency at every instant;
+    max per day. See operators.scan.sweepline_concurrency."""
+    from streaming_parquet_spark.operators.scan import (
+        sweepline_concurrency,
+    )
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir).select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    conc = sweepline_concurrency(e, "s", "e")
+    return conc.groupBy(
+        F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias("day")
+    ).agg(F.max("concurrent").cast("bigint").alias("max_concurrent"))

@@ -1935,3 +1935,48 @@ def test_assign_contiguous_ids_matches_global_order(spark):
         key: i for i, key in enumerate(sorted(got))
     }
     assert got == expected
+
+
+def test_running_total_matches_global_window(spark):
+    """Two-phase prefix sum equals the single-partition global window
+    on any partitioning."""
+    import random
+
+    from streaming_parquet_spark.operators.scan import running_total
+
+    rows = [(i, (i * 37) % 100 - 50) for i in range(1000)]
+    random.Random(5).shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(11)
+    got = {
+        r["k"]: r["running"]
+        for r in running_total(df, ["k"], "v").collect()
+    }
+    acc, expect = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        expect[k] = acc
+    assert got == expect
+
+
+def test_sweepline_concurrency_handcrafted(spark):
+    """Half-open intervals: an interval ending exactly when another
+    starts does not overlap it."""
+    import datetime as dt
+
+    from streaming_parquet_spark.operators.scan import (
+        sweepline_concurrency,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (t(0), t(10)),   # A [0,10)
+        (t(5), t(15)),   # B [5,15)  -> overlap with A during [5,10)
+        (t(10), t(20)),  # C [10,20) -> starts as A ends: no overlap w/ A
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = {r["t"]: r["concurrent"] for r in sweepline_concurrency(df, "s", "e").collect()}
+    assert got[t(0)] == 1
+    assert got[t(5)] == 2      # A + B
+    assert got[t(10)] == 2     # A ends, C starts -> B + C
+    assert got[t(15)] == 1     # C only
+    assert got[t(20)] == 0
