@@ -1980,3 +1980,66 @@ def test_sweepline_concurrency_handcrafted(spark):
     assert got[t(10)] == 2     # A ends, C starts -> B + C
     assert got[t(15)] == 1     # C only
     assert got[t(20)] == 0
+
+
+def test_zorder_repartition_narrows_file_stats(spark, tmp_path):
+    """The write-layout claim, tested at the file level: after
+    zorder_repartition, each parquet file's min/max footer range is
+    narrow in BOTH dimensions (so predicates on either column prune
+    files); a hash-partitioned write has full-range files."""
+    import pyarrow.parquet as pq
+
+    from streaming_parquet_spark.operators.layout import (
+        zorder_repartition,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)],
+        "x long, y long",
+    )
+
+    def file_spans(path):
+        spans = []
+        for f in path.glob("*.parquet"):
+            md = pq.read_metadata(str(f))
+            mins = {"x": 1 << 30, "y": 1 << 30}
+            maxs = {"x": -1, "y": -1}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    mins[name] = min(mins[name], st.min)
+                    maxs[name] = max(maxs[name], st.max)
+            spans.append((maxs["x"] - mins["x"], maxs["y"] - mins["y"]))
+        return spans
+
+    zdir = tmp_path / "z"
+    zorder_repartition(
+        df, [F.col("x"), F.col("y")], bits=6, num_files=16
+    ).write.parquet(str(zdir))
+    hdir = tmp_path / "h"
+    df.repartition(16).write.parquet(str(hdir))
+
+    z_spans = file_spans(zdir)
+    h_spans = file_spans(hdir)
+    assert len(z_spans) >= 8
+    # Every z-ordered file spans at most half the domain in each dim;
+    # hash-partitioned files span (nearly) the full 0..63 domain.
+    assert all(sx <= 32 and sy <= 32 for sx, sy in z_spans), z_spans
+    assert all(sx > 48 and sy > 48 for sx, sy in h_spans), h_spans
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Top-k compiles to TakeOrderedAndProject, not a global sort."""
+    from streaming_parquet_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    plan = (
+        weighted_sample(df, k=50, weight_col="w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [priority" not in plan
