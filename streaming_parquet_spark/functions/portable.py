@@ -278,8 +278,11 @@ def filter_count_expr(dialect: str, arr: str, inlist: list[str]) -> str:
 def hash_bucket_expr(
     dialect: str, id_col: str, buckets: int = 100, seed: int = 0
 ) -> str:
-    """Deterministic bucket in [0, buckets) from an integer id — the
-    portable primitive behind hash sampling and train/val/test splits.
+    """Deterministic bucket in [0, buckets) from a NON-NEGATIVE
+    integer id — the portable primitive behind hash sampling and
+    train/val/test splits. (Negative ids would ride each dialect's
+    signed-% convention through the chain; all fixture/surrogate ids
+    are non-negative, so the expression stays branch-free.)
     Knuth multiplicative step mod 2^31-1; the id is first reduced mod
     1_000_003 so the product stays < 2^52 (exact in BIGINT for Spark's
     ANSI mode AND in DuckDB without HUGEINT promotion). Identical text
