@@ -2043,3 +2043,28 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Sort [priority" not in plan
+
+
+def test_compact_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    from streaming_parquet_spark.operators.maintenance import (
+        compact_files,
+    )
+
+    path = str(tmp_path / "frag")
+    spark.range(20000).selectExpr(
+        "id", "id * 2 AS v"
+    ).repartition(40).write.parquet(path)
+    before = spark.read.parquet(path)
+    before_sum = before.selectExpr("sum(v)").first()[0]
+
+    res = compact_files(spark, path, target_mb=128)
+    assert res.files_before == 40
+    assert res.files_after == 1       # tiny data -> one target file
+    assert res.rows == 20000
+    after = spark.read.parquet(path)
+    assert after.count() == 20000
+    assert after.selectExpr("sum(v)").first()[0] == before_sum
+
+    # idempotent: already compact -> no rewrite
+    res2 = compact_files(spark, path, target_mb=128)
+    assert res2.files_before == res2.files_after == 1
