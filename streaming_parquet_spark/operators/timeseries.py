@@ -214,7 +214,9 @@ def funnel_steps(
     )
     counts = per_user.agg(
         *[
-            F.sum((F.col("stage") >= i).cast("long")).alias(f"u{i}")
+            F.coalesce(
+                F.sum((F.col("stage") >= i).cast("long")), F.lit(0)
+            ).alias(f"u{i}")
             for i in range(1, n + 1)
         ]
     )
