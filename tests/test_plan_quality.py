@@ -199,3 +199,37 @@ _TABLE_COLS = {
     "embeddings": {"vec_id", "embedding", "label"},
     "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
 }
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on a Hive-partition column must prune at planning
+    time: the scan's PartitionFilters carries the predicate and only
+    the matching partition's files are selected."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "part")
+    spark.range(1000).select(
+        "id", (F.col("id") % 5).alias("bucket")
+    ).write.partitionBy("bucket").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("bucket") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+    # only 1 of 5 partition directories survives pruning
+    assert df.count() == 200
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """A value predicate must reach the parquet reader as
+    PushedFilters, not evaluate post-scan only."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).filter(F.col("o_orderkey") < 100).select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "LessThan(o_orderkey,100)" in plan
