@@ -160,6 +160,38 @@ def cms_counters(
     )
 
 
+def cms_join_size(
+    counters_a: DataFrame, counters_b: DataFrame, d: int = 3
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches over
+    the join keys: |A JOIN B| ~= min over rows of the bucket-wise
+    inner product sum(cA * cB) (Cormode & Muthukrishnan 2005, §4.2 —
+    the AMS-style inner-product estimate, upward-biased by hash
+    collisions). One row out: (join_size_est).
+
+    This is what a cost-based planner wants BEFORE running a join: the
+    sketches are d*w rows each regardless of table size, merge by
+    addition across partitions/partial loads, and the estimate is a
+    broadcast-joinable aggregate — no scan of either table at
+    planning time.
+
+    SIZE w TO THE WORKLOAD: the additive error is ~|A|*|B|/w per row
+    (min over d rows tightens the constant, not the rate), so w must
+    exceed |A|*|B| / (acceptable absolute error). The probe-side
+    default w=1024 is far too small for join estimation over
+    10^4-row-plus tables — pass the same larger w to both
+    cms_counters calls (sketch size is still d*w rows; w=2^20 is 3 MB
+    of counters and resolves joins of 10^5-row tables to ~10%)."""
+    a = counters_a.select("row", "bucket", F.col("c").alias("ca"))
+    b = counters_b.select("row", "bucket", F.col("c").alias("cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("bigint").alias("join_size_est"))
+
+
 def cms_probe(
     counters: DataFrame,
     candidates: DataFrame,

@@ -2068,3 +2068,42 @@ def test_compact_files_preserves_rows_and_reduces_files(spark, tmp_path):
     # idempotent: already compact -> no rewrite
     res2 = compact_files(spark, path, target_mb=128)
     assert res2.files_before == res2.files_after == 1
+
+
+def test_cms_join_size_estimate(spark):
+    """Sketch-product join-size estimate never undercounts the true
+    join cardinality and is close when collisions are rare."""
+    from streaming_parquet_spark.functions.portable import hex_to_i32
+    from streaming_parquet_spark.operators.sketch import (
+        cms_counters,
+        cms_join_size,
+    )
+
+    # A: keys 0..99 each 3x; B: keys 50..149 each 2x
+    a = spark.createDataFrame(
+        [(k,) for k in range(100) for _ in range(3)], "k long"
+    ).select(F.expr(hex_to_i32("md5(CAST(k AS STRING))")).alias("h"))
+    b = spark.createDataFrame(
+        [(k,) for k in range(50, 150) for _ in range(2)], "k long"
+    ).select(F.expr(hex_to_i32("md5(CAST(k AS STRING))")).alias("h"))
+    true_size = 50 * 3 * 2  # overlapping keys 50..99
+
+    est = cms_join_size(
+        cms_counters(a, "h"), cms_counters(b, "h")
+    ).first()["join_size_est"]
+    assert est >= true_size            # one-sided (collisions add)
+    assert est <= true_size * 1.5      # tight at this density
+
+    # width must scale with |A|*|B| (error ~ |A|*|B|/w): the fixture
+    # orders x lineitem join resolves to ~+25% at w=65536 but is
+    # noise-dominated at the probe default w=1024
+    o = spark.createDataFrame(
+        [(k,) for k in range(5000)], "k long"
+    ).select(F.expr(hex_to_i32("md5(CAST(k AS STRING))")).alias("h"))
+    l4 = spark.createDataFrame(
+        [(k,) for k in range(5000) for _ in range(4)], "k long"
+    ).select(F.expr(hex_to_i32("md5(CAST(k AS STRING))")).alias("h"))
+    est_w = cms_join_size(
+        cms_counters(o, "h", w=65536), cms_counters(l4, "h", w=65536)
+    ).first()["join_size_est"]
+    assert 20000 <= est_w <= 20000 * 1.3
