@@ -1,0 +1,111 @@
+"""End-to-end training-data pipeline example: compose the extension
+operators into the corpus-preparation flow a pretraining run needs —
+
+  read documents
+    -> quality scoring + filter
+    -> near-duplicate removal (MinHash LSH pairs -> connected
+       components -> keep the highest-quality member per cluster)
+    -> deterministic stratified sampling per language
+    -> train/val/test split (purpose-salted hash buckets)
+    -> stable example ids (distributed zipWithIndex)
+    -> Z-ordered parquet write + small-file compaction
+    -> profile the shipped table
+
+Everything except the final stats is a Catalyst plan — no collects on
+corpus-sized data; the same script scales from the sf0.001 fixture to
+a cluster by changing the input path and master.
+
+Run: python examples/training_data_pipeline.py [sf_dir] [out_dir]
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streaming_parquet_spark.session import get_spark
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/training_corpus"
+    spark = get_spark(app_name="training-pipeline", master="local[4]",
+                      shuffle_partitions=8)
+
+    from streaming_parquet_spark.operators.cluster import (
+        cluster_representatives,
+        connected_components,
+    )
+    from streaming_parquet_spark.operators.dedup import minhash_lsh_pairs
+    from streaming_parquet_spark.operators.layout import (
+        assign_contiguous_ids,
+        zorder_repartition,
+    )
+    from streaming_parquet_spark.operators.maintenance import compact_files
+    from streaming_parquet_spark.operators.pipeline import (
+        stratified_sample,
+        with_split,
+    )
+    from streaming_parquet_spark.operators.profile import profile_columns
+    from streaming_parquet_spark.operators.text import with_quality
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. quality scoring + filter
+    kept = with_quality(docs).filter(F.col("quality_score") >= 0.7).select(
+        "doc_id", "text", "lang", "source", "n_chars", "quality_score"
+    )
+
+    # 2. near-dup removal: LSH candidate pairs -> components -> keep
+    #    the highest-quality member of every duplicate cluster
+    pairs = minhash_lsh_pairs(kept)
+    reps = cluster_representatives(pairs, kept, quality_col="quality_score")
+    members = connected_components(pairs)
+    drop = (
+        members.join(reps, "component")
+        .filter(F.col("id") != F.col("rep_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    deduped = kept.join(drop, "doc_id", "left_anti")
+
+    # 3. deterministic per-language sampling + split + stable ids
+    sampled = stratified_sample(
+        deduped,
+        rates={"en": 1.0, "de": 0.8, "fr": 0.8},
+        strat_col="lang",
+        default_rate=0.5,
+    )
+    split = with_split(sampled, id_col="doc_id")
+    final = assign_contiguous_ids(
+        split.select("doc_id", "lang", "source", "n_chars", "split", "text"),
+        ["lang", "doc_id"],
+        out_col="example_id",
+    )
+
+    # 4. Z-ordered write (prunable in BOTH length and id), compact
+    shutil.rmtree(out, ignore_errors=True)
+    zorder_repartition(
+        final,
+        [F.col("n_chars") % 256, F.col("doc_id") % 256],
+        num_files=4,
+    ).write.parquet(out)
+    res = compact_files(spark, out, target_mb=128)
+
+    # 5. profile what we shipped
+    prof = profile_columns(
+        spark.read.parquet(out), ["lang", "source", "split"]
+    )
+
+    print(f"docs in: {n0}  after quality: {kept.count()}  "
+          f"after dedup: {deduped.count()}  shipped: {res.rows} rows "
+          f"in {res.files_after} file(s)")
+    prof.show(truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,7 +53,16 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     hashed = long.filter(F.col("val").isNotNull()).select(
         "col_name", F.expr(hex_to_i32("md5(val)")).alias("h")
     )
-    est = hll_estimate(
-        hll_registers(hashed, ["col_name"], "h"), ["col_name"]
-    ).withColumnRenamed("hll_est", "distinct_est")
-    return base.join(est, "col_name", "left")
+    regs = hll_registers(hashed, ["col_name"], "h")
+    est = hll_estimate(regs, ["col_name"]).withColumnRenamed(
+        "hll_est", "distinct_est"
+    )
+    # Occupied registers: an EXACT lower bound on the cardinality that
+    # equals it while distinct values are sparse in the 64 buckets —
+    # the honest number in the small range, where the raw harmonic
+    # estimator (no linear-counting correction: that needs ln(), which
+    # is not bit-portable across engines) overshoots.
+    lo = regs.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_lo")
+    )
+    return base.join(est, "col_name", "left").join(lo, "col_name", "left")

@@ -3224,10 +3224,12 @@ def _duck_profile_oracle() -> str:
       SELECT col_name,
              ROUND({numer} / (SUM((1::BIGINT << ({maxrho} - rho)))
                    + ({m} - COUNT(*)) * (1::BIGINT << {maxrho})), 2)
-               AS distinct_est
+               AS distinct_est,
+             CAST(COUNT(*) AS BIGINT) AS distinct_lo
       FROM regs GROUP BY 1
     )
-    SELECT base.col_name, n_rows, n_null, min_s, max_s, distinct_est
+    SELECT base.col_name, n_rows, n_null, min_s, max_s, distinct_est,
+           distinct_lo
     FROM base LEFT JOIN est USING (col_name)
     """
 
