@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = [
     "engine_profile", "events_snapshot_diff", "pipeline_weighted_sample",
     "rel_fuzzy_join", "stream_upsert_sink",
     "rel_pagerank_step", "pipeline_assign_ids", "events_max_concurrency",
+    "embed_ann_recall_pq",
     "embed_ann_recall", "dedup_clusters_ls", "pipeline_topn_per_stratum",
     "pipeline_domain_resample", "text_tfidf_topk",
     "dedup_paragraphs", "text_chunk_docs", "pipeline_token_budget",

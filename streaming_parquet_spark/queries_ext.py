@@ -3516,3 +3516,49 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conc.groupBy(
         F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias("day")
     ).agg(F.max("concurrent").cast("bigint").alias("max_concurrent"))
+
+
+def _duck_pq_recall_oracle() -> str:
+    # Same composition as _duck_ann_recall_oracle, with the IVFxPQ
+    # pipeline as the approximate side — both sub-oracles deterministic
+    # with explicit tie rules, so the recall scalar hash-matches.
+    return f"""
+    SELECT e.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           ROUND(COUNT(a.neighbor_id) / 10.0, 4) AS recall_at_10
+    FROM ({_duck_cosine_topk_oracle(10)}) e
+    LEFT JOIN ({_duck_ivf_pq_oracle(10, 8, 2, 4)}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("embed_ann_recall_pq", _duck_pq_recall_oracle())
+def embed_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF x PQ tier (8-byte codes) against exact
+    cosine — pins the OTHER memory tier's quality numerically, beside
+    embed_ann_recall's SQ8 gate. PQ at 8 bytes/vector trades more
+    recall than SQ8's 64 bytes; the floor asserted in
+    tests/test_operators.py::test_ann_recall_pq_floor is accordingly
+    lower (per-query >= 0.3, mean >= 0.5 on the fixtures)."""
+    from streaming_parquet_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=10, dims=64).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_pq_topk(
+        emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
+    ).select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(10.0), 4).alias("recall_at_10"),
+        )
+    )

@@ -2107,3 +2107,18 @@ def test_cms_join_size_estimate(spark):
         cms_counters(o, "h", w=65536), cms_counters(l4, "h", w=65536)
     ).first()["join_size_est"]
     assert 20000 <= est_w <= 20000 * 1.3
+
+
+def test_ann_recall_pq_floor(spark, sf_dir):
+    """Quality floor for the IVF x PQ tier (8-byte codes): lower than
+    SQ8's (coarser quantization), but bounded — per-query recall@10
+    >= 0.3, mean >= 0.5 on the fixtures. embed_ann_recall_pq pins the
+    exact values via the DuckDB oracle; this is the readable bound."""
+    import streaming_parquet_spark.queries_ext  # noqa: F401  (registers)
+    from streaming_parquet_spark.queries import QUERIES
+
+    rows = QUERIES["embed_ann_recall_pq"](spark, sf_dir).collect()
+    recalls = [r["recall_at_10"] for r in rows]
+    assert len(recalls) == 5
+    assert min(recalls) >= 0.3, recalls
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

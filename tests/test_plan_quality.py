@@ -27,6 +27,7 @@ _BNLJ_OK = {
     "embed_ann_ivf",
     "embed_ann_sq8",
     "embed_ann_recall",    # wraps cosine_topk (the allow-listed exact baseline)
+    "embed_ann_recall_pq",  # same: cosine_topk baseline + IVF centroid broadcast
     "text_tfidf_topk",     # 1-row corpus-count (N) broadcast
     "text_lm_score",       # 1-row vocabulary-size (V) broadcast
     "text_sparse_cosine",  # 1-row corpus-count (N) broadcast
