@@ -18,6 +18,8 @@ can never change results.
 Everything is JVM expressions: xxhash64 for the k probes, bit_or
 aggregation for the bitmap words, a broadcast one-row map for the
 probe side. No UDF, no driver collect.
+
+Reference parity: none (SURVEY §2.11 extension surface).
 """
 
 from __future__ import annotations

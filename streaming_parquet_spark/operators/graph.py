@@ -12,6 +12,8 @@ one groupBy(dst) over edge contributions plus a broadcast of node
 ranks if nodes fit (else a shuffle join on src) — the standard
 edge-cut formulation; skewed high-degree vertices are the usual salt/
 split-by-src cases.
+
+Reference parity: none (SURVEY §2.11 extension surface).
 """
 
 from __future__ import annotations

@@ -15,6 +15,8 @@ Everything is shiftleft/bitwise-and expressions — JVM codegen, no
 UDF; the final repartitionByRange+sortWithinPartitions is the one
 exchange a layout rewrite fundamentally requires (it IS the
 clustering).
+
+Reference parity: none (SURVEY §2.11 extension surface).
 """
 
 from __future__ import annotations

@@ -15,6 +15,8 @@ catch pairs a single key misses, and a hard cap on block size (filter
 or salt oversized blocks) keeps the worst task bounded. Blocking is
 exact-recall only for pairs sharing the key — the standard
 precision/recall trade every linkage system documents.
+
+Reference parity: none (SURVEY §2.11 extension surface).
 """
 
 from __future__ import annotations

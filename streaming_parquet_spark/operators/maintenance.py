@@ -14,6 +14,8 @@ The rewrite is crash-safe: new files land in a sibling temp dir, the
 old dir is swapped out only after the write fully succeeds, and the
 swap is two renames. A reader racing the swap sees either the old or
 the new directory, both complete.
+
+Reference parity: none (SURVEY §2.11 extension surface).
 """
 
 from __future__ import annotations

@@ -19,6 +19,8 @@ pass columns whose cast renders identically in the oracle dialect —
 integers and strings; render doubles/timestamps yourself first), and
 the HLL uses the portable md5 hash, so the oracle reproduces the
 estimate exactly.
+
+Reference parity: none (SURVEY §2.11 extension surface).
 """
 
 from __future__ import annotations

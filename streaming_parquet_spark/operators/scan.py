@@ -12,6 +12,8 @@ with COUNT(*) as the measure.
 The partitioning is pinned with localCheckpoint because
 repartitionByRange samples its boundaries: the totals job and the
 output job must see the SAME partition assignment.
+
+Reference parity: none (SURVEY §2.11 extension surface).
 """
 
 from __future__ import annotations

@@ -16,6 +16,8 @@ its hash is JVM-internal — no oracle could check it. These sketches
 use the repo's md5-based 32-bit hash (functions.portable.hex_to_i32)
 and universal-hash coefficients, both expressible in ANSI SQL, so the
 correctness gate verifies the SKETCH ITSELF, not just a tolerance.
+
+Reference parity: none (SURVEY §2.11 extension surface).
 """
 
 from __future__ import annotations
