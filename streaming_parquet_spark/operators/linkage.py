@@ -30,15 +30,31 @@ def fuzzy_pairs(
     text_col: str,
     block_expr: str,
     max_dist: int = 1,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Within-block record pairs with levenshtein(text_a, text_b) <=
     ``max_dist``. Output: id_a, id_b (id_a < id_b), text_a, text_b,
     dist. ``block_expr`` is a SQL expression over the input columns
     producing the blocking key (e.g. ``substr(name, 1, 16)`` or
-    ``concat(length(name), soundex(name))``)."""
+    ``concat(length(name), soundex(name))``).
+
+    ``max_block`` (MANDATORY at scale) drops blocks with more members
+    than the cap before the self-join — a degenerate key ("", "n/a", a
+    boilerplate title) otherwise turns one task into |block|^2 work.
+    Dropping trades recall inside oversized blocks for a bounded worst
+    task, and the right response to a dropped block is a sharper
+    blocking key for it, not a bigger cap."""
     side = df.select(
         F.col(id_col), F.col(text_col), F.expr(block_expr).alias("__blk")
     )
+    if max_block is not None:
+        sizes = side.groupBy("__blk").agg(
+            F.count(F.lit(1)).alias("__bn")
+        ).filter(F.col("__bn") <= max_block)
+        # no forced broadcast: the per-block size relation is one row
+        # per DISTINCT block and can itself be large; AQE broadcasts
+        # it when it fits
+        side = side.join(sizes.select("__blk"), "__blk", "left_semi")
     a = side.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),

@@ -2122,3 +2122,22 @@ def test_ann_recall_pq_floor(spark, sf_dir):
     assert len(recalls) == 5
     assert min(recalls) >= 0.3, recalls
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_fuzzy_pairs_max_block_cap(spark):
+    """Oversized blocks are dropped wholesale (bounded worst task);
+    well-sized blocks are unaffected."""
+    from streaming_parquet_spark.operators.linkage import fuzzy_pairs
+
+    rows = [(i, f"aaaa-{i:03d}") for i in range(50)]          # one 50-block
+    rows += [(100 + i, f"bbbb-{i:03d}") for i in range(5)]    # one 5-block
+    df = spark.createDataFrame(rows, "id long, name string")
+    capped = fuzzy_pairs(
+        df, "id", "name", "substr(name, 1, 4)", max_dist=2, max_block=10
+    ).collect()
+    assert capped                                  # bbbb pairs survive
+    assert all(r["text_a"].startswith("bbbb") for r in capped)
+    uncapped = fuzzy_pairs(
+        df, "id", "name", "substr(name, 1, 4)", max_dist=2
+    ).collect()
+    assert any(r["text_a"].startswith("aaaa") for r in uncapped)
