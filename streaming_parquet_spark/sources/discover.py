@@ -65,9 +65,26 @@ _EXT_FORMAT = {
 }
 
 
+#: transparently-decompressed text codecs (Spark's text sources handle
+#: these by extension; parquet/ORC compress internally, so a
+#: ``.parquet.gz`` stays unrecognized on purpose)
+_CODEC_EXTS = (".gz", ".bz2")
+_TEXT_FORMATS = frozenset({InputFormat.CSV, InputFormat.JSONL})
+
+
 def detect_format(path: str) -> InputFormat | None:
-    """Extension sniffing (discover.rs:20-28); None => skip."""
-    return _EXT_FORMAT.get(os.path.splitext(path)[1].lower())
+    """Extension sniffing (discover.rs:20-28); None => skip.
+    ``.csv.gz`` / ``.jsonl.bz2`` etc. map to their text format —
+    Spark decompresses text sources by extension, and the driver-side
+    probes decompress the prefix themselves."""
+    base = path.lower()
+    compressed = base.endswith(_CODEC_EXTS)
+    if compressed:
+        base = base[: base.rfind(".")]
+    fmt = _EXT_FORMAT.get(os.path.splitext(base)[1])
+    if compressed and fmt not in _TEXT_FORMATS:
+        return None
+    return fmt
 
 
 def _add_file(path: str, out: list[InputFile]) -> None:

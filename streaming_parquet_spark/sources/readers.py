@@ -273,6 +273,27 @@ def _type_from_mask(mask: int | None) -> T.DataType:
 _I64_RE = None
 
 
+def _read_prefix(path: str, max_bytes: int) -> bytes:
+    """First ``max_bytes`` DECOMPRESSED bytes of a (possibly .gz/.bz2)
+    text file — the driver-side probes must see plaintext for
+    compressed inputs, which Spark's distributed read decompresses by
+    extension anyway. Streaming decompressors only inflate the prefix
+    they're asked for, so probing a huge archive stays cheap."""
+    lower = path.lower()
+    if lower.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as fh:
+            return fh.read(max_bytes)
+    if lower.endswith(".bz2"):
+        import bz2
+
+        with bz2.open(path, "rb") as fh:
+            return fh.read(max_bytes)
+    with open(path, "rb") as fh:
+        return fh.read(max_bytes)
+
+
 def infer_csv_schema_prefix(
     path: str,
     opts: CsvOptions | None = None,
@@ -303,8 +324,7 @@ def infer_csv_schema_prefix(
     )
     na = set(opts.na_values)
 
-    with open(path, "rb") as fh:
-        blob = fh.read(max_bytes)
+    blob = _read_prefix(path, max_bytes)
     text = blob.decode(enc, errors="replace")
     # Drop a trailing partial line unless we read the whole file.
     if len(blob) == max_bytes and "\n" in text:
@@ -406,8 +426,7 @@ def infer_jsonl_schema_prefix(
     enc = {"utf8": "utf-8-sig", "utf-8": "utf-8-sig", "latin1": "cp1252"}.get(
         encoding.lower(), encoding
     )
-    with open(path, "rb") as fh:
-        blob = fh.read(max_bytes)
+    blob = _read_prefix(path, max_bytes)
     text = blob.decode(enc, errors="replace")
     if len(blob) == max_bytes and "\n" in text:
         text = text[: text.rfind("\n")]

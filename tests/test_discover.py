@@ -86,3 +86,19 @@ def test_follow_symlinks_flag(tmp_path):
     with_links = discover_inputs([str(link_dir)], DiscoveryConfig(follow_symlinks=True))
     assert len(without) == 0
     assert len(with_links) == 1 and with_links[0].path.endswith("f.csv")
+
+
+def test_detect_format_compressed_text():
+    from streaming_parquet_spark.sources.discover import (
+        InputFormat,
+        detect_format,
+    )
+
+    assert detect_format("a.csv.gz") == InputFormat.CSV
+    assert detect_format("b.TSV.GZ") == InputFormat.CSV
+    assert detect_format("c.jsonl.bz2") == InputFormat.JSONL
+    assert detect_format("d.ndjson.gz") == InputFormat.JSONL
+    # columnar formats compress internally; a .parquet.gz is NOT a
+    # readable parquet file -> skipped, not misread
+    assert detect_format("e.parquet.gz") is None
+    assert detect_format("f.orc.bz2") is None

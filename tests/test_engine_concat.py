@@ -418,3 +418,34 @@ def test_orc_compressed_rolling(spark, tmp_path):
     )
     assert len(res.paths) >= 4  # 100 rows / 30 per file
     assert spark.read.orc(res.paths).count() == 100
+
+
+def test_gzip_csv_inputs_concat(spark, engine, tmp_path):
+    """Mixed gzip and plain CSV inputs: discovery admits .csv.gz, the
+    driver-side probe decompresses the prefix, and Spark's read
+    decompresses the data — one unified result."""
+    import gzip
+
+    (tmp_path / "plain.csv").write_text("id,v\n1,10\n2,20\n")
+    with gzip.open(tmp_path / "zipped.csv.gz", "wt") as fh:
+        fh.write("id,v\n3,30\n4,NA\n")
+
+    out = str(tmp_path / "out.parquet")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path)], out=out, out_format="parquet")
+    )
+    assert res.rows == 4
+    got = {
+        r["id"]: r["v"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: 10, 2: 20, 3: 30, 4: None}
+
+
+def test_gzip_jsonl_input(spark, engine, tmp_path):
+    import gzip
+
+    with gzip.open(tmp_path / "docs.jsonl.gz", "wt") as fh:
+        fh.write('{"id": 1, "s": "a"}\n{"id": 2, "s": "b"}\n')
+    out = str(tmp_path / "o.csv")
+    res = engine.run(RunSpec(inputs=[str(tmp_path)], out=out))
+    assert res.rows == 2
