@@ -71,6 +71,10 @@ class RunSpec:
             return self.out_format.lower()
         if self.out:
             lower = self.out.lower()
+            # text outputs may name a codec suffix (out.csv.gz) — the
+            # sinks compress accordingly; strip it for format dispatch
+            if lower.endswith((".gz", ".bz2")):
+                lower = lower[: lower.rfind(".")]
             if lower.endswith(".parquet"):
                 return "parquet"
             if lower.endswith(".csv") or lower.endswith(".tsv"):

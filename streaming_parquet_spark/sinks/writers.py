@@ -43,6 +43,16 @@ _PARQUET_CODECS = {
 }
 
 
+def _text_codec(out_path: str) -> str | None:
+    """Spark compression codec implied by a text output's extension."""
+    lower = out_path.lower()
+    if lower.endswith(".gz"):
+        return "gzip"
+    if lower.endswith(".bz2"):
+        return "bzip2"
+    return None
+
+
 def _finalize_single_file(tmp_dir: str, out_path: str, ext: str) -> SinkResult:
     parts = sorted(glob.glob(os.path.join(tmp_dir, f"part-*{ext}*")))
     if not parts:  # e.g. empty frame still emits a part file; guard anyway
@@ -60,7 +70,13 @@ def _finalize_rolling(tmp_dir: str, out_path: str, ext: str) -> SinkResult:
     """Rename Spark part files to the reference's rolling naming scheme
     ``<stem>-%04d<ext>`` (README.md:49-50: output-0000.parquet, ...)."""
     parts = sorted(glob.glob(os.path.join(tmp_dir, f"part-*{ext}*")))
-    stem, _ = os.path.splitext(out_path)
+    # compound extensions (.csv.gz) must strip wholesale, else the
+    # rolled names keep half the suffix
+    stem = (
+        out_path[: -len(ext)]
+        if out_path.lower().endswith(ext)
+        else os.path.splitext(out_path)[0]
+    )
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     outs, total = [], 0
     for i, part in enumerate(parts):
@@ -89,7 +105,9 @@ def write_csv(
     single_file: bool = True,
     max_records_per_file: int | None = None,
 ) -> SinkResult:
-    """CSV sink (writer_csv.rs:38-127 semantics)."""
+    """CSV sink (writer_csv.rs:38-127 semantics). An ``out_path``
+    ending in ``.gz``/``.bz2`` compresses with that codec (extension:
+    the reference writes plaintext only)."""
     writer = (
         df.coalesce(1) if single_file and max_records_per_file is None else df
     ).write.mode("overwrite")
@@ -99,13 +117,17 @@ def write_csv(
         .option("nullValue", na_string)
         .option("header", str(header).lower())
     )
+    codec = _text_codec(out_path)
+    if codec:
+        writer = writer.option("compression", codec)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     tmp = _tmp_out_dir(out_path)
     writer.csv(tmp)
+    ext = ".csv" + {"gzip": ".gz", "bzip2": ".bz2"}.get(codec, "")
     if single_file and max_records_per_file is None:
-        return _finalize_single_file(tmp, out_path, ".csv")
-    return _finalize_rolling(tmp, out_path, ".csv")
+        return _finalize_single_file(tmp, out_path, ext)
+    return _finalize_rolling(tmp, out_path, ext)
 
 
 def write_partitioned(
@@ -276,14 +298,18 @@ def write_jsonl(
     """JSONL sink (extension beyond the reference's CSV/Parquet writer
     pair): one JSON object per line, nulls omitted per JSON convention
     (ignoreNullFields default). Same single-file / rolling contract as
-    the CSV sink."""
+    the CSV sink; ``.gz``/``.bz2`` output paths compress."""
     writer = (
         df.coalesce(1) if single_file and max_records_per_file is None else df
     ).write.mode("overwrite")
+    codec = _text_codec(out_path)
+    if codec:
+        writer = writer.option("compression", codec)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     tmp = _tmp_out_dir(out_path)
     writer.json(tmp)
+    ext = ".json" + {"gzip": ".gz", "bzip2": ".bz2"}.get(codec, "")
     if single_file and max_records_per_file is None:
-        return _finalize_single_file(tmp, out_path, ".json")
-    return _finalize_rolling(tmp, out_path, ".json")
+        return _finalize_single_file(tmp, out_path, ext)
+    return _finalize_rolling(tmp, out_path, ext)

@@ -449,3 +449,30 @@ def test_gzip_jsonl_input(spark, engine, tmp_path):
     out = str(tmp_path / "o.csv")
     res = engine.run(RunSpec(inputs=[str(tmp_path)], out=out))
     assert res.rows == 2
+
+
+def test_gzip_csv_output_roundtrip(spark, engine, tmp_path):
+    """`-o out.csv.gz` compresses the single-file CSV; reading it back
+    (decompressed by extension) reproduces the rows."""
+    import gzip
+
+    (tmp_path / "in.csv").write_text("id,v\n1,a\n2,b\n3,c\n")
+    out = str(tmp_path / "out.csv.gz")
+    res = engine.run(RunSpec(inputs=[str(tmp_path / "in.csv")], out=out))
+    assert res.rows == 3
+    with gzip.open(out, "rt") as fh:
+        lines = fh.read().strip().splitlines()
+    assert lines[0] == "id,v" and len(lines) == 4
+
+    # rolling gz: names keep the full compound extension
+    out2 = str(tmp_path / "roll.csv.gz")
+    res2 = engine.run(
+        RunSpec(
+            inputs=[str(tmp_path / "in.csv")], out=out2, roll_by_rows=2
+        )
+    )
+    import os
+
+    assert res2.rows == 3
+    assert all(p.endswith(".csv.gz") for p in os.listdir(tmp_path)
+               if p.startswith("roll-"))
