@@ -131,16 +131,26 @@ class Engine:
 
     def _csv_header_key(self, path: str, spec: RunSpec):
         """Driver-side header sniff (first line only) to group CSV files
-        before inference. With --no-headers, files group by column count."""
+        before inference. With --no-headers, files group by column count.
+        Decompresses .gz/.bz2 prefixes — a raw read of compressed bytes
+        would give every file a unique garbage key and explode the
+        one-job-per-header-group inference into one job per file."""
         import csv as _csv
+        import io
+
+        from streaming_parquet_spark.sources.readers import _read_prefix
 
         enc = {"utf8": "utf-8-sig", "utf-8": "utf-8-sig", "latin1": "cp1252"}.get(
             spec.encoding.lower(), spec.encoding
         )
-        with open(path, "r", encoding=enc, errors="replace", newline="") as fh:
-            first = next(
-                _csv.reader(fh, delimiter=spec.delimiter, quotechar=spec.quote), []
-            )
+        text = _read_prefix(path, 64 << 10).decode(enc, errors="replace")
+        first = next(
+            _csv.reader(
+                io.StringIO(text), delimiter=spec.delimiter,
+                quotechar=spec.quote,
+            ),
+            [],
+        )
         return tuple(first) if spec.headers else len(first)
 
     def probe_schemas(

@@ -10,10 +10,14 @@ IO speed (the rows are already arbitrarily ordered within the dir;
 if a sorted layout is wanted, compose with layout.zorder_repartition
 instead, which pays its one clustering exchange deliberately).
 
-The rewrite is crash-safe: new files land in a sibling temp dir, the
-old dir is swapped out only after the write fully succeeds, and the
-swap is two renames. A reader racing the swap sees either the old or
-the new directory, both complete.
+The rewrite is near-atomic: new files land in a sibling temp dir and
+the swap is two directory renames, so the data is complete on disk at
+every instant — but POSIX has no atomic directory exchange, so there
+IS a sub-millisecond window where ``path`` itself does not exist (a
+racing lister retries; a crash inside the window leaves the complete
+table under the ``.old_*`` sibling, recoverable with one rename). On
+an object store or a table format, replace the swap with the store's
+atomic commit.
 
 Reference parity: none (SURVEY §2.11 extension surface).
 """
@@ -51,26 +55,38 @@ def compact_files(
     target_mb: int = 128,
     fmt: str = "parquet",
     compression: str | None = None,
+    csv_header: bool = True,
 ) -> CompactionResult:
     """Rewrite the ``fmt`` files under directory ``path`` into
     ceil(total_bytes / target_mb) files of the same format. Returns
     before/after stats; no-op (files_after == files_before) when the
-    directory already meets the target."""
+    directory already meets the target. For CSV, ``csv_header`` must
+    match how the files were written — reading headered parts without
+    it would turn every part's header line into a data row."""
     suffix = {"parquet": ".parquet", "orc": ".orc", "csv": ".csv"}.get(
         fmt, f".{fmt}"
     )
+
+    def _read(p: str):
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", str(csv_header).lower())
+        return getattr(r, fmt)(p)
+
     files = _data_files(path, suffix)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     if len(files) <= n_out:
-        df = getattr(spark.read, fmt)(path)
+        df = _read(path)
         return CompactionResult(len(files), len(files), total, df.count())
 
-    df = getattr(spark.read, fmt)(path)
+    df = _read(path)
     tmp = f"{path.rstrip('/')}.compact_{uuid.uuid4().hex[:8]}"
     writer = df.coalesce(n_out).write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
+    if fmt == "csv":
+        writer = writer.option("header", str(csv_header).lower())
     getattr(writer, fmt)(tmp)
 
     old = f"{path.rstrip('/')}.old_{uuid.uuid4().hex[:8]}"
@@ -79,5 +95,5 @@ def compact_files(
     shutil.rmtree(old, ignore_errors=True)
 
     out_files = _data_files(path, suffix)
-    out_df = getattr(spark.read, fmt)(path)
+    out_df = _read(path)
     return CompactionResult(len(files), len(out_files), total, out_df.count())

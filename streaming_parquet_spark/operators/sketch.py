@@ -221,10 +221,17 @@ def cms_probe(
         )
     )
     keep = [c for c in candidates.columns]
+    # LEFT join: a probed bucket with NO counter row proves count 0
+    # (stronger than any collision-inflated counter) — an inner join
+    # would silently drop such candidates from the output entirely.
     return (
         candidates.withColumn("pr", probes)
         .select(*keep, "pr.row", "pr.bucket")
-        .join(F.broadcast(counters), ["row", "bucket"])
+        .join(F.broadcast(counters), ["row", "bucket"], "left")
         .groupBy(*keep)
-        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
     )

@@ -40,6 +40,15 @@ def hypertable_rollup(
         raise ValueError(f"unknown granularity in {grains}")
     if sorted(grains, key=_GRAIN_ORDER.get) != grains:
         raise ValueError("granularities must be ordered fine -> coarse")
+    # Re-rollup is only sound when every fine bucket nests wholly in
+    # its coarse bucket. Weeks straddle month boundaries, so a month
+    # tier must NOT be derived from a week tier (a Mon Jan 29 week
+    # would roll its Feb events into January).
+    if ("week", "month") in zip(grains, grains[1:]):
+        raise ValueError(
+            "week -> month tiering is invalid: ISO weeks straddle "
+            "month boundaries; derive the month tier from day or finer"
+        )
 
     total = (
         F.sum(F.col(sum_col).cast("bigint")) if sum_col else F.lit(None)

@@ -2892,7 +2892,11 @@ def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT o_orderkey,
              o_custkey % 256 AS zx,
-             date_diff('day', DATE '1995-01-01', o_orderdate) % 256 AS zy
+             -- pmod, not %: DuckDB's % is sign-preserving, Spark's
+             -- pmod is non-negative; they agree only for dates on or
+             -- after the epoch, which fixture data happens to satisfy
+             ((date_diff('day', DATE '1995-01-01', o_orderdate) % 256)
+              + 256) % 256 AS zy
       FROM orders
     )
     SELECT o_orderkey, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
@@ -3097,8 +3101,8 @@ def _duck_cms_oracle(d: int = 3, w: int = 1024, k: int = 20) -> str:
       FROM toks GROUP BY 1 ORDER BY n DESC, word LIMIT {k}
     ),
     probes AS ({probe_rows})
-    SELECT word, n, CAST(MIN(c) AS BIGINT) AS cms_est
-    FROM probes JOIN counters USING (row, bucket)
+    SELECT word, n, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS cms_est
+    FROM probes LEFT JOIN counters USING (row, bucket)
     GROUP BY word, n
     """
 

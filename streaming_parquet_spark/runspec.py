@@ -71,10 +71,24 @@ class RunSpec:
             return self.out_format.lower()
         if self.out:
             lower = self.out.lower()
-            # text outputs may name a codec suffix (out.csv.gz) — the
-            # sinks compress accordingly; strip it for format dispatch
+            # Text outputs may name a codec suffix (out.csv.gz) — the
+            # sinks compress accordingly; strip it for format dispatch.
+            # Only text formats: .parquet.gz would write an uncompressed
+            # parquet file under a lying name (columnar formats compress
+            # internally), so it must NOT resolve — fail loudly instead.
             if lower.endswith((".gz", ".bz2")):
-                lower = lower[: lower.rfind(".")]
+                stripped = lower[: lower.rfind(".")]
+                if stripped.endswith(
+                    (".csv", ".tsv", ".json", ".jsonl", ".ndjson")
+                ):
+                    lower = stripped
+                else:
+                    raise ValueError(
+                        f"unsupported compressed output {self.out!r}: "
+                        "only CSV/JSONL outputs take a codec suffix "
+                        "(parquet/ORC compress internally via "
+                        "--compression)"
+                    )
             if lower.endswith(".parquet"):
                 return "parquet"
             if lower.endswith(".csv") or lower.endswith(".tsv"):

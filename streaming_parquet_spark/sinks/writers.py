@@ -70,13 +70,17 @@ def _finalize_rolling(tmp_dir: str, out_path: str, ext: str) -> SinkResult:
     """Rename Spark part files to the reference's rolling naming scheme
     ``<stem>-%04d<ext>`` (README.md:49-50: output-0000.parquet, ...)."""
     parts = sorted(glob.glob(os.path.join(tmp_dir, f"part-*{ext}*")))
-    # compound extensions (.csv.gz) must strip wholesale, else the
-    # rolled names keep half the suffix
-    stem = (
-        out_path[: -len(ext)]
-        if out_path.lower().endswith(ext)
-        else os.path.splitext(out_path)[0]
-    )
+    # Compound extensions must strip wholesale or rolled names keep
+    # half the suffix. Strip the codec suffix first, THEN one splitext
+    # — out_path may spell a format alias (.jsonl.gz, .tsv.gz) that
+    # differs from the canonical ``ext`` (.json.gz, .csv.gz).
+    base = out_path
+    low = out_path.lower()
+    for codec_ext in (".gz", ".bz2"):
+        if low.endswith(codec_ext):
+            base = out_path[: -len(codec_ext)]
+            break
+    stem = os.path.splitext(base)[0]
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     outs, total = [], 0
     for i, part in enumerate(parts):

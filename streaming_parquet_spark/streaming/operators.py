@@ -107,7 +107,10 @@ def interval_join(
     cond = (
         (l[key] == r[key])
         & (r[right_ts] >= l[left_ts])
-        & (r[right_ts] <= F.expr(f"{left_ts} + INTERVAL {upper}"))
+        # qualified column arithmetic, not a bare F.expr on the name:
+        # when both streams carry an identically-named ts column the
+        # unqualified reference is AMBIGUOUS in the joined plan
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
 

@@ -144,6 +144,10 @@ class StreamEngine:
             schema = _readable_schema(schema)
             if fmt is InputFormat.PARQUET:
                 reader = self.spark.readStream.schema(schema).format("parquet")
+            elif fmt is InputFormat.ORC:
+                reader = self.spark.readStream.schema(schema).format("orc")
+            elif fmt is InputFormat.JSONL:
+                reader = self.spark.readStream.schema(schema).format("json")
             else:
                 reader = (
                     self.spark.readStream.schema(schema)
@@ -169,10 +173,11 @@ class StreamEngine:
                     parent, "{" + ",".join(sorted(names)) + "}"
                 )
                 stream = reader.load(pattern)
-                if fmt is not InputFormat.PARQUET:
+                if fmt is InputFormat.CSV:
                     # Parity with the batch reader: Spark's nullValue
                     # takes one sentinel; the rest null out post-read
-                    # (cli.rs:41-43).
+                    # (cli.rs:41-43). CSV only — ORC/JSONL carry typed
+                    # nulls natively.
                     stream = _apply_na_sentinels(stream, spec.na_values[1:])
                 streams.append(stream)
         return streams, unified
@@ -196,6 +201,10 @@ class StreamEngine:
         try:
             if fmt == "parquet":
                 return self.spark.read.parquet(out_dir).count()
+            if fmt == "orc":
+                return self.spark.read.orc(out_dir).count()
+            if fmt == "jsonl":
+                return self.spark.read.json(out_dir).count()
             return (
                 self.spark.read.option("header", str(spec.headers).lower())
                 .option("sep", spec.delimiter)
@@ -227,8 +236,14 @@ class StreamEngine:
 
         df = self.dataframe(spec)
         fmt = spec.resolve_out_format() if spec.out else "parquet"
+        # Engine out-formats don't map 1:1 onto Spark sink names
+        # (jsonl -> json); dispatch explicitly, same as the batch sinks.
+        sink_format = {"parquet": "parquet", "csv": "csv",
+                       "jsonl": "json", "orc": "orc"}.get(fmt)
+        if sink_format is None:
+            raise ValueError(f"unsupported streaming out format: {fmt}")
         writer = (
-            df.writeStream.format(fmt)
+            df.writeStream.format(sink_format)
             .option("path", out_dir)
             .option("checkpointLocation", checkpoint)
             .outputMode("append")
@@ -238,7 +253,11 @@ class StreamEngine:
             codec = {"none": "none", "snappy": "snappy", "gzip": "gzip",
                      "zstd": "zstd"}.get(spec.compression.lower(), "snappy")
             writer = writer.option("compression", codec)
-        else:
+        elif fmt == "orc":
+            codec = {"none": "none", "snappy": "snappy", "gzip": "zlib",
+                     "zstd": "zstd"}.get(spec.compression.lower(), "none")
+            writer = writer.option("compression", codec)
+        elif fmt == "csv":
             writer = writer.option("header", str(spec.headers).lower()).option(
                 "sep", spec.delimiter
             )

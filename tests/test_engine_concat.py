@@ -476,3 +476,52 @@ def test_gzip_csv_output_roundtrip(spark, engine, tmp_path):
     assert res2.rows == 3
     assert all(p.endswith(".csv.gz") for p in os.listdir(tmp_path)
                if p.startswith("roll-"))
+
+
+def test_parquet_gz_output_rejected():
+    import pytest as _pytest
+
+    from streaming_parquet_spark.runspec import RunSpec
+
+    with _pytest.raises(ValueError, match="codec suffix"):
+        RunSpec(inputs=["x.csv"], out="out.parquet.gz").resolve_out_format()
+
+
+def test_rolling_jsonl_gz_names(spark, engine, tmp_path):
+    """Rolling compressed JSONL output keeps a single coherent
+    compound extension (out-0000.json.gz, no half-suffix names)."""
+    import os
+
+    (tmp_path / "in.csv").write_text("id\n" + "\n".join(map(str, range(10))))
+    out = str(tmp_path / "roll.jsonl.gz")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "in.csv")], out=out, roll_by_rows=4)
+    )
+    assert res.rows == 10
+    rolled = sorted(
+        p for p in os.listdir(tmp_path) if p.startswith("roll-")
+    )
+    assert rolled and all(p.endswith(".json.gz") for p in rolled), rolled
+    total = sum(
+        spark.read.json(str(tmp_path / p)).count() for p in rolled
+    )
+    assert total == 10
+
+
+def test_gz_exact_inference_groups_by_header(tmp_path):
+    """Compressed files sharing a header must share a header-group key
+    (one inference job per group, not per file)."""
+    import gzip
+
+    from streaming_parquet_spark.engine import Engine
+    from streaming_parquet_spark.runspec import RunSpec
+    from streaming_parquet_spark.session import get_spark
+
+    eng = Engine(get_spark())
+    spec = RunSpec(inputs=[])
+    (tmp_path / "a.csv").write_text("id,v\n1,2\n")
+    with gzip.open(tmp_path / "b.csv.gz", "wt") as fh:
+        fh.write("id,v\n3,4\n")
+    ka = eng._csv_header_key(str(tmp_path / "a.csv"), spec)
+    kb = eng._csv_header_key(str(tmp_path / "b.csv.gz"), spec)
+    assert ka == kb == ("id", "v")

@@ -2141,3 +2141,55 @@ def test_fuzzy_pairs_max_block_cap(spark):
         df, "id", "name", "substr(name, 1, 4)", max_dist=2
     ).collect()
     assert any(r["text_a"].startswith("aaaa") for r in uncapped)
+
+
+def test_hypertable_rejects_week_to_month(spark):
+    import pytest as _pytest
+
+    from streaming_parquet_spark.operators.timeseries import (
+        hypertable_rollup,
+    )
+
+    df = spark.createDataFrame([], "ts timestamp, cents long")
+    with _pytest.raises(ValueError, match="week -> month"):
+        hypertable_rollup(
+            df, sum_col="cents", granularities=("day", "week", "month")
+        )
+
+
+def test_cms_probe_absent_candidate_is_zero(spark):
+    """A candidate absent from the sketched corpus gets cms_est = 0
+    (empty bucket = exact zero evidence), not silently dropped."""
+    from streaming_parquet_spark.functions.portable import hex_to_i32
+    from streaming_parquet_spark.operators.sketch import (
+        cms_counters,
+        cms_probe,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a",), ("b",)], "word string"
+    ).select("word", F.expr(hex_to_i32("md5(word)")).alias("h"))
+    counters = cms_counters(corpus, "h")
+    cand = spark.createDataFrame(
+        [("zzz-not-there", 0)], "word string, n long"
+    ).select("word", "n", F.expr(hex_to_i32("md5(word)")).alias("h"))
+    rows = cms_probe(counters, cand, "h").collect()
+    assert len(rows) == 1
+    assert rows[0]["cms_est"] == 0
+
+
+def test_compact_files_csv_headers(spark, tmp_path):
+    from streaming_parquet_spark.operators.maintenance import (
+        compact_files,
+    )
+
+    path = str(tmp_path / "csvfrag")
+    spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100)], "id long, name string"
+    ).repartition(10).write.option("header", "true").csv(path)
+    res = compact_files(spark, path, target_mb=128, fmt="csv")
+    assert res.files_before == 10 and res.files_after == 1
+    assert res.rows == 100                      # headers NOT counted
+    got = spark.read.option("header", "true").csv(path)
+    assert got.count() == 100
+    assert sorted(got.columns) == ["id", "name"]

@@ -258,3 +258,57 @@ def test_interval_join_batch_parity(spark, sf_dir):
         .count()
     )
     assert got == expect and got > 0
+
+
+def test_stream_orc_input_and_orc_sink(spark, tmp_path):
+    """Streaming path reads ORC inputs with the orc source (not the
+    csv fallback) and --verify counts an ORC sink as ORC."""
+    from streaming_parquet_spark.runspec import RunSpec
+    from streaming_parquet_spark.streaming.stream import StreamEngine
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.range(50).selectExpr("id", "id * 2 AS v").coalesce(1).write.orc(
+        str(src / "a.orc.dir")
+    )
+    import glob
+    import shutil
+
+    part = glob.glob(str(src / "a.orc.dir" / "part-*.orc"))[0]
+    shutil.move(part, str(src / "a.orc"))
+    shutil.rmtree(str(src / "a.orc.dir"))
+
+    out = str(tmp_path / "out_orc")
+    res = StreamEngine(spark).run(
+        RunSpec(
+            inputs=[str(src)], out=out, out_format="orc",
+            state=str(tmp_path / "ckpt"), verify=True,
+        ),
+    )
+    assert res.rows == 50
+    assert res.verified is True
+    got = spark.read.orc(out)
+    assert got.count() == 50
+    assert {r["v"] for r in got.collect()} == {i * 2 for i in range(50)}
+
+
+def test_interval_join_same_column_names(spark):
+    """Both sides carrying an unrenamed 'ts' must not raise
+    AMBIGUOUS_REFERENCE (batch mode exercises the same plan)."""
+    import datetime as dt
+
+    from streaming_parquet_spark.streaming.operators import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    l = spark.createDataFrame(
+        [(1, t0)], "user_id long, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=30)),
+         (1, t0 + dt.timedelta(hours=2))],
+        "user_id long, ts timestamp",
+    )
+    got = interval_join(
+        l, r, key="user_id", left_ts="ts", right_ts="ts", upper="1 hour"
+    ).collect()
+    assert len(got) == 1  # only the +30min row is inside [ts, ts+1h]
