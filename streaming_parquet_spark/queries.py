@@ -587,7 +587,11 @@ def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     small = part.filter(F.col("p_size") < 25).select("p_brand")
     pricey = part.filter(F.col("p_retailprice") > 1200).select("p_brand")
-    return small.exceptAll(pricey).distinct()
+    # subtract == SQL EXCEPT (set semantics): a brand present in BOTH
+    # sides is dropped entirely. exceptAll().distinct() is NOT that —
+    # it keeps a brand whenever the left multiplicity exceeds the
+    # right's, which the fixture's vacuous right side used to mask.
+    return small.subtract(pricey)
 
 
 @query(
@@ -695,7 +699,9 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_tumbling_window",
     """
-    SELECT strftime(to_timestamp(FLOOR(epoch(ts) / 600) * 600),
+    SELECT strftime(TIMESTAMP '1970-01-01'
+                    + CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT)
+                      * INTERVAL 1 SECOND,
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
@@ -727,7 +733,9 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_sliding_window",
     """
-    SELECT strftime(to_timestamp(FLOOR(epoch(ts) / 300) * 300 - k * 300),
+    SELECT strftime(TIMESTAMP '1970-01-01'
+                    + CAST(FLOOR(epoch(ts) / 300) * 300 - k * 300 AS BIGINT)
+                      * INTERVAL 1 SECOND,
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n,
            ROUND(SUM(value), 2) AS total_value
@@ -763,7 +771,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events
     GROUP BY event_type
     """,
@@ -801,9 +809,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming equivalent uses F.session_window (streaming module)."""
     ev = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # microsecond-exact gap: cast('long') floors to whole seconds and
+    # can disagree with the oracle's exact interval compare for gaps
+    # within 1s of the boundary
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_session = F.when(
-        F.lag("ts").over(w).isNull() | (gap > 1800), 1
+        F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1
     ).otherwise(0)
     return (
         ev.select("user_id", new_session.alias("new_session"))

@@ -768,8 +768,12 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_frames",
     """
+    -- frame_len by BYTE arithmetic (LEAST(64, bytes - offset)), not
+    -- by SUBSTRING: DuckDB's SUBSTRING slices characters while the
+    -- engine slices the utf-8 blob by bytes — they diverge on any
+    -- multi-byte document
     SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
-           CAST(STRLEN(SUBSTRING(text, CAST(i * 64 + 1 AS INTEGER), 64))
+           CAST(LEAST(64, GREATEST(0, STRLEN(text) - i * 64))
                 AS BIGINT) AS frame_len
     FROM documents,
          UNNEST(range(0, LEAST(8, GREATEST(1, (STRLEN(text) - 1) // 64 + 1))))
@@ -2678,8 +2682,8 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(a.sh), 4) AS containment
     FROM s a JOIN s b ON a.lang = b.lang AND a.id <> b.id
     WHERE len(a.sh) > 0
-      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
-          >= 0.8
+      AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(a.sh), 4) >= 0.8
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

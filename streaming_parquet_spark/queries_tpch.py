@@ -547,8 +547,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, COUNT(*) AS numcust,
            ROUND(SUM(c_acctbal), 2) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0.0)
+    WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+          * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+             FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_mktsegment
@@ -563,12 +565,25 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= _ts("2000-01-01 00:00:00")
     )
-    avg_bal = (
+    # exact threshold: cents * n > total_cents (integer cross-multiply)
+    # instead of c_acctbal > AVG(double) — a float average differs
+    # between engines by summation order, and a balance landing inside
+    # that ulp gap would flip the filter
+    stats = (
         cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        .agg(
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100).cast("long")
+            ).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
     )
     return (
-        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        cust.join(
+            F.broadcast(stats),
+            F.floor(F.col("c_acctbal") * 100).cast("long") * F.col("n_pos")
+            > F.col("total_cents"),
+        )
         .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
@@ -897,7 +912,13 @@ def stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AND ts < TIMESTAMP '2024-01-05 12:00:00'),
     b3n AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-05 12:00:00'),
     wm AS (
-      SELECT (SELECT MAX(ts) FROM b1) - INTERVAL 2 HOUR AS wm2
+      -- Spark's EventTimeStats tracks watermarks at MILLISECOND
+      -- granularity; truncate MAX(ts) to ms before subtracting the
+      -- delay or retries landing in the sub-ms gap classify
+      -- differently between engines
+      SELECT make_timestamp(
+               (epoch_us((SELECT MAX(ts) FROM b1)) // 1000) * 1000
+             ) - INTERVAL 2 HOUR AS wm2
     ),
     retries AS (
       SELECT event_id, ts + INTERVAL 36 HOUR AS ts, event_type,
@@ -1652,9 +1673,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             _shutil.copy(src, staged)
 
-    # _events handles the fixture's ts encoding (nanos-as-long or NTZ);
-    # replay the same normalization on the stream schema.
-    batch = _events(spark, sf_dir)
+    # _events' conf side effect (nanosAsLong) must be set before the
+    # stream reads the fixture schema; the if/elif below replays the
+    # same ts normalization on the stream itself.
+    _events(spark, sf_dir)
     stream = (
         spark.readStream.schema(
             spark.read.parquet(src).schema
@@ -1817,7 +1839,9 @@ def stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (SELECT MAX(ts) AS mx FROM events),
     w AS (
-      SELECT to_timestamp(FLOOR(epoch(ts) / 21600) * 21600) AS ws,
+      SELECT TIMESTAMP '1970-01-01'
+             + CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT)
+               * INTERVAL 1 SECOND AS ws,
              event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(SUM(value), 2) AS total_value
@@ -1985,8 +2009,6 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(value * 100) AS BIGINT) AS cents
       FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-          ORDER BY ts, event_id) AS rn_a,
-               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
           ORDER BY ts DESC, event_id DESC) AS rn
         FROM events
       ) WHERE rn = 1

@@ -79,3 +79,25 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_tumbling_window", "events_sliding_window",
+     "stream_windowed_counts", "events_sessionize", "stream_late_dedup"],
+)
+def test_time_oracles_are_tz_independent(name, spark, sf_dir):
+    """The driver's DuckDB connection never pins TimeZone; every
+    time-bucketing oracle must produce identical strings under a
+    non-UTC session zone (to_timestamp/TIMESTAMPTZ rendering would
+    shift by the UTC offset)."""
+    con = duckdb.connect()
+    con.execute("SET TimeZone = 'America/New_York'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = con.execute(ORACLES[name]).df()
+    assert _normalize(sdf) == _normalize(odf)
