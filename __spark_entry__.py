@@ -42,9 +42,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver budget caps CORRECTNESS at ~50 rows/round, so rotate:
 # queries with no CORRECTNESS row yet run first, then the queries whose
-# newest green row is oldest (r2, i.e. absent from CORRECTNESS_r03.json),
-# so no query's newest row ever goes >1 round stale (VERDICT.md round 3,
-# item 1).  Names absent from this list keep registration order after it.
+# newest green row is oldest, so every query's row refreshes on the
+# shortest cycle the budget allows (VERDICT.md round 3, item 1).
+#
+# The rotation is COMPUTED from the CORRECTNESS_r*.json artifacts the
+# driver leaves in the repo root — no hand-maintained list to go stale:
+# each query is keyed by the newest round in which it has a green row
+# (never-checked -> round 0, runs first), tie-broken by the static seed
+# order below, then registration order.  A query whose newest row is a
+# FAILURE keys as never-checked so it re-runs immediately after a fix.
+
+
+def _last_green_round() -> dict[str, int]:
+    import glob
+    import json
+    import re
+
+    newest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if green and rnd > newest.get(name, 0):
+                newest[name] = rnd
+    return newest
+
+
+# Seed order: breaks ties within one staleness class (e.g. the 49
+# round-4 queries all keyed 0) so the run order is stable round to
+# round.  Names absent keep registration order after it.
 _DRIVER_PRIORITY = [
     # round-4 additions (no prior CORRECTNESS row) first
     "events_scd2", "events_ohlc", "events_funnel",
@@ -79,10 +121,16 @@ _DRIVER_PRIORITY = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
-    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
-    return ordered
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's ~50-row budget always lands on the stalest rows."""
+    seed = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    reg = {n: i for i, n in enumerate(QUERIES)}
+    newest = _last_green_round()
+    ordered = sorted(
+        QUERIES,
+        key=lambda n: (newest.get(n, 0), seed.get(n, len(seed)), reg[n]),
+    )
+    return {n: QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -131,14 +131,20 @@ def main() -> None:
     from streaming_parquet_spark.queries_tpch import STREAM_WORKDIR_FS as stream_fs
 
     total = round(sum(timings.values()), 4)
+    # Key order matters downstream: the driver's BENCH_r{N}.json capture
+    # keeps only the LAST 2000 chars of this line (observed r3: a 9 KB
+    # line left `parsed: null` and a tail that sliced mid-queries, losing
+    # the headline value).  Emit the big per-query dicts first and every
+    # headline scalar (metric/value/conversions/conf) last, compact
+    # separators, so the tail window always contains the summary.
     print(
         json.dumps(
             {
+                "queries_first_pass": first_pass,
+                "queries": timings,
                 "metric": "sum_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_first_pass": first_pass,
                 "sf": sf,
                 "conversions_mb_per_sec": conversions,
                 "conf": {
@@ -171,7 +177,8 @@ def main() -> None:
                         "reports the warm resume path"
                     ),
                 },
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -81,6 +81,23 @@ def test_entry_contract(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_driver_rotation_orders_stalest_first():
+    """queries() ordering is computed from the CORRECTNESS_r*.json
+    artifacts: never-checked (or last-failed) queries first, then
+    ascending by the round of each query's newest green row — so the
+    driver's ~50-row budget always refreshes the stalest rows."""
+    import __spark_entry__ as e
+
+    ordered = list(e.queries())
+    assert set(ordered) == set(QUERIES)
+    newest = e._last_green_round()
+    rounds = [newest.get(n, 0) for n in ordered]
+    assert rounds == sorted(rounds), "rotation not stalest-first"
+    # a green row must be genuinely green: a failed row keys as 0
+    for rows_round in newest.values():
+        assert rows_round >= 1
+
+
 @pytest.mark.parametrize(
     "name",
     ["events_tumbling_window", "events_sliding_window",
