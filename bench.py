@@ -137,50 +137,50 @@ def main() -> None:
     # the headline value).  Emit the big per-query dicts first and every
     # headline scalar (metric/value/conversions/conf) last, compact
     # separators, so the tail window always contains the summary.
-    print(
-        json.dumps(
-            {
-                "queries_first_pass": first_pass,
-                "queries": timings,
-                "metric": "sum_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "conversions_mb_per_sec": conversions,
-                "conf": {
-                    "host_ref_md5_mb_s": _host_ref_mb_s(),
-                    "timing_note": (
-                        "absolute seconds vary with host throughput "
-                        "round-to-round (observed ~1.6x on identical "
-                        "code); compare rounds via host_ref_md5_mb_s"
-                    ),
-                    "master": f"local[{cpus}]",
-                    "shuffle_partitions": cpus,
-                    "aqe": True,
-                    "runs": 2,
-                    "agg": "min",
-                    "query_warmup": (
-                        "1 untimed pre-pass: broadcast join+agg, window "
-                        "row_number top-5, 64-dim embedding self-join dot "
-                        "(persist+unpersist) over orders/customer/embeddings "
-                        "subsets — compiles the shared scan/exchange/agg/"
-                        "window/codegen machinery (see _warm)"
-                    ),
-                    "conversion_runs": 4,
-                    "conversion_warmup_runs": 2,
-                    "conversion_workdir": conv_fs,
-                    "streaming_workdir": stream_fs,
-                    "streaming_note": (
-                        "stream_* gate queries stage source/checkpoint/sink "
-                        "on streaming_workdir; pass 2 resumes the existing "
-                        "checkpoint (exactly-once rerun), so min-of-2 "
-                        "reports the warm resume path"
-                    ),
-                },
-            },
-            separators=(",", ":"),
-        )
-    )
+    doc = {
+        "queries_first_pass": first_pass,
+        "queries": timings,
+        "metric": "sum_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "conversions_mb_per_sec": conversions,
+        "conf": {
+            "host_ref_md5_mb_s": _host_ref_mb_s(),
+            "timing_note": (
+                "seconds vary ~1.6x with host load round-to-round;"
+                " normalize via host_ref_md5_mb_s"
+            ),
+            "master": f"local[{cpus}]",
+            "shuffle_partitions": cpus,
+            "aqe": True,
+            "runs": 2,
+            "agg": "min",
+            "query_warmup": (
+                "1 untimed pre-pass (join/agg/window/embedding-dot"
+                " C2 compile; see _warm)"
+            ),
+            "conversion_runs": 4,
+            "conversion_warmup_runs": 2,
+            "conversion_workdir": conv_fs,
+            "streaming_workdir": stream_fs,
+            "streaming_note": (
+                "stream_* stage src/ckpt/sink on streaming_workdir;"
+                " pass 2 resumes the checkpoint (warm path)"
+            ),
+        },
+    }
+    print(json.dumps(doc, separators=(",", ":")))
+    # The round artifact keeps only that line's tail; persist the full
+    # document beside the repo so per-query history is never truncated.
+    try:
+        detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_DETAIL.json")
+        with open(detail, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=False)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still complete
 
 
 def _replicate(src_files: list[str], dest_dir: str, copies: int, ext: str) -> int:

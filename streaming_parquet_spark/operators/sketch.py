@@ -1,7 +1,9 @@
-"""Fixed-memory frequency/cardinality sketches, built deterministically
-from portable hash arithmetic so the DuckDB oracle reproduces every
-register and counter bit-for-bit (public algorithms: Flajolet et al.
-2007 HyperLogLog; Cormode & Muthukrishnan 2005 count-min).
+"""Fixed-memory frequency/cardinality/quantile sketches, built
+deterministically from portable arithmetic so the DuckDB oracle
+reproduces every register and counter bit-for-bit (public algorithms:
+Flajolet et al. 2007 HyperLogLog; Cormode & Muthukrishnan 2005
+count-min; two-pass equi-width histogram quantiles as in classic
+parallel DBMS estimators).
 
 Why sketches at 100 TB: COUNT(DISTINCT x) shuffles every distinct
 value; a HLL register file is 64 integers per group no matter how many
@@ -235,3 +237,158 @@ def cms_probe(
             .alias("cms_est")
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    fixed_col: str,
+    percents: list[int],
+    bins: int = 64,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group quantile estimates from a two-pass equi-width
+    histogram over an INTEGER fixed-point column (e.g. cents) — the
+    mergeable alternative to exact sort-based percentiles
+    (``rel_percentiles``) and to approx_percentile (whose KLL internals
+    are JVM-private and thus un-oracle-able).
+
+    Pass 1 computes per-group (min, max, n) — a narrow partial-
+    aggregated shuffle of one row per group, broadcast back. Pass 2
+    buckets every value into ``bins`` equi-width bins over
+    [min, max] with pure integer arithmetic::
+
+        bin = ((v - mn) * bins) DIV (mx - mn + 1)
+
+    and counts per (group, bin) — partial-aggregated, so each map task
+    emits <= bins rows per group no matter the input size; bin counts
+    MERGE BY ADDITION across partitions/loads given a shared grid.
+    That is the sketch property: at 100 TB the exchange carries
+    groups x bins integers, not the corpus, and no global sort exists.
+
+    The estimate for percent p is rank r = ceil(p*n/100) (exact
+    integer: ``(p*n + 99) DIV 100``), located in the first bin whose
+    cumulative count reaches r (a window over <= ``bins`` rows per
+    group — group-local, never corpus-wide), then linearly
+    interpolated inside the bin on the exact rational::
+
+        est = (mn + width*(bin*cnt + r - cum_before) / (bins*cnt)) / scale
+
+    with width = mx - mn + 1. Every operand is an exact integer and
+    the two divisions are the only FP ops, so any engine reproduces
+    the estimate bit-for-bit. Exactness bound: the interpolation
+    numerator must fit int64 — width * bins * per-bin-count < 2^63,
+    i.e. ~1.4e10 rows per (group, bin) at cent-scale widths; raise
+    ``bins`` (shrinking per-bin counts) if a group ever approaches it.
+
+    Output: group_cols, pct (int), n, est (rounded to 4 places in
+    original units).
+    """
+    from pyspark.sql import Window as W
+
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(fixed_col).alias("__mn"),
+        F.max(fixed_col).alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    binned = df.join(F.broadcast(bounds), group_cols).select(
+        *group_cols,
+        F.expr(
+            f"CAST((({fixed_col} - __mn) * {bins})"
+            f" DIV (__mx - __mn + 1) AS INT)"
+        ).alias("__bin"),
+    )
+    counts = (
+        binned.groupBy(*group_cols, "__bin")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .join(F.broadcast(bounds), group_cols)
+    )
+    w = W.partitionBy(*group_cols).orderBy("__bin")
+    cum = counts.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
+        "__cumb", F.col("__cum") - F.col("__cnt")
+    )
+    qs = F.explode(
+        F.array(*[F.lit(int(p)).cast("int") for p in percents])
+    ).alias("pct")
+    # rows = groups x occupied-bins x |percents| — still sketch-sized.
+    picked = (
+        cum.select("*", qs)
+        .withColumn(
+            "__rank", F.expr("(pct * __n + 99) DIV 100")
+        )
+        .filter(
+            (F.col("__cumb") < F.col("__rank"))
+            & (F.col("__rank") <= F.col("__cum"))
+        )
+    )
+    est = F.round(
+        (
+            F.col("__mn")
+            + (
+                (F.col("__mx") - F.col("__mn") + F.lit(1))
+                * (
+                    F.col("__bin") * F.col("__cnt")
+                    + F.col("__rank")
+                    - F.col("__cumb")
+                )
+            ).cast("double")
+            / (F.lit(bins) * F.col("__cnt"))
+        )
+        / F.lit(scale),
+        4,
+    )
+    return picked.select(
+        *group_cols,
+        "pct",
+        F.col("__n").alias("n"),
+        est.alias("est"),
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    source_sql: str,
+    group_col: str,
+    fixed_expr: str,
+    percents: list[int],
+    bins: int = 64,
+    scale: int = 100,
+) -> str:
+    """DuckDB SQL reproducing histogram_quantiles bit-for-bit over
+    ``source_sql`` (must yield ``group_col`` and the raw value the
+    caller turns into an integer via ``fixed_expr``)."""
+    pcts = ", ".join(f"({int(p)})" for p in percents)
+    return f"""
+    WITH src AS ({source_sql}),
+    vals AS (
+      SELECT {group_col} AS g, {fixed_expr} AS v FROM src
+    ),
+    bounds AS (
+      SELECT g, MIN(v) AS mn, MAX(v) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM vals GROUP BY 1
+    ),
+    counts AS (
+      SELECT v.g,
+             CAST(((v.v - b.mn) * {bins}) // (b.mx - b.mn + 1) AS INT)
+               AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals v JOIN bounds b ON v.g = b.g
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c.g, c.bin, c.cnt, b.mn, b.mx, b.n,
+             SUM(c.cnt) OVER (PARTITION BY c.g ORDER BY c.bin) AS cm
+      FROM counts c JOIN bounds b ON c.g = b.g
+    ),
+    picked AS (
+      SELECT g, bin, cnt, mn, mx, n, cm, cm - cnt AS cmb,
+             pct, (pct * n + 99) // 100 AS r
+      FROM cum, (VALUES {pcts}) q(pct)
+      WHERE cm - cnt < (pct * n + 99) // 100
+        AND (pct * n + 99) // 100 <= cm
+    )
+    SELECT g AS {group_col}, CAST(pct AS INTEGER) AS pct, n,
+           ROUND((mn + CAST((mx - mn + 1) * (bin * cnt + r - cmb)
+                 AS DOUBLE) / ({bins} * cnt)) / {scale}, 4) AS est
+    FROM picked
+    """

@@ -3111,6 +3111,45 @@ def _duck_cms_oracle(d: int = 3, w: int = 1024, k: int = 20) -> str:
     """
 
 
+def _duck_hist_quantile_oracle() -> str:
+    from streaming_parquet_spark.operators.sketch import (
+        histogram_quantiles_oracle_sql,
+    )
+
+    return histogram_quantiles_oracle_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        "l_returnflag",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)",
+        [25, 50, 75, 95],
+        bins=64,
+        scale=100,
+    )
+
+
+@query("rel_quantile_sketch", _duck_hist_quantile_oracle())
+def rel_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price quantiles per return flag from a two-pass equi-width
+    histogram sketch — the mergeable 100 TB alternative to the exact
+    sort in rel_percentiles: pass 1 ships one (min, max, n) row per
+    group, pass 2 ships <= 64 bin counts per group per map task
+    (partial-aggregated, merging by addition), and the rank walk is a
+    window over <= 64 rows per group. All arithmetic is exact integers
+    until two final divisions, so the DuckDB oracle reproduces the
+    ESTIMATES bit-for-bit — the sketch itself is gated, not a
+    tolerance. See operators.sketch.histogram_quantiles."""
+    from streaming_parquet_spark.operators.sketch import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return histogram_quantiles(
+        li, ["l_returnflag"], "cents", [25, 50, 75, 95], bins=64, scale=100
+    )
+
+
 @query("text_heavy_hitters_cms", _duck_cms_oracle())
 def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters under a count-min sketch: the top-20 exact

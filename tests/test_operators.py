@@ -1789,6 +1789,67 @@ def test_cms_one_sided_error(spark):
     assert exact >= 45
 
 
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """Sketch estimates land within one bin width of the exact
+    percentile, ranks cover each percent exactly once per group, and
+    bin counts built from disjoint halves on a SHARED grid merge by
+    addition to the whole-data histogram (the mergeability that makes
+    the sketch shuffle-light at scale)."""
+    from streaming_parquet_spark.operators.sketch import histogram_quantiles
+
+    n, bins = 4000, 64
+    df = spark.range(n).select(
+        "id",
+        (F.col("id") % 2).cast("string").alias("g"),
+        # deterministic non-uniform values in [0, ~125k) "cents"
+        ((F.col("id") * 31) % 1000 * ((F.col("id") % 5) + 1) * 25)
+        .cast("bigint")
+        .alias("v"),
+    )
+    out = histogram_quantiles(df, ["g"], "v", [25, 50, 75, 95], bins=bins)
+    rows = out.collect()
+    assert sorted((r["g"], r["pct"]) for r in rows) == [
+        (g, p) for g in ("0", "1") for p in (25, 50, 75, 95)
+    ]
+    pdf = df.toPandas()
+    for r in rows:
+        vals = sorted(pdf[pdf.g == r["g"]].v)
+        lo, hi = vals[0], vals[-1]
+        width = (hi - lo + 1) / bins / 100  # est is scaled /100
+        rank = -(-r["pct"] * len(vals) // 100)  # ceil
+        exact = vals[rank - 1] / 100
+        assert abs(r["est"] - exact) <= width + 1e-9, (
+            r, exact, width,
+        )
+
+    # mergeability: per-(g, bin) counts from disjoint halves, computed
+    # against the SHARED full-data bounds, sum to the full histogram
+    bounds = df.groupBy("g").agg(
+        F.min("v").alias("__mn"), F.max("v").alias("__mx")
+    )
+    def bin_counts(part):
+        return (
+            part.join(F.broadcast(bounds), "g")
+            .select(
+                "g",
+                F.expr(
+                    f"CAST(((v - __mn) * {bins}) DIV (__mx - __mn + 1)"
+                    " AS INT)"
+                ).alias("bin"),
+            )
+            .groupBy("g", "bin")
+            .count()
+        )
+    whole = {(r["g"], r["bin"]): r["count"]
+             for r in bin_counts(df).collect()}
+    merged: dict = {}
+    for half in (df.filter("id % 3 = 0"), df.filter("id % 3 != 0")):
+        for r in bin_counts(half.select("g", "v")).collect():
+            k = (r["g"], r["bin"])
+            merged[k] = merged.get(k, 0) + r["count"]
+    assert merged == whole
+
+
 def test_snapshot_diff_change_types(spark):
     """All four change labels, null-safe payload compare."""
     from streaming_parquet_spark.operators.cdc import snapshot_diff
