@@ -194,7 +194,13 @@ def _duck_ngram_oracle(n: int, threshold: float) -> str:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({j}, 4) AS jaccard
     FROM d a JOIN d b
       ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
-    WHERE ROUND({j}, 4) >= {threshold}
+    -- length filter mirrors the Spark join condition exactly; it must
+    -- appear on BOTH sides because the final compare rounds to 4
+    -- places, so a raw jaccard just under t can round up to t while
+    -- failing the un-rounded prune
+    WHERE least(len(a.sh), len(b.sh))
+          >= {threshold} * greatest(len(a.sh), len(b.sh))
+      AND ROUND({j}, 4) >= {threshold}
     """
 
 
@@ -2681,7 +2687,12 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(a.sh), 4) AS containment
     FROM s a JOIN s b ON a.lang = b.lang AND a.id <> b.id
-    WHERE len(a.sh) > 0
+    -- size prune mirrors the Spark join condition exactly (containment
+    -- >= t forces len(b) >= t*len(a)); it must appear on BOTH sides
+    -- because the final compare rounds to 4 places, so a raw value just
+    -- under t can round up to t while failing the un-rounded prune
+    WHERE len(b.sh) >= 0.8 * len(a.sh)
+      AND len(a.sh) > 0
       AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(a.sh), 4) >= 0.8
     """,
