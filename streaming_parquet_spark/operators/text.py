@@ -187,6 +187,101 @@ def tfidf_topk(
     )
 
 
+def chi2_terms(
+    df: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 5,
+) -> DataFrame:
+    """Top-k terms most ASSOCIATED with each class (domain/source) by
+    the chi-square statistic over document frequencies — the classic
+    feature-selection / corpus-QA question "which terms are
+    over-represented in which slice?". For term t and class c with
+    2x2 contingency (a = docs in c containing t, b = docs elsewhere
+    containing t, c_ = docs in c without t, d = elsewhere without t)::
+
+        chi2 = N * (a*d - b*c_)^2 / ((a+b)(c_+d)(a+c_)(b+d))
+
+    Counting plan at 100 TB: one explode of per-document DISTINCT
+    terms -> partial-aggregated (term, class) doc counts (vocab x
+    classes rows); term totals derive from those by a vocab-sized
+    re-aggregation; class totals and N are broadcast scalars. The
+    ``min_df`` guard drops the hapax tail before any join or window,
+    and the final top-k is a window over vocab rows per class — never
+    corpus rows.
+
+    Determinism: every contingency cell is an exact integer;
+    (a*d - b*c_) is computed exactly in int64 (safe while doc counts
+    stay under ~3e9 per cell), then the square, products, and one
+    division run as IEEE doubles in a FIXED operand order — each
+    double op is correctly rounded, so any engine reproduces the
+    statistic bit-for-bit from the same integers. Ranking uses the
+    un-rounded double, ties by term.
+
+    Output: class_col, term, df_in (a), df_out (b), chi2 (4dp), rank.
+    """
+    from streaming_parquet_spark.functions.portable import words_expr
+
+    tc = (
+        df.select(
+            F.col(class_col).alias("cls"),
+            F.explode(F.expr(words_expr("spark", text_col))).alias("term"),
+        )
+        .groupBy("term", "cls")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    tdf = tc.groupBy("term").agg(F.sum("a").alias("tdf"))
+    cls_n = df.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("nn"))
+    full = (
+        tc.join(tdf, "term")
+        .filter(F.col("tdf") >= min_df)
+        .join(F.broadcast(cls_n), "cls")
+        .crossJoin(F.broadcast(n_docs))
+        # a term present in EVERY document has (c_+d) = 0 — chi2 is
+        # undefined (and the term carries no signal); drop it before
+        # the division rather than emitting NaN
+        .filter(F.col("tdf") < F.col("nn"))
+        .withColumn("b", F.col("tdf") - F.col("a"))
+        .withColumn("c_", F.col("nc") - F.col("a"))
+        .withColumn(
+            "d", F.col("nn") - F.col("tdf") - F.col("nc") + F.col("a")
+        )
+    )
+    # exact int64 determinant, then fixed-order IEEE double arithmetic
+    chi2 = (
+        F.col("nn").cast("double")
+        * (F.col("a") * F.col("d") - F.col("b") * F.col("c_"))
+        .cast("double")
+        * (F.col("a") * F.col("d") - F.col("b") * F.col("c_"))
+        .cast("double")
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c_") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c_")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        )
+    )
+    w = W.partitionBy("cls").orderBy(F.col("__key").desc(), F.col("term"))
+    return (
+        full.withColumn("__key", chi2)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("cls").alias(class_col),
+            "term",
+            F.col("a").alias("df_in"),
+            F.col("b").alias("df_out"),
+            F.round(F.col("__key"), 4).alias("chi2"),
+            "rank",
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint over word
     hashes (mod 2^31-1): equal fingerprints => near-certain duplicates,

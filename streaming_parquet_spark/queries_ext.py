@@ -3122,6 +3122,77 @@ def _duck_cms_oracle(d: int = 3, w: int = 1024, k: int = 20) -> str:
     """
 
 
+def _duck_chi2_oracle(k: int = 5, min_df: int = 5) -> str:
+    from streaming_parquet_spark.functions.portable import words_expr
+
+    # mirrors operators.text.chi2_terms: exact int64 determinant, then
+    # fixed-order IEEE double products/division (each op correctly
+    # rounded, so both engines produce the identical double), ranked on
+    # the un-rounded key with term tie-break
+    return f"""
+    WITH tc AS (
+      SELECT term, source AS cls, CAST(COUNT(*) AS BIGINT) AS a
+      FROM (
+        SELECT source,
+               unnest({words_expr('duckdb', 'text')}) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tdf AS (
+      SELECT term, SUM(a) AS tdf FROM tc GROUP BY 1
+    ),
+    cls_n AS (
+      SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM documents GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    full_t AS (
+      SELECT tc.cls, tc.term, tc.a, tdf.tdf - tc.a AS b,
+             cls_n.nc - tc.a AS c_,
+             nn.nn - tdf.tdf - cls_n.nc + tc.a AS d,
+             nn.nn AS nn
+      FROM tc JOIN tdf USING (term)
+      JOIN cls_n ON tc.cls = cls_n.cls
+      CROSS JOIN nn
+      WHERE tdf.tdf >= {min_df} AND tdf.tdf < nn.nn
+    ),
+    scored AS (
+      SELECT cls, term, a, b,
+             CAST(nn AS DOUBLE)
+               * CAST(a * d - b * c_ AS DOUBLE)
+               * CAST(a * d - b * c_ AS DOUBLE)
+               / (CAST(a + b AS DOUBLE) * CAST(c_ + d AS DOUBLE)
+                  * CAST(a + c_ AS DOUBLE) * CAST(b + d AS DOUBLE))
+               AS key
+      FROM full_t
+    )
+    SELECT cls AS source, term, a AS df_in, b AS df_out,
+           ROUND(key, 4) AS chi2,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cls
+               ORDER BY key DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("text_chi2_terms", _duck_chi2_oracle())
+def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms most over-represented per source by chi-square over
+    document frequencies — the corpus-QA / feature-selection sweep
+    ("what vocabulary makes this domain different?"). One distinct-
+    term explode feeds partial-aggregated (term, source) counts; all
+    later joins are vocab-sized or broadcast scalars, and the top-5
+    window runs over vocab rows per source. See
+    operators.text.chi2_terms."""
+    from streaming_parquet_spark.operators.text import chi2_terms
+
+    return chi2_terms(
+        _t(spark, sf_dir, "documents"), class_col="source", k=5, min_df=5
+    )
+
+
 def _duck_hist_quantile_oracle() -> str:
     from streaming_parquet_spark.operators.sketch import (
         histogram_quantiles_oracle_sql,

@@ -1789,6 +1789,32 @@ def test_cms_one_sided_error(spark):
     assert exact >= 45
 
 
+def test_chi2_terms_picks_class_markers(spark):
+    """A term concentrated in one class tops that class's ranking; a
+    term present in EVERY document is excluded (chi2 undefined); ranks
+    are dense from 1."""
+    from streaming_parquet_spark.operators.text import chi2_terms
+
+    rows = []
+    for i in range(40):
+        rows.append((f"a{i}", "web", "common alpha filler " + "alpha " * 3))
+    for i in range(40):
+        rows.append((f"b{i}", "code", "common beta filler " + "beta " * 3))
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = chi2_terms(df, class_col="source", k=3, min_df=5).collect()
+    top = {r["source"]: r["term"] for r in out if r["rank"] == 1}
+    assert top["web"] == "alpha" and top["code"] == "beta"
+    terms = {r["term"] for r in out}
+    assert "common" not in terms and "filler" not in terms  # in all docs
+    for src in ("web", "code"):
+        ranks = sorted(r["rank"] for r in out if r["source"] == src)
+        assert ranks == list(range(1, len(ranks) + 1))
+    # the marker term's contingency is exact
+    [r] = [x for x in out if x["term"] == "alpha" and x["source"] == "web"]
+    assert (r["df_in"], r["df_out"]) == (40, 0)
+    assert r["chi2"] == 80.0  # full separation: chi2 == N
+
+
 def test_histogram_quantiles_accuracy_and_merge(spark):
     """Sketch estimates land within one bin width of the exact
     percentile, ranks cover each percent exactly once per group, and
