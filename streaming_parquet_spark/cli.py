@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("inputs", nargs="+", help="files, directories, globs, or - for stdin")
     p.add_argument("-o", "--out", help="output file path")
     p.add_argument(
-        "--out-format", choices=["csv", "parquet", "jsonl", "orc"],
+        "--out-format", choices=["csv", "parquet", "jsonl", "orc", "text"],
         dest="out_format"
     )
 

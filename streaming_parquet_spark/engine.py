@@ -40,6 +40,7 @@ from streaming_parquet_spark.sinks.writers import (
     write_jsonl,
     write_orc,
     write_parquet,
+    write_text,
     write_partitioned,
 )
 from streaming_parquet_spark.sources.discover import (
@@ -57,6 +58,8 @@ from streaming_parquet_spark.sources.readers import (
     read_jsonl,
     read_orc,
     read_parquet,
+    read_text,
+    TXT_SCHEMA,
 )
 
 
@@ -191,6 +194,11 @@ class Engine:
                 ):
                     out[i] = schema
 
+        for i, f in enumerate(files):
+            # raw text: fixed (value: Utf8) schema — nothing to probe
+            if f.format is InputFormat.TXT:
+                out[i] = TXT_SCHEMA
+
         jl_idx = [i for i, f in enumerate(files) if f.format is InputFormat.JSONL]
         if jl_idx:
             # JSONL: always sampled prefix inference (driver-side, zero
@@ -279,6 +287,8 @@ class Engine:
                 dfs.append(read_parquet(self.spark, paths))
             elif fmt is InputFormat.ORC:
                 dfs.append(read_orc(self.spark, paths))
+            elif fmt is InputFormat.TXT:
+                dfs.append(read_text(self.spark, paths))
             elif fmt is InputFormat.JSONL:
                 schema = T.StructType.fromJson(json.loads(schema_json))
                 dfs.append(
@@ -395,6 +405,13 @@ class Engine:
                 single_file=spec.single_file,
                 max_records_per_file=max_records,
             )
+        elif fmt == "text":
+            sink = write_text(
+                observed,
+                spec.out,
+                single_file=spec.single_file,
+                max_records_per_file=max_records,
+            )
         else:
             sink = write_csv(
                 observed,
@@ -503,6 +520,8 @@ class Engine:
             actual = self.spark.read.json(sink.paths).count()
         elif fmt == "orc":
             actual = self.spark.read.orc(sink.paths).count()
+        elif fmt == "text":
+            actual = self.spark.read.text(sink.paths).count()
         else:
             actual = (
                 self.spark.read.option("header", "true")

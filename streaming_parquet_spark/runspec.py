@@ -79,7 +79,8 @@ class RunSpec:
             if lower.endswith((".gz", ".bz2")):
                 stripped = lower[: lower.rfind(".")]
                 if stripped.endswith(
-                    (".csv", ".tsv", ".json", ".jsonl", ".ndjson")
+                    (".csv", ".tsv", ".json", ".jsonl", ".ndjson",
+                     ".txt", ".text")
                 ):
                     lower = stripped
                 else:
@@ -97,4 +98,6 @@ class RunSpec:
                 return "jsonl"
             if lower.endswith(".orc"):
                 return "orc"
+            if lower.endswith((".txt", ".text")):
+                return "text"
         return "csv"

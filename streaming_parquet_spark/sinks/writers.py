@@ -293,6 +293,44 @@ def write_orc(
     return _finalize_rolling(tmp, out_path, ".orc")
 
 
+def write_text(
+    df: DataFrame,
+    out_path: str,
+    single_file: bool = True,
+    max_records_per_file: int | None = None,
+) -> SinkResult:
+    """Raw-text sink (extension): one line per record. Requires exactly
+    ONE column (Spark's text sink contract) — a multi-column frame has
+    no defensible line rendering, so fail loudly instead of silently
+    joining columns. The column is cast to string; nulls write as empty
+    lines (cast preserves null -> Spark writes ''). Same single-file /
+    rolling contract as the CSV sink; ``.gz``/``.bz2`` paths compress."""
+    if len(df.columns) != 1:
+        raise ValueError(
+            f"text output requires exactly one column, got {df.columns};"
+            " project with --columns or write CSV/JSONL instead"
+        )
+    from pyspark.sql import functions as F
+
+    one = df.select(
+        F.coalesce(df[df.columns[0]].cast("string"), F.lit("")).alias("value")
+    )
+    writer = (
+        one.coalesce(1) if single_file and max_records_per_file is None else one
+    ).write.mode("overwrite")
+    codec = _text_codec(out_path)
+    if codec:
+        writer = writer.option("compression", codec)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    tmp = _tmp_out_dir(out_path)
+    writer.text(tmp)
+    ext = ".txt" + {"gzip": ".gz", "bzip2": ".bz2"}.get(codec, "")
+    if single_file and max_records_per_file is None:
+        return _finalize_single_file(tmp, out_path, ext)
+    return _finalize_rolling(tmp, out_path, ext)
+
+
 def write_jsonl(
     df: DataFrame,
     out_path: str,

@@ -38,6 +38,11 @@ class InputFormat(enum.Enum):
     # Extension: ORC — the other columnar lake format Spark reads and
     # writes natively; schema comes from file metadata like Parquet.
     ORC = "orc"
+    # Extension: raw line-per-record text (.txt) — training corpora
+    # frequently arrive as plain text dumps. Fixed one-column schema
+    # (value: Utf8), so it concats with anything under the widening
+    # lattice like any other single-Utf8-column source.
+    TXT = "txt"
 
 
 @dataclass(frozen=True)
@@ -62,6 +67,8 @@ _EXT_FORMAT = {
     ".jsonl": InputFormat.JSONL,
     ".ndjson": InputFormat.JSONL,
     ".orc": InputFormat.ORC,
+    ".txt": InputFormat.TXT,
+    ".text": InputFormat.TXT,
 }
 
 
@@ -69,7 +76,9 @@ _EXT_FORMAT = {
 #: these by extension; parquet/ORC compress internally, so a
 #: ``.parquet.gz`` stays unrecognized on purpose)
 _CODEC_EXTS = (".gz", ".bz2")
-_TEXT_FORMATS = frozenset({InputFormat.CSV, InputFormat.JSONL})
+_TEXT_FORMATS = frozenset(
+    {InputFormat.CSV, InputFormat.JSONL, InputFormat.TXT}
+)
 
 
 def detect_format(path: str) -> InputFormat | None:

@@ -399,6 +399,24 @@ def read_orc(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     return spark.read.orc(paths)
 
 
+#: fixed schema of a raw-text scan — one Utf8 line per record
+TXT_SCHEMA = T.StructType([T.StructField("value", T.StringType(), True)])
+
+
+def read_text(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Raw line-per-record text scan (extension): training corpora
+    frequently arrive as plain ``.txt`` dumps. Fixed single-column
+    schema (``value: string``) — no inference needed, and the column
+    unifies with anything under the widening lattice. ``.gz``/``.bz2``
+    paths decompress transparently (Spark's text source, by extension).
+    UTF-8 only: the JVM text source has no encoding option; re-encode
+    exotic corpora upstream or ingest them as single-column CSV with
+    ``--encoding``."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.text(paths)
+
+
 # ---------------------------------------------------------------------------
 # JSONL (extension beyond the reference — training corpora are JSONL)
 # ---------------------------------------------------------------------------

@@ -148,6 +148,8 @@ class StreamEngine:
                 reader = self.spark.readStream.schema(schema).format("orc")
             elif fmt is InputFormat.JSONL:
                 reader = self.spark.readStream.schema(schema).format("json")
+            elif fmt is InputFormat.TXT:
+                reader = self.spark.readStream.schema(schema).format("text")
             else:
                 reader = (
                     self.spark.readStream.schema(schema)
@@ -205,6 +207,8 @@ class StreamEngine:
                 return self.spark.read.orc(out_dir).count()
             if fmt == "jsonl":
                 return self.spark.read.json(out_dir).count()
+            if fmt == "text":
+                return self.spark.read.text(out_dir).count()
             return (
                 self.spark.read.option("header", str(spec.headers).lower())
                 .option("sep", spec.delimiter)
@@ -239,9 +243,24 @@ class StreamEngine:
         # Engine out-formats don't map 1:1 onto Spark sink names
         # (jsonl -> json); dispatch explicitly, same as the batch sinks.
         sink_format = {"parquet": "parquet", "csv": "csv",
-                       "jsonl": "json", "orc": "orc"}.get(fmt)
+                       "jsonl": "json", "orc": "orc", "text": "text"}.get(fmt)
         if sink_format is None:
             raise ValueError(f"unsupported streaming out format: {fmt}")
+        if fmt == "text":
+            # Spark's text sink takes exactly one string column — same
+            # loud contract as the batch write_text sink.
+            if len(df.columns) != 1:
+                raise ValueError(
+                    f"text output requires exactly one column, got "
+                    f"{df.columns}; project with --columns or write "
+                    "CSV/JSONL instead"
+                )
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                F.coalesce(df[df.columns[0]].cast("string"), F.lit(""))
+                .alias("value")
+            )
         writer = (
             df.writeStream.format(sink_format)
             .option("path", out_dir)

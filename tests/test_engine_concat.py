@@ -525,3 +525,82 @@ def test_gz_exact_inference_groups_by_header(tmp_path):
     ka = eng._csv_header_key(str(tmp_path / "a.csv"), spec)
     kb = eng._csv_header_key(str(tmp_path / "b.csv.gz"), spec)
     assert ka == kb == ("id", "v")
+
+
+def test_txt_inputs_concat_with_csv(spark, engine, tmp_path):
+    """Raw .txt inputs scan as (value: string) and unify with a CSV
+    carrying the same column; .txt.gz decompresses by extension."""
+    import gzip
+
+    (tmp_path / "a.txt").write_text("hello world\nsecond line\n")
+    with gzip.open(tmp_path / "b.txt.gz", "wt") as fh:
+        fh.write("zipped line\n")
+    (tmp_path / "c.csv").write_text("value,extra\ncsv line,1\n")
+
+    out = str(tmp_path / "out.parquet")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path)], out=out, out_format="parquet")
+    )
+    assert res.rows == 4
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["value"] for r in rows) == [
+        "csv line", "hello world", "second line", "zipped line",
+    ]
+    # the CSV-only column null-fills on the txt rows
+    assert sum(1 for r in rows if r["extra"] is None) == 3
+
+
+def test_txt_output_roundtrip_and_multicolumn_rejected(spark, engine, tmp_path):
+    """`-o out.txt` writes one line per record (single column required,
+    loud error otherwise); .txt.gz output compresses; --verify
+    reconciles via a text re-read."""
+    import gzip
+
+    import pytest as _pytest
+
+    (tmp_path / "in.txt").write_text("alpha\nbeta\ngamma\n")
+    out = str(tmp_path / "out.txt")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "in.txt")], out=out, verify=True)
+    )
+    assert res.rows == 3 and res.verified is True
+    assert open(out).read().splitlines() == ["alpha", "beta", "gamma"]
+
+    gz = str(tmp_path / "out2.txt.gz")
+    engine.run(RunSpec(inputs=[str(tmp_path / "in.txt")], out=gz))
+    with gzip.open(gz, "rt") as fh:
+        assert fh.read().splitlines() == ["alpha", "beta", "gamma"]
+
+    (tmp_path / "two.csv").write_text("a,b\n1,2\n")
+    with _pytest.raises(ValueError, match="exactly one column"):
+        engine.run(
+            RunSpec(inputs=[str(tmp_path / "two.csv")],
+                    out=str(tmp_path / "bad.txt"))
+        )
+
+
+def test_txt_streaming_roundtrip(spark, tmp_path):
+    """The streaming path reads .txt through a text file-stream and
+    writes a text sink with checkpointed exactly-once semantics."""
+    from streaming_parquet_spark.runspec import RunSpec
+    from streaming_parquet_spark.streaming.stream import StreamEngine
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("one\ntwo\n")
+    out = str(tmp_path / "out_dir")
+    ckpt = str(tmp_path / "ckpt")
+    eng = StreamEngine(spark)
+    res = eng.run(
+        RunSpec(inputs=[str(src)], out=out, out_format="text",
+                state=ckpt, verify=True)
+    )
+    assert res.rows == 2 and res.verified is True
+    got = sorted(r["value"] for r in spark.read.text(out).collect())
+    assert got == ["one", "two"]
+    # resume with no new files: nothing reprocessed
+    res2 = eng.run(
+        RunSpec(inputs=[str(src)], out=out, out_format="text",
+                state=ckpt, verify=True)
+    )
+    assert res2.rows == 0 and res2.verified is True
