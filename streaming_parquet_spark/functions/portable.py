@@ -55,7 +55,10 @@ def ordered_words_expr(dialect: str, text: str) -> str:
     Use for order-sensitive ops: shingling, rolling fingerprints."""
     if dialect == "spark":
         return f"split(trim({text}), ' +')"
-    return f"string_split_regex(trim({text}), ' +')"
+    # trim must name the character set: DuckDB's one-arg trim strips
+    # Unicode whitespace (U+00A0 etc.) while Spark's strips only ASCII
+    # space — a NBSP-padded document diverged (found by hypothesis).
+    return f"string_split_regex(trim({text}, ' '), ' +')"
 
 
 def n_words_expr(dialect: str, text: str) -> str:
@@ -73,7 +76,8 @@ def words_expr(dialect: str, text: str) -> str:
     structures (shingles, fingerprints) from this."""
     if dialect == "spark":
         return f"array_distinct(split(trim({text}), ' +'))"
-    return f"list_distinct(string_split_regex(trim({text}), ' +'))"
+    # two-arg trim: see ordered_words_expr (Spark/DuckDB trim parity)
+    return f"list_distinct(string_split_regex(trim({text}, ' '), ' +'))"
 
 
 def word_hashes_expr(dialect: str, words: str) -> str:

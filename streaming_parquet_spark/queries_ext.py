@@ -58,9 +58,9 @@ from streaming_parquet_spark.queries import _t, query
     """
     SELECT MIN(doc_id) AS rep_id,
            COUNT(*) AS n_copies,
-           MAX(LENGTH(LOWER(TRIM(text)))) AS key_len
+           MAX(LENGTH(LOWER(TRIM(text, ' ')))) AS key_len
     FROM documents
-    GROUP BY MD5(LOWER(TRIM(text)))
+    GROUP BY MD5(LOWER(TRIM(text, ' ')))
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +73,7 @@ def _duck_word_hashes(text: str = "text", distinct: bool = True) -> str:
     w = (
         words_expr("duckdb", text)
         if distinct
-        else f"string_split_regex(trim({text}), ' +')"
+        else f"string_split_regex(trim({text}, ' '), ' +')"
     )
     return word_hashes_expr("duckdb", w)
 
@@ -469,7 +469,7 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            {n_words_expr("duckdb", "text")} AS n_words,
-           LEN(list_distinct(string_split_regex(TRIM(text), ' +')))
+           LEN(list_distinct(string_split_regex(TRIM(text, ' '), ' +')))
              AS n_distinct_words,
            GREATEST({n_words_expr("duckdb", "text")},
                     CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS est_tokens
@@ -646,7 +646,7 @@ def _duck_clean_corpus() -> str:
     ),
     reps AS (
       SELECT MIN(doc_id) AS doc_id FROM documents
-      GROUP BY MD5(LOWER(TRIM(text)))
+      GROUP BY MD5(LOWER(TRIM(text, ' ')))
     )
     SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words, s.quality_score
     FROM scored s JOIN reps r ON s.doc_id = r.doc_id
@@ -1487,7 +1487,7 @@ def _duck_tfidf_topk(k: int) -> str:
     return f"""
     WITH w AS (
       SELECT doc_id AS id,
-             unnest(list_filter(string_split_regex(trim(text), ' +'),
+             unnest(list_filter(string_split_regex(trim(text, ' '), ' +'),
                                 w -> w <> '')) AS term
       FROM documents
     ),
@@ -2495,7 +2495,7 @@ def _duck_sparse_cosine(k: int, topk_terms: int) -> str:
     ),
     w0 AS (
       SELECT doc_id AS id,
-             unnest(list_filter(string_split_regex(trim(text), ' +'),
+             unnest(list_filter(string_split_regex(trim(text, ' '), ' +'),
                                 w -> w <> '')) AS term
       FROM corpus
     ),
@@ -2593,7 +2593,7 @@ def _duck_end_to_end() -> str:
     deduped AS (
       SELECT doc_id, lang, est_tokens FROM (
         SELECT doc_id, lang, est_tokens,
-               ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+               ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text, ' ')))
                  ORDER BY doc_id) AS rn
         FROM clean
       ) WHERE rn = 1
