@@ -351,7 +351,11 @@ def top_count_expr(dialect: str, arr: str) -> str:
 
 
 def word_len_sum_expr(dialect: str, words: str) -> str:
-    """Total character count over a word list (exact integer)."""
+    """Total character count over a word list (exact integer).
+    CHARACTERS on both sides: DuckDB ``strlen`` counts UTF-8 BYTES and
+    silently diverged from Spark's ``length`` on any multi-byte word
+    (found by the shingle-family property test) — ``length`` is the
+    character count in both engines."""
     if dialect == "spark":
         return (
             f"aggregate({words}, CAST(0 AS BIGINT),"
@@ -359,5 +363,5 @@ def word_len_sum_expr(dialect: str, words: str) -> str:
         )
     return (
         f"list_sum(list_prepend(CAST(0 AS BIGINT),"
-        f" list_transform({words}, w -> CAST(strlen(w) AS BIGINT))))"
+        f" list_transform({words}, w -> CAST(length(w) AS BIGINT))))"
     )

@@ -95,6 +95,98 @@ def test_hash_bucket_agrees(spark, ids, buckets, seed):
     assert all(0 <= b < buckets for b in s_rows)
 
 
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=6))
+def test_shingle_family_agrees(spark, texts):
+    """shingles -> rolling fingerprint, gopher bigram/top-count/len-sum
+    aggregates agree cross-engine on arbitrary text (the trim/NBSP
+    class of divergence would surface here too)."""
+    from streaming_parquet_spark.functions.portable import (
+        bigrams_all_expr,
+        ordered_words_expr,
+        rolling_hash_expr,
+        shingles_expr,
+        top_count_expr,
+        word_len_sum_expr,
+    )
+
+    sdf = spark.createDataFrame([(t,) for t in texts], "t string")
+    s_ow = ordered_words_expr("spark", "t")
+    s_sh = shingles_expr("spark", s_ow, 3)
+    s_hash = word_hashes_expr("spark", s_ow)
+    s_rows = sdf.select(
+        F.expr(f"size({s_sh})").alias("nsh"),
+        F.expr(rolling_hash_expr("spark", s_hash)).alias("fp"),
+        F.expr(
+            f"transform(array({s_ow}), ws -> named_struct("
+            f"'tb', {top_count_expr('spark', 'ws')},"
+            f"'wl', {word_len_sum_expr('spark', 'ws')},"
+            f"'nb', size({bigrams_all_expr('spark', 'ws')})))[0]"
+        ).alias("g"),
+    ).collect()
+
+    d_ow = ordered_words_expr("duckdb", "t")
+    d_sh = shingles_expr("duckdb", d_ow, 3)
+    d_hash = word_hashes_expr("duckdb", d_ow)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt (t VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?)", [(t,) for t in texts])
+    d_rows = con.execute(
+        f"SELECT len({d_sh}) AS nsh,"
+        f" {rolling_hash_expr('duckdb', d_hash)} AS fp,"
+        f" (SELECT ({top_count_expr('duckdb', 'ws')},"
+        f"          {word_len_sum_expr('duckdb', 'ws')},"
+        f"          len({bigrams_all_expr('duckdb', 'ws')}))"
+        f"  FROM (SELECT {d_ow} AS ws)) AS g"
+        " FROM tt"
+    ).fetchall()
+
+    for s, d in zip(s_rows, d_rows):
+        assert s["nsh"] == d[0], "shingle count"
+        assert s["fp"] == d[1], "rolling fingerprint"
+        g = d[2]
+        got = (g["v1"], g["v2"], g["v3"]) if isinstance(g, dict) else tuple(g)
+        assert (s["g"]["tb"], s["g"]["wl"], s["g"]["nb"]) == got, "gopher aggs"
+
+
+def test_unicode_gauntlet_word_pipeline(spark):
+    """Deterministic regression corpus for cross-engine tokenization:
+    NBSP padding (the hypothesis-found trim divergence), tabs/newlines
+    (words split on SPACE runs only), CJK (no spaces), emoji, combining
+    accents, zero-width space, and empty-ish strings. Word arrays must
+    agree exactly — every downstream hash inherits them."""
+    corpus = [
+        "\xa0", "\xa0padded\xa0", "a\xa0b",      # non-breaking space
+        "tab\tsep", "line\nbreak",               # non-space whitespace
+        "日本語のテキスト", "汉字 空格 混合",        # CJK
+        "emoji 🙂 mid", "é combining",     # emoji, combining acute
+        "zero​width", "", " ", "   ",       # ZWSP, empties
+        "mixed  double  runs", " lead trail ",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in corpus], "t string")
+    s = [
+        (r["w"], r["n"])
+        for r in sdf.select(
+            F.expr(words_expr("spark", "t")).alias("w"),
+            F.expr(n_words_expr("spark", "t")).alias("n"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tg (t VARCHAR)")
+    con.executemany("INSERT INTO tg VALUES (?)", [(t,) for t in corpus])
+    d = con.execute(
+        f"SELECT {words_expr('duckdb', 't')},"
+        f" {n_words_expr('duckdb', 't')} FROM tg"
+    ).fetchall()
+    for text, (sw, sn), (dw, dn) in zip(corpus, s, d):
+        # words_expr is documented SET semantics (DuckDB list_distinct
+        # does not preserve order) — compare as sets
+        assert sorted(sw) == sorted(dw), (
+            f"words diverge on {text!r}: {sw} vs {dw}"
+        )
+        assert sn == dn, f"n_words diverges on {text!r}"
+
+
 def test_hex_to_i32_range_and_agreement(spark):
     """md5-derived 32-bit hashes agree and cover [0, 2^32)."""
     vals = [f"v{i}" for i in range(200)] + ["", " ", "ü", "日本語"]
