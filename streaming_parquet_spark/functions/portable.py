@@ -61,6 +61,22 @@ def ordered_words_expr(dialect: str, text: str) -> str:
     return f"string_split_regex(trim({text}, ' '), ' +')"
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower_expr(dialect: str, text: str) -> str:
+    """ASCII-only case fold via translate — IDENTICAL in both engines.
+    Full lower() is NOT portable: Java's toLowerCase (Spark) is
+    context-sensitive (U+0130 'İ' -> 'i'+combining dot, Greek final
+    sigma at word end), DuckDB's is not — so any lower()-keyed hash
+    diverges on such text. Exact-dedup keys fold ASCII only; non-ASCII
+    case variants count as distinct (the deterministic choice — full
+    Unicode case folding is engine-specific by nature)."""
+    del dialect  # same function/semantics in spark and duckdb
+    return f"translate({text}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
 def n_words_expr(dialect: str, text: str) -> str:
     """Whitespace-token count: split on any whitespace run (spaces,
     tabs, newlines) and drop empty tokens, so empty / whitespace-only

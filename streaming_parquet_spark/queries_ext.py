@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, DataFrame, functions as F
 
 from streaming_parquet_spark.functions.portable import (
+    ascii_lower_expr,
     band_hash_expr,
     n_words_expr,
     ordered_words_expr,
@@ -58,9 +59,9 @@ from streaming_parquet_spark.queries import _t, query
     """
     SELECT MIN(doc_id) AS rep_id,
            COUNT(*) AS n_copies,
-           MAX(LENGTH(LOWER(TRIM(text, ' ')))) AS key_len
+           MAX(LENGTH(translate(TRIM(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))) AS key_len
     FROM documents
-    GROUP BY MD5(LOWER(TRIM(text, ' ')))
+    GROUP BY MD5(translate(TRIM(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,7 +647,7 @@ def _duck_clean_corpus() -> str:
     ),
     reps AS (
       SELECT MIN(doc_id) AS doc_id FROM documents
-      GROUP BY MD5(LOWER(TRIM(text, ' ')))
+      GROUP BY MD5(translate(TRIM(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
     )
     SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words, s.quality_score
     FROM scored s JOIN reps r ON s.doc_id = r.doc_id
@@ -2593,7 +2594,7 @@ def _duck_end_to_end() -> str:
     deduped AS (
       SELECT doc_id, lang, est_tokens FROM (
         SELECT doc_id, lang, est_tokens,
-               ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text, ' ')))
+               ROW_NUMBER() OVER (PARTITION BY MD5(translate(TRIM(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
                  ORDER BY doc_id) AS rn
         FROM clean
       ) WHERE rn = 1
@@ -2653,7 +2654,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__rn",
             F.row_number().over(
                 W2.partitionBy(
-                    F.md5(F.lower(F.trim(F.col("text"))))
+                    F.md5(F.expr(ascii_lower_expr("spark", "trim(text)")))
                 ).orderBy("doc_id")
             ),
         )

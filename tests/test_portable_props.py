@@ -187,6 +187,40 @@ def test_unicode_gauntlet_word_pipeline(spark):
         assert sn == dn, f"n_words diverges on {text!r}"
 
 
+def test_ascii_case_fold_is_portable(spark):
+    """ascii_lower_expr agrees cross-engine exactly where raw lower()
+    does NOT: Java's toLowerCase is context-sensitive (U+0130 Turkish
+    dotted I expands to two chars, Greek capital sigma lowers to final
+    sigma at word end) while DuckDB's is not — the divergence that
+    motivated the ASCII-only dedup-key fold."""
+    from streaming_parquet_spark.functions.portable import ascii_lower_expr
+
+    corpus = ["İstanbul", "ΣΙΓΜΑΣ", "MiXeD Case", "ÀÉÎ ok", "日本ABC", ""]
+    sdf = spark.createDataFrame([(t,) for t in corpus], "t string")
+    s = [
+        r[0]
+        for r in sdf.select(F.expr(ascii_lower_expr("spark", "t"))).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tf (t VARCHAR)")
+    con.executemany("INSERT INTO tf VALUES (?)", [(t,) for t in corpus])
+    d = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {ascii_lower_expr('duckdb', 't')} FROM tf"
+        ).fetchall()
+    ]
+    assert s == d
+    assert s[2] == "mixed case"
+    # raw lower() genuinely diverges on this corpus (sanity: the fold
+    # exists for a reason)
+    s_low = [r[0] for r in sdf.select(F.lower("t")).collect()]
+    d_low = [
+        con.execute("SELECT lower(?)", [t]).fetchone()[0] for t in corpus
+    ]
+    assert s_low != d_low
+
+
 def test_hex_to_i32_range_and_agreement(spark):
     """md5-derived 32-bit hashes agree and cover [0, 2^32)."""
     vals = [f"v{i}" for i in range(200)] + ["", " ", "ü", "日本語"]
