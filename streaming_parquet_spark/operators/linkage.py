@@ -31,6 +31,7 @@ def fuzzy_pairs(
     block_expr: str,
     max_dist: int = 1,
     max_block: int | None = None,
+    unit: str = "char",
 ) -> DataFrame:
     """Within-block record pairs with levenshtein(text_a, text_b) <=
     ``max_dist``. Output: id_a, id_b (id_a < id_b), text_a, text_b,
@@ -43,7 +44,17 @@ def fuzzy_pairs(
     boilerplate title) otherwise turns one task into |block|^2 work.
     Dropping trades recall inside oversized blocks for a bounded worst
     task, and the right response to a dropped block is a sharper
-    blocking key for it, not a bigger cap."""
+    blocking key for it, not a bigger cap.
+
+    ``unit`` picks the edit-distance alphabet. ``"char"`` (default) is
+    Spark's native character-level distance — the linguistically right
+    metric, but ENGINE-LOCAL: DuckDB's levenshtein counts UTF-8 bytes,
+    so char distances cannot be verified bit-for-bit there ('café' vs
+    'cafe' is 1 char edit, 2 byte edits). ``"byte"`` computes distance
+    over the UTF-8 byte string on both engines (each byte re-read as
+    one latin-1 character, so the JVM's char-level routine walks bytes)
+    — slightly heavier weights for multi-byte scripts, in exchange for
+    a cross-engine-exact metric; the oracle gate runs this mode."""
     side = df.select(
         F.col(id_col), F.col(text_col), F.expr(block_expr).alias("__blk")
     )
@@ -65,12 +76,21 @@ def fuzzy_pairs(
         F.col(text_col).alias("text_b"),
         "__blk",
     )
+    if unit == "byte":
+        def lev(x: str, y: str):
+            return F.expr(
+                f"levenshtein(decode(encode({x}, 'UTF-8'), 'ISO-8859-1'),"
+                f" decode(encode({y}, 'UTF-8'), 'ISO-8859-1'))"
+            )
+    elif unit == "char":
+        def lev(x: str, y: str):
+            return F.levenshtein(F.col(x), F.col(y))
+    else:
+        raise ValueError(f"unit must be 'char' or 'byte', got {unit!r}")
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "dist", F.levenshtein(F.col("text_a"), F.col("text_b"))
-        )
+        .withColumn("dist", lev("text_a", "text_b"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "text_a", "text_b", "dist")
     )

@@ -3480,6 +3480,10 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
       FROM customer
     )
+    -- DuckDB levenshtein counts UTF-8 BYTES; the Spark side therefore
+    -- runs unit='byte' (each byte re-read as one latin-1 char), making
+    -- the metric identical by construction on ANY text, not just the
+    -- ASCII fixture
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            a.c_name AS text_a, b.c_name AS text_b,
            CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
@@ -3491,7 +3495,9 @@ def rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join (record linkage): customer-name pairs
     within edit distance 1, candidates bounded by a 16-char-prefix
     blocking equi-join — never all-pairs; Levenshtein runs only inside
-    blocks as a JVM built-in. See operators.linkage.fuzzy_pairs."""
+    blocks as a JVM built-in. Byte-unit distance (portable metric —
+    DuckDB's levenshtein is byte-based; char mode is the engine-local
+    default). See operators.linkage.fuzzy_pairs."""
     from streaming_parquet_spark.operators.linkage import fuzzy_pairs
 
     return fuzzy_pairs(
@@ -3500,6 +3506,7 @@ def rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="c_name",
         block_expr="substr(c_name, 1, 16)",
         max_dist=1,
+        unit="byte",
     ).withColumn("dist", F.col("dist").cast("int"))
 
 

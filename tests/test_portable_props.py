@@ -221,6 +221,38 @@ def test_ascii_case_fold_is_portable(spark):
     assert s_low != d_low
 
 
+def test_byte_levenshtein_is_portable(spark):
+    """The byte-unit edit distance (fuzzy_pairs unit='byte': UTF-8
+    bytes re-read as latin-1 chars) equals DuckDB's byte-based
+    levenshtein on unicode text where Spark's char-based builtin does
+    not ('café'/'cafe' = 1 char edit but 2 byte edits)."""
+    pairs = [
+        ("café", "cafe"), ("日本", "日木"), ("naïve", "naive"),
+        ("🙂a", "a"), ("abc", "abd"), ("", "ü"), ("same", "same"),
+    ]
+    sdf = spark.createDataFrame(pairs, "a string, b string")
+    byte_lev = (
+        "levenshtein(decode(encode(a, 'UTF-8'), 'ISO-8859-1'),"
+        " decode(encode(b, 'UTF-8'), 'ISO-8859-1'))"
+    )
+    s = [
+        (r["c"], r["byt"])
+        for r in sdf.select(
+            F.levenshtein("a", "b").alias("c"),
+            F.expr(byte_lev).alias("byt"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    d = [
+        con.execute("SELECT levenshtein(?, ?)", list(p)).fetchone()[0]
+        for p in pairs
+    ]
+    assert [x[1] for x in s] == d, "byte mode must match DuckDB exactly"
+    # and char mode genuinely differs on the non-ASCII pairs (the
+    # reason byte mode exists)
+    assert [x[0] for x in s] != d
+
+
 def test_hex_to_i32_range_and_agreement(spark):
     """md5-derived 32-bit hashes agree and cover [0, 2^32)."""
     vals = [f"v{i}" for i in range(200)] + ["", " ", "ü", "日本語"]
