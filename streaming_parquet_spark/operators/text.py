@@ -91,13 +91,34 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred).drop("__w")
 
 
-# Deliberately simple, oracle-portable masking patterns (both engines
-# use RE2-ish syntax for these constructs).
+# Deliberately simple, oracle-portable masking patterns. NO \b: word
+# boundaries are NOT portable — Java's \b treats unicode letters as
+# word chars while RE2's is ASCII-only, so 'ü555-123-4567' matched in
+# DuckDB but not Spark (found by adversarial corpus). The phone
+# boundary is therefore an EXPLICIT ASCII word-char guard — a captured
+# (^|[^word]) prefix and ($|[^word]) suffix, re-emitted via group
+# references — which both engines evaluate identically on any text.
+# (RE2 has no lookarounds, so the guards consume one char: a second
+# phone starting immediately after a masked one's single separator is
+# missed — the standard consume-guard tradeoff, documented here.)
+# Replacement group syntax differs per dialect ($1 vs \1); entries are
+# (pattern, replacement-with-{g}-placeholders) rendered per engine.
+_W = "0-9a-zA-Z_"
 PII_PATTERNS = (
     (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     (r"https?://[^\s]+", "<URL>"),
-    (r"\b\d{3}[- .]\d{3,4}[- .]\d{4}\b", "<PHONE>"),
+    (
+        rf"(^|[^{_W}])(\d{{3}}[- .]\d{{3,4}}[- .]\d{{4}})($|[^{_W}])",
+        "{g1}<PHONE>{g3}",
+    ),
 )
+
+
+def render_pii_replacement(template: str, dialect: str) -> str:
+    """Render a PII replacement template's group refs for an engine
+    (Spark/Java: ``$1``; DuckDB/RE2: ``\\1``)."""
+    mark = "$" if dialect == "spark" else "\\"
+    return template.replace("{g1}", f"{mark}1").replace("{g3}", f"{mark}3")
 
 
 def with_pii_scrubbed(
@@ -108,7 +129,7 @@ def with_pii_scrubbed(
     inside whole-stage codegen next to the scan; no Python."""
     expr = F.col(text_col)
     for pat, repl in PII_PATTERNS:
-        expr = F.regexp_replace(expr, pat, repl)
+        expr = F.regexp_replace(expr, pat, render_pii_replacement(repl, "spark"))
     return df.withColumn(out_col, expr)
 
 

@@ -680,16 +680,20 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_pii() -> str:
-    from streaming_parquet_spark.operators.text import PII_PATTERNS
+    from streaming_parquet_spark.operators.text import (
+        PII_PATTERNS,
+        render_pii_replacement,
+    )
 
     expr = "text"
     for pat, repl in PII_PATTERNS:
         # DuckDB single-quoted strings are literal — backslashes pass through
         # to the RE2 engine as-is; only single quotes need escaping. (Doubling
-        # backslashes would turn '\b' into the two-char sequence \\b, which
-        # never matches — making the oracle a silent no-op.)
+        # backslashes would corrupt character classes like \d into the
+        # two-char sequence \\d — making the oracle a silent no-op.)
         pat_sql = pat.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+        repl_sql = render_pii_replacement(repl, "duckdb").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl_sql}', 'g')"
     return f"SELECT doc_id, {expr} AS text_clean FROM documents"
 
 

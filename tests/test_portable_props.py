@@ -221,6 +221,48 @@ def test_ascii_case_fold_is_portable(spark):
     assert s_low != d_low
 
 
+def test_pii_scrub_is_portable_on_unicode_borders(spark):
+    """The PII chain agrees cross-engine on adversarial text. \\b was
+    NOT portable (Java treats unicode letters as word chars, RE2 is
+    ASCII-only — 'ü555-123-4567' masked in DuckDB, not Spark); the
+    phone boundary is now an explicit captured ASCII-word-char guard,
+    identical in both engines by construction."""
+    from streaming_parquet_spark.operators.text import (
+        PII_PATTERNS,
+        render_pii_replacement,
+    )
+
+    corpus = [
+        "ü555-123-4567ü", "邮件555 123 4567邮件", "x555-123-4567",
+        "call 555-123-4567 now", "5555-555-5555", "123-4567-8901",
+        "555-123-4567", "phone\xa0555-123-4567\xa0x",
+        "a 111-222-3333,444-555-6666 b",  # adjacent: consume-guard miss,
+                                          # identical on both engines
+        "(555.123.4567)", "_555-123-4567_",
+        "mail ü@x.com katü@foo.de", "nested http://u:p@h/q?a=1#f end",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in corpus], "t string")
+    expr = F.col("t")
+    for pat, repl in PII_PATTERNS:
+        expr = F.regexp_replace(
+            expr, pat, render_pii_replacement(repl, "spark")
+        )
+    s = [r[0] for r in sdf.select(expr).collect()]
+    con = duckdb.connect()
+    d = []
+    for t in corpus:
+        v = t
+        for pat, repl in PII_PATTERNS:
+            v = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')",
+                [v, pat, render_pii_replacement(repl, "duckdb")],
+            ).fetchone()[0]
+        d.append(v)
+    assert s == d
+    assert s[0] == "ü<PHONE>ü" and s[3] == "call <PHONE> now"
+    assert s[2] == "x555-123-4567"  # letter-adjacent digits not a phone
+
+
 def test_byte_levenshtein_is_portable(spark):
     """The byte-unit edit distance (fuzzy_pairs unit='byte': UTF-8
     bytes re-read as latin-1 chars) equals DuckDB's byte-based
