@@ -61,6 +61,46 @@ def ordered_words_expr(dialect: str, text: str) -> str:
     return f"string_split_regex(trim({text}, ' '), ' +')"
 
 
+def round_to_expr(dialect: str, x: str, k: int) -> str:
+    """Portable fixed-place rounding of a DOUBLE:
+    ``floor(x * 10^k + 0.5) / 10^k`` — every step a correctly-rounded
+    IEEE op on the binary value, so both engines produce the identical
+    double.
+
+    Native ROUND is NOT portable on doubles: Spark rounds the SHORTEST
+    DECIMAL rendering (Java BigDecimal.valueOf) while DuckDB rounds the
+    binary value, so ROUND(1.005, 2) = 1.01 in Spark but 1.0 in DuckDB
+    (the stored double is 1.00499999999999989...). Any ratio of small
+    integers can land on such a value (3/2000 = 0.0015 prints as a
+    half at 3 places but sits below it in binary) — a silent oracle
+    hash mismatch waiting on the right denominator.
+
+    Convention: half cases round toward +infinity (floor(+0.5)), which
+    also differs from both engines' away-from-zero on exact negative
+    halves — consistency across engines is the contract, not agreement
+    with either native ROUND. Operand magnitude must keep x*10^k
+    within 2^52 (integer-exact doubles) — true for every rounded
+    metric in this repo. NaN/NULL propagate; do not feed infinities
+    (Spark's floor->bigint would overflow under ANSI mode)."""
+    del dialect  # identical expression text in spark and duckdb
+    # e-notation literals: both engines type 1e4 as DOUBLE, while a
+    # plain 10000.0 parses as DECIMAL (and silently switches the whole
+    # expression to decimal arithmetic with a different result type)
+    return f"(floor(({x}) * 1e{k} + 5e-1) / 1e{k})"
+
+
+def round_to_col(col, k: int):
+    """Column-level round_to_expr for Spark call sites (same
+    floor-based portable formula; see round_to_expr for why native
+    ROUND cannot be used on doubles destined for the oracle gate)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    scale = float(10 ** k)
+    return F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
+
+
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 

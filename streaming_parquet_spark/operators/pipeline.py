@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from streaming_parquet_spark.functions.portable import round_to_col
+
 from streaming_parquet_spark.functions.portable import hash_bucket_expr
 
 
@@ -255,7 +257,7 @@ def domain_mix_weights(
         group_col,
         "n_docs",
         "n_tokens",
-        F.round(raw, 4).alias("weight"),
+        round_to_col(raw, 4).alias("weight"),
     )
 
 
@@ -319,7 +321,7 @@ def rank_filter(
     pr = F.percent_rank().over(
         W.partitionBy(group_col).orderBy(F.col(score_col).asc())
     )
-    return df.withColumn(out_col, F.round(pr, 4)).filter(
+    return df.withColumn(out_col, round_to_col(pr, 4)).filter(
         F.col(out_col) >= min_pct
     )
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from streaming_parquet_spark.functions.portable import round_to_col
+
 from streaming_parquet_spark.functions.portable import MERSENNE31, dot_expr
 
 
@@ -118,7 +120,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("sim_raw", 4).alias("sim"),
+            round_to_col("sim_raw", 4).alias("sim"),
             "rank",
         )
     )
@@ -169,11 +171,11 @@ def similarity_pairs(
         cond = F.col("a.id") < F.col("b.id")
         if block_col:
             cond = cond & (F.col("a.blk") == F.col("b.blk"))
-        cond = cond & (F.round(sim_raw, 4) >= threshold)
+        cond = cond & (round_to_col(sim_raw, 4) >= threshold)
         return a.join(b, cond).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(sim_raw, 4).alias("sim"),
+            round_to_col(sim_raw, 4).alias("sim"),
         )
     base = _materialize(df.select(*cols))
     a, b = base.alias("a"), base.alias("b")
@@ -186,7 +188,7 @@ def similarity_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(sim, 4).alias("sim"),
+            round_to_col(sim, 4).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -321,7 +323,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round("sim_raw", 4).alias("sim"),
+            round_to_col("sim_raw", 4).alias("sim"),
             "rank",
         )
     )
@@ -357,7 +359,7 @@ def ann_topk_lsh(
         joined.withColumn("sim_raw", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", round_to_col("sim_raw", 4).alias("sim"), "rank")
     )
 
 
@@ -396,7 +398,7 @@ def semantic_dedup_drops(
 
 def sq8_quantize_exprs(vec_col: str, dims: int, dialect: str = "spark") -> tuple[str, str]:
     """Symmetric int8 scalar quantization: per-vector scale =
-    max(|v_i|)/127, q_i = round(v_i / scale). Returns (scale_expr,
+    max(|v_i|)/127, q_i = floor(v_i / scale + 0.5). Returns (scale_expr,
     quant_array_expr) in the given dialect — plain arithmetic, so the
     DuckDB oracle reproduces the quantization bit-for-bit (max is
     order-independent; each division/round is a single FP op).
@@ -412,8 +414,8 @@ def sq8_quantize_exprs(vec_col: str, dims: int, dialect: str = "spark") -> tuple
         scale = f"({mx} / 127.0)"
         quant = (
             "array(" + ", ".join(
-                f"CAST(round(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
-                f" / __sq8_scale) AS BIGINT)"
+                f"CAST(floor(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+                f" / __sq8_scale + 5e-1) AS BIGINT)"
                 for i in range(dims)
             ) + ")"
         )
@@ -424,8 +426,8 @@ def sq8_quantize_exprs(vec_col: str, dims: int, dialect: str = "spark") -> tuple
     scale = f"({mx} / 127.0)"
     quant = (
         "[" + ", ".join(
-            f"CAST(round(CAST({vec_col}[{i + 1}] AS DOUBLE)"
-            f" / __sq8_scale) AS BIGINT)"
+            f"CAST(floor(CAST({vec_col}[{i + 1}] AS DOUBLE)"
+            f" / __sq8_scale + 5e-1) AS BIGINT)"
             for i in range(dims)
         ) + "]"
     )
@@ -538,7 +540,7 @@ def ivf_sq8_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round("sim_raw", 4).alias("sim"),
+            round_to_col("sim_raw", 4).alias("sim"),
             "rank",
         )
     )
@@ -578,7 +580,7 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id",
-            F.round("sim_raw", 4).alias("sim"), "rank",
+            round_to_col("sim_raw", 4).alias("sim"), "rank",
         )
     )
 
@@ -625,7 +627,7 @@ def kmeans_step(
         term = (F.col(f"s{i}") / F.col("n") / scale) ** 2
         sq = term if sq is None else sq + term
     return agg.select(
-        "cluster", "n", F.round(F.sqrt(sq), 4).alias("centroid_norm")
+        "cluster", "n", round_to_col(F.sqrt(sq), 4).alias("centroid_norm")
     )
 
 
@@ -650,7 +652,7 @@ def random_projection(
     literal), so nothing broadcasts and the oracle replays the exact
     same doubles."""
     cols = [
-        F.round(
+        round_to_col(
             F.expr(lsh_plane_dot(vec_col, p, dims, "spark")), 4
         ).alias(f"p{p}")
         for p in range(out_dims)
@@ -805,7 +807,7 @@ def pq_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round("sim_raw", 4).alias("sim"),
+            round_to_col("sim_raw", 4).alias("sim"),
             "rank",
         )
     )
@@ -865,7 +867,7 @@ def power_iteration_step(
     return exploded.select(
         F.col("dim").cast("int").alias("dim"),
         "y_fixed",
-        F.round(F.col("y_fixed") / scale / norm, 4).alias("y_norm"),
+        round_to_col(F.col("y_fixed") / scale / norm, 4).alias("y_norm"),
     )
 
 
@@ -955,7 +957,7 @@ def ivf_pq_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round("sim_raw", 4).alias("sim"),
+            round_to_col("sim_raw", 4).alias("sim"),
             "rank",
         )
     )

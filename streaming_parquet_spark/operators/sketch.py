@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from streaming_parquet_spark.functions.portable import (
+    round_to_col,
     MERSENNE31,
     _coeff_a,
     _coeff_b,
@@ -92,7 +93,7 @@ def hll_estimate(
         )
         .select(
             *group_cols,
-            F.round(
+            round_to_col(
                 F.lit(numer)
                 / (
                     F.col("__s")
@@ -127,8 +128,8 @@ def hll_oracle_sql(
       FROM hashed GROUP BY 1, 2
     )
     SELECT g AS {group_col},
-           ROUND({numer} / (SUM((1::BIGINT << ({maxrho} - rho)))
-                 + ({m} - COUNT(*)) * (1::BIGINT << {maxrho})), 2)
+           floor(({numer} / (SUM((1::BIGINT << ({maxrho} - rho)))
+                 + ({m} - COUNT(*)) * (1::BIGINT << {maxrho}))) * 1e2 + 5e-1) / 1e2
              AS hll_est
     FROM regs GROUP BY 1
     """
@@ -321,7 +322,7 @@ def histogram_quantiles(
             & (F.col("__rank") <= F.col("__cum"))
         )
     )
-    est = F.round(
+    est = round_to_col(
         (
             F.col("__mn")
             + (
@@ -388,7 +389,7 @@ def histogram_quantiles_oracle_sql(
         AND (pct * n + 99) // 100 <= cm
     )
     SELECT g AS {group_col}, CAST(pct AS INTEGER) AS pct, n,
-           ROUND((mn + CAST((mx - mn + 1) * (bin * cnt + r - cmb)
-                 AS DOUBLE) / ({bins} * cnt)) / {scale}, 4) AS est
+           floor(((mn + CAST((mx - mn + 1) * (bin * cnt + r - cmb)
+                 AS DOUBLE) / ({bins} * cnt)) / {scale}) * 1e4 + 5e-1) / 1e4 AS est
     FROM picked
     """

@@ -8,6 +8,7 @@ at 100 TB these run inside whole-stage codegen alongside the scan.
 
 from __future__ import annotations
 
+from streaming_parquet_spark.functions.portable import round_to_col
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from streaming_parquet_spark.functions.portable import (
@@ -67,10 +68,10 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return (
         df.withColumn("n_words", n_words)
-        .withColumn("punct_ratio", F.round(punct_ratio, 4))
-        .withColumn("mean_word_len", F.round(mean_wlen, 4))
+        .withColumn("punct_ratio", round_to_col(punct_ratio, 4))
+        .withColumn("mean_word_len", round_to_col(mean_wlen, 4))
         .withColumn("stopword_hits", stop_hits)
-        .withColumn("quality_score", F.round(score, 2))
+        .withColumn("quality_score", round_to_col(score, 2))
     )
 
 
@@ -193,7 +194,7 @@ def tfidf_topk(
         )
         .withColumn(
             "score",
-            F.round(
+            round_to_col(
                 F.col("tf")
                 * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1),
                 4,
@@ -297,7 +298,7 @@ def chi2_terms(
             "term",
             F.col("a").alias("df_in"),
             F.col("b").alias("df_out"),
-            F.round(F.col("__key"), 4).alias("chi2"),
+            round_to_col(F.col("__key"), 4).alias("chi2"),
             "rank",
         )
     )
@@ -346,23 +347,23 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         out.withColumn(
             "top_word_frac",
-            F.when(nw > 0, F.round(F.col("__top_w") / nw, 4)).otherwise(0.0),
+            F.when(nw > 0, round_to_col(F.col("__top_w") / nw, 4)).otherwise(0.0),
         )
         .withColumn(
             "top_bigram_frac",
-            F.when(nb > 0, F.round(F.col("__top_b") / nb, 4)).otherwise(0.0),
+            F.when(nb > 0, round_to_col(F.col("__top_b") / nb, 4)).otherwise(0.0),
         )
         .withColumn(
             "frac_unique_words",
             F.when(
-                nw > 0, F.round(F.expr("size(array_distinct(__ws))") / nw, 4)
+                nw > 0, round_to_col(F.expr("size(array_distinct(__ws))") / nw, 4)
             ).otherwise(0.0),
         )
         .withColumn(
             "mean_word_len",
             F.when(
                 nw > 0,
-                F.round(F.expr(word_len_sum_expr("spark", "__ws")) / nw, 4),
+                round_to_col(F.expr(word_len_sum_expr("spark", "__ws")) / nw, 4),
             ).otherwise(0.0),
         )
         .drop("__ws", "__bg", "__top_w", "__top_b")
@@ -479,7 +480,7 @@ def bigram_lm_score(
         .select(
             "id",
             "n_bigrams",
-            F.round(F.col("__s") / F.col("n_bigrams") / 1e9, 6).alias(
+            round_to_col(F.col("__s") / F.col("n_bigrams") / 1e9, 6).alias(
                 "lm_score"
             ),
         )
@@ -556,5 +557,5 @@ def sparse_cosine_topk(
         .withColumn("cos_raw", cos)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("id", "nbr", F.round("cos_raw", 4).alias("cos"), "rank")
+        .select("id", "nbr", round_to_col("cos_raw", 4).alias("cos"), "rank")
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from streaming_parquet_spark.functions.portable import round_to_col
+
 #: granularity name -> (date_trunc unit, coarseness rank)
 _GRAIN_ORDER = {"minute": 0, "hour": 1, "day": 2, "week": 3, "month": 4}
 
@@ -125,7 +127,7 @@ def anomaly_zscore(
         j.withColumn("__z", z)
         .filter(F.sqrt(var) > 0)
         .filter(F.abs(F.col("__z")) >= threshold)
-        .withColumn("zscore", F.round(F.col("__z"), 4))
+        .withColumn("zscore", round_to_col(F.col("__z"), 4))
         .drop("__f", "__n", "__s1", "__s2", "__z")
     )
 
@@ -421,6 +423,6 @@ def ts_similarity_topk(
     return (
         topk.withColumn("rank", F.row_number().over(wrank).cast("int"))
         .select(
-            user_col, "win", F.round("dist_raw", 4).alias("dist"), "rank"
+            user_col, "win", round_to_col("dist_raw", 4).alias("dist"), "rank"
         )
     )

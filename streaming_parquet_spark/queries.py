@@ -27,6 +27,8 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from streaming_parquet_spark.functions.portable import round_to_col
 from pyspark.sql import types as T
 
 from streaming_parquet_spark.plans.align import concat_aligned
@@ -211,13 +213,13 @@ def engine_na_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           floor((SUM(l_quantity)) * 1e2 + 5e-1) / 1e2 AS sum_qty,
+           floor((SUM(l_extendedprice)) * 1e2 + 5e-1) / 1e2 AS sum_base_price,
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 5e-1) / 1e2 AS sum_disc_price,
+           floor((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e2 + 5e-1) / 1e2 AS sum_charge,
+           floor((AVG(l_quantity)) * 1e4 + 5e-1) / 1e4 AS avg_qty,
+           floor((AVG(l_extendedprice)) * 1e4 + 5e-1) / 1e4 AS avg_price,
+           floor((AVG(l_discount)) * 1e4 + 5e-1) / 1e4 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -232,12 +234,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            round_to_col(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_to_col(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_to_col(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(
+            round_to_col(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
@@ -245,9 +247,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_to_col(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_to_col(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_to_col(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -257,7 +259,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 5e-1) / 1e2 AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer, orders, lineitem
@@ -292,7 +294,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
+            round_to_col(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -311,7 +313,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 5e-1) / 1e2 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -352,7 +354,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            round_to_col(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -362,7 +364,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT floor((SUM(l_extendedprice * l_discount)) * 1e2 + 5e-1) / 1e2 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -382,7 +384,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            round_to_col(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -394,8 +396,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total,
-           ROUND(AVG(o_totalprice), 4) AS avg_price
+           floor((SUM(o_totalprice)) * 1e2 + 5e-1) / 1e2 AS total,
+           floor((AVG(o_totalprice)) * 1e4 + 5e-1) / 1e4 AS avg_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -411,8 +413,8 @@ def rel_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            round_to_col(F.sum("o_totalprice"), 2).alias("total"),
+            round_to_col(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
 
@@ -455,9 +457,9 @@ def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_orderkey) AS n_orders,
            COUNT(DISTINCT l_partkey) AS n_parts,
-           ROUND(MIN(l_quantity), 2) AS min_qty,
-           ROUND(MAX(l_quantity), 2) AS max_qty,
-           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty
+           floor((MIN(l_quantity)) * 1e2 + 5e-1) / 1e2 AS min_qty,
+           floor((MAX(l_quantity)) * 1e2 + 5e-1) / 1e2 AS max_qty,
+           floor((STDDEV_SAMP(l_quantity)) * 1e4 + 5e-1) / 1e4 AS std_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -470,9 +472,9 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("l_orderkey").alias("n_orders"),
             F.countDistinct("l_partkey").alias("n_parts"),
-            F.round(F.min("l_quantity"), 2).alias("min_qty"),
-            F.round(F.max("l_quantity"), 2).alias("max_qty"),
-            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            round_to_col(F.min("l_quantity"), 2).alias("min_qty"),
+            round_to_col(F.max("l_quantity"), 2).alias("max_qty"),
+            round_to_col(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
         )
     )
 
@@ -511,10 +513,10 @@ def rel_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_window_running",
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           ROUND(SUM(l_quantity) OVER (
+           floor((SUM(l_quantity) OVER (
              PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 5e-1) / 1e2 AS running_qty
     FROM lineitem
     """,
 )
@@ -530,7 +532,7 @@ def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+        round_to_col(F.sum("l_quantity").over(w), 2).alias("running_qty"),
     )
 
 
@@ -598,7 +600,7 @@ def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_rollup",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           floor((SUM(l_quantity)) * 1e2 + 5e-1) / 1e2 AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -610,7 +612,7 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_to_col(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -651,7 +653,7 @@ def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_cube",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           floor((SUM(l_extendedprice)) * 1e2 + 5e-1) / 1e2 AS sum_price,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -664,7 +666,7 @@ def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            round_to_col(F.sum("l_extendedprice"), 2).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -674,8 +676,8 @@ def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_pivot",
     """
     SELECT l_returnflag,
-           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
-           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+           floor((SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 1e2 + 5e-1) / 1e2 AS qty_open,
+           floor((SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 1e2 + 5e-1) / 1e2 AS qty_filled
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -686,7 +688,7 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(round_to_col(F.sum("l_quantity"), 2))
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
     )
 
@@ -705,7 +707,7 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           floor((SUM(value)) * 1e2 + 5e-1) / 1e2 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -719,7 +721,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            round_to_col(F.sum("value"), 2).alias("total_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -738,7 +740,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * INTERVAL 1 SECOND,
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           floor((SUM(value)) * 1e2 + 5e-1) / 1e2 AS total_value
     FROM events, UNNEST(range(0, 2)) AS t(k)
     GROUP BY 1
     """,
@@ -754,7 +756,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            round_to_col(F.sum("value"), 2).alias("total_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -771,7 +773,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+           floor((AVG(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))) * 1e4 + 5e-1) / 1e4 AS avg_k
     FROM events
     GROUP BY event_type
     """,
@@ -781,7 +783,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
+        round_to_col(
             F.avg(F.get_json_object("props", "$.k").cast("bigint")), 4
         ).alias("avg_k"),
     )

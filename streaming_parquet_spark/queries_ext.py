@@ -13,6 +13,7 @@ from pyspark.sql import SparkSession, DataFrame, functions as F
 
 from streaming_parquet_spark.functions.portable import (
     ascii_lower_expr,
+    round_to_col,
     band_hash_expr,
     n_words_expr,
     ordered_words_expr,
@@ -163,11 +164,11 @@ def _duck_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
       FROM bandst a JOIN bandst b
         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, ROUND({j}, 4) AS jaccard
+    SELECT id_a, id_b, floor(({j}) * 1e4 + 5e-1) / 1e4 AS jaccard
     FROM cand
     JOIN sets a ON a.doc_id = id_a
     JOIN sets b ON b.doc_id = id_b
-    WHERE ROUND({j}, 4) >= {threshold}
+    WHERE floor(({j}) * 1e4 + 5e-1) / 1e4 >= {threshold}
     """
 
 
@@ -192,7 +193,7 @@ def _duck_ngram_oracle(n: int, threshold: float) -> str:
     WITH d AS MATERIALIZED (
       SELECT doc_id, lang, source, list_distinct({sh}) AS sh FROM documents
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({j}, 4) AS jaccard
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, floor(({j}) * 1e4 + 5e-1) / 1e4 AS jaccard
     FROM d a JOIN d b
       ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
     -- length filter mirrors the Spark join condition exactly; it must
@@ -201,7 +202,7 @@ def _duck_ngram_oracle(n: int, threshold: float) -> str:
     -- failing the un-rounded prune
     WHERE least(len(a.sh), len(b.sh))
           >= {threshold} * greatest(len(a.sh), len(b.sh))
-      AND ROUND({j}, 4) >= {threshold}
+      AND floor(({j}) * 1e4 + 5e-1) / 1e4 >= {threshold}
     """
 
 
@@ -329,7 +330,7 @@ def _duck_cosine_topk_oracle(k: int = 10) -> str:
                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank
           FROM s)
-    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    SELECT query_id, neighbor_id, floor((sim_raw) * 1e4 + 5e-1) / 1e4 AS sim, rank
     FROM r WHERE rank <= {k}
     """
 
@@ -353,9 +354,9 @@ def _duck_near_pairs_oracle(threshold: float, planes: int, dims: int) -> str:
     WITH s AS MATERIALIZED (
       SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({d}, 4) AS sim
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor(({d}) * 1e4 + 5e-1) / 1e4 AS sim
     FROM s a JOIN s b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
-    WHERE ROUND({d}, 4) >= {threshold}
+    WHERE floor(({d}) * 1e4 + 5e-1) / 1e4 >= {threshold}
     """
 
 
@@ -392,7 +393,7 @@ def _duck_ann_oracle(k: int, planes: int, dims: int) -> str:
                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank
           FROM s)
-    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    SELECT query_id, neighbor_id, floor((sim_raw) * 1e4 + 5e-1) / 1e4 AS sim, rank
     FROM r WHERE rank <= {k}
     """
 
@@ -432,7 +433,7 @@ def _duck_ivf_oracle(k: int, n_centroids: int, n_probe: int) -> str:
       FROM probes p JOIN assigned a ON p.cluster = a.cluster
       WHERE a.id <> p.query_id
     )
-    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    SELECT query_id, neighbor_id, floor((sim_raw) * 1e4 + 5e-1) / 1e4 AS sim, rank
     FROM ranked WHERE rank <= {k}
     """
 
@@ -506,18 +507,18 @@ _DUCK_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            CASE WHEN n_chars > 0
-                THEN ROUND(CAST(punct AS DOUBLE) / n_chars, 4) END
+                THEN floor((CAST(punct AS DOUBLE) / n_chars) * 1e4 + 5e-1) / 1e4 END
              AS punct_ratio,
            CASE WHEN n_words > 0
-                THEN ROUND(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 4)
+                THEN floor((CAST(n_chars - n_words + 1 AS DOUBLE) / n_words) * 1e4 + 5e-1) / 1e4
                 END AS mean_word_len,
-           ROUND((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
+           floor(((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
            + (CASE WHEN n_words > 0
                    AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
                        BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
            + (CASE WHEN n_chars > 0
                    AND CAST(punct AS DOUBLE) / n_chars < 0.1
-                   THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+                   THEN 0.3 ELSE 0.0 END)) * 1e2 + 5e-1) / 1e2 AS quality_score
     FROM t
     """,
 )
@@ -576,8 +577,8 @@ def part_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, ts
     )
-    SELECT c.event_id, c.user_id, ROUND(p.value, 4) AS value_asof,
-           ROUND(p.hi_value, 4) AS hi_value_asof
+    SELECT c.event_id, c.user_id, floor((p.value) * 1e4 + 5e-1) / 1e4 AS value_asof,
+           floor((p.hi_value) * 1e4 + 5e-1) / 1e4 AS hi_value_asof
     FROM clicks c ASOF LEFT JOIN purch p
       ON c.user_id = p.user_id AND p.ts <= c.ts
     """,
@@ -612,8 +613,8 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id",
-        F.round("value_asof", 4).alias("value_asof"),
-        F.round("hi_value_asof", 4).alias("hi_value_asof"),
+        round_to_col("value_asof", 4).alias("value_asof"),
+        round_to_col("hi_value_asof", 4).alias("hi_value_asof"),
     )
 
 
@@ -635,13 +636,13 @@ def _duck_clean_corpus() -> str:
     ),
     scored AS (
       SELECT doc_id, text, n_words,
-             ROUND((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
+             floor(((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
              + (CASE WHEN n_words > 0
                      AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
                      BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
              + (CASE WHEN n_chars > 0
                      AND CAST(punct AS DOUBLE) / n_chars < 0.1
-                     THEN 0.3 ELSE 0.0 END), 2) AS quality_score,
+                     THEN 0.3 ELSE 0.0 END)) * 1e2 + 5e-1) / 1e2 AS quality_score,
              {best} AS stop_best
       FROM d
     ),
@@ -973,7 +974,7 @@ def _duck_semantic_dedup(threshold: float, n_centroids: int, dims: int) -> str:
     SELECT b.id AS dropped_id, MIN(a.id) AS rep_id
     FROM assigned a JOIN assigned b
       ON a.cluster = b.cluster AND a.id < b.id
-    WHERE ROUND({sim}, 4) >= {threshold}
+    WHERE floor(({sim}) * 1e4 + 5e-1) / 1e4 >= {threshold}
     GROUP BY b.id
     """
 
@@ -1004,7 +1005,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.event_id, c.user_id,
            CASE WHEN c.ts - p.ts <= INTERVAL 30 MINUTE
-                THEN ROUND(p.value, 4) END AS value_asof
+                THEN floor((p.value) * 1e4 + 5e-1) / 1e4 END AS value_asof
     FROM clicks c ASOF LEFT JOIN purch p
       ON c.user_id = p.user_id AND p.ts <= c.ts
     """,
@@ -1031,7 +1032,7 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["value"], tolerance="30 MINUTES",
     )
     return out.select(
-        "event_id", "user_id", F.round("value_asof", 4).alias("value_asof")
+        "event_id", "user_id", round_to_col("value_asof", 4).alias("value_asof")
     )
 
 
@@ -1046,7 +1047,7 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, ts
     )
-    SELECT c.event_id, c.user_id, ROUND(p.value, 4) AS value_next
+    SELECT c.event_id, c.user_id, floor((p.value) * 1e4 + 5e-1) / 1e4 AS value_next
     FROM clicks c ASOF LEFT JOIN purch p
       ON c.user_id = p.user_id AND p.ts >= c.ts
     """,
@@ -1073,7 +1074,7 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["value"], suffix="_next", direction="forward",
     )
     return out.select(
-        "event_id", "user_id", F.round("value_next", 4).alias("value_next")
+        "event_id", "user_id", round_to_col("value_next", 4).alias("value_next")
     )
 
 
@@ -1110,7 +1111,7 @@ def _duck_sq8_oracle(k: int, dims: int) -> str:
                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank
           FROM s)
-    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    SELECT query_id, neighbor_id, floor((sim_raw) * 1e4 + 5e-1) / 1e4 AS sim, rank
     FROM r WHERE rank <= {k}
     """
 
@@ -1179,7 +1180,7 @@ def _duck_ivf_sq8_oracle(k: int, n_centroids: int, n_probe: int,
                ORDER BY {sim} DESC, id) AS INTEGER) AS rank
       FROM short
     )
-    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    SELECT query_id, neighbor_id, floor((sim_raw) * 1e4 + 5e-1) / 1e4 AS sim, rank
     FROM ranked WHERE rank <= {k}
     """
 
@@ -1207,7 +1208,7 @@ def _duck_ann_recall_oracle() -> str:
     return f"""
     SELECT e.query_id,
            COUNT(a.neighbor_id) AS n_hits,
-           ROUND(COUNT(a.neighbor_id) / 10.0, 4) AS recall_at_10
+           floor((COUNT(a.neighbor_id) / 10.0) * 1e4 + 5e-1) / 1e4 AS recall_at_10
     FROM ({_duck_cosine_topk_oracle(10)}) e
     LEFT JOIN ({_duck_ivf_sq8_oracle(10, 8, 2, 4, 64)}) a
       ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
@@ -1243,7 +1244,7 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.count("hit").alias("n_hits"),
-            F.round(F.count("hit") / F.lit(10.0), 4).alias("recall_at_10"),
+            round_to_col(F.count("hit") / F.lit(10.0), 4).alias("recall_at_10"),
         )
     )
 
@@ -1290,17 +1291,17 @@ def _duck_gopher() -> str:
     )
     SELECT doc_id, n_words,
       CASE WHEN n_words > 0
-           THEN ROUND({top_w} / CAST(n_words AS DOUBLE), 4) ELSE 0.0
+           THEN floor(({top_w} / CAST(n_words AS DOUBLE)) * 1e4 + 5e-1) / 1e4 ELSE 0.0
       END AS top_word_frac,
       CASE WHEN len(bg) > 0
-           THEN ROUND({top_b} / CAST(len(bg) AS DOUBLE), 4) ELSE 0.0
+           THEN floor(({top_b} / CAST(len(bg) AS DOUBLE)) * 1e4 + 5e-1) / 1e4 ELSE 0.0
       END AS top_bigram_frac,
       CASE WHEN n_words > 0
-           THEN ROUND(len(list_distinct(ws)) / CAST(n_words AS DOUBLE), 4)
+           THEN floor((len(list_distinct(ws)) / CAST(n_words AS DOUBLE)) * 1e4 + 5e-1) / 1e4
            ELSE 0.0
       END AS frac_unique_words,
       CASE WHEN n_words > 0
-           THEN ROUND({wls} / CAST(n_words AS DOUBLE), 4) ELSE 0.0
+           THEN floor(({wls} / CAST(n_words AS DOUBLE)) * 1e4 + 5e-1) / 1e4 ELSE 0.0
       END AS mean_word_len
     FROM e
     """
@@ -1364,9 +1365,9 @@ def _duck_domain_mix() -> str:
       FROM t GROUP BY source
     )
     SELECT source, n_docs, n_tokens,
-      ROUND(LEAST(1.0,
+      floor((LEAST(1.0,
         (SUM(n_tokens) OVER () / CAST(COUNT(*) OVER () AS DOUBLE))
-          / n_tokens), 4) AS weight
+          / n_tokens)) * 1e4 + 5e-1) / 1e4 AS weight
     FROM g
     """
 
@@ -1502,7 +1503,7 @@ def _duck_tfidf_topk(k: int) -> str:
     s AS (
       SELECT tf.id, tf.term, tf.tf, dfr.df,
              tf.tf * (n.n + 1) / (dfr.df + 1) AS key,
-             ROUND(tf.tf * (LN((n.n + 1) / (dfr.df + 1)) + 1), 4) AS score
+             floor((tf.tf * (LN((n.n + 1) / (dfr.df + 1)) + 1)) * 1e4 + 5e-1) / 1e4 AS score
       FROM tf JOIN dfr ON tf.term = dfr.term, n
     ),
     r AS (SELECT id, term, tf, df, score,
@@ -1544,7 +1545,7 @@ def _duck_kmeans_step(n_centroids: int, dims: int, scale: int) -> str:
         FROM embeddings v, cents c
       ) WHERE rn = 1
     )
-    SELECT cluster, COUNT(*) AS n, ROUND(SQRT({sums}), 4) AS centroid_norm
+    SELECT cluster, COUNT(*) AS n, floor((SQRT({sums})) * 1e4 + 5e-1) / 1e4 AS centroid_norm
     FROM assigned GROUP BY cluster
     """
 
@@ -1769,7 +1770,7 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_random_projection(out_dims: int, dims: int) -> str:
     cols = ", ".join(
-        f"ROUND({lsh_plane_dot('embedding', p, dims, 'duckdb')}, 4) AS p{p}"
+        f"floor(({lsh_plane_dot('embedding', p, dims, 'duckdb')}) * 1e4 + 5e-1) / 1e4 AS p{p}"
         for p in range(out_dims)
     )
     return f"SELECT vec_id, {cols} FROM embeddings"
@@ -1888,8 +1889,8 @@ def events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (
       SELECT doc_id, source, n_chars,
-             ROUND(PERCENT_RANK() OVER (PARTITION BY source
-               ORDER BY n_chars ASC), 4) AS pct_rank
+             floor((PERCENT_RANK() OVER (PARTITION BY source
+               ORDER BY n_chars ASC)) * 1e4 + 5e-1) / 1e4 AS pct_rank
       FROM documents
     )
     SELECT doc_id, source, n_chars, pct_rank
@@ -1979,7 +1980,7 @@ def _duck_pq_oracle(k: int, rerank: int) -> str:
                ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank
       FROM rr
     )
-    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    SELECT query_id, neighbor_id, floor((sim_raw) * 1e4 + 5e-1) / 1e4 AS sim, rank
     FROM fin WHERE rank <= {k}
     """
 
@@ -2019,9 +2020,8 @@ def _duck_power_step(dims: int, scale: int) -> str:
       GROUP BY t.i
     )
     SELECT CAST(dim AS INTEGER) AS dim, y_fixed,
-           ROUND(y_fixed / {scale}.0
-                 / SQRT(SUM(POWER(y_fixed / {scale}.0, 2)) OVER ()),
-                 4) AS y_norm
+           floor((y_fixed / {scale}.0
+                 / SQRT(SUM(POWER(y_fixed / {scale}.0, 2)) OVER ())) * 1e4 + 5e-1) / 1e4 AS y_norm
     FROM c
     """
 
@@ -2054,8 +2054,8 @@ def _duck_epoch_upsample() -> str:
     ),
     w AS (
       SELECT lang,
-             ROUND((SUM(n_tokens) OVER ()
-                    / CAST(COUNT(*) OVER () AS DOUBLE)) / n_tokens, 4)
+             floor(((SUM(n_tokens) OVER ()
+                    / CAST(COUNT(*) OVER () AS DOUBLE)) / n_tokens) * 1e4 + 5e-1) / 1e4
                AS weight
       FROM g
     ),
@@ -2109,7 +2109,7 @@ def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM f GROUP BY event_type
     )
     SELECT f.event_id, f.event_type,
-           ROUND((f.v - s1 / n) / SQRT(s2 / n - (s1 / n) * (s1 / n)), 4)
+           floor(((f.v - s1 / n) / SQRT(s2 / n - (s1 / n) * (s1 / n))) * 1e4 + 5e-1) / 1e4
              AS zscore
     FROM f JOIN s ON f.event_type = s.event_type
     WHERE SQRT(s2 / n - (s1 / n) * (s1 / n)) > 0
@@ -2153,7 +2153,7 @@ def _duck_bigram_lm() -> str:
       JOIN uni ON string_split(b.bg, ' ')[1] = uni.w1, vocab
     )
     SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(SUM(p_fixed) AS BIGINT) / COUNT(*) / 1e9, 6)
+           floor((CAST(SUM(p_fixed) AS BIGINT) / COUNT(*) / 1e9) * 1e6 + 5e-1) / 1e6
              AS lm_score
     FROM scored GROUP BY id
     """
@@ -2214,7 +2214,7 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT id, CAST(unnest(range(0, 16)) AS INTEGER) AS dim,
-           ROUND(CAST(unnest(fs) AS DOUBLE), 4) AS fval
+           floor((CAST(unnest(fs) AS DOUBLE)) * 1e4 + 5e-1) / 1e4 AS fval
     FROM f
     """,
 )
@@ -2235,7 +2235,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "id",
         F.col("dim").cast("int").alias("dim"),
-        F.round(F.col("v").cast("double"), 4).alias("fval"),
+        round_to_col(F.col("v").cast("double"), 4).alias("fval"),
     )
 
 
@@ -2397,7 +2397,7 @@ def _duck_ivf_pq_oracle(k: int, n_centroids: int, n_probe: int,
       JOIN embeddings ce ON ce.vec_id = s.neighbor_id
       WHERE s.arank <= {rerank * k}
     )
-    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, rank
+    SELECT query_id, neighbor_id, floor((sim_raw) * 1e4 + 5e-1) / 1e4 AS sim, rank
     FROM ranked WHERE rank <= {k}
     """
 
@@ -2470,7 +2470,7 @@ def _duck_ts_sim(qu: int, qw: int, k: int, m: int) -> str:
                   AS INTEGER) AS rank
       FROM d
     )
-    SELECT user_id, win, ROUND(dist_raw, 4) AS dist, rank
+    SELECT user_id, win, floor((dist_raw) * 1e4 + 5e-1) / 1e4 AS dist, rank
     FROM r WHERE rank <= {k}
     """
 
@@ -2542,7 +2542,7 @@ def _duck_sparse_cosine(k: int, topk_terms: int) -> str:
                ORDER BY cos_raw DESC, nbr) AS INTEGER) AS rank
       FROM scored
     )
-    SELECT id, nbr, ROUND(cos_raw, 4) AS cos, rank
+    SELECT id, nbr, floor((cos_raw) * 1e4 + 5e-1) / 1e4 AS cos, rank
     FROM r WHERE rank <= {k}
     """
 
@@ -2585,13 +2585,13 @@ def _duck_end_to_end() -> str:
     ),
     scored AS (
       SELECT doc_id, text, lang, est_tokens,
-             ROUND((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
+             floor(((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
              + (CASE WHEN n_words > 0
                      AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
                          BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
              + (CASE WHEN n_chars > 0
                      AND CAST(punct AS DOUBLE) / n_chars < 0.1
-                     THEN 0.3 ELSE 0.0 END), 2) AS quality
+                     THEN 0.3 ELSE 0.0 END)) * 1e2 + 5e-1) / 1e2 AS quality
       FROM q
     ),
     clean AS (SELECT * FROM scored WHERE quality >= 0.7),
@@ -2689,8 +2689,8 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT a.id AS id_a, b.id AS id_b,
-           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(a.sh), 4) AS containment
+           floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(a.sh)) * 1e4 + 5e-1) / 1e4 AS containment
     FROM s a JOIN s b ON a.lang = b.lang AND a.id <> b.id
     -- size prune mirrors the Spark join condition exactly (containment
     -- >= t forces len(b) >= t*len(a)); it must appear on BOTH sides
@@ -2698,8 +2698,8 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- under t can round up to t while failing the un-rounded prune
     WHERE len(b.sh) >= 0.8 * len(a.sh)
       AND len(a.sh) > 0
-      AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / len(a.sh), 4) >= 0.8
+      AND floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(a.sh)) * 1e4 + 5e-1) / 1e4 >= 0.8
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3032,8 +3032,8 @@ def _duck_hll_oracle() -> str:
     ),
     est AS (
       SELECT source,
-             ROUND({numer} / (SUM((1::BIGINT << ({maxrho} - rho)))
-                   + ({m} - COUNT(*)) * (1::BIGINT << {maxrho})), 2)
+             floor(({numer} / (SUM((1::BIGINT << ({maxrho} - rho)))
+                   + ({m} - COUNT(*)) * (1::BIGINT << {maxrho}))) * 1e2 + 5e-1) / 1e2
                AS hll_est
       FROM regs GROUP BY 1
     ),
@@ -3172,7 +3172,7 @@ def _duck_chi2_oracle(k: int = 5, min_df: int = 5) -> str:
       FROM full_t
     )
     SELECT cls AS source, term, a AS df_in, b AS df_out,
-           ROUND(key, 4) AS chi2,
+           floor((key) * 1e4 + 5e-1) / 1e4 AS chi2,
            CAST(rank AS INTEGER) AS rank
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY cls
@@ -3206,7 +3206,7 @@ def _duck_hist_quantile_oracle() -> str:
     return histogram_quantiles_oracle_sql(
         "SELECT l_returnflag, l_extendedprice FROM lineitem",
         "l_returnflag",
-        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)",
+        "CAST(floor(l_extendedprice * 100 + 5e-1) AS BIGINT)",
         [25, 50, 75, 95],
         bins=64,
         scale=100,
@@ -3229,7 +3229,7 @@ def rel_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.expr(
-            "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            "CAST(floor(l_extendedprice * 100 + 5e-1) AS BIGINT)"
         ).alias("cents"),
     )
     return histogram_quantiles(
@@ -3283,8 +3283,8 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
     )
     SELECT from_type, to_type, n,
-           ROUND(CAST(n AS DOUBLE)
-                 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+           floor((CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type)) * 1e4 + 5e-1) / 1e4 AS p
     FROM counts
     """,
 )
@@ -3312,7 +3312,7 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = W2.partitionBy("from_type")
     return counts.select(
         "from_type", "to_type", "n",
-        F.round(
+        round_to_col(
             F.col("n").cast("double") / F.sum("n").over(norm), 4
         ).alias("p"),
     )
@@ -3356,8 +3356,8 @@ def _duck_profile_oracle() -> str:
     ),
     est AS (
       SELECT col_name,
-             ROUND({numer} / (SUM((1::BIGINT << ({maxrho} - rho)))
-                   + ({m} - COUNT(*)) * (1::BIGINT << {maxrho})), 2)
+             floor(({numer} / (SUM((1::BIGINT << ({maxrho} - rho)))
+                   + ({m} - COUNT(*)) * (1::BIGINT << {maxrho}))) * 1e2 + 5e-1) / 1e2
                AS distinct_est,
              CAST(COUNT(*) AS BIGINT) AS distinct_lo
       FROM regs GROUP BY 1
@@ -3666,7 +3666,7 @@ def _duck_pq_recall_oracle() -> str:
     return f"""
     SELECT e.query_id,
            COUNT(a.neighbor_id) AS n_hits,
-           ROUND(COUNT(a.neighbor_id) / 10.0, 4) AS recall_at_10
+           floor((COUNT(a.neighbor_id) / 10.0) * 1e4 + 5e-1) / 1e4 AS recall_at_10
     FROM ({_duck_cosine_topk_oracle(10)}) e
     LEFT JOIN ({_duck_ivf_pq_oracle(10, 8, 2, 4)}) a
       ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
@@ -3700,6 +3700,6 @@ def embed_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.count("hit").alias("n_hits"),
-            F.round(F.count("hit") / F.lit(10.0), 4).alias("recall_at_10"),
+            round_to_col(F.count("hit") / F.lit(10.0), 4).alias("recall_at_10"),
         )
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from streaming_parquet_spark.functions.portable import round_to_col
 from pyspark.sql import types as T
 
 from streaming_parquet_spark.queries import _t, query
@@ -67,7 +69,7 @@ def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, floor((SUM(volume)) * 1e2 + 5e-1) / 1e2 AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(year(l_shipdate) AS INTEGER) AS l_year,
                  l_extendedprice * (1 - l_discount) AS volume
@@ -116,7 +118,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(
+            round_to_col(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -127,8 +129,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 4) AS mkt_share
+           floor((SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume)) * 1e4 + 5e-1) / 1e4 AS mkt_share
     FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                  l_extendedprice * (1 - l_discount) AS volume,
                  n1.n_name AS nation
@@ -175,7 +177,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg(
-            F.round(
+            round_to_col(
                 F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
                 / F.sum(vol),
                 4,
@@ -188,7 +190,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT nation, o_year,
-           SUM(CAST(ROUND(volume * 100) AS BIGINT)) / 100.0 AS sum_profit
+           SUM(CAST(floor(volume * 100 + 5e-1) AS BIGINT)) / 100.0 AS sum_profit
     FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
                  l_extendedprice * (1 - l_discount) AS volume
           FROM part, supplier, lineitem, orders, nation
@@ -220,9 +222,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            F.round(
+            round_to_col(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
-            ).cast("long").alias("cents"),
+            , 0).cast("long").alias("cents"),
         )
         .groupBy("nation", "o_year")
         .agg((F.sum("cents") / 100.0).alias("sum_profit"))
@@ -233,8 +235,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           ROUND(c_acctbal, 2) AS acctbal, n_name
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 5e-1) / 1e2 AS revenue,
+           floor((c_acctbal) * 1e2 + 5e-1) / 1e2 AS acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -263,13 +265,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
+            round_to_col(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
         .select(
             "c_custkey", "c_name", "revenue",
-            F.round("c_acctbal", 2).alias("acctbal"), "n_name",
+            round_to_col("c_acctbal", 2).alias("acctbal"), "n_name",
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -348,10 +350,10 @@ def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    SELECT floor((100.0 * SUM(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
                                   ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+                 / SUM(l_extendedprice * (1 - l_discount))) * 1e4 + 5e-1) / 1e4 AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -371,7 +373,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            round_to_col(
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
                 / F.sum(vol),
@@ -385,7 +387,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     """
     WITH revenue AS (SELECT l_suppkey AS supplier_no,
-                            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                            floor((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 5e-1) / 1e2
                               AS total_revenue
                      FROM lineitem
                      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -409,7 +411,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
+        round_to_col(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("total_revenue")
     )
@@ -426,7 +428,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT floor((SUM(l_extendedprice) / 7.0) * 1e2 + 5e-1) / 1e2 AS avg_yearly
     FROM (SELECT l_extendedprice, l_quantity,
                  AVG(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
           FROM lineitem, part
@@ -449,7 +451,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(round_to_col(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -458,8 +460,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_name, c_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-           ROUND(o_totalprice, 2) AS totalprice,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
+           floor((o_totalprice) * 1e2 + 5e-1) / 1e2 AS totalprice,
+           floor((SUM(l_quantity)) * 1e2 + 5e-1) / 1e2 AS sum_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                          GROUP BY l_orderkey HAVING SUM(l_quantity) > 170)
@@ -488,11 +490,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(round_to_col(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_name", "c_custkey", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.round("o_totalprice", 2).alias("totalprice"), "sum_qty",
+            round_to_col("o_totalprice", 2).alias("totalprice"), "sum_qty",
         )
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
@@ -502,7 +504,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT floor((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 5e-1) / 1e2 AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND
       ((p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
@@ -534,7 +536,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             | arm("Brand#19", 20, 35, 20, 30)
         )
         .agg(
-            F.round(
+            round_to_col(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -545,7 +547,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers",
     """
     SELECT c_mktsegment, COUNT(*) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           floor((SUM(c_acctbal)) * 1e2 + 5e-1) / 1e2 AS totacctbal
     FROM customer
     WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT)
           * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
@@ -588,7 +590,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            round_to_col(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
@@ -597,10 +599,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_percentiles",
     """
     SELECT o_orderstatus,
-           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+           floor((quantile_cont(o_totalprice, 0.25)) * 1e4 + 5e-1) / 1e4 AS p25,
+           floor((quantile_cont(o_totalprice, 0.5)) * 1e4 + 5e-1) / 1e4 AS p50,
+           floor((quantile_cont(o_totalprice, 0.75)) * 1e4 + 5e-1) / 1e4 AS p75,
+           floor((quantile_cont(o_totalprice, 0.95)) * 1e4 + 5e-1) / 1e4 AS p95
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -613,7 +615,7 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         *[
-            F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(name)
+            round_to_col(F.percentile("o_totalprice", F.lit(p)), 4).alias(name)
             for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]
         ]
     )
@@ -625,7 +627,7 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
                 AS BIGINT) AS gid,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+           COUNT(*) AS n, floor((SUM(o_totalprice)) * 1e2 + 5e-1) / 1e2 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))
@@ -646,7 +648,7 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            round_to_col(F.sum("o_totalprice"), 2).alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
     )
@@ -754,8 +756,8 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(day(o_orderdate) AS INTEGER) AS o_day,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
-           ROUND(SQRT(o_totalprice), 4) AS price_sqrt,
-           ROUND(LN(o_totalprice), 6) AS price_ln,
+           floor((SQRT(o_totalprice)) * 1e4 + 5e-1) / 1e4 AS price_sqrt,
+           floor((LN(o_totalprice)) * 1e6 + 5e-1) / 1e6 AS price_ln,
            CAST(o_orderkey % 7 AS BIGINT) AS key_mod
     FROM orders WHERE o_orderkey < 1000
     """,
@@ -786,8 +788,8 @@ def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
         ).alias("month_start"),
         F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
-        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
-        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        round_to_col(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        round_to_col(F.log("o_totalprice"), 6).alias("price_ln"),
         (F.col("o_orderkey") % 7).cast("long").alias("key_mod"),
     )
 
@@ -1049,7 +1051,7 @@ def stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_salted_join_agg",
     """
-    SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+    SELECT n_name, COUNT(*) AS n_cust, floor((SUM(c_acctbal)) * 1e2 + 5e-1) / 1e2 AS total_bal
     FROM customer, nation
     WHERE c_nationkey = n_nationkey
     GROUP BY n_name
@@ -1071,7 +1073,7 @@ def rel_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(cust, nation, on=["c_nationkey"], salt=8)
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        round_to_col(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
 
 
@@ -1090,8 +1092,8 @@ def rel_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS band,
            COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           ROUND(SUM(l_extendedprice / unit_price), 2) AS rel_price
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 5e-1) / 1e2 AS revenue,
+           floor((SUM(l_extendedprice / unit_price)) * 1e2 + 5e-1) / 1e2 AS rel_price
     FROM fact JOIN dim ON fact.k = dim.k
     GROUP BY CAST(FLOOR(l_extendedprice / 10000) AS BIGINT)
     """,
@@ -1136,10 +1138,10 @@ def rel_skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
+            round_to_col(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
-            F.round(
+            round_to_col(
                 F.sum(F.col("l_extendedprice") / F.col("unit_price")), 2
             ).alias("rel_price"),
         )
@@ -1155,11 +1157,11 @@ def rel_skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(RANK() OVER w AS BIGINT) AS rnk,
            CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_price,
-           ROUND(LEAD(o_totalprice, 1) OVER w, 2) AS next_price,
-           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS min_price,
-           ROUND(o_totalprice - LAG(o_totalprice, 1) OVER w, 2) AS delta
+           floor((PERCENT_RANK() OVER w) * 1e6 + 5e-1) / 1e6 AS pct_rank,
+           floor((LAG(o_totalprice, 1) OVER w) * 1e2 + 5e-1) / 1e2 AS prev_price,
+           floor((LEAD(o_totalprice, 1) OVER w) * 1e2 + 5e-1) / 1e2 AS next_price,
+           floor((FIRST_VALUE(o_totalprice) OVER w) * 1e2 + 5e-1) / 1e2 AS min_price,
+           floor((o_totalprice - LAG(o_totalprice, 1) OVER w) * 1e2 + 5e-1) / 1e2 AS delta
     FROM orders
     WHERE o_orderkey < 2000
     WINDOW w AS (PARTITION BY o_orderstatus
@@ -1179,11 +1181,11 @@ def rel_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
-        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
-        F.round(F.first("o_totalprice").over(w), 2).alias("min_price"),
-        F.round(
+        round_to_col(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_to_col(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        round_to_col(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        round_to_col(F.first("o_totalprice").over(w), 2).alias("min_price"),
+        round_to_col(
             F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
         ).alias("delta"),
     )
@@ -1405,7 +1407,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation ON n_nationkey = s_nationkey
       WHERE n_name = 'NATION_3'
     )
-    SELECT ps_partkey, ROUND(SUM(v) / 100.0, 2) AS value
+    SELECT ps_partkey, floor((SUM(v) / 100.0) * 1e2 + 5e-1) / 1e2 AS value
     FROM national
     GROUP BY ps_partkey
     HAVING SUM(v) > (SELECT SUM(v) * 0.005 FROM national)
@@ -1442,7 +1444,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(total), F.col("__sv") > F.col("__thresh"))
         .select(
             "ps_partkey",
-            F.round(F.col("__sv") / 100.0, 2).alias("value"),
+            round_to_col(F.col("__sv") / 100.0, 2).alias("value"),
         )
     )
 
@@ -1844,7 +1846,7 @@ def stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                * INTERVAL 1 SECOND AS ws,
              event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             ROUND(SUM(value), 2) AS total_value
+             floor((SUM(value)) * 1e2 + 5e-1) / 1e2 AS total_value
       FROM events GROUP BY 1, 2
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1902,7 +1904,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "6 hours"), "event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            round_to_col(F.sum("value"), 2).alias("total_value"),
         )
     )
     out_dir = _os.path.join(work, "landed")

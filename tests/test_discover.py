@@ -22,13 +22,16 @@ def test_detect_format():
     assert detect_format("x.csv") is InputFormat.CSV
     assert detect_format("x.TSV") is InputFormat.CSV
     assert detect_format("x.parquet") is InputFormat.PARQUET
-    assert detect_format("x.txt") is None
+    assert detect_format("x.txt") is InputFormat.TXT
+    assert detect_format("x.txt.gz") is InputFormat.TXT
+    assert detect_format("x.dat") is None
+    assert detect_format("x.parquet.gz") is None  # columnar: no codec suffix
     assert detect_format("x") is None
 
 
 def test_files_and_skip_unknown(tmp_path):
     a = tmp_path / "a.csv"
-    b = tmp_path / "b.txt"
+    b = tmp_path / "b.dat"
     _touch(str(a))
     _touch(str(b))
     found = discover_inputs([str(a), str(b)])

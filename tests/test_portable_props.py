@@ -221,6 +221,83 @@ def test_ascii_case_fold_is_portable(spark):
     assert s_low != d_low
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(min_value=-1e8, max_value=1e8,
+                      allow_nan=False, allow_infinity=False),
+            # dense in the trap zone: ratios of small integers
+            st.tuples(
+                st.integers(min_value=-99999, max_value=99999),
+                st.integers(min_value=1, max_value=99999),
+            ).map(lambda t: t[0] / t[1]),
+        ),
+        min_size=1, max_size=30,
+    ),
+    st.sampled_from([2, 4, 6]),
+)
+def test_round_to_is_portable(spark, vals, k):
+    """round_to agrees bit-for-bit cross-engine on arbitrary doubles
+    including small-integer ratios (the trap class where native ROUND
+    diverges: Spark rounds the shortest-decimal rendering, DuckDB the
+    binary value — e.g. ROUND(1.005, 2) is 1.01 vs 1.0)."""
+    from streaming_parquet_spark.functions.portable import (
+        round_to_col,
+        round_to_expr,
+    )
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    s = [
+        (r[0], r[1])
+        for r in sdf.select(
+            F.expr(round_to_expr("spark", "v", k)),
+            round_to_col(F.col("v"), k),
+        ).collect()
+    ]
+    assert [a for a, _ in s] == [b for _, b in s]  # expr == col helper
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr (v DOUBLE)")
+    con.executemany("INSERT INTO tr VALUES (?)", [(v,) for v in vals])
+    d = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {round_to_expr('duckdb', 'v', k)} FROM tr"
+        ).fetchall()
+    ]
+    assert [a for a, _ in s] == d
+
+
+def test_round_to_fixes_native_round_divergence(spark):
+    """The motivating cases: native ROUND disagrees cross-engine on
+    these values, round_to does not (and NULL propagates)."""
+    from streaming_parquet_spark.functions.portable import round_to_expr
+
+    cases = [(1.005, 2), (3 / 2000, 3), (0.125, 2), (-2.675, 2)]
+    con = duckdb.connect()
+    for v, k in cases:
+        sdf = spark.createDataFrame([(v,)], "v double")
+        s = sdf.select(
+            F.expr(round_to_expr("spark", "v", k)).alias("r")
+        ).collect()[0]["r"]
+        d = con.execute(
+            f"SELECT {round_to_expr('duckdb', f'({v!r}::DOUBLE)', k)}"
+        ).fetchone()[0]
+        assert s == d, (v, k, s, d)
+    # the two divergence witnesses really diverge under native ROUND
+    assert duckdb.connect().execute(
+        "SELECT round(1.005::DOUBLE, 2)"
+    ).fetchone()[0] == 1.0
+    sdf = spark.createDataFrame([(1.005,)], "v double")
+    assert sdf.select(F.round("v", 2)).collect()[0][0] == 1.01
+    # NULL propagates
+    sdf = spark.createDataFrame([(None,)], "v double")
+    assert (
+        sdf.select(F.expr(round_to_expr("spark", "v", 2))).collect()[0][0]
+        is None
+    )
+
+
 def test_pii_scrub_is_portable_on_unicode_borders(spark):
     """The PII chain agrees cross-engine on adversarial text. \\b was
     NOT portable (Java treats unicode letters as word chars, RE2 is
