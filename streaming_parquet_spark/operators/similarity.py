@@ -624,7 +624,11 @@ def kmeans_step(
     )
     sq = None
     for i in range(dims):
-        term = (F.col(f"s{i}") / F.col("n") / scale) ** 2
+        term_base = F.col(f"s{i}") / F.col("n") / scale
+        # explicit multiply, not **2: pow() is engine-libm and can
+        # differ from DuckDB in the last ulp; x*x is correctly
+        # rounded and identical cross-engine
+        term = term_base * term_base
         sq = term if sq is None else sq + term
     return agg.select(
         "cluster", "n", round_to_col(F.sqrt(sq), 4).alias("centroid_norm")
@@ -863,7 +867,9 @@ def power_iteration_step(
     exploded = one.select(
         "n", F.expr(f"stack({dims}, {pairs}) AS (dim, y_fixed)")
     )
-    norm = F.sqrt(F.sum((F.col("y_fixed") / scale) ** 2).over(W.partitionBy()))
+    _yf = F.col("y_fixed") / scale
+    # x*x, not pow(x,2): see kmeans note — libm pow is not portable
+    norm = F.sqrt(F.sum(_yf * _yf).over(W.partitionBy()))
     return exploded.select(
         F.col("dim").cast("int").alias("dim"),
         "y_fixed",

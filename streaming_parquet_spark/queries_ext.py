@@ -1528,8 +1528,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_kmeans_step(n_centroids: int, dims: int, scale: int) -> str:
     aff = dot_expr("duckdb", "v.embedding", "c.embedding")
     sums = " + ".join(
-        f"POWER(SUM(CAST(FLOOR(CAST(v[{i + 1}] AS DOUBLE) * {scale}) AS BIGINT))"
-        f" / CAST(COUNT(*) AS DOUBLE) / {scale}, 2)"
+        f"((SUM(CAST(FLOOR(CAST(v[{i + 1}] AS DOUBLE) * {scale}) AS BIGINT))"
+        f" / CAST(COUNT(*) AS DOUBLE) / {scale}) * "
+        f"(SUM(CAST(FLOOR(CAST(v[{i + 1}] AS DOUBLE) * {scale}) AS BIGINT))"
+        f" / CAST(COUNT(*) AS DOUBLE) / {scale}))"
         for i in range(dims)
     )
     return f"""
@@ -2021,7 +2023,7 @@ def _duck_power_step(dims: int, scale: int) -> str:
     )
     SELECT CAST(dim AS INTEGER) AS dim, y_fixed,
            floor((y_fixed / {scale}.0
-                 / SQRT(SUM(POWER(y_fixed / {scale}.0, 2)) OVER ())) * 1e4 + 5e-1) / 1e4 AS y_norm
+                 / SQRT(SUM((y_fixed / {scale}.0) * (y_fixed / {scale}.0)) OVER ())) * 1e4 + 5e-1) / 1e4 AS y_norm
     FROM c
     """
 

@@ -372,6 +372,31 @@ def test_byte_levenshtein_is_portable(spark):
     assert [x[0] for x in s] != d
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=1e-6, max_value=1e12,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+def test_sqrt_and_square_are_portable(spark, vals):
+    """sqrt and x*x are IEEE-correctly-rounded in both engines — the
+    math primitives gate-hashed formulas may rely on. (ln/exp/pow are
+    engine-libm and measurably diverge ~1%/call — they are kept out of
+    portable formulas; pow(x,2) sites use x*x instead.)"""
+    import struct
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    s = [
+        (r[0], r[1])
+        for r in sdf.select(F.sqrt("v"), F.col("v") * F.col("v")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tm (v DOUBLE)")
+    con.executemany("INSERT INTO tm VALUES (?)", [(v,) for v in vals])
+    d = con.execute("SELECT sqrt(v), v * v FROM tm").fetchall()
+    for (ss, sm), (ds, dm) in zip(s, d):
+        assert struct.pack("d", ss) == struct.pack("d", ds)
+        assert struct.pack("d", sm) == struct.pack("d", dm)
+
+
 def test_hex_to_i32_range_and_agreement(spark):
     """md5-derived 32-bit hashes agree and cover [0, 2^32)."""
     vals = [f"v{i}" for i in range(200)] + ["", " ", "ü", "日本語"]
