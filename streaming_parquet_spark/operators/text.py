@@ -304,6 +304,74 @@ def chi2_terms(
     )
 
 
+def domain_similarity(
+    df: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Pairwise cosine similarity between class (domain) unigram
+    COUNT vectors — the corpus-QA companion to chi2_terms: "which
+    domains speak the same language?" drives mixing, dedup-block, and
+    contamination decisions between slices.
+
+    Arithmetic is exact integers end-to-end: per-(term, class) counts,
+    dot products sum n_a*n_b over shared vocabulary, squared norms sum
+    n^2 — then cosine = dot / (sqrt(qa) * sqrt(qb)) with sqrt and
+    multiply both IEEE-correctly-rounded, so the DuckDB oracle
+    reproduces the similarity bit-for-bit (no libm transcendentals).
+
+    Plan at 100 TB: one explode -> partial-aggregated (term, class)
+    counts (vocab x classes rows); the pair dot is an inverted-index
+    equi-join on term over that aggregate — never over corpus rows —
+    and the output is C(classes, 2) rows. ``min_count`` trims hapax
+    terms before the join.
+
+    Output: cls_a < cls_b, n_terms (shared vocab), cosine (4dp).
+    """
+    from streaming_parquet_spark.functions.portable import ordered_words_expr
+
+    tc = (
+        df.select(
+            F.col(class_col).alias("cls"),
+            # ordered (non-distinct) words: these are term-FREQUENCY
+            # vectors, so every occurrence counts
+            F.explode(
+                F.expr(ordered_words_expr("spark", text_col))
+            ).alias("term"),
+        )
+        .groupBy("cls", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    norms = tc.groupBy("cls").agg(
+        F.sum(F.col("n") * F.col("n")).alias("q")
+    )
+    a, b = tc.alias("a"), tc.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.cls") < F.col("b.cls")))
+        .groupBy(F.col("a.cls").alias("cls_a"), F.col("b.cls").alias("cls_b"))
+        .agg(
+            F.sum(F.col("a.n") * F.col("b.n")).alias("dot"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.col("dot") / (
+        F.sqrt(F.col("na.q").cast("double"))
+        * F.sqrt(F.col("nb.q").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(na), F.col("cls_a") == F.col("na.cls"))
+        .join(F.broadcast(nb), F.col("cls_b") == F.col("nb.cls"))
+        .select(
+            "cls_a", "cls_b", "n_terms",
+            round_to_col(cos, 4).alias("cosine"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint over word
     hashes (mod 2^31-1): equal fingerprints => near-certain duplicates,

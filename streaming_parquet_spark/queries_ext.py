@@ -3200,6 +3200,60 @@ def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_domain_similarity_oracle(min_count: int = 2) -> str:
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+    )
+
+    # mirrors operators.text.domain_similarity: exact-integer counts,
+    # dots, and squared norms; cosine = dot / (sqrt(qa) * sqrt(qb))
+    # — sqrt and multiply are IEEE-correctly-rounded, so the value is
+    # bit-identical cross-engine; portable floor-round to 4dp
+    return f"""
+    WITH tc AS (
+      SELECT cls, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT source AS cls,
+               unnest({ordered_words_expr('duckdb', 'text')}) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_count}
+    ),
+    norms AS (
+      SELECT cls, SUM(n * n) AS q FROM tc GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.cls AS cls_a, b.cls AS cls_b,
+             SUM(a.n * b.n) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM tc a JOIN tc b ON a.term = b.term AND a.cls < b.cls
+      GROUP BY 1, 2
+    )
+    SELECT cls_a, cls_b, n_terms,
+           floor((dot / (sqrt(CAST(na.q AS DOUBLE))
+                 * sqrt(CAST(nb.q AS DOUBLE)))) * 1e4 + 5e-1) / 1e4
+             AS cosine
+    FROM dots
+    JOIN norms na ON dots.cls_a = na.cls
+    JOIN norms nb ON dots.cls_b = nb.cls
+    """
+
+
+@query("text_domain_similarity", _duck_domain_similarity_oracle())
+def text_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between source-domain unigram
+    term-frequency vectors — which corpus slices speak the same
+    language. Inverted-index join over the vocab-sized (term, class)
+    aggregate, C(classes,2) output rows; exact integers until one
+    division over correctly-rounded sqrt products. See
+    operators.text.domain_similarity."""
+    from streaming_parquet_spark.operators.text import domain_similarity
+
+    return domain_similarity(
+        _t(spark, sf_dir, "documents"), class_col="source", min_count=2
+    )
+
+
 def _duck_hist_quantile_oracle() -> str:
     from streaming_parquet_spark.operators.sketch import (
         histogram_quantiles_oracle_sql,

@@ -1789,6 +1789,29 @@ def test_cms_one_sided_error(spark):
     assert exact >= 45
 
 
+def test_domain_similarity_bounds_and_identity(spark):
+    """Identical domains -> cosine 1.0; orthogonal vocabularies ->
+    no pair row (zero shared terms never reaches the join); partially
+    overlapping domains land strictly between."""
+    from streaming_parquet_spark.operators.text import domain_similarity
+
+    rows = (
+        [(f"a{i}", "x", "alpha beta gamma delta") for i in range(5)]
+        + [(f"b{i}", "y", "alpha beta gamma delta") for i in range(5)]
+        + [(f"c{i}", "z", "alpha beta omega omega") for i in range(5)]
+        + [(f"d{i}", "w", "zeta eta theta iota") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {
+        (r["cls_a"], r["cls_b"]): r["cosine"]
+        for r in domain_similarity(df, class_col="source").collect()
+    }
+    assert out[("x", "y")] == 1.0
+    assert 0.0 < out[("x", "z")] < 1.0
+    assert ("w", "x") not in out and ("x", "w") not in out  # disjoint
+    assert all(0.0 < v <= 1.0 for v in out.values())
+
+
 def test_chi2_terms_picks_class_markers(spark):
     """A term concentrated in one class tops that class's ranking; a
     term present in EVERY document is excluded (chi2 undefined); ranks
