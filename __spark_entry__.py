@@ -88,7 +88,10 @@ def _last_green_round() -> dict[str, int]:
 # round-4 queries all keyed 0) so the run order is stable round to
 # round.  Names absent keep registration order after it.
 _DRIVER_PRIORITY = [
-    # round-4 additions (no prior CORRECTNESS row) first
+    # newest queries first within the never-checked class (freshest
+    # code carries the highest mismatch risk)
+    "rel_quantile_sketch", "text_chi2_terms", "text_domain_similarity",
+    # round-4 additions (no prior CORRECTNESS row)
     "events_scd2", "events_ohlc", "events_funnel",
     "rel_bloom_semi_join", "pipeline_zorder", "events_ewma",
     "text_distinct_hll", "text_heavy_hitters_cms", "events_transitions",
