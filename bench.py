@@ -105,6 +105,13 @@ def main() -> None:
     # untimed, the way long-lived cluster executors would have already:
     _warm(spark, sf_dir)
 
+    # Conversions run FIRST (right after warmup): measured 193-245 MB/s
+    # swings for identical code depending on how much query work
+    # preceded them (heap fragmentation + GC pressure from 140 query
+    # plans); sampling them on a fresh heap measures the engine, and
+    # the extra executions double as query-path JIT warmup.
+    conversions, conv_fs = _conversion_bench(spark, sf_dir)
+
     # Two passes, best per query — the reference's criterion harness
     # warms up then samples (benches/throughput.rs); a single pass
     # charges whichever query runs first with the one-time JIT compile
@@ -127,7 +134,6 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
-    conversions, conv_fs = _conversion_bench(spark, sf_dir)
     from streaming_parquet_spark.queries_tpch import STREAM_WORKDIR_FS as stream_fs
 
     total = round(sum(timings.values()), 4)
@@ -160,8 +166,13 @@ def main() -> None:
                 "1 untimed pre-pass (join/agg/window/embedding-dot"
                 " C2 compile; see _warm)"
             ),
-            "conversion_runs": 4,
+            "conversion_runs": 6,
             "conversion_warmup_runs": 2,
+            "conversion_order": (
+                "conversions sampled before the query sweep (fresh"
+                " heap; post-sweep sampling measured up to 20% lower"
+                " from GC/fragmentation interference)"
+            ),
             "conversion_workdir": conv_fs,
             "streaming_workdir": stream_fs,
             "streaming_note": (
@@ -245,7 +256,7 @@ def _conversion_bench(spark, sf_dir: str) -> tuple[dict[str, float], str]:
         def timed(name: str, spec: RunSpec, in_bytes: int) -> None:
             # Two warmup runs (the parquet write path's C2 compilation
             # ramps over the first ~3 executions — measured 16s -> 10s ->
-            # 5s -> 3.3s on a cold JVM), then best-of-4 measured runs —
+            # 5s -> 3.3s on a cold JVM), then best-of-6 measured runs —
             # the reference's criterion harness likewise warms up and
             # samples repeatedly (benches/throughput.rs). Single measured
             # runs swung ~3x run-to-run from writeback/GC/noisy-neighbor
@@ -254,7 +265,7 @@ def _conversion_bench(spark, sf_dir: str) -> tuple[dict[str, float], str]:
             eng.run(spec)
             eng.run(spec)
             best = float("inf")
-            for _ in range(4):
+            for _ in range(6):
                 t0 = time.perf_counter()
                 eng.run(spec)
                 best = min(best, time.perf_counter() - t0)

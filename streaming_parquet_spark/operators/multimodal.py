@@ -207,7 +207,11 @@ def parse_wav_header(payload: bytes):
     if not rate or not block_align or data_size is None:
         return None
     n = data_size // block_align
-    return rate, n, round(n / rate, 6), "WAV"
+    # duration floored to whole microseconds (integer division) — same
+    # convention as the fake codec; python round(n/rate, 6) is a
+    # half-even trap when n/rate terminates exactly at the 7th decimal
+    # (every odd frame count at 16 kHz)
+    return rate, n, (n * 1_000_000 // rate) / 1e6, "WAV"
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:

@@ -203,7 +203,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit by nation/year; no partsupp
     in the fixture, so profit = discounted revenue). The money sum runs
-    in integer cents (per-row ROUND(vol*100) is one FP product — bit-
+    in integer cents (per-row floor(vol*100 + 0.5) is one FP product — bit-
     identical across engines — and integer addition commutes), because
     at ~340 rows/group this query demonstrably lands on 2dp rounding
     boundaries when summed as doubles in engine-specific order. Scale:
