@@ -53,13 +53,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # FAILURE keys as never-checked so it re-runs immediately after a fix.
 
 
-def _last_green_round() -> dict[str, int]:
+def _last_green_round(root: str = _ROOT) -> dict[str, int]:
     import glob
     import json
     import re
 
-    newest: dict[str, int] = {}
-    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+    newest_green: dict[str, int] = {}
+    newest_any: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
@@ -72,16 +73,25 @@ def _last_green_round() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            newest_any[name] = max(newest_any.get(name, 0), rnd)
             green = (
-                isinstance(row, dict)
-                and row.get("rows_match")
+                row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match", True)
                 and not row.get("err")
             )
-            if green and rnd > newest.get(name, 0):
-                newest[name] = rnd
-    return newest
+            if green and rnd > newest_green.get(name, 0):
+                newest_green[name] = rnd
+    # A query whose NEWEST row is a failure keys as never-checked (0):
+    # it regressed after its last green and must re-run first, ahead of
+    # merely-stale greens.
+    return {
+        name: rnd
+        for name, rnd in newest_green.items()
+        if newest_any.get(name, rnd) <= rnd
+    }
 
 
 # Seed order: breaks ties within one staleness class (e.g. the 49

@@ -80,25 +80,33 @@ def round_to_expr(dialect: str, x: str, k: int) -> str:
     halves — consistency across engines is the contract, not agreement
     with either native ROUND. Operand magnitude must keep x*10^k
     within 2^52 (integer-exact doubles) — true for every rounded
-    metric in this repo. NaN/NULL propagate; do not feed infinities
+    metric in this repo. NULL propagates; NaN is passed through by an
+    explicit isnan guard (Spark's floor returns BIGINT and would
+    swallow NaN to 0 while DuckDB's floor keeps it — the exact
+    divergence this helper exists to prevent). Do not feed infinities
     (Spark's floor->bigint would overflow under ANSI mode)."""
     del dialect  # identical expression text in spark and duckdb
     # e-notation literals: both engines type 1e4 as DOUBLE, while a
     # plain 10000.0 parses as DECIMAL (and silently switches the whole
     # expression to decimal arithmetic with a different result type)
-    return f"(floor(({x}) * 1e{k} + 5e-1) / 1e{k})"
+    return (
+        f"(CASE WHEN isnan({x}) THEN ({x})"
+        f" ELSE floor(({x}) * 1e{k} + 5e-1) / 1e{k} END)"
+    )
 
 
 def round_to_col(col, k: int):
     """Column-level round_to_expr for Spark call sites (same
-    floor-based portable formula; see round_to_expr for why native
-    ROUND cannot be used on doubles destined for the oracle gate)."""
+    floor-based portable formula incl. the NaN passthrough; see
+    round_to_expr for why native ROUND cannot be used on doubles
+    destined for the oracle gate)."""
     from pyspark.sql import functions as F
 
     if isinstance(col, str):
         col = F.col(col)
     scale = float(10 ** k)
-    return F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
+    rounded = F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
+    return F.when(F.isnan(col), col).otherwise(rounded)
 
 
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"

@@ -449,10 +449,13 @@ def decode_audio(
             def _probe(b: bytes) -> tuple[int, int, float, str]:
                 try:
                     info = sf.info(io.BytesIO(b))
+                    # integer-us floor, same convention as the WAV
+                    # parser and fake codec (round() is a half-even
+                    # trap on exact 7th-decimal durations)
                     return (
                         info.samplerate,
                         info.frames,
-                        round(info.frames / info.samplerate, 6),
+                        (info.frames * 1_000_000 // info.samplerate) / 1e6,
                         info.format,
                     )
                 except Exception:

@@ -23,9 +23,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from streaming_parquet_spark.functions.portable import round_to_col
-
-from streaming_parquet_spark.functions.portable import hash_bucket_expr
+from streaming_parquet_spark.functions.portable import (
+    hash_bucket_expr,
+    round_to_col,
+)
 
 
 def with_hash_bucket(

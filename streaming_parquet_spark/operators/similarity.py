@@ -21,9 +21,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from streaming_parquet_spark.functions.portable import round_to_col
-
-from streaming_parquet_spark.functions.portable import MERSENNE31, dot_expr
+from streaming_parquet_spark.functions.portable import (
+    MERSENNE31,
+    dot_expr,
+    round_to_col,
+)
 
 
 def _dot(a: str, b: str, dims: int | None = None) -> F.Column:

@@ -8,11 +8,11 @@ at 100 TB these run inside whole-stage codegen alongside the scan.
 
 from __future__ import annotations
 
-from streaming_parquet_spark.functions.portable import round_to_col
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from streaming_parquet_spark.functions.portable import (
     filter_count_expr,
+    round_to_col,
     n_words_expr,
     rolling_hash_expr,
     word_hashes_expr,
@@ -268,6 +268,11 @@ def chi2_terms(
         # undefined (and the term carries no signal); drop it before
         # the division rather than emitting NaN
         .filter(F.col("tdf") < F.col("nn"))
+        # likewise a class containing EVERY document has (b+d) = 0;
+        # NULL (Spark 0/0) and NaN (DuckDB) sort oppositely under the
+        # DESC ranking window, so the degenerate class must be dropped
+        # identically on both sides
+        .filter(F.col("nc") < F.col("nn"))
         .withColumn("b", F.col("tdf") - F.col("a"))
         .withColumn("c_", F.col("nc") - F.col("a"))
         .withColumn(

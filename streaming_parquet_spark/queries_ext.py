@@ -3162,6 +3162,7 @@ def _duck_chi2_oracle(k: int = 5, min_df: int = 5) -> str:
       JOIN cls_n ON tc.cls = cls_n.cls
       CROSS JOIN nn
       WHERE tdf.tdf >= {min_df} AND tdf.tdf < nn.nn
+        AND cls_n.nc < nn.nn
     ),
     scored AS (
       SELECT cls, term, a, b,

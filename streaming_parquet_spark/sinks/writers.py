@@ -153,10 +153,20 @@ def write_partitioned(
     # names (jsonl -> .json); dispatch explicitly so an unknown format
     # is a ValueError here, not an AttributeError mid-write.
     methods = {"parquet": "parquet", "csv": "csv", "jsonl": "json",
-               "orc": "orc"}
+               "orc": "orc", "text": "text"}
     method = methods.get(out_format)
     if method is None:
         raise ValueError(f"unsupported partitioned out format: {out_format}")
+    if out_format == "text":
+        # one data column besides the partition keys (Spark's text
+        # sink contract), with the write_text newline guard
+        rest = [c for c in df.columns if c not in partition_by]
+        if len(rest) != 1:
+            raise ValueError(
+                "partitioned text output requires exactly one column"
+                f" besides the partition keys, got {rest}"
+            )
+        df = df.select(*partition_by, _text_value_expr(df, rest[0]))
     writer = df.write.mode("overwrite").partitionBy(*partition_by)
     if out_format == "parquet":
         codec = _PARQUET_CODECS.get(compression.lower())
@@ -293,6 +303,29 @@ def write_orc(
     return _finalize_rolling(tmp, out_path, ".orc")
 
 
+def _text_value_expr(df: DataFrame, col: str):
+    """The (value: string) expression every text sink writes: cast,
+    null -> '' — and a per-row raise_error on embedded newlines,
+    because a line-oriented format cannot represent them (a silent
+    write would split one record into several; CSV/JSONL escape)."""
+    from pyspark.sql import functions as F
+
+    v = F.coalesce(df[col].cast("string"), F.lit(""))
+    return F.when(
+        v.contains("\n") | v.contains("\r"),
+        F.raise_error(
+            F.lit(
+                "text sink cannot represent embedded newlines; "
+                "write CSV or JSONL instead"
+            )
+        ).cast("string"),
+    ).otherwise(v).alias("value")
+
+
+def _text_value_column(df: DataFrame, col: str) -> DataFrame:
+    return df.select(_text_value_expr(df, col))
+
+
 def write_text(
     df: DataFrame,
     out_path: str,
@@ -310,11 +343,7 @@ def write_text(
             f"text output requires exactly one column, got {df.columns};"
             " project with --columns or write CSV/JSONL instead"
         )
-    from pyspark.sql import functions as F
-
-    one = df.select(
-        F.coalesce(df[df.columns[0]].cast("string"), F.lit("")).alias("value")
-    )
+    one = _text_value_column(df, df.columns[0])
     writer = (
         one.coalesce(1) if single_file and max_records_per_file is None else one
     ).write.mode("overwrite")

@@ -248,19 +248,19 @@ class StreamEngine:
             raise ValueError(f"unsupported streaming out format: {fmt}")
         if fmt == "text":
             # Spark's text sink takes exactly one string column — same
-            # loud contract as the batch write_text sink.
+            # loud contract (and embedded-newline guard) as the batch
+            # write_text sink.
             if len(df.columns) != 1:
                 raise ValueError(
                     f"text output requires exactly one column, got "
                     f"{df.columns}; project with --columns or write "
                     "CSV/JSONL instead"
                 )
-            from pyspark.sql import functions as F
-
-            df = df.select(
-                F.coalesce(df[df.columns[0]].cast("string"), F.lit(""))
-                .alias("value")
+            from streaming_parquet_spark.sinks.writers import (
+                _text_value_column,
             )
+
+            df = _text_value_column(df, df.columns[0])
         writer = (
             df.writeStream.format(sink_format)
             .option("path", out_dir)

@@ -604,3 +604,39 @@ def test_txt_streaming_roundtrip(spark, tmp_path):
                 state=ckpt, verify=True)
     )
     assert res2.rows == 0 and res2.verified is True
+
+
+def test_txt_output_rejects_embedded_newlines(spark, engine, tmp_path):
+    """A value containing a newline is unrepresentable in a
+    line-oriented sink — the write must fail loudly, not silently
+    split one record into two lines."""
+    import pytest as _pytest
+
+    (tmp_path / "in.csv").write_text('value\n"a\nb"\n')
+    with _pytest.raises(Exception, match="embedded newlines"):
+        engine.run(
+            RunSpec(inputs=[str(tmp_path / "in.csv")],
+                    out=str(tmp_path / "o.txt"), multiline=True)
+        )
+
+
+def test_partitioned_txt_output(spark, engine, tmp_path):
+    """--partition-by with a text sink: one line-per-record file tree,
+    partition keys in the directory names."""
+    import os as _os
+
+    (tmp_path / "in.csv").write_text(
+        "lang,value\nen,hello\nde,hallo\nen,world\n"
+    )
+    out = str(tmp_path / "part_out")
+    res = engine.run(
+        RunSpec(inputs=[str(tmp_path / "in.csv")], out=out,
+                out_format="text", partition_by=["lang"])
+    )
+    assert res.rows == 3
+    langs = sorted(
+        d for d in _os.listdir(out) if d.startswith("lang=")
+    )
+    assert langs == ["lang=de", "lang=en"]
+    en = spark.read.text(_os.path.join(out, "lang=en")).collect()
+    assert sorted(r["value"] for r in en) == ["hello", "world"]

@@ -1789,6 +1789,46 @@ def test_cms_one_sided_error(spark):
     assert exact >= 45
 
 
+def test_chi2_terms_single_class_degenerates_to_empty(spark):
+    """A class containing every document has (b+d)=0 — chi2 undefined;
+    the class is dropped on both sides rather than emitting NULL/NaN
+    (which sort oppositely under the DESC ranking window)."""
+    from streaming_parquet_spark.operators.text import chi2_terms
+
+    rows = [(f"d{i}", "only", "alpha beta gamma") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    assert chi2_terms(df, class_col="source", min_df=2).count() == 0
+
+
+def test_round_to_nan_passthrough(spark):
+    """NaN passes through round_to unchanged on both engines (Spark's
+    bare floor would swallow it to 0 via the bigint conversion)."""
+    import math
+
+    import duckdb
+
+    from streaming_parquet_spark.functions.portable import (
+        round_to_col,
+        round_to_expr,
+    )
+
+    sdf = spark.createDataFrame([(float("nan"),), (1.2345,)], "v double")
+    got = [
+        (r[0], r[1])
+        for r in sdf.select(
+            round_to_col("v", 2),
+            F.expr(round_to_expr("spark", "v", 2)),
+        ).collect()
+    ]
+    assert math.isnan(got[0][0]) and math.isnan(got[0][1])
+    assert got[1] == (1.23, 1.23)
+    d = duckdb.connect().execute(
+        f"SELECT {round_to_expr('duckdb', 'v', 2)} FROM "
+        "(SELECT 'nan'::DOUBLE AS v)"
+    ).fetchone()[0]
+    assert math.isnan(d)
+
+
 def test_domain_similarity_bounds_and_identity(spark):
     """Identical domains -> cosine 1.0; orthogonal vocabularies ->
     no pair row (zero shared terms never reaches the join); partially

@@ -81,6 +81,32 @@ def test_entry_contract(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_rotation_failure_row_resets_to_never_checked(tmp_path):
+    """A query whose NEWEST artifact row is a failure keys as
+    never-checked (0): it regressed after its last green and must
+    re-run before merely-stale greens."""
+    import json
+
+    import __spark_entry__ as e
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "q_ok": {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None},
+        "q_regressed": {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({
+        "q_regressed": {"rows_match": False, "schema_match": True,
+                        "hash_match": False, "err": "boom"},
+        "q_fresh": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+    }))
+    newest = e._last_green_round(str(tmp_path))
+    assert newest["q_ok"] == 3
+    assert newest["q_fresh"] == 4
+    assert "q_regressed" not in newest  # keys as 0 -> runs first
+
+
 def test_driver_rotation_orders_stalest_first():
     """queries() ordering is computed from the CORRECTNESS_r*.json
     artifacts: never-checked (or last-failed) queries first, then
