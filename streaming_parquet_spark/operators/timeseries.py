@@ -83,6 +83,38 @@ def hypertable_rollup(
     return out
 
 
+def merge_rollup(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: merge a rollup
+    built from a NEW batch into an existing materialized rollup.
+    Count/sum measures are mergeable partials — they add — so the
+    refreshed rollup is a union + re-aggregate over BUCKET rows:
+    shuffle cost is O(|base buckets| + |delta buckets|), never a
+    rescan of the raw corpus. Rollup schemas must match
+    (granularity, bucket_ts, *keys, n, total — hypertable_rollup's
+    output); the merged result is bit-identical to recomputing the
+    rollup over the union of the raw inputs (gated as
+    ``events_incremental_rollup``: same oracle as the full rollup).
+
+    At 100 TB this IS the refresh path: the base rollup is a stored
+    table a million times smaller than the raw events; each arriving
+    batch rolls up alone (partial-aggregated on its own rows) and
+    merges in bucket space. Deletes/late corrections compose the same
+    way with negated measures."""
+    if set(base.columns) != set(delta.columns):
+        raise ValueError(
+            f"rollup schemas differ: {base.columns} vs {delta.columns}"
+        )
+    group = [c for c in base.columns if c not in ("n", "total")]
+    return (
+        base.unionByName(delta)
+        .groupBy(*group)
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("total").cast("bigint").alias("total"),
+        )
+    )
+
+
 def anomaly_zscore(
     df: DataFrame,
     value_col: str,

@@ -1848,6 +1848,63 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_incremental_rollup",
+    """
+    WITH cents AS (
+      SELECT ts, event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    hour AS (
+      SELECT date_trunc('hour', ts) AS b, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS total
+      FROM cents GROUP BY 1, 2
+    )
+    SELECT 'hour' AS granularity,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           event_type, n, total
+    FROM hour
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', b), '%Y-%m-%d %H:%M:%S'),
+           event_type, CAST(SUM(n) AS BIGINT), CAST(SUM(total) AS BIGINT)
+    FROM hour GROUP BY 2, event_type
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh, gated against the FULL
+    recompute: events split deterministically into a 'materialized'
+    base (~90%) and an arriving batch (~10%), each rolled up alone,
+    then merged in bucket space (operators.timeseries.merge_rollup).
+    The oracle is the full-corpus rollup SQL — the hash match IS the
+    proof that merge-of-partials equals recompute, the identity that
+    makes refresh O(delta buckets) instead of a corpus rescan."""
+    from streaming_parquet_spark.operators.timeseries import (
+        hypertable_rollup,
+        merge_rollup,
+    )
+    from streaming_parquet_spark.queries import _events
+
+    e = _events(spark, sf_dir).select(
+        "ts", "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base_rows = e.filter(F.col("event_id") % 10 != 0)
+    delta_rows = e.filter(F.col("event_id") % 10 == 0)
+
+    def roll(rows):
+        return hypertable_rollup(
+            rows, ts_col="ts", keys=["event_type"], sum_col="cents",
+            granularities=("hour", "day"),
+        )
+
+    merged = merge_rollup(roll(base_rows), roll(delta_rows))
+    return merged.select(
+        "granularity",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "event_type", "n", "total",
+    )
+
+
+@query(
     "events_upsert_latest",
     """
     SELECT user_id, event_type,

@@ -1789,6 +1789,61 @@ def test_cms_one_sided_error(spark):
     assert exact >= 45
 
 
+def test_merge_rollup_identity_and_corrections(spark):
+    """merge(rollup(base), rollup(delta)) == rollup(base ∪ delta);
+    negated measures retract (the late-correction path); mismatched
+    schemas are rejected."""
+    import datetime
+
+    import pytest as _pytest
+
+    from streaming_parquet_spark.operators.timeseries import (
+        hypertable_rollup,
+        merge_rollup,
+    )
+
+    rows = [
+        (
+            datetime.datetime(2024, 1, 1 + h % 3, h % 24, 5),
+            f"t{h % 3}", h, 100 + h,
+        )
+        for h in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, event_id long, cents long"
+    )
+    def roll(d):
+        return hypertable_rollup(
+            d, ts_col="ts", keys=["event_type"], sum_col="cents",
+            granularities=("hour", "day"),
+        )
+    base = df.filter("event_id % 5 != 0")
+    delta = df.filter("event_id % 5 = 0")
+    merged = {
+        tuple(r[:3]): (r["n"], r["total"])
+        for r in merge_rollup(roll(base), roll(delta)).collect()
+    }
+    full = {
+        tuple(r[:3]): (r["n"], r["total"]) for r in roll(df).collect()
+    }
+    assert merged == full
+    # retraction: merging the NEGATED delta back removes it exactly
+    neg = roll(delta).withColumn("n", -F.col("n")).withColumn(
+        "total", -F.col("total")
+    )
+    reverted = {
+        tuple(r[:3]): (r["n"], r["total"])
+        for r in merge_rollup(merge_rollup(roll(base), roll(delta)), neg)
+        .filter("n != 0")
+        .collect()
+    }
+    assert reverted == {
+        tuple(r[:3]): (r["n"], r["total"]) for r in roll(base).collect()
+    }
+    with _pytest.raises(ValueError, match="schemas differ"):
+        merge_rollup(roll(base), roll(delta).drop("total"))
+
+
 def test_chi2_terms_single_class_degenerates_to_empty(spark):
     """A class containing every document has (b+d)=0 — chi2 undefined;
     the class is dropped on both sides rather than emitting NULL/NaN
