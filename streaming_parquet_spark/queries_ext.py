@@ -184,6 +184,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_prefix_join_oracle(tn: int = 1, td: int = 2) -> str:
+    j = jaccard_expr("duckdb", "sa.sh", "sb.sh")
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id AS id,
+             list_sort(list_distinct({_duck_shingle_hashes()})) AS sh
+      FROM documents
+    ),
+    sized AS (SELECT id, sh, len(sh) AS sz FROM s WHERE len(sh) > 0),
+    -- prefix length L = sz - ceil(t*sz) + 1, exact integer arithmetic
+    pref AS (
+      SELECT id, sz,
+             unnest(sh[1 : sz - CAST(({tn} * sz + {td} - 1) // {td}
+                               AS INT) + 1]) AS h
+      FROM sized
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pref a JOIN pref b
+        ON a.h = b.h AND a.id < b.id
+       AND least(a.sz, b.sz) >= {tn} / {td} * greatest(a.sz, b.sz)
+    )
+    SELECT id_a, id_b,
+           floor(({j}) * 1e4 + 5e-1) / 1e4 AS jaccard
+    FROM cand
+    JOIN sized sa ON sa.id = id_a
+    JOIN sized sb ON sb.id = id_b
+    WHERE floor(({j}) * 1e4 + 5e-1) / 1e4 >= {tn} / {td}
+    """
+
+
+@query("dedup_prefix_join", _duck_prefix_join_oracle(1, 2))
+def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard >= 1/2) via prefix
+    filtering — zero false negatives, unlike LSH banding: under the
+    global shingle-hash order, each document explodes only its first
+    |s| - ceil(|s|/2) + 1 hashes, and candidates come from an
+    equi-join on those prefix elements with the threshold-implied
+    length filter evaluated inside the join. The rational threshold
+    keeps every bound in integer arithmetic, so the oracle reproduces
+    candidates and survivors exactly. See
+    operators.dedup.prefix_jaccard_pairs."""
+    from streaming_parquet_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold_num=1, threshold_den=2, n=3,
+    )
+
+
 def _duck_ngram_oracle(n: int, threshold: float) -> str:
     sh = word_hashes_expr(
         "duckdb", shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), n)

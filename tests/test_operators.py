@@ -1789,6 +1789,38 @@ def test_cms_one_sided_error(spark):
     assert exact >= 45
 
 
+def test_prefix_join_exact_recall(spark):
+    """The prefix-filter join finds EXACTLY the pairs the unblocked
+    all-pairs Jaccard finds at the same threshold — the zero-false-
+    negative guarantee LSH banding does not give."""
+    from streaming_parquet_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    words = base.split()
+    rows = []
+    for i in range(30):
+        w = list(words)
+        # progressively mutate: i substitutions
+        for k in range(i % 7):
+            w[(k * 3) % len(w)] = f"mut{i}_{k}"
+        rows.append((f"d{i}", " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_jaccard_pairs(
+            df, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert pf == exact and len(exact) > 10
+
+
 def test_merge_rollup_identity_and_corrections(spark):
     """merge(rollup(base), rollup(delta)) == rollup(base ∪ delta);
     negated measures retract (the late-correction path); mismatched
