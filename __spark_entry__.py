@@ -100,6 +100,7 @@ def _last_green_round(root: str = _ROOT) -> dict[str, int]:
 _DRIVER_PRIORITY = [
     # newest queries first within the never-checked class (freshest
     # code carries the highest mismatch risk)
+    "dedup_prefix_join", "events_incremental_rollup",
     "rel_quantile_sketch", "text_chi2_terms", "text_domain_similarity",
     # round-4 additions (no prior CORRECTNESS row)
     "events_scd2", "events_ohlc", "events_funnel",
