@@ -186,25 +186,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_prefix_join_oracle(tn: int = 1, td: int = 2) -> str:
     j = jaccard_expr("duckdb", "sa.sh", "sb.sh")
+    # global order = ascending document frequency via the injective
+    # bigint key df*2^32 + h (mirrors prefix_jaccard_pairs exactly)
     return f"""
-    WITH s AS MATERIALIZED (
-      SELECT doc_id AS id,
-             list_sort(list_distinct({_duck_shingle_hashes()})) AS sh
+    WITH raw AS MATERIALIZED (
+      SELECT doc_id AS id, list_distinct({_duck_shingle_hashes()}) AS sh
       FROM documents
     ),
+    ex AS (
+      SELECT id, unnest(sh) AS h FROM raw WHERE len(sh) > 0
+    ),
+    dfreq AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1
+    ),
+    s AS MATERIALIZED (
+      SELECT id, list_sort(list(df * 4294967296 + h)) AS sh
+      FROM ex JOIN dfreq USING (h) GROUP BY id
+    ),
     sized AS (SELECT id, sh, len(sh) AS sz FROM s WHERE len(sh) > 0),
-    -- prefix length L = sz - ceil(t*sz) + 1, exact integer arithmetic
+    -- prefix length L = sz - ceil(t*sz) + 1, exact integer arithmetic;
+    -- pos = 1-based rank in the sorted array (keys unique per array)
     pref AS (
-      SELECT id, sz,
-             unnest(sh[1 : sz - CAST(({tn} * sz + {td} - 1) // {td}
-                               AS INT) + 1]) AS h
-      FROM sized
+      SELECT id, sz, h, list_position(sh, h) AS pos
+      FROM (
+        SELECT id, sz, sh,
+               unnest(sh[1 : sz - CAST(({tn} * sz + {td} - 1) // {td}
+                                 AS INT) + 1]) AS h
+        FROM sized
+      )
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM pref a JOIN pref b
         ON a.h = b.h AND a.id < b.id
        AND least(a.sz, b.sz) >= {tn} / {td} * greatest(a.sz, b.sz)
+       -- PPJoin position filter (first-shared-element overlap bound)
+       AND 1 + least(a.sz - a.pos, b.sz - b.pos)
+           >= ({tn} * greatest(a.sz, b.sz) + {td} - 1) // {td}
     )
     SELECT id_a, id_b,
            floor(({j}) * 1e4 + 5e-1) / 1e4 AS jaccard
