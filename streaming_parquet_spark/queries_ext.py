@@ -233,12 +233,12 @@ def _duck_prefix_join_oracle(tn: int = 1, td: int = 2) -> str:
     """
 
 
-@query("dedup_prefix_join", _duck_prefix_join_oracle(1, 2))
+@query("dedup_prefix_join", _duck_prefix_join_oracle(2, 3))
 def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT set-similarity self-join (Jaccard >= 1/2) via prefix
+    """EXACT set-similarity self-join (Jaccard >= 2/3) via prefix
     filtering — zero false negatives, unlike LSH banding: under the
     global shingle-hash order, each document explodes only its first
-    |s| - ceil(|s|/2) + 1 hashes, and candidates come from an
+    |s| - ceil(2|s|/3) + 1 hashes, and candidates come from an
     equi-join on those prefix elements with the threshold-implied
     length filter evaluated inside the join. The rational threshold
     keeps every bound in integer arithmetic, so the oracle reproduces
@@ -248,7 +248,7 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return prefix_jaccard_pairs(
         _t(spark, sf_dir, "documents"),
-        threshold_num=1, threshold_den=2, n=3,
+        threshold_num=2, threshold_den=3, n=3,
     )
 
 
