@@ -1536,6 +1536,46 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert jac[(1, 2)] < 0.2             # Jaccard blind to inclusion
 
 
+def test_containment_prefix_join_matches_brute_force(spark):
+    """The prefix-filter candidate stage must have EXACT recall: on a
+    random word-soup corpus (many borderline overlaps) the operator's
+    output equals a brute-force all-pairs computation of the same
+    predicate, including the 4dp round-up band and the semantic
+    |b| >= t*|a| size prune."""
+    import itertools
+    import math
+    import random
+
+    from streaming_parquet_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = []
+    for i in range(50):
+        k = rng.randint(5, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8, n=2).collect()
+    }
+
+    def shingles(text, n=2):
+        w = text.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or len(sb) < 0.8 * len(sa):
+            continue
+        c = math.floor(len(sa & sb) / len(sa) * 1e4 + 0.5) / 1e4
+        if c >= 0.8:
+            want[(a, b)] = c
+    assert got == want
+
+
 def test_fixed_point_ops_partition_invariant(spark, emb, sf_dir):
     """The integer fixed-point designs claim bit-identical results
     under ANY partitioning — verify by running each op over 1-partition
