@@ -68,7 +68,14 @@ def _last_green_round(root: str = _ROOT) -> dict[str, int]:
         try:
             with open(path) as f:
                 rows = json.load(f)
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:
+            # A corrupt artifact silently demoting queries to
+            # never-checked would invisibly reshuffle the whole
+            # rotation — make it visible in driver logs.
+            print(
+                f"[rotation] skipping unreadable {path}: {exc}",
+                file=sys.stderr,
+            )
             continue
         if not isinstance(rows, dict):
             continue

@@ -281,6 +281,11 @@ def histogram_quantiles(
     numerator must fit int64 — width * bins * per-bin-count < 2^63,
     i.e. ~1.4e10 rows per (group, bin) at cent-scale widths; raise
     ``bins`` (shrinking per-bin counts) if a group ever approaches it.
+    The bound is ENFORCED, not just documented: the estimate raises
+    (raise_error, checked in float so the check itself cannot
+    overflow) when width * bins * count exceeds ~2^62 — past it both
+    engines would go wrong identically, so the oracle gate could
+    never catch a silent overflow.
 
     Output: group_cols, pct (int), n, est (rounded to 4 places in
     original units).
@@ -338,6 +343,24 @@ def histogram_quantiles(
         / F.lit(scale),
         4,
     )
+    # Enforce the documented int64 interpolation bound. The check runs
+    # in double (no overflow while checking); 4e18 < 2^62 leaves margin
+    # for the float compare itself. Embedded in the output column so
+    # column pruning can never drop it.
+    overflow = (
+        (F.col("__mx") - F.col("__mn") + F.lit(1)).cast("double")
+        * F.lit(float(bins))
+        * F.col("__cnt").cast("double")
+        > F.lit(4.0e18)
+    )
+    est = F.when(
+        overflow,
+        F.expr(
+            "CAST(raise_error('histogram_quantiles: (mx-mn+1)*bins*count"
+            " exceeds the int64 interpolation bound; raise bins')"
+            " AS DOUBLE)"
+        ),
+    ).otherwise(est)
     return picked.select(
         *group_cols,
         "pct",

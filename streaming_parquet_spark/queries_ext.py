@@ -229,7 +229,11 @@ def _duck_prefix_join_oracle(tn: int = 1, td: int = 2) -> str:
     FROM cand
     JOIN sized sa ON sa.id = id_a
     JOIN sized sb ON sb.id = id_b
-    WHERE floor(({j}) * 1e4 + 5e-1) / 1e4 >= {tn} / {td}
+    -- pure-integer threshold (J >= tn/td exactly); rounding is
+    -- display-only so the prefix prunes' recall guarantee covers
+    -- every emitted pair
+    WHERE {td} * len(list_intersect(sa.sh, sb.sh))
+          >= {tn} * len(list_distinct(list_concat(sa.sh, sb.sh)))
     """
 
 
@@ -264,13 +268,12 @@ def _duck_ngram_oracle(n: int, threshold: float) -> str:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, floor(({j}) * 1e4 + 5e-1) / 1e4 AS jaccard
     FROM d a JOIN d b
       ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
-    -- length filter mirrors the Spark join condition exactly; it must
-    -- appear on BOTH sides because the final compare rounds to 4
-    -- places, so a raw jaccard just under t can round up to t while
-    -- failing the un-rounded prune
+    -- threshold on the RAW jaccard (pure predicate; IEEE division is
+    -- correctly rounded so the compare is engine-independent) —
+    -- rounding is display-only, mirroring the Spark operator
     WHERE least(len(a.sh), len(b.sh))
           >= {threshold} * greatest(len(a.sh), len(b.sh))
-      AND floor(({j}) * 1e4 + 5e-1) / 1e4 >= {threshold}
+      AND ({j}) >= {threshold}
     """
 
 

@@ -1536,6 +1536,25 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert jac[(1, 2)] < 0.2             # Jaccard blind to inclusion
 
 
+def test_histogram_quantiles_overflow_guard_fires(spark):
+    """Past width*bins*count ~ 2^62 the interpolation numerator would
+    silently overflow IDENTICALLY in both engines (so the oracle gate
+    can't catch it) — the operator must raise instead. Width ~1e17
+    keeps the binning multiply inside int64 (that region already fails
+    loudly under ANSI) but puts the interpolation product past the
+    bound."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from streaming_parquet_spark.operators.sketch import histogram_quantiles
+
+    wide = spark.createDataFrame(
+        [("g", 0), ("g", 5 * 10**16), ("g", 10**17)], "g string, v long"
+    )
+    with _pytest.raises(Exception, match="int64 interpolation bound"):
+        histogram_quantiles(wide, ["g"], "v", [50]).collect()
+
+
 def test_containment_prefix_join_matches_brute_force(spark):
     """The prefix-filter candidate stage must have EXACT recall: on a
     random word-soup corpus (many borderline overlaps) the operator's
