@@ -159,15 +159,20 @@ def tfidf_topk(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    log_score: bool = False,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.
 
     Ranking key is the RATIONAL score tf * (N+1) / (df+1) — a monotone
     idf in df for fixed tf, computed with one IEEE double division that
     both engines round identically, so ranks are bit-stable cross-engine
-    (a log-based key would hang tie-breaks on libm's last ulp). The
-    familiar smoothed log score tf * (ln((N+1)/(df+1)) + 1) is emitted
-    alongside, rounded to 4dp, as ``score``.
+    (a log-based key would hang tie-breaks on libm's last ulp). By
+    default ``score`` IS that rational key (rounded 4dp) — every output
+    cell is then engine-libm-free, so an oracle can hash it exactly.
+    ``log_score=True`` emits the familiar smoothed log score
+    tf * (ln((N+1)/(df+1)) + 1) instead — same ranks, nicer dynamic
+    range for humans, but the last printed digit rides on the engine's
+    libm, so don't bit-compare it across engines.
 
     Output: id, term, tf, df, score, rank (rank <= k, ties by term).
     Shuffle shape at 100 TB: explode -> partial-aggregated (doc, term)
@@ -198,7 +203,9 @@ def tfidf_topk(
                 F.col("tf")
                 * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1),
                 4,
-            ),
+            )
+            if log_score
+            else round_to_col(F.col("__key"), 4),
         )
     )
     w = W.partitionBy("id").orderBy(F.col("__key").desc(), F.col("term").asc())

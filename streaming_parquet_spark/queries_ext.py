@@ -1574,7 +1574,9 @@ def _duck_tfidf_topk(k: int) -> str:
     s AS (
       SELECT tf.id, tf.term, tf.tf, dfr.df,
              tf.tf * (n.n + 1) / (dfr.df + 1) AS key,
-             floor((tf.tf * (LN((n.n + 1) / (dfr.df + 1)) + 1)) * 1e4 + 5e-1) / 1e4 AS score
+             -- score IS the rational key (one IEEE division + exact
+             -- 4dp floor-round): no libm anywhere in a hashed cell
+             floor((tf.tf * (n.n + 1) / (dfr.df + 1)) * 1e4 + 5e-1) / 1e4 AS score
       FROM tf JOIN dfr ON tf.term = dfr.term, n
     ),
     r AS (SELECT id, term, tf, df, score,
@@ -1587,10 +1589,11 @@ def _duck_tfidf_topk(k: int) -> str:
 
 @query("text_tfidf_topk", _duck_tfidf_topk(5))
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 characteristic terms per document by TF-IDF, ranked on the
-    rational key tf*(N+1)/(df+1) (one IEEE division — bit-stable
-    cross-engine, unlike a libm log) with the familiar smoothed-log
-    score emitted at 4dp. See operators.text.tfidf_topk."""
+    """Top-5 characteristic terms per document by TF-IDF, ranked AND
+    scored on the rational key tf*(N+1)/(df+1) (one IEEE division —
+    bit-stable cross-engine; the smoothed-log rendering is opt-in via
+    log_score=True and deliberately kept out of hashed gate columns).
+    See operators.text.tfidf_topk."""
     from streaming_parquet_spark.operators.text import tfidf_topk
 
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)

@@ -757,7 +757,8 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
            floor((SQRT(o_totalprice)) * 1e4 + 5e-1) / 1e4 AS price_sqrt,
-           floor((LN(o_totalprice)) * 1e6 + 5e-1) / 1e6 AS price_ln,
+           CAST(LENGTH(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR))
+                AS INTEGER) AS price_digits,
            CAST(o_orderkey % 7 AS BIGINT) AS key_mod
     FROM orders WHERE o_orderkey < 1000
     """,
@@ -766,8 +767,11 @@ def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function parity sweep (SURVEY §2.7 — the reference has no
     expression language; this is the Spark built-in surface): string
     (upper/substr/length/concat/lpad/replace), date part extraction +
-    truncation, and math (floor/sqrt/ln/mod), all whole-stage-codegen'd
-    in one projection over a pruned scan."""
+    truncation, and math (floor/sqrt/integer-log10-as-digit-count/mod),
+    all whole-stage-codegen'd in one projection over a pruned scan.
+    sqrt IS hash-gated (IEEE-correctly-rounded on every engine); ln is
+    deliberately NOT — a libm-valued cell would carry a permanent
+    ~1e-9/row hash-mismatch risk (see VERDICT r4 text_chi2_terms)."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
     return orders.select(
         "o_orderkey",
@@ -789,7 +793,9 @@ def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("month_start"),
         F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
         round_to_col(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
-        round_to_col(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.length(F.floor("o_totalprice").cast("long").cast("string"))
+        .cast("int")
+        .alias("price_digits"),
         (F.col("o_orderkey") % 7).cast("long").alias("key_mod"),
     )
 
