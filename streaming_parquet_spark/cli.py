@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--state", help="checkpoint directory for resumable runs")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verify", action="store_true")
+    p.add_argument(
+        "--verify-mode",
+        choices=["count", "content"],
+        default="count",
+        help="count: reconcile row counts; content: also reconcile an "
+        "order-independent CRC32 checksum of a canonical row rendering "
+        "(the reference's declared-but-stubbed crc64 integrity check, "
+        "made real)",
+    )
 
     # Partitioned output (extension; no reference analog)
     p.add_argument(
@@ -136,6 +145,7 @@ def spec_from_args(args: argparse.Namespace) -> RunSpec:
         state=args.state,
         resume=args.resume,
         verify=args.verify,
+        verify_mode=args.verify_mode,
         single_file=args.roll_by_rows is None and args.roll_by_bytes is None,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
     )

@@ -429,7 +429,11 @@ class Engine:
             # csv out, all-parquet in: concat preserves row counts, so
             # input footers are exact.
             rows = self._parquet_rows([f.path for f in files])
-        verified = self._verify(spec, sink, rows) if spec.verify else None
+        verified = (
+            self._verify(spec, sink, rows, written=observed)
+            if spec.verify
+            else None
+        )
         return RunResult(
             rows=rows,
             input_files=len(files),
@@ -510,23 +514,70 @@ class Engine:
         bytes_per_row = max(1, total_bytes // max(1, total_rows))
         return max(1, int(spec.roll_by_bytes // bytes_per_row))
 
-    def _verify(self, spec: RunSpec, sink: SinkResult, expected_rows: int) -> bool:
-        """--verify (cli.rs:118-120, never implemented in the reference):
-        re-read the output and reconcile row counts."""
+    def _read_back(self, spec: RunSpec, sink: SinkResult, schema=None):
+        """Re-open the just-written output. With ``schema`` (content
+        verify) text formats parse back to the written types, so the
+        canonical rendering agrees between the pre-write plan and the
+        round-tripped bytes."""
         fmt = spec.resolve_out_format()
         if fmt == "parquet":
-            actual = self.spark.read.parquet(*sink.paths).count()
-        elif fmt == "jsonl":
-            actual = self.spark.read.json(sink.paths).count()
-        elif fmt == "orc":
-            actual = self.spark.read.orc(sink.paths).count()
-        elif fmt == "text":
-            actual = self.spark.read.text(sink.paths).count()
-        else:
-            actual = (
-                self.spark.read.option("header", "true")
-                .option("sep", spec.delimiter)
-                .csv(sink.paths)
-                .count()
-            )
-        return actual == expected_rows
+            return self.spark.read.parquet(*sink.paths)
+        if fmt == "jsonl":
+            r = self.spark.read
+            if schema is not None:
+                r = r.schema(schema)
+            return r.json(sink.paths)
+        if fmt == "orc":
+            return self.spark.read.orc(sink.paths)
+        if fmt == "text":
+            return self.spark.read.text(sink.paths)
+        r = (
+            self.spark.read.option("header", "true")
+            .option("sep", spec.delimiter)
+            .option("quote", spec.quote)
+        )
+        if schema is not None:
+            r = r.schema(schema)
+        return r.csv(sink.paths)
+
+    @staticmethod
+    def _content_checksum(df) -> tuple[int, int]:
+        """(rows, checksum): order-independent SUM of per-row CRC32s
+        over a canonical rendering — every column cast to string in
+        column-name order, nulls as a sentinel no real value renders,
+        fields joined on a unit separator. The sum accumulates into
+        decimal(38,0) so it cannot overflow at any row count, and being
+        commutative it is partitioning-independent: at 100 TB each map
+        task folds its partition's CRCs and the exchange carries one
+        decimal per task. CRC32 is the JVM-built-in stand-in for the
+        reference's declared-but-unused crc64fast dependency
+        (Cargo.toml:60); a 32-bit sum still detects any single-row
+        corruption and all but ~2^-32 of multi-row ones."""
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00\x00NULL"))
+            for c in sorted(df.columns)
+        ]
+        row = F.concat_ws("\x1f", *cols)
+        got = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.crc32(row).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("crc"),
+        ).first()
+        return int(got["n"]), int(got["crc"])
+
+    def _verify(
+        self, spec: RunSpec, sink: SinkResult, expected_rows: int, written=None
+    ) -> bool:
+        """--verify (cli.rs:118-120, declared with a crc64 dependency
+        but never implemented in the reference): re-read the output and
+        reconcile row counts; in ``verify_mode="content"`` additionally
+        reconcile the canonical-row checksum of the written plan
+        against the round-tripped bytes (did my bytes survive?)."""
+        if spec.verify_mode == "content" and written is not None:
+            exp_n, exp_crc = self._content_checksum(written)
+            back = self._read_back(spec, sink, schema=written.schema)
+            act_n, act_crc = self._content_checksum(back)
+            return (exp_n, exp_crc) == (act_n, act_crc)
+        return self._read_back(spec, sink).count() == expected_rows

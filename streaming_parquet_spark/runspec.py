@@ -59,6 +59,12 @@ class RunSpec:
     state: str | None = None
     resume: bool = False
     verify: bool = False
+    # "count" reconciles row counts; "content" additionally reconciles
+    # an order-independent CRC32 checksum over a canonical row rendering
+    # of the written data vs the re-read output — the checksum-grade
+    # integrity check the reference DECLARED but never implemented
+    # (cli.rs:118-120 + Cargo.toml crc64fast, unused there).
+    verify_mode: str = "count"             # "count" | "content"
 
     # Output ergonomics
     single_file: bool = True               # reference writes ONE output file

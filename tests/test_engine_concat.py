@@ -161,6 +161,47 @@ def test_parquet_roundtrip_with_verify(engine, tmp_path, sf_dir):
     assert df.columns == sorted(df.columns)
 
 
+def test_content_verify_roundtrip_parquet_and_csv(engine, tmp_path, sf_dir):
+    """verify_mode='content' reconciles the canonical-row CRC32 sum of
+    the written plan against the round-tripped bytes — green for both
+    a columnar and a text output, including null cells."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    for out_name in ("orders_copy.parquet", "orders_copy.csv"):
+        out = str(tmp_path / out_name)
+        res = engine.run(
+            RunSpec(
+                inputs=[src], out=out, verify=True, verify_mode="content"
+            )
+        )
+        assert res.verified is True, out_name
+
+
+def test_content_verify_detects_corruption(engine, tmp_path):
+    """Flipping one value in the landed output makes content verify
+    fail where count verify stays green — the 'did my bytes survive?'
+    gap the reference's stubbed crc64 flag advertised."""
+    import pathlib
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,name\n1,alpha\n2,beta\n3,\n")
+    out = str(tmp_path / "out.csv")
+    spec = RunSpec(
+        inputs=[str(src)], out=out, verify=True, verify_mode="content"
+    )
+    res = engine.run(spec)
+    assert res.verified is True
+    # tamper: same row count, one byte changed
+    corrupted = pathlib.Path(out).read_text().replace("beta", "betA")
+    pathlib.Path(out).write_text(corrupted)
+    from streaming_parquet_spark.sinks.writers import SinkResult
+
+    sink = SinkResult(paths=[out], bytes_written=0, files_written=1)
+    written = engine.spark.read.option("header", "true").csv(str(src))
+    assert engine._verify(spec, sink, 3, written=written) is False
+    count_spec = RunSpec(inputs=[str(src)], out=out, verify=True)
+    assert engine._verify(count_spec, sink, 3) is True
+
+
 def test_mixed_csv_parquet_concat(engine, tmp_path, sf_dir):
     """CSV + Parquet inputs unify through the lattice in one run."""
     src = os.path.join(sf_dir, "region.parquet")
