@@ -117,6 +117,10 @@ def main() -> None:
     # charges whichever query runs first with the one-time JIT compile
     # of the shared expression machinery (measured: the first minhash
     # query pays ~7 s of C2 compilation the second pass doesn't).
+    from streaming_parquet_spark.operators.similarity import (
+        release_materialized,
+    )
+
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
     for _pass in range(2):
@@ -125,7 +129,10 @@ def main() -> None:
             # second pass could silently reuse a prior pass's persisted
             # signatures; clear between runs so every sample does its
             # full work from parquet and min() removes only JIT noise.
+            # release_materialized drops the staged-relation handles too,
+            # so one query family's persists never evict another's.
             spark.catalog.clearCache()
+            release_materialized()
             t0 = time.perf_counter()
             _run_query(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 4)

@@ -19,6 +19,9 @@ norms for the general case.
 
 from __future__ import annotations
 
+import os
+import weakref
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from streaming_parquet_spark.functions.portable import (
@@ -77,6 +80,71 @@ _PERSISTED: list[DataFrame] = []
 _PERSIST_KEEP = 6
 
 
+_SPREAD_MARK: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+
+
+def spread_input(df: DataFrame, min_ratio: int = 2) -> DataFrame:
+    """Round-robin a SOURCE relation across the cluster when its scan
+    would yield pathologically few partitions — a single-row-group
+    parquet file is unsplittable, so every downstream per-row
+    computation (md5 shingling, 64-dim dot products, Arrow UDF
+    batches) would otherwise run inside ONE task no matter how many
+    cores exist. The repartition moves the narrow input columns once
+    (cheap — do it BEFORE the heavy projection, which then runs fully
+    parallel).
+
+    Conditional by design: the scan's task count is ESTIMATED from the
+    source file listing and sizes versus maxPartitionBytes — pure
+    driver-side metadata, no job. (NOT ``df.rdd.getNumPartitions()``:
+    under AQE that materializes the plan's query stages — i.e. runs
+    the query — just to ask the question.) A multi-file / large corpus
+    (any production layout — thousands of splits at 100 TB) estimates
+    >= cores/min_ratio tasks and is returned untouched; a derived
+    relation whose lineage already contains exchanges is parallel
+    regardless, and an extra round-robin of its (small) output is the
+    accepted cost of keeping the check metadata-only. Re-spreading is
+    suppressed for frames this function itself returned."""
+    if df in _SPREAD_MARK:
+        return df
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism or 1
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    try:
+        max_pb = int(
+            str(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                )
+            ).lower().rstrip("b")
+        )
+    except ValueError:
+        max_pb = 134217728
+    est = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return df  # non-local source: trust its split planning
+        est += max(1, -(-size // max_pb))
+        if est * min_ratio >= cores:
+            return df
+    # ROUND-ROBIN, not hash-on-columns: a hash partitioning expression
+    # references its columns, which blocks column pruning from reaching
+    # the scan (a downstream 2-column projection would read the whole
+    # row). Round-robin references nothing — pruning passes through —
+    # and its determinism sort (sortBeforeRepartition) touches only the
+    # already-pruned projection of these deliberately small inputs.
+    out = df.repartition(cores)
+    _SPREAD_MARK.add(out)
+    return out
+
+
 def release_materialized() -> None:
     """Unpersist every relation staged by ``_materialize`` — call when a
     batch of similarity/dedup work is done and the session lives on."""
@@ -103,8 +171,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    # The probe side does all the dot-product work — spread it when the
+    # source scan is unsplittable (no-op on production layouts).
+    c = spread_input(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
     )
     sim = _dot("qv", "cv", dims)
     if cosine:

@@ -55,6 +55,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name in ("documents", "embeddings"):
+            # The text/embedding corpora carry heavy PER-ROW work
+            # (shingle hashing, dot products, Arrow batches). A
+            # single-row-group fixture file is an unsplittable scan —
+            # one task would run all of it; spread_input round-robins
+            # the narrow rows first (no-op whenever the scan already
+            # parallelizes, i.e. any production layout).
+            from streaming_parquet_spark.operators.similarity import (
+                spread_input,
+            )
+
+            df = spread_input(df)
         _TABLE_CACHE[key] = df
     return df
 
