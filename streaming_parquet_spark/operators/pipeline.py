@@ -440,3 +440,35 @@ def weighted_sample(
         .orderBy("priority", id_col)
         .limit(k)
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic pseudo-random TRAINING ORDER for a corpus: every
+    row gets a portable hash sort key and a shard assignment; the
+    training order is ORDER BY (shard, sort_key, id). Seeding gives
+    independent permutations per epoch.
+
+    Scale design: deliberately NO global row_number — a corpus-wide
+    window would funnel 100 TB through one sort partition. The key and
+    shard are stateless per-row expressions (zero shuffles here);
+    writers partition output by shard, and each reader sorts its own
+    shard — the standard sharded-shuffle contract. The key reuses the
+    Knuth-multiplicative portable hash (exact in int64, identical in
+    any engine), so the permutation is reproducible from the data
+    alone on resume and across cluster sizes — unlike
+    ``df.orderBy(rand())``, whose output depends on partitioning.
+
+    Output: id, sort_key, shard."""
+    key = hash_bucket_expr(
+        "spark", id_col, buckets=2147483647, seed=seed or 0
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(key).cast("bigint").alias("sort_key"),
+        F.expr(f"CAST(({key}) % {int(n_shards)} AS INT)").alias("shard"),
+    )

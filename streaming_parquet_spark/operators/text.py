@@ -639,3 +639,74 @@ def sparse_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("id", "nbr", round_to_col("cos_raw", 4).alias("cos"), "rank")
     )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Canonical text normalization — the first stage of every
+    pretraining-data pipeline: strip ASCII control characters
+    (replaced by a space so word boundaries survive), collapse
+    whitespace runs to single spaces, trim. Deliberately ASCII-scoped
+    (plain character classes evaluate identically under Java regex and
+    RE2, so an oracle reproduces it byte-for-byte; full Unicode NFC
+    is locale/library-dependent and NOT portable).
+
+    Adds ``out_col`` plus n_removed = chars dropped by normalization.
+    Pure per-row projection — no shuffle at any scale."""
+    ctrl = F.regexp_replace(F.col(text_col), "[\\x00-\\x1f\\x7f]", " ")
+    norm = F.trim(F.regexp_replace(ctrl, " +", " "))
+    return df.withColumn(out_col, norm).withColumn(
+        "n_removed",
+        (F.length(F.col(text_col)) - F.length(F.col(out_col))).cast("int"),
+    )
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's distinct
+    word n-gram shingles that occur in NO other document (global
+    df = 1) — the curation signal that separates template/boilerplate
+    documents (novelty ~0) from unique content, used to pick dedup
+    survivors and up-weight rare material.
+
+    Plan at 100 TB: explode distinct shingle hashes -> vocab-sized df
+    aggregate (partial-aggregated; the exchange carries (hash, count))
+    -> join back -> per-doc counts. The join key is the shingle hash —
+    the same narrow shuffle as the MinHash band join; no document text
+    moves after the first projection. Output: id, n_shingles,
+    n_unique, novelty (4dp; exact IEEE division of two ints).
+    Documents with zero shingles yield no row (mirrored by oracles)."""
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+        shingles_expr,
+    )
+
+    sh = word_hashes_expr(
+        "spark", shingles_expr("spark", ordered_words_expr("spark", text_col), n)
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.expr(sh))).alias("h"),
+    )
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty",
+            round_to_col(
+                F.col("n_unique").cast("double") / F.col("n_shingles"), 4
+            ),
+        )
+    )

@@ -3891,3 +3891,193 @@ def embed_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_to_col(F.count("hit") / F.lit(10.0), 4).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: normalization / novelty / global shuffle / LSH recall
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_normalize",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+               ' +', ' ', 'g'), ' ') AS text_norm,
+             text
+      FROM documents
+    )
+    SELECT doc_id, text_norm,
+           CAST(length(text) - length(text_norm) AS INTEGER) AS n_removed
+    FROM n
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical ASCII-scoped text normalization (control-char strip,
+    whitespace collapse, trim) — the first pass of every pretraining
+    pipeline; pure per-row projection. See operators.text.normalize_text."""
+    from streaming_parquet_spark.operators.text import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_norm", "n_removed"
+    )
+
+
+@query(
+    "text_novelty",
+    f"""
+    WITH ex AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct({_duck_shingle_hashes()})) AS h
+      FROM documents
+    ),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h)
+    SELECT id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           floor((CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*)) * 1e4 + 5e-1) / 1e4 AS novelty
+    FROM ex JOIN dfreq USING (h)
+    GROUP BY id
+    """,
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: fraction of a doc's distinct shingles with
+    global df = 1 — boilerplate scores ~0, unique content ~1. Vocab-sized
+    aggregate + hash-keyed join. See operators.text.novelty_scores."""
+    from streaming_parquet_spark.operators.text import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_global_shuffle",
+    f"""
+    SELECT doc_id AS id,
+           CAST({hash_bucket_expr("duckdb", "doc_id", 2147483647, 7)}
+                AS BIGINT) AS sort_key,
+           CAST(({hash_bucket_expr("duckdb", "doc_id", 2147483647, 7)}) % 64
+                AS INTEGER) AS shard
+    FROM documents
+    """,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training-order shuffle: portable hash sort
+    key + shard per row, zero shuffles (readers sort within shard) —
+    the reproducible alternative to orderBy(rand()). See
+    operators.pipeline.global_shuffle."""
+    from streaming_parquet_spark.operators.pipeline import global_shuffle
+
+    return global_shuffle(
+        _t(spark, sf_dir, "documents"), seed=7, n_shards=64
+    )
+
+
+def _duck_lsh_recall_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    """LSH candidate recall against the EXACT Jaccard >= 1/2 pair set.
+
+    Truth here is brute-force all-pairs (fine at oracle scale; the
+    Spark side's truth is the prefix-filter join, which is proven
+    equal to brute force by tests/test_operators.py's recall tests and
+    the dedup_prefix_join gate). Empty-shingle docs are excluded from
+    truth exactly as the prefix join excludes them."""
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"{minhash_expr('duckdb', 'wh', i)} AS m{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        ms = [f"m{b * rows + i}" for i in range(rows)]
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band,"
+            f" {band_hash_expr(ms)} AS bh FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    j = jaccard_expr("duckdb", "a.ws", "b.ws")
+    sh = shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), 3)
+    return f"""
+    WITH docs AS MATERIALIZED (
+      -- deterministic 25% hash sample: recall is a per-pair property,
+      -- so measuring it on a portable-hash sample is unbiased, and it
+      -- keeps this double-pipeline gate query within budget
+      SELECT doc_id, {sh} AS sh FROM documents
+      WHERE {hash_bucket_expr("duckdb", "doc_id", 100, 3)} < 25
+    ),
+    h AS MATERIALIZED (
+      SELECT doc_id, sh, {word_hashes_expr("duckdb", "sh")} AS wh FROM docs
+    ),
+    sets AS MATERIALIZED (
+      SELECT doc_id, list_distinct(wh) AS ws FROM h
+    ),
+    sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM h),
+    bandst AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandst a JOIN bandst b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    lsh AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sets a ON a.doc_id = id_a
+      JOIN sets b ON b.doc_id = id_b
+      WHERE floor(({j}) * 1e4 + 5e-1) / 1e4 >= 0.5
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE len(a.ws) > 0 AND len(b.ws) > 0
+        -- length prune (recall-safe for J >= 1/2) keeps the oracle fast
+        AND 2 * least(len(a.ws), len(b.ws)) >= greatest(len(a.ws), len(b.ws))
+        AND 2 * len(list_intersect(a.ws, b.ws))
+            >= len(list_distinct(list_concat(a.ws, b.ws)))
+    )
+    SELECT n_true, n_hit,
+           floor((CAST(n_hit AS DOUBLE) / n_true) * 1e4 + 5e-1) / 1e4 AS recall
+    FROM (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM truth t
+               JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b) AS n_hit
+    )
+    """
+
+
+@query("dedup_lsh_recall", _duck_lsh_recall_oracle(16, 8))
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL of the probabilistic MinHash-LSH dedup path measured
+    against the exact prefix-filter join at the same threshold
+    (J >= 1/2) — the dedup analog of embed_ann_recall: the number the
+    banding-probability formula (1-(1-j^2)^8 = 0.90 at j=0.5) promises,
+    now pinned empirically by both engines. Ground truth comes from
+    prefix_jaccard_pairs (exact, zero false negatives); LSH pairs from
+    minhash_lsh_pairs with verify at the same threshold — any truth
+    pair surviving candidate generation always passes verify, so
+    hits = truth ∩ lsh exactly measures banding recall. Runs on a
+    deterministic 25% hash sample (unbiased for a per-pair property;
+    the query executes BOTH dedup pipelines, so the sample keeps it
+    within the gate budget)."""
+    from streaming_parquet_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.expr(hash_bucket_expr("spark", "doc_id", 100, 3)) < 25
+    )
+    truth = prefix_jaccard_pairs(
+        docs, threshold_num=1, threshold_den=2
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    hits = truth.join(lsh, ["id_a", "id_b"], "left_semi")
+    stats = truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return stats.select(
+        "n_true",
+        "n_hit",
+        round_to_col(
+            F.col("n_hit").cast("double") / F.col("n_true"), 4
+        ).alias("recall"),
+    )

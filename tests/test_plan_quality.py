@@ -26,6 +26,7 @@ _BNLJ_OK = {
     "embed_ann_lsh",
     "embed_ann_ivf",
     "embed_ann_sq8",
+    "dedup_lsh_recall",    # 1-row x 1-row count crossJoin (n_true, n_hit)
     "embed_ann_recall",    # wraps cosine_topk (the allow-listed exact baseline)
     "embed_ann_recall_pq",  # same: cosine_topk baseline + IVF centroid broadcast
     "text_tfidf_topk",     # 1-row corpus-count (N) broadcast
