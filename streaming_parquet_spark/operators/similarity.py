@@ -233,9 +233,10 @@ def similarity_pairs(
             for i in range(dims)
         ]
         base = _materialize(
-            df.select(*cols).select(
+            spread_input(df.select(*cols)).select(
                 "id", *(["blk"] if block_col else []), *flat_cols
-            )
+            ),
+            spread=False,  # spread BEFORE the 64-way flatten instead
         )
         a, b = base.alias("a"), base.alias("b")
         sim_raw = None
@@ -251,7 +252,7 @@ def similarity_pairs(
             F.col("b.id").alias("id_b"),
             round_to_col(sim_raw, 4).alias("sim"),
         )
-    base = _materialize(df.select(*cols))
+    base = _materialize(spread_input(df.select(*cols)), spread=False)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
@@ -328,7 +329,9 @@ def ivf_assign(
     c = centroids.select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
     )
-    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = spread_input(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
     scored = v.join(F.broadcast(c)).withColumn(
         "aff", F.expr(dot_expr("spark", "v", "cent_v", dims))
     )
@@ -980,7 +983,10 @@ def ivf_pq_topk(
     # Materialized once: the assignment feeds BOTH the PQ encoding and
     # the cluster map below — without this the centroid-affinity
     # argmax (a broadcast NLJ over the corpus) executes twice.
-    assigned = _materialize(ivf_assign(corpus, cents, id_col, vec_col, dims))
+    assigned = _materialize(
+        ivf_assign(corpus, cents, id_col, vec_col, dims),
+        spread=False,  # ivf_assign spreads its own input
+    )
     codes = pq_encode(
         assigned.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
         cb, id_col, vec_col,
