@@ -534,16 +534,23 @@ def with_sq8(
     code_col: str = "sq8",
 ) -> DataFrame:
     """Attach int8 quantization columns (per-vector scale + code array).
-    All-zero vectors get scale 0 and all-zero codes (0/0 guarded)."""
+    All-zero vectors get scale 0 and all-zero codes (0/0 guarded).
+
+    The scale is LET-BOUND via the single-element transform idiom
+    (portable.py): written as a withColumn alias, CollapseProject
+    inlines the 64-term max-abs expression into all 65 references in
+    the code array (+ its zero guard) — ~4,000 ops/row instead of
+    ~130. The lambda variable is evaluated once per row; measured ~2x
+    on the SQ8 query family."""
     scale, quant = sq8_quantize_exprs(vec_col, dims, "spark")
-    df = df.withColumn("__sq8_scale", F.expr(scale))
-    quant_guarded = (
-        f"CASE WHEN __sq8_scale = 0 THEN array_repeat(CAST(0 AS BIGINT), {dims})"
-        f" ELSE {quant} END"
+    quant_let = (
+        f"element_at(transform(array({scale}), __sq8_scale -> "
+        f"CASE WHEN __sq8_scale = 0"
+        f" THEN array_repeat(CAST(0 AS BIGINT), {dims})"
+        f" ELSE {quant} END), 1)"
     )
-    return (
-        df.withColumn(code_col, F.expr(quant_guarded))
-        .withColumnRenamed("__sq8_scale", scale_col)
+    return df.withColumn(scale_col, F.expr(scale)).withColumn(
+        code_col, F.expr(quant_let)
     )
 
 
