@@ -710,3 +710,37 @@ def novelty_scores(
             ),
         )
     )
+
+
+def quality_deciles(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10,
+) -> DataFrame:
+    """Quality-score normalization WITHIN each domain: ntile buckets
+    over (quality_score, id) — the curation step that makes 'top 30%
+    by quality' mean the same thing in every slice regardless of each
+    domain's score distribution (absolute thresholds over-prune clean
+    domains and under-prune noisy ones).
+
+    ntile follows the SQL-standard remainder rule in both engines, and
+    the (score, id) ordering is total, so bucket assignment is
+    deterministic and oracle-exact. One shuffle on the group column;
+    at 100 TB a domain's documents already co-locate by partition
+    layout, and skewed domains split fine because ntile needs only a
+    per-partition sort, not a global one.
+
+    Output: id, group, quality_score, decile (1..buckets,
+    1 = lowest-scoring)."""
+    scored = with_quality(df, text_col)
+    w = W.partitionBy(group_col).orderBy(
+        F.col("quality_score").asc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        "quality_score",
+        F.ntile(buckets).over(w).cast("int").alias("decile"),
+    )

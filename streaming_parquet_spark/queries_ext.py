@@ -4081,3 +4081,68 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hit").cast("double") / F.col("n_true"), 4
         ).alias("recall"),
     )
+
+
+@query(
+    "dedup_size_histogram",
+    """
+    WITH clusters AS (
+      SELECT COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY MD5(translate(TRIM(text, ' '),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz'))
+    )
+    SELECT n_copies, COUNT(*) AS n_clusters,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY n_copies
+    """,
+)
+def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup QA report
+    (unique mass vs boilerplate tail). Two compact-key aggregate
+    shuffles; output bounded by |distinct sizes|. See
+    operators.dedup.cluster_size_histogram."""
+    from streaming_parquet_spark.operators.dedup import (
+        cluster_size_histogram,
+    )
+
+    return cluster_size_histogram(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality_norm",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {n_words_expr("duckdb", "text")} AS n_words,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS punct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id AS id, source AS grp,
+           floor(((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN n_words > 0
+                   AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                       BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN n_chars > 0
+                   AND CAST(punct AS DOUBLE) / n_chars < 0.1
+                   THEN 0.3 ELSE 0.0 END)) * 1e2 + 5e-1) / 1e2
+             AS quality_score
+      FROM t
+    )
+    SELECT id, grp, quality_score,
+           CAST(ntile(10) OVER (PARTITION BY grp
+                ORDER BY quality_score, id) AS INTEGER) AS decile
+    FROM q
+    """,
+)
+def text_quality_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-score deciles (ntile over a total order) —
+    makes 'top X% by quality' distribution-invariant across domains.
+    See operators.text.quality_deciles."""
+    from streaming_parquet_spark.operators.text import quality_deciles
+
+    return quality_deciles(_t(spark, sf_dir, "documents"))

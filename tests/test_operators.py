@@ -2554,3 +2554,40 @@ def test_lsh_recall_bounds_and_floor(spark, sf_dir):
     assert 0 <= row["n_hit"] <= row["n_true"]
     assert row["n_true"] > 0
     assert row["recall"] >= 0.6
+
+
+def test_cluster_size_histogram_conserves_documents(spark):
+    from streaming_parquet_spark.operators.dedup import cluster_size_histogram
+
+    rows = [(1, "same text"), (2, "same text"), (3, "Same Text"),
+            (4, "unique one"), (5, "unique two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["n_copies"]: (r["n_clusters"], r["n_docs"])
+           for r in cluster_size_histogram(df).collect()}
+    # 'same text' x2 + case-folded 'Same Text' -> one cluster of 3
+    assert got[3] == (1, 3)
+    assert got[1] == (2, 2)
+    assert sum(d for _, d in got.values()) == 5   # every doc accounted
+
+
+def test_quality_deciles_rank_within_group(spark):
+    from streaming_parquet_spark.operators.text import quality_deciles
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(20):
+            # Vary quality: longer, punctuation-free texts score higher
+            words = ["word"] * (2 + i)
+            rows.append((len(rows), " ".join(words), g))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = quality_deciles(df).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append((r["quality_score"], r["decile"]))
+    for grp, vals in by_grp.items():
+        assert len(vals) == 20
+        assert set(d for _, d in vals) == set(range(1, 11))  # 20/10 = 2 each
+        for (s1, d1) in vals:
+            for (s2, d2) in vals:
+                if s1 < s2:
+                    assert d1 <= d2, grp  # deciles monotone in score
