@@ -2591,3 +2591,82 @@ def test_quality_deciles_rank_within_group(spark):
             for (s2, d2) in vals:
                 if s1 < s2:
                     assert d1 <= d2, grp  # deciles monotone in score
+
+
+@pytest.mark.parametrize("seed", [7, 19, 133])
+def test_prefix_join_brute_force_fuzz(spark, seed):
+    """Multi-seed randomized corpora: the prefix-filter join equals a
+    brute-force Jaccard >= 2/3 computation exactly (the raw integer
+    predicate, rounding display-only) — the zero-false-negative claim
+    under adversarial overlap structure."""
+    import itertools
+    import random
+
+    from streaming_parquet_spark.operators.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    base_words = [rng.choice(vocab) for _ in range(24)]
+    rows = []
+    for i in range(40):
+        w = list(base_words)
+        for _ in range(rng.randint(0, 10)):      # random mutations
+            w[rng.randrange(len(w))] = rng.choice(vocab)
+        rows.append((i, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           prefix_jaccard_pairs(df, threshold_num=2, threshold_den=3).collect()}
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if sets[a] and sets[b]
+        and 3 * len(sets[a] & sets[b]) >= 2 * len(sets[a] | sets[b])
+    }
+    assert got == want and want  # non-trivial fixture
+
+
+@pytest.mark.parametrize("seed", [11, 97])
+def test_containment_prefix_fuzz(spark, seed):
+    """Randomized doc-inside-doc corpora: prefix-filter containment
+    equals brute force including the rounded threshold band and the
+    semantic size prune."""
+    import itertools
+    import math
+    import random
+
+    from streaming_parquet_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(25)]
+    rows = []
+    for i in range(35):
+        k = rng.randint(4, 20)
+        words = [rng.choice(vocab) for _ in range(k)]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4:   # plant a (near-)containing superdoc
+            extra = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+            rows.append((1000 + i, " ".join(words + extra)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.8, n=2).collect()}
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or len(sb) < 0.8 * len(sa):
+            continue
+        c = math.floor(len(sa & sb) / len(sa) * 1e4 + 0.5) / 1e4
+        if c >= 0.8:
+            want[(a, b)] = c
+    assert got == want and want
