@@ -21,6 +21,8 @@ Reference parity: none (SURVEY §2.11 extension surface).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -114,3 +116,68 @@ def zorder_repartition(
         else out.repartitionByRange("__z")
     )
     return out.sortWithinPartitions("__z").drop("__z")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    overwrite: bool = True,
+) -> None:
+    """Persist a relation as a BUCKETED managed table: rows are hash-
+    partitioned into ``buckets`` files by ``key`` and sorted by it
+    within each bucket. Every future equi-join or aggregation on the
+    key then reads co-located, pre-sorted input — Catalyst elides BOTH
+    the exchange and the sort (a shuffle-free SortMergeJoin), the
+    bucketing win the task-scheduler cannot give you at runtime.
+
+    At 100 TB this is THE repeated-join amortization: pay one layout
+    shuffle at ingest, join for free forever after. The repartition
+    before write makes exactly one file per bucket, which is what lets
+    Spark trust the sort order at read time (many files per bucket
+    forces a merge-sort re-sort)."""
+    spark = df.sparkSession
+    if overwrite:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # A crashed prior session can leave the managed LOCATION behind
+        # with no catalog entry; saveAsTable then refuses the name.
+        # Clear the orphaned directory (local warehouse only).
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(wh, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    writer = (
+        df.repartition(buckets, F.col(key))
+        .write.bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+    )
+    if overwrite:
+        writer = writer.mode("overwrite")
+    writer.saveAsTable(table)
+
+
+def bucketed_equijoin(
+    spark,
+    left_table: str,
+    right_table: str,
+    key: str,
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key: with both
+    sides bucketed (same count, same key) the physical plan is a
+    SortMergeJoin with NO Exchange and NO Sort below it — asserted by
+    tests/test_plan_quality.py. The merge hint pins the strategy (at
+    fixture scale one side fits the broadcast threshold and would
+    otherwise be broadcast, hiding the layout win this function
+    exists to demonstrate; at 100 TB neither side broadcasts and the
+    hint is a no-op). Returns the joined relation."""
+    return (
+        spark.table(left_table)
+        .hint("merge")
+        .join(spark.table(right_table), key)
+    )

@@ -9,6 +9,8 @@ ORACLES.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession, DataFrame, functions as F
 
 from streaming_parquet_spark.functions.portable import (
@@ -4146,3 +4148,50 @@ def text_quality_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_parquet_spark.operators.text import quality_deciles
 
     return quality_deciles(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "rel_bucketed_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via BUCKETED tables: orders and
+    customer are laid out bucketBy(custkey) + sortBy once (the ingest-
+    time shuffle), after which the equi-join is a SortMergeJoin with no
+    Exchange and no Sort — asserted in tests/test_plan_quality.py::
+    test_bucketed_join_is_exchange_free. The 100 TB amortization for
+    repeatedly-joined tables. See operators.layout.write_bucketed."""
+    from streaming_parquet_spark.operators.layout import (
+        bucketed_equijoin,
+        write_bucketed,
+    )
+
+    slug = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    lt, rt = f"maw_bkt_orders_{slug}", f"maw_bkt_customer_{slug}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        lt, "o_custkey", buckets=16,
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        rt, "o_custkey", buckets=16,
+    )
+    joined = (
+        spark.table(lt)
+        .hint("merge")
+        .join(spark.table(rt), "o_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

@@ -236,3 +236,45 @@ def test_filter_pushdown_reaches_parquet(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "LessThan(o_orderkey,100)" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """write_bucketed + bucketed_equijoin: with both sides bucketed on
+    the join key (same bucket count, one sorted file per bucket), the
+    SortMergeJoin must read the buckets directly — NO Exchange and NO
+    Sort anywhere below the join. This is the ingest-time-amortized
+    join layout for 100 TB; the plan assertion is the point."""
+    import pyspark.sql.functions as F
+
+    from streaming_parquet_spark.operators.layout import (
+        bucketed_equijoin,
+        write_bucketed,
+    )
+    from streaming_parquet_spark.queries import _t
+
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "maw_bkt_plan_orders", "o_custkey", buckets=8,
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "maw_bkt_plan_customer", "o_custkey", buckets=8,
+    )
+    joined = bucketed_equijoin(
+        spark, "maw_bkt_plan_orders", "maw_bkt_plan_customer", "o_custkey"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:2000]   # the bucketing win
+    assert "Bucketed: true" in plan
+    # Spark >= 3.0 re-sorts each bucket locally by default even though
+    # the files are written sorted (outputOrdering trust moved behind a
+    # legacy flag): that is a LINEAR per-bucket sort with no shuffle —
+    # exactly two of them, one per side, and nothing else.
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert join_part.count("- Sort [") == 2, join_part[:2000]
+    # result sanity: every order matched exactly once
+    n = joined.count()
+    expected = _t(spark, sf_dir, "orders").count()
+    assert n == expected
