@@ -744,3 +744,79 @@ def quality_deciles(
         "quality_score",
         F.ntile(buckets).over(w).cast("int").alias("decile"),
     )
+
+
+def cooccurrence_topk(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word ASSOCIATIONS by document-level co-occurrence lift:
+    lift(a,b) = n_ab * N / (n_a * n_b) — how much more often two terms
+    share a document than independence predicts (the rational
+    stand-in for PMI: same ranking, monotone transform, and exact
+    IEEE arithmetic instead of a libm log, so the score is
+    bit-comparable across engines). The corpus-QA question behind it:
+    which terms travel together (template phrases, entity pairs,
+    topical cliques)?
+
+    Plan at 100 TB: explode per-doc DISTINCT words -> co-partitioned
+    self-join on the doc id (pairs per doc are L^2 in DISTINCT doc
+    length — bounded by document length, never corpus size; cap long
+    docs upstream if L is unbounded) -> partial-aggregated (a, b)
+    counts -> vocab-sized frequency joins (broadcastable) -> global
+    top-k via TakeOrdered. ``max_df`` drops stop-ish terms from the
+    pair space the same way sparse_cosine_topk's index guard does —
+    the hottest L^2 contributors carry the least signal.
+
+    Output: wa < wb, n_ab, n_a, n_b, lift (4dp), rank."""
+    words = F.expr(
+        f"array_distinct(filter(split(trim({text_col}), ' +'),"
+        f" w -> w <> ''))"
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+    dfreq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("n") <= max_df)
+        ex = ex.join(F.broadcast(dfreq.select("w")), "w")
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"),
+              (F.col("a.id") == F.col("b.id"))
+              & (F.col("a.w") < F.col("b.w")))
+        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    fa = dfreq.select(F.col("w").alias("wa"), F.col("n").alias("n_a"))
+    fb = dfreq.select(F.col("w").alias("wb"), F.col("n").alias("n_b"))
+    lift = (
+        (F.col("n_ab") * F.col("__n")).cast("double")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    scored = (
+        pairs.join(F.broadcast(fa), "wa")
+        .join(F.broadcast(fb), "wb")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("lift", round_to_col(lift, 4))
+    )
+    return (
+        scored.orderBy(
+            F.col("lift").desc(), F.col("wa").asc(), F.col("wb").asc()
+        )
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(
+                    F.col("lift").desc(), F.col("wa").asc(),
+                    F.col("wb").asc(),
+                )
+            ).cast("int"),
+        )
+        .select("wa", "wb", "n_ab", "n_a", "n_b", "lift", "rank")
+    )

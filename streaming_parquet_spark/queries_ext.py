@@ -4195,3 +4195,45 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+@query(
+    "text_cooccurrence",
+    """
+    WITH ex AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(trim(text, ' '), ' +'),
+               w -> w <> ''))) AS w
+      FROM documents
+    ),
+    dfreq AS (SELECT w, COUNT(*) AS n FROM ex GROUP BY w),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.w AS wa, b.w AS wb, COUNT(*) AS n_ab
+      FROM ex a JOIN ex b ON a.id = b.id AND a.w < b.w
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    s AS (
+      SELECT wa, wb, n_ab, fa.n AS n_a, fb.n AS n_b,
+             floor((CAST(n_ab * nd.n_docs AS DOUBLE) / (fa.n * fb.n))
+                   * 1e4 + 5e-1) / 1e4 AS lift
+      FROM pairs
+      JOIN dfreq fa ON fa.w = wa
+      JOIN dfreq fb ON fb.w = wb, nd
+    )
+    SELECT wa, wb, n_ab, n_a, n_b, lift,
+           CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, wa, wb)
+                AS INTEGER) AS rank
+    FROM s ORDER BY lift DESC, wa, wb LIMIT 40
+    """,
+)
+def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 word associations by document-level co-occurrence LIFT
+    (rational PMI stand-in — exact IEEE arithmetic, no libm in the
+    ranking or any hashed cell). See operators.text.cooccurrence_topk."""
+    from streaming_parquet_spark.operators.text import cooccurrence_topk
+
+    return cooccurrence_topk(
+        _t(spark, sf_dir, "documents"), k=40, min_count=5
+    )

@@ -2670,3 +2670,28 @@ def test_containment_prefix_fuzz(spark, seed):
         if c >= 0.8:
             want[(a, b)] = c
     assert got == want and want
+
+
+def test_cooccurrence_lift_ranks_planted_pair(spark):
+    """A planted always-together pair must outrank independent terms,
+    and max_df must drop stop-terms from the pair space."""
+    from streaming_parquet_spark.operators.text import cooccurrence_topk
+
+    rows = []
+    for i in range(30):
+        words = ["common"]
+        if i < 10:
+            words += ["anchor", "satellite"]        # always co-occur
+        if i % 2 == 0:
+            words += ["evens"]
+        if i % 3 == 0:
+            words += ["thirds"]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cooccurrence_topk(df, k=10, min_count=3).collect()
+    top = out[0]
+    assert (top["wa"], top["wb"]) == ("anchor", "satellite")
+    assert top["lift"] == 3.0                        # 10*30/(10*10)
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    pruned = cooccurrence_topk(df, k=10, min_count=3, max_df=15).collect()
+    assert all("common" not in (r["wa"], r["wb"]) for r in pruned)
