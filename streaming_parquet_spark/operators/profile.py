@@ -68,3 +68,56 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("distinct_lo")
     )
     return base.join(est, "col_name", "left").join(lo, "col_name", "left")
+
+
+def dataset_card(df, text_col: str = "text", id_col: str = "doc_id"):
+    """One-row DATASET CARD for a document corpus: size, slice
+    cardinalities, token total, exact-duplicate rate, mean quality —
+    the summary block a training-data release ships with.
+
+    Single aggregate pass (plus the distinct-digest count); every
+    statistic is integer-exact or a final rational division, so the
+    card is bit-reproducible in any engine at any partitioning: the
+    quality mean sums the 2dp score as an INTEGER percentage (summing
+    the doubles directly would make the result depend on partial-sum
+    order). Output columns: n_docs, n_langs, n_sources,
+    est_tokens_total, n_unique_docs, dup_rate, mean_quality."""
+    from pyspark.sql import functions as F
+
+    from streaming_parquet_spark.functions.portable import (
+        ascii_lower_expr,
+        round_to_col,
+    )
+    from streaming_parquet_spark.operators.text import (
+        with_quality,
+        with_token_stats,
+    )
+
+    scored = with_token_stats(with_quality(df, text_col), text_col)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum(F.col("est_tokens").cast("bigint")).alias("est_tokens_total"),
+        F.count_distinct(
+            F.md5(F.expr(ascii_lower_expr("spark", f"trim({text_col})")))
+        ).alias("n_unique_docs"),
+        F.sum(
+            F.floor(F.col("quality_score") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("__q100"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "est_tokens_total",
+        "n_unique_docs",
+        round_to_col(
+            F.lit(1.0)
+            - F.col("n_unique_docs").cast("double") / F.col("n_docs"),
+            4,
+        ).alias("dup_rate"),
+        round_to_col(
+            F.col("__q100").cast("double") / (F.col("n_docs") * 100), 4
+        ).alias("mean_quality"),
+    )

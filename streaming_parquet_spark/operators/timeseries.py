@@ -458,3 +458,42 @@ def ts_similarity_topk(
             user_col, "win", round_to_col("dist_raw", 4).alias("dist"), "rank"
         )
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    bucket (cohort), counted distinct in each subsequent bucket offset
+    — the product-analytics staple. All bucketing is integer epoch-day
+    arithmetic (no calendar functions — identical in any engine).
+
+    Plan at 100 TB: one groupBy(user) for first-seen (partial-
+    aggregated min), join back on the user key (co-partitioned with
+    the activity shuffle), then a (cohort, offset) count-distinct —
+    whose exchange carries (cohort, offset, user) triples, i.e. the
+    activity relation deduplicated, never raw events. Output is
+    |cohorts| x |offsets| rows.
+
+    Output: cohort (bucket index of first activity), week_offset
+    (buckets since first), n_users."""
+    days = df.select(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"CAST(FLOOR(CAST({ts_col} AS DOUBLE) / 86400) AS BIGINT)"
+        ).alias("d"),
+    )
+    first = days.groupBy("u").agg(F.min("d").alias("d0"))
+    return (
+        days.join(first, "u")
+        .select(
+            F.expr(f"d0 DIV {bucket_days}").alias("cohort"),
+            F.expr(f"(d - d0) DIV {bucket_days}").alias("week_offset"),
+            "u",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

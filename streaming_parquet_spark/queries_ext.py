@@ -4237,3 +4237,80 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_topk(
         _t(spark, sf_dir, "documents"), k=40, min_count=5
     )
+
+
+@query(
+    "events_retention",
+    """
+    WITH days AS (
+      SELECT user_id AS u,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
+      FROM events
+    ),
+    first AS (SELECT u, MIN(d) AS d0 FROM days GROUP BY u)
+    SELECT d0 // 7 AS cohort, (d - d0) // 7 AS week_offset,
+           COUNT(DISTINCT u) AS n_users
+    FROM days JOIN first USING (u)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over integer epoch-day buckets
+    (calendar-function-free, engine-portable). See
+    operators.timeseries.retention_cohorts."""
+    from streaming_parquet_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+    from streaming_parquet_spark.queries import _events
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+@query(
+    "engine_dataset_card",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, lang, source,
+             {n_words_expr("duckdb", "text")} AS n_words,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS punct
+      FROM documents
+    ),
+    q AS (
+      SELECT lang, source,
+             GREATEST(n_words, CAST(CEIL(n_chars / 4.0) AS BIGINT))
+               AS est_tokens,
+             MD5(translate(TRIM(text, ' '),
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                 'abcdefghijklmnopqrstuvwxyz')) AS dig,
+             CAST(floor(((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN n_words > 0
+                       AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                           BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN n_chars > 0
+                       AND CAST(punct AS DOUBLE) / n_chars < 0.1
+                       THEN 0.3 ELSE 0.0 END)) * 1e2 + 5e-1) AS BIGINT)
+               AS q100
+      FROM t
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(est_tokens) AS BIGINT) AS est_tokens_total,
+           COUNT(DISTINCT dig) AS n_unique_docs,
+           floor((1.0 - CAST(COUNT(DISTINCT dig) AS DOUBLE) / COUNT(*))
+                 * 1e4 + 5e-1) / 1e4 AS dup_rate,
+           floor((CAST(SUM(q100) AS DOUBLE) / (COUNT(*) * 100))
+                 * 1e4 + 5e-1) / 1e4 AS mean_quality
+    FROM q
+    """,
+)
+def engine_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (size, slices, tokens, dup rate, mean
+    quality) — integer-exact / final-rational statistics only, so the
+    card reproduces bit-for-bit at any partitioning. See
+    operators.profile.dataset_card."""
+    from streaming_parquet_spark.operators.profile import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))

@@ -2695,3 +2695,46 @@ def test_cooccurrence_lift_ranks_planted_pair(spark):
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
     pruned = cooccurrence_topk(df, k=10, min_count=3, max_df=15).collect()
     assert all("common" not in (r["wa"], r["wb"]) for r in pruned)
+
+
+def test_retention_cohorts_known_matrix(spark):
+    import datetime
+
+    from streaming_parquet_spark.operators.timeseries import retention_cohorts
+
+    def ts(day):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+
+    rows = [
+        ("u1", ts(0)), ("u1", ts(7)), ("u1", ts(15)),   # cohort c, w0/w1/w2
+        ("u2", ts(1)), ("u2", ts(9)),                    # same cohort, w0/w1
+        ("u3", ts(8)),                                   # next cohort, w0
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {(r["cohort"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(df).collect()}
+    cohorts = sorted({c for c, _ in got})
+    c0, c1 = cohorts[0], cohorts[-1]
+    assert got[(c0, 0)] == 2 and got[(c0, 1)] == 2 and got[(c0, 2)] == 1
+    assert got[(c1, 0)] == 1
+    assert sum(v for (c, o), v in got.items() if o == 0) == 3
+
+
+def test_dataset_card_statistics(spark):
+    from streaming_parquet_spark.operators.profile import dataset_card
+
+    rows = [
+        (1, "one two three four five six", "en", "a"),
+        (2, "one two three four five six", "en", "b"),   # exact dup
+        (3, "sieben acht neun zehn elf zwolf", "de", "a"),
+        (4, "", "en", "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    card = dataset_card(df).collect()[0]
+    assert card["n_docs"] == 4
+    assert card["n_langs"] == 2 and card["n_sources"] == 2
+    assert card["n_unique_docs"] == 3
+    assert card["dup_rate"] == 0.25
+    assert 0.0 <= card["mean_quality"] <= 1.0
