@@ -497,3 +497,60 @@ def retention_cohorts(
         .groupBy("cohort", "week_offset")
         .agg(F.count_distinct("u").alias("n_users"))
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) user scoring — the classic
+    behavioral segmentation: per user, days since last activity,
+    activity count, and integer-cents spend, each then scored 1..5 by
+    ntile over a TOTAL order (metric, user) so the bucketing is
+    deterministic and engine-portable. Higher score = better (most
+    recent, most frequent, highest spend).
+
+    Plan: one partial-aggregated groupBy(user) for the three metrics
+    (the exchange carries one row per user), then three window
+    rankings over the user relation — at 100 TB that relation is
+    |users|, orders of magnitude below |events|, and each ntile is a
+    single sort of it. The reference epoch is max(ts) over the data
+    (yesterday's data scores identically tomorrow).
+
+    Output: user, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score."""
+    from pyspark.sql import Window as W
+
+    days = F.expr(f"CAST(FLOOR(CAST({ts_col} AS DOUBLE) / 86400) AS BIGINT)")
+    per_user = (
+        df.select(
+            F.col(user_col).alias("user"),
+            days.alias("d"),
+            F.expr(f"CAST(FLOOR({value_col} * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("user")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+    ref = per_user.agg(F.max("last_d").alias("__ref"))
+    scored = per_user.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", (F.col("__ref") - F.col("last_d")).cast("bigint")
+    )
+    r_w = W.orderBy(F.col("recency_days").desc(), F.col("user"))
+    f_w = W.orderBy(F.col("frequency").asc(), F.col("user"))
+    m_w = W.orderBy(F.col("monetary_cents").asc(), F.col("user"))
+    return scored.select(
+        "user",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(buckets).over(r_w).cast("int").alias("r_score"),
+        F.ntile(buckets).over(f_w).cast("int").alias("f_score"),
+        F.ntile(buckets).over(m_w).cast("int").alias("m_score"),
+    )

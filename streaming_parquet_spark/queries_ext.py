@@ -4314,3 +4314,115 @@ def engine_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_parquet_spark.operators.profile import dataset_card
 
     return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_rfm",
+    """
+    WITH per_user AS (
+      SELECT user_id AS user,
+             MAX(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS last_d,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT *, (SELECT MAX(last_d) FROM per_user) - last_d AS recency_days
+      FROM per_user
+    )
+    SELECT "user", recency_days, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, "user")
+                AS INTEGER) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, "user")
+                AS INTEGER) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, "user")
+                AS INTEGER) AS m_score
+    FROM r
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral segmentation with deterministic ntile scoring
+    over total orders. See operators.timeseries.rfm_scores."""
+    from streaming_parquet_spark.operators.timeseries import rfm_scores
+    from streaming_parquet_spark.queries import _events
+
+    return rfm_scores(_events(spark, sf_dir))
+
+
+@query(
+    "pipeline_curriculum",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {n_words_expr("duckdb", "text")} AS n_words,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS punct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             GREATEST(n_words, CAST(CEIL(n_chars / 4.0) AS BIGINT))
+               AS est_tokens,
+           floor(((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN n_words > 0
+                   AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                       BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN n_chars > 0
+                   AND CAST(punct AS DOUBLE) / n_chars < 0.1
+                   THEN 0.3 ELSE 0.0 END)) * 1e2 + 5e-1) / 1e2
+             AS quality_score
+      FROM t
+    ),
+    d AS (
+      SELECT doc_id, source, est_tokens, quality_score,
+             CAST(ntile(10) OVER (PARTITION BY source
+                  ORDER BY quality_score, doc_id) AS INTEGER) AS decile
+      FROM q
+    ),
+    o AS (
+      SELECT *, (10 - decile) * 1000000000000 + doc_id AS order_key
+      FROM d
+    )
+    SELECT doc_id, source, decile,
+           CAST(est_tokens AS BIGINT) AS est_tokens,
+           CAST(FLOOR((SUM(est_tokens) OVER (PARTITION BY source
+                  ORDER BY order_key
+                  ROWS UNBOUNDED PRECEDING) - est_tokens) / 2048)
+                AS BIGINT) AS bin
+    FROM o
+    """,
+)
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM packing: per-domain quality deciles -> stream each
+    domain highest-decile-first -> GPT-style 2048-token packing. One
+    composed Catalyst plan of existing operators (quality_deciles +
+    pack_sequences) with a single integer order key, so training
+    shards front-load each domain's best material deterministically."""
+    from streaming_parquet_spark.operators.pipeline import pack_sequences
+    from streaming_parquet_spark.operators.text import (
+        quality_deciles,
+        with_token_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = quality_deciles(docs).select(
+        F.col("id").alias("doc_id"), F.col("grp").alias("source"), "decile"
+    )
+    toks = with_token_stats(docs).select(
+        "doc_id", F.col("est_tokens").cast("bigint").alias("est_tokens")
+    )
+    staged = dec.join(toks, "doc_id").withColumn(
+        "order_key",
+        (F.lit(10) - F.col("decile")).cast("bigint")
+        * F.lit(1000000000000).cast("bigint")
+        + F.col("doc_id"),
+    )
+    packed = pack_sequences(
+        staged, token_col="est_tokens", budget=2048,
+        order_col="order_key", part_col="source",
+    )
+    return packed.select(
+        "doc_id", "source", "decile", "est_tokens", "bin"
+    )

@@ -2738,3 +2738,32 @@ def test_dataset_card_statistics(spark):
     assert card["n_unique_docs"] == 3
     assert card["dup_rate"] == 0.25
     assert 0.0 <= card["mean_quality"] <= 1.0
+
+
+def test_rfm_scores_ordering_semantics(spark):
+    import datetime
+
+    from streaming_parquet_spark.operators.timeseries import rfm_scores
+
+    def ts(day):
+        return datetime.datetime(2024, 3, 1) + datetime.timedelta(days=day)
+
+    rows = []
+    # whale: recent, frequent, big spend
+    for d in range(20, 30):
+        rows.append(("whale", ts(d), 50.0))
+    # lapsed: old, one small purchase
+    rows.append(("lapsed", ts(0), 1.0))
+    # middling
+    for d in (5, 15, 25):
+        rows.append(("mid", ts(d), 5.0))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = {r["user"]: r for r in rfm_scores(df).collect()}
+    w, l, m = got["whale"], got["lapsed"], got["mid"]
+    assert w["recency_days"] == 0 and l["recency_days"] == 29
+    assert w["frequency"] == 10 and w["monetary_cents"] == 50000
+    # higher score = better on every axis
+    assert w["r_score"] > l["r_score"]
+    assert w["f_score"] > l["f_score"]
+    assert w["m_score"] > l["m_score"]
+    assert l["m_score"] <= m["m_score"] <= w["m_score"]

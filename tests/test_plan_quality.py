@@ -34,6 +34,7 @@ _BNLJ_OK = {
     "text_sparse_cosine",  # 1-row corpus-count (N) broadcast
     "text_chi2_terms",     # 1-row corpus-count (N) broadcast
     "text_cooccurrence",   # 1-row corpus-count (N) broadcast
+    "events_rfm",          # 1-row reference-epoch (max day) broadcast
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
     "embed_ann_ivf_sq8",   # IVF centroid assignment (8-row broadcast)
