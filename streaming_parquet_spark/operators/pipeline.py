@@ -472,3 +472,55 @@ def global_shuffle(
         F.expr(key).cast("bigint").alias("sort_key"),
         F.expr(f"CAST(({key}) % {int(n_shards)} AS INT)").alias("shard"),
     )
+
+
+def interleave_domains(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic round-robin INTERLEAVING of domains into one
+    training-stream order: reading the output sorted by
+    ``interleave_key`` visits domains in rotation (a, b, c, a, b, c,
+    ...), so no contiguous run of a single domain ever enters the
+    batch stream — the standard mitigation for domain-ordered
+    gradient drift when shards were written per-source.
+
+    key = position_within_domain * n_domains + domain_index, with the
+    domain index a dense rank over the sorted domain names and the
+    position a rank over ids within each domain — both total orders,
+    so the permutation is reproducible from the data alone.
+
+    Scale: one groupBy for the (tiny) domain list, broadcast back;
+    one window per domain partition for the position (domains
+    partition the corpus, so the sort is per-domain, never global).
+    Output: id, group, interleave_key."""
+    from pyspark.sql import Window as W
+
+    domains = (
+        df.select(F.col(group_col).alias("g")).distinct()
+        .withColumn(
+            "gi",
+            F.row_number().over(W.orderBy("g")).cast("bigint") - 1,
+        )
+    )
+    n = domains.agg(F.count(F.lit(1)).alias("__n"))
+    pos = (
+        F.row_number()
+        .over(W.partitionBy("grp").orderBy("id"))
+        .cast("bigint")
+        - 1
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+        .withColumn("pos", pos)
+        .join(F.broadcast(domains), F.col("grp") == F.col("g"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "grp",
+            (F.col("pos") * F.col("__n") + F.col("gi"))
+            .cast("bigint")
+            .alias("interleave_key"),
+        )
+    )

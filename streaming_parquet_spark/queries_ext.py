@@ -4426,3 +4426,33 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "source", "decile", "est_tokens", "bin"
     )
+
+
+@query(
+    "pipeline_interleave",
+    """
+    WITH domains AS (
+      SELECT g, ROW_NUMBER() OVER (ORDER BY g) - 1 AS gi
+      FROM (SELECT DISTINCT source AS g FROM documents)
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM domains),
+    pos AS (
+      SELECT doc_id AS id, source AS grp,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+               AS pos
+      FROM documents
+    )
+    SELECT id, grp,
+           CAST(pos * n.nd + d.gi AS BIGINT) AS interleave_key
+    FROM pos JOIN domains d ON pos.grp = d.g, n
+    """,
+)
+def pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleaving of domains into one
+    training-stream order (no contiguous single-domain runs). See
+    operators.pipeline.interleave_domains."""
+    from streaming_parquet_spark.operators.pipeline import (
+        interleave_domains,
+    )
+
+    return interleave_domains(_t(spark, sf_dir, "documents"))

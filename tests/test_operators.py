@@ -2767,3 +2767,19 @@ def test_rfm_scores_ordering_semantics(spark):
     assert w["f_score"] > l["f_score"]
     assert w["m_score"] > l["m_score"]
     assert l["m_score"] <= m["m_score"] <= w["m_score"]
+
+
+def test_interleave_domains_round_robin(spark):
+    from streaming_parquet_spark.operators.pipeline import interleave_domains
+
+    rows = [(i, "abc"[i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sorted(
+        interleave_domains(df).collect(), key=lambda r: r["interleave_key"]
+    )
+    # keys are unique and the stream rotates domains a,b,c,a,b,c...
+    keys = [r["interleave_key"] for r in out]
+    assert len(set(keys)) == 30
+    assert [r["grp"] for r in out[:6]] == ["a", "b", "c", "a", "b", "c"]
+    # no two consecutive entries share a domain
+    assert all(x["grp"] != y["grp"] for x, y in zip(out, out[1:]))

@@ -35,6 +35,7 @@ _BNLJ_OK = {
     "text_chi2_terms",     # 1-row corpus-count (N) broadcast
     "text_cooccurrence",   # 1-row corpus-count (N) broadcast
     "events_rfm",          # 1-row reference-epoch (max day) broadcast
+    "pipeline_interleave",  # 1-row domain-count broadcast
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
     "embed_ann_ivf_sq8",   # IVF centroid assignment (8-row broadcast)
