@@ -3279,7 +3279,7 @@ def _duck_chi2_oracle(k: int = 5, min_df: int = 5) -> str:
       ) GROUP BY 1, 2
     ),
     tdf AS (
-      SELECT term, SUM(a) AS tdf FROM tc GROUP BY 1
+      SELECT term, CAST(SUM(a) AS BIGINT) AS tdf FROM tc GROUP BY 1
     ),
     cls_n AS (
       SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS nc

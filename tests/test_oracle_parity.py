@@ -8,6 +8,7 @@ surface here before the round gate."""
 
 import math
 import os
+import struct
 
 import duckdb
 import pytest
@@ -34,7 +35,15 @@ def duck(sf_dir):
 
 
 def _normalize(df):
-    """Sort columns by name, rows by stringified values; round floats."""
+    """Sort columns by name, rows by stringified values.
+
+    Floats are canonicalized to their IEEE-754 bit pattern
+    (``struct.pack('<d', v)``) — NO rounding — because the driver's
+    value hash is bit-sensitive: ``round(v, 6)`` + Python ``==``
+    let the chi2 HUGEINT→float64 oracle bug (362.0 vs int64 362)
+    survive two rounds undetected. Ints stay ints, so an
+    int-vs-float divergence mismatches here exactly as it does in
+    the driver."""
     df = df[sorted(df.columns)]
     records = []
     for row in df.itertuples(index=False):
@@ -43,13 +52,43 @@ def _normalize(df):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 rec.append(None)
             elif isinstance(v, float):
-                rec.append(round(v, 6))
+                # canonicalize -0.0 == 0.0 the way float equality does,
+                # then compare the exact bit pattern
+                rec.append(struct.pack("<d", v + 0.0 if v != 0 else 0.0))
             elif hasattr(v, "isoformat"):
                 rec.append(v.isoformat())
             else:
                 rec.append(v)
         records.append(tuple(rec))
     return sorted(records, key=repr)
+
+
+def _dtypes(df):
+    """Column-name → dtype KIND ('i' int, 'f' float, 'b' bool, 'M'
+    datetime, 'O' object), for cross-engine compare.
+
+    Width is deliberately ignored (Spark's row_number()/length() emit
+    int32 where DuckDB emits int64/int8 — the driver's value hash is
+    width-blind and all such queries are driver-green), but KIND
+    divergence — int64 vs HUGEINT→float64, the r4/r5 chi2 bug — is
+    exactly what the driver's hash sees as 362 vs 362.0, so it fails
+    here. Nullable extension dtypes map to the same kind as their
+    numpy counterparts; pandas 'string' maps to object."""
+    kind_map = {"u": "i", "S": "O", "U": "O"}
+    out = {}
+    for c in sorted(df.columns):
+        d = df[c].dtype
+        k = getattr(d, "kind", None) or str(d)
+        if str(d) in ("string", "object"):
+            k = "O"
+        elif str(d).startswith(("Int", "UInt")):
+            k = "i"
+        elif str(d).startswith("Float"):
+            k = "f"
+        elif str(d) == "boolean":
+            k = "b"
+        out[c] = kind_map.get(k, k)
+    return out
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -59,12 +98,39 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     )
+    assert _dtypes(sdf) == _dtypes(odf), (
+        f"{name}: dtype mismatch {_dtypes(sdf)} vs {_dtypes(odf)}"
+    )
     assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
     left, right = _normalize(sdf), _normalize(odf)
     mismatches = [
         (i, l, r) for i, (l, r) in enumerate(zip(left, right)) if l != r
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+_WIDE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_types_have_no_hugeint(name, duck):
+    """No oracle's DuckDB relation types may contain HUGEINT /
+    UHUGEINT / DECIMAL: DuckDB SUM(BIGINT) returns HUGEINT, which
+    round-trips through pandas as float64 while Spark emits int64 —
+    a hash-only driver mismatch that is invisible to rounded ==
+    comparison (the r4/r5 text_chi2_terms bug). Binding the relation
+    is enough; nothing executes."""
+    rel = duck.sql(ORACLES[name])
+    bad = [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if any(w in str(typ).upper() for w in _WIDE_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: oracle emits wide DuckDB types {bad} — add an explicit "
+        f"CAST (e.g. CAST(SUM(x) AS BIGINT)) so the pandas dtype matches "
+        f"Spark's"
+    )
 
 
 def test_every_query_has_callable():
