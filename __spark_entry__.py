@@ -53,6 +53,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # FAILURE keys as never-checked so it re-runs immediately after a fix.
 
 
+# Queries whose OUTPUT SHAPE changed in a given round while keeping
+# their name: a green row recorded before that round proves the old
+# shape, so it must not count — the query keys as never-checked until
+# re-proven under the new schema.
+_RESHAPED_IN = {
+    "embed_ann_recall": 6,   # r6: merged in recall_pq (wide two-tier row)
+    "dedup_clusters": 6,     # r6: merged in dedup_clusters_ls (algo col)
+}
+
+
 def _last_green_round(root: str = _ROOT) -> dict[str, int]:
     import glob
     import json
@@ -93,11 +103,13 @@ def _last_green_round(root: str = _ROOT) -> dict[str, int]:
                 newest_green[name] = rnd
     # A query whose NEWEST row is a failure keys as never-checked (0):
     # it regressed after its last green and must re-run first, ahead of
-    # merely-stale greens.
+    # merely-stale greens.  Likewise a green row older than the round
+    # the query's shape last changed proves a stale schema.
     return {
         name: rnd
         for name, rnd in newest_green.items()
         if newest_any.get(name, rnd) <= rnd
+        and rnd >= _RESHAPED_IN.get(name, 0)
     }
 
 
@@ -107,6 +119,10 @@ def _last_green_round(root: str = _ROOT) -> dict[str, int]:
 _DRIVER_PRIORITY = [
     # newest queries first within the never-checked class (freshest
     # code carries the highest mismatch risk)
+    # r6 merged gates (each absorbs 2-3 former queries so the 50-row
+    # budget refreshes all 150 within 2 rounds — VERDICT r5 item 4)
+    "embed_ann_recall", "embed_ann_ivf_quantized", "embed_ann_quantized",
+    "embed_ann_bucketed", "events_asof", "dedup_clusters",
     "dedup_prefix_join", "events_incremental_rollup",
     "rel_quantile_sketch", "text_chi2_terms", "text_domain_similarity",
     # round-4 additions (no prior CORRECTNESS row)
@@ -116,14 +132,13 @@ _DRIVER_PRIORITY = [
     "engine_profile", "events_snapshot_diff", "pipeline_weighted_sample",
     "rel_fuzzy_join", "stream_upsert_sink",
     "rel_pagerank_step", "pipeline_assign_ids", "events_max_concurrency",
-    "embed_ann_recall_pq",
-    "embed_ann_recall", "dedup_clusters_ls", "pipeline_topn_per_stratum",
+    "pipeline_topn_per_stratum",
     "pipeline_domain_resample", "text_tfidf_topk",
     "dedup_paragraphs", "text_chunk_docs", "pipeline_token_budget",
     "dedup_cluster_reps", "embed_random_projection",
     "stream_interval_join", "stream_session_state",
     "events_hypertable_rollup", "events_upsert_latest",
-    "pipeline_rank_filter", "embed_ann_pq", "embed_power_iteration", "pipeline_epoch_upsample", "events_anomaly_zscore", "text_lm_score", "multimodal_audio", "multimodal_features", "multimodal_resize", "pipeline_shard_manifest", "embed_ann_ivf_pq", "events_ts_similarity", "text_sparse_cosine", "stream_windowed_counts", "stream_static_join", "pipeline_end_to_end", "dedup_containment",
+    "pipeline_rank_filter", "embed_power_iteration", "pipeline_epoch_upsample", "events_anomaly_zscore", "text_lm_score", "multimodal_audio", "multimodal_features", "multimodal_resize", "pipeline_shard_manifest", "events_ts_similarity", "text_sparse_cosine", "stream_windowed_counts", "stream_static_join", "pipeline_end_to_end", "dedup_containment",
     # queries whose newest row is r2 (absent from CORRECTNESS_r03.json)
     "rel_join_agg_segment", "rel_semi_anti_join", "rel_distinct",
     "rel_agg_stats", "rel_window_topk", "rel_window_running",
@@ -133,9 +148,9 @@ _DRIVER_PRIORITY = [
     "events_json_extract", "events_sessionize", "dedup_exact",
     "text_fingerprint", "dedup_minhash_sig", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_clusters", "embed_cosine_topk", "embed_near_pairs",
-    "embed_ann_ivf", "embed_ann_lsh", "text_tokens", "text_quality",
-    "part_range_join", "events_asof_join", "pipeline_clean_corpus",
+    "embed_cosine_topk", "embed_near_pairs",
+    "text_tokens", "text_quality",
+    "part_range_join", "pipeline_clean_corpus",
     "text_pii_scrub", "text_ngram_df", "text_langid", "multimodal_bytes",
     "multimodal_frames", "pipeline_hash_sample",
 ]

@@ -234,7 +234,7 @@ def test_ann_recall_floor(spark, sf_dir):
     from streaming_parquet_spark.queries import QUERIES
 
     rows = QUERIES["embed_ann_recall"](spark, sf_dir).collect()
-    recalls = [r["recall_at_10"] for r in rows]
+    recalls = [r["recall_sq8"] for r in rows]
     assert len(recalls) == 5
     assert min(recalls) >= 0.7, recalls
     assert sum(recalls) / len(recalls) >= 0.85, recalls
@@ -2408,13 +2408,14 @@ def test_cms_join_size_estimate(spark):
 def test_ann_recall_pq_floor(spark, sf_dir):
     """Quality floor for the IVF x PQ tier (8-byte codes): lower than
     SQ8's (coarser quantization), but bounded — per-query recall@10
-    >= 0.3, mean >= 0.5 on the fixtures. embed_ann_recall_pq pins the
-    exact values via the DuckDB oracle; this is the readable bound."""
+    >= 0.3, mean >= 0.5 on the fixtures. embed_ann_recall (recall_pq
+    column) pins the exact values via the DuckDB oracle; this is the
+    readable bound."""
     import streaming_parquet_spark.queries_ext  # noqa: F401  (registers)
     from streaming_parquet_spark.queries import QUERIES
 
-    rows = QUERIES["embed_ann_recall_pq"](spark, sf_dir).collect()
-    recalls = [r["recall_at_10"] for r in rows]
+    rows = QUERIES["embed_ann_recall"](spark, sf_dir).collect()
+    recalls = [r["recall_pq"] for r in rows]
     assert len(recalls) == 5
     assert min(recalls) >= 0.3, recalls
     assert sum(recalls) / len(recalls) >= 0.5, recalls

@@ -23,12 +23,10 @@ from streaming_parquet_spark.queries import QUERIES
 # subquery result joined under a non-equi predicate).
 _BNLJ_OK = {
     "embed_cosine_topk",
-    "embed_ann_lsh",
-    "embed_ann_ivf",
-    "embed_ann_sq8",
+    "embed_ann_bucketed",   # LSH bucket probe + IVF centroid broadcast
+    "embed_ann_quantized",  # SQ8 broadcast query-set x corpus codes
     "dedup_lsh_recall",    # 1-row x 1-row count crossJoin (n_true, n_hit)
-    "embed_ann_recall",    # wraps cosine_topk (the allow-listed exact baseline)
-    "embed_ann_recall_pq",  # same: cosine_topk baseline + IVF centroid broadcast
+    "embed_ann_recall",    # cosine_topk baseline + IVF centroid broadcast
     "text_tfidf_topk",     # 1-row corpus-count (N) broadcast
     "text_lm_score",       # 1-row vocabulary-size (V) broadcast
     "text_sparse_cosine",  # 1-row corpus-count (N) broadcast
@@ -38,8 +36,7 @@ _BNLJ_OK = {
     "pipeline_interleave",  # 1-row domain-count broadcast
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
-    "embed_ann_ivf_sq8",   # IVF centroid assignment (8-row broadcast)
-    "embed_ann_ivf_pq",    # IVF centroid assignment (8-row broadcast)
+    "embed_ann_ivf_quantized",  # IVF centroid assignment (8-row broadcast)
     "events_ts_similarity",  # 1-row query-window broadcast
     "rel_bloom_semi_join",   # 1-row Bloom-bitmap broadcast (scan-stage filter)
     "embed_kmeans_step",   # IVF centroid assignment (8-row broadcast)
