@@ -114,6 +114,18 @@ def spread_input(df: DataFrame, min_ratio: int = 2) -> DataFrame:
         return df
     if not files:
         return df
+    # A lineage that already contains a Repartition (this function on an
+    # upstream frame — e.g. the shared table loader spreads the corpora —
+    # or an explicit user repartition) is already parallel: a second
+    # round-robin would just chain another full exchange of the same
+    # rows (observed as back-to-back RoundRobinPartitioning stages in
+    # the embed_near_pairs plan). Driver-side analyzed-plan probe; no
+    # job runs.
+    try:
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+    except Exception:
+        pass
     try:
         max_pb = int(
             str(
@@ -246,11 +258,27 @@ def similarity_pairs(
         cond = F.col("a.id") < F.col("b.id")
         if block_col:
             cond = cond & (F.col("a.blk") == F.col("b.blk"))
-        cond = cond & (round_to_col(sim_raw, 4) >= threshold)
-        return a.join(b, cond).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            round_to_col(sim_raw, 4).alias("sim"),
+        # The 64-term sum is bound ONCE as a named column and every later
+        # reference (round, NaN guard, threshold) goes through the column,
+        # not the tree: with the sum inlined into the join condition and
+        # the round_to_col projection, the plan carried ~9 copies of the
+        # 256-node expression and its whole-stage-codegen unit took >1 s
+        # to compile — paid on every run whose generated class had been
+        # evicted from the codegen cache by the surrounding query sweep
+        # (the r5 bench regression). Catalyst's CollapseProject keeps the
+        # binding (it does not inline non-cheap aliases referenced more
+        # than once), so the generated source stays small and the dot is
+        # still evaluated once per candidate pair.
+        return (
+            a.join(b, cond)
+            .withColumn("sim_raw", sim_raw)
+            .withColumn("sim", round_to_col("sim_raw", 4))
+            .filter(F.col("sim") >= threshold)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                "sim",
+            )
         )
     base = _materialize(spread_input(df.select(*cols)), spread=False)
     a, b = base.alias("a"), base.alias("b")
