@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--concurrency", type=int, default=4)
     p.add_argument("--writer-buffer", type=int, default=64)
     p.add_argument("--mem-budget", type=int, default=1024)
+    # Spark extension (no reference analog): literal per-trigger file
+    # bound for the streaming path; default lets the engine auto-size
+    # (concurrency * cores, capped). See SURVEY §2 M7.
+    p.add_argument("--trigger-files", type=int, default=None)
 
     # Discovery (cli.rs:101-107)
     p.add_argument("--no-recursive", action="store_true")
@@ -140,6 +144,7 @@ def spec_from_args(args: argparse.Namespace) -> RunSpec:
         concurrency=args.concurrency,
         writer_buffer_mb=args.writer_buffer,
         mem_budget_mb=args.mem_budget,
+        trigger_files=args.trigger_files,
         recursive=not args.no_recursive,
         follow_symlinks=args.follow_symlinks,
         state=args.state,

@@ -369,6 +369,18 @@ class Engine:
         if fmt != "parquet" and not all_parquet_in:
             obs = Observation()
             observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # Content verify observes its (n, crc) on the SAME write pass —
+        # CollectMetrics rides the writer's scan, so the written-side
+        # checksum reflects exactly the rows that left the writer, at
+        # zero extra jobs (ADVICE r5: checksumming the unexecuted plan
+        # in _verify re-ran the whole input pipeline at verify time and
+        # raced against post-write input mutation).
+        content_obs: Observation | None = None
+        if spec.verify and spec.verify_mode == "content":
+            content_obs = Observation()
+            observed = observed.observe(
+                content_obs, *self._checksum_aggs(observed)
+            )
         if spec.partition_by:
             sink = write_partitioned(
                 observed,
@@ -429,11 +441,15 @@ class Engine:
             # csv out, all-parquet in: concat preserves row counts, so
             # input footers are exact.
             rows = self._parquet_rows([f.path for f in files])
-        verified = (
-            self._verify(spec, sink, rows, written=observed)
-            if spec.verify
-            else None
-        )
+        verified = None
+        if spec.verify:
+            wm = None
+            if content_obs is not None:
+                got = content_obs.get
+                wm = (int(got["n"]), int(got["crc"]))
+            verified = self._verify(
+                spec, sink, rows, schema=observed.schema, written_metrics=wm
+            )
         return RunResult(
             rows=rows,
             input_files=len(files),
@@ -541,43 +557,59 @@ class Engine:
         return r.csv(sink.paths)
 
     @staticmethod
-    def _content_checksum(df) -> tuple[int, int]:
-        """(rows, checksum): order-independent SUM of per-row CRC32s
-        over a canonical rendering — every column cast to string in
-        column-name order, nulls as a sentinel no real value renders,
-        fields joined on a unit separator. The sum accumulates into
-        decimal(38,0) so it cannot overflow at any row count, and being
-        commutative it is partitioning-independent: at 100 TB each map
-        task folds its partition's CRCs and the exchange carries one
-        decimal per task. CRC32 is the JVM-built-in stand-in for the
-        reference's declared-but-unused crc64fast dependency
-        (Cargo.toml:60); a 32-bit sum still detects any single-row
-        corruption and all but ~2^-32 of multi-row ones."""
+    def _checksum_aggs(df) -> tuple:
+        """The (n, crc) aggregate pair over a canonical row rendering —
+        every column cast to string in column-name order, nulls as a
+        sentinel no real value renders, fields joined on a unit
+        separator. The CRC32 sum accumulates into decimal(38,0) so it
+        cannot overflow at any row count, and being commutative it is
+        partitioning-independent: at 100 TB each map task folds its
+        partition's CRCs and the exchange carries one decimal per
+        task. CRC32 is the JVM-built-in stand-in for the reference's
+        declared-but-unused crc64fast dependency (Cargo.toml:60); a
+        32-bit sum still detects any single-row corruption and all but
+        ~2^-32 of multi-row ones."""
         cols = [
             F.coalesce(F.col(c).cast("string"), F.lit("\x00\x00NULL"))
             for c in sorted(df.columns)
         ]
         row = F.concat_ws("\x1f", *cols)
-        got = df.select(
+        return (
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.sum(F.crc32(row).cast("decimal(38,0)")),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("crc"),
-        ).first()
+        )
+
+    def _content_checksum(self, df) -> tuple[int, int]:
+        """(rows, checksum) of a relation, one aggregation job — used
+        on the READ-BACK side of content verify. The written side never
+        runs this: its checksum is observed during the write pass
+        itself (see run()), so verify compares what actually left the
+        writer, not a re-execution of the input pipeline that would
+        double the run cost and, if inputs were mutated or removed
+        after the write, silently compare fresh inputs against old
+        outputs."""
+        n, crc = self._checksum_aggs(df)
+        got = df.select(n, crc).first()
         return int(got["n"]), int(got["crc"])
 
     def _verify(
-        self, spec: RunSpec, sink: SinkResult, expected_rows: int, written=None
+        self,
+        spec: RunSpec,
+        sink: SinkResult,
+        expected_rows: int,
+        schema=None,
+        written_metrics: tuple[int, int] | None = None,
     ) -> bool:
         """--verify (cli.rs:118-120, declared with a crc64 dependency
         but never implemented in the reference): re-read the output and
         reconcile row counts; in ``verify_mode="content"`` additionally
-        reconcile the canonical-row checksum of the written plan
-        against the round-tripped bytes (did my bytes survive?)."""
-        if spec.verify_mode == "content" and written is not None:
-            exp_n, exp_crc = self._content_checksum(written)
-            back = self._read_back(spec, sink, schema=written.schema)
-            act_n, act_crc = self._content_checksum(back)
-            return (exp_n, exp_crc) == (act_n, act_crc)
+        reconcile the canonical-row checksum OBSERVED during the write
+        pass (``written_metrics``) against the round-tripped bytes
+        (did my bytes survive?)."""
+        if spec.verify_mode == "content" and written_metrics is not None:
+            back = self._read_back(spec, sink, schema=schema)
+            return written_metrics == self._content_checksum(back)
         return self._read_back(spec, sink).count() == expected_rows

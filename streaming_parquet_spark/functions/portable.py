@@ -370,6 +370,36 @@ def hash_bucket_expr(
     return f"(({h}) % {buckets})"
 
 
+def wide_hash_expr(dialect: str, id_col: str, seed: int = 0) -> str:
+    """Full-width (62-bit) portable hash key for TRAINING-ORDER
+    shuffles, where key collisions degrade the product: two
+    independent Knuth stages over DIFFERENT prime moduli (1000003 and
+    999983), packed as ``h1 * 2^31 + h2``.
+
+    ``hash_bucket_expr`` reduces the id mod 1000003 before hashing
+    (the product-exactness trick), so its key has at most ~1e6
+    distinct values — fine for BUCKET assignment, but as a SORT key
+    every id pair colliding mod 1000003 would tie and fall back to
+    ascending-id order, silently turning the per-epoch permutation of
+    a >1M-doc corpus into deterministic stride-structured runs. With
+    two coprime moduli a key collision needs id_a == id_b mod
+    (1000003 * 999983) ~ 1e12 — residual ties at that density are
+    ordinary hash ties, not structure.
+
+    Exactness: each stage's product is < 1000003 * 2654435761 < 2^52
+    (exact BIGINT in Spark ANSI and DuckDB without HUGEINT promotion),
+    and the pack h1 * 2^31 + h2 < 2^62 stays in BIGINT. Identical
+    expression text in both dialects — plain arithmetic only."""
+    key = f"CAST({id_col} AS BIGINT)"
+    parts = []
+    for prime in (1000003, 999983):
+        base = f"({key}) % {prime}"
+        if seed:
+            base = f"(({base}) + {int(seed)}) % {prime}"
+        parts.append(f"((({base}) * 2654435761) % {MERSENNE31})")
+    return f"(({parts[0]}) * 2147483648 + ({parts[1]}))"
+
+
 def bigrams_all_expr(dialect: str, words: str) -> str:
     """ALL word bigrams in document order (NOT distinct — repetition
     statistics need multiplicity). Same let-binding discipline as

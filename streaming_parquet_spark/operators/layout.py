@@ -118,6 +118,43 @@ def zorder_repartition(
     return out.sortWithinPartitions("__z").drop("__z")
 
 
+def _managed_location(spark, table: str) -> str:
+    """Canonical managed-table path under the local warehouse for a
+    possibly database-qualified name: ``wh/tbl`` for the default
+    database, ``wh/<db>.db/tbl`` otherwise — the Hive-layout rule the
+    catalog itself applies."""
+    wh = str(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).removeprefix("file:")
+    if "." in table:
+        db, _, tbl = table.rpartition(".")
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table
+    if db.lower() in ("", "default"):
+        return os.path.join(wh, tbl.lower())
+    return os.path.join(wh, f"{db.lower()}.db", tbl.lower())
+
+
+def _looks_like_spark_table_dir(loc: str) -> bool:
+    """True only for a directory whose entries are Spark table output
+    (part-files, _SUCCESS, checksums, _temporary, partition dirs) —
+    the orphan-cleanup guard against deleting an unrelated directory
+    that merely shares the table's name."""
+    try:
+        entries = os.listdir(loc)
+    except OSError:
+        return False
+    for e in entries:
+        ok = (
+            e.startswith(("part-", ".part-", "_SUCCESS", "._SUCCESS"))
+            or e in ("_temporary",)
+            or ("=" in e and os.path.isdir(os.path.join(loc, e)))
+        )
+        if not ok:
+            return False
+    return True
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -139,18 +176,25 @@ def write_bucketed(
     forces a merge-sort re-sort)."""
     spark = df.sparkSession
     if overwrite:
+        # Dropping a MANAGED table removes its data through the catalog
+        # — the path that knows the table's real location, whatever the
+        # database. The manual cleanup below is ONLY for the orphan
+        # case: a crashed prior session left the managed LOCATION
+        # behind with no catalog entry, so saveAsTable refuses the
+        # name. Guards (ADVICE r5): (a) the path is derived with
+        # database-qualified layout (warehouse/db.db/tbl, not
+        # warehouse/db.tbl); (b) only a directory that is genuinely
+        # orphaned (no catalog entry) AND whose contents look like
+        # Spark table output is removed — never a same-named directory
+        # this table never owned.
+        orphan = not spark.catalog.tableExists(table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        # A crashed prior session can leave the managed LOCATION behind
-        # with no catalog entry; saveAsTable then refuses the name.
-        # Clear the orphaned directory (local warehouse only).
-        import shutil
+        if orphan:
+            loc = _managed_location(spark, table)
+            if os.path.isdir(loc) and _looks_like_spark_table_dir(loc):
+                import shutil
 
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        loc = os.path.join(wh, table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+                shutil.rmtree(loc, ignore_errors=True)
     writer = (
         df.repartition(buckets, F.col(key))
         .write.bucketBy(buckets, key)

@@ -457,16 +457,19 @@ def global_shuffle(
     window would funnel 100 TB through one sort partition. The key and
     shard are stateless per-row expressions (zero shuffles here);
     writers partition output by shard, and each reader sorts its own
-    shard — the standard sharded-shuffle contract. The key reuses the
-    Knuth-multiplicative portable hash (exact in int64, identical in
-    any engine), so the permutation is reproducible from the data
+    shard — the standard sharded-shuffle contract. The key is the
+    FULL-WIDTH portable hash (two Knuth stages over coprime prime
+    moduli packed into 62 bits — see functions.portable.wide_hash_expr:
+    the single-stage bucket hash reduces ids mod 1000003 first, which
+    as a sort key would tie every >1M-doc corpus into deterministic
+    stride runs), so the permutation is reproducible from the data
     alone on resume and across cluster sizes — unlike
     ``df.orderBy(rand())``, whose output depends on partitioning.
 
     Output: id, sort_key, shard."""
-    key = hash_bucket_expr(
-        "spark", id_col, buckets=2147483647, seed=seed or 0
-    )
+    from streaming_parquet_spark.functions.portable import wide_hash_expr
+
+    key = wide_hash_expr("spark", id_col, seed=seed or 0)
     return df.select(
         F.col(id_col).alias("id"),
         F.expr(key).cast("bigint").alias("sort_key"),
@@ -482,38 +485,77 @@ def interleave_domains(
     """Deterministic round-robin INTERLEAVING of domains into one
     training-stream order: reading the output sorted by
     ``interleave_key`` visits domains in rotation (a, b, c, a, b, c,
-    ...), so no contiguous run of a single domain ever enters the
-    batch stream — the standard mitigation for domain-ordered
-    gradient drift when shards were written per-source.
+    ...) — the standard mitigation for domain-ordered gradient drift
+    when shards were written per-source.
+
+    Guarantee, stated precisely: the rotation holds while every domain
+    still has rows — position p of each live domain precedes position
+    p+1 of any domain. With UNEQUAL domain sizes the stream's tail
+    (positions past the smaller domains' ends) is carried by the
+    remaining domains alone, ending in a contiguous run of the largest
+    domain — inherent to any key of the form pos*n+domain, not a bug;
+    cap-and-resample first (``domain_mix``) when the tail run matters.
 
     key = position_within_domain * n_domains + domain_index, with the
     domain index a dense rank over the sorted domain names and the
     position a rank over ids within each domain — both total orders,
     so the permutation is reproducible from the data alone.
 
-    Scale: one groupBy for the (tiny) domain list, broadcast back;
-    one window per domain partition for the position (domains
-    partition the corpus, so the sort is per-domain, never global).
+    Scale: the per-domain position is computed as SHARDED ranks plus
+    per-shard offsets, not one window partition per domain (which
+    would funnel each domain's entire corpus through a single task —
+    few huge domains is the common corpus shape). The input is
+    range-partitioned on (domain, id); each task ranks its contiguous
+    slice locally, and a tiny (domain, shard)->count relation,
+    cumulative-summed and broadcast back, lifts local ranks to global
+    positions. Partition boundaries come from sampling and may vary
+    run to run, but the OUTPUT is invariant: pos is exactly the number
+    of same-domain rows with a smaller id, whatever the boundaries.
     Output: id, group, interleave_key."""
     from pyspark.sql import Window as W
 
+    base = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    spark = base.sparkSession
+    n_shards = spark.sparkContext.defaultParallelism or 8
     domains = (
-        df.select(F.col(group_col).alias("g")).distinct()
+        base.select(F.col("grp").alias("g")).distinct()
         .withColumn(
             "gi",
             F.row_number().over(W.orderBy("g")).cast("bigint") - 1,
         )
     )
     n = domains.agg(F.count(F.lit(1)).alias("__n"))
-    pos = (
-        F.row_number()
-        .over(W.partitionBy("grp").orderBy("id"))
-        .cast("bigint")
-        - 1
+    # Order-preserving shards: after a range partition on (grp, id),
+    # every task holds a contiguous id-slice of each domain it sees.
+    sharded = base.repartitionByRange(n_shards, "grp", "id").withColumn(
+        "p", F.spark_partition_id()
+    )
+    # local rank within (domain, shard) — bounded by the shard size,
+    # never by the domain size
+    local = sharded.withColumn(
+        "lrank",
+        F.row_number().over(W.partitionBy("grp", "p").orderBy("id"))
+        .cast("bigint") - 1,
+    )
+    # tiny (domain, shard) -> row-count relation; exclusive running sum
+    # over shard order gives each shard's global offset within its domain
+    offsets = (
+        sharded.groupBy("grp", "p").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("c").over(
+                    W.partitionBy("grp").orderBy("p")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .select("grp", "p", "off")
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
-        .withColumn("pos", pos)
+        local.join(F.broadcast(offsets), ["grp", "p"])
+        .withColumn("pos", F.col("off") + F.col("lrank"))
         .join(F.broadcast(domains), F.col("grp") == F.col("g"))
         .crossJoin(F.broadcast(n))
         .select(

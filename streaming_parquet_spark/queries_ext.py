@@ -976,7 +976,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline: sampling / splits / packing / semantic dedup
 # ---------------------------------------------------------------------------
 
-from streaming_parquet_spark.functions.portable import hash_bucket_expr  # noqa: E402
+from streaming_parquet_spark.functions.portable import (  # noqa: E402
+    hash_bucket_expr,
+    wide_hash_expr,
+)
 from streaming_parquet_spark.operators.pipeline import (  # noqa: E402
     hash_sample,
     pack_sequences,
@@ -3932,9 +3935,9 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_global_shuffle",
     f"""
     SELECT doc_id AS id,
-           CAST({hash_bucket_expr("duckdb", "doc_id", 2147483647, 7)}
+           CAST({wide_hash_expr("duckdb", "doc_id", 7)}
                 AS BIGINT) AS sort_key,
-           CAST(({hash_bucket_expr("duckdb", "doc_id", 2147483647, 7)}) % 64
+           CAST(({wide_hash_expr("duckdb", "doc_id", 7)}) % 64
                 AS INTEGER) AS shard
     FROM documents
     """,

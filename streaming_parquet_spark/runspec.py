@@ -50,6 +50,15 @@ class RunSpec:
     concurrency: int = 4
     writer_buffer_mb: int = 64
     mem_budget_mb: int = 1024
+    # Streaming micro-batch admission. None (default): the engine sizes
+    # triggers itself as concurrency * cores, capped at
+    # MAX_TRIGGER_FILES — every core is a reader on Spark, so a trigger
+    # feeds the whole cluster and the per-batch fixed cost amortizes
+    # (divergence from the reference's per-worker --concurrency
+    # semantics, documented in SURVEY §2 M7). An explicit value is the
+    # LITERAL per-trigger file bound, for operators who need to bound
+    # trigger latency / failure-replay granularity exactly.
+    trigger_files: int | None = None
 
     # Discovery (cli.rs:101-107)
     recursive: bool = True                 # --no-recursive inverts

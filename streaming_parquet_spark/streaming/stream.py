@@ -40,6 +40,12 @@ from streaming_parquet_spark.runspec import RunSpec
 from streaming_parquet_spark.sources.discover import InputFormat
 from streaming_parquet_spark.sources.readers import _apply_na_sentinels
 
+# Ceiling on the auto-sized trigger (concurrency * cores): bounds batch
+# latency and failure-replay granularity on large clusters while leaving
+# the local[32] amortization (4 * 32 = 128 files/trigger) untouched.
+# spec.trigger_files overrides both directions.
+MAX_TRIGGER_FILES = 1024
+
 
 @dataclass
 class StreamResult:
@@ -163,8 +169,8 @@ class StreamEngine:
             # Micro-batch sizing: the reference's --concurrency is
             # per-worker pipelining depth (bounded mpsc(8) per task,
             # src/pipeline.rs:76-193); on Spark every core is a worker,
-            # so a trigger admits concurrency * cores files — each
-            # micro-batch feeds the whole cluster and the per-batch
+            # so by default a trigger admits concurrency * cores files —
+            # each micro-batch feeds the whole cluster and the per-batch
             # fixed cost (offset log + sink commit fsyncs, planning)
             # amortizes over cores' worth of work instead of being paid
             # once per `concurrency` files. Measured on the bench
@@ -172,10 +178,22 @@ class StreamEngine:
             # streaming:batch throughput gap narrows from 1.63x toward
             # parity. Backpressure semantics are unchanged — batches
             # stay bounded, checkpoint/resume still exactly-once.
-            cores = self.spark.sparkContext.defaultParallelism or 1
-            reader = reader.option(
-                "maxFilesPerTrigger", max(1, spec.concurrency) * cores
-            )
+            #
+            # The product is CAPPED: on a large cluster (thousands of
+            # cores) an uncapped concurrency * cores would admit an
+            # unbounded batch, inflating trigger latency and
+            # failure-replay granularity with no way to bound it.
+            # spec.trigger_files, when set, is the LITERAL per-trigger
+            # bound — the reference's exact knob semantics, opt-in
+            # (divergence documented in SURVEY §2 M7).
+            if spec.trigger_files is not None:
+                per_trigger = max(1, int(spec.trigger_files))
+            else:
+                cores = self.spark.sparkContext.defaultParallelism or 1
+                per_trigger = min(
+                    max(1, spec.concurrency) * cores, MAX_TRIGGER_FILES
+                )
+            reader = reader.option("maxFilesPerTrigger", per_trigger)
             # The file stream source requires a directory or glob, not a
             # bare file path — group files per parent dir into a Hadoop
             # glob alternation {a,b,...}. (Filenames containing braces or

@@ -197,9 +197,40 @@ def test_content_verify_detects_corruption(engine, tmp_path):
 
     sink = SinkResult(paths=[out], bytes_written=0, files_written=1)
     written = engine.spark.read.option("header", "true").csv(str(src))
-    assert engine._verify(spec, sink, 3, written=written) is False
+    wm = engine._content_checksum(written)
+    assert engine._verify(
+        spec, sink, 3, schema=written.schema, written_metrics=wm
+    ) is False
     count_spec = RunSpec(inputs=[str(src)], out=out, verify=True)
     assert engine._verify(count_spec, sink, 3) is True
+
+
+def test_content_verify_checksums_written_side_once(engine, tmp_path,
+                                                    monkeypatch):
+    """The written-side checksum is OBSERVED during the write pass
+    (CollectMetrics), so _content_checksum — a full aggregation job —
+    runs exactly once, on the read-back side only (ADVICE r5:
+    checksumming the unexecuted plan at verify time re-executed the
+    whole input pipeline and raced against post-write input
+    mutation)."""
+    src = tmp_path / "in.csv"
+    src.write_text("id,name\n1,alpha\n2,beta\n")
+    out = str(tmp_path / "out.csv")
+    calls = []
+    orig = type(engine)._content_checksum
+
+    def spy(self, df):
+        calls.append(1)
+        return orig(self, df)
+
+    monkeypatch.setattr(type(engine), "_content_checksum", spy)
+    res = engine.run(
+        RunSpec(inputs=[str(src)], out=out, verify=True,
+                verify_mode="content")
+    )
+    assert res.verified is True
+    assert res.rows == 2
+    assert len(calls) == 1, "written side must not re-run the pipeline"
 
 
 def test_mixed_csv_parquet_concat(engine, tmp_path, sf_dir):

@@ -2278,6 +2278,52 @@ def test_sweepline_concurrency_handcrafted(spark):
     assert got[t(20)] == 0
 
 
+def test_bucketed_orphan_cleanup_guards(spark, tmp_path):
+    """write_bucketed's orphan cleanup must (a) derive db-qualified
+    managed paths with the Hive layout (wh/db.db/tbl, not wh/db.tbl)
+    and (b) never delete a same-named warehouse directory whose
+    contents are not Spark table output (ADVICE r5)."""
+    import os
+
+    from streaming_parquet_spark.operators.layout import (
+        _looks_like_spark_table_dir,
+        _managed_location,
+        write_bucketed,
+    )
+
+    wh = str(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).removeprefix("file:")
+    assert _managed_location(spark, "mydb.tbl") == os.path.join(
+        wh, "mydb.db", "tbl"
+    )
+    assert _managed_location(spark, "default.tbl") == os.path.join(wh, "tbl")
+    assert _managed_location(spark, "tbl") == os.path.join(wh, "tbl")
+
+    # a user directory that merely shares the table's name is not
+    # "Spark table output" and must survive an overwrite
+    victim = os.path.join(wh, "bucket_guard_probe")
+    os.makedirs(victim, exist_ok=True)
+    keep = os.path.join(victim, "precious.txt")
+    with open(keep, "w") as f:
+        f.write("not a table")
+    assert not _looks_like_spark_table_dir(victim)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # Either outcome is acceptable — the write lands beside the foreign
+    # file, or Spark refuses the non-empty location — but the foreign
+    # file itself must never be deleted.
+    try:
+        write_bucketed(df, "bucket_guard_probe", "k", buckets=2)
+    except Exception:
+        pass
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucket_guard_probe")
+    assert os.path.exists(keep), "unrelated same-named dir was deleted"
+    os.remove(keep)
+    if os.path.isdir(victim) and not os.listdir(victim):
+        os.rmdir(victim)
+
+
 def test_zorder_repartition_narrows_file_stats(spark, tmp_path):
     """The write-layout claim, tested at the file level: after
     zorder_repartition, each parquet file's min/max footer range is
@@ -2544,6 +2590,28 @@ def test_global_shuffle_deterministic_and_seeded(spark):
     assert order != sorted(order)
 
 
+def test_global_shuffle_key_is_full_width(spark):
+    """Sort keys must NOT collapse past 1M docs: the single-stage
+    bucket hash reduces ids mod 1000003, so ids 1000003 apart would
+    share a key and tie back to ascending-id order — stride structure,
+    not a permutation (ADVICE r5). The wide key (two coprime prime
+    stages) keeps such ids distinct: spot-check the exact collision
+    pattern plus global uniqueness over a boundary-straddling range."""
+    from pyspark.sql import functions as F
+
+    from streaming_parquet_spark.operators.pipeline import global_shuffle
+
+    ids = list(range(0, 256)) + [i + 1000003 for i in range(0, 256)] + [
+        i + 2 * 1000003 for i in range(0, 256)
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = global_shuffle(df, seed=7)
+    n_keys = out.select(F.countDistinct("sort_key")).collect()[0][0]
+    assert n_keys == len(ids), (
+        f"sort_key collapsed: {n_keys} distinct of {len(ids)} ids"
+    )
+
+
 def test_lsh_recall_bounds_and_floor(spark, sf_dir):
     """The gate's recall figure is a genuine probability: hits are a
     subset of truth, and on the fixture the 16x8 banding must clear the
@@ -2784,3 +2852,20 @@ def test_interleave_domains_round_robin(spark):
     assert [r["grp"] for r in out[:6]] == ["a", "b", "c", "a", "b", "c"]
     # no two consecutive entries share a domain
     assert all(x["grp"] != y["grp"] for x, y in zip(out, out[1:]))
+
+
+def test_interleave_positions_exact_across_shards(spark):
+    """The sharded-rank path (range partition + local rank + offset)
+    must produce EXACTLY pos = #same-domain rows with smaller id, even
+    when one domain spans many shards (few-huge-domains is the shape
+    the old one-window-per-domain implementation serialized on). Two
+    domains, 400 rows each, interleaved ids, 8+ shards."""
+    from streaming_parquet_spark.operators.pipeline import interleave_domains
+
+    rows = [(i, "ab"[i % 2]) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["id"]: r["interleave_key"]
+           for r in interleave_domains(df).collect()}
+    # domain 'a' = even ids (gi=0), 'b' = odd ids (gi=1); pos within
+    # domain = id//2 for both -> key = (id//2)*2 + (id%2) == id
+    assert got == {i: i for i in range(800)}
