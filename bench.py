@@ -186,6 +186,17 @@ def main() -> None:
                 "stream_* stage src/ckpt/sink on streaming_workdir;"
                 " pass 2 resumes the checkpoint (warm path)"
             ),
+            "multimodal_audio_note": (
+                "r5 flagged 0.27->1.66 s with unchanged code; r6 bisect:"
+                " 0.39-0.58 s warm standalone AND after replaying the"
+                " full alphabetical query prefix in a fresh session, so"
+                " the inflation is not plan- or order-induced; it only"
+                " appears inside the full bench process (conversions +"
+                " streaming engine precede the sweep) and tracks overall"
+                " Python-worker/JVM pressure, not the operator —"
+                " absolute cost ~1 s, plan unchanged (Arrow-batched"
+                " mapInPandas)"
+            ),
         },
     }
     print(json.dumps(doc, separators=(",", ":")))
