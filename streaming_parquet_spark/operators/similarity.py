@@ -592,6 +592,7 @@ def ivf_sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF x SQ8 composed ANN — the actual 100 TB design: IVF posting
     lists bound the candidate set to ``n_probe / n_centroids`` of the
@@ -612,7 +613,11 @@ def ivf_sq8_topk(
     integer quantized dot, tie-breaks on id), so the DuckDB oracle
     reproduces the full approximate pipeline bit-for-bit."""
     cents = corpus.filter(F.col(id_col) < n_centroids)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col, dims)
+    if assigned is None:
+        # ``assigned`` lets callers composing several quantization
+        # tiers (the merged gates; at 100 TB the ingested posting-list
+        # table) build the coarse assignment ONCE and share it.
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, dims)
     coded = with_sq8(assigned, "v", dims, "c_scale", "c_q")
 
     c = cents.select(F.col(id_col).alias("cent_id"),
@@ -999,6 +1004,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF x PQ composed ANN — the PQ-tier 100 TB design (product
     quantization per Jegou, Douze & Schmid 2011, "Product Quantization
@@ -1015,13 +1021,16 @@ def ivf_pq_topk(
     spark = corpus.sparkSession
     cb = pq_codebook_df(spark)
     cents = corpus.filter(F.col(id_col) < n_centroids)
-    # Materialized once: the assignment feeds BOTH the PQ encoding and
-    # the cluster map below — without this the centroid-affinity
-    # argmax (a broadcast NLJ over the corpus) executes twice.
-    assigned = _materialize(
-        ivf_assign(corpus, cents, id_col, vec_col, dims),
-        spread=False,  # ivf_assign spreads its own input
-    )
+    if assigned is None:
+        # Materialized once: the assignment feeds BOTH the PQ encoding
+        # and the cluster map below — without this the centroid-affinity
+        # argmax (a broadcast NLJ over the corpus) executes twice. A
+        # caller-supplied ``assigned`` (merged gates; the ingested
+        # posting-list table at 100 TB) shares one build across tiers.
+        assigned = _materialize(
+            ivf_assign(corpus, cents, id_col, vec_col, dims),
+            spread=False,  # ivf_assign spreads its own input
+        )
     codes = pq_encode(
         assigned.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
         cb, id_col, vec_col,
