@@ -123,6 +123,7 @@ _DRIVER_PRIORITY = [
     # budget refreshes all 150 within 2 rounds — VERDICT r5 item 4)
     "embed_ann_recall", "embed_ann_ivf_quantized", "embed_ann_quantized",
     "embed_ann_bucketed", "events_asof", "dedup_clusters",
+    "pipeline_temperature_mix", "events_windows",
     "dedup_prefix_join", "events_incremental_rollup",
     "rel_quantile_sketch", "text_chi2_terms", "text_domain_similarity",
     # round-4 additions (no prior CORRECTNESS row)
@@ -144,7 +145,6 @@ _DRIVER_PRIORITY = [
     "rel_agg_stats", "rel_window_topk", "rel_window_running",
     "rel_sort_limit", "rel_set_ops", "rel_except", "rel_rollup",
     "rel_exists_subquery", "rel_cube", "rel_pivot",
-    "events_tumbling_window", "events_sliding_window",
     "events_json_extract", "events_sessionize", "dedup_exact",
     "text_fingerprint", "dedup_minhash_sig", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",

@@ -566,3 +566,84 @@ def interleave_domains(
             .alias("interleave_key"),
         )
     )
+
+
+TEMPERATURE_SEED = 8
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha_num: int = 1,
+    alpha_sqrts: int = 1,
+    target_total: int | None = None,
+    seed: int = TEMPERATURE_SEED,
+) -> DataFrame:
+    """Deterministic TEMPERATURE-scaled domain mixing — the standard
+    multilingual / multi-domain LM sampling recipe (p_d proportional to
+    c_d^alpha, per XLM-R / mT5; public literature): alpha < 1 upweights
+    small domains relative to proportional sampling without letting any
+    one domain dominate, alpha = 1 reproduces proportional, alpha -> 0
+    approaches uniform.
+
+    ``alpha = alpha_num / 2^alpha_sqrts`` — the exponent is expressed
+    as repeated IEEE square roots followed by an integer power
+    (c^(m/2^k) = (sqrt^k c)^m), because sqrt is correctly rounded and
+    multiplication order is fixed, so BOTH engines produce the same
+    double bit-for-bit; libm pow() would not be portable. Defaults give
+    alpha = 0.5. After one floor to millionths, ALL arithmetic is exact
+    BIGINT — the domain-weight total is an integer sum (order-free),
+    shares and keep-rates are integer div — so the kept set is a pure
+    function of the data, reproducible across engines, partitionings,
+    and cluster sizes.
+
+    rate_d = min(1, target * share_d / c_d), share_d = w_d / sum(w);
+    a row is kept iff its purpose-salted hash bucket (of 1e6) falls
+    under rate_d * 1e6. ``target_total`` defaults to the corpus size
+    (reshape the mixture at constant scale).
+
+    Scale: one partial-aggregated shuffle to per-domain counts (one row
+    per domain), rates broadcast back, then a pure filter — the corpus
+    itself never shuffles. Output: the kept rows of ``df``."""
+    if alpha_num < 1 or alpha_sqrts < 0:
+        raise ValueError("alpha must be positive: alpha_num/2^alpha_sqrts")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    s = F.col("__c").cast("double")
+    for _ in range(alpha_sqrts):
+        s = F.sqrt(s)
+    w = s
+    for _ in range(alpha_num - 1):
+        w = w * s
+    win = W.partitionBy()
+    rates = (
+        counts.withColumn(
+            "__w", F.floor(w * F.lit(1000000.0)).cast("bigint")
+        )
+        .withColumn("__tw", F.sum("__w").over(win))
+        .withColumn("__n", F.sum("__c").over(win))
+        .withColumn(
+            "__share_ppm",
+            F.expr("(__w * 1000000) DIV __tw"),
+        )
+        .withColumn(
+            "__target",
+            F.lit(int(target_total)).cast("bigint")
+            if target_total is not None
+            else F.col("__n"),
+        )
+        .withColumn(
+            "__rate_ppm",
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr("(__target * __share_ppm) DIV __c"),
+            ),
+        )
+        .select(group_col, "__rate_ppm")
+    )
+    b = F.expr(hash_bucket_expr("spark", id_col, 1000000, seed=seed))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(b < F.col("__rate_ppm"))
+        .drop("__rate_ppm")
+    )

@@ -711,9 +711,10 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_tumbling_window",
+    "events_windows",
     """
-    SELECT strftime(TIMESTAMP '1970-01-01'
+    SELECT 'tumbling' AS kind,
+           strftime(TIMESTAMP '1970-01-01'
                     + CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT)
                       * INTERVAL 1 SECOND,
                     '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -721,63 +722,67 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            floor((SUM(value)) * 1e2 + 5e-1) / 1e2 AS total_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind,
+           strftime(TIMESTAMP '1970-01-01'
+                    + CAST(FLOOR(epoch(ts) / 300) * 300 - k * 300 AS BIGINT)
+                      * INTERVAL 1 SECOND,
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(NULL AS VARCHAR) AS event_type,
+           COUNT(*) AS n,
+           floor((SUM(value)) * 1e2 + 5e-1) / 1e2 AS total_value
+    FROM events, UNNEST(range(0, 2)) AS t(k)
+    GROUP BY 2
     """,
 )
-def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-minute tumbling window aggregation (F.window). The same plan
-    runs under Structured Streaming with a watermark (streaming module);
-    here it is the batch rendering for the oracle check."""
+def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both event-time window shapes in one driver gate (merged r6 from
+    events_tumbling_window + events_sliding_window — VERDICT r5 item 4):
+
+    - kind='tumbling': 10-minute windows per event_type (F.window).
+    - kind='sliding': 10-minute windows, 5-minute slide — each event
+      lands in window/slide = 2 overlapping windows; the oracle expands
+      windows arithmetically (starts are the 2 slide-aligned instants
+      within (ts - window, ts]).
+
+    The same plans run under Structured Streaming with a watermark
+    (streaming/operators.py); here they are the batch renderings for
+    the oracle check."""
     ev = _events(spark, sf_dir)
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             round_to_col(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.lit("tumbling").alias("kind"),
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
             "event_type",
             "n",
             "total_value",
         )
     )
-
-
-@query(
-    "events_sliding_window",
-    """
-    SELECT strftime(TIMESTAMP '1970-01-01'
-                    + CAST(FLOOR(epoch(ts) / 300) * 300 - k * 300 AS BIGINT)
-                      * INTERVAL 1 SECOND,
-                    '%Y-%m-%d %H:%M:%S') AS window_start,
-           COUNT(*) AS n,
-           floor((SUM(value)) * 1e2 + 5e-1) / 1e2 AS total_value
-    FROM events, UNNEST(range(0, 2)) AS t(k)
-    GROUP BY 1
-    """,
-)
-def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding event-time windows (10 min window, 5 min slide — each
-    event lands in window/slide = 2 overlapping windows). Oracle expands
-    windows arithmetically: starts are the 2 slide-aligned instants
-    within (ts - window, ts]. Streaming uses the identical plan plus a
-    watermark (streaming/operators.py::sliding_window_agg)."""
-    ev = _events(spark, sf_dir)
-    return (
+    sliding = (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             round_to_col(F.sum("value"), 2).alias("total_value"),
         )
         .select(
+            F.lit("sliding").alias("kind"),
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
                 "window_start"
             ),
+            F.lit(None).cast("string").alias("event_type"),
             "n",
             "total_value",
         )
     )
+    return tumbling.unionByName(sliding)
 
 
 @query(

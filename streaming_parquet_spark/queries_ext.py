@@ -4442,3 +4442,55 @@ def pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return interleave_domains(_t(spark, sf_dir, "documents"))
+
+
+def _duck_temperature_mix() -> str:
+    # mirrors operators.pipeline.temperature_mix (alpha = 1/2, target =
+    # corpus size): one portable sqrt + floor to millionths, then exact
+    # BIGINT shares/rates (explicit CASTs keep DuckDB SUM() out of
+    # HUGEINT — see tests/test_oracle_parity.py's type scan).
+    return f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT lang, c,
+             CAST(FLOOR(sqrt(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS wf
+      FROM counts
+    ),
+    t AS (
+      SELECT CAST(SUM(wf) AS BIGINT) AS tw, CAST(SUM(c) AS BIGINT) AS n
+      FROM w
+    ),
+    r AS (
+      SELECT lang,
+             LEAST(CAST(1000000 AS BIGINT),
+                   (t.n * ((wf * 1000000) // t.tw)) // c) AS rate_ppm
+      FROM w, t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE {hash_bucket_expr("duckdb", "d.doc_id", 1000000, 8)} < r.rate_ppm
+    """
+
+
+@query("pipeline_temperature_mix", _duck_temperature_mix())
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (p_d ~ c_d^0.5, the XLM-R /
+    mT5 multilingual sampling recipe) materialized as a deterministic
+    keep-set over the naturally SKEWED language distribution (en is
+    ~3x the tail languages in the fixture, so the gate exercises real
+    downsampling, not the identity): small languages are upweighted
+    relative to proportional sampling, the head is downsampled, total
+    scale preserved. The gate
+    returns the kept (doc_id, source) rows, so the value hash asserts
+    exact membership — rates, shares, and the salted hash threshold
+    all replayed by the oracle in the same fixed-point arithmetic.
+    See operators.pipeline.temperature_mix."""
+    from streaming_parquet_spark.operators.pipeline import temperature_mix
+
+    kept = temperature_mix(
+        _t(spark, sf_dir, "documents"), group_col="lang",
+        id_col="doc_id",
+    )
+    return kept.select("doc_id", "lang")

@@ -192,7 +192,7 @@ def test_driver_rotation_orders_stalest_first():
 
 @pytest.mark.parametrize(
     "name",
-    ["events_tumbling_window", "events_sliding_window",
+    ["events_windows",
      "stream_windowed_counts", "events_sessionize", "stream_late_dedup"],
 )
 def test_time_oracles_are_tz_independent(name, spark, sf_dir):

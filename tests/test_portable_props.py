@@ -96,6 +96,48 @@ def test_hash_bucket_agrees(spark, ids, buckets, seed):
 
 
 @settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40),
+             min_size=1, max_size=16),
+    st.sampled_from([0, 7, 999]),
+)
+def test_wide_hash_agrees_and_is_full_width(spark, ids, seed):
+    """wide_hash_expr (the 62-bit training-shuffle key) is bit-equal
+    across engines, stays within BIGINT range, and ids that collide
+    under the single-stage 1000003 reduction stay distinct."""
+    from streaming_parquet_spark.functions.portable import wide_hash_expr
+
+    sdf = spark.createDataFrame([(i,) for i in ids], "id long")
+    s_rows = [
+        r[0]
+        for r in sdf.select(
+            F.expr(wide_hash_expr("spark", "id", seed=seed))
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ti (id BIGINT)")
+    con.executemany("INSERT INTO ti VALUES (?)", [(i,) for i in ids])
+    d_rows = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {wide_hash_expr('duckdb', 'id', seed=seed)} FROM ti"
+        ).fetchall()
+    ]
+    assert s_rows == d_rows
+    assert all(0 <= k < 2**62 for k in s_rows)
+    # the collision class of the single-modulus hash must not collide
+    probe = [(7,), (7 + 1000003,), (7 + 2 * 1000003,)]
+    pdf = spark.createDataFrame(probe, "id long")
+    keys = [
+        r[0]
+        for r in pdf.select(
+            F.expr(wide_hash_expr("spark", "id", seed=seed))
+        ).collect()
+    ]
+    assert len(set(keys)) == 3
+
+
+@settings(max_examples=15, deadline=None)
 @given(st.lists(_texts, min_size=1, max_size=6))
 def test_shingle_family_agrees(spark, texts):
     """shingles -> rolling fingerprint, gopher bigram/top-count/len-sum
