@@ -214,6 +214,53 @@ def parse_wav_header(payload: bytes):
     return rate, n, (n * 1_000_000 // rate) / 1e6, "WAV"
 
 
+def parse_jpeg_header(payload: bytes):
+    """Parse JPEG dimensions from real bytes (public JPEG/JFIF marker
+    layout): walk the marker segments from SOI to the first SOFn frame
+    header (C0-CF excluding DHT C4 / JPG C8 / DAC CC), which carries
+    precision, height, width, and component count. Returns
+    ``(width, height, channels)`` or ``None`` if not a JPEG."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if pos + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n or seg_len < 7:
+                return None
+            height, width = struct.unpack(">HH", payload[pos + 5:pos + 9])
+            channels = payload[pos + 9] if pos + 9 < n else 0
+            if width == 0 or height == 0 or channels == 0:
+                return None
+            return width, height, channels
+        pos += 2 + seg_len
+    return None
+
+
+def parse_gif_header(payload: bytes):
+    """Parse GIF logical-screen dimensions from real bytes (public
+    GIF87a/GIF89a layout: 6-byte signature, then width/height as
+    little-endian u16). Returns ``(width, height, channels)`` (palette
+    GIFs render RGB -> 3) or ``None`` if not a GIF."""
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", payload[6:10])
+    if width == 0 or height == 0:
+        return None
+    return width, height, 3
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic FAKE decode: pseudo-dimensions from a digest of the
     payload. Stands in for PIL/libvips; replace in `_decode_one`."""
@@ -243,15 +290,23 @@ def _decode_one(payload: bytes, strict: bool) -> tuple[int, int, int, str]:
             if strict:
                 raise
             return _fake_decode(payload)
-    # No codec installed: parse the PNG header from real bytes (public
-    # W3C spec) — strict mode stays honest without any dependency.
+    # No codec installed: parse PNG / JPEG / GIF headers from real
+    # bytes (public W3C / JFIF / GIF specs) — strict mode stays honest
+    # without any dependency.
     hdr = parse_png_header(payload)
     if hdr is not None:
         return hdr[0], hdr[1], hdr[2], "PNG"
+    jpg = parse_jpeg_header(payload)
+    if jpg is not None:
+        return jpg[0], jpg[1], jpg[2], "JPEG"
+    gif = parse_gif_header(payload)
+    if gif is not None:
+        return gif[0], gif[1], gif[2], "GIF"
     if strict:
         raise NotImplementedError(
-            "image codec not available and payload is not a PNG; "
-            "install Pillow or use strict=False for the fake decoder"
+            "image codec not available and payload is not a"
+            " PNG/JPEG/GIF; install Pillow or use strict=False for the"
+            " fake decoder"
         )
     return _fake_decode(payload)
 

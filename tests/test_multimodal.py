@@ -184,6 +184,54 @@ def test_parse_png_header_real_bytes():
     assert parse_png_header(png[:20]) is None
 
 
+def make_jpeg(width=320, height=200, channels=3):
+    """Minimal structurally-valid JPEG prefix: SOI, APP0 (JFIF), a DQT
+    stub, then SOF0 with the frame dimensions (the payload after the
+    frame header is irrelevant to metadata parsing)."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, height, width, channels) + bytes(
+        3 * channels
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes(65)
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+
+
+def test_parse_jpeg_and_gif_headers_real_bytes():
+    from streaming_parquet_spark.operators.multimodal import (
+        _decode_one,
+        parse_gif_header,
+        parse_jpeg_header,
+    )
+
+    jpg = make_jpeg(320, 200, 3)
+    assert parse_jpeg_header(jpg) == (320, 200, 3)
+    # progressive (SOF2) dimensions parse identically
+    assert parse_jpeg_header(jpg.replace(b"\xff\xc0", b"\xff\xc2")) == (
+        320, 200, 3,
+    )
+    assert parse_jpeg_header(b"GIF89a not a jpeg") is None
+    assert parse_jpeg_header(jpg[:6]) is None
+
+    gif = b"GIF89a" + struct.pack("<HH", 99, 44) + bytes(6)
+    assert parse_gif_header(gif) == (99, 44, 3)
+    assert parse_gif_header(b"\x89PNGxxxxxxxx") is None
+
+    # the strict dependency-free path resolves all three containers
+    assert _decode_one(jpg, strict=True) == (320, 200, 3, "JPEG")
+    assert _decode_one(gif, strict=True) == (99, 44, 3, "GIF")
+    png = make_png([[(1, 2, 3)]])
+    assert _decode_one(png, strict=True)[3] == "PNG"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _decode_one(b"definitely not an image", strict=True)
+
+
 def test_decode_png_gray_all_filter_types():
     from streaming_parquet_spark.operators.multimodal import decode_png_gray
 

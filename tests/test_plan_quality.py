@@ -177,6 +177,11 @@ def test_skew_join_aqe_split(spark, sf_dir, tmp_path):
         ("embed_random_projection", "embeddings", {"vec_id", "embedding"}),
         ("events_upsert_latest", "events",
          {"event_id", "ts", "user_id", "event_type", "value"}),
+        # r6 additions: the mix/shuffle/interleave gates carry only ids
+        # and their group column to the scan
+        ("pipeline_temperature_mix", "documents", {"doc_id", "lang"}),
+        ("pipeline_interleave", "documents", {"doc_id", "source"}),
+        ("pipeline_global_shuffle", "documents", {"doc_id"}),
     ],
 )
 def test_scan_prunes_columns(name, table, allowed, spark, sf_dir):
