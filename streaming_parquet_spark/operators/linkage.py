@@ -76,21 +76,30 @@ def fuzzy_pairs(
         F.col(text_col).alias("text_b"),
         "__blk",
     )
+    # THRESHOLDED distance (levenshtein's 3-arg form, Spark >= 3.5):
+    # the banded DP is O(len * max_dist) per pair instead of O(len^2)
+    # and bails out the moment the band exceeds the bound, returning -1
+    # — the hot loop of a blocked linkage join is exactly this
+    # computation, and most candidate pairs are far apart. Kept pairs
+    # carry the exact distance, so results are identical to the
+    # unthresholded form (and to the oracle, which computes the full
+    # distance and filters).
     if unit == "byte":
         def lev(x: str, y: str):
             return F.expr(
                 f"levenshtein(decode(encode({x}, 'UTF-8'), 'ISO-8859-1'),"
-                f" decode(encode({y}, 'UTF-8'), 'ISO-8859-1'))"
+                f" decode(encode({y}, 'UTF-8'), 'ISO-8859-1'),"
+                f" {int(max_dist)})"
             )
     elif unit == "char":
         def lev(x: str, y: str):
-            return F.levenshtein(F.col(x), F.col(y))
+            return F.levenshtein(F.col(x), F.col(y), int(max_dist))
     else:
         raise ValueError(f"unit must be 'char' or 'byte', got {unit!r}")
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dist", lev("text_a", "text_b"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)  # -1 == distance exceeded max_dist
         .select("id_a", "id_b", "text_a", "text_b", "dist")
     )
