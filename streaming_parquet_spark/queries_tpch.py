@@ -1592,16 +1592,41 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     That replaces two correlated semi/anti joins with a single shuffle
     on l_orderkey shared by the stats and the join-back. Scale: the
     per-order stats relation is orderkey-partitioned exactly like the
-    join that consumes it; supplier+nation broadcast."""
-    lid = _lineitem_dated(spark, sf_dir).select(
-        "l_orderkey", "l_suppkey",
-        (F.col("l_receiptdate") > F.col("l_commitdate")).alias("__late"),
+    join that consumes it; supplier+nation broadcast.
+
+    Two further shapes matter on a serial-scan input (one-row-group
+    fixture; any cold file at 100 TB): the narrow 3-column projection
+    is staged ONCE (spread + persisted) so the stats build and the
+    late-line join-back don't each re-run the unsplittable scan, and
+    the two COUNT(DISTINCT) become a two-level exact aggregation
+    (per-(order, supplier) any-late flags, then plain counts) — no
+    Expand doubling the row volume through the first shuffle."""
+    from streaming_parquet_spark.operators.similarity import (
+        _materialize,
+        spread_input,
     )
-    stats = lid.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(
-            F.when(F.col("__late"), F.col("l_suppkey"))
-        ).alias("__n_late_supp"),
+
+    lid = _materialize(
+        spread_input(
+            _lineitem_dated(spark, sf_dir).select(
+                "l_orderkey", "l_suppkey",
+                (F.col("l_receiptdate") > F.col("l_commitdate")).alias(
+                    "__late"
+                ),
+            )
+        ),
+        spread=False,
+    )
+    stats = (
+        lid.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("__late").alias("__s_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n_supp"),
+            F.sum(F.when(F.col("__s_late"), 1).otherwise(0)).alias(
+                "__n_late_supp"
+            ),
+        )
     )
     orders_f = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
