@@ -477,9 +477,19 @@ def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-distinct aggregate (expand + two-phase agg under Catalyst)."""
+    """Multi-distinct aggregate (expand + two-phase agg under Catalyst).
+    The 4-column projection is spread first: the Expand triples the row
+    volume INSIDE the scan stage, so on an unsplittable one-row-group
+    input the whole partial aggregation would otherwise run in one
+    task (no-op on any production multi-split layout)."""
+    from streaming_parquet_spark.operators.similarity import spread_input
+
     return (
-        _t(spark, sf_dir, "lineitem")
+        spread_input(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_orderkey", "l_partkey", "l_quantity"
+            )
+        )
         .groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_orderkey").alias("n_orders"),

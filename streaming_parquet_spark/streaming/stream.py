@@ -47,6 +47,16 @@ from streaming_parquet_spark.sources.readers import _apply_na_sentinels
 MAX_TRIGGER_FILES = 1024
 
 
+def per_trigger_files(spec: RunSpec, cores: int) -> int:
+    """Files admitted per micro-batch: ``spec.trigger_files`` verbatim
+    when set (the reference's literal --concurrency semantics, opt-in),
+    else concurrency * cores capped at MAX_TRIGGER_FILES (see the
+    sizing rationale at the reader construction site / SURVEY §2 M7)."""
+    if spec.trigger_files is not None:
+        return max(1, int(spec.trigger_files))
+    return min(max(1, spec.concurrency) * max(1, cores), MAX_TRIGGER_FILES)
+
+
 @dataclass
 class StreamResult:
     """GlobalProgress-shaped streaming metrics (src/progress.rs:88-103)."""
@@ -186,14 +196,12 @@ class StreamEngine:
             # spec.trigger_files, when set, is the LITERAL per-trigger
             # bound — the reference's exact knob semantics, opt-in
             # (divergence documented in SURVEY §2 M7).
-            if spec.trigger_files is not None:
-                per_trigger = max(1, int(spec.trigger_files))
-            else:
-                cores = self.spark.sparkContext.defaultParallelism or 1
-                per_trigger = min(
-                    max(1, spec.concurrency) * cores, MAX_TRIGGER_FILES
-                )
-            reader = reader.option("maxFilesPerTrigger", per_trigger)
+            reader = reader.option(
+                "maxFilesPerTrigger",
+                per_trigger_files(
+                    spec, self.spark.sparkContext.defaultParallelism or 1
+                ),
+            )
             # The file stream source requires a directory or glob, not a
             # bare file path — group files per parent dir into a Hadoop
             # glob alternation {a,b,...}. (Filenames containing braces or

@@ -312,3 +312,25 @@ def test_interval_join_same_column_names(spark):
         l, r, key="user_id", left_ts="ts", right_ts="ts", upper="1 hour"
     ).collect()
     assert len(got) == 1  # only the +30min row is inside [ts, ts+1h]
+
+
+def test_per_trigger_files_semantics():
+    """--trigger-files is the LITERAL per-trigger bound; the auto size
+    is concurrency * cores capped at MAX_TRIGGER_FILES (ADVICE r5: an
+    uncapped product on a large cluster admits unbounded batches)."""
+    from streaming_parquet_spark.runspec import RunSpec
+    from streaming_parquet_spark.streaming.stream import (
+        MAX_TRIGGER_FILES,
+        per_trigger_files,
+    )
+
+    assert per_trigger_files(RunSpec(inputs=["x"]), cores=32) == 128
+    assert per_trigger_files(
+        RunSpec(inputs=["x"], concurrency=1), cores=4096
+    ) == MAX_TRIGGER_FILES
+    assert per_trigger_files(
+        RunSpec(inputs=["x"], trigger_files=1), cores=4096
+    ) == 1
+    assert per_trigger_files(
+        RunSpec(inputs=["x"], trigger_files=0), cores=8
+    ) == 1
