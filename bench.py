@@ -187,15 +187,14 @@ def main() -> None:
                 " pass 2 resumes the checkpoint (warm path)"
             ),
             "multimodal_audio_note": (
-                "r5 flagged 0.27->1.66 s with unchanged code; r6 bisect:"
-                " 0.39-0.58 s warm standalone AND after replaying the"
-                " full alphabetical query prefix in a fresh session, so"
-                " the inflation is not plan- or order-induced; it only"
-                " appears inside the full bench process (conversions +"
-                " streaming engine precede the sweep) and tracks overall"
-                " Python-worker/JVM pressure, not the operator —"
-                " absolute cost ~1 s, plan unchanged (Arrow-batched"
-                " mapInPandas)"
+                "r5 flagged 0.27->1.66 s with unchanged code; r6 root"
+                " cause (whole in-sweep-inflation class): the default"
+                " 100-entry codegen class cache thrashed under the"
+                " 150-query sweep, re-running janino on every revisit."
+                " session.py now sets"
+                " spark.sql.codegen.cache.maxEntries=4096; the gate"
+                " returned to ~0.3-0.5 s and the sweep total dropped"
+                " 99.6 -> 77.2 s"
             ),
         },
     }
