@@ -2474,23 +2474,34 @@ def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     - method='pq': 8-byte PQ codes scored via the per-query integer
       LUT (Jegou et al. 2011; operators.similarity.ivf_pq_topk).
 
-    Fully value-oracled: every stage is portable arithmetic. Both
-    tiers build the same IVF coarse assignment; at fixture scale the
-    cheap recompute pipelines faster than an eager shared persist
-    (measured 4.65 vs 5.3 s), so each tier keeps its own — at 100 TB
-    pass one ingest-time posting-list table via the operators'
-    ``assigned=`` parameter instead."""
+    Fully value-oracled: every stage is portable arithmetic. The IVF
+    coarse assignment (the posting-list build) is computed ONCE and
+    shared by both tiers via the operators' ``assigned=`` parameter —
+    at 100 TB the assignment is an ingest-time table, never rebuilt
+    per index variant, and with generated classes cached (session.py
+    codegen cache) the shared persisted stage also measures faster
+    than per-tier recompute at fixture scale."""
     from streaming_parquet_spark.operators.similarity import (
+        _materialize,
+        ivf_assign,
         ivf_pq_topk,
         ivf_sq8_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
+    assigned = _materialize(
+        ivf_assign(emb, emb.filter(F.col("vec_id") < 8), "vec_id",
+                   "embedding", 64),
+        spread=False,
+    )
     sq8 = ivf_sq8_topk(
-        emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
+        emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64,
+        assigned=assigned,
     ).withColumn("method", F.lit("sq8"))
-    pq = ivf_pq_topk(emb, q, k=10).withColumn("method", F.lit("pq"))
+    pq = ivf_pq_topk(emb, q, k=10, assigned=assigned).withColumn(
+        "method", F.lit("pq")
+    )
     return sq8.unionByName(pq)
 
 
@@ -3838,18 +3849,22 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_parquet_spark.operators.similarity import (
         _materialize,
         cosine_topk,
+        ivf_assign,
         ivf_pq_topk,
         ivf_sq8_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    # one exact brute-force baseline, persisted, reused by both tiers
-    # (the IVF coarse assignment is NOT shared the same way: its
-    # recompute pipelines faster than an eager persist at this scale —
-    # see embed_ann_ivf_quantized)
+    # one exact brute-force baseline AND one IVF coarse assignment,
+    # both persisted and reused by the two approximate tiers
     exact = _materialize(
         cosine_topk(emb, q, k=10, dims=64).select("query_id", "neighbor_id"),
+        spread=False,
+    )
+    assigned = _materialize(
+        ivf_assign(emb, emb.filter(F.col("vec_id") < 8), "vec_id",
+                   "embedding", 64),
         spread=False,
     )
 
@@ -3870,12 +3885,12 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sq8 = recall(
         ivf_sq8_topk(emb, q, k=10, n_centroids=8, n_probe=2, rerank=4,
-                     dims=64),
+                     dims=64, assigned=assigned),
         "sq8",
     )
     pq = recall(
         ivf_pq_topk(emb, q, k=10, n_centroids=8, n_probe=2, rerank=4,
-                    dims=64),
+                    dims=64, assigned=assigned),
         "pq",
     )
     return sq8.join(pq, "query_id")
