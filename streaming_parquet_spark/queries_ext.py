@@ -2474,34 +2474,25 @@ def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     - method='pq': 8-byte PQ codes scored via the per-query integer
       LUT (Jegou et al. 2011; operators.similarity.ivf_pq_topk).
 
-    Fully value-oracled: every stage is portable arithmetic. The IVF
-    coarse assignment (the posting-list build) is computed ONCE and
-    shared by both tiers via the operators' ``assigned=`` parameter —
-    at 100 TB the assignment is an ingest-time table, never rebuilt
-    per index variant, and with generated classes cached (session.py
-    codegen cache) the shared persisted stage also measures faster
-    than per-tier recompute at fixture scale."""
+    Fully value-oracled: every stage is portable arithmetic. Both
+    tiers rebuild the cheap IVF coarse assignment: A/B at fixture
+    scale shows the eager persisted share losing to pipelined
+    recompute once staged relations are released between gate runs
+    (bench protocol), 9.9 s vs 7.8 s for this gate + embed_ann_recall
+    combined. At 100 TB pass one ingest-time posting-list table via
+    the operators' ``assigned=`` parameter instead — the API exists
+    precisely for that."""
     from streaming_parquet_spark.operators.similarity import (
-        _materialize,
-        ivf_assign,
         ivf_pq_topk,
         ivf_sq8_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    assigned = _materialize(
-        ivf_assign(emb, emb.filter(F.col("vec_id") < 8), "vec_id",
-                   "embedding", 64),
-        spread=False,
-    )
     sq8 = ivf_sq8_topk(
-        emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64,
-        assigned=assigned,
+        emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
     ).withColumn("method", F.lit("sq8"))
-    pq = ivf_pq_topk(emb, q, k=10, assigned=assigned).withColumn(
-        "method", F.lit("pq")
-    )
+    pq = ivf_pq_topk(emb, q, k=10).withColumn("method", F.lit("pq"))
     return sq8.unionByName(pq)
 
 
@@ -3849,22 +3840,17 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_parquet_spark.operators.similarity import (
         _materialize,
         cosine_topk,
-        ivf_assign,
         ivf_pq_topk,
         ivf_sq8_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    # one exact brute-force baseline AND one IVF coarse assignment,
-    # both persisted and reused by the two approximate tiers
+    # one exact brute-force baseline, persisted, reused by both tiers
+    # (the IVF assignment is deliberately NOT shared: see the A/B note
+    # in embed_ann_ivf_quantized)
     exact = _materialize(
         cosine_topk(emb, q, k=10, dims=64).select("query_id", "neighbor_id"),
-        spread=False,
-    )
-    assigned = _materialize(
-        ivf_assign(emb, emb.filter(F.col("vec_id") < 8), "vec_id",
-                   "embedding", 64),
         spread=False,
     )
 
@@ -3885,12 +3871,12 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sq8 = recall(
         ivf_sq8_topk(emb, q, k=10, n_centroids=8, n_probe=2, rerank=4,
-                     dims=64, assigned=assigned),
+                     dims=64),
         "sq8",
     )
     pq = recall(
         ivf_pq_topk(emb, q, k=10, n_centroids=8, n_probe=2, rerank=4,
-                    dims=64, assigned=assigned),
+                    dims=64),
         "pq",
     )
     return sq8.join(pq, "query_id")
