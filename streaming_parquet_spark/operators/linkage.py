@@ -66,14 +66,27 @@ def fuzzy_pairs(
         # per DISTINCT block and can itself be large; AQE broadcasts
         # it when it fits
         side = side.join(sizes.select("__blk"), "__blk", "left_semi")
+    # Precomputed length in the distance's own alphabet: a pair whose
+    # lengths differ by more than ``max_dist`` cannot be within
+    # ``max_dist`` edits (every length change costs one edit), so the
+    # LENGTH BAND |len_a - len_b| <= max_dist prunes candidates BEFORE
+    # the DP runs — a one-integer compare versus an O(len * max_dist)
+    # loop. On typo-shaped data most within-block pairs differ wildly
+    # in length, so the band removes the bulk of the DP work.
+    if unit == "byte":
+        side = side.withColumn("__len", F.octet_length(F.col(text_col)))
+    else:
+        side = side.withColumn("__len", F.length(F.col(text_col)))
     a = side.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
+        F.col("__len").alias("__len_a"),
         "__blk",
     )
     b = side.select(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
+        F.col("__len").alias("__len_b"),
         "__blk",
     )
     # THRESHOLDED distance (levenshtein's 3-arg form, Spark >= 3.5):
@@ -83,23 +96,49 @@ def fuzzy_pairs(
     # computation, and most candidate pairs are far apart. Kept pairs
     # carry the exact distance, so results are identical to the
     # unthresholded form (and to the oracle, which computes the full
-    # distance and filters).
+    # distance and filters). On Spark < 3.5 (the 3-arg overload's
+    # introduction) fall back to the 2-arg full DP + filter — same
+    # rows, just without the early bail-out.
+    thresholded = _has_thresholded_levenshtein()
     if unit == "byte":
         def lev(x: str, y: str):
-            return F.expr(
-                f"levenshtein(decode(encode({x}, 'UTF-8'), 'ISO-8859-1'),"
-                f" decode(encode({y}, 'UTF-8'), 'ISO-8859-1'),"
-                f" {int(max_dist)})"
+            args = (
+                f"decode(encode({x}, 'UTF-8'), 'ISO-8859-1'),"
+                f" decode(encode({y}, 'UTF-8'), 'ISO-8859-1')"
             )
+            if thresholded:
+                return F.expr(f"levenshtein({args}, {int(max_dist)})")
+            return F.expr(f"levenshtein({args})")
     elif unit == "char":
         def lev(x: str, y: str):
-            return F.levenshtein(F.col(x), F.col(y), int(max_dist))
+            if thresholded:
+                return F.levenshtein(F.col(x), F.col(y), int(max_dist))
+            return F.levenshtein(F.col(x), F.col(y))
     else:
         raise ValueError(f"unit must be 'char' or 'byte', got {unit!r}")
-    return (
+    pairs = (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.col("__len_a") - F.col("__len_b")) <= int(max_dist)
+        )
         .withColumn("dist", lev("text_a", "text_b"))
-        .filter(F.col("dist") >= 0)  # -1 == distance exceeded max_dist
-        .select("id_a", "id_b", "text_a", "text_b", "dist")
     )
+    if thresholded:
+        # -1 == distance exceeded max_dist
+        pairs = pairs.filter(F.col("dist") >= 0)
+    else:
+        pairs = pairs.filter(F.col("dist") <= int(max_dist))
+    return pairs.select("id_a", "id_b", "text_a", "text_b", "dist")
+
+
+def _has_thresholded_levenshtein() -> bool:
+    """True when the running Spark ships the 3-arg bounded levenshtein
+    (added in Spark 3.5)."""
+    import pyspark
+
+    try:
+        major, minor = pyspark.__version__.split(".")[:2]
+        return (int(major), int(minor)) >= (3, 5)
+    except (ValueError, AttributeError):
+        return True

@@ -236,6 +236,12 @@ def parse_jpeg_header(payload: bytes):
         if pos + 4 > n:
             return None
         seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        if seg_len < 2:
+            # The length field counts itself; < 2 is structurally
+            # invalid and advancing by 2+seg_len would land inside the
+            # segment payload, risking payload bytes misread as a SOF
+            # marker. Reject rather than misparse.
+            return None
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             if pos + 9 > n or seg_len < 7:
                 return None

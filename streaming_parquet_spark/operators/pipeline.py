@@ -527,8 +527,19 @@ def interleave_domains(
     n = domains.agg(F.count(F.lit(1)).alias("__n"))
     # Order-preserving shards: after a range partition on (grp, id),
     # every task holds a contiguous id-slice of each domain it sees.
-    sharded = base.repartitionByRange(n_shards, "grp", "id").withColumn(
-        "p", F.spark_partition_id()
+    # MATERIALIZED before fan-out: the local-rank and offset subtrees
+    # below both consume ``p``; without the persist their alignment
+    # would rest on Spark's exchange-reuse firing (range boundaries are
+    # sampled, so two independent evaluations may shard differently and
+    # silently misalign rank against offset). The persisted frame pins
+    # ``p`` to one physical evaluation.
+    from streaming_parquet_spark.operators.similarity import _materialize
+
+    sharded = _materialize(
+        base.repartitionByRange(n_shards, "grp", "id").withColumn(
+            "p", F.spark_partition_id()
+        ),
+        spread=False,
     )
     # local rank within (domain, shard) — bounded by the shard size,
     # never by the domain size

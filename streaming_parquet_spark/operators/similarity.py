@@ -20,6 +20,7 @@ norms for the general case.
 from __future__ import annotations
 
 import os
+import re
 import weakref
 
 from pyspark.sql import DataFrame, Window as W, functions as F
@@ -114,16 +115,22 @@ def spread_input(df: DataFrame, min_ratio: int = 2) -> DataFrame:
         return df
     if not files:
         return df
-    # A lineage that already contains a Repartition (this function on an
-    # upstream frame — e.g. the shared table loader spreads the corpora —
-    # or an explicit user repartition) is already parallel: a second
-    # round-robin would just chain another full exchange of the same
-    # rows (observed as back-to-back RoundRobinPartitioning stages in
-    # the embed_near_pairs plan). Driver-side analyzed-plan probe; no
-    # job runs.
+    # A lineage that already contains a ROUND-ROBIN repartition into
+    # enough partitions (this function on an upstream frame — e.g. the
+    # shared table loader spreads the corpora — or an explicit user
+    # repartition(n)) is already parallel: a second round-robin would
+    # just chain another full exchange of the same rows (observed as
+    # back-to-back RoundRobinPartitioning stages in the embed_near_pairs
+    # plan). Matched precisely, not by bare substring: ``coalesce(n)``
+    # also prints as a Repartition node (shuffle=false) and a hash
+    # RepartitionByExpression on a low-cardinality key can CONCENTRATE
+    # rows — neither proves parallelism, so neither suppresses the
+    # spread. Driver-side analyzed-plan probe; no job runs.
     try:
-        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
-            return df
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for m in re.finditer(r"Repartition (\d+), true", plan):
+            if int(m.group(1)) * min_ratio >= cores:
+                return df
     except Exception:
         pass
     try:

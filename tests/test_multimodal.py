@@ -216,6 +216,17 @@ def test_parse_jpeg_and_gif_headers_real_bytes():
     )
     assert parse_jpeg_header(b"GIF89a not a jpeg") is None
     assert parse_jpeg_header(jpg[:6]) is None
+    # a segment length below 2 (the field counts itself) is rejected,
+    # not walked into the payload: craft SOI + APP0 with seg_len=1
+    # followed by bytes that would misparse as a SOF if pos advanced
+    # into the payload
+    bogus = (
+        b"\xff\xd8"                      # SOI
+        + b"\xff\xe0" + struct.pack(">H", 1)  # APP0, invalid length 1
+        + b"\xff\xc0" + struct.pack(">H", 17)  # would-be SOF payload
+        + bytes(20)
+    )
+    assert parse_jpeg_header(bogus) is None
 
     gif = b"GIF89a" + struct.pack("<HH", 99, 44) + bytes(6)
     assert parse_gif_header(gif) == (99, 44, 3)
