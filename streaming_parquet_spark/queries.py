@@ -501,61 +501,154 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOW_NULLS = (
+    "o_orderkey o_totalprice rn l_suppkey l_orderkey l_linenumber "
+    "running_qty rnk drnk quartile pct_rank prev_price next_price "
+    "min_price delta"
+).split()
+
+
 @query(
-    "rel_window_topk",
+    "rel_window_family",
     """
-    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+    SELECT 'topk' AS kind, o_orderpriority,
+           CAST(o_orderkey AS DOUBLE) AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(rn AS DOUBLE) AS rn,
+           CAST(NULL AS DOUBLE) AS l_suppkey,
+           CAST(NULL AS DOUBLE) AS l_orderkey,
+           CAST(NULL AS DOUBLE) AS l_linenumber,
+           CAST(NULL AS DOUBLE) AS running_qty,
+           CAST(NULL AS DOUBLE) AS rnk, CAST(NULL AS DOUBLE) AS drnk,
+           CAST(NULL AS DOUBLE) AS quartile,
+           CAST(NULL AS DOUBLE) AS pct_rank,
+           CAST(NULL AS DOUBLE) AS prev_price,
+           CAST(NULL AS DOUBLE) AS next_price,
+           CAST(NULL AS DOUBLE) AS min_price,
+           CAST(NULL AS DOUBLE) AS delta
+    FROM (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
       FROM orders
     ) WHERE rn <= 3
-    """,
-)
-def rel_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K per group via row_number; deterministic (price, key) order.
-    Scale: Spark pushes a per-partition top-K (WindowGroupLimit) before
-    the shuffle, so the full sort never materializes."""
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        _t(spark, sf_dir, "orders")
-        .select(
-            "o_orderpriority",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-@query(
-    "rel_window_running",
-    """
-    SELECT l_suppkey, l_orderkey, l_linenumber,
+    UNION ALL
+    SELECT 'running' AS kind, CAST(NULL AS VARCHAR) AS o_orderpriority,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           CAST(l_suppkey AS DOUBLE), CAST(l_orderkey AS DOUBLE),
+           CAST(l_linenumber AS DOUBLE),
            floor((SUM(l_quantity) OVER (
              PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 5e-1) / 1e2 AS running_qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 5e-1) / 1e2,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM lineitem
+    UNION ALL
+    SELECT 'funcs' AS kind, CAST(NULL AS VARCHAR) AS o_orderpriority,
+           CAST(o_orderkey AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(ROW_NUMBER() OVER w AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(RANK() OVER w AS DOUBLE),
+           CAST(DENSE_RANK() OVER w AS DOUBLE),
+           CAST(NTILE(4) OVER w AS DOUBLE),
+           floor((PERCENT_RANK() OVER w) * 1e6 + 5e-1) / 1e6,
+           floor((LAG(o_totalprice, 1) OVER w) * 1e2 + 5e-1) / 1e2,
+           floor((LEAD(o_totalprice, 1) OVER w) * 1e2 + 5e-1) / 1e2,
+           floor((FIRST_VALUE(o_totalprice) OVER w) * 1e2 + 5e-1) / 1e2,
+           floor((o_totalprice - LAG(o_totalprice, 1) OVER w) * 1e2 + 5e-1) / 1e2
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
     """,
 )
-def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum with a total (shipdate, orderkey, linenumber) order —
-    deterministic under ties."""
-    w = (
+def rel_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window/sort surface in one driver gate (merged r7 from
+    rel_window_topk + rel_window_running + rel_window_funcs — VERDICT
+    r6 item 1; SURVEY §2.6):
+
+    - kind='topk': top-3 orders per priority via row_number with a
+      deterministic (price, key) order. Spark pushes a per-partition
+      top-K (WindowGroupLimit) before the shuffle, so the full sort
+      never materializes.
+    - kind='running': running quantity sum per supplier with a total
+      (shipdate, orderkey, linenumber) order — deterministic under
+      ties.
+    - kind='funcs': the ranking/navigation sweep (row_number, rank,
+      dense_rank, ntile, percent_rank, lag/lead, first_value, and a
+      lag-delta) — one window spec, one shuffle, one Window node.
+
+    Wide-union shape: every numeric column absent from a branch is a
+    typed DOUBLE null on both engines (a mixed-null BIGINT decays to
+    float64 on one engine and Int64 on the other)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def _fill(df: DataFrame, kind: str, *keep: str) -> DataFrame:
+        cols: list = [F.lit(kind).alias("kind")]
+        cols.append(
+            F.col("o_orderpriority")
+            if "o_orderpriority" in keep
+            else F.lit(None).cast("string").alias("o_orderpriority")
+        )
+        for c in _WINDOW_NULLS:
+            cols.append(
+                F.col(c).cast("double").alias(c)
+                if c in keep
+                else F.lit(None).cast("double").alias(c)
+            )
+        return df.select(*cols)
+
+    wt = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    topk = _fill(
+        orders.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.row_number().over(wt).alias("rn"),
+        ).filter(F.col("rn") <= 3),
+        "topk", "o_orderpriority", "o_orderkey", "o_totalprice", "rn",
+    )
+    wr = (
         W.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return _t(spark, sf_dir, "lineitem").select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        round_to_col(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    running = _fill(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_orderkey", "l_linenumber",
+            round_to_col(F.sum("l_quantity").over(wr), 2)
+            .alias("running_qty"),
+        ),
+        "running", "l_suppkey", "l_orderkey", "l_linenumber", "running_qty",
     )
+    wf = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    funcs = _fill(
+        orders.filter(F.col("o_orderkey") < 2000).select(
+            "o_orderkey",
+            F.row_number().over(wf).alias("rn"),
+            F.rank().over(wf).alias("rnk"),
+            F.dense_rank().over(wf).alias("drnk"),
+            F.ntile(4).over(wf).alias("quartile"),
+            round_to_col(F.percent_rank().over(wf), 6).alias("pct_rank"),
+            round_to_col(F.lag("o_totalprice", 1).over(wf), 2)
+            .alias("prev_price"),
+            round_to_col(F.lead("o_totalprice", 1).over(wf), 2)
+            .alias("next_price"),
+            round_to_col(F.first("o_totalprice").over(wf), 2)
+            .alias("min_price"),
+            round_to_col(
+                F.col("o_totalprice") - F.lag("o_totalprice", 1).over(wf), 2
+            ).alias("delta"),
+        ),
+        "funcs", "o_orderkey", "rn", "rnk", "drnk", "quartile", "pct_rank",
+        "prev_price", "next_price", "min_price", "delta",
+    )
+    return topk.unionByName(running).unionByName(funcs)
 
 
 @query(
@@ -584,60 +677,137 @@ def rel_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "rel_set_ops",
+    "rel_set_family",
     """
-    SELECT p_brand FROM part WHERE p_size < 25
-    INTERSECT
-    SELECT p_brand FROM part WHERE p_retailprice > 1200
+    SELECT 'intersect' AS kind, p_brand FROM (
+      SELECT p_brand FROM part WHERE p_size < 25
+      INTERSECT
+      SELECT p_brand FROM part WHERE p_retailprice > 1200
+    )
+    UNION ALL
+    SELECT 'except' AS kind, p_brand FROM (
+      SELECT p_brand FROM part WHERE p_size < 25
+      EXCEPT
+      SELECT p_brand FROM part WHERE p_retailprice > 1200
+    )
     """,
 )
-def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (absent in reference, SURVEY §2.3; Spark built-in)."""
+def rel_set_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both set operations in one driver gate (merged r7 from
+    rel_set_ops + rel_except — VERDICT r6 item 1; SURVEY §2.3, absent in
+    reference, Spark built-ins):
+
+    - kind='intersect': brands in both the small-size and the
+      high-price sets.
+    - kind='except': brands in the small-size set only. subtract ==
+      SQL EXCEPT (set semantics): a brand present in BOTH sides is
+      dropped entirely — exceptAll().distinct() is NOT that; it keeps
+      a brand whenever the left multiplicity exceeds the right's,
+      which a vacuous right side masks."""
     part = _t(spark, sf_dir, "part")
     small = part.filter(F.col("p_size") < 25).select("p_brand")
     pricey = part.filter(F.col("p_retailprice") > 1200).select("p_brand")
-    return small.intersect(pricey)
+    return (
+        small.intersect(pricey)
+        .select(F.lit("intersect").alias("kind"), "p_brand")
+        .unionByName(
+            small.subtract(pricey)
+            .select(F.lit("except").alias("kind"), "p_brand")
+        )
+    )
 
 
 @query(
-    "rel_except",
+    "rel_grouping",
     """
-    SELECT p_brand FROM part WHERE p_size < 25
-    EXCEPT
-    SELECT p_brand FROM part WHERE p_retailprice > 1200
-    """,
-)
-def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    small = part.filter(F.col("p_size") < 25).select("p_brand")
-    pricey = part.filter(F.col("p_retailprice") > 1200).select("p_brand")
-    # subtract == SQL EXCEPT (set semantics): a brand present in BOTH
-    # sides is dropped entirely. exceptAll().distinct() is NOT that —
-    # it keeps a brand whenever the left multiplicity exceeds the
-    # right's, which the fixture's vacuous right side used to mask.
-    return small.subtract(pricey)
-
-
-@query(
-    "rel_rollup",
-    """
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS kind, l_returnflag, l_linestatus,
            floor((SUM(l_quantity)) * 1e2 + 5e-1) / 1e2 AS sum_qty,
+           CAST(NULL AS DOUBLE) AS sum_price,
+           CAST(NULL AS DOUBLE) AS qty_open,
+           CAST(NULL AS DOUBLE) AS qty_filled,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS kind, l_returnflag, l_linestatus,
+           CAST(NULL AS DOUBLE) AS sum_qty,
+           floor((SUM(l_extendedprice)) * 1e2 + 5e-1) / 1e2 AS sum_price,
+           CAST(NULL AS DOUBLE) AS qty_open,
+           CAST(NULL AS DOUBLE) AS qty_filled,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'pivot' AS kind, l_returnflag,
+           CAST(NULL AS VARCHAR) AS l_linestatus,
+           CAST(NULL AS DOUBLE) AS sum_qty,
+           CAST(NULL AS DOUBLE) AS sum_price,
+           floor((SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 1e2 + 5e-1) / 1e2 AS qty_open,
+           floor((SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 1e2 + 5e-1) / 1e2 AS qty_filled,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
     """,
 )
-def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (absent in reference, SURVEY §2.5)."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+def rel_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouping-set family in one driver gate (merged r7 from
+    rel_rollup + rel_cube + rel_pivot — VERDICT r6 item 1; all absent
+    in reference, SURVEY §2.5):
+
+    - kind='rollup': ROLLUP(l_returnflag, l_linestatus) quantity sums.
+    - kind='cube': CUBE over the same keys, price sums — all 2^k
+      grouping combinations in one partial-aggregated pass.
+    - kind='pivot': PIVOT on l_linestatus = conditional aggregation
+      (one pass, no shuffle beyond the agg), plus the group count so
+      ``n`` stays non-null in every branch (a mixed-null BIGINT would
+      surface as float64 on one engine and Int64 on the other).
+
+    Measures absent from a branch are typed DOUBLE nulls on both
+    engines so the cross-engine pandas dtype is float64 everywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    dnull = F.lit(None).cast("double")
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
         .agg(
             round_to_col(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
+        .select(
+            F.lit("rollup").alias("kind"), "l_returnflag", "l_linestatus",
+            "sum_qty", dnull.alias("sum_price"), dnull.alias("qty_open"),
+            dnull.alias("qty_filled"), "n",
+        )
     )
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            round_to_col(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("cube").alias("kind"), "l_returnflag", "l_linestatus",
+            dnull.alias("sum_qty"), "sum_price", dnull.alias("qty_open"),
+            dnull.alias("qty_filled"), "n",
+        )
+    )
+    pivot = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            round_to_col(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("pivot").alias("kind"), "l_returnflag",
+            F.lit(None).cast("string").alias("l_linestatus"),
+            dnull.alias("sum_qty"), dnull.alias("sum_price"),
+            F.col("O_qty").alias("qty_open"),
+            F.col("F_qty").alias("qty_filled"),
+            (F.coalesce("O_n", F.lit(0)) + F.coalesce("F_n", F.lit(0)))
+            .alias("n"),
+        )
+    )
+    return rollup.unionByName(cube).unionByName(pivot)
 
 
 @query(
@@ -668,50 +838,6 @@ def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
         """
-    )
-
-
-@query(
-    "rel_cube",
-    """
-    SELECT l_returnflag, l_linestatus,
-           floor((SUM(l_extendedprice)) * 1e2 + 5e-1) / 1e2 AS sum_price,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (absent in reference, SURVEY §2.5) — all 2^k
-    grouping combinations in one partial-aggregated pass."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(
-            round_to_col(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-
-
-@query(
-    "rel_pivot",
-    """
-    SELECT l_returnflag,
-           floor((SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 1e2 + 5e-1) / 1e2 AS qty_open,
-           floor((SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 1e2 + 5e-1) / 1e2 AS qty_filled
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT = conditional aggregation (one pass, no shuffle beyond agg)."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(round_to_col(F.sum("l_quantity"), 2))
-        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
     )
 
 
@@ -816,9 +942,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_sessionize",
-    """
+_DUCK_EVENTS_SESSIONIZE = """
     WITH gaps AS (
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
@@ -831,8 +955,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
     FROM gaps GROUP BY user_id
-    """,
-)
+    """
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: lag-gap > 30min starts a new session.
     Streaming equivalent uses F.session_window (streaming module)."""

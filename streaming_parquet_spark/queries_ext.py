@@ -1772,9 +1772,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "events_hypertable_rollup",
-    """
+_DUCK_EVENTS_HYPERTABLE_ROLLUP = """
     WITH cents AS (
       SELECT ts, event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c
       FROM events
@@ -1792,8 +1790,9 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'day', strftime(date_trunc('day', b), '%Y-%m-%d %H:%M:%S'),
            event_type, CAST(SUM(n) AS BIGINT), CAST(SUM(total) AS BIGINT)
     FROM hour GROUP BY 2, event_type
-    """,
-)
+    """
+
+
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical time rollup (hypertable / continuous-aggregate
     shape): hourly buckets aggregate raw events ONCE; the daily tier
@@ -1821,9 +1820,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_incremental_rollup",
-    """
+_DUCK_EVENTS_INCREMENTAL_ROLLUP = """
     WITH cents AS (
       SELECT ts, event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c
       FROM events
@@ -1841,8 +1838,9 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'day', strftime(date_trunc('day', b), '%Y-%m-%d %H:%M:%S'),
            event_type, CAST(SUM(n) AS BIGINT), CAST(SUM(total) AS BIGINT)
     FROM hour GROUP BY 2, event_type
-    """,
-)
+    """
+
+
 def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental continuous-aggregate refresh, gated against the FULL
     recompute: events split deterministically into a 'materialized'
@@ -1878,9 +1876,7 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_upsert_latest",
-    """
+_DUCK_EVENTS_UPSERT_LATEST = """
     SELECT user_id, event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
@@ -1890,8 +1886,9 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
-    """,
-)
+    """
+
+
 def events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot compaction: the LATEST event per (user, type) by
     (ts, event_id) — MERGE-INTO semantics as a max_by aggregate, which
@@ -2148,9 +2145,7 @@ def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
 
 
-@query(
-    "events_anomaly_zscore",
-    """
+_DUCK_EVENTS_ANOMALY_ZSCORE = """
     WITH f AS (
       SELECT event_id, event_type,
              CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
@@ -2166,8 +2161,9 @@ def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f JOIN s ON f.event_type = s.event_type
     WHERE SQRT(s2 / n - (s1 / n) * (s1 / n)) > 0
       AND ABS((f.v - s1 / n) / SQRT(s2 / n - (s1 / n) * (s1 / n))) >= 3.0
-    """,
-)
+    """
+
+
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score anomaly flags with EXACT moments: mean and
     variance from integer sums of fixed-point values (order-independent
@@ -2801,9 +2797,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "events_scd2",
-    """
+_DUCK_EVENTS_SCD2 = """
     WITH p AS (
       SELECT user_id, ts, event_id,
              CAST(FLOOR(value * 100) AS BIGINT) AS cents
@@ -2816,8 +2810,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(ts) OVER w IS NULL AS is_current
     FROM p
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
+    """
+
+
 def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 build: each user's purchase history becomes validity
     intervals — row i valid from its own ts until version i+1's ts
@@ -2847,9 +2842,7 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_ohlc",
-    """
+_DUCK_EVENTS_OHLC = """
     WITH c AS (
       SELECT date_trunc('hour', ts) AS b, event_type, ts, event_id,
              CAST(FLOOR(value * 100) AS BIGINT) AS cents
@@ -2871,8 +2864,9 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(cents) AS BIGINT) AS volume
     FROM w GROUP BY b, event_type
-    """,
-)
+    """
+
+
 def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample each event type's value series into hourly OHLC bars.
     min_by/max_by aggregates (shuffle O(bars), not O(points)); the
@@ -3032,9 +3026,7 @@ def pipeline_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_ewma",
-    """
+_DUCK_EVENTS_EWMA = """
     WITH RECURSIVE ordered AS (
       SELECT user_id, ts, event_id,
              CAST(FLOOR(value * 100) AS BIGINT) AS cents,
@@ -3053,8 +3045,9 @@ def pipeline_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
            cents, ewma
     FROM r
-    """,
-)
+    """
+
+
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer EWMA (alpha=1/2, floor) over each user's purchase
     history — a genuinely sequential recurrence (floor kills the
@@ -3127,7 +3120,6 @@ def _duck_hll_oracle() -> str:
     """
 
 
-@query("text_distinct_hll", _duck_hll_oracle())
 def text_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-token cardinality two ways: exact
     COUNT(DISTINCT) next to a HyperLogLog estimate whose 64 registers
@@ -3349,7 +3341,6 @@ def _duck_hist_quantile_oracle() -> str:
     )
 
 
-@query("rel_quantile_sketch", _duck_hist_quantile_oracle())
 def rel_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Price quantiles per return flag from a two-pass equi-width
     histogram sketch — the mergeable 100 TB alternative to the exact
@@ -3373,7 +3364,6 @@ def rel_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_heavy_hitters_cms", _duck_cms_oracle())
 def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters under a count-min sketch: the top-20 exact
     terms probed against a d=3 x w=1024 counter table the oracle
@@ -3405,9 +3395,64 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_probe(counters, cand, "h").select("word", "n", "cms_est")
 
 
-@query(
-    "events_transitions",
+def _duck_sketch_family() -> str:
+    return f"""
+    SELECT 'hll' AS kind, source AS grp, CAST(NULL AS DOUBLE) AS pct,
+           exact_distinct AS n, hll_est AS est
+    FROM ({_duck_hll_oracle()})
+    UNION ALL
+    SELECT 'cms' AS kind, word AS grp, CAST(NULL AS DOUBLE) AS pct,
+           n, CAST(cms_est AS DOUBLE) AS est
+    FROM ({_duck_cms_oracle()})
+    UNION ALL
+    SELECT 'quantile' AS kind, l_returnflag AS grp,
+           CAST(pct AS DOUBLE) AS pct, n, est
+    FROM ({_duck_hist_quantile_oracle()})
     """
+
+
+@query("sketch_family", _duck_sketch_family())
+def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic-sketch surface in one driver gate (merged r7
+    from text_distinct_hll + text_heavy_hitters_cms +
+    rel_quantile_sketch — VERDICT r6 item 1). All three sketches are
+    reproduced register-for-register / counter-for-counter /
+    bin-for-bin by the DuckDB oracle — the sketches themselves are
+    gated, not a tolerance:
+
+    - kind='hll': per-source HyperLogLog distinct-token estimate next
+      to the exact count (n). 64 registers merge by max — each map
+      task ships 64 ints per group instead of every distinct token.
+    - kind='cms': top-20 corpus heavy hitters probed against a
+      d=3 x w=1024 count-min counter table; counters merge by
+      addition, the whole sketch is 3072 broadcastable rows, and
+      estimates only ever overcount (one-sided error).
+    - kind='quantile': price quantiles per return flag from a two-pass
+      equi-width histogram — the mergeable 100 TB alternative to the
+      exact sort in rel_percentiles; the exchange carries
+      groups x bins integers, never the corpus.
+
+    Unified long shape (kind, grp, pct, n, est): n is the exact count
+    in every branch (never null, stays BIGINT both engines); pct/est
+    are DOUBLE with typed nulls."""
+    dnull = F.lit(None).cast("double")
+    hll = text_distinct_hll(spark, sf_dir).select(
+        F.lit("hll").alias("kind"), F.col("source").alias("grp"),
+        dnull.alias("pct"), F.col("exact_distinct").alias("n"),
+        F.col("hll_est").alias("est"),
+    )
+    cms = text_heavy_hitters_cms(spark, sf_dir).select(
+        F.lit("cms").alias("kind"), F.col("word").alias("grp"),
+        dnull.alias("pct"), "n", F.col("cms_est").cast("double").alias("est"),
+    )
+    quant = rel_quantile_sketch(spark, sf_dir).select(
+        F.lit("quantile").alias("kind"), F.col("l_returnflag").alias("grp"),
+        F.col("pct").cast("double").alias("pct"), "n", "est",
+    )
+    return hll.unionByName(cms).unionByName(quant)
+
+
+_DUCK_EVENTS_TRANSITIONS = """
     WITH pairs AS (
       SELECT event_type AS from_type,
              LEAD(event_type) OVER (PARTITION BY user_id
@@ -3422,8 +3467,9 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(n AS DOUBLE)
                  / SUM(n) OVER (PARTITION BY from_type)) * 1e4 + 5e-1) / 1e4 AS p
     FROM counts
-    """,
-)
+    """
+
+
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     sequence: lead() pairs up consecutive events (one keyed window),
@@ -3520,9 +3566,7 @@ def engine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_snapshot_diff",
-    """
+_DUCK_EVENTS_SNAPSHOT_DIFF = """
     WITH src AS (
       SELECT user_id, event_type, ts, event_id,
              CAST(FLOOR(value * 100) AS BIGINT) AS cents
@@ -3554,8 +3598,9 @@ def engine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON o.user_id = n.user_id AND o.event_type = n.event_type
     WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
                AND o.cents IS NOT DISTINCT FROM n.cents)
-    """,
-)
+    """
+
+
 def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-refresh diff between the day-15 snapshot and the
     full snapshot of the latest-event-per-(user, type) compaction:
@@ -3582,6 +3627,86 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         old, new, keys=["user_id", "event_type"], payload_cols=["cents"]
     )
     return out.filter(F.col("change") != "unchanged")
+
+
+def _duck_events_cdc() -> str:
+    return f"""
+    SELECT 'scd2' AS kind, user_id, CAST(NULL AS VARCHAR) AS event_type,
+           CAST(cents AS DOUBLE) AS cents, CAST(NULL AS DOUBLE) AS event_id,
+           CAST(NULL AS VARCHAR) AS ts, valid_from, valid_to,
+           CAST(version AS DOUBLE) AS version, is_current,
+           CAST(NULL AS DOUBLE) AS old_cents,
+           CAST(NULL AS DOUBLE) AS new_cents,
+           CAST(NULL AS VARCHAR) AS change
+    FROM ({_DUCK_EVENTS_SCD2})
+    UNION ALL
+    SELECT 'upsert' AS kind, user_id, event_type,
+           CAST(cents AS DOUBLE), CAST(event_id AS DOUBLE), ts,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM ({_DUCK_EVENTS_UPSERT_LATEST})
+    UNION ALL
+    SELECT 'diff' AS kind, user_id, event_type,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN),
+           CAST(old_cents AS DOUBLE), CAST(new_cents AS DOUBLE), change
+    FROM ({_DUCK_EVENTS_SNAPSHOT_DIFF})
+    """
+
+
+@query("events_cdc", _duck_events_cdc())
+def events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC operator family in one driver gate (merged r7 from
+    events_scd2 + events_upsert_latest + events_snapshot_diff —
+    VERDICT r6 item 1; operators/cdc.py):
+
+    - kind='scd2': SCD type-2 validity intervals per user purchase
+      history (valid_from/valid_to/version/is_current) — one windowed
+      shuffle, lead() and row_number() share a WindowExec pass.
+    - kind='upsert': MERGE-INTO compaction — the latest event per
+      (user, type) by (ts, event_id) as a max_by aggregate that
+      partial-aggregates map-side (one candidate per key per task
+      crosses the exchange).
+    - kind='diff': incremental-refresh diff between the day-15 and
+      latest compacted snapshots — both sides compact to one row per
+      key first, so the full-outer join carries |keys| not |updates|.
+
+    Wide-union shape: numeric columns absent from a branch are typed
+    DOUBLE nulls on both engines; user_id stays BIGINT (non-null in
+    every branch)."""
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    bnull = F.lit(None).cast("boolean")
+    scd2 = events_scd2(spark, sf_dir).select(
+        F.lit("scd2").alias("kind"), "user_id", snull.alias("event_type"),
+        F.col("cents").cast("double").alias("cents"),
+        dnull.alias("event_id"), snull.alias("ts"), "valid_from",
+        "valid_to", F.col("version").cast("double").alias("version"),
+        "is_current", dnull.alias("old_cents"), dnull.alias("new_cents"),
+        snull.alias("change"),
+    )
+    upsert = events_upsert_latest(spark, sf_dir).select(
+        F.lit("upsert").alias("kind"), "user_id", "event_type",
+        F.col("cents").cast("double").alias("cents"),
+        F.col("event_id").cast("double").alias("event_id"), "ts",
+        snull.alias("valid_from"), snull.alias("valid_to"),
+        dnull.alias("version"), bnull.alias("is_current"),
+        dnull.alias("old_cents"), dnull.alias("new_cents"),
+        snull.alias("change"),
+    )
+    diff = events_snapshot_diff(spark, sf_dir).select(
+        F.lit("diff").alias("kind"), "user_id", "event_type",
+        dnull.alias("cents"), dnull.alias("event_id"), snull.alias("ts"),
+        snull.alias("valid_from"), snull.alias("valid_to"),
+        dnull.alias("version"), bnull.alias("is_current"),
+        F.col("old_cents").cast("double").alias("old_cents"),
+        F.col("new_cents").cast("double").alias("new_cents"), "change",
+    )
+    return scd2.unionByName(upsert).unionByName(diff)
 
 
 def _duck_weighted_sample_oracle(k: int = 100, seed: int = 11) -> str:
@@ -3758,9 +3883,7 @@ def pipeline_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_max_concurrency",
-    """
+_DUCK_EVENTS_MAX_CONCURRENCY = """
     WITH deltas AS (
       SELECT ts AS t, 1 AS d FROM events
       UNION ALL
@@ -3771,8 +3894,9 @@ def pipeline_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
            CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
     FROM run GROUP BY 1
-    """,
-)
+    """
+
+
 def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent activity per day by sweep line: every event
     holds a 5-minute presence window; +1/-1 deltas net per timestamp
@@ -3793,6 +3917,71 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conc.groupBy(
         F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias("day")
     ).agg(F.max("concurrent").cast("bigint").alias("max_concurrent"))
+
+
+def _duck_events_sessions() -> str:
+    from streaming_parquet_spark.queries import _DUCK_EVENTS_SESSIONIZE
+
+    return f"""
+    SELECT 'sessionize' AS kind, CAST(user_id AS DOUBLE) AS user_id,
+           CAST(NULL AS VARCHAR) AS from_type,
+           CAST(NULL AS VARCHAR) AS to_type,
+           CAST(NULL AS VARCHAR) AS day,
+           n_sessions AS n, CAST(NULL AS DOUBLE) AS p
+    FROM ({_DUCK_EVENTS_SESSIONIZE})
+    UNION ALL
+    SELECT 'transitions' AS kind, CAST(NULL AS DOUBLE), from_type, to_type,
+           CAST(NULL AS VARCHAR), n, p
+    FROM ({_DUCK_EVENTS_TRANSITIONS})
+    UNION ALL
+    SELECT 'concurrency' AS kind, CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), day,
+           max_concurrent AS n, CAST(NULL AS DOUBLE)
+    FROM ({_DUCK_EVENTS_MAX_CONCURRENCY})
+    """
+
+
+@query("events_sessions", _duck_events_sessions())
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape analytics in one driver gate (merged r7 from
+    events_sessionize + events_transitions + events_max_concurrency —
+    VERDICT r6 item 1):
+
+    - kind='sessionize': per-user session count via lag-gap > 30 min
+      (microsecond-exact gap compare; the streaming equivalent is
+      F.session_window in streaming/operators.py).
+    - kind='transitions': the first-order Markov transition matrix
+      over each user's event sequence with row-normalized
+      probabilities (p) — one keyed window, then a 25-row matrix.
+    - kind='concurrency': peak concurrent 5-minute presence windows
+      per day by sweep line — +1/-1 deltas and a two-phase
+      distributed running sum, never a single-partition global window
+      (operators/scan.py sweepline_concurrency).
+
+    ``n`` is the branch's count measure (sessions / pair count / max
+    concurrent) — non-null everywhere, so it stays BIGINT on both
+    engines; user_id decays to DOUBLE (null outside sessionize)."""
+    from streaming_parquet_spark.queries import events_sessionize
+
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    sess = events_sessionize(spark, sf_dir).select(
+        F.lit("sessionize").alias("kind"),
+        F.col("user_id").cast("double").alias("user_id"),
+        snull.alias("from_type"), snull.alias("to_type"),
+        snull.alias("day"), F.col("n_sessions").alias("n"),
+        dnull.alias("p"),
+    )
+    trans = events_transitions(spark, sf_dir).select(
+        F.lit("transitions").alias("kind"), dnull.alias("user_id"),
+        "from_type", "to_type", snull.alias("day"), "n", "p",
+    )
+    conc = events_max_concurrency(spark, sf_dir).select(
+        F.lit("concurrency").alias("kind"), dnull.alias("user_id"),
+        snull.alias("from_type"), snull.alias("to_type"), "day",
+        F.col("max_concurrent").alias("n"), dnull.alias("p"),
+    )
+    return sess.unionByName(trans).unionByName(conc)
 
 
 def _duck_ann_recall_oracle() -> str:
@@ -4226,9 +4415,7 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_retention",
-    """
+_DUCK_EVENTS_RETENTION = """
     WITH days AS (
       SELECT user_id AS u,
              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
@@ -4239,8 +4426,9 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT u) AS n_users
     FROM days JOIN first USING (u)
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over integer epoch-day buckets
     (calendar-function-free, engine-portable). See
@@ -4303,9 +4491,7 @@ def engine_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "events_rfm",
-    """
+_DUCK_EVENTS_RFM = """
     WITH per_user AS (
       SELECT user_id AS user,
              MAX(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS last_d,
@@ -4326,8 +4512,9 @@ def engine_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, "user")
                 AS INTEGER) AS m_score
     FROM r
-    """,
-)
+    """
+
+
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM behavioral segmentation with deterministic ntile scoring
     over total orders. See operators.timeseries.rfm_scores."""
@@ -4495,3 +4682,185 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     )
     return kept.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# round 7: family-gate merges (VERDICT r6 item 1 — shrink the registry so
+# the driver's 50-row budget refreshes every row within 2 rounds)
+# ---------------------------------------------------------------------------
+
+
+def _duck_events_smoothing() -> str:
+    return f"""
+    SELECT 'ewma' AS kind, CAST(user_id AS DOUBLE) AS user_id, ts,
+           event_id, CAST(NULL AS VARCHAR) AS event_type,
+           CAST(cents AS DOUBLE) AS cents, CAST(ewma AS DOUBLE) AS ewma,
+           CAST(NULL AS DOUBLE) AS zscore
+    FROM ({_DUCK_EVENTS_EWMA})
+    UNION ALL
+    SELECT 'zscore' AS kind, CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), event_id, event_type,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), zscore
+    FROM ({_DUCK_EVENTS_ANOMALY_ZSCORE})
+    """
+
+
+@query("events_smoothing", _duck_events_smoothing())
+def events_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-series smoothing/outlier pair in one driver gate (merged
+    r7 from events_ewma + events_anomaly_zscore — VERDICT r6 item 1):
+
+    - kind='ewma': integer EWMA (alpha=1/2, floor) over each user's
+      purchase history — a genuinely sequential recurrence
+      (groupBy(user) + applyInPandas Arrow scan; the oracle steps the
+      same recurrence as a recursive CTE). Exact integers.
+    - kind='zscore': per-type z-score anomaly flags (|z| >= 3) with
+      EXACT moments from integer sums of fixed-point values —
+      order-independent under any partial aggregation — broadcast
+      back; the corpus is scanned twice but never shuffled.
+
+    event_id is non-null in both branches and stays BIGINT; all other
+    numerics decay to typed DOUBLE nulls."""
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    ewma = events_ewma(spark, sf_dir).select(
+        F.lit("ewma").alias("kind"),
+        F.col("user_id").cast("double").alias("user_id"), "ts",
+        "event_id", snull.alias("event_type"),
+        F.col("cents").cast("double").alias("cents"),
+        F.col("ewma").cast("double").alias("ewma"),
+        dnull.alias("zscore"),
+    )
+    z = events_anomaly_zscore(spark, sf_dir).select(
+        F.lit("zscore").alias("kind"), dnull.alias("user_id"),
+        snull.alias("ts"), "event_id", "event_type",
+        dnull.alias("cents"), dnull.alias("ewma"), "zscore",
+    )
+    return ewma.unionByName(z)
+
+
+def _duck_events_cohort() -> str:
+    return f"""
+    SELECT 'retention' AS kind, CAST(cohort AS DOUBLE) AS cohort,
+           CAST(week_offset AS DOUBLE) AS week_offset,
+           CAST(n_users AS DOUBLE) AS n_users,
+           CAST(NULL AS DOUBLE) AS user_id,
+           CAST(NULL AS DOUBLE) AS recency_days,
+           CAST(NULL AS DOUBLE) AS frequency,
+           CAST(NULL AS DOUBLE) AS monetary_cents,
+           CAST(NULL AS DOUBLE) AS r_score,
+           CAST(NULL AS DOUBLE) AS f_score,
+           CAST(NULL AS DOUBLE) AS m_score
+    FROM ({_DUCK_EVENTS_RETENTION})
+    UNION ALL
+    SELECT 'rfm' AS kind, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST("user" AS DOUBLE),
+           CAST(recency_days AS DOUBLE), CAST(frequency AS DOUBLE),
+           CAST(monetary_cents AS DOUBLE), CAST(r_score AS DOUBLE),
+           CAST(f_score AS DOUBLE), CAST(m_score AS DOUBLE)
+    FROM ({_DUCK_EVENTS_RFM})
+    """
+
+
+@query("events_cohort", _duck_events_cohort())
+def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-cohort analytics in one driver gate (merged r7 from
+    events_retention + events_rfm — VERDICT r6 item 1):
+
+    - kind='retention': the weekly cohort retention matrix over
+      integer epoch-day buckets (calendar-function-free, portable).
+    - kind='rfm': RFM behavioral segmentation with deterministic
+      ntile scoring (recency/frequency/monetary quintiles).
+
+    No column is shared between branches, so every numeric decays to
+    a typed DOUBLE null on the other side."""
+    from streaming_parquet_spark.operators.timeseries import (
+        retention_cohorts,
+        rfm_scores,
+    )
+    from streaming_parquet_spark.queries import _events
+
+    dnull = F.lit(None).cast("double")
+    ev = _events(spark, sf_dir)
+    ret = retention_cohorts(ev).select(
+        F.lit("retention").alias("kind"),
+        F.col("cohort").cast("double").alias("cohort"),
+        F.col("week_offset").cast("double").alias("week_offset"),
+        F.col("n_users").cast("double").alias("n_users"),
+        dnull.alias("user_id"), dnull.alias("recency_days"),
+        dnull.alias("frequency"), dnull.alias("monetary_cents"),
+        dnull.alias("r_score"), dnull.alias("f_score"),
+        dnull.alias("m_score"),
+    )
+    rfm = rfm_scores(ev).select(
+        F.lit("rfm").alias("kind"), dnull.alias("cohort"),
+        dnull.alias("week_offset"), dnull.alias("n_users"),
+        F.col("user").cast("double").alias("user_id"),
+        F.col("recency_days").cast("double").alias("recency_days"),
+        F.col("frequency").cast("double").alias("frequency"),
+        F.col("monetary_cents").cast("double").alias("monetary_cents"),
+        F.col("r_score").cast("double").alias("r_score"),
+        F.col("f_score").cast("double").alias("f_score"),
+        F.col("m_score").cast("double").alias("m_score"),
+    )
+    return ret.unionByName(rfm)
+
+
+def _duck_events_rollups() -> str:
+    return f"""
+    SELECT 'hyper' AS kind, granularity, bucket_ts, event_type, n, total,
+           CAST(NULL AS DOUBLE) AS open, CAST(NULL AS DOUBLE) AS high,
+           CAST(NULL AS DOUBLE) AS low, CAST(NULL AS DOUBLE) AS close
+    FROM ({_DUCK_EVENTS_HYPERTABLE_ROLLUP})
+    UNION ALL
+    SELECT 'incremental' AS kind, granularity, bucket_ts, event_type,
+           n, total, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_DUCK_EVENTS_INCREMENTAL_ROLLUP})
+    UNION ALL
+    SELECT 'ohlc' AS kind, 'hour' AS granularity, bucket_ts, event_type,
+           n, volume AS total, CAST(open AS DOUBLE), CAST(high AS DOUBLE),
+           CAST(low AS DOUBLE), CAST(close AS DOUBLE)
+    FROM ({_DUCK_EVENTS_OHLC})
+    """
+
+
+@query("events_rollups", _duck_events_rollups())
+def events_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-rollup family in one driver gate (merged r7 from
+    events_hypertable_rollup + events_incremental_rollup + events_ohlc
+    — VERDICT r6 item 1; operators/timeseries.py):
+
+    - kind='hyper': hierarchical hypertable / continuous-aggregate
+      rollup — hourly buckets aggregate raw events ONCE, the daily
+      tier re-aggregates the hourly tier (refresh is O(buckets)).
+    - kind='incremental': the same rollup built as merge-of-partials
+      (deterministic ~90/10 base/delta split, each rolled up alone,
+      merged in bucket space). The oracle is the FULL recompute, so
+      the hash match IS the proof that merge equals recompute.
+    - kind='ohlc': hourly OHLC bars per event type via min_by/max_by
+      aggregates (shuffle O(bars), not O(points)); volume lands in
+      the shared ``total`` column (both are SUM(cents) per bucket).
+
+    n/total are non-null in every branch and stay BIGINT; the OHLC
+    measures are DOUBLE with typed nulls elsewhere."""
+    dnull = F.lit(None).cast("double")
+
+    def _bars_as(df: DataFrame, kind: str) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"), "granularity", "bucket_ts",
+            "event_type", "n", "total", dnull.alias("open"),
+            dnull.alias("high"), dnull.alias("low"), dnull.alias("close"),
+        )
+
+    hyper = _bars_as(events_hypertable_rollup(spark, sf_dir), "hyper")
+    incr = _bars_as(events_incremental_rollup(spark, sf_dir), "incremental")
+    ohlc = events_ohlc(spark, sf_dir).select(
+        F.lit("ohlc").alias("kind"), F.lit("hour").alias("granularity"),
+        "bucket_ts", "event_type", "n", F.col("volume").alias("total"),
+        F.col("open").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("close").cast("double").alias("close"),
+    )
+    return hyper.unionByName(incr).unionByName(ohlc)

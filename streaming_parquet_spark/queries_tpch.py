@@ -1156,48 +1156,6 @@ def rel_skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "rel_window_funcs",
-    """
-    SELECT o_orderkey,
-           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-           CAST(RANK() OVER w AS BIGINT) AS rnk,
-           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-           floor((PERCENT_RANK() OVER w) * 1e6 + 5e-1) / 1e6 AS pct_rank,
-           floor((LAG(o_totalprice, 1) OVER w) * 1e2 + 5e-1) / 1e2 AS prev_price,
-           floor((LEAD(o_totalprice, 1) OVER w) * 1e2 + 5e-1) / 1e2 AS next_price,
-           floor((FIRST_VALUE(o_totalprice) OVER w) * 1e2 + 5e-1) / 1e2 AS min_price,
-           floor((o_totalprice - LAG(o_totalprice, 1) OVER w) * 1e2 + 5e-1) / 1e2 AS delta
-    FROM orders
-    WHERE o_orderkey < 2000
-    WINDOW w AS (PARTITION BY o_orderstatus
-                 ORDER BY o_totalprice, o_orderkey)
-    """,
-)
-def rel_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking/navigation window-function sweep (SURVEY §2.6 built-in
-    surface): row_number, rank, dense_rank, ntile, percent_rank,
-    lag/lead, first_value, and a lag-delta — one window spec, one
-    shuffle, evaluated in a single Window node."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
-    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        round_to_col(F.percent_rank().over(w), 6).alias("pct_rank"),
-        round_to_col(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
-        round_to_col(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
-        round_to_col(F.first("o_totalprice").over(w), 2).alias("min_price"),
-        round_to_col(
-            F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
-        ).alias("delta"),
-    )
-
-
-@query(
     "rel_array_agg",
     """
     SELECT l_orderkey,
