@@ -113,46 +113,46 @@ def _last_green_round(root: str = _ROOT) -> dict[str, int]:
     }
 
 
-# Seed order: breaks ties within one staleness class (e.g. the 49
-# round-4 queries all keyed 0) so the run order is stable round to
-# round.  Names absent keep registration order after it.
+# Seed order: breaks ties within one staleness class so the run order
+# is stable round to round.  Names absent keep registration order
+# after it.
 _DRIVER_PRIORITY = [
-    # newest queries first within the never-checked class (freshest
-    # code carries the highest mismatch risk)
-    # r6 merged gates (each absorbs 2-3 former queries so the 50-row
-    # budget refreshes all 150 within 2 rounds — VERDICT r5 item 4)
+    # r7 family-gate merges (52 former queries -> 20 gates; registry
+    # 150 -> 118, so the driver's 50-row budget now genuinely
+    # refreshes every row within ceil(118/50) = 3 rounds and every
+    # non-merged row within 2 — VERDICT r6 item 1).  All 20 are
+    # never-checked under their new names and run first.
+    "rel_grouping", "rel_set_family", "rel_window_family",
+    "sketch_family", "events_cdc", "events_sessions",
+    "events_smoothing", "events_cohort", "events_rollups",
+    "pipeline_samples", "pipeline_select", "pipeline_mix_apply",
+    "text_token_quality", "text_norm_fingerprint", "text_vectors",
+    "dedup_simhash_family", "dedup_minhash_family", "embed_iterative",
+    "multimodal_meta", "multimodal_transform",
+    # r6 merged gates
     "embed_ann_recall", "embed_ann_ivf_quantized", "embed_ann_quantized",
     "embed_ann_bucketed", "events_asof", "dedup_clusters",
     "pipeline_temperature_mix", "events_windows",
-    "dedup_prefix_join", "events_incremental_rollup",
-    "rel_quantile_sketch", "text_chi2_terms", "text_domain_similarity",
-    # round-4 additions (no prior CORRECTNESS row)
-    "events_scd2", "events_ohlc", "events_funnel",
-    "rel_bloom_semi_join", "pipeline_zorder", "events_ewma",
-    "text_distinct_hll", "text_heavy_hitters_cms", "events_transitions",
-    "engine_profile", "events_snapshot_diff", "pipeline_weighted_sample",
+    "dedup_prefix_join",
+    "text_chi2_terms", "text_domain_similarity",
+    # older tie-break seeds (only matter if a query regresses to the
+    # never-checked class)
+    "events_funnel", "rel_bloom_semi_join", "pipeline_zorder",
+    "engine_profile", "pipeline_weighted_sample",
     "rel_fuzzy_join", "stream_upsert_sink",
-    "rel_pagerank_step", "pipeline_assign_ids", "events_max_concurrency",
-    "pipeline_topn_per_stratum",
-    "pipeline_domain_resample", "text_tfidf_topk",
-    "dedup_paragraphs", "text_chunk_docs", "pipeline_token_budget",
-    "dedup_cluster_reps", "embed_random_projection",
+    "rel_pagerank_step", "pipeline_assign_ids",
+    "dedup_paragraphs", "text_chunk_docs",
+    "dedup_cluster_reps",
     "stream_interval_join", "stream_session_state",
-    "events_hypertable_rollup", "events_upsert_latest",
-    "pipeline_rank_filter", "embed_power_iteration", "pipeline_epoch_upsample", "events_anomaly_zscore", "text_lm_score", "multimodal_audio", "multimodal_features", "multimodal_resize", "pipeline_shard_manifest", "events_ts_similarity", "text_sparse_cosine", "stream_windowed_counts", "stream_static_join", "pipeline_end_to_end", "dedup_containment",
-    # queries whose newest row is r2 (absent from CORRECTNESS_r03.json)
+    "text_lm_score", "pipeline_shard_manifest", "events_ts_similarity",
+    "stream_windowed_counts", "stream_static_join",
+    "pipeline_end_to_end", "dedup_containment",
     "rel_join_agg_segment", "rel_semi_anti_join", "rel_distinct",
-    "rel_agg_stats", "rel_window_topk", "rel_window_running",
-    "rel_sort_limit", "rel_set_ops", "rel_except", "rel_rollup",
-    "rel_exists_subquery", "rel_cube", "rel_pivot",
-    "events_json_extract", "events_sessionize", "dedup_exact",
-    "text_fingerprint", "dedup_minhash_sig", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "embed_cosine_topk", "embed_near_pairs",
-    "text_tokens", "text_quality",
+    "rel_agg_stats", "rel_sort_limit", "rel_exists_subquery",
+    "events_json_extract", "dedup_exact",
+    "dedup_ngram_jaccard", "embed_cosine_topk", "embed_near_pairs",
     "part_range_join", "pipeline_clean_corpus",
-    "text_pii_scrub", "text_ngram_df", "text_langid", "multimodal_bytes",
-    "multimodal_frames", "pipeline_hash_sample",
+    "text_pii_scrub", "text_ngram_df", "text_langid",
 ]
 
 

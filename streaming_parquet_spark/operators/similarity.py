@@ -23,7 +23,7 @@ import os
 import re
 import weakref
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from streaming_parquet_spark.functions.portable import (
     MERSENNE31,
@@ -389,6 +389,91 @@ def ivf_assign(
     )
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_pct: int | None = None,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """TRAINED IVF coarse centroids: a deterministic-sample KMeans fit
+    (``pyspark.ml.clustering.KMeans``, fixed seed) returning a
+    centroid DataFrame in the exact shape every IVF operator accepts
+    as ``centroids=`` — (id_col, vec_col) with centroid ids
+    0..n_centroids-1.  This is the real-centroid path the
+    lowest-id stand-in documents (`ivf_topk` docstring): at 100 TB
+    recall hinges on centroids that follow the data distribution, and
+    the fit runs on a SAMPLE (KMeans cost is O(sample * k * iters),
+    independent of corpus size) while assignment stays a full
+    broadcast pass.
+
+    ``sample_pct``: deterministic percentage sample via the portable
+    id hash (NOT df.sample — that depends on partition layout, so the
+    fit would not be reproducible across cluster sizes). None = fit on
+    the full corpus (fixtures / small corpora).
+
+    Not DuckDB-oracle-able: KMeans' float reductions are not
+    bit-portable across engines, so the gate for this path is the
+    pytest recall floor (tests/test_operators.py), not a value hash.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from streaming_parquet_spark.functions.portable import hash_bucket_expr
+
+    sample = corpus.select(F.col(id_col), F.col(vec_col))
+    if sample_pct is not None:
+        bucket = hash_bucket_expr("spark", id_col, 100)
+        sample = sample.filter(F.expr(bucket) < int(sample_pct))
+    vecs = sample.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(
+        k=int(n_centroids), seed=int(seed), maxIter=int(max_iter),
+        initMode="k-means||",
+    ).fit(vecs)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(
+        rows, f"{id_col} bigint, {vec_col} array<double>"
+    )
+
+
+def write_posting_lists(
+    assigned: DataFrame,
+    table: str,
+) -> None:
+    """Materialize an IVF coarse assignment as the ingest-time
+    POSTING-LIST table: one partition directory per cluster, so a
+    probe of ``n_probe`` clusters reads ``n_probe / n_centroids`` of
+    the data — via static partition pruning for literal cluster sets
+    and dynamic partition pruning (DPP) for the broadcast probe join
+    the ANN tiers build.  This is the declared at-scale layout in
+    `ivf_sq8_topk`/`ivf_pq_topk`: build the assignment once at ingest,
+    query it many times through ``assigned=``."""
+    (
+        assigned.select("id", "cluster", "v")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_posting_lists(spark: SparkSession, table: str) -> DataFrame:
+    """Read a posting-list table written by ``write_posting_lists``
+    back into the (id, cluster, v) shape the ANN tiers accept as
+    ``assigned=``."""
+    return spark.table(table).select("id", "cluster", "v")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -398,17 +483,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists, probe the query's ``n_probe``
     nearest lists, exact-rank candidates.
 
-    Deterministic 'training' stand-in: centroids are the n_centroids
-    lowest-id vectors (oracle-reproducible); swap in a KMeans fit at
-    scale — every other plan node stays identical. Search cost drops
-    from O(|corpus|) to O(|corpus| * n_probe / n_centroids) per query.
+    Deterministic 'training' stand-in: centroids default to the
+    n_centroids lowest-id vectors (oracle-reproducible); pass
+    ``centroids=fit_ivf_centroids(...)`` for the trained KMeans set —
+    every other plan node stays identical. Search cost drops from
+    O(|corpus|) to O(|corpus| * n_probe / n_centroids) per query.
     """
-    cents = corpus.filter(F.col(id_col) < n_centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < n_centroids)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col, dims)
 
     c = cents.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v"))
@@ -600,6 +691,7 @@ def ivf_sq8_topk(
     vec_col: str = "embedding",
     dims: int = 64,
     assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF x SQ8 composed ANN — the actual 100 TB design: IVF posting
     lists bound the candidate set to ``n_probe / n_centroids`` of the
@@ -618,8 +710,15 @@ def ivf_sq8_topk(
 
     Every stage is portable arithmetic (deterministic centroid stand-in,
     integer quantized dot, tie-breaks on id), so the DuckDB oracle
-    reproduces the full approximate pipeline bit-for-bit."""
-    cents = corpus.filter(F.col(id_col) < n_centroids)
+    reproduces the full approximate pipeline bit-for-bit.  Passing
+    ``centroids=`` (a ``fit_ivf_centroids`` result) swaps the stand-in
+    for trained centroids — that path is gated by the pytest recall
+    floor instead (KMeans is not bit-portable)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < n_centroids)
+    )
     if assigned is None:
         # ``assigned`` lets callers composing several quantization
         # tiers (the merged gates; at 100 TB the ingested posting-list
@@ -1012,6 +1111,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     dims: int = 64,
     assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF x PQ composed ANN — the PQ-tier 100 TB design (product
     quantization per Jegou, Douze & Schmid 2011, "Product Quantization
@@ -1027,7 +1127,11 @@ def ivf_pq_topk(
     the DuckDB oracle replays the full approximate pipeline."""
     spark = corpus.sparkSession
     cb = pq_codebook_df(spark)
-    cents = corpus.filter(F.col(id_col) < n_centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < n_centroids)
+    )
     if assigned is None:
         # Materialized once: the assignment feeds BOTH the PQ encoding
         # and the cluster map below — without this the centroid-affinity

@@ -88,15 +88,14 @@ def _duck_shingle_hashes(text: str = "text") -> str:
     )
 
 
-@query(
-    "text_fingerprint",
-    f"""
+_DUCK_TEXT_FINGERPRINT = f"""
     SELECT doc_id,
            {rolling_hash_expr("duckdb", _duck_word_hashes(distinct=False))}
              AS fingerprint
     FROM documents
-    """,
-)
+    """
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (order-sensitive, mod 2^31-1)."""
     return with_fingerprint(_t(spark, sf_dir, "documents")).select(
@@ -111,17 +110,16 @@ def _duck_minhash_cols(k: int) -> str:
     )
 
 
-@query(
-    "dedup_minhash_sig",
-    f"""
+_DUCK_DEDUP_MINHASH_SIG = f"""
     WITH h AS MATERIALIZED (
       SELECT doc_id, {_duck_shingle_hashes()} AS wh FROM documents
     )
     SELECT doc_id,
            {", ".join(f"{minhash_expr('duckdb', 'wh', i)} AS m{i}" for i in range(4))}
     FROM h
-    """,
-)
+    """
+
+
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 MinHash signature components, bit-exact vs the oracle —
     pins the permutation family + portable md5 hashing."""
@@ -174,7 +172,9 @@ def _duck_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     """
 
 
-@query("dedup_minhash_lsh", _duck_lsh_oracle(16, 8, 0.2))
+_DUCK_DEDUP_MINHASH_LSH = _duck_lsh_oracle(16, 8, 0.2)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over 3-gram shingles: band equi-join
     candidates (16 hashes, 8 bands of 2 -> P(candidate|j=0.5) = 0.90) +
@@ -291,16 +291,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    f"""
+_DUCK_DEDUP_SIMHASH = f"""
     WITH h AS MATERIALIZED (
       SELECT doc_id, {_duck_shingle_hashes()} AS wh FROM documents
     )
     SELECT doc_id, {simhash_expr("duckdb", "wh", 32)} AS simhash
     FROM h
-    """,
-)
+    """
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures, bit-exact vs oracle."""
     return with_simhash(_t(spark, sf_dir, "documents"), bits=32).select(
@@ -324,7 +323,9 @@ def _duck_simhash_pairs(bits: int, max_hamming: int) -> str:
     """
 
 
-@query("dedup_simhash_pairs", _duck_simhash_pairs(32, 6))
+_DUCK_DEDUP_SIMHASH_PAIRS = _duck_simhash_pairs(32, 6)
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= 6 within lang
     blocks (Spark `a ^ b` == DuckDB `xor(a, b)`)."""
@@ -555,9 +556,7 @@ def embed_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "text_tokens",
-    f"""
+_DUCK_TEXT_TOKENS = f"""
     SELECT doc_id,
            {n_words_expr("duckdb", "text")} AS n_words,
            LEN(list_distinct(string_split_regex(TRIM(text, ' '), ' +')))
@@ -565,8 +564,9 @@ def embed_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            GREATEST({n_words_expr("duckdb", "text")},
                     CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS est_tokens
     FROM documents
-    """,
-)
+    """
+
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace words, distinct words, BPE-ish
     chars/4 estimate."""
@@ -582,9 +582,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 
-@query(
-    "text_quality",
-    f"""
+_DUCK_TEXT_QUALITY = f"""
     WITH t AS (
       SELECT doc_id, text,
              {n_words_expr("duckdb", "text")} AS n_words,
@@ -609,8 +607,9 @@ _DUCK_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
                    AND CAST(punct AS DOUBLE) / n_chars < 0.1
                    THEN 0.3 ELSE 0.0 END)) * 1e2 + 5e-1) / 1e2 AS quality_score
     FROM t
-    """,
-)
+    """
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: punctuation ratio, mean word length, composite."""
     d = with_quality(_t(spark, sf_dir, "documents"))
@@ -887,13 +886,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "multimodal_bytes",
-    """
+_DUCK_MULTIMODAL_BYTES = """
     SELECT doc_id, STRLEN(text) AS n_bytes
     FROM documents
-    """,
-)
+    """
+
+
 def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload accounting: byte length of the blob column (the
     fixture blob is the utf-8 text; real media swaps the source only)."""
@@ -903,9 +901,7 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.length("blob").cast("bigint").alias("n_bytes"))
 
 
-@query(
-    "multimodal_frames",
-    """
+_DUCK_MULTIMODAL_FRAMES = """
     -- frame_len by BYTE arithmetic (LEAST(64, bytes - offset)), not
     -- by SUBSTRING: DuckDB's SUBSTRING slices characters while the
     -- engine slices the utf-8 blob by bytes — they diverge on any
@@ -916,8 +912,9 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents,
          UNNEST(range(0, LEAST(8, GREATEST(1, (STRLEN(text) - 1) // 64 + 1))))
       AS t(i)
-    """,
-)
+    """
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: payload sliced into <=8 chunks of 64
     bytes; output (id, frame_idx, frame_len) is codec-independent."""
@@ -997,13 +994,12 @@ def _duck_est_tokens(text: str = "text") -> str:
     )
 
 
-@query(
-    "pipeline_hash_sample",
-    f"""
+_DUCK_PIPELINE_HASH_SAMPLE = f"""
     SELECT doc_id, lang, source FROM documents
     WHERE {hash_bucket_expr('duckdb', 'doc_id', 100)} < 10
-    """,
-)
+    """
+
+
 def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample by id hash — reproducible across
     runs, engines, and cluster sizes (df.sample is not: its output
@@ -1014,9 +1010,7 @@ def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_train_split",
-    f"""
+_DUCK_PIPELINE_TRAIN_SPLIT = f"""
     WITH s AS (
       SELECT CASE WHEN {hash_bucket_expr('duckdb', 'doc_id', 100)} < 80
                   THEN 'train'
@@ -1027,8 +1021,9 @@ def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split, COUNT(*) AS n_docs,
            CAST(SUM(est_tokens) AS BIGINT) AS n_tokens
     FROM s GROUP BY split
-    """,
-)
+    """
+
+
 def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 train/val/test split by id hash, summarized as doc and
     token counts per split. Split membership is a pure function of the
@@ -1375,7 +1370,9 @@ def _duck_stratified() -> str:
     """
 
 
-@query("pipeline_stratified_sample", _duck_stratified())
+_DUCK_PIPELINE_STRATIFIED_SAMPLE = _duck_stratified()
+
+
 def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-stratified deterministic sampling: downsample the
     dominant language, keep low-resource languages at higher rates —
@@ -1413,7 +1410,9 @@ def _duck_topn_stratum(n: int, safety: int) -> str:
     """
 
 
-@query("pipeline_topn_per_stratum", _duck_topn_stratum(20, 4))
+_DUCK_PIPELINE_TOPN_PER_STRATUM = _duck_topn_stratum(20, 4)
+
+
 def pipeline_topn_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-size per-language sample (20 docs each): smallest salted
     hash wins — the deterministic eval-set carve. Scale path: broadcast
@@ -1438,7 +1437,9 @@ def _duck_domain_resample() -> str:
     """
 
 
-@query("pipeline_domain_resample", _duck_domain_resample())
+_DUCK_PIPELINE_DOMAIN_RESAMPLE = _duck_domain_resample()
+
+
 def pipeline_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the uniform-target mix weights as an actual resample:
     broadcast the tiny weights table, keep rows whose purpose-salted
@@ -1487,7 +1488,9 @@ def _duck_tfidf_topk(k: int) -> str:
     """
 
 
-@query("text_tfidf_topk", _duck_tfidf_topk(5))
+_DUCK_TEXT_TFIDF_TOPK = _duck_tfidf_topk(5)
+
+
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by TF-IDF, ranked AND
     scored on the rational key tf*(N+1)/(df+1) (one IEEE division —
@@ -1526,7 +1529,9 @@ def _duck_kmeans_step(n_centroids: int, dims: int, scale: int) -> str:
     """
 
 
-@query("embed_kmeans_step", _duck_kmeans_step(8, 64, 1000))
+_DUCK_EMBED_KMEANS_STEP = _duck_kmeans_step(8, 64, 1000)
+
+
 def embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of k-means over the embedding corpus (assign
     to nearest of 8 centroids, re-estimate centroids as member means) —
@@ -1670,7 +1675,9 @@ def _duck_token_budget(budget: int) -> str:
     """
 
 
-@query("pipeline_token_budget", _duck_token_budget(5000))
+_DUCK_PIPELINE_TOKEN_BUDGET = _duck_token_budget(5000)
+
+
 def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain token-budget selection (5k tokens per source):
     documents stream in salted-hash order and are kept while their
@@ -1752,7 +1759,9 @@ def _duck_random_projection(out_dims: int, dims: int) -> str:
     return f"SELECT vec_id, {cols} FROM embeddings"
 
 
-@query("embed_random_projection", _duck_random_projection(8, 64))
+_DUCK_EMBED_RANDOM_PROJECTION = _duck_random_projection(8, 64)
+
+
 def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss-style random projection 64 -> 8 dims over
     the deterministic LSH hyperplanes (continuous form of the LSH
@@ -1914,9 +1923,7 @@ def events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_rank_filter",
-    """
+_DUCK_PIPELINE_RANK_FILTER = """
     WITH r AS (
       SELECT doc_id, source, n_chars,
              floor((PERCENT_RANK() OVER (PARTITION BY source
@@ -1925,8 +1932,9 @@ def events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, n_chars, pct_rank
     FROM r WHERE pct_rank >= 0.5
-    """,
-)
+    """
+
+
 def pipeline_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain percentile filter: keep each source's top half by
     document length — relative thresholds that adapt to every domain's
@@ -2075,7 +2083,9 @@ def _duck_power_step(dims: int, scale: int) -> str:
     """
 
 
-@query("embed_power_iteration", _duck_power_step(64, 1_000_000))
+_DUCK_EMBED_POWER_ITERATION = _duck_power_step(64, 1_000_000)
+
+
 def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One power-iteration step toward the corpus's top principal
     direction (y = Gram x v0, Gram never materialized) — the iterative
@@ -2121,7 +2131,9 @@ def _duck_epoch_upsample() -> str:
     """
 
 
-@query("pipeline_epoch_upsample", _duck_epoch_upsample())
+_DUCK_PIPELINE_EPOCH_UPSAMPLE = _duck_epoch_upsample()
+
+
 def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized mixture epochs from UNCAPPED uniform-target weights
     over language: low-resource languages repeat floor(w) times plus a
@@ -2225,9 +2237,7 @@ def _duck_audio_rate() -> str:
     )
 
 
-@query(
-    "multimodal_audio",
-    f"""
+_DUCK_MULTIMODAL_AUDIO = f"""
     SELECT doc_id AS id,
            CAST({_duck_audio_rate()} AS INTEGER) AS sample_rate,
            CAST(STRLEN(text) * 16 + ({_md5_byte(1)}) AS BIGINT) AS n_samples,
@@ -2236,8 +2246,9 @@ def _duck_audio_rate() -> str:
              AS duration_sec,
            'fake' AS format
     FROM documents
-    """,
-)
+    """
+
+
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas audio-metadata decode (deterministic fake codec —
     soundfile is the drop-in; the WAV-header parser handles real RIFF
@@ -2252,9 +2263,7 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(d)
 
 
-@query(
-    "multimodal_features",
-    f"""
+_DUCK_MULTIMODAL_FEATURES = f"""
     WITH f AS (
       SELECT doc_id AS id,
              [{", ".join(f"CAST((({_md5_byte(i)}) / 255.0) * 2 - 1 AS FLOAT)" for i in range(16))}]
@@ -2264,8 +2273,9 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id, CAST(unnest(range(0, 16)) AS INTEGER) AS dim,
            floor((CAST(unnest(fs) AS DOUBLE)) * 1e4 + 5e-1) / 1e4 AS fval
     FROM f
-    """,
-)
+    """
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction (md5-seeded deterministic fake —
     a model-based embedder is the drop-in with the same array<float>
@@ -2299,7 +2309,9 @@ def _duck_resize(w: int, h: int) -> str:
     """
 
 
-@query("multimodal_resize", _duck_resize(32, 24))
+_DUCK_MULTIMODAL_RESIZE = _duck_resize(32, 24)
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas resize plumbing end-to-end (deterministic fake
     resample — PIL / the pure-Python PNG scanline decoder are the
@@ -2477,7 +2489,20 @@ def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bench protocol), 9.9 s vs 7.8 s for this gate + embed_ann_recall
     combined. At 100 TB pass one ingest-time posting-list table via
     the operators' ``assigned=`` parameter instead — the API exists
-    precisely for that."""
+    precisely for that, and ``write_posting_lists`` /
+    ``read_posting_lists`` are the table round-trip
+    (tests/test_operators.py::test_posting_list_table_roundtrip
+    asserts table-backed results match the pipelined assignment).
+
+    Trained-centroid numbers (r7, fit_ivf_centroids — sampled-KMeans,
+    seed 7): on the unstructured fixture with queries DISJOINT from
+    the centroid-id range, trained centroids reach recall@10 ~0.55 at
+    n_probe=2/8 vs the lowest-id stand-in's ~0.43 (the oracle gates'
+    higher stand-in numbers come from the query set coinciding with
+    the stand-in centroids). KMeans is not bit-portable, so the
+    trained path is gated by the pytest recall floor
+    (test_fit_ivf_centroids_recall_floor), while these oracle gates
+    keep the deterministic stand-in."""
     from streaming_parquet_spark.operators.similarity import (
         ivf_pq_topk,
         ivf_sq8_topk,
@@ -2624,7 +2649,9 @@ def _duck_sparse_cosine(k: int, topk_terms: int) -> str:
     """
 
 
-@query("text_sparse_cosine", _duck_sparse_cosine(5, 8))
+_DUCK_TEXT_SPARSE_COSINE = _duck_sparse_cosine(5, 8)
+
+
 def text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-to-doc similarity by TF-IDF cosine over an inverted-index
     join — the sparse counterpart of the dense ANN family (candidates
@@ -4076,9 +4103,7 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "text_normalize",
-    r"""
+_DUCK_TEXT_NORMALIZE = r"""
     WITH n AS (
       SELECT doc_id,
              trim(regexp_replace(
@@ -4090,8 +4115,9 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, text_norm,
            CAST(length(text) - length(text_norm) AS INTEGER) AS n_removed
     FROM n
-    """,
-)
+    """
+
+
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical ASCII-scoped text normalization (control-char strip,
     whitespace collapse, trim) — the first pass of every pretraining
@@ -4288,9 +4314,7 @@ def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_size_histogram(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "text_quality_norm",
-    f"""
+_DUCK_TEXT_QUALITY_NORM = f"""
     WITH t AS (
       SELECT doc_id, source,
              {n_words_expr("duckdb", "text")} AS n_words,
@@ -4315,8 +4339,9 @@ def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(10) OVER (PARTITION BY grp
                 ORDER BY quality_score, id) AS INTEGER) AS decile
     FROM q
-    """,
-)
+    """
+
+
 def text_quality_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality-score deciles (ntile over a total order) —
     makes 'top X% by quality' distribution-invariant across domains.
@@ -4524,9 +4549,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_scores(_events(spark, sf_dir))
 
 
-@query(
-    "pipeline_curriculum",
-    f"""
+_DUCK_PIPELINE_CURRICULUM = f"""
     WITH t AS (
       SELECT doc_id, source,
              {n_words_expr("duckdb", "text")} AS n_words,
@@ -4566,8 +4589,9 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROWS UNBOUNDED PRECEDING) - est_tokens) / 2048)
                 AS BIGINT) AS bin
     FROM o
-    """,
-)
+    """
+
+
 def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CURRICULUM packing: per-domain quality deciles -> stream each
     domain highest-decile-first -> GPT-style 2048-token packing. One
@@ -4864,3 +4888,604 @@ def events_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("close").cast("double").alias("close"),
     )
     return hyper.unionByName(incr).unionByName(ohlc)
+
+
+def _duck_pipeline_samples() -> str:
+    return f"""
+    SELECT 'hash' AS kind, CAST(doc_id AS DOUBLE) AS doc_id, lang, source,
+           CAST(NULL AS VARCHAR) AS split, CAST(NULL AS DOUBLE) AS n_docs,
+           CAST(NULL AS DOUBLE) AS n_tokens
+    FROM ({_DUCK_PIPELINE_HASH_SAMPLE})
+    UNION ALL
+    SELECT 'stratified' AS kind, CAST(doc_id AS DOUBLE), lang, source,
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
+    FROM ({_DUCK_PIPELINE_STRATIFIED_SAMPLE})
+    UNION ALL
+    SELECT 'split' AS kind, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), split, CAST(n_docs AS DOUBLE),
+           CAST(n_tokens AS DOUBLE)
+    FROM ({_DUCK_PIPELINE_TRAIN_SPLIT})
+    """
+
+
+@query("pipeline_samples", _duck_pipeline_samples())
+def pipeline_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic-sampling family in one driver gate (merged r7
+    from pipeline_hash_sample + pipeline_stratified_sample +
+    pipeline_train_split — VERDICT r6 item 1; operators/pipeline.py).
+    All three are pure functions of the id hash — reproducible across
+    runs, engines, and cluster sizes (df.sample is not: its output
+    depends on partition layout); all three are filter/aggregate-only
+    plans that never shuffle the corpus:
+
+    - kind='hash': the 10% corpus sample by id hash (exact kept-row
+      membership is the assertion).
+    - kind='stratified': language-stratified rates (downsample the
+      dominant language, keep low-resource languages).
+    - kind='split': the 80/10/10 train/val/test carve summarized as
+      per-split doc/token counts — split membership is stable under
+      late-arriving data and reruns cannot leak val docs into train."""
+    from streaming_parquet_spark.operators.pipeline import stratified_sample
+
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    docs = _t(spark, sf_dir, "documents")
+    hash_part = hash_sample(docs, pct=10).select(
+        F.lit("hash").alias("kind"),
+        F.col("doc_id").cast("double").alias("doc_id"), "lang", "source",
+        snull.alias("split"), dnull.alias("n_docs"), dnull.alias("n_tokens"),
+    )
+    strat = stratified_sample(docs, _STRAT_RATES, strat_col="lang").select(
+        F.lit("stratified").alias("kind"),
+        F.col("doc_id").cast("double").alias("doc_id"), "lang", "source",
+        snull.alias("split"), dnull.alias("n_docs"), dnull.alias("n_tokens"),
+    )
+    split = pipeline_train_split(spark, sf_dir).select(
+        F.lit("split").alias("kind"), dnull.alias("doc_id"),
+        snull.alias("lang"), snull.alias("source"), "split",
+        F.col("n_docs").cast("double").alias("n_docs"),
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+    )
+    return hash_part.unionByName(strat).unionByName(split)
+
+
+def _duck_pipeline_select() -> str:
+    return f"""
+    SELECT 'topn' AS kind, doc_id, lang, source,
+           CAST(NULL AS DOUBLE) AS n_chars,
+           CAST(NULL AS DOUBLE) AS pct_rank,
+           CAST(NULL AS DOUBLE) AS est_tokens,
+           CAST(NULL AS DOUBLE) AS cum_tokens
+    FROM ({_DUCK_PIPELINE_TOPN_PER_STRATUM})
+    UNION ALL
+    SELECT 'rank' AS kind, doc_id, CAST(NULL AS VARCHAR), source,
+           CAST(n_chars AS DOUBLE), pct_rank,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_DUCK_PIPELINE_RANK_FILTER})
+    UNION ALL
+    SELECT 'budget' AS kind, doc_id, CAST(NULL AS VARCHAR), source,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(est_tokens AS DOUBLE), CAST(cum_tokens AS DOUBLE)
+    FROM ({_DUCK_PIPELINE_TOKEN_BUDGET})
+    """
+
+
+@query("pipeline_select", _duck_pipeline_select())
+def pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-selection family in one driver gate (merged r7 from
+    pipeline_topn_per_stratum + pipeline_rank_filter +
+    pipeline_token_budget — VERDICT r6 item 1; operators/pipeline.py):
+
+    - kind='topn': EXACT-size per-language sample (20 docs each,
+      smallest salted hash wins) — broadcast per-stratum hash
+      thresholds prune the corpus at the scan before the tiny
+      row_number window.
+    - kind='rank': per-domain percentile filter (keep each source's
+      top half by document length) — relative thresholds that adapt
+      to each domain's own distribution.
+    - kind='budget': per-domain token-budget selection (5k tokens per
+      source) in salted-hash order — the step that turns mixture
+      weights into an actual corpus; one shuffle on source.
+
+    doc_id is non-null in every branch and stays BIGINT."""
+    from streaming_parquet_spark.operators.pipeline import rank_filter
+
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    topn = pipeline_topn_per_stratum(spark, sf_dir).select(
+        F.lit("topn").alias("kind"), "doc_id", "lang", "source",
+        dnull.alias("n_chars"), dnull.alias("pct_rank"),
+        dnull.alias("est_tokens"), dnull.alias("cum_tokens"),
+    )
+    rank = rank_filter(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        score_col="n_chars", group_col="source",
+    ).select(
+        F.lit("rank").alias("kind"), "doc_id", snull.alias("lang"),
+        "source", F.col("n_chars").cast("double").alias("n_chars"),
+        "pct_rank", dnull.alias("est_tokens"), dnull.alias("cum_tokens"),
+    )
+    budget = pipeline_token_budget(spark, sf_dir).select(
+        F.lit("budget").alias("kind"), "doc_id", snull.alias("lang"),
+        "source", dnull.alias("n_chars"), dnull.alias("pct_rank"),
+        F.col("est_tokens").cast("double").alias("est_tokens"),
+        F.col("cum_tokens").cast("double").alias("cum_tokens"),
+    )
+    return topn.unionByName(rank).unionByName(budget)
+
+
+def _duck_pipeline_mix_apply() -> str:
+    return f"""
+    SELECT 'resample' AS kind, doc_id, source,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS DOUBLE) AS epoch,
+           CAST(NULL AS DOUBLE) AS decile,
+           CAST(NULL AS DOUBLE) AS est_tokens, CAST(NULL AS DOUBLE) AS bin
+    FROM ({_DUCK_PIPELINE_DOMAIN_RESAMPLE})
+    UNION ALL
+    SELECT 'upsample' AS kind, doc_id, CAST(NULL AS VARCHAR), lang,
+           CAST(epoch AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_DUCK_PIPELINE_EPOCH_UPSAMPLE})
+    UNION ALL
+    SELECT 'curriculum' AS kind, doc_id, source, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(decile AS DOUBLE),
+           CAST(est_tokens AS DOUBLE), CAST(bin AS DOUBLE)
+    FROM ({_DUCK_PIPELINE_CURRICULUM})
+    """
+
+
+@query("pipeline_mix_apply", _duck_pipeline_mix_apply())
+def pipeline_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-materialization family in one driver gate (merged
+    r7 from pipeline_domain_resample + pipeline_epoch_upsample +
+    pipeline_curriculum — VERDICT r6 item 1; operators/pipeline.py):
+
+    - kind='resample': apply uniform-target mix weights as an actual
+      resample — broadcast the tiny weights table, keep rows whose
+      purpose-salted hash falls under floor(weight*1000); filter-only
+      over the corpus.
+    - kind='upsample': epoch-level upsampling (weight > 1 becomes
+      whole epochs + a fractional hash-gated epoch) — each kept
+      (doc, epoch) row is exact membership.
+    - kind='curriculum': per-domain quality deciles streamed
+      highest-decile-first into GPT-style 2048-token packing bins —
+      one composed Catalyst plan with a single integer order key.
+
+    doc_id is non-null in every branch and stays BIGINT."""
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    res = pipeline_domain_resample(spark, sf_dir).select(
+        F.lit("resample").alias("kind"), "doc_id", "source",
+        snull.alias("lang"), dnull.alias("epoch"), dnull.alias("decile"),
+        dnull.alias("est_tokens"), dnull.alias("bin"),
+    )
+    ups = pipeline_epoch_upsample(spark, sf_dir).select(
+        F.lit("upsample").alias("kind"), "doc_id", snull.alias("source"),
+        "lang", F.col("epoch").cast("double").alias("epoch"),
+        dnull.alias("decile"), dnull.alias("est_tokens"),
+        dnull.alias("bin"),
+    )
+    cur = pipeline_curriculum(spark, sf_dir).select(
+        F.lit("curriculum").alias("kind"), "doc_id", "source",
+        snull.alias("lang"), dnull.alias("epoch"),
+        F.col("decile").cast("double").alias("decile"),
+        F.col("est_tokens").cast("double").alias("est_tokens"),
+        F.col("bin").cast("double").alias("bin"),
+    )
+    return res.unionByName(ups).unionByName(cur)
+
+
+def _duck_text_token_quality() -> str:
+    return f"""
+    SELECT t.doc_id, t.n_words, t.n_distinct_words, t.est_tokens,
+           q.punct_ratio, q.mean_word_len, q.quality_score,
+           d.grp AS source, d.decile
+    FROM ({_DUCK_TEXT_TOKENS}) t
+    JOIN ({_DUCK_TEXT_QUALITY}) q ON t.doc_id = q.doc_id
+    JOIN ({_DUCK_TEXT_QUALITY_NORM}) d ON t.doc_id = d.id
+    """
+
+
+@query("text_token_quality", _duck_text_token_quality())
+def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/quality statistics in one driver gate
+    (merged r7 from text_tokens + text_quality + text_quality_norm —
+    VERDICT r6 item 1; operators/text.py). All three operators key by
+    doc_id, so the merge is a JOIN (no typed-null decay): whitespace /
+    distinct / BPE-ish token counts, punctuation ratio, mean word
+    length, the composite quality score, and the per-domain ntile
+    decile that makes 'top X% by quality' distribution-invariant
+    across domains. One scan feeds the token/quality projections; the
+    decile adds one per-domain window."""
+    from streaming_parquet_spark.operators.text import quality_deciles
+
+    toks = text_tokens(spark, sf_dir)
+    qual = text_quality(spark, sf_dir).select(
+        "doc_id", "punct_ratio", "mean_word_len", "quality_score"
+    )
+    dec = quality_deciles(_t(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), F.col("grp").alias("source"), "decile"
+    )
+    return toks.join(qual, "doc_id").join(dec, "doc_id")
+
+
+def _duck_text_norm_fingerprint() -> str:
+    return f"""
+    SELECT n.doc_id, n.text_norm, n.n_removed, f.fingerprint
+    FROM ({_DUCK_TEXT_NORMALIZE}) n
+    JOIN ({_DUCK_TEXT_FINGERPRINT}) f ON n.doc_id = f.doc_id
+    """
+
+
+@query("text_norm_fingerprint", _duck_text_norm_fingerprint())
+def text_norm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + fingerprinting in one driver gate (merged r7
+    from text_normalize + text_fingerprint — VERDICT r6 item 1): the
+    canonical ASCII-scoped normalization pass (control-char strip,
+    whitespace collapse, trim — pure per-row projection) joined on
+    doc_id with the order-sensitive rolling-hash document fingerprint
+    (mod 2^31-1). Both are scan-stage projections; the join is the
+    only exchange and exists solely for the gate."""
+    from streaming_parquet_spark.operators.text import normalize_text
+
+    norm = normalize_text(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_norm", "n_removed"
+    )
+    fp = with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+    return norm.join(fp, "doc_id")
+
+
+def _duck_text_vectors() -> str:
+    return f"""
+    SELECT 'tfidf' AS kind, id, term, CAST(tf AS DOUBLE) AS tf,
+           CAST(df AS DOUBLE) AS df, CAST(NULL AS DOUBLE) AS nbr,
+           score, CAST(NULL AS DOUBLE) AS cos, rank
+    FROM ({_DUCK_TEXT_TFIDF_TOPK})
+    UNION ALL
+    SELECT 'sparse_cos' AS kind, id, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(nbr AS DOUBLE), CAST(NULL AS DOUBLE), cos, rank
+    FROM ({_DUCK_TEXT_SPARSE_COSINE})
+    """
+
+
+@query("text_vectors", _duck_text_vectors())
+def text_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector text similarity in one driver gate (merged r7
+    from text_tfidf_topk + text_sparse_cosine — VERDICT r6 item 1;
+    operators/text.py):
+
+    - kind='tfidf': top-5 characteristic terms per document, ranked
+      AND scored on the rational key tf*(N+1)/(df+1) (one IEEE
+      division — bit-stable cross-engine).
+    - kind='sparse_cos': doc-to-doc TF-IDF cosine over an
+      inverted-index join (candidates meet only through shared terms;
+      postings bounded by top-8 terms per doc) on a 10% hash sample —
+      the fixture's ~40-word vocabulary makes every term a corpus-wide
+      posting, the degenerate case the operator's max_df guard exists
+      for.
+
+    id and rank are non-null in both branches and keep their integer
+    types; branch-specific measures decay to typed DOUBLE nulls."""
+    from streaming_parquet_spark.operators.text import (
+        sparse_cosine_topk,
+        tfidf_topk,
+    )
+
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    tfidf = tfidf_topk(_t(spark, sf_dir, "documents"), k=5).select(
+        F.lit("tfidf").alias("kind"), "id", "term",
+        F.col("tf").cast("double").alias("tf"),
+        F.col("df").cast("double").alias("df"), dnull.alias("nbr"),
+        "score", dnull.alias("cos"), "rank",
+    )
+    corpus = hash_sample(_t(spark, sf_dir, "documents"), pct=10)
+    sparse = sparse_cosine_topk(corpus, k=5, topk_terms=8).select(
+        F.lit("sparse_cos").alias("kind"), "id", snull.alias("term"),
+        dnull.alias("tf"), dnull.alias("df"),
+        F.col("nbr").cast("double").alias("nbr"), dnull.alias("score"),
+        "cos", "rank",
+    )
+    return tfidf.unionByName(sparse)
+
+
+def _duck_dedup_simhash_family() -> str:
+    return f"""
+    SELECT 'sig' AS kind, CAST(doc_id AS DOUBLE) AS doc_id,
+           CAST(simhash AS DOUBLE) AS simhash,
+           CAST(NULL AS DOUBLE) AS id_a, CAST(NULL AS DOUBLE) AS id_b,
+           CAST(NULL AS DOUBLE) AS hamming
+    FROM ({_DUCK_DEDUP_SIMHASH})
+    UNION ALL
+    SELECT 'pairs' AS kind, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(id_a AS DOUBLE), CAST(id_b AS DOUBLE),
+           CAST(hamming AS DOUBLE)
+    FROM ({_DUCK_DEDUP_SIMHASH_PAIRS})
+    """
+
+
+@query("dedup_simhash_family", _duck_dedup_simhash_family())
+def dedup_simhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature + near-dup pair surface in one driver gate
+    (merged r7 from dedup_simhash + dedup_simhash_pairs — VERDICT r6
+    item 1; operators/dedup.py):
+
+    - kind='sig': 32-bit SimHash signatures, bit-exact vs the oracle
+      (pins the per-bit majority vote and portable md5 hashing).
+    - kind='pairs': near-dup pairs at Hamming distance <= 6 within
+      lang blocks (Spark ``a ^ b`` == DuckDB ``xor(a, b)``), the
+      blocked — never all-pairs — candidate join.
+
+    All values are < 2^32, so the DOUBLE decay of the wide union is
+    exact."""
+    dnull = F.lit(None).cast("double")
+    sig = with_simhash(_t(spark, sf_dir, "documents"), bits=32).select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").cast("double").alias("doc_id"),
+        F.col("simhash").cast("double").alias("simhash"),
+        dnull.alias("id_a"), dnull.alias("id_b"), dnull.alias("hamming"),
+    )
+    pairs = simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=6,
+        block_cols=["lang"],
+    ).select(
+        F.lit("pairs").alias("kind"), dnull.alias("doc_id"),
+        dnull.alias("simhash"),
+        F.col("id_a").cast("double").alias("id_a"),
+        F.col("id_b").cast("double").alias("id_b"),
+        F.col("hamming").cast("double").alias("hamming"),
+    )
+    return sig.unionByName(pairs)
+
+
+def _duck_dedup_minhash_family() -> str:
+    return f"""
+    SELECT 'sig' AS kind, CAST(doc_id AS DOUBLE) AS doc_id,
+           CAST(m0 AS DOUBLE) AS m0, CAST(m1 AS DOUBLE) AS m1,
+           CAST(m2 AS DOUBLE) AS m2, CAST(m3 AS DOUBLE) AS m3,
+           CAST(NULL AS DOUBLE) AS id_a, CAST(NULL AS DOUBLE) AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM ({_DUCK_DEDUP_MINHASH_SIG})
+    UNION ALL
+    SELECT 'pairs' AS kind, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(id_a AS DOUBLE),
+           CAST(id_b AS DOUBLE), jaccard
+    FROM ({_DUCK_DEDUP_MINHASH_LSH})
+    """
+
+
+@query("dedup_minhash_family", _duck_dedup_minhash_family())
+def dedup_minhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature + LSH near-dup surface in one driver gate
+    (merged r7 from dedup_minhash_sig + dedup_minhash_lsh — VERDICT
+    r6 item 1; operators/dedup.py):
+
+    - kind='sig': the first 4 MinHash signature components, bit-exact
+      vs the oracle — pins the permutation family + portable md5
+      hashing.
+    - kind='pairs': MinHash-LSH near-dup pairs over 3-gram shingles
+      (16 hashes, 8 bands of 2 -> P(candidate | j=0.5) = 0.90) with
+      exact shingle-Jaccard verify at >= 0.2 — band equi-join
+      candidates, no cross join anywhere.
+
+    All values are < 2^32, so the DOUBLE decay of the wide union is
+    exact."""
+    dnull = F.lit(None).cast("double")
+    sig = with_minhash(_t(spark, sf_dir, "documents"), num_hashes=4).select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").cast("double").alias("doc_id"),
+        *[
+            F.expr(f"element_at(minhash, {i + 1})").cast("double")
+            .alias(f"m{i}")
+            for i in range(4)
+        ],
+        dnull.alias("id_a"), dnull.alias("id_b"), dnull.alias("jaccard"),
+    )
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=8,
+        jaccard_threshold=0.2,
+    ).select(
+        F.lit("pairs").alias("kind"), dnull.alias("doc_id"),
+        dnull.alias("m0"), dnull.alias("m1"), dnull.alias("m2"),
+        dnull.alias("m3"),
+        F.col("id_a").cast("double").alias("id_a"),
+        F.col("id_b").cast("double").alias("id_b"), "jaccard",
+    )
+    return sig.unionByName(pairs)
+
+
+def _duck_embed_iterative() -> str:
+    return f"""
+    SELECT 'projection' AS kind, CAST(vec_id AS DOUBLE) AS vec_id,
+           {", ".join(f"p{i}" for i in range(8))},
+           CAST(NULL AS DOUBLE) AS dim, CAST(NULL AS DOUBLE) AS y_fixed,
+           CAST(NULL AS DOUBLE) AS y_norm, CAST(NULL AS DOUBLE) AS cluster,
+           CAST(NULL AS DOUBLE) AS n, CAST(NULL AS DOUBLE) AS centroid_norm
+    FROM ({_DUCK_EMBED_RANDOM_PROJECTION})
+    UNION ALL
+    SELECT 'power' AS kind, CAST(NULL AS DOUBLE),
+           {", ".join("CAST(NULL AS DOUBLE)" for _ in range(8))},
+           CAST(dim AS DOUBLE), CAST(y_fixed AS DOUBLE), y_norm,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
+    FROM ({_DUCK_EMBED_POWER_ITERATION})
+    UNION ALL
+    SELECT 'kmeans' AS kind, CAST(NULL AS DOUBLE),
+           {", ".join("CAST(NULL AS DOUBLE)" for _ in range(8))},
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(cluster AS DOUBLE),
+           CAST(n AS DOUBLE), centroid_norm
+    FROM ({_DUCK_EMBED_KMEANS_STEP})
+    """
+
+
+@query("embed_iterative", _duck_embed_iterative())
+def embed_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative/linear-algebra embedding primitives in one driver
+    gate (merged r7 from embed_random_projection +
+    embed_power_iteration + embed_kmeans_step — VERDICT r6 item 1;
+    operators/similarity.py):
+
+    - kind='projection': Johnson-Lindenstrauss-style 64 -> 8 random
+      projection over the deterministic LSH hyperplanes — pure
+      per-row expressions in the scan stage, shuffle-free.
+    - kind='power': one power-iteration step toward the corpus's top
+      principal direction (y = Gram x v0, Gram never materialized),
+      fixed-point integer sums for order-independent aggregation.
+    - kind='kmeans': one Lloyd iteration (assign to nearest of 8
+      centroids, re-estimate as member means) — the iterative
+      training primitive behind real IVF / semantic-dedup fits.
+
+    All branch-specific numerics decay to typed DOUBLE nulls; the
+    fixed-point magnitudes stay far below 2^53, so the decay is
+    exact."""
+    from streaming_parquet_spark.operators.similarity import (
+        kmeans_step,
+        power_iteration_step,
+        random_projection,
+    )
+
+    dnull = F.lit(None).cast("double")
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, out_dims=8, dims=64).select(
+        F.lit("projection").alias("kind"),
+        F.col("vec_id").cast("double").alias("vec_id"),
+        *[F.col(f"p{i}") for i in range(8)],
+        dnull.alias("dim"), dnull.alias("y_fixed"), dnull.alias("y_norm"),
+        dnull.alias("cluster"), dnull.alias("n"),
+        dnull.alias("centroid_norm"),
+    )
+    power = power_iteration_step(emb).select(
+        F.lit("power").alias("kind"), dnull.alias("vec_id"),
+        *[dnull.alias(f"p{i}") for i in range(8)],
+        F.col("dim").cast("double").alias("dim"),
+        F.col("y_fixed").cast("double").alias("y_fixed"), "y_norm",
+        dnull.alias("cluster"), dnull.alias("n"),
+        dnull.alias("centroid_norm"),
+    )
+    km = kmeans_step(emb, emb.filter(F.col("vec_id") < 8), dims=64).select(
+        F.lit("kmeans").alias("kind"), dnull.alias("vec_id"),
+        *[dnull.alias(f"p{i}") for i in range(8)],
+        dnull.alias("dim"), dnull.alias("y_fixed"), dnull.alias("y_norm"),
+        F.col("cluster").cast("double").alias("cluster"),
+        F.col("n").cast("double").alias("n"), "centroid_norm",
+    )
+    return proj.unionByName(power).unionByName(km)
+
+
+def _duck_multimodal_meta() -> str:
+    return f"""
+    SELECT f.id, f.frame_idx, f.frame_len, b.n_bytes
+    FROM ({_DUCK_MULTIMODAL_FRAMES}) f
+    JOIN ({_DUCK_MULTIMODAL_BYTES}) b ON f.id = b.doc_id
+    """
+
+
+@query("multimodal_meta", _duck_multimodal_meta())
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload accounting + frame-sampling plumbing in one
+    driver gate (merged r7 from multimodal_bytes + multimodal_frames —
+    VERDICT r6 item 1; operators/multimodal.py): payloads sliced into
+    <= 8 chunks of 64 bytes (BYTE arithmetic, codec-independent)
+    joined with each document's total byte length — per (id,
+    frame_idx): frame_len and n_bytes, all non-null, no dtype decay.
+    The fixture blob is the utf-8 text; real media swaps the source
+    column only."""
+    from streaming_parquet_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(d, max_frames=8, every_n_bytes=64).select(
+        "id", "frame_idx",
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+    )
+    nbytes = d.select(
+        F.col("doc_id").alias("id"),
+        F.length("blob").cast("bigint").alias("n_bytes"),
+    )
+    return frames.join(nbytes, "id")
+
+
+def _duck_multimodal_transform() -> str:
+    return f"""
+    SELECT 'decode' AS kind, r.id, CAST(NULL AS DOUBLE) AS dim,
+           CAST(NULL AS DOUBLE) AS fval,
+           CAST(r.width AS DOUBLE) AS width,
+           CAST(r.height AS DOUBLE) AS height, r.payload_md5,
+           CAST(a.sample_rate AS DOUBLE) AS sample_rate,
+           CAST(a.n_samples AS DOUBLE) AS n_samples, a.duration_sec,
+           a.format
+    FROM ({_duck_resize(32, 24)}) r
+    JOIN ({_DUCK_MULTIMODAL_AUDIO}) a ON r.id = a.id
+    UNION ALL
+    SELECT 'features' AS kind, id, CAST(dim AS DOUBLE), fval,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM ({_DUCK_MULTIMODAL_FEATURES})
+    """
+
+
+@query("multimodal_transform", _duck_multimodal_transform())
+def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas transform plumbing in one driver gate (merged
+    r7 from multimodal_resize + multimodal_audio + multimodal_features
+    — VERDICT r6 item 1; operators/multimodal.py). All three run the
+    REAL Arrow-batched plumbing (schema, batching, worker dispatch);
+    the codecs are the documented deterministic fakes (PIL /
+    soundfile / an embedder are drop-ins), which is what makes them
+    fully value-oracle-able:
+
+    - kind='decode': the 32x24 resize payload digest joined on id
+      with the audio metadata decode (sample_rate / n_samples /
+      duration / format).
+    - kind='features': the 16-dim md5-seeded feature extraction
+      exploded to (id, dim, fval) so float32 features hash-compare
+      exactly."""
+    from streaming_parquet_spark.operators.multimodal import (
+        attach_binary,
+        decode_audio,
+        extract_features,
+        resize_images,
+    )
+
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    resize = resize_images(d, width=32, height=24).select(
+        "id",
+        F.col("width").cast("double").alias("width"),
+        F.col("height").cast("double").alias("height"),
+        F.md5(F.lower(F.hex(F.col("resized_bytes")))).alias("payload_md5"),
+    )
+    audio = decode_audio(d).select(
+        "id",
+        F.col("sample_rate").cast("double").alias("sample_rate"),
+        F.col("n_samples").cast("double").alias("n_samples"),
+        "duration_sec", "format",
+    )
+    decode = resize.join(audio, "id").select(
+        F.lit("decode").alias("kind"), "id", dnull.alias("dim"),
+        dnull.alias("fval"), "width", "height", "payload_md5",
+        "sample_rate", "n_samples", "duration_sec", "format",
+    )
+    feats = extract_features(d, dims=16).select(
+        "id", F.posexplode("features").alias("dim", "v")
+    ).select(
+        F.lit("features").alias("kind"), "id",
+        F.col("dim").cast("double").alias("dim"),
+        round_to_col(F.col("v").cast("double"), 4).alias("fval"),
+        dnull.alias("width"), dnull.alias("height"),
+        snull.alias("payload_md5"), dnull.alias("sample_rate"),
+        dnull.alias("n_samples"), dnull.alias("duration_sec"),
+        snull.alias("format"),
+    )
+    return decode.unionByName(feats)

@@ -2869,3 +2869,131 @@ def test_interleave_positions_exact_across_shards(spark):
     # domain 'a' = even ids (gi=0), 'b' = odd ids (gi=1); pos within
     # domain = id//2 for both -> key = (id//2)*2 + (id%2) == id
     assert got == {i: i for i in range(800)}
+
+
+def test_fit_ivf_centroids_recall_floor(emb):
+    """The sampled-KMeans IVF fit (fit_ivf_centroids) must produce
+    centroids whose tiered recall@10 is at least the lowest-id
+    stand-in's recall on the same fixture — the documented bar for the
+    trained path (VERDICT r6 item 3). KMeans is not bit-portable, so
+    this pytest floor IS the gate (no DuckDB oracle).
+
+    The query set is DISJOINT from the stand-in centroid id range
+    (vec_id 200-209 vs < 8): the oracle gates reuse the lowest ids as
+    both queries and centroids, where probing the cell centered
+    exactly on the query trivially captures its neighborhood (recall
+    ~0.9 that says nothing about centroid quality). On disjoint
+    queries over this unstructured fixture the stand-in drops to
+    ~0.43 and the trained fit reaches ~0.55 at the same probe
+    budget."""
+    from streaming_parquet_spark.operators.similarity import (
+        cosine_topk,
+        fit_ivf_centroids,
+        ivf_sq8_topk,
+    )
+
+    q = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 210))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=10, dims=64).collect()
+    }
+    cents = fit_ivf_centroids(emb, n_centroids=8, seed=7)
+    assert cents.count() == 8
+    row = cents.first()
+    assert len(row["embedding"]) == 64
+
+    def recall(centroids=None):
+        rows = ivf_sq8_topk(
+            emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64,
+            centroids=centroids,
+        ).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        return len(exact & got) / len(exact)
+
+    standin = recall()
+    trained = recall(centroids=cents)
+    assert trained >= standin, (
+        f"trained-centroid recall {trained} fell below the lowest-id "
+        f"stand-in's {standin}"
+    )
+    assert trained >= 0.5, trained
+
+
+def test_fit_ivf_centroids_deterministic(emb):
+    """The fit is reproducible: same corpus + seed -> identical
+    centroids (KMeans is seeded and the hash sample is a pure function
+    of the ids), and sample_pct selects by the portable id hash —
+    membership independent of partition layout (df.sample is not)."""
+    from streaming_parquet_spark.functions.portable import (
+        hash_bucket_expr,
+    )
+    from streaming_parquet_spark.operators.similarity import (
+        fit_ivf_centroids,
+    )
+
+    a = fit_ivf_centroids(emb, n_centroids=4, sample_pct=50, seed=3)
+    b = fit_ivf_centroids(emb, n_centroids=4, sample_pct=50, seed=3)
+    ca = sorted(tuple(r["embedding"]) for r in a.collect())
+    cb = sorted(tuple(r["embedding"]) for r in b.collect())
+    assert len(ca) == 4
+    assert ca == cb, "same corpus + seed must reproduce the centroids"
+    # sample membership is layout-independent: the hash filter picks
+    # the same ids whatever the partitioning
+    bucket = hash_bucket_expr("spark", "vec_id", 100)
+    ids1 = {r["vec_id"] for r in emb.filter(F.expr(bucket) < 50)
+            .select("vec_id").collect()}
+    ids2 = {r["vec_id"] for r in emb.repartition(7)
+            .filter(F.expr(bucket) < 50).select("vec_id").collect()}
+    assert ids1 == ids2 and 0 < len(ids1) < emb.count()
+
+
+def test_posting_list_table_roundtrip(emb):
+    """write_posting_lists/read_posting_lists: the ingest-time
+    cluster-partitioned layout round-trips and feeds the ANN tiers via
+    assigned= with results identical to the pipelined assignment; the
+    on-disk layout is one partition directory per cluster (the probe's
+    pruning unit)."""
+    import os
+
+    from streaming_parquet_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_assign,
+        ivf_sq8_topk,
+        read_posting_lists,
+        write_posting_lists,
+    )
+
+    spark = emb.sparkSession
+    cents = fit_ivf_centroids(emb, n_centroids=8, seed=7)
+    assigned = ivf_assign(emb, cents)
+    table = "maw_posting_lists_test"
+    write_posting_lists(assigned, table)
+    try:
+        # one directory per cluster — static/dynamic partition pruning
+        # reads n_probe of them at query time
+        loc = next(
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+            if r["col_name"] == "Location"
+        )
+        path = loc[len("file:"):] if loc.startswith("file:") else loc
+        part_dirs = {
+            d for d in os.listdir(path) if d.startswith("cluster=")
+        }
+        assert len(part_dirs) >= 2, part_dirs
+
+        q = emb.filter(F.col("vec_id") < 5)
+        from_table = ivf_sq8_topk(
+            emb, q, k=10, dims=64, centroids=cents,
+            assigned=read_posting_lists(spark, table),
+        ).collect()
+        pipelined = ivf_sq8_topk(
+            emb, q, k=10, dims=64, centroids=cents,
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert sorted(map(tuple, from_table), key=str) == sorted(
+            map(tuple, pipelined), key=str
+        ), "table-backed and pipelined assignments diverged"
+        assert len(from_table) == 50
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

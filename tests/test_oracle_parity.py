@@ -193,7 +193,7 @@ def test_driver_rotation_orders_stalest_first():
 @pytest.mark.parametrize(
     "name",
     ["events_windows",
-     "stream_windowed_counts", "events_sessionize", "stream_late_dedup"],
+     "stream_windowed_counts", "events_sessions", "stream_late_dedup"],
 )
 def test_time_oracles_are_tz_independent(name, spark, sf_dir):
     """The driver's DuckDB connection never pins TimeZone; every

@@ -27,19 +27,18 @@ _BNLJ_OK = {
     "embed_ann_quantized",  # SQ8 broadcast query-set x corpus codes
     "dedup_lsh_recall",    # 1-row x 1-row count crossJoin (n_true, n_hit)
     "embed_ann_recall",    # cosine_topk baseline + IVF centroid broadcast
-    "text_tfidf_topk",     # 1-row corpus-count (N) broadcast
+    "text_vectors",        # 1-row corpus-count (N) broadcast (tfidf + sparse-cos branches)
     "text_lm_score",       # 1-row vocabulary-size (V) broadcast
-    "text_sparse_cosine",  # 1-row corpus-count (N) broadcast
     "text_chi2_terms",     # 1-row corpus-count (N) broadcast
     "text_cooccurrence",   # 1-row corpus-count (N) broadcast
-    "events_rfm",          # 1-row reference-epoch (max day) broadcast
+    "events_cohort",       # 1-row reference-epoch (max day) broadcast (rfm branch)
     "pipeline_interleave",  # 1-row domain-count broadcast
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
     "embed_ann_ivf_quantized",  # IVF centroid assignment (8-row broadcast)
     "events_ts_similarity",  # 1-row query-window broadcast
     "rel_bloom_semi_join",   # 1-row Bloom-bitmap broadcast (scan-stage filter)
-    "embed_kmeans_step",   # IVF centroid assignment (8-row broadcast)
+    "embed_iterative",     # IVF centroid assignment (8-row broadcast, kmeans branch)
     # derived-partsupp family: 1-row supplier-count broadcast (the only
     # BNLJ left after the 4-way fanout became a Generate); q11 adds the
     # 1-row HAVING-threshold non-equi broadcast
@@ -171,11 +170,12 @@ def test_skew_join_aqe_split(spark, sf_dir, tmp_path):
     [
         ("text_chunk_docs", "documents", {"doc_id", "text"}),
         ("dedup_paragraphs", "documents", {"doc_id", "text"}),
-        ("pipeline_token_budget", "documents", {"doc_id", "source", "text"}),
-        ("pipeline_rank_filter", "documents",
-         {"doc_id", "source", "n_chars"}),
-        ("embed_random_projection", "embeddings", {"vec_id", "embedding"}),
-        ("events_upsert_latest", "events",
+        # r7 family gates: the union of the constituents' columns,
+        # still strictly narrower than the full table
+        ("pipeline_select", "documents",
+         {"doc_id", "lang", "source", "text", "n_chars"}),
+        ("embed_iterative", "embeddings", {"vec_id", "embedding"}),
+        ("events_cdc", "events",
          {"event_id", "ts", "user_id", "event_type", "value"}),
         # r6 additions: the mix/shuffle/interleave gates carry only ids
         # and their group column to the scan
