@@ -143,6 +143,31 @@ def main() -> None:
 
     from streaming_parquet_spark.queries_tpch import STREAM_WORKDIR_FS as stream_fs
 
+    # One-shot 10x scale smoke (VERDICT r6 item 4): the most expensive
+    # ANN/dedup gates run ONCE against a 10x-replicated corpus — the
+    # first evidence beyond sf0.1 that the plan-level scale claims
+    # (bucketed equi-joins, posting lists, no all-pairs shapes) hold
+    # when the data grows 10x. Expected sub-linear-to-linear scaling;
+    # a gate exceeding ~15x its sweep time is a memory/skew cliff the
+    # plan shape alone could not reveal.
+    sf1_smoke: dict[str, float] = {}
+    sf1_ratio: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            scale_dir = _ensure_scale_dir(spark, sf_dir, factor=10)
+            for name in _SCALE_SMOKE_GATES:
+                spark.catalog.clearCache()
+                release_materialized()
+                t0 = time.perf_counter()
+                _run_query(QUERIES[name](spark, scale_dir))
+                sf1_smoke[name] = round(time.perf_counter() - t0, 4)
+                if timings.get(name):
+                    sf1_ratio[name] = round(
+                        sf1_smoke[name] / timings[name], 2
+                    )
+        except Exception as exc:  # smoke must never sink the headline
+            sf1_smoke["error"] = str(exc)[:300]
+
     total = round(sum(timings.values()), 4)
     # Key order matters downstream: the driver's BENCH_r{N}.json capture
     # keeps only the LAST 2000 chars of this line (observed r3: a 9 KB
@@ -153,6 +178,8 @@ def main() -> None:
     doc = {
         "queries_first_pass": first_pass,
         "queries": timings,
+        "sf1_smoke_seconds": sf1_smoke,
+        "sf1_vs_sf01_ratio": sf1_ratio,
         "metric": "sum_query_seconds",
         "value": total,
         "unit": "sec",
@@ -186,6 +213,21 @@ def main() -> None:
                 "stream_* stage src/ckpt/sink on streaming_workdir;"
                 " pass 2 resumes the checkpoint (warm path)"
             ),
+            "stream_conversion_runs": 6,
+            "stream_trigger_files": 128,
+            "stream_protocol_note": (
+                "r7 pin (VERDICT r6 item 5): literal trigger_files=128"
+                " (auto-size varied with host cores) + best-of-6"
+                " samples, so the builder-run and driver-run"
+                " stream/batch ratios converge"
+            ),
+            "sf1_note": (
+                "sf1_smoke_seconds: one-shot run of the ANN/dedup tail"
+                " against a 10x similarity-preserving replication of"
+                " documents/embeddings (.scale/sf1, see"
+                " _ensure_scale_dir); sf1_vs_sf01_ratio ~<=15x is the"
+                " pass bar (sub-linear-to-linear shapes)"
+            ),
             "multimodal_audio_note": (
                 "r5 flagged 0.27->1.66 s with unchanged code; r6 root"
                 " cause (whole in-sweep-inflation class): the default"
@@ -209,6 +251,79 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # read-only checkout: stdout line is still complete
+
+
+# The ANN/dedup tail — the sweep's most expensive gates and the ones
+# whose shapes (LSH bands, prefix filters, posting lists, quantized
+# codes, iterative CC) carry the 100 TB claims.  All read only the
+# documents/embeddings tables, so the scale dir stays two files.
+_SCALE_SMOKE_GATES = [
+    "embed_ann_recall",
+    "embed_ann_ivf_quantized",
+    "embed_ann_quantized",
+    "embed_ann_bucketed",
+    "embed_near_pairs",
+    "dedup_clusters",
+    "dedup_prefix_join",
+    "dedup_containment",
+    "dedup_minhash_family",
+    "dedup_semantic",
+]
+
+
+def _ensure_scale_dir(spark, sf_dir: str, factor: int = 10) -> str:
+    """Materialize a ``factor``x documents/embeddings corpus under
+    .scale/sf1 (gitignored, reused across runs).  Replication is
+    SIMILARITY-PRESERVING, not naive: every word of replica r > 0 gets
+    an ``_r{r}`` suffix, so each replica reproduces the original
+    corpus's near-dup structure internally while sharing no shingles
+    across replicas — candidate pair counts scale linearly with the
+    data, the way a real 10x corpus's would. Naive copies would make
+    every document a 10-member exact-dup clique and grow LSH pair
+    counts quadratically in the replication factor — a benchmark of
+    the fixture's degeneracy, not of the engine.  Embedding replicas
+    keep their vectors (identical twins rank like the near-identical
+    neighbors a real corpus contains) with offset ids."""
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"
+    )
+    docs_out = os.path.join(base, "documents.parquet")
+    emb_out = os.path.join(base, "embeddings.parquet")
+    if os.path.isdir(docs_out) and os.path.isdir(emb_out):
+        return base
+    from pyspark.sql import functions as F
+
+    os.makedirs(base, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    d_reps = []
+    for r in range(factor):
+        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * d_off))
+        if r:
+            rep = rep.withColumn(
+                "text",
+                F.expr(
+                    "concat_ws(' ', transform(split(text, ' '),"
+                    f" w -> concat(w, '_r{r}')))"
+                ),
+            )
+        d_reps.append(rep)
+    out = d_reps[0]
+    for rep in d_reps[1:]:
+        out = out.unionByName(rep)
+    out.repartition(8).write.mode("overwrite").parquet(docs_out)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    e_reps = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * e_off))
+        for r in range(factor)
+    ]
+    eout = e_reps[0]
+    for rep in e_reps[1:]:
+        eout = eout.unionByName(rep)
+    eout.repartition(8).write.mode("overwrite").parquet(emb_out)
+    return base
 
 
 def _replicate(src_files: list[str], dest_dir: str, copies: int, ext: str) -> int:
@@ -319,12 +434,19 @@ def _conversion_bench(spark, sf_dir: str) -> tuple[dict[str, float], str]:
 
         seng = StreamEngine(spark)
         best = float("inf")
-        for i in range(4):  # run 0 is warmup
+        # PINNED protocol (VERDICT r6 item 5: builder-run 78.5% vs
+        # driver-run 94.4% of batch was noise-dominated): a LITERAL
+        # trigger size — the auto-sized trigger is concurrency * cores,
+        # so batch count varied with the host's core count — and 6
+        # measured samples (was 3) so the best approaches the stable
+        # capability the way the batch legs' best-of-6 does.
+        for i in range(7):  # run 0 is warmup
             s_out = os.path.join(work, f"so_{i}.parquet")
             s_ckpt = os.path.join(work, f"sck_{i}")
             spec = RunSpec(
                 inputs=[csv_dir], out=s_out, compression="zstd",
                 state=s_ckpt, single_file=False, roll_by_rows=10**9,
+                trigger_files=128,
             )
             t0 = time.perf_counter()
             seng.run(spec)

@@ -1543,48 +1543,52 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS /
     NOT-EXISTS pair over sibling lineitems is rendered as ONE per-order
-    aggregate — n_supp = COUNT(DISTINCT supplier), n_late_supp =
-    COUNT(DISTINCT supplier among late lines) — then a late line l1
-    qualifies iff n_supp >= 2 (some other supplier exists) and
-    n_late_supp = 1 (l1 is late, so a lone late supplier must be l1's).
-    That replaces two correlated semi/anti joins with a single shuffle
-    on l_orderkey shared by the stats and the join-back. Scale: the
-    per-order stats relation is orderkey-partitioned exactly like the
-    join that consumes it; supplier+nation broadcast.
+    aggregate, and — the r7 shape — the join BACK to the late lines is
+    eliminated entirely: a late line l1 qualifies iff its order has
+    n_supp >= 2 (some other supplier exists) and exactly ONE supplier
+    with late lines (NOT EXISTS another late supplier) — but then that
+    lone late supplier IS l1's supplier, so the per-order aggregate can
+    carry the answer itself:
 
-    Two further shapes matter on a serial-scan input (one-row-group
-    fixture; any cold file at 100 TB): the narrow 3-column projection
-    is staged ONCE (spread + persisted) so the stats build and the
-    late-line join-back don't each re-run the unsplittable scan, and
-    the two COUNT(DISTINCT) become a two-level exact aggregation
-    (per-(order, supplier) any-late flags, then plain counts) — no
-    Expand doubling the row volume through the first shuffle."""
-    from streaming_parquet_spark.operators.similarity import (
-        _materialize,
-        spread_input,
-    )
+      per (order, supplier): n_late_lines, any-late flag
+      per order:             n_supp, n_late_supp,
+                             late_supp   = the lone late supplier's key
+                             late_lines  = that supplier's late-line count
 
-    lid = _materialize(
-        spread_input(
-            _lineitem_dated(spark, sf_dir).select(
-                "l_orderkey", "l_suppkey",
-                (F.col("l_receiptdate") > F.col("l_commitdate")).alias(
-                    "__late"
-                ),
-            )
-        ),
-        spread=False,
-    )
-    stats = (
-        lid.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("__late").alias("__s_late"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).alias("__n_supp"),
-            F.sum(F.when(F.col("__s_late"), 1).otherwise(0)).alias(
-                "__n_late_supp"
+    Orders with n_supp >= 2 and n_late_supp = 1 contribute late_lines
+    (COUNT(*) in the original counts qualifying late LINES, not
+    orders) to late_supp's numwait.  One single partial-aggregated
+    shuffle of the 3-column lineitem projection — no persist, no
+    second pass, no join back; the F-status order filter and the
+    supplier+nation dimension both broadcast."""
+    from streaming_parquet_spark.operators.similarity import spread_input
+
+    lid = spread_input(
+        _lineitem_dated(spark, sf_dir).select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_receiptdate") > F.col("l_commitdate")).alias(
+                "__late"
             ),
         )
+    )
+    per_supp = lid.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__n_late"),
+    )
+    stats = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n_supp"),
+            F.sum(F.when(F.col("__n_late") > 0, 1).otherwise(0)).alias(
+                "__n_late_supp"
+            ),
+            F.max(
+                F.when(F.col("__n_late") > 0, F.col("l_suppkey"))
+            ).alias("__late_supp"),
+            F.max(F.when(F.col("__n_late") > 0, F.col("__n_late"))).alias(
+                "__late_lines"
+            ),
+        )
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
     )
     orders_f = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -1599,13 +1603,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        lid.filter(F.col("__late"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(stats, "l_orderkey")
-        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
+        # orders is a FACT table (would not broadcast at 100 TB): leave
+        # the strategy to Catalyst/AQE — at fixture scale it broadcasts
+        # the 1-column F-status keys on its own; at scale it becomes a
+        # shuffle join co-partitioned with the orderkey-partitioned
+        # stats relation.
+        stats.join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(supp), F.col("s_suppkey") == F.col("__late_supp")
+        )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__late_lines").cast("bigint").alias("numwait"))
     )
 
 
