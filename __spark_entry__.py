@@ -117,11 +117,11 @@ def _last_green_round(root: str = _ROOT) -> dict[str, int]:
 # is stable round to round.  Names absent keep registration order
 # after it.
 _DRIVER_PRIORITY = [
-    # r7 family-gate merges (52 former queries -> 20 gates; registry
-    # 150 -> 118, so the driver's 50-row budget now genuinely
-    # refreshes every row within ceil(118/50) = 3 rounds and every
-    # non-merged row within 2 — VERDICT r6 item 1).  All 20 are
-    # never-checked under their new names and run first.
+    # r7 family-gate merges, waves 1+2 (79 former queries -> 33 gates;
+    # registry 150 -> 104, so the driver's 50-row budget refreshes
+    # every row within ceil(104/50) = 3 rounds now and within 2 once
+    # r8 trims the registry under 100 — VERDICT r6 item 1).  All 33
+    # are never-checked under their new names and run first.
     "rel_grouping", "rel_set_family", "rel_window_family",
     "sketch_family", "events_cdc", "events_sessions",
     "events_smoothing", "events_cohort", "events_rollups",
@@ -129,30 +129,32 @@ _DRIVER_PRIORITY = [
     "text_token_quality", "text_norm_fingerprint", "text_vectors",
     "dedup_simhash_family", "dedup_minhash_family", "embed_iterative",
     "multimodal_meta", "multimodal_transform",
+    "rel_agg_family", "rel_skew_family", "rel_order_stats",
+    "events_funnel_gaps", "dedup_exact_family", "dedup_prefix_family",
+    "embed_exact", "text_df_assoc", "text_class_stats",
+    "text_doc_scores", "engine_profile_family",
+    "pipeline_order_family", "text_quality_signals",
     # r6 merged gates
     "embed_ann_recall", "embed_ann_ivf_quantized", "embed_ann_quantized",
     "embed_ann_bucketed", "events_asof", "dedup_clusters",
     "pipeline_temperature_mix", "events_windows",
-    "dedup_prefix_join",
-    "text_chi2_terms", "text_domain_similarity",
     # older tie-break seeds (only matter if a query regresses to the
     # never-checked class)
-    "events_funnel", "rel_bloom_semi_join", "pipeline_zorder",
-    "engine_profile", "pipeline_weighted_sample",
+    "rel_bloom_semi_join", "pipeline_zorder",
     "rel_fuzzy_join", "stream_upsert_sink",
     "rel_pagerank_step", "pipeline_assign_ids",
     "dedup_paragraphs", "text_chunk_docs",
     "dedup_cluster_reps",
     "stream_interval_join", "stream_session_state",
-    "text_lm_score", "pipeline_shard_manifest", "events_ts_similarity",
+    "pipeline_shard_manifest", "events_ts_similarity",
     "stream_windowed_counts", "stream_static_join",
-    "pipeline_end_to_end", "dedup_containment",
-    "rel_join_agg_segment", "rel_semi_anti_join", "rel_distinct",
-    "rel_agg_stats", "rel_sort_limit", "rel_exists_subquery",
-    "events_json_extract", "dedup_exact",
-    "dedup_ngram_jaccard", "embed_cosine_topk", "embed_near_pairs",
+    "pipeline_end_to_end",
+    "rel_join_agg_segment", "rel_semi_anti_join",
+    "rel_exists_subquery",
+    "events_json_extract",
+    "dedup_ngram_jaccard",
     "part_range_join", "pipeline_clean_corpus",
-    "text_pii_scrub", "text_ngram_df", "text_langid",
+    "text_pii_scrub",
 ]
 
 

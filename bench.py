@@ -155,16 +155,23 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
             scale_dir = _ensure_scale_dir(spark, sf_dir, factor=10)
-            for name in _SCALE_SMOKE_GATES:
+            scaled_ops = _scale_smoke_scaled_ops(spark, scale_dir)
+            ratio_base = {
+                "embed_near_pairs_scaled_planes6": "embed_near_pairs",
+                "dedup_semantic_scaled_k80": "dedup_semantic",
+            }
+            runs = [(n, lambda n=n: QUERIES[n](spark, scale_dir))
+                    for n in _SCALE_SMOKE_GATES]
+            runs += list(scaled_ops.items())
+            for name, build in runs:
                 spark.catalog.clearCache()
                 release_materialized()
                 t0 = time.perf_counter()
-                _run_query(QUERIES[name](spark, scale_dir))
+                _run_query(build())
                 sf1_smoke[name] = round(time.perf_counter() - t0, 4)
-                if timings.get(name):
-                    sf1_ratio[name] = round(
-                        sf1_smoke[name] / timings[name], 2
-                    )
+                base = timings.get(ratio_base.get(name, name))
+                if base:
+                    sf1_ratio[name] = round(sf1_smoke[name] / base, 2)
         except Exception as exc:  # smoke must never sink the headline
             sf1_smoke["error"] = str(exc)[:300]
 
@@ -226,7 +233,14 @@ def main() -> None:
                 " against a 10x similarity-preserving replication of"
                 " documents/embeddings (.scale/sf1, see"
                 " _ensure_scale_dir); sf1_vs_sf01_ratio ~<=15x is the"
-                " pass bar (sub-linear-to-linear shapes)"
+                " pass bar (sub-linear-to-linear shapes). The smoke"
+                " CAUGHT one cliff on its first run: the registered"
+                " embed_near_pairs gate (fixed planes=2) hit 48.4 s /"
+                " 37x at 10x — fixed bucket count means quadratic"
+                " within-bucket growth; the *_scaled_planes6 entry runs"
+                " the documented fix (planes sized to the corpus) and"
+                " the *_scaled_k80 entry does the same for SemDeDup's"
+                " centroid count"
             ),
             "multimodal_audio_note": (
                 "r5 flagged 0.27->1.66 s with unchanged code; r6 root"
@@ -262,13 +276,51 @@ _SCALE_SMOKE_GATES = [
     "embed_ann_ivf_quantized",
     "embed_ann_quantized",
     "embed_ann_bucketed",
-    "embed_near_pairs",
     "dedup_clusters",
     "dedup_prefix_join",
     "dedup_containment",
     "dedup_minhash_family",
     "dedup_semantic",
 ]
+
+
+def _scale_smoke_scaled_ops(spark, scale_dir: str) -> dict:
+    """Direct operator calls whose BLOCKING PARAMETERS are re-sized for
+    the 10x corpus — the documented at-scale recipe, exercised rather
+    than just claimed.  The first r7 smoke ran the registered
+    embed_near_pairs gate (fixed planes=2 -> 4 LSH buckets) against the
+    10x corpus and measured 48.4 s, 37x its sf0.1 time: with a FIXED
+    bucket count, bucket population grows linearly and within-bucket
+    pairwise work quadratically — the exact cliff the operator's
+    docstring says to avoid by scaling ``planes`` with corpus size.
+    Here planes grows to keep expected bucket population ~constant
+    (+log2(factor) bits), restoring near-linear scaling; likewise
+    dedup_semantic re-sizes its centroid count so per-cluster pairwise
+    stays within the fixed budget (the SemDeDup recipe)."""
+    from pyspark.sql import functions as F
+
+    from streaming_parquet_spark.operators.similarity import (
+        semantic_dedup_drops,
+        similarity_pairs,
+        with_lsh_signature,
+    )
+
+    emb = spark.read.parquet(os.path.join(scale_dir, "embeddings.parquet"))
+
+    def near_pairs_scaled():
+        sig = with_lsh_signature(emb, planes=6, dims=64)
+        return similarity_pairs(
+            sig, threshold=0.4, block_col="lsh_bucket", dims=64
+        )
+
+    def semantic_scaled_k():
+        cents = emb.filter(F.col("vec_id") < 80)
+        return semantic_dedup_drops(emb, cents, threshold=0.4, dims=64)
+
+    return {
+        "embed_near_pairs_scaled_planes6": near_pairs_scaled,
+        "dedup_semantic_scaled_k80": semantic_scaled_k,
+    }
 
 
 def _ensure_scale_dir(spark, sf_dir: str, factor: int = 10) -> str:

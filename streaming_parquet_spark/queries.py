@@ -452,20 +452,17 @@ def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rel_distinct",
-    """
+_DUCK_REL_DISTINCT = """
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-    """,
-)
+    """
+
+
 def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT = hash aggregate with map-side partials (SURVEY §2.5)."""
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
-@query(
-    "rel_agg_stats",
-    """
+_DUCK_REL_AGG_STATS = """
     SELECT l_returnflag,
            COUNT(DISTINCT l_orderkey) AS n_orders,
            COUNT(DISTINCT l_partkey) AS n_parts,
@@ -474,8 +471,9 @@ def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((STDDEV_SAMP(l_quantity)) * 1e4 + 5e-1) / 1e4 AS std_qty
     FROM lineitem
     GROUP BY l_returnflag
-    """,
-)
+    """
+
+
 def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-distinct aggregate (expand + two-phase agg under Catalyst).
     The 4-column projection is spread first: the Expand triples the row
@@ -651,16 +649,15 @@ def rel_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.unionByName(running).unionByName(funcs)
 
 
-@query(
-    "rel_sort_limit",
-    """
+_DUCK_REL_SORT_LIMIT = """
     SELECT o_orderkey, o_totalprice,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20
-    """,
-)
+    """
+
+
 def rel_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-N: Spark plans TakeOrderedAndProject — per-partition
     heaps, no full sort, no full shuffle."""
@@ -975,3 +972,51 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"))
     )
+
+
+def _duck_rel_agg_family() -> str:
+    return f"""
+    SELECT 'distinct' AS kind, l_returnflag, l_linestatus,
+           CAST(NULL AS DOUBLE) AS n_orders, CAST(NULL AS DOUBLE) AS n_parts,
+           CAST(NULL AS DOUBLE) AS min_qty, CAST(NULL AS DOUBLE) AS max_qty,
+           CAST(NULL AS DOUBLE) AS std_qty
+    FROM ({_DUCK_REL_DISTINCT})
+    UNION ALL
+    SELECT 'stats' AS kind, l_returnflag, CAST(NULL AS VARCHAR),
+           CAST(n_orders AS DOUBLE), CAST(n_parts AS DOUBLE),
+           min_qty, max_qty, std_qty
+    FROM ({_DUCK_REL_AGG_STATS})
+    """
+
+
+@query("rel_agg_family", _duck_rel_agg_family())
+def rel_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + multi-distinct aggregate surface in one driver gate
+    (merged r7 wave 2 from rel_distinct + rel_agg_stats — VERDICT r6
+    item 1; SURVEY §2.5):
+
+    - kind='distinct': SELECT DISTINCT over the (returnflag,
+      linestatus) pair — a partial-aggregated hash distinct.
+    - kind='stats': two COUNT(DISTINCT) + min/max/stddev per flag
+      (Catalyst's Expand + two-phase aggregation; the 4-column
+      projection is spread first so the tripled row volume never sits
+      in one scan task on an unsplittable input).
+
+    l_returnflag is non-null in both branches; branch-absent measures
+    are typed DOUBLE nulls on both engines."""
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    dist = rel_distinct(spark, sf_dir).select(
+        F.lit("distinct").alias("kind"), "l_returnflag", "l_linestatus",
+        dnull.alias("n_orders"), dnull.alias("n_parts"),
+        dnull.alias("min_qty"), dnull.alias("max_qty"),
+        dnull.alias("std_qty"),
+    )
+    stats = rel_agg_stats(spark, sf_dir).select(
+        F.lit("stats").alias("kind"), "l_returnflag",
+        snull.alias("l_linestatus"),
+        F.col("n_orders").cast("double").alias("n_orders"),
+        F.col("n_parts").cast("double").alias("n_parts"),
+        "min_qty", "max_qty", "std_qty",
+    )
+    return dist.unionByName(stats)

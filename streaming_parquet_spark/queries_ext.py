@@ -57,16 +57,15 @@ from streaming_parquet_spark.queries import _t, query
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_exact",
-    """
+_DUCK_DEDUP_EXACT = """
     SELECT MIN(doc_id) AS rep_id,
            COUNT(*) AS n_copies,
            MAX(LENGTH(translate(TRIM(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))) AS key_len
     FROM documents
     GROUP BY MD5(translate(TRIM(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
-    """,
-)
+    """
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one shuffle on the normalized key; representative =
     min id (deterministic)."""
@@ -239,7 +238,9 @@ def _duck_prefix_join_oracle(tn: int = 1, td: int = 2) -> str:
     """
 
 
-@query("dedup_prefix_join", _duck_prefix_join_oracle(2, 3))
+_DUCK_DEDUP_PREFIX_JOIN = _duck_prefix_join_oracle(2, 3)
+
+
 def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (Jaccard >= 2/3) via prefix
     filtering — zero false negatives, unlike LSH banding: under the
@@ -416,7 +417,9 @@ def _duck_cosine_topk_oracle(k: int = 10) -> str:
     """
 
 
-@query("embed_cosine_topk", _duck_cosine_topk_oracle(10))
+_DUCK_EMBED_COSINE_TOPK = _duck_cosine_topk_oracle(10)
+
+
 def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (embeddings are
     L2-normalized -> dot == cosine). Broadcast queries, window top-k."""
@@ -441,7 +444,9 @@ def _duck_near_pairs_oracle(threshold: float, planes: int, dims: int) -> str:
     """
 
 
-@query("embed_near_pairs", _duck_near_pairs_oracle(0.4, 2, 64))
+_DUCK_EMBED_NEAR_PAIRS = _duck_near_pairs_oracle(0.4, 2, 64)
+
+
 def embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (dot >= 0.4) WITHIN random-
     hyperplane LSH buckets (2 planes -> 4 blocks) — the 100 TB shape:
@@ -834,17 +839,16 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_ngram_df",
-    f"""
+_DUCK_TEXT_NGRAM_DF = f"""
     WITH sh AS (
       SELECT UNNEST({shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), 2)})
         AS ngram
       FROM documents
     )
     SELECT ngram, COUNT(*) AS n FROM sh GROUP BY ngram HAVING COUNT(*) >= 5
-    """,
-)
+    """
+
+
 def text_ngram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram DOCUMENT frequencies (each doc contributes each
     distinct bigram once — the boilerplate-detection signal): explode ->
@@ -872,7 +876,9 @@ def _duck_langid() -> str:
     """
 
 
-@query("text_langid", _duck_langid())
+_DUCK_TEXT_LANGID = _duck_langid()
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID, reported as a (lang, lang_pred)
     confusion distribution."""
@@ -1273,7 +1279,9 @@ def _duck_gopher() -> str:
     """
 
 
-@query("text_gopher_quality", _duck_gopher())
+_DUCK_TEXT_GOPHER_QUALITY = _duck_gopher()
+
+
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity filters (top-word fraction,
     top-bigram fraction, unique-word fraction, mean word length) — the
@@ -2219,7 +2227,9 @@ def _duck_bigram_lm() -> str:
     """
 
 
-@query("text_lm_score", _duck_bigram_lm())
+_DUCK_TEXT_LM_SCORE = _duck_bigram_lm()
+
+
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram LM fluency scores (perplexity-proxy quality
     signal, CCNet-shaped): mean conditional bigram probability per doc
@@ -2784,9 +2794,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_containment",
-    f"""
+_DUCK_DEDUP_CONTAINMENT = f"""
     WITH s AS MATERIALIZED (
       SELECT doc_id AS id, lang,
              list_distinct({_duck_shingle_hashes()}) AS sh
@@ -2804,8 +2812,9 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND len(a.sh) > 0
       AND floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(a.sh)) * 1e4 + 5e-1) / 1e4 >= 0.8
-    """,
-)
+    """
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed containment pairs within language blocks: doc a whose
     shingle set is >= 80% inside doc b — the boilerplate-inclusion
@@ -2917,9 +2926,7 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_funnel",
-    """
+_DUCK_EVENTS_FUNNEL = """
     WITH e AS (SELECT user_id, ts, event_type FROM events),
     s1 AS (SELECT user_id, MIN(ts) AS t FROM e
            WHERE event_type = 'signup' GROUP BY 1),
@@ -2937,8 +2944,9 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM s2
     UNION ALL SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM s3
     UNION ALL SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s4
-    """,
-)
+    """
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup -> view -> click -> purchase: users
     reaching each step, every step strictly after the previous match.
@@ -3283,7 +3291,9 @@ def _duck_chi2_oracle(k: int = 5, min_df: int = 5) -> str:
     """
 
 
-@query("text_chi2_terms", _duck_chi2_oracle())
+_DUCK_TEXT_CHI2_TERMS = _duck_chi2_oracle()
+
+
 def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terms most over-represented per source by chi-square over
     document frequencies — the corpus-QA / feature-selection sweep
@@ -3338,7 +3348,9 @@ def _duck_domain_similarity_oracle(min_count: int = 2) -> str:
     """
 
 
-@query("text_domain_similarity", _duck_domain_similarity_oracle())
+_DUCK_TEXT_DOMAIN_SIMILARITY = _duck_domain_similarity_oracle()
+
+
 def text_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine similarity between source-domain unigram
     term-frequency vectors — which corpus slices speak the same
@@ -3577,7 +3589,9 @@ def _duck_profile_oracle() -> str:
     """
 
 
-@query("engine_profile", _duck_profile_oracle())
+_DUCK_ENGINE_PROFILE = _duck_profile_oracle()
+
+
 def engine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profile of the customer table: per-column counts, null
     counts, string-rendered min/max, and a register-exact HLL distinct
@@ -3750,7 +3764,9 @@ def _duck_weighted_sample_oracle(k: int = 100, seed: int = 11) -> str:
     """
 
 
-@query("pipeline_weighted_sample", _duck_weighted_sample_oracle())
+_DUCK_PIPELINE_WEIGHTED_SAMPLE = _duck_weighted_sample_oracle()
+
+
 def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted deterministic document sample: integer
     hash-clock priority DIV weight, k smallest win — inclusion odds
@@ -4129,9 +4145,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_novelty",
-    f"""
+_DUCK_TEXT_NOVELTY = f"""
     WITH ex AS (
       SELECT doc_id AS id,
              unnest(list_distinct({_duck_shingle_hashes()})) AS h
@@ -4144,8 +4158,9 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / COUNT(*)) * 1e4 + 5e-1) / 1e4 AS novelty
     FROM ex JOIN dfreq USING (h)
     GROUP BY id
-    """,
-)
+    """
+
+
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: fraction of a doc's distinct shingles with
     global df = 1 — boilerplate scores ~0, unique content ~1. Vocab-sized
@@ -4155,17 +4170,16 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_scores(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "pipeline_global_shuffle",
-    f"""
+_DUCK_PIPELINE_GLOBAL_SHUFFLE = f"""
     SELECT doc_id AS id,
            CAST({wide_hash_expr("duckdb", "doc_id", 7)}
                 AS BIGINT) AS sort_key,
            CAST(({wide_hash_expr("duckdb", "doc_id", 7)}) % 64
                 AS INTEGER) AS shard
     FROM documents
-    """,
-)
+    """
+
+
 def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sharded training-order shuffle: portable hash sort
     key + shard per row, zero shuffles (readers sort within shard) —
@@ -4287,9 +4301,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_size_histogram",
-    """
+_DUCK_DEDUP_SIZE_HISTOGRAM = """
     WITH clusters AS (
       SELECT COUNT(*) AS n_copies
       FROM documents
@@ -4300,8 +4312,9 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_copies, COUNT(*) AS n_clusters,
            CAST(SUM(n_copies) AS BIGINT) AS n_docs
     FROM clusters GROUP BY n_copies
-    """,
-)
+    """
+
+
 def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size distribution — the dedup QA report
     (unique mass vs boilerplate tail). Two compact-key aggregate
@@ -4398,9 +4411,7 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_cooccurrence",
-    """
+_DUCK_TEXT_COOCCURRENCE = """
     WITH ex AS (
       SELECT doc_id AS id,
              unnest(list_distinct(list_filter(
@@ -4427,8 +4438,9 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, wa, wb)
                 AS INTEGER) AS rank
     FROM s ORDER BY lift DESC, wa, wb LIMIT 40
-    """,
-)
+    """
+
+
 def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 word associations by document-level co-occurrence LIFT
     (rational PMI stand-in — exact IEEE arithmetic, no libm in the
@@ -4466,9 +4478,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir))
 
 
-@query(
-    "engine_dataset_card",
-    f"""
+_DUCK_ENGINE_DATASET_CARD = f"""
     WITH t AS (
       SELECT doc_id, text, lang, source,
              {n_words_expr("duckdb", "text")} AS n_words,
@@ -4504,8 +4514,9 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(SUM(q100) AS DOUBLE) / (COUNT(*) * 100))
                  * 1e4 + 5e-1) / 1e4 AS mean_quality
     FROM q
-    """,
-)
+    """
+
+
 def engine_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset card (size, slices, tokens, dup rate, mean
     quality) — integer-exact / final-rational statistics only, so the
@@ -4626,9 +4637,7 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_interleave",
-    """
+_DUCK_PIPELINE_INTERLEAVE = """
     WITH domains AS (
       SELECT g, ROW_NUMBER() OVER (ORDER BY g) - 1 AS gi
       FROM (SELECT DISTINCT source AS g FROM documents)
@@ -4643,8 +4652,9 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id, grp,
            CAST(pos * n.nd + d.gi AS BIGINT) AS interleave_key
     FROM pos JOIN domains d ON pos.grp = d.g, n
-    """,
-)
+    """
+
+
 def pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic round-robin interleaving of domains into one
     training-stream order (no contiguous single-domain runs). See
@@ -4956,18 +4966,27 @@ def _duck_pipeline_select() -> str:
            CAST(NULL AS DOUBLE) AS n_chars,
            CAST(NULL AS DOUBLE) AS pct_rank,
            CAST(NULL AS DOUBLE) AS est_tokens,
-           CAST(NULL AS DOUBLE) AS cum_tokens
+           CAST(NULL AS DOUBLE) AS cum_tokens,
+           CAST(NULL AS DOUBLE) AS priority
     FROM ({_DUCK_PIPELINE_TOPN_PER_STRATUM})
     UNION ALL
     SELECT 'rank' AS kind, doc_id, CAST(NULL AS VARCHAR), source,
            CAST(n_chars AS DOUBLE), pct_rank,
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
     FROM ({_DUCK_PIPELINE_RANK_FILTER})
     UNION ALL
     SELECT 'budget' AS kind, doc_id, CAST(NULL AS VARCHAR), source,
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           CAST(est_tokens AS DOUBLE), CAST(cum_tokens AS DOUBLE)
+           CAST(est_tokens AS DOUBLE), CAST(cum_tokens AS DOUBLE),
+           CAST(NULL AS DOUBLE)
     FROM ({_DUCK_PIPELINE_TOKEN_BUDGET})
+    UNION ALL
+    SELECT 'weighted' AS kind, doc_id, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(n_chars AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(priority AS DOUBLE)
+    FROM ({_DUCK_PIPELINE_WEIGHTED_SAMPLE})
     """
 
 
@@ -4987,6 +5006,10 @@ def pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     - kind='budget': per-domain token-budget selection (5k tokens per
       source) in salted-hash order — the step that turns mixture
       weights into an actual corpus; one shuffle on source.
+    - kind='weighted' (absorbed r7 wave 2 from
+      pipeline_weighted_sample): top-100 by the deterministic
+      weighted priority hash/weight — A-ES-shaped weighted sampling
+      as a TakeOrderedAndProject, no global sort.
 
     doc_id is non-null in every branch and stays BIGINT."""
     from streaming_parquet_spark.operators.pipeline import rank_filter
@@ -4996,7 +5019,7 @@ def pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     topn = pipeline_topn_per_stratum(spark, sf_dir).select(
         F.lit("topn").alias("kind"), "doc_id", "lang", "source",
         dnull.alias("n_chars"), dnull.alias("pct_rank"),
-        dnull.alias("est_tokens"), dnull.alias("cum_tokens"),
+        dnull.alias("est_tokens"), dnull.alias("cum_tokens"), dnull.alias("priority"),
     )
     rank = rank_filter(
         _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
@@ -5005,14 +5028,24 @@ def pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rank").alias("kind"), "doc_id", snull.alias("lang"),
         "source", F.col("n_chars").cast("double").alias("n_chars"),
         "pct_rank", dnull.alias("est_tokens"), dnull.alias("cum_tokens"),
+        dnull.alias("priority"),
     )
     budget = pipeline_token_budget(spark, sf_dir).select(
         F.lit("budget").alias("kind"), "doc_id", snull.alias("lang"),
         "source", dnull.alias("n_chars"), dnull.alias("pct_rank"),
         F.col("est_tokens").cast("double").alias("est_tokens"),
         F.col("cum_tokens").cast("double").alias("cum_tokens"),
+        dnull.alias("priority"),
     )
-    return topn.unionByName(rank).unionByName(budget)
+    weighted = pipeline_weighted_sample(spark, sf_dir).select(
+        F.lit("weighted").alias("kind"), "doc_id", snull.alias("lang"),
+        snull.alias("source"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        dnull.alias("pct_rank"), dnull.alias("est_tokens"),
+        dnull.alias("cum_tokens"),
+        F.col("priority").cast("double").alias("priority"),
+    )
+    return topn.unionByName(rank).unionByName(budget).unionByName(weighted)
 
 
 def _duck_pipeline_mix_apply() -> str:
@@ -5489,3 +5522,411 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         snull.alias("format"),
     )
     return decode.unionByName(feats)
+
+
+def _duck_dedup_exact_family() -> str:
+    return f"""
+    SELECT 'groups' AS kind, CAST(rep_id AS DOUBLE) AS rep_id, n_copies,
+           CAST(key_len AS DOUBLE) AS key_len,
+           CAST(NULL AS DOUBLE) AS n_clusters,
+           CAST(NULL AS DOUBLE) AS n_docs
+    FROM ({_DUCK_DEDUP_EXACT})
+    UNION ALL
+    SELECT 'histogram' AS kind, CAST(NULL AS DOUBLE), n_copies,
+           CAST(NULL AS DOUBLE), CAST(n_clusters AS DOUBLE),
+           CAST(n_docs AS DOUBLE)
+    FROM ({_DUCK_DEDUP_SIZE_HISTOGRAM})
+    """
+
+
+@query("dedup_exact_family", _duck_dedup_exact_family())
+def dedup_exact_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup group surface in one driver gate (merged r7 wave 2
+    from dedup_exact + dedup_size_histogram — VERDICT r6 item 1;
+    operators/dedup.py):
+
+    - kind='groups': one row per normalized-text digest group (min-id
+      representative, copy count, key length) — the hash-groupBy
+      exact dedup; digests shuffle, documents never do.
+    - kind='histogram': the cluster-size histogram over the same
+      digest groups (how much of the corpus is 2x, 3x, ... copied) —
+      the dedup QA readout.
+
+    n_copies is non-null in both branches and stays BIGINT."""
+    dnull = F.lit(None).cast("double")
+    groups = dedup_exact(spark, sf_dir).select(
+        F.lit("groups").alias("kind"),
+        F.col("rep_id").cast("double").alias("rep_id"), "n_copies",
+        F.col("key_len").cast("double").alias("key_len"),
+        dnull.alias("n_clusters"), dnull.alias("n_docs"),
+    )
+    hist = dedup_size_histogram(spark, sf_dir).select(
+        F.lit("histogram").alias("kind"), dnull.alias("rep_id"),
+        "n_copies", dnull.alias("key_len"),
+        F.col("n_clusters").cast("double").alias("n_clusters"),
+        F.col("n_docs").cast("double").alias("n_docs"),
+    )
+    return groups.unionByName(hist)
+
+
+def _duck_dedup_prefix_family() -> str:
+    return f"""
+    SELECT 'jaccard' AS kind, id_a, id_b, jaccard,
+           CAST(NULL AS DOUBLE) AS containment
+    FROM ({_DUCK_DEDUP_PREFIX_JOIN})
+    UNION ALL
+    SELECT 'containment' AS kind, id_a, id_b, CAST(NULL AS DOUBLE),
+           containment
+    FROM ({_DUCK_DEDUP_CONTAINMENT})
+    """
+
+
+@query("dedup_prefix_family", _duck_dedup_prefix_family())
+def dedup_prefix_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-recall set-similarity join family in one driver gate
+    (merged r7 wave 2 from dedup_prefix_join + dedup_containment —
+    VERDICT r6 item 1; operators/dedup.py, PPJoin lineage):
+
+    - kind='jaccard': prefix-filter Jaccard pairs at 2/3 — candidates
+      only through shared ascending-df prefix elements + the PPJoin
+      position filter; exact recall, never all-pairs.
+    - kind='containment': directed containment (doc a >= 80% inside
+      doc b) within language blocks — the boilerplate-inclusion case
+      symmetric Jaccard misses; asymmetric prefix on the smaller side
+      only.
+
+    id_a/id_b are non-null in both branches and stay BIGINT."""
+    dnull = F.lit(None).cast("double")
+    jac = dedup_prefix_join(spark, sf_dir).select(
+        F.lit("jaccard").alias("kind"), "id_a", "id_b", "jaccard",
+        dnull.alias("containment"),
+    )
+    con = dedup_containment(spark, sf_dir).select(
+        F.lit("containment").alias("kind"), "id_a", "id_b",
+        dnull.alias("jaccard"), "containment",
+    )
+    return jac.unionByName(con)
+
+
+def _duck_embed_exact() -> str:
+    return f"""
+    SELECT 'topk' AS kind, query_id AS id_a, neighbor_id AS id_b, sim,
+           CAST(rank AS DOUBLE) AS rank
+    FROM ({_DUCK_EMBED_COSINE_TOPK})
+    UNION ALL
+    SELECT 'near_pairs' AS kind, id_a, id_b, sim, CAST(NULL AS DOUBLE)
+    FROM ({_DUCK_EMBED_NEAR_PAIRS})
+    """
+
+
+@query("embed_exact", _duck_embed_exact())
+def embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dense-similarity surface in one driver gate (merged r7
+    wave 2 from embed_cosine_topk + embed_near_pairs — VERDICT r6
+    item 1; operators/similarity.py):
+
+    - kind='topk': brute-force cosine top-10 for 5 broadcast query
+      vectors (L2-normalized -> dot == cosine) — the ANN tiers'
+      ground-truth baseline.
+    - kind='near_pairs': all pairs >= 0.4 within 2-plane LSH blocks —
+      the bucketed (never O(n^2)) pair generator; the deterministic
+      hyperplanes keep even the approximate path oracle-checkable.
+
+    (id_a, id_b, sim) are non-null in both branches and keep their
+    types; rank decays to DOUBLE."""
+    dnull = F.lit(None).cast("double")
+    topk = embed_cosine_topk(spark, sf_dir).select(
+        F.lit("topk").alias("kind"), F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"), "sim",
+        F.col("rank").cast("double").alias("rank"),
+    )
+    pairs = embed_near_pairs(spark, sf_dir).select(
+        F.lit("near_pairs").alias("kind"), "id_a", "id_b", "sim",
+        dnull.alias("rank"),
+    )
+    return topk.unionByName(pairs)
+
+
+def _duck_text_df_assoc() -> str:
+    return f"""
+    SELECT 'ngram_df' AS kind, ngram, CAST(n AS DOUBLE) AS n,
+           CAST(NULL AS VARCHAR) AS wa, CAST(NULL AS VARCHAR) AS wb,
+           CAST(NULL AS DOUBLE) AS n_ab, CAST(NULL AS DOUBLE) AS n_a,
+           CAST(NULL AS DOUBLE) AS n_b, CAST(NULL AS DOUBLE) AS lift,
+           CAST(NULL AS DOUBLE) AS rank
+    FROM ({_DUCK_TEXT_NGRAM_DF})
+    UNION ALL
+    SELECT 'cooccurrence' AS kind, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), wa, wb, CAST(n_ab AS DOUBLE),
+           CAST(n_a AS DOUBLE), CAST(n_b AS DOUBLE), lift,
+           CAST(rank AS DOUBLE)
+    FROM ({_DUCK_TEXT_COOCCURRENCE})
+    """
+
+
+@query("text_df_assoc", _duck_text_df_assoc())
+def text_df_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-statistics surface in one driver gate (merged r7
+    wave 2 from text_ngram_df + text_cooccurrence — VERDICT r6 item 1;
+    operators/text.py):
+
+    - kind='ngram_df': bigram document frequencies with min_df=5 — the
+      vocabulary-sized aggregate every df-based filter builds on.
+    - kind='cooccurrence': top-40 word-pair lift (PMI-style
+      association) over per-document co-occurrence — vocab-bounded
+      joins, 1-row corpus-count broadcast."""
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    ngrams = text_ngram_df(spark, sf_dir).select(
+        F.lit("ngram_df").alias("kind"), "ngram",
+        F.col("n").cast("double").alias("n"), snull.alias("wa"),
+        snull.alias("wb"), dnull.alias("n_ab"), dnull.alias("n_a"),
+        dnull.alias("n_b"), dnull.alias("lift"), dnull.alias("rank"),
+    )
+    cooc = text_cooccurrence(spark, sf_dir).select(
+        F.lit("cooccurrence").alias("kind"), snull.alias("ngram"),
+        dnull.alias("n"), "wa", "wb",
+        F.col("n_ab").cast("double").alias("n_ab"),
+        F.col("n_a").cast("double").alias("n_a"),
+        F.col("n_b").cast("double").alias("n_b"), "lift",
+        F.col("rank").cast("double").alias("rank"),
+    )
+    return ngrams.unionByName(cooc)
+
+
+def _duck_text_class_stats() -> str:
+    return f"""
+    SELECT 'chi2' AS kind, source AS cls_a, CAST(NULL AS VARCHAR) AS cls_b,
+           term, CAST(df_in AS DOUBLE) AS df_in,
+           CAST(df_out AS DOUBLE) AS df_out, chi2,
+           CAST(rank AS DOUBLE) AS rank, CAST(NULL AS DOUBLE) AS n_terms,
+           CAST(NULL AS DOUBLE) AS cosine
+    FROM ({_DUCK_TEXT_CHI2_TERMS})
+    UNION ALL
+    SELECT 'domain_sim' AS kind, cls_a, cls_b, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(n_terms AS DOUBLE), cosine
+    FROM ({_DUCK_TEXT_DOMAIN_SIMILARITY})
+    """
+
+
+@query("text_class_stats", _duck_text_class_stats())
+def text_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain vocabulary statistics in one driver gate (merged r7
+    wave 2 from text_chi2_terms + text_domain_similarity — VERDICT r6
+    item 1; operators/text.py):
+
+    - kind='chi2': the top-5 chi-square over-represented terms per
+      source (exact int64 determinant, fixed-order IEEE rendering —
+      the r4/r5 HUGEINT lesson lives in the BIGINT-cast oracle).
+    - kind='domain_sim': pairwise cosine between source-domain unigram
+      frequency vectors (inverted-index join over the vocab-sized
+      aggregate, C(classes,2) output rows)."""
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    chi2 = text_chi2_terms(spark, sf_dir).select(
+        F.lit("chi2").alias("kind"), F.col("source").alias("cls_a"),
+        snull.alias("cls_b"), "term",
+        F.col("df_in").cast("double").alias("df_in"),
+        F.col("df_out").cast("double").alias("df_out"), "chi2",
+        F.col("rank").cast("double").alias("rank"),
+        dnull.alias("n_terms"), dnull.alias("cosine"),
+    )
+    dom = text_domain_similarity(spark, sf_dir).select(
+        F.lit("domain_sim").alias("kind"), "cls_a", "cls_b",
+        snull.alias("term"), dnull.alias("df_in"), dnull.alias("df_out"),
+        dnull.alias("chi2"), dnull.alias("rank"),
+        F.col("n_terms").cast("double").alias("n_terms"), "cosine",
+    )
+    return chi2.unionByName(dom)
+
+
+def _duck_text_doc_scores() -> str:
+    return f"""
+    SELECT l.id, l.n_bigrams, l.lm_score, v.n_shingles, v.n_unique,
+           v.novelty
+    FROM ({_DUCK_TEXT_LM_SCORE}) l
+    JOIN ({_DUCK_TEXT_NOVELTY}) v ON l.id = v.id
+    """
+
+
+@query("text_doc_scores", _duck_text_doc_scores())
+def text_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-relative quality scores in one driver gate
+    (merged r7 wave 2 from text_lm_score + text_novelty — VERDICT r6
+    item 1; operators/text.py): the corpus-bigram LM fluency score
+    (CCNet-shaped, exact fixed-point mean conditional probability)
+    joined on id with the shingle-novelty fraction (df=1 share of the
+    doc's distinct shingles). Same doc key — a JOIN merge, no
+    typed-null decay; the row set is docs with at least one bigram
+    (the LM score's domain)."""
+    lm = text_lm_score(spark, sf_dir)
+    nov = text_novelty(spark, sf_dir)
+    return lm.join(nov, "id")
+
+
+def _duck_engine_profile_family() -> str:
+    return f"""
+    SELECT 'columns' AS kind, col_name, CAST(n_rows AS DOUBLE) AS n_rows,
+           CAST(n_null AS DOUBLE) AS n_null, min_s, max_s, distinct_est,
+           CAST(distinct_lo AS DOUBLE) AS distinct_lo,
+           CAST(NULL AS DOUBLE) AS n_docs, CAST(NULL AS DOUBLE) AS n_langs,
+           CAST(NULL AS DOUBLE) AS n_sources,
+           CAST(NULL AS DOUBLE) AS est_tokens_total,
+           CAST(NULL AS DOUBLE) AS n_unique_docs,
+           CAST(NULL AS DOUBLE) AS dup_rate,
+           CAST(NULL AS DOUBLE) AS mean_quality
+    FROM ({_DUCK_ENGINE_PROFILE})
+    UNION ALL
+    SELECT 'card' AS kind, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(n_docs AS DOUBLE),
+           CAST(n_langs AS DOUBLE), CAST(n_sources AS DOUBLE),
+           CAST(est_tokens_total AS DOUBLE),
+           CAST(n_unique_docs AS DOUBLE), dup_rate, mean_quality
+    FROM ({_DUCK_ENGINE_DATASET_CARD})
+    """
+
+
+@query("engine_profile_family", _duck_engine_profile_family())
+def engine_profile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-introspection surface in one driver gate (merged r7
+    wave 2 from engine_profile + engine_dataset_card — VERDICT r6
+    item 1; operators/profile.py):
+
+    - kind='columns': per-column profile (rows, nulls, min/max string
+      renderings, HLL distinct estimate next to its exact lower
+      bound) over the customer table.
+    - kind='card': the one-row dataset card for the documents corpus
+      (size, slices, token estimate, dup rate, mean quality) —
+      integer-exact statistics that reproduce at any partitioning."""
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    cols = engine_profile(spark, sf_dir).select(
+        F.lit("columns").alias("kind"), "col_name",
+        F.col("n_rows").cast("double").alias("n_rows"),
+        F.col("n_null").cast("double").alias("n_null"), "min_s", "max_s",
+        "distinct_est",
+        F.col("distinct_lo").cast("double").alias("distinct_lo"),
+        dnull.alias("n_docs"), dnull.alias("n_langs"),
+        dnull.alias("n_sources"), dnull.alias("est_tokens_total"),
+        dnull.alias("n_unique_docs"), dnull.alias("dup_rate"),
+        dnull.alias("mean_quality"),
+    )
+    card = engine_dataset_card(spark, sf_dir).select(
+        F.lit("card").alias("kind"), snull.alias("col_name"),
+        dnull.alias("n_rows"), dnull.alias("n_null"),
+        snull.alias("min_s"), snull.alias("max_s"),
+        dnull.alias("distinct_est"), dnull.alias("distinct_lo"),
+        F.col("n_docs").cast("double").alias("n_docs"),
+        F.col("n_langs").cast("double").alias("n_langs"),
+        F.col("n_sources").cast("double").alias("n_sources"),
+        F.col("est_tokens_total").cast("double").alias("est_tokens_total"),
+        F.col("n_unique_docs").cast("double").alias("n_unique_docs"),
+        "dup_rate", "mean_quality",
+    )
+    return cols.unionByName(card)
+
+
+def _duck_pipeline_order_family() -> str:
+    return f"""
+    SELECT 'shuffle' AS kind, id, CAST(NULL AS VARCHAR) AS grp,
+           CAST(sort_key AS DOUBLE) AS sort_key,
+           CAST(shard AS DOUBLE) AS shard,
+           CAST(NULL AS DOUBLE) AS interleave_key
+    FROM ({_DUCK_PIPELINE_GLOBAL_SHUFFLE})
+    UNION ALL
+    SELECT 'interleave' AS kind, id, grp, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(interleave_key AS DOUBLE)
+    FROM ({_DUCK_PIPELINE_INTERLEAVE})
+    """
+
+
+@query("pipeline_order_family", _duck_pipeline_order_family())
+def pipeline_order_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order construction in one driver gate (merged r7 wave 2
+    from pipeline_global_shuffle + pipeline_interleave — VERDICT r6
+    item 1; operators/pipeline.py):
+
+    - kind='shuffle': the deterministic sharded global shuffle —
+      full-width 62-bit two-stage Knuth hash sort key + shard, no
+      global row_number anywhere.
+    - kind='interleave': deterministic domain round-robin interleaving
+      (position-within-domain ranks as sharded local ranks + broadcast
+      per-shard offsets, partition ids pinned by materializing the
+      range-partitioned frame).
+
+    id is non-null in both branches and stays BIGINT."""
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    sh = pipeline_global_shuffle(spark, sf_dir).select(
+        F.lit("shuffle").alias("kind"), "id", snull.alias("grp"),
+        F.col("sort_key").cast("double").alias("sort_key"),
+        F.col("shard").cast("double").alias("shard"),
+        dnull.alias("interleave_key"),
+    )
+    il = pipeline_interleave(spark, sf_dir).select(
+        F.lit("interleave").alias("kind"), "id", "grp",
+        dnull.alias("sort_key"), dnull.alias("shard"),
+        F.col("interleave_key").cast("double").alias("interleave_key"),
+    )
+    return sh.unionByName(il)
+
+
+def _duck_text_quality_signals() -> str:
+    return f"""
+    SELECT 'langid' AS kind, lang, lang_pred, n,
+           CAST(NULL AS DOUBLE) AS doc_id, CAST(NULL AS DOUBLE) AS n_words,
+           CAST(NULL AS DOUBLE) AS top_word_frac,
+           CAST(NULL AS DOUBLE) AS top_bigram_frac,
+           CAST(NULL AS DOUBLE) AS frac_unique_words,
+           CAST(NULL AS DOUBLE) AS mean_word_len
+    FROM ({_DUCK_TEXT_LANGID})
+    UNION ALL
+    SELECT 'gopher' AS kind, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(doc_id AS DOUBLE), CAST(n_words AS DOUBLE),
+           top_word_frac, top_bigram_frac, frac_unique_words,
+           mean_word_len
+    FROM ({_DUCK_TEXT_GOPHER_QUALITY})
+    """
+
+
+@query("text_quality_signals", _duck_text_quality_signals())
+def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/repetition quality signals in one driver gate (merged
+    r7 wave 2 from text_langid + text_gopher_quality — VERDICT r6
+    item 1; operators/text.py):
+
+    - kind='langid': the stopword-hit language-ID confusion matrix
+      (true lang x predicted lang x count) — 'und' when no stopword
+      list hits.
+    - kind='gopher': per-document Gopher-style repetition signals
+      (top-word/top-bigram fractions, unique-word share, mean word
+      length) used by repetition filters.
+
+    n (the confusion count) is BIGINT with typed nulls in the gopher
+    branch; gopher measures decay to DOUBLE in the langid branch."""
+    from streaming_parquet_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    lg = text_langid(spark, sf_dir).select(
+        F.lit("langid").alias("kind"), "lang", "lang_pred", "n",
+        dnull.alias("doc_id"), dnull.alias("n_words"),
+        dnull.alias("top_word_frac"), dnull.alias("top_bigram_frac"),
+        dnull.alias("frac_unique_words"), dnull.alias("mean_word_len"),
+    )
+    go = with_repetition_stats(_t(spark, sf_dir, "documents")).select(
+        F.lit("gopher").alias("kind"), snull.alias("lang"),
+        snull.alias("lang_pred"), F.lit(None).cast("long").alias("n"),
+        F.col("doc_id").cast("double").alias("doc_id"),
+        F.col("n_words").cast("double").alias("n_words"),
+        "top_word_frac", "top_bigram_frac", "frac_unique_words",
+        "mean_word_len",
+    )
+    return lg.unionByName(go)

@@ -595,17 +595,16 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rel_percentiles",
-    """
+_DUCK_REL_PERCENTILES = """
     SELECT o_orderstatus,
            floor((quantile_cont(o_totalprice, 0.25)) * 1e4 + 5e-1) / 1e4 AS p25,
            floor((quantile_cont(o_totalprice, 0.5)) * 1e4 + 5e-1) / 1e4 AS p50,
            floor((quantile_cont(o_totalprice, 0.75)) * 1e4 + 5e-1) / 1e4 AS p75,
            floor((quantile_cont(o_totalprice, 0.95)) * 1e4 + 5e-1) / 1e4 AS p95
     FROM orders GROUP BY o_orderstatus
-    """,
-)
+    """
+
+
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles per group: Spark `percentile` and
     DuckDB `quantile_cont` both use type-7 linear interpolation over the
@@ -654,9 +653,7 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_gap_fill",
-    """
+_DUCK_EVENTS_GAP_FILL = """
     WITH types AS (SELECT DISTINCT event_type FROM events),
     minutes AS (SELECT unnest(generate_series(
                     TIMESTAMP '2024-01-05 00:00:00',
@@ -678,8 +675,9 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_filled
     FROM series s LEFT JOIN obs o
       ON s.event_type = o.event_type AND s.m = o.m
-    """,
-)
+    """
+
+
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap filling: a dense per-type minute spine
     (sequence + explode), left join of observed per-minute counts, and
@@ -1054,15 +1052,14 @@ def stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rel_salted_join_agg",
-    """
+_DUCK_REL_SALTED_JOIN_AGG = """
     SELECT n_name, COUNT(*) AS n_cust, floor((SUM(c_acctbal)) * 1e2 + 5e-1) / 1e2 AS total_bal
     FROM customer, nation
     WHERE c_nationkey = n_nationkey
     GROUP BY n_name
-    """,
-)
+    """
+
+
 def rel_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join through the correctness gate: customer><nation
     via salted_join (each key spread over 8 salt buckets; the dim side
@@ -1083,9 +1080,7 @@ def rel_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rel_skew_join_aqe",
-    """
+_DUCK_REL_SKEW_JOIN_AQE = """
     WITH fact AS (
       SELECT CASE WHEN l_orderkey % 5 > 0 THEN 1
                   ELSE l_orderkey % 997 END AS k,
@@ -1102,8 +1097,9 @@ def rel_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((SUM(l_extendedprice / unit_price)) * 1e2 + 5e-1) / 1e2 AS rel_price
     FROM fact JOIN dim ON fact.k = dim.k
     GROUP BY CAST(FLOOR(l_extendedprice / 10000) AS BIGINT)
-    """,
-)
+    """
+
+
 def rel_skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deliberately skewed shuffle join — 80% of the fact rows share key
     1 — left to AQE rather than hand-salted (the manual escape hatch is
@@ -2119,3 +2115,149 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("sum_cents"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7 wave-2 family gates (VERDICT r6 item 1: registry toward <= 100)
+# ---------------------------------------------------------------------------
+
+
+def _duck_rel_skew_family() -> str:
+    return f"""
+    SELECT 'salted' AS kind, n_name, CAST(NULL AS DOUBLE) AS band,
+           n_cust AS n, total_bal, CAST(NULL AS DOUBLE) AS revenue,
+           CAST(NULL AS DOUBLE) AS rel_price
+    FROM ({_DUCK_REL_SALTED_JOIN_AGG})
+    UNION ALL
+    SELECT 'aqe' AS kind, CAST(NULL AS VARCHAR), CAST(band AS DOUBLE),
+           n, CAST(NULL AS DOUBLE), revenue, rel_price
+    FROM ({_DUCK_REL_SKEW_JOIN_AQE})
+    """
+
+
+@query("rel_skew_family", _duck_rel_skew_family())
+def rel_skew_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both hot-key escape hatches in one driver gate (merged r7 wave 2
+    from rel_salted_join_agg + rel_skew_join_aqe — VERDICT r6 item 1):
+
+    - kind='salted': the MANUAL salt — replicate the dimension salt
+      ways, scatter the fact across salt sub-keys, aggregate after —
+      for engines/joins where AQE cannot see the skew.
+    - kind='aqe': the deliberately skewed fact/dim join left to
+      OptimizeSkewedJoin (the runtime plan splits the hot partition;
+      plan-asserted with fixture-tuned thresholds in
+      tests/test_plan_quality.py::test_skew_join_aqe_split).
+
+    ``n`` is the branch's row count (non-null both sides, stays
+    BIGINT); other measures decay to typed DOUBLE nulls."""
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    salted = rel_salted_join_agg(spark, sf_dir).select(
+        F.lit("salted").alias("kind"), "n_name", dnull.alias("band"),
+        F.col("n_cust").alias("n"), "total_bal", dnull.alias("revenue"),
+        dnull.alias("rel_price"),
+    )
+    aqe = rel_skew_join_aqe(spark, sf_dir).select(
+        F.lit("aqe").alias("kind"), snull.alias("n_name"),
+        F.col("band").cast("double").alias("band"), "n",
+        dnull.alias("total_bal"), "revenue", "rel_price",
+    )
+    return salted.unionByName(aqe)
+
+
+def _duck_rel_order_stats() -> str:
+    from streaming_parquet_spark.queries import _DUCK_REL_SORT_LIMIT
+
+    return f"""
+    SELECT 'topn' AS kind, CAST(o_orderkey AS DOUBLE) AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, orderdate,
+           CAST(NULL AS VARCHAR) AS o_orderstatus,
+           CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+           CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS p95
+    FROM ({_DUCK_REL_SORT_LIMIT})
+    UNION ALL
+    SELECT 'percentiles' AS kind, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), o_orderstatus,
+           p25, p50, p75, p95
+    FROM ({_DUCK_REL_PERCENTILES})
+    """
+
+
+@query("rel_order_stats", _duck_rel_order_stats())
+def rel_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistics surface in one driver gate (merged r7 wave 2
+    from rel_sort_limit + rel_percentiles — VERDICT r6 item 1; SURVEY
+    §2.6):
+
+    - kind='topn': global top-20 by price — Spark plans
+      TakeOrderedAndProject (per-partition heaps, no full sort, no
+      full shuffle).
+    - kind='percentiles': exact linear-interpolation percentiles per
+      order status (percentile == DuckDB quantile_cont); the sketch
+      swap at extreme scale is the histogram branch of
+      sketch_family."""
+    from streaming_parquet_spark.queries import rel_sort_limit
+
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    topn = rel_sort_limit(spark, sf_dir).select(
+        F.lit("topn").alias("kind"),
+        F.col("o_orderkey").cast("double").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "orderdate", snull.alias("o_orderstatus"), dnull.alias("p25"),
+        dnull.alias("p50"), dnull.alias("p75"), dnull.alias("p95"),
+    )
+    pct = rel_percentiles(spark, sf_dir).select(
+        F.lit("percentiles").alias("kind"), dnull.alias("o_orderkey"),
+        dnull.alias("o_totalprice"), snull.alias("orderdate"),
+        "o_orderstatus", "p25", "p50", "p75", "p95",
+    )
+    return topn.unionByName(pct)
+
+
+def _duck_events_funnel_gaps() -> str:
+    from streaming_parquet_spark.queries_ext import _DUCK_EVENTS_FUNNEL
+
+    return f"""
+    SELECT 'funnel' AS kind, CAST(step AS DOUBLE) AS step, step_name,
+           CAST(users AS DOUBLE) AS users,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS VARCHAR) AS minute, CAST(NULL AS DOUBLE) AS n,
+           CAST(NULL AS DOUBLE) AS n_filled
+    FROM ({_DUCK_EVENTS_FUNNEL})
+    UNION ALL
+    SELECT 'gap_fill' AS kind, CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), event_type,
+           minute, CAST(n AS DOUBLE), CAST(n_filled AS DOUBLE)
+    FROM ({_DUCK_EVENTS_GAP_FILL})
+    """
+
+
+@query("events_funnel_gaps", _duck_events_funnel_gaps())
+def events_funnel_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel + gap-fill event analytics in one driver gate (merged r7
+    wave 2 from events_funnel + events_gap_fill — VERDICT r6 item 1):
+
+    - kind='funnel': ordered signup→view→click→purchase conversion
+      counts (each step's MIN(ts) must precede the next's event).
+    - kind='gap_fill': a dense per-minute series per event type with
+      missing buckets zero-filled and a last-observation-carried-
+      forward column — the time-series regularization primitive."""
+    from streaming_parquet_spark.queries_ext import events_funnel
+
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    fun = events_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("kind"),
+        F.col("step").cast("double").alias("step"), "step_name",
+        F.col("users").cast("double").alias("users"),
+        snull.alias("event_type"), snull.alias("minute"),
+        dnull.alias("n"), dnull.alias("n_filled"),
+    )
+    gaps = events_gap_fill(spark, sf_dir).select(
+        F.lit("gap_fill").alias("kind"), dnull.alias("step"),
+        snull.alias("step_name"), dnull.alias("users"), "event_type",
+        "minute", F.col("n").cast("double").alias("n"),
+        F.col("n_filled").cast("double").alias("n_filled"),
+    )
+    return fun.unionByName(gaps)

@@ -22,17 +22,17 @@ from streaming_parquet_spark.queries import QUERIES
 # broadcast query/centroid set against the corpus, or a 1-row scalar
 # subquery result joined under a non-equi predicate).
 _BNLJ_OK = {
-    "embed_cosine_topk",
     "embed_ann_bucketed",   # LSH bucket probe + IVF centroid broadcast
     "embed_ann_quantized",  # SQ8 broadcast query-set x corpus codes
     "dedup_lsh_recall",    # 1-row x 1-row count crossJoin (n_true, n_hit)
     "embed_ann_recall",    # cosine_topk baseline + IVF centroid broadcast
     "text_vectors",        # 1-row corpus-count (N) broadcast (tfidf + sparse-cos branches)
-    "text_lm_score",       # 1-row vocabulary-size (V) broadcast
-    "text_chi2_terms",     # 1-row corpus-count (N) broadcast
-    "text_cooccurrence",   # 1-row corpus-count (N) broadcast
+    "text_class_stats",    # 1-row corpus-count (N) broadcast (chi2 branch)
+    "text_df_assoc",       # 1-row corpus-count (N) broadcast (cooccurrence branch)
+    "text_doc_scores",     # 1-row vocabulary-size (V) broadcast (LM branch)
+    "embed_exact",         # broadcast query set (cosine top-k branch)
+    "pipeline_order_family",  # 1-row domain-count broadcast (interleave branch)
     "events_cohort",       # 1-row reference-epoch (max day) broadcast (rfm branch)
-    "pipeline_interleave",  # 1-row domain-count broadcast
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
     "embed_ann_ivf_quantized",  # IVF centroid assignment (8-row broadcast)
@@ -119,7 +119,10 @@ def test_skew_join_aqe_split(spark, sf_dir, tmp_path):
 
     skew_dir = tmp_path / "skew_sf"
     skew_dir.mkdir()
-    for name in ("lineitem", "orders"):
+    # the merged rel_skew_family gate's salted branch also reads
+    # customer + nation; symlink every fixture table so both branches
+    # resolve against the rechunked dir
+    for name in ("lineitem", "orders", "customer", "nation"):
         src = os.path.join(sf_dir, f"{name}.parquet")
         if name == "lineitem":
             pq.write_table(
@@ -153,7 +156,7 @@ def test_skew_join_aqe_split(spark, sf_dir, tmp_path):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        df = QUERIES["rel_skew_join_aqe"](spark, str(skew_dir))
+        df = QUERIES["rel_skew_family"](spark, str(skew_dir))
         df.collect()  # executes the Dataset's own QueryExecution (AQE final plan)
         plan = _physical_plan(df)
         assert "skew=true" in plan, plan[:4000]
@@ -180,8 +183,7 @@ def test_skew_join_aqe_split(spark, sf_dir, tmp_path):
         # r6 additions: the mix/shuffle/interleave gates carry only ids
         # and their group column to the scan
         ("pipeline_temperature_mix", "documents", {"doc_id", "lang"}),
-        ("pipeline_interleave", "documents", {"doc_id", "source"}),
-        ("pipeline_global_shuffle", "documents", {"doc_id"}),
+        ("pipeline_order_family", "documents", {"doc_id", "source"}),
     ],
 )
 def test_scan_prunes_columns(name, table, allowed, spark, sf_dir):
