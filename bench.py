@@ -277,8 +277,7 @@ _SCALE_SMOKE_GATES = [
     "embed_ann_quantized",
     "embed_ann_bucketed",
     "dedup_clusters",
-    "dedup_prefix_join",
-    "dedup_containment",
+    "dedup_prefix_family",   # r7 wave 2: jaccard + containment branches
     "dedup_minhash_family",
     "dedup_semantic",
 ]

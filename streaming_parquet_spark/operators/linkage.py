@@ -55,7 +55,13 @@ def fuzzy_pairs(
     one latin-1 character, so the JVM's char-level routine walks bytes)
     — slightly heavier weights for multi-byte scripts, in exchange for
     a cross-engine-exact metric; the oracle gate runs this mode."""
-    side = df.select(
+    from streaming_parquet_spark.operators.similarity import spread_input
+
+    # A single-row-group parquet source scans as ONE task, which would
+    # serialize every within-block DP onto one core; round-robin the
+    # narrow input first (metadata-only probe — no-op on any multi-split
+    # production layout).
+    side = spread_input(df).select(
         F.col(id_col), F.col(text_col), F.expr(block_expr).alias("__blk")
     )
     if max_block is not None:
@@ -75,18 +81,31 @@ def fuzzy_pairs(
     # in length, so the band removes the bulk of the DP work.
     if unit == "byte":
         side = side.withColumn("__len", F.octet_length(F.col(text_col)))
+        # Latin-1 re-read of the UTF-8 bytes, computed ONCE PER ROW
+        # here rather than per candidate pair inside the join
+        # condition: the encode/decode round-trip costs as much as a
+        # short DP, and a row participates in O(|block|) pairs.
+        side = side.withColumn(
+            "__lv",
+            F.expr(
+                f"decode(encode({text_col}, 'UTF-8'), 'ISO-8859-1')"
+            ),
+        )
     else:
         side = side.withColumn("__len", F.length(F.col(text_col)))
+        side = side.withColumn("__lv", F.col(text_col))
     a = side.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
         F.col("__len").alias("__len_a"),
+        F.col("__lv").alias("__lv_a"),
         "__blk",
     )
     b = side.select(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
         F.col("__len").alias("__len_b"),
+        F.col("__lv").alias("__lv_b"),
         "__blk",
     )
     # THRESHOLDED distance (levenshtein's 3-arg form, Spark >= 3.5):
@@ -100,35 +119,36 @@ def fuzzy_pairs(
     # introduction) fall back to the 2-arg full DP + filter — same
     # rows, just without the early bail-out.
     thresholded = _has_thresholded_levenshtein()
-    if unit == "byte":
-        def lev(x: str, y: str):
-            args = (
-                f"decode(encode({x}, 'UTF-8'), 'ISO-8859-1'),"
-                f" decode(encode({y}, 'UTF-8'), 'ISO-8859-1')"
-            )
-            if thresholded:
-                return F.expr(f"levenshtein({args}, {int(max_dist)})")
-            return F.expr(f"levenshtein({args})")
-    elif unit == "char":
-        def lev(x: str, y: str):
-            if thresholded:
-                return F.levenshtein(F.col(x), F.col(y), int(max_dist))
-            return F.levenshtein(F.col(x), F.col(y))
-    else:
+    if unit not in ("byte", "char"):
         raise ValueError(f"unit must be 'char' or 'byte', got {unit!r}")
-    pairs = (
-        a.join(b, "__blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.abs(F.col("__len_a") - F.col("__len_b")) <= int(max_dist)
-        )
-        .withColumn("dist", lev("text_a", "text_b"))
+
+    def lev(x: str, y: str):
+        if thresholded:
+            return F.levenshtein(F.col(x), F.col(y), int(max_dist))
+        return F.levenshtein(F.col(x), F.col(y))
+    # The cheap predicates (id order, length band) are the CONDITION of
+    # a `when` guarding the Levenshtein, not free-standing filters:
+    # Catalyst folds post-join filters into the join condition and does
+    # not order conjuncts by cost, so as plain conjuncts the DP can land
+    # FIRST and run on every within-block ordered pair (observed: the
+    # optimizer emitted `(band AND lev >= 0) AND id_a < id_b`, costing
+    # ~2x on a fixture where the band prunes nothing). CaseWhen
+    # guarantees the branch is evaluated only when the condition holds,
+    # so the one-integer compares always short-circuit the DP,
+    # independent of conjunct placement.
+    guard = (F.col("id_a") < F.col("id_b")) & (
+        F.abs(F.col("__len_a") - F.col("__len_b")) <= int(max_dist)
+    )
+    pairs = a.join(b, "__blk").withColumn(
+        "dist", F.when(guard, lev("__lv_a", "__lv_b")).otherwise(F.lit(-1))
     )
     if thresholded:
-        # -1 == distance exceeded max_dist
+        # -1 == guard failed or distance exceeded max_dist
         pairs = pairs.filter(F.col("dist") >= 0)
     else:
-        pairs = pairs.filter(F.col("dist") <= int(max_dist))
+        pairs = pairs.filter(
+            (F.col("dist") >= 0) & (F.col("dist") <= int(max_dist))
+        )
     return pairs.select("id_a", "id_b", "text_a", "text_b", "dist")
 
 
