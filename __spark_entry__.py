@@ -117,18 +117,18 @@ def _last_green_round(root: str = _ROOT) -> dict[str, int]:
 # is stable round to round.  Names absent keep registration order
 # after it.
 _DRIVER_PRIORITY = [
-    # r7 family-gate merges, waves 1+2 (79 former queries -> 33 gates;
-    # registry 150 -> 104, so the driver's 50-row budget refreshes
-    # every row within ceil(104/50) = 3 rounds now and within 2 once
-    # r8 trims the registry under 100 — VERDICT r6 item 1).  All 33
-    # are never-checked under their new names and run first.
+    # r7 family-gate merges, waves 1-3 (86 former queries -> 36 gates;
+    # registry 150 -> 100, so the driver's 50-row budget now refreshes
+    # every row within ceil(100/50) = 2 rounds — VERDICT r6 item 1
+    # done, and the claim is arithmetic, not aspiration).  All 36 are
+    # never-checked under their new names and run first.
+    "multimodal_family", "events_series_family", "dedup_span_family",
     "rel_grouping", "rel_set_family", "rel_window_family",
     "sketch_family", "events_cdc", "events_sessions",
-    "events_smoothing", "events_cohort", "events_rollups",
+    "events_cohort", "events_rollups",
     "pipeline_samples", "pipeline_select", "pipeline_mix_apply",
     "text_token_quality", "text_norm_fingerprint", "text_vectors",
     "dedup_simhash_family", "dedup_minhash_family", "embed_iterative",
-    "multimodal_meta", "multimodal_transform",
     "rel_agg_family", "rel_skew_family", "rel_order_stats",
     "events_funnel_gaps", "dedup_exact_family", "dedup_prefix_family",
     "embed_exact", "text_df_assoc", "text_class_stats",
@@ -143,16 +143,15 @@ _DRIVER_PRIORITY = [
     "rel_bloom_semi_join", "pipeline_zorder",
     "rel_fuzzy_join", "stream_upsert_sink",
     "rel_pagerank_step", "pipeline_assign_ids",
-    "dedup_paragraphs", "text_chunk_docs",
+    "text_chunk_docs",
     "dedup_cluster_reps",
     "stream_interval_join", "stream_session_state",
-    "pipeline_shard_manifest", "events_ts_similarity",
+    "pipeline_shard_manifest",
     "stream_windowed_counts", "stream_static_join",
     "pipeline_end_to_end",
     "rel_join_agg_segment", "rel_semi_anti_join",
     "rel_exists_subquery",
     "events_json_extract",
-    "dedup_ngram_jaccard",
     "part_range_join", "pipeline_clean_corpus",
     "text_pii_scrub",
 ]

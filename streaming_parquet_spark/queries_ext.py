@@ -280,7 +280,6 @@ def _duck_ngram_oracle(n: int, threshold: float) -> str:
     """
 
 
-@query("dedup_ngram_jaccard", _duck_ngram_oracle(3, 0.2))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard within (lang, source) blocks —
     bounded quadratic; the verify-stage primitive."""
@@ -950,9 +949,7 @@ def _md5_byte(i: int) -> str:
     return f"(({hi}) * 16 + ({lo}))"
 
 
-@query(
-    "multimodal_decode",
-    f"""
+_DUCK_MULTIMODAL_DECODE = f"""
     SELECT doc_id AS id,
            CAST(STRLEN(text) AS BIGINT) AS n_bytes,
            CAST(64 + {_md5_byte(0)} % 192 AS INTEGER) AS width,
@@ -960,8 +957,9 @@ def _md5_byte(i: int) -> str:
            CAST(1 + ({_md5_byte(2)} % 2) * 2 AS INTEGER) AS channels,
            'fake' AS format
     FROM documents
-    """,
-)
+    """
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas image-metadata decode (deterministic fake codec —
     the real codec is a drop-in; see operators/multimodal.py). The fake
@@ -1604,7 +1602,6 @@ def _duck_span_dedup(block: int = 10, sep: str = " | ") -> str:
     """
 
 
-@query("dedup_paragraphs", _duck_span_dedup(10, " | "))
 def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global span dedup (Raffel et al. 2020 §2.2): every
     10-word span is kept only at its first (doc_id, pos) occurrence
@@ -1621,6 +1618,53 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return span_dedup(spans, "doc_id", "pos", "para", sep=" | ")
+
+
+def _duck_dedup_span_family() -> str:
+    return f"""
+    SELECT 'paragraphs' AS kind, doc_id, text, n_kept, n_dropped,
+           CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM ({_duck_span_dedup(10, " | ")})
+    UNION ALL
+    SELECT 'ngram_pairs', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), id_a, id_b,
+           jaccard
+    FROM ({_duck_ngram_oracle(3, 0.2)})
+    """
+
+
+@query("dedup_span_family", _duck_dedup_span_family())
+def dedup_span_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document-granularity dedup primitives in one driver gate
+    (merged r7 wave 3 from dedup_paragraphs + dedup_ngram_jaccard —
+    VERDICT r6 item 1; operators/dedup.py):
+
+    - kind='paragraphs': C4-style global span dedup — every 10-word
+      span kept only at its first (doc_id, pos) occurrence
+      corpus-wide, documents reassembled from surviving spans; two
+      shuffles (span-digest window + doc regroup), the minimal shape
+      for a global first-occurrence rule.
+    - kind='ngram_pairs': exact 3-gram-shingle Jaccard >= 0.2 within
+      (lang, source) blocks — bounded quadratic, the verify-stage
+      pair primitive.
+
+    doc_id/text/n_kept/n_dropped belong to the paragraphs branch,
+    id_a/id_b/jaccard to the pairs branch; no dtype decay."""
+    bnull = F.lit(None).cast("bigint")
+    dnull = F.lit(None).cast("double")
+    snull = F.lit(None).cast("string")
+    paras = dedup_paragraphs(spark, sf_dir).select(
+        F.lit("paragraphs").alias("kind"), "doc_id", "text", "n_kept",
+        "n_dropped", bnull.alias("id_a"), bnull.alias("id_b"),
+        dnull.alias("jaccard"),
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram_pairs").alias("kind"), bnull.alias("doc_id"),
+        snull.alias("text"), bnull.alias("n_kept"),
+        bnull.alias("n_dropped"), "id_a", "id_b", "jaccard",
+    )
+    return paras.unionByName(pairs)
 
 
 def _duck_chunks(size: int, stride: int) -> str:
@@ -2587,7 +2631,6 @@ def _duck_ts_sim(qu: int, qw: int, k: int, m: int) -> str:
     """
 
 
-@query("events_ts_similarity", _duck_ts_sim(1, 0, 10, 8))
 def events_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series subsequence similarity search: top-10 windows most
     similar to user 1's first 8-point window under z-normalized
@@ -4739,7 +4782,6 @@ def _duck_events_smoothing() -> str:
     """
 
 
-@query("events_smoothing", _duck_events_smoothing())
 def events_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-series smoothing/outlier pair in one driver gate (merged
     r7 from events_ewma + events_anomaly_zscore — VERDICT r6 item 1):
@@ -4771,6 +4813,60 @@ def events_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         dnull.alias("cents"), dnull.alias("ewma"), "zscore",
     )
     return ewma.unionByName(z)
+
+
+def _duck_events_series_family() -> str:
+    return f"""
+    SELECT kind, user_id, ts, event_id, event_type, cents, ewma, zscore,
+           CAST(NULL AS DOUBLE) AS win, CAST(NULL AS DOUBLE) AS dist,
+           CAST(NULL AS DOUBLE) AS rank
+    FROM ({_duck_events_smoothing()})
+    UNION ALL
+    SELECT 'subseq', CAST(user_id AS DOUBLE), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(win AS DOUBLE), dist,
+           CAST(rank AS DOUBLE)
+    FROM ({_duck_ts_sim(1, 0, 10, 8)})
+    """
+
+
+@query("events_series_family", _duck_events_series_family())
+def events_series_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series numeric analytics in one driver gate (merged r7 wave
+    3 from events_smoothing + events_ts_similarity — VERDICT r6
+    item 1; operators/timeseries.py):
+
+    - kind='ewma': integer EWMA (alpha=1/2, floor) over each user's
+      purchase history — a genuinely sequential recurrence
+      (applyInPandas Arrow scan; the oracle steps the same recurrence
+      as a recursive CTE). Exact integers.
+    - kind='zscore': per-type z-score anomaly flags (|z| >= 3) with
+      EXACT moments from integer sums of fixed-point values, broadcast
+      back; the corpus is scanned twice but never shuffled.
+    - kind='subseq': UCR-style top-10 subsequence search — windows most
+      similar to user 1's first 8-point window under z-normalized
+      Euclidean distance; exact integer window moments keep even the
+      ranking bit-oracled.
+
+    event_id stays BIGINT (smoothing branches); user_id and the
+    subseq rank/win decay to DOUBLE."""
+    dnull = F.lit(None).cast("double")
+    snull = F.lit(None).cast("string")
+    bnull = F.lit(None).cast("bigint")
+    sm = events_smoothing(spark, sf_dir).select(
+        "*", dnull.alias("win"), dnull.alias("dist"), dnull.alias("rank")
+    )
+    sub = events_ts_similarity(spark, sf_dir).select(
+        F.lit("subseq").alias("kind"),
+        F.col("user_id").cast("double").alias("user_id"),
+        snull.alias("ts"), bnull.alias("event_id"),
+        snull.alias("event_type"), dnull.alias("cents"),
+        dnull.alias("ewma"), dnull.alias("zscore"),
+        F.col("win").cast("double").alias("win"), "dist",
+        F.col("rank").cast("double").alias("rank"),
+    )
+    return sm.unionByName(sub)
 
 
 def _duck_events_cohort() -> str:
@@ -5419,7 +5515,6 @@ def _duck_multimodal_meta() -> str:
     """
 
 
-@query("multimodal_meta", _duck_multimodal_meta())
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload accounting + frame-sampling plumbing in one
     driver gate (merged r7 from multimodal_bytes + multimodal_frames —
@@ -5467,7 +5562,6 @@ def _duck_multimodal_transform() -> str:
     """
 
 
-@query("multimodal_transform", _duck_multimodal_transform())
 def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas transform plumbing in one driver gate (merged
     r7 from multimodal_resize + multimodal_audio + multimodal_features
@@ -5522,6 +5616,87 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         snull.alias("format"),
     )
     return decode.unionByName(feats)
+
+
+def _duck_multimodal_family() -> str:
+    return f"""
+    SELECT 'image_meta' AS kind, id, n_bytes,
+           CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS BIGINT) AS frame_len,
+           CAST(NULL AS DOUBLE) AS dim, CAST(NULL AS DOUBLE) AS fval,
+           CAST(width AS DOUBLE) AS width,
+           CAST(height AS DOUBLE) AS height, channels,
+           CAST(NULL AS VARCHAR) AS payload_md5,
+           CAST(NULL AS DOUBLE) AS sample_rate,
+           CAST(NULL AS DOUBLE) AS n_samples,
+           CAST(NULL AS DOUBLE) AS duration_sec, format
+    FROM ({_DUCK_MULTIMODAL_DECODE})
+    UNION ALL
+    SELECT 'frames', id, n_bytes, frame_idx, frame_len,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+    FROM ({_duck_multimodal_meta()})
+    UNION ALL
+    SELECT kind, id, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), dim, fval, width, height,
+           CAST(NULL AS INTEGER), payload_md5, sample_rate, n_samples,
+           duration_sec, format
+    FROM ({_duck_multimodal_transform()})
+    """
+
+
+@query("multimodal_family", _duck_multimodal_family())
+def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole multimodal surface in one driver gate (merged r7 wave
+    3 from multimodal_decode + multimodal_meta + multimodal_transform —
+    VERDICT r6 item 1; operators/multimodal.py). Every branch runs the
+    REAL Arrow-batched mapInPandas plumbing; the codecs are the
+    documented deterministic fakes, which is what keeps all of it
+    value-oracle-able:
+
+    - kind='image_meta': the image-metadata decode (n_bytes / width /
+      height / channels / format from the md5-seeded fake codec).
+    - kind='frames': byte-arithmetic frame sampling (<= 8 chunks of 64
+      bytes) joined with each payload's total length.
+    - kind='decode': the 32x24 resize payload digest joined on id with
+      the audio metadata decode.
+    - kind='features': the 16-dim feature extraction exploded to (id,
+      dim, fval).
+
+    id is non-null BIGINT in every branch; width/height decay to
+    DOUBLE (the resize branch reports them fractionally-typed);
+    channels stays INTEGER (image_meta-only)."""
+    inull = F.lit(None).cast("int")
+    bnull = F.lit(None).cast("bigint")
+    dnull = F.lit(None).cast("double")
+    snull = F.lit(None).cast("string")
+    img = multimodal_decode(spark, sf_dir).select(
+        F.lit("image_meta").alias("kind"), "id", "n_bytes",
+        inull.alias("frame_idx"), bnull.alias("frame_len"),
+        dnull.alias("dim"), dnull.alias("fval"),
+        F.col("width").cast("double").alias("width"),
+        F.col("height").cast("double").alias("height"), "channels",
+        snull.alias("payload_md5"), dnull.alias("sample_rate"),
+        dnull.alias("n_samples"), dnull.alias("duration_sec"), "format",
+    )
+    frames = multimodal_meta(spark, sf_dir).select(
+        F.lit("frames").alias("kind"), "id", "n_bytes", "frame_idx",
+        "frame_len", dnull.alias("dim"), dnull.alias("fval"),
+        dnull.alias("width"), dnull.alias("height"),
+        inull.alias("channels"), snull.alias("payload_md5"),
+        dnull.alias("sample_rate"), dnull.alias("n_samples"),
+        dnull.alias("duration_sec"), snull.alias("format"),
+    )
+    trans = multimodal_transform(spark, sf_dir).select(
+        "kind", "id", bnull.alias("n_bytes"), inull.alias("frame_idx"),
+        bnull.alias("frame_len"), "dim", "fval", "width", "height",
+        inull.alias("channels"), "payload_md5", "sample_rate",
+        "n_samples", "duration_sec", "format",
+    )
+    return img.unionByName(frames).unionByName(trans)
 
 
 def _duck_dedup_exact_family() -> str:

@@ -36,7 +36,7 @@ _BNLJ_OK = {
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
     "embed_ann_ivf_quantized",  # IVF centroid assignment (8-row broadcast)
-    "events_ts_similarity",  # 1-row query-window broadcast
+    "events_series_family",  # 1-row query-window broadcast (subseq branch)
     "rel_bloom_semi_join",   # 1-row Bloom-bitmap broadcast (scan-stage filter)
     "embed_iterative",     # IVF centroid assignment (8-row broadcast, kmeans branch)
     # derived-partsupp family: 1-row supplier-count broadcast (the only
@@ -172,7 +172,8 @@ def test_skew_join_aqe_split(spark, sf_dir, tmp_path):
     "name,table,allowed",
     [
         ("text_chunk_docs", "documents", {"doc_id", "text"}),
-        ("dedup_paragraphs", "documents", {"doc_id", "text"}),
+        ("dedup_span_family", "documents",
+         {"doc_id", "text", "lang", "source"}),
         # r7 family gates: the union of the constituents' columns,
         # still strictly narrower than the full table
         ("pipeline_select", "documents",
