@@ -117,11 +117,12 @@ def _last_green_round(root: str = _ROOT) -> dict[str, int]:
 # is stable round to round.  Names absent keep registration order
 # after it.
 _DRIVER_PRIORITY = [
-    # r7 family-gate merges, waves 1-3 (86 former queries -> 36 gates;
-    # registry 150 -> 100, so the driver's 50-row budget now refreshes
-    # every row within ceil(100/50) = 2 rounds — VERDICT r6 item 1
-    # done, and the claim is arithmetic, not aspiration).  All 36 are
-    # never-checked under their new names and run first.
+    # r7 family-gate merges, waves 1-3 (83 former r6 queries -> the 33
+    # family gates below; registry 150 -> 100, so the driver's 50-row
+    # budget now refreshes every row within ceil(100/50) = 2 rounds —
+    # VERDICT r6 item 1 done, and the claim is arithmetic, not
+    # aspiration).  All 33 are never-checked under their new names and
+    # run first.
     "multimodal_family", "events_series_family", "dedup_span_family",
     "rel_grouping", "rel_set_family", "rel_window_family",
     "sketch_family", "events_cdc", "events_sessions",

@@ -1553,20 +1553,25 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Orders with n_supp >= 2 and n_late_supp = 1 contribute late_lines
     (COUNT(*) in the original counts qualifying late LINES, not
-    orders) to late_supp's numwait.  One single partial-aggregated
-    shuffle of the 3-column lineitem projection — no persist, no
-    second pass, no join back; the F-status order filter and the
-    supplier+nation dimension both broadcast."""
-    from streaming_parquet_spark.operators.similarity import spread_input
-
-    lid = spread_input(
-        _lineitem_dated(spark, sf_dir).select(
-            "l_orderkey", "l_suppkey",
-            (F.col("l_receiptdate") > F.col("l_commitdate")).alias(
-                "__late"
-            ),
-        )
-    )
+    orders) to late_supp's numwait.  ONE shuffle total: the 3-column
+    projection is hash-repartitioned by l_orderkey, and because
+    HashPartitioning(orderkey) satisfies the clustering required by
+    BOTH groupBys ((orderkey, suppkey) and (orderkey) — partitioning
+    expressions a subset of the grouping keys), neither aggregate adds
+    an Exchange.  Map-side partial aggregation would buy nothing here
+    anyway (~1.1 lines per (order, supplier) at any scale), and the
+    explicit repartition also parallelizes a single-split input, so no
+    spread_input round-robin pass is needed either — the r7 profile
+    measured the former spread + two agg exchanges as ~70% of the
+    gate's time.  No persist, no second pass, no join back; the
+    F-status order filter and the supplier+nation dimension both
+    broadcast."""
+    lid = _lineitem_dated(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_receiptdate") > F.col("l_commitdate")).alias(
+            "__late"
+        ),
+    ).repartition(F.col("l_orderkey"))
     per_supp = lid.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__n_late"),
     )

@@ -97,6 +97,24 @@ def test_q1_aggregates_partially_before_shuffle(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_q21_single_data_exchange(spark, sf_dir):
+    """Q21's two nested aggregates must BOTH reuse the one explicit
+    hash-repartition by l_orderkey (HashPartitioning on a subset of the
+    grouping keys satisfies the clustering requirement), so the plan
+    carries exactly ONE non-broadcast shuffle of lineitem-derived rows
+    plus the tiny final s_name aggregate exchange — the r7 shape that
+    replaced spread + two agg exchanges (~70% of the gate's time)."""
+    plan = _physical_plan(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    import re
+
+    data_exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    non_final = [ln for ln in data_exchanges if "s_name" not in ln]
+    assert len(non_final) == 1 and "l_orderkey" in non_final[0], plan[:4000]
+
+
 def test_skew_join_aqe_split(spark, sf_dir, tmp_path):
     """With broadcast disabled and AQE skew thresholds scaled to fixture
     volume, the deliberately skewed join in rel_skew_join_aqe must be
