@@ -459,3 +459,35 @@ def word_len_sum_expr(dialect: str, words: str) -> str:
         f"list_sum(list_prepend(CAST(0 AS BIGINT),"
         f" list_transform({words}, w -> CAST(length(w) AS BIGINT))))"
     )
+
+
+def fixed_ln_expr(dialect: str, x: str, sqrts: int = 20,
+                  scale_bits: int = 20) -> str:
+    """Fixed-point natural log of a POSITIVE double expression,
+    bit-identical across engines: ``floor(2^scale_bits * ln(x) + 0.5)``
+    as BIGINT, with ln approximated by the repeated-sqrt identity
+
+        ln(x) ~= 2^k * (x^(1/2^k) - 1),   x^(1/2^k) = sqrt applied k times
+
+    — the same correctly-rounded-sqrt trick temperature_mix uses for
+    portable powers (IEEE 754 requires sqrt correctly rounded, so both
+    engines walk the identical double sequence; native LN/LOG differ
+    between libm implementations in the last ulps and are banned from
+    gate-hashed columns). Every other step is exact or correctly
+    rounded on identical operands: the scale factors are powers of two
+    (exact), s - 1 is exact near 1 (Sterbenz), and floor(y + 0.5)
+    rounds half toward +infinity consistently in both engines.
+
+    Approximation error vs true ln is ~ln(x)^2 / 2^(k+1) — about 1e-4
+    absolute at k=20 for ratios within [1e-6, 1e6]; callers get a
+    deterministic SCORE with documented log semantics, not a libm ln.
+    Intended for SMALL relations (per-bucket/model rows): the chained
+    sqrt is ~k flops per row, trivial there, wasteful per-corpus-row."""
+    del dialect  # sqrt/floor/CAST spell identically in both engines
+    s = x
+    for _ in range(sqrts):
+        s = f"sqrt({s})"
+    return (
+        f"CAST(floor((({s}) - 1e0) * {float(2 ** sqrts)!r}"
+        f" * {float(2 ** scale_bits)!r} + 5e-1) AS BIGINT)"
+    )

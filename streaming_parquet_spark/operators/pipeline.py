@@ -658,3 +658,104 @@ def temperature_mix(
         .filter(b < F.col("__rate_ppm"))
         .drop("__rate_ppm")
     )
+
+
+def dsir_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """Hashed bag-of-words features: (id, bucket, count) with ALL token
+    multiplicity, bucket = md5-hash(word) % ``buckets`` via the
+    portable hex parse (bit-identical in DuckDB). The explode shuffles
+    (id, bucket) pairs, never documents, and the groupBy's map-side
+    partial aggregation collapses a document's repeated buckets inside
+    its scan partition before the exchange."""
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+        word_hashes_expr,
+    )
+
+    words = f"filter({ordered_words_expr('spark', text_col)}, w -> w != '')"
+    bkts = (
+        f"transform({word_hashes_expr('spark', words)},"
+        f" h -> h % {int(buckets)})"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(bkts)).alias("bkt"))
+        .groupBy(id_col, "bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    sqrts: int = 20,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit two smoothed
+    multinomial bag models over hashed word features — the TARGET
+    domain vs the RAW corpus — and score every raw document by its
+    per-token log-likelihood ratio
+
+        w(doc) = sum_b n_b(doc) * [ln p_target(b) - ln p_raw(b)]
+
+    Output: (id, n_tokens, dsir_weight) with dsir_weight the exact
+    BIGINT fixed-point sum (2^scale_bits per ln unit). Select the
+    corpus by taking the top rows by weight (deterministic id
+    tie-break) or by resampling proportionally downstream.
+
+    Bit-portable by construction: the per-bucket log-ratio comes from
+    ``fixed_ln_expr`` (chained correctly-rounded sqrts — no libm ln in
+    any hashed column), its double operand is a single correctly-
+    rounded division of EXACT integer products, and everything after
+    is BIGINT arithmetic — so a DuckDB oracle reproduces every weight
+    bit-for-bit.
+
+    Exactness bound: (count+1) * (total+buckets) must stay below 2^53
+    (exact-double products). That holds for model fits up to ~9e7
+    tokens per side; at 100 TB fit the models on a deterministic hash
+    sample under that bound — exactly the paper's own recipe (the bag
+    models are estimated from a sample; only the SCORING pass must see
+    every document) — and the B-row model broadcast-scores the full
+    corpus with no extra shuffle. ``dsir_features`` is evaluated once
+    for the model fit and once for scoring; at scale persist it or
+    read it back from the ingest-time feature table."""
+    from streaming_parquet_spark.functions.portable import fixed_ln_expr
+
+    b = int(buckets)
+    feats = dsir_features(corpus, text_col, id_col, buckets=b)
+    tfeats = dsir_features(target, text_col, id_col, buckets=b)
+    raw = feats.groupBy("bkt").agg(F.sum("cnt").alias("cr"))
+    tgt = tfeats.groupBy("bkt").agg(F.sum("cnt").alias("ct"))
+    n_raw = raw.agg(F.sum("cr").alias("nr"))
+    n_tgt = tgt.agg(F.sum("ct").alias("nt"))
+    ratio = (
+        f"CAST((coalesce(ct, CAST(0 AS BIGINT)) + 1) * (nr + {b})"
+        f" AS DOUBLE) / CAST((cr + 1) * (nt + {b}) AS DOUBLE)"
+    )
+    model = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "bkt",
+            F.expr(
+                fixed_ln_expr("spark", f"({ratio})", sqrts, scale_bits)
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(model), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lr")).alias("dsir_weight"),
+        )
+    )

@@ -17,6 +17,8 @@ from streaming_parquet_spark.functions.portable import (
     ascii_lower_expr,
     round_to_col,
     band_hash_expr,
+    fixed_ln_expr,
+    hex_to_i32,
     n_words_expr,
     ordered_words_expr,
     dot_expr,
@@ -5056,6 +5058,53 @@ def pipeline_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_part.unionByName(strat).unionByName(split)
 
 
+def _duck_dsir_topk(buckets: int = 256, k: int = 50) -> str:
+    """DuckDB mirror of dsir_weights + top-k selection: same portable
+    word split, md5-hex bucket hash, exact integer counts, and the
+    chained-sqrt fixed-point log-ratio — every hashed value BIGINT.
+    (SUMs over BIGINT are cast back down: DuckDB promotes to HUGEINT,
+    which the parity gate bans from oracle relations.)"""
+    words = (
+        f"list_filter({ordered_words_expr('duckdb', 'text')},"
+        f" w -> w != '')"
+    )
+    bkt = f"({hex_to_i32('md5(w)')}) % {buckets}"
+    ratio = (
+        f"CAST((COALESCE(ct, CAST(0 AS BIGINT)) + 1) * (nr + {buckets})"
+        f" AS DOUBLE) / CAST((cr + 1) * (nt + {buckets}) AS DOUBLE)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({words}) AS w FROM documents
+    ),
+    db AS (
+      SELECT doc_id, {bkt} AS bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    raw AS (SELECT bkt, CAST(SUM(cnt) AS BIGINT) AS cr FROM db GROUP BY 1),
+    tgt AS (
+      SELECT bkt, CAST(SUM(cnt) AS BIGINT) AS ct
+      FROM db JOIN documents USING (doc_id)
+      WHERE lang = 'en' GROUP BY 1
+    ),
+    nr_t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nr FROM db),
+    nt_t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS nt
+      FROM db JOIN documents USING (doc_id) WHERE lang = 'en'
+    ),
+    model AS (
+      SELECT raw.bkt, {fixed_ln_expr('duckdb', f'({ratio})')} AS lr
+      FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt, nr_t, nt_t
+    )
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * lr) AS BIGINT) AS dsir_weight
+    FROM db JOIN model USING (bkt)
+    GROUP BY doc_id
+    ORDER BY dsir_weight DESC, doc_id
+    LIMIT {k}
+    """
+
+
 def _duck_pipeline_select() -> str:
     return f"""
     SELECT 'topn' AS kind, doc_id, lang, source,
@@ -5083,6 +5132,12 @@ def _duck_pipeline_select() -> str:
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE), CAST(priority AS DOUBLE)
     FROM ({_DUCK_PIPELINE_WEIGHTED_SAMPLE})
+    UNION ALL
+    SELECT 'dsir' AS kind, doc_id, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(n_tokens AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(dsir_weight AS DOUBLE)
+    FROM ({_duck_dsir_topk(256, 50)})
     """
 
 
@@ -5106,9 +5161,18 @@ def pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       pipeline_weighted_sample): top-100 by the deterministic
       weighted priority hash/weight — A-ES-shaped weighted sampling
       as a TakeOrderedAndProject, no global sort.
+    - kind='dsir' (added r7): DSIR importance-resampling selection
+      (Xie et al. 2023) — top-50 docs by the fixed-point hashed-ngram
+      log-likelihood ratio toward the lang='en' target model
+      (operators/pipeline.py::dsir_weights; the log is the portable
+      chained-sqrt fixed_ln_expr, so the weights hash bit-exactly).
+      n_tokens rides est_tokens, the weight rides priority.
 
     doc_id is non-null in every branch and stays BIGINT."""
-    from streaming_parquet_spark.operators.pipeline import rank_filter
+    from streaming_parquet_spark.operators.pipeline import (
+        dsir_weights,
+        rank_filter,
+    )
 
     snull = F.lit(None).cast("string")
     dnull = F.lit(None).cast("double")
@@ -5141,7 +5205,24 @@ def pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         dnull.alias("cum_tokens"),
         F.col("priority").cast("double").alias("priority"),
     )
-    return topn.unionByName(rank).unionByName(budget).unionByName(weighted)
+    docs = _t(spark, sf_dir, "documents")
+    dsir = (
+        dsir_weights(docs, docs.filter(F.col("lang") == "en"), buckets=256)
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            F.lit("dsir").alias("kind"), "doc_id", snull.alias("lang"),
+            snull.alias("source"), dnull.alias("n_chars"),
+            dnull.alias("pct_rank"),
+            F.col("n_tokens").cast("double").alias("est_tokens"),
+            dnull.alias("cum_tokens"),
+            F.col("dsir_weight").cast("double").alias("priority"),
+        )
+    )
+    return (
+        topn.unionByName(rank).unionByName(budget)
+        .unionByName(weighted).unionByName(dsir)
+    )
 
 
 def _duck_pipeline_mix_apply() -> str:

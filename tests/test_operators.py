@@ -2997,3 +2997,56 @@ def test_posting_list_table_roundtrip(emb):
         assert len(from_table) == 50
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_dsir_weights_target_affinity(spark):
+    """Docs written in the target model's vocabulary must outscore docs
+    in a disjoint vocabulary (the sign of the log-likelihood ratio),
+    and every weight must be reproducible under a different input
+    partitioning (integer fixed-point sums are order-independent)."""
+    from streaming_parquet_spark.operators.pipeline import dsir_weights
+
+    rows = []
+    # target-flavored corpus docs 0-4, off-target docs 5-9
+    for i in range(5):
+        rows.append((i, "alpha beta gamma alpha beta"))
+        rows.append((5 + i, "zork quux blarg zork quux"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(corpus, target, buckets=64).collect()
+    }
+    assert len(w) == 10
+    assert min(w[i] for i in range(5)) > max(w[i] for i in range(5, 10))
+
+    w2 = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(
+            corpus.repartition(7), target.repartition(3), buckets=64
+        ).collect()
+    }
+    assert w == w2, "weights must be partitioning-invariant"
+
+
+def test_dsir_weights_token_counts_and_smoothing(spark):
+    """n_tokens is the exact whitespace token count, and a bucket seen
+    only in the target still contributes through +1 smoothing rather
+    than dropping the doc."""
+    from streaming_parquet_spark.operators.pipeline import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(9, "a b d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(corpus, target).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[2]["n_tokens"] == 1
+    # 'c' never occurs in the target: its smoothed ratio is below 1, so
+    # the pure-'c' doc carries a negative log weight
+    assert out[2]["dsir_weight"] < 0

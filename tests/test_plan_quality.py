@@ -32,6 +32,7 @@ _BNLJ_OK = {
     "text_doc_scores",     # 1-row vocabulary-size (V) broadcast (LM branch)
     "embed_exact",         # broadcast query set (cosine top-k branch)
     "pipeline_order_family",  # 1-row domain-count broadcast (interleave branch)
+    "pipeline_select",     # 1-row corpus/target token totals (dsir branch)
     "events_cohort",       # 1-row reference-epoch (max day) broadcast (rfm branch)
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
