@@ -724,9 +724,14 @@ def dsir_weights(
     sample under that bound — exactly the paper's own recipe (the bag
     models are estimated from a sample; only the SCORING pass must see
     every document) — and the B-row model broadcast-scores the full
-    corpus with no extra shuffle. ``dsir_features`` is evaluated once
-    for the model fit and once for scoring; at scale persist it or
-    read it back from the ingest-time feature table."""
+    corpus with no extra shuffle. The corpus feature relation feeds
+    BOTH the raw model fit and the scoring join; it is RECOMPUTED per
+    consumer rather than persisted — A/B at sf0.1 measured the staged
+    variant (_materialize) at 3.3 s vs 2.4 s pipelined, the same
+    persist-overhead-exceeds-recompute result as the IVF shared
+    -assignment experiment (queries_ext.py, embed_ann_ivf_quantized
+    note). At ingest scale the right form is a feature TABLE written
+    once and read by both passes, not an in-session cache."""
     from streaming_parquet_spark.functions.portable import fixed_ln_expr
 
     b = int(buckets)
