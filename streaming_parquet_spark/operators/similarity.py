@@ -834,27 +834,32 @@ def kmeans_step(
     on id) -> one partial-aggregated shuffle on cluster with 64 exact
     integer sums. Two shuffles total, both narrow."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, dims)
+    # Single-string expressions, not per-dim Column composition: 64
+    # dims x ~6 Py4J-wrapped calls each put ~1.5 s of DRIVER-side
+    # DataFrame construction ahead of a ~2 s execution (measured on the
+    # embed_iterative gate); one F.expr parse per column is ~6x fewer
+    # gateway round-trips for the identical analyzed expression.
     sums = [
-        F.sum(
-            F.floor(
-                F.expr(f"CAST(element_at(v, {i + 1}) AS DOUBLE)") * scale
-            ).cast("bigint")
-        ).alias(f"s{i}")
+        F.expr(
+            f"sum(CAST(floor(CAST(element_at(v, {i + 1}) AS DOUBLE)"
+            f" * {int(scale)}) AS BIGINT)) AS s{i}"
+        )
         for i in range(dims)
     ]
     agg = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"), *sums
     )
-    sq = None
-    for i in range(dims):
-        term_base = F.col(f"s{i}") / F.col("n") / scale
-        # explicit multiply, not **2: pow() is engine-libm and can
-        # differ from DuckDB in the last ulp; x*x is correctly
-        # rounded and identical cross-engine
-        term = term_base * term_base
-        sq = term if sq is None else sq + term
+    # explicit multiply, not pow(x, 2): pow() is engine-libm and can
+    # differ from DuckDB in the last ulp; x*x is correctly rounded and
+    # identical cross-engine. SQL + is left-associative, matching the
+    # former Column fold term by term.
+    sq = " + ".join(
+        f"((s{i} / n / {int(scale)}) * (s{i} / n / {int(scale)}))"
+        for i in range(dims)
+    )
     return agg.select(
-        "cluster", "n", round_to_col(F.sqrt(sq), 4).alias("centroid_norm")
+        "cluster", "n",
+        round_to_col(F.expr(f"sqrt({sq})"), 4).alias("centroid_norm"),
     )
 
 
@@ -1067,22 +1072,26 @@ def power_iteration_step(
     Overflow budget: |x_i * s| <= ~8 with 1e6 scaling -> 8e6 per row;
     exact up to ~1e12 rows per partial sum; shard-and-reaggregate (the
     same integer identity) beyond that."""
+    # Single-string expressions (see kmeans_step): the 64-term Column
+    # folds cost more driver-side Py4J time than the job itself. SQL +
+    # and * parse left-associative, so the double sequence is the same
+    # term-by-term fold as the former Column loop; float literals are
+    # emitted with repr (shortest round-trip — parses back to the
+    # identical double).
     if v0 is None:
-        v0c = [F.expr(_plane_component(0, d)) for d in range(dims)]
+        v0c = [f"({_plane_component(0, d)})" for d in range(dims)]
     else:
-        v0c = [F.lit(float(x)) for x in v0]
-    s = None
-    for d in range(dims):
-        t = F.element_at(vec_col, d + 1).cast("double") * v0c[d]
-        s = t if s is None else s + t
-    df = corpus.withColumn("__s", s)
+        v0c = [f"CAST({float(x)!r} AS DOUBLE)" for x in v0]
+    s = " + ".join(
+        f"(CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * {v0c[d]})"
+        for d in range(dims)
+    )
+    df = corpus.withColumn("__s", F.expr(s))
     sums = [
-        F.sum(
-            F.floor(
-                F.element_at(vec_col, i + 1).cast("double")
-                * F.col("__s") * scale
-            ).cast("bigint")
-        ).alias(f"y{i}")
+        F.expr(
+            f"sum(CAST(floor(CAST(element_at({vec_col}, {i + 1})"
+            f" AS DOUBLE) * __s * {int(scale)}) AS BIGINT)) AS y{i}"
+        )
         for i in range(dims)
     ]
     one = df.agg(F.count(F.lit(1)).alias("n"), *sums)
