@@ -247,8 +247,15 @@ def similarity_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     if dims is not None:
+        # One F.expr parse per column / one for the dot, not per-dim
+        # Column folds: 64 dims x several Py4J-wrapped calls each is
+        # measurable DRIVER time per gate build (see kmeans_step); the
+        # parsed expressions are identical (SQL + and * associate left,
+        # matching the former fold).
         flat_cols = [
-            F.element_at("v", i + 1).cast("double").alias(f"x{i}")
+            F.expr(
+                f"CAST(element_at(v, {i + 1}) AS DOUBLE) AS x{i}"
+            )
             for i in range(dims)
         ]
         base = _materialize(
@@ -258,10 +265,9 @@ def similarity_pairs(
             spread=False,  # spread BEFORE the 64-way flatten instead
         )
         a, b = base.alias("a"), base.alias("b")
-        sim_raw = None
-        for i in range(dims):
-            term = F.col(f"a.x{i}") * F.col(f"b.x{i}")
-            sim_raw = term if sim_raw is None else sim_raw + term
+        sim_raw = F.expr(
+            " + ".join(f"(a.x{i} * b.x{i})" for i in range(dims))
+        )
         cond = F.col("a.id") < F.col("b.id")
         if block_col:
             cond = cond & (F.col("a.blk") == F.col("b.blk"))
