@@ -5,6 +5,7 @@ operators into the corpus-preparation flow a pretraining run needs —
     -> quality scoring + filter
     -> near-duplicate removal (MinHash LSH pairs -> connected
        components -> keep the highest-quality member per cluster)
+    -> DSIR importance selection toward a target domain
     -> deterministic stratified sampling per language
     -> train/val/test split (purpose-salted hash buckets)
     -> stable example ids (distributed zipWithIndex)
@@ -72,9 +73,24 @@ def main():
     )
     deduped = kept.join(drop, "doc_id", "left_anti")
 
-    # 3. deterministic per-language sampling + split + stable ids
+    # 3. DSIR importance selection (Xie et al. 2023): score every doc
+    #    by how target-like its hashed-ngram distribution is (here the
+    #    target model is the corpus's own English slice) and drop the
+    #    most off-target tail. The bag models are B-row relations that
+    #    broadcast; the corpus never shuffles.
+    from streaming_parquet_spark.operators.pipeline import dsir_weights
+
+    w = dsir_weights(deduped, deduped.filter(F.col("lang") == "en"))
+    selected = deduped.join(
+        w.filter(F.col("dsir_weight") > -2_000_000)  # ~ -1.9 ln units
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 4. deterministic per-language sampling + split + stable ids
     sampled = stratified_sample(
-        deduped,
+        selected,
         rates={"en": 1.0, "de": 0.8, "fr": 0.8},
         strat_col="lang",
         default_rate=0.5,
@@ -86,7 +102,7 @@ def main():
         out_col="example_id",
     )
 
-    # 4. Z-ordered write (prunable in BOTH length and id), compact
+    # 5. Z-ordered write (prunable in BOTH length and id), compact
     shutil.rmtree(out, ignore_errors=True)
     zorder_repartition(
         final,
@@ -95,7 +111,7 @@ def main():
     ).write.parquet(out)
     res = compact_files(spark, out, target_mb=128)
 
-    # 5. profile what we shipped
+    # 6. profile what we shipped
     prof = profile_columns(
         spark.read.parquet(out), ["lang", "source", "split"]
     )
