@@ -251,7 +251,12 @@ def main() -> None:
                 " within-bucket growth; the *_scaled_planes6 entry runs"
                 " the documented fix (planes sized to the corpus) and"
                 " the *_scaled_k80 entry does the same for SemDeDup's"
-                " centroid count. The q1/q18/q21 entries run the"
+                " centroid count. dedup_semantic's REGISTERED gate"
+                " keeps k=8 fixed (the oracle's deterministic centroid"
+                " set), so its 10x ratio is intentionally super-linear"
+                " (~9-14x across runs, still under the bar) — the"
+                " k80 entry is the documented at-scale recipe (~4-6x)."
+                " The q1/q18/q21 entries run the"
                 " relational family against offset-keyed 10x"
                 " lineitem/orders with 1x dims (fact tables grow, every"
                 " order keeps its exact line multiset, dimension"
