@@ -75,18 +75,21 @@ def main():
 
     # 3. DSIR importance selection (Xie et al. 2023): score every doc
     #    by how target-like its hashed-ngram distribution is (here the
-    #    target model is the corpus's own English slice) and drop the
-    #    most off-target tail. The bag models are B-row relations that
-    #    broadcast; the corpus never shuffles.
+    #    target model is the corpus's own English slice) and DROP the
+    #    most off-target tail — phrased as an anti-join against the
+    #    drop set, so zero-token docs (which have no weight row at
+    #    all) pass through rather than silently vanishing. The cutoff
+    #    is PER TOKEN (weight is an un-normalized sum of per-token log
+    #    ratios, so a fixed total would punish length, not direction):
+    #    drop docs averaging more than 0.5 ln units off-target per
+    #    token, in the operator's 2^20 fixed-point units.
     from streaming_parquet_spark.operators.pipeline import dsir_weights
 
     w = dsir_weights(deduped, deduped.filter(F.col("lang") == "en"))
-    selected = deduped.join(
-        w.filter(F.col("dsir_weight") > -2_000_000)  # ~ -1.9 ln units
-        .select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
+    off_target = w.filter(
+        F.col("dsir_weight") < F.lit(-(1 << 19)) * F.col("n_tokens")
+    ).select("doc_id")
+    selected = deduped.join(off_target, "doc_id", "left_anti")
 
     # 4. deterministic per-language sampling + split + stable ids
     sampled = stratified_sample(

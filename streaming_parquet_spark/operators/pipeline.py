@@ -739,8 +739,17 @@ def dsir_weights(
     tfeats = dsir_features(target, text_col, id_col, buckets=b)
     raw = feats.groupBy("bkt").agg(F.sum("cnt").alias("cr"))
     tgt = tfeats.groupBy("bkt").agg(F.sum("cnt").alias("ct"))
-    n_raw = raw.agg(F.sum("cr").alias("nr"))
-    n_tgt = tgt.agg(F.sum("ct").alias("nt"))
+    # coalesce the totals too: SUM over an EMPTY side (a target with no
+    # docs, or none with any token) is NULL, which would otherwise
+    # poison every ratio -> every weight -> silently drop the whole
+    # corpus downstream; with 0 the +1 smoothing degrades gracefully to
+    # a uniform model, which is the honest no-information answer.
+    n_raw = raw.agg(
+        F.expr("coalesce(sum(cr), CAST(0 AS BIGINT))").alias("nr")
+    )
+    n_tgt = tgt.agg(
+        F.expr("coalesce(sum(ct), CAST(0 AS BIGINT))").alias("nt")
+    )
     ratio = (
         f"CAST((coalesce(ct, CAST(0 AS BIGINT)) + 1) * (nr + {b})"
         f" AS DOUBLE) / CAST((cr + 1) * (nt + {b}) AS DOUBLE)"

@@ -5087,9 +5087,11 @@ def _duck_dsir_topk(buckets: int = 256, k: int = 50) -> str:
       FROM db JOIN documents USING (doc_id)
       WHERE lang = 'en' GROUP BY 1
     ),
-    nr_t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nr FROM db),
+    nr_t AS (
+      SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS nr FROM db
+    ),
     nt_t AS (
-      SELECT CAST(SUM(cnt) AS BIGINT) AS nt
+      SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS nt
       FROM db JOIN documents USING (doc_id) WHERE lang = 'en'
     ),
     model AS (
