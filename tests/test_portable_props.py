@@ -494,3 +494,42 @@ def test_hex_to_i32_range_and_agreement(spark):
     assert s == d
     assert all(0 <= h < 2**32 for h in s)
     assert len(set(s)) == len(vals)  # no collisions on this tiny set
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1e-9, max_value=1e9,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=16,
+    ),
+    st.integers(min_value=10, max_value=24),
+)
+def test_fixed_ln_agrees_and_approximates(spark, vals, sqrts):
+    """fixed_ln_expr (chained correctly-rounded sqrts) returns the
+    IDENTICAL BIGINT in both engines for arbitrary positive doubles and
+    chain depths, and at the default depth approximates 2^20 * ln(x)
+    within the documented ~1e-4 * 2^20 absolute error."""
+    import math
+
+    from streaming_parquet_spark.functions.portable import fixed_ln_expr
+
+    e = fixed_ln_expr("spark", "v", sqrts=sqrts)
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    s = [r[0] for r in sdf.select(F.expr(e)).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tl (v DOUBLE)")
+    con.executemany("INSERT INTO tl VALUES (?)", [(v,) for v in vals])
+    d = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {fixed_ln_expr('duckdb', 'v', sqrts=sqrts)} FROM tl"
+        ).fetchall()
+    ]
+    assert s == d
+    if sqrts == 20:
+        for v, got in zip(vals, s):
+            true = (1 << 20) * math.log(v)
+            # ~ln(x)^2 / 2^(k+1) relative-to-ln error + rounding
+            bound = (1 << 20) * (math.log(v) ** 2) / 2 ** (sqrts + 1) + 1
+            assert abs(got - true) <= bound, (v, got, true)
