@@ -162,24 +162,32 @@ def main() -> None:
                     for n in _SCALE_SMOKE_GATES]
             runs += list(scaled_ops.items())
             for name, build in runs:
-                spark.catalog.clearCache()
-                release_materialized()
-                t0 = time.perf_counter()
-                _run_query(build())
-                sf1_smoke[name] = round(time.perf_counter() - t0, 4)
-                base = timings.get(name)
-                if base is None and name in base_ops:
-                    # Re-sized scaled ops have no registered-gate base;
-                    # time the SAME recipe at sf0.1 once so the ratio
-                    # compares 10x-recipe vs 1x-recipe, not vs a merged
-                    # gate doing unrelated extra work.
+                # Per-gate isolation: one bad gate (the r7 wave-2 run
+                # lost its dedup tail to a single stale-name KeyError)
+                # must cost only its own entry, not every later gate's
+                # 10x evidence.
+                try:
                     spark.catalog.clearCache()
                     release_materialized()
                     t0 = time.perf_counter()
-                    _run_query(base_ops[name]())
-                    base = time.perf_counter() - t0
-                if base:
-                    sf1_ratio[name] = round(sf1_smoke[name] / base, 2)
+                    _run_query(build())
+                    sf1_smoke[name] = round(time.perf_counter() - t0, 4)
+                    base = timings.get(name)
+                    if base is None and name in base_ops:
+                        # Re-sized scaled ops have no registered-gate
+                        # base; time the SAME recipe at sf0.1 once so
+                        # the ratio compares 10x-recipe vs 1x-recipe,
+                        # not vs a merged gate doing unrelated extra
+                        # work.
+                        spark.catalog.clearCache()
+                        release_materialized()
+                        t0 = time.perf_counter()
+                        _run_query(base_ops[name]())
+                        base = time.perf_counter() - t0
+                    if base:
+                        sf1_ratio[name] = round(sf1_smoke[name] / base, 2)
+                except Exception as exc:
+                    sf1_smoke[f"error_{name}"] = str(exc)[:300]
         except Exception as exc:  # smoke must never sink the headline
             sf1_smoke["error"] = str(exc)[:300]
 
@@ -386,7 +394,7 @@ def _ensure_scale_dir(spark, sf_dir: str, factor: int = 10) -> str:
 
     os.makedirs(base, exist_ok=True)
     _ensure_scale_relational(spark, sf_dir, base, factor)
-    if os.path.isdir(docs_out) and os.path.isdir(emb_out):
+    if _complete(docs_out) and _complete(emb_out):
         return base
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     d_off = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -420,6 +428,16 @@ def _ensure_scale_dir(spark, sf_dir: str, factor: int = 10) -> str:
     return base
 
 
+def _complete(path: str) -> bool:
+    """A cached Spark-written parquet dir counts as reusable only with
+    its _SUCCESS marker: a run killed mid-write leaves a partial
+    directory that a bare isdir check would silently benchmark against
+    (timings at some fraction of the claimed 10x, no error anywhere)."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    )
+
+
 def _ensure_scale_relational(spark, sf_dir: str, base: str, factor: int) -> None:
     """10x lineitem + orders with per-replica ORDERKEY OFFSETS (replica
     r's keys shift by r * (max+1)) plus 1x dimension tables, so the
@@ -435,7 +453,7 @@ def _ensure_scale_relational(spark, sf_dir: str, base: str, factor: int) -> None
 
     li_out = os.path.join(base, "lineitem.parquet")
     ord_out = os.path.join(base, "orders.parquet")
-    if not (os.path.isdir(li_out) and os.path.isdir(ord_out)):
+    if not (_complete(li_out) and _complete(ord_out)):
         orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
         off = orders.agg(F.max("o_orderkey")).first()[0] + 1
         o_reps = [

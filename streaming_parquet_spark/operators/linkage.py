@@ -93,19 +93,25 @@ def fuzzy_pairs(
         )
     else:
         side = side.withColumn("__len", F.length(F.col(text_col)))
-        side = side.withColumn("__lv", F.col(text_col))
+    # char mode compares the text column itself — aliasing it into a
+    # separate __lv column would ship two copies of every string
+    # through the block-join shuffle (Spark does not deduplicate
+    # identical-content attributes in an exchange); only the byte mode
+    # needs a distinct hoisted latin-1 rendering.
+    lv_a = "__lv_a" if unit == "byte" else "text_a"
+    lv_b = "__lv_b" if unit == "byte" else "text_b"
     a = side.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
         F.col("__len").alias("__len_a"),
-        F.col("__lv").alias("__lv_a"),
+        *([F.col("__lv").alias("__lv_a")] if unit == "byte" else []),
         "__blk",
     )
     b = side.select(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
         F.col("__len").alias("__len_b"),
-        F.col("__lv").alias("__lv_b"),
+        *([F.col("__lv").alias("__lv_b")] if unit == "byte" else []),
         "__blk",
     )
     # THRESHOLDED distance (levenshtein's 3-arg form, Spark >= 3.5):
@@ -140,7 +146,7 @@ def fuzzy_pairs(
         F.abs(F.col("__len_a") - F.col("__len_b")) <= int(max_dist)
     )
     pairs = a.join(b, "__blk").withColumn(
-        "dist", F.when(guard, lev("__lv_a", "__lv_b")).otherwise(F.lit(-1))
+        "dist", F.when(guard, lev(lv_a, lv_b)).otherwise(F.lit(-1))
     )
     if thresholded:
         # -1 == guard failed or distance exceeded max_dist

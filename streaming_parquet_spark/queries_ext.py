@@ -2365,9 +2365,6 @@ def _duck_resize(w: int, h: int) -> str:
     """
 
 
-_DUCK_MULTIMODAL_RESIZE = _duck_resize(32, 24)
-
-
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas resize plumbing end-to-end (deterministic fake
     resample — PIL / the pure-Python PNG scanline decoder are the

@@ -2990,7 +2990,6 @@ def test_posting_list_table_roundtrip(emb):
         pipelined = ivf_sq8_topk(
             emb, q, k=10, dims=64, centroids=cents,
         ).collect()
-        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
         assert sorted(map(tuple, from_table), key=str) == sorted(
             map(tuple, pipelined), key=str
         ), "table-backed and pipelined assignments diverged"
