@@ -335,6 +335,8 @@ def _scale_smoke_scaled_ops(
     from pyspark.sql import functions as F
 
     from streaming_parquet_spark.operators.similarity import (
+        n_centroids_for,
+        planes_for,
         semantic_dedup_drops,
         similarity_pairs,
         with_lsh_signature,
@@ -342,6 +344,7 @@ def _scale_smoke_scaled_ops(
 
     emb = spark.read.parquet(os.path.join(scale_dir, "embeddings.parquet"))
     emb1 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_scale, n_base = emb.count(), emb1.count()
 
     def near_pairs(src, planes):
         def build():
@@ -357,17 +360,19 @@ def _scale_smoke_scaled_ops(
             return semantic_dedup_drops(src, cents, threshold=0.4, dims=64)
         return build
 
+    # Blocking parameters come from the library's sizing helpers, not
+    # hand-picked constants — the smoke exercises the exact code a user
+    # would call (planes_for: +log2(factor) bits; n_centroids_for:
+    # k grows linearly — constant expected bucket/cluster population
+    # either way).  At these fixture sizes they resolve to planes 3->6
+    # and k 8->80, matching the entry names.
     scaled = {
-        "embed_near_pairs_scaled_planes6": near_pairs(emb, 6),
-        "dedup_semantic_scaled_k80": semantic(emb, 80),
+        "embed_near_pairs_scaled_planes6": near_pairs(emb, planes_for(n_scale)),
+        "dedup_semantic_scaled_k80": semantic(emb, n_centroids_for(n_scale)),
     }
-    # The 1x leg of the ratio: the SAME recipe with blocking parameters
-    # sized for sf0.1 (planes smaller by ~log2(factor) bits, centroid
-    # count smaller by ~factor — constant expected bucket/cluster
-    # population either way).
     base = {
-        "embed_near_pairs_scaled_planes6": near_pairs(emb1, 3),
-        "dedup_semantic_scaled_k80": semantic(emb1, 8),
+        "embed_near_pairs_scaled_planes6": near_pairs(emb1, planes_for(n_base)),
+        "dedup_semantic_scaled_k80": semantic(emb1, n_centroids_for(n_base)),
     }
     return scaled, base
 

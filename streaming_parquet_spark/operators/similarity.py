@@ -333,6 +333,38 @@ def lsh_plane_dot(vec_col: str, plane: int, dims: int, dialect: str = "spark") -
     return f"({terms})"
 
 
+def planes_for(n_rows: int, target_bucket_rows: int = 256,
+               lo: int = 2, hi: int = 30) -> int:
+    """Size the random-hyperplane signature width to the corpus so the
+    expected bucket population (n / 2^planes) stays ~``target_bucket_rows``.
+
+    This is the fix for the one genuine cliff the sf1 scale smoke ever
+    caught (BENCH_DETAIL sf1_note): a FIXED plane count means bucket
+    population grows linearly with the corpus and within-bucket pairwise
+    work quadratically — 10x data ran 37x slower.  Growing planes by
+    ~log2(scale_factor) bits keeps per-bucket verify cost constant and
+    restores near-linear scaling.  Rounded (not ceil'd) log2 so the
+    population lands within 0.7–1.4x of the target either side."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    p = round(math.log2(n_rows / target_bucket_rows))
+    return max(lo, min(hi, p))
+
+
+def n_centroids_for(n_rows: int, target_cluster_rows: int = 250,
+                    lo: int = 2) -> int:
+    """Size an IVF / SemDeDup centroid count so the expected cluster
+    population stays ~``target_cluster_rows``: k = n / target.  Same
+    principle as :func:`planes_for` — per-cluster pairwise (SemDeDup) or
+    per-posting-list scan (IVF probe) cost is quadratic/linear in
+    cluster population, so k must grow linearly with the corpus for the
+    per-cluster budget to hold.  At 100 TB feed this to
+    :func:`fit_ivf_centroids` (k is also the KMeans sample's k)."""
+    return max(lo, round(n_rows / max(1, target_cluster_rows)))
+
+
 def with_lsh_signature(
     df: DataFrame,
     vec_col: str = "embedding",

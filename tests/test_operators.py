@@ -475,6 +475,37 @@ def test_semantic_dedup_drops_keep_lowest(spark):
     assert out == {2: 0, 4: 0, 3: 1}
 
 
+def test_blocking_param_sizing_helpers():
+    """planes_for / n_centroids_for encode the sf1-smoke lesson: blocking
+    parameters must grow with the corpus (planes ~ +log2(factor) bits,
+    centroids ~ linear) to keep expected bucket/cluster population — and
+    therefore within-block quadratic work — constant."""
+    from streaming_parquet_spark.operators.similarity import (
+        n_centroids_for,
+        planes_for,
+    )
+
+    # The exact values the bench scale smoke names in its entry keys.
+    assert planes_for(2000) == 3 and planes_for(20000) == 6
+    assert n_centroids_for(2000) == 8 and n_centroids_for(20000) == 80
+
+    # 10x data adds ~log2(10) ~ 3.3 bits; rounded, always 3 or 4.
+    for n in (1_000, 10_000, 100_000, 10_000_000):
+        assert planes_for(10 * n) - planes_for(n) in (3, 4)
+        assert n_centroids_for(10 * n) == 10 * n_centroids_for(n) or n <= 250 * 2
+
+    # Expected bucket population n / 2^p stays within ~[0.7, 1.5]x of
+    # the target once n is past the floor region.
+    for n in (10_000, 1_000_000, 10**9):
+        pop = n / 2 ** planes_for(n, target_bucket_rows=256)
+        assert 0.7 * 256 <= pop <= 1.5 * 256
+
+    # Floors and ceiling hold.
+    assert planes_for(10) == 2
+    assert planes_for(10**30, hi=30) == 30
+    assert n_centroids_for(1) == 2
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Randomized equivalence against pandas.merge_asof — an independent
     reference implementation of backward/forward + tolerance as-of
