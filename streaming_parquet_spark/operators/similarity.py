@@ -164,6 +164,40 @@ def spread_input(df: DataFrame, min_ratio: int = 2) -> DataFrame:
     return out
 
 
+def cap_blocks(
+    df: DataFrame, block_cols: list[str], max_rows: int
+) -> DataFrame:
+    """Drop every row of a block whose population exceeds ``max_rows`` —
+    the hot-bucket guard for blocked pairwise stages (LSH band buckets,
+    simhash blocks, embedding LSH buckets).
+
+    Why a hard cap and not AQE: AQE's skew-join splits a hot partition's
+    WORK across tasks, but a self-join on the block key still emits
+    |block|^2 candidate pairs — a single 10M-row boilerplate bucket at
+    100 TB is 10^14 pairs no matter how it's parallelized. The standard
+    pipeline mitigation (used by the big web-corpus dedup runs) is to
+    exclude over-full buckets from the pairwise stage entirely: a bucket
+    that large is near-always boilerplate that exact/span dedup already
+    handles, or a sign the banding parameters are undersized
+    (:func:`planes_for` / raise the band rows ``r``).
+
+    Plan: groupBy(block) count (map-side partial agg — one row per
+    distinct block per input partition moves) -> filter -> left_semi
+    back on the block key. Both sides hash-partition on the SAME key the
+    downstream self-join uses, so the exchange aligns with the join's.
+    Deterministic (population counts, no sampling) — oracle-able.
+
+    NULL block keys never match an equi-join (here or in the downstream
+    pairwise join), so NULL-keyed rows drop out either way."""
+    keep = (
+        df.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("__block_n"))
+        .filter(F.col("__block_n") <= max_rows)
+        .select(*block_cols)
+    )
+    return df.join(keep, list(block_cols), "left_semi")
+
+
 def release_materialized() -> None:
     """Unpersist every relation staged by ``_materialize`` — call when a
     batch of similarity/dedup work is done and the session lives on."""
@@ -226,10 +260,14 @@ def similarity_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     dims: int | None = None,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with dot similarity >= threshold (optionally blocked).
     Unblocked is O(n^2) — test/bench scale only; at 100 TB always pass a
-    block (an LSH bucket from ``with_lsh_signature``, a label, ...).
+    block (an LSH bucket from ``with_lsh_signature``, a label, ...) and
+    a ``max_block_rows`` hot-bucket cap (see :func:`cap_blocks` — a
+    near-identical-embedding pile makes one bucket quadratic no matter
+    how well :func:`planes_for` sized the average).
 
     The signature relation is materialized once (see _materialize) so
     the self-join does not recompute it per branch and the join strategy
@@ -264,6 +302,8 @@ def similarity_pairs(
             ),
             spread=False,  # spread BEFORE the 64-way flatten instead
         )
+        if block_col and max_block_rows is not None:
+            base = cap_blocks(base, ["blk"], max_block_rows)
         a, b = base.alias("a"), base.alias("b")
         sim_raw = F.expr(
             " + ".join(f"(a.x{i} * b.x{i})" for i in range(dims))
@@ -294,6 +334,8 @@ def similarity_pairs(
             )
         )
     base = _materialize(spread_input(df.select(*cols)), spread=False)
+    if block_col and max_block_rows is not None:
+        base = cap_blocks(base, ["blk"], max_block_rows)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:

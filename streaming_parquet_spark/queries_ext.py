@@ -131,7 +131,15 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+def _duck_lsh_oracle(
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket_rows: int | None = None,
+) -> str:
+    """``max_bucket_rows`` mirrors minhash_lsh_pairs' hot-bucket cap:
+    (band, bh) buckets whose population exceeds the cap are excluded
+    from candidate generation (exact counts — deterministic)."""
     rows = num_hashes // bands
     sig_cols = ", ".join(
         f"{minhash_expr('duckdb', 'wh', i)} AS m{i}" for i in range(num_hashes)
@@ -148,6 +156,16 @@ def _duck_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     # Spark plan (bigint set-intersection, not string comparison).
     j = jaccard_expr("duckdb", "a.ws", "b.ws")
     sh = shingles_expr("duckdb", ordered_words_expr("duckdb", "text"), 3)
+    cap_cte, cand_src = "", "bandst"
+    if max_bucket_rows is not None:
+        cap_cte = f"""
+    bandk AS (
+      SELECT t.* FROM bandst t
+      JOIN (SELECT band, bh FROM bandst GROUP BY 1, 2
+            HAVING COUNT(*) <= {max_bucket_rows}) k
+        USING (band, bh)
+    ),"""
+        cand_src = "bandk"
     return f"""
     WITH docs AS MATERIALIZED (
       SELECT doc_id, {sh} AS sh FROM documents
@@ -159,10 +177,10 @@ def _duck_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
       SELECT doc_id, list_distinct(wh) AS ws FROM h
     ),
     sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM h),
-    bandst AS ({bands_sql}),
+    bandst AS ({bands_sql}),{cap_cte}
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandst a JOIN bandst b
+      FROM {cand_src} a JOIN {cand_src} b
         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, floor(({j}) * 1e4 + 5e-1) / 1e4 AS jaccard
@@ -5465,6 +5483,12 @@ def _duck_dedup_minhash_family() -> str:
            CAST(NULL AS DOUBLE), CAST(id_a AS DOUBLE),
            CAST(id_b AS DOUBLE), jaccard
     FROM ({_DUCK_DEDUP_MINHASH_LSH})
+    UNION ALL
+    SELECT 'pairs_capped' AS kind, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(id_a AS DOUBLE), CAST(id_b AS DOUBLE), jaccard
+    FROM ({_duck_lsh_oracle(16, 8, 0.2, max_bucket_rows=2)})
     """
 
 
@@ -5481,6 +5505,13 @@ def dedup_minhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       (16 hashes, 8 bands of 2 -> P(candidate | j=0.5) = 0.90) with
       exact shingle-Jaccard verify at >= 0.2 — band equi-join
       candidates, no cross join anywhere.
+    - kind='pairs_capped' (r7): the same pipeline under the hot-bucket
+      guard ``max_bucket_rows=2`` — (band, hash) buckets over the cap
+      are excluded from candidate generation BEFORE the pairwise join
+      (similarity.cap_blocks; at 100 TB a boilerplate bucket emits
+      |bucket|^2 candidates no matter how AQE splits the work, so the
+      cap is the scale guard, here pinned numerically cross-engine: a
+      pair survives iff it shares at least one WITHIN-cap bucket).
 
     All values are < 2^32, so the DOUBLE decay of the wide union is
     exact."""
@@ -5495,17 +5526,22 @@ def dedup_minhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         dnull.alias("id_a"), dnull.alias("id_b"), dnull.alias("jaccard"),
     )
-    pairs = minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=16, bands=8,
-        jaccard_threshold=0.2,
-    ).select(
-        F.lit("pairs").alias("kind"), dnull.alias("doc_id"),
-        dnull.alias("m0"), dnull.alias("m1"), dnull.alias("m2"),
-        dnull.alias("m3"),
-        F.col("id_a").cast("double").alias("id_a"),
-        F.col("id_b").cast("double").alias("id_b"), "jaccard",
+
+    def pairs_branch(kind: str, cap: int | None) -> DataFrame:
+        return minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), num_hashes=16, bands=8,
+            jaccard_threshold=0.2, max_bucket_rows=cap,
+        ).select(
+            F.lit(kind).alias("kind"), dnull.alias("doc_id"),
+            dnull.alias("m0"), dnull.alias("m1"), dnull.alias("m2"),
+            dnull.alias("m3"),
+            F.col("id_a").cast("double").alias("id_a"),
+            F.col("id_b").cast("double").alias("id_b"), "jaccard",
+        )
+
+    return sig.unionByName(pairs_branch("pairs", None)).unionByName(
+        pairs_branch("pairs_capped", 2)
     )
-    return sig.unionByName(pairs)
 
 
 def _duck_embed_iterative() -> str:

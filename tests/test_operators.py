@@ -77,6 +77,53 @@ def test_lsh_recall_against_exact_pairs(docs):
     assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
 
 
+def test_hot_bucket_cap_excludes_only_overfull_blocks(spark):
+    """max_bucket_rows / cap_blocks: a boilerplate pile whose bucket
+    exceeds the cap contributes NO candidate pairs, while pairs from
+    within-cap buckets are untouched — and capping is deterministic
+    (exclusion by exact population counts, not sampling)."""
+    from streaming_parquet_spark.operators.dedup import simhash_pairs
+    from streaming_parquet_spark.operators.similarity import cap_blocks
+
+    # 6 identical boilerplate docs (one hot bucket) + 2 near-dup docs.
+    rows = [(i, "cookie policy accept terms of service page") for i in range(6)]
+    rows += [(10, "the quick brown fox jumps over dogs"),
+             (11, "the quick brown fox jumps over dogs")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_lsh_pairs(
+                  df, jaccard_threshold=0.5, max_bucket_rows=5
+              ).collect()}
+    boiler = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert boiler <= uncapped and (10, 11) in uncapped
+    assert capped == uncapped - boiler  # hot bucket gone, rest intact
+
+    # Same guard on the simhash block join: boilerplate block over the
+    # cap drops out, the small block's pair survives.
+    blocked = df.withColumn(
+        "src", F.when(F.col("doc_id") < 6, F.lit("boiler")).otherwise("fox")
+    )
+    sh_capped = {(r["id_a"], r["id_b"])
+                 for r in simhash_pairs(
+                     blocked, block_cols=["src"], max_hamming=32,
+                     max_block_rows=5,
+                 ).collect()}
+    assert sh_capped == {(10, 11)}
+
+    # cap_blocks itself: exact boundary semantics (<= cap kept).
+    blk = spark.createDataFrame(
+        [(i, "hot") for i in range(4)] + [(i, "ok") for i in range(3)],
+        "id long, b string",
+    )
+    kept = {r["b"] for r in cap_blocks(blk, ["b"], 3).collect()}
+    assert kept == {"ok"}
+    kept4 = {r["b"] for r in cap_blocks(blk, ["b"], 4).collect()}
+    assert kept4 == {"hot", "ok"}
+
+
 def test_ann_overlaps_bruteforce(emb):
     """LSH-ANN top-10 should agree with brute force on a decent fraction
     of neighbors for same-bucket queries (recall tradeoff, not exactness)."""
