@@ -62,8 +62,13 @@ def main():
     )
 
     # 2. near-dup removal: LSH candidate pairs -> components -> keep
-    #    the highest-quality member of every duplicate cluster
-    pairs = minhash_lsh_pairs(kept)
+    #    the highest-quality member of every duplicate cluster.
+    #    max_bucket_rows is the 100 TB hot-bucket guard: a boilerplate
+    #    bucket emits |bucket|^2 candidates however AQE splits the work,
+    #    so over-full buckets are excluded from the pairwise stage (the
+    #    fixture corpus never hits a 10k bucket; at real scale this cap
+    #    is what keeps the candidate volume linear).
+    pairs = minhash_lsh_pairs(kept, max_bucket_rows=10_000)
     reps = cluster_representatives(pairs, kept, quality_col="quality_score")
     members = connected_components(pairs)
     drop = (
