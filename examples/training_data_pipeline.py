@@ -128,6 +128,27 @@ def main():
           f"after dedup: {deduped.count()}  shipped: {res.rows} rows "
           f"in {res.files_after} file(s)")
     prof.show(truncate=False)
+
+    # 7. every LATER ingest batch runs incrementally: persist the
+    #    shipped corpus's LSH index once, then probe it per batch —
+    #    the corpus is never re-shingled and never shuffles, so
+    #    per-batch cost scales with the batch. Survivors would get
+    #    fresh example ids and append_to_lsh_index folds them in for
+    #    the next batch (probe -> survivors -> append loop).
+    from streaming_parquet_spark.operators.dedup import (
+        incremental_dedup,
+        write_lsh_index,
+    )
+
+    write_lsh_index(final, "maw_example_corpus_lsh", id_col="example_id")
+    batch = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    fresh = incremental_dedup(
+        batch, "maw_example_corpus_lsh", max_bucket_rows=10_000
+    )
+    print(f"incremental batch: {batch.count()} in, {fresh.count()} "
+          f"genuinely new after probing the corpus index")
+    for t in ("maw_example_corpus_lsh_sets", "maw_example_corpus_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.stop()
 
 

@@ -3127,3 +3127,103 @@ def test_dsir_weights_token_counts_and_smoothing(spark):
     # 'c' never occurs in the target: its smoothed ratio is below 1, so
     # the pure-'c' doc carries a negative log weight
     assert out[2]["dsir_weight"] < 0
+
+
+def _cross_pairs(all_pairs, batch_ids):
+    """Map (id_a, id_b, jaccard) self-join pairs to the incremental
+    (new_id, corpus_id, jaccard) orientation, keeping only pairs with
+    exactly one side in the batch."""
+    out = set()
+    for r in all_pairs:
+        a_in, b_in = r["id_a"] in batch_ids, r["id_b"] in batch_ids
+        if a_in != b_in:
+            new_id = r["id_a"] if a_in else r["id_b"]
+            corpus_id = r["id_b"] if a_in else r["id_a"]
+            out.add((new_id, corpus_id, r["jaccard"]))
+    return out
+
+
+def test_incremental_lsh_pairs_matches_self_join(docs):
+    """The persisted-index probe (write_lsh_index +
+    incremental_lsh_pairs) must emit bit-identical cross pairs to the
+    minhash_lsh_pairs self-join over corpus ∪ batch — uncapped AND
+    under the hot-bucket cap (whose population is defined over the
+    combined corpus ∪ batch, append-safe)."""
+    from streaming_parquet_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        write_lsh_index,
+    )
+
+    spark = docs.sparkSession
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert batch_ids and corpus.count() > 0
+    table = "maw_lsh_index_test"
+    write_lsh_index(corpus, table, num_hashes=16, bands=8)
+    try:
+        for cap in (None, 2):
+            expected = _cross_pairs(
+                minhash_lsh_pairs(
+                    docs, num_hashes=16, bands=8, jaccard_threshold=0.2,
+                    max_bucket_rows=cap,
+                ).collect(),
+                batch_ids,
+            )
+            got = {
+                (r["new_id"], r["corpus_id"], r["jaccard"])
+                for r in incremental_lsh_pairs(
+                    batch, table, jaccard_threshold=0.2,
+                    max_bucket_rows=cap,
+                ).collect()
+            }
+            assert got == expected, f"cap={cap}"
+        assert expected, "fixture produced no cross pairs at cap=2"
+        # plan shape: the batch's band relation BROADCASTS into the
+        # index scan — no cartesian anywhere, no shuffle of the index
+        # bands on the candidate join
+        plan = (
+            incremental_lsh_pairs(batch, table, jaccard_threshold=0.2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}_sets")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
+
+
+def test_incremental_dedup_append_loop(docs):
+    """The full ingest loop: probe → survivors → append survivors →
+    a re-ingest of the same batch is fully recognized (every row pairs
+    with its appended self at jaccard 1.0 → zero survivors), and an
+    append under mismatched banding parameters raises."""
+    import pytest as _pytest
+
+    from streaming_parquet_spark.operators.dedup import (
+        append_to_lsh_index,
+        incremental_dedup,
+        write_lsh_index,
+    )
+
+    spark = docs.sparkSession
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    table = "maw_lsh_loop_test"
+    write_lsh_index(corpus, table, num_hashes=16, bands=8)
+    try:
+        survivors = incremental_dedup(batch, table, jaccard_threshold=0.2)
+        n_batch, n_surv = batch.count(), survivors.count()
+        assert 0 < n_surv <= n_batch
+        assert survivors.columns == batch.columns
+        append_to_lsh_index(survivors, table)
+        # survivors are now IN the index: re-ingesting them finds each
+        # row's own appended copy (jaccard 1.0) — nothing survives
+        assert incremental_dedup(survivors, table).count() == 0
+        with _pytest.raises(ValueError, match="parameters"):
+            write_lsh_index(
+                batch, table, num_hashes=8, bands=4, mode="append"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}_sets")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
