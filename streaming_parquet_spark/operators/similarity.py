@@ -554,6 +554,238 @@ def read_posting_lists(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table).select("id", "cluster", "v")
 
 
+def write_ann_index(
+    corpus: DataFrame,
+    table: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a corpus's IVF state as the persisted INCREMENTAL
+    SEMANTIC-DEDUP / ANN INDEX: ``{table}_centroids`` (the frozen
+    coarse quantizer) and ``{table}_postings`` (id, v, cluster — one
+    partition directory per cluster, the :func:`write_posting_lists`
+    layout).  The embedding-side twin of the text index
+    (``dedup.write_lsh_index``): a new ingest batch probes the stored
+    posting lists (:func:`incremental_semantic_pairs`) instead of
+    re-running the corpus self-join, so per-batch cost scales with the
+    batch and the touched clusters — the corpus is assigned exactly
+    once, at its own ingest.
+
+    ``dims`` (the flattened-dot width) is pinned as a table property
+    and every probe/append reads it back: a probe whose dot expression
+    differed from the build's would break the bit-equality contract
+    with ``similarity_pairs`` over corpus ∪ batch.  The CENTROIDS are
+    frozen at build time — that is what makes increments composable
+    (an append under re-fit centroids would strand earlier postings in
+    stale clusters); re-fit (:func:`fit_ivf_centroids`) and rebuild
+    when drift matters.
+
+    ``mode="append"`` (via :func:`append_to_ann_index`) assigns a
+    batch under the STORED centroids and appends its posting rows."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode: {mode}")
+    spark = corpus.sparkSession
+    cent_t, post_t = f"{table}_centroids", f"{table}_postings"
+    if mode == "append":
+        stored_dims = _ann_index_dims(spark, table)
+        if stored_dims != dims:
+            raise ValueError(
+                f"append dims={dims} != index dims={stored_dims}"
+            )
+        cents = read_ann_centroids(spark, table, id_col, vec_col)
+    else:
+        cents = centroids
+        (
+            centroids.select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).cast("array<double>").alias("cent_v"),
+            )
+            .write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(cent_t)
+        )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, dims)
+    (
+        assigned.select("id", "v", "cluster")
+        .write.mode(mode)
+        .partitionBy("cluster")
+        .format("parquet")
+        .saveAsTable(post_t)
+    )
+    if mode == "overwrite":
+        spark.sql(
+            f"ALTER TABLE {post_t} SET TBLPROPERTIES "
+            f"('maw.ann.dims'='{'' if dims is None else int(dims)}')"
+        )
+
+
+def _ann_index_dims(spark: SparkSession, table: str) -> int | None:
+    """Read back the flattened-dot width pinned on ``{table}_postings``."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}_postings").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    try:
+        raw = props["maw.ann.dims"]
+    except KeyError:
+        raise ValueError(
+            f"{table}_postings is not an ANN index (missing maw.ann.dims)"
+        ) from None
+    return int(raw) if raw else None
+
+
+def read_ann_centroids(
+    spark: SparkSession,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The frozen coarse quantizer of an ANN index, in the shape every
+    IVF operator accepts as ``centroids=``."""
+    return spark.table(f"{table}_centroids").select(
+        F.col("cent_id").alias(id_col), F.col("cent_v").alias(vec_col)
+    )
+
+
+def append_to_ann_index(
+    batch: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch (typically :func:`incremental_semantic_dedup`
+    survivors) to an existing ANN index under the index's OWN frozen
+    centroids and pinned dims — the maintenance half of the incremental
+    loop: probe, keep survivors, append survivors, repeat per batch."""
+    spark = batch.sparkSession
+    write_ann_index(
+        batch, table, centroids=None, id_col=id_col, vec_col=vec_col,
+        dims=_ann_index_dims(spark, table), mode="append",
+    )
+
+
+def incremental_semantic_pairs(
+    new_df: DataFrame,
+    table: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """Near-duplicate embedding pairs between a NEW batch and a
+    persisted ANN index (:func:`write_ann_index`) — the incremental
+    ingest path: (new_id, corpus_id, sim), bit-identical to the cross
+    pairs ``similarity_pairs(corpus ∪ batch, block_col='cluster')``
+    would emit under the same centroids, without touching the corpus
+    embeddings outside the probed clusters.
+
+    Plan (batch << corpus, the production shape): the stored centroids
+    broadcast into the batch's assignment pass; the batch's assigned
+    relation then BROADCASTS into the postings scan, so the candidate
+    join prunes posting-list partitions dynamically (DPP on the
+    partition column ``cluster``) and the corpus never shuffles.  The
+    exact dot re-verifies every candidate — the flattened
+    one-primitive-column-per-component form when the index pinned
+    ``dims``, matching ``similarity_pairs`` bit-for-bit.
+
+    ``max_block_rows``: hot-cluster guard computed over the COMBINED
+    postings ∪ batch population (append-safe, matching the self-join
+    semantics of ``similarity_pairs(corpus ∪ batch,
+    max_block_rows=...)``)."""
+    spark = new_df.sparkSession
+    dims = _ann_index_dims(spark, table)
+    cents = read_ann_centroids(spark, table, id_col, vec_col)
+    batch = _materialize(
+        ivf_assign(new_df, cents, id_col, vec_col, dims), spread=False
+    )
+    postings = read_posting_lists(spark, f"{table}_postings")
+    if max_block_rows is not None:
+        ok = (
+            postings.select("cluster")
+            .unionByName(batch.select("cluster"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__block_n"))
+            .filter(F.col("__block_n") <= max_block_rows)
+            .select("cluster")
+        )
+        postings = postings.join(ok, ["cluster"], "left_semi")
+        batch = batch.join(F.broadcast(ok), ["cluster"], "left_semi")
+    if dims is not None:
+        def flat(df: DataFrame, side: str) -> DataFrame:
+            return df.select(
+                F.col("id").alias(f"{side}_id"),
+                F.col("cluster").alias(f"{side}_blk"),
+                *[
+                    F.expr(
+                        f"CAST(element_at(v, {i + 1}) AS DOUBLE)"
+                        f" AS {side}_x{i}"
+                    )
+                    for i in range(dims)
+                ],
+            )
+        c, n = flat(postings, "c"), flat(batch, "n")
+        sim_raw = F.expr(
+            " + ".join(f"(c_x{i} * n_x{i})" for i in range(dims))
+        )
+        joined = c.join(
+            F.broadcast(n), F.col("c_blk") == F.col("n_blk")
+        )
+    else:
+        c = postings.select(
+            F.col("id").alias("c_id"), F.col("cluster").alias("c_blk"),
+            F.col("v").alias("c_v"),
+        )
+        n = batch.select(
+            F.col("id").alias("n_id"), F.col("cluster").alias("n_blk"),
+            F.col("v").alias("n_v"),
+        )
+        sim_raw = F.expr(dot_expr("spark", "c_v", "n_v"))
+        joined = c.join(F.broadcast(n), F.col("c_blk") == F.col("n_blk"))
+    # No id-inequality filter: a re-ingested identical id pairs with
+    # its own indexed copy at sim 1.0, so incremental_semantic_dedup
+    # treats exact re-ingest as a duplicate for free (the LSH index
+    # makes the same choice); on disjoint id populations this emits
+    # exactly the a.id<b.id cross pairs of the self-join.
+    return (
+        joined
+        .withColumn("sim_raw", sim_raw)
+        .withColumn("sim", round_to_col("sim_raw", 4))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("n_id").alias("new_id"),
+            F.col("c_id").alias("corpus_id"),
+            "sim",
+        )
+    )
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    table: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """The embedding-side ingest-batch filter: drop every new vector
+    whose similarity to some indexed vector reaches ``threshold``,
+    return the survivors (full original rows).  Compose with
+    :func:`semantic_dedup_drops` on the batch alone for within-batch
+    near-dups, then :func:`append_to_ann_index` to fold survivors into
+    the index — per-batch cost scales with the batch, never the
+    corpus."""
+    matched = (
+        incremental_semantic_pairs(
+            new_df, table, threshold=threshold, id_col=id_col,
+            vec_col=vec_col, max_block_rows=max_block_rows,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_df.join(matched, id_col, "left_anti")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

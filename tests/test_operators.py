@@ -3227,3 +3227,104 @@ def test_incremental_dedup_append_loop(docs):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}_sets")
         spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
+
+
+def test_incremental_semantic_pairs_matches_self_join(emb):
+    """The embedding-side persisted-index probe (write_ann_index +
+    incremental_semantic_pairs) must emit bit-identical cross pairs to
+    similarity_pairs(corpus ∪ batch, block_col='cluster') under the
+    same frozen centroids — uncapped AND under the hot-cluster cap
+    (whose population is defined over the combined postings ∪ batch,
+    append-safe)."""
+    from streaming_parquet_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        ivf_assign,
+        similarity_pairs,
+        write_ann_index,
+    )
+
+    spark = emb.sparkSession
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    cents = emb.filter(F.col("vec_id") < 8)
+    table = "maw_ann_index_test"
+    write_ann_index(corpus, table, centroids=cents, dims=64)
+    try:
+        union_assigned = ivf_assign(emb, cents, dims=64)
+        sizes = sorted(
+            r["n"]
+            for r in union_assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        # a cap that keeps some clusters and excludes at least one
+        cap = sizes[len(sizes) // 2]
+        assert sizes[0] <= cap < sizes[-1]
+        for this_cap in (None, cap):
+            expected = set()
+            for r in similarity_pairs(
+                union_assigned, threshold=0.4, id_col="id", vec_col="v",
+                block_col="cluster", dims=64, max_block_rows=this_cap,
+            ).collect():
+                a_in, b_in = r["id_a"] in batch_ids, r["id_b"] in batch_ids
+                if a_in != b_in:
+                    new_id = r["id_a"] if a_in else r["id_b"]
+                    corpus_id = r["id_b"] if a_in else r["id_a"]
+                    expected.add((new_id, corpus_id, r["sim"]))
+            got = {
+                (r["new_id"], r["corpus_id"], r["sim"])
+                for r in incremental_semantic_pairs(
+                    batch, table, threshold=0.4, max_block_rows=this_cap,
+                ).collect()
+            }
+            assert got == expected, f"cap={this_cap}"
+        assert expected, "fixture produced no cross pairs under the cap"
+        # plan shape: the batch's assigned relation BROADCASTS into the
+        # postings scan — no cartesian, no shuffle of the corpus side
+        plan = (
+            incremental_semantic_pairs(batch, table, threshold=0.4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_postings")
+
+
+def test_incremental_semantic_dedup_append_loop(emb):
+    """The embedding ingest loop: probe → survivors → append survivors
+    → a re-ingest of the survivors is fully recognized (each row pairs
+    with its appended self at sim 1.0 → zero survivors), and an append
+    under mismatched dims raises."""
+    import pytest as _pytest
+
+    from streaming_parquet_spark.operators.similarity import (
+        append_to_ann_index,
+        incremental_semantic_dedup,
+        write_ann_index,
+    )
+
+    spark = emb.sparkSession
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = emb.filter(F.col("vec_id") < 8)
+    table = "maw_ann_loop_test"
+    write_ann_index(corpus, table, centroids=cents, dims=64)
+    try:
+        survivors = incremental_semantic_dedup(batch, table, threshold=0.4)
+        n_batch, n_surv = batch.count(), survivors.count()
+        assert 0 < n_surv <= n_batch
+        assert survivors.columns == batch.columns
+        append_to_ann_index(survivors, table)
+        # survivors are now IN the index: re-ingesting them finds each
+        # row's own appended copy (sim 1.0, embeddings L2-normalized)
+        assert incremental_semantic_dedup(survivors, table).count() == 0
+        with _pytest.raises(ValueError, match="dims"):
+            write_ann_index(
+                batch, table, centroids=None, dims=32, mode="append"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_postings")
