@@ -820,3 +820,166 @@ def cooccurrence_topk(
         )
         .select("wa", "wb", "n_ab", "n_a", "n_b", "lift", "rank")
     )
+
+
+def fit_text_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    scale_bits: int = 20,
+    reg: float = 0.01,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Supervised quality classifier, fastText-shaped (Joulin et al.
+    2016, "Bag of Tricks for Efficient Text Classification"; the
+    GPT-3 / CCNet / palm-family quality-filter recipe): a logistic
+    regression over hashed bag-of-words features, fit with
+    ``pyspark.ml.classification.LogisticRegression`` on labeled
+    positive ("keep-quality") vs negative examples.
+
+    Returns the MODEL RELATION :func:`classifier_score` consumes:
+    (bkt BIGINT, w BIGINT) — per-bucket weights in 2^``scale_bits``
+    fixed point, plus one ``bkt = -1`` row carrying the intercept.
+    Quantizing the weights once at fit time is what makes every later
+    scoring pass exact-integer and engine-portable; the quantization
+    error is bounded by n_tokens * 2^-scale_bits per logit.
+
+    Scale: like :func:`~streaming_parquet_spark.operators.similarity.
+    fit_ivf_centroids`, the FIT runs on a labeled sample (labeled data
+    is small by construction — the fit cost is O(sample * buckets *
+    iters), independent of corpus size) while scoring
+    (:func:`classifier_score`) stays a full broadcast pass.  Not
+    DuckDB-oracle-able: LBFGS' treeAggregate float reductions are not
+    bit-portable — the pytest gate is a held-out accuracy floor plus
+    bit-exactness of the SCORING path under a fixed model
+    (tests/test_operators.py)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from streaming_parquet_spark.operators.pipeline import dsir_features
+
+    b, s = int(buckets), int(scale_bits)
+    labeled = pos.select(
+        F.col(id_col), F.col(text_col), F.lit(1.0).alias("label")
+    ).unionByName(
+        neg.select(F.col(id_col), F.col(text_col), F.lit(0.0).alias("label"))
+    )
+    feats = dsir_features(labeled, text_col, id_col, buckets=b)
+    # MEAN-POOLED features (cnt / n_tokens), matching the fastText form
+    # and, critically, classifier_score's  intercept + dot/n_tokens —
+    # fitting on raw counts would train a different decision boundary
+    # than the one scoring evaluates.
+    dense = (
+        feats.groupBy(id_col)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bkt"),
+                F.collect_list(F.col("cnt").cast("double")),
+            ).alias("m"),
+            F.sum("cnt").cast("double").alias("n"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(sequence(0, {b - 1}),"
+                f" k -> coalesce(element_at(m, CAST(k AS BIGINT)),"
+                f" CAST(0 AS DOUBLE)) / n)"
+            ).alias("arr"),
+        )
+    )
+    train = dense.join(
+        labeled.select(F.col(id_col), "label"), id_col
+    ).select(array_to_vector("arr").alias("features"), "label")
+    model = LogisticRegression(
+        maxIter=int(max_iter), regParam=float(reg), standardization=False,
+    ).fit(train)
+    spark = pos.sparkSession
+    rows = [
+        (k, int(round(float(w) * (1 << s))))
+        for k, w in enumerate(model.coefficients)
+    ]
+    rows.append((-1, int(round(float(model.intercept) * (1 << s)))))
+    return spark.createDataFrame(rows, "bkt bigint, w bigint")
+
+
+def classifier_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Score every document under a :func:`fit_text_classifier` model:
+    (id, n_tokens, logit_num, logit) where ``logit_num`` is the EXACT
+    BIGINT fixed-point feature dot  Σ_b cnt_b · w_b  and ``logit`` the
+    mean-pooled fastText logit
+
+        intercept + (Σ_b cnt_b · w_b) / n_tokens
+
+    evaluated as exactly two correctly-rounded double ops (one
+    division, one addition), so the whole scoring pass is
+    engine-portable and oracle-able given the model relation.
+
+    Plan: the model is O(buckets) rows and BROADCASTS; the feature
+    explode shuffles (id, bkt) pairs, never documents — the same
+    discipline as DSIR scoring.  Documents with zero tokens produce no
+    feature rows and are ABSENT from the output (a quality filter
+    drops them by construction; pre-filter empties explicitly if they
+    must be kept)."""
+    from streaming_parquet_spark.operators.pipeline import dsir_features
+
+    b, s = int(buckets), int(scale_bits)
+    weights = model.filter(F.col("bkt") >= 0)
+    intercept = model.filter(F.col("bkt") == -1).select(
+        F.col("w").alias("w0")
+    )
+    feats = dsir_features(df, text_col, id_col, buckets=b)
+    scored = (
+        feats.join(F.broadcast(weights), "bkt", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.col("cnt")
+                * F.coalesce(F.col("w"), F.lit(0).cast("bigint"))
+            ).alias("logit_num"),
+        )
+    )
+    denom = float(1 << s)
+    return scored.crossJoin(F.broadcast(intercept)).select(
+        F.col(id_col),
+        "n_tokens",
+        "logit_num",
+        (
+            F.col("w0") / F.lit(denom)
+            + (F.col("logit_num") / F.lit(denom)) / F.col("n_tokens")
+        ).alias("logit"),
+    )
+
+
+def classifier_filter(
+    df: DataFrame,
+    model: DataFrame,
+    min_logit: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Classifier-based quality filtering: keep the rows whose
+    mean-pooled logit reaches ``min_logit`` (0.0 = probability 0.5 —
+    thresholding the logit is thresholding the sigmoid).  Returns the
+    surviving original rows; zero-token documents are dropped (no
+    features ⇒ no score)."""
+    keep = (
+        classifier_score(
+            df, model, text_col, id_col, buckets=buckets,
+            scale_bits=scale_bits,
+        )
+        .filter(F.col("logit") >= float(min_logit))
+        .select(F.col(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")

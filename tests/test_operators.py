@@ -3328,3 +3328,102 @@ def test_incremental_semantic_dedup_append_loop(emb):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
         spark.sql(f"DROP TABLE IF EXISTS {table}_postings")
+
+
+def _gibberish(i):
+    toks = ["zqx", "vvk", "jjw", "qqz", "xxv", "kkj", "wwq", "zzx"]
+    return " ".join(toks[(i + j) % len(toks)] for j in range(12))
+
+
+def _clean(i):
+    toks = ["the", "quick", "brown", "fox", "jumps", "over", "a",
+            "lazy", "dog", "and", "runs", "home"]
+    return " ".join(toks[(i + j) % len(toks)] for j in range(12))
+
+
+def test_text_classifier_fit_scores_heldout(spark):
+    """fastText-shaped quality classifier: fit on labeled clean vs
+    gibberish docs, require held-out separation (every clean doc's
+    logit above every gibberish doc's), and classifier_filter keeps
+    exactly the clean side at the 0.5 boundary."""
+    from streaming_parquet_spark.operators.text import (
+        classifier_filter,
+        classifier_score,
+        fit_text_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, _clean(i)) for i in range(40)], "doc_id long, text string"
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, _gibberish(i)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    model = fit_text_classifier(pos, neg, buckets=256)
+    held = spark.createDataFrame(
+        [(200 + i, _clean(7 * i + 3)) for i in range(10)]
+        + [(300 + i, _gibberish(5 * i + 1)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["logit"]
+        for r in classifier_score(held, model, buckets=256).collect()
+    }
+    clean_min = min(v for k, v in scores.items() if k < 300)
+    gib_max = max(v for k, v in scores.items() if k >= 300)
+    assert clean_min > gib_max, (clean_min, gib_max)
+    assert clean_min > 0 > gib_max  # separated around probability 0.5
+    kept = {
+        r["doc_id"]
+        for r in classifier_filter(held, model, 0.0, buckets=256).collect()
+    }
+    assert kept == {200 + i for i in range(10)}
+    # model relation shape: one intercept row, weights within buckets
+    assert model.filter(F.col("bkt") == -1).count() == 1
+    assert model.filter(F.col("bkt") >= 256).count() == 0
+
+
+def test_classifier_score_is_exact_integer_dot(spark):
+    """Under a FIXED model relation the scoring path is exact integer
+    arithmetic + two correctly-rounded float ops: verify logit_num and
+    logit against a python recomputation, feature-by-feature, and that
+    zero-token docs are absent."""
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+        word_hashes_expr,
+    )
+    from streaming_parquet_spark.operators.text import classifier_score
+
+    docs = [(1, "aa bb aa cc"), (2, "dd dd"), (3, ""), (4, "aa")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    b, s = 64, 20
+    # deterministic synthetic weights: w_k = (k - 32) * 1000, intercept 3<<18
+    model = spark.createDataFrame(
+        [(k, (k - 32) * 1000) for k in range(b)] + [(-1, 3 << 18)],
+        "bkt bigint, w bigint",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in classifier_score(df, model, buckets=b, scale_bits=s).collect()
+    }
+    assert set(out) == {1, 2, 4}  # empty doc absent
+    # recompute buckets with the SAME portable hash via a probe query
+    probe = df.filter(F.col("doc_id") != 3).select(
+        "doc_id",
+        F.expr(
+            "transform("
+            + word_hashes_expr(
+                "spark",
+                f"filter({ordered_words_expr('spark', 'text')}, w -> w != '')",
+            )
+            + f", h -> h % {b})"
+        ).alias("bkts"),
+    ).collect()
+    for r in probe:
+        n = len(r["bkts"])
+        num = sum((k - 32) * 1000 for k in r["bkts"])
+        logit = (3 << 18) / float(1 << s) + (num / float(1 << s)) / n
+        got = out[r["doc_id"]]
+        assert got["n_tokens"] == n
+        assert got["logit_num"] == num
+        assert got["logit"] == logit  # bit-equal, not approx
