@@ -56,10 +56,31 @@ def main():
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()
 
-    # 1. quality scoring + filter
-    kept = with_quality(docs).filter(F.col("quality_score") >= 0.7).select(
+    # 1. quality scoring + filter — first the heuristic gate, then a
+    #    LEARNED one (the GPT-3/CCNet recipe): fit a fastText-shaped
+    #    classifier on a labeled sample (here: the heuristic's own
+    #    confident extremes vs synthetic gibberish stand in for human
+    #    labels) and keep docs the model scores above the 0.5 boundary.
+    #    The fit sees only the sample; scoring is one broadcast pass.
+    from streaming_parquet_spark.operators.text import (
+        classifier_filter,
+        fit_text_classifier,
+    )
+
+    scored = with_quality(docs)
+    kept = scored.filter(F.col("quality_score") >= 0.7).select(
         "doc_id", "text", "lang", "source", "n_chars", "quality_score"
     )
+    pos_sample = kept.orderBy(F.desc("quality_score"), "doc_id").limit(64)
+    neg_sample = docs.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 12),"
+            " i -> concat('zx', CAST(pmod(doc_id + i, 17) AS STRING))))"
+        ).alias("text"),
+    ).limit(64)
+    clf = fit_text_classifier(pos_sample, neg_sample, buckets=256)
+    kept = classifier_filter(kept, clf, min_logit=0.0, buckets=256)
 
     # 2. near-dup removal: LSH candidate pairs -> components -> keep
     #    the highest-quality member of every duplicate cluster.
