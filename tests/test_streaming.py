@@ -334,3 +334,89 @@ def test_per_trigger_files_semantics():
     assert per_trigger_files(
         RunSpec(inputs=["x"], trigger_files=0), cores=8
     ) == 1
+
+
+def test_dedup_ingest_stream_exactly_once(spark, tmp_path):
+    """Continuous deduplicated ingest (streaming/ingest.py): within-
+    batch dups and index near-dups are dropped, survivors land in the
+    partitioned corpus table + the LSH index, a resume processes only
+    new files, and a full REPLAY (fresh checkpoint over the same
+    source) changes nothing — the exactly-once analysis in the module
+    docstring, exercised end-to-end."""
+    from streaming_parquet_spark.operators.dedup import write_lsh_index
+    from streaming_parquet_spark.streaming.ingest import dedup_ingest_stream
+
+    def doc(i, text):
+        return (i, text)
+
+    def distinct_text(i):
+        words = ["alpha", "bravo", "carol", "delta", "echo", "fox",
+                 "golf", "hotel", "india", "jazz", "kilo", "lima"]
+        return " ".join(
+            words[(i * 3 + j * (1 + i % 5)) % len(words)] + str((i + j) % 7)
+            for j in range(10)
+        )
+
+    import shutil
+
+    table = "maw_ingest_corpus"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        # a crashed earlier run can leave the managed LOCATION behind
+        # with no catalog entry; saveAsTable then refuses the name
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
+        )
+    # seed corpus: docs 0/1 -> its index
+    seed = spark.createDataFrame(
+        [doc(0, distinct_text(0)), doc(1, distinct_text(1))],
+        "doc_id long, text string",
+    )
+    write_lsh_index(seed, f"{table}_lsh", num_hashes=16, bands=8)
+
+    src = str(tmp_path / "ingest_src")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    # wave 1: 10 = dup of seed 0, 11/12 mutual dups (12 drops), 13 new
+    wave1 = spark.createDataFrame(
+        [doc(10, distinct_text(0)), doc(11, distinct_text(4)),
+         doc(12, distinct_text(4)), doc(13, distinct_text(5))],
+        "doc_id long, text string",
+    )
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    res1 = dedup_ingest_stream(spark, src, table, ckpt)
+    assert res1.rows_in == 4 and res1.rows_kept == 2
+    kept1 = {r["doc_id"] for r in spark.table(table).collect()}
+    assert kept1 == {11, 13}
+
+    # wave 2 (same checkpoint = resume, only new files): 20 re-ingests
+    # wave-1 survivor 11, 21 is new
+    wave2 = spark.createDataFrame(
+        [doc(20, distinct_text(4)), doc(21, distinct_text(6))],
+        "doc_id long, text string",
+    )
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    res2 = dedup_ingest_stream(spark, src, table, ckpt)
+    assert res2.rows_in == 2 and res2.rows_kept == 1
+    kept2 = {r["doc_id"] for r in spark.table(table).collect()}
+    assert kept2 == {11, 13, 21}
+
+    # FULL REPLAY: fresh checkpoint over the same source. Every doc now
+    # pairs with its own indexed copy (or its survivor's) -> zero kept,
+    # corpus and partition layout unchanged.
+    res3 = dedup_ingest_stream(
+        spark, src, table, str(tmp_path / "ingest_ckpt_fresh")
+    )
+    assert res3.rows_in == 6 and res3.rows_kept == 0
+    assert {r["doc_id"] for r in spark.table(table).collect()} == kept2
+    # nothing moved partitions: survivors still carry their batch ids
+    parts = {
+        (r["doc_id"], r["ingest_batch"])
+        for r in spark.table(table).collect()
+    }
+    assert parts == {(11, 0), (13, 0), (21, 1)}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    for suffix in ("_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
