@@ -420,3 +420,67 @@ def test_dedup_ingest_stream_exactly_once(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     for suffix in ("_lsh_sets", "_lsh_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_semantic_ingest_stream_exactly_once(spark, tmp_path):
+    """The embedding-side ingest loop (semantic_ingest_stream): the
+    same resume + full-replay-is-a-no-op guarantees as the text loop,
+    against the persisted ANN index."""
+    import shutil
+
+    from streaming_parquet_spark.operators.similarity import write_ann_index
+    from streaming_parquet_spark.streaming.ingest import (
+        semantic_ingest_stream,
+    )
+
+    table = "maw_ingest_vectors"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "_ann_centroids", "_ann_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
+        )
+    h = 0.7071067811865476
+    e0, e1 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    e2, e3 = [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]
+    va = [0.0, 0.0, h, h]
+    schema = "vec_id long, embedding array<float>"
+    seed = spark.createDataFrame([(0, e0), (1, e1)], schema)
+    cents = spark.createDataFrame([(0, e0), (1, e1)], schema)
+    write_ann_index(seed, f"{table}_ann", centroids=cents, dims=4)
+
+    src = str(tmp_path / "vec_src")
+    ckpt = str(tmp_path / "vec_ckpt")
+    # wave 1: 10 = dup of seed 0; 11/12 mutual dups (12 drops); 13 new
+    wave1 = spark.createDataFrame(
+        [(10, e0), (11, va), (12, va), (13, e2)], schema
+    )
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    res1 = semantic_ingest_stream(spark, src, table, ckpt, threshold=0.9)
+    assert res1.rows_in == 4 and res1.rows_kept == 2
+    assert {r["vec_id"] for r in spark.table(table).collect()} == {11, 13}
+
+    # wave 2 (resume): 20 re-ingests survivor 11's vector; 21 is new
+    wave2 = spark.createDataFrame([(20, va), (21, e3)], schema)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    res2 = semantic_ingest_stream(spark, src, table, ckpt, threshold=0.9)
+    assert res2.rows_in == 2 and res2.rows_kept == 1
+    kept = {
+        (r["vec_id"], r["ingest_batch"])
+        for r in spark.table(table).collect()
+    }
+    assert kept == {(11, 0), (13, 0), (21, 1)}
+
+    # full replay under a fresh checkpoint: nothing changes
+    res3 = semantic_ingest_stream(
+        spark, src, table, str(tmp_path / "vec_ckpt_fresh"), threshold=0.9
+    )
+    assert res3.rows_in == 6 and res3.rows_kept == 0
+    assert {
+        (r["vec_id"], r["ingest_batch"])
+        for r in spark.table(table).collect()
+    } == kept
+    for suffix in ("", "_ann_centroids", "_ann_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
