@@ -1,0 +1,192 @@
+"""Subword tokenization: BPE merge-table fit + distributed apply.
+
+The fit/apply split mirrors the engine's other learned components
+(`similarity.fit_ivf_centroids`, `text.fit_text_classifier`): the FIT
+runs on a deterministic sample reduced to a word-frequency table
+(Zipf's law makes the top words carry almost all token mass, so the
+table is tiny relative to the corpus), while APPLY is an
+embarrassingly parallel Arrow-batched pass with no shuffle at all.
+
+Algorithm: byte-pair encoding over word-internal symbol sequences with
+an end-of-word marker (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units" — the reference BPE).
+Ties in pair counts are broken LEXICOGRAPHICALLY on the pair, making
+the fit deterministic — the classic implementation's arbitrary
+dict-order tie-break would make merge tables irreproducible across
+runs, which is unacceptable for a table other jobs persist and share.
+
+At 100 TB: the word-frequency aggregation is one narrow shuffle of
+(word, count) pairs with map-side partial aggregation; everything
+after runs on the driver over at most ``max_words`` rows.  Apply
+broadcasts the merge table inside the UDF closure (vocab-sized, a few
+MB) and caches encodings per distinct word within each Arrow batch —
+natural-language batches repeat words heavily, so the cache turns the
+per-word merge loop into a per-DISTINCT-word loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from streaming_parquet_spark.functions.portable import (
+    hash_bucket_expr,
+    ordered_words_expr,
+)
+
+_EOW = "</w>"
+
+
+def _bpe_train(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE training over a word-frequency dict; deterministic
+    via the (count DESC, pair ASC) selection rule."""
+    seqs: dict[str, list[str]] = {
+        w: list(w) + [_EOW] for w in word_freq
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, freq in word_freq.items():
+            seq = seqs[w]
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, seq in seqs.items():
+            if a not in seq:
+                continue
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def _bpe_encode_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Encode one word under a rank table: repeatedly merge the
+    lowest-rank adjacent pair (the standard BPE apply loop)."""
+    seq = list(word) + [_EOW]
+    while len(seq) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(seq, seq[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return seq
+
+
+def fit_bpe_merges(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 256,
+    sample_pct: int | None = None,
+    max_words: int = 50_000,
+) -> DataFrame:
+    """Fit a BPE merge table: (rank, left, right) with rank 0 the
+    first (most frequent) merge.  The corpus reduces to a word-
+    frequency table (one narrow shuffle, map-side combined), capped at
+    the ``max_words`` most frequent words (count DESC, word ASC — the
+    deterministic Zipf-head cut; the dropped tail carries a vanishing
+    share of token mass), then the classic merge loop runs driver-side
+    over that table.
+
+    ``sample_pct``: deterministic percentage sample via the portable
+    id hash (NOT df.sample — partition-layout-dependent), same recipe
+    as ``fit_ivf_centroids``.  None = fit on the full corpus.
+
+    Not DuckDB-oracle-able as a value hash (the fit is an iterative
+    driver-side algorithm); gated in pytest on the published worked
+    examples and on fit determinism."""
+    sample = corpus.select(F.col(id_col), F.col(text_col))
+    if sample_pct is not None:
+        bucket = hash_bucket_expr("spark", id_col, 100)
+        sample = sample.filter(F.expr(bucket) < int(sample_pct))
+    words = (
+        f"filter({ordered_words_expr('spark', text_col)}, w -> w != '')"
+    )
+    freq_rows = (
+        sample.select(F.explode(F.expr(words)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(max_words))
+        .collect()
+    )
+    merges = _bpe_train(
+        {r["w"]: r["c"] for r in freq_rows}, int(n_merges)
+    )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank bigint, left string, right string",
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` under a fitted merge table: adds
+    ``out_col`` (array<string> of subword units, each word terminated
+    by the ``</w>`` marker) and ``n_{out_col}`` (their count).
+
+    Plan: the merge table collects to a rank dict (vocab-sized) and
+    ships in the UDF closure; the pass is one Arrow-batched pandas
+    UDF over the scan — no shuffle, no join.  Word splitting uses the
+    SAME whitespace rule as every other text operator
+    (``ordered_words_expr``), so ``n_bpe_tokens`` composes with the
+    token-budget operators downstream.  Per-batch distinct-word
+    caching makes throughput scale with distinct words per batch, not
+    total words."""
+    from pyspark.sql.functions import pandas_udf
+
+    rank_list = [
+        ((r["left"], r["right"]), r["rank"]) for r in merges.collect()
+    ]
+    ranks = dict(rank_list)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts):
+        import re
+
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        # the EXACT split rule of ordered_words_expr: trim ASCII
+        # spaces, split on space RUNS (not general whitespace — a tab
+        # is word content there, so it must be word content here too)
+        split = re.compile(" +").split
+
+        def enc_text(t):
+            if t is None:
+                return []
+            out = []
+            for w in split(t.strip(" ")):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _bpe_encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        return pd.Series([enc_text(t) for t in texts])
+
+    out = df.withColumn(out_col, encode(F.col(text_col)))
+    return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))

@@ -3427,3 +3427,77 @@ def test_classifier_score_is_exact_integer_dot(spark):
         assert got["n_tokens"] == n
         assert got["logit_num"] == num
         assert got["logit"] == logit  # bit-equal, not approx
+
+
+def test_bpe_fit_matches_worked_example(spark):
+    """fit_bpe_merges reproduces the Sennrich-style worked example:
+    over {low:5, lower:2, newest:6, widest:3} with deterministic
+    (count DESC, pair ASC) tie-breaks, the first merges build 'est</w>'
+    from the shared suffix; fit is deterministic across calls."""
+    from streaming_parquet_spark.operators.tokenize import fit_bpe_merges
+
+    rows = (
+        [(i, "low") for i in range(5)]
+        + [(100 + i, "lower") for i in range(2)]
+        + [(200 + i, "newest") for i in range(6)]
+        + [(300 + i, "widest") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = [(r["rank"], r["left"], r["right"])
+          for r in fit_bpe_merges(df, n_merges=4).orderBy("rank").collect()]
+    m2 = [(r["rank"], r["left"], r["right"])
+          for r in fit_bpe_merges(df, n_merges=4).orderBy("rank").collect()]
+    assert m1 == m2  # deterministic
+    # counts: (e,s)=9, (s,t)=9, (t,</w>)=9 ... tie broken lexicographically
+    assert m1[0] == (0, "e", "s")
+    assert m1[1] == (1, "es", "t")
+    assert m1[2] == (2, "est", "</w>")
+
+
+def test_bpe_apply_roundtrip_and_invariance(docs):
+    """apply_bpe: concatenated subwords reconstruct each word exactly
+    (with one </w> per word), token counts match the whitespace word
+    rule for texts without merges, and the pass is partitioning-
+    invariant (pure per-row function)."""
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_bpe,
+        fit_bpe_merges,
+    )
+
+    spark = docs.sparkSession
+    merges = fit_bpe_merges(docs, n_merges=64, max_words=5_000)
+    assert merges.count() == 64
+    sample = docs.limit(50)
+    out = apply_bpe(sample, merges).select(
+        "doc_id", "text", "bpe_tokens", "n_bpe_tokens"
+    )
+    import re
+
+    for r in out.collect():
+        words = [w for w in re.split(" +", r["text"].strip(" ")) if w]
+        joined = "".join(r["bpe_tokens"])
+        assert joined == "".join(w + "</w>" for w in words)
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+        # subword segmentation never crosses a word boundary: the
+        # number of </w>-terminated units equals the word count
+        assert sum(1 for t in r["bpe_tokens"] if t.endswith("</w>")) == len(
+            words
+        )
+    # partitioning invariance
+    a = {
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in apply_bpe(sample.repartition(7), merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in out.select("doc_id", "bpe_tokens").collect()
+    }
+    assert a == b
+    # merges actually fire on fixture text: some multi-char token exists
+    assert any(
+        len(t.removesuffix("</w>")) > 1
+        for r in out.limit(10).collect()
+        for t in r["bpe_tokens"]
+    )
