@@ -3501,3 +3501,64 @@ def test_bpe_apply_roundtrip_and_invariance(docs):
         for r in out.limit(10).collect()
         for t in r["bpe_tokens"]
     )
+
+
+def test_incremental_lsh_probe_property(spark):
+    """Hypothesis: for ANY corpus/batch split of random small documents
+    (including duplicate texts, near-empty docs, and empty sides), the
+    persisted-index probe emits exactly the cross pairs of the
+    minhash_lsh_pairs self-join over the union — the fixture-based
+    equality test generalized to adversarial corpora."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        write_lsh_index,
+    )
+
+    word = st.sampled_from(["red", "blue", "green", "gold", "gray"])
+    doc = st.lists(word, min_size=4, max_size=10).map(" ".join)
+    corpus_strategy = st.lists(doc, min_size=1, max_size=8)
+
+    @given(texts=corpus_strategy, batch_mod=st.integers(2, 3))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(texts, batch_mod):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        corpus = df.filter(F.col("doc_id") % batch_mod != 0)
+        batch = df.filter(F.col("doc_id") % batch_mod == 0)
+        if corpus.count() == 0:
+            return  # write_lsh_index needs a seedable side; skip
+        batch_ids = {i for i, _ in rows if i % batch_mod == 0}
+        table = "maw_lsh_prop_test"
+        write_lsh_index(corpus, table, num_hashes=8, bands=4)
+        try:
+            expected = set()
+            for r in minhash_lsh_pairs(
+                df, num_hashes=8, bands=4, jaccard_threshold=0.1
+            ).collect():
+                a_in = r["id_a"] in batch_ids
+                if a_in != (r["id_b"] in batch_ids):
+                    new_id = r["id_a"] if a_in else r["id_b"]
+                    corpus_id = r["id_b"] if a_in else r["id_a"]
+                    expected.add((new_id, corpus_id, r["jaccard"]))
+            got = {
+                (r["new_id"], r["corpus_id"], r["jaccard"])
+                for r in incremental_lsh_pairs(
+                    batch, table, jaccard_threshold=0.1
+                ).collect()
+            }
+            assert got == expected
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}_sets")
+            spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
+
+    check()
