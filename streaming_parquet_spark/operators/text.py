@@ -983,3 +983,57 @@ def classifier_filter(
         .select(F.col(id_col))
     )
     return df.join(keep, id_col, "left_semi")
+
+
+C4_LINE_BLOCKLIST = ("lorem ipsum", "javascript", "cookie policy",
+                     "terms of use", "privacy policy")
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines_kept: int = 3,
+    blocklist: tuple[str, ...] = C4_LINE_BLOCKLIST,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning" §2.2 — the rules behind the C4
+    corpus): keep only lines that end in terminal punctuation, carry at
+    least ``min_words_per_line`` words, contain no blocklisted
+    boilerplate phrase (case-insensitive) and no curly brace (the
+    stray-code signal); a document stays (``keep_doc``) when at least
+    ``min_lines_kept`` lines survive.
+
+    Adds: ``text_clean`` (surviving lines rejoined), ``n_lines_kept``,
+    ``n_lines_dropped``, ``keep_doc``.  Everything is one JVM
+    higher-order-function expression over the scan — no UDF, no
+    shuffle, whole-stage-codegen friendly; word counting uses the same
+    ASCII-space rule as every other text operator."""
+    checks = [
+        # rtrim only strips spaces in Spark; also strip \r for CRLF text
+        r"""rtrim(regexp_replace(l, '\r$', '')) rlike '[.!?"”]$'""",
+        f"size(filter(split(trim(l), ' +'), w -> w != ''))"
+        f" >= {int(min_words_per_line)}",
+        "NOT contains(l, '{')",
+    ]
+    for kw in blocklist:
+        esc = kw.replace("'", "\\'")
+        checks.append(f"NOT contains(lower(l), '{esc}')")
+    pred = " AND ".join(f"({c})" for c in checks)
+    kept = f"filter(split({text_col}, '\\n'), l -> {pred})"
+    return (
+        df.withColumn("__kept", F.expr(kept))
+        .withColumn("text_clean", F.array_join(F.col("__kept"), "\n"))
+        .withColumn("n_lines_kept", F.size("__kept").cast("bigint"))
+        .withColumn(
+            "n_lines_dropped",
+            (
+                F.size(F.expr(f"split({text_col}, '\\n')"))
+                - F.size("__kept")
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "keep_doc", F.col("n_lines_kept") >= int(min_lines_kept)
+        )
+        .drop("__kept")
+    )

@@ -3562,3 +3562,47 @@ def test_incremental_lsh_probe_property(spark):
             spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
 
     check()
+
+
+def test_c4_line_filters_rules(spark):
+    """C4 line rules, rule by rule: terminal punctuation required,
+    min-words-per-line, blocklist phrases (case-insensitive), curly
+    braces, CRLF tolerance, and the min-kept-lines document gate."""
+    from streaming_parquet_spark.operators.text import c4_line_filters
+
+    good = "this line has enough words and punctuation."
+    docs = [
+        # 3 good lines -> keep_doc
+        (1, "\n".join([good, "another full sentence with six words!",
+                       'a quoted sentence ends with a mark."'])),
+        # only 2 good lines -> not kept as doc, lines still cleaned
+        (2, "\n".join([good, "too short line.", good])),
+        # rule violations, one per line
+        (3, "\n".join([
+            "no terminal punctuation so this drops",
+            "enable JavaScript to view this content.",
+            "see our Cookie Policy for more details.",
+            "function f() { return 1; }.",
+            "Lorem Ipsum dolor sit amet consectetur.",
+            good,
+        ])),
+        # CRLF endings still match terminal punctuation
+        (4, good + "\r\n" + "another full sentence with six words!\r"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filters(df).collect()}
+    assert out[1]["n_lines_kept"] == 3 and out[1]["keep_doc"]
+    assert out[2]["n_lines_kept"] == 2 and not out[2]["keep_doc"]
+    assert out[2]["text_clean"] == good + "\n" + good
+    assert out[3]["n_lines_kept"] == 1  # only the final good line
+    assert out[3]["text_clean"] == good
+    assert out[3]["n_lines_dropped"] == 5
+    assert out[4]["n_lines_kept"] == 2  # \r stripped before the check
+    assert out[4]["n_lines_dropped"] == 0
+    assert out[5]["n_lines_kept"] == 0 and not out[5]["keep_doc"]
+    # the pass is pure expressions: no BatchEvalPython in the plan
+    plan = (
+        c4_line_filters(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
