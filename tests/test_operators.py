@@ -3606,3 +3606,78 @@ def test_c4_line_filters_rules(spark):
         c4_line_filters(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_semantic_probe_property(spark):
+    """Hypothesis twin of the LSH probe property: for ANY corpus/batch
+    split of random small unit vectors, the persisted ANN-index probe
+    emits exactly similarity_pairs' cross pairs over the union under
+    the same frozen centroids."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        ivf_assign,
+        similarity_pairs,
+        write_ann_index,
+    )
+
+    # unit vectors in 4 dims from a small deterministic pool (axes and
+    # diagonals) -- collisions and near-dups are likely by design
+    h = 0.7071067811865476
+    pool = [
+        [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0],
+        [h, h, 0.0, 0.0], [0.0, h, h, 0.0], [0.0, 0.0, h, h],
+    ]
+    vecs_strategy = st.lists(
+        st.integers(0, len(pool) - 1), min_size=2, max_size=10
+    )
+
+    @given(picks=vecs_strategy, batch_mod=st.integers(2, 3))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(picks, batch_mod):
+        rows = [(i, pool[p]) for i, p in enumerate(picks)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        corpus = df.filter(F.col("vec_id") % batch_mod != 0)
+        batch = df.filter(F.col("vec_id") % batch_mod == 0)
+        if corpus.count() == 0 or batch.count() == 0:
+            return
+        batch_ids = {i for i, _ in rows if i % batch_mod == 0}
+        cents = spark.createDataFrame(
+            [(0, pool[0]), (1, pool[1])], "vec_id long, embedding array<float>"
+        )
+        table = "maw_ann_prop_test"
+        write_ann_index(corpus, table, centroids=cents, dims=4)
+        try:
+            assigned = ivf_assign(df, cents, dims=4)
+            expected = set()
+            for r in similarity_pairs(
+                assigned, threshold=0.5, id_col="id", vec_col="v",
+                block_col="cluster", dims=4,
+            ).collect():
+                a_in = r["id_a"] in batch_ids
+                if a_in != (r["id_b"] in batch_ids):
+                    new_id = r["id_a"] if a_in else r["id_b"]
+                    corpus_id = r["id_b"] if a_in else r["id_a"]
+                    expected.add((new_id, corpus_id, r["sim"]))
+            got = {
+                (r["new_id"], r["corpus_id"], r["sim"])
+                for r in incremental_semantic_pairs(
+                    batch, table, threshold=0.5
+                ).collect()
+            }
+            assert got == expected
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+            spark.sql(f"DROP TABLE IF EXISTS {table}_postings")
+
+    check()

@@ -484,3 +484,44 @@ def test_semantic_ingest_stream_exactly_once(spark, tmp_path):
     } == kept
     for suffix in ("", "_ann_centroids", "_ann_postings"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_dedup_ingest_cold_start_from_empty_index(spark, tmp_path):
+    """The docstring claims a cold start works: seed the LSH index from
+    an EMPTY frame, ingest a first wave (within-batch dedup still
+    applies), and verify the loop is self-priming."""
+    import shutil
+
+    from streaming_parquet_spark.operators.dedup import write_lsh_index
+    from streaming_parquet_spark.streaming.ingest import dedup_ingest_stream
+
+    table = "maw_ingest_cold"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
+        )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_lsh_index(empty, f"{table}_lsh", num_hashes=16, bands=8)
+
+    src = str(tmp_path / "cold_src")
+    text = "alpha bravo carol delta echo foxtrot golf hotel india jazz"
+    other = "kilo lima mike nov oscar papa quebec romeo sierra tango"
+    spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    res = dedup_ingest_stream(
+        spark, src, table, str(tmp_path / "cold_ckpt")
+    )
+    assert res.rows_in == 3 and res.rows_kept == 2  # 2 dups of 1 -> dropped
+    assert {r["doc_id"] for r in spark.table(table).collect()} == {1, 3}
+    # the index is now primed: re-ingest drops everything
+    res2 = dedup_ingest_stream(
+        spark, src, table, str(tmp_path / "cold_ckpt2")
+    )
+    assert res2.rows_kept == 0
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
