@@ -1,0 +1,97 @@
+"""Continuous deduplicated-ingest example: the probe → survivors →
+append loop running under Structured Streaming, cold-started from an
+empty index.
+
+  wave 1 arrives  -> within-batch dedup -> index probe -> survivors
+                     land in the corpus table (partition ingest_batch=0)
+                     and the LSH index
+  wave 2 arrives  -> same checkpoint resumes: only new files process;
+                     re-ingested documents self-pair against the index
+                     and drop
+  full replay     -> a FRESH checkpoint reprocesses everything and
+                     changes NOTHING (exactly-once corpus contents —
+                     the crash/replay analysis in streaming/ingest.py)
+
+Run: python examples/continuous_ingest.py [sf_dir] [workdir]
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streaming_parquet_spark.operators.dedup import write_lsh_index
+from streaming_parquet_spark.session import get_spark
+from streaming_parquet_spark.streaming import dedup_ingest_stream
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/continuous_ingest"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    spark = get_spark(app_name="continuous-ingest", master="local[4]",
+                      shuffle_partitions=8)
+
+    table = "ingested_docs"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
+        )
+
+    # cold start: an EMPTY index — the loop is self-priming
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_lsh_index(empty, f"{table}_lsh")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+
+    # wave 1: the first half of the corpus
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text"
+    ).coalesce(1).write.mode("append").parquet(src)
+    r1 = dedup_ingest_stream(spark, src, table, ckpt,
+                             max_bucket_rows=10_000)
+    print(f"wave 1: {r1.rows_in} in -> {r1.rows_kept} kept "
+          f"(within-wave near-dups removed)")
+
+    # wave 2: the other half PLUS a re-delivery of wave 1 (an upstream
+    # at-least-once producer) — the re-delivered docs self-pair against
+    # the index and drop
+    docs.select("doc_id", "text").coalesce(1).write.mode("append").parquet(
+        src
+    )
+    r2 = dedup_ingest_stream(spark, src, table, ckpt,
+                             max_bucket_rows=10_000)
+    print(f"wave 2: {r2.rows_in} in -> {r2.rows_kept} kept "
+          f"(re-delivered wave-1 docs dropped by the index)")
+
+    corpus = spark.table(table)
+    print(f"corpus: {corpus.count()} docs across "
+          f"{corpus.select('ingest_batch').distinct().count()} "
+          f"ingest batches")
+
+    # disaster drill: replay EVERYTHING under a fresh checkpoint
+    before = corpus.count()
+    r3 = dedup_ingest_stream(spark, src, table,
+                             os.path.join(work, "ckpt_fresh"),
+                             max_bucket_rows=10_000)
+    after = spark.table(table).count()
+    print(f"full replay: {r3.rows_in} in -> {r3.rows_kept} kept; "
+          f"corpus {before} -> {after} (unchanged: {before == after})")
+
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
