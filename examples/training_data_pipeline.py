@@ -117,16 +117,30 @@ def main():
     ).select("doc_id")
     selected = deduped.join(off_target, "doc_id", "left_anti")
 
+    # 3b. REAL token counts: fit a BPE merge table on the selected
+    #     corpus (word-frequency table -> driver-side merge loop,
+    #     deterministic) and tokenize with the Arrow-batched apply —
+    #     n_bpe_tokens replaces the chars/4 estimate for everything
+    #     downstream that budgets by tokens.
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_bpe,
+        fit_bpe_merges,
+    )
+
+    merges = fit_bpe_merges(selected, n_merges=256)
+    tokenized = apply_bpe(selected, merges).drop("bpe_tokens")
+
     # 4. deterministic per-language sampling + split + stable ids
     sampled = stratified_sample(
-        selected,
+        tokenized,
         rates={"en": 1.0, "de": 0.8, "fr": 0.8},
         strat_col="lang",
         default_rate=0.5,
     )
     split = with_split(sampled, id_col="doc_id")
     final = assign_contiguous_ids(
-        split.select("doc_id", "lang", "source", "n_chars", "split", "text"),
+        split.select("doc_id", "lang", "source", "n_chars",
+                     "n_bpe_tokens", "split", "text"),
         ["lang", "doc_id"],
         out_col="example_id",
     )
