@@ -701,15 +701,25 @@ def incremental_semantic_pairs(
     )
     postings = read_posting_lists(spark, f"{table}_postings")
     if max_block_rows is not None:
+        # Prune to PROBED clusters before counting (broadcast semi-join
+        # on the partition column): clusters the batch never touches
+        # can neither produce candidates nor change a probed cluster's
+        # cap count, and pruning here lets partition pruning cover the
+        # cap aggregate too — otherwise the count would scan every
+        # posting-list partition per probe, defeating the layout. The
+        # uncapped path needs no explicit prune: the candidate join's
+        # broadcast handles it (DPP).
+        probed = batch.select("cluster").dropDuplicates()
+        pruned = postings.join(F.broadcast(probed), ["cluster"], "left_semi")
         ok = (
-            postings.select("cluster")
+            pruned.select("cluster")
             .unionByName(batch.select("cluster"))
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("__block_n"))
             .filter(F.col("__block_n") <= max_block_rows)
             .select("cluster")
         )
-        postings = postings.join(ok, ["cluster"], "left_semi")
+        postings = pruned.join(F.broadcast(ok), ["cluster"], "left_semi")
         batch = batch.join(F.broadcast(ok), ["cluster"], "left_semi")
     if dims is not None:
         def flat(df: DataFrame, side: str) -> DataFrame:
