@@ -213,6 +213,11 @@ def main() -> None:
             tbl = "maw_bench_lsh_index"
             for s in ("_sets", "_bands"):
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}{s}")
+            # equal-condition sampling: the build must not inherit the
+            # sf1 smoke's cache/heap state while the probe gets a
+            # cleared slate
+            spark.catalog.clearCache()
+            release_materialized()
             t0 = time.perf_counter()
             write_lsh_index(corpus, tbl)
             ingest["index_build_s"] = round(time.perf_counter() - t0, 4)

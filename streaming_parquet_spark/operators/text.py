@@ -846,6 +846,10 @@ def fit_text_classifier(
     scoring pass exact-integer and engine-portable; the quantization
     error is bounded by n_tokens * 2^-scale_bits per logit.
 
+    Contract: ids are unique ACROSS pos ∪ neg — features group by id,
+    so a pos id colliding with a neg id would merge two documents'
+    bags into one feature row joined to both labels.
+
     Scale: like :func:`~streaming_parquet_spark.operators.similarity.
     fit_ivf_centroids`, the FIT runs on a labeled sample (labeled data
     is small by construction — the fit cost is O(sample * buckets *
@@ -917,11 +921,16 @@ def classifier_score(
     BIGINT fixed-point feature dot  Σ_b cnt_b · w_b  and ``logit`` the
     mean-pooled fastText logit
 
-        intercept + (Σ_b cnt_b · w_b) / n_tokens
+        w0/2^s  +  (Σ_b cnt_b · w_b)/2^s / n_tokens
 
-    evaluated as exactly two correctly-rounded double ops (one
-    division, one addition), so the whole scoring pass is
-    engine-portable and oracle-able given the model relation.
+    evaluated in EXACTLY that order: two divisions by 2^scale_bits
+    (exact in binary floating point — no rounding), one
+    correctly-rounded division by n_tokens, one correctly-rounded
+    addition.  Reproducing the logit bit-for-bit requires this
+    evaluation order, not just the algebraic formula — a fused
+    (w0 + dot/n)/2^s rounds differently.  Given the model relation
+    and this order the scoring pass is engine-portable and
+    oracle-able.
 
     Plan: the model is O(buckets) rows and BROADCASTS; the feature
     explode shuffles (id, bkt) pairs, never documents — the same
@@ -1014,7 +1023,10 @@ def c4_line_filters(
         r"""rtrim(regexp_replace(l, '\r$', '')) rlike '[.!?"”]$'""",
         f"size(filter(split(trim(l), ' +'), w -> w != ''))"
         f" >= {int(min_words_per_line)}",
+        # either bracket is the stray-code signal: a closing brace
+        # whose opener sat on an already-dropped line must not leak
         "NOT contains(l, '{')",
+        "NOT contains(l, '}')",
     ]
     for kw in blocklist:
         esc = kw.replace("'", "\\'")
@@ -1023,7 +1035,18 @@ def c4_line_filters(
     kept = f"filter(split({text_col}, '\\n'), l -> {pred})"
     return (
         df.withColumn("__kept", F.expr(kept))
-        .withColumn("text_clean", F.array_join(F.col("__kept"), "\n"))
+        # normalize CRLF on the way out: a retained trailing \r would
+        # glue itself onto the last word under the ASCII-space split
+        # rule every downstream operator uses
+        .withColumn(
+            "text_clean",
+            F.array_join(
+                F.expr(
+                    r"transform(__kept, l -> regexp_replace(l, '\r$', ''))"
+                ),
+                "\n",
+            ),
+        )
         .withColumn("n_lines_kept", F.size("__kept").cast("bigint"))
         .withColumn(
             "n_lines_dropped",

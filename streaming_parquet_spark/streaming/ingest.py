@@ -8,26 +8,44 @@ Per micro-batch:
   1. within-batch near-dup removal (drop any doc near-duplicating a
      lower-id doc in the same batch — the semantic_dedup_drops rule),
   2. probe the persisted index (incremental_lsh_pairs semantics),
-  3. dynamic-partition-OVERWRITE the survivors into the corpus table
-     under ingest_batch=<batch_id>,
-  4. append the survivors to the index.
+  3. DELTA-APPEND the survivors into the corpus table under
+     ingest_batch=<batch_id>, anti-joined by id against that
+     partition's existing rows,
+  4. DELTA-APPEND the survivors to the index, anti-joined by id
+     against the index's authoritative id table ({t}_sets /
+     {t}_postings — the LAST table each index append writes).
 
-Why this ordering is exactly-once without a transactional table
-format: the stream checkpoint commits AFTER step 4, so a crash
-anywhere replays the whole batch. Replay cases —
+Why this is exactly-once without a transactional table format: every
+write is an APPEND (job-atomic under the file-output committer — a
+crashed write publishes nothing) whose rows are anti-joined against
+the destination's existing ids, so re-executing any step is a no-op
+for rows it already published.  The stream checkpoint commits after
+step 4; a crash anywhere replays the whole batch:
   * crash before step 3: clean rerun, nothing was written.
-  * crash between 3 and 4: the probe (not yet appended) yields the
-    SAME survivors — deterministic operators over the same batch —
-    and step 3 overwrites the partition with identical rows
-    (idempotent), then step 4 runs.
-  * crash after 4: every replayed survivor now pairs with its own
-    indexed copy at jaccard 1.0, so the probe drops all of them;
-    steps 3/4 see an empty survivor set and touch nothing (an empty
-    dynamic overwrite rewrites no partitions), leaving the earlier
-    writes as the single effect.
-The index tables themselves are therefore at-most-once-appended per
-batch, and the corpus partition is overwritten-or-untouched — no
-replay can double-count a document.
+  * crash between 3 and 4: survivors re-derive; step 3's anti-join
+    finds their ids already in the partition and appends nothing;
+    step 4 runs.
+  * crash inside step 4 (the LSH index appends bands THEN sets —
+    write_lsh_index's documented order): ids caught in the window
+    are in bands but not sets, generate candidates with no shingle
+    set, so they do NOT self-pair — they re-derive as survivors,
+    step 3 appends nothing (ids already in the partition), and the
+    re-append gives them their single sets row.  The index
+    self-heals; the only residue is duplicate bands rows (candidates
+    are dropDuplicates'd, so pairs are unaffected).
+  * crash after 4: replayed survivors either self-pair against their
+    indexed copies (jaccard/sim 1.0) and drop, or — if a hot-bucket
+    cap suppresses the self-pair because the append itself pushed a
+    bucket over the cap — survive the probe and are then excluded by
+    BOTH anti-joins.  Either way nothing is appended twice.
+Id-based anti-joins, not blind partition overwrites, are what make
+this robust: an overwrite-based step 3 would delete previously
+committed rows whenever a replay's survivor set differed (cap drift,
+or a fresh-checkpoint replay over a source that has gained files —
+batch ids restart at 0 and would clobber the original partition).
+With delta-appends a fresh-checkpoint replay over a grown source
+simply appends the genuinely-new survivors; ``ingest_batch`` is
+bookkeeping per checkpoint generation, not a content key.
 
 At 100 TB: per-batch SHUFFLE volume scales with the batch (the index
 probe broadcasts the batch's band relation; the corpus table is never
@@ -86,23 +104,36 @@ def _run_ingest(
     source_dir: str,
     table: str,
     checkpoint: str,
+    id_col: str,
     survivors_fn,
+    indexed_ids_fn,
     append_fn,
     max_files_per_trigger: int | None,
+    refresh_tables: tuple[str, ...] = (),
 ) -> IngestResult:
     """The shared exactly-once micro-batch runner (module docstring):
     ``survivors_fn(batch) -> DataFrame`` performs within-batch dedup +
-    the index probe (steps 1-2; deterministic, so a replayed batch
-    reproduces the same survivor set); ``append_fn(survivors)`` folds
-    survivors into the index (step 4).  Step 3's dynamic partition
-    overwrite and the 3-before-4 ordering carry the crash/replay
-    guarantees for BOTH the text and the embedding loop."""
-    schema = spark.read.parquet(source_dir).schema
+    the index probe (steps 1-2); ``indexed_ids_fn()`` returns the
+    index's authoritative id relation (one ``id_col`` column — the
+    LAST table the index append writes, so a crash mid-append reads
+    as not-yet-appended); ``append_fn(rows)`` folds rows into the
+    index (step 4).  Both corpus and index writes are id-anti-joined
+    delta-APPENDS — the idempotence mechanism the module docstring's
+    replay analysis rests on."""
+    try:
+        schema = spark.read.parquet(source_dir).schema
+    except Exception:
+        # an empty / not-yet-populated source: zero batches is the
+        # correct cold-start answer, not an inference error — the
+        # producer may simply not have delivered yet
+        return IngestResult()
     result = IngestResult()
 
     def process(batch: DataFrame, batch_id: int) -> None:
         bspark = batch.sparkSession
         result.batches.append(batch_id)
+        # footer-count only for parquet micro-batches (the aggregate
+        # pushes down to row-group metadata) — not a second data scan
         result.rows_in += batch.count()
         survivors = survivors_fn(batch).withColumn(
             "ingest_batch", F.lit(int(batch_id))
@@ -115,25 +146,27 @@ def _run_ingest(
         result.rows_kept += n
         try:
             if n:
-                # 3. exactly-once corpus write: dynamic partition
-                #    overwrite of ingest_batch=<batch_id> only.  Set
-                #    via session conf — the DataFrameWriter option of
-                #    the same name is not honored by insertInto here
-                #    (observed: it fell back to STATIC and truncated
-                #    the other partitions).
+                # 3. corpus delta-append: only ids not already in this
+                #    batch's partition (replay-idempotent; the filter
+                #    on the partition column prunes the read to one
+                #    partition). Appends of new files are safe against
+                #    the lazy self-read — published files are immutable.
                 _ensure_corpus_table(bspark, rows, table)
-                conf_key = "spark.sql.sources.partitionOverwriteMode"
-                prev = bspark.conf.get(conf_key, None)
-                bspark.conf.set(conf_key, "dynamic")
-                try:
-                    rows.write.mode("overwrite").insertInto(table)
-                finally:
-                    if prev is None:
-                        bspark.conf.unset(conf_key)
-                    else:
-                        bspark.conf.set(conf_key, prev)
-                # 4. fold survivors into the index
-                append_fn(rows.drop("ingest_batch"))
+                existing = (
+                    bspark.table(table)
+                    .filter(F.col("ingest_batch") == int(batch_id))
+                    .select(F.col(id_col))
+                )
+                rows.join(existing, id_col, "left_anti").write.insertInto(
+                    table
+                )
+                # 4. index delta-append: only ids the index does not
+                #    already hold (guards the cap-suppressed-replay
+                #    case where a survivor fails to self-pair)
+                idx_delta = rows.drop("ingest_batch").join(
+                    indexed_ids_fn(), id_col, "left_anti"
+                )
+                append_fn(idx_delta)
         finally:
             rows.unpersist()
 
@@ -151,6 +184,14 @@ def _run_ingest(
         .start()
     )
     q.awaitTermination()
+    # foreachBatch runs in a CLONED SparkSession; its appends refresh
+    # the clone's table-relation cache, not the caller's. Without this
+    # refresh the caller's next spark.table() serves a STALE file
+    # listing for any table it had read before the stream ran
+    # (observed: an appended sets row present on disk but invisible).
+    for t in refresh_tables:
+        if spark.catalog.tableExists(t):
+            spark.catalog.refreshTable(t)
     return result
 
 
@@ -199,12 +240,20 @@ def dedup_ingest_stream(
             max_bucket_rows=max_bucket_rows,
         )
 
+    def indexed_ids_fn() -> DataFrame:
+        # sets is the LAST table append_to_lsh_index writes: an id
+        # present here is fully indexed; an id caught in the
+        # bands-then-sets crash window reads as absent and re-appends
+        # (the self-heal in the module docstring)
+        return spark.table(f"{index}_sets").select(F.col("id").alias(id_col))
+
     def append_fn(rows: DataFrame) -> None:
         append_to_lsh_index(rows, index, id_col=id_col, text_col=text_col)
 
     return _run_ingest(
-        spark, source_dir, table, checkpoint, survivors_fn, append_fn,
-        max_files_per_trigger,
+        spark, source_dir, table, checkpoint, id_col, survivors_fn,
+        indexed_ids_fn, append_fn, max_files_per_trigger,
+        refresh_tables=(table, f"{index}_sets", f"{index}_bands"),
     )
 
 
@@ -246,10 +295,18 @@ def semantic_ingest_stream(
             vec_col=vec_col, max_block_rows=max_block_rows,
         )
 
+    def indexed_ids_fn() -> DataFrame:
+        # postings is the single (and therefore last) table the ANN
+        # append writes; centroids are frozen at build time
+        return spark.table(f"{index}_postings").select(
+            F.col("id").alias(id_col)
+        )
+
     def append_fn(rows: DataFrame) -> None:
         append_to_ann_index(rows, index, id_col=id_col, vec_col=vec_col)
 
     return _run_ingest(
-        spark, source_dir, table, checkpoint, survivors_fn, append_fn,
-        max_files_per_trigger,
+        spark, source_dir, table, checkpoint, id_col, survivors_fn,
+        indexed_ids_fn, append_fn, max_files_per_trigger,
+        refresh_tables=(table, f"{index}_postings", f"{index}_centroids"),
     )

@@ -3589,6 +3589,10 @@ def test_c4_line_filters_rules(spark):
         # CRLF endings still match terminal punctuation
         (4, good + "\r\n" + "another full sentence with six words!\r"),
         (5, ""),
+        # a closing brace whose opener sat on a dropped line must not
+        # leak (stray-code rule covers BOTH brackets)
+        (6, "this sentence closes the earlier code block } neatly.\n"
+            + good),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {r["doc_id"]: r for r in c4_line_filters(df).collect()}
@@ -3600,7 +3604,9 @@ def test_c4_line_filters_rules(spark):
     assert out[3]["n_lines_dropped"] == 5
     assert out[4]["n_lines_kept"] == 2  # \r stripped before the check
     assert out[4]["n_lines_dropped"] == 0
+    assert "\r" not in out[4]["text_clean"]  # CRLF normalized on output
     assert out[5]["n_lines_kept"] == 0 and not out[5]["keep_doc"]
+    assert out[6]["n_lines_kept"] == 1 and out[6]["text_clean"] == good
     # the pass is pure expressions: no BatchEvalPython in the plan
     plan = (
         c4_line_filters(df)._jdf.queryExecution().executedPlan().toString()

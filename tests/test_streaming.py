@@ -525,3 +525,121 @@ def test_dedup_ingest_cold_start_from_empty_index(spark, tmp_path):
     assert res2.rows_kept == 0
     for suffix in ("", "_lsh_sets", "_lsh_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_ingest_fresh_replay_over_grown_source_appends(spark, tmp_path):
+    """Disaster replay over a source that GAINED files since the
+    original checkpoint: batch ids restart at 0, so the new docs land
+    with ingest_batch=0 — the delta-append protocol must ADD them
+    without touching the original batch-0 survivors (an overwrite-based
+    step 3 would clobber them)."""
+    import shutil
+
+    from streaming_parquet_spark.operators.dedup import write_lsh_index
+    from streaming_parquet_spark.streaming.ingest import dedup_ingest_stream
+
+    table = "maw_ingest_grown"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
+        )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_lsh_index(empty, f"{table}_lsh", num_hashes=16, bands=8)
+
+    t1 = "alpha bravo carol delta echo foxtrot golf hotel india jazz"
+    t2 = "kilo lima mike nov oscar papa quebec romeo sierra tango"
+    t3 = "uni vic whiskey xray yank zulu amber birch cedar dune"
+    src = str(tmp_path / "grown_src")
+    spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    r1 = dedup_ingest_stream(spark, src, table, str(tmp_path / "g_ck"))
+    assert r1.rows_kept == 2
+
+    # checkpoint lost; meanwhile a new file arrived
+    spark.createDataFrame([(3, t3)], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    r2 = dedup_ingest_stream(spark, src, table, str(tmp_path / "g_ck2"))
+    assert r2.rows_in == 3 and r2.rows_kept == 1  # only doc 3 is new
+    got = {
+        (r["doc_id"], r["ingest_batch"])
+        for r in spark.table(table).collect()
+    }
+    # originals intact, the new doc appended into the replay's batch 0
+    assert got == {(1, 0), (2, 0), (3, 0)}
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_ingest_self_heals_bands_sets_crash_window(spark, tmp_path):
+    """Simulate a crash between the index's bands and sets appends
+    (write_lsh_index's documented order): an id with bands rows but no
+    sets row must NOT self-pair, must re-derive as a survivor, must not
+    duplicate its corpus row (id anti-join), and the re-append must
+    leave exactly one sets row — the self-heal in the ingest module
+    docstring."""
+    import shutil
+
+    from streaming_parquet_spark.operators.dedup import (
+        _minhash_bands,
+        basis_expr,
+        word_hashes_expr,
+        write_lsh_index,
+    )
+    from streaming_parquet_spark.streaming.ingest import dedup_ingest_stream
+
+    table = "maw_ingest_heal"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
+        )
+    t1 = "alpha bravo carol delta echo foxtrot golf hotel india jazz"
+    t2 = "kilo lima mike nov oscar papa quebec romeo sierra tango"
+    seed = spark.createDataFrame([(1, t1)], "doc_id long, text string")
+    write_lsh_index(seed, f"{table}_lsh", num_hashes=16, bands=8)
+
+    src = str(tmp_path / "heal_src")
+    ckpt = str(tmp_path / "heal_ck")
+    wave = spark.createDataFrame([(2, t2)], "doc_id long, text string")
+    wave.coalesce(1).write.mode("append").parquet(src)
+    r1 = dedup_ingest_stream(spark, src, table, ckpt)
+    assert r1.rows_kept == 1
+
+    # CRASH SIMULATION for a hypothetical doc 3: corpus row written,
+    # bands rows written, sets row NOT written, checkpoint not
+    # committed -> the file replays under a fresh checkpoint
+    t3 = "uni vic whiskey xray yank zulu amber birch cedar dune"
+    doc3 = spark.createDataFrame([(3, t3)], "doc_id long, text string")
+    doc3.withColumn("ingest_batch", F.lit(0)).write.insertInto(table)
+    hashed = word_hashes_expr("spark", basis_expr("spark", "text", "shingle3"))
+    base3 = doc3.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.expr(hashed)).alias("wh"),
+    )
+    _minhash_bands(base3, 16, 8).write.mode("append").format(
+        "parquet"
+    ).saveAsTable(f"{table}_lsh_bands")
+    doc3.coalesce(1).write.mode("append").parquet(src)
+
+    r2 = dedup_ingest_stream(spark, src, table, str(tmp_path / "heal_ck2"))
+    # doc 3 re-derives as a survivor (no sets row -> no self-pair);
+    # docs 2 (fully indexed) self-pairs and drops
+    assert r2.rows_kept == 1
+    corpus = [r["doc_id"] for r in spark.table(table).collect()]
+    assert sorted(corpus) == [2, 3]  # no duplicate corpus row for 3
+    sets_ids = [
+        r["id"] for r in spark.table(f"{table}_lsh_sets").collect()
+    ]
+    assert sorted(sets_ids) == [1, 2, 3]  # exactly one sets row each
+    # re-ingest now drops everything: the heal is complete
+    r3 = dedup_ingest_stream(spark, src, table, str(tmp_path / "heal_ck3"))
+    assert r3.rows_kept == 0
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
