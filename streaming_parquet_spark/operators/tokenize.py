@@ -38,35 +38,63 @@ _EOW = "</w>"
 
 def _bpe_train(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
     """Classic BPE training over a word-frequency dict; deterministic
-    via the (count DESC, pair ASC) selection rule."""
+    via the (count DESC, pair ASC) selection rule.
+
+    Pair counts update INCREMENTALLY: merging (a, b) only changes the
+    counts of pairs inside words that contain the bigram, so each
+    round costs O(words touched), not O(all corpus symbols) — the
+    standard trick that makes a 50k-word table / 1k-merge fit
+    driver-practical.  An index pair -> {words containing it} bounds
+    the touched set."""
     seqs: dict[str, list[str]] = {
         w: list(w) + [_EOW] for w in word_freq
     }
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[str]] = {}
+    for w, freq in word_freq.items():
+        seq = seqs[w]
+        for pair in zip(seq, seq[1:]):
+            counts[pair] = counts.get(pair, 0) + freq
+            where.setdefault(pair, set()).add(w)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for w, freq in word_freq.items():
-            seq = seqs[w]
-            for a, b in zip(seq, seq[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + freq
-        if not counts:
+        # prune zero/negative residue before selecting
+        best = None
+        for pair, c in counts.items():
+            if c <= 0:
+                continue
+            if best is None or (-c, pair) < (-counts[best], best):
+                best = pair
+        if best is None:
             break
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         a, b = best
         ab = a + b
-        for w, seq in seqs.items():
-            if a not in seq:
-                continue
+        for w in sorted(where.get(best, ())):
+            freq, seq = word_freq[w], seqs[w]
             out, i = [], 0
+            changed = False
             while i < len(seq):
                 if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
                     out.append(ab)
                     i += 2
+                    changed = True
                 else:
                     out.append(seq[i])
                     i += 1
+            if not changed:
+                continue
+            # retract the old window counts, add the new ones
+            for pair in zip(seq, seq[1:]):
+                counts[pair] -= freq
+                if counts[pair] <= 0:
+                    where.pop(pair, None)
             seqs[w] = out
+            for pair in zip(out, out[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+                where.setdefault(pair, set()).add(w)
+        counts.pop(best, None)
+        where.pop(best, None)
     return merges
 
 
