@@ -72,11 +72,13 @@ def main():
         "doc_id", "text", "lang", "source", "n_chars", "quality_score"
     )
     pos_sample = kept.orderBy(F.desc("quality_score"), "doc_id").limit(64)
-    # negative ids offset into their own range: fit_text_classifier
+    # negative ids NEGATED into their own range: fit_text_classifier
     # groups hashed features by id, so a neg id colliding with a pos id
-    # would merge two documents' features under contradictory labels
+    # would merge two documents' features under contradictory labels —
+    # -1-doc_id cannot collide with any non-negative real id at any
+    # corpus size (a fixed +N offset would re-collide past N docs)
     neg_sample = docs.select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        (F.lit(-1) - F.col("doc_id")).alias("doc_id"),
         F.expr(
             "concat_ws(' ', transform(sequence(1, 12),"
             " i -> concat('zx', CAST(pmod(doc_id + i, 17) AS STRING))))"

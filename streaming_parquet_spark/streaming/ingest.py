@@ -48,14 +48,15 @@ simply appends the genuinely-new survivors; ``ingest_batch`` is
 bookkeeping per checkpoint generation, not a content key.
 
 At 100 TB: per-batch SHUFFLE volume scales with the batch (the index
-probe broadcasts the batch's band relation; the corpus table is never
-read on the ingest path), while per-batch I/O additionally pays one
-column-pruned, shuffle-free scan of the index tables — amortize it by
-sizing triggers (``max_files_per_trigger``): per-document index-scan
-cost is index_bytes / batch_docs, so probing bigger batches less
-often is strictly cheaper (see the cost-honesty note on
-``incremental_lsh_pairs``).  The corpus table is partitioned by
-ingest batch, which doubles as retention/lineage bookkeeping.
+probe broadcasts the batch's band relation), while per-batch I/O
+additionally pays one column-pruned, shuffle-free scan of the index
+tables AND one column-pruned id scan of the corpus table (the step-3
+anti-join — the price of cross-partition idempotence) — amortize both
+by sizing triggers (``max_files_per_trigger``): per-document scan
+cost is (index_bytes + corpus_id_bytes) / batch_docs, so probing
+bigger batches less often is strictly cheaper (see the cost-honesty
+note on ``incremental_lsh_pairs``).  The corpus table is partitioned
+by ingest batch, which doubles as retention/lineage bookkeeping.
 """
 
 from __future__ import annotations
@@ -113,27 +114,40 @@ def _run_ingest(
 ) -> IngestResult:
     """The shared exactly-once micro-batch runner (module docstring):
     ``survivors_fn(batch) -> DataFrame`` performs within-batch dedup +
-    the index probe (steps 1-2); ``indexed_ids_fn()`` returns the
-    index's authoritative id relation (one ``id_col`` column — the
+    the index probe (steps 1-2); ``indexed_ids_fn(session)`` returns
+    the index's authoritative id relation (one ``id_col`` column — the
     LAST table the index append writes, so a crash mid-append reads
-    as not-yet-appended); ``append_fn(rows)`` folds rows into the
-    index (step 4).  Both corpus and index writes are id-anti-joined
+    as not-yet-appended), resolved through the MICRO-BATCH session so
+    batch N sees batch N-1's appends (the caller's session caches a
+    stale file listing); ``append_fn(rows)`` folds rows into the index
+    (step 4).  Both corpus and index writes are id-anti-joined
     delta-APPENDS — the idempotence mechanism the module docstring's
     replay analysis rests on."""
+    from pyspark.errors import AnalysisException
+
     try:
         schema = spark.read.parquet(source_dir).schema
-    except Exception:
+    except AnalysisException as exc:
         # an empty / not-yet-populated source: zero batches is the
         # correct cold-start answer, not an inference error — the
-        # producer may simply not have delivered yet
+        # producer may simply not have delivered yet. Anything other
+        # than empty/missing (permissions, corrupt footers, a typo'd
+        # path raising a different class) must still surface.
+        marker = (exc.getErrorClass() or "") + " " + str(exc)
+        if not (
+            "UNABLE_TO_INFER_SCHEMA" in marker or "PATH_NOT_FOUND" in marker
+        ):
+            raise
         return IngestResult()
     result = IngestResult()
 
     def process(batch: DataFrame, batch_id: int) -> None:
         bspark = batch.sparkSession
         result.batches.append(batch_id)
-        # footer-count only for parquet micro-batches (the aggregate
-        # pushes down to row-group metadata) — not a second data scan
+        # Cache the batch: the tally count, the within-batch pair
+        # search, and the probe all consume it — without the persist
+        # each would re-scan the batch's files.
+        batch = batch.persist()
         result.rows_in += batch.count()
         survivors = survivors_fn(batch).withColumn(
             "ingest_batch", F.lit(int(batch_id))
@@ -146,17 +160,17 @@ def _run_ingest(
         result.rows_kept += n
         try:
             if n:
-                # 3. corpus delta-append: only ids not already in this
-                #    batch's partition (replay-idempotent; the filter
-                #    on the partition column prunes the read to one
-                #    partition). Appends of new files are safe against
-                #    the lazy self-read — published files are immutable.
+                # 3. corpus delta-append: only ids not in the corpus
+                #    AT ALL (replay-idempotent across partitions — a
+                #    cap-suppressed or redelivered doc's original row
+                #    may sit under ANY ingest_batch, so scoping this
+                #    to the current partition would re-append it).
+                #    One column-pruned id scan of the corpus per
+                #    trigger; amortize via trigger sizing like the
+                #    index scans. Appends are safe against the lazy
+                #    self-read — published files are immutable.
                 _ensure_corpus_table(bspark, rows, table)
-                existing = (
-                    bspark.table(table)
-                    .filter(F.col("ingest_batch") == int(batch_id))
-                    .select(F.col(id_col))
-                )
+                existing = bspark.table(table).select(F.col(id_col))
                 rows.join(existing, id_col, "left_anti").write.insertInto(
                     table
                 )
@@ -164,11 +178,12 @@ def _run_ingest(
                 #    already hold (guards the cap-suppressed-replay
                 #    case where a survivor fails to self-pair)
                 idx_delta = rows.drop("ingest_batch").join(
-                    indexed_ids_fn(), id_col, "left_anti"
+                    indexed_ids_fn(bspark), id_col, "left_anti"
                 )
                 append_fn(idx_delta)
         finally:
             rows.unpersist()
+            batch.unpersist()
 
     reader = (
         spark.readStream.schema(schema)
@@ -240,12 +255,14 @@ def dedup_ingest_stream(
             max_bucket_rows=max_bucket_rows,
         )
 
-    def indexed_ids_fn() -> DataFrame:
+    def indexed_ids_fn(session: SparkSession) -> DataFrame:
         # sets is the LAST table append_to_lsh_index writes: an id
         # present here is fully indexed; an id caught in the
         # bands-then-sets crash window reads as absent and re-appends
         # (the self-heal in the module docstring)
-        return spark.table(f"{index}_sets").select(F.col("id").alias(id_col))
+        return session.table(f"{index}_sets").select(
+            F.col("id").alias(id_col)
+        )
 
     def append_fn(rows: DataFrame) -> None:
         append_to_lsh_index(rows, index, id_col=id_col, text_col=text_col)
@@ -295,10 +312,10 @@ def semantic_ingest_stream(
             vec_col=vec_col, max_block_rows=max_block_rows,
         )
 
-    def indexed_ids_fn() -> DataFrame:
+    def indexed_ids_fn(session: SparkSession) -> DataFrame:
         # postings is the single (and therefore last) table the ANN
         # append writes; centroids are frozen at build time
-        return spark.table(f"{index}_postings").select(
+        return session.table(f"{index}_postings").select(
             F.col("id").alias(id_col)
         )
 

@@ -643,3 +643,63 @@ def test_ingest_self_heals_bands_sets_crash_window(spark, tmp_path):
     assert r3.rows_kept == 0
     for suffix in ("", "_lsh_sets", "_lsh_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_ingest_cap_suppressed_redelivery_not_duplicated(spark, tmp_path):
+    """A redelivered doc whose self-pair is SUPPRESSED by the
+    hot-cluster cap (the append itself pushed its cluster over the
+    cap) survives the probe — the id anti-joins must still keep it out
+    of BOTH the corpus (whatever partition its original row sits in)
+    and the index."""
+    import shutil
+
+    from streaming_parquet_spark.operators.similarity import write_ann_index
+    from streaming_parquet_spark.streaming.ingest import (
+        semantic_ingest_stream,
+    )
+
+    table = "maw_ingest_capped"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "_ann_centroids", "_ann_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
+        )
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(4)]  # noqa: E731
+    schema = "vec_id long, embedding array<float>"
+    # one centroid -> everything lands in cluster 0
+    cents = spark.createDataFrame([(0, e(0))], schema)
+    seed = spark.createDataFrame([(1, e(1)), (2, e(2))], schema)
+    write_ann_index(seed, f"{table}_ann", centroids=cents, dims=4)
+
+    src = str(tmp_path / "cap_src")
+    ckpt = str(tmp_path / "cap_ckpt")
+    # wave 1: id 3 is new (orthogonal to the seeds) -> appended;
+    # cluster 0 population becomes 3 = the cap
+    spark.createDataFrame([(3, e(3))], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    r1 = semantic_ingest_stream(
+        spark, src, table, ckpt, threshold=0.9, max_block_rows=3
+    )
+    assert r1.rows_kept == 1
+
+    # wave 2: redeliver id 3. Combined cluster population 3+1 > cap ->
+    # the cap suppresses ALL pairs incl. the self-pair, so id 3
+    # survives the probe; only the id anti-joins stand between it and
+    # a duplicate corpus/index row.
+    spark.createDataFrame([(3, e(3))], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    r2 = semantic_ingest_stream(
+        spark, src, table, ckpt, threshold=0.9, max_block_rows=3
+    )
+    assert r2.rows_kept == 1  # survived the (suppressed) probe...
+    corpus_rows = spark.table(table).filter(F.col("vec_id") == 3).count()
+    postings_rows = (
+        spark.table(f"{table}_ann_postings").filter(F.col("id") == 3).count()
+    )
+    assert corpus_rows == 1, "redelivered doc duplicated in the corpus"
+    assert postings_rows == 1, "redelivered doc duplicated in the index"
+    for suffix in ("", "_ann_centroids", "_ann_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
