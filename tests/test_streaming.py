@@ -703,3 +703,62 @@ def test_ingest_cap_suppressed_redelivery_not_duplicated(spark, tmp_path):
     assert postings_rows == 1, "redelivered doc duplicated in the index"
     for suffix in ("", "_ann_centroids", "_ann_postings"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_compact_lsh_index_clears_crash_residue(spark, tmp_path):
+    """After a simulated bands/sets crash window plus self-heal, the
+    index carries duplicate bands rows; compact_lsh_index removes them
+    without changing probe results, and refuses to touch an index
+    whose SETS table has duplicate ids (real corruption)."""
+    import shutil
+
+    from streaming_parquet_spark.operators.dedup import (
+        compact_lsh_index,
+        incremental_lsh_pairs,
+        write_lsh_index,
+    )
+
+    table = "maw_compact_idx"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("_sets", "_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
+        )
+    t1 = "alpha bravo carol delta echo foxtrot golf hotel india jazz"
+    t2 = "kilo lima mike nov oscar papa quebec romeo sierra tango"
+    corpus = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    write_lsh_index(corpus, table, num_hashes=16, bands=8)
+    # crash residue: duplicate id 1's bands rows
+    dup = spark.table(f"{table}_bands").filter(F.col("id") == 1)
+    dup.write.mode("append").format("parquet").saveAsTable(f"{table}_bands")
+    spark.catalog.refreshTable(f"{table}_bands")
+    assert spark.table(f"{table}_bands").count() == 24  # 16 + 8 dup
+
+    batch = spark.createDataFrame([(10, t1)], "doc_id long, text string")
+    pairs_before = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_lsh_pairs(batch, table).collect()
+    }
+    stats = compact_lsh_index(spark, table)
+    assert stats == {"bands_before": 24, "bands_after": 16, "sets_ids": 2}
+    pairs_after = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_lsh_pairs(batch, table).collect()
+    }
+    assert pairs_after == pairs_before and (10, 1, 1.0) in pairs_after
+    # duplicate SETS ids are corruption: compact refuses
+    spark.table(f"{table}_sets").filter(F.col("id") == 1).write.mode(
+        "append"
+    ).format("parquet").saveAsTable(f"{table}_sets")
+    spark.catalog.refreshTable(f"{table}_sets")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corruption"):
+        compact_lsh_index(spark, table)
+    for suffix in ("_sets", "_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
