@@ -232,6 +232,37 @@ def main() -> None:
             ingest["batch_docs"] = float(batch.count())
             for s in ("_sets", "_bands"):
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}{s}")
+            # Same-size batch against a 10x index: the probe's shuffle
+            # term is O(batch) so the growth isolates the documented
+            # O(index) scan term (expect well under 10x).
+            if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+                scale_dir = _ensure_scale_dir(spark, sf_dir, factor=10)
+                docs10 = spark.read.parquet(
+                    os.path.join(scale_dir, "documents.parquet")
+                )
+                corpus10 = docs10.filter(F.col("doc_id") % 100 != 0)
+                batch10 = docs10.filter(F.col("doc_id") % 100 == 0).limit(
+                    int(ingest["batch_docs"])
+                )
+                t0 = time.perf_counter()
+                write_lsh_index(corpus10, tbl)
+                ingest["index10_build_s"] = round(
+                    time.perf_counter() - t0, 4
+                )
+                spark.catalog.clearCache()
+                release_materialized()
+                t0 = time.perf_counter()
+                ingest["probe10_pairs"] = float(
+                    incremental_lsh_pairs(
+                        batch10, tbl, max_bucket_rows=10_000
+                    ).count()
+                )
+                ingest["probe10_s"] = round(time.perf_counter() - t0, 4)
+                ingest["probe10_vs_probe"] = round(
+                    ingest["probe10_s"] / ingest["probe_s"], 2
+                )
+                for s in ("_sets", "_bands"):
+                    spark.sql(f"DROP TABLE IF EXISTS {tbl}{s}")
         except Exception as exc:
             ingest["error"] = str(exc)[:300]
 
