@@ -3687,3 +3687,72 @@ def test_incremental_semantic_probe_property(spark):
             spark.sql(f"DROP TABLE IF EXISTS {table}_postings")
 
     check()
+
+
+def _ess_reference(docs, w):
+    """Brute-force reference for exact_substring_dedup: first
+    occurrence of every duplicated w-token window wins; tokens inside
+    any other occurrence drop."""
+    toks = {i: t.split() for i, t in docs}
+    occ = {}
+    for i, ts in sorted(toks.items()):
+        for p in range(len(ts) - w + 1):
+            occ.setdefault(tuple(ts[p:p + w]), []).append((i, p))
+    dropped = {i: set() for i in toks}
+    for sites in occ.values():
+        if len(sites) > 1:
+            for (i, p) in sites[1:] if sites == sorted(sites) else sorted(sites)[1:]:
+                dropped[i].update(range(p, p + w))
+    out = {}
+    for i, ts in toks.items():
+        kept = [t for j, t in enumerate(ts) if j not in dropped[i]]
+        out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_exact_substring_dedup_matches_bruteforce(spark):
+    """exact_substring_dedup == the brute-force first-occurrence-wins
+    reference on corpora with cross-doc shared runs, within-doc
+    repetition, short docs, and empty docs; and the pass is
+    partitioning-invariant."""
+    from streaming_parquet_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    v = "a b c d e f g h i j".split()
+    shared = " ".join(v)  # a 10-token run
+    docs = [
+        (1, shared + " k1 k2 k3"),               # first occurrence: kept
+        (2, "x1 x2 " + shared + " x3"),          # later: run dropped
+        (3, "y1 " + shared),                      # later still: dropped
+        (4, "z1 z2 z3 z4 " + shared + " " + shared),  # cross + within-doc
+        (5, "p q r"),                              # shorter than window
+        (6, ""),                                   # empty
+        (7, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"),     # unique run: untouched
+    ]
+    w = 5
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_dropped_tokens"])
+        for r in exact_substring_dedup(df, window_tokens=w).collect()
+    }
+    want = _ess_reference(docs, w)
+    assert got == want
+    assert got[1][2] == 0                   # first occurrence untouched
+    assert got[2][2] == 10 and got[3][2] == 10
+    assert got[7][2] == 0
+    assert got[6] == ("", 0, 0)
+    # partitioning invariance
+    got7 = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_dropped_tokens"])
+        for r in exact_substring_dedup(
+            df.repartition(7), window_tokens=w
+        ).collect()
+    }
+    assert got7 == got
+    # no UDF in the plan
+    plan = (
+        exact_substring_dedup(df, window_tokens=w)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
