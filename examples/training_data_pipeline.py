@@ -104,6 +104,19 @@ def main():
     )
     deduped = kept.join(drop, "doc_id", "left_anti")
 
+    # 2b. exact SUBSTRING dedup (Lee 2022 ExactSubstr): document-level
+    #     near-dup removal above cannot see a boilerplate paragraph
+    #     embedded in otherwise-distinct documents — remove every
+    #     duplicated 20-token run, first occurrence wins.
+    from streaming_parquet_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    scrubbed = exact_substring_dedup(
+        deduped, window_tokens=20, id_col="doc_id", text_col="text"
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    deduped = deduped.drop("text").join(scrubbed, "doc_id")
+
     # 3. DSIR importance selection (Xie et al. 2023): score every doc
     #    by how target-like its hashed-ngram distribution is (here the
     #    target model is the corpus's own English slice) and DROP the
