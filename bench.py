@@ -244,6 +244,9 @@ def main() -> None:
                 batch10 = docs10.filter(F.col("doc_id") % 100 == 0).limit(
                     int(ingest["batch_docs"])
                 )
+                # equal-condition sampling vs the sf0.1 build above
+                spark.catalog.clearCache()
+                release_materialized()
                 t0 = time.perf_counter()
                 write_lsh_index(corpus10, tbl)
                 ingest["index10_build_s"] = round(

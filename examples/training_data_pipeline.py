@@ -115,7 +115,13 @@ def main():
     scrubbed = exact_substring_dedup(
         deduped, window_tokens=20, id_col="doc_id", text_col="text"
     ).select("doc_id", F.col("text_clean").alias("text"))
-    deduped = deduped.drop("text").join(scrubbed, "doc_id")
+    deduped = (
+        deduped.drop("text")
+        .join(scrubbed, "doc_id")
+        # n_chars must describe the text we SHIP (the scrub can shorten
+        # it), downstream z-ordering and budgeting read it
+        .withColumn("n_chars", F.length("text"))
+    )
 
     # 3. DSIR importance selection (Xie et al. 2023): score every doc
     #    by how target-like its hashed-ngram distribution is (here the
