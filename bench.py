@@ -445,13 +445,30 @@ def _scale_smoke_scaled_ops(
     # k grows linearly — constant expected bucket/cluster population
     # either way).  At these fixture sizes they resolve to planes 3->6
     # and k 8->80, matching the entry names.
+    from streaming_parquet_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(scale_dir, "documents.parquet"))
+    docs1 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def substring(src):
+        # no blocking parameter to re-size: window hashing and the
+        # winner aggregate are both linear in tokens by design — the
+        # smoke checks that holds at 10x
+        def build():
+            return exact_substring_dedup(src, window_tokens=8)
+        return build
+
     scaled = {
         "embed_near_pairs_scaled_planes6": near_pairs(emb, planes_for(n_scale)),
         "dedup_semantic_scaled_k80": semantic(emb, n_centroids_for(n_scale)),
+        "dedup_exact_substring": substring(docs),
     }
     base = {
         "embed_near_pairs_scaled_planes6": near_pairs(emb1, planes_for(n_base)),
         "dedup_semantic_scaled_k80": semantic(emb1, n_centroids_for(n_base)),
+        "dedup_exact_substring": substring(docs1),
     }
     return scaled, base
 
