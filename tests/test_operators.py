@@ -3756,3 +3756,51 @@ def test_exact_substring_dedup_matches_bruteforce(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_tokens_feed_token_budget(docs):
+    """The documented composition: apply_bpe's n_bpe_tokens drives
+    token_budget_select — per-source realized token sums respect the
+    budget (overshoot bounded by one document) and the selection is
+    reproducible."""
+    from streaming_parquet_spark.operators.pipeline import (
+        token_budget_select,
+    )
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_bpe,
+        fit_bpe_merges,
+    )
+
+    merges = fit_bpe_merges(docs, n_merges=64, max_words=5_000)
+    tokenized = apply_bpe(docs, merges).drop("bpe_tokens")
+    budget = 800
+    sel = token_budget_select(
+        tokenized, budget=budget, token_col="n_bpe_tokens",
+        group_col="source",
+    )
+    rows = sel.select("source", "doc_id", "n_bpe_tokens").collect()
+    assert rows, "selection should keep something"
+    per_src = {}
+    maxdoc = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["n_bpe_tokens"]
+        maxdoc[r["source"]] = max(
+            maxdoc.get(r["source"], 0), r["n_bpe_tokens"]
+        )
+    for s, total in per_src.items():
+        assert total < budget + maxdoc[s], (s, total)
+    # every source with any tokens is represented (never undershoots
+    # a non-empty domain)
+    n_sources = tokenized.filter(F.col("n_bpe_tokens") > 0).select(
+        "source"
+    ).distinct().count()
+    assert len(per_src) == n_sources
+    # reproducible across partitionings
+    again = {
+        (r["source"], r["doc_id"])
+        for r in token_budget_select(
+            tokenized.repartition(7), budget=budget,
+            token_col="n_bpe_tokens", group_col="source",
+        ).select("source", "doc_id").collect()
+    }
+    assert again == {(r["source"], r["doc_id"]) for r in rows}
