@@ -293,8 +293,11 @@ def semantic_ingest_stream(
     lower-id vector of the same batch, blocked under the index's
     frozen coarse clusters); the index probe then drops anything
     similar to an already-ingested vector.  Replay safety is identical
-    — a replayed survivor pairs with its own indexed copy at sim 1.0
-    (embeddings L2-normalized) before any write happens."""
+    and rests on the shared runner's id anti-joins (module docstring);
+    the self-pair at sim 1.0 (embeddings L2-normalized) is the fast
+    path that usually drops a replayed survivor before the anti-joins
+    even see it — unless a hot-cluster cap suppresses it, which the
+    anti-joins cover (test_ingest_cap_suppressed_redelivery...)."""
     index = f"{table}_ann"
     dims = _ann_index_dims(spark, index)  # fail fast if absent
     cents = read_ann_centroids(spark, index, id_col, vec_col)
