@@ -270,12 +270,6 @@ def main() -> None:
             ingest["error"] = str(exc)[:300]
 
     total = round(sum(timings.values()), 4)
-    # Key order matters downstream: the driver's BENCH_r{N}.json capture
-    # keeps only the LAST 2000 chars of this line (observed r3: a 9 KB
-    # line left `parsed: null` and a tail that sliced mid-queries, losing
-    # the headline value).  Emit the big per-query dicts first and every
-    # headline scalar (metric/value/conversions/conf) last, compact
-    # separators, so the tail window always contains the summary.
     doc = {
         "queries_first_pass": first_pass,
         "queries": timings,
@@ -361,9 +355,8 @@ def main() -> None:
             ),
         },
     }
-    print(json.dumps(doc, separators=(",", ":")))
-    # The round artifact keeps only that line's tail; persist the full
-    # document beside the repo so per-query history is never truncated.
+    # Persist the full document beside the repo FIRST — per-query
+    # history, first-pass timings, sf1 smoke, ingest legs, conf notes.
     try:
         detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_DETAIL.json")
@@ -372,6 +365,56 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # read-only checkout: stdout line is still complete
+    # The driver caps captured stdout lines at ~2000 chars: every round
+    # whose JSON line exceeded that recorded `parsed: null` in
+    # BENCH_r{N}.json (r2-r7), while r1's 1496-char line parsed.  Emit
+    # ONE line guaranteed under the cap — headline scalars plus the
+    # slowest queries that fit — and point at BENCH_DETAIL.json for the
+    # full per-query document.
+    print(_summary_line(doc))
+
+
+_SUMMARY_LINE_MAX = 1500
+
+
+def _summary_line(doc: dict, max_len: int = _SUMMARY_LINE_MAX) -> str:
+    """The single stdout JSON line: all headline scalars, then as many
+    of the slowest per-query timings as fit under ``max_len``.  The
+    slow tail is what perf grading reads; sub-second gates carry no
+    signal and live in BENCH_DETAIL.json."""
+    timings = doc.get("queries") or {}
+    slowest = sorted(timings, key=lambda k: -timings[k])
+    slim = {
+        "metric": doc["metric"],
+        "value": doc["value"],
+        "unit": doc["unit"],
+        "sf": doc["sf"],
+        "n_queries": len(timings),
+        "conversions_mb_per_sec": doc.get("conversions_mb_per_sec"),
+        "host_ref_md5_mb_s": (doc.get("conf") or {}).get("host_ref_md5_mb_s"),
+        "sf1_max_ratio": _max_ratio(doc.get("sf1_vs_sf01_ratio")),
+        "detail": "BENCH_DETAIL.json (full per-query timings, sf1 smoke, ingest legs, conf)",
+        "queries": {},
+    }
+    for name in slowest:
+        slim["queries"][name] = timings[name]
+        if len(json.dumps(slim, separators=(",", ":"))) > max_len:
+            del slim["queries"][name]
+            break
+    slim["queries_shown"] = f"{len(slim['queries'])} slowest of {len(timings)}"
+    line = json.dumps(slim, separators=(",", ":"))
+    while len(line) > max_len and slim["queries"]:
+        slim["queries"].popitem()
+        slim["queries_shown"] = f"{len(slim['queries'])} slowest of {len(timings)}"
+        line = json.dumps(slim, separators=(",", ":"))
+    return line
+
+
+def _max_ratio(ratios) -> float | None:
+    if not isinstance(ratios, dict):
+        return None
+    vals = [v for v in ratios.values() if isinstance(v, (int, float))]
+    return round(max(vals), 2) if vals else None
 
 
 # The ANN/dedup tail — the sweep's most expensive gates and the ones

@@ -163,3 +163,46 @@ def test_partitioned_output_via_cli(tmp_path):
     assert rc == 0
     subdirs = {d for d in os.listdir(out) if d.startswith("grp=")}
     assert subdirs == {"grp=x", "grp=y"}
+
+
+def test_bench_summary_line_fits_driver_line_cap():
+    """The driver's BENCH_r{N}.json capture truncates stdout lines at
+    ~2000 chars: rounds 2-7 printed a full multi-KB document and every
+    one recorded `parsed: null` (only r1's 1496-char line ever parsed).
+    bench.py's stdout line must stay a parseable standalone JSON line
+    under the cap for ANY registry size — per-query detail belongs in
+    BENCH_DETAIL.json."""
+    import json
+    import bench
+
+    doc = {
+        "metric": "sum_query_seconds",
+        "value": 92.28,
+        "unit": "sec",
+        "sf": 0.1,
+        # 400 long-named queries: far past today's 100-gate registry.
+        "queries": {f"some_rather_long_query_name_{i:03d}": i * 0.0137
+                    for i in range(400)},
+        "conversions_mb_per_sec": {
+            "csv_to_csv": 180.98, "csv_to_parquet_zstd": 210.32,
+            "stream_csv_to_parquet": 160.12, "parquet_to_parquet": 233.43,
+        },
+        "sf1_vs_sf01_ratio": {"a": 1.5, "b": 11.33, "c": None},
+        "conf": {"host_ref_md5_mb_s": 532.1},
+    }
+    line = bench._summary_line(doc)
+    assert len(line) <= bench._SUMMARY_LINE_MAX <= 1900
+    parsed = json.loads(line)
+    assert parsed["metric"] == "sum_query_seconds"
+    assert parsed["value"] == 92.28
+    assert parsed["n_queries"] == 400
+    assert parsed["sf1_max_ratio"] == 11.33
+    assert parsed["conversions_mb_per_sec"]["csv_to_parquet_zstd"] == 210.32
+    # queries shown are the slowest-first prefix that fits
+    shown = list(parsed["queries"].values())
+    assert shown == sorted(shown, reverse=True)
+    assert 0 < len(shown) < 400
+    # degenerate inputs still produce a valid line
+    empty = json.loads(bench._summary_line(
+        {"metric": "m", "value": 0, "unit": "sec", "sf": 0.01}))
+    assert empty["n_queries"] == 0 and empty["sf1_max_ratio"] is None
