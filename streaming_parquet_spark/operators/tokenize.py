@@ -218,3 +218,233 @@ def apply_bpe(
 
     out = df.withColumn(out_col, encode(F.col(text_col)))
     return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
+
+
+def _viterbi_segment(
+    word: str, logp: dict[str, float], max_len: int, floor: float
+) -> list[str]:
+    """Best unigram-LM segmentation of ``word``: maximize the sum of
+    piece log-probs (Kudo 2018 §3.2's decoding step).  Any character
+    absent from the vocab falls back to a single-char piece at the
+    ``floor`` log-prob, so every word segments.  Deterministic: ties
+    keep the FIRST candidate found scanning piece lengths 1..max_len
+    at each end position (strict ``>`` comparison), so equal-score
+    segmentations resolve to the shortest-piece split — the same
+    iteration order every run."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n  # best score for prefix [:i]
+    back: list[int] = [0] * (n + 1)     # piece start for prefix [:i]
+    for i in range(1, n + 1):
+        for ln in range(1, min(max_len, i) + 1):
+            piece = word[i - ln : i]
+            lp = logp.get(piece)
+            if lp is None:
+                if ln > 1:
+                    continue
+                lp = floor
+            cand = best[i - ln] + lp
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = i - ln
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _unigram_train(
+    word_freq: dict[str, int],
+    vocab_size: int,
+    max_piece_len: int,
+    em_iters: int,
+    seed_size: int,
+    prune_frac: float = 0.25,
+) -> dict[str, float]:
+    """Unigram-LM vocabulary fit over a word-frequency table (Kudo
+    2018, "Subword Regularization" — the SentencePiece unigram
+    trainer's shape, driver-side like ``_bpe_train``):
+
+      seed (frequent substrings) -> [EM -> prune lowest-prob pieces]*
+      until ``vocab_size`` -> final EM.
+
+    Two documented simplifications, both standard practice and both
+    chosen for DETERMINISM on a persisted, shared artifact:
+    Viterbi (hard) EM instead of forward-backward soft counts, and
+    probability-ranked pruning instead of Kudo's exact per-piece
+    loss-delta ranking.  Single-character pieces are never pruned
+    (every word must remain segmentable).  All selections tie-break
+    on the piece string, so two fits over one table are identical."""
+    # seed: every substring up to max_piece_len, occurrence-weighted
+    seed_counts: dict[str, int] = {}
+    for w, c in word_freq.items():
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(max_piece_len, n - i) + 1):
+                p = w[i : i + ln]
+                seed_counts[p] = seed_counts.get(p, 0) + c
+    chars = {p for p in seed_counts if len(p) == 1}
+    multi = sorted(
+        (p for p in seed_counts if len(p) > 1),
+        key=lambda p: (-seed_counts[p] * len(p), p),
+    )[: max(seed_size - len(chars), 0)]
+    vocab = {p: seed_counts[p] for p in chars}
+    vocab.update((p, seed_counts[p]) for p in multi)
+
+    import math
+
+    def _estimate(counts: dict[str, int]) -> dict[str, float]:
+        total = sum(counts.values())
+        return {p: math.log(c / total) for p, c in counts.items() if c > 0}
+
+    logp = _estimate(vocab)
+    floor = min(logp.values()) - 10.0
+    while True:
+        for _ in range(max(em_iters, 1)):
+            counts: dict[str, int] = {}
+            for w, c in word_freq.items():
+                for piece in _viterbi_segment(
+                    w, logp, max_piece_len, floor
+                ):
+                    counts[piece] = counts.get(piece, 0) + c
+            # single chars survive at count floor 1: a char squeezed
+            # out of every Viterbi path this round must stay reachable
+            # for unseen words at apply time
+            for ch in chars:
+                counts[ch] = max(counts.get(ch, 0), 1)
+            logp = _estimate(counts)
+            floor = min(logp.values()) - 10.0
+        if len(logp) <= vocab_size:
+            return logp
+        # prune the lowest-probability multi-char pieces, at most
+        # prune_frac of the overage-eligible set per round (the
+        # SentencePiece shrinking schedule), never below vocab_size
+        prunable = sorted(
+            (p for p in logp if len(p) > 1),
+            key=lambda p: (logp[p], p),
+        )
+        n_over = len(logp) - vocab_size
+        n_drop = min(
+            max(int(len(prunable) * prune_frac), 1), n_over, len(prunable)
+        )
+        if n_drop <= 0:
+            return logp  # vocab_size smaller than the char alphabet
+        for p in prunable[:n_drop]:
+            del logp[p]
+
+
+def fit_unigram_vocab(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 512,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+    seed_size: int | None = None,
+    sample_pct: int | None = None,
+    max_words: int = 50_000,
+) -> DataFrame:
+    """Fit a unigram-LM subword vocabulary: (piece, logp), logp the
+    fitted log-probability (base e).  The corpus reduces to the same
+    capped word-frequency table as :func:`fit_bpe_merges` (one narrow
+    map-side-combined shuffle; driver work is O(max_words) not
+    O(corpus)), then the Kudo 2018 seed->EM->prune loop runs
+    driver-side (see :func:`_unigram_train` for the two documented
+    determinism-first simplifications).
+
+    ``sample_pct``: deterministic portable-hash percentage sample,
+    same recipe as ``fit_bpe_merges``/``fit_ivf_centroids``.
+
+    Not DuckDB-oracle-able (iterative driver-side fit); gated in
+    pytest on a worked example, fit determinism, apply round-trip,
+    and composition with the token-budget operators."""
+    sample = corpus.select(F.col(id_col), F.col(text_col))
+    if sample_pct is not None:
+        bucket = hash_bucket_expr("spark", id_col, 100)
+        sample = sample.filter(F.expr(bucket) < int(sample_pct))
+    words = (
+        f"filter({ordered_words_expr('spark', text_col)}, w -> w != '')"
+    )
+    freq_rows = (
+        sample.select(F.explode(F.expr(words)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(max_words))
+        .collect()
+    )
+    logp = _unigram_train(
+        {r["w"]: r["c"] for r in freq_rows},
+        int(vocab_size),
+        int(max_piece_len),
+        int(em_iters),
+        int(seed_size) if seed_size is not None else 8 * int(vocab_size),
+    )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        sorted(logp.items(), key=lambda kv: (-kv[1], kv[0])),
+        "piece string, logp double",
+    )
+
+
+def apply_unigram(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Tokenize ``text_col`` under a fitted unigram vocab: adds
+    ``out_col`` (array<string>; each word's LAST piece carries the
+    ``</w>`` marker, so ``concat(tokens) == concat(word + '</w>')`` —
+    the same reconstruction contract as :func:`apply_bpe`) and
+    ``n_{out_col}``.
+
+    Plan: identical to ``apply_bpe`` — the vocab collects to a dict
+    that ships in the Arrow-batched UDF closure (no shuffle, no join),
+    Viterbi runs per DISTINCT word per batch (cached), and the word
+    split is ``ordered_words_expr``'s exact rule so ``n_*`` composes
+    with the token-budget operators.  Characters never seen at fit
+    time segment as single-char pieces at a floor log-prob rather
+    than failing the batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    logp = {r["piece"]: r["logp"] for r in vocab.collect()}
+    if not logp:
+        raise ValueError("apply_unigram: empty vocab")
+    floor = min(logp.values()) - 10.0
+    max_len = int(max_piece_len)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts):
+        import re
+
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        split = re.compile(" +").split  # ordered_words_expr's rule
+
+        def enc_word(w):
+            got = cache.get(w)
+            if got is None:
+                pieces = _viterbi_segment(w, logp, max_len, floor)
+                pieces[-1] = pieces[-1] + _EOW
+                got = cache[w] = pieces
+            return got
+
+        def enc_text(t):
+            if t is None:
+                return []
+            out = []
+            for w in split(t.strip(" ")):
+                if w:
+                    out.extend(enc_word(w))
+            return out
+
+        return pd.Series([enc_text(t) for t in texts])
+
+    out = df.withColumn(out_col, encode(F.col(text_col)))
+    return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))

@@ -3804,3 +3804,137 @@ def test_bpe_tokens_feed_token_budget(docs):
         ).select("source", "doc_id").collect()
     }
     assert again == {(r["source"], r["doc_id"]) for r in rows}
+
+
+def test_unigram_fit_worked_example_and_determinism(spark):
+    """fit_unigram_vocab over {low:5, lower:2, newest:6, widest:3}:
+    every observed character survives pruning (words stay
+    segmentable), frequent whole words earn high-probability pieces,
+    an UNSEEN word segments through shared subword structure rather
+    than pure chars, and two fits over the same table are identical
+    (the determinism contract a persisted vocab requires)."""
+    from streaming_parquet_spark.operators.tokenize import (
+        _viterbi_segment,
+        fit_unigram_vocab,
+    )
+
+    rows = (
+        [(i, "low") for i in range(5)]
+        + [(100 + i, "lower") for i in range(2)]
+        + [(200 + i, "newest") for i in range(6)]
+        + [(300 + i, "widest") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fit = lambda: [  # noqa: E731
+        (r["piece"], r["logp"])
+        for r in fit_unigram_vocab(
+            df, vocab_size=12, max_piece_len=6, em_iters=2
+        ).orderBy(F.desc("logp"), F.asc("piece")).collect()
+    ]
+    v1, v2 = fit(), fit()
+    assert v1 == v2  # deterministic fit
+    logp = dict(v1)
+    assert len(logp) <= 12
+    assert set("lowernwidest") <= {p for p in logp if len(p) == 1}
+    # the two dominant words are fitted as whole pieces
+    assert "low" in logp and "newest" in logp
+    # unseen word reuses the fitted 'low' piece, not pure chars
+    floor = min(logp.values()) - 10.0
+    seg = _viterbi_segment("lowest", logp, 6, floor)
+    assert seg[0] == "low" and "".join(seg) == "lowest"
+
+
+def test_unigram_apply_roundtrip_and_invariance(docs):
+    """apply_unigram mirrors apply_bpe's contract: concatenated pieces
+    reconstruct each word with one </w> per word, unknown characters
+    fall back to single-char pieces instead of failing, and the pass
+    is partitioning-invariant."""
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_unigram,
+        fit_unigram_vocab,
+    )
+
+    spark = docs.sparkSession
+    vocab = fit_unigram_vocab(docs, vocab_size=256, max_words=5_000)
+    assert vocab.count() <= 256
+    sample = docs.limit(50)
+    out = apply_unigram(sample, vocab).select(
+        "doc_id", "text", "unigram_tokens", "n_unigram_tokens"
+    )
+    import re
+
+    for r in out.collect():
+        words = [w for w in re.split(" +", r["text"].strip(" ")) if w]
+        assert "".join(r["unigram_tokens"]) == "".join(
+            w + "</w>" for w in words
+        )
+        assert r["n_unigram_tokens"] == len(r["unigram_tokens"])
+        assert sum(
+            1 for t in r["unigram_tokens"] if t.endswith("</w>")
+        ) == len(words)
+    # multi-char pieces actually fire on fixture text
+    assert any(
+        len(t.removesuffix("</w>")) > 1
+        for r in out.limit(10).collect()
+        for t in r["unigram_tokens"]
+    )
+    # unknown characters segment at the floor, never raise
+    odd = spark.createDataFrame(
+        [(1, "über café low")], "doc_id long, text string"
+    )
+    got = apply_unigram(odd, vocab).collect()[0]
+    assert "".join(got["unigram_tokens"]).endswith("low</w>")
+    # partitioning invariance
+    a = {
+        (r["doc_id"], tuple(r["unigram_tokens"]))
+        for r in apply_unigram(sample.repartition(7), vocab).select(
+            "doc_id", "unigram_tokens"
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], tuple(r["unigram_tokens"]))
+        for r in out.select("doc_id", "unigram_tokens").collect()
+    }
+    assert a == b
+
+
+def test_unigram_tokens_feed_token_budget(docs):
+    """The same composition pin as BPE's: n_unigram_tokens drives
+    token_budget_select with bounded overshoot and reproducible
+    selection — the two tokenizers are interchangeable upstream of the
+    budget operators."""
+    from streaming_parquet_spark.operators.pipeline import (
+        token_budget_select,
+    )
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_unigram,
+        fit_unigram_vocab,
+    )
+
+    vocab = fit_unigram_vocab(docs, vocab_size=256, max_words=5_000)
+    tokenized = apply_unigram(docs, vocab).drop("unigram_tokens")
+    budget = 800
+    sel = token_budget_select(
+        tokenized, budget=budget, token_col="n_unigram_tokens",
+        group_col="source",
+    )
+    rows = sel.select("source", "doc_id", "n_unigram_tokens").collect()
+    assert rows
+    per_src, maxdoc = {}, {}
+    for r in rows:
+        per_src[r["source"]] = (
+            per_src.get(r["source"], 0) + r["n_unigram_tokens"]
+        )
+        maxdoc[r["source"]] = max(
+            maxdoc.get(r["source"], 0), r["n_unigram_tokens"]
+        )
+    for s, total in per_src.items():
+        assert total < budget + maxdoc[s], (s, total)
+    again = {
+        (r["source"], r["doc_id"])
+        for r in token_budget_select(
+            tokenized.repartition(7), budget=budget,
+            token_col="n_unigram_tokens", group_col="source",
+        ).select("source", "doc_id").collect()
+    }
+    assert again == {(r["source"], r["doc_id"]) for r in rows}
