@@ -355,6 +355,14 @@ def fit_unigram_vocab(
     driver-side (see :func:`_unigram_train` for the two documented
     determinism-first simplifications).
 
+    ``vocab_size`` is an UPPER bound: hard-EM assigns each word one
+    best path, so pieces off every best path hit count zero and drop
+    in a single EM round — on small or low-entropy corpora the fit
+    converges well below the bound (soft-EM's fractional counts would
+    keep them; the determinism trade is documented in
+    :func:`_unigram_train`).  Downstream code must size against
+    ``vocab.count()``, not the requested bound.
+
     ``sample_pct``: deterministic portable-hash percentage sample,
     same recipe as ``fit_bpe_merges``/``fit_ivf_centroids``.
 
