@@ -3938,3 +3938,49 @@ def test_unigram_tokens_feed_token_budget(docs):
         ).select("source", "doc_id").collect()
     }
     assert again == {(r["source"], r["doc_id"]) for r in rows}
+
+
+def test_unigram_train_properties():
+    """Hypothesis over random word-frequency tables: the fit is
+    deterministic, respects the vocab bound (modulo the never-pruned
+    character alphabet), keeps every observed character reachable, and
+    Viterbi under the fitted vocab reconstructs ANY word — seen,
+    unseen, or containing unseen characters — exactly."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.tokenize import (
+        _unigram_train,
+        _viterbi_segment,
+    )
+
+    word = st.text(alphabet="abcdef", min_size=1, max_size=10)
+    table = st.dictionaries(word, st.integers(1, 50), min_size=1, max_size=20)
+
+    @given(wf=table, vocab_size=st.integers(3, 24))
+    @settings(max_examples=60, deadline=None)
+    def check(wf, vocab_size):
+        fit = lambda: _unigram_train(  # noqa: E731
+            wf, vocab_size=vocab_size, max_piece_len=6, em_iters=2,
+            seed_size=4 * vocab_size,
+        )
+        logp = fit()
+        assert logp == fit()  # deterministic
+        chars = {c for w in wf for c in w}
+        assert chars <= {p for p in logp if len(p) == 1}
+        assert len(logp) <= max(vocab_size, len(chars))
+        # every multi-char piece is a substring of some training word
+        for p in logp:
+            if len(p) > 1:
+                assert any(p in w for w in wf), p
+        floor = min(logp.values()) - 10.0
+        for w in list(wf)[:5] + ["zebra", "aaaaaaaaaaaa", "fedcba"]:
+            seg = _viterbi_segment(w, logp, 6, floor)
+            assert "".join(seg) == w
+            for piece in seg:
+                assert piece in logp or len(piece) == 1
+
+    check()
