@@ -5,6 +5,11 @@ continuous form of the probe → survivors → append loop, with
 EXACTLY-ONCE corpus contents across crash/replay.
 
 Per micro-batch:
+  0. (optional) a deterministic quality pre-filter/transform
+     (``filter_fn`` — e.g. Gopher rules, the fitted quality
+     classifier, C4 line cleaning) runs BEFORE any dedup work, so
+     rejected documents never cost a probe and never enter the
+     corpus or the index,
   1. within-batch near-dup removal (drop any doc near-duplicating a
      lower-id doc in the same batch — the semantic_dedup_drops rule),
   2. probe the persisted index (incremental_lsh_pairs semantics),
@@ -83,10 +88,13 @@ from streaming_parquet_spark.operators.similarity import (
 
 @dataclass
 class IngestResult:
-    """Per-run tallies: rows seen / kept per micro-batch id."""
+    """Per-run tallies: rows seen / filtered / kept per micro-batch
+    id.  ``rows_filtered`` counts quality-filter rejections only;
+    dedup drops are ``rows_in - rows_filtered - rows_kept``."""
 
     batches: list[int] = field(default_factory=list)
     rows_in: int = 0
+    rows_filtered: int = 0
     rows_kept: int = 0
 
 
@@ -111,6 +119,7 @@ def _run_ingest(
     append_fn,
     max_files_per_trigger: int | None,
     refresh_tables: tuple[str, ...] = (),
+    prefilter_fn=None,
 ) -> IngestResult:
     """The shared exactly-once micro-batch runner (module docstring):
     ``survivors_fn(batch) -> DataFrame`` performs within-batch dedup +
@@ -148,8 +157,21 @@ def _run_ingest(
         # search, and the probe all consume it — without the persist
         # each would re-scan the batch's files.
         batch = batch.persist()
-        result.rows_in += batch.count()
-        survivors = survivors_fn(batch).withColumn(
+        n_in = batch.count()
+        result.rows_in += n_in
+        # 0. quality pre-filter: persisted because the filtered-count
+        #    tally and the dedup stages below both consume it.  A
+        #    deterministic filter keeps the replay analysis intact; a
+        #    non-deterministic one cannot DUPLICATE rows (the id
+        #    anti-joins still hold) but makes the kept-set
+        #    replay-dependent — the entry points' documented contract.
+        filtered = None
+        src = batch
+        if prefilter_fn is not None:
+            filtered = prefilter_fn(batch).persist()
+            result.rows_filtered += n_in - filtered.count()
+            src = filtered
+        survivors = survivors_fn(src).withColumn(
             "ingest_batch", F.lit(int(batch_id))
         )
         # Materialize ONCE per batch: steps 3 and 4 both consume the
@@ -183,6 +205,8 @@ def _run_ingest(
                 append_fn(idx_delta)
         finally:
             rows.unpersist()
+            if filtered is not None:
+                filtered.unpersist()
             batch.unpersist()
 
     reader = (
@@ -220,6 +244,7 @@ def dedup_ingest_stream(
     jaccard_threshold: float = 0.2,
     max_bucket_rows: int | None = None,
     max_files_per_trigger: int | None = None,
+    filter_fn=None,
 ) -> IngestResult:
     """Run the deduplicated-ingest stream over ``source_dir`` (parquet
     files) with an ``availableNow`` trigger: process everything not yet
@@ -230,6 +255,19 @@ def dedup_ingest_stream(
     seed it from the initial corpus, or from an empty frame for a
     cold start).  Banding parameters come from the index's pinned
     table properties.
+
+    ``filter_fn``: optional quality pre-filter/transform
+    (``DataFrame -> DataFrame``) run on each micro-batch BEFORE any
+    dedup work — the production clean -> filter -> dedup -> append
+    loop in one stream (e.g. ``text.gopher_quality`` rules,
+    ``text.classifier_filter`` under a fitted model, or
+    ``text.c4_clean_lines``).  It may drop rows and/or rewrite the
+    text (the index then stores the CLEANED text's shingles); it must
+    keep ``id_col`` unique and be DETERMINISTIC — a non-deterministic
+    filter cannot duplicate corpus rows (the id anti-joins hold
+    regardless) but would make the kept-set replay-dependent.  The
+    corpus table's schema is the POST-filter schema.  Filter
+    rejections tally in ``IngestResult.rows_filtered``.
 
     Re-running with the same checkpoint is a resume (new files only);
     re-running with a FRESH checkpoint replays every file but changes
@@ -271,6 +309,7 @@ def dedup_ingest_stream(
         spark, source_dir, table, checkpoint, id_col, survivors_fn,
         indexed_ids_fn, append_fn, max_files_per_trigger,
         refresh_tables=(table, f"{index}_sets", f"{index}_bands"),
+        prefilter_fn=filter_fn,
     )
 
 
@@ -284,6 +323,7 @@ def semantic_ingest_stream(
     threshold: float = 0.4,
     max_block_rows: int | None = None,
     max_files_per_trigger: int | None = None,
+    filter_fn=None,
 ) -> IngestResult:
     """The EMBEDDING-side twin of :func:`dedup_ingest_stream`: the same
     exactly-once micro-batch loop, with the persisted ANN index
@@ -297,7 +337,10 @@ def semantic_ingest_stream(
     the self-pair at sim 1.0 (embeddings L2-normalized) is the fast
     path that usually drops a replayed survivor before the anti-joins
     even see it — unless a hot-cluster cap suppresses it, which the
-    anti-joins cover (test_ingest_cap_suppressed_redelivery...)."""
+    anti-joins cover (test_ingest_cap_suppressed_redelivery...).
+    ``filter_fn``: same contract as :func:`dedup_ingest_stream`'s —
+    deterministic pre-dedup filter/transform, rejections tallied in
+    ``rows_filtered``."""
     index = f"{table}_ann"
     dims = _ann_index_dims(spark, index)  # fail fast if absent
     cents = read_ann_centroids(spark, index, id_col, vec_col)
@@ -329,4 +372,5 @@ def semantic_ingest_stream(
         spark, source_dir, table, checkpoint, id_col, survivors_fn,
         indexed_ids_fn, append_fn, max_files_per_trigger,
         refresh_tables=(table, f"{index}_postings", f"{index}_centroids"),
+        prefilter_fn=filter_fn,
     )

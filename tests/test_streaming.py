@@ -762,3 +762,86 @@ def test_compact_lsh_index_clears_crash_residue(spark, tmp_path):
         compact_lsh_index(spark, table)
     for suffix in ("_sets", "_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_ingest_quality_prefilter(spark, tmp_path):
+    """filter_fn runs before any dedup work: rejected docs never enter
+    the corpus or the index (and never suppress a later genuinely-new
+    doc), transforms rewrite the ingested text, rows_filtered tallies
+    rejections, and a fresh-checkpoint replay under the same filter
+    changes nothing."""
+    import shutil
+
+    from streaming_parquet_spark.operators.dedup import write_lsh_index
+    from streaming_parquet_spark.streaming.ingest import dedup_ingest_stream
+
+    table = "maw_ingest_filtered"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
+        )
+    write_lsh_index(
+        spark.createDataFrame([], "doc_id long, text string"),
+        f"{table}_lsh", num_hashes=16, bands=8,
+    )
+
+    def words(i, n):
+        vocab = ["alpha", "bravo", "carol", "delta", "echo", "fox",
+                 "golf", "hotel"]
+        return " ".join(
+            vocab[(i * 3 + j * (1 + i % 5)) % len(vocab)] + str((i + j) % 7)
+            for j in range(n)
+        )
+
+    # the quality rule: >= 6 words; the transform: strip a BOILER
+    # prefix token so dedup sees the cleaned text
+    def filter_fn(batch):
+        cleaned = batch.withColumn(
+            "text", F.regexp_replace("text", r"^BOILER ", "")
+        )
+        return cleaned.filter(
+            F.size(F.split(F.col("text"), " ")) >= 6
+        )
+
+    # 10: too short (filtered). 11: long, BOILER-prefixed. 12: same
+    # text as 11 WITHOUT the prefix — a near-dup only after cleaning.
+    # 13: short AND a would-be dup of 14 — must not suppress 14.
+    # 14: long, genuinely new.
+    rows = [
+        (10, words(0, 3)),
+        (11, "BOILER " + words(4, 10)),
+        (12, words(4, 10)),
+        (13, words(7, 3)),
+        (14, words(7, 3) + " " + words(9, 7)),
+    ]
+    src = str(tmp_path / "filt_src")
+    ckpt = str(tmp_path / "filt_ckpt")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    res = dedup_ingest_stream(spark, src, table, ckpt, filter_fn=filter_fn)
+    assert res.rows_in == 5
+    assert res.rows_filtered == 2          # 10 and 13
+    assert res.rows_kept == 2              # 11 survives, 12 dups it, 14 new
+    got = {r["doc_id"]: r["text"] for r in spark.table(table).collect()}
+    assert set(got) == {11, 14}
+    assert got[11] == words(4, 10)         # ingested CLEANED
+    # the index holds only survivors
+    idx_ids = {
+        r["id"] for r in spark.table(f"{table}_lsh_sets").collect()
+    }
+    assert idx_ids == {11, 14}
+
+    # fresh-checkpoint replay: same filter, nothing changes
+    res2 = dedup_ingest_stream(
+        spark, src, table, str(tmp_path / "filt_ckpt_fresh"),
+        filter_fn=filter_fn,
+    )
+    assert res2.rows_filtered == 2 and res2.rows_kept == 0
+    assert {r["doc_id"] for r in spark.table(table).collect()} == {11, 14}
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
