@@ -54,14 +54,20 @@ def main():
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
 
+    # the quality stage rides INSIDE the exactly-once loop: rejected
+    # docs never cost an index probe and never enter corpus or index
+    # (swap in gopher rules / classifier_filter / c4_clean_lines here)
+    def quality(batch):
+        return batch.filter(F.length("text") >= 100)
+
     # wave 1: the first half of the corpus
     docs.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id", "text"
     ).coalesce(1).write.mode("append").parquet(src)
     r1 = dedup_ingest_stream(spark, src, table, ckpt,
-                             max_bucket_rows=10_000)
-    print(f"wave 1: {r1.rows_in} in -> {r1.rows_kept} kept "
-          f"(within-wave near-dups removed)")
+                             max_bucket_rows=10_000, filter_fn=quality)
+    print(f"wave 1: {r1.rows_in} in -> {r1.rows_filtered} filtered -> "
+          f"{r1.rows_kept} kept (within-wave near-dups removed)")
 
     # wave 2: the other half PLUS a re-delivery of wave 1 (an upstream
     # at-least-once producer) — the re-delivered docs self-pair against
@@ -70,7 +76,7 @@ def main():
         src
     )
     r2 = dedup_ingest_stream(spark, src, table, ckpt,
-                             max_bucket_rows=10_000)
+                             max_bucket_rows=10_000, filter_fn=quality)
     print(f"wave 2: {r2.rows_in} in -> {r2.rows_kept} kept "
           f"(re-delivered wave-1 docs dropped by the index)")
 
@@ -83,7 +89,7 @@ def main():
     before = corpus.count()
     r3 = dedup_ingest_stream(spark, src, table,
                              os.path.join(work, "ckpt_fresh"),
-                             max_bucket_rows=10_000)
+                             max_bucket_rows=10_000, filter_fn=quality)
     after = spark.table(table).count()
     print(f"full replay: {r3.rows_in} in -> {r3.rows_kept} kept; "
           f"corpus {before} -> {after} (unchanged: {before == after})")
