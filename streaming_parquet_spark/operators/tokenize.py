@@ -456,3 +456,103 @@ def apply_unigram(
 
     out = df.withColumn(out_col, encode(F.col(text_col)))
     return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
+
+
+# ---------------------------------------------------------------------------
+# Persisted tokenizer artifacts: the same pinned-parameter discipline as
+# the LSH/ANN index tables (operators/dedup.py write_lsh_index) — the
+# parameters that silently change tokenization if they drift between fit
+# and apply are stored ON the table, and the readers fail fast on a
+# table that is not the right kind of artifact.
+#
+# Property keys say "subword", never "tokenizer": SHOW TBLPROPERTIES
+# redacts values whose KEY matches spark.sql.redaction.regex, which
+# includes the substring "token" — 'maw.tokenizer.kind' reads back as
+# '*********(redacted)'.
+# ---------------------------------------------------------------------------
+
+#: the word-split rule every fit/apply in this module uses
+#: (ordered_words_expr: trim ASCII spaces, split on space runs).
+#: Versioned so a future rule change cannot silently re-tokenize
+#: corpora encoded under the old rule.
+_WORD_SPLIT_RULE = "ascii-space-v1"
+
+
+def write_bpe_merges(merges: DataFrame, table: str) -> None:
+    """Persist a fitted BPE merge table with its contract pinned as
+    table properties: the word-split rule version and the end-of-word
+    marker.  Overwrites ``table``."""
+    spark = merges.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    merges.write.format("parquet").saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'maw.subword.kind' = 'bpe',"
+        f"'maw.subword.word_split' = '{_WORD_SPLIT_RULE}',"
+        f"'maw.subword.eow' = '{_EOW}')"
+    )
+
+
+def write_unigram_vocab(
+    vocab: DataFrame, table: str, max_piece_len: int = 8
+) -> None:
+    """Persist a fitted unigram vocab.  ``max_piece_len`` is pinned:
+    applying with a SMALLER value than the fit's silently drops every
+    longer piece from Viterbi's reach — a wrong-segmentation hazard,
+    not an error Spark would raise — so the reader hands the pinned
+    value back and :func:`apply_unigram_table` threads it through."""
+    spark = vocab.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    vocab.write.format("parquet").saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'maw.subword.kind' = 'unigram',"
+        f"'maw.subword.word_split' = '{_WORD_SPLIT_RULE}',"
+        f"'maw.subword.eow' = '{_EOW}',"
+        f"'maw.subword.max_piece_len' = '{int(max_piece_len)}')"
+    )
+
+
+def _tokenizer_props(spark, table: str, kind: str) -> dict:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    got = props.get("maw.subword.kind")
+    if got != kind:
+        raise ValueError(
+            f"{table} is not a persisted {kind} tokenizer "
+            f"(maw.subword.kind = {got!r})"
+        )
+    if props.get("maw.subword.word_split") != _WORD_SPLIT_RULE:
+        raise ValueError(
+            f"{table} was fitted under word-split rule "
+            f"{props.get('maw.subword.word_split')!r}; this build "
+            f"applies {_WORD_SPLIT_RULE!r} — token counts would not "
+            f"compose"
+        )
+    return props
+
+
+def read_bpe_merges(spark, table: str) -> DataFrame:
+    """Load a persisted BPE merge table, validating the pinned
+    contract (kind + word-split rule)."""
+    _tokenizer_props(spark, table, "bpe")
+    return spark.table(table)
+
+
+def read_unigram_vocab(spark, table: str) -> tuple[DataFrame, int]:
+    """Load a persisted unigram vocab; returns (vocab,
+    max_piece_len) with the pinned fit-time piece-length bound."""
+    props = _tokenizer_props(spark, table, "unigram")
+    return spark.table(table), int(props["maw.subword.max_piece_len"])
+
+
+def apply_bpe_table(df: DataFrame, table: str, **kw) -> DataFrame:
+    """:func:`apply_bpe` under a persisted merge table."""
+    return apply_bpe(df, read_bpe_merges(df.sparkSession, table), **kw)
+
+
+def apply_unigram_table(df: DataFrame, table: str, **kw) -> DataFrame:
+    """:func:`apply_unigram` under a persisted vocab, with the
+    fit-time ``max_piece_len`` threaded through automatically."""
+    vocab, max_len = read_unigram_vocab(df.sparkSession, table)
+    return apply_unigram(df, vocab, max_piece_len=max_len, **kw)

@@ -3984,3 +3984,75 @@ def test_unigram_train_properties():
                 assert piece in logp or len(piece) == 1
 
     check()
+
+
+def test_tokenizer_artifact_tables(spark, docs):
+    """Persisted tokenizer artifacts follow the index tables' pinned-
+    parameter discipline: write/read round-trips reproduce the exact
+    tokenization, a wrong-kind read fails fast, a word-split-rule
+    drift fails fast, and the unigram reader hands back the fit-time
+    max_piece_len — the parameter whose silent mismatch re-segments
+    text without any Spark error."""
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_bpe,
+        apply_bpe_table,
+        apply_unigram,
+        apply_unigram_table,
+        fit_bpe_merges,
+        fit_unigram_vocab,
+        read_bpe_merges,
+        read_unigram_vocab,
+        write_bpe_merges,
+        write_unigram_vocab,
+    )
+
+    sample = docs.limit(30)
+    merges = fit_bpe_merges(docs, n_merges=48, max_words=5_000)
+    vocab = fit_unigram_vocab(docs, vocab_size=128, max_piece_len=6,
+                              max_words=5_000)
+    for t in ("maw_tok_bpe", "maw_tok_uni"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bpe_merges(merges, "maw_tok_bpe")
+    write_unigram_vocab(vocab, "maw_tok_uni", max_piece_len=6)
+    try:
+        # bit-identical tokenization through the table path
+        direct = {
+            (r["doc_id"], tuple(r["bpe_tokens"]))
+            for r in apply_bpe(sample, merges).select(
+                "doc_id", "bpe_tokens").collect()
+        }
+        via_table = {
+            (r["doc_id"], tuple(r["bpe_tokens"]))
+            for r in apply_bpe_table(sample, "maw_tok_bpe").select(
+                "doc_id", "bpe_tokens").collect()
+        }
+        assert direct == via_table
+        udirect = {
+            (r["doc_id"], tuple(r["unigram_tokens"]))
+            for r in apply_unigram(sample, vocab, max_piece_len=6).select(
+                "doc_id", "unigram_tokens").collect()
+        }
+        uvia = {
+            (r["doc_id"], tuple(r["unigram_tokens"]))
+            for r in apply_unigram_table(sample, "maw_tok_uni").select(
+                "doc_id", "unigram_tokens").collect()
+        }
+        assert udirect == uvia
+        _, max_len = read_unigram_vocab(spark, "maw_tok_uni")
+        assert max_len == 6
+        # wrong kind fails fast
+        with pytest.raises(ValueError, match="not a persisted unigram"):
+            read_unigram_vocab(spark, "maw_tok_bpe")
+        with pytest.raises(ValueError, match="not a persisted bpe"):
+            read_bpe_merges(spark, "maw_tok_uni")
+        # a future word-split rule drift fails fast instead of
+        # silently composing mismatched token counts
+        spark.sql(
+            "ALTER TABLE maw_tok_bpe SET TBLPROPERTIES "
+            "('maw.subword.word_split' = 'unicode-ws-v2')"
+        )
+        with pytest.raises(ValueError, match="word-split rule"):
+            read_bpe_merges(spark, "maw_tok_bpe")
+    finally:
+        for t in ("maw_tok_bpe", "maw_tok_uni"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
