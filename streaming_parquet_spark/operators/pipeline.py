@@ -72,6 +72,60 @@ def with_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """:func:`with_split` made near-duplicate-aware: documents
+    connected by ``pairs`` (near-dup pairs from the LSH / prefix /
+    semantic operators) are split by the hash of their CLUSTER id —
+    the component's min doc id — so two near-duplicates can never land
+    one in train and one in test, the eval-set leakage that per-doc
+    hashing permits whenever the corpus keeps more than one member per
+    cluster (keep-all-with-cluster-label pipelines, contamination
+    studies, dedup-threshold sweeps).  Isolated documents key by their
+    own id, so with an empty pair set this IS ``with_split``.
+
+    Determinism: the component id is the min reachable doc id — a pure
+    function of the pair set — and the bucket hash is the portable
+    unseeded hash ``with_split`` uses, so membership is reproducible
+    across runs and partitionings.  The assignment is stable under a
+    FROZEN pair set; late-arriving edges that merge two clusters merge
+    their splits on the next run (the merged component keys by the
+    smaller min id) — at ingest scale the deduplicated-ingest loop
+    keeps such late near-dups out of the corpus in the first place.
+
+    Scale: clusters are computed on the PAIR graph only (dup-rate x
+    corpus edges, never the corpus itself); the corpus pays one
+    broadcast-or-shuffle join against that small relation."""
+    from streaming_parquet_spark.operators.cluster import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    keyed = df.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "__split_key", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    b = F.expr(hash_bucket_expr("spark", "__split_key", 100))
+    return (
+        keyed.withColumn(
+            out_col,
+            F.when(b < train_pct, F.lit("train"))
+            .when(b < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("__split_key", "component")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -4056,3 +4056,51 @@ def test_tokenizer_artifact_tables(spark, docs):
     finally:
         for t in ("maw_tok_bpe", "maw_tok_uni"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_leakage_safe_split(spark, docs):
+    """Near-dup cluster members never straddle splits: every connected
+    component lands whole in one split, isolated docs reproduce
+    with_split's per-doc assignment exactly, and the assignment is
+    partitioning-invariant."""
+    from streaming_parquet_spark.operators.dedup import minhash_lsh_pairs
+    from streaming_parquet_spark.operators.pipeline import (
+        leakage_safe_split,
+        with_split,
+    )
+
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    out = leakage_safe_split(docs, pairs)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(rows) == {r["doc_id"] for r in docs.collect()}
+    # components from the same pair set, independently derived
+    import collections
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+    linked = set()
+    for r in pairs.collect():
+        a, b = find(r["id_a"]), find(r["id_b"])
+        linked |= {r["id_a"], r["id_b"]}
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comps = collections.defaultdict(set)
+    for i in linked:
+        comps[find(i)].add(i)
+    assert any(len(m) > 1 for m in comps.values()), "fixture has clusters"
+    for root, members in comps.items():
+        got = {rows[i] for i in members}
+        assert len(got) == 1, (root, members, got)
+    # isolated docs match with_split exactly (empty pairs == with_split)
+    base = {r["doc_id"]: r["split"] for r in with_split(docs).collect()}
+    for i in set(rows) - linked:
+        assert rows[i] == base[i]
+    # partitioning invariance
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs.repartition(7), pairs).collect()
+    }
+    assert again == rows
