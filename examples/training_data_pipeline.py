@@ -7,7 +7,8 @@ operators into the corpus-preparation flow a pretraining run needs —
        components -> keep the highest-quality member per cluster)
     -> DSIR importance selection toward a target domain
     -> deterministic stratified sampling per language
-    -> train/val/test split (purpose-salted hash buckets)
+    -> leakage-safe train/val/test split (hash of the near-dup
+       cluster id, so residual near-dups never straddle splits)
     -> stable example ids (distributed zipWithIndex)
     -> Z-ordered parquet write + small-file compaction
     -> profile the shipped table
@@ -47,8 +48,8 @@ def main():
     )
     from streaming_parquet_spark.operators.maintenance import compact_files
     from streaming_parquet_spark.operators.pipeline import (
+        leakage_safe_split,
         stratified_sample,
-        with_split,
     )
     from streaming_parquet_spark.operators.profile import profile_columns
     from streaming_parquet_spark.operators.text import with_quality
@@ -161,7 +162,13 @@ def main():
         strat_col="lang",
         default_rate=0.5,
     )
-    split = with_split(sampled, id_col="doc_id")
+    # leakage-safe: keep-one dedup above removes each cluster's
+    # non-representatives, but pairs suppressed by the hot-bucket cap
+    # (and near-dups below the LSH threshold) can leave residual
+    # near-duplicates in the corpus — keying the split on the pair
+    # graph's components guarantees such survivors still land in the
+    # SAME split instead of leaking train text into test.
+    split = leakage_safe_split(sampled, pairs, id_col="doc_id")
     final = assign_contiguous_ids(
         split.select("doc_id", "lang", "source", "n_chars",
                      "n_bpe_tokens", "split", "text"),
