@@ -4104,3 +4104,30 @@ def test_leakage_safe_split(spark, docs):
         for r in leakage_safe_split(docs.repartition(7), pairs).collect()
     }
     assert again == rows
+
+
+def test_unigram_apply_plan_and_sampled_fit(docs):
+    """apply_unigram stays on the Arrow-batched UDF path (no
+    row-at-a-time BatchEvalPython anywhere in the plan), and the
+    deterministic hash-sampled fit (sample_pct) is itself
+    deterministic and yields a usable vocab."""
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_unigram,
+        fit_unigram_vocab,
+    )
+
+    v1 = fit_unigram_vocab(docs, vocab_size=128, sample_pct=40,
+                           max_words=5_000)
+    v2 = fit_unigram_vocab(docs, vocab_size=128, sample_pct=40,
+                           max_words=5_000)
+    a = [(r["piece"], r["logp"]) for r in v1.orderBy("piece").collect()]
+    b = [(r["piece"], r["logp"]) for r in v2.orderBy("piece").collect()]
+    assert a == b and len(a) > 0
+    out = apply_unigram(docs.limit(20), v1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan          # row-UDF forbidden
+    assert "ArrowEvalPython" in plan              # the Arrow path
+    # sampled-fit vocab still tokenizes the FULL corpus losslessly
+    r = out.select("text", "unigram_tokens").first()
+    words = [w for w in r["text"].strip(" ").split(" ") if w]
+    assert "".join(r["unigram_tokens"]) == "".join(w + "</w>" for w in words)
