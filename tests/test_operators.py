@@ -4131,3 +4131,42 @@ def test_unigram_apply_plan_and_sampled_fit(docs):
     r = out.select("text", "unigram_tokens").first()
     words = [w for w in r["text"].strip(" ").split(" ") if w]
     assert "".join(r["unigram_tokens"]) == "".join(w + "</w>" for w in words)
+
+
+def test_exact_substring_dedup_property(spark):
+    """Hypothesis over random tiny-alphabet corpora (maximal window
+    collisions, overlapping and adjacent duplicated runs, within-doc
+    repeats): exact_substring_dedup equals the brute-force
+    first-occurrence-wins reference on every document."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @given(texts=corpus, w=st.integers(2, 4))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(texts, w):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["text_clean"], r["n_tokens"], r["n_dropped_tokens"]
+            )
+            for r in exact_substring_dedup(df, window_tokens=w).collect()
+        }
+        assert got == _ess_reference(docs, w)
+
+    check()
