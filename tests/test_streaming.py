@@ -845,3 +845,56 @@ def test_ingest_quality_prefilter(spark, tmp_path):
     assert {r["doc_id"] for r in spark.table(table).collect()} == {11, 14}
     for suffix in ("", "_lsh_sets", "_lsh_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_ingest_filter_fn_reads_persisted_artifact(spark, tmp_path):
+    """The documented composition: a persisted tokenizer artifact
+    drives a token-count floor INSIDE the ingest loop's filter stage.
+    filter_fn runs in foreachBatch's CLONED session, so the artifact
+    table must resolve through the batch frame's own session
+    (apply_*_table uses df.sparkSession) — pinned here end-to-end."""
+    import shutil
+
+    from streaming_parquet_spark.operators.dedup import write_lsh_index
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_bpe_table,
+        fit_bpe_merges,
+        write_bpe_merges,
+    )
+    from streaming_parquet_spark.streaming.ingest import dedup_ingest_stream
+
+    table, tok = "maw_ingest_tok", "maw_ingest_tok_merges"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in (table, f"{table}_lsh_sets", f"{table}_lsh_bands", tok):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo carol delta echo fox golf hotel"),
+         (2, "alpha bravo"),
+         (3, "carol delta echo fox india jazz kilo lima")],
+        "doc_id long, text string",
+    )
+    write_bpe_merges(fit_bpe_merges(docs, n_merges=16), tok)
+    write_lsh_index(
+        spark.createDataFrame([], "doc_id long, text string"),
+        f"{table}_lsh", num_hashes=16, bands=8,
+    )
+
+    def filter_fn(batch):
+        return (
+            apply_bpe_table(batch, tok)
+            .filter(F.col("n_bpe_tokens") >= 6)
+            .select("doc_id", "text")
+        )
+
+    src = str(tmp_path / "tok_src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    res = dedup_ingest_stream(
+        spark, src, table, str(tmp_path / "tok_ckpt"), filter_fn=filter_fn
+    )
+    assert res.rows_in == 3 and res.rows_filtered == 1  # doc 2 too short
+    assert {r["doc_id"] for r in spark.table(table).collect()} == {1, 3}
+    for t in (table, f"{table}_lsh_sets", f"{table}_lsh_bands", tok):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
