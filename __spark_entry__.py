@@ -60,6 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _RESHAPED_IN = {
     "embed_ann_recall": 6,   # r6: merged in recall_pq (wide two-tier row)
     "dedup_clusters": 6,     # r6: merged in dedup_clusters_ls (algo col)
+    "engine_profile_family": 8,  # r8: + content-fingerprint branch
 }
 
 

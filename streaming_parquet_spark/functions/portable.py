@@ -39,15 +39,21 @@ def _coeff_b(k: int) -> int:
     return (777_767 * (k + 1) + 911_382_323) % MERSENNE31
 
 
-def hex_to_i32(h: str) -> str:
-    """Parse the first 8 hex chars of ``h`` into a BIGINT in [0, 2^32).
-    Identical text in both dialects (instr/substr/casts exist in both)."""
+def hex_word_expr(h: str, start: int = 1) -> str:
+    """Parse 8 hex chars of ``h`` beginning at 1-based ``start`` into a
+    BIGINT in [0, 2^32).  Identical text in both dialects
+    (instr/substr/casts exist in both)."""
     terms = " + ".join(
-        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f"(instr('0123456789abcdef', substr({h}, {start + i}, 1)) - 1)"
         f" * CAST({16 ** (7 - i)} AS BIGINT)"
         for i in range(8)
     )
     return f"({terms})"
+
+
+def hex_to_i32(h: str) -> str:
+    """Parse the first 8 hex chars of ``h`` into a BIGINT in [0, 2^32)."""
+    return hex_word_expr(h, 1)
 
 
 def ordered_words_expr(dialect: str, text: str) -> str:

@@ -121,3 +121,42 @@ def dataset_card(df, text_col: str = "text", id_col: str = "doc_id"):
             F.col("__q100").cast("double") / (F.col("n_docs") * 100), 4
         ).alias("mean_quality"),
     )
+
+
+def corpus_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row ORDER-INSENSITIVE content fingerprint of an (id, text)
+    corpus: n_docs, n_chars_total, and two independent 32-bit XOR
+    digests (fp_a, fp_b — the first and second words of each row's
+    md5 over ``id || ':' || text``).  Two materializations of a
+    corpus match iff all four values match (up to the 64-bit digest's
+    collision odds) — the cheap equality check a shuffled, compacted,
+    or re-partitioned copy of a training corpus needs, with no sort
+    and no pairwise compare.
+
+    XOR is commutative/associative, so the result is independent of
+    partitioning and row order by construction; it is also why the
+    fingerprint detects CHANGED rows but, like any XOR digest, a row
+    inserted an EVEN number of times cancels — the id inside the
+    digest plus n_docs closes that: duplicate ids change n_docs.
+
+    Scale: one full scan, map-side-combined XOR partials, a one-row
+    result.  Bit-portable: md5 + integer hex parse + bit_xor agree
+    between Spark and DuckDB (no HUGEINT, values < 2^32)."""
+    from streaming_parquet_spark.functions.portable import hex_word_expr
+
+    d = f"md5(concat(CAST({id_col} AS STRING), ':', {text_col}))"
+    zero = "CAST(0 AS BIGINT)"
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            f"coalesce(sum(CAST(length({text_col}) AS BIGINT)), {zero})"
+        ).alias("n_chars_total"),
+        F.expr(
+            f"coalesce(bit_xor({hex_word_expr(d, 1)}), {zero})"
+        ).alias("fp_a"),
+        F.expr(
+            f"coalesce(bit_xor({hex_word_expr(d, 9)}), {zero})"
+        ).alias("fp_b"),
+    )

@@ -6057,6 +6057,22 @@ def text_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.join(nov, "id")
 
 
+def _duck_engine_profile_fingerprint() -> str:
+    from streaming_parquet_spark.functions.portable import hex_word_expr
+
+    d = "md5(CAST(doc_id AS VARCHAR) || ':' || text)"
+    return f"""
+    SELECT COUNT(*) AS n_docs,
+           COALESCE(SUM(CAST(length(text) AS BIGINT)),
+                    CAST(0 AS BIGINT)) AS n_chars_total,
+           COALESCE(bit_xor({hex_word_expr(d, 1)}),
+                    CAST(0 AS BIGINT)) AS fp_a,
+           COALESCE(bit_xor({hex_word_expr(d, 9)}),
+                    CAST(0 AS BIGINT)) AS fp_b
+    FROM documents
+    """
+
+
 def _duck_engine_profile_family() -> str:
     return f"""
     SELECT 'columns' AS kind, col_name, CAST(n_rows AS DOUBLE) AS n_rows,
@@ -6067,7 +6083,9 @@ def _duck_engine_profile_family() -> str:
            CAST(NULL AS DOUBLE) AS est_tokens_total,
            CAST(NULL AS DOUBLE) AS n_unique_docs,
            CAST(NULL AS DOUBLE) AS dup_rate,
-           CAST(NULL AS DOUBLE) AS mean_quality
+           CAST(NULL AS DOUBLE) AS mean_quality,
+           CAST(NULL AS DOUBLE) AS n_chars_total,
+           CAST(NULL AS DOUBLE) AS fp_a, CAST(NULL AS DOUBLE) AS fp_b
     FROM ({_DUCK_ENGINE_PROFILE})
     UNION ALL
     SELECT 'card' AS kind, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
@@ -6076,8 +6094,21 @@ def _duck_engine_profile_family() -> str:
            CAST(NULL AS DOUBLE), CAST(n_docs AS DOUBLE),
            CAST(n_langs AS DOUBLE), CAST(n_sources AS DOUBLE),
            CAST(est_tokens_total AS DOUBLE),
-           CAST(n_unique_docs AS DOUBLE), dup_rate, mean_quality
+           CAST(n_unique_docs AS DOUBLE), dup_rate, mean_quality,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
     FROM ({_DUCK_ENGINE_DATASET_CARD})
+    UNION ALL
+    SELECT 'fingerprint' AS kind, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(n_docs AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(n_chars_total AS DOUBLE),
+           CAST(fp_a AS DOUBLE), CAST(fp_b AS DOUBLE)
+    FROM ({_duck_engine_profile_fingerprint()})
     """
 
 
@@ -6092,7 +6123,15 @@ def engine_profile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       bound) over the customer table.
     - kind='card': the one-row dataset card for the documents corpus
       (size, slices, token estimate, dup rate, mean quality) —
-      integer-exact statistics that reproduce at any partitioning."""
+      integer-exact statistics that reproduce at any partitioning.
+    - kind='fingerprint' (r8): the one-row order-insensitive content
+      fingerprint (XOR of two md5 32-bit words per doc + exact char
+      total) — the cheap materialization-equality check; see
+      operators.profile.corpus_fingerprint."""
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+
     snull = F.lit(None).cast("string")
     dnull = F.lit(None).cast("double")
     cols = engine_profile(spark, sf_dir).select(
@@ -6104,7 +6143,8 @@ def engine_profile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         dnull.alias("n_docs"), dnull.alias("n_langs"),
         dnull.alias("n_sources"), dnull.alias("est_tokens_total"),
         dnull.alias("n_unique_docs"), dnull.alias("dup_rate"),
-        dnull.alias("mean_quality"),
+        dnull.alias("mean_quality"), dnull.alias("n_chars_total"),
+        dnull.alias("fp_a"), dnull.alias("fp_b"),
     )
     card = engine_dataset_card(spark, sf_dir).select(
         F.lit("card").alias("kind"), snull.alias("col_name"),
@@ -6116,9 +6156,23 @@ def engine_profile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sources").cast("double").alias("n_sources"),
         F.col("est_tokens_total").cast("double").alias("est_tokens_total"),
         F.col("n_unique_docs").cast("double").alias("n_unique_docs"),
-        "dup_rate", "mean_quality",
+        "dup_rate", "mean_quality", dnull.alias("n_chars_total"),
+        dnull.alias("fp_a"), dnull.alias("fp_b"),
     )
-    return cols.unionByName(card)
+    fp = corpus_fingerprint(_t(spark, sf_dir, "documents")).select(
+        F.lit("fingerprint").alias("kind"), snull.alias("col_name"),
+        dnull.alias("n_rows"), dnull.alias("n_null"),
+        snull.alias("min_s"), snull.alias("max_s"),
+        dnull.alias("distinct_est"), dnull.alias("distinct_lo"),
+        F.col("n_docs").cast("double").alias("n_docs"),
+        dnull.alias("n_langs"), dnull.alias("n_sources"),
+        dnull.alias("est_tokens_total"), dnull.alias("n_unique_docs"),
+        dnull.alias("dup_rate"), dnull.alias("mean_quality"),
+        F.col("n_chars_total").cast("double").alias("n_chars_total"),
+        F.col("fp_a").cast("double").alias("fp_a"),
+        F.col("fp_b").cast("double").alias("fp_b"),
+    )
+    return cols.unionByName(card).unionByName(fp)
 
 
 def _duck_pipeline_order_family() -> str:

@@ -4170,3 +4170,40 @@ def test_exact_substring_dedup_property(spark):
         assert got == _ess_reference(docs, w)
 
     check()
+
+
+def test_corpus_fingerprint(spark, docs):
+    """corpus_fingerprint: partitioning- and order-insensitive by
+    construction, sensitive to any single-row text change, duplicate
+    ids surface through n_docs, and an empty corpus is all zeros."""
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+
+    base = corpus_fingerprint(docs).collect()[0]
+    again = corpus_fingerprint(
+        docs.repartition(7).orderBy(F.desc("doc_id"))
+    ).collect()[0]
+    assert base == again
+    assert base["n_docs"] > 0 and (base["fp_a"], base["fp_b"]) != (0, 0)
+    # flip one row's text -> fingerprint changes, counts track
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == base["n_docs"] // 2,
+               F.concat(F.col("text"), F.lit(" x"))).otherwise(
+            F.col("text")
+        ),
+    )
+    m = corpus_fingerprint(mutated).collect()[0]
+    assert (m["fp_a"], m["fp_b"]) != (base["fp_a"], base["fp_b"])
+    assert m["n_docs"] == base["n_docs"]
+    assert m["n_chars_total"] == base["n_chars_total"] + 2
+    # an even re-insertion cancels the XOR (documented) but n_docs
+    # catches it — the card's contract
+    doubled = docs.unionAll(docs)
+    d = corpus_fingerprint(doubled).collect()[0]
+    assert (d["fp_a"], d["fp_b"]) == (0, 0)
+    assert d["n_docs"] == 2 * base["n_docs"]
+    # empty corpus: all zeros, no NULL poisoning
+    empty = corpus_fingerprint(docs.filter(F.lit(False))).collect()[0]
+    assert tuple(empty) == (0, 0, 0, 0)
