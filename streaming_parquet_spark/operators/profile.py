@@ -143,7 +143,9 @@ def corpus_fingerprint(
 
     Scale: one full scan, map-side-combined XOR partials, a one-row
     result.  Bit-portable: md5 + integer hex parse + bit_xor agree
-    between Spark and DuckDB (no HUGEINT, values < 2^32)."""
+    between Spark and DuckDB (no HUGEINT, values < 2^32).  When two
+    fingerprints DIFFER, ``operators.cdc.snapshot_diff`` is the
+    companion that says WHAT changed (insert/delete/update per id)."""
     from streaming_parquet_spark.functions.portable import hex_word_expr
 
     d = f"md5(concat(CAST({id_col} AS STRING), ':', {text_col}))"
