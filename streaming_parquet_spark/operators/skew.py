@@ -1,4 +1,4 @@
-"""Skew-mitigation utilities: salted joins.
+"""Skew utilities: diagnosis (skew_report) + mitigation (salted_join).
 
 AQE's skew-join splitting (on by default in session.get_spark) handles
 most skew at runtime by splitting oversized partitions. Salting is the
@@ -45,3 +45,69 @@ def salted_join(
     )
     out = big_s.join(small_s, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+    target_rows_per_task: int | None = None,
+) -> DataFrame:
+    """Diagnose join/agg key skew BEFORE paying for the shuffle: one
+    row per top-``top_n`` hottest key with its count, share of all
+    rows, the skew factor (count / mean-rows-per-key), and the salt
+    factor :func:`salted_join` would need to spread that key across
+    tasks of ~``target_rows_per_task`` rows (default: total rows /
+    defaultParallelism — i.e. "no key bigger than an average task").
+
+    Reading the output: skew_factor ~ 1 everywhere means hashing
+    already balances; a handful of keys with double-digit pct_rows is
+    the salted-join / cap_blocks case; millions of near-unique keys
+    with skew_factor ~ 1 but huge n_keys means the problem is volume,
+    not skew.  ``suggested_salt`` is 1 whenever the key already fits a
+    task.
+
+    Scale: one groupBy (map-side combined) + a top-N — the same cost
+    as the aggregation being diagnosed, minus its downstream work.
+    All integer-exact except the two documented divisions, so the
+    report reproduces at any partitioning."""
+    spark = df.sparkSession
+    n = int(top_n)
+    keyed = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = keyed.agg(
+        F.expr("coalesce(sum(cnt), CAST(0 AS BIGINT))").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    per_task = (
+        int(target_rows_per_task)
+        if target_rows_per_task is not None
+        else None
+    )
+    out = (
+        keyed.orderBy(F.desc("cnt"), *key_cols)
+        .limit(n)
+        .crossJoin(F.broadcast(totals))
+    )
+    task_rows = (
+        F.lit(per_task)
+        if per_task is not None
+        else F.greatest(
+            F.expr(
+                f"CAST(n_rows / {spark.sparkContext.defaultParallelism}"
+                " AS BIGINT)"
+            ),
+            F.lit(1),
+        )
+    )
+    return out.select(
+        *key_cols,
+        "cnt",
+        F.expr("round(cnt / n_rows * 100, 2)").alias("pct_rows"),
+        F.expr("round(cnt * n_keys / n_rows, 2)").alias("skew_factor"),
+        F.greatest(
+            F.ceil(F.col("cnt") / task_rows).cast("int"),
+            F.lit(1),
+        ).alias("suggested_salt"),
+        "n_rows",
+        "n_keys",
+    )

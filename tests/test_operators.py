@@ -4207,3 +4207,44 @@ def test_corpus_fingerprint(spark, docs):
     # empty corpus: all zeros, no NULL poisoning
     empty = corpus_fingerprint(docs.filter(F.lit(False))).collect()[0]
     assert tuple(empty) == (0, 0, 0, 0)
+
+
+def test_skew_report(spark):
+    """skew_report: counts/shares/skew factors are exact, the hottest
+    key tops the report, suggested_salt spreads it to ~task-sized
+    slices and is 1 for keys that already fit, and the report is
+    partitioning-invariant."""
+    from streaming_parquet_spark.operators.skew import skew_report
+
+    rows = (
+        [(i, "hot") for i in range(900)]
+        + [(1000 + i, "warm") for i in range(60)]
+        + [(2000 + i, f"k{i}") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "id long, key string")
+    rep = {
+        r["key"]: r
+        for r in skew_report(
+            df, ["key"], top_n=5, target_rows_per_task=100
+        ).collect()
+    }
+    assert list(rep)[0] == "hot"
+    hot = rep["hot"]
+    assert hot["cnt"] == 900 and hot["n_rows"] == 1000
+    assert hot["n_keys"] == 42
+    assert hot["pct_rows"] == 90.0
+    assert hot["skew_factor"] == round(900 * 42 / 1000, 2)
+    assert hot["suggested_salt"] == 9      # ceil(900 / 100)
+    assert rep["warm"]["suggested_salt"] == 1
+    again = {
+        (r["key"], r["cnt"], r["suggested_salt"])
+        for r in skew_report(
+            df.repartition(7), ["key"], top_n=5,
+            target_rows_per_task=100,
+        ).collect()
+    }
+    assert again == {
+        (r["key"], r["cnt"], r["suggested_salt"]) for r in rep.values()
+    }
+    # empty frame: no rows, no division blow-up
+    assert skew_report(df.filter(F.lit(False)), ["key"]).count() == 0
