@@ -4248,3 +4248,68 @@ def test_skew_report(spark):
     }
     # empty frame: no rows, no division blow-up
     assert skew_report(df.filter(F.lit(False)), ["key"]).count() == 0
+
+
+def test_leakage_safe_split_property(spark):
+    """Hypothesis over random pair graphs (self-loops, duplicate
+    edges, reversed edges, chains that merge clusters transitively,
+    edges naming ids absent from the corpus): every connected
+    component lands whole in one split, and docs in no pair match
+    with_split exactly."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.pipeline import (
+        leakage_safe_split,
+        with_split,
+    )
+
+    ids = st.integers(0, 14)
+    edge = st.tuples(ids, ids)
+    graph = st.lists(edge, min_size=1, max_size=12)
+
+    @given(edges=graph)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(edges):
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(15)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        rows = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_split(docs, pairs).collect()
+        }
+        assert set(rows) == set(range(15))
+        # independent union-find over the same edges
+        parent = {}
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+        linked = set()
+        for a, b in edges:
+            linked |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for i in linked:
+            comps.setdefault(find(i), set()).add(i)
+        for members in comps.values():
+            in_corpus = members & set(range(15))
+            assert len({rows[i] for i in in_corpus}) <= 1, members
+        base = {
+            r["doc_id"]: r["split"] for r in with_split(docs).collect()
+        }
+        for i in set(range(15)) - linked:
+            assert rows[i] == base[i]
+
+    check()
