@@ -431,6 +431,7 @@ def shard_manifest(
     id_col: str = "doc_id",
     token_col: str | None = None,
     bytes_col: str | None = None,
+    text_col: str | None = None,
     seed: int = SHARD_SEED,
 ) -> DataFrame:
     """Training-shard write plan: assign every row a deterministic
@@ -444,7 +445,16 @@ def shard_manifest(
     Hash sharding makes shard volume multinomial-uniform in expectation
     regardless of input order or skew in the id space; the manifest
     proves it for the actual corpus. One partial-aggregated shuffle of
-    manifest-sized rows."""
+    manifest-sized rows.
+
+    ``text_col``: when given, each manifest row also carries the
+    shard's order-insensitive content fingerprint (fp_a/fp_b — the
+    same two XOR'd md5 words as ``profile.corpus_fingerprint``), so a
+    written shard can be read back, fingerprinted, and checked against
+    what the manifest PROMISED before the write — end-to-end shard
+    integrity with no sort and no second full-corpus pass."""
+    from streaming_parquet_spark.functions.portable import hex_word_expr
+
     shard = F.expr(hash_bucket_expr("spark", id_col, n_shards, seed=seed))
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -457,6 +467,14 @@ def shard_manifest(
         )
     if bytes_col:
         aggs.append(F.sum(F.col(bytes_col).cast("bigint")).alias("n_bytes"))
+    if text_col:
+        d = f"md5(concat(CAST({id_col} AS STRING), ':', {text_col}))"
+        aggs.append(
+            F.expr(f"bit_xor({hex_word_expr(d, 1)})").alias("fp_a")
+        )
+        aggs.append(
+            F.expr(f"bit_xor({hex_word_expr(d, 9)})").alias("fp_b")
+        )
     return (
         df.withColumn("shard", shard.cast("int"))
         .groupBy("shard")

@@ -4313,3 +4313,57 @@ def test_leakage_safe_split_property(spark):
             assert rows[i] == base[i]
 
     check()
+
+
+def test_shard_manifest_fingerprints_verify_written_shards(
+    spark, docs, tmp_path
+):
+    """The end-to-end shard-integrity loop: the manifest PROMISES each
+    shard's content fingerprint before the write; writing with the
+    same sharding function and fingerprinting each shard read back
+    reproduces the promise exactly (and a corrupted shard does not)."""
+    from streaming_parquet_spark.operators.pipeline import (
+        SHARD_SEED,
+        shard_manifest,
+    )
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+    from streaming_parquet_spark.functions.portable import (
+        hash_bucket_expr,
+    )
+
+    n_shards = 4
+    man = {
+        r["shard"]: r
+        for r in shard_manifest(
+            docs, n_shards, text_col="text"
+        ).collect()
+    }
+    assert set(man) == set(range(n_shards))
+    out = str(tmp_path / "shards")
+    shard = F.expr(
+        hash_bucket_expr("spark", "doc_id", n_shards, seed=SHARD_SEED)
+    ).cast("int")
+    docs.withColumn("shard", shard).write.partitionBy("shard").parquet(out)
+    for s in range(n_shards):
+        got = corpus_fingerprint(
+            spark.read.parquet(f"{out}/shard={s}")
+        ).collect()[0]
+        want = man[s]
+        assert (got["n_docs"], got["fp_a"], got["fp_b"]) == (
+            want["n_docs"], want["fp_a"], want["fp_b"]
+        ), s
+    # a corrupted shard (one doc's text flipped) fails the check:
+    # tamper the minimum id deterministically
+    min_id = spark.read.parquet(f"{out}/shard=0").agg(
+        F.min("doc_id")
+    ).first()[0]
+    bad = spark.read.parquet(f"{out}/shard=0").withColumn(
+        "text",
+        F.when(F.col("doc_id") == min_id, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    got = corpus_fingerprint(bad).collect()[0]
+    assert (got["fp_a"], got["fp_b"]) != (man[0]["fp_a"], man[0]["fp_b"])
