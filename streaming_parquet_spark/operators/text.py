@@ -1060,3 +1060,55 @@ def c4_line_filters(
         )
         .drop("__kept")
     )
+
+
+def write_text_classifier(
+    model: DataFrame, table: str, buckets: int = 1024,
+    scale_bits: int = 20,
+) -> None:
+    """Persist a :func:`fit_text_classifier` model relation with its
+    contract pinned as table properties — the same discipline as the
+    tokenizer artifacts (``tokenize.write_bpe_merges``): ``buckets``
+    and ``scale_bits`` silently change every logit if they drift
+    between fit and score (a different hash modulus scatters the same
+    words to different weights; Spark raises nothing), so the reader
+    hands the pinned values back and
+    :func:`classifier_score_table` threads them through.  Keys avoid
+    the redacted-substring gotcha (see operators/tokenize.py)."""
+    spark = model.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    model.write.format("parquet").saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'maw.textclf.kind' = 'logreg-hashed-bow',"
+        f"'maw.textclf.buckets' = '{int(buckets)}',"
+        f"'maw.textclf.scale_bits' = '{int(scale_bits)}')"
+    )
+
+
+def read_text_classifier(spark, table: str) -> tuple[DataFrame, int, int]:
+    """Load a persisted classifier model; returns (model, buckets,
+    scale_bits), failing fast on a table that is not one."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    if props.get("maw.textclf.kind") != "logreg-hashed-bow":
+        raise ValueError(
+            f"{table} is not a persisted text classifier "
+            f"(maw.textclf.kind = {props.get('maw.textclf.kind')!r})"
+        )
+    return (
+        spark.table(table),
+        int(props["maw.textclf.buckets"]),
+        int(props["maw.textclf.scale_bits"]),
+    )
+
+
+def classifier_score_table(df: DataFrame, table: str, **kw) -> DataFrame:
+    """:func:`classifier_score` under a persisted model, with the
+    fit-time ``buckets``/``scale_bits`` threaded through."""
+    model, buckets, scale_bits = read_text_classifier(
+        df.sparkSession, table
+    )
+    return classifier_score(
+        df, model, buckets=buckets, scale_bits=scale_bits, **kw
+    )

@@ -4367,3 +4367,58 @@ def test_shard_manifest_fingerprints_verify_written_shards(
     )
     got = corpus_fingerprint(bad).collect()[0]
     assert (got["fp_a"], got["fp_b"]) != (man[0]["fp_a"], man[0]["fp_b"])
+
+
+def test_text_classifier_artifact_table(spark, docs):
+    """Persisted classifier models follow the pinned-parameter
+    discipline: the table round-trip scores bit-identically to the
+    in-session model, the pinned buckets/scale_bits thread through
+    classifier_score_table, and a wrong-kind read fails fast."""
+    from streaming_parquet_spark.operators.text import (
+        classifier_score,
+        classifier_score_table,
+        fit_text_classifier,
+        read_text_classifier,
+        write_text_classifier,
+    )
+
+    pos = docs.limit(32).select("doc_id", "text")
+    neg = docs.limit(32).select(
+        (F.lit(-1) - F.col("doc_id")).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 12),"
+            " i -> concat('qq', CAST(pmod(doc_id + i, 13) AS STRING))))"
+        ).alias("text"),
+    )
+    model = fit_text_classifier(pos, neg, buckets=256)
+    spark.sql("DROP TABLE IF EXISTS maw_clf_art")
+    write_text_classifier(model, "maw_clf_art", buckets=256)
+    try:
+        m2, buckets, scale_bits = read_text_classifier(
+            spark, "maw_clf_art"
+        )
+        assert (buckets, scale_bits) == (256, 20)
+        sample = docs.limit(40)
+        direct = {
+            r["doc_id"]: (r["logit_num"], r["logit"])
+            for r in classifier_score(
+                sample, model, buckets=256
+            ).collect()
+        }
+        via = {
+            r["doc_id"]: (r["logit_num"], r["logit"])
+            for r in classifier_score_table(
+                sample, "maw_clf_art"
+            ).collect()
+        }
+        assert direct == via  # bit-identical through the table
+        with pytest.raises(ValueError, match="not a persisted text"):
+            # any non-classifier table fails fast; reuse the model
+            # table with its kind property clobbered
+            spark.sql(
+                "ALTER TABLE maw_clf_art SET TBLPROPERTIES "
+                "('maw.textclf.kind' = 'other')"
+            )
+            read_text_classifier(spark, "maw_clf_art")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS maw_clf_art")
