@@ -364,7 +364,11 @@ def main() -> None:
             json.dump(doc, f, indent=1, sort_keys=False)
             f.write("\n")
     except OSError:
-        pass  # read-only checkout: stdout line is still complete
+        # read-only checkout: the full document would otherwise be
+        # lost (stdout carries only the capped summary line) — print
+        # it as a penultimate line; the LAST line stays the short one
+        # the round artifact parses.
+        print(json.dumps(doc, separators=(",", ":")))
     # The driver caps captured stdout lines at ~2000 chars: every round
     # whose JSON line exceeded that recorded `parsed: null` in
     # BENCH_r{N}.json (r2-r7), while r1's 1496-char line parsed.  Emit

@@ -167,8 +167,12 @@ def main():
     # (and near-dups below the LSH threshold) can leave residual
     # near-duplicates in the corpus — keying the split on the pair
     # graph's components guarantees such survivors still land in the
-    # SAME split instead of leaking train text into test.
-    split = leakage_safe_split(sampled, pairs, id_col="doc_id")
+    # SAME split instead of leaking train text into test.  The
+    # component map from step 2 is REUSED (components=) — recomputing
+    # it would re-run the CC loop and the LSH pair lineage.
+    split = leakage_safe_split(
+        sampled, id_col="doc_id", components=members
+    )
     final = assign_contiguous_ids(
         split.select("doc_id", "lang", "source", "n_chars",
                      "n_bpe_tokens", "split", "text"),

@@ -74,13 +74,14 @@ def with_split(
 
 def leakage_safe_split(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
     train_pct: int = 80,
     val_pct: int = 10,
     out_col: str = "split",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`with_split` made near-duplicate-aware: documents
     connected by ``pairs`` (near-dup pairs from the LSH / prefix /
@@ -103,12 +104,23 @@ def leakage_safe_split(
 
     Scale: clusters are computed on the PAIR graph only (dup-rate x
     corpus edges, never the corpus itself); the corpus pays one
-    broadcast-or-shuffle join against that small relation."""
-    from streaming_parquet_spark.operators.cluster import (
-        connected_components,
-    )
+    broadcast-or-shuffle join against that small relation.  A pipeline
+    that already materialized ``connected_components(pairs)`` (keep-one
+    dedup does) should pass it as ``components=`` — recomputing it
+    here would re-run the iterative CC loop AND the pair lineage
+    (LSH shingle/band joins) a second time."""
+    if components is not None:
+        comp = components
+    else:
+        if pairs is None:
+            raise ValueError(
+                "leakage_safe_split needs pairs= or components="
+            )
+        from streaming_parquet_spark.operators.cluster import (
+            connected_components,
+        )
 
-    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+        comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
     keyed = df.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn(
@@ -468,12 +480,23 @@ def shard_manifest(
     if bytes_col:
         aggs.append(F.sum(F.col(bytes_col).cast("bigint")).alias("n_bytes"))
     if text_col:
-        d = f"md5(concat(CAST({id_col} AS STRING), ':', {text_col}))"
+        # same NULL-as-'' digest rule and empty-group coalesce as
+        # corpus_fingerprint — the two MUST agree for the
+        # manifest-vs-readback comparison to mean anything
+        d = (
+            f"md5(concat(CAST({id_col} AS STRING), ':',"
+            f" coalesce({text_col}, '')))"
+        )
+        zero = "CAST(0 AS BIGINT)"
         aggs.append(
-            F.expr(f"bit_xor({hex_word_expr(d, 1)})").alias("fp_a")
+            F.expr(
+                f"coalesce(bit_xor({hex_word_expr(d, 1)}), {zero})"
+            ).alias("fp_a")
         )
         aggs.append(
-            F.expr(f"bit_xor({hex_word_expr(d, 9)})").alias("fp_b")
+            F.expr(
+                f"coalesce(bit_xor({hex_word_expr(d, 9)}), {zero})"
+            ).alias("fp_b")
         )
     return (
         df.withColumn("shard", shard.cast("int"))

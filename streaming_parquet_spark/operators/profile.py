@@ -148,12 +148,23 @@ def corpus_fingerprint(
     companion that says WHAT changed (insert/delete/update per id)."""
     from streaming_parquet_spark.functions.portable import hex_word_expr
 
-    d = f"md5(concat(CAST({id_col} AS STRING), ':', {text_col}))"
+    # NULL text hashes as '' (and counts 0 chars): concat would
+    # otherwise yield a NULL digest that bit_xor silently SKIPS,
+    # making a NULL-text row invisible to the digest — and making the
+    # manifest-vs-readback comparison (shard_manifest text_col=)
+    # disagree on shards containing such rows.  The NULL=='' collapse
+    # is the documented trade; rows differing only in that distinction
+    # hash identically.
+    d = (
+        f"md5(concat(CAST({id_col} AS STRING), ':',"
+        f" coalesce({text_col}, '')))"
+    )
     zero = "CAST(0 AS BIGINT)"
     return df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.expr(
-            f"coalesce(sum(CAST(length({text_col}) AS BIGINT)), {zero})"
+            f"coalesce(sum(CAST(length(coalesce({text_col}, ''))"
+            f" AS BIGINT)), {zero})"
         ).alias("n_chars_total"),
         F.expr(
             f"coalesce(bit_xor({hex_word_expr(d, 1)}), {zero})"

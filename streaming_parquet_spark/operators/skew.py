@@ -103,7 +103,12 @@ def skew_report(
         *key_cols,
         "cnt",
         F.expr("round(cnt / n_rows * 100, 2)").alias("pct_rows"),
-        F.expr("round(cnt * n_keys / n_rows, 2)").alias("skew_factor"),
+        # divide FIRST: cnt * n_keys as BIGINT overflows at the scale
+        # this module targets (1e9-row hot key x 1e10 keys > 2^63 —
+        # silent wraparound or an ANSI ArithmeticException on exactly
+        # the key being diagnosed); cnt/n_rows is double, so the
+        # product stays in float range
+        F.expr("round(cnt / n_rows * n_keys, 2)").alias("skew_factor"),
         F.greatest(
             F.ceil(F.col("cnt") / task_rows).cast("int"),
             F.lit(1),

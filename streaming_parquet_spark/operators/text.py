@@ -1063,7 +1063,7 @@ def c4_line_filters(
 
 
 def write_text_classifier(
-    model: DataFrame, table: str, buckets: int = 1024,
+    model: DataFrame, table: str, buckets: int,
     scale_bits: int = 20,
 ) -> None:
     """Persist a :func:`fit_text_classifier` model relation with its
@@ -1074,8 +1074,20 @@ def write_text_classifier(
     words to different weights; Spark raises nothing), so the reader
     hands the pinned values back and
     :func:`classifier_score_table` threads them through.  Keys avoid
-    the redacted-substring gotcha (see operators/tokenize.py)."""
+    the redacted-substring gotcha (see operators/tokenize.py).
+
+    ``buckets`` is REQUIRED and must repeat the fit call's value — a
+    default here would re-create the very drift the pin closes (the
+    hash modulus is not recoverable from the weight rows; the one
+    checkable direction, weights referencing buckets past the claimed
+    modulus, raises)."""
     spark = model.sparkSession
+    max_bkt = model.agg(F.max("bkt")).first()[0]
+    if max_bkt is not None and max_bkt >= int(buckets):
+        raise ValueError(
+            f"model references bucket {max_bkt} but buckets={buckets} "
+            f"is pinned — the claimed hash modulus cannot be right"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     model.write.format("parquet").saveAsTable(table)
     spark.sql(

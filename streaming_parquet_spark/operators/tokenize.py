@@ -384,14 +384,20 @@ def fit_unigram_vocab(
         .limit(int(max_words))
         .collect()
     )
+    spark = corpus.sparkSession
+    word_freq = {r["w"]: r["c"] for r in freq_rows}
+    if not word_freq:
+        # empty / whitespace-only corpus: an empty vocab, cleanly —
+        # the same contract as fit_bpe_merges' empty merge table
+        # (apply_unigram refuses an empty vocab explicitly)
+        return spark.createDataFrame([], "piece string, logp double")
     logp = _unigram_train(
-        {r["w"]: r["c"] for r in freq_rows},
+        word_freq,
         int(vocab_size),
         int(max_piece_len),
         int(em_iters),
         int(seed_size) if seed_size is not None else 8 * int(vocab_size),
     )
-    spark = corpus.sparkSession
     return spark.createDataFrame(
         sorted(logp.items(), key=lambda kv: (-kv[1], kv[0])),
         "piece string, logp double",
@@ -494,14 +500,32 @@ def write_bpe_merges(merges: DataFrame, table: str) -> None:
 
 
 def write_unigram_vocab(
-    vocab: DataFrame, table: str, max_piece_len: int = 8
+    vocab: DataFrame, table: str, max_piece_len: int | None = None
 ) -> None:
     """Persist a fitted unigram vocab.  ``max_piece_len`` is pinned:
     applying with a SMALLER value than the fit's silently drops every
     longer piece from Viterbi's reach — a wrong-segmentation hazard,
     not an error Spark would raise — so the reader hands the pinned
-    value back and :func:`apply_unigram_table` threads it through."""
+    value back and :func:`apply_unigram_table` threads it through.
+
+    The pinned value is DERIVED from the vocab itself (the longest
+    piece's length — lookups past that can never match, so it is
+    functionally the fit's reach) rather than trusted from the caller:
+    a caller-supplied default that disagreed with the fit would
+    re-create exactly the drift this mechanism exists to close.  An
+    explicit ``max_piece_len`` below the derived reach raises."""
     spark = vocab.sparkSession
+    derived = (
+        vocab.agg(F.max(F.length("piece"))).first()[0] or 1
+    )
+    if max_piece_len is None:
+        max_piece_len = derived
+    elif int(max_piece_len) < derived:
+        raise ValueError(
+            f"max_piece_len={max_piece_len} is below the vocab's "
+            f"longest piece ({derived} chars) — applying with it would "
+            f"silently drop longer pieces from Viterbi's reach"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     vocab.write.format("parquet").saveAsTable(table)
     spark.sql(

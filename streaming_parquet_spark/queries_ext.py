@@ -6060,10 +6060,11 @@ def text_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_engine_profile_fingerprint() -> str:
     from streaming_parquet_spark.functions.portable import hex_word_expr
 
-    d = "md5(CAST(doc_id AS VARCHAR) || ':' || text)"
+    # NULL-as-'' digest rule, matching corpus_fingerprint exactly
+    d = "md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, ''))"
     return f"""
     SELECT COUNT(*) AS n_docs,
-           COALESCE(SUM(CAST(length(text) AS BIGINT)),
+           COALESCE(SUM(CAST(length(coalesce(text, '')) AS BIGINT)),
                     CAST(0 AS BIGINT)) AS n_chars_total,
            COALESCE(bit_xor({hex_word_expr(d, 1)}),
                     CAST(0 AS BIGINT)) AS fp_a,

@@ -157,30 +157,36 @@ def _run_ingest(
         # search, and the probe all consume it — without the persist
         # each would re-scan the batch's files.
         batch = batch.persist()
-        n_in = batch.count()
-        result.rows_in += n_in
-        # 0. quality pre-filter: persisted because the filtered-count
-        #    tally and the dedup stages below both consume it.  A
-        #    deterministic filter keeps the replay analysis intact; a
-        #    non-deterministic one cannot DUPLICATE rows (the id
-        #    anti-joins still hold) but makes the kept-set
-        #    replay-dependent — the entry points' documented contract.
-        filtered = None
-        src = batch
-        if prefilter_fn is not None:
-            filtered = prefilter_fn(batch).persist()
-            result.rows_filtered += n_in - filtered.count()
-            src = filtered
-        survivors = survivors_fn(src).withColumn(
-            "ingest_batch", F.lit(int(batch_id))
-        )
-        # Materialize ONCE per batch: steps 3 and 4 both consume the
-        # survivor set, and the probe must not run twice against an
-        # index step 4 is about to mutate.
-        rows = survivors.persist()
-        n = rows.count()
-        result.rows_kept += n
+        # EVERYTHING after the first persist sits under one
+        # try/finally: a filter_fn/probe/count failure before the
+        # writes would otherwise leak up to three persisted frames,
+        # and Structured Streaming re-runs (and would re-leak) the
+        # failing batch on every stream restart.
+        filtered = rows = None
         try:
+            n_in = batch.count()
+            result.rows_in += n_in
+            # 0. quality pre-filter: persisted because the
+            #    filtered-count tally and the dedup stages below both
+            #    consume it.  A deterministic filter keeps the replay
+            #    analysis intact; a non-deterministic one cannot
+            #    DUPLICATE rows (the id anti-joins still hold) but
+            #    makes the kept-set replay-dependent — the entry
+            #    points' documented contract.
+            src = batch
+            if prefilter_fn is not None:
+                filtered = prefilter_fn(batch).persist()
+                result.rows_filtered += n_in - filtered.count()
+                src = filtered
+            survivors = survivors_fn(src).withColumn(
+                "ingest_batch", F.lit(int(batch_id))
+            )
+            # Materialize ONCE per batch: steps 3 and 4 both consume
+            # the survivor set, and the probe must not run twice
+            # against an index step 4 is about to mutate.
+            rows = survivors.persist()
+            n = rows.count()
+            result.rows_kept += n
             if n:
                 # 3. corpus delta-append: only ids not in the corpus
                 #    AT ALL (replay-idempotent across partitions — a
@@ -204,7 +210,8 @@ def _run_ingest(
                 )
                 append_fn(idx_delta)
         finally:
-            rows.unpersist()
+            if rows is not None:
+                rows.unpersist()
             if filtered is not None:
                 filtered.unpersist()
             batch.unpersist()

@@ -4422,3 +4422,90 @@ def test_text_classifier_artifact_table(spark, docs):
             read_text_classifier(spark, "maw_clf_art")
     finally:
         spark.sql("DROP TABLE IF EXISTS maw_clf_art")
+
+
+def test_review_fix_edges(spark, docs):
+    """Round-8 review fixes pinned: (1) write_unigram_vocab derives
+    max_piece_len from the vocab and rejects a smaller override;
+    (2) fit_unigram_vocab on an empty corpus returns an empty vocab
+    cleanly; (3) write_text_classifier rejects a buckets pin the
+    weights contradict; (4) NULL text hashes as '' consistently in
+    corpus_fingerprint AND shard_manifest so the integrity comparison
+    agrees; (5) skew_factor survives counts whose product would
+    overflow BIGINT."""
+    from streaming_parquet_spark.operators.pipeline import shard_manifest
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+    from streaming_parquet_spark.operators.text import (
+        fit_text_classifier,
+        write_text_classifier,
+    )
+    from streaming_parquet_spark.operators.tokenize import (
+        fit_unigram_vocab,
+        read_unigram_vocab,
+        write_unigram_vocab,
+    )
+
+    # (1) derived pin
+    vocab = fit_unigram_vocab(docs, vocab_size=64, max_piece_len=5,
+                              max_words=2_000)
+    spark.sql("DROP TABLE IF EXISTS maw_fix_uni")
+    try:
+        write_unigram_vocab(vocab, "maw_fix_uni")          # derives
+        _, pinned = read_unigram_vocab(spark, "maw_fix_uni")
+        derived = max(
+            len(r["piece"]) for r in vocab.collect()
+        )
+        assert pinned == derived
+        with pytest.raises(ValueError, match="longest piece"):
+            write_unigram_vocab(vocab, "maw_fix_uni",
+                                max_piece_len=derived - 1)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS maw_fix_uni")
+    # (2) empty corpus
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert fit_unigram_vocab(empty).count() == 0
+    ws = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    assert fit_unigram_vocab(ws).count() == 0
+    # (3) contradictory buckets pin
+    pos = docs.limit(16).select("doc_id", "text")
+    neg = docs.limit(16).select(
+        (F.lit(-1) - F.col("doc_id")).alias("doc_id"),
+        F.lit("zz zz zz zz zz zz").alias("text"),
+    )
+    model = fit_text_classifier(pos, neg, buckets=256)
+    max_bkt = model.agg(F.max("bkt")).first()[0]
+    if max_bkt is not None and max_bkt >= 16:
+        with pytest.raises(ValueError, match="cannot be right"):
+            write_text_classifier(model, "maw_fix_clf", buckets=16)
+    # (4) NULL text consistency
+    withnull = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    fp = corpus_fingerprint(withnull).collect()[0]
+    man = shard_manifest(withnull, 1, text_col="text").collect()[0]
+    assert (fp["fp_a"], fp["fp_b"]) == (man["fp_a"], man["fp_b"])
+    assert fp["n_chars_total"] == 5
+    # NULL and '' collapse (documented): ids differ so digests differ
+    fp2 = corpus_fingerprint(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, ""), (3, "")], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert (fp2["fp_a"], fp2["fp_b"]) == (fp["fp_a"], fp["fp_b"])
+    # (5) skew_factor divides before multiplying (the overflow-free
+    # order; huge synthetic counts aren't constructible through the
+    # public API, so the order itself is pinned on realistic data)
+    from streaming_parquet_spark.operators.skew import skew_report
+
+    rep = skew_report(
+        spark.createDataFrame(
+            [(i, "hot") for i in range(50)] + [(100, "cold")],
+            "id long, key string",
+        ),
+        ["key"], top_n=2, target_rows_per_task=10,
+    ).collect()
+    hot = next(r for r in rep if r["key"] == "hot")
+    assert hot["skew_factor"] == round(50 / 51 * 2, 2)
