@@ -868,3 +868,53 @@ def dsir_weights(
             F.sum(F.col("cnt") * F.col("lr")).alias("dsir_weight"),
         )
     )
+
+
+def verify_shards(
+    spark,
+    manifest: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Check written shards against what a ``text_col``-bearing
+    :func:`shard_manifest` PROMISED: read each ``shard=N`` partition
+    back, fingerprint it (``profile.corpus_fingerprint`` — the same
+    digest the manifest rows carry), and return one row per shard with
+    the promised and observed values plus ``ok``.  A missing partition
+    directory reports n_docs_observed = 0 rather than raising, so a
+    partially-written output shows exactly which shards are absent.
+
+    Scale: one column-pruned scan per shard (driver loops over the
+    manifest's shard ids — manifest-sized, not corpus-sized; the scans
+    themselves are distributed jobs)."""
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+
+    # the whole point is verifying files that may have JUST been
+    # (re)written — drop any cached listing for the path first, or a
+    # prior read of the same location serves stale file names
+    # (FAILED_READ_FILE.FILE_NOT_EXIST)
+    try:
+        spark.catalog.refreshByPath(path)
+    except Exception:
+        pass
+    rows = []
+    for m in manifest.orderBy("shard").collect():
+        try:
+            part = spark.read.parquet(f"{path}/shard={m['shard']}")
+            got = corpus_fingerprint(part, id_col, text_col).collect()[0]
+            obs = (got["n_docs"], got["fp_a"], got["fp_b"])
+        except Exception:
+            obs = (0, 0, 0)
+        ok = obs == (m["n_docs"], m["fp_a"], m["fp_b"])
+        rows.append((int(m["shard"]), int(m["n_docs"]), int(obs[0]),
+                     int(m["fp_a"]), int(obs[1]),
+                     int(m["fp_b"]), int(obs[2]), bool(ok)))
+    return spark.createDataFrame(
+        rows,
+        "shard int, n_docs_promised bigint, n_docs_observed bigint,"
+        " fp_a_promised bigint, fp_a_observed bigint,"
+        " fp_b_promised bigint, fp_b_observed bigint, ok boolean",
+    )

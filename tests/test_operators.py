@@ -4509,3 +4509,54 @@ def test_review_fix_edges(spark, docs):
     ).collect()
     hot = next(r for r in rep if r["key"] == "hot")
     assert hot["skew_factor"] == round(50 / 51 * 2, 2)
+
+
+def test_verify_shards(spark, docs, tmp_path):
+    """verify_shards wraps the manifest-vs-readback loop: all shards
+    ok on a faithful write, a tampered shard flips ok=false with the
+    observed digests shown, and a missing shard reports zero observed
+    docs instead of raising."""
+    from streaming_parquet_spark.operators.pipeline import (
+        SHARD_SEED,
+        shard_manifest,
+        verify_shards,
+    )
+    from streaming_parquet_spark.functions.portable import (
+        hash_bucket_expr,
+    )
+
+    n_shards = 3
+    man = shard_manifest(docs, n_shards, text_col="text")
+    out = str(tmp_path / "vshards")
+    shard = F.expr(
+        hash_bucket_expr("spark", "doc_id", n_shards, seed=SHARD_SEED)
+    ).cast("int")
+    docs.withColumn("shard", shard).write.partitionBy("shard").parquet(out)
+    rep = {r["shard"]: r for r in verify_shards(spark, man, out).collect()}
+    assert set(rep) == set(range(n_shards))
+    assert all(r["ok"] for r in rep.values())
+    # tamper shard 1: materialize, flip one text, rewrite (never
+    # overwrite a path from its own lazy read)
+    part_rows = spark.read.parquet(f"{out}/shard=1").collect()
+    min_id = min(r["doc_id"] for r in part_rows)
+    tampered = [
+        (r["doc_id"],
+         "tampered" if r["doc_id"] == min_id else r["text"])
+        + tuple(r[c] for c in part_rows[0].asDict()
+                if c not in ("doc_id", "text"))
+        for r in part_rows
+    ]
+    cols = ["doc_id", "text"] + [
+        c for c in part_rows[0].asDict() if c not in ("doc_id", "text")
+    ]
+    spark.createDataFrame(tampered, cols).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/shard=1")
+    rep2 = {r["shard"]: r for r in verify_shards(spark, man, out).collect()}
+    assert not rep2[1]["ok"] and rep2[0]["ok"] and rep2[2]["ok"]
+    assert rep2[1]["n_docs_observed"] == rep2[1]["n_docs_promised"]
+    # remove shard 2 entirely
+    import shutil
+    shutil.rmtree(f"{out}/shard=2")
+    rep3 = {r["shard"]: r for r in verify_shards(spark, man, out).collect()}
+    assert not rep3[2]["ok"] and rep3[2]["n_docs_observed"] == 0
