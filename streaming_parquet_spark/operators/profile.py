@@ -173,3 +173,42 @@ def corpus_fingerprint(
             f"coalesce(bit_xor({hex_word_expr(d, 9)}), {zero})"
         ).alias("fp_b"),
     )
+
+
+def batch_manifest(
+    df: DataFrame,
+    batch_col: str = "ingest_batch",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-batch content manifest over a batch-partitioned corpus
+    (the ``streaming.ingest`` corpus table layout): one row per
+    ``batch_col`` value with n_docs, n_chars_total, and the same
+    fp_a/fp_b XOR digests as :func:`corpus_fingerprint` — the
+    batch-level audit trail for an ingest lineage (which trigger
+    produced what, did a replay change anything, which batch should a
+    rollback drop).  Grouping on the partition column means a
+    filtered audit prunes partitions at the scan.
+
+    The whole-corpus fingerprint is recoverable from the manifest
+    (XOR the fp columns, sum the counts) — batches compose exactly."""
+    from streaming_parquet_spark.functions.portable import hex_word_expr
+
+    d = (
+        f"md5(concat(CAST({id_col} AS STRING), ':',"
+        f" coalesce({text_col}, '')))"
+    )
+    zero = "CAST(0 AS BIGINT)"
+    return df.groupBy(batch_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            f"coalesce(sum(CAST(length(coalesce({text_col}, ''))"
+            f" AS BIGINT)), {zero})"
+        ).alias("n_chars_total"),
+        F.expr(
+            f"coalesce(bit_xor({hex_word_expr(d, 1)}), {zero})"
+        ).alias("fp_a"),
+        F.expr(
+            f"coalesce(bit_xor({hex_word_expr(d, 9)}), {zero})"
+        ).alias("fp_b"),
+    )

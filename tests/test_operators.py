@@ -4560,3 +4560,27 @@ def test_verify_shards(spark, docs, tmp_path):
     shutil.rmtree(f"{out}/shard=2")
     rep3 = {r["shard"]: r for r in verify_shards(spark, man, out).collect()}
     assert not rep3[2]["ok"] and rep3[2]["n_docs_observed"] == 0
+
+
+def test_batch_manifest_composes_to_corpus_fingerprint(spark, docs):
+    """batch_manifest rows compose exactly: XOR of per-batch digests
+    and sums of counts reproduce corpus_fingerprint of the whole
+    frame — the audit-trail invariant that makes batch-level rollback
+    reasoning sound."""
+    from functools import reduce
+
+    from streaming_parquet_spark.operators.profile import (
+        batch_manifest,
+        corpus_fingerprint,
+    )
+
+    batched = docs.withColumn(
+        "ingest_batch", (F.col("doc_id") % 4).cast("int")
+    )
+    man = batch_manifest(batched).collect()
+    assert len(man) == 4
+    whole = corpus_fingerprint(docs).collect()[0]
+    assert sum(r["n_docs"] for r in man) == whole["n_docs"]
+    assert sum(r["n_chars_total"] for r in man) == whole["n_chars_total"]
+    assert reduce(lambda a, r: a ^ r["fp_a"], man, 0) == whole["fp_a"]
+    assert reduce(lambda a, r: a ^ r["fp_b"], man, 0) == whole["fp_b"]
