@@ -409,13 +409,20 @@ def apply_unigram(
     vocab: DataFrame,
     text_col: str = "text",
     out_col: str = "unigram_tokens",
-    max_piece_len: int = 8,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Tokenize ``text_col`` under a fitted unigram vocab: adds
     ``out_col`` (array<string>; each word's LAST piece carries the
     ``</w>`` marker, so ``concat(tokens) == concat(word + '</w>')`` —
     the same reconstruction contract as :func:`apply_bpe`) and
     ``n_{out_col}``.
+
+    ``max_piece_len`` defaults to the vocab's own longest piece (the
+    vocab is collected here anyway) — a fixed default smaller than the
+    fit's reach would silently drop longer pieces from Viterbi's
+    lookups, the same drift hazard :func:`write_unigram_vocab`
+    documents.  Pass it explicitly only to deliberately CAP lookup
+    cost below the vocab's reach.
 
     Plan: identical to ``apply_bpe`` — the vocab collects to a dict
     that ships in the Arrow-batched UDF closure (no shuffle, no join),
@@ -430,7 +437,11 @@ def apply_unigram(
     if not logp:
         raise ValueError("apply_unigram: empty vocab")
     floor = min(logp.values()) - 10.0
-    max_len = int(max_piece_len)
+    max_len = (
+        int(max_piece_len)
+        if max_piece_len is not None
+        else max(len(p) for p in logp)
+    )
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def encode(texts):
