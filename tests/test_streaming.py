@@ -843,6 +843,22 @@ def test_ingest_quality_prefilter(spark, tmp_path):
     )
     assert res2.rows_filtered == 2 and res2.rows_kept == 0
     assert {r["doc_id"] for r in spark.table(table).collect()} == {11, 14}
+    # the per-batch manifest composes over the REAL ingest layout:
+    # XOR of batch digests + summed counts == the corpus fingerprint
+    from functools import reduce
+
+    from streaming_parquet_spark.operators.profile import (
+        batch_manifest,
+        corpus_fingerprint,
+    )
+
+    man = batch_manifest(spark.table(table)).collect()
+    whole = corpus_fingerprint(
+        spark.table(table).select("doc_id", "text")
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in man) == whole["n_docs"]
+    assert reduce(lambda a, r: a ^ r["fp_a"], man, 0) == whole["fp_a"]
+    assert reduce(lambda a, r: a ^ r["fp_b"], man, 0) == whole["fp_b"]
     for suffix in ("", "_lsh_sets", "_lsh_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
 
