@@ -1124,3 +1124,71 @@ def classifier_score_table(df: DataFrame, table: str, **kw) -> DataFrame:
     return classifier_score(
         df, model, buckets=buckets, scale_bits=scale_bits, **kw
     )
+
+
+def batch_drift(
+    df: DataFrame,
+    batch_col: str = "ingest_batch",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-batch term-distribution drift for a batch-partitioned
+    corpus (the continuous-ingest monitoring companion to
+    :func:`domain_similarity`): cosine between each batch's unigram
+    COUNT vector and the WHOLE corpus's — a batch whose cosine falls
+    below its siblings' is the distribution-shift / poisoned-wave /
+    wrong-source signal to investigate before it trains.
+
+    Same exact-integer arithmetic as ``domain_similarity`` (integer
+    dots and squared norms; one IEEE sqrt+multiply at the end), so
+    the number is engine-portable.  Note the corpus vector INCLUDES
+    the batch (each batch is compared against the corpus as shipped,
+    not leave-one-out — at many-batch scale the difference vanishes;
+    at few-batch scale the inclusion only raises every cosine
+    uniformly).
+
+    Plan at 100 TB: one explode -> partial-aggregated (batch, term)
+    count relation (vocab x batches rows); corpus totals aggregate
+    FROM that relation (no second corpus scan), and the dot is a
+    vocab-sized join — corpus rows are touched exactly once.
+
+    Output: (batch_col, n_terms, cosine) — n_terms the batch's
+    surviving vocabulary after ``min_count``."""
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+        round_to_col,
+    )
+
+    tc = (
+        df.select(
+            F.col(batch_col).alias("b"),
+            F.explode(
+                F.expr(ordered_words_expr("spark", text_col))
+            ).alias("term"),
+        )
+        .groupBy("b", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    corpus = tc.groupBy("term").agg(F.sum("n").alias("cn"))
+    corpus_norm = corpus.agg(
+        F.sum(F.col("cn") * F.col("cn")).alias("cq")
+    )
+    per_batch = (
+        tc.join(corpus, "term")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(F.col("n") * F.col("cn")).alias("dot"),
+            F.sum(F.col("n") * F.col("n")).alias("q"),
+        )
+    )
+    return per_batch.crossJoin(F.broadcast(corpus_norm)).select(
+        F.col("b").alias(batch_col),
+        "n_terms",
+        round_to_col(
+            F.col("dot")
+            / (F.sqrt(F.col("q")) * F.sqrt(F.col("cq"))),
+            4,
+        ).alias("cosine"),
+    )

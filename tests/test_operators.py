@@ -4584,3 +4584,33 @@ def test_batch_manifest_composes_to_corpus_fingerprint(spark, docs):
     assert sum(r["n_chars_total"] for r in man) == whole["n_chars_total"]
     assert reduce(lambda a, r: a ^ r["fp_a"], man, 0) == whole["fp_a"]
     assert reduce(lambda a, r: a ^ r["fp_b"], man, 0) == whole["fp_b"]
+
+
+def test_batch_drift(spark):
+    """batch_drift: an on-distribution batch scores near 1 against the
+    corpus vector, an off-distribution batch scores near 0, and the
+    result is partitioning-invariant."""
+    from streaming_parquet_spark.operators.text import batch_drift
+
+    normal = "alpha beta gamma delta alpha beta"
+    weird = "zz9 qq8 xx7 vv6 zz9 qq8"
+    rows = (
+        [(i, 0, normal) for i in range(20)]
+        + [(100 + i, 1, normal) for i in range(20)]
+        + [(200 + i, 2, weird) for i in range(20)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, ingest_batch int, text string"
+    )
+    got = {r["ingest_batch"]: r for r in batch_drift(df).collect()}
+    assert set(got) == {0, 1, 2}
+    # exact geometry: normal batch vector (40,40,20,20) vs corpus
+    # (80,80,40,40,40,40,20,20) -> cos = 8000/sqrt(4000*20000) = 2/sqrt(5);
+    # the weird batch shares only its own corpus share -> 1/sqrt(5)
+    assert got[0]["cosine"] == got[1]["cosine"] == 0.8944
+    assert got[2]["cosine"] == 0.4472
+    again = {
+        r["ingest_batch"]: r["cosine"]
+        for r in batch_drift(df.repartition(7)).collect()
+    }
+    assert again == {b: r["cosine"] for b, r in got.items()}
