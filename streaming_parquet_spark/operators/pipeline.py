@@ -121,10 +121,21 @@ def leakage_safe_split(
         )
 
         comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    # the join key lands under a RESERVED name (same convention as
+    # __split_key): the keep-all-with-cluster-label pipelines this
+    # function cites may already carry a 'component' column, which a
+    # bare F.col("component") would hit with AMBIGUOUS_REFERENCE (and
+    # the final drop would eat the caller's column)
     keyed = df.join(
-        comp.withColumnRenamed("id", id_col), id_col, "left"
+        comp.select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("__split_component"),
+        ),
+        id_col,
+        "left",
     ).withColumn(
-        "__split_key", F.coalesce(F.col("component"), F.col(id_col))
+        "__split_key",
+        F.coalesce(F.col("__split_component"), F.col(id_col)),
     )
     b = F.expr(hash_bucket_expr("spark", "__split_key", 100))
     return (
@@ -134,7 +145,7 @@ def leakage_safe_split(
             .when(b < train_pct + val_pct, F.lit("val"))
             .otherwise(F.lit("test")),
         )
-        .drop("__split_key", "component")
+        .drop("__split_key", "__split_component")
     )
 
 

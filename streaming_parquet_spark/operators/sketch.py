@@ -189,12 +189,19 @@ def cms_join_size(
     of counters and resolves joins of 10^5-row tables to ~10%)."""
     a = counters_a.select("row", "bucket", F.col("c").alias("ca"))
     b = counters_b.select("row", "bucket", F.col("c").alias("cb"))
+    # DOUBLE accumulator: a hot CMS cell's count approaches the table
+    # size, so ca*cb wraps int64 once both sides pass ~3e9 rows —
+    # exactly the tables worth sketching.  double * bigint products
+    # (no int64 intermediate); the estimate is collision-biased anyway,
+    # so >2^53 exactness loss is far below the sketch's own error.
     per_row = (
         a.join(b, ["row", "bucket"])
         .groupBy("row")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.sum(F.col("ca").cast("double") * F.col("cb")).alias("ip"))
     )
-    return per_row.agg(F.min("ip").cast("bigint").alias("join_size_est"))
+    return per_row.agg(
+        F.floor(F.min("ip")).cast("bigint").alias("join_size_est")
+    )
 
 
 def cms_probe(

@@ -99,16 +99,27 @@ def skew_report(
             F.lit(1),
         )
     )
+    from streaming_parquet_spark.functions.portable import round_to_col
+
     return out.select(
         *key_cols,
         "cnt",
-        F.expr("round(cnt / n_rows * 100, 2)").alias("pct_rows"),
+        # portable floor-round, not native round(): round_to_expr
+        # documents why native ROUND on doubles diverges between Spark
+        # and DuckDB on half-way binary values — this report is
+        # pytest-gated today, but an oracle gate added later must not
+        # inherit a latent hash mismatch
+        round_to_col(
+            F.col("cnt") / F.col("n_rows") * 100, 2
+        ).alias("pct_rows"),
         # divide FIRST: cnt * n_keys as BIGINT overflows at the scale
         # this module targets (1e9-row hot key x 1e10 keys > 2^63 —
         # silent wraparound or an ANSI ArithmeticException on exactly
         # the key being diagnosed); cnt/n_rows is double, so the
         # product stays in float range
-        F.expr("round(cnt / n_rows * n_keys, 2)").alias("skew_factor"),
+        round_to_col(
+            F.col("cnt") / F.col("n_rows") * F.col("n_keys"), 2
+        ).alias("skew_factor"),
         F.greatest(
             F.ceil(F.col("cnt") / task_rows).cast("int"),
             F.lit(1),

@@ -327,11 +327,17 @@ def domain_similarity(
     domains speak the same language?" drives mixing, dedup-block, and
     contamination decisions between slices.
 
-    Arithmetic is exact integers end-to-end: per-(term, class) counts,
-    dot products sum n_a*n_b over shared vocabulary, squared norms sum
-    n^2 — then cosine = dot / (sqrt(qa) * sqrt(qb)) with sqrt and
-    multiply both IEEE-correctly-rounded, so the DuckDB oracle
-    reproduces the similarity bit-for-bit (no libm transcendentals).
+    The quadratic accumulators (dot = sum n_a*n_b, squared norm
+    q = sum n^2) run in DOUBLE: a hot term at 100 TB carries a count
+    of ~5e11, whose square (~2.5e23) silently wraps a BIGINT
+    accumulator under non-ANSI mode — a garbage cosine on exactly the
+    corpora this operator targets.  Each product is formed double *
+    bigint (never an int64 product first), so no intermediate
+    overflows; while the running sums stay under 2^53 every addition
+    is exact, making the value order-independent and bit-identical to
+    the DuckDB oracle (true at any fixture scale).  Beyond 2^53 the
+    sum degrades gracefully to ~1e-16 relative error per op — a
+    cosine needs ~15 significant digits, not exact integers.
 
     Plan at 100 TB: one explode -> partial-aggregated (term, class)
     counts (vocab x classes rows); the pair dot is an inverted-index
@@ -356,8 +362,11 @@ def domain_similarity(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+    # double * bigint products: no int64 intermediate to wrap (the
+    # r8 skew_report overflow class, fixed registry-wide in r9 —
+    # tests/test_overflow_guard.py)
     norms = tc.groupBy("cls").agg(
-        F.sum(F.col("n") * F.col("n")).alias("q")
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("q")
     )
     a, b = tc.alias("a"), tc.alias("b")
     dots = (
@@ -365,14 +374,13 @@ def domain_similarity(
                & (F.col("a.cls") < F.col("b.cls")))
         .groupBy(F.col("a.cls").alias("cls_a"), F.col("b.cls").alias("cls_b"))
         .agg(
-            F.sum(F.col("a.n") * F.col("b.n")).alias("dot"),
+            F.sum(F.col("a.n").cast("double") * F.col("b.n")).alias("dot"),
             F.count(F.lit(1)).alias("n_terms"),
         )
     )
     na, nb = norms.alias("na"), norms.alias("nb")
     cos = F.col("dot") / (
-        F.sqrt(F.col("na.q").cast("double"))
-        * F.sqrt(F.col("nb.q").cast("double"))
+        F.sqrt(F.col("na.q")) * F.sqrt(F.col("nb.q"))
     )
     return (
         dots.join(F.broadcast(na), F.col("cls_a") == F.col("na.cls"))
@@ -584,10 +592,15 @@ def sparse_cosine_topk(
     Each doc is reduced to its ``topk_terms`` strongest TF-IDF terms
     (tfidf_topk), bounding postings per doc; term weights are the
     RATIONAL tf-idf wf = (tf * 10^4 * (N+1)) DIV (df+1) — exact
-    integer arithmetic end-to-end (the log-smoothed display score
-    would hang the weights on libm's last ulp), so pair dot products
-    are order-independent and the only FP is the final norm division —
-    same double in any engine.
+    integers (the log-smoothed display score would hang the weights
+    on libm's last ulp).  The quadratic accumulators (pair dots,
+    squared norms) run in DOUBLE: wf grows with corpus size (N in the
+    numerator), so wf^2 wraps a BIGINT accumulator long before 100 TB
+    — products are formed double * bigint (no int64 intermediate) and
+    per-doc sums are exact (hence order-independent and engine-
+    portable) while under 2^53, which topk_terms bounds at 8 terms x
+    wf^2: true until N ~ 3e9 docs, graceful ~1e-16 relative error
+    beyond.
 
     Plan: terms explode -> per-term postings self-join (shuffle on the
     term key; hot terms are exactly the low-idf ones the top-k pruning
@@ -613,18 +626,18 @@ def sparse_cosine_topk(
         ).alias("wf"),
     )
     norms = v.groupBy("id").agg(
-        F.sum(F.col("wf") * F.col("wf")).alias("n2")
+        F.sum(F.col("wf").cast("double") * F.col("wf")).alias("n2")
     )
     a, b = v.alias("a"), v.alias("b")
     dots = (
         a.join(b, (F.col("a.term") == F.col("b.term"))
                & (F.col("a.id") != F.col("b.id")))
         .groupBy(F.col("a.id").alias("id"), F.col("b.id").alias("nbr"))
-        .agg(F.sum(F.col("a.wf") * F.col("b.wf")).alias("dot"))
+        .agg(
+            F.sum(F.col("a.wf").cast("double") * F.col("b.wf")).alias("dot")
+        )
     )
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("n2").cast("double") * F.col("nbr_n2").cast("double")
-    )
+    cos = F.col("dot") / F.sqrt(F.col("n2") * F.col("nbr_n2"))
     w = W.partitionBy("id").orderBy(F.col("cos_raw").desc(), F.col("nbr"))
     return (
         dots.join(norms, "id")
@@ -794,9 +807,12 @@ def cooccurrence_topk(
     )
     fa = dfreq.select(F.col("w").alias("wa"), F.col("n").alias("n_a"))
     fb = dfreq.select(F.col("w").alias("wb"), F.col("n").alias("n_b"))
+    # double * bigint products: n_ab/n_a/n_b are doc counts, so both
+    # the numerator and denominator int64 products wrap at ~3e9 docs —
+    # form them in double (exact under 2^53, same value both engines)
     lift = (
-        (F.col("n_ab") * F.col("__n")).cast("double")
-        / (F.col("n_a") * F.col("n_b"))
+        (F.col("n_ab").cast("double") * F.col("__n"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
     )
     scored = (
         pairs.join(F.broadcast(fa), "wa")
@@ -1139,13 +1155,21 @@ def batch_drift(
     below its siblings' is the distribution-shift / poisoned-wave /
     wrong-source signal to investigate before it trains.
 
-    Same exact-integer arithmetic as ``domain_similarity`` (integer
-    dots and squared norms; one IEEE sqrt+multiply at the end), so
-    the number is engine-portable.  Note the corpus vector INCLUDES
-    the batch (each batch is compared against the corpus as shipped,
-    not leave-one-out — at many-batch scale the difference vanishes;
-    at few-batch scale the inclusion only raises every cosine
-    uniformly).
+    Same DOUBLE quadratic accumulators as ``domain_similarity`` (a
+    hot term's corpus count squared wraps BIGINT at the 100 TB scale
+    this monitor targets; products are formed double * bigint so no
+    int64 intermediate exists, exact — hence engine-portable — while
+    sums stay under 2^53, ~1e-16 relative error beyond).  Note the
+    corpus vector INCLUDES the batch (each batch is compared against
+    the corpus as shipped, not leave-one-out — at many-batch scale
+    the difference vanishes; at few-batch scale the inclusion only
+    raises every cosine uniformly).
+
+    ``min_count`` trims each BATCH's vector only; corpus totals
+    aggregate from the UNFILTERED per-batch counts, so a term that is
+    globally frequent but rare inside every individual batch still
+    contributes its full weight to the corpus vector the docstring
+    promises (it was silently absent before r9).
 
     Plan at 100 TB: one explode -> partial-aggregated (batch, term)
     count relation (vocab x batches rows); corpus totals aggregate
@@ -1159,7 +1183,7 @@ def batch_drift(
         round_to_col,
     )
 
-    tc = (
+    tc_all = (
         df.select(
             F.col(batch_col).alias("b"),
             F.explode(
@@ -1168,19 +1192,22 @@ def batch_drift(
         )
         .groupBy("b", "term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_count)
     )
-    corpus = tc.groupBy("term").agg(F.sum("n").alias("cn"))
+    # corpus totals BEFORE the min_count filter (docstring); cn (a
+    # plain sum of counts) stays BIGINT — total tokens bound it well
+    # under 2^63 — while every quadratic accumulator runs double
+    tc = tc_all.filter(F.col("n") >= min_count)
+    corpus = tc_all.groupBy("term").agg(F.sum("n").alias("cn"))
     corpus_norm = corpus.agg(
-        F.sum(F.col("cn") * F.col("cn")).alias("cq")
+        F.sum(F.col("cn").cast("double") * F.col("cn")).alias("cq")
     )
     per_batch = (
         tc.join(corpus, "term")
         .groupBy("b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum(F.col("n") * F.col("cn")).alias("dot"),
-            F.sum(F.col("n") * F.col("n")).alias("q"),
+            F.sum(F.col("n").cast("double") * F.col("cn")).alias("dot"),
+            F.sum(F.col("n").cast("double") * F.col("n")).alias("q"),
         )
     )
     return per_batch.crossJoin(F.broadcast(corpus_norm)).select(

@@ -176,7 +176,11 @@ def _run_ingest(
             src = batch
             if prefilter_fn is not None:
                 filtered = prefilter_fn(batch).persist()
-                result.rows_filtered += n_in - filtered.count()
+                # clamp: the filter_fn contract allows REWRITING rows,
+                # and a transform that emits more rows than it received
+                # (line-splitting) would otherwise tally negative
+                # rejections
+                result.rows_filtered += max(0, n_in - filtered.count())
                 src = filtered
             survivors = survivors_fn(src).withColumn(
                 "ingest_batch", F.lit(int(batch_id))

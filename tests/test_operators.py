@@ -4106,6 +4106,31 @@ def test_leakage_safe_split(spark, docs):
     assert again == rows
 
 
+def test_leakage_safe_split_preserves_caller_component_column(spark):
+    """A caller that already carries a 'component' column (the
+    keep-all-with-cluster-label pipelines the docstring cites) must
+    keep it: the join key lives under a reserved name, so there is no
+    AMBIGUOUS_REFERENCE and no silent drop of the caller's column."""
+    from streaming_parquet_spark.operators.pipeline import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (9, "z")],
+        "doc_id bigint, component string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    out = leakage_safe_split(df, pairs)
+    assert "component" in out.columns
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # the caller's labels survive untouched
+    assert {i: rows[i]["component"] for i in (1, 2, 3, 9)} == {
+        1: "x", 2: "x", 3: "y", 9: "z"
+    }
+    # and the split contract still holds: the (1, 2) cluster lands whole
+    assert rows[1]["split"] == rows[2]["split"]
+
+
 def test_unigram_apply_plan_and_sampled_fit(docs):
     """apply_unigram stays on the Arrow-batched UDF path (no
     row-at-a-time BatchEvalPython anywhere in the plan), and the

@@ -28,6 +28,7 @@ _BNLJ_OK = {
     "embed_ann_recall",    # cosine_topk baseline + IVF centroid broadcast
     "text_vectors",        # 1-row corpus-count (N) broadcast (tfidf + sparse-cos branches)
     "text_class_stats",    # 1-row corpus-count (N) broadcast (chi2 branch)
+    "text_batch_drift",    # 1-row corpus-norm (cq) broadcast
     "text_df_assoc",       # 1-row corpus-count (N) broadcast (cooccurrence branch)
     "text_doc_scores",     # 1-row vocabulary-size (V) broadcast (LM branch)
     "embed_exact",         # broadcast query set (cosine top-k branch)
