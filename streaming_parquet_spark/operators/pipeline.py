@@ -889,19 +889,33 @@ def verify_shards(
     text_col: str = "text",
 ) -> DataFrame:
     """Check written shards against what a ``text_col``-bearing
-    :func:`shard_manifest` PROMISED: read each ``shard=N`` partition
-    back, fingerprint it (``profile.corpus_fingerprint`` — the same
-    digest the manifest rows carry), and return one row per shard with
-    the promised and observed values plus ``ok``.  A missing partition
-    directory reports n_docs_observed = 0 rather than raising, so a
-    partially-written output shows exactly which shards are absent.
+    :func:`shard_manifest` PROMISED: ONE partition-discovering scan of
+    ``path`` (``shard`` read as the partition column) computes every
+    shard's fingerprint in a single distributed job — the same
+    ``batch_manifest``-shaped groupBy digest the manifest rows carry —
+    then a full-outer join against the manifest yields one row per
+    shard with promised and observed values plus ``ok``.
 
-    Scale: one column-pruned scan per shard (driver loops over the
-    manifest's shard ids — manifest-sized, not corpus-sized; the scans
-    themselves are distributed jobs)."""
-    from streaming_parquet_spark.operators.profile import (
-        corpus_fingerprint,
-    )
+    Absence vs corruption are DIFFERENT answers: a shard directory
+    that is missing (or a wholly absent ``path``) falls out of the
+    join as nulls and reports n_docs_observed = 0 with ok = false —
+    partial writes show exactly which shards are absent — while a
+    shard that EXISTS but cannot be read (corrupt footer, permission
+    failure) RAISES from the scan.  The previous per-shard driver
+    loop's catch-all reported both as "missing, 0 docs", hiding
+    corruption behind the absence answer; only the narrow
+    empty/missing-path classes are caught now (the same two
+    ``streaming.ingest`` treats as a cold start).  A shard present on
+    disk but absent from the manifest also surfaces (promised nulls
+    -> 0, ok = false): stray data is an integrity failure too.
+
+    Scale: one column-pruned, partition-discovered scan + a map-side-
+    combined groupBy of manifest-sized output — 10k shards cost one
+    job, not 10k sequential driver-launched jobs whose launch latency
+    dominates long before data does."""
+    from pyspark.errors import AnalysisException
+
+    from streaming_parquet_spark.functions.portable import hex_word_expr
 
     # the whole point is verifying files that may have JUST been
     # (re)written — drop any cached listing for the path first, or a
@@ -911,21 +925,66 @@ def verify_shards(
         spark.catalog.refreshByPath(path)
     except Exception:
         pass
-    rows = []
-    for m in manifest.orderBy("shard").collect():
-        try:
-            part = spark.read.parquet(f"{path}/shard={m['shard']}")
-            got = corpus_fingerprint(part, id_col, text_col).collect()[0]
-            obs = (got["n_docs"], got["fp_a"], got["fp_b"])
-        except Exception:
-            obs = (0, 0, 0)
-        ok = obs == (m["n_docs"], m["fp_a"], m["fp_b"])
-        rows.append((int(m["shard"]), int(m["n_docs"]), int(obs[0]),
-                     int(m["fp_a"]), int(obs[1]),
-                     int(m["fp_b"]), int(obs[2]), bool(ok)))
-    return spark.createDataFrame(
-        rows,
-        "shard int, n_docs_promised bigint, n_docs_observed bigint,"
-        " fp_a_promised bigint, fp_a_observed bigint,"
-        " fp_b_promised bigint, fp_b_observed bigint, ok boolean",
+    promised = manifest.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_docs").alias("n_docs_promised"),
+        F.col("fp_a").alias("fp_a_promised"),
+        F.col("fp_b").alias("fp_b_promised"),
+    )
+    obs_schema = (
+        "shard int, n_docs_observed bigint,"
+        " fp_a_observed bigint, fp_b_observed bigint"
+    )
+    try:
+        scanned = spark.read.parquet(path)
+    except AnalysisException as exc:
+        # an entirely absent / empty output root: every shard is
+        # missing, which the join below reports per row.  Anything
+        # else (permissions, a file where a dir was expected) must
+        # surface — same narrow classes as streaming.ingest's
+        # cold-start guard.
+        marker = (exc.getErrorClass() or "") + " " + str(exc)
+        if not (
+            "UNABLE_TO_INFER_SCHEMA" in marker or "PATH_NOT_FOUND" in marker
+        ):
+            raise
+        observed = spark.createDataFrame([], obs_schema)
+    else:
+        # same digest (and NULL-text collapse) as corpus_fingerprint /
+        # shard_manifest — the three MUST agree for the comparison to
+        # mean anything
+        d = (
+            f"md5(concat(CAST({id_col} AS STRING), ':',"
+            f" coalesce({text_col}, '')))"
+        )
+        zero = "CAST(0 AS BIGINT)"
+        observed = (
+            scanned.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs_observed"),
+                F.expr(
+                    f"coalesce(bit_xor({hex_word_expr(d, 1)}), {zero})"
+                ).alias("fp_a_observed"),
+                F.expr(
+                    f"coalesce(bit_xor({hex_word_expr(d, 9)}), {zero})"
+                ).alias("fp_b_observed"),
+            )
+        )
+    z = F.lit(0).cast("bigint")
+    ok = (
+        F.col("n_docs_promised").isNotNull()
+        & F.col("n_docs_observed").isNotNull()
+        & (F.col("n_docs_promised") == F.col("n_docs_observed"))
+        & (F.col("fp_a_promised") == F.col("fp_a_observed"))
+        & (F.col("fp_b_promised") == F.col("fp_b_observed"))
+    )
+    return promised.join(observed, "shard", "full_outer").select(
+        F.col("shard").cast("int").alias("shard"),
+        F.coalesce("n_docs_promised", z).alias("n_docs_promised"),
+        F.coalesce("n_docs_observed", z).alias("n_docs_observed"),
+        F.coalesce("fp_a_promised", z).alias("fp_a_promised"),
+        F.coalesce("fp_a_observed", z).alias("fp_a_observed"),
+        F.coalesce("fp_b_promised", z).alias("fp_b_promised"),
+        F.coalesce("fp_b_observed", z).alias("fp_b_observed"),
+        ok.alias("ok"),
     )

@@ -4587,6 +4587,97 @@ def test_verify_shards(spark, docs, tmp_path):
     assert not rep3[2]["ok"] and rep3[2]["n_docs_observed"] == 0
 
 
+def test_verify_shards_corrupt_footer_raises(spark, docs, tmp_path):
+    """A shard that EXISTS but cannot be read must RAISE, not report
+    as 'missing, 0 docs': the old per-shard catch-all masked corrupt
+    footers behind the absence answer."""
+    import pytest
+
+    from streaming_parquet_spark.functions.portable import (
+        hash_bucket_expr,
+    )
+    from streaming_parquet_spark.operators.pipeline import (
+        SHARD_SEED,
+        shard_manifest,
+        verify_shards,
+    )
+
+    n_shards = 3
+    man = shard_manifest(docs, n_shards, text_col="text")
+    out = str(tmp_path / "vshards_corrupt")
+    shard = F.expr(
+        hash_bucket_expr("spark", "doc_id", n_shards, seed=SHARD_SEED)
+    ).cast("int")
+    docs.withColumn("shard", shard).write.partitionBy("shard").parquet(out)
+    # overwrite one data file's bytes with garbage (valid length,
+    # invalid magic/footer)
+    import os
+
+    part_dir = f"{out}/shard=1"
+    victim = next(
+        os.path.join(part_dir, f)
+        for f in sorted(os.listdir(part_dir))
+        if f.endswith(".parquet")
+    )
+    with open(victim, "wb") as f:
+        f.write(b"\x00" * 512)
+    with pytest.raises(Exception):
+        verify_shards(spark, man, out).collect()
+
+
+def test_verify_shards_many_shards_single_scan(spark, docs, tmp_path):
+    """A 10k-row manifest verifies in ONE distributed scan (a handful
+    of Spark jobs), not one driver-launched job per shard — the launch
+    latency of 10k sequential jobs would dominate long before data
+    does.  Missing shards report 0/false; written shards verify."""
+    from streaming_parquet_spark.functions.portable import (
+        hash_bucket_expr,
+    )
+    from streaming_parquet_spark.operators.pipeline import (
+        SHARD_SEED,
+        shard_manifest,
+        verify_shards,
+    )
+
+    n_shards = 3
+    man = shard_manifest(docs, n_shards, text_col="text")
+    # pad the manifest to 10k shards: ids 1000.. promise docs that were
+    # never written
+    pad = spark.range(1000, 1000 + 10_000 - 3).select(
+        F.col("id").cast("int").alias("shard"),
+        F.lit(7).cast("bigint").alias("n_docs"),
+        F.col("id").alias("min_id"),
+        F.col("id").alias("max_id"),
+        F.lit(1).cast("bigint").alias("fp_a"),
+        F.lit(2).cast("bigint").alias("fp_b"),
+    )
+    big_man = man.unionByName(pad)
+    out = str(tmp_path / "vshards_many")
+    shard = F.expr(
+        hash_bucket_expr("spark", "doc_id", n_shards, seed=SHARD_SEED)
+    ).cast("int")
+    docs.withColumn("shard", shard).write.partitionBy("shard").parquet(out)
+    sc = spark.sparkContext
+    group = "verify-shards-many"
+    sc.setJobGroup(group, "verify_shards single-scan gate")
+    try:
+        rows = verify_shards(spark, big_man, out).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= 10, (
+        f"{len(jobs)} Spark jobs for a 10k-shard verify — the scan "
+        f"is per-shard again"
+    )
+    rep = {r["shard"]: r for r in rows}
+    assert len(rep) == 10_000
+    assert all(rep[s]["ok"] for s in range(n_shards))
+    missing = [r for s, r in rep.items() if s >= 1000]
+    assert all(
+        (not r["ok"]) and r["n_docs_observed"] == 0 for r in missing
+    )
+
+
 def test_batch_manifest_composes_to_corpus_fingerprint(spark, docs):
     """batch_manifest rows compose exactly: XOR of per-batch digests
     and sums of counts reproduce corpus_fingerprint of the whole
