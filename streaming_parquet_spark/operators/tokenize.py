@@ -169,10 +169,14 @@ def apply_bpe(
     merges: DataFrame,
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize ``text_col`` under a fitted merge table: adds
     ``out_col`` (array<string> of subword units, each word terminated
     by the ``</w>`` marker) and ``n_{out_col}`` (their count).
+    ``ids``: an id table (:func:`subword_vocab`) — when given, also
+    adds ``{out_col}_ids`` (array<int>, unknown pieces at the unk id):
+    the trainable integer form.
 
     Plan: the merge table collects to a rank dict (vocab-sized) and
     ships in the UDF closure; the pass is one Arrow-batched pandas
@@ -217,7 +221,10 @@ def apply_bpe(
         return pd.Series([enc_text(t) for t in texts])
 
     out = df.withColumn(out_col, encode(F.col(text_col)))
-    return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
+    out = out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
+    if ids is not None:
+        out = tokens_to_ids(out, ids, out_col)
+    return out
 
 
 def _viterbi_segment(
@@ -410,12 +417,14 @@ def apply_unigram(
     text_col: str = "text",
     out_col: str = "unigram_tokens",
     max_piece_len: int | None = None,
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize ``text_col`` under a fitted unigram vocab: adds
     ``out_col`` (array<string>; each word's LAST piece carries the
     ``</w>`` marker, so ``concat(tokens) == concat(word + '</w>')`` —
     the same reconstruction contract as :func:`apply_bpe`) and
-    ``n_{out_col}``.
+    ``n_{out_col}``.  ``ids``: an id table (:func:`subword_vocab`) —
+    when given, also adds ``{out_col}_ids`` (array<int>).
 
     ``max_piece_len`` defaults to the vocab's own longest piece (the
     vocab is collected here anyway) — a fixed default smaller than the
@@ -472,7 +481,156 @@ def apply_unigram(
         return pd.Series([enc_text(t) for t in texts])
 
     out = df.withColumn(out_col, encode(F.col(text_col)))
-    return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
+    out = out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
+    if ids is not None:
+        out = tokens_to_ids(out, ids, out_col)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Token IDS — the last inch between subword pieces and a trainable
+# shard: every actual training pipeline consumes INTEGER ids against a
+# frozen vocabulary, not piece strings.  The id table is its own
+# persisted artifact (write_subword_ids) with the assignment rule
+# pinned, exactly like the merge ranks.
+# ---------------------------------------------------------------------------
+
+#: reserved ids: 0 pads sequences, 1 is every piece outside the frozen
+#: vocabulary (a character unseen at vocab time, or a piece from a
+#: different tokenizer artifact).
+PAD_PIECE = "<pad>"
+UNK_PIECE = "<unk>"
+PAD_ID = 0
+UNK_ID = 1
+
+#: the deterministic id-assignment rule, pinned on the persisted table:
+#: specials at 0/1, then every observed piece in lexicographic order.
+#: Versioned like the word-split rule — ids encode corpora that outlive
+#: any one process, so the assignment must never silently change.
+_ID_ASSIGN_RULE = "piece-asc-v1"
+
+
+def subword_vocab(encoded: DataFrame, tokens_col: str) -> DataFrame:
+    """Freeze the integer vocabulary of an ENCODED corpus: (id int,
+    piece string) with ``<pad>``=0, ``<unk>``=1, then every distinct
+    piece observed in ``tokens_col`` in lexicographic order (the
+    ``piece-asc-v1`` rule — a pure function of the piece SET, so two
+    builds over the same encoded corpus are identical).
+
+    Built from the encoded output, not the fit artifact, because the
+    output token inventory is larger than the fit vocabulary: BPE
+    emits unmerged alphabet characters the merge table never names,
+    and unigram emits both ``p`` and ``p</w>`` forms of each piece.
+    Encoding the fit corpus once and freezing what it actually emits
+    is the standard vocabulary-finalization step; pieces that appear
+    only in LATER corpora map to ``<unk>`` by construction.
+
+    Scale: one explode -> map-side-combined DISTINCT (vocab-sized
+    output), then a model-sized driver collect — the same shuffle
+    shape and collect discipline as the fits."""
+    pieces = sorted(
+        r["piece"]
+        for r in encoded.select(
+            F.explode(F.col(tokens_col)).alias("piece")
+        )
+        .distinct()
+        .collect()
+    )
+    clash = {PAD_PIECE, UNK_PIECE}.intersection(pieces)
+    if clash:
+        # a corpus piece spelled exactly like a special would give two
+        # ids one string — decode becomes ambiguous; refuse loudly
+        raise ValueError(
+            f"subword_vocab: corpus emits pieces colliding with the "
+            f"reserved specials: {sorted(clash)}"
+        )
+    spark = encoded.sparkSession
+    rows = [(PAD_ID, PAD_PIECE), (UNK_ID, UNK_PIECE)] + [
+        (i + 2, p) for i, p in enumerate(pieces)
+    ]
+    return spark.createDataFrame(rows, "id int, piece string")
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    vocab_ids: DataFrame,
+    tokens_col: str,
+    out_col: str | None = None,
+    unk_id: int = UNK_ID,
+) -> DataFrame:
+    """Map a piece array to its integer ids under a frozen id table:
+    adds ``out_col`` (default ``{tokens_col}_ids``, array<int>).
+    Pieces outside the table map to ``unk_id`` — encountering them is
+    expected (new corpora contain new characters), losing them
+    silently is not.
+
+    Plan: the id table collects to a dict (vocab-sized) shipped in an
+    Arrow-batched UDF closure — one shuffle-free pass, the same shape
+    as the tokenizer applies."""
+    from pyspark.sql.functions import pandas_udf
+
+    mapping = {r["piece"]: r["id"] for r in vocab_ids.collect()}
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def to_ids(arrs):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None
+                if a is None
+                else [mapping.get(p, unk_id) for p in a]
+                for a in arrs
+            ]
+        )
+
+    return df.withColumn(out_col or f"{tokens_col}_ids", to_ids(F.col(tokens_col)))
+
+
+def ids_to_tokens(
+    df: DataFrame,
+    vocab_ids: DataFrame,
+    ids_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Inverse of :func:`tokens_to_ids`: ids back to piece strings
+    (unknown ids render as ``<unk>``).  Adds ``out_col`` (default
+    ``{ids_col}_pieces``).  Same Arrow-batched vocab-in-closure
+    shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    inverse = {r["id"]: r["piece"] for r in vocab_ids.collect()}
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def to_pieces(arrs):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None
+                if a is None
+                else [inverse.get(i, UNK_PIECE) for i in a]
+                for a in arrs
+            ]
+        )
+
+    return df.withColumn(
+        out_col or f"{ids_col}_pieces", to_pieces(F.col(ids_col))
+    )
+
+
+def tokens_to_text(
+    df: DataFrame, tokens_col: str, out_col: str
+) -> DataFrame:
+    """Reconstruct text from a piece array under the ``</w>``
+    contract (``concat(tokens) == concat(word + '</w>')``): pieces
+    concatenate, end-of-word markers become spaces, the trailing space
+    trims.  Pure JVM expressions — no UDF — so the decode leg of the
+    ids round trip costs one projection."""
+    return df.withColumn(
+        out_col,
+        F.expr(f"rtrim(replace(array_join({tokens_col}, ''), '{_EOW}', ' '))"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -545,6 +703,65 @@ def write_unigram_vocab(
         f"'maw.subword.word_split' = '{_WORD_SPLIT_RULE}',"
         f"'maw.subword.eow' = '{_EOW}',"
         f"'maw.subword.max_piece_len' = '{int(max_piece_len)}')"
+    )
+
+
+def write_subword_ids(vocab_ids: DataFrame, table: str) -> None:
+    """Persist a frozen id table (:func:`subword_vocab`) with its
+    contract pinned: word-split rule, end-of-word marker, pad/unk ids,
+    and the id-assignment rule — the parameters that silently re-map a
+    corpus encoded under the old table if they drift.  The pinned
+    pad/unk ids are DERIVED from the table (the rows carrying the
+    special pieces), not trusted from callers, and the table is
+    validated dense (ids 0..N-1, unique pieces) before the write —
+    a ragged id space would corrupt every embedding matrix sized off
+    it.  Overwrites ``table``."""
+    rows = vocab_ids.orderBy("id").collect()
+    ids = [r["id"] for r in rows]
+    pieces = [r["piece"] for r in rows]
+    if ids != list(range(len(ids))):
+        raise ValueError(
+            f"write_subword_ids: ids must be dense 0..{len(ids) - 1}"
+        )
+    if len(set(pieces)) != len(pieces):
+        raise ValueError("write_subword_ids: duplicate pieces")
+    by_piece = {p: i for i, p in zip(ids, pieces)}
+    if by_piece.get(PAD_PIECE) != PAD_ID or by_piece.get(UNK_PIECE) != UNK_ID:
+        raise ValueError(
+            f"write_subword_ids: specials must sit at "
+            f"{PAD_PIECE}={PAD_ID}, {UNK_PIECE}={UNK_ID}; got "
+            f"{by_piece.get(PAD_PIECE)}, {by_piece.get(UNK_PIECE)}"
+        )
+    spark = vocab_ids.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    vocab_ids.write.format("parquet").saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'maw.subword.kind' = 'ids',"
+        f"'maw.subword.word_split' = '{_WORD_SPLIT_RULE}',"
+        f"'maw.subword.eow' = '{_EOW}',"
+        f"'maw.subword.pad_id' = '{PAD_ID}',"
+        f"'maw.subword.unk_id' = '{UNK_ID}',"
+        f"'maw.subword.id_assign' = '{_ID_ASSIGN_RULE}')"
+    )
+
+
+def read_subword_ids(spark, table: str) -> tuple[DataFrame, int, int]:
+    """Load a persisted id table, validating the pinned contract (kind
+    + word-split rule + id-assignment rule); returns (vocab_ids,
+    pad_id, unk_id)."""
+    props = _tokenizer_props(spark, table, "ids")
+    if props.get("maw.subword.id_assign") != _ID_ASSIGN_RULE:
+        raise ValueError(
+            f"{table} assigns ids under rule "
+            f"{props.get('maw.subword.id_assign')!r}; this build "
+            f"expects {_ID_ASSIGN_RULE!r} — ids would not compose "
+            f"with corpora encoded here"
+        )
+    return (
+        spark.table(table),
+        int(props["maw.subword.pad_id"]),
+        int(props["maw.subword.unk_id"]),
     )
 
 

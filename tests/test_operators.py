@@ -3503,6 +3503,147 @@ def test_bpe_apply_roundtrip_and_invariance(docs):
     )
 
 
+def test_subword_ids_roundtrip_bpe(docs):
+    """Token IDS close the trainable-shard gap: ids -> pieces -> text
+    reproduces the normalized text exactly, the id assignment is a
+    deterministic pure function of the encoded corpus, unseen pieces
+    map to unk, and the n_ count composes unchanged."""
+    from streaming_parquet_spark.operators.tokenize import (
+        UNK_ID,
+        apply_bpe,
+        fit_bpe_merges,
+        ids_to_tokens,
+        subword_vocab,
+        tokens_to_text,
+    )
+
+    spark = docs.sparkSession
+    merges = fit_bpe_merges(docs, n_merges=64, max_words=5_000)
+    encoded = apply_bpe(docs, merges)
+    vocab = subword_vocab(encoded, "bpe_tokens")
+    rows = vocab.orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(len(rows)))
+    assert rows[0]["piece"] == "<pad>" and rows[1]["piece"] == "<unk>"
+    # determinism: a second build over a repartitioned encode is equal
+    again = subword_vocab(
+        apply_bpe(docs.repartition(7), merges), "bpe_tokens"
+    ).orderBy("id").collect()
+    assert [(r["id"], r["piece"]) for r in rows] == [
+        (r["id"], r["piece"]) for r in again
+    ]
+    sample = docs.limit(40)
+    out = apply_bpe(sample, merges, ids=vocab)
+    back = tokens_to_text(
+        ids_to_tokens(out, vocab, "bpe_tokens_ids", "pieces_back"),
+        "pieces_back",
+        "text_back",
+    )
+    import re
+
+    for r in back.select(
+        "text", "bpe_tokens", "bpe_tokens_ids", "n_bpe_tokens", "text_back"
+    ).collect():
+        norm = " ".join(
+            w for w in re.split(" +", r["text"].strip(" ")) if w
+        )
+        assert r["text_back"] == norm
+        assert len(r["bpe_tokens_ids"]) == len(r["bpe_tokens"])
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens_ids"])
+        assert UNK_ID not in r["bpe_tokens_ids"]  # fit corpus: all known
+    # a character never seen at vocab time maps to unk, and decodes as
+    # the unk marker rather than vanishing
+    alien = spark.createDataFrame([(1, "éé")], "doc_id bigint, text string")
+    got = ids_to_tokens(
+        apply_bpe(alien, merges, ids=vocab), vocab,
+        "bpe_tokens_ids", "pieces_back",
+    ).first()
+    assert UNK_ID in got["bpe_tokens_ids"]
+    assert "<unk>" in got["pieces_back"]
+
+
+def test_subword_ids_roundtrip_unigram(docs):
+    """The unigram twin: ids land beside pieces with equal counts and
+    the id pass stays Arrow-batched (no row-at-a-time BatchEvalPython
+    in the plan)."""
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_unigram,
+        fit_unigram_vocab,
+        subword_vocab,
+    )
+
+    vocab = fit_unigram_vocab(docs, vocab_size=128, max_words=5_000)
+    encoded = apply_unigram(docs, vocab)
+    ids = subword_vocab(encoded, "unigram_tokens")
+    out = apply_unigram(docs.limit(30), vocab, ids=ids)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    for r in out.select(
+        "unigram_tokens", "unigram_tokens_ids", "n_unigram_tokens"
+    ).collect():
+        assert len(r["unigram_tokens_ids"]) == len(r["unigram_tokens"])
+        assert r["n_unigram_tokens"] == len(r["unigram_tokens_ids"])
+
+
+def test_subword_ids_artifact_table(spark, docs):
+    """write/read_subword_ids pin the contract: round trip preserves
+    the table and pad/unk ids; a non-ids artifact, a foreign
+    id-assignment rule, a ragged id space, and misplaced specials all
+    fail fast."""
+    import pytest
+
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_bpe,
+        fit_bpe_merges,
+        read_subword_ids,
+        subword_vocab,
+        write_bpe_merges,
+        write_subword_ids,
+    )
+
+    merges = fit_bpe_merges(docs, n_merges=32, max_words=2_000)
+    vocab = subword_vocab(apply_bpe(docs, merges), "bpe_tokens")
+    tbl = "maw_test_subword_ids"
+    write_subword_ids(vocab, tbl)
+    try:
+        got, pad_id, unk_id = read_subword_ids(spark, tbl)
+        assert (pad_id, unk_id) == (0, 1)
+        assert sorted(
+            (r["id"], r["piece"]) for r in got.collect()
+        ) == sorted((r["id"], r["piece"]) for r in vocab.collect())
+        # a different artifact kind refuses
+        write_bpe_merges(merges, f"{tbl}_merges")
+        with pytest.raises(ValueError, match="not a persisted ids"):
+            read_subword_ids(spark, f"{tbl}_merges")
+        # a foreign id-assignment rule refuses
+        spark.sql(
+            f"ALTER TABLE {tbl} SET TBLPROPERTIES ("
+            f"'maw.subword.id_assign' = 'piece-freq-v9')"
+        )
+        with pytest.raises(ValueError, match="id_assign|assigns ids"):
+            read_subword_ids(spark, tbl)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_merges")
+    # ragged ids refuse at write time
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="dense"):
+        write_subword_ids(
+            vocab.filter(F.col("id") != 3), "maw_test_subword_ids_bad"
+        )
+    # specials misplaced refuse
+    with pytest.raises(ValueError, match="specials"):
+        write_subword_ids(
+            vocab.withColumn(
+                "piece",
+                F.when(F.col("id") == 0, F.lit("x0")).otherwise(
+                    F.col("piece")
+                ),
+            ),
+            "maw_test_subword_ids_bad",
+        )
+
+
 def test_incremental_lsh_probe_property(spark):
     """Hypothesis: for ANY corpus/batch split of random small documents
     (including duplicate texts, near-empty docs, and empty sides), the
