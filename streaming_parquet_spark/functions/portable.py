@@ -56,15 +56,88 @@ def hex_to_i32(h: str) -> str:
     return hex_word_expr(h, 1)
 
 
-def ordered_words_expr(dialect: str, text: str) -> str:
-    """Words of a text column in document order (whitespace-run split).
-    Use for order-sensitive ops: shingling, rolling fingerprints."""
-    if dialect == "spark":
-        return f"split(trim({text}), ' +')"
-    # trim must name the character set: DuckDB's one-arg trim strips
-    # Unicode whitespace (U+00A0 etc.) while Spark's strips only ASCII
-    # space — a NBSP-padded document diverged (found by hypothesis).
-    return f"string_split_regex(trim({text}, ' '), ' +')"
+#: character class for the cjk-char-v1 split rule: CJK Unified
+#: Ideographs, Hiragana, Katakana (+ phonetic extensions), and
+#: halfwidth Katakana — scripts written WITHOUT spaces, where the
+#: ascii-space rule degrades a whole line to one "word".
+_CJK_CHAR_CLASS = (
+    "[一-鿿぀-ヿㇰ-ㇿｦ-ﾟ]"
+)
+
+#: registered word-split rules (ordered_words_expr / py_word_splitter).
+#: Versioned because persisted artifacts (subword tokenizers, id
+#: tables) pin the rule they were fitted under — a silent rule change
+#: would re-segment corpora encoded under the old rule.
+WORD_SPLIT_RULES = ("ascii-space-v1", "cjk-char-v1")
+
+
+def ordered_words_expr(
+    dialect: str, text: str, rule: str = "ascii-space-v1"
+) -> str:
+    """Words of a text column in document order.
+    Use for order-sensitive ops: shingling, rolling fingerprints.
+
+    Rules:
+      * ``ascii-space-v1`` (default): trim ASCII spaces, split on
+        space RUNS.  **Limitation — scriptio continua scripts**: CJK,
+        Thai, Lao, Khmer text carries no spaces, so an entire line
+        becomes ONE "word" under this rule — silently degrading every
+        consumer (Gopher repetition stats, BPE/unigram fits, DSIR
+        n-grams, batch_drift, domain_similarity) on exactly the
+        multilingual corpora those operators exist for.
+      * ``cjk-char-v1``: every CJK ideograph / kana character becomes
+        its own word (spaced out before the ascii-space split) — the
+        standard character-level fallback for Chinese/Japanese
+        (XLM-R/mT5 pretokenizers do the same).  Thai/Khmer still need
+        a dictionary segmenter and remain one-word-per-run under this
+        rule; plug a real segmenter upstream for those.
+
+    The persisted tokenizer artifacts pin the rule as a table
+    property and their readers fail fast on a mismatch."""
+    if rule == "ascii-space-v1":
+        if dialect == "spark":
+            return f"split(trim({text}), ' +')"
+        # trim must name the character set: DuckDB's one-arg trim
+        # strips Unicode whitespace (U+00A0 etc.) while Spark's strips
+        # only ASCII space — a NBSP-padded document diverged (found by
+        # hypothesis).
+        return f"string_split_regex(trim({text}, ' '), ' +')"
+    if rule == "cjk-char-v1":
+        cls = _CJK_CHAR_CLASS
+        if dialect == "spark":
+            spaced = f"regexp_replace({text}, '({cls})', ' $1 ')"
+            return f"split(trim({spaced}), ' +')"
+        # DuckDB (RE2): backslash group refs and an explicit 'g' flag
+        # (its regexp_replace is first-match-only by default)
+        spaced = f"regexp_replace({text}, '({cls})', ' \\1 ', 'g')"
+        return f"string_split_regex(trim({spaced}, ' '), ' +')"
+    raise ValueError(
+        f"unknown word-split rule {rule!r}; registered: {WORD_SPLIT_RULES}"
+    )
+
+
+def py_word_splitter(rule: str = "ascii-space-v1"):
+    """The Python-side twin of :func:`ordered_words_expr` for
+    Arrow-batched UDF closures (the tokenizer applies): returns
+    ``text -> [words]`` implementing the EXACT same rule, empty words
+    dropped.  Keep the two in lockstep — the fit consumes the SQL
+    side, the apply the Python side, and they must segment
+    identically or token counts stop composing."""
+    import re
+
+    sp = re.compile(" +").split
+    if rule == "ascii-space-v1":
+        return lambda t: [w for w in sp(t.strip(" ")) if w]
+    if rule == "cjk-char-v1":
+        cjk = re.compile(f"({_CJK_CHAR_CLASS})")
+
+        def split_cjk(t):
+            return [w for w in sp(cjk.sub(r" \1 ", t).strip(" ")) if w]
+
+        return split_cjk
+    raise ValueError(
+        f"unknown word-split rule {rule!r}; registered: {WORD_SPLIT_RULES}"
+    )
 
 
 def round_to_expr(dialect: str, x: str, k: int) -> str:

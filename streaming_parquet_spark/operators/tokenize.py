@@ -29,8 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from streaming_parquet_spark.functions.portable import (
+    WORD_SPLIT_RULES,
     hash_bucket_expr,
     ordered_words_expr,
+    py_word_splitter,
 )
 
 _EOW = "</w>"
@@ -123,6 +125,7 @@ def fit_bpe_merges(
     n_merges: int = 256,
     sample_pct: int | None = None,
     max_words: int = 50_000,
+    word_split: str = "ascii-space-v1",
 ) -> DataFrame:
     """Fit a BPE merge table: (rank, left, right) with rank 0 the
     first (most frequent) merge.  The corpus reduces to a word-
@@ -136,6 +139,12 @@ def fit_bpe_merges(
     id hash (NOT df.sample — partition-layout-dependent), same recipe
     as ``fit_ivf_centroids``.  None = fit on the full corpus.
 
+    ``word_split``: the registered word-splitting rule (see
+    ``ordered_words_expr``).  The default ``ascii-space-v1`` makes a
+    whole CJK/Thai line ONE word — fit CJK corpora under
+    ``cjk-char-v1`` and pass the SAME rule to apply/write, or the
+    artifact pinning will (correctly) refuse the mismatch.
+
     Not DuckDB-oracle-able as a value hash (the fit is an iterative
     driver-side algorithm); gated in pytest on the published worked
     examples and on fit determinism."""
@@ -144,7 +153,8 @@ def fit_bpe_merges(
         bucket = hash_bucket_expr("spark", id_col, 100)
         sample = sample.filter(F.expr(bucket) < int(sample_pct))
     words = (
-        f"filter({ordered_words_expr('spark', text_col)}, w -> w != '')"
+        f"filter({ordered_words_expr('spark', text_col, word_split)},"
+        f" w -> w != '')"
     )
     freq_rows = (
         sample.select(F.explode(F.expr(words)).alias("w"))
@@ -170,6 +180,7 @@ def apply_bpe(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     ids: DataFrame | None = None,
+    word_split: str = "ascii-space-v1",
 ) -> DataFrame:
     """Tokenize ``text_col`` under a fitted merge table: adds
     ``out_col`` (array<string> of subword units, each word terminated
@@ -180,14 +191,21 @@ def apply_bpe(
 
     Plan: the merge table collects to a rank dict (vocab-sized) and
     ships in the UDF closure; the pass is one Arrow-batched pandas
-    UDF over the scan — no shuffle, no join.  Word splitting uses the
-    SAME whitespace rule as every other text operator
-    (``ordered_words_expr``), so ``n_bpe_tokens`` composes with the
+    UDF over the scan — no shuffle, no join.  ``word_split`` MUST be
+    the rule the merges were fitted under (``apply_bpe_table`` threads
+    the pinned value automatically; the default ``ascii-space-v1``
+    mis-segments CJK — see ``ordered_words_expr``); splitting via
+    ``py_word_splitter`` keeps ``n_bpe_tokens`` composing with the
     token-budget operators downstream.  Per-batch distinct-word
     caching makes throughput scale with distinct words per batch, not
     total words."""
     from pyspark.sql.functions import pandas_udf
 
+    if word_split not in WORD_SPLIT_RULES:
+        raise ValueError(
+            f"unknown word-split rule {word_split!r}; "
+            f"registered: {WORD_SPLIT_RULES}"
+        )
     rank_list = [
         ((r["left"], r["right"]), r["rank"]) for r in merges.collect()
     ]
@@ -195,23 +213,22 @@ def apply_bpe(
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def encode(texts):
-        import re
-
         import pandas as pd
 
+        from streaming_parquet_spark.functions.portable import (
+            py_word_splitter as _splitter,
+        )
+
         cache: dict[str, list[str]] = {}
-        # the EXACT split rule of ordered_words_expr: trim ASCII
-        # spaces, split on space RUNS (not general whitespace — a tab
-        # is word content there, so it must be word content here too)
-        split = re.compile(" +").split
+        # the EXACT split rule of ordered_words_expr, by construction
+        # (py_word_splitter is its Python twin)
+        split = _splitter(word_split)
 
         def enc_text(t):
             if t is None:
                 return []
             out = []
-            for w in split(t.strip(" ")):
-                if not w:
-                    continue
+            for w in split(t):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _bpe_encode_word(w, ranks)
@@ -353,6 +370,7 @@ def fit_unigram_vocab(
     seed_size: int | None = None,
     sample_pct: int | None = None,
     max_words: int = 50_000,
+    word_split: str = "ascii-space-v1",
 ) -> DataFrame:
     """Fit a unigram-LM subword vocabulary: (piece, logp), logp the
     fitted log-probability (base e).  The corpus reduces to the same
@@ -372,6 +390,9 @@ def fit_unigram_vocab(
 
     ``sample_pct``: deterministic portable-hash percentage sample,
     same recipe as ``fit_bpe_merges``/``fit_ivf_centroids``.
+    ``word_split``: same contract as :func:`fit_bpe_merges` — fit CJK
+    corpora under ``cjk-char-v1`` and keep the rule consistent through
+    apply/write (the pinning refuses drift).
 
     Not DuckDB-oracle-able (iterative driver-side fit); gated in
     pytest on a worked example, fit determinism, apply round-trip,
@@ -381,7 +402,8 @@ def fit_unigram_vocab(
         bucket = hash_bucket_expr("spark", id_col, 100)
         sample = sample.filter(F.expr(bucket) < int(sample_pct))
     words = (
-        f"filter({ordered_words_expr('spark', text_col)}, w -> w != '')"
+        f"filter({ordered_words_expr('spark', text_col, word_split)},"
+        f" w -> w != '')"
     )
     freq_rows = (
         sample.select(F.explode(F.expr(words)).alias("w"))
@@ -418,6 +440,7 @@ def apply_unigram(
     out_col: str = "unigram_tokens",
     max_piece_len: int | None = None,
     ids: DataFrame | None = None,
+    word_split: str = "ascii-space-v1",
 ) -> DataFrame:
     """Tokenize ``text_col`` under a fitted unigram vocab: adds
     ``out_col`` (array<string>; each word's LAST piece carries the
@@ -452,14 +475,22 @@ def apply_unigram(
         else max(len(p) for p in logp)
     )
 
+    if word_split not in WORD_SPLIT_RULES:
+        raise ValueError(
+            f"unknown word-split rule {word_split!r}; "
+            f"registered: {WORD_SPLIT_RULES}"
+        )
+
     @pandas_udf(T.ArrayType(T.StringType()))
     def encode(texts):
-        import re
-
         import pandas as pd
 
+        from streaming_parquet_spark.functions.portable import (
+            py_word_splitter as _splitter,
+        )
+
         cache: dict[str, list[str]] = {}
-        split = re.compile(" +").split  # ordered_words_expr's rule
+        split = _splitter(word_split)  # ordered_words_expr's rule
 
         def enc_word(w):
             got = cache.get(w)
@@ -473,9 +504,8 @@ def apply_unigram(
             if t is None:
                 return []
             out = []
-            for w in split(t.strip(" ")):
-                if w:
-                    out.extend(enc_word(w))
+            for w in split(t):
+                out.extend(enc_word(w))
             return out
 
         return pd.Series([enc_text(t) for t in texts])
@@ -646,30 +676,48 @@ def tokens_to_text(
 # '*********(redacted)'.
 # ---------------------------------------------------------------------------
 
-#: the word-split rule every fit/apply in this module uses
-#: (ordered_words_expr: trim ASCII spaces, split on space runs).
-#: Versioned so a future rule change cannot silently re-tokenize
-#: corpora encoded under the old rule.
+#: the DEFAULT word-split rule (ordered_words_expr: trim ASCII spaces,
+#: split on space runs).  Rules are versioned and pinned on every
+#: artifact so a rule change can never silently re-tokenize corpora
+#: encoded under the old rule; fit/apply/write all take ``word_split``
+#: and the table readers thread the pinned value back.  CJK corpora
+#: need ``cjk-char-v1`` — see ordered_words_expr's limitation note.
 _WORD_SPLIT_RULE = "ascii-space-v1"
 
 
-def write_bpe_merges(merges: DataFrame, table: str) -> None:
+def _check_rule(word_split: str) -> str:
+    if word_split not in WORD_SPLIT_RULES:
+        raise ValueError(
+            f"unknown word-split rule {word_split!r}; "
+            f"registered: {WORD_SPLIT_RULES}"
+        )
+    return word_split
+
+
+def write_bpe_merges(
+    merges: DataFrame, table: str, word_split: str = _WORD_SPLIT_RULE
+) -> None:
     """Persist a fitted BPE merge table with its contract pinned as
-    table properties: the word-split rule version and the end-of-word
-    marker.  Overwrites ``table``."""
+    table properties: the word-split rule the FIT used (pass the same
+    value given to :func:`fit_bpe_merges`) and the end-of-word marker.
+    Overwrites ``table``."""
+    _check_rule(word_split)
     spark = merges.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     merges.write.format("parquet").saveAsTable(table)
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'maw.subword.kind' = 'bpe',"
-        f"'maw.subword.word_split' = '{_WORD_SPLIT_RULE}',"
+        f"'maw.subword.word_split' = '{word_split}',"
         f"'maw.subword.eow' = '{_EOW}')"
     )
 
 
 def write_unigram_vocab(
-    vocab: DataFrame, table: str, max_piece_len: int | None = None
+    vocab: DataFrame,
+    table: str,
+    max_piece_len: int | None = None,
+    word_split: str = _WORD_SPLIT_RULE,
 ) -> None:
     """Persist a fitted unigram vocab.  ``max_piece_len`` is pinned:
     applying with a SMALLER value than the fit's silently drops every
@@ -695,18 +743,21 @@ def write_unigram_vocab(
             f"longest piece ({derived} chars) — applying with it would "
             f"silently drop longer pieces from Viterbi's reach"
         )
+    _check_rule(word_split)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     vocab.write.format("parquet").saveAsTable(table)
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'maw.subword.kind' = 'unigram',"
-        f"'maw.subword.word_split' = '{_WORD_SPLIT_RULE}',"
+        f"'maw.subword.word_split' = '{word_split}',"
         f"'maw.subword.eow' = '{_EOW}',"
         f"'maw.subword.max_piece_len' = '{int(max_piece_len)}')"
     )
 
 
-def write_subword_ids(vocab_ids: DataFrame, table: str) -> None:
+def write_subword_ids(
+    vocab_ids: DataFrame, table: str, word_split: str = _WORD_SPLIT_RULE
+) -> None:
     """Persist a frozen id table (:func:`subword_vocab`) with its
     contract pinned: word-split rule, end-of-word marker, pad/unk ids,
     and the id-assignment rule — the parameters that silently re-map a
@@ -732,13 +783,14 @@ def write_subword_ids(vocab_ids: DataFrame, table: str) -> None:
             f"{PAD_PIECE}={PAD_ID}, {UNK_PIECE}={UNK_ID}; got "
             f"{by_piece.get(PAD_PIECE)}, {by_piece.get(UNK_PIECE)}"
         )
+    _check_rule(word_split)
     spark = vocab_ids.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     vocab_ids.write.format("parquet").saveAsTable(table)
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'maw.subword.kind' = 'ids',"
-        f"'maw.subword.word_split' = '{_WORD_SPLIT_RULE}',"
+        f"'maw.subword.word_split' = '{word_split}',"
         f"'maw.subword.eow' = '{_EOW}',"
         f"'maw.subword.pad_id' = '{PAD_ID}',"
         f"'maw.subword.unk_id' = '{UNK_ID}',"
@@ -774,12 +826,13 @@ def _tokenizer_props(spark, table: str, kind: str) -> dict:
             f"{table} is not a persisted {kind} tokenizer "
             f"(maw.subword.kind = {got!r})"
         )
-    if props.get("maw.subword.word_split") != _WORD_SPLIT_RULE:
+    rule = props.get("maw.subword.word_split")
+    if rule not in WORD_SPLIT_RULES:
         raise ValueError(
-            f"{table} was fitted under word-split rule "
-            f"{props.get('maw.subword.word_split')!r}; this build "
-            f"applies {_WORD_SPLIT_RULE!r} — token counts would not "
-            f"compose"
+            f"{table} was fitted under word-split rule {rule!r}, which "
+            f"this build does not implement (registered: "
+            f"{WORD_SPLIT_RULES}) — applying a different rule would "
+            f"silently mis-segment; token counts would not compose"
         )
     return props
 
@@ -798,13 +851,36 @@ def read_unigram_vocab(spark, table: str) -> tuple[DataFrame, int]:
     return spark.table(table), int(props["maw.subword.max_piece_len"])
 
 
+def _pinned_rule(spark, table: str, kind: str, kw: dict) -> str:
+    """Resolve the word-split rule for a table-backed apply: the
+    table's pinned value wins; an EXPLICIT caller value that disagrees
+    raises (silently preferring either side would re-create the drift
+    the pinning exists to close)."""
+    props = _tokenizer_props(spark, table, kind)
+    pinned = props["maw.subword.word_split"]
+    explicit = kw.get("word_split")
+    if explicit is not None and explicit != pinned:
+        raise ValueError(
+            f"{table} was fitted under word-split rule {pinned!r}; "
+            f"applying with {explicit!r} would silently mis-segment"
+        )
+    return pinned
+
+
 def apply_bpe_table(df: DataFrame, table: str, **kw) -> DataFrame:
-    """:func:`apply_bpe` under a persisted merge table."""
-    return apply_bpe(df, read_bpe_merges(df.sparkSession, table), **kw)
+    """:func:`apply_bpe` under a persisted merge table, with the
+    fit-time word-split rule threaded through (a conflicting explicit
+    ``word_split`` raises)."""
+    spark = df.sparkSession
+    kw["word_split"] = _pinned_rule(spark, table, "bpe", kw)
+    return apply_bpe(df, spark.table(table), **kw)
 
 
 def apply_unigram_table(df: DataFrame, table: str, **kw) -> DataFrame:
     """:func:`apply_unigram` under a persisted vocab, with the
-    fit-time ``max_piece_len`` threaded through automatically."""
-    vocab, max_len = read_unigram_vocab(df.sparkSession, table)
+    fit-time ``max_piece_len`` AND word-split rule threaded through
+    automatically (a conflicting explicit ``word_split`` raises)."""
+    spark = df.sparkSession
+    kw["word_split"] = _pinned_rule(spark, table, "unigram", kw)
+    vocab, max_len = read_unigram_vocab(spark, table)
     return apply_unigram(df, vocab, max_piece_len=max_len, **kw)

@@ -4199,6 +4199,69 @@ def test_tokenizer_artifact_tables(spark, docs):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_tokenizer_cjk_word_split_rule(spark):
+    """The cjk-char-v1 rule end-to-end: a spaceless CJK corpus fits
+    and applies per-character (ascii-space-v1 would see one word per
+    line), the artifact pins the rule and threads it back through the
+    table apply, and an EXPLICIT conflicting rule at apply time raises
+    instead of silently mis-segmenting."""
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_unigram,
+        apply_unigram_table,
+        fit_unigram_vocab,
+        write_unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["東京は晴れ", "京都は雨", "東京の天気", "雨の京都"] * 5
+        )],
+        "doc_id bigint, text string",
+    )
+    rule = "cjk-char-v1"
+    vocab = fit_unigram_vocab(
+        docs, vocab_size=64, max_words=1_000, word_split=rule
+    )
+    # per-character words: every piece is a single char (+ optional
+    # </w>), never a whole line
+    assert all(
+        len(r["piece"]) == 1 for r in vocab.collect()
+    ), [r["piece"] for r in vocab.collect()]
+    out = apply_unigram(docs.limit(4), vocab, word_split=rule)
+    for r in out.select("text", "unigram_tokens").collect():
+        # one </w>-terminated unit per CHARACTER of the line
+        assert sum(
+            1 for t in r["unigram_tokens"] if t.endswith("</w>")
+        ) == len(r["text"])
+    # fitting the same corpus under ascii-space-v1 sees whole lines
+    # as words — the degradation the rule exists to avoid
+    v1 = fit_unigram_vocab(docs, vocab_size=64, max_words=1_000)
+    assert max(len(r["piece"]) for r in v1.collect()) > 1
+    # artifact pinning round trip under the non-default rule
+    tbl = "maw_tok_cjk"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_unigram_vocab(vocab, tbl, word_split=rule)
+    try:
+        direct = {
+            (r["doc_id"], tuple(r["unigram_tokens"]))
+            for r in out.select("doc_id", "unigram_tokens").collect()
+        }
+        via = {
+            (r["doc_id"], tuple(r["unigram_tokens"]))
+            for r in apply_unigram_table(docs.limit(4), tbl).select(
+                "doc_id", "unigram_tokens"
+            ).collect()
+        }
+        assert direct == via
+        # explicit conflicting rule raises rather than mis-segmenting
+        with pytest.raises(ValueError, match="word-split rule"):
+            apply_unigram_table(
+                docs.limit(4), tbl, word_split="ascii-space-v1"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_leakage_safe_split(spark, docs):
     """Near-dup cluster members never straddle splits: every connected
     component lands whole in one split, isolated docs reproduce

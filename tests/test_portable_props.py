@@ -533,3 +533,92 @@ def test_fixed_ln_agrees_and_approximates(spark, vals, sqrts):
             # ~ln(x)^2 / 2^(k+1) relative-to-ln error + rounding
             bound = (1 << 20) * (math.log(v) ** 2) / 2 ** (sqrts + 1) + 1
             assert abs(got - true) <= bound, (v, got, true)
+
+
+# CJK + kana + halfwidth-kana + mixed-script strategy for the
+# cjk-char-v1 split rule
+_cjk_texts = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x9FFF),
+        st.characters(min_codepoint=0x3040, max_codepoint=0x30FF),
+        st.characters(min_codepoint=0xFF66, max_codepoint=0xFF9F),
+        st.characters(
+            blacklist_categories=("Cs", "Cc"),
+            blacklist_characters="'\"\\",
+        ),
+        st.just(" "),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_cjk_texts, min_size=1, max_size=8))
+def test_word_split_rules_three_way_parity(spark, texts):
+    """For every registered word-split rule, the Spark expression, the
+    DuckDB expression, and the Python twin (py_word_splitter — the
+    tokenizer-UDF side) segment arbitrary mixed-script text
+    IDENTICALLY.  The fits consume the SQL side and the applies the
+    Python side, so any divergence breaks token-count composition."""
+    from streaming_parquet_spark.functions.portable import (
+        WORD_SPLIT_RULES,
+        ordered_words_expr,
+        py_word_splitter,
+    )
+
+    sdf = spark.createDataFrame([(t,) for t in texts], "t string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt (t VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?)", [(t,) for t in texts])
+    for rule in WORD_SPLIT_RULES:
+        s_rows = [
+            [w for w in r[0] if w]
+            for r in sdf.select(
+                F.expr(ordered_words_expr("spark", "t", rule))
+            ).collect()
+        ]
+        d_rows = [
+            [w for w in r[0] if w]
+            for r in con.execute(
+                f"SELECT {ordered_words_expr('duckdb', 't', rule)} FROM tt"
+            ).fetchall()
+        ]
+        py_rows = [py_word_splitter(rule)(t) for t in texts]
+        assert s_rows == d_rows, (rule, texts)
+        assert s_rows == py_rows, (rule, texts)
+
+
+def test_cjk_rule_segments_per_character(spark):
+    """The documented behavior: ascii-space-v1 makes a CJK line one
+    word; cjk-char-v1 gives every ideograph/kana its own word while
+    leaving Latin words intact."""
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+    )
+
+    sdf = spark.createDataFrame(
+        [("東京tower ひらがな",)], "t string"
+    )
+    v1 = sdf.selectExpr(
+        ordered_words_expr("spark", "t", "ascii-space-v1")
+    ).first()[0]
+    v2 = sdf.selectExpr(
+        ordered_words_expr("spark", "t", "cjk-char-v1")
+    ).first()[0]
+    assert v1 == ["東京tower", "ひらがな"]
+    assert v2 == ["東", "京", "tower", "ひ", "ら", "が", "な"]
+
+
+def test_unknown_word_split_rule_raises():
+    import pytest as _pytest
+
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+        py_word_splitter,
+    )
+
+    with _pytest.raises(ValueError, match="unknown word-split"):
+        ordered_words_expr("spark", "t", "whitespace-v9")
+    with _pytest.raises(ValueError, match="unknown word-split"):
+        py_word_splitter("whitespace-v9")
