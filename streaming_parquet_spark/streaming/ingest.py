@@ -98,6 +98,100 @@ class IngestResult:
     rows_kept: int = 0
 
 
+def _monitor_signals(
+    delta: DataFrame,
+    corpus_pre: DataFrame,
+    id_col: str,
+    fingerprint_expr: str,
+    drift_text_col: str | None,
+) -> tuple:
+    """Compute a batch's observability signals — the DELTA's content
+    fingerprint (``profile.corpus_fingerprint`` over
+    ``fingerprint_expr``) and, when ``drift_text_col`` is given, the
+    delta-vs-corpus unigram drift cosine (``text.domain_similarity``;
+    one extra corpus scan per batch, the price the flag opts into).
+
+    MUST run BEFORE the corpus append: the delta's plan anti-joins
+    the corpus table, and ``insertInto`` recaches every cached plan
+    referencing its target — a post-write evaluation recomputes the
+    anti-join against the grown table and the delta reads back EMPTY
+    (observed: fp 0 / drift NULL on every batch).  Pre-write is also
+    semantically exact: the delta's fingerprint does not depend on
+    the write, and ``corpus_pre UNION delta`` IS the post-append
+    corpus (the anti-join makes them disjoint)."""
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+
+    fp = corpus_fingerprint(
+        delta.withColumn("__fp_text", F.expr(fingerprint_expr)),
+        id_col,
+        "__fp_text",
+    ).first()
+    drift = None
+    if drift_text_col is not None:
+        from streaming_parquet_spark.operators.text import (
+            domain_similarity,
+        )
+
+        corpus = corpus_pre.select(
+            F.lit("corpus").alias("__side"), F.col(drift_text_col)
+        ).unionByName(
+            delta.select(
+                F.lit("corpus").alias("__side"), F.col(drift_text_col)
+            )
+        )
+        batch_side = delta.select(
+            F.lit("delta").alias("__side"), F.col(drift_text_col)
+        )
+        got = domain_similarity(
+            corpus.unionByName(batch_side),
+            class_col="__side",
+            text_col=drift_text_col,
+            min_count=1,
+        ).first()
+        drift = float(got["cosine"]) if got is not None else None
+    return fp, drift
+
+
+def _append_monitor_row(
+    bspark: SparkSession,
+    monitor_table: str,
+    batch_id: int,
+    tallies: tuple[int, int, int, int],
+    fp,
+    drift: float | None,
+) -> None:
+    """Append one monitoring row (tallies + the precomputed signals
+    from :func:`_monitor_signals`) — pure driver-local data by the
+    time this runs, after the corpus and index appends committed.
+
+    Replay idempotence is STRUCTURAL, not keyed: a replayed batch's
+    delta is empty, so the caller never reaches this append — the
+    monitor table is a log of deltas, and XOR of its fp columns
+    composes to the corpus fingerprint at every point in time by
+    construction.  ``ingest_batch`` is bookkeeping per checkpoint
+    generation (same caveat as the corpus partition column): a
+    fresh-checkpoint run over a grown source may log a second row
+    under a reused batch id — composition is unaffected (deltas are
+    disjoint by the id anti-join)."""
+    n_in, n_filtered, n_kept, n_appended = tallies
+    row = bspark.createDataFrame(
+        [(
+            int(batch_id), int(n_in), int(n_filtered), int(n_kept),
+            int(n_appended), int(fp["n_chars_total"]),
+            int(fp["fp_a"]), int(fp["fp_b"]), drift,
+        )],
+        "ingest_batch bigint, rows_in bigint, rows_filtered bigint,"
+        " rows_kept bigint, rows_appended bigint, n_chars_total bigint,"
+        " fp_a bigint, fp_b bigint, drift_cosine double",
+    )
+    if not bspark.catalog.tableExists(monitor_table):
+        row.write.format("parquet").saveAsTable(monitor_table)
+    else:
+        row.write.insertInto(monitor_table)
+
+
 def _ensure_corpus_table(spark: SparkSession, df: DataFrame, table: str) -> None:
     if not spark.catalog.tableExists(table):
         (
@@ -120,6 +214,9 @@ def _run_ingest(
     max_files_per_trigger: int | None,
     refresh_tables: tuple[str, ...] = (),
     prefilter_fn=None,
+    monitor_table: str | None = None,
+    fingerprint_expr: str | None = None,
+    drift_text_col: str | None = None,
 ) -> IngestResult:
     """The shared exactly-once micro-batch runner (module docstring):
     ``survivors_fn(batch) -> DataFrame`` performs within-batch dedup +
@@ -131,7 +228,13 @@ def _run_ingest(
     stale file listing); ``append_fn(rows)`` folds rows into the index
     (step 4).  Both corpus and index writes are id-anti-joined
     delta-APPENDS — the idempotence mechanism the module docstring's
-    replay analysis rests on."""
+    replay analysis rests on.
+
+    ``monitor_table``: when set, every batch whose corpus DELTA is
+    non-empty appends one observability row (tallies + delta
+    fingerprint + optional drift — see :func:`_append_monitor_row`);
+    replayed batches have empty deltas and log nothing, so monitor
+    rows inherit the loop's exactly-once property."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -162,10 +265,11 @@ def _run_ingest(
         # writes would otherwise leak up to three persisted frames,
         # and Structured Streaming re-runs (and would re-leak) the
         # failing batch on every stream restart.
-        filtered = rows = None
+        filtered = rows = delta = None
         try:
             n_in = batch.count()
             result.rows_in += n_in
+            n_filtered_batch = 0
             # 0. quality pre-filter: persisted because the
             #    filtered-count tally and the dedup stages below both
             #    consume it.  A deterministic filter keeps the replay
@@ -180,7 +284,8 @@ def _run_ingest(
                 # and a transform that emits more rows than it received
                 # (line-splitting) would otherwise tally negative
                 # rejections
-                result.rows_filtered += max(0, n_in - filtered.count())
+                n_filtered_batch = max(0, n_in - filtered.count())
+                result.rows_filtered += n_filtered_batch
                 src = filtered
             survivors = survivors_fn(src).withColumn(
                 "ingest_batch", F.lit(int(batch_id))
@@ -203,9 +308,22 @@ def _run_ingest(
                 #    self-read — published files are immutable.
                 _ensure_corpus_table(bspark, rows, table)
                 existing = bspark.table(table).select(F.col(id_col))
-                rows.join(existing, id_col, "left_anti").write.insertInto(
-                    table
-                )
+                # persist the delta: the corpus write consumes it, and
+                # the monitor path (when enabled) counts and
+                # fingerprints the SAME rows the write published
+                delta = rows.join(existing, id_col, "left_anti").persist()
+                n_appended = delta.count()
+                signals = None
+                if monitor_table is not None and n_appended:
+                    # BEFORE the write — see _monitor_signals on why a
+                    # post-write evaluation would read the delta empty
+                    signals = _monitor_signals(
+                        delta, bspark.table(table), id_col,
+                        fingerprint_expr or "CAST(NULL AS STRING)",
+                        drift_text_col,
+                    )
+                if n_appended:
+                    delta.write.insertInto(table)
                 # 4. index delta-append: only ids the index does not
                 #    already hold (guards the cap-suppressed-replay
                 #    case where a survivor fails to self-pair)
@@ -213,7 +331,15 @@ def _run_ingest(
                     indexed_ids_fn(bspark), id_col, "left_anti"
                 )
                 append_fn(idx_delta)
+                if signals is not None:
+                    _append_monitor_row(
+                        bspark, monitor_table, batch_id,
+                        (n_in, n_filtered_batch, n, n_appended),
+                        signals[0], signals[1],
+                    )
         finally:
+            if delta is not None:
+                delta.unpersist()
             if rows is not None:
                 rows.unpersist()
             if filtered is not None:
@@ -256,6 +382,8 @@ def dedup_ingest_stream(
     max_bucket_rows: int | None = None,
     max_files_per_trigger: int | None = None,
     filter_fn=None,
+    monitor_table: str | None = None,
+    monitor_drift: bool = False,
 ) -> IngestResult:
     """Run the deduplicated-ingest stream over ``source_dir`` (parquet
     files) with an ``availableNow`` trigger: process everything not yet
@@ -279,6 +407,17 @@ def dedup_ingest_stream(
     regardless) but would make the kept-set replay-dependent.  The
     corpus table's schema is the POST-filter schema.  Filter
     rejections tally in ``IngestResult.rows_filtered``.
+
+    ``monitor_table``: when set, each batch that actually grows the
+    corpus appends one observability row there — tallies, the DELTA's
+    content fingerprint (XOR of monitor fps composes to the corpus
+    fingerprint at all times), and, under ``monitor_drift=True``, the
+    delta-vs-corpus unigram drift cosine (one extra corpus scan per
+    batch — the in-loop form of ``text.batch_drift``'s post-hoc
+    signal).  Replays log nothing (their deltas are empty); a crash in
+    the narrow window between the corpus append and the monitor append
+    loses that one observability row (never a corpus row) — the
+    monitor is at-most-once where the corpus is exactly-once.
 
     Re-running with the same checkpoint is a resume (new files only);
     re-running with a FRESH checkpoint replays every file but changes
@@ -316,11 +455,17 @@ def dedup_ingest_stream(
     def append_fn(rows: DataFrame) -> None:
         append_to_lsh_index(rows, index, id_col=id_col, text_col=text_col)
 
+    refresh = [table, f"{index}_sets", f"{index}_bands"]
+    if monitor_table is not None:
+        refresh.append(monitor_table)
     return _run_ingest(
         spark, source_dir, table, checkpoint, id_col, survivors_fn,
         indexed_ids_fn, append_fn, max_files_per_trigger,
-        refresh_tables=(table, f"{index}_sets", f"{index}_bands"),
+        refresh_tables=tuple(refresh),
         prefilter_fn=filter_fn,
+        monitor_table=monitor_table,
+        fingerprint_expr=text_col,
+        drift_text_col=text_col if monitor_drift else None,
     )
 
 
@@ -335,6 +480,7 @@ def semantic_ingest_stream(
     max_block_rows: int | None = None,
     max_files_per_trigger: int | None = None,
     filter_fn=None,
+    monitor_table: str | None = None,
 ) -> IngestResult:
     """The EMBEDDING-side twin of :func:`dedup_ingest_stream`: the same
     exactly-once micro-batch loop, with the persisted ANN index
@@ -351,7 +497,11 @@ def semantic_ingest_stream(
     anti-joins cover (test_ingest_cap_suppressed_redelivery...).
     ``filter_fn``: same contract as :func:`dedup_ingest_stream`'s —
     deterministic pre-dedup filter/transform, rejections tallied in
-    ``rows_filtered``."""
+    ``rows_filtered``.  ``monitor_table``: same contract too, with the
+    delta fingerprint taken over the STRINGIFIED embedding (vectors
+    have no text column; compose against the corpus by fingerprinting
+    the same rendering) and no drift leg — term drift is a text
+    signal."""
     index = f"{table}_ann"
     dims = _ann_index_dims(spark, index)  # fail fast if absent
     cents = read_ann_centroids(spark, index, id_col, vec_col)
@@ -379,9 +529,15 @@ def semantic_ingest_stream(
     def append_fn(rows: DataFrame) -> None:
         append_to_ann_index(rows, index, id_col=id_col, vec_col=vec_col)
 
+    refresh = [table, f"{index}_postings", f"{index}_centroids"]
+    if monitor_table is not None:
+        refresh.append(monitor_table)
     return _run_ingest(
         spark, source_dir, table, checkpoint, id_col, survivors_fn,
         indexed_ids_fn, append_fn, max_files_per_trigger,
-        refresh_tables=(table, f"{index}_postings", f"{index}_centroids"),
+        refresh_tables=tuple(refresh),
         prefilter_fn=filter_fn,
+        monitor_table=monitor_table,
+        fingerprint_expr=f"CAST({vec_col} AS STRING)",
+        drift_text_col=None,
     )

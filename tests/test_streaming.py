@@ -914,3 +914,162 @@ def test_ingest_filter_fn_reads_persisted_artifact(spark, tmp_path):
     assert {r["doc_id"] for r in spark.table(table).collect()} == {1, 3}
     for t in (table, f"{table}_lsh_sets", f"{table}_lsh_bands", tok):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ingest_monitor_table_composes_and_replays_nothing(spark, tmp_path):
+    """The in-loop observability leg (monitor_table=): a two-wave
+    ingest leaves exactly one monitor row per corpus-growing batch,
+    the XOR of the monitor fps (plus summed counts) reproduces the
+    corpus fingerprint, drift_cosine is a sane (0, 1] unigram cosine
+    under monitor_drift=True, and a fresh-checkpoint replay appends
+    NOTHING to corpus or monitor — the structural exactly-once the
+    docstring promises."""
+    import shutil
+    from functools import reduce
+
+    from streaming_parquet_spark.operators.dedup import write_lsh_index
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+    from streaming_parquet_spark.streaming.ingest import (
+        dedup_ingest_stream,
+    )
+
+    table = "maw_ingest_monitored"
+    mon = f"{table}_monitor"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in (table, f"{table}_lsh_sets", f"{table}_lsh_bands", mon):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_lsh_index(
+        spark.createDataFrame([], "doc_id long, text string"),
+        f"{table}_lsh", num_hashes=16, bands=8,
+    )
+
+    def words(i, n=10):
+        vocab = ["alpha", "bravo", "carol", "delta", "echo", "fox",
+                 "golf", "hotel", "india", "jazz"]
+        return " ".join(
+            vocab[(i * 3 + j * (1 + i % 5)) % len(vocab)] + str((i + j) % 7)
+            for j in range(n)
+        )
+
+    src = str(tmp_path / "mon_src")
+    ckpt = str(tmp_path / "mon_ckpt")
+    spark.createDataFrame(
+        [(10, words(0)), (11, words(1))], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    dedup_ingest_stream(
+        spark, src, table, ckpt, monitor_table=mon, monitor_drift=True
+    )
+    # wave 2: one dup of wave 1 (drops), one new
+    spark.createDataFrame(
+        [(20, words(0)), (21, words(5))], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    dedup_ingest_stream(
+        spark, src, table, ckpt, monitor_table=mon, monitor_drift=True
+    )
+    rows = {r["ingest_batch"]: r for r in spark.table(mon).collect()}
+    assert len(rows) == 2
+    assert rows[0]["rows_appended"] == 2 and rows[1]["rows_appended"] == 1
+    for r in rows.values():
+        assert r["drift_cosine"] is not None
+        assert 0.0 < r["drift_cosine"] <= 1.0
+    # wave 2's lone survivor shares no terms-with-counts profile...
+    # composition: XOR of monitor fps + summed counts == corpus
+    # fingerprint of the table
+    fp = corpus_fingerprint(spark.table(table)).first()
+    assert fp["n_docs"] == sum(r["rows_appended"] for r in rows.values())
+    assert fp["n_chars_total"] == sum(
+        r["n_chars_total"] for r in rows.values()
+    )
+    assert fp["fp_a"] == reduce(
+        lambda a, b: a ^ b, (r["fp_a"] for r in rows.values()), 0
+    )
+    assert fp["fp_b"] == reduce(
+        lambda a, b: a ^ b, (r["fp_b"] for r in rows.values()), 0
+    )
+    # fresh-checkpoint replay: every doc dups its indexed copy ->
+    # empty deltas -> monitor unchanged, corpus unchanged
+    dedup_ingest_stream(
+        spark, src, table, str(tmp_path / "mon_ckpt_fresh"),
+        monitor_table=mon, monitor_drift=True,
+    )
+    assert spark.table(mon).count() == 2
+    assert spark.table(table).count() == 3
+    for t in (table, f"{table}_lsh_sets", f"{table}_lsh_bands", mon):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_semantic_ingest_monitor_table(spark, tmp_path):
+    """The embedding twin's monitor leg: fingerprints taken over the
+    stringified vector compose to the corpus fingerprint under the
+    same rendering; no drift column population (term drift is a text
+    signal)."""
+    import shutil
+    from functools import reduce
+
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+    from streaming_parquet_spark.operators.similarity import (
+        write_ann_index,
+    )
+    from streaming_parquet_spark.streaming.ingest import (
+        semantic_ingest_stream,
+    )
+
+    table = "maw_sem_monitored"
+    mon = f"{table}_monitor"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in (table, f"{table}_ann_postings", f"{table}_ann_centroids",
+              mon):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
+    def vec(seed, dims=8):
+        import math
+
+        raw = [math.sin(seed * 7.3 + d) for d in range(dims)]
+        n = math.sqrt(sum(x * x for x in raw))
+        return [x / n for x in raw]
+
+    cents = spark.createDataFrame(
+        [(0, vec(0)), (1, vec(40))], "vec_id long, embedding array<float>"
+    )
+    write_ann_index(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        f"{table}_ann", centroids=cents, dims=8,
+    )
+    src = str(tmp_path / "semmon_src")
+    spark.createDataFrame(
+        [(10, vec(1)), (11, vec(40))],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    semantic_ingest_stream(
+        spark, src, table, str(tmp_path / "semmon_ckpt"),
+        threshold=0.95, monitor_table=mon,
+    )
+    rows = spark.table(mon).collect()
+    assert len(rows) == 1 and rows[0]["rows_appended"] == 2
+    assert rows[0]["drift_cosine"] is None
+    fp = corpus_fingerprint(
+        spark.table(table).withColumn(
+            "__fp_text", F.expr("CAST(embedding AS STRING)")
+        ),
+        "vec_id",
+        "__fp_text",
+    ).first()
+    assert fp["fp_a"] == reduce(
+        lambda a, b: a ^ b, (r["fp_a"] for r in rows), 0
+    )
+    assert fp["fp_b"] == reduce(
+        lambda a, b: a ^ b, (r["fp_b"] for r in rows), 0
+    )
+    for t in (table, f"{table}_ann_postings", f"{table}_ann_centroids",
+              mon):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
