@@ -950,6 +950,15 @@ def verify_shards(
             raise
         observed = spark.createDataFrame([], obs_schema)
     else:
+        if "shard" not in scanned.columns:
+            # a populated path with no shard= partition layout is a
+            # WRONG path (or an unpartitioned write), not a set of
+            # missing shards — say so instead of letting the groupBy
+            # die on an unresolved column
+            raise ValueError(
+                f"verify_shards: {path!r} has no shard= partition "
+                f"column — not a shard_manifest-planned output"
+            )
         # same digest (and NULL-text collapse) as corpus_fingerprint /
         # shard_manifest — the three MUST agree for the comparison to
         # mean anything
