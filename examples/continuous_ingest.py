@@ -12,6 +12,11 @@ empty index.
                      changes NOTHING (exactly-once corpus contents —
                      the crash/replay analysis in streaming/ingest.py)
 
+The loop also OBSERVES itself (monitor_table=): each corpus-growing
+batch logs tallies + its delta's content fingerprint + the
+delta-vs-corpus drift cosine; XOR of monitor fingerprints reproduces
+the corpus fingerprint at all times, and the replay logs nothing.
+
 Run: python examples/continuous_ingest.py [sf_dir] [workdir]
 """
 
@@ -37,10 +42,11 @@ def main():
                       shuffle_partitions=8)
 
     table = "ingested_docs"
+    monitor = f"{table}_monitor"
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
         "file:"
     )
-    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+    for suffix in ("", "_lsh_sets", "_lsh_bands", "_monitor"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
         shutil.rmtree(
             os.path.join(warehouse, f"{table}{suffix}"), ignore_errors=True
@@ -65,7 +71,8 @@ def main():
         "doc_id", "text"
     ).coalesce(1).write.mode("append").parquet(src)
     r1 = dedup_ingest_stream(spark, src, table, ckpt,
-                             max_bucket_rows=10_000, filter_fn=quality)
+                             max_bucket_rows=10_000, filter_fn=quality,
+                             monitor_table=monitor, monitor_drift=True)
     print(f"wave 1: {r1.rows_in} in -> {r1.rows_filtered} filtered -> "
           f"{r1.rows_kept} kept (within-wave near-dups removed)")
 
@@ -76,7 +83,8 @@ def main():
         src
     )
     r2 = dedup_ingest_stream(spark, src, table, ckpt,
-                             max_bucket_rows=10_000, filter_fn=quality)
+                             max_bucket_rows=10_000, filter_fn=quality,
+                             monitor_table=monitor, monitor_drift=True)
     print(f"wave 2: {r2.rows_in} in -> {r2.rows_kept} kept "
           f"(re-delivered wave-1 docs dropped by the index)")
 
@@ -85,16 +93,40 @@ def main():
           f"{corpus.select('ingest_batch').distinct().count()} "
           f"ingest batches")
 
+    # the observe half: one monitor row per corpus-growing batch, and
+    # the rows COMPOSE — XOR of their fingerprints reproduces the
+    # corpus fingerprint (the lineage audit a 100 TB ingest needs)
+    from functools import reduce
+
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+
+    mon_rows = spark.table(monitor).orderBy("ingest_batch").collect()
+    for m in mon_rows:
+        print(f"monitor batch {m['ingest_batch']}: "
+              f"in={m['rows_in']} kept={m['rows_kept']} "
+              f"appended={m['rows_appended']} "
+              f"drift_cosine={m['drift_cosine']}")
+    fp = corpus_fingerprint(corpus).first()
+    composed_a = reduce(lambda a, b: a ^ b,
+                        (m["fp_a"] for m in mon_rows), 0)
+    print(f"monitor fps compose to corpus fingerprint: "
+          f"{composed_a == fp['fp_a']}")
+
     # disaster drill: replay EVERYTHING under a fresh checkpoint
     before = corpus.count()
     r3 = dedup_ingest_stream(spark, src, table,
                              os.path.join(work, "ckpt_fresh"),
-                             max_bucket_rows=10_000, filter_fn=quality)
+                             max_bucket_rows=10_000, filter_fn=quality,
+                             monitor_table=monitor, monitor_drift=True)
     after = spark.table(table).count()
     print(f"full replay: {r3.rows_in} in -> {r3.rows_kept} kept; "
-          f"corpus {before} -> {after} (unchanged: {before == after})")
+          f"corpus {before} -> {after} (unchanged: {before == after}); "
+          f"monitor rows still {spark.table(monitor).count()} "
+          f"(replays log nothing)")
 
-    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+    for suffix in ("", "_lsh_sets", "_lsh_bands", "_monitor"):
         spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
     spark.stop()
 
