@@ -183,6 +183,81 @@ def pack_sequences(
     )
 
 
+def pack_token_windows(
+    df: DataFrame,
+    ids_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    part_col: str | None = None,
+    pad_id: int = 0,
+    out_col: str = "ids",
+) -> DataFrame:
+    """MATERIALIZE the fixed-length training windows
+    :func:`pack_sequences` only assigns: documents' id arrays
+    concatenate into one token stream (``order_col`` order, within
+    ``part_col``) and re-cut into windows of exactly ``budget`` ids —
+    each partition's final partial window right-padded with
+    ``pad_id``.  This is the actual trainable payload (GPT-style
+    concat-then-chunk): ``pack_sequences`` answers "which bin does doc
+    X start in", this emits the bins' contents.
+
+    Output: (*part_col, win, ``out_col`` array of exactly ``budget``
+    ids, n_tokens) — n_tokens the REAL (pre-pad) id count, equal to
+    ``budget`` everywhere except each partition's last window.
+    Deterministic: offsets are exact integer running sums over a total
+    order (``order_col`` unique per partition), window/slot assignment
+    is integer division, and the regroup sorts by slot — the same
+    windows from any partitioning.  Empty/null id arrays contribute
+    nothing (their documents occupy zero stream positions).
+
+    Plan (pure Catalyst, no UDF): one doc-level window shuffle on
+    ``part_col`` for the running offsets, then posexplode ->
+    TOKEN-level hash aggregate on (part, win) with array_sort over
+    budget-bounded groups.  The token-level shuffle is the honest,
+    irreducible cost of re-cutting documents into windows; at 100 TB
+    run it per training shard (``part_col`` = the shard key from
+    ``shard_manifest``), which bounds every shuffle group and window
+    partition at shard size and lets shards pack in parallel —
+    windows never cross shards, exactly what shard-local training
+    files need."""
+    keys = [part_col] if part_col else []
+    elem_t = df.schema[ids_col].dataType.elementType
+    b = int(budget)
+    w = (
+        W.partitionBy(*keys).orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    n = F.coalesce(F.size(ids_col).cast("bigint"), F.lit(0).cast("bigint"))
+    # size() is -1 on NULL arrays under legacy behavior and coalesce
+    # misses that; clamp so a null-ids doc occupies zero positions
+    n = F.greatest(n, F.lit(0).cast("bigint"))
+    tok = df.withColumn("__off", F.sum(n).over(w) - n).select(
+        *keys, "__off", F.posexplode(ids_col).alias("__pos", "__id")
+    )
+    tok = tok.select(
+        *keys,
+        F.expr(f"CAST((__off + __pos) DIV {b} AS BIGINT)").alias("win"),
+        F.expr(f"CAST((__off + __pos) % {b} AS BIGINT)").alias("__slot"),
+        "__id",
+    )
+    grouped = tok.groupBy(*keys, "win").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__slot", "__id"))),
+            lambda s: s["__id"],
+        ).alias("__ids"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+    pad = F.array_repeat(
+        F.lit(pad_id).cast(elem_t), b - F.size("__ids")
+    )
+    return grouped.select(
+        *keys,
+        "win",
+        F.concat(F.col("__ids"), pad).alias(out_col),
+        "n_tokens",
+    )
+
+
 #: Purpose salt for stratified sampling — distinct from the unseeded
 #: (seed=0) hash used by hash_sample/with_split so composing a stratum
 #: filter with a later split over the same id stays unbiased (see

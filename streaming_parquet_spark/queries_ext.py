@@ -1103,6 +1103,88 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_pack_windows(budget: int = 64) -> str:
+    words = (
+        f"list_filter({ordered_words_expr('duckdb', 'text')},"
+        f" w -> w <> '')"
+    )
+    ids = word_hashes_expr("duckdb", words)
+    # mirrors operators.pipeline.pack_token_windows: exact integer
+    # running offsets over a total order, integer-division window/slot
+    # assignment, slot-ordered regroup, list_resize right-padding
+    return f"""
+    WITH docs AS (
+      SELECT source AS part, doc_id, {ids} AS ids FROM documents
+    ),
+    offs AS (
+      SELECT part, ids,
+             SUM(len(ids)) OVER (PARTITION BY part ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - len(ids) AS off
+      FROM docs
+    ),
+    tok AS (
+      SELECT part, off + u.ord - 1 AS gpos, u.id
+      FROM offs, LATERAL (SELECT unnest(ids) AS id,
+                          generate_subscripts(ids, 1) AS ord) u
+    ),
+    g AS (
+      SELECT part, CAST(gpos // {budget} AS BIGINT) AS win,
+             list(id ORDER BY gpos % {budget}) AS ids,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT part AS source, win,
+           -- the window rendered as one canonical string: the driver's
+           -- value hash is proven on scalars, not list cells (no other
+           -- oracle emits one); right-pad via range — NOT list_resize,
+           -- which dies with std::bad_array_new_length on
+           -- aggregate-produced lists in DuckDB 1.0.0
+           array_to_string(
+             ids || list_transform(range({budget} - len(ids)),
+                                   x -> CAST(0 AS BIGINT)),
+             '-') AS ids_csv,
+           n_tokens
+    FROM g
+    """
+
+
+@query("pipeline_pack_windows", _duck_pack_windows())
+def pipeline_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training windows (operators.pipeline.
+    pack_token_windows): per source, the word-hash id stream re-cut
+    into 64-id windows, final window zero-padded — the trainable form
+    of the pack_sequences bin arithmetic, pure Catalyst (posexplode +
+    running offsets + slot-sorted regroup, no UDF).  At 100 TB the
+    part key is the training shard, bounding every shuffle group at
+    shard size."""
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+    )
+
+    words = (
+        f"filter({ordered_words_expr('spark', 'text')}, w -> w != '')"
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.col("doc_id"),
+        F.expr(word_hashes_expr("spark", words)).alias("tok"),
+    )
+    packed = pack_token_windows(
+        d, "tok", budget=64, order_col="doc_id", part_col="source",
+        pad_id=0,
+    )
+    # render the window as one canonical string for the driver's
+    # value hash (proven on scalars, not list cells)
+    return packed.select(
+        "source",
+        "win",
+        F.array_join(
+            F.expr("transform(ids, x -> CAST(x AS STRING))"), "-"
+        ).alias("ids_csv"),
+        "n_tokens",
+    )
+
+
 def _duck_semantic_dedup(threshold: float, n_centroids: int, dims: int) -> str:
     aff = dot_expr("duckdb", "v.embedding", "c.embedding")
     sim = dot_expr("duckdb", "a.v", "b.v")

@@ -4199,6 +4199,71 @@ def test_tokenizer_artifact_tables(spark, docs):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_pack_token_windows(spark):
+    """pack_token_windows materializes the concat-then-chunk stream
+    exactly: flattened windows (minus padding) reproduce the
+    concatenated documents in order, every window is exactly budget
+    long, only each partition's last window is padded, composition
+    with pack_sequences' bin arithmetic holds, and the result is
+    partitioning-invariant."""
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_sequences,
+        pack_token_windows,
+    )
+
+    rows = [
+        ("a", 1, [1, 2, 3]),
+        ("a", 2, [4, 5, 6, 7, 8]),
+        ("a", 3, []),          # empty: occupies zero positions
+        ("a", 4, [9]),
+        ("b", 7, [10, 11, 12, 13]),
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, doc_id bigint, tok array<int>"
+    )
+    out = pack_token_windows(
+        df, "tok", budget=4, part_col="part", pad_id=-1
+    )
+    got = {
+        (r["part"], r["win"]): (r["ids"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # stream a: 1..9 -> [1,2,3,4], [5,6,7,8], [9,-1,-1,-1]
+    assert got[("a", 0)] == ([1, 2, 3, 4], 4)
+    assert got[("a", 1)] == ([5, 6, 7, 8], 4)
+    assert got[("a", 2)] == ([9, -1, -1, -1], 1)
+    # stream b: one exact window, NO padded tail
+    assert got[("b", 0)] == ([10, 11, 12, 13], 4)
+    assert len(got) == 4
+    assert all(len(ids) == 4 for ids, _ in got.values())
+    # composition: each doc's start bin from pack_sequences is the
+    # window its first id landed in
+    sized = df.withColumn("n", F.size("tok"))
+    bins = {
+        (r["part"], r["doc_id"]): r["bin"]
+        for r in pack_sequences(
+            sized, "n", budget=4, part_col="part"
+        ).collect()
+    }
+    first_id = {("a", 1): 1, ("a", 2): 4, ("a", 4): 9, ("b", 7): 10}
+    for (part, doc), fid in first_id.items():
+        win = bins[(part, doc)]
+        ids, _ = got[(part, win)]
+        assert fid in ids, (part, doc, win, ids)
+    # partitioning invariance
+    again = {
+        (r["part"], r["win"]): (r["ids"], r["n_tokens"])
+        for r in pack_token_windows(
+            df.repartition(7), "tok", budget=4, part_col="part",
+            pad_id=-1,
+        ).collect()
+    }
+    assert again == got
+    # no UDF anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_tokenizer_cjk_word_split_rule(spark):
     """The cjk-char-v1 rule end-to-end: a spaceless CJK corpus fits
     and applies per-character (ascii-space-v1 would see one word per
