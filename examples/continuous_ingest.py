@@ -15,7 +15,9 @@ empty index.
 The loop also OBSERVES itself (monitor_table=): each corpus-growing
 batch logs tallies + its delta's content fingerprint + the
 delta-vs-corpus drift cosine; XOR of monitor fingerprints reproduces
-the corpus fingerprint at all times, and the replay logs nothing.
+the corpus fingerprint (in crash-free operation — the monitor is
+at-most-once where the corpus is exactly-once), and the replay logs
+nothing.
 
 Run: python examples/continuous_ingest.py [sf_dir] [workdir]
 """

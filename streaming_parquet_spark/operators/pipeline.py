@@ -990,8 +990,6 @@ def verify_shards(
     dominates long before data does."""
     from pyspark.errors import AnalysisException
 
-    from streaming_parquet_spark.functions.portable import hex_word_expr
-
     # the whole point is verifying files that may have JUST been
     # (re)written — drop any cached listing for the path first, or a
     # prior read of the same location serves stale file names
@@ -1034,25 +1032,24 @@ def verify_shards(
                 f"verify_shards: {path!r} has no shard= partition "
                 f"column — not a shard_manifest-planned output"
             )
-        # same digest (and NULL-text collapse) as corpus_fingerprint /
-        # shard_manifest — the three MUST agree for the comparison to
-        # mean anything
-        d = (
-            f"md5(concat(CAST({id_col} AS STRING), ':',"
-            f" coalesce({text_col}, '')))"
+        # the digest is profile.batch_manifest's, REUSED (not a fourth
+        # inline copy of the md5/bit_xor/NULL-collapse logic): the
+        # manifest and the readback must agree on the digest
+        # definition by construction, not by parallel maintenance
+        from streaming_parquet_spark.operators.profile import (
+            batch_manifest,
         )
-        zero = "CAST(0 AS BIGINT)"
-        observed = (
-            scanned.groupBy(F.col("shard").cast("int").alias("shard"))
-            .agg(
-                F.count(F.lit(1)).alias("n_docs_observed"),
-                F.expr(
-                    f"coalesce(bit_xor({hex_word_expr(d, 1)}), {zero})"
-                ).alias("fp_a_observed"),
-                F.expr(
-                    f"coalesce(bit_xor({hex_word_expr(d, 9)}), {zero})"
-                ).alias("fp_b_observed"),
-            )
+
+        observed = batch_manifest(
+            scanned.withColumn("shard", F.col("shard").cast("int")),
+            batch_col="shard",
+            id_col=id_col,
+            text_col=text_col,
+        ).select(
+            "shard",
+            F.col("n_docs").alias("n_docs_observed"),
+            F.col("fp_a").alias("fp_a_observed"),
+            F.col("fp_b").alias("fp_b_observed"),
         )
     z = F.lit(0).cast("bigint")
     ok = (

@@ -35,6 +35,14 @@ from streaming_parquet_spark.functions.portable import (
     py_word_splitter,
 )
 
+#: end-of-word marker (Sennrich 2016's convention).  KNOWN LIMITATION:
+#: a word whose CONTENT contains the literal marker string (markup-
+#: bearing web text can produce one) is ambiguous in the concatenated
+#: representation — ``tokens_to_text`` rewrites interior lookalikes to
+#: spaces, so such words do not round-trip (the piece arrays and token
+#: counts are still exact; only the decode-to-text leg is lossy).
+#: Scrub or escape the marker in a pre-filter (c4_clean_lines /
+#: normalize) when decode fidelity matters on such corpora.
 _EOW = "</w>"
 
 
@@ -168,9 +176,13 @@ def fit_bpe_merges(
         {r["w"]: r["c"] for r in freq_rows}, int(n_merges)
     )
     spark = corpus.sparkSession
+    # the fit CARRIES its word-split rule (a constant column): applies
+    # and artifact writers derive the rule from the frame instead of
+    # trusting a caller to re-state it — re-stating is exactly where a
+    # CJK fit silently regressed to the ascii default (r9 review)
     return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "rank bigint, left string, right string",
+        [(i, a, b, word_split) for i, (a, b) in enumerate(merges)],
+        "rank bigint, left string, right string, word_split string",
     )
 
 
@@ -180,7 +192,7 @@ def apply_bpe(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     ids: DataFrame | None = None,
-    word_split: str = "ascii-space-v1",
+    word_split: str | None = None,
 ) -> DataFrame:
     """Tokenize ``text_col`` under a fitted merge table: adds
     ``out_col`` (array<string> of subword units, each word terminated
@@ -191,21 +203,18 @@ def apply_bpe(
 
     Plan: the merge table collects to a rank dict (vocab-sized) and
     ships in the UDF closure; the pass is one Arrow-batched pandas
-    UDF over the scan — no shuffle, no join.  ``word_split`` MUST be
-    the rule the merges were fitted under (``apply_bpe_table`` threads
-    the pinned value automatically; the default ``ascii-space-v1``
-    mis-segments CJK — see ``ordered_words_expr``); splitting via
-    ``py_word_splitter`` keeps ``n_bpe_tokens`` composing with the
-    token-budget operators downstream.  Per-batch distinct-word
-    caching makes throughput scale with distinct words per batch, not
-    total words."""
+    UDF over the scan — no shuffle, no join.  The word-split rule is
+    DERIVED from the merge frame itself (the fits carry it as a
+    constant column), so a CJK fit cannot silently regress to the
+    ascii default; pass ``word_split`` only for hand-built frames
+    without the column — an explicit value conflicting with the
+    carried one raises.  Splitting via ``py_word_splitter`` keeps
+    ``n_bpe_tokens`` composing with the token-budget operators
+    downstream.  Per-batch distinct-word caching makes throughput
+    scale with distinct words per batch, not total words."""
     from pyspark.sql.functions import pandas_udf
 
-    if word_split not in WORD_SPLIT_RULES:
-        raise ValueError(
-            f"unknown word-split rule {word_split!r}; "
-            f"registered: {WORD_SPLIT_RULES}"
-        )
+    word_split = _frame_rule(merges, word_split)
     rank_list = [
         ((r["left"], r["right"]), r["rank"]) for r in merges.collect()
     ]
@@ -415,11 +424,12 @@ def fit_unigram_vocab(
     )
     spark = corpus.sparkSession
     word_freq = {r["w"]: r["c"] for r in freq_rows}
+    schema = "piece string, logp double, word_split string"
     if not word_freq:
         # empty / whitespace-only corpus: an empty vocab, cleanly —
         # the same contract as fit_bpe_merges' empty merge table
         # (apply_unigram refuses an empty vocab explicitly)
-        return spark.createDataFrame([], "piece string, logp double")
+        return spark.createDataFrame([], schema)
     logp = _unigram_train(
         word_freq,
         int(vocab_size),
@@ -427,9 +437,13 @@ def fit_unigram_vocab(
         int(em_iters),
         int(seed_size) if seed_size is not None else 8 * int(vocab_size),
     )
+    # rule carried on the artifact — see fit_bpe_merges
     return spark.createDataFrame(
-        sorted(logp.items(), key=lambda kv: (-kv[1], kv[0])),
-        "piece string, logp double",
+        sorted(
+            ((p, lp, word_split) for p, lp in logp.items()),
+            key=lambda t: (-t[1], t[0]),
+        ),
+        schema,
     )
 
 
@@ -440,7 +454,7 @@ def apply_unigram(
     out_col: str = "unigram_tokens",
     max_piece_len: int | None = None,
     ids: DataFrame | None = None,
-    word_split: str = "ascii-space-v1",
+    word_split: str | None = None,
 ) -> DataFrame:
     """Tokenize ``text_col`` under a fitted unigram vocab: adds
     ``out_col`` (array<string>; each word's LAST piece carries the
@@ -475,11 +489,7 @@ def apply_unigram(
         else max(len(p) for p in logp)
     )
 
-    if word_split not in WORD_SPLIT_RULES:
-        raise ValueError(
-            f"unknown word-split rule {word_split!r}; "
-            f"registered: {WORD_SPLIT_RULES}"
-        )
+    word_split = _frame_rule(vocab, word_split)
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def encode(texts):
@@ -540,12 +550,19 @@ UNK_ID = 1
 _ID_ASSIGN_RULE = "piece-asc-v1"
 
 
-def subword_vocab(encoded: DataFrame, tokens_col: str) -> DataFrame:
+def subword_vocab(
+    encoded: DataFrame,
+    tokens_col: str,
+    word_split: str = "ascii-space-v1",
+) -> DataFrame:
     """Freeze the integer vocabulary of an ENCODED corpus: (id int,
-    piece string) with ``<pad>``=0, ``<unk>``=1, then every distinct
-    piece observed in ``tokens_col`` in lexicographic order (the
-    ``piece-asc-v1`` rule — a pure function of the piece SET, so two
-    builds over the same encoded corpus are identical).
+    piece string, word_split) with ``<pad>``=0, ``<unk>``=1, then
+    every distinct piece observed in ``tokens_col`` in lexicographic
+    order (the ``piece-asc-v1`` rule — a pure function of the piece
+    SET, so two builds over the same encoded corpus are identical).
+    ``word_split`` is the rule the corpus was ENCODED under (carried
+    on the frame like the fit artifacts; :func:`write_subword_ids`
+    derives its pin from it).
 
     Built from the encoded output, not the fit artifact, because the
     output token inventory is larger than the fit vocabulary: BPE
@@ -574,11 +591,15 @@ def subword_vocab(encoded: DataFrame, tokens_col: str) -> DataFrame:
             f"subword_vocab: corpus emits pieces colliding with the "
             f"reserved specials: {sorted(clash)}"
         )
+    _check_rule(word_split)
     spark = encoded.sparkSession
-    rows = [(PAD_ID, PAD_PIECE), (UNK_ID, UNK_PIECE)] + [
-        (i + 2, p) for i, p in enumerate(pieces)
-    ]
-    return spark.createDataFrame(rows, "id int, piece string")
+    rows = [
+        (PAD_ID, PAD_PIECE, word_split),
+        (UNK_ID, UNK_PIECE, word_split),
+    ] + [(i + 2, p, word_split) for i, p in enumerate(pieces)]
+    return spark.createDataFrame(
+        rows, "id int, piece string, word_split string"
+    )
 
 
 def tokens_to_ids(
@@ -656,7 +677,16 @@ def tokens_to_text(
     contract (``concat(tokens) == concat(word + '</w>')``): pieces
     concatenate, end-of-word markers become spaces, the trailing space
     trims.  Pure JVM expressions — no UDF — so the decode leg of the
-    ids round trip costs one projection."""
+    ids round trip costs one projection.
+
+    LIMITATION (inherent to the marker scheme, see ``_EOW``): a word
+    whose content contains the literal ``</w>`` decodes with that
+    substring replaced by a space — the concatenated representation
+    cannot distinguish content markers from appended ones (token
+    boundaries don't disambiguate either: merges can end a piece at a
+    content marker).  Pinned by
+    ``test_tokens_to_text_marker_collision``; scrub the marker
+    upstream when decode fidelity matters."""
     return df.withColumn(
         out_col,
         F.expr(f"rtrim(replace(array_join({tokens_col}, ''), '{_EOW}', ' '))"),
@@ -694,21 +724,56 @@ def _check_rule(word_split: str) -> str:
     return word_split
 
 
+def _frame_rule(frame: DataFrame, explicit: str | None) -> str:
+    """The word-split rule an artifact frame CARRIES (the constant
+    ``word_split`` column the fits emit), reconciled with an explicit
+    caller value: the artifact wins, a conflicting explicit value
+    raises, and a frame without the column (hand-built) falls back to
+    the explicit value or the default.  This is what stops a CJK fit
+    from silently regressing to the ascii default when a caller
+    forgets to re-state the rule at apply/write time."""
+    carried = None
+    if "word_split" in frame.columns:
+        vals = [
+            r["word_split"]
+            for r in frame.select("word_split").distinct().collect()
+            if r["word_split"] is not None
+        ]
+        if len(vals) > 1:
+            raise ValueError(
+                f"artifact carries MIXED word-split rules {sorted(vals)} "
+                f"— refusing to guess"
+            )
+        carried = vals[0] if vals else None
+    if carried is None:
+        return _check_rule(
+            explicit if explicit is not None else _WORD_SPLIT_RULE
+        )
+    if explicit is not None and explicit != carried:
+        raise ValueError(
+            f"artifact was fitted under word-split rule {carried!r}; "
+            f"explicit {explicit!r} would silently mis-segment"
+        )
+    return _check_rule(carried)
+
+
 def write_bpe_merges(
-    merges: DataFrame, table: str, word_split: str = _WORD_SPLIT_RULE
+    merges: DataFrame, table: str, word_split: str | None = None
 ) -> None:
     """Persist a fitted BPE merge table with its contract pinned as
-    table properties: the word-split rule the FIT used (pass the same
-    value given to :func:`fit_bpe_merges`) and the end-of-word marker.
-    Overwrites ``table``."""
-    _check_rule(word_split)
+    table properties: the word-split rule — DERIVED from the frame's
+    carried ``word_split`` column (the fits emit it), never trusted
+    from a caller default, so a CJK fit written without re-stating
+    the rule pins the RIGHT rule; an explicit conflicting value
+    raises — and the end-of-word marker.  Overwrites ``table``."""
+    rule = _frame_rule(merges, word_split)
     spark = merges.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     merges.write.format("parquet").saveAsTable(table)
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'maw.subword.kind' = 'bpe',"
-        f"'maw.subword.word_split' = '{word_split}',"
+        f"'maw.subword.word_split' = '{rule}',"
         f"'maw.subword.eow' = '{_EOW}')"
     )
 
@@ -717,7 +782,7 @@ def write_unigram_vocab(
     vocab: DataFrame,
     table: str,
     max_piece_len: int | None = None,
-    word_split: str = _WORD_SPLIT_RULE,
+    word_split: str | None = None,
 ) -> None:
     """Persist a fitted unigram vocab.  ``max_piece_len`` is pinned:
     applying with a SMALLER value than the fit's silently drops every
@@ -743,20 +808,22 @@ def write_unigram_vocab(
             f"longest piece ({derived} chars) — applying with it would "
             f"silently drop longer pieces from Viterbi's reach"
         )
-    _check_rule(word_split)
+    # rule DERIVED from the frame's carried column, like every other
+    # pin on this table (see write_bpe_merges / the r8 lesson)
+    rule = _frame_rule(vocab, word_split)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     vocab.write.format("parquet").saveAsTable(table)
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'maw.subword.kind' = 'unigram',"
-        f"'maw.subword.word_split' = '{word_split}',"
+        f"'maw.subword.word_split' = '{rule}',"
         f"'maw.subword.eow' = '{_EOW}',"
         f"'maw.subword.max_piece_len' = '{int(max_piece_len)}')"
     )
 
 
 def write_subword_ids(
-    vocab_ids: DataFrame, table: str, word_split: str = _WORD_SPLIT_RULE
+    vocab_ids: DataFrame, table: str, word_split: str | None = None
 ) -> None:
     """Persist a frozen id table (:func:`subword_vocab`) with its
     contract pinned: word-split rule, end-of-word marker, pad/unk ids,
@@ -783,14 +850,16 @@ def write_subword_ids(
             f"{PAD_PIECE}={PAD_ID}, {UNK_PIECE}={UNK_ID}; got "
             f"{by_piece.get(PAD_PIECE)}, {by_piece.get(UNK_PIECE)}"
         )
-    _check_rule(word_split)
+    # rule DERIVED from the frame's carried column (subword_vocab
+    # emits it), never trusted from a caller default
+    rule = _frame_rule(vocab_ids, word_split)
     spark = vocab_ids.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     vocab_ids.write.format("parquet").saveAsTable(table)
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'maw.subword.kind' = 'ids',"
-        f"'maw.subword.word_split' = '{word_split}',"
+        f"'maw.subword.word_split' = '{rule}',"
         f"'maw.subword.eow' = '{_EOW}',"
         f"'maw.subword.pad_id' = '{PAD_ID}',"
         f"'maw.subword.unk_id' = '{UNK_ID}',"
@@ -851,11 +920,13 @@ def read_unigram_vocab(spark, table: str) -> tuple[DataFrame, int]:
     return spark.table(table), int(props["maw.subword.max_piece_len"])
 
 
-def _pinned_rule(spark, table: str, kind: str, kw: dict) -> str:
+def _pinned_rule(spark, table: str, kind: str, kw: dict) -> dict:
     """Resolve the word-split rule for a table-backed apply: the
     table's pinned value wins; an EXPLICIT caller value that disagrees
     raises (silently preferring either side would re-create the drift
-    the pinning exists to close)."""
+    the pinning exists to close).  Sets ``kw['word_split']`` in place
+    and returns the full props dict so callers read their other pins
+    (max_piece_len) without a second SHOW TBLPROPERTIES round trip."""
     props = _tokenizer_props(spark, table, kind)
     pinned = props["maw.subword.word_split"]
     explicit = kw.get("word_split")
@@ -864,7 +935,8 @@ def _pinned_rule(spark, table: str, kind: str, kw: dict) -> str:
             f"{table} was fitted under word-split rule {pinned!r}; "
             f"applying with {explicit!r} would silently mis-segment"
         )
-    return pinned
+    kw["word_split"] = pinned
+    return props
 
 
 def apply_bpe_table(df: DataFrame, table: str, **kw) -> DataFrame:
@@ -872,7 +944,7 @@ def apply_bpe_table(df: DataFrame, table: str, **kw) -> DataFrame:
     fit-time word-split rule threaded through (a conflicting explicit
     ``word_split`` raises)."""
     spark = df.sparkSession
-    kw["word_split"] = _pinned_rule(spark, table, "bpe", kw)
+    _pinned_rule(spark, table, "bpe", kw)
     return apply_bpe(df, spark.table(table), **kw)
 
 
@@ -881,6 +953,10 @@ def apply_unigram_table(df: DataFrame, table: str, **kw) -> DataFrame:
     fit-time ``max_piece_len`` AND word-split rule threaded through
     automatically (a conflicting explicit ``word_split`` raises)."""
     spark = df.sparkSession
-    kw["word_split"] = _pinned_rule(spark, table, "unigram", kw)
-    vocab, max_len = read_unigram_vocab(spark, table)
-    return apply_unigram(df, vocab, max_piece_len=max_len, **kw)
+    props = _pinned_rule(spark, table, "unigram", kw)
+    return apply_unigram(
+        df,
+        spark.table(table),
+        max_piece_len=int(props["maw.subword.max_piece_len"]),
+        **kw,
+    )

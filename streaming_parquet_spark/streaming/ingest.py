@@ -169,12 +169,18 @@ def _append_monitor_row(
     Replay idempotence is STRUCTURAL, not keyed: a replayed batch's
     delta is empty, so the caller never reaches this append — the
     monitor table is a log of deltas, and XOR of its fp columns
-    composes to the corpus fingerprint at every point in time by
-    construction.  ``ingest_batch`` is bookkeeping per checkpoint
-    generation (same caveat as the corpus partition column): a
-    fresh-checkpoint run over a grown source may log a second row
-    under a reused batch id — composition is unaffected (deltas are
-    disjoint by the id anti-join)."""
+    composes to the corpus fingerprint in CRASH-FREE operation (every
+    corpus row sits in exactly one logged delta).  The monitor is
+    at-most-once where the corpus is exactly-once: a crash in the
+    window between the corpus append and this append loses that one
+    monitor row — never a corpus row — after which the XOR check
+    honestly reports the gap (it cannot distinguish a lost row from
+    corruption; treat a composition failure as "audit the lineage",
+    not "the corpus is wrong").  ``ingest_batch`` is bookkeeping per
+    checkpoint generation (same caveat as the corpus partition
+    column): a fresh-checkpoint run over a grown source may log a
+    second row under a reused batch id — composition is unaffected
+    (deltas are disjoint by the id anti-join)."""
     n_in, n_filtered, n_kept, n_appended = tallies
     row = bspark.createDataFrame(
         [(
@@ -411,13 +417,15 @@ def dedup_ingest_stream(
     ``monitor_table``: when set, each batch that actually grows the
     corpus appends one observability row there — tallies, the DELTA's
     content fingerprint (XOR of monitor fps composes to the corpus
-    fingerprint at all times), and, under ``monitor_drift=True``, the
-    delta-vs-corpus unigram drift cosine (one extra corpus scan per
-    batch — the in-loop form of ``text.batch_drift``'s post-hoc
-    signal).  Replays log nothing (their deltas are empty); a crash in
-    the narrow window between the corpus append and the monitor append
-    loses that one observability row (never a corpus row) — the
-    monitor is at-most-once where the corpus is exactly-once.
+    fingerprint in crash-free operation), and, under
+    ``monitor_drift=True``, the delta-vs-corpus unigram drift cosine
+    (one extra corpus scan per batch — the in-loop form of
+    ``text.batch_drift``'s post-hoc signal).  Replays log nothing
+    (their deltas are empty); a crash in the narrow window between the
+    corpus append and the monitor append loses that one observability
+    row (never a corpus row) — the monitor is at-most-once where the
+    corpus is exactly-once, so a later composition-check failure means
+    "audit the lineage", not necessarily corruption.
 
     Re-running with the same checkpoint is a resume (new files only);
     re-running with a FRESH checkpoint replays every file but changes

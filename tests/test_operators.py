@@ -4199,6 +4199,30 @@ def test_tokenizer_artifact_tables(spark, docs):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_tokens_to_text_marker_collision(spark):
+    """The DOCUMENTED decode limitation, pinned: a word whose content
+    contains the literal '</w>' marker decodes with that substring
+    replaced by a space (piece arrays and counts stay exact; only the
+    decode-to-text leg is lossy on marker-bearing content)."""
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_bpe,
+        fit_bpe_merges,
+        tokens_to_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "foo</w>bar ok")], "doc_id bigint, text string"
+    )
+    merges = fit_bpe_merges(df, n_merges=4)
+    out = tokens_to_text(apply_bpe(df, merges), "bpe_tokens", "back")
+    r = out.first()
+    # the concatenated representation is exact (the contract holds)...
+    assert "".join(r["bpe_tokens"]) == "foo</w>bar</w>ok</w>"
+    # ...but the decode leg collapses the CONTENT marker to a space —
+    # the documented behavior, not an accident
+    assert r["back"] == "foo bar ok"
+
+
 def test_pack_token_windows(spark):
     """pack_token_windows materializes the concat-then-chunk stream
     exactly: flattened windows (minus padding) reproduce the
@@ -4287,12 +4311,15 @@ def test_tokenizer_cjk_word_split_rule(spark):
     vocab = fit_unigram_vocab(
         docs, vocab_size=64, max_words=1_000, word_split=rule
     )
+    # the fit CARRIES its rule
+    assert {r["word_split"] for r in vocab.collect()} == {rule}
     # per-character words: every piece is a single char (+ optional
     # </w>), never a whole line
     assert all(
         len(r["piece"]) == 1 for r in vocab.collect()
     ), [r["piece"] for r in vocab.collect()]
-    out = apply_unigram(docs.limit(4), vocab, word_split=rule)
+    # apply DERIVES the rule from the carried column — no re-statement
+    out = apply_unigram(docs.limit(4), vocab)
     for r in out.select("text", "unigram_tokens").collect():
         # one </w>-terminated unit per CHARACTER of the line
         assert sum(
@@ -4302,10 +4329,18 @@ def test_tokenizer_cjk_word_split_rule(spark):
     # as words — the degradation the rule exists to avoid
     v1 = fit_unigram_vocab(docs, vocab_size=64, max_words=1_000)
     assert max(len(r["piece"]) for r in v1.collect()) > 1
-    # artifact pinning round trip under the non-default rule
+    # an explicit CONFLICTING rule at apply raises instead of
+    # mis-segmenting
+    with pytest.raises(ValueError, match="word-split rule"):
+        apply_unigram(docs.limit(4), vocab, word_split="ascii-space-v1")
+    # artifact pinning round trip under the non-default rule: the
+    # writer DERIVES the pin from the carried column (the r9-review
+    # trap was a caller forgetting to re-state the rule here)
     tbl = "maw_tok_cjk"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    write_unigram_vocab(vocab, tbl, word_split=rule)
+    write_unigram_vocab(vocab, tbl)
+    with pytest.raises(ValueError, match="word-split rule"):
+        write_unigram_vocab(vocab, tbl, word_split="ascii-space-v1")
     try:
         direct = {
             (r["doc_id"], tuple(r["unigram_tokens"]))
