@@ -202,11 +202,15 @@ def pack_token_windows(
     X start in", this emits the bins' contents.
 
     Output: (*part_col, win, ``out_col`` array of exactly ``budget``
-    ids, n_tokens) — n_tokens the REAL (pre-pad) id count, equal to
-    ``budget`` everywhere except each partition's last window.
-    Deterministic: offsets are exact integer running sums over a total
-    order (``order_col`` unique per partition), window/slot assignment
-    is integer division, and the regroup sorts by slot — the same
+    ids, n_tokens, doc_starts) — n_tokens the REAL (pre-pad) id count,
+    equal to ``budget`` everywhere except each partition's last
+    window; doc_starts the sorted in-window slots where a DOCUMENT
+    BEGINS (the block-diagonal attention-mask boundaries — a window
+    continuing a document that started earlier has no 0 entry, which
+    is exactly what cross-document masking needs).  Deterministic:
+    offsets are exact integer running sums over a total order
+    (``order_col`` unique per partition), window/slot assignment is
+    integer division, and the regroup sorts by slot — the same
     windows from any partitioning.  Empty/null id arrays contribute
     nothing (their documents occupy zero stream positions).
 
@@ -238,6 +242,7 @@ def pack_token_windows(
         *keys,
         F.expr(f"CAST((__off + __pos) DIV {b} AS BIGINT)").alias("win"),
         F.expr(f"CAST((__off + __pos) % {b} AS BIGINT)").alias("__slot"),
+        (F.col("__pos") == 0).alias("__is_start"),
         "__id",
     )
     grouped = tok.groupBy(*keys, "win").agg(
@@ -246,6 +251,12 @@ def pack_token_windows(
             lambda s: s["__id"],
         ).alias("__ids"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        # collect_list skips nulls: only document-initial slots land
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("__is_start"), F.col("__slot"))
+            )
+        ).alias("doc_starts"),
     )
     pad = F.array_repeat(
         F.lit(pad_id).cast(elem_t), b - F.size("__ids")
@@ -255,6 +266,7 @@ def pack_token_windows(
         "win",
         F.concat(F.col("__ids"), pad).alias(out_col),
         "n_tokens",
+        "doc_starts",
     )
 
 

@@ -1123,14 +1123,16 @@ def _duck_pack_windows(budget: int = 64) -> str:
       FROM docs
     ),
     tok AS (
-      SELECT part, off + u.ord - 1 AS gpos, u.id
+      SELECT part, off + u.ord - 1 AS gpos, u.ord = 1 AS is_start, u.id
       FROM offs, LATERAL (SELECT unnest(ids) AS id,
                           generate_subscripts(ids, 1) AS ord) u
     ),
     g AS (
       SELECT part, CAST(gpos // {budget} AS BIGINT) AS win,
              list(id ORDER BY gpos % {budget}) AS ids,
-             CAST(COUNT(*) AS BIGINT) AS n_tokens
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             list(gpos % {budget} ORDER BY gpos % {budget})
+               FILTER (WHERE is_start) AS doc_starts
       FROM tok GROUP BY 1, 2
     )
     SELECT part AS source, win,
@@ -1143,7 +1145,11 @@ def _duck_pack_windows(budget: int = 64) -> str:
              ids || list_transform(range({budget} - len(ids)),
                                    x -> CAST(0 AS BIGINT)),
              '-') AS ids_csv,
-           n_tokens
+           n_tokens,
+           -- outer coalesce: DuckDB 1.0.0 renders an EMPTY list's
+           -- array_to_string as NULL, Spark's array_join as ''
+           coalesce(array_to_string(coalesce(doc_starts, []), '-'), '')
+             AS doc_starts_csv
     FROM g
     """
 
@@ -1173,8 +1179,8 @@ def pipeline_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "tok", budget=64, order_col="doc_id", part_col="source",
         pad_id=0,
     )
-    # render the window as one canonical string for the driver's
-    # value hash (proven on scalars, not list cells)
+    # render the window + its doc-boundary slots as canonical strings
+    # for the driver's value hash (proven on scalars, not list cells)
     return packed.select(
         "source",
         "win",
@@ -1182,6 +1188,9 @@ def pipeline_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(ids, x -> CAST(x AS STRING))"), "-"
         ).alias("ids_csv"),
         "n_tokens",
+        F.array_join(
+            F.expr("transform(doc_starts, x -> CAST(x AS STRING))"), "-"
+        ).alias("doc_starts_csv"),
     )
 
 

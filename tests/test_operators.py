@@ -4260,6 +4260,17 @@ def test_pack_token_windows(spark):
     assert got[("b", 0)] == ([10, 11, 12, 13], 4)
     assert len(got) == 4
     assert all(len(ids) == 4 for ids, _ in got.values())
+    # doc_starts: the block-diagonal mask boundaries — doc(a,1) starts
+    # at (0,slot0), doc(a,2) at (0,slot3); window (a,1) CONTINUES
+    # doc(a,2) (no 0 entry); doc(a,4) starts window 2 at slot 0
+    starts = {
+        (r["part"], r["win"]): list(r["doc_starts"])
+        for r in out.collect()
+    }
+    assert starts[("a", 0)] == [0, 3]
+    assert starts[("a", 1)] == []
+    assert starts[("a", 2)] == [0]
+    assert starts[("b", 0)] == [0]
     # composition: each doc's start bin from pack_sequences is the
     # window its first id landed in
     sized = df.withColumn("n", F.size("tok"))
