@@ -335,8 +335,10 @@ def main() -> None:
                 " centroid count. dedup_semantic's REGISTERED gate"
                 " keeps k=8 fixed (the oracle's deterministic centroid"
                 " set), so its 10x ratio is intentionally super-linear"
-                " (~9-14x across runs, still under the bar) — the"
-                " k80 entry is the documented at-scale recipe (~4-6x)."
+                " BY CONSTRUCTION (~9-18x across observed runs — it is"
+                " the known exception to the ~15x bar, not a"
+                " regression signal) — the k80 entry is the documented"
+                " at-scale recipe (~4-7x)."
                 " The q1/q18/q21 entries run the"
                 " relational family against offset-keyed 10x"
                 " lineitem/orders with 1x dims (fact tables grow, every"
