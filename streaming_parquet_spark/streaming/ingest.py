@@ -377,6 +377,112 @@ def _run_ingest(
     return result
 
 
+def verify_monitor(
+    spark: SparkSession,
+    table: str,
+    monitor_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reconcile the monitor log against the corpus it observes: one
+    row per ``ingest_batch`` with the corpus partition's n_docs /
+    fingerprints (``profile.batch_manifest`` — exactly re-derivable
+    from the data) beside the monitor rows' summed ``rows_appended``
+    and XOR'd fps, plus ``ok``.  A batch with a lost monitor row (the
+    documented at-most-once crash window) shows nulls on the monitor
+    side; a batch whose values disagree shows exactly where.
+
+    Scale: one corpus scan (map-side-combined manifest) + the
+    monitor-sized aggregate — same cost as the batch audit itself."""
+    from streaming_parquet_spark.operators.profile import batch_manifest
+
+    man = batch_manifest(
+        spark.table(table), "ingest_batch", id_col, text_col
+    ).select(
+        "ingest_batch",
+        F.col("n_docs").alias("n_docs_corpus"),
+        F.col("fp_a").alias("fp_a_corpus"),
+        F.col("fp_b").alias("fp_b_corpus"),
+    )
+    mon = (
+        spark.table(monitor_table)
+        .groupBy("ingest_batch")
+        .agg(
+            F.sum("rows_appended").alias("rows_appended_monitor"),
+            F.expr("bit_xor(fp_a)").alias("fp_a_monitor"),
+            F.expr("bit_xor(fp_b)").alias("fp_b_monitor"),
+            F.count(F.lit(1)).cast("bigint").alias("n_monitor_rows"),
+        )
+    )
+    ok = (
+        F.col("n_docs_corpus").isNotNull()
+        & F.col("rows_appended_monitor").isNotNull()
+        & (F.col("n_docs_corpus") == F.col("rows_appended_monitor"))
+        & (F.col("fp_a_corpus") == F.col("fp_a_monitor"))
+        & (F.col("fp_b_corpus") == F.col("fp_b_monitor"))
+    )
+    return man.join(mon, "ingest_batch", "full_outer").select(
+        "ingest_batch",
+        "n_docs_corpus", "rows_appended_monitor",
+        "fp_a_corpus", "fp_a_monitor",
+        "fp_b_corpus", "fp_b_monitor",
+        F.coalesce("n_monitor_rows", F.lit(0).cast("bigint")).alias(
+            "n_monitor_rows"
+        ),
+        ok.alias("ok"),
+    )
+
+
+def backfill_monitor(
+    spark: SparkSession,
+    table: str,
+    monitor_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Repair the monitor log from the corpus itself: every
+    ``ingest_batch`` partition with NO monitor row (the at-most-once
+    crash window, or a log created after the corpus) gets one
+    re-derived row — fingerprints and ``rows_appended`` come exactly
+    from ``batch_manifest`` (the data carries them); the stream-time
+    observations that cannot be reconstructed (rows_in /
+    rows_filtered / rows_kept / drift_cosine) backfill as NULL,
+    distinguishing a repaired row from a live one.  Returns the number
+    of rows appended; idempotent (a second call appends 0).
+
+    Batches that HAVE monitor rows but fail :func:`verify_monitor`
+    are NOT touched — a disagreeing log entry is evidence to
+    investigate, not to overwrite."""
+    from streaming_parquet_spark.operators.profile import batch_manifest
+
+    man = batch_manifest(
+        spark.table(table), "ingest_batch", id_col, text_col
+    )
+    logged = spark.table(monitor_table).select("ingest_batch").distinct()
+    nb = F.lit(None).cast("bigint")
+    missing = man.join(logged, "ingest_batch", "left_anti").select(
+        "ingest_batch",
+        nb.alias("rows_in"),
+        nb.alias("rows_filtered"),
+        nb.alias("rows_kept"),
+        F.col("n_docs").alias("rows_appended"),
+        "n_chars_total",
+        "fp_a",
+        "fp_b",
+        F.lit(None).cast("double").alias("drift_cosine"),
+    )
+    # materialize BEFORE the write: the plan reads monitor_table (the
+    # anti-join side), and writing a table from its own lazy read is
+    # the self-read hazard; the row set is monitor-sized, not
+    # corpus-sized
+    rows = missing.collect()
+    if rows:
+        spark.createDataFrame(
+            rows, missing.schema
+        ).write.insertInto(monitor_table)
+    return len(rows)
+
+
 def dedup_ingest_stream(
     spark: SparkSession,
     source_dir: str,

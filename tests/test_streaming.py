@@ -1073,3 +1073,92 @@ def test_semantic_ingest_monitor_table(spark, tmp_path):
     for t in (table, f"{table}_ann_postings", f"{table}_ann_centroids",
               mon):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_monitor_verify_and_backfill(spark, tmp_path):
+    """The monitor log is REPAIRABLE from the corpus: verify_monitor
+    reconciles per batch (a deleted row shows as nulls/not-ok),
+    backfill_monitor re-derives the lost row's fingerprints exactly
+    (stream-time tallies and drift backfill as NULL, distinguishing a
+    repaired row), composition is restored, and a second backfill
+    appends nothing."""
+    import shutil
+    from functools import reduce
+
+    from streaming_parquet_spark.operators.dedup import write_lsh_index
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+    from streaming_parquet_spark.streaming.ingest import (
+        backfill_monitor,
+        dedup_ingest_stream,
+        verify_monitor,
+    )
+
+    table = "maw_ingest_backfill"
+    mon = f"{table}_monitor"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in (table, f"{table}_lsh_sets", f"{table}_lsh_bands", mon):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_lsh_index(
+        spark.createDataFrame([], "doc_id long, text string"),
+        f"{table}_lsh", num_hashes=16, bands=8,
+    )
+
+    def words(i, n=10):
+        vocab = ["alpha", "bravo", "carol", "delta", "echo", "fox",
+                 "golf", "hotel", "india", "jazz"]
+        return " ".join(
+            vocab[(i * 3 + j * (1 + i % 5)) % len(vocab)] + str((i + j) % 7)
+            for j in range(n)
+        )
+
+    src = str(tmp_path / "bf_src")
+    ckpt = str(tmp_path / "bf_ckpt")
+    spark.createDataFrame(
+        [(10, words(0)), (11, words(1))], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    dedup_ingest_stream(spark, src, table, ckpt, monitor_table=mon)
+    spark.createDataFrame(
+        [(20, words(5)), (21, words(6))], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    dedup_ingest_stream(spark, src, table, ckpt, monitor_table=mon)
+
+    rep = {r["ingest_batch"]: r for r in
+           verify_monitor(spark, table, mon).collect()}
+    assert len(rep) == 2 and all(r["ok"] for r in rep.values())
+
+    # simulate the crash-window loss: drop batch 1's monitor row
+    keep = [r for r in spark.table(mon).collect() if r["ingest_batch"] != 1]
+    kept_df = spark.createDataFrame(keep, spark.table(mon).schema)
+    spark.sql(f"DROP TABLE IF EXISTS {mon}")
+    shutil.rmtree(os.path.join(warehouse, mon), ignore_errors=True)
+    kept_df.write.format("parquet").saveAsTable(mon)
+
+    rep2 = {r["ingest_batch"]: r for r in
+            verify_monitor(spark, table, mon).collect()}
+    assert rep2[0]["ok"] and not rep2[1]["ok"]
+    assert rep2[1]["rows_appended_monitor"] is None
+    assert rep2[1]["n_monitor_rows"] == 0
+
+    # repair: fingerprints re-derived exactly, unknowables NULL
+    assert backfill_monitor(spark, table, mon) == 1
+    rep3 = {r["ingest_batch"]: r for r in
+            verify_monitor(spark, table, mon).collect()}
+    assert all(r["ok"] for r in rep3.values())
+    row1 = spark.table(mon).filter("ingest_batch = 1").first()
+    assert row1["rows_in"] is None and row1["drift_cosine"] is None
+    assert row1["rows_appended"] == 2
+    # composition restored
+    rows = spark.table(mon).collect()
+    fp = corpus_fingerprint(spark.table(table)).first()
+    assert fp["fp_a"] == reduce(
+        lambda a, b: a ^ b, (r["fp_a"] for r in rows), 0
+    )
+    # idempotent
+    assert backfill_monitor(spark, table, mon) == 0
+    for t in (table, f"{table}_lsh_sets", f"{table}_lsh_bands", mon):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
