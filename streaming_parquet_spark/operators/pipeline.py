@@ -270,6 +270,39 @@ def pack_token_windows(
     )
 
 
+def with_causal_labels(
+    df: DataFrame,
+    ids_col: str = "ids",
+    n_tokens_col: str = "n_tokens",
+    out_col: str = "labels",
+    ignore_index: int = -100,
+) -> DataFrame:
+    """Next-token training labels for :func:`pack_token_windows`
+    output: ``labels[i] = ids[i+1]`` while position ``i+1`` is still a
+    REAL token, ``ignore_index`` everywhere else — the last real token
+    of each window and every pad slot are masked (the standard
+    ``-100`` convention loss functions ignore).
+
+    Labels are WINDOW-LOCAL: the final real token's next-token target
+    lives in the NEXT window and is deliberately ignored here — the
+    standard, tiny training-signal cost of chunked packing (1/budget
+    of positions), not a defect; a pipeline that wants boundary
+    supervision should pack with an EOS id between documents upstream.
+
+    One JVM array transform per row — no UDF, no shuffle; composes
+    with ``doc_starts`` for block-diagonal attention masks."""
+    elem_t = df.schema[ids_col].dataType.elementType
+    ign = F.lit(int(ignore_index)).cast(elem_t)
+    labels = F.transform(
+        F.col(ids_col),
+        lambda x, i: F.when(
+            i + 1 < F.col(n_tokens_col),
+            F.element_at(F.col(ids_col), (i + 2).cast("int")),
+        ).otherwise(ign),
+    )
+    return df.withColumn(out_col, labels)
+
+
 #: Purpose salt for stratified sampling — distinct from the unseeded
 #: (seed=0) hash used by hash_sample/with_split so composing a stratum
 #: filter with a later split over the same id stays unbiased (see

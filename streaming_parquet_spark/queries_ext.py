@@ -1127,13 +1127,25 @@ def _duck_pack_windows(budget: int = 64) -> str:
       FROM offs, LATERAL (SELECT unnest(ids) AS id,
                           generate_subscripts(ids, 1) AS ord) u
     ),
+    tok2 AS (
+      -- next-token label, WINDOW-LOCAL (with_causal_labels semantics):
+      -- lead within the window; the window-final real token gets NULL
+      -- -> the -100 ignore value
+      SELECT part, gpos, is_start, id,
+             lead(id) OVER (PARTITION BY part,
+                            CAST(gpos // {budget} AS BIGINT)
+                            ORDER BY gpos) AS nxt
+      FROM tok
+    ),
     g AS (
       SELECT part, CAST(gpos // {budget} AS BIGINT) AS win,
              list(id ORDER BY gpos % {budget}) AS ids,
+             list(coalesce(nxt, -100) ORDER BY gpos % {budget})
+               AS labels,
              CAST(COUNT(*) AS BIGINT) AS n_tokens,
              list(gpos % {budget} ORDER BY gpos % {budget})
                FILTER (WHERE is_start) AS doc_starts
-      FROM tok GROUP BY 1, 2
+      FROM tok2 GROUP BY 1, 2
     )
     SELECT part AS source, win,
            -- the window rendered as one canonical string: the driver's
@@ -1145,6 +1157,10 @@ def _duck_pack_windows(budget: int = 64) -> str:
              ids || list_transform(range({budget} - len(ids)),
                                    x -> CAST(0 AS BIGINT)),
              '-') AS ids_csv,
+           array_to_string(
+             labels || list_transform(range({budget} - len(labels)),
+                                      x -> CAST(-100 AS BIGINT)),
+             '-') AS labels_csv,
            n_tokens,
            -- outer coalesce: DuckDB 1.0.0 renders an EMPTY list's
            -- array_to_string as NULL, Spark's array_join as ''
@@ -1175,18 +1191,28 @@ def pipeline_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         F.expr(word_hashes_expr("spark", words)).alias("tok"),
     )
-    packed = pack_token_windows(
-        d, "tok", budget=64, order_col="doc_id", part_col="source",
-        pad_id=0,
+    from streaming_parquet_spark.operators.pipeline import (
+        with_causal_labels,
     )
-    # render the window + its doc-boundary slots as canonical strings
-    # for the driver's value hash (proven on scalars, not list cells)
+
+    packed = with_causal_labels(
+        pack_token_windows(
+            d, "tok", budget=64, order_col="doc_id", part_col="source",
+            pad_id=0,
+        )
+    )
+    # render the window, its labels, and its doc-boundary slots as
+    # canonical strings for the driver's value hash (proven on
+    # scalars, not list cells)
     return packed.select(
         "source",
         "win",
         F.array_join(
             F.expr("transform(ids, x -> CAST(x AS STRING))"), "-"
         ).alias("ids_csv"),
+        F.array_join(
+            F.expr("transform(labels, x -> CAST(x AS STRING))"), "-"
+        ).alias("labels_csv"),
         "n_tokens",
         F.array_join(
             F.expr("transform(doc_starts, x -> CAST(x AS STRING))"), "-"

@@ -4199,6 +4199,32 @@ def test_tokenizer_artifact_tables(spark, docs):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_with_causal_labels(spark):
+    """Next-token labels over packed windows: shifted ids while the
+    next position is real, ignore_index on the window-final real token
+    and on every pad slot; plan stays UDF-free."""
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        with_causal_labels,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, [1, 2, 3]), ("a", 2, [4, 5])],
+        "part string, doc_id bigint, tok array<int>",
+    )
+    out = with_causal_labels(
+        pack_token_windows(df, "tok", budget=4, part_col="part", pad_id=0)
+    )
+    got = {r["win"]: (r["ids"], r["labels"]) for r in out.collect()}
+    # window 0: [1,2,3,4] all real -> labels [2,3,4,-100] (4's target
+    # lives in window 1 — window-local by design)
+    assert got[0] == ([1, 2, 3, 4], [2, 3, 4, -100])
+    # window 1: [5,0,0,0], one real token -> all masked
+    assert got[1] == ([5, 0, 0, 0], [-100, -100, -100, -100])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_tokens_to_text_marker_collision(spark):
     """The DOCUMENTED decode limitation, pinned: a word whose content
     contains the literal '</w>' marker decodes with that substring
