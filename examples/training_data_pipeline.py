@@ -12,6 +12,9 @@ operators into the corpus-preparation flow a pretraining run needs —
     -> stable example ids (distributed zipWithIndex)
     -> Z-ordered parquet write + small-file compaction
     -> profile the shipped table
+    -> TRAINABLE tensors: BPE ids under persisted tokenizer + id
+       artifacts, fixed-length packed windows with next-token labels
+       and document-boundary slots (block-diagonal attention masks)
 
 Everything except the final stats is a Catalyst plan — no collects on
 corpus-sized data; the same script scales from the sf0.001 fixture to
@@ -142,18 +145,38 @@ def main():
     ).select("doc_id")
     selected = deduped.join(off_target, "doc_id", "left_anti")
 
-    # 3b. REAL token counts: fit a BPE merge table on the selected
-    #     corpus (word-frequency table -> driver-side merge loop,
-    #     deterministic) and tokenize with the Arrow-batched apply —
+    # 3b. REAL token counts AND trainable integer ids: fit a BPE merge
+    #     table on the selected corpus (word-frequency table ->
+    #     driver-side merge loop, deterministic), freeze the id
+    #     vocabulary from the encoded corpus, persist BOTH as pinned
+    #     artifacts (any later job applies the identical tokenization
+    #     or fails fast), then tokenize straight to array<int> ids —
     #     n_bpe_tokens replaces the chars/4 estimate for everything
     #     downstream that budgets by tokens.
     from streaming_parquet_spark.operators.tokenize import (
         apply_bpe,
         fit_bpe_merges,
+        subword_vocab,
+        write_bpe_merges,
+        write_subword_ids,
     )
 
+    from streaming_parquet_spark.operators.tokenize import tokens_to_ids
+
     merges = fit_bpe_merges(selected, n_merges=256)
-    tokenized = apply_bpe(selected, merges).drop("bpe_tokens")
+    # encode ONCE and persist: the vocab freeze and the id mapping both
+    # consume it (re-encoding would run the Arrow pass twice), and the
+    # materialization also keeps the UDF out of the vocab's
+    # explode+distinct plan (Spark 4 cannot evaluate a pandas UDF that
+    # the optimizer collapses into that aggregate over this deep a
+    # lineage)
+    encoded = apply_bpe(selected, merges).persist()
+    vocab_ids = subword_vocab(encoded, "bpe_tokens")
+    write_bpe_merges(merges, "maw_example_bpe")
+    write_subword_ids(vocab_ids, "maw_example_ids")
+    tokenized = tokens_to_ids(encoded, vocab_ids, "bpe_tokens").drop(
+        "bpe_tokens"
+    )
 
     # 4. deterministic per-language sampling + split + stable ids
     sampled = stratified_sample(
@@ -175,7 +198,7 @@ def main():
     )
     final = assign_contiguous_ids(
         split.select("doc_id", "lang", "source", "n_chars",
-                     "n_bpe_tokens", "split", "text"),
+                     "n_bpe_tokens", "bpe_tokens_ids", "split", "text"),
         ["lang", "doc_id"],
         out_col="example_id",
     )
@@ -199,6 +222,33 @@ def main():
           f"in {res.files_after} file(s)")
     prof.show(truncate=False)
 
+    # 6b. the TRAINABLE tensors: re-cut each split's id stream into
+    #     fixed 256-id windows (tail zero-padded) with next-token
+    #     labels and the in-window document-boundary slots
+    #     block-diagonal attention masks need.  Packing per SPLIT here
+    #     (per training SHARD at 100 TB) keeps windows from ever
+    #     crossing the partition key.  Pure Catalyst — no UDF.
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        with_causal_labels,
+    )
+
+    windows = with_causal_labels(
+        pack_token_windows(
+            final, "bpe_tokens_ids", budget=256,
+            order_col="example_id", part_col="split", pad_id=0,
+        )
+    )
+    windows.write.partitionBy("split").mode("overwrite").parquet(
+        out + "_windows"
+    )
+    wstats = windows.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_tokens").alias("real_tokens"),
+        F.sum(F.size("doc_starts")).alias("doc_boundaries"),
+    )
+    wstats.show()
+
     # 7. every LATER ingest batch runs incrementally: persist the
     #    shipped corpus's LSH index once, then probe it per batch —
     #    the corpus is never re-shingled and never shuffles, so
@@ -217,7 +267,8 @@ def main():
     )
     print(f"incremental batch: {batch.count()} in, {fresh.count()} "
           f"genuinely new after probing the corpus index")
-    for t in ("maw_example_corpus_lsh_sets", "maw_example_corpus_lsh_bands"):
+    for t in ("maw_example_corpus_lsh_sets", "maw_example_corpus_lsh_bands",
+              "maw_example_bpe", "maw_example_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.stop()
 
