@@ -549,12 +549,35 @@ def _scale_smoke_scaled_ops(
             )
         return build
 
+    # r9: the window packer's token-level regroup at 10x — the one
+    # genuinely token-volume-bound shuffle in the training-shard path;
+    # expected ~linear (hash aggregate over budget-bounded groups,
+    # partitioned by source so groups stay shard-sized).
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+    )
+
+    def pack(src):
+        def build():
+            d = src.select(
+                "source", "doc_id",
+                F.expr(
+                    "transform(filter(split(trim(text), ' +'),"
+                    " w -> w != ''), w -> crc32(w))"
+                ).alias("tok"),
+            )
+            return pack_token_windows(
+                d, "tok", budget=512, part_col="source", pad_id=0
+            )
+        return build
+
     scaled = {
         "embed_near_pairs_scaled_planes6": near_pairs(emb, planes_for(n_scale)),
         "dedup_semantic_scaled_k80": semantic(emb, n_centroids_for(n_scale)),
         "dedup_exact_substring": substring(docs),
         "embed_ivf_trained_centroids": trained_ivf(emb, n_scale),
         "tokenize_bpe_apply": tokenize(docs),
+        "pack_token_windows": pack(docs),
     }
     base = {
         "embed_near_pairs_scaled_planes6": near_pairs(emb1, planes_for(n_base)),
@@ -562,6 +585,7 @@ def _scale_smoke_scaled_ops(
         "dedup_exact_substring": substring(docs1),
         "embed_ivf_trained_centroids": trained_ivf(emb1, n_base),
         "tokenize_bpe_apply": tokenize(docs1),
+        "pack_token_windows": pack(docs1),
     }
     return scaled, base
 
