@@ -574,7 +574,15 @@ def subword_vocab(
 
     Scale: one explode -> map-side-combined DISTINCT (vocab-sized
     output), then a model-sized driver collect — the same shuffle
-    shape and collect discipline as the fits."""
+    shape and collect discipline as the fits.
+
+    PERSIST the encoded frame first when its lineage is deep (filters
+    over higher-order lambdas, e.g. exact_substring_dedup output):
+    Spark 4's optimizer can collapse the tokenizer's pandas UDF into
+    this explode+distinct aggregate and then fail with INTERNAL_ERROR
+    "Cannot evaluate expression" — and you want one encode pass shared
+    with :func:`tokens_to_ids` anyway (the pattern in
+    examples/training_data_pipeline.py)."""
     pieces = sorted(
         r["piece"]
         for r in encoded.select(
