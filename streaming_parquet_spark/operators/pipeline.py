@@ -191,6 +191,7 @@ def pack_token_windows(
     part_col: str | None = None,
     pad_id: int = 0,
     out_col: str = "ids",
+    eos_id: int | None = None,
 ) -> DataFrame:
     """MATERIALIZE the fixed-length training windows
     :func:`pack_sequences` only assigns: documents' id arrays
@@ -214,6 +215,15 @@ def pack_token_windows(
     windows from any partitioning.  Empty/null id arrays contribute
     nothing (their documents occupy zero stream positions).
 
+    ``eos_id``: when given, every non-empty document contributes its
+    ids PLUS one trailing separator — the GPT packing recipe that
+    gives :func:`with_causal_labels` supervised document boundaries
+    (each last content token's label becomes the EOS, and an EOS not
+    at the window edge gets the next document's first id; only the
+    one window-final position stays masked, as always).  The
+    separator belongs to the PRECEDING document: ``doc_starts`` still
+    marks each document's first CONTENT token.
+
     Plan (pure Catalyst, no UDF): one doc-level window shuffle on
     ``part_col`` for the running offsets, then posexplode ->
     TOKEN-level hash aggregate on (part, win) with array_sort over
@@ -227,6 +237,21 @@ def pack_token_windows(
     keys = [part_col] if part_col else []
     elem_t = df.schema[ids_col].dataType.elementType
     b = int(budget)
+    src = df
+    if eos_id is not None:
+        # append the separator per NON-empty document before any
+        # offset math — it then flows through windowing/labels/starts
+        # as an ordinary (document-final) token
+        src = df.withColumn(
+            ids_col,
+            F.when(
+                F.size(ids_col) > 0,
+                F.concat(
+                    F.col(ids_col),
+                    F.array(F.lit(int(eos_id)).cast(elem_t)),
+                ),
+            ).otherwise(F.col(ids_col)),
+        )
     w = (
         W.partitionBy(*keys).orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -235,7 +260,7 @@ def pack_token_windows(
     # size() is -1 on NULL arrays under legacy behavior and coalesce
     # misses that; clamp so a null-ids doc occupies zero positions
     n = F.greatest(n, F.lit(0).cast("bigint"))
-    tok = df.withColumn("__off", F.sum(n).over(w) - n).select(
+    tok = src.withColumn("__off", F.sum(n).over(w) - n).select(
         *keys, "__off", F.posexplode(ids_col).alias("__pos", "__id")
     )
     tok = tok.select(

@@ -4225,6 +4225,47 @@ def test_with_causal_labels(spark):
     assert "EvalPython" not in plan
 
 
+def test_pack_token_windows_eos(spark):
+    """The eos_id separator (GPT packing recipe): every non-empty
+    document contributes a trailing EOS, boundaries inside a window
+    become supervised (content -> EOS -> next doc's first id), empty
+    docs contribute nothing, and doc_starts still marks CONTENT-first
+    tokens."""
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        with_causal_labels,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, [1, 2, 3]), ("a", 2, []), ("a", 3, [4, 5])],
+        "part string, doc_id bigint, tok array<int>",
+    )
+    out = with_causal_labels(
+        pack_token_windows(
+            df, "tok", budget=4, part_col="part", pad_id=0, eos_id=9
+        )
+    )
+    got = {
+        r["win"]: (r["ids"], r["labels"], list(r["doc_starts"]))
+        for r in out.collect()
+    }
+    # stream: 1,2,3,9 | 4,5,9 -> [1,2,3,9] + [4,5,9,pad]
+    # window 0: content 3's label is the EOS; the window-final EOS
+    # masks (its next, 4, lives in window 1)
+    assert got[0] == ([1, 2, 3, 9], [2, 3, 9, -100], [0])
+    assert got[1] == ([4, 5, 9, 0], [5, 9, -100, -100], [0])
+    # an in-window boundary IS supervised: budget 8 packs everything
+    whole = with_causal_labels(
+        pack_token_windows(
+            df, "tok", budget=8, part_col="part", pad_id=0, eos_id=9
+        )
+    ).first()
+    # ids [1,2,3,9,4,5,9,pad]: EOS at slot 3 labels 4 (the next doc)
+    assert whole["ids"] == [1, 2, 3, 9, 4, 5, 9, 0]
+    assert whole["labels"] == [2, 3, 9, 4, 5, 9, -100, -100]
+    assert list(whole["doc_starts"]) == [0, 4]
+
+
 def test_tokens_to_text_marker_collision(spark):
     """The DOCUMENTED decode limitation, pinned: a word whose content
     contains the literal '</w>' marker decodes with that substring
