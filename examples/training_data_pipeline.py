@@ -157,11 +157,10 @@ def main():
         apply_bpe,
         fit_bpe_merges,
         subword_vocab,
+        tokens_to_ids,
         write_bpe_merges,
         write_subword_ids,
     )
-
-    from streaming_parquet_spark.operators.tokenize import tokens_to_ids
 
     merges = fit_bpe_merges(selected, n_merges=256)
     # encode ONCE and persist: the vocab freeze and the id mapping both
@@ -233,9 +232,12 @@ def main():
         with_causal_labels,
     )
 
+    # pack from the parquet just shipped, not the in-memory lineage:
+    # `final` would re-run the Arrow id pass, the sampling joins, and
+    # the zipWithIndex job — rows already sitting compacted at `out`
     windows = with_causal_labels(
         pack_token_windows(
-            final, "bpe_tokens_ids", budget=256,
+            spark.read.parquet(out), "bpe_tokens_ids", budget=256,
             order_col="example_id", part_col="split", pad_id=0,
         )
     )

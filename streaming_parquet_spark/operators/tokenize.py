@@ -582,15 +582,28 @@ def subword_vocab(
     this explode+distinct aggregate and then fail with INTERNAL_ERROR
     "Cannot evaluate expression" — and you want one encode pass shared
     with :func:`tokens_to_ids` anyway (the pattern in
-    examples/training_data_pipeline.py)."""
-    pieces = sorted(
-        r["piece"]
-        for r in encoded.select(
-            F.explode(F.col(tokens_col)).alias("piece")
+    examples/training_data_pipeline.py).  A caller who doesn't is
+    still covered: on that specific internal error this function
+    retries once behind a ``localCheckpoint`` barrier of the projected
+    token column (a second, avoidable encode pass — the persist advice
+    stands)."""
+
+    def _distinct_pieces(frame):
+        return (
+            frame.select(F.explode(F.col(tokens_col)).alias("piece"))
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
+
+    try:
+        rows = _distinct_pieces(encoded)
+    except Exception as exc:  # narrow retry: the known Spark 4 collapse
+        if "Cannot evaluate expression" not in str(exc):
+            raise
+        rows = _distinct_pieces(
+            encoded.select(tokens_col).localCheckpoint(eager=True)
+        )
+    pieces = sorted(r["piece"] for r in rows)
     clash = {PAD_PIECE, UNK_PIECE}.intersection(pieces)
     if clash:
         # a corpus piece spelled exactly like a special would give two

@@ -188,9 +188,7 @@ def _append_monitor_row(
             int(n_appended), int(fp["n_chars_total"]),
             int(fp["fp_a"]), int(fp["fp_b"]), drift,
         )],
-        "ingest_batch bigint, rows_in bigint, rows_filtered bigint,"
-        " rows_kept bigint, rows_appended bigint, n_chars_total bigint,"
-        " fp_a bigint, fp_b bigint, drift_cosine double",
+        _MONITOR_SCHEMA,
     )
     if not bspark.catalog.tableExists(monitor_table):
         row.write.format("parquet").saveAsTable(monitor_table)
@@ -377,12 +375,50 @@ def _run_ingest(
     return result
 
 
+_MONITOR_SCHEMA = (
+    "ingest_batch bigint, rows_in bigint, rows_filtered bigint,"
+    " rows_kept bigint, rows_appended bigint, n_chars_total bigint,"
+    " fp_a bigint, fp_b bigint, drift_cosine double"
+)
+
+
+def _monitor_or_empty(spark: SparkSession, monitor_table: str) -> DataFrame:
+    """The monitor relation, or an empty frame of its schema when the
+    table does not exist yet — the log-created-after-the-corpus state
+    the repair tools advertise."""
+    if spark.catalog.tableExists(monitor_table):
+        return spark.table(monitor_table)
+    return spark.createDataFrame([], _MONITOR_SCHEMA)
+
+
+def _corpus_batch_manifest(
+    spark: SparkSession,
+    table: str,
+    id_col: str,
+    text_col: str,
+    fingerprint_expr: str | None,
+) -> DataFrame:
+    """batch_manifest over the corpus under the SAME content rendering
+    the monitor rows were logged with (``fingerprint_expr`` — the
+    semantic twin fingerprints ``CAST(vec AS STRING)``, not a text
+    column)."""
+    from streaming_parquet_spark.operators.profile import batch_manifest
+
+    df = spark.table(table)
+    col = text_col
+    if fingerprint_expr is not None:
+        df = df.withColumn("__fp_text", F.expr(fingerprint_expr))
+        col = "__fp_text"
+    return batch_manifest(df, "ingest_batch", id_col, col)
+
+
 def verify_monitor(
     spark: SparkSession,
     table: str,
     monitor_table: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint_expr: str | None = None,
 ) -> DataFrame:
     """Reconcile the monitor log against the corpus it observes: one
     row per ``ingest_batch`` with the corpus partition's n_docs /
@@ -392,12 +428,18 @@ def verify_monitor(
     documented at-most-once crash window) shows nulls on the monitor
     side; a batch whose values disagree shows exactly where.
 
+    ``fingerprint_expr``: the SQL expression the monitor rows'
+    fingerprints were taken over — defaults to ``text_col``; the
+    semantic (embedding) twin logs over the stringified vector, so
+    reconcile it with ``fingerprint_expr=f"CAST({{vec_col}} AS
+    STRING)"``.  A monitor table that does not exist yet reads as
+    empty (every batch not-ok with nulls — the log-created-after-
+    the-corpus state :func:`backfill_monitor` repairs).
+
     Scale: one corpus scan (map-side-combined manifest) + the
     monitor-sized aggregate — same cost as the batch audit itself."""
-    from streaming_parquet_spark.operators.profile import batch_manifest
-
-    man = batch_manifest(
-        spark.table(table), "ingest_batch", id_col, text_col
+    man = _corpus_batch_manifest(
+        spark, table, id_col, text_col, fingerprint_expr
     ).select(
         "ingest_batch",
         F.col("n_docs").alias("n_docs_corpus"),
@@ -405,7 +447,7 @@ def verify_monitor(
         F.col("fp_b").alias("fp_b_corpus"),
     )
     mon = (
-        spark.table(monitor_table)
+        _monitor_or_empty(spark, monitor_table)
         .groupBy("ingest_batch")
         .agg(
             F.sum("rows_appended").alias("rows_appended_monitor"),
@@ -439,6 +481,7 @@ def backfill_monitor(
     monitor_table: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint_expr: str | None = None,
 ) -> int:
     """Repair the monitor log from the corpus itself: every
     ``ingest_batch`` partition with NO monitor row (the at-most-once
@@ -452,13 +495,15 @@ def backfill_monitor(
 
     Batches that HAVE monitor rows but fail :func:`verify_monitor`
     are NOT touched — a disagreeing log entry is evidence to
-    investigate, not to overwrite."""
-    from streaming_parquet_spark.operators.profile import batch_manifest
-
-    man = batch_manifest(
-        spark.table(table), "ingest_batch", id_col, text_col
+    investigate, not to overwrite.  A monitor table that does not
+    exist yet is CREATED (the whole-history bootstrap); the semantic
+    twin needs ``fingerprint_expr`` — see :func:`verify_monitor`."""
+    man = _corpus_batch_manifest(
+        spark, table, id_col, text_col, fingerprint_expr
     )
-    logged = spark.table(monitor_table).select("ingest_batch").distinct()
+    logged = _monitor_or_empty(spark, monitor_table).select(
+        "ingest_batch"
+    ).distinct()
     nb = F.lit(None).cast("bigint")
     missing = man.join(logged, "ingest_batch", "left_anti").select(
         "ingest_batch",
@@ -477,9 +522,11 @@ def backfill_monitor(
     # corpus-sized
     rows = missing.collect()
     if rows:
-        spark.createDataFrame(
-            rows, missing.schema
-        ).write.insertInto(monitor_table)
+        frame = spark.createDataFrame(rows, missing.schema)
+        if not spark.catalog.tableExists(monitor_table):
+            frame.write.format("parquet").saveAsTable(monitor_table)
+        else:
+            frame.write.insertInto(monitor_table)
     return len(rows)
 
 

@@ -3584,6 +3584,40 @@ def test_subword_ids_roundtrip_unigram(docs):
         assert r["n_unigram_tokens"] == len(r["unigram_tokens_ids"])
 
 
+def test_subword_vocab_survives_deep_udf_lineage(spark, docs):
+    """The Spark 4 optimizer can collapse the tokenizer's pandas UDF
+    into subword_vocab's explode+distinct aggregate over a deep
+    higher-order-lambda lineage (exact_substring_dedup output) and
+    fail with INTERNAL_ERROR 'Cannot evaluate expression' — the
+    function's internal localCheckpoint retry must absorb it, and the
+    result must equal the persisted-upstream path."""
+    from streaming_parquet_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_bpe,
+        fit_bpe_merges,
+        subword_vocab,
+    )
+
+    scrubbed = exact_substring_dedup(
+        docs, window_tokens=20, id_col="doc_id", text_col="text"
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    deep = docs.drop("text").join(scrubbed, "doc_id")
+    merges = fit_bpe_merges(deep, n_merges=32, max_words=2_000)
+    # deep lineage, no persist — the guarded path
+    v1 = subword_vocab(apply_bpe(deep, merges), "bpe_tokens")
+    # persisted upstream — the recommended path
+    enc = apply_bpe(deep, merges).persist()
+    try:
+        v2 = subword_vocab(enc, "bpe_tokens")
+        assert sorted(
+            (r["id"], r["piece"]) for r in v1.collect()
+        ) == sorted((r["id"], r["piece"]) for r in v2.collect())
+    finally:
+        enc.unpersist()
+
+
 def test_subword_ids_artifact_table(spark, docs):
     """write/read_subword_ids pin the contract: round trip preserves
     the table and pad/unk ids; a non-ids artifact, a foreign

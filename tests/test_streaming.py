@@ -1070,8 +1070,37 @@ def test_semantic_ingest_monitor_table(spark, tmp_path):
     assert fp["fp_b"] == reduce(
         lambda a, b: a ^ b, (r["fp_b"] for r in rows), 0
     )
+    # the repair tools reconcile the semantic twin too, under the same
+    # stringified-vector rendering the rows were logged with
+    from streaming_parquet_spark.streaming.ingest import (
+        backfill_monitor,
+        verify_monitor,
+    )
+
+    rep = verify_monitor(
+        spark, table, mon, id_col="vec_id",
+        fingerprint_expr="CAST(embedding AS STRING)",
+    ).collect()
+    assert len(rep) == 1 and rep[0]["ok"]
+    assert backfill_monitor(
+        spark, table, mon, id_col="vec_id",
+        fingerprint_expr="CAST(embedding AS STRING)",
+    ) == 0
+    # bootstrap: a monitor table that does not exist yet is CREATED by
+    # the backfill (the whole-history repair)
+    boot = f"{mon}_boot"
+    spark.sql(f"DROP TABLE IF EXISTS {boot}")
+    assert backfill_monitor(
+        spark, table, boot, id_col="vec_id",
+        fingerprint_expr="CAST(embedding AS STRING)",
+    ) == 1
+    rep2 = verify_monitor(
+        spark, table, boot, id_col="vec_id",
+        fingerprint_expr="CAST(embedding AS STRING)",
+    ).collect()
+    assert len(rep2) == 1 and rep2[0]["ok"]
     for t in (table, f"{table}_ann_postings", f"{table}_ann_centroids",
-              mon):
+              mon, boot):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
