@@ -4300,6 +4300,96 @@ def test_pack_token_windows_eos(spark):
     assert list(whole["doc_starts"]) == [0, 4]
 
 
+def test_pack_token_windows_property(spark):
+    """Hypothesis: for ANY mix of documents (empty/null arrays,
+    duplicate contents, single parts or many) and any budget/eos
+    combination, pack_token_windows + with_causal_labels reproduce a
+    pure-Python reference: window contents, padding, n_tokens,
+    doc_starts, and labels."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        with_causal_labels,
+    )
+
+    docs_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.one_of(
+                st.none(),
+                st.lists(st.integers(1, 99), min_size=0, max_size=7),
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    def reference(rows, budget, eos, pad=0, ign=-100):
+        out = {}
+        for part in sorted({p for p, _ in rows}):
+            stream, starts = [], []
+            for i, (p, ids) in enumerate(rows):
+                if p != part or not ids:
+                    continue
+                starts.append(len(stream))
+                stream.extend(ids)
+                if eos is not None:
+                    stream.append(eos)
+            for w in range((len(stream) + budget - 1) // budget):
+                chunk = stream[w * budget:(w + 1) * budget]
+                n = len(chunk)
+                ids = chunk + [pad] * (budget - n)
+                labels = [
+                    ids[i + 1] if i + 1 < n else ign
+                    for i in range(budget)
+                ]
+                ds = sorted(
+                    s - w * budget for s in starts
+                    if w * budget <= s < (w + 1) * budget
+                )
+                out[(part, w)] = (ids, n, ds, labels)
+        return out
+
+    @given(
+        raw=docs_strategy,
+        budget=st.sampled_from([1, 3, 5]),
+        eos=st.sampled_from([None, 77]),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(raw, budget, eos):
+        rows = [(p, i, ids) for i, (p, ids) in enumerate(raw)]
+        df = spark.createDataFrame(
+            rows, "part string, doc_id long, tok array<int>"
+        )
+        got = {
+            (r["part"], r["win"]): (
+                r["ids"], r["n_tokens"], list(r["doc_starts"]),
+                r["labels"],
+            )
+            for r in with_causal_labels(
+                pack_token_windows(
+                    df, "tok", budget=budget, part_col="part",
+                    pad_id=0, eos_id=eos,
+                )
+            ).collect()
+        }
+        want = reference(
+            [(p, ids) for p, _, ids in rows], budget, eos
+        )
+        assert got == want, (raw, budget, eos)
+
+    check()
+
+
 def test_tokens_to_text_marker_collision(spark):
     """The DOCUMENTED decode limitation, pinned: a word whose content
     contains the literal '</w>' marker decodes with that substring
