@@ -61,6 +61,11 @@ _RESHAPED_IN = {
     "embed_ann_recall": 6,   # r6: merged in recall_pq (wide two-tier row)
     "dedup_clusters": 6,     # r6: merged in dedup_clusters_ls (algo col)
     "engine_profile_family": 8,  # r8: + content-fingerprint branch
+    # r9 family merges (registry stays at 100 so the 50-row budget
+    # keeps the 2-round refresh): drift/windows/report branches
+    "text_class_stats": 9,        # + batch_drift branch
+    "pipeline_pack_sequences": 9,  # + materialized-windows branch
+    "rel_skew_family": 9,          # + skew_report branch
 }
 
 

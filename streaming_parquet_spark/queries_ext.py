@@ -1065,9 +1065,7 @@ def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_pack_sequences",
-    f"""
+_DUCK_PACK_BINS = f"""
     WITH t AS (
       SELECT lang, doc_id, {_duck_est_tokens('text')} AS est_tokens
       FROM documents),
@@ -1081,10 +1079,11 @@ def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, bin, COUNT(*) AS n_docs,
            CAST(SUM(est_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY lang, bin
-    """,
-)
-def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-chunk context packing: per language, stream docs in
+    """
+
+
+def _pack_bins_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk bin ASSIGNMENT: per language, stream docs in
     id order and cut a 2048-token window whenever the running estimate
     crosses the budget (bin = the window each doc starts in), then
     summarize bins. The running-sum window is exact integer arithmetic
@@ -1170,8 +1169,7 @@ def _duck_pack_windows(budget: int = 64) -> str:
     """
 
 
-@query("pipeline_pack_windows", _duck_pack_windows())
-def pipeline_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pack_windows_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized training windows (operators.pipeline.
     pack_token_windows): per source, the word-hash id stream re-cut
     into 64-id windows, final window zero-padded — the trainable form
@@ -1218,6 +1216,54 @@ def pipeline_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(doc_starts, x -> CAST(x AS STRING))"), "-"
         ).alias("doc_starts_csv"),
     )
+
+
+def _duck_pack_family() -> str:
+    return f"""
+    SELECT 'bins' AS kind, lang AS key, bin AS seq,
+           CAST(n_docs AS BIGINT) AS n, bin_tokens AS m,
+           CAST(NULL AS VARCHAR) AS ids_csv,
+           CAST(NULL AS VARCHAR) AS labels_csv,
+           CAST(NULL AS VARCHAR) AS doc_starts_csv
+    FROM ({_DUCK_PACK_BINS})
+    UNION ALL
+    SELECT 'windows' AS kind, source, win, n_tokens,
+           CAST(NULL AS BIGINT), ids_csv, labels_csv, doc_starts_csv
+    FROM ({_duck_pack_windows()})
+    """
+
+
+@query("pipeline_pack_sequences", _duck_pack_family())
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing surface in one driver gate (r9 family merge —
+    the registry stays at 100 so the driver's 50-row budget keeps the
+    2-round refresh; operators/pipeline.py):
+
+    - kind='bins': concat-then-chunk bin ASSIGNMENT per language
+      (2048-token budget; bin = the window each doc starts in),
+      summarized per bin.
+    - kind='windows': the MATERIALIZED trainable payload — 64-id
+      windows over the word-hash id stream per source, tail
+      zero-padded, with next-token labels (-100 masking) and
+      document-boundary slots, rendered as canonical strings for the
+      driver's scalar value hash.
+
+    (key, seq, n) are non-null in both branches; m is the bins
+    branch's token sum, the csv payloads are the windows branch's."""
+    snull = F.lit(None).cast("string")
+    bins = _pack_bins_branch(spark, sf_dir).select(
+        F.lit("bins").alias("kind"), F.col("lang").alias("key"),
+        F.col("bin").alias("seq"), F.col("n_docs").alias("n"),
+        F.col("bin_tokens").alias("m"), snull.alias("ids_csv"),
+        snull.alias("labels_csv"), snull.alias("doc_starts_csv"),
+    )
+    wins = _pack_windows_branch(spark, sf_dir).select(
+        F.lit("windows").alias("kind"), F.col("source").alias("key"),
+        F.col("win").alias("seq"), F.col("n_tokens").alias("n"),
+        F.lit(None).cast("bigint").alias("m"),
+        "ids_csv", "labels_csv", "doc_starts_csv",
+    )
+    return bins.unionByName(wins)
 
 
 def _duck_semantic_dedup(threshold: float, n_centroids: int, dims: int) -> str:
@@ -3586,14 +3632,14 @@ def _duck_batch_drift_oracle(buckets: int = 4, seed: int = 17,
     """
 
 
-@query("text_batch_drift", _duck_batch_drift_oracle())
 def text_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch term-distribution drift vs the whole corpus — the
     continuous-ingest monitoring signal (operators.text.batch_drift),
-    gated here over a synthetic 4-way hash batching of the documents
-    table.  One corpus touch; vocab-sized join; DOUBLE quadratic
-    accumulators (the r9 overflow widening — exact and engine-portable
-    under 2^53)."""
+    gated over a synthetic 4-way hash batching of the documents
+    table (the kind='drift' branch of ``text_class_stats``).  One
+    corpus touch; vocab-sized join; DOUBLE quadratic accumulators
+    (the r9 overflow widening — exact and engine-portable under
+    2^53)."""
     from streaming_parquet_spark.functions.portable import (
         hash_bucket_expr as _hb,
     )
@@ -6183,6 +6229,13 @@ def _duck_text_class_stats() -> str:
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(n_terms AS DOUBLE), cosine
     FROM ({_DUCK_TEXT_DOMAIN_SIMILARITY})
+    UNION ALL
+    SELECT 'drift' AS kind, CAST(batch AS VARCHAR) AS cls_a,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(n_terms AS DOUBLE), cosine
+    FROM ({_duck_batch_drift_oracle()})
     """
 
 
@@ -6197,7 +6250,11 @@ def text_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       the r4/r5 HUGEINT lesson lives in the BIGINT-cast oracle).
     - kind='domain_sim': pairwise cosine between source-domain unigram
       frequency vectors (inverted-index join over the vocab-sized
-      aggregate, C(classes,2) output rows)."""
+      aggregate, C(classes,2) output rows).
+    - kind='drift' (merged r9, keeps the registry at 100): per-batch
+      unigram drift cosine vs the whole corpus over a synthetic 4-way
+      hash batching — the continuous-ingest monitoring signal, under
+      the r9 DOUBLE quadratic accumulators."""
     snull = F.lit(None).cast("string")
     dnull = F.lit(None).cast("double")
     chi2 = text_chi2_terms(spark, sf_dir).select(
@@ -6214,7 +6271,15 @@ def text_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dnull.alias("chi2"), dnull.alias("rank"),
         F.col("n_terms").cast("double").alias("n_terms"), "cosine",
     )
-    return chi2.unionByName(dom)
+    drift = text_batch_drift(spark, sf_dir).select(
+        F.lit("drift").alias("kind"),
+        F.col("batch").cast("string").alias("cls_a"),
+        snull.alias("cls_b"), snull.alias("term"),
+        dnull.alias("df_in"), dnull.alias("df_out"),
+        dnull.alias("chi2"), dnull.alias("rank"),
+        F.col("n_terms").cast("double").alias("n_terms"), "cosine",
+    )
+    return chi2.unionByName(dom).unionByName(drift)
 
 
 def _duck_text_doc_scores() -> str:

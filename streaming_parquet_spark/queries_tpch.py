@@ -2127,16 +2127,52 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_DUCK_REL_SKEW_REPORT = """
+    WITH keyed AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM keyed
+    ),
+    top AS (
+      SELECT keyed.*, tot.* FROM keyed, tot
+      ORDER BY cnt DESC, o_orderstatus LIMIT 20
+    )
+    SELECT o_orderstatus, cnt,
+           floor((cnt / n_rows * 100) * 1e2 + 5e-1) / 1e2 AS pct_rows,
+           floor((cnt / n_rows * n_keys) * 1e2 + 5e-1) / 1e2 AS skew_factor,
+           CAST(greatest(ceil(cnt / 1000.0), 1) AS INTEGER)
+             AS suggested_salt,
+           n_rows, n_keys
+    FROM top
+    """
+
+
 def _duck_rel_skew_family() -> str:
     return f"""
     SELECT 'salted' AS kind, n_name, CAST(NULL AS DOUBLE) AS band,
            n_cust AS n, total_bal, CAST(NULL AS DOUBLE) AS revenue,
-           CAST(NULL AS DOUBLE) AS rel_price
+           CAST(NULL AS DOUBLE) AS rel_price,
+           CAST(NULL AS DOUBLE) AS pct_rows,
+           CAST(NULL AS DOUBLE) AS skew_factor,
+           CAST(NULL AS DOUBLE) AS suggested_salt,
+           CAST(NULL AS DOUBLE) AS n_keys
     FROM ({_DUCK_REL_SALTED_JOIN_AGG})
     UNION ALL
     SELECT 'aqe' AS kind, CAST(NULL AS VARCHAR), CAST(band AS DOUBLE),
-           n, CAST(NULL AS DOUBLE), revenue, rel_price
+           n, CAST(NULL AS DOUBLE), revenue, rel_price,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM ({_DUCK_REL_SKEW_JOIN_AQE})
+    UNION ALL
+    SELECT 'report' AS kind, o_orderstatus, CAST(NULL AS DOUBLE),
+           cnt, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), pct_rows, skew_factor,
+           CAST(suggested_salt AS DOUBLE), CAST(n_keys AS DOUBLE)
+    FROM ({_DUCK_REL_SKEW_REPORT})
     """
 
 
@@ -2152,22 +2188,46 @@ def rel_skew_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       OptimizeSkewedJoin (the runtime plan splits the hot partition;
       plan-asserted with fixture-tuned thresholds in
       tests/test_plan_quality.py::test_skew_join_aqe_split).
+    - kind='report' (merged r9, enabled by skew_report's move to the
+      portable floor-round): the MEASURE half — operators.skew.
+      skew_report over the orders status key with an explicit
+      target_rows_per_task (the defaultParallelism default is
+      host-dependent, hence not oracle-able), exact counts/shares and
+      the salt factor salted_join would need.
 
-    ``n`` is the branch's row count (non-null both sides, stays
+    ``n`` is the branch's row count (non-null all branches, stays
     BIGINT); other measures decay to typed DOUBLE nulls."""
+    from streaming_parquet_spark.operators.skew import skew_report
+
     snull = F.lit(None).cast("string")
     dnull = F.lit(None).cast("double")
     salted = rel_salted_join_agg(spark, sf_dir).select(
         F.lit("salted").alias("kind"), "n_name", dnull.alias("band"),
         F.col("n_cust").alias("n"), "total_bal", dnull.alias("revenue"),
-        dnull.alias("rel_price"),
+        dnull.alias("rel_price"), dnull.alias("pct_rows"),
+        dnull.alias("skew_factor"), dnull.alias("suggested_salt"),
+        dnull.alias("n_keys"),
     )
     aqe = rel_skew_join_aqe(spark, sf_dir).select(
         F.lit("aqe").alias("kind"), snull.alias("n_name"),
         F.col("band").cast("double").alias("band"), "n",
         dnull.alias("total_bal"), "revenue", "rel_price",
+        dnull.alias("pct_rows"), dnull.alias("skew_factor"),
+        dnull.alias("suggested_salt"), dnull.alias("n_keys"),
     )
-    return salted.unionByName(aqe)
+    report = skew_report(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"],
+        top_n=20, target_rows_per_task=1000,
+    ).select(
+        F.lit("report").alias("kind"),
+        F.col("o_orderstatus").alias("n_name"), dnull.alias("band"),
+        F.col("cnt").alias("n"), dnull.alias("total_bal"),
+        dnull.alias("revenue"), dnull.alias("rel_price"),
+        "pct_rows", "skew_factor",
+        F.col("suggested_salt").cast("double").alias("suggested_salt"),
+        F.col("n_keys").cast("double").alias("n_keys"),
+    )
+    return salted.unionByName(aqe).unionByName(report)
 
 
 def _duck_rel_order_stats() -> str:

@@ -27,13 +27,14 @@ _BNLJ_OK = {
     "dedup_lsh_recall",    # 1-row x 1-row count crossJoin (n_true, n_hit)
     "embed_ann_recall",    # cosine_topk baseline + IVF centroid broadcast
     "text_vectors",        # 1-row corpus-count (N) broadcast (tfidf + sparse-cos branches)
-    "text_class_stats",    # 1-row corpus-count (N) broadcast (chi2 branch)
-    "text_batch_drift",    # 1-row corpus-norm (cq) broadcast
+    "text_class_stats",    # 1-row corpus-count (N) broadcast (chi2 +
+                           # drift corpus-norm branches)
     "text_df_assoc",       # 1-row corpus-count (N) broadcast (cooccurrence branch)
     "text_doc_scores",     # 1-row vocabulary-size (V) broadcast (LM branch)
     "embed_exact",         # broadcast query set (cosine top-k branch)
     "pipeline_order_family",  # 1-row domain-count broadcast (interleave branch)
     "pipeline_select",     # 1-row corpus/target token totals (dsir branch)
+    "rel_skew_family",     # 1-row totals broadcast (skew_report branch)
     "events_cohort",       # 1-row reference-epoch (max day) broadcast (rfm branch)
     "dedup_semantic",      # IVF centroid assignment (8-row broadcast)
     "q22_idle_customers",  # scalar AVG subquery, c_acctbal > avg (1 row)
