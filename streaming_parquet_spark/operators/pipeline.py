@@ -149,6 +149,43 @@ def leakage_safe_split(
     )
 
 
+def _unique_order_guard(keys: list, order_col: str, fn_name: str):
+    """Duplicate-order-key detector for the packers, at ZERO extra
+    shuffle: their determinism contract requires ``order_col`` unique
+    per partition (duplicate keys make the running-sum offsets
+    tie-order-dependent — silently different window contents across
+    runs of the same data).  Within the packing window's own sort
+    duplicates are ADJACENT, so one ``lag()`` over the SAME
+    partition/order spec (the existing Exchange + Sort are reused;
+    plan-asserted in tests) catches every duplicate and raises at run
+    time instead of emitting nondeterministic training windows.
+    Returns a bigint column that is 0 on every valid row — the
+    callers ADD it to their running sum so column pruning cannot
+    eliminate the check."""
+    w = W.partitionBy(*keys).orderBy(order_col)
+    dup = F.lag(order_col).over(w).eqNullSafe(F.col(order_col))
+    return (
+        F.when(
+            dup,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{fn_name}: duplicate order key "),
+                    F.coalesce(
+                        F.col(order_col).cast("string"), F.lit("NULL")
+                    ),
+                    F.lit(
+                        " within a partition — running-sum offsets "
+                        "would be tie-order-dependent; make order_col "
+                        "unique per part_col (assign_stable_ids does)"
+                    ),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
@@ -156,6 +193,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     part_col: str | None = None,
     out_col: str = "bin",
+    validate_order: bool = True,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: stream documents in
     ``order_col`` order (within ``part_col`` if given), accumulate
@@ -167,7 +205,12 @@ def pack_sequences(
     pretraining shard prep.
 
     Deterministic: token counts are integers, the running sum is exact,
-    and the order is total (order_col must be unique per partition).
+    and the order is total — ``order_col`` must be unique per
+    partition, which ``validate_order`` (default on) ENFORCES at run
+    time via an adjacent-duplicate check riding the packing window's
+    own sort (no extra shuffle — see :func:`_unique_order_guard`);
+    pass False only when uniqueness is already guaranteed upstream
+    and the extra window pass matters.
     Scale: one shuffle on part_col; the window is a running sum, which
     Spark evaluates streaming per partition — no buffering beyond the
     frame row."""
@@ -177,6 +220,10 @@ def pack_sequences(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     running = F.sum(token_col).over(w)
+    if validate_order:
+        running = running + _unique_order_guard(
+            keys, order_col, "pack_sequences"
+        )
     return df.withColumn(
         out_col,
         F.floor((running - F.col(token_col)) / F.lit(budget)).cast("long"),
@@ -192,6 +239,7 @@ def pack_token_windows(
     pad_id: int = 0,
     out_col: str = "ids",
     eos_id: int | None = None,
+    validate_order: bool = True,
 ) -> DataFrame:
     """MATERIALIZE the fixed-length training windows
     :func:`pack_sequences` only assigns: documents' id arrays
@@ -209,10 +257,13 @@ def pack_token_windows(
     BEGINS (the block-diagonal attention-mask boundaries — a window
     continuing a document that started earlier has no 0 entry, which
     is exactly what cross-document masking needs).  Deterministic:
-    offsets are exact integer running sums over a total order
-    (``order_col`` unique per partition), window/slot assignment is
-    integer division, and the regroup sorts by slot — the same
-    windows from any partitioning.  Empty/null id arrays contribute
+    offsets are exact integer running sums over a total order —
+    ``order_col`` unique per partition, ENFORCED at run time by
+    ``validate_order`` (default on; an adjacent-duplicate check on
+    the packing window's own sort, no extra shuffle — see
+    :func:`_unique_order_guard`) — window/slot assignment is integer
+    division, and the regroup sorts by slot: the same windows from
+    any partitioning.  Empty/null id arrays contribute
     nothing (their documents occupy zero stream positions).
 
     ``eos_id``: when given, every non-empty document contributes its
@@ -260,7 +311,12 @@ def pack_token_windows(
     # size() is -1 on NULL arrays under legacy behavior and coalesce
     # misses that; clamp so a null-ids doc occupies zero positions
     n = F.greatest(n, F.lit(0).cast("bigint"))
-    tok = src.withColumn("__off", F.sum(n).over(w) - n).select(
+    off = F.sum(n).over(w) - n
+    if validate_order:
+        off = off + _unique_order_guard(
+            keys, order_col, "pack_token_windows"
+        )
+    tok = src.withColumn("__off", off).select(
         *keys, "__off", F.posexplode(ids_col).alias("__pos", "__id")
     )
     tok = tok.select(

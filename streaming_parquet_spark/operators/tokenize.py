@@ -45,6 +45,18 @@ from streaming_parquet_spark.functions.portable import (
 #: normalize) when decode fidelity matters on such corpora.
 _EOW = "</w>"
 
+#: StructField metadata key carrying a frame's word-split rule.  The
+#: fits stamp it on their ``word_split`` column (so an EMPTY fit — a
+#: zero-merge BPE table is a legitimate char-level tokenizer — still
+#: pins its rule: rows can't carry what zero rows don't have), and the
+#: applies stamp it on the encoded TOKENS column (so downstream
+#: consumers like :func:`subword_vocab` derive the rule from the data
+#: instead of trusting a caller to re-state it).  Column metadata
+#: survives select/withColumn/persist/localCheckpoint and parquet
+#: round trips (Spark stores its schema, metadata included, in the
+#: footer), which is exactly the trip these frames make.
+_RULE_META = "word_split_rule"
+
 
 def _bpe_train(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
     """Classic BPE training over a word-frequency dict; deterministic
@@ -108,6 +120,48 @@ def _bpe_train(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]
     return merges
 
 
+def _by_value(fn):
+    """A copy of ``fn`` that cloudpickle serializes BY VALUE: the copy
+    gets a fresh globals dict with no ``__name__``, so it cannot be
+    resolved by module+qualname lookup and ships inside the pickle
+    instead of as an import reference.  UDF closures that capture such
+    copies (the tokenizer apply encoders) run on executors that do NOT
+    have this package on PYTHONPATH — unlike e.g. the multimodal
+    mapInPandas operators, which resolve by module name and need the
+    package shipped (``--py-files`` / the PYTHONPATH export in
+    ``__spark_entry__.py``).  Only valid for functions whose code
+    touches builtins exclusively (no module globals) — asserted."""
+    import builtins
+    import types
+
+    # co_names holds every global/attribute name the code references.
+    # Module-global CONSTANTS (the _EOW marker) copy into the fresh
+    # globals — immutable values pickle by value anyway.  Anything
+    # else resolving through module globals (another function, a
+    # class) would ship as an import reference and defeat the point —
+    # refuse now, at construction, not at executor runtime.
+    g: dict = {}
+    for n in fn.__code__.co_names:
+        if n not in fn.__globals__:
+            continue
+        val = fn.__globals__[n]
+        if getattr(builtins, n, None) is val:
+            continue
+        if isinstance(val, (str, bytes, int, float, bool, frozenset)) or val is None:
+            g[n] = val
+            continue
+        raise ValueError(
+            f"_by_value({fn.__qualname__}): code references module "
+            f"global {n!r} of type {type(val).__name__}; only "
+            f"builtins and immutable constants can ship by value"
+        )
+    out = types.FunctionType(
+        fn.__code__, g, fn.__name__, fn.__defaults__, fn.__closure__
+    )
+    out.__qualname__ = fn.__qualname__ + ".by_value"
+    return out
+
+
 def _bpe_encode_word(
     word: str, ranks: dict[tuple[str, str], int]
 ) -> list[str]:
@@ -124,6 +178,66 @@ def _bpe_encode_word(
             break
         seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
     return seq
+
+
+def _make_bpe_encoder(ranks: dict, word_split: str):
+    """Build the per-batch BPE encode function the apply UDF wraps:
+    ``texts -> [piece arrays]``, encodings cached per DISTINCT word
+    within the batch.  Every captured object pickles BY VALUE — the
+    splitter (py_word_splitter returns a nested closure), the
+    :func:`_by_value` copy of the merge loop, and the plain-dict rank
+    table — so the cloudpickled UDF carries no import reference to
+    this package and runs on executors without it on PYTHONPATH."""
+    split = py_word_splitter(word_split)
+    enc_word = _by_value(_bpe_encode_word)
+
+    def encode_batch(texts):
+        cache: dict = {}
+        out_all = []
+        for t in texts:
+            if t is None:
+                out_all.append([])
+                continue
+            out: list = []
+            for w in split(t):
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = enc_word(w, ranks)
+                out.extend(got)
+            out_all.append(out)
+        return out_all
+
+    return encode_batch
+
+
+def _make_unigram_encoder(
+    logp: dict, max_len: int, floor: float, eow: str, word_split: str
+):
+    """Unigram twin of :func:`_make_bpe_encoder` — Viterbi per
+    distinct word per batch, each word's last piece carrying the
+    end-of-word marker; same by-value self-containment contract."""
+    split = py_word_splitter(word_split)
+    segment = _by_value(_viterbi_segment)
+
+    def encode_batch(texts):
+        cache: dict = {}
+        out_all = []
+        for t in texts:
+            if t is None:
+                out_all.append([])
+                continue
+            out: list = []
+            for w in split(t):
+                got = cache.get(w)
+                if got is None:
+                    pieces = segment(w, logp, max_len, floor)
+                    pieces[-1] = pieces[-1] + eow
+                    got = cache[w] = pieces
+                out.extend(got)
+            out_all.append(out)
+        return out_all
+
+    return encode_batch
 
 
 def fit_bpe_merges(
@@ -176,14 +290,18 @@ def fit_bpe_merges(
         {r["w"]: r["c"] for r in freq_rows}, int(n_merges)
     )
     spark = corpus.sparkSession
-    # the fit CARRIES its word-split rule (a constant column): applies
-    # and artifact writers derive the rule from the frame instead of
-    # trusting a caller to re-state it — re-stating is exactly where a
-    # CJK fit silently regressed to the ascii default (r9 review)
+    # the fit CARRIES its word-split rule twice over: a constant column
+    # (human-greppable, survives any row-level handling) AND column
+    # metadata (survives EMPTY fits — a zero-merge table is a
+    # legitimate char-level tokenizer, and rows can't carry what zero
+    # rows don't have).  Applies and artifact writers derive the rule
+    # from the frame instead of trusting a caller to re-state it —
+    # re-stating is exactly where a CJK fit silently regressed to the
+    # ascii default (r9 review).
     return spark.createDataFrame(
         [(i, a, b, word_split) for i, (a, b) in enumerate(merges)],
         "rank bigint, left string, right string, word_split string",
-    )
+    ).withMetadata("word_split", {_RULE_META: word_split})
 
 
 def apply_bpe(
@@ -204,49 +322,35 @@ def apply_bpe(
     Plan: the merge table collects to a rank dict (vocab-sized) and
     ships in the UDF closure; the pass is one Arrow-batched pandas
     UDF over the scan — no shuffle, no join.  The word-split rule is
-    DERIVED from the merge frame itself (the fits carry it as a
-    constant column), so a CJK fit cannot silently regress to the
-    ascii default; pass ``word_split`` only for hand-built frames
-    without the column — an explicit value conflicting with the
-    carried one raises.  Splitting via ``py_word_splitter`` keeps
-    ``n_bpe_tokens`` composing with the token-budget operators
-    downstream.  Per-batch distinct-word caching makes throughput
-    scale with distinct words per batch, not total words."""
+    DERIVED from the merge frame itself (the fits carry it as column
+    metadata + a constant column), so a CJK fit cannot silently
+    regress to the ascii default; pass ``word_split`` only for
+    hand-built frames without either — an explicit value conflicting
+    with the carried one raises.  The resolved rule is stamped as
+    metadata on ``out_col``, so :func:`subword_vocab` derives it from
+    the encoded frame.  Splitting via ``py_word_splitter`` (the exact
+    Python twin of ``ordered_words_expr``) keeps ``n_bpe_tokens``
+    composing with the token-budget operators downstream.  Per-batch
+    distinct-word caching makes throughput scale with distinct words
+    per batch, not total words.  The UDF closure is fully
+    self-contained (see :func:`_by_value`): executors do not need
+    this package on PYTHONPATH for the tokenizer applies."""
     from pyspark.sql.functions import pandas_udf
 
     word_split = _frame_rule(merges, word_split)
-    rank_list = [
-        ((r["left"], r["right"]), r["rank"]) for r in merges.collect()
-    ]
-    ranks = dict(rank_list)
+    ranks = {
+        (r["left"], r["right"]): r["rank"] for r in merges.collect()
+    }
+    encode_batch = _make_bpe_encoder(ranks, word_split)
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def encode(texts):
         import pandas as pd
 
-        from streaming_parquet_spark.functions.portable import (
-            py_word_splitter as _splitter,
-        )
-
-        cache: dict[str, list[str]] = {}
-        # the EXACT split rule of ordered_words_expr, by construction
-        # (py_word_splitter is its Python twin)
-        split = _splitter(word_split)
-
-        def enc_text(t):
-            if t is None:
-                return []
-            out = []
-            for w in split(t):
-                got = cache.get(w)
-                if got is None:
-                    got = cache[w] = _bpe_encode_word(w, ranks)
-                out.extend(got)
-            return out
-
-        return pd.Series([enc_text(t) for t in texts])
+        return pd.Series(encode_batch(texts))
 
     out = df.withColumn(out_col, encode(F.col(text_col)))
+    out = out.withMetadata(out_col, {_RULE_META: word_split})
     out = out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
     if ids is not None:
         out = tokens_to_ids(out, ids, out_col)
@@ -428,8 +532,11 @@ def fit_unigram_vocab(
     if not word_freq:
         # empty / whitespace-only corpus: an empty vocab, cleanly —
         # the same contract as fit_bpe_merges' empty merge table
-        # (apply_unigram refuses an empty vocab explicitly)
-        return spark.createDataFrame([], schema)
+        # (apply_unigram refuses an empty vocab explicitly); the
+        # metadata stamp keeps even THIS frame's rule derivable
+        return spark.createDataFrame([], schema).withMetadata(
+            "word_split", {_RULE_META: word_split}
+        )
     logp = _unigram_train(
         word_freq,
         int(vocab_size),
@@ -437,14 +544,15 @@ def fit_unigram_vocab(
         int(em_iters),
         int(seed_size) if seed_size is not None else 8 * int(vocab_size),
     )
-    # rule carried on the artifact — see fit_bpe_merges
+    # rule carried on the artifact (rows + metadata) — see
+    # fit_bpe_merges
     return spark.createDataFrame(
         sorted(
             ((p, lp, word_split) for p, lp in logp.items()),
             key=lambda t: (-t[1], t[0]),
         ),
         schema,
-    )
+    ).withMetadata("word_split", {_RULE_META: word_split})
 
 
 def apply_unigram(
@@ -474,9 +582,11 @@ def apply_unigram(
     that ships in the Arrow-batched UDF closure (no shuffle, no join),
     Viterbi runs per DISTINCT word per batch (cached), and the word
     split is ``ordered_words_expr``'s exact rule so ``n_*`` composes
-    with the token-budget operators.  Characters never seen at fit
-    time segment as single-char pieces at a floor log-prob rather
-    than failing the batch."""
+    with the token-budget operators; the resolved rule is stamped as
+    metadata on ``out_col`` and the closure is self-contained
+    (:func:`_by_value` — no package needed on executor PYTHONPATH).
+    Characters never seen at fit time segment as single-char pieces
+    at a floor log-prob rather than failing the batch."""
     from pyspark.sql.functions import pandas_udf
 
     logp = {r["piece"]: r["logp"] for r in vocab.collect()}
@@ -490,37 +600,18 @@ def apply_unigram(
     )
 
     word_split = _frame_rule(vocab, word_split)
+    encode_batch = _make_unigram_encoder(
+        logp, max_len, floor, _EOW, word_split
+    )
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def encode(texts):
         import pandas as pd
 
-        from streaming_parquet_spark.functions.portable import (
-            py_word_splitter as _splitter,
-        )
-
-        cache: dict[str, list[str]] = {}
-        split = _splitter(word_split)  # ordered_words_expr's rule
-
-        def enc_word(w):
-            got = cache.get(w)
-            if got is None:
-                pieces = _viterbi_segment(w, logp, max_len, floor)
-                pieces[-1] = pieces[-1] + _EOW
-                got = cache[w] = pieces
-            return got
-
-        def enc_text(t):
-            if t is None:
-                return []
-            out = []
-            for w in split(t):
-                out.extend(enc_word(w))
-            return out
-
-        return pd.Series([enc_text(t) for t in texts])
+        return pd.Series(encode_batch(texts))
 
     out = df.withColumn(out_col, encode(F.col(text_col)))
+    out = out.withMetadata(out_col, {_RULE_META: word_split})
     out = out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
     if ids is not None:
         out = tokens_to_ids(out, ids, out_col)
@@ -553,16 +644,24 @@ _ID_ASSIGN_RULE = "piece-asc-v1"
 def subword_vocab(
     encoded: DataFrame,
     tokens_col: str,
-    word_split: str = "ascii-space-v1",
+    word_split: str | None = None,
 ) -> DataFrame:
     """Freeze the integer vocabulary of an ENCODED corpus: (id int,
     piece string, word_split) with ``<pad>``=0, ``<unk>``=1, then
     every distinct piece observed in ``tokens_col`` in lexicographic
     order (the ``piece-asc-v1`` rule — a pure function of the piece
     SET, so two builds over the same encoded corpus are identical).
-    ``word_split`` is the rule the corpus was ENCODED under (carried
-    on the frame like the fit artifacts; :func:`write_subword_ids`
-    derives its pin from it).
+
+    The word-split rule is DERIVED from ``tokens_col``'s column
+    metadata (``apply_bpe``/``apply_unigram`` stamp the rule they
+    encoded under), not defaulted: a CJK pipeline that built its id
+    artifact through this function used to pin ``ascii-space-v1``
+    unless the caller remembered to restate the rule — the exact
+    restate-drift failure the fit artifacts already refuse (r9
+    advice).  Pass ``word_split`` explicitly ONLY for hand-built
+    encoded frames without the stamp; an explicit value conflicting
+    with the stamp raises, and a frame with neither raises rather
+    than guess.
 
     Built from the encoded output, not the fit artifact, because the
     output token inventory is larger than the fit vocabulary: BPE
@@ -595,6 +694,22 @@ def subword_vocab(
             .collect()
         )
 
+    carried = _column_rule(encoded, tokens_col)
+    if word_split is None:
+        if carried is None:
+            raise ValueError(
+                f"subword_vocab: {tokens_col!r} carries no word-split "
+                f"stamp (apply_bpe/apply_unigram output does) and no "
+                f"explicit word_split= was given — refusing to pin a "
+                f"default rule on a persisted id artifact"
+            )
+        word_split = carried
+    elif carried is not None and carried != word_split:
+        raise ValueError(
+            f"subword_vocab: {tokens_col!r} was encoded under "
+            f"word-split rule {carried!r}; explicit {word_split!r} "
+            f"would pin the wrong rule on the id artifact"
+        )
     try:
         rows = _distinct_pieces(encoded)
     except Exception as exc:  # narrow retry: the known Spark 4 collapse
@@ -620,7 +735,7 @@ def subword_vocab(
     ] + [(i + 2, p, word_split) for i, p in enumerate(pieces)]
     return spark.createDataFrame(
         rows, "id int, piece string, word_split string"
-    )
+    ).withMetadata("word_split", {_RULE_META: word_split})
 
 
 def tokens_to_ids(
@@ -745,15 +860,29 @@ def _check_rule(word_split: str) -> str:
     return word_split
 
 
+def _column_rule(frame: DataFrame, col: str) -> str | None:
+    """The word-split rule stamped as metadata on ``col`` (the fits
+    stamp their ``word_split`` column, the applies their output tokens
+    column), or None for unstamped hand-built frames."""
+    if col not in frame.columns:
+        return None
+    meta = frame.schema[col].metadata or {}
+    return meta.get(_RULE_META)
+
+
 def _frame_rule(frame: DataFrame, explicit: str | None) -> str:
-    """The word-split rule an artifact frame CARRIES (the constant
-    ``word_split`` column the fits emit), reconciled with an explicit
-    caller value: the artifact wins, a conflicting explicit value
-    raises, and a frame without the column (hand-built) falls back to
-    the explicit value or the default.  This is what stops a CJK fit
-    from silently regressing to the ascii default when a caller
-    forgets to re-state the rule at apply/write time."""
-    carried = None
+    """The word-split rule an artifact frame CARRIES (column metadata
+    and/or the constant ``word_split`` column the fits emit),
+    reconciled with an explicit caller value: the artifact wins, a
+    conflicting explicit value raises, and a frame carrying neither
+    (hand-built) falls back to the explicit value or the default.
+    This is what stops a CJK fit from silently regressing to the
+    ascii default when a caller forgets to re-state the rule at
+    apply/write time.  Metadata is checked FIRST (free — no job) and
+    covers empty fits, whose zero rows carry nothing; a frame whose
+    metadata and rows disagree raises — someone rewrote one without
+    the other."""
+    carried = _column_rule(frame, "word_split")
     if "word_split" in frame.columns:
         vals = [
             r["word_split"]
@@ -765,7 +894,13 @@ def _frame_rule(frame: DataFrame, explicit: str | None) -> str:
                 f"artifact carries MIXED word-split rules {sorted(vals)} "
                 f"— refusing to guess"
             )
-        carried = vals[0] if vals else None
+        row_rule = vals[0] if vals else None
+        if carried is not None and row_rule is not None and carried != row_rule:
+            raise ValueError(
+                f"artifact metadata pins word-split rule {carried!r} but "
+                f"its rows carry {row_rule!r} — refusing to guess"
+            )
+        carried = carried if carried is not None else row_rule
     if carried is None:
         return _check_rule(
             explicit if explicit is not None else _WORD_SPLIT_RULE

@@ -5236,3 +5236,208 @@ def test_batch_drift(spark):
         for r in batch_drift(df.repartition(7)).collect()
     }
     assert again == {b: r["cosine"] for b, r in got.items()}
+
+
+def test_tokenizer_closures_ship_by_value(tmp_path):
+    """The apply UDF closures are SELF-CONTAINED: a cloudpickled
+    encoder loads and runs in a Python process that cannot import this
+    package (executors need no --py-files for the tokenizer applies —
+    unlike the multimodal mapInPandas operators, which resolve by
+    module name; r9 advice).  Both encoders, both word-split rules."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from pyspark import cloudpickle
+
+    from streaming_parquet_spark.operators.tokenize import (
+        _make_bpe_encoder,
+        _make_unigram_encoder,
+    )
+
+    bpe = _make_bpe_encoder({("l", "o"): 0}, "cjk-char-v1")
+    uni = _make_unigram_encoder(
+        {"lo": -1.0, "l": -2.0, "o": -2.0, "w": -2.5},
+        2, -20.0, "</w>", "ascii-space-v1",
+    )
+    payload = tmp_path / "encoders.pkl"
+    payload.write_bytes(cloudpickle.dumps((bpe, uni)))
+    script = tmp_path / "probe.py"
+    script.write_text(
+        textwrap.dedent(
+            f"""
+            import pickle
+            try:
+                import streaming_parquet_spark
+                raise SystemExit("package importable; probe is vacuous")
+            except ModuleNotFoundError:
+                pass
+            bpe, uni = pickle.load(open({str(payload)!r}, "rb"))
+            got = bpe(["low \\u4f4e\\u3044", None])
+            want = [["lo", "w", "</w>", "\\u4f4e", "</w>",
+                     "\\u3044", "</w>"], []]
+            assert got == want, got
+            assert uni(["low"]) == [["lo", "w</w>"]], uni(["low"])
+            import sys
+            assert not any(
+                m.startswith("streaming_parquet_spark")
+                for m in sys.modules
+            )
+            print("SELF_CONTAINED_OK")
+            """
+        ),
+        encoding="utf-8",
+    )
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "PYTHONSTARTUP")
+    }
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "SELF_CONTAINED_OK" in proc.stdout
+
+
+def test_by_value_refuses_module_global_functions():
+    """_by_value's construction-time guard: a function referencing a
+    module-level FUNCTION cannot ship by value (it would arrive as an
+    import reference) and must be refused loudly, not fail on an
+    executor at runtime.  Immutable constants pass."""
+    import pytest
+
+    import streaming_parquet_spark.operators.tokenize as tk
+
+    with pytest.raises(ValueError, match="only builtins and immutable"):
+        tk._by_value(tk.fit_bpe_merges)  # references F/T module objects
+    # the two encoders' helpers stay shippable — this is the invariant
+    # the self-containment test above depends on
+    assert tk._by_value(tk._bpe_encode_word)("hi", {}) == [
+        "h", "i", "</w>"
+    ]
+    assert tk._by_value(tk._viterbi_segment)(
+        "ab", {"ab": -1.0}, 2, -20.0
+    ) == ["ab"]
+
+
+def test_word_split_rule_travels_via_metadata(spark):
+    """The word-split rule is derivable from every frame in the
+    fit -> apply -> vocab chain WITHOUT the caller restating it (r9
+    advice: a restated default is where CJK pipelines silently pinned
+    the wrong rule): fits stamp column metadata (so an EMPTY fit — a
+    legitimate zero-merge char-level tokenizer — keeps its rule),
+    applies stamp the encoded tokens column, subword_vocab derives
+    from the stamp, and every conflict path raises."""
+    import pytest
+
+    from streaming_parquet_spark.operators.tokenize import (
+        _RULE_META,
+        _frame_rule,
+        apply_bpe,
+        fit_bpe_merges,
+        subword_vocab,
+        write_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "低い 低く")],
+        "doc_id bigint, text string",
+    )
+    # EMPTY fit (zero merges) keeps its CJK rule via metadata alone
+    empty = fit_bpe_merges(docs, n_merges=0, word_split="cjk-char-v1")
+    assert empty.count() == 0
+    assert _frame_rule(empty, None) == "cjk-char-v1"
+    tbl = "maw_test_empty_cjk_merges"
+    write_bpe_merges(empty, tbl)
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+        }
+        assert props["maw.subword.word_split"] == "cjk-char-v1"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # apply stamps the tokens column; subword_vocab derives the rule
+    enc = apply_bpe(docs, empty)
+    assert enc.schema["bpe_tokens"].metadata[_RULE_META] == "cjk-char-v1"
+    vocab = subword_vocab(enc, "bpe_tokens")
+    assert vocab.schema["word_split"].metadata[_RULE_META] == "cjk-char-v1"
+    assert {r["word_split"] for r in vocab.collect()} == {"cjk-char-v1"}
+    # conflicting explicit raises; stampless + ruleless raises
+    with pytest.raises(ValueError, match="would pin the wrong rule"):
+        subword_vocab(enc, "bpe_tokens", word_split="ascii-space-v1")
+    bare = enc.withMetadata("bpe_tokens", {})
+    with pytest.raises(ValueError, match="no word-split stamp"):
+        subword_vocab(bare, "bpe_tokens")
+    # hand-built frames still work when the rule is stated
+    assert subword_vocab(
+        bare, "bpe_tokens", word_split="cjk-char-v1"
+    ).count() == vocab.count()
+    # metadata/rows disagreement (someone rewrote one side) raises
+    nonempty = fit_bpe_merges(docs, n_merges=4, word_split="cjk-char-v1")
+    forged = nonempty.withMetadata(
+        "word_split", {_RULE_META: "ascii-space-v1"}
+    )
+    with pytest.raises(ValueError, match="rows carry"):
+        _frame_rule(forged, None)
+
+
+def test_packer_duplicate_order_key_raises(spark):
+    """The packers' determinism contract (order_col unique per
+    partition) is ENFORCED, not assumed: duplicate keys raise at run
+    time instead of silently emitting tie-order-dependent windows (r9
+    advice), the guard rides the packing window's own sort (no second
+    Exchange in the plan), and valid data is byte-identical with the
+    guard on or off."""
+    import pytest
+
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_sequences,
+        pack_token_windows,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "a", [1, 2, 3]), (2, "a", [4, 5]), (2, "a", [6])],
+        "doc_id bigint, shard string, toks array<int>",
+    )
+    with pytest.raises(Exception, match="duplicate order key 2"):
+        pack_token_windows(
+            dup, "toks", 4, order_col="doc_id", part_col="shard"
+        ).collect()
+    with pytest.raises(Exception, match="duplicate order key 2"):
+        pack_sequences(
+            dup.withColumn("n", F.size("toks")),
+            "n", 4, order_col="doc_id", part_col="shard",
+        ).collect()
+    good = spark.createDataFrame(
+        [(1, "a", [1, 2, 3]), (2, "a", [4, 5]), (3, "a", [6])],
+        "doc_id bigint, shard string, toks array<int>",
+    )
+    on = pack_token_windows(
+        good, "toks", 4, order_col="doc_id", part_col="shard"
+    )
+    off = pack_token_windows(
+        good, "toks", 4, order_col="doc_id", part_col="shard",
+        validate_order=False,
+    )
+    # CollapseWindow merges the lag check into the existing Window
+    # node: same Exchange count with the guard on, one Window node
+    # (plans read BEFORE collect — a post-AQE toString holds Final +
+    # Initial plans and double-counts every node)
+    plan_on = on._jdf.queryExecution().executedPlan().toString()
+    plan_off = off._jdf.queryExecution().executedPlan().toString()
+    assert plan_on.count("Exchange") == plan_off.count("Exchange")
+    assert plan_on.count("+- Window") == 1
+    assert sorted(
+        (r["shard"], r["win"], r["ids"], r["n_tokens"], r["doc_starts"])
+        for r in on.collect()
+    ) == sorted(
+        (r["shard"], r["win"], r["ids"], r["n_tokens"], r["doc_starts"])
+        for r in off.collect()
+    )
