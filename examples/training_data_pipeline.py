@@ -229,26 +229,43 @@ def main():
     #     crossing the partition key.  Pure Catalyst — no UDF.
     from streaming_parquet_spark.operators.pipeline import (
         pack_token_windows,
+        read_token_shards,
+        verify_token_shards,
         with_causal_labels,
+        write_token_shards,
     )
 
     # pack from the parquet just shipped, not the in-memory lineage:
     # `final` would re-run the Arrow id pass, the sampling joins, and
     # the zipWithIndex job — rows already sitting compacted at `out`
-    windows = with_causal_labels(
-        pack_token_windows(
-            spark.read.parquet(out), "bpe_tokens_ids", budget=256,
-            order_col="example_id", part_col="split", pad_id=0,
-        )
+    windows = pack_token_windows(
+        spark.read.parquet(out), "bpe_tokens_ids", budget=256,
+        order_col="example_id", part_col="split", pad_id=0,
     )
-    windows.write.partitionBy("split").mode("overwrite").parquet(
-        out + "_windows"
+    # 6c. SHIP the tensors as a verified shard set: the contract
+    #     (budget, pad id, and the id table's fingerprint) rides a
+    #     _manifest sidecar, so a training run holding the wrong
+    #     tokenizer artifact is refused at read time instead of
+    #     silently embedding scrambled ids — and every shard's content
+    #     fingerprint is re-checkable after any copy/move.
+    shutil.rmtree(out + "_windows", ignore_errors=True)
+    write_token_shards(
+        windows, out + "_windows", vocab_ids, budget=256,
+        shard_col="split", pad_id=0,
     )
-    wstats = windows.groupBy("split").agg(
+    shards, contract = read_token_shards(
+        spark, out + "_windows", vocab_ids=vocab_ids  # fp must match
+    )
+    ready = with_causal_labels(shards)  # labels at load time, free
+    checks = verify_token_shards(spark, out + "_windows")
+    wstats = ready.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum("n_tokens").alias("real_tokens"),
         F.sum(F.size("doc_starts")).alias("doc_boundaries"),
     )
+    print(f"shard set verified: {checks.filter('ok').count()}/"
+          f"{checks.count()} shards ok under contract "
+          f"budget={contract['budget']} vocab={contract['vocab_size']}")
     wstats.show()
 
     # 7. every LATER ingest batch runs incrementally: persist the

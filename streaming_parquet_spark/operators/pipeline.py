@@ -1088,6 +1088,8 @@ def verify_shards(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prepare=None,
+    shard_type: str = "int",
 ) -> DataFrame:
     """Check written shards against what a ``text_col``-bearing
     :func:`shard_manifest` PROMISED: ONE partition-discovering scan of
@@ -1113,7 +1115,15 @@ def verify_shards(
     Scale: one column-pruned, partition-discovered scan + a map-side-
     combined groupBy of manifest-sized output — 10k shards cost one
     job, not 10k sequential driver-launched jobs whose launch latency
-    dominates long before data does."""
+    dominates long before data does.
+
+    ``prepare``: optional frame -> frame hook applied to the scanned
+    shards before digesting — the token-shard verifier uses it to
+    derive its (key, payload) digest columns from array-typed window
+    rows, reusing this function's scan/join/ok machinery instead of
+    copying it.  ``shard_type``: the shard key's SQL type (int for
+    hash-planned doc shards; the token shards' part key is a string
+    column)."""
     from pyspark.errors import AnalysisException
 
     # the whole point is verifying files that may have JUST been
@@ -1125,13 +1135,13 @@ def verify_shards(
     except Exception:
         pass
     promised = manifest.select(
-        F.col("shard").cast("int").alias("shard"),
+        F.col("shard").cast(shard_type).alias("shard"),
         F.col("n_docs").alias("n_docs_promised"),
         F.col("fp_a").alias("fp_a_promised"),
         F.col("fp_b").alias("fp_b_promised"),
     )
     obs_schema = (
-        "shard int, n_docs_observed bigint,"
+        f"shard {shard_type}, n_docs_observed bigint,"
         " fp_a_observed bigint, fp_b_observed bigint"
     )
     try:
@@ -1149,6 +1159,8 @@ def verify_shards(
             raise
         observed = spark.createDataFrame([], obs_schema)
     else:
+        if prepare is not None:
+            scanned = prepare(scanned)
         if "shard" not in scanned.columns:
             # a populated path with no shard= partition layout is a
             # WRONG path (or an unpartitioned write), not a set of
@@ -1167,7 +1179,7 @@ def verify_shards(
         )
 
         observed = batch_manifest(
-            scanned.withColumn("shard", F.col("shard").cast("int")),
+            scanned.withColumn("shard", F.col("shard").cast(shard_type)),
             batch_col="shard",
             id_col=id_col,
             text_col=text_col,
@@ -1186,7 +1198,7 @@ def verify_shards(
         & (F.col("fp_b_promised") == F.col("fp_b_observed"))
     )
     return promised.join(observed, "shard", "full_outer").select(
-        F.col("shard").cast("int").alias("shard"),
+        F.col("shard").cast(shard_type).alias("shard"),
         F.coalesce("n_docs_promised", z).alias("n_docs_promised"),
         F.coalesce("n_docs_observed", z).alias("n_docs_observed"),
         F.coalesce("fp_a_promised", z).alias("fp_a_promised"),
@@ -1194,4 +1206,334 @@ def verify_shards(
         F.coalesce("fp_b_promised", z).alias("fp_b_promised"),
         F.coalesce("fp_b_observed", z).alias("fp_b_observed"),
         ok.alias("ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted training shards: the write/read/verify leg between
+# pack_token_windows' trainable tensors and an actual training run.
+# The same pinned-contract discipline as every other persisted artifact
+# here (tokenize.write_subword_ids, dedup.write_lsh_index): the
+# parameters that silently corrupt training if they drift — window
+# budget, pad/eos ids, and ABOVE ALL the vocabulary the ids were
+# encoded under — are stored with the data, and the reader fails fast
+# on a mismatch instead of feeding one tokenizer's ids to another
+# tokenizer's embedding matrix.
+#
+# Layout: path/<shard_col>=<value>/part-*.parquet (one partitioned
+# write, shards readable independently by training workers) plus
+# path/_manifest/ — an underscore-prefixed sidecar Spark's file
+# discovery ignores on the data read — holding one row per shard
+# (n_windows, n_tokens, fp_a/fp_b content digests) with the contract
+# pinned as constant columns.
+# ---------------------------------------------------------------------------
+
+#: contract format version pinned on the manifest sidecar; readers
+#: refuse anything else, so the digest/layout can evolve without
+#: silently misreading old shard sets.
+TOKEN_SHARD_FORMAT = "token-shards-v1"
+
+
+def _window_digest_frame(
+    frame: DataFrame,
+    shard_col: str,
+    win_col: str,
+    ids_col: str,
+    n_tokens_col: str,
+    starts_col: str,
+) -> DataFrame:
+    """Project window rows to the (shard, key, payload) digest space
+    shared by :func:`token_shard_manifest` (the promise) and
+    :func:`verify_token_shards`' prepare hook (the readback) — one
+    definition, so the two sides agree by construction.  The payload
+    folds EVERY trainable field (real-token count, the full id array,
+    the document-boundary slots) into the fingerprint; a flipped id
+    or a lost boundary slot changes it."""
+    return frame.select(
+        F.col(shard_col).cast("string").alias("shard"),
+        F.col(win_col).cast("string").alias("__win_key"),
+        F.concat_ws(
+            "|",
+            F.col(n_tokens_col).cast("string"),
+            F.array_join(F.col(ids_col).cast("array<string>"), ","),
+            F.array_join(F.col(starts_col).cast("array<string>"), ","),
+        ).alias("__win_payload"),
+        F.col(n_tokens_col).cast("bigint").alias("__win_n_tokens"),
+    )
+
+
+def token_shard_manifest(
+    windows: DataFrame,
+    shard_col: str = "shard",
+    win_col: str = "win",
+    ids_col: str = "ids",
+    n_tokens_col: str = "n_tokens",
+    starts_col: str = "doc_starts",
+) -> DataFrame:
+    """Per-shard manifest of a packed-window frame: one row per shard
+    with n_windows, n_tokens (real, pre-pad), and the same
+    order-insensitive fp_a/fp_b XOR digests as
+    ``profile.batch_manifest`` (REUSED, not re-implemented) over the
+    (win, n_tokens|ids|doc_starts) digest space.  One
+    map-side-combined pass, manifest-sized output — the promise
+    :func:`verify_token_shards` later checks the written files
+    against."""
+    from streaming_parquet_spark.operators.profile import batch_manifest
+
+    derived = _window_digest_frame(
+        windows, shard_col, win_col, ids_col, n_tokens_col, starts_col
+    )
+    m = batch_manifest(
+        derived,
+        batch_col="shard",
+        id_col="__win_key",
+        text_col="__win_payload",
+        extra_aggs=[
+            F.coalesce(
+                F.sum("__win_n_tokens"), F.lit(0).cast("bigint")
+            ).alias("n_tokens")
+        ],
+    )
+    return m.select(
+        "shard",
+        F.col("n_docs").alias("n_windows"),
+        "n_tokens",
+        "fp_a",
+        "fp_b",
+    )
+
+
+def write_token_shards(
+    windows: DataFrame,
+    path: str,
+    vocab_ids: DataFrame,
+    budget: int,
+    shard_col: str = "shard",
+    win_col: str = "win",
+    ids_col: str = "ids",
+    n_tokens_col: str = "n_tokens",
+    starts_col: str = "doc_starts",
+    pad_id: int = 0,
+    eos_id: int | None = None,
+    mode: str = "error",
+) -> DataFrame:
+    """Persist packed training windows as a verified shard set: one
+    partitioned parquet write under ``path`` (shards land in
+    ``<shard_col>=<value>/`` directories training workers read
+    independently) plus the ``_manifest`` sidecar pinning the
+    contract — window ``budget``, ``pad_id``/``eos_id``, the column
+    names, and the VOCABULARY FINGERPRINT (``profile.
+    corpus_fingerprint`` over the frozen id table) — so
+    :func:`read_token_shards` can refuse a shard set encoded under a
+    different tokenizer artifact, the failure mode that silently
+    scrambles every embedding lookup.
+
+    A window whose id array is not exactly ``budget`` long, or whose
+    real-token count exceeds it, RAISES from the write scan itself
+    (a ``raise_error`` guard riding the projection — no extra pass):
+    a half-packed frame must never become a shard set.
+
+    Returns the per-shard manifest (with contract columns) that was
+    written.  Scale: the manifest is one map-side-combined pass and
+    the write is one partitioned scan — two computations of the
+    windows lineage total; persist the windows first when their
+    lineage is expensive (tokenizer UDFs), same advice as
+    ``subword_vocab``.  ``mode``: "error" (default) refuses an
+    existing ``path``; "overwrite" replaces the whole shard set
+    atomically enough for reruns (both legs use the same mode)."""
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+
+    v = corpus_fingerprint(
+        vocab_ids, id_col="id", text_col="piece"
+    ).first()
+    b = int(budget)
+    elem_t = windows.schema[ids_col].dataType
+    bad = (
+        (F.size(ids_col) != b)
+        | (F.col(n_tokens_col) > b)
+        | (F.col(n_tokens_col) < 0)
+    )
+    guard = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"write_token_shards: window {win_col}="
+                ),
+                F.col(win_col).cast("string"),
+                F.lit(
+                    f" violates the budget={b} contract "
+                    f"(size(ids) must equal budget and "
+                    f"0 <= {n_tokens_col} <= budget)"
+                ),
+            )
+        ).cast(elem_t),
+    ).otherwise(F.col(ids_col))
+    manifest = token_shard_manifest(
+        windows, shard_col, win_col, ids_col, n_tokens_col, starts_col
+    ).select(
+        "*",
+        F.lit(TOKEN_SHARD_FORMAT).alias("format"),
+        F.lit(b).alias("budget"),
+        F.lit(int(pad_id)).alias("pad_id"),
+        F.lit(None if eos_id is None else int(eos_id))
+        .cast("int")
+        .alias("eos_id"),
+        F.lit(shard_col).alias("shard_col"),
+        F.lit(win_col).alias("win_col"),
+        F.lit(ids_col).alias("ids_col"),
+        F.lit(n_tokens_col).alias("n_tokens_col"),
+        F.lit(starts_col).alias("starts_col"),
+        F.lit(v["n_docs"]).alias("vocab_size"),
+        F.lit(v["fp_a"]).alias("vocab_fp_a"),
+        F.lit(v["fp_b"]).alias("vocab_fp_b"),
+    )
+    (
+        windows.withColumn(ids_col, guard)
+        .write.mode(mode)
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    # sidecar AFTER the data: a crash between the two leaves data with
+    # no manifest — loudly incomplete (read_token_shards raises) —
+    # never a manifest promising data that was not written
+    import os as _os
+
+    manifest.write.mode(mode).parquet(_os.path.join(path, "_manifest"))
+    return manifest
+
+
+_CONTRACT_COLS = (
+    "format budget pad_id eos_id shard_col win_col ids_col "
+    "n_tokens_col starts_col vocab_size vocab_fp_a vocab_fp_b"
+).split()
+
+
+def _read_shard_contract(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a shard set's manifest sidecar and its single pinned
+    contract; raises on an absent sidecar (incomplete or non-shard
+    path), a mixed contract (two writes interleaved), or a foreign
+    format version."""
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+
+    mpath = _os.path.join(path, "_manifest")
+    try:
+        manifest = spark.read.parquet(mpath)
+    except AnalysisException as exc:
+        marker = (exc.getErrorClass() or "") + " " + str(exc)
+        if "PATH_NOT_FOUND" in marker or "UNABLE_TO_INFER_SCHEMA" in marker:
+            raise ValueError(
+                f"read_token_shards: {path!r} has no _manifest sidecar "
+                f"— not a (completely) written token-shard set"
+            ) from exc
+        raise
+    rows = manifest.select(*_CONTRACT_COLS).distinct().collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"read_token_shards: {path!r} carries "
+            f"{len(rows)} distinct contracts — refusing to guess"
+        )
+    contract = rows[0].asDict()
+    if contract["format"] != TOKEN_SHARD_FORMAT:
+        raise ValueError(
+            f"read_token_shards: {path!r} is format "
+            f"{contract['format']!r}; this build reads "
+            f"{TOKEN_SHARD_FORMAT!r}"
+        )
+    return manifest, contract
+
+
+def read_token_shards(
+    spark, path: str, vocab_ids: DataFrame | None = None
+) -> tuple[DataFrame, dict]:
+    """Load a persisted token-shard set: returns (windows, contract).
+    Pass the id table the TRAINING RUN will embed with as
+    ``vocab_ids`` and the read refuses a shard set whose pinned
+    vocabulary fingerprint disagrees — ids are meaningless integers
+    without the exact vocabulary that assigned them, and nothing else
+    in the pipeline would catch the swap (every id is "valid"; the
+    model just trains on scrambled tokens).  The scan is the plain
+    partitioned parquet read (`shard` partition pruning works as
+    usual); validation costs one model-sized fingerprint pass."""
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+
+    _, contract = _read_shard_contract(spark, path)
+    if vocab_ids is not None:
+        v = corpus_fingerprint(
+            vocab_ids, id_col="id", text_col="piece"
+        ).first()
+        got = (v["n_docs"], v["fp_a"], v["fp_b"])
+        want = (
+            contract["vocab_size"],
+            contract["vocab_fp_a"],
+            contract["vocab_fp_b"],
+        )
+        if got != want:
+            raise ValueError(
+                f"read_token_shards: {path!r} was encoded under a "
+                f"DIFFERENT vocabulary (pinned size/fp {want}, "
+                f"supplied {got}) — training on these ids with this "
+                f"vocab would silently scramble every token"
+            )
+    return spark.read.parquet(path), contract
+
+
+def verify_token_shards(
+    spark, path: str, manifest: DataFrame | None = None
+) -> DataFrame:
+    """Check a written shard set against its manifest: one
+    partition-discovered scan re-digests every window (same
+    key/payload definition as the write — :func:`_window_digest_frame`
+    is shared) and full-outer joins against the promise, via
+    :func:`verify_shards`' machinery (absent shards report
+    n_windows_observed=0/ok=false; corrupt files RAISE; stray
+    unmanifested shards surface).  ``manifest`` defaults to the
+    ``_manifest`` sidecar; pass the frame
+    :func:`write_token_shards` returned to verify against the
+    in-memory promise instead."""
+    sidecar, contract = _read_shard_contract(spark, path)
+    if manifest is None:
+        manifest = sidecar
+
+    def prep(scanned: DataFrame) -> DataFrame:
+        return _window_digest_frame(
+            scanned,
+            contract["shard_col"],
+            contract["win_col"],
+            contract["ids_col"],
+            contract["n_tokens_col"],
+            contract["starts_col"],
+        )
+
+    out = verify_shards(
+        spark,
+        manifest.select(
+            F.col("shard").cast("string").alias("shard"),
+            F.col("n_windows").alias("n_docs"),
+            "fp_a",
+            "fp_b",
+        ),
+        path,
+        id_col="__win_key",
+        text_col="__win_payload",
+        prepare=prep,
+        shard_type="string",
+    )
+    # the _manifest sidecar is invisible to the data scan (underscore
+    # prefix), so it can never read back as a stray shard
+    return out.select(
+        "shard",
+        F.col("n_docs_promised").alias("n_windows_promised"),
+        F.col("n_docs_observed").alias("n_windows_observed"),
+        "fp_a_promised",
+        "fp_a_observed",
+        "fp_b_promised",
+        "fp_b_observed",
+        "ok",
     )

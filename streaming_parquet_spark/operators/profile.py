@@ -180,6 +180,7 @@ def batch_manifest(
     batch_col: str = "ingest_batch",
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_aggs: list | None = None,
 ) -> DataFrame:
     """Per-batch content manifest over a batch-partitioned corpus
     (the ``streaming.ingest`` corpus table layout): one row per
@@ -191,7 +192,12 @@ def batch_manifest(
     filtered audit prunes partitions at the scan.
 
     The whole-corpus fingerprint is recoverable from the manifest
-    (XOR the fp columns, sum the counts) — batches compose exactly."""
+    (XOR the fp columns, sum the counts) — batches compose exactly.
+
+    ``extra_aggs``: additional aggregate Columns folded into the SAME
+    groupBy (e.g. the token-shard manifest's ``sum(n_tokens)``) so a
+    caller needing one more measure doesn't pay a second full scan +
+    join over the data."""
     from streaming_parquet_spark.functions.portable import hex_word_expr
 
     d = (
@@ -211,4 +217,5 @@ def batch_manifest(
         F.expr(
             f"coalesce(bit_xor({hex_word_expr(d, 9)}), {zero})"
         ).alias("fp_b"),
+        *(extra_aggs or []),
     )

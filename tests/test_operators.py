@@ -5441,3 +5441,141 @@ def test_packer_duplicate_order_key_raises(spark):
         (r["shard"], r["win"], r["ids"], r["n_tokens"], r["doc_starts"])
         for r in off.collect()
     )
+
+
+def test_token_shards_roundtrip_and_contract(spark, tmp_path):
+    """The persisted training-shard artifact: write -> read -> verify
+    round trip, with the contract pinned the way every other artifact
+    pins its parameters — a reader supplying a DIFFERENT vocabulary is
+    refused (ids are meaningless without the vocab that assigned
+    them), a missing sidecar is loud, and the manifest promise
+    matches the readback digest per shard."""
+    import pytest
+
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        read_token_shards,
+        verify_token_shards,
+        write_token_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", [3, 4, 5, 6, 7]),
+            (2, "a", [8, 9]),
+            (3, "b", [4, 4, 4, 4, 4, 4, 4]),
+            (4, "b", [5]),
+        ],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    vocab = spark.createDataFrame(
+        [(0, "<pad>", "ascii-space-v1"), (1, "<unk>", "ascii-space-v1")]
+        + [(i, f"p{i}", "ascii-space-v1") for i in range(2, 10)],
+        "id int, piece string, word_split string",
+    )
+    win = pack_token_windows(
+        docs, "toks", 4, order_col="doc_id", part_col="src", eos_id=1
+    )
+    path = str(tmp_path / "shards")
+    man = write_token_shards(
+        win, path, vocab, budget=4, shard_col="src", eos_id=1
+    )
+    got, contract = read_token_shards(spark, path, vocab_ids=vocab)
+    assert contract["budget"] == 4 and contract["eos_id"] == 1
+    assert contract["vocab_size"] == vocab.count()
+    assert sorted(
+        (r["src"], r["win"], r["ids"], r["n_tokens"], r["doc_starts"])
+        for r in got.collect()
+    ) == sorted(
+        (r["src"], r["win"], r["ids"], r["n_tokens"], r["doc_starts"])
+        for r in win.collect()
+    )
+    # verify: every shard ok, against both the sidecar and the
+    # in-memory promise the writer returned
+    assert all(r["ok"] for r in verify_token_shards(spark, path).collect())
+    assert all(
+        r["ok"]
+        for r in verify_token_shards(spark, path, manifest=man).collect()
+    )
+    # a training run holding a DIFFERENT id table is refused
+    other = spark.createDataFrame(
+        [(0, "<pad>", "ascii-space-v1"), (1, "<unk>", "ascii-space-v1"),
+         (2, "zz", "ascii-space-v1")],
+        "id int, piece string, word_split string",
+    )
+    with pytest.raises(ValueError, match="DIFFERENT vocabulary"):
+        read_token_shards(spark, path, vocab_ids=other)
+    # vocab unsupplied: read succeeds (contract returned for caller
+    # to check later)
+    _, c2 = read_token_shards(spark, path)
+    assert c2 == contract
+    # no sidecar -> loud, not a silent empty read
+    with pytest.raises(ValueError, match="no _manifest sidecar"):
+        read_token_shards(spark, str(tmp_path / "nowhere"))
+
+
+def test_token_shards_tamper_detection(spark, tmp_path):
+    """Integrity semantics of the shard verifier: an absent shard
+    reports observed 0 / ok=false, a CONTENT change flips the
+    fingerprint (ok=false with matching counts), a corrupt data file
+    RAISES (corruption must never read as absence), and a budget-
+    violating window refuses to write at all."""
+    import shutil
+
+    import pytest
+
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        verify_token_shards,
+        write_token_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3), list(range(i % 5 + 1))) for i in range(1, 20)],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    vocab = spark.createDataFrame(
+        [(0, "<pad>", "ascii-space-v1"), (1, "<unk>", "ascii-space-v1")],
+        "id int, piece string, word_split string",
+    )
+    win = pack_token_windows(docs, "toks", 4, order_col="doc_id", part_col="src")
+    path = str(tmp_path / "shards")
+    write_token_shards(win, path, vocab, budget=4, shard_col="src")
+    base = {r["shard"]: r for r in verify_token_shards(spark, path).collect()}
+    assert all(r["ok"] for r in base.values())
+    # content tamper: rewrite one shard's windows with one id flipped
+    victim = "s1"
+    tampered = (
+        win.filter(F.col("src") == victim)
+        .withColumn("ids", F.transform("ids", lambda x: x + 1))
+    )
+    shutil.rmtree(f"{path}/src={victim}")
+    (
+        tampered.drop("src").write.mode("append")
+        .parquet(f"{path}/src={victim}")
+    )
+    spark.catalog.refreshByPath(path)
+    after = {r["shard"]: r for r in verify_token_shards(spark, path).collect()}
+    assert not after[victim]["ok"]
+    assert (
+        after[victim]["n_windows_observed"]
+        == base[victim]["n_windows_observed"]
+    )  # counts agree; the fingerprint is what catches it
+    assert all(r["ok"] for s, r in after.items() if s != victim)
+    # absence: remove a shard entirely
+    shutil.rmtree(f"{path}/src=s2")
+    spark.catalog.refreshByPath(path)
+    gone = {r["shard"]: r for r in verify_token_shards(spark, path).collect()}
+    assert not gone["s2"]["ok"] and gone["s2"]["n_windows_observed"] == 0
+    # corruption: a garbage file inside a shard dir must RAISE
+    with open(f"{path}/src=s0/garbage.parquet", "wb") as f:
+        f.write(b"not a parquet file at all")
+    spark.catalog.refreshByPath(path)
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Parquet|parquet"):
+        verify_token_shards(spark, path).collect()
+    # budget violation: refuses at the write scan
+    bad = win.withColumn("ids", F.slice("ids", 1, 2))
+    with pytest.raises(Exception, match="violates the budget"):
+        write_token_shards(
+            bad, str(tmp_path / "bad"), vocab, budget=4, shard_col="src"
+        )
