@@ -1537,3 +1537,82 @@ def verify_token_shards(
         "fp_b_observed",
         "ok",
     )
+
+
+#: Purpose salt for the FIM rate decision (salts +1/+2 pick the two
+#: cut points) — distinct from every other pipeline salt so composing
+#: FIM with sampling/splits/shard assignment over the same ids stays
+#: independent (see functions.portable.hash_bucket_expr on why).
+FIM_SEED = 23
+
+
+def fim_transform(
+    df: DataFrame,
+    ids_col: str,
+    pre_id: int,
+    mid_id: int,
+    suf_id: int,
+    id_col: str = "doc_id",
+    rate_pct: int = 90,
+    min_ids: int = 4,
+    out_col: str | None = None,
+    applied_col: str = "fim_applied",
+) -> DataFrame:
+    """Fill-in-the-middle transformation of tokenized documents
+    (Bavarian et al. 2022, "Efficient Training of Language Models to
+    Fill in the Middle" — the document-level PSM recipe): for a
+    deterministic ``rate_pct``% of documents, cut the id array at two
+    hash-chosen points into prefix P / middle M / suffix S and emit
+
+        [pre_id] P [suf_id] S [mid_id] M
+
+    so an autoregressive model learns to infill — the standard data
+    augmentation for code models.  The remaining documents (and any
+    shorter than ``min_ids``) pass through unchanged;
+    ``applied_col`` records which.  Apply BETWEEN tokenization and
+    :func:`pack_token_windows`, exactly where the paper puts it
+    (document-level FIM, then concat-and-chunk packing; the paper's
+    50/90% rates both work — default 90).
+
+    The three sentinels must be RESERVED ids that tokenization can
+    never emit — declare them via ``subword_vocab(extra_specials=
+    ("<fim_prefix>", "<fim_middle>", "<fim_suffix>"))`` and pass
+    those pinned ids; a sentinel colliding with a corpus id would
+    make the arrangement unparseable downstream.
+
+    Deterministic: the apply decision is the portable bucket hash of
+    ``id_col`` under :data:`FIM_SEED` and the two cut points are
+    independent full-width portable hashes mod (n+1) — pure functions
+    of the id, so the same document transforms identically across
+    runs, partitionings, and engines.  Plan: stateless per-row
+    projection (slice + concat), no shuffle, no UDF — the transform
+    is free at any scale."""
+    from streaming_parquet_spark.functions.portable import wide_hash_expr
+
+    out_col = out_col or ids_col
+    elem_t = df.schema[ids_col].dataType.elementType
+    n = F.size(ids_col)
+    rate = F.expr(
+        hash_bucket_expr("spark", id_col, 100, seed=FIM_SEED)
+    )
+    apply = (rate < int(rate_pct)) & (n >= int(min_ids))
+    nn = (n + F.lit(1)).cast("bigint")
+    a = F.expr(wide_hash_expr("spark", id_col, seed=FIM_SEED + 1)) % nn
+    b = F.expr(wide_hash_expr("spark", id_col, seed=FIM_SEED + 2)) % nn
+    lo = F.least(a, b).cast("int")
+    hi = F.greatest(a, b).cast("int")
+    sent = lambda i: F.array(F.lit(int(i)).cast(elem_t))  # noqa: E731
+    psm = F.concat(
+        sent(pre_id),
+        F.slice(F.col(ids_col), F.lit(1), lo),
+        sent(suf_id),
+        F.slice(F.col(ids_col), hi + 1, n - hi),
+        sent(mid_id),
+        F.slice(F.col(ids_col), lo + 1, hi - lo),
+    )
+    return df.withColumn(
+        applied_col, F.coalesce(apply, F.lit(False))
+    ).withColumn(
+        out_col,
+        F.when(F.col(applied_col), psm).otherwise(F.col(ids_col)),
+    )

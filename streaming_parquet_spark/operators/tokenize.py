@@ -645,12 +645,28 @@ def subword_vocab(
     encoded: DataFrame,
     tokens_col: str,
     word_split: str | None = None,
+    extra_specials: tuple[str, ...] = (),
 ) -> DataFrame:
     """Freeze the integer vocabulary of an ENCODED corpus: (id int,
-    piece string, word_split) with ``<pad>``=0, ``<unk>``=1, then
-    every distinct piece observed in ``tokens_col`` in lexicographic
-    order (the ``piece-asc-v1`` rule — a pure function of the piece
-    SET, so two builds over the same encoded corpus are identical).
+    piece string, word_split, is_special) with ``<pad>``=0,
+    ``<unk>``=1, then every distinct piece observed in ``tokens_col``
+    in lexicographic order (the ``piece-asc-v1`` rule — a pure
+    function of the (declared specials, piece set) pair, so two
+    builds over the same encoded corpus are identical).
+
+    ``extra_specials``: additional reserved sentinel pieces assigned
+    the ids 2..k+1 in the DECLARED order, ahead of every corpus piece
+    — the FIM transform's ``<fim_prefix>/<fim_middle>/<fim_suffix>``
+    sentinels, a ``<doc>`` separator, instruction-format role markers.
+    Declaring them at vocab-freeze time is what keeps their ids
+    stable: appending specials to an existing vocab would renumber
+    nothing, but RE-freezing with different specials renumbers every
+    corpus piece, which is why :func:`write_subword_ids` pins the
+    special block and the readback refuses drift.  Sentinels never
+    collide with tokenizer output (collision with a corpus piece
+    raises below), so ``tokens_to_ids`` can never emit them by
+    accident — they enter id streams only through explicit ops like
+    ``pack_token_windows(eos_id=...)`` or ``fim_transform``.
 
     The word-split rule is DERIVED from ``tokens_col``'s column
     metadata (``apply_bpe``/``apply_unigram`` stamp the rule they
@@ -710,6 +726,11 @@ def subword_vocab(
             f"word-split rule {carried!r}; explicit {word_split!r} "
             f"would pin the wrong rule on the id artifact"
         )
+    specials = [PAD_PIECE, UNK_PIECE] + list(extra_specials)
+    if len(set(specials)) != len(specials):
+        raise ValueError(
+            f"subword_vocab: duplicate special pieces in {specials}"
+        )
     try:
         rows = _distinct_pieces(encoded)
     except Exception as exc:  # narrow retry: the known Spark 4 collapse
@@ -719,7 +740,7 @@ def subword_vocab(
             encoded.select(tokens_col).localCheckpoint(eager=True)
         )
     pieces = sorted(r["piece"] for r in rows)
-    clash = {PAD_PIECE, UNK_PIECE}.intersection(pieces)
+    clash = set(specials).intersection(pieces)
     if clash:
         # a corpus piece spelled exactly like a special would give two
         # ids one string — decode becomes ambiguous; refuse loudly
@@ -730,11 +751,13 @@ def subword_vocab(
     _check_rule(word_split)
     spark = encoded.sparkSession
     rows = [
-        (PAD_ID, PAD_PIECE, word_split),
-        (UNK_ID, UNK_PIECE, word_split),
-    ] + [(i + 2, p, word_split) for i, p in enumerate(pieces)]
+        (i, s, word_split, True) for i, s in enumerate(specials)
+    ] + [
+        (i + len(specials), p, word_split, False)
+        for i, p in enumerate(pieces)
+    ]
     return spark.createDataFrame(
-        rows, "id int, piece string, word_split string"
+        rows, "id int, piece string, word_split string, is_special boolean"
     ).withMetadata("word_split", {_RULE_META: word_split})
 
 
@@ -983,13 +1006,16 @@ def write_subword_ids(
 ) -> None:
     """Persist a frozen id table (:func:`subword_vocab`) with its
     contract pinned: word-split rule, end-of-word marker, pad/unk ids,
-    and the id-assignment rule — the parameters that silently re-map a
-    corpus encoded under the old table if they drift.  The pinned
-    pad/unk ids are DERIVED from the table (the rows carrying the
-    special pieces), not trusted from callers, and the table is
-    validated dense (ids 0..N-1, unique pieces) before the write —
-    a ragged id space would corrupt every embedding matrix sized off
-    it.  Overwrites ``table``."""
+    the SPECIAL BLOCK (count + comma-joined pieces — extra sentinels
+    declared at freeze time renumber every corpus piece, so they are
+    part of the assignment contract), and the id-assignment rule —
+    the parameters that silently re-map a corpus encoded under the
+    old table if they drift.  The pinned pad/unk ids are DERIVED from
+    the table (the rows carrying the special pieces), not trusted
+    from callers, and the table is validated dense (ids 0..N-1,
+    unique pieces, specials contiguous at the head) before the write
+    — a ragged id space would corrupt every embedding matrix sized
+    off it.  Overwrites ``table``."""
     rows = vocab_ids.orderBy("id").collect()
     ids = [r["id"] for r in rows]
     pieces = [r["piece"] for r in rows]
@@ -1006,6 +1032,30 @@ def write_subword_ids(
             f"{PAD_PIECE}={PAD_ID}, {UNK_PIECE}={UNK_ID}; got "
             f"{by_piece.get(PAD_PIECE)}, {by_piece.get(UNK_PIECE)}"
         )
+    # the special block (pad/unk + any extra sentinels declared at
+    # vocab-freeze time) must be CONTIGUOUS at the head — ids after it
+    # are the lexicographic corpus assignment; a special buried among
+    # corpus pieces means the frame was hand-edited.  Frames without
+    # the is_special column (pre-sentinel builds) have exactly the two
+    # reserved specials.
+    if "is_special" in vocab_ids.columns:
+        flags = [r["is_special"] for r in rows]
+        n_specials = sum(1 for f in flags if f)
+        if flags[:n_specials] != [True] * n_specials:
+            raise ValueError(
+                "write_subword_ids: special pieces must occupy the "
+                "contiguous id block 0..n_specials-1"
+            )
+    else:
+        n_specials = 2
+    special_pieces = pieces[:n_specials]
+    if any("'" in s or "," in s for s in special_pieces):
+        raise ValueError(
+            f"write_subword_ids: special pieces {special_pieces} may "
+            f"not contain quotes or commas (they pin as a "
+            f"comma-joined table property)"
+        )
+    specials_prop = ",".join(special_pieces)
     # rule DERIVED from the frame's carried column (subword_vocab
     # emits it), never trusted from a caller default
     rule = _frame_rule(vocab_ids, word_split)
@@ -1019,6 +1069,8 @@ def write_subword_ids(
         f"'maw.subword.eow' = '{_EOW}',"
         f"'maw.subword.pad_id' = '{PAD_ID}',"
         f"'maw.subword.unk_id' = '{UNK_ID}',"
+        f"'maw.subword.n_specials' = '{n_specials}',"
+        f"'maw.subword.specials' = '{specials_prop}',"
         f"'maw.subword.id_assign' = '{_ID_ASSIGN_RULE}')"
     )
 

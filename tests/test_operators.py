@@ -5579,3 +5579,151 @@ def test_token_shards_tamper_detection(spark, tmp_path):
         write_token_shards(
             bad, str(tmp_path / "bad"), vocab, budget=4, shard_col="src"
         )
+
+
+def test_fim_transform_matches_reference(spark):
+    """fim_transform is bit-deterministic from the data alone: every
+    transformed doc equals the pure-Python PSM reference (same
+    portable hashes, same cut points), untransformed docs pass
+    through, rate extremes behave (0 -> none, 100 -> all long
+    enough), and the arrangement PARSES back to the original ids —
+    prefix+middle+suffix reassemble exactly."""
+    from streaming_parquet_spark.operators.pipeline import fim_transform
+
+    rows = [(i, list(range(10, 10 + (i % 9)))) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, ids array<int>")
+    out = fim_transform(df, "ids", pre_id=2, mid_id=3, suf_id=4,
+                        rate_pct=60, min_ids=4)
+    got = {r["doc_id"]: (r["ids"], r["fim_applied"]) for r in out.collect()}
+    orig = dict(rows)
+
+    m31 = 2**31 - 1
+
+    def bucket(i, buckets, seed):
+        return (((i % 1000003 + seed) % 1000003 * 2654435761) % m31) % buckets
+
+    def wh(i, seed):
+        parts = [
+            ((i % p + seed) % p * 2654435761) % m31
+            for p in (1000003, 999983)
+        ]
+        return parts[0] * 2147483648 + parts[1]
+
+    n_applied = 0
+    for i, ids in orig.items():
+        n = len(ids)
+        should = bucket(i, 100, 23) < 60 and n >= 4
+        gids, applied = got[i]
+        assert applied == should
+        if not should:
+            assert gids == ids
+            continue
+        n_applied += 1
+        a, b = wh(i, 24) % (n + 1), wh(i, 25) % (n + 1)
+        lo, hi = min(a, b), max(a, b)
+        assert gids == [2] + ids[:lo] + [4] + ids[hi:] + [3] + ids[lo:hi]
+        pre, suf, mid = gids.index(2), gids.index(4), gids.index(3)
+        assert (
+            gids[pre + 1:suf] + gids[mid + 1:] + gids[suf + 1:mid] == ids
+        )
+    assert 0 < n_applied < len(orig)  # the rate actually splits
+    # extremes
+    all_short = fim_transform(df, "ids", 2, 3, 4, rate_pct=100, min_ids=4)
+    for r in all_short.collect():
+        assert r["fim_applied"] == (len(orig[r["doc_id"]]) >= 4)
+    none = fim_transform(df, "ids", 2, 3, 4, rate_pct=0)
+    assert not any(r["fim_applied"] for r in none.collect())
+    # partitioning invariance
+    again = {
+        r["doc_id"]: r["ids"]
+        for r in fim_transform(
+            df.repartition(7), "ids", 2, 3, 4, rate_pct=60
+        ).collect()
+    }
+    assert again == {k: v[0] for k, v in got.items()}
+
+
+def test_fim_sentinels_through_vocab_specials(spark):
+    """The sentinel flow end to end: extra_specials reserve FIM ids
+    at the head of the frozen vocabulary (declared order, pinned by
+    write_subword_ids as part of the assignment contract), collision
+    with a corpus piece refuses, and the reserved ids drive
+    fim_transform into pack_token_windows with token counts
+    composing."""
+    import pytest
+
+    from streaming_parquet_spark.operators.pipeline import (
+        fim_transform,
+        pack_token_windows,
+    )
+    from streaming_parquet_spark.operators.tokenize import (
+        apply_bpe,
+        fit_bpe_merges,
+        read_subword_ids,
+        subword_vocab,
+        write_subword_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest new newer") for i in range(1, 30)],
+        "doc_id bigint, text string",
+    )
+    merges = fit_bpe_merges(docs, n_merges=8)
+    enc = apply_bpe(docs, merges)
+    fim = ("<fim_prefix>", "<fim_middle>", "<fim_suffix>")
+    vocab = subword_vocab(enc, "bpe_tokens", extra_specials=fim)
+    rows = {r["piece"]: r for r in vocab.collect()}
+    assert [rows[p]["id"] for p in fim] == [2, 3, 4]
+    assert all(rows[p]["is_special"] for p in ("<pad>", "<unk>") + fim)
+    n_special = sum(1 for r in rows.values() if r["is_special"])
+    assert n_special == 5
+    # corpus pieces start right after the special block, still asc
+    corpus = sorted(
+        (r["id"], r["piece"]) for r in rows.values() if not r["is_special"]
+    )
+    assert corpus[0][0] == 5
+    assert [p for _, p in corpus] == sorted(p for _, p in corpus)
+    # a special colliding with an emitted piece refuses
+    emitted = corpus[0][1]
+    with pytest.raises(ValueError, match="colliding"):
+        subword_vocab(enc, "bpe_tokens", extra_specials=(emitted,))
+    # persistence pins the special block
+    tbl = "maw_test_fim_ids"
+    write_subword_ids(vocab, tbl)
+    try:
+        got, pad_id, unk_id = read_subword_ids(spark, tbl)
+        assert (pad_id, unk_id) == (0, 1)
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+        }
+        assert props["maw.subword.n_specials"] == "5"
+        assert props["maw.subword.specials"] == ",".join(
+            ("<pad>", "<unk>") + fim
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # a hand-scrambled special block refuses to persist
+    from pyspark.sql import functions as SF
+
+    scrambled = vocab.withColumn(
+        "is_special", SF.col("piece") == SF.lit("<fim_middle>")
+    )
+    with pytest.raises(ValueError, match="contiguous id block"):
+        write_subword_ids(scrambled, "maw_test_fim_ids_bad")
+    # FIM ids -> packing: sentinel-bearing docs pack like any others,
+    # and the window stream's total real tokens equals the transformed
+    # corpus total (n + 3 per applied doc)
+    ids_df = apply_bpe(docs, merges, ids=vocab).select(
+        "doc_id", F.col("bpe_tokens_ids").alias("ids")
+    )
+    fimmed = fim_transform(
+        ids_df, "ids", pre_id=2, mid_id=3, suf_id=4, rate_pct=50
+    )
+    total = fimmed.agg(F.sum(F.size("ids"))).first()[0]
+    win = pack_token_windows(fimmed, "ids", 16, order_col="doc_id")
+    assert win.agg(F.sum("n_tokens")).first()[0] == total
+    flat = win.agg(
+        F.sum(F.size(F.filter("ids", lambda x: x == 2)))
+    ).first()[0]
+    assert flat == fimmed.filter("fim_applied").count()  # one <pre> each
