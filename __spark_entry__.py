@@ -66,6 +66,10 @@ _RESHAPED_IN = {
     "text_class_stats": 9,        # + batch_drift branch
     "pipeline_pack_sequences": 9,  # + materialized-windows branch
     "rel_skew_family": 9,          # + skew_report branch
+    # r10: + FIM leg (fim_applied / n_fim_ids / fim_ids) — the query
+    # was r8-green and due in r10 regardless, so this reshape costs
+    # the rotation nothing
+    "pipeline_end_to_end": 10,
 }
 
 

@@ -1152,7 +1152,9 @@ def verify_shards(
         # else (permissions, a file where a dir was expected) must
         # surface — same narrow classes as streaming.ingest's
         # cold-start guard.
-        marker = (exc.getErrorClass() or "") + " " + str(exc)
+        marker = (
+            getattr(exc, "getCondition", exc.getErrorClass)() or ""
+        ) + " " + str(exc)
         if not (
             "UNABLE_TO_INFER_SCHEMA" in marker or "PATH_NOT_FOUND" in marker
         ):
@@ -1424,7 +1426,9 @@ def _read_shard_contract(spark, path: str) -> tuple[DataFrame, dict]:
     try:
         manifest = spark.read.parquet(mpath)
     except AnalysisException as exc:
-        marker = (exc.getErrorClass() or "") + " " + str(exc)
+        marker = (
+            getattr(exc, "getCondition", exc.getErrorClass)() or ""
+        ) + " " + str(exc)
         if "PATH_NOT_FOUND" in marker or "UNABLE_TO_INFER_SCHEMA" in marker:
             raise ValueError(
                 f"read_token_shards: {path!r} has no _manifest sidecar "
@@ -1557,18 +1561,22 @@ def fim_transform(
     min_ids: int = 4,
     out_col: str | None = None,
     applied_col: str = "fim_applied",
+    mode: str = "psm",
 ) -> DataFrame:
     """Fill-in-the-middle transformation of tokenized documents
     (Bavarian et al. 2022, "Efficient Training of Language Models to
-    Fill in the Middle" — the document-level PSM recipe): for a
+    Fill in the Middle" — the document-level recipe): for a
     deterministic ``rate_pct``% of documents, cut the id array at two
     hash-chosen points into prefix P / middle M / suffix S and emit
 
-        [pre_id] P [suf_id] S [mid_id] M
+        mode='psm':  [pre_id] P [suf_id] S [mid_id] M
+        mode='spm':  [pre_id] [suf_id] S [mid_id] P M
 
     so an autoregressive model learns to infill — the standard data
-    augmentation for code models.  The remaining documents (and any
-    shorter than ``min_ids``) pass through unchanged;
+    augmentation for code models (SPM is the paper's variant with the
+    suffix moved ahead of the prefix; its joined sentinel prefix
+    improves some infilling setups).  The remaining documents (and
+    any shorter than ``min_ids``) pass through unchanged;
     ``applied_col`` records which.  Apply BETWEEN tokenization and
     :func:`pack_token_windows`, exactly where the paper puts it
     (document-level FIM, then concat-and-chunk packing; the paper's
@@ -1602,17 +1610,26 @@ def fim_transform(
     lo = F.least(a, b).cast("int")
     hi = F.greatest(a, b).cast("int")
     sent = lambda i: F.array(F.lit(int(i)).cast(elem_t))  # noqa: E731
-    psm = F.concat(
-        sent(pre_id),
-        F.slice(F.col(ids_col), F.lit(1), lo),
-        sent(suf_id),
-        F.slice(F.col(ids_col), hi + 1, n - hi),
-        sent(mid_id),
-        F.slice(F.col(ids_col), lo + 1, hi - lo),
-    )
+    prefix = F.slice(F.col(ids_col), F.lit(1), lo)
+    suffix = F.slice(F.col(ids_col), hi + 1, n - hi)
+    middle = F.slice(F.col(ids_col), lo + 1, hi - lo)
+    if mode == "psm":
+        arranged = F.concat(
+            sent(pre_id), prefix, sent(suf_id), suffix,
+            sent(mid_id), middle,
+        )
+    elif mode == "spm":
+        arranged = F.concat(
+            sent(pre_id), sent(suf_id), suffix,
+            sent(mid_id), prefix, middle,
+        )
+    else:
+        raise ValueError(
+            f"fim_transform: unknown mode {mode!r} (psm or spm)"
+        )
     return df.withColumn(
         applied_col, F.coalesce(apply, F.lit(False))
     ).withColumn(
         out_col,
-        F.when(F.col(applied_col), psm).otherwise(F.col(ids_col)),
+        F.when(F.col(applied_col), arranged).otherwise(F.col(ids_col)),
     )

@@ -2906,10 +2906,49 @@ def text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_end_to_end() -> str:
-    from streaming_parquet_spark.operators.pipeline import STRATIFIED_SEED
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+        wide_hash_expr,
+        word_hashes_expr,
+    )
+    from streaming_parquet_spark.operators.pipeline import (
+        FIM_SEED,
+        STRATIFIED_SEED,
+    )
 
     strat = hash_bucket_expr("duckdb", "doc_id", 1000, seed=STRATIFIED_SEED)
     split_b = hash_bucket_expr("duckdb", "doc_id", 100)
+    fim_rate = hash_bucket_expr("duckdb", "doc_id", 100, seed=FIM_SEED)
+    cut_a = wide_hash_expr("duckdb", "doc_id", seed=FIM_SEED + 1)
+    cut_b = wide_hash_expr("duckdb", "doc_id", seed=FIM_SEED + 2)
+    owords = (
+        f"list_filter({ordered_words_expr('duckdb', 'text')},"
+        f" w -> w != '')"
+    )
+    word_ids = word_hashes_expr("duckdb", owords)
+    fim_cte = f"""
+    fim_src AS (
+      SELECT doc_id, {word_ids} AS ids FROM documents
+    ),
+    fim_cut AS (
+      SELECT doc_id, ids, len(ids) AS n,
+             ({fim_rate}) < 60 AND len(ids) >= 4 AS fim_applied,
+             ({cut_a}) % (len(ids) + 1) AS a,
+             ({cut_b}) % (len(ids) + 1) AS b
+      FROM fim_src
+    ),
+    fim2 AS (
+      SELECT doc_id, fim_applied,
+             CASE WHEN fim_applied THEN
+               [CAST(-1 AS BIGINT)]
+               || list_slice(ids, 1, LEAST(a, b))
+               || [CAST(-3 AS BIGINT)]
+               || list_slice(ids, GREATEST(a, b) + 1, n)
+               || [CAST(-2 AS BIGINT)]
+               || list_slice(ids, LEAST(a, b) + 1, GREATEST(a, b))
+             ELSE ids END AS out_ids
+      FROM fim_cut
+    )"""
     return f"""
     WITH q AS (
       SELECT doc_id, text, lang,
@@ -2959,8 +2998,12 @@ def _duck_end_to_end() -> str:
                              AND CURRENT ROW)
                          - est_tokens) / 2048.0) AS BIGINT) AS bin
       FROM splits
-    )
-    SELECT doc_id, lang, split, est_tokens, bin FROM packed
+    ),{fim_cte}
+    SELECT p.doc_id, p.lang, p.split, p.est_tokens, p.bin,
+           f.fim_applied,
+           CAST(len(f.out_ids) AS BIGINT) AS n_fim_ids,
+           COALESCE(array_to_string(f.out_ids, ','), '') AS fim_ids
+    FROM packed p JOIN fim2 f ON p.doc_id = f.doc_id
     """
 
 
@@ -2974,10 +3017,25 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition proves they chain without materialization barriers
     (one shuffle for dedup, one for packing — the sampling and split
     stages stay filters). The DuckDB oracle replays the full five-
-    stage pipeline."""
+    stage pipeline, including the FIM leg's slicing arithmetic.
+
+    kind-less reshape r10: + fim_applied / n_fim_ids / fim_ids —
+    :func:`operators.pipeline.fim_transform` (document-level PSM,
+    Bavarian 2022) run over PORTABLY word-hashed id arrays (the
+    tokenizer stand-in both engines can compute — real pipelines use
+    subword ids, whose Viterbi/merge encode no SQL engine reproduces;
+    the ARRANGEMENT arithmetic is what this oracles) and flattened to
+    a comma-joined string because the driver hash is proven on
+    scalars.  Sentinels are -1/-2/-3 — word hashes are non-negative,
+    so the reserved-id requirement holds by construction."""
     from pyspark.sql import Window as W2
 
+    from streaming_parquet_spark.functions.portable import (
+        ordered_words_expr,
+        word_hashes_expr,
+    )
     from streaming_parquet_spark.operators.pipeline import (
+        fim_transform,
         pack_sequences,
         stratified_sample,
         with_split,
@@ -3010,11 +3068,30 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         splits, token_col="est_tokens", budget=2048,
         order_col="doc_id", part_col="split",
     )
+    owords = (
+        f"filter({ordered_words_expr('spark', 'text')}, w -> w != '')"
+    )
+    fim = fim_transform(
+        docs.select(
+            "doc_id",
+            F.expr(word_hashes_expr("spark", owords)).alias("ids"),
+        ),
+        "ids",
+        pre_id=-1, mid_id=-2, suf_id=-3,
+        rate_pct=60,
+    ).select(
+        "doc_id",
+        "fim_applied",
+        F.size("ids").cast("bigint").alias("n_fim_ids"),
+        F.array_join(F.col("ids").cast("array<string>"), ",").alias(
+            "fim_ids"
+        ),
+    )
     return packed.select(
         "doc_id", "lang", "split",
         F.col("est_tokens").cast("bigint").alias("est_tokens"),
         "bin",
-    )
+    ).join(fim, "doc_id")
 
 
 _DUCK_DEDUP_CONTAINMENT = f"""

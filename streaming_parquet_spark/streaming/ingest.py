@@ -249,7 +249,9 @@ def _run_ingest(
         # producer may simply not have delivered yet. Anything other
         # than empty/missing (permissions, corrupt footers, a typo'd
         # path raising a different class) must still surface.
-        marker = (exc.getErrorClass() or "") + " " + str(exc)
+        marker = (
+            getattr(exc, "getCondition", exc.getErrorClass)() or ""
+        ) + " " + str(exc)
         if not (
             "UNABLE_TO_INFER_SCHEMA" in marker or "PATH_NOT_FOUND" in marker
         ):

@@ -5641,6 +5641,27 @@ def test_fim_transform_matches_reference(spark):
         ).collect()
     }
     assert again == {k: v[0] for k, v in got.items()}
+    # SPM variant: same cut points, suffix moved ahead of the prefix
+    spm = {
+        r["doc_id"]: (r["ids"], r["fim_applied"])
+        for r in fim_transform(
+            df, "ids", 2, 3, 4, rate_pct=60, mode="spm"
+        ).collect()
+    }
+    for i, ids in orig.items():
+        gids, applied = spm[i]
+        assert applied == got[i][1]
+        if not applied:
+            assert gids == ids
+            continue
+        n = len(ids)
+        a, b = wh(i, 24) % (n + 1), wh(i, 25) % (n + 1)
+        lo, hi = min(a, b), max(a, b)
+        assert gids == [2, 4] + ids[hi:] + [3] + ids[:lo] + ids[lo:hi]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        fim_transform(df, "ids", 2, 3, 4, mode="mps")
 
 
 def test_fim_sentinels_through_vocab_specials(spark):
