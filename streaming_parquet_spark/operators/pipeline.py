@@ -1435,20 +1435,33 @@ def _read_shard_contract(spark, path: str) -> tuple[DataFrame, dict]:
                 f"— not a (completely) written token-shard set"
             ) from exc
         raise
+    return manifest, _single_contract(manifest, repr(path))
+
+
+def _single_contract(manifest: DataFrame, what: str) -> dict:
+    """The one pinned contract a manifest frame carries; raises on
+    empty (no shards), mixed (two writes interleaved), or a foreign
+    format version."""
     rows = manifest.select(*_CONTRACT_COLS).distinct().collect()
-    if len(rows) != 1:
+    if not rows:
         raise ValueError(
-            f"read_token_shards: {path!r} carries "
+            f"read_token_shards: {what} has an EMPTY manifest — "
+            f"no shards were written (write_token_shards over zero "
+            f"windows, or a truncated sidecar)"
+        )
+    if len(rows) > 1:
+        raise ValueError(
+            f"read_token_shards: {what} carries "
             f"{len(rows)} distinct contracts — refusing to guess"
         )
     contract = rows[0].asDict()
     if contract["format"] != TOKEN_SHARD_FORMAT:
         raise ValueError(
-            f"read_token_shards: {path!r} is format "
+            f"read_token_shards: {what} is format "
             f"{contract['format']!r}; this build reads "
             f"{TOKEN_SHARD_FORMAT!r}"
         )
-    return manifest, contract
+    return contract
 
 
 def read_token_shards(
@@ -1500,10 +1513,13 @@ def verify_token_shards(
     unmanifested shards surface).  ``manifest`` defaults to the
     ``_manifest`` sidecar; pass the frame
     :func:`write_token_shards` returned to verify against the
-    in-memory promise instead."""
-    sidecar, contract = _read_shard_contract(spark, path)
+    in-memory promise instead — that path needs NO sidecar, which is
+    exactly what auditing a write that crashed between its data and
+    manifest legs requires (the contract rides the returned frame)."""
     if manifest is None:
-        manifest = sidecar
+        manifest, contract = _read_shard_contract(spark, path)
+    else:
+        contract = _single_contract(manifest, "the supplied manifest")
 
     def prep(scanned: DataFrame) -> DataFrame:
         return _window_digest_frame(

@@ -134,14 +134,24 @@ def _by_value(fn):
     import builtins
     import types
 
-    # co_names holds every global/attribute name the code references.
-    # Module-global CONSTANTS (the _EOW marker) copy into the fresh
-    # globals — immutable values pickle by value anyway.  Anything
-    # else resolving through module globals (another function, a
-    # class) would ship as an import reference and defeat the point —
-    # refuse now, at construction, not at executor runtime.
+    # co_names holds every global/attribute name a code object
+    # references — including NESTED code objects (comprehensions,
+    # nested defs), which have their own co_names, so walk co_consts
+    # recursively.  Module-global CONSTANTS (the _EOW marker) copy
+    # into the fresh globals — immutable values pickle by value
+    # anyway.  Anything else resolving through module globals
+    # (another function, a class) would ship as an import reference
+    # and defeat the point — refuse now, at construction, not at
+    # executor runtime.
+    def all_names(code):
+        names = set(code.co_names)
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                names |= all_names(c)
+        return names
+
     g: dict = {}
-    for n in fn.__code__.co_names:
+    for n in sorted(all_names(fn.__code__)):
         if n not in fn.__globals__:
             continue
         val = fn.__globals__[n]

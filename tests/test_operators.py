@@ -5512,6 +5512,17 @@ def test_token_shards_roundtrip_and_contract(spark, tmp_path):
     # no sidecar -> loud, not a silent empty read
     with pytest.raises(ValueError, match="no _manifest sidecar"):
         read_token_shards(spark, str(tmp_path / "nowhere"))
+    # a write that crashed BETWEEN its data and manifest legs: reads
+    # refuse (incomplete artifact), but the writer-returned promise
+    # still verifies the data that did land — no sidecar needed
+    import shutil
+
+    shutil.rmtree(f"{path}/_manifest")
+    spark.catalog.refreshByPath(path)
+    with pytest.raises(ValueError, match="no _manifest sidecar"):
+        read_token_shards(spark, path)
+    crashed = verify_token_shards(spark, path, manifest=man)
+    assert all(r["ok"] for r in crashed.collect())
 
 
 def test_token_shards_tamper_detection(spark, tmp_path):
