@@ -384,6 +384,42 @@ def with_causal_labels(
     return df.withColumn(out_col, labels)
 
 
+def with_completion_labels(
+    df: DataFrame,
+    prompt_len_col: str,
+    ids_col: str = "ids",
+    n_tokens_col: str = "n_tokens",
+    out_col: str = "labels",
+    ignore_index: int = -100,
+) -> DataFrame:
+    """Prompt-masked next-token labels — the instruction-tuning (SFT)
+    analog of :func:`with_causal_labels`: ``labels[i] = ids[i+1]``
+    only where the TARGET position is a completion token, i.e.
+    ``prompt_len <= i+1 < n_tokens``; every prompt target, the final
+    real token, and all padding mask to ``ignore_index`` (the
+    standard -100 loss-mask convention).  The model still ATTENDS to
+    the prompt — masking is loss-side only, exactly the
+    completion-only-loss recipe instruction tuning uses.
+
+    Expects one EXAMPLE per row (prompt ++ completion ids, right-
+    padded), not cross-document packed windows — SFT examples are
+    trained unpacked or packed example-whole, and ``prompt_len`` is
+    per example.  ``n_tokens_col``: the real (pre-pad) length; pass
+    the array size via a prior ``withColumn`` if rows are unpadded.
+    One JVM array transform per row — no UDF, no shuffle."""
+    elem_t = df.schema[ids_col].dataType.elementType
+    ign = F.lit(int(ignore_index)).cast(elem_t)
+    labels = F.transform(
+        F.col(ids_col),
+        lambda x, i: F.when(
+            (i + 1 < F.col(n_tokens_col))
+            & (i + 1 >= F.col(prompt_len_col)),
+            F.element_at(F.col(ids_col), (i + 2).cast("int")),
+        ).otherwise(ign),
+    )
+    return df.withColumn(out_col, labels)
+
+
 #: Purpose salt for stratified sampling — distinct from the unseeded
 #: (seed=0) hash used by hash_sample/with_split so composing a stratum
 #: filter with a later split over the same id stays unbiased (see

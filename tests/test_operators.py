@@ -5759,3 +5759,115 @@ def test_fim_sentinels_through_vocab_specials(spark):
         F.sum(F.size(F.filter("ids", lambda x: x == 2)))
     ).first()[0]
     assert flat == fimmed.filter("fim_applied").count()  # one <pre> each
+
+
+def test_fim_transform_property(spark):
+    """Hypothesis: for ANY document mix (empty/long, any ids), rate,
+    min length, and mode, fim_transform reproduces a pure-Python
+    reference of the portable-hash cut arithmetic and both
+    arrangements."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        import pytest
+
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.pipeline import fim_transform
+
+    m31 = 2**31 - 1
+
+    def bucket(i, buckets, seed):
+        b = i % 1000003
+        if seed:
+            b = (b + seed) % 1000003
+        return ((b * 2654435761) % m31) % buckets
+
+    def wh(i, seed):
+        parts = []
+        for p in (1000003, 999983):
+            b = i % p
+            if seed:
+                b = (b + seed) % p
+            parts.append((b * 2654435761) % m31)
+        return parts[0] * 2147483648 + parts[1]
+
+    def reference(doc_id, ids, rate, min_ids, mode):
+        n = len(ids)
+        if not (bucket(doc_id, 100, 23) < rate and n >= min_ids):
+            return ids, False
+        a, b = wh(doc_id, 24) % (n + 1), wh(doc_id, 25) % (n + 1)
+        lo, hi = min(a, b), max(a, b)
+        p, s, m = ids[:lo], ids[hi:], ids[lo:hi]
+        if mode == "psm":
+            return [-1] + p + [-3] + s + [-2] + m, True
+        return [-1, -3] + s + [-2] + p + m, True
+
+    @given(
+        raw=st.lists(
+            st.lists(st.integers(0, 99), min_size=0, max_size=10),
+            min_size=1, max_size=8,
+        ),
+        rate=st.sampled_from([0, 40, 100]),
+        min_ids=st.sampled_from([1, 4]),
+        mode=st.sampled_from(["psm", "spm"]),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(raw, rate, min_ids, mode):
+        rows = [(i + 1, ids) for i, ids in enumerate(raw)]
+        df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+        got = {
+            r["doc_id"]: (r["ids"], r["fim_applied"])
+            for r in fim_transform(
+                df, "ids", -1, -2, -3,
+                rate_pct=rate, min_ids=min_ids, mode=mode,
+            ).collect()
+        }
+        want = {
+            i: reference(i, ids, rate, min_ids, mode) for i, ids in rows
+        }
+        assert got == want, (raw, rate, min_ids, mode)
+
+    check()
+
+
+def test_with_completion_labels(spark):
+    """SFT label masking: only completion targets supervise — prompt
+    targets, the final real token, and padding all mask to -100,
+    while the ids themselves (the attention input) stay untouched."""
+    from streaming_parquet_spark.operators.pipeline import (
+        with_completion_labels,
+    )
+
+    rows = [
+        # (ids, prompt_len, n_tokens) -> expected labels
+        (1, [11, 12, 21, 22, 0, 0], 2, 4),
+        (2, [11, 21, 0, 0, 0, 0], 1, 2),     # one-token completion
+        (3, [11, 12, 13, 0, 0, 0], 3, 3),    # all-prompt: nothing to learn
+        (4, [11, 12, 13, 14, 15, 16], 2, 6),  # no padding
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ids array<int>, prompt_len int, n_tokens int"
+    )
+    got = {
+        r["doc_id"]: r["labels"]
+        for r in with_completion_labels(df, "prompt_len").collect()
+    }
+    ign = -100
+    assert got[1] == [ign, 21, 22, ign, ign, ign]
+    assert got[2] == [21, ign, ign, ign, ign, ign]
+    assert got[3] == [ign] * 6
+    assert got[4] == [ign, 13, 14, 15, 16, ign]
+    # reference property over the whole frame: label i supervises iff
+    # prompt_len <= i+1 < n_tokens
+    for doc_id, ids, plen, n in rows:
+        want = [
+            ids[i + 1] if plen <= i + 1 < n else ign
+            for i in range(len(ids))
+        ]
+        assert got[doc_id] == want
