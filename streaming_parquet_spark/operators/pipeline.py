@@ -1341,6 +1341,53 @@ def token_shard_manifest(
     )
 
 
+def _vocab_fp(vocab_ids: DataFrame):
+    """(n_docs, fp_a, fp_b) fingerprint of a frozen id table — the
+    vocabulary identity the shard contract pins (one model-sized
+    ``corpus_fingerprint`` pass over (id, piece))."""
+    from streaming_parquet_spark.operators.profile import (
+        corpus_fingerprint,
+    )
+
+    return corpus_fingerprint(
+        vocab_ids, id_col="id", text_col="piece"
+    ).first()
+
+
+def _budget_guard(
+    windows: DataFrame,
+    budget: int,
+    win_col: str,
+    ids_col: str,
+    n_tokens_col: str,
+    fn_name: str,
+):
+    """The write-scan budget enforcement shared by the shard writers:
+    a window whose id array is not exactly ``budget`` long, or whose
+    real-token count is outside [0, budget], RAISES from the
+    projection itself — no extra validation pass."""
+    arr_t = windows.schema[ids_col].dataType
+    bad = (
+        (F.size(ids_col) != budget)
+        | (F.col(n_tokens_col) > budget)
+        | (F.col(n_tokens_col) < 0)
+    )
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{fn_name}: window {win_col}="),
+                F.col(win_col).cast("string"),
+                F.lit(
+                    f" violates the budget={budget} contract "
+                    f"(size(ids) must equal budget and "
+                    f"0 <= {n_tokens_col} <= budget)"
+                ),
+            )
+        ).cast(arr_t),
+    ).otherwise(F.col(ids_col))
+
+
 def write_token_shards(
     windows: DataFrame,
     path: str,
@@ -1379,36 +1426,11 @@ def write_token_shards(
     ``subword_vocab``.  ``mode``: "error" (default) refuses an
     existing ``path``; "overwrite" replaces the whole shard set
     atomically enough for reruns (both legs use the same mode)."""
-    from streaming_parquet_spark.operators.profile import (
-        corpus_fingerprint,
-    )
-
-    v = corpus_fingerprint(
-        vocab_ids, id_col="id", text_col="piece"
-    ).first()
+    v = _vocab_fp(vocab_ids)
     b = int(budget)
-    elem_t = windows.schema[ids_col].dataType
-    bad = (
-        (F.size(ids_col) != b)
-        | (F.col(n_tokens_col) > b)
-        | (F.col(n_tokens_col) < 0)
+    guard = _budget_guard(
+        windows, b, win_col, ids_col, n_tokens_col, "write_token_shards"
     )
-    guard = F.when(
-        bad,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"write_token_shards: window {win_col}="
-                ),
-                F.col(win_col).cast("string"),
-                F.lit(
-                    f" violates the budget={b} contract "
-                    f"(size(ids) must equal budget and "
-                    f"0 <= {n_tokens_col} <= budget)"
-                ),
-            )
-        ).cast(elem_t),
-    ).otherwise(F.col(ids_col))
     manifest = token_shard_manifest(
         windows, shard_col, win_col, ids_col, n_tokens_col, starts_col
     ).select(
@@ -1512,29 +1534,116 @@ def read_token_shards(
     model just trains on scrambled tokens).  The scan is the plain
     partitioned parquet read (`shard` partition pruning works as
     usual); validation costs one model-sized fingerprint pass."""
-    from streaming_parquet_spark.operators.profile import (
-        corpus_fingerprint,
-    )
-
     _, contract = _read_shard_contract(spark, path)
     if vocab_ids is not None:
-        v = corpus_fingerprint(
-            vocab_ids, id_col="id", text_col="piece"
-        ).first()
-        got = (v["n_docs"], v["fp_a"], v["fp_b"])
-        want = (
-            contract["vocab_size"],
-            contract["vocab_fp_a"],
-            contract["vocab_fp_b"],
-        )
-        if got != want:
-            raise ValueError(
-                f"read_token_shards: {path!r} was encoded under a "
-                f"DIFFERENT vocabulary (pinned size/fp {want}, "
-                f"supplied {got}) — training on these ids with this "
-                f"vocab would silently scramble every token"
-            )
+        _check_vocab(contract, vocab_ids, path, "read_token_shards")
     return spark.read.parquet(path), contract
+
+
+def _check_vocab(
+    contract: dict, vocab_ids: DataFrame, path: str, fn_name: str
+) -> None:
+    v = _vocab_fp(vocab_ids)
+    got = (v["n_docs"], v["fp_a"], v["fp_b"])
+    want = (
+        contract["vocab_size"],
+        contract["vocab_fp_a"],
+        contract["vocab_fp_b"],
+    )
+    if got != want:
+        raise ValueError(
+            f"{fn_name}: {path!r} was encoded under a "
+            f"DIFFERENT vocabulary (pinned size/fp {want}, "
+            f"supplied {got}) — training on these ids with this "
+            f"vocab would silently scramble every token"
+        )
+
+
+def append_token_shards(
+    windows: DataFrame,
+    path: str,
+    vocab_ids: DataFrame,
+) -> DataFrame:
+    """Append NEW shards to an existing token-shard set — the
+    incremental form :func:`write_token_shards`'s overwrite/error
+    modes deliberately lack, mirroring ``dedup.append_to_lsh_index``:
+    a snapshot pipeline adds this month's shards without rewriting
+    last month's.  The existing contract is AUTHORITATIVE — budget,
+    pad/eos ids, and column names come from the sidecar, never from
+    the caller (restating is where drift lives), and the supplied
+    ``vocab_ids`` must fingerprint-match the pinned vocabulary or the
+    append refuses: mixing two tokenizers' ids in one shard set is
+    the silent-scramble failure the contract exists to stop.
+
+    Shard keys must be DISJOINT from the existing set's — appending
+    into an existing shard would interleave two writes' windows under
+    one fingerprint (and replayed appends would double data), so
+    overlap refuses loudly; give each ingest wave its own shard keys
+    (e.g. suffix the wave id).  A replayed append therefore fails
+    fast instead of silently duplicating — idempotence by refusal,
+    same stance as the ingest loop's id anti-joins.
+
+    Scale: contract + overlap checks are manifest-sized; the append
+    is the same two windows-lineage passes as the initial write (the
+    budget guard rides the write scan); the sidecar gains one parquet
+    file of new rows — existing shard files are never touched.
+    Returns the appended shards' manifest rows (contract columns
+    included).  For just-this-wave verification pass them as the
+    in-memory promise and keep only the promised rows —
+    ``verify_token_shards(spark, path, manifest=wave).filter(
+    "n_windows_promised > 0")`` — the full-outer check deliberately
+    reports every OTHER shard on disk as unmanifested; whole-set
+    verification (no ``manifest=``) uses the appended sidecar and
+    covers all waves at once."""
+    import os as _os
+
+    spark = windows.sparkSession
+    sidecar, contract = _read_shard_contract(spark, path)
+    _check_vocab(contract, vocab_ids, path, "append_token_shards")
+    shard_col = contract["shard_col"]
+    win_col = contract["win_col"]
+    ids_col = contract["ids_col"]
+    n_tokens_col = contract["n_tokens_col"]
+    starts_col = contract["starts_col"]
+    b = int(contract["budget"])
+    # contract literals typed from the SIDECAR's schema — a None
+    # eos_id would otherwise land as VOID and corrupt the parquet
+    # append's merged schema
+    side_t = dict(sidecar.dtypes)
+    manifest = token_shard_manifest(
+        windows, shard_col, win_col, ids_col, n_tokens_col, starts_col
+    ).select(
+        "*",
+        *[
+            F.lit(contract[c]).cast(side_t[c]).alias(c)
+            for c in _CONTRACT_COLS
+        ],
+    )
+    existing = {r["shard"] for r in sidecar.select("shard").collect()}
+    incoming = {r["shard"] for r in manifest.select("shard").collect()}
+    overlap = sorted(existing & incoming)
+    if overlap:
+        raise ValueError(
+            f"append_token_shards: shard keys {overlap[:10]} already "
+            f"exist in {path!r} — appending into an existing shard "
+            f"would interleave two writes under one fingerprint "
+            f"(a REPLAYED append hits this too, by design); use "
+            f"fresh shard keys per wave"
+        )
+    guard = _budget_guard(
+        windows, b, win_col, ids_col, n_tokens_col,
+        "append_token_shards",
+    )
+    (
+        windows.withColumn(ids_col, guard)
+        .write.mode("append")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    manifest.write.mode("append").parquet(
+        _os.path.join(path, "_manifest")
+    )
+    return manifest
 
 
 def verify_token_shards(

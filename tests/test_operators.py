@@ -5871,3 +5871,72 @@ def test_with_completion_labels(spark):
             for i in range(len(ids))
         ]
         assert got[doc_id] == want
+
+
+def test_append_token_shards(spark, tmp_path):
+    """Incremental shard-set growth under the pinned contract: an
+    append derives every parameter from the sidecar (nothing
+    restatable), refuses a foreign vocabulary and overlapping shard
+    keys (a REPLAYED append fails fast instead of silently doubling
+    data), the combined set verifies whole, and a wave verifies alone
+    against its returned promise."""
+    import pytest
+
+    from streaming_parquet_spark.operators.pipeline import (
+        append_token_shards,
+        pack_token_windows,
+        read_token_shards,
+        verify_token_shards,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(0, "<pad>", "ascii-space-v1"), (1, "<unk>", "ascii-space-v1")],
+        "id int, piece string, word_split string",
+    )
+
+    def wave(tag, lo, hi):
+        docs = spark.createDataFrame(
+            [
+                (i, f"{tag}{i % 2}", list(range(i % 5 + 1)))
+                for i in range(lo, hi)
+            ],
+            "doc_id bigint, src string, toks array<int>",
+        )
+        return pack_token_windows(
+            docs, "toks", 4, order_col="doc_id", part_col="src"
+        )
+
+    path = str(tmp_path / "shards")
+    w1 = wave("a", 1, 12)
+    write_token_shards(w1, path, vocab, budget=4, shard_col="src")
+    w2 = wave("b", 12, 25)
+    man2 = append_token_shards(w2, path, vocab)
+    assert sorted(r["shard"] for r in man2.collect()) == ["b0", "b1"]
+    # whole-set verification covers both waves via the grown sidecar
+    assert all(r["ok"] for r in verify_token_shards(spark, path).collect())
+    # wave-scoped verification: promised rows only (the documented
+    # idiom — other shards on disk are deliberately reported)
+    wave_only = verify_token_shards(spark, path, manifest=man2).filter(
+        "n_windows_promised > 0"
+    )
+    assert sorted(
+        (r["shard"], r["ok"]) for r in wave_only.collect()
+    ) == [("b0", True), ("b1", True)]
+    # one contract over everything; all windows readable
+    allw, contract = read_token_shards(spark, path, vocab_ids=vocab)
+    assert allw.count() == w1.count() + w2.count()
+    assert contract["budget"] == 4
+    # replay refuses on shard-key overlap
+    with pytest.raises(ValueError, match="already exist"):
+        append_token_shards(w2, path, vocab)
+    # a foreign vocabulary refuses before anything is written
+    other = spark.createDataFrame(
+        [(0, "<pad>", "ascii-space-v1"), (1, "<unk>", "ascii-space-v1"),
+         (2, "zz", "ascii-space-v1")],
+        "id int, piece string, word_split string",
+    )
+    with pytest.raises(ValueError, match="DIFFERENT vocabulary"):
+        append_token_shards(wave("c", 30, 34), path, other)
+    # nothing from the refused appends leaked onto disk
+    assert read_token_shards(spark, path)[0].count() == allw.count()
