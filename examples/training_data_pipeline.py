@@ -170,7 +170,11 @@ def main():
     # the optimizer collapses into that aggregate over this deep a
     # lineage)
     encoded = apply_bpe(selected, merges).persist()
-    vocab_ids = subword_vocab(encoded, "bpe_tokens")
+    # FIM sentinels are FREEZE-TIME contract: declaring them here
+    # reserves ids 2/3/4 ahead of every corpus piece (tokenization can
+    # never emit them), and write_subword_ids pins the block
+    FIM = ("<fim_prefix>", "<fim_middle>", "<fim_suffix>")
+    vocab_ids = subword_vocab(encoded, "bpe_tokens", extra_specials=FIM)
     write_bpe_merges(merges, "maw_example_bpe")
     write_subword_ids(vocab_ids, "maw_example_ids")
     tokenized = tokens_to_ids(encoded, vocab_ids, "bpe_tokens").drop(
@@ -228,6 +232,7 @@ def main():
     #     (per training SHARD at 100 TB) keeps windows from ever
     #     crossing the partition key.  Pure Catalyst — no UDF.
     from streaming_parquet_spark.operators.pipeline import (
+        fim_transform,
         pack_token_windows,
         read_token_shards,
         verify_token_shards,
@@ -237,9 +242,18 @@ def main():
 
     # pack from the parquet just shipped, not the in-memory lineage:
     # `final` would re-run the Arrow id pass, the sampling joins, and
-    # the zipWithIndex job — rows already sitting compacted at `out`
+    # the zipWithIndex job — rows already sitting compacted at `out`.
+    # FIM first (document-level, between tokenize and pack — the
+    # Bavarian 2022 placement): half the docs re-arrange as
+    # prefix/suffix/middle with the vocab-reserved sentinel ids, a
+    # stateless projection the packing stream absorbs like any ids.
+    fimmed = fim_transform(
+        spark.read.parquet(out), "bpe_tokens_ids",
+        pre_id=2, mid_id=3, suf_id=4,
+        id_col="example_id", rate_pct=50,
+    )
     windows = pack_token_windows(
-        spark.read.parquet(out), "bpe_tokens_ids", budget=256,
+        fimmed, "bpe_tokens_ids", budget=256,
         order_col="example_id", part_col="split", pad_id=0,
     )
     # 6c. SHIP the tensors as a verified shard set: the contract
