@@ -8,6 +8,10 @@ from streaming_parquet_spark.streaming.ingest import (
     dedup_ingest_stream,
     semantic_ingest_stream,
 )
+from streaming_parquet_spark.streaming.shards import (
+    ShardIngestResult,
+    shard_ingest_stream,
+)
 from streaming_parquet_spark.streaming.stream import StreamEngine, StreamResult
 
 __all__ = [
@@ -16,4 +20,6 @@ __all__ = [
     "IngestResult",
     "dedup_ingest_stream",
     "semantic_ingest_stream",
+    "ShardIngestResult",
+    "shard_ingest_stream",
 ]

@@ -1191,3 +1191,254 @@ def test_monitor_verify_and_backfill(spark, tmp_path):
     assert backfill_monitor(spark, table, mon) == 0
     for t in (table, f"{table}_lsh_sets", f"{table}_lsh_bands", mon):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------- #
+# shard_ingest_stream: continuous trainable-shard production        #
+# ---------------------------------------------------------------- #
+
+def _shard_vocab(spark):
+    return spark.createDataFrame(
+        [(i, f"p{i}") for i in range(30)], "id int, piece string"
+    )
+
+
+def _shard_encode(batch):
+    """Deterministic stand-in encode: word lengths mod 30 as ids —
+    the loop's contract cares about determinism and the pinned vocab
+    fingerprint, not linguistic fidelity."""
+    return batch.select(
+        "doc_id",
+        "split",
+        F.transform(
+            F.split("text", " "), lambda w: (F.length(w) % 30).cast("int")
+        ).alias("ids"),
+    )
+
+
+def _shard_docs(spark, lo, n, split_of=lambda i: "train" if i % 3 else "val"):
+    rows = [
+        (
+            lo + i,
+            split_of(i),
+            " ".join("tok%d" % ((i * 7 + j) % 13) for j in range(20)),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, split string, text string")
+
+
+def test_shard_ingest_stream_end_to_end(spark, tmp_path):
+    """Two waves resume under one checkpoint; read-back windows are
+    BIT-EQUAL to batch-mode pack_token_windows over each wave's
+    documents; the set verifies; a foreign vocabulary and a drifted
+    contract both refuse."""
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        read_token_shards,
+        verify_token_shards,
+    )
+    from streaming_parquet_spark.streaming.shards import shard_ingest_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "shards")
+    vocab = _shard_vocab(spark)
+
+    docs1 = _shard_docs(spark, 0, 40)
+    docs1.coalesce(1).write.mode("append").parquet(src)
+    r1 = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode,
+        budget=64, part_col="split", eos_id=1,
+    )
+    assert r1.batches == [0] and r1.rows_in == 40
+    assert set(r1.shards_written) == {"wave-00000000-train", "wave-00000000-val"}
+
+    docs2 = _shard_docs(spark, 100, 10, split_of=lambda i: "train")
+    docs2.coalesce(1).write.mode("append").parquet(src)
+    r2 = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode,
+        budget=64, part_col="split", eos_id=1,
+    )
+    assert r2.batches == [1]
+    assert r2.shards_written == ["wave-00000001-train"]
+
+    # a rerun with nothing new processes zero batches
+    r3 = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode,
+        budget=64, part_col="split", eos_id=1,
+    )
+    assert r3.batches == [] and r3.windows_written == 0
+
+    assert verify_token_shards(spark, out).filter("NOT ok").count() == 0
+    shards, contract = read_token_shards(spark, out, vocab_ids=vocab)
+    assert contract["budget"] == 64 and contract["eos_id"] == 1
+    assert shards.count() == r1.windows_written + r2.windows_written
+
+    # content parity: each wave's windows equal batch-mode packing of
+    # that wave's documents (same order key, part, budget, eos)
+    for wave, docs in ((0, docs1), (1, docs2)):
+        want = pack_token_windows(
+            _shard_encode(docs), "ids", budget=64,
+            order_col="doc_id", part_col="split", eos_id=1,
+        )
+        got = shards.where(
+            F.col("shard").startswith(f"wave-{wave:08d}-")
+        )
+        w = {
+            (r["split"], r["win"]): (r["ids"], r["n_tokens"], r["doc_starts"])
+            for r in want.collect()
+        }
+        g = {
+            (r["split"], r["win"]): (r["ids"], r["n_tokens"], r["doc_starts"])
+            for r in got.collect()
+        }
+        assert w == g
+
+    # foreign vocabulary refuses at read AND at ingest
+    other = spark.createDataFrame(
+        [(i, f"q{i}") for i in range(31)], "id int, piece string"
+    )
+    with pytest.raises(ValueError, match="DIFFERENT vocabulary"):
+        read_token_shards(spark, out, vocab_ids=other)
+    docs3 = _shard_docs(spark, 200, 4)
+    docs3.coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="DIFFERENT vocabulary"):
+        shard_ingest_stream(
+            spark, src, out, ckpt, other, _shard_encode,
+            budget=64, part_col="split", eos_id=1,
+        )
+    # contract drift (budget) refuses before anything writes
+    with pytest.raises(Exception, match="different contract"):
+        shard_ingest_stream(
+            spark, src, out, ckpt, vocab, _shard_encode,
+            budget=32, part_col="split", eos_id=1,
+        )
+
+
+def test_shard_ingest_replay_crash_windows(spark, tmp_path):
+    """The three crash windows of the publish step, driven through the
+    REAL checkpoint machinery: (a) crash after sidecar commit, before
+    the checkpoint commit -> the replayed wave digest-verifies its
+    published shards and SKIPS; (b) crash between data and sidecar ->
+    the replay REPAIRS by appending only the sidecar rows; (c) a
+    fresh checkpoint that regroups files -> loud refusal, never
+    silent duplication."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from streaming_parquet_spark.operators.pipeline import (
+        verify_token_shards,
+    )
+    from streaming_parquet_spark.streaming.shards import shard_ingest_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "shards")
+    vocab = _shard_vocab(spark)
+    kw = dict(budget=64, part_col="split", eos_id=1)
+
+    _shard_docs(spark, 0, 30).coalesce(1).write.mode("append").parquet(src)
+    shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode, **kw
+    )
+    _shard_docs(spark, 100, 12).coalesce(1).write.mode("append").parquet(src)
+    r2 = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode, **kw
+    )
+    assert r2.batches == [1]
+    def state():
+        return {
+            (r["shard"], r["fp_a_observed"], r["fp_b_observed"], r["ok"])
+            for r in verify_token_shards(spark, out).collect()
+        }
+
+    baseline = state()
+
+    def uncommit(n):
+        # the local checksum FS keeps a .crc sibling; a stale one makes
+        # the replayed commit write FileAlreadyExists -> remove both
+        os.remove(os.path.join(ckpt, "commits", str(n)))
+        crc = os.path.join(ckpt, "commits", f".{n}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # (a) un-commit batch 1: the restart replays it against a fully
+    # published wave -> verified skip, nothing changes
+    uncommit(1)
+    ra = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode, **kw
+    )
+    assert ra.batches == [1] and ra.batches_skipped == [1]
+    assert ra.windows_written == 0 and ra.shards_written == []
+    assert state() == baseline
+
+    # (b) un-commit batch 1 AND delete its sidecar rows (the crash
+    # landed between the data append and the sidecar append): the
+    # replay digest-matches the orphaned data and repairs the sidecar
+    uncommit(1)
+    victims = [
+        f
+        for f in glob.glob(os.path.join(out, "_manifest", "*.parquet"))
+        if "wave-00000001"
+        in str(pq.read_table(f, columns=["shard"]).column("shard").to_pylist())
+    ]
+    assert victims, "no sidecar file carries wave 1"
+    for f in victims:
+        os.remove(f)
+    # the torn state is visible: orphaned data reads as stray
+    # (unpromised) shards -> not ok
+    assert verify_token_shards(spark, out).filter("NOT ok").count() > 0
+    rb = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode, **kw
+    )
+    assert rb.batches == [1] and rb.batches_repaired == [1]
+    assert rb.shards_written == [
+        "wave-00000001-train", "wave-00000001-val",
+    ]
+    assert state() == baseline
+
+    # (c) a fresh checkpoint regroups both files into one wave 0:
+    # overlapping keys digest-mismatch and the run refuses
+    with pytest.raises(Exception, match="refusing"):
+        shard_ingest_stream(
+            spark, src, out, str(tmp_path / "ckpt_fresh"), vocab,
+            _shard_encode, **kw,
+        )
+    # ... and refusal wrote nothing
+    assert state() == baseline
+    shutil.rmtree(str(tmp_path / "ckpt_fresh"), ignore_errors=True)
+
+
+def test_shard_ingest_fim_and_bootstrap_types(spark, tmp_path):
+    """FIM rides the loop (sentinels land in the windows under a
+    100% rate) and a stream-created sidecar pins the scale-safe
+    bigint fingerprint types."""
+    from streaming_parquet_spark.operators.pipeline import (
+        read_token_shards,
+    )
+    from streaming_parquet_spark.streaming.shards import shard_ingest_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "shards")
+    vocab = _shard_vocab(spark)
+    _shard_docs(spark, 0, 12).coalesce(1).write.mode("append").parquet(src)
+    r = shard_ingest_stream(
+        spark, src, out, str(tmp_path / "ckpt"), vocab, _shard_encode,
+        budget=32, fim=dict(pre_id=2, mid_id=3, suf_id=4, rate_pct=100),
+    )
+    assert r.batches == [0] and r.shards_written == ["wave-00000000"]
+    shards, contract = read_token_shards(spark, out, vocab_ids=vocab)
+    toks = shards.select(
+        F.explode(F.slice("ids", 1, F.col("n_tokens"))).alias("t")
+    )
+    present = {r["t"] for r in toks.distinct().collect()}
+    assert {2, 3, 4} <= present  # every doc was FIM-arranged
+    # the first stream position is the first doc's <fim_prefix>
+    first = shards.where("win = 0").first()
+    assert first["ids"][0] == 2
+    side = spark.read.parquet(os.path.join(out, "_manifest"))
+    t = dict(side.dtypes)
+    assert t["vocab_fp_a"] == "bigint" and t["vocab_size"] == "bigint"
