@@ -1794,3 +1794,100 @@ def fim_transform(
         out_col,
         F.when(F.col(applied_col), arranged).otherwise(F.col(ids_col)),
     )
+
+
+def assign_shards_to_ranks(
+    manifest: DataFrame,
+    world_size: int,
+    weight_col: str = "n_tokens",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic balanced assignment of training shards to
+    data-parallel trainer ranks: LPT greedy (longest-processing-time —
+    heaviest shard first onto the least-loaded rank, ties to the
+    lowest rank), the classic 4/3-approximation whose per-rank token
+    loads provably stay within one shard of each other
+    (max_load <= min_load + max(weight): when the heaviest-loaded
+    rank received its last shard it was the LIGHTEST — every test
+    pins this bound).  Output: (shard, rank, weight), every input
+    shard exactly once, ranks in [0, world_size).
+
+    Deterministic and COORDINATION-FREE: the assignment is a pure
+    function of (manifest contents, world_size) — every rank
+    recomputes it locally from the shared sidecar and reads only its
+    own shards (:func:`read_rank_shards`); no assignment service, no
+    shared mutable state.  Elastic: a changed ``world_size`` is just
+    a recompute — shards never rewrite.
+
+    Scale: one collect of the MANIFEST (one row per shard — ~10^5
+    rows for 100 TB of GB-sized shards, driver-trivial like the
+    tokenizer vocab collects) and an O(n log n) greedy; the shard
+    DATA is never touched.  Null weights count 0; negative weights
+    and duplicate shard keys refuse."""
+    if int(world_size) <= 0:
+        raise ValueError(
+            f"assign_shards_to_ranks: world_size must be positive "
+            f"(got {world_size})"
+        )
+    rows = manifest.select(
+        F.col(shard_col).cast("string").alias("shard"),
+        F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)).alias("w"),
+    ).collect()
+    seen = set()
+    for r in rows:
+        if r["w"] < 0:
+            raise ValueError(
+                f"assign_shards_to_ranks: shard {r['shard']!r} has "
+                f"negative weight {r['w']}"
+            )
+        if r["shard"] in seen:
+            raise ValueError(
+                f"assign_shards_to_ranks: duplicate shard key "
+                f"{r['shard']!r} in the manifest"
+            )
+        seen.add(r["shard"])
+    import heapq
+
+    heap = [(0, rank) for rank in range(int(world_size))]
+    out = []
+    for r in sorted(rows, key=lambda r: (-r["w"], r["shard"])):
+        load, rank = heapq.heappop(heap)
+        out.append((r["shard"], rank, r["w"]))
+        heapq.heappush(heap, (load + r["w"], rank))
+    return manifest.sparkSession.createDataFrame(
+        out, "shard string, rank int, weight bigint"
+    )
+
+
+def read_rank_shards(
+    spark,
+    path: str,
+    rank: int,
+    world_size: int,
+    vocab_ids: DataFrame | None = None,
+) -> tuple[DataFrame, dict]:
+    """One trainer rank's slice of a persisted token-shard set:
+    recompute the :func:`assign_shards_to_ranks` assignment from the
+    ``_manifest`` sidecar (token-weighted, deterministic — every rank
+    agrees without coordination) and return
+    (:func:`read_token_shards` windows pruned to this rank's shards,
+    contract).  The filter is on the shard PARTITION column, so each
+    rank's scan touches only its own shard directories.  Union over
+    all ranks = the whole set, each window exactly once."""
+    if not (0 <= int(rank) < int(world_size)):
+        raise ValueError(
+            f"read_rank_shards: rank {rank} outside [0, {world_size})"
+        )
+    sidecar, contract = _read_shard_contract(spark, path)
+    if vocab_ids is not None:
+        _check_vocab(contract, vocab_ids, path, "read_rank_shards")
+    asg = assign_shards_to_ranks(sidecar, world_size)
+    mine = [
+        r["shard"] for r in asg.collect() if r["rank"] == int(rank)
+    ]
+    windows = spark.read.parquet(path).where(
+        F.col(contract["shard_col"]).cast("string").isin(mine)
+        if mine
+        else F.lit(False)
+    )
+    return windows, contract

@@ -5940,3 +5940,117 @@ def test_append_token_shards(spark, tmp_path):
         append_token_shards(wave("c", 30, 34), path, other)
     # nothing from the refused appends leaked onto disk
     assert read_token_shards(spark, path)[0].count() == allw.count()
+
+
+def test_assign_shards_to_ranks_property(spark):
+    """Hypothesis: for ANY weight multiset and world size the
+    assignment covers every shard exactly once, stays inside
+    [0, world), matches a pure-Python LPT reference bit-for-bit (the
+    determinism pin — every rank recomputes the same answer), and
+    holds the LPT balance bound max_load <= min_load + max_weight."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    import heapq
+
+    from streaming_parquet_spark.operators.pipeline import (
+        assign_shards_to_ranks,
+    )
+
+    def reference(weights, world):
+        heap = [(0, r) for r in range(world)]
+        out = {}
+        order = sorted(
+            ((w, f"s{i:03d}") for i, w in enumerate(weights)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for w, s in order:
+            load, rank = heapq.heappop(heap)
+            out[s] = rank
+            heapq.heappush(heap, (load + w, rank))
+        return out
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        weights=st.lists(st.integers(0, 500), min_size=1, max_size=24),
+        world=st.integers(1, 7),
+    )
+    def check(weights, world):
+        man = spark.createDataFrame(
+            [(f"s{i:03d}", w) for i, w in enumerate(weights)],
+            "shard string, n_tokens long",
+        )
+        got = {
+            r["shard"]: (r["rank"], r["weight"])
+            for r in assign_shards_to_ranks(man, world).collect()
+        }
+        assert sorted(got) == [f"s{i:03d}" for i in range(len(weights))]
+        assert all(0 <= v[0] < world for v in got.values())
+        assert {s: v[0] for s, v in got.items()} == reference(
+            weights, world
+        )
+        loads = [0] * world
+        for s, (rank, w) in got.items():
+            loads[rank] += w
+        if weights:
+            assert max(loads) <= min(loads) + max(weights)
+
+    check()
+
+
+def test_read_rank_shards_prunes_and_covers(spark, tmp_path):
+    """read_rank_shards: the union over all ranks is the whole shard
+    set with every window exactly once, each rank's scan filters on
+    the shard partition column, a world larger than the shard count
+    leaves the extra ranks empty (not erroring), and rank/vocab
+    misuse refuses."""
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        read_rank_shards,
+        write_token_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 5}", [(i * 7 + j) % 11 + 2 for j in range(9)])
+         for i in range(30)],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+    win = pack_token_windows(
+        docs, "toks", 16, order_col="doc_id", part_col="src", eos_id=1
+    )
+    path = str(tmp_path / "shards")
+    write_token_shards(
+        win, path, vocab, budget=16, shard_col="src", eos_id=1
+    )
+    total = win.count()
+    seen = []
+    for rank in range(3):
+        part, contract = read_rank_shards(spark, path, rank, 3, vocab)
+        assert contract["budget"] == 16
+        seen.extend(
+            (r["src"], r["win"]) for r in part.collect()
+        )
+    assert len(seen) == total and len(set(seen)) == total
+    # more ranks than shards: the extras read empty, never error
+    empties = 0
+    for rank in range(8):
+        part, _ = read_rank_shards(spark, path, rank, 8)
+        empties += int(part.count() == 0)
+    assert empties == 3  # 5 shards over 8 ranks
+    with pytest.raises(ValueError, match="outside"):
+        read_rank_shards(spark, path, 3, 3)
+    other = spark.createDataFrame(
+        [(0, "zz")], "id int, piece string"
+    )
+    with pytest.raises(ValueError, match="DIFFERENT vocabulary"):
+        read_rank_shards(spark, path, 0, 3, other)
