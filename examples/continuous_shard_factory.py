@@ -1,0 +1,172 @@
+"""The complete continuous training-data factory, end to end: raw
+document waves stream through quality filtering + exactly-once
+near-dup-deduplicated ingest into a corpus table, and the corpus
+table streams through a pinned tokenizer into a VERIFIED token-shard
+set that data-parallel trainer ranks read coordination-free — two
+checkpointed loops chained by a directory, which is exactly how the
+100 TB deployment composes (each loop scales by trigger sizing, and
+either side can restart/replay without duplicating a row or a
+window).
+
+  stage A  dedup_ingest_stream: Gopher-style prefilter -> within-
+           batch near-dup removal -> LSH-index probe -> survivors
+           delta-append into the corpus table (+ monitor rows)
+  freeze   fit BPE on the corpus SO FAR; freeze merges, ids, and the
+           FIM sentinels; persist both artifacts (the contract every
+           later wave encodes under)
+  stage B  shard_ingest_stream over the corpus table's directory:
+           encode (pinned artifact) -> FIM -> pack -> publish shards
+           under the sidecar contract
+  resume   new raw waves flow A -> corpus; rerunning B picks up only
+           the corpus files A appended (same checkpoints)
+  train    assign_shards_to_ranks + read_rank_shards: every rank
+           derives the same token-balanced assignment from the
+           sidecar and scans only its own shard directories
+
+Run: python examples/continuous_shard_factory.py [sf_dir] [workdir]
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streaming_parquet_spark.operators.dedup import write_lsh_index
+from streaming_parquet_spark.operators.pipeline import (
+    assign_shards_to_ranks,
+    read_rank_shards,
+    verify_token_shards,
+    with_causal_labels,
+)
+from streaming_parquet_spark.operators.text import with_quality
+from streaming_parquet_spark.operators.tokenize import (
+    apply_bpe,
+    apply_bpe_table,
+    fit_bpe_merges,
+    read_subword_ids,
+    subword_vocab,
+    write_bpe_merges,
+    write_subword_ids,
+)
+from streaming_parquet_spark.session import get_spark
+from streaming_parquet_spark.streaming.ingest import dedup_ingest_stream
+from streaming_parquet_spark.streaming.shards import shard_ingest_stream
+
+FIM = ("<fim_prefix>", "<fim_middle>", "<fim_suffix>")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/shard_factory"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    spark = get_spark(app_name="shard-factory", master="local[4]",
+                      shuffle_partitions=8)
+
+    corpus = "factory_corpus"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in (corpus, f"{corpus}_lsh_sets", f"{corpus}_lsh_bands",
+              f"{corpus}_monitor", "factory_bpe", "factory_ids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    half = docs.filter("doc_id % 2 = 0")
+
+    # ------------------------------------------------ stage A: corpus
+    # seed the LSH index on a sliver so the loop has something to
+    # probe from batch 0 (a cold start also works — see the tests)
+    seed = half.filter("doc_id % 20 = 0").select("doc_id", "text")
+    write_lsh_index(seed, f"{corpus}_lsh", num_hashes=16, bands=8)
+
+    raw = os.path.join(work, "raw")
+    half.write.mode("append").parquet(raw)
+
+    def prefilter(batch):
+        # the quality gate rides INSIDE the exactly-once loop:
+        # rejected docs never cost a probe (swap in classifier_filter
+        # or c4_clean_lines here)
+        q = with_quality(batch, "text")
+        return q.filter("quality_score >= 0.7").select(*batch.columns)
+
+    r = dedup_ingest_stream(
+        spark, raw, corpus, os.path.join(work, "ckpt_corpus"),
+        filter_fn=prefilter,
+        monitor_table=f"{corpus}_monitor",
+    )
+    print(f"A: {r.rows_in} raw -> {r.rows_kept} kept "
+          f"({r.rows_filtered} quality-rejected)")
+
+    # --------------------------------------- freeze tokenizer + vocab
+    corpus_df = spark.table(corpus)
+    merges = fit_bpe_merges(corpus_df, n_merges=64)
+    enc = apply_bpe(corpus_df, merges).persist()
+    ids = subword_vocab(enc, "bpe_tokens", extra_specials=FIM)
+    enc.unpersist()
+    write_bpe_merges(merges, "factory_bpe")
+    write_subword_ids(ids, "factory_ids")
+    ids, _pad, _unk = read_subword_ids(spark, "factory_ids")
+
+    # ----------------------------------------------- stage B: shards
+    # the corpus table's DIRECTORY is stage B's stream source: stage A
+    # appends parquet files there, stage B's checkpoint remembers
+    # which it has already packed
+    corpus_dir = os.path.join(warehouse, corpus)
+    shards = os.path.join(work, "shards")
+
+    def encode(batch):
+        out = apply_bpe_table(batch, "factory_bpe", ids=ids)
+        return out.select(
+            "doc_id", F.col("bpe_tokens_ids").alias("ids")
+        )
+
+    rb = shard_ingest_stream(
+        spark, corpus_dir, shards, os.path.join(work, "ckpt_shards"),
+        ids, encode, budget=256, eos_id=1,
+        fim=dict(pre_id=2, mid_id=3, suf_id=4, rate_pct=50),
+    )
+    print(f"B: {rb.rows_in} corpus docs -> {rb.windows_written} windows "
+          f"in shards {rb.shards_written}")
+
+    # ------------------------------------------------ new raw wave
+    other = docs.filter("doc_id % 2 = 1")
+    other.write.mode("append").parquet(raw)
+    r2 = dedup_ingest_stream(
+        spark, raw, corpus, os.path.join(work, "ckpt_corpus"),
+        filter_fn=prefilter,
+        monitor_table=f"{corpus}_monitor",
+    )
+    rb2 = shard_ingest_stream(
+        spark, corpus_dir, shards, os.path.join(work, "ckpt_shards"),
+        ids, encode, budget=256, eos_id=1,
+        fim=dict(pre_id=2, mid_id=3, suf_id=4, rate_pct=50),
+    )
+    print(f"resume: +{r2.rows_kept} corpus docs -> "
+          f"+{rb2.windows_written} windows in {rb2.shards_written}")
+
+    # ------------------------------------------------ verify + train
+    bad = verify_token_shards(spark, shards).filter("NOT ok").count()
+    print(f"verify: {bad} bad shards")
+    sidecar = spark.read.parquet(os.path.join(shards, "_manifest"))
+    asg = assign_shards_to_ranks(sidecar, 4)
+    loads = (
+        asg.groupBy("rank").agg(F.sum("weight").alias("tokens"))
+        .orderBy("rank").collect()
+    )
+    print("rank token loads:", [(r["rank"], r["tokens"]) for r in loads])
+    n = 0
+    for rank in range(4):
+        part, contract = read_rank_shards(spark, shards, rank, 4, ids)
+        n += with_causal_labels(part).count()
+    total = spark.read.parquet(shards).count()
+    print(f"ranks read {n} windows of {total} (each exactly once)")
+    assert bad == 0 and n == total
+
+
+if __name__ == "__main__":
+    main()
