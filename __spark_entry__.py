@@ -64,12 +64,16 @@ _RESHAPED_IN = {
     # r9 family merges (registry stays at 100 so the 50-row budget
     # keeps the 2-round refresh): drift/windows/report branches
     "text_class_stats": 9,        # + batch_drift branch
-    "pipeline_pack_sequences": 9,  # + materialized-windows branch
     "rel_skew_family": 9,          # + skew_report branch
     # r10: + FIM leg (fim_applied / n_fim_ids / fim_ids) — the query
     # was r8-green and due in r10 regardless, so this reshape costs
     # the rotation nothing
     "pipeline_end_to_end": 10,
+    # r10: + stream_shards branch (the continuous shard producer's
+    # windows must hash-match the batch packer's DuckDB oracle) — an
+    # r9-green row re-proves one round early; the displaced tail query
+    # slips one round, the documented reshape cost
+    "pipeline_pack_sequences": 10,
 }
 
 

@@ -1218,6 +1218,82 @@ def _pack_windows_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING shard producer inside the oracle gate: documents
+    flow through streaming.shards.shard_ingest_stream (file source ->
+    encode -> pack -> publish under the sidecar contract), the
+    persisted shard set reads back, and labels recompute at read time
+    (with_causal_labels) — projected to the exact shape of the batch
+    windows branch, so the SAME DuckDB packing oracle certifies that
+    the continuous producer and the batch packer emit identical
+    trainable windows (stream/batch parity through an independent
+    engine).  Deterministic re-entry: the workdir/checkpoint are keyed
+    per (process, source), so a second call in one process resumes
+    the checkpointed stream, finds no new files, and reads back the
+    same set."""
+    import shutil as _shutil
+
+    from streaming_parquet_spark.operators.pipeline import (
+        read_token_shards,
+        with_causal_labels,
+    )
+    from streaming_parquet_spark.queries_tpch import _stream_workdir
+    from streaming_parquet_spark.streaming.shards import (
+        shard_ingest_stream,
+    )
+
+    work = _stream_workdir("maw_shardq_", sf_dir)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged = os.path.join(src_dir, "documents.parquet")
+    if not os.path.exists(staged):
+        try:  # hardlink (same fs) to give the file-stream source a dir
+            os.link(src, staged)
+        except OSError:
+            _shutil.copy(src, staged)
+    # the vocabulary pin: word-hash ids have no fitted vocab, so pin a
+    # fixed sentinel table — what the contract protects against is a
+    # LATER read under a different pin, which the fixed frame models
+    vocab = spark.createDataFrame(
+        [(0, "<pad>"), (1, "<unk>")], "id int, piece string"
+    )
+    words = (
+        f"filter({ordered_words_expr('spark', 'text')}, w -> w != '')"
+    )
+
+    def encode(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            F.col("source"),
+            F.col("doc_id"),
+            F.expr(word_hashes_expr("spark", words)).alias("tok"),
+        )
+
+    shard_ingest_stream(
+        spark, src_dir, os.path.join(work, "shards"),
+        os.path.join(work, "ckpt"), vocab, encode,
+        budget=64, ids_col="tok", part_col="source", pad_id=0,
+    )
+    wins, _contract = read_token_shards(
+        spark, os.path.join(work, "shards"), vocab_ids=vocab
+    )
+    packed = with_causal_labels(wins)
+    return packed.select(
+        "source",
+        "win",
+        F.array_join(
+            F.expr("transform(ids, x -> CAST(x AS STRING))"), "-"
+        ).alias("ids_csv"),
+        F.array_join(
+            F.expr("transform(labels, x -> CAST(x AS STRING))"), "-"
+        ).alias("labels_csv"),
+        "n_tokens",
+        F.array_join(
+            F.expr("transform(doc_starts, x -> CAST(x AS STRING))"), "-"
+        ).alias("doc_starts_csv"),
+    )
+
+
 def _duck_pack_family() -> str:
     return f"""
     SELECT 'bins' AS kind, lang AS key, bin AS seq,
@@ -1228,6 +1304,13 @@ def _duck_pack_family() -> str:
     FROM ({_DUCK_PACK_BINS})
     UNION ALL
     SELECT 'windows' AS kind, source, win, n_tokens,
+           CAST(NULL AS BIGINT), ids_csv, labels_csv, doc_starts_csv
+    FROM ({_duck_pack_windows()})
+    UNION ALL
+    -- the streaming producer must land EXACTLY the batch packer's
+    -- windows (one wave: the staged source is one file), so its
+    -- oracle IS the windows oracle under a different kind
+    SELECT 'stream_shards' AS kind, source, win, n_tokens,
            CAST(NULL AS BIGINT), ids_csv, labels_csv, doc_starts_csv
     FROM ({_duck_pack_windows()})
     """
@@ -1247,9 +1330,14 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       zero-padded, with next-token labels (-100 masking) and
       document-boundary slots, rendered as canonical strings for the
       driver's scalar value hash.
+    - kind='stream_shards' (r10): the same documents produced by the
+      CONTINUOUS path — streaming.shards.shard_ingest_stream publishes
+      a verified shard set, the set reads back, labels recompute at
+      read time; the branch must hash-match the windows oracle row
+      for row (stream/batch parity certified by DuckDB).
 
-    (key, seq, n) are non-null in both branches; m is the bins
-    branch's token sum, the csv payloads are the windows branch's."""
+    (key, seq, n) are non-null in all branches; m is the bins
+    branch's token sum, the csv payloads are the window branches'."""
     snull = F.lit(None).cast("string")
     bins = _pack_bins_branch(spark, sf_dir).select(
         F.lit("bins").alias("kind"), F.col("lang").alias("key"),
@@ -1257,13 +1345,20 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin_tokens").alias("m"), snull.alias("ids_csv"),
         snull.alias("labels_csv"), snull.alias("doc_starts_csv"),
     )
-    wins = _pack_windows_branch(spark, sf_dir).select(
-        F.lit("windows").alias("kind"), F.col("source").alias("key"),
-        F.col("win").alias("seq"), F.col("n_tokens").alias("n"),
-        F.lit(None).cast("bigint").alias("m"),
-        "ids_csv", "labels_csv", "doc_starts_csv",
+
+    def winshape(df: DataFrame, kind: str) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"), F.col("source").alias("key"),
+            F.col("win").alias("seq"), F.col("n_tokens").alias("n"),
+            F.lit(None).cast("bigint").alias("m"),
+            "ids_csv", "labels_csv", "doc_starts_csv",
+        )
+
+    wins = winshape(_pack_windows_branch(spark, sf_dir), "windows")
+    streamed = winshape(
+        _stream_shards_branch(spark, sf_dir), "stream_shards"
     )
-    return bins.unionByName(wins)
+    return bins.unionByName(wins).unionByName(streamed)
 
 
 def _duck_semantic_dedup(threshold: float, n_centroids: int, dims: int) -> str:
