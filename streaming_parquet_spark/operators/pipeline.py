@@ -420,6 +420,116 @@ def with_completion_labels(
     return df.withColumn(out_col, labels)
 
 
+def assemble_turns(
+    df: DataFrame,
+    turns_col: str,
+    ids_out: str = "ids",
+    spans_out: str = "loss_spans",
+    n_tokens_out: str = "n_tokens",
+    loss_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """Assemble a multi-turn conversation into ONE training example:
+    ``turns_col`` is an ``array<struct<role:string, ids:array<T>>>``
+    (each turn already tokenized, role markers included in its ids —
+    the chat template is the tokenizer's business, not this op's);
+    the turns' id arrays concatenate in order into ``ids_out``, and
+    every turn whose role is in ``loss_roles`` contributes one
+    [start, end) span (token positions in the assembled example) to
+    ``spans_out`` — the loss regions :func:`with_span_labels` masks
+    to.  Empty and null turn id arrays occupy zero positions and
+    contribute no span.
+
+    This is the multi-turn generalization of the prompt/completion
+    arrangement: SFT on conversations trains loss on ASSISTANT turns
+    only, while user/system/tool turns are attended to but never
+    targets — one span per assistant turn, however many the
+    conversation has.
+
+    Plan: one ``F.aggregate`` over the turns array per row — a
+    stateless JVM projection, no UDF, no shuffle, free at any scale
+    (conversations are row-local by construction)."""
+    field = {f.name: f for f in df.schema[turns_col].dataType.elementType}
+    if "role" not in field or "ids" not in field:
+        raise ValueError(
+            f"assemble_turns: {turns_col!r} elements need 'role' and "
+            f"'ids' fields (got {sorted(field)})"
+        )
+    ids_t = field["ids"].dataType.simpleString()
+    roles = F.array(*[F.lit(r) for r in loss_roles])
+    acc0 = F.struct(
+        F.expr(f"CAST(array() AS {ids_t})").alias("ids"),
+        F.expr(
+            "CAST(array() AS array<struct<start:int,end:int>>)"
+        ).alias("spans"),
+    )
+    n = lambda t: F.coalesce(F.size(t["ids"]), F.lit(0))  # noqa: E731
+
+    def step(acc, t):
+        at = F.size(acc["ids"])
+        span = F.struct(
+            at.alias("start"), (at + n(t)).cast("int").alias("end")
+        )
+        return F.struct(
+            F.when(n(t) > 0, F.concat(acc["ids"], t["ids"]))
+            .otherwise(acc["ids"])
+            .alias("ids"),
+            F.when(
+                F.array_contains(roles, t["role"]) & (n(t) > 0),
+                F.concat(acc["spans"], F.array(span)),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    agg = F.aggregate(F.col(turns_col), acc0, step)
+    return (
+        df.withColumn("__asm", agg)
+        .withColumn(ids_out, F.col("__asm")["ids"])
+        .withColumn(spans_out, F.col("__asm")["spans"])
+        .withColumn(
+            n_tokens_out, F.size(ids_out).cast("bigint")
+        )
+        .drop("__asm")
+    )
+
+
+def with_span_labels(
+    df: DataFrame,
+    spans_col: str,
+    ids_col: str = "ids",
+    n_tokens_col: str = "n_tokens",
+    out_col: str = "labels",
+    ignore_index: int = -100,
+) -> DataFrame:
+    """Span-masked next-token labels — the multi-turn generalization
+    of :func:`with_completion_labels`: ``labels[i] = ids[i+1]`` only
+    where the TARGET position ``i+1`` falls inside one of the
+    [start, end) loss spans (and is still a real token); everything
+    else — non-loss turns, each span's final transition into a
+    non-loss region, padding — masks to ``ignore_index``.  A single
+    span [prompt_len, n_tokens) reproduces completion-only labels
+    exactly (pinned by test).
+
+    The model still ATTENDS everywhere; masking is loss-side only.
+    One JVM array transform with an EXISTS over the row's spans per
+    position (spans are per-conversation, single digits — row-local
+    work, no UDF, no shuffle)."""
+    elem_t = df.schema[ids_col].dataType.elementType
+    ign = F.lit(int(ignore_index)).cast(elem_t)
+    in_span = lambda pos: F.exists(  # noqa: E731
+        F.col(spans_col),
+        lambda s: (pos >= s["start"]) & (pos < s["end"]),
+    )
+    labels = F.transform(
+        F.col(ids_col),
+        lambda x, i: F.when(
+            (i + 1 < F.col(n_tokens_col)) & in_span(i + 1),
+            F.element_at(F.col(ids_col), (i + 2).cast("int")),
+        ).otherwise(ign),
+    )
+    return df.withColumn(out_col, labels)
+
+
 #: Purpose salt for stratified sampling — distinct from the unseeded
 #: (seed=0) hash used by hash_sample/with_split so composing a stratum
 #: filter with a later split over the same id stays unbiased (see

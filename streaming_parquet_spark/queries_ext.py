@@ -1294,6 +1294,133 @@ def _stream_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_chat_labels() -> str:
+    """Multi-turn SFT oracle: every 7th document is a turn (three
+    consecutive kept docs = one conversation; the middle turn is the
+    assistant), assembled into one id stream per conversation with
+    loss spans over assistant turns.  The span-masked label rule
+    collapses to lead(role): position p+1 is a loss target iff the
+    token AT p+1 belongs to an assistant turn — zero-length turns own
+    no positions, so the window formulation and the explicit
+    span-exists test agree by construction."""
+    words = (
+        f"list_filter({ordered_words_expr('duckdb', 'text')},"
+        f" w -> w <> '')"
+    )
+    ids = word_hashes_expr("duckdb", words)
+    return f"""
+    WITH turns AS (
+      SELECT source, doc_id, (doc_id // 7) // 3 AS cid,
+             CASE WHEN (doc_id // 7) % 3 = 1 THEN 'assistant'
+                  ELSE 'user' END AS role,
+             {ids} AS ids
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    offs AS (
+      SELECT *, SUM(len(ids)) OVER (PARTITION BY source, cid
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len(ids)
+               AS off
+      FROM turns
+    ),
+    tok AS (
+      SELECT source, cid, role, off + u.ord - 1 AS gpos, u.id
+      FROM offs, LATERAL (SELECT unnest(ids) AS id,
+                          generate_subscripts(ids, 1) AS ord) u
+    ),
+    lab AS (
+      SELECT source, cid, gpos, id,
+             CASE WHEN lead(role) OVER w = 'assistant'
+                  THEN lead(id) OVER w ELSE -100 END AS label
+      FROM tok
+      WINDOW w AS (PARTITION BY source, cid ORDER BY gpos)
+    ),
+    spans AS (
+      SELECT source, cid,
+             list(CAST(off AS BIGINT) || ':' ||
+                  CAST(off + len(ids) AS BIGINT)
+                  ORDER BY off) AS sp
+      FROM offs WHERE role = 'assistant' AND len(ids) > 0
+      GROUP BY source, cid
+    ),
+    conv AS (
+      SELECT source, cid,
+             array_to_string(list(id ORDER BY gpos), '-') AS ids_csv,
+             array_to_string(list(label ORDER BY gpos), '-')
+               AS labels_csv,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM lab GROUP BY source, cid
+    )
+    SELECT c.source, c.cid, c.ids_csv, c.labels_csv, c.n_tokens,
+           coalesce(array_to_string(coalesce(s.sp, []), '-'), '')
+             AS spans_csv
+    FROM conv c LEFT JOIN spans s
+      ON c.source = s.source AND c.cid = s.cid
+    """
+
+
+def _chat_labels_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn chat SFT through the REAL operators
+    (operators.pipeline.assemble_turns + with_span_labels): the same
+    every-7th-doc conversations, turns collected per conversation in
+    doc_id order, assembled ids / assistant loss spans / span-masked
+    labels rendered as canonical strings for the driver's scalar
+    hash.  Conversations with zero tokens drop on both sides (no
+    token stream -> no conv row)."""
+    from streaming_parquet_spark.operators.pipeline import (
+        assemble_turns,
+        with_span_labels,
+    )
+
+    words = (
+        f"filter({ordered_words_expr('spark', 'text')}, w -> w != '')"
+    )
+    k = (F.col("doc_id") / 7).cast("bigint")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            "source",
+            "doc_id",
+            (k / 3).cast("bigint").alias("cid"),
+            F.when((k % 3) == 1, F.lit("assistant"))
+            .otherwise(F.lit("user"))
+            .alias("role"),
+            F.expr(word_hashes_expr("spark", words)).alias("ids"),
+        )
+    )
+    convs = d.groupBy("source", "cid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "role", "ids"))
+            ),
+            lambda t: F.struct(
+                t["role"].alias("role"), t["ids"].alias("ids")
+            ),
+        ).alias("turns")
+    )
+    out = with_span_labels(
+        assemble_turns(convs, "turns"), "loss_spans"
+    )
+    return out.where(F.col("n_tokens") > 0).select(
+        "source",
+        "cid",
+        F.array_join(
+            F.expr("transform(ids, x -> CAST(x AS STRING))"), "-"
+        ).alias("ids_csv"),
+        F.array_join(
+            F.expr("transform(labels, x -> CAST(x AS STRING))"), "-"
+        ).alias("labels_csv"),
+        "n_tokens",
+        F.array_join(
+            F.expr(
+                "transform(loss_spans, s -> concat("
+                "CAST(s.start AS STRING), ':', CAST(s.end AS STRING)))"
+            ),
+            "-",
+        ).alias("spans_csv"),
+    )
+
+
 def _duck_pack_family() -> str:
     return f"""
     SELECT 'bins' AS kind, lang AS key, bin AS seq,
@@ -1313,6 +1440,13 @@ def _duck_pack_family() -> str:
     SELECT 'stream_shards' AS kind, source, win, n_tokens,
            CAST(NULL AS BIGINT), ids_csv, labels_csv, doc_starts_csv
     FROM ({_duck_pack_windows()})
+    UNION ALL
+    -- multi-turn SFT: the doc_starts_csv slot carries the assistant
+    -- loss spans as 'start:end' (the turn-boundary analog)
+    SELECT 'chat' AS kind, source, cid, n_tokens,
+           CAST(NULL AS BIGINT), ids_csv, labels_csv,
+           spans_csv AS doc_starts_csv
+    FROM ({_duck_chat_labels()})
     """
 
 
@@ -1335,6 +1469,9 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       a verified shard set, the set reads back, labels recompute at
       read time; the branch must hash-match the windows oracle row
       for row (stream/batch parity certified by DuckDB).
+    - kind='chat' (r10): multi-turn SFT — every-7th-doc conversations
+      assembled by assemble_turns, loss masked to assistant spans by
+      with_span_labels; doc_starts_csv carries the 'start:end' spans.
 
     (key, seq, n) are non-null in all branches; m is the bins
     branch's token sum, the csv payloads are the window branches'."""
@@ -1358,7 +1495,14 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed = winshape(
         _stream_shards_branch(spark, sf_dir), "stream_shards"
     )
-    return bins.unionByName(wins).unionByName(streamed)
+    chat = _chat_labels_branch(spark, sf_dir).select(
+        F.lit("chat").alias("kind"), F.col("source").alias("key"),
+        F.col("cid").alias("seq"), F.col("n_tokens").alias("n"),
+        F.lit(None).cast("bigint").alias("m"),
+        "ids_csv", "labels_csv",
+        F.col("spans_csv").alias("doc_starts_csv"),
+    )
+    return bins.unionByName(wins).unionByName(streamed).unionByName(chat)
 
 
 def _duck_semantic_dedup(threshold: float, n_centroids: int, dims: int) -> str:

@@ -6054,3 +6054,97 @@ def test_read_rank_shards_prunes_and_covers(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="DIFFERENT vocabulary"):
         read_rank_shards(spark, path, 0, 3, other)
+
+
+def test_assemble_turns_span_labels_property(spark):
+    """Hypothesis: for ANY conversation shape (empty/null turn id
+    arrays, any role mix, adjacent assistant turns, assistant-first /
+    assistant-last), assemble_turns + with_span_labels reproduce a
+    pure-Python reference — assembled ids, loss spans, and the
+    span-masked next-token labels; and a single [prompt_len,
+    n_tokens) span reproduces with_completion_labels bit-for-bit."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.pipeline import (
+        assemble_turns,
+        with_completion_labels,
+        with_span_labels,
+    )
+
+    ROLES = ["system", "user", "assistant", "tool"]
+    turns_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(ROLES),
+            st.one_of(
+                st.none(),
+                st.lists(st.integers(1, 99), min_size=0, max_size=5),
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    def reference(turns, ign=-100):
+        ids, spans = [], []
+        for role, tids in turns:
+            if not tids:
+                continue
+            if role == "assistant":
+                spans.append((len(ids), len(ids) + len(tids)))
+            ids.extend(tids)
+        lab = [
+            ids[i + 1]
+            if i + 1 < len(ids)
+            and any(s <= i + 1 < e for s, e in spans)
+            else ign
+            for i in range(len(ids))
+        ]
+        return ids, spans, lab
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(convs=st.lists(turns_strategy, min_size=1, max_size=4))
+    def check(convs):
+        df = spark.createDataFrame(
+            [(i, [(r, t) for r, t in c]) for i, c in enumerate(convs)],
+            "cid int, turns array<struct<role:string, ids:array<int>>>",
+        )
+        got = {
+            r["cid"]: (
+                r["ids"],
+                [(s["start"], s["end"]) for s in r["loss_spans"]],
+                r["labels"],
+            )
+            for r in with_span_labels(
+                assemble_turns(df, "turns"), "loss_spans"
+            ).collect()
+        }
+        want = {i: reference(c) for i, c in enumerate(convs)}
+        assert got == want, convs
+
+    check()
+
+    # the single-span degenerate case IS completion-only labels
+    ex = spark.createDataFrame(
+        [([5, 6, 7, 8, 9, 0, 0], 5, 2)],
+        "ids array<int>, n_tokens long, plen int",
+    )
+    a = with_completion_labels(ex, "plen").first()["labels"]
+    b = with_span_labels(
+        ex.withColumn(
+            "sp",
+            F.expr(
+                "array(struct(plen AS start,"
+                " CAST(n_tokens AS INT) AS end))"
+            ),
+        ),
+        "sp",
+    ).first()["labels"]
+    assert a == b
