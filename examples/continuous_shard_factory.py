@@ -55,7 +55,11 @@ from streaming_parquet_spark.session import get_spark
 from streaming_parquet_spark.streaming.ingest import dedup_ingest_stream
 from streaming_parquet_spark.streaming.shards import shard_ingest_stream
 
-FIM = ("<fim_prefix>", "<fim_middle>", "<fim_suffix>")
+# reserved at vocabulary freeze: FIM sentinels get ids 2/3/4 and the
+# document separator id 5 — ids tokenization can NEVER emit (eos=1
+# would collide with <unk>, making post-freeze unknowns look like
+# document boundaries)
+SPECIALS = ("<fim_prefix>", "<fim_middle>", "<fim_suffix>", "<eos>")
 
 
 def main():
@@ -106,7 +110,7 @@ def main():
     corpus_df = spark.table(corpus)
     merges = fit_bpe_merges(corpus_df, n_merges=64)
     enc = apply_bpe(corpus_df, merges).persist()
-    ids = subword_vocab(enc, "bpe_tokens", extra_specials=FIM)
+    ids = subword_vocab(enc, "bpe_tokens", extra_specials=SPECIALS)
     enc.unpersist()
     write_bpe_merges(merges, "factory_bpe")
     write_subword_ids(ids, "factory_ids")
@@ -127,7 +131,7 @@ def main():
 
     rb = shard_ingest_stream(
         spark, corpus_dir, shards, os.path.join(work, "ckpt_shards"),
-        ids, encode, budget=256, eos_id=1,
+        ids, encode, budget=256, eos_id=5,
         fim=dict(pre_id=2, mid_id=3, suf_id=4, rate_pct=50),
     )
     print(f"B: {rb.rows_in} corpus docs -> {rb.windows_written} windows "
@@ -143,7 +147,7 @@ def main():
     )
     rb2 = shard_ingest_stream(
         spark, corpus_dir, shards, os.path.join(work, "ckpt_shards"),
-        ids, encode, budget=256, eos_id=1,
+        ids, encode, budget=256, eos_id=5,
         fim=dict(pre_id=2, mid_id=3, suf_id=4, rate_pct=50),
     )
     print(f"resume: +{r2.rows_kept} corpus docs -> "

@@ -1934,39 +1934,64 @@ def assign_shards_to_ranks(
     tokenizer vocab collects) and an O(n log n) greedy; the shard
     DATA is never touched.  Null weights count 0; negative weights
     and duplicate shard keys refuse."""
+    pairs = [
+        (r["shard"], r["w"])
+        for r in manifest.select(
+            F.col(shard_col).cast("string").alias("shard"),
+            F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)).alias(
+                "w"
+            ),
+        ).collect()
+    ]
+    return manifest.sparkSession.createDataFrame(
+        _lpt_assign(pairs, world_size),
+        "shard string, rank int, weight bigint",
+    )
+
+
+def _lpt_assign(
+    pairs: list, world_size: int
+) -> list:
+    """The pure LPT greedy :func:`assign_shards_to_ranks` documents,
+    shared with :func:`read_rank_shards` (which needs the assignment
+    driver-local and must not round-trip it through a DataFrame):
+    [(shard, rank, weight)] from [(shard, weight)]."""
     if int(world_size) <= 0:
         raise ValueError(
             f"assign_shards_to_ranks: world_size must be positive "
             f"(got {world_size})"
         )
-    rows = manifest.select(
-        F.col(shard_col).cast("string").alias("shard"),
-        F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)).alias("w"),
-    ).collect()
     seen = set()
-    for r in rows:
-        if r["w"] < 0:
+    for shard, w in pairs:
+        if w < 0:
             raise ValueError(
-                f"assign_shards_to_ranks: shard {r['shard']!r} has "
-                f"negative weight {r['w']}"
+                f"assign_shards_to_ranks: shard {shard!r} has "
+                f"negative weight {w}"
             )
-        if r["shard"] in seen:
+        if shard in seen:
             raise ValueError(
                 f"assign_shards_to_ranks: duplicate shard key "
-                f"{r['shard']!r} in the manifest"
+                f"{shard!r} in the manifest"
             )
-        seen.add(r["shard"])
+        seen.add(shard)
     import heapq
 
     heap = [(0, rank) for rank in range(int(world_size))]
     out = []
-    for r in sorted(rows, key=lambda r: (-r["w"], r["shard"])):
+    for shard, w in sorted(pairs, key=lambda p: (-p[1], p[0])):
         load, rank = heapq.heappop(heap)
-        out.append((r["shard"], rank, r["w"]))
-        heapq.heappush(heap, (load + r["w"], rank))
-    return manifest.sparkSession.createDataFrame(
-        out, "shard string, rank int, weight bigint"
-    )
+        out.append((shard, rank, w))
+        heapq.heappush(heap, (load + w, rank))
+    return out
+
+
+def latest_shard_key(spark, path: str) -> str:
+    """The lexicographically greatest shard key in a set's sidecar —
+    what a training LAUNCHER pins as the ``snapshot`` every rank then
+    passes to :func:`read_rank_shards` (streamed wave keys sort by
+    batch number, so 'latest' is also newest)."""
+    sidecar, _ = _read_shard_contract(spark, path)
+    return max(r["shard"] for r in sidecar.select("shard").collect())
 
 
 def read_rank_shards(
@@ -1975,6 +2000,7 @@ def read_rank_shards(
     rank: int,
     world_size: int,
     vocab_ids: DataFrame | None = None,
+    snapshot: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """One trainer rank's slice of a persisted token-shard set:
     recompute the :func:`assign_shards_to_ranks` assignment from the
@@ -1983,7 +2009,18 @@ def read_rank_shards(
     (:func:`read_token_shards` windows pruned to this rank's shards,
     contract).  The filter is on the shard PARTITION column, so each
     rank's scan touches only its own shard directories.  Union over
-    all ranks = the whole set, each window exactly once."""
+    all ranks = the whole set, each window exactly once.
+
+    ``snapshot``: the assignment is a pure function of the WHOLE
+    sidecar, so ranks reading around a concurrent producer append
+    would compute assignments over different manifests — one heavy
+    new shard can reshuffle the greedy globally, double-reading some
+    shards and orphaning others.  Pin it: the launcher takes
+    :func:`latest_shard_key` once and passes the same value to every
+    rank; only shard keys <= ``snapshot`` participate, so later
+    appends are invisible to this run.  Omit ``snapshot`` only when
+    the producer is quiescent (and nothing enforces that — prefer
+    pinning)."""
     if not (0 <= int(rank) < int(world_size)):
         raise ValueError(
             f"read_rank_shards: rank {rank} outside [0, {world_size})"
@@ -1991,9 +2028,26 @@ def read_rank_shards(
     sidecar, contract = _read_shard_contract(spark, path)
     if vocab_ids is not None:
         _check_vocab(contract, vocab_ids, path, "read_rank_shards")
-    asg = assign_shards_to_ranks(sidecar, world_size)
+    pairs = [
+        (r["shard"], r["w"])
+        for r in sidecar.select(
+            F.col("shard").cast("string").alias("shard"),
+            F.coalesce(F.col("n_tokens").cast("bigint"), F.lit(0)).alias(
+                "w"
+            ),
+        ).collect()
+    ]
+    if snapshot is not None:
+        pairs = [p for p in pairs if p[0] <= snapshot]
+        if not pairs:
+            raise ValueError(
+                f"read_rank_shards: snapshot {snapshot!r} precedes "
+                f"every shard key in {path!r}"
+            )
     mine = [
-        r["shard"] for r in asg.collect() if r["rank"] == int(rank)
+        shard
+        for shard, r, _w in _lpt_assign(pairs, world_size)
+        if r == int(rank)
     ]
     windows = spark.read.parquet(path).where(
         F.col(contract["shard_col"]).cast("string").isin(mine)

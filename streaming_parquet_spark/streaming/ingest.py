@@ -242,7 +242,13 @@ def _run_ingest(
     from pyspark.errors import AnalysisException
 
     try:
-        schema = spark.read.parquet(source_dir).schema
+        # same glob as the stream below: a README or writer temp file
+        # beside the data must not fail the schema probe
+        schema = (
+            spark.read.option("pathGlobFilter", "*.parquet")
+            .parquet(source_dir)
+            .schema
+        )
     except AnalysisException as exc:
         # an empty / not-yet-populated source: zero batches is the
         # correct cold-start answer, not an inference error — the

@@ -120,23 +120,25 @@ def _disk_wave_manifest(
     bspark: SparkSession, path: str, keys: list[str]
 ) -> dict:
     """{shard: (n_windows, n_tokens, fp_a, fp_b)} for whichever of
-    ``keys`` have data on disk — one partition-pruned scan of the
-    wave's own shard directories ({} when the path holds no data at
-    all)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        scanned = bspark.read.parquet(path)
-    except AnalysisException as exc:
-        marker = (
-            getattr(exc, "getCondition", exc.getErrorClass)() or ""
-        ) + " " + str(exc)
-        if "PATH_NOT_FOUND" in marker or "UNABLE_TO_INFER_SCHEMA" in marker:
-            return {}
-        raise
+    ``keys`` have data on disk — existence-probed and read per shard
+    DIRECTORY (``basePath``-scoped), so the per-batch cost is O(wave),
+    never a partition discovery of the whole shard set ({} when none
+    of the wave's directories exist)."""
+    jvm = bspark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        bspark._jsc.hadoopConfiguration()
+    )
+    dirs = [
+        f"{path}/{_SHARD}={k}"
+        for k in keys
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_SHARD}={k}"))
+    ]
+    if not dirs:
+        return {}
+    scanned = bspark.read.option("basePath", path).parquet(*dirs)
     got = token_shard_manifest(
-        scanned.where(F.col(_SHARD).isin(keys)),
-        _SHARD, _WIN, _IDS, _NTOK, _STARTS,
+        scanned, _SHARD, _WIN, _IDS, _NTOK, _STARTS
     ).collect()
     return {
         r["shard"]: (r["n_windows"], r["n_tokens"], r["fp_a"], r["fp_b"])
@@ -195,7 +197,13 @@ def shard_ingest_stream(
     from pyspark.errors import AnalysisException
 
     try:
-        schema = spark.read.parquet(source_dir).schema
+        # same glob as the stream below: a README or writer temp file
+        # beside the data must not fail the schema probe
+        schema = (
+            spark.read.option("pathGlobFilter", "*.parquet")
+            .parquet(source_dir)
+            .schema
+        )
     except AnalysisException as exc:
         # cold start: an empty / not-yet-delivered source means zero
         # batches, same stance as the ingest loops
@@ -212,6 +220,17 @@ def shard_ingest_stream(
             f"shard_ingest_stream: part_col={part_col!r} collides with "
             f"a window column name"
         )
+    if fim is not None:
+        reserved = {"out_col", "applied_col", "ids_col", "id_col"} & set(
+            fim
+        )
+        if reserved:
+            raise ValueError(
+                f"shard_ingest_stream: fim keys {sorted(reserved)} are "
+                f"managed by the loop (the packer reads ids_col, so a "
+                f"redirected out_col would silently pack UNtransformed "
+                f"ids) — pass transform parameters only"
+            )
     b = int(budget)
     v = _vocab_fp(vocab_ids)
     want = {
@@ -240,9 +259,9 @@ def shard_ingest_stream(
                 f"column(s) {sorted(missing)}"
             )
         if fim is not None:
-            enc = fim_transform(
-                enc, ids_col, id_col=id_col, **fim
-            ).drop("fim_applied")
+            # the applied flag (and any doc-level extra) drops at the
+            # packer's own projection — nothing survives into windows
+            enc = fim_transform(enc, ids_col, id_col=id_col, **fim)
         wins = pack_token_windows(
             enc, ids_col, budget=b, order_col=id_col,
             part_col=part_col, pad_id=pad_id, out_col=_IDS,
@@ -316,11 +335,40 @@ def shard_ingest_stream(
                         f"different contract (pinned, supplied): {drift} "
                         f"— refusing to mix waves across contracts"
                     )
+                # A streamed set belongs to ONE producer identity: a
+                # replayed batch under a CHANGED shard_prefix or
+                # part_col would derive fresh keys, miss the overlap
+                # check, and silently double the wave — so foreign
+                # keys refuse the whole set, and any existing keys of
+                # THIS batch's tag must be exactly this wave's keys.
+                all_keys = [
+                    r["shard"] for r in sidecar.select("shard").collect()
+                ]
+                foreign = sorted(
+                    k for k in all_keys if not k.startswith(shard_prefix)
+                )
+                if foreign:
+                    raise ValueError(
+                        f"shard_ingest_stream: {shards_path!r} holds "
+                        f"shard keys {foreign[:5]} outside this "
+                        f"stream's shard_prefix={shard_prefix!r} — a "
+                        f"streamed shard set is owned by one producer "
+                        f"identity (a changed prefix would republish "
+                        f"every replayed wave as a duplicate); keep "
+                        f"the prefix, or produce into a fresh path"
+                    )
+                tag = f"{shard_prefix}{int(batch_id):08d}"
                 published = {
-                    r["shard"]
-                    for r in sidecar.select("shard").collect()
-                    if r["shard"] in wave
+                    k for k in all_keys
+                    if k == tag or k.startswith(tag + "-")
                 }
+                if published and published != set(keys):
+                    raise ValueError(
+                        f"shard_ingest_stream: batch {batch_id} is "
+                        f"already published as {sorted(published)} but "
+                        f"re-derives as {keys} — the wave layout "
+                        f"(part_col) changed between runs; refusing"
+                    )
             on_disk = _disk_wave_manifest(bspark, shards_path, keys)
             # replayed / orphaned keys must carry EXACTLY the
             # re-derived wave: anything else is corruption or a
@@ -334,17 +382,11 @@ def shard_ingest_stream(
                         f"torn data under a wave key, or a fresh "
                         f"checkpoint over a regrouped source; refusing"
                     )
-            if published == set(keys):
-                # crash-after-sidecar replay: verified above, skip
+            if published:
+                # == set(keys) by the layout check above: the
+                # crash-after-sidecar replay — verified above, skip
                 result.batches_skipped.append(batch_id)
                 return
-            if published:
-                raise ValueError(
-                    f"shard_ingest_stream: wave {batch_id} keys are "
-                    f"PARTIALLY published ({sorted(published)} of "
-                    f"{keys}) — a single wave commits its sidecar "
-                    f"rows atomically; refusing"
-                )
             need_data = [k for k in keys if k not in on_disk]
             if need_data:
                 if len(need_data) != len(keys):

@@ -6148,3 +6148,75 @@ def test_assemble_turns_span_labels_property(spark):
         "sp",
     ).first()["labels"]
     assert a == b
+
+
+def test_read_rank_shards_snapshot_pins_assignment(spark, tmp_path):
+    """A concurrent producer append must not skew rank assignments:
+    with snapshot pinned to the pre-append latest key, every rank's
+    shard list is identical before and after the append; the grown
+    set is visible only to an unpinned (or re-pinned) read."""
+    from streaming_parquet_spark.operators.pipeline import (
+        append_token_shards,
+        latest_shard_key,
+        pack_token_windows,
+        read_rank_shards,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 4}", [(i + j) % 9 + 2 for j in range(7)])
+         for i in range(24)],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    win = pack_token_windows(
+        docs, "toks", 16, order_col="doc_id", part_col="src", eos_id=1
+    )
+    path = str(tmp_path / "shards")
+    write_token_shards(
+        win, path, vocab, budget=16, shard_col="src", eos_id=1
+    )
+    snap = latest_shard_key(spark, path)
+    pinned = {
+        rank: sorted(
+            {r["src"] for r in read_rank_shards(
+                spark, path, rank, 2, snapshot=snap
+            )[0].collect()}
+        )
+        for rank in range(2)
+    }
+    # the producer appends a HEAVY new shard (reorders the greedy)
+    more = spark.createDataFrame(
+        [(100 + i, "zz", [(i + j) % 9 + 2 for j in range(7)])
+         for i in range(40)],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    append_token_shards(
+        pack_token_windows(
+            more, "toks", 16, order_col="doc_id", part_col="src",
+            eos_id=1,
+        ),
+        path,
+        vocab,
+    )
+    after = {
+        rank: sorted(
+            {r["src"] for r in read_rank_shards(
+                spark, path, rank, 2, snapshot=snap
+            )[0].collect()}
+        )
+        for rank in range(2)
+    }
+    assert after == pinned  # the append is invisible under the pin
+    # unpinned: the new shard participates
+    grown = set()
+    for rank in range(2):
+        grown |= {
+            r["src"]
+            for r in read_rank_shards(spark, path, rank, 2)[0].collect()
+        }
+    assert "zz" in grown
+    with pytest.raises(ValueError, match="precedes"):
+        read_rank_shards(spark, path, 0, 2, snapshot="aaa")

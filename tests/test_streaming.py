@@ -1442,3 +1442,46 @@ def test_shard_ingest_fim_and_bootstrap_types(spark, tmp_path):
     side = spark.read.parquet(os.path.join(out, "_manifest"))
     t = dict(side.dtypes)
     assert t["vocab_fp_a"] == "bigint" and t["vocab_size"] == "bigint"
+
+
+def test_shard_ingest_producer_identity_and_layout(spark, tmp_path):
+    """The review-closed duplication holes: a fresh run into the same
+    set under a CHANGED shard_prefix refuses (its replayed waves would
+    otherwise republish under fresh keys — silent doubling), a changed
+    part_col under the same prefix refuses at the batch-tag layout
+    check, and a non-parquet file beside the source data does not
+    fail the schema probe."""
+    from streaming_parquet_spark.streaming.shards import shard_ingest_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "shards")
+    vocab = _shard_vocab(spark)
+    docs = _shard_docs(spark, 0, 18)
+    docs.coalesce(1).write.mode("append").parquet(src)
+    # a stray non-parquet file the glob must ignore
+    with open(os.path.join(src, "README.txt"), "w") as fh:
+        fh.write("not parquet")
+    r = shard_ingest_stream(
+        spark, src, out, str(tmp_path / "ck1"), vocab, _shard_encode,
+        budget=64, part_col="split", eos_id=1,
+    )
+    assert r.batches == [0] and r.rows_in == 18
+
+    # fresh checkpoint + new prefix: refused BEFORE anything writes
+    before = sorted(os.listdir(out))
+    with pytest.raises(Exception, match="shard_prefix"):
+        shard_ingest_stream(
+            spark, src, out, str(tmp_path / "ck2"), vocab,
+            _shard_encode, budget=64, part_col="split", eos_id=1,
+            shard_prefix="run2-",
+        )
+    assert sorted(os.listdir(out)) == before
+
+    # same prefix, changed part layout: the batch tag collides with
+    # differently-shaped keys -> refused
+    with pytest.raises(Exception, match="layout"):
+        shard_ingest_stream(
+            spark, src, out, str(tmp_path / "ck3"), vocab,
+            _shard_encode, budget=64, part_col=None, eos_id=1,
+        )
+    assert sorted(os.listdir(out)) == before
