@@ -530,6 +530,92 @@ def with_span_labels(
     return df.withColumn(out_col, labels)
 
 
+def assemble_preference_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    chosen_col: str,
+    rejected_col: str,
+    budget: int,
+    max_prompt_len: int,
+    id_col: str = "pair_id",
+    pad_id: int = 0,
+    ignore_index: int = -100,
+) -> DataFrame:
+    """Arrange preference data (DPO/RLHF reward modeling) into
+    trainable examples: each input row (prompt ids, chosen ids,
+    rejected ids) emits TWO rows — ``side`` 'chosen'/'rejected' —
+    each ``budget``-long right-padded, with ``prompt_len`` /
+    ``n_tokens`` and completion-only ``labels``
+    (:func:`with_completion_labels` semantics).
+
+    Truncation is the standard pair-safe recipe: the prompt
+    LEFT-truncates to ``max_prompt_len`` FIRST (keeping the most
+    recent context), then each completion right-truncates into the
+    remaining ``budget - prompt_len`` slots.  Capping the prompt at a
+    fixed length — rather than at whatever its own completion leaves
+    room for — is what keeps the two sides of a pair byte-identical
+    on the prompt; a per-side prompt cut would let the preference
+    loss compare completions conditioned on DIFFERENT contexts.
+
+    Plan: one ``inline`` fanout (2 rows per pair) of stateless
+    slice/concat projections — no UDF, no shuffle.  Pairs whose
+    completion truncates to zero tokens survive (all-masked labels,
+    ``n_tokens == prompt_len``); filter on
+    ``n_tokens > prompt_len`` downstream if the loss cannot skip
+    them."""
+    b, mp = int(budget), int(max_prompt_len)
+    if not (0 <= mp < b):
+        raise ValueError(
+            f"assemble_preference_pairs: need 0 <= max_prompt_len "
+            f"< budget (got {mp}, {b})"
+        )
+    elem_t = df.schema[prompt_col].dataType.elementType
+    empty = F.expr(f"CAST(array() AS array<{elem_t.simpleString()}>)")
+    src_prompt = F.coalesce(F.col(prompt_col), empty)
+    np = F.coalesce(F.size(prompt_col), F.lit(0))
+    # clamp: size() is -1 on NULL arrays under legacy behavior
+    np = F.greatest(np, F.lit(0))
+    kept = F.least(np, F.lit(mp))
+    prompt = F.slice(src_prompt, np - kept + 1, kept)
+    sides = F.expr(
+        f"array(struct('chosen' AS side, {chosen_col} AS comp),"
+        f" struct('rejected' AS side, {rejected_col} AS comp))"
+    )
+    out = df.select(
+        F.col(id_col),
+        prompt.alias("__prompt"),
+        kept.cast("int").alias("prompt_len"),
+        F.inline(sides),
+    )
+    room = F.lit(b) - F.col("prompt_len")
+    ncomp = F.greatest(F.coalesce(F.size("comp"), F.lit(0)), F.lit(0))
+    comp = F.slice(
+        F.coalesce(F.col("comp"), empty),
+        F.lit(1),
+        F.least(ncomp, room),
+    )
+    ex = out.select(
+        id_col,
+        "side",
+        "prompt_len",
+        F.concat(F.col("__prompt"), comp).alias("__real"),
+    ).select(
+        id_col,
+        "side",
+        "prompt_len",
+        F.size("__real").cast("bigint").alias("n_tokens"),
+        F.concat(
+            F.col("__real"),
+            F.array_repeat(
+                F.lit(pad_id).cast(elem_t), b - F.size("__real")
+            ),
+        ).alias("ids"),
+    )
+    return with_completion_labels(
+        ex, "prompt_len", ignore_index=ignore_index
+    )
+
+
 #: Purpose salt for stratified sampling — distinct from the unseeded
 #: (seed=0) hash used by hash_sample/with_split so composing a stratum
 #: filter with a later split over the same id stays unbiased (see

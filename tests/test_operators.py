@@ -6220,3 +6220,73 @@ def test_read_rank_shards_snapshot_pins_assignment(spark, tmp_path):
     assert "zz" in grown
     with pytest.raises(ValueError, match="precedes"):
         read_rank_shards(spark, path, 0, 2, snapshot="aaa")
+
+
+def test_assemble_preference_pairs_property(spark):
+    """Hypothesis: for ANY prompt/chosen/rejected lengths (incl. null
+    and empty arrays, overflowing completions), the DPO arrangement
+    matches a pure-Python reference — and the two sides of every pair
+    carry a BYTE-IDENTICAL prompt region (the pair-safety property the
+    fixed prompt cap exists for)."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.pipeline import (
+        assemble_preference_pairs,
+    )
+
+    BUDGET, MAXP = 10, 4
+    arr = st.one_of(
+        st.none(), st.lists(st.integers(1, 99), min_size=0, max_size=12)
+    )
+
+    def reference(p, c, r, ign=-100):
+        p = p or []
+        kept = p[max(0, len(p) - MAXP):]
+        out = {}
+        for side, comp in (("chosen", c), ("rejected", r)):
+            comp = (comp or [])[: BUDGET - len(kept)]
+            real = kept + comp
+            ids = real + [0] * (BUDGET - len(real))
+            lab = [
+                ids[i + 1]
+                if len(kept) <= i + 1 < len(real)
+                else ign
+                for i in range(BUDGET)
+            ]
+            out[side] = (len(kept), len(real), ids, lab)
+        return out
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(arr, arr, arr), min_size=1, max_size=6
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            [(i, p, c, r) for i, (p, c, r) in enumerate(rows)],
+            "pair_id int, p array<int>, c array<int>, r array<int>",
+        )
+        got = {}
+        for x in assemble_preference_pairs(
+            df, "p", "c", "r", budget=BUDGET, max_prompt_len=MAXP
+        ).collect():
+            got.setdefault(x["pair_id"], {})[x["side"]] = (
+                x["prompt_len"], x["n_tokens"], x["ids"], x["labels"]
+            )
+        want = {i: reference(p, c, r) for i, (p, c, r) in enumerate(rows)}
+        assert got == want, rows
+        for pair in got.values():
+            pl = pair["chosen"][0]
+            assert pl == pair["rejected"][0]
+            assert pair["chosen"][2][:pl] == pair["rejected"][2][:pl]
+
+    check()
