@@ -269,6 +269,80 @@ def main() -> None:
         except Exception as exc:
             ingest["error"] = str(exc)[:300]
 
+    # Continuous shard production (streaming/shards.py): wave 1 packs
+    # 90% of documents through the checkpointed loop; wave 2 appends
+    # the remaining 10% under the same checkpoint — the per-batch cost
+    # the design promises to keep O(batch) + fixed stream overhead.
+    if os.environ.get("SPARK_GRAFT_INGEST", "1") != "0":
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        work = _tempfile.mkdtemp(prefix="maw_bench_shards_")
+        try:
+            from pyspark.sql import functions as F
+
+            from streaming_parquet_spark.functions.portable import (
+                ordered_words_expr,
+                word_hashes_expr,
+            )
+            from streaming_parquet_spark.streaming.shards import (
+                shard_ingest_stream,
+            )
+
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            )
+            vocab = spark.createDataFrame(
+                [(0, "<pad>"), (1, "<unk>")], "id int, piece string"
+            )
+            words = (
+                f"filter({ordered_words_expr('spark', 'text')},"
+                f" w -> w != '')"
+            )
+
+            def encode(batch):
+                return batch.select(
+                    "source",
+                    "doc_id",
+                    F.expr(word_hashes_expr("spark", words)).alias("tok"),
+                )
+
+            src = os.path.join(work, "src")
+            os.makedirs(src)
+            out = os.path.join(work, "shards")
+            ckpt = os.path.join(work, "ckpt")
+            docs.filter(F.col("doc_id") % 10 != 0).write.mode(
+                "append"
+            ).parquet(src)
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            r1 = shard_ingest_stream(
+                spark, src, out, ckpt, vocab, encode,
+                budget=1024, ids_col="tok", part_col="source",
+            )
+            ingest["shards_build_s"] = round(time.perf_counter() - t0, 4)
+            ingest["shards_windows"] = float(r1.windows_written)
+            docs.filter(F.col("doc_id") % 10 == 0).write.mode(
+                "append"
+            ).parquet(src)
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            r2 = shard_ingest_stream(
+                spark, src, out, ckpt, vocab, encode,
+                budget=1024, ids_col="tok", part_col="source",
+            )
+            ingest["shards_append_s"] = round(time.perf_counter() - t0, 4)
+            ingest["shards_append_windows"] = float(r2.windows_written)
+            ingest["shards_append_vs_build"] = round(
+                ingest["shards_append_s"] / ingest["shards_build_s"], 2
+            )
+        except Exception as exc:
+            ingest["shards_error"] = str(exc)[:300]
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     doc = {
         "queries_first_pass": first_pass,

@@ -42,13 +42,17 @@ hashes already are), and publication is guarded by the sidecar:
 A fresh checkpoint over a GROWN source regroups files into different
 waves; overlapping keys then digest-mismatch and the run refuses —
 idempotence by refusal, the same stance as ``append_token_shards``
-(keep the checkpoint; or point a fresh run at a new ``shard_prefix``
-or path).
+(keep the checkpoint; a fresh generation goes to a fresh PATH —
+changing ``shard_prefix`` into the same path is itself refused,
+because a replayed wave under fresh keys would silently double, and
+one prefix must not be a proper prefix of another for the ownership
+check to discriminate).
 
 At 100 TB: each batch's token-level shuffle is bounded by the batch
 (``pack_token_windows`` packs within the wave), the contract checks
-are manifest-sized, and the skip/repair probe reads ONLY the wave's
-own shard directories (partition-pruned).  Padding: each (wave,
+are manifest-sized, and the skip/repair probe existence-checks and
+reads ONLY the wave's own shard directories (``basePath``-scoped,
+O(wave) — never a full-set partition discovery).  Padding: each (wave,
 part) tail window right-pads — overhead is ≤ ``part`` count ×
 ``budget`` tokens per trigger, amortized by trigger sizing exactly
 like the ingest loop's index-scan cost (bigger batches, fewer padded
