@@ -2020,7 +2020,23 @@ def assign_shards_to_ranks(
     tokenizer vocab collects) and an O(n log n) greedy; the shard
     DATA is never touched.  Null weights count 0; negative weights
     and duplicate shard keys refuse."""
-    pairs = [
+    return manifest.sparkSession.createDataFrame(
+        _lpt_assign(
+            _shard_weight_pairs(manifest, shard_col, weight_col),
+            world_size,
+        ),
+        "shard string, rank int, weight bigint",
+    )
+
+
+def _shard_weight_pairs(
+    manifest: DataFrame, shard_col: str, weight_col: str
+) -> list:
+    """[(shard, weight)] from a manifest frame — the one collection
+    both :func:`assign_shards_to_ranks` and :func:`read_rank_shards`
+    feed into :func:`_lpt_assign` (shared so null/cast semantics
+    cannot diverge between the two paths)."""
+    return [
         (r["shard"], r["w"])
         for r in manifest.select(
             F.col(shard_col).cast("string").alias("shard"),
@@ -2029,10 +2045,6 @@ def assign_shards_to_ranks(
             ),
         ).collect()
     ]
-    return manifest.sparkSession.createDataFrame(
-        _lpt_assign(pairs, world_size),
-        "shard string, rank int, weight bigint",
-    )
 
 
 def _lpt_assign(
@@ -2073,11 +2085,27 @@ def _lpt_assign(
 
 def latest_shard_key(spark, path: str) -> str:
     """The lexicographically greatest shard key in a set's sidecar —
-    what a training LAUNCHER pins as the ``snapshot`` every rank then
-    passes to :func:`read_rank_shards` (streamed wave keys sort by
-    batch number, so 'latest' is also newest)."""
+    a convenience ``snapshot`` pin for :func:`read_rank_shards`
+    (streamed wave keys sort by batch number, so 'latest' is also
+    newest).  Caveat: a max-key <= filter pins a PREDICATE, not a
+    set — if the launcher reads while a producer's multi-file
+    sidecar append is mid-flight, a key of the in-flight wave that
+    sorts BELOW the pin can become visible to later ranks only.
+    When the producer may be live, pin :func:`shard_snapshot`'s
+    explicit key list instead — set equality cannot race."""
     sidecar, _ = _read_shard_contract(spark, path)
     return max(r["shard"] for r in sidecar.select("shard").collect())
+
+
+def shard_snapshot(spark, path: str) -> list[str]:
+    """The sidecar's current shard keys as a sorted list — the
+    AIRTIGHT ``snapshot`` pin for :func:`read_rank_shards`: the
+    launcher materializes this once and hands the same list to every
+    rank, so all ranks assign over an identical key set no matter
+    what a live producer appends (or how non-atomically its sidecar
+    files become visible) in between."""
+    sidecar, _ = _read_shard_contract(spark, path)
+    return sorted(r["shard"] for r in sidecar.select("shard").collect())
 
 
 def read_rank_shards(
@@ -2086,7 +2114,7 @@ def read_rank_shards(
     rank: int,
     world_size: int,
     vocab_ids: DataFrame | None = None,
-    snapshot: str | None = None,
+    snapshot: str | list | set | tuple | None = None,
 ) -> tuple[DataFrame, dict]:
     """One trainer rank's slice of a persisted token-shard set:
     recompute the :func:`assign_shards_to_ranks` assignment from the
@@ -2101,12 +2129,16 @@ def read_rank_shards(
     sidecar, so ranks reading around a concurrent producer append
     would compute assignments over different manifests — one heavy
     new shard can reshuffle the greedy globally, double-reading some
-    shards and orphaning others.  Pin it: the launcher takes
-    :func:`latest_shard_key` once and passes the same value to every
-    rank; only shard keys <= ``snapshot`` participate, so later
-    appends are invisible to this run.  Omit ``snapshot`` only when
-    the producer is quiescent (and nothing enforces that — prefer
-    pinning)."""
+    shards and orphaning others.  Pin it: the launcher materializes
+    :func:`shard_snapshot` (an explicit key LIST — set equality, so
+    a mid-flight sidecar append cannot make two ranks see different
+    participants) and passes the same list to every rank.  A single
+    string is also accepted as a <= max-key filter
+    (:func:`latest_shard_key`) — convenient, but see that function's
+    mid-append caveat.  Omit ``snapshot`` only when the producer is
+    quiescent (and nothing enforces that — prefer pinning).  A
+    pinned key that no longer matches any sidecar row (a compacted
+    or foreign key) raises rather than silently training on less."""
     if not (0 <= int(rank) < int(world_size)):
         raise ValueError(
             f"read_rank_shards: rank {rank} outside [0, {world_size})"
@@ -2114,21 +2146,25 @@ def read_rank_shards(
     sidecar, contract = _read_shard_contract(spark, path)
     if vocab_ids is not None:
         _check_vocab(contract, vocab_ids, path, "read_rank_shards")
-    pairs = [
-        (r["shard"], r["w"])
-        for r in sidecar.select(
-            F.col("shard").cast("string").alias("shard"),
-            F.coalesce(F.col("n_tokens").cast("bigint"), F.lit(0)).alias(
-                "w"
-            ),
-        ).collect()
-    ]
+    pairs = _shard_weight_pairs(sidecar, "shard", "n_tokens")
     if snapshot is not None:
-        pairs = [p for p in pairs if p[0] <= snapshot]
+        if isinstance(snapshot, str):
+            pairs = [p for p in pairs if p[0] <= snapshot]
+        else:
+            want = set(snapshot)
+            have = {p[0] for p in pairs}
+            missing = sorted(want - have)
+            if missing:
+                raise ValueError(
+                    f"read_rank_shards: snapshot keys {missing[:5]} "
+                    f"are not in {path!r}'s sidecar — the pinned set "
+                    f"must be a subset of the published shards"
+                )
+            pairs = [p for p in pairs if p[0] in want]
         if not pairs:
             raise ValueError(
-                f"read_rank_shards: snapshot {snapshot!r} precedes "
-                f"every shard key in {path!r}"
+                f"read_rank_shards: snapshot {snapshot!r} matches "
+                f"no shard key in {path!r}"
             )
     mine = [
         shard

@@ -127,23 +127,54 @@ def _disk_wave_manifest(
     ``keys`` have data on disk — existence-probed and read per shard
     DIRECTORY (``basePath``-scoped), so the per-batch cost is O(wave),
     never a partition discovery of the whole shard set ({} when none
-    of the wave's directories exist)."""
+    of the wave's directories exist, INCLUDING dirs that exist but
+    hold no parquet — an aborted commit's residue must read as
+    absent so the replay self-heals by rewriting the wave).
+
+    Directory names use Spark's OWN partition-path escaping
+    (a part value like 'en/wiki' lands as shard=...en%2Fwiki): a
+    raw-key probe would miss published data and a replay would
+    silently double the wave.  If the escaping helper ever moves,
+    the fallback is the escaping-agnostic whole-set scan + column
+    filter — correct, just O(total shards) in listing."""
+    from pyspark.errors import AnalysisException
+
     jvm = bspark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(
-        bspark._jsc.hadoopConfiguration()
-    )
-    dirs = [
-        f"{path}/{_SHARD}={k}"
-        for k in keys
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_SHARD}={k}"))
-    ]
-    if not dirs:
-        return {}
-    scanned = bspark.read.option("basePath", path).parquet(*dirs)
-    got = token_shard_manifest(
-        scanned, _SHARD, _WIN, _IDS, _NTOK, _STARTS
-    ).collect()
+    try:
+        esc = (
+            jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName
+        )
+        dirnames = [f"{_SHARD}={esc(k)}" for k in keys]
+    except Exception:
+        dirnames = None
+    try:
+        if dirnames is None:
+            # fallback: full-set scan, prune on the shard COLUMN
+            scanned = bspark.read.parquet(path).where(
+                F.col(_SHARD).isin(keys)
+            )
+        else:
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(bspark._jsc.hadoopConfiguration())
+            dirs = [
+                f"{path}/{d}"
+                for d in dirnames
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{d}"))
+            ]
+            if not dirs:
+                return {}
+            scanned = bspark.read.option("basePath", path).parquet(*dirs)
+        got = token_shard_manifest(
+            scanned, _SHARD, _WIN, _IDS, _NTOK, _STARTS
+        ).collect()
+    except AnalysisException as exc:
+        marker = (
+            getattr(exc, "getCondition", exc.getErrorClass)() or ""
+        ) + " " + str(exc)
+        if "PATH_NOT_FOUND" in marker or "UNABLE_TO_INFER_SCHEMA" in marker:
+            return {}
+        raise
     return {
         r["shard"]: (r["n_windows"], r["n_tokens"], r["fp_a"], r["fp_b"])
         for r in got
@@ -370,8 +401,11 @@ def shard_ingest_stream(
                     raise ValueError(
                         f"shard_ingest_stream: batch {batch_id} is "
                         f"already published as {sorted(published)} but "
-                        f"re-derives as {keys} — the wave layout "
-                        f"(part_col) changed between runs; refusing"
+                        f"re-derives as {keys} — either the wave "
+                        f"layout (part_col) changed between runs, or "
+                        f"a crash tore the sidecar append mid-wave "
+                        f"(remove the wave's sidecar rows to let the "
+                        f"replay repair from data); refusing"
                     )
             on_disk = _disk_wave_manifest(bspark, shards_path, keys)
             # replayed / orphaned keys must carry EXACTLY the

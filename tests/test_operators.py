@@ -6210,6 +6210,26 @@ def test_read_rank_shards_snapshot_pins_assignment(spark, tmp_path):
         for rank in range(2)
     }
     assert after == pinned  # the append is invisible under the pin
+    # the AIRTIGHT form: an explicit key list (shard_snapshot) — same
+    # stability, and a pinned key missing from the sidecar raises
+    from streaming_parquet_spark.operators.pipeline import (
+        shard_snapshot,
+    )
+
+    keyset = [k for k in shard_snapshot(spark, path) if k != "zz"]
+    setpin = {
+        rank: sorted(
+            {r["src"] for r in read_rank_shards(
+                spark, path, rank, 2, snapshot=keyset
+            )[0].collect()}
+        )
+        for rank in range(2)
+    }
+    assert setpin == pinned
+    with pytest.raises(ValueError, match="not in"):
+        read_rank_shards(
+            spark, path, 0, 2, snapshot=keyset + ["never-written"]
+        )
     # unpinned: the new shard participates
     grown = set()
     for rank in range(2):
@@ -6218,7 +6238,7 @@ def test_read_rank_shards_snapshot_pins_assignment(spark, tmp_path):
             for r in read_rank_shards(spark, path, rank, 2)[0].collect()
         }
     assert "zz" in grown
-    with pytest.raises(ValueError, match="precedes"):
+    with pytest.raises(ValueError, match="matches"):
         read_rank_shards(spark, path, 0, 2, snapshot="aaa")
 
 

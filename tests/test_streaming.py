@@ -1485,3 +1485,73 @@ def test_shard_ingest_producer_identity_and_layout(spark, tmp_path):
             _shard_encode, budget=64, part_col=None, eos_id=1,
         )
     assert sorted(os.listdir(out)) == before
+
+
+def test_shard_ingest_escaped_part_values_and_empty_dir(spark, tmp_path):
+    """Partition-path escaping and aborted-commit residue, both
+    review-closed: a part value with '/'':' lands in an ESCAPED
+    shard directory — the crash-replay probes must still find it
+    (raw-key paths would miss it and silently double the wave on
+    repair) — and a pre-existing EMPTY shard directory reads as
+    absent so the wave publishes into it instead of wedging."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from streaming_parquet_spark.operators.pipeline import (
+        verify_token_shards,
+    )
+    from streaming_parquet_spark.streaming.shards import shard_ingest_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "shards")
+    vocab = _shard_vocab(spark)
+    rows = [
+        (i, "en/wiki:a" if i % 2 else "de=b#c",
+         " ".join("tok%d" % ((i + j) % 13) for j in range(20)))
+        for i in range(16)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, split string, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    # aborted-commit residue: an empty dir under one of the wave's
+    # future ESCAPED keys must not wedge the stream
+    os.makedirs(os.path.join(out, "shard=wave-00000000-de%3Db%23c"))
+    kw = dict(budget=64, part_col="split", eos_id=1)
+    r1 = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode, **kw
+    )
+    assert r1.batches == [0] and len(r1.shards_written) == 2
+    assert verify_token_shards(spark, out).filter("NOT ok").count() == 0
+
+    def state():
+        return {
+            (r["shard"], r["fp_a_observed"], r["fp_b_observed"], r["ok"])
+            for r in verify_token_shards(spark, out).collect()
+        }
+
+    baseline = state()
+    # crash-after-sidecar replay over escaped dirs: verified skip
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    ra = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode, **kw
+    )
+    assert ra.batches_skipped == [0] and state() == baseline
+    # crash-between-data-and-sidecar over escaped dirs: repair, no
+    # doubling (the raw-key probe bug would have re-appended data)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    if os.path.exists(crc):
+        os.remove(crc)
+    for f in glob.glob(os.path.join(out, "_manifest", "*.parquet")):
+        if "wave-00000000" in str(
+            pq.read_table(f, columns=["shard"]).column("shard").to_pylist()
+        ):
+            os.remove(f)
+    rb = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode, **kw
+    )
+    assert rb.batches_repaired == [0] and state() == baseline
