@@ -38,6 +38,7 @@ from streaming_parquet_spark.operators.dedup import write_lsh_index
 from streaming_parquet_spark.operators.pipeline import (
     assign_shards_to_ranks,
     read_rank_shards,
+    shard_snapshot,
     verify_token_shards,
     with_causal_labels,
 )
@@ -163,9 +164,15 @@ def main():
         .orderBy("rank").collect()
     )
     print("rank token loads:", [(r["rank"], r["tokens"]) for r in loads])
+    # the launcher pins ONE key set; every rank assigns over it —
+    # a producer appending mid-run cannot skew ranks onto different
+    # manifests (set equality cannot race, unlike a max-key filter)
+    snap = shard_snapshot(spark, shards)
     n = 0
     for rank in range(4):
-        part, contract = read_rank_shards(spark, shards, rank, 4, ids)
+        part, contract = read_rank_shards(
+            spark, shards, rank, 4, ids, snapshot=snap
+        )
         n += with_causal_labels(part).count()
     total = spark.read.parquet(shards).count()
     print(f"ranks read {n} windows of {total} (each exactly once)")
