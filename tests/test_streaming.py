@@ -1555,3 +1555,31 @@ def test_shard_ingest_escaped_part_values_and_empty_dir(spark, tmp_path):
         spark, src, out, ckpt, vocab, _shard_encode, **kw
     )
     assert rb.batches_repaired == [0] and state() == baseline
+
+
+def test_shard_ingest_multiwave_single_run(spark, tmp_path):
+    """One availableNow run with maxFilesPerTrigger=1 over three
+    source files publishes three INDEPENDENT waves — distinct shard
+    keys, sidecar rows per wave, whole-set verification green, and
+    the union of waves equals the union of per-file batch packs."""
+    from streaming_parquet_spark.operators.pipeline import (
+        verify_token_shards,
+    )
+    from streaming_parquet_spark.streaming.shards import shard_ingest_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "shards")
+    vocab = _shard_vocab(spark)
+    for w in range(3):
+        _shard_docs(spark, 100 * w, 8).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    r = shard_ingest_stream(
+        spark, src, out, str(tmp_path / "ckpt"), vocab, _shard_encode,
+        budget=64, eos_id=1, max_files_per_trigger=1,
+    )
+    assert r.batches == [0, 1, 2] and r.rows_in == 24
+    assert sorted(r.shards_written) == [
+        "wave-00000000", "wave-00000001", "wave-00000002",
+    ]
+    assert verify_token_shards(spark, out).filter("NOT ok").count() == 0
