@@ -2083,6 +2083,111 @@ def _lpt_assign(
     return out
 
 
+def compact_token_shards(
+    spark,
+    src: str,
+    dst: str,
+    n_shards: int | None = None,
+    shard_tokens: int | None = None,
+    shard_prefix: str = "compact-",
+) -> DataFrame:
+    """Re-bucket a token-shard set into fewer, larger shards — the
+    maintenance step a CONTINUOUS producer eventually needs: months
+    of small per-wave shards (``shard_ingest_stream`` makes one or a
+    few per trigger) compact into training-sized units, the same role
+    ``dedup.compact_lsh_index`` plays for the LSH tables.  The
+    contract (budget, pad/eos ids, column names, VOCABULARY pins)
+    carries over verbatim from the source sidecar — compaction moves
+    windows, it never re-encodes.  Window CONTENT is untouched:
+    every (ids, n_tokens, doc_starts) row lands in ``dst`` exactly
+    once, under a fresh deterministic (shard, win) identity.
+
+    Sizing: pass ``n_shards`` directly, or ``shard_tokens`` (target
+    real tokens per shard — n = ceil(total/target), from the
+    sidecar's manifest-sized totals).  Assignment is an md5 bucket of
+    the OLD (shard, win) identity — deterministic across runs and
+    partitionings, multinomial-balanced regardless of wave-size skew
+    (sequential packing would need a global running sum — one sort
+    partition at 100 TB; hash bucketing needs none).  New ``win``
+    numbers are a row_number per NEW shard over the old identity:
+    one shuffle on the new key, per-group sorts bounded by target
+    shard size.  ``dst`` must not exist (the data write is
+    mode='error' — compaction is write-once; swap paths atomically
+    at the catalog/symlink layer above).  Source files are never
+    touched; delete ``src`` only after ``verify_token_shards(dst)``
+    reports every shard ok.  Returns the written manifest."""
+    import math
+    import os as _os
+
+    if (n_shards is None) == (shard_tokens is None):
+        raise ValueError(
+            "compact_token_shards: pass exactly one of n_shards / "
+            "shard_tokens"
+        )
+    if _os.path.abspath(src) == _os.path.abspath(dst):
+        raise ValueError(
+            "compact_token_shards: src and dst must differ (the data "
+            "write refuses existing paths; compaction is write-once)"
+        )
+    sidecar, contract = _read_shard_contract(spark, src)
+    sc, wc = contract["shard_col"], contract["win_col"]
+    ic, nc, stc = (
+        contract["ids_col"], contract["n_tokens_col"],
+        contract["starts_col"],
+    )
+    if n_shards is None:
+        total = sidecar.agg(F.sum("n_tokens")).first()[0] or 0
+        n_shards = max(1, math.ceil(total / int(shard_tokens)))
+    n = int(n_shards)
+    width = max(4, len(str(n - 1)))
+    windows = spark.read.parquet(src)
+    old_key = f"concat(CAST({sc} AS STRING), ':', CAST({wc} AS STRING))"
+    bucket = F.expr(
+        f"CAST(conv(substring(md5({old_key}), 1, 15), 16, 10) "
+        f"AS BIGINT) % {n}"
+    )
+    keyed = windows.withColumn(
+        "__new_shard",
+        F.concat(
+            F.lit(shard_prefix),
+            F.lpad(bucket.cast("string"), width, "0"),
+        ),
+    ).withColumn("__old_key", F.expr(old_key))
+    renum = (
+        F.row_number()
+        .over(W.partitionBy("__new_shard").orderBy("__old_key"))
+        .cast("bigint")
+        - 1
+    )
+    extras = [
+        c for c in windows.columns if c not in (sc, wc, ic, nc, stc)
+    ]
+    out = keyed.select(
+        F.col("__new_shard").alias(sc),
+        renum.alias(wc),
+        ic, nc, stc, *extras,
+    )
+    guard = _budget_guard(
+        out, int(contract["budget"]), wc, ic, nc, "compact_token_shards"
+    )
+    out.withColumn(ic, guard).write.mode("error").partitionBy(
+        sc
+    ).parquet(dst)
+    # the PROMISE comes from the plan, not the written files (the
+    # renumber is deterministic, so re-deriving it is exact) —
+    # verify_token_shards(dst) stays a real write-path check
+    side_t = dict(sidecar.dtypes)
+    manifest = token_shard_manifest(out, sc, wc, ic, nc, stc).select(
+        "*",
+        *[
+            F.lit(contract[c]).cast(side_t[c]).alias(c)
+            for c in _CONTRACT_COLS
+        ],
+    )
+    manifest.write.mode("error").parquet(_os.path.join(dst, "_manifest"))
+    return manifest
+
+
 def latest_shard_key(spark, path: str) -> str:
     """The lexicographically greatest shard key in a set's sidecar —
     a convenience ``snapshot`` pin for :func:`read_rank_shards`

@@ -6310,3 +6310,85 @@ def test_assemble_preference_pairs_property(spark):
             assert pair["chosen"][2][:pl] == pair["rejected"][2][:pl]
 
     check()
+
+
+def test_compact_token_shards_preserves_content(spark, tmp_path):
+    """Compaction re-buckets wave-sized shards into n training-sized
+    ones: window CONTENT is a preserved multiset, the contract
+    (budget/pads/vocab pins) carries over verbatim, the compacted set
+    verifies end-to-end, (shard, win) stays unique, src is untouched,
+    and sizing by shard_tokens derives n from the sidecar totals."""
+    from streaming_parquet_spark.operators.pipeline import (
+        append_token_shards,
+        compact_token_shards,
+        pack_token_windows,
+        read_token_shards,
+        verify_token_shards,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+
+    def wave(lo, n, key):
+        docs = spark.createDataFrame(
+            [(lo + i, key, [(lo + i + j) % 9 + 2 for j in range(7)])
+             for i in range(n)],
+            "doc_id bigint, src string, toks array<int>",
+        )
+        return pack_token_windows(
+            docs, "toks", 16, order_col="doc_id", part_col="src",
+            eos_id=1,
+        )
+
+    src = str(tmp_path / "waves")
+    write_token_shards(
+        wave(0, 10, "w0"), src, vocab, budget=16, shard_col="src",
+        eos_id=1,
+    )
+    for k, lo in (("w1", 100), ("w2", 200), ("w3", 300)):
+        append_token_shards(wave(lo, 10, k), src, vocab)
+
+    def payloads(df):
+        return sorted(
+            (tuple(r["ids"]), r["n_tokens"], tuple(r["doc_starts"]))
+            for r in df.collect()
+        )
+
+    src_windows, src_contract = read_token_shards(spark, src, vocab)
+    before = payloads(src_windows)
+
+    dst = str(tmp_path / "compacted")
+    man = compact_token_shards(spark, src, dst, n_shards=2)
+    assert {r["shard"] for r in man.select("shard").collect()} <= {
+        "compact-0000", "compact-0001"
+    }
+    got, contract = read_token_shards(spark, dst, vocab_ids=vocab)
+    assert contract == src_contract
+    assert payloads(got) == before
+    keys = [(r["src"], r["win"]) for r in got.collect()]
+    assert len(keys) == len(set(keys))
+    assert verify_token_shards(spark, dst).filter("NOT ok").count() == 0
+    # src untouched
+    assert payloads(read_token_shards(spark, src, vocab)[0]) == before
+    # deterministic: a second compaction to a fresh path is bit-equal
+    dst2 = str(tmp_path / "compacted2")
+    compact_token_shards(spark, src, dst2, n_shards=2)
+    assert sorted(
+        (r["src"], r["win"], tuple(r["ids"]))
+        for r in read_token_shards(spark, dst2)[0].collect()
+    ) == sorted(
+        (r["src"], r["win"], tuple(r["ids"])) for r in got.collect()
+    )
+    # sizing by target tokens: n = ceil(total / target)
+    total = sum(r["n_tokens"] for r in man.collect())
+    dst3 = str(tmp_path / "compacted3")
+    man3 = compact_token_shards(
+        spark, src, dst3, shard_tokens=(total + 2) // 3
+    )
+    assert man3.select("shard").distinct().count() <= 3
+    with pytest.raises(ValueError, match="exactly one"):
+        compact_token_shards(spark, src, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="must differ"):
+        compact_token_shards(spark, src, src, n_shards=2)
