@@ -1667,6 +1667,31 @@ _CONTRACT_COLS = (
 ).split()
 
 
+def _contract_manifest(
+    windows: DataFrame, contract: dict, side_t: dict
+) -> DataFrame:
+    """:func:`token_shard_manifest` rows plus the pinned contract
+    literals, typed from ``side_t`` (a sidecar's dtypes — literal
+    types are value-dependent and an untyped None eos_id would land
+    as VOID, so mixed-type parquet appends would corrupt the contract
+    read).  The one construction every sidecar writer shares:
+    :func:`append_token_shards`, :func:`compact_token_shards`, and
+    ``streaming.shards.shard_ingest_stream``."""
+    m = token_shard_manifest(
+        windows,
+        contract["shard_col"], contract["win_col"],
+        contract["ids_col"], contract["n_tokens_col"],
+        contract["starts_col"],
+    )
+    return m.select(
+        "*",
+        *[
+            F.lit(contract[c]).cast(side_t[c]).alias(c)
+            for c in _CONTRACT_COLS
+        ],
+    )
+
+
 def _read_shard_contract(spark, path: str) -> tuple[DataFrame, dict]:
     """Load a shard set's manifest sidecar and its single pinned
     contract; raises on an absent sidecar (incomplete or non-shard
@@ -1802,19 +1827,7 @@ def append_token_shards(
     n_tokens_col = contract["n_tokens_col"]
     starts_col = contract["starts_col"]
     b = int(contract["budget"])
-    # contract literals typed from the SIDECAR's schema — a None
-    # eos_id would otherwise land as VOID and corrupt the parquet
-    # append's merged schema
-    side_t = dict(sidecar.dtypes)
-    manifest = token_shard_manifest(
-        windows, shard_col, win_col, ids_col, n_tokens_col, starts_col
-    ).select(
-        "*",
-        *[
-            F.lit(contract[c]).cast(side_t[c]).alias(c)
-            for c in _CONTRACT_COLS
-        ],
-    )
+    manifest = _contract_manifest(windows, contract, dict(sidecar.dtypes))
     existing = {r["shard"] for r in sidecar.select("shard").collect()}
     incoming = {r["shard"] for r in manifest.select("shard").collect()}
     overlap = sorted(existing & incoming)
@@ -2124,12 +2137,34 @@ def compact_token_shards(
             "compact_token_shards: pass exactly one of n_shards / "
             "shard_tokens"
         )
-    if _os.path.abspath(src) == _os.path.abspath(dst):
+    sized = n_shards if n_shards is not None else shard_tokens
+    if int(sized) < 1:
         raise ValueError(
-            "compact_token_shards: src and dst must differ (the data "
-            "write refuses existing paths; compaction is write-once)"
+            f"compact_token_shards: n_shards/shard_tokens must be "
+            f">= 1 (got {sized})"
+        )
+    a, b = _os.path.abspath(src), _os.path.abspath(dst)
+    if a == b or b.startswith(a + _os.sep) or a.startswith(b + _os.sep):
+        raise ValueError(
+            f"compact_token_shards: src and dst must be disjoint "
+            f"paths (got {src!r}, {dst!r}) — a nested dst corrupts "
+            f"src's partition layout and the post-verify src cleanup "
+            f"would delete the compacted output"
         )
     sidecar, contract = _read_shard_contract(spark, src)
+    # refuse a torn source OUTRIGHT: unmanifested wave data (a writer
+    # crashed between its data and sidecar legs) would otherwise be
+    # silently laundered into a green dst manifest — and the
+    # documented src cleanup would then destroy the torn evidence
+    # while the producer's checkpoint could replay it elsewhere
+    torn = verify_token_shards(spark, src).filter("NOT ok").count()
+    if torn:
+        raise ValueError(
+            f"compact_token_shards: {src!r} has {torn} shard(s) "
+            f"failing verification (absent, stray, or tampered) — "
+            f"repair or remove them before compacting; compaction "
+            f"must never promise windows the source never promised"
+        )
     sc, wc = contract["shard_col"], contract["win_col"]
     ic, nc, stc = (
         contract["ids_col"], contract["n_tokens_col"],
@@ -2176,14 +2211,7 @@ def compact_token_shards(
     # the PROMISE comes from the plan, not the written files (the
     # renumber is deterministic, so re-deriving it is exact) —
     # verify_token_shards(dst) stays a real write-path check
-    side_t = dict(sidecar.dtypes)
-    manifest = token_shard_manifest(out, sc, wc, ic, nc, stc).select(
-        "*",
-        *[
-            F.lit(contract[c]).cast(side_t[c]).alias(c)
-            for c in _CONTRACT_COLS
-        ],
-    )
+    manifest = _contract_manifest(out, contract, dict(sidecar.dtypes))
     manifest.write.mode("error").parquet(_os.path.join(dst, "_manifest"))
     return manifest
 

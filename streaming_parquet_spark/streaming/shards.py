@@ -71,6 +71,7 @@ from streaming_parquet_spark.operators.pipeline import (
     _CONTRACT_COLS,
     TOKEN_SHARD_FORMAT,
     _budget_guard,
+    _contract_manifest,
     _single_contract,
     _vocab_fp,
     fim_transform,
@@ -331,15 +332,7 @@ def shard_ingest_stream(
                 if existing is not None
                 else dict(_CONTRACT_TYPES)
             )
-            manifest = token_shard_manifest(
-                wins, _SHARD, _WIN, _IDS, _NTOK, _STARTS
-            ).select(
-                "*",
-                *[
-                    F.lit(want[c]).cast(side_t[c]).alias(c)
-                    for c in _CONTRACT_COLS
-                ],
-            )
+            manifest = _contract_manifest(wins, want, side_t)
             wave = _manifest_rows(manifest)
             if not wave:
                 return  # every doc encoded empty: no windows, no shard

@@ -6390,5 +6390,21 @@ def test_compact_token_shards_preserves_content(spark, tmp_path):
     assert man3.select("shard").distinct().count() <= 3
     with pytest.raises(ValueError, match="exactly one"):
         compact_token_shards(spark, src, str(tmp_path / "x"))
-    with pytest.raises(ValueError, match="must differ"):
+    with pytest.raises(ValueError, match="disjoint"):
         compact_token_shards(spark, src, src, n_shards=2)
+    with pytest.raises(ValueError, match="disjoint"):
+        compact_token_shards(spark, src, src + "/nested", n_shards=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        compact_token_shards(
+            spark, src, str(tmp_path / "y"), n_shards=0
+        )
+    # a TORN source (data without its promise) refuses outright:
+    # compaction must never launder unmanifested windows into a
+    # green destination manifest
+    import shutil
+
+    shutil.rmtree(f"{src}/src=w3")
+    with pytest.raises(ValueError, match="failing verification"):
+        compact_token_shards(
+            spark, src, str(tmp_path / "z"), n_shards=2
+        )
