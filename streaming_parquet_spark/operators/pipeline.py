@@ -571,18 +571,31 @@ def assemble_preference_pairs(
         )
     elem_t = df.schema[prompt_col].dataType.elementType
     empty = F.expr(f"CAST(array() AS array<{elem_t.simpleString()}>)")
-    src_prompt = F.coalesce(F.col(prompt_col), empty)
-    np = F.coalesce(F.size(prompt_col), F.lit(0))
+    src_prompt = F.coalesce(df[prompt_col], empty)
+    np = F.coalesce(F.size(df[prompt_col]), F.lit(0))
     # clamp: size() is -1 on NULL arrays under legacy behavior
     np = F.greatest(np, F.lit(0))
     kept = F.least(np, F.lit(mp))
     prompt = F.slice(src_prompt, np - kept + 1, kept)
-    sides = F.expr(
-        f"array(struct('chosen' AS side, {chosen_col} AS comp),"
-        f" struct('rejected' AS side, {rejected_col} AS comp))"
+    # Column-API construction, not SQL-text interpolation: a column
+    # name needing backticks (dot, space, hyphen) would break F.expr
+    # parsing or resolve as a struct-field access; df[name] resolves
+    # the literal name.  Both completion slots cast to the prompt's
+    # array type so the struct branches unify even when the two input
+    # columns inferred different integer widths.
+    comp_t = f"array<{elem_t.simpleString()}>"
+    sides = F.array(
+        F.struct(
+            F.lit("chosen").alias("side"),
+            df[chosen_col].cast(comp_t).alias("comp"),
+        ),
+        F.struct(
+            F.lit("rejected").alias("side"),
+            df[rejected_col].cast(comp_t).alias("comp"),
+        ),
     )
     out = df.select(
-        F.col(id_col),
+        df[id_col].alias(id_col),
         prompt.alias("__prompt"),
         kept.cast("int").alias("prompt_len"),
         F.inline(sides),
@@ -1464,8 +1477,12 @@ def verify_shards(
 
 #: contract format version pinned on the manifest sidecar; readers
 #: refuse anything else, so the digest/layout can evolve without
-#: silently misreading old shard sets.
-TOKEN_SHARD_FORMAT = "token-shards-v1"
+#: silently misreading old shard sets.  v2 (r11): the digest renders
+#: nulls EXPLICITLY — v1's concat_ws/array_join silently skipped null
+#: elements and rendered null arrays like empty ones, so two windows
+#: differing only by null-vs-empty ids/doc_starts (or a value
+#: corrupted to null) digested identically and passed verification.
+TOKEN_SHARD_FORMAT = "token-shards-v2"
 
 
 def _window_digest_frame(
@@ -1482,15 +1499,31 @@ def _window_digest_frame(
     definition, so the two sides agree by construction.  The payload
     folds EVERY trainable field (real-token count, the full id array,
     the document-boundary slots) into the fingerprint; a flipped id
-    or a lost boundary slot changes it."""
+    or a lost boundary slot changes it.  Nulls render EXPLICITLY
+    (null element -> 'NULL', null array -> '<NULLARR>', null count ->
+    'NULL'): the default concat_ws/array_join null-skipping would let
+    a value corrupted to null — or a null array vs an empty one —
+    digest identically to the clean window and slip past verify."""
+    null_arr = F.lit("<NULLARR>")
+
+    def arr(col_name: str):
+        return F.coalesce(
+            F.array_join(
+                F.col(col_name).cast("array<string>"), ",", "NULL"
+            ),
+            null_arr,
+        )
+
     return frame.select(
         F.col(shard_col).cast("string").alias("shard"),
         F.col(win_col).cast("string").alias("__win_key"),
         F.concat_ws(
             "|",
-            F.col(n_tokens_col).cast("string"),
-            F.array_join(F.col(ids_col).cast("array<string>"), ","),
-            F.array_join(F.col(starts_col).cast("array<string>"), ","),
+            F.coalesce(
+                F.col(n_tokens_col).cast("string"), F.lit("NULL")
+            ),
+            arr(ids_col),
+            arr(starts_col),
         ).alias("__win_payload"),
         F.col(n_tokens_col).cast("bigint").alias("__win_n_tokens"),
     )
@@ -1692,11 +1725,15 @@ def _contract_manifest(
     )
 
 
-def _read_shard_contract(spark, path: str) -> tuple[DataFrame, dict]:
+def _read_shard_contract(
+    spark, path: str, caller: str = "read_token_shards"
+) -> tuple[DataFrame, dict]:
     """Load a shard set's manifest sidecar and its single pinned
     contract; raises on an absent sidecar (incomplete or non-shard
     path), a mixed contract (two writes interleaved), or a foreign
-    format version."""
+    format version.  ``caller`` names the API the user actually hit
+    in every error — an append/compact/rank-read failure must not
+    report itself as a read_token_shards problem."""
     import os as _os
 
     from pyspark.errors import AnalysisException
@@ -1710,33 +1747,36 @@ def _read_shard_contract(spark, path: str) -> tuple[DataFrame, dict]:
         ) + " " + str(exc)
         if "PATH_NOT_FOUND" in marker or "UNABLE_TO_INFER_SCHEMA" in marker:
             raise ValueError(
-                f"read_token_shards: {path!r} has no _manifest sidecar "
+                f"{caller}: {path!r} has no _manifest sidecar "
                 f"— not a (completely) written token-shard set"
             ) from exc
         raise
-    return manifest, _single_contract(manifest, repr(path))
+    return manifest, _single_contract(manifest, repr(path), caller)
 
 
-def _single_contract(manifest: DataFrame, what: str) -> dict:
+def _single_contract(
+    manifest: DataFrame, what: str, caller: str = "read_token_shards"
+) -> dict:
     """The one pinned contract a manifest frame carries; raises on
     empty (no shards), mixed (two writes interleaved), or a foreign
-    format version."""
+    format version — errors prefixed with ``caller``, the API the
+    user invoked."""
     rows = manifest.select(*_CONTRACT_COLS).distinct().collect()
     if not rows:
         raise ValueError(
-            f"read_token_shards: {what} has an EMPTY manifest — "
+            f"{caller}: {what} has an EMPTY manifest — "
             f"no shards were written (write_token_shards over zero "
             f"windows, or a truncated sidecar)"
         )
     if len(rows) > 1:
         raise ValueError(
-            f"read_token_shards: {what} carries "
+            f"{caller}: {what} carries "
             f"{len(rows)} distinct contracts — refusing to guess"
         )
     contract = rows[0].asDict()
     if contract["format"] != TOKEN_SHARD_FORMAT:
         raise ValueError(
-            f"read_token_shards: {what} is format "
+            f"{caller}: {what} is format "
             f"{contract['format']!r}; this build reads "
             f"{TOKEN_SHARD_FORMAT!r}"
         )
@@ -1819,7 +1859,9 @@ def append_token_shards(
     import os as _os
 
     spark = windows.sparkSession
-    sidecar, contract = _read_shard_contract(spark, path)
+    sidecar, contract = _read_shard_contract(
+        spark, path, "append_token_shards"
+    )
     _check_vocab(contract, vocab_ids, path, "append_token_shards")
     shard_col = contract["shard_col"]
     win_col = contract["win_col"]
@@ -1871,7 +1913,9 @@ def verify_token_shards(
     exactly what auditing a write that crashed between its data and
     manifest legs requires (the contract rides the returned frame)."""
     if manifest is None:
-        manifest, contract = _read_shard_contract(spark, path)
+        manifest, contract = _read_shard_contract(
+            spark, path, "verify_token_shards"
+        )
     else:
         contract = _single_contract(manifest, "the supplied manifest")
 
@@ -2151,7 +2195,9 @@ def compact_token_shards(
             f"src's partition layout and the post-verify src cleanup "
             f"would delete the compacted output"
         )
-    sidecar, contract = _read_shard_contract(spark, src)
+    sidecar, contract = _read_shard_contract(
+        spark, src, "compact_token_shards"
+    )
     # refuse a torn source OUTRIGHT: unmanifested wave data (a writer
     # crashed between its data and sidecar legs) would otherwise be
     # silently laundered into a green dst manifest — and the
@@ -2175,7 +2221,22 @@ def compact_token_shards(
         n_shards = max(1, math.ceil(total / int(shard_tokens)))
     n = int(n_shards)
     width = max(4, len(str(n - 1)))
-    windows = spark.read.parquet(src)
+    # PIN the source at entry: the sidecar's shard-key set.  The data
+    # write and the manifest derivation below are two separate
+    # evaluations (two file listings) of the src scan — a producer
+    # appending mid-compaction would otherwise let the manifest
+    # listing see windows the data listing didn't, i.e. a dst sidecar
+    # promising windows absent from dst data.  Filtering both legs to
+    # the pinned keys makes them exact regardless of concurrent
+    # appends (published shards never rewrite, and append/stream
+    # enforce fresh keys per wave, so pinned shards' contents are
+    # immutable); the recheck before the dst manifest write then
+    # REFUSES a grown source outright, because the caller's next step
+    # — retire src after verify — would destroy the new wave.
+    pinned = sorted(r["shard"] for r in sidecar.select("shard").collect())
+    windows = spark.read.parquet(src).where(
+        F.col(sc).cast("string").isin(pinned)
+    )
     old_key = f"concat(CAST({sc} AS STRING), ':', CAST({wc} AS STRING))"
     bucket = F.expr(
         f"CAST(conv(substring(md5({old_key}), 1, 15), 16, 10) "
@@ -2208,6 +2269,26 @@ def compact_token_shards(
     out.withColumn(ic, guard).write.mode("error").partitionBy(
         sc
     ).parquet(dst)
+    # quiescence recheck BEFORE the dst manifest write: a source that
+    # grew (or shrank) during compaction refuses loudly — dst stays
+    # data-without-sidecar (read_token_shards raises on it), and the
+    # new wave's data survives for the NEXT compaction instead of
+    # being retired with src
+    now = sorted(
+        r["shard"]
+        for r in _read_shard_contract(spark, src, "compact_token_shards")[
+            0
+        ].select("shard").collect()
+    )
+    if now != pinned:
+        grew = sorted(set(now) - set(pinned))
+        gone = sorted(set(pinned) - set(now))
+        raise ValueError(
+            f"compact_token_shards: {src!r} changed during compaction "
+            f"(+{grew[:5]}, -{gone[:5]}) — refusing to publish the dst "
+            f"manifest; quiesce the producer (or retire the generation "
+            f"via the catalog layer) and re-run against a fresh dst"
+        )
     # the PROMISE comes from the plan, not the written files (the
     # renumber is deterministic, so re-deriving it is exact) —
     # verify_token_shards(dst) stays a real write-path check
@@ -2226,7 +2307,7 @@ def latest_shard_key(spark, path: str) -> str:
     sorts BELOW the pin can become visible to later ranks only.
     When the producer may be live, pin :func:`shard_snapshot`'s
     explicit key list instead — set equality cannot race."""
-    sidecar, _ = _read_shard_contract(spark, path)
+    sidecar, _ = _read_shard_contract(spark, path, "latest_shard_key")
     return max(r["shard"] for r in sidecar.select("shard").collect())
 
 
@@ -2237,7 +2318,7 @@ def shard_snapshot(spark, path: str) -> list[str]:
     rank, so all ranks assign over an identical key set no matter
     what a live producer appends (or how non-atomically its sidecar
     files become visible) in between."""
-    sidecar, _ = _read_shard_contract(spark, path)
+    sidecar, _ = _read_shard_contract(spark, path, "shard_snapshot")
     return sorted(r["shard"] for r in sidecar.select("shard").collect())
 
 
@@ -2276,7 +2357,9 @@ def read_rank_shards(
         raise ValueError(
             f"read_rank_shards: rank {rank} outside [0, {world_size})"
         )
-    sidecar, contract = _read_shard_contract(spark, path)
+    sidecar, contract = _read_shard_contract(
+        spark, path, "read_rank_shards"
+    )
     if vocab_ids is not None:
         _check_vocab(contract, vocab_ids, path, "read_rank_shards")
     pairs = _shard_weight_pairs(sidecar, "shard", "n_tokens")

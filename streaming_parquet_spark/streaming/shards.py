@@ -50,9 +50,13 @@ check to discriminate).
 
 At 100 TB: each batch's token-level shuffle is bounded by the batch
 (``pack_token_windows`` packs within the wave), the contract checks
-are manifest-sized, and the skip/repair probe existence-checks and
-reads ONLY the wave's own shard directories (``basePath``-scoped,
-O(wave) — never a full-set partition discovery).  Padding: each (wave,
+are manifest-sized, the sidecar probes collect O(wave) rows per
+trigger (the already-published check filters to the wave's own tag
+inside the sidecar scan; the foreign-prefix ownership check runs
+ONCE per stream run and collects only offenders), and the
+skip/repair probe existence-checks and reads ONLY the wave's own
+shard directories (``basePath``-scoped, O(wave) — never a full-set
+partition discovery).  Padding: each (wave,
 part) tail window right-pads — overhead is ≤ ``part`` count ×
 ``budget`` tokens per trigger, amortized by trigger sizing exactly
 like the ingest loop's index-scan cost (bigger batches, fewer padded
@@ -118,7 +122,9 @@ def _try_contract(bspark: SparkSession, path: str):
         if "PATH_NOT_FOUND" in marker or "UNABLE_TO_INFER_SCHEMA" in marker:
             return None
         raise
-    return sidecar, _single_contract(sidecar, repr(path))
+    return sidecar, _single_contract(
+        sidecar, repr(path), "shard_ingest_stream"
+    )
 
 
 def _disk_wave_manifest(
@@ -188,6 +194,38 @@ def _manifest_rows(manifest: DataFrame) -> dict:
         for r in manifest.select(
             "shard", "n_windows", "n_tokens", "fp_a", "fp_b"
         ).collect()
+    }
+
+
+def _foreign_keys(
+    sidecar: DataFrame, shard_prefix: str, limit: int = 5
+) -> list[str]:
+    """Up to ``limit`` sidecar shard keys OUTSIDE this stream's
+    prefix — the producer-identity probe.  The prefix filter is
+    pushed into the sidecar scan and the collect returns only the
+    offenders (normally zero rows), so the per-call driver cost is
+    O(1), not O(total shards); run ONCE per stream run (the prefix
+    cannot change mid-run)."""
+    return sorted(
+        r["shard"]
+        for r in sidecar.where(
+            ~F.col("shard").startswith(shard_prefix)
+        ).select("shard").limit(limit).collect()
+    )
+
+
+def _published_keys(sidecar: DataFrame, tag: str) -> set[str]:
+    """The sidecar shard keys belonging to ONE wave tag
+    (``tag`` itself or ``tag-<part>``) — the already-published probe.
+    The tag filter is pushed into the sidecar scan and the collect
+    returns only the wave's own keys, keeping per-trigger driver work
+    O(wave) however many shards the set has accumulated."""
+    return {
+        r["shard"]
+        for r in sidecar.where(
+            (F.col("shard") == tag)
+            | F.col("shard").startswith(tag + "-")
+        ).select("shard").collect()
     }
 
 
@@ -280,6 +318,11 @@ def shard_ingest_stream(
         "vocab_fp_a": v["fp_a"], "vocab_fp_b": v["fp_b"],
     }
     result = ShardIngestResult()
+    # once-per-run probe state: the foreign-prefix ownership check is
+    # a property of the SET, not of any one wave — re-proving it every
+    # trigger would be a growing O(total shards) driver scan on a
+    # months-long producer
+    probe_state = {"foreign_checked": False}
 
     def wave_windows(batch: DataFrame, batch_id: int) -> DataFrame:
         """The batch's packed windows under their wave shard keys —
@@ -369,27 +412,27 @@ def shard_ingest_stream(
                 # check, and silently double the wave — so foreign
                 # keys refuse the whole set, and any existing keys of
                 # THIS batch's tag must be exactly this wave's keys.
-                all_keys = [
-                    r["shard"] for r in sidecar.select("shard").collect()
-                ]
-                foreign = sorted(
-                    k for k in all_keys if not k.startswith(shard_prefix)
-                )
-                if foreign:
-                    raise ValueError(
-                        f"shard_ingest_stream: {shards_path!r} holds "
-                        f"shard keys {foreign[:5]} outside this "
-                        f"stream's shard_prefix={shard_prefix!r} — a "
-                        f"streamed shard set is owned by one producer "
-                        f"identity (a changed prefix would republish "
-                        f"every replayed wave as a duplicate); keep "
-                        f"the prefix, or produce into a fresh path"
-                    )
+                # Both probes push their filters into the sidecar
+                # scan and collect only offenders / the wave's own
+                # keys: per-trigger driver work is O(wave), never
+                # O(total shards) — and the foreign-prefix check runs
+                # ONCE per stream run (the prefix cannot change
+                # mid-run; this run's own waves all carry it).
+                if not probe_state["foreign_checked"]:
+                    foreign = _foreign_keys(sidecar, shard_prefix)
+                    if foreign:
+                        raise ValueError(
+                            f"shard_ingest_stream: {shards_path!r} holds "
+                            f"shard keys {foreign} outside this "
+                            f"stream's shard_prefix={shard_prefix!r} — a "
+                            f"streamed shard set is owned by one producer "
+                            f"identity (a changed prefix would republish "
+                            f"every replayed wave as a duplicate); keep "
+                            f"the prefix, or produce into a fresh path"
+                        )
+                    probe_state["foreign_checked"] = True
                 tag = f"{shard_prefix}{int(batch_id):08d}"
-                published = {
-                    k for k in all_keys
-                    if k == tag or k.startswith(tag + "-")
-                }
+                published = _published_keys(sidecar, tag)
                 if published and published != set(keys):
                     raise ValueError(
                         f"shard_ingest_stream: batch {batch_id} is "

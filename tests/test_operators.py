@@ -6408,3 +6408,164 @@ def test_compact_token_shards_preserves_content(spark, tmp_path):
         compact_token_shards(
             spark, src, str(tmp_path / "z"), n_shards=2
         )
+
+
+def test_window_digest_null_handling(spark):
+    """token-shards-v2 digest (ADVICE r10): null array elements, null
+    arrays, and empty arrays all render DISTINCT payloads — v1's
+    concat_ws/array_join null-skipping let a window whose ids/starts
+    were corrupted to null (or whose empty array became null) digest
+    identically to the clean window and pass verification."""
+    from streaming_parquet_spark.operators.pipeline import (
+        TOKEN_SHARD_FORMAT,
+        _window_digest_frame,
+    )
+
+    assert TOKEN_SHARD_FORMAT == "token-shards-v2"
+    df = spark.createDataFrame(
+        [
+            ("s", 0, [1, 2], 2, [0]),     # clean
+            ("s", 1, [1, None], 2, [0]),  # element corrupted to null
+            ("s", 2, [1], 2, [0]),        # element lost
+            ("s", 3, [1, 2], 2, []),      # empty starts
+            ("s", 4, [1, 2], 2, None),    # starts corrupted to null
+            ("s", 5, [1, 2], None, [0]),  # count corrupted to null
+        ],
+        "shard string, win int, ids array<int>, n_tokens int,"
+        " doc_starts array<int>",
+    )
+    pay = [
+        r["__win_payload"]
+        for r in _window_digest_frame(
+            df, "shard", "win", "ids", "n_tokens", "doc_starts"
+        ).orderBy("__win_key").collect()
+    ]
+    assert len(set(pay)) == len(pay), pay
+    assert pay[1] == "2|1,NULL|0"
+    assert pay[3] == "2|1,2|"
+    assert pay[4] == "2|1,2|<NULLARR>"
+    assert pay[5] == "NULL|1,2|0"
+
+
+def test_assemble_preference_pairs_quoted_column_names(spark):
+    """Column names needing backticks (spaces, hyphens) resolve as
+    literal columns, not SQL text (ADVICE r10): the sides array is
+    built with the Column API."""
+    from streaming_parquet_spark.operators.pipeline import (
+        assemble_preference_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [5, 6, 7], [8, 9], [10])],
+        "pair_id int, `the prompt` array<int>, `chosen-ids` array<int>,"
+        " `rejected ids` array<int>",
+    )
+    got = {
+        r["side"]: (r["prompt_len"], r["n_tokens"], r["ids"])
+        for r in assemble_preference_pairs(
+            df, "the prompt", "chosen-ids", "rejected ids",
+            budget=8, max_prompt_len=2,
+        ).collect()
+    }
+    assert got == {
+        "chosen": (2, 4, [6, 7, 8, 9, 0, 0, 0, 0]),
+        "rejected": (2, 3, [6, 7, 10, 0, 0, 0, 0, 0]),
+    }
+
+
+def test_compact_token_shards_refuses_grown_source(spark, tmp_path):
+    """A producer appending to src mid-compaction refuses BEFORE the
+    dst manifest write (ADVICE r10): the shard-key set pinned at entry
+    is rechecked after the data write, dst stays loudly incomplete
+    (data without sidecar), and the new wave's data is untouched."""
+    import streaming_parquet_spark.operators.pipeline as pl
+    from streaming_parquet_spark.operators.pipeline import (
+        append_token_shards,
+        compact_token_shards,
+        pack_token_windows,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+
+    def wave(lo, n, key):
+        docs = spark.createDataFrame(
+            [(lo + i, key, [(lo + i + j) % 9 + 2 for j in range(7)])
+             for i in range(n)],
+            "doc_id bigint, src string, toks array<int>",
+        )
+        return pack_token_windows(
+            docs, "toks", 16, order_col="doc_id", part_col="src",
+        )
+
+    src = str(tmp_path / "waves")
+    write_token_shards(
+        wave(0, 8, "w0"), src, vocab, budget=16, shard_col="src"
+    )
+    append_token_shards(wave(100, 8, "w1"), src, vocab)
+
+    # grow src exactly between the entry pin and the quiescence
+    # recheck: the recheck's sidecar re-read is compact's SECOND
+    # _read_shard_contract call under its own caller name
+    calls = {"n": 0}
+    orig = pl._read_shard_contract
+
+    def hooked(spark_, path, caller="read_token_shards"):
+        if caller == "compact_token_shards":
+            calls["n"] += 1
+            if calls["n"] == 2:
+                pl._read_shard_contract = orig
+                append_token_shards(wave(200, 8, "w9"), src, vocab)
+        return orig(spark_, path, caller)
+
+    pl._read_shard_contract = hooked
+    dst = str(tmp_path / "compacted")
+    try:
+        with pytest.raises(ValueError, match="changed during compaction"):
+            compact_token_shards(spark, src, dst, n_shards=2)
+    finally:
+        pl._read_shard_contract = orig
+    # dst is data-without-sidecar: loudly incomplete
+    with pytest.raises(ValueError, match="no _manifest sidecar"):
+        read_token_shards(spark, dst)
+    # the mid-flight wave survives in src; a fresh compaction (now
+    # quiescent) carries all three waves
+    dst2 = str(tmp_path / "compacted2")
+    compact_token_shards(spark, src, dst2, n_shards=2)
+    assert (
+        read_token_shards(spark, dst2)[0].count()
+        == read_token_shards(spark, src)[0].count()
+    )
+
+
+def test_shard_contract_errors_name_their_caller(spark, tmp_path):
+    """Contract errors report the API the user invoked, not
+    read_token_shards (ADVICE r10)."""
+    from streaming_parquet_spark.operators.pipeline import (
+        append_token_shards,
+        compact_token_shards,
+        latest_shard_key,
+        read_rank_shards,
+        shard_snapshot,
+    )
+
+    vocab = spark.createDataFrame([(0, "p")], "id int, piece string")
+    nowhere = str(tmp_path / "nowhere")
+    w = spark.createDataFrame(
+        [("a", 0, [1, 2], 2, [0])],
+        "src string, win int, ids array<int>, n_tokens int,"
+        " doc_starts array<int>",
+    )
+    for fn, call in (
+        ("append_token_shards", lambda: append_token_shards(w, nowhere, vocab)),
+        ("compact_token_shards", lambda: compact_token_shards(
+            spark, nowhere, str(tmp_path / "d"), n_shards=1)),
+        ("latest_shard_key", lambda: latest_shard_key(spark, nowhere)),
+        ("shard_snapshot", lambda: shard_snapshot(spark, nowhere)),
+        ("read_rank_shards", lambda: read_rank_shards(spark, nowhere, 0, 1)),
+    ):
+        with pytest.raises(ValueError, match=fn):
+            call()

@@ -1583,3 +1583,71 @@ def test_shard_ingest_multiwave_single_run(spark, tmp_path):
         "wave-00000000", "wave-00000001", "wave-00000002",
     ]
     assert verify_token_shards(spark, out).filter("NOT ok").count() == 0
+
+
+def test_shard_ingest_wave_probes_are_o_batch(spark, tmp_path, monkeypatch):
+    """The per-trigger sidecar probes collect O(wave) rows however
+    many shards the set holds (VERDICT r10 item 3): the
+    already-published probe returns ONLY the wave tag's keys against
+    a many-shard sidecar, the foreign-prefix probe caps its collect
+    at the offender limit, and a multi-wave single run invokes the
+    foreign probe exactly ONCE (the prefix cannot change mid-run) —
+    not once per trigger."""
+    import streaming_parquet_spark.streaming.shards as shards_mod
+    from streaming_parquet_spark.streaming.shards import (
+        _foreign_keys,
+        _published_keys,
+        shard_ingest_stream,
+    )
+
+    # unit level: probes against a 500-shard sidecar frame
+    sidecar = spark.createDataFrame(
+        [(f"wave-{i:08d}",) for i in range(497)]
+        + [("alien-1",), ("alien-2",), ("alien-3",)],
+        "shard string",
+    )
+    assert _published_keys(sidecar, "wave-00000007") == {"wave-00000007"}
+    many = spark.createDataFrame(
+        [(f"wave-{i:08d}-p{j}",) for i in range(100) for j in range(5)],
+        "shard string",
+    )
+    assert _published_keys(many, "wave-00000042") == {
+        f"wave-00000042-p{j}" for j in range(5)
+    }
+    # ...and never a tag that merely shares a digit prefix
+    assert _published_keys(many, "wave-0000004") == set()
+    assert _foreign_keys(sidecar, "wave-", limit=2) == [
+        "alien-1", "alien-2",
+    ]
+    assert _foreign_keys(many, "wave-") == []
+
+    # stream level: 3 waves in ONE availableNow run -> the foreign
+    # probe fires once (first batch that sees an existing sidecar),
+    # the published probe once per such batch
+    calls = {"foreign": 0, "published": 0}
+    orig_f, orig_p = shards_mod._foreign_keys, shards_mod._published_keys
+
+    def count_f(*a, **k):
+        calls["foreign"] += 1
+        return orig_f(*a, **k)
+
+    def count_p(*a, **k):
+        calls["published"] += 1
+        return orig_p(*a, **k)
+
+    monkeypatch.setattr(shards_mod, "_foreign_keys", count_f)
+    monkeypatch.setattr(shards_mod, "_published_keys", count_p)
+    src = str(tmp_path / "src")
+    for w in range(3):
+        _shard_docs(spark, 100 * w, 8).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    r = shard_ingest_stream(
+        spark, src, str(tmp_path / "shards"), str(tmp_path / "ckpt"),
+        _shard_vocab(spark), _shard_encode,
+        budget=64, eos_id=1, max_files_per_trigger=1,
+    )
+    assert r.batches == [0, 1, 2]
+    # batch 0 bootstraps (no sidecar yet -> no probes); batches 1-2
+    # probe publication each, ownership only on the first
+    assert calls == {"foreign": 1, "published": 2}
