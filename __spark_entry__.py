@@ -73,7 +73,11 @@ _RESHAPED_IN = {
     # windows must hash-match the batch packer's DuckDB oracle) — an
     # r9-green row re-proves one round early; the displaced tail query
     # slips one round, the documented reshape cost
-    "pipeline_pack_sequences": 10,
+    # r11: + compact branch (compaction content-preservation against
+    # the same packing oracle) + pref branch (assemble_preference_pairs
+    # vs DuckDB's independent replay) — VERDICT r10 item 1: the two
+    # surfaces that had only pytest evidence gain driver-oracle rows
+    "pipeline_pack_sequences": 11,
 }
 
 

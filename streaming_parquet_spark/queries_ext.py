@@ -1218,25 +1218,19 @@ def _pack_windows_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The STREAMING shard producer inside the oracle gate: documents
-    flow through streaming.shards.shard_ingest_stream (file source ->
-    encode -> pack -> publish under the sidecar contract), the
-    persisted shard set reads back, and labels recompute at read time
-    (with_causal_labels) — projected to the exact shape of the batch
-    windows branch, so the SAME DuckDB packing oracle certifies that
-    the continuous producer and the batch packer emit identical
-    trainable windows (stream/batch parity through an independent
-    engine).  Deterministic re-entry: the workdir/checkpoint are keyed
-    per (process, source), so a second call in one process resumes
-    the checkpointed stream, finds no new files, and reads back the
-    same set."""
+def _ensure_streamed_shards(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, DataFrame, str]:
+    """Stage the documents table as a file-stream source and run
+    streaming.shards.shard_ingest_stream over it once per (process,
+    dataset) — the shared producer both the stream-parity and the
+    compaction branches read.  Deterministic re-entry: the
+    workdir/checkpoint are keyed per (process, source), so a second
+    call in one process resumes the checkpointed stream, finds no new
+    files, and leaves the published set untouched.  Returns
+    (shards_path, vocab_ids, workdir)."""
     import shutil as _shutil
 
-    from streaming_parquet_spark.operators.pipeline import (
-        read_token_shards,
-        with_causal_labels,
-    )
     from streaming_parquet_spark.queries_tpch import _stream_workdir
     from streaming_parquet_spark.streaming.shards import (
         shard_ingest_stream,
@@ -1274,10 +1268,12 @@ def _stream_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(work, "ckpt"), vocab, encode,
         budget=64, ids_col="tok", part_col="source", pad_id=0,
     )
-    wins, _contract = read_token_shards(
-        spark, os.path.join(work, "shards"), vocab_ids=vocab
-    )
-    packed = with_causal_labels(wins)
+    return os.path.join(work, "shards"), vocab, work
+
+
+def _render_windows_csv(packed: DataFrame) -> DataFrame:
+    """(source, win, csv payloads) — the canonical scalar rendering
+    every window branch hands the driver's value hash."""
     return packed.select(
         "source",
         "win",
@@ -1292,6 +1288,73 @@ def _stream_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(doc_starts, x -> CAST(x AS STRING))"), "-"
         ).alias("doc_starts_csv"),
     )
+
+
+def _stream_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING shard producer inside the oracle gate: documents
+    flow through streaming.shards.shard_ingest_stream (file source ->
+    encode -> pack -> publish under the sidecar contract), the
+    persisted shard set reads back, and labels recompute at read time
+    (with_causal_labels) — projected to the exact shape of the batch
+    windows branch, so the SAME DuckDB packing oracle certifies that
+    the continuous producer and the batch packer emit identical
+    trainable windows (stream/batch parity through an independent
+    engine)."""
+    from streaming_parquet_spark.operators.pipeline import (
+        read_token_shards,
+        with_causal_labels,
+    )
+
+    shards_path, vocab, _work = _ensure_streamed_shards(spark, sf_dir)
+    wins, _contract = read_token_shards(spark, shards_path, vocab_ids=vocab)
+    return _render_windows_csv(with_causal_labels(wins))
+
+
+def _compact_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION inside the oracle gate (r11 — VERDICT r10 item 1):
+    the streamed shard set re-buckets through
+    operators.pipeline.compact_token_shards into 3 training-sized
+    shards, the compacted set reads back (vocabulary pin re-checked),
+    labels recompute, and the windows project to the SAME DuckDB
+    packing oracle — proving through an independent engine that
+    compaction preserved every window's trainable content exactly.
+
+    Compaction renumbers (shard, win), so both sides re-key each
+    window by its CONTENT RANK within source (row_number ordered by
+    the rendered payload): identical windows are interchangeable
+    under that order, so the rank assignment is deterministic as a
+    multiset even with ties.  Re-entry: the compacted set is written
+    once per (process, dataset) — compact_token_shards is write-once,
+    so a completed dst (manifest _SUCCESS present) is read back, a
+    torn one is rebuilt."""
+    import shutil as _shutil
+
+    from streaming_parquet_spark.operators.pipeline import (
+        compact_token_shards,
+        read_token_shards,
+        with_causal_labels,
+    )
+
+    shards_path, vocab, work = _ensure_streamed_shards(spark, sf_dir)
+    dst = os.path.join(work, "compacted")
+    if not os.path.exists(os.path.join(dst, "_manifest", "_SUCCESS")):
+        _shutil.rmtree(dst, ignore_errors=True)
+        compact_token_shards(spark, shards_path, dst, n_shards=3)
+    wins, _contract = read_token_shards(spark, dst, vocab_ids=vocab)
+    rendered = _render_windows_csv(with_causal_labels(wins)).drop("win")
+    from pyspark.sql import Window as W
+
+    rank = (
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                "ids_csv", "n_tokens", "doc_starts_csv"
+            )
+        )
+        .cast("bigint")
+        - 1
+    )
+    return rendered.withColumn("win", rank)
 
 
 def _duck_chat_labels() -> str:
@@ -1421,6 +1484,119 @@ def _chat_labels_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: preference-pair gate parameters: window budget and the fixed
+#: prompt cap (the pair-safety knob — both sides keep an identical
+#: prompt region because the cap is independent of either completion)
+_PREF_BUDGET, _PREF_MAXP = 32, 8
+
+
+def _duck_pref_pairs() -> str:
+    """DPO arrangement oracle: from each 5th document's word-hash id
+    stream, prompt = the whole stream (the operator left-truncates to
+    the cap itself), chosen = the first half, rejected = the second
+    half; DuckDB independently replays the left-truncate-then-fit
+    arithmetic and the completion-only label rule."""
+    b, mp = _PREF_BUDGET, _PREF_MAXP
+    words = (
+        f"list_filter({ordered_words_expr('duckdb', 'text')},"
+        f" w -> w <> '')"
+    )
+    ids = word_hashes_expr("duckdb", words)
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS pair_id, {ids} AS fids FROM documents
+      WHERE doc_id % 5 = 0
+    ),
+    f AS (
+      SELECT pair_id, fids, len(fids) AS np,
+             LEAST(len(fids), {mp}) AS kept
+      FROM d
+    ),
+    p AS (
+      SELECT pair_id, kept,
+             list_slice(fids, np - kept + 1, np) AS pfx,
+             list_slice(fids, 1, np // 2) AS chosen,
+             list_slice(fids, np // 2 + 1, np) AS rejected
+      FROM f
+    ),
+    sides AS (
+      SELECT pair_id, kept, pfx, 'chosen' AS side, chosen AS comp FROM p
+      UNION ALL
+      SELECT pair_id, kept, pfx, 'rejected', rejected FROM p
+    ),
+    ex AS (
+      SELECT pair_id, side, kept,
+             pfx || list_slice(comp, 1, LEAST(len(comp), {b} - kept))
+               AS rids
+      FROM sides
+    ),
+    padded AS (
+      SELECT pair_id, side, kept, len(rids) AS n_tokens,
+             rids || list_transform(range({b} - len(rids)),
+                                    x -> CAST(0 AS BIGINT)) AS ids
+      FROM ex
+    )
+    SELECT pair_id, side, CAST(kept AS BIGINT) AS prompt_len,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           array_to_string(ids, '-') AS ids_csv,
+           array_to_string(list_transform(range({b}),
+             i -> CASE WHEN i + 1 < n_tokens AND i + 1 >= kept
+                       THEN ids[CAST(i + 2 AS INTEGER)]
+                       ELSE CAST(-100 AS BIGINT) END), '-') AS labels_csv
+    FROM padded
+    """
+
+
+def _pref_pairs_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference pairs through the REAL operator
+    (operators.pipeline.assemble_preference_pairs, r11 — VERDICT r10
+    item 1): every 5th document's word-hash ids split into a
+    (prompt, chosen, rejected) fixture; the operator's
+    left-truncate-then-fit arithmetic, right padding, and
+    completion-only labels render as canonical strings for the
+    driver's scalar hash."""
+    from streaming_parquet_spark.operators.pipeline import (
+        assemble_preference_pairs,
+    )
+
+    words = (
+        f"filter({ordered_words_expr('spark', 'text')}, w -> w != '')"
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("pair_id"),
+            F.expr(word_hashes_expr("spark", words)).alias("full"),
+        )
+    )
+    fix = d.select(
+        "pair_id",
+        F.col("full").alias("prompt"),
+        F.expr("slice(full, 1, size(full) div 2)").alias("chosen"),
+        F.expr(
+            "slice(full, size(full) div 2 + 1,"
+            " size(full) - size(full) div 2)"
+        ).alias("rejected"),
+    )
+    pp = assemble_preference_pairs(
+        fix, "prompt", "chosen", "rejected",
+        budget=_PREF_BUDGET, max_prompt_len=_PREF_MAXP,
+    )
+    return pp.select(
+        "pair_id",
+        "side",
+        F.col("prompt_len").cast("bigint").alias("prompt_len"),
+        "n_tokens",
+        F.array_join(
+            F.expr("transform(ids, x -> CAST(x AS STRING))"), "-"
+        ).alias("ids_csv"),
+        F.array_join(
+            F.expr("transform(labels, x -> CAST(x AS STRING))"), "-"
+        ).alias("labels_csv"),
+    )
+
+
 def _duck_pack_family() -> str:
     return f"""
     SELECT 'bins' AS kind, lang AS key, bin AS seq,
@@ -1447,6 +1623,26 @@ def _duck_pack_family() -> str:
            CAST(NULL AS BIGINT), ids_csv, labels_csv,
            spans_csv AS doc_starts_csv
     FROM ({_duck_chat_labels()})
+    UNION ALL
+    -- compaction must preserve every window's trainable content
+    -- exactly; (shard, win) renumber, so both sides re-key windows by
+    -- content rank within source (ties are identical rows —
+    -- interchangeable, so the rank assignment is a deterministic
+    -- multiset)
+    SELECT 'compact' AS kind, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY ids_csv, n_tokens, doc_starts_csv) - 1
+                AS BIGINT) AS win,
+           n_tokens, CAST(NULL AS BIGINT), ids_csv, labels_csv,
+           doc_starts_csv
+    FROM ({_duck_pack_windows()})
+    UNION ALL
+    -- DPO preference pairs: side is the key, pair_id the sequence,
+    -- prompt_len rides the m slot
+    SELECT 'pref' AS kind, side AS key, pair_id AS seq,
+           n_tokens AS n, prompt_len AS m, ids_csv, labels_csv,
+           CAST(NULL AS VARCHAR) AS doc_starts_csv
+    FROM ({_duck_pref_pairs()})
     """
 
 
@@ -1472,9 +1668,18 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     - kind='chat' (r10): multi-turn SFT — every-7th-doc conversations
       assembled by assemble_turns, loss masked to assistant spans by
       with_span_labels; doc_starts_csv carries the 'start:end' spans.
+    - kind='compact' (r11): the streamed set re-bucketed by
+      compact_token_shards and read back — every window's trainable
+      content must survive compaction exactly, keyed by content rank
+      within source (shard/win identities renumber by design).
+    - kind='pref' (r11): DPO preference pairs through
+      assemble_preference_pairs — DuckDB independently replays the
+      left-truncate-then-fit arithmetic and completion-only labels;
+      key = side, seq = pair_id, m = prompt_len.
 
     (key, seq, n) are non-null in all branches; m is the bins
-    branch's token sum, the csv payloads are the window branches'."""
+    branch's token sum and the pref branch's prompt_len, the csv
+    payloads are the window/pref branches'."""
     snull = F.lit(None).cast("string")
     bins = _pack_bins_branch(spark, sf_dir).select(
         F.lit("bins").alias("kind"), F.col("lang").alias("key"),
@@ -1495,6 +1700,9 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed = winshape(
         _stream_shards_branch(spark, sf_dir), "stream_shards"
     )
+    compacted = winshape(
+        _compact_shards_branch(spark, sf_dir), "compact"
+    )
     chat = _chat_labels_branch(spark, sf_dir).select(
         F.lit("chat").alias("kind"), F.col("source").alias("key"),
         F.col("cid").alias("seq"), F.col("n_tokens").alias("n"),
@@ -1502,7 +1710,20 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ids_csv", "labels_csv",
         F.col("spans_csv").alias("doc_starts_csv"),
     )
-    return bins.unionByName(wins).unionByName(streamed).unionByName(chat)
+    pref = _pref_pairs_branch(spark, sf_dir).select(
+        F.lit("pref").alias("kind"), F.col("side").alias("key"),
+        F.col("pair_id").alias("seq"), F.col("n_tokens").alias("n"),
+        F.col("prompt_len").alias("m"),
+        "ids_csv", "labels_csv",
+        F.lit(None).cast("string").alias("doc_starts_csv"),
+    )
+    return (
+        bins.unionByName(wins)
+        .unionByName(streamed)
+        .unionByName(compacted)
+        .unionByName(chat)
+        .unionByName(pref)
+    )
 
 
 def _duck_semantic_dedup(threshold: float, n_centroids: int, dims: int) -> str:
