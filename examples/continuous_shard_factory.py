@@ -22,6 +22,12 @@ window).
   train    assign_shards_to_ranks + read_rank_shards: every rank
            derives the same token-balanced assignment from the
            sidecar and scans only its own shard directories
+  retire   the catalog layer (operators/catalog.py): months of wave
+           shards compact into a NEW generation, verify, publish
+           (single atomic marker), and the old generation retires —
+           pinned readers finish their epoch on the old data, new
+           producers/readers land on the successor, drop reclaims
+           the space after the grace window
 
 Run: python examples/continuous_shard_factory.py [sf_dir] [workdir]
 """
@@ -34,10 +40,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from streaming_parquet_spark.operators.catalog import (
+    current_generation,
+    drop_generation,
+    next_generation,
+    promote_compaction,
+    publish_generation,
+)
 from streaming_parquet_spark.operators.dedup import write_lsh_index
 from streaming_parquet_spark.operators.pipeline import (
     assign_shards_to_ranks,
     read_rank_shards,
+    read_token_shards,
     shard_snapshot,
     verify_token_shards,
     with_causal_labels,
@@ -122,7 +136,11 @@ def main():
     # appends parquet files there, stage B's checkpoint remembers
     # which it has already packed
     corpus_dir = os.path.join(warehouse, corpus)
-    shards = os.path.join(work, "shards")
+    # the shard set lives INSIDE a catalog generation from day one:
+    # publication, compaction, and retirement all go through the
+    # catalog's atomic markers
+    root = os.path.join(work, "shardsets")
+    gen1, shards = next_generation(root)
 
     def encode(batch):
         out = apply_bpe_table(batch, "factory_bpe", ids=ids)
@@ -157,6 +175,10 @@ def main():
     # ------------------------------------------------ verify + train
     bad = verify_token_shards(spark, shards).filter("NOT ok").count()
     print(f"verify: {bad} bad shards")
+    # publish: the catalog re-verifies and lands ONE atomic marker —
+    # readers resolve only committed generations
+    publish_generation(spark, root, gen1, vocab_ids=ids)
+    print(f"published generation {gen1}")
     sidecar = spark.read.parquet(os.path.join(shards, "_manifest"))
     asg = assign_shards_to_ranks(sidecar, 4)
     loads = (
@@ -177,6 +199,38 @@ def main():
     total = spark.read.parquet(shards).count()
     print(f"ranks read {n} windows of {total} (each exactly once)")
     assert bad == 0 and n == total
+
+    # --------------------------------------- retire the wave shards
+    # months of small per-wave shards compact into training-sized
+    # units in a NEW generation; the swap is compact -> verify ->
+    # publish -> retire, one call.  A reader that pinned gen 1 before
+    # the swap keeps reading its untouched data (grace window); the
+    # retired generation refuses any further producer wave.
+    pinned_gen, pinned_path = current_generation(root)
+    gen2, _man = promote_compaction(spark, root, n_shards=2,
+                                    vocab_ids=ids)
+    cur_gen, cur_path = current_generation(root)
+    compacted, _c = read_token_shards(spark, cur_path, vocab_ids=ids)
+    assert cur_gen == gen2 and compacted.count() == total
+    # the old generation still serves pinned readers...
+    assert read_token_shards(spark, pinned_path)[0].count() == total
+    # ...but refuses new waves (the streaming producer probes the
+    # retire marker per trigger and refuses too)
+    try:
+        rb3 = shard_ingest_stream(
+            spark, corpus_dir, shards, os.path.join(work, "ckpt_shards"),
+            ids, encode, budget=256, eos_id=5,
+        )
+        raise AssertionError("retired generation accepted a wave")
+    except Exception as exc:
+        assert "RETIRED" in str(exc)
+    print(f"promoted gen {pinned_gen} -> {gen2}: "
+          f"{compacted.select('shard').distinct().count()} compact "
+          f"shards carry all {total} windows; gen {pinned_gen} retired")
+    # after the read-grace window, reclaim the old generation's space
+    drop_generation(root, pinned_gen)
+    print(f"dropped gen {pinned_gen} data; current is gen "
+          f"{current_generation(root)[0]}")
 
 
 if __name__ == "__main__":

@@ -1859,6 +1859,7 @@ def append_token_shards(
     import os as _os
 
     spark = windows.sparkSession
+    _refuse_retired(path, "append_token_shards")
     sidecar, contract = _read_shard_contract(
         spark, path, "append_token_shards"
     )
@@ -1895,6 +1896,23 @@ def append_token_shards(
         _os.path.join(path, "_manifest")
     )
     return manifest
+
+
+def _refuse_retired(path: str, caller: str) -> None:
+    """Producer-side guard for the catalog's retire marker
+    (``operators.catalog``): appending to a RETIRED generation would
+    grow a set the catalog already compacted past — the windows would
+    never reach a reader and would be destroyed at drop.  One local
+    existence probe; reads deliberately do NOT check (retired data
+    stays readable through the drop-grace window)."""
+    from streaming_parquet_spark.operators.catalog import is_retired
+
+    if is_retired(path):
+        raise ValueError(
+            f"{caller}: {path!r} is a RETIRED generation (catalog "
+            f"marker present) — its successor already replaced it; "
+            f"produce into the catalog's current generation instead"
+        )
 
 
 def verify_token_shards(

@@ -270,6 +270,14 @@ def shard_ingest_stream(
     transform) instead of shipping a second budget-wide column."""
     from pyspark.errors import AnalysisException
 
+    from streaming_parquet_spark.operators.pipeline import (
+        _refuse_retired,
+    )
+
+    # refuse a retired generation at run START (even a no-op resume:
+    # a producer pointed at a retired set is misconfigured and must
+    # hear it now, not on whichever future trigger first has data)
+    _refuse_retired(shards_path, "shard_ingest_stream")
     try:
         # same glob as the stream below: a README or writer temp file
         # beside the data must not fail the schema probe
@@ -352,6 +360,11 @@ def shard_ingest_stream(
         return wins.withColumn(_SHARD, key)
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        # re-probed per trigger (one local existence check): the
+        # catalog can retire this generation while a long-lived
+        # producer runs, and the very next wave must refuse instead
+        # of growing a set the catalog already compacted past
+        _refuse_retired(shards_path, "shard_ingest_stream")
         bspark = batch.sparkSession
         result.batches.append(batch_id)
         batch = batch.persist()

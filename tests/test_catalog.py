@@ -1,0 +1,225 @@
+"""Versioned shard-set catalog (operators/catalog.py): the atomic
+generation-swap layer above compact_token_shards.  The contract under
+test: a reader racing a promotion sees exactly ONE complete generation
+at every instant, publish never promotes an unverified set, retire
+refuses producer appends while keeping reads alive, and drop is
+double-guarded."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_parquet_spark.operators.catalog import (
+    current_generation,
+    drop_generation,
+    generation_path,
+    is_retired,
+    next_generation,
+    promote_compaction,
+    publish_generation,
+    read_current_shards,
+    retire_generation,
+)
+from streaming_parquet_spark.operators.pipeline import (
+    append_token_shards,
+    pack_token_windows,
+    read_token_shards,
+    verify_token_shards,
+    write_token_shards,
+)
+
+
+def _vocab(spark):
+    return spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+
+
+def _wave(spark, lo, n, key):
+    docs = spark.createDataFrame(
+        [(lo + i, key, [(lo + i + j) % 9 + 2 for j in range(7)])
+         for i in range(n)],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    return pack_token_windows(
+        docs, "toks", 16, order_col="doc_id", part_col="src",
+    )
+
+
+def _payloads(df):
+    return sorted(
+        (tuple(r["ids"]), r["n_tokens"], tuple(r["doc_starts"]))
+        for r in df.collect()
+    )
+
+
+def test_catalog_swap_end_to_end(spark, tmp_path):
+    """The full generation lifecycle, with a simulated reader at
+    every stage of the swap: allocate -> write -> publish -> promote
+    (compact/verify/publish/retire) -> grace reads -> drop."""
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+
+    # no committed generation yet -> readers refuse loudly
+    with pytest.raises(ValueError, match="no committed generation"):
+        current_generation(root)
+
+    gen1, p1 = next_generation(root)
+    assert gen1 == 1 and p1 == generation_path(root, 1)
+    write_token_shards(
+        _wave(spark, 0, 10, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    append_token_shards(_wave(spark, 100, 10, "w1"), p1, vocab)
+
+    # DATA without a marker is invisible: a reader mid-bootstrap still
+    # sees no generation
+    with pytest.raises(ValueError, match="no committed generation"):
+        current_generation(root)
+
+    doc = publish_generation(spark, root, gen1, vocab_ids=vocab)
+    assert doc["generation"] == 1 and doc["n_shards"] == 2
+    assert doc["n_windows"] > 0 and doc["budget"] == 16
+    got, contract, g = read_current_shards(spark, root, vocab_ids=vocab)
+    assert g == 1
+    before = _payloads(got)
+
+    # the producer may still extend the CURRENT generation
+    append_token_shards(_wave(spark, 200, 6, "w2"), p1, vocab)
+    before = _payloads(read_current_shards(spark, root)[0])
+
+    # ---- the swap.  A reader that resolved gen1 BEFORE promotion
+    # keeps reading gen1's untouched data afterwards; a reader
+    # resolving after sees gen2; at no instant is a half-written set
+    # resolvable (publish happens only after verify, and the marker is
+    # a single atomic file).
+    pinned_gen, pinned_path = current_generation(root)
+    new_gen, man = promote_compaction(
+        spark, root, n_shards=2, vocab_ids=vocab
+    )
+    assert new_gen == 2
+    assert current_generation(root)[0] == 2
+    # new generation: same content, compacted shape, verified
+    after, _, g2 = read_current_shards(spark, root, vocab_ids=vocab)
+    assert g2 == 2 and _payloads(after) == before
+    assert man.select("shard").distinct().count() <= 2
+    # the pinned (old) reader still works through the grace window
+    assert _payloads(read_token_shards(spark, pinned_path)[0]) == before
+    assert is_retired(pinned_path)
+
+    # producers refuse the retired generation — batch append AND the
+    # streaming producer's per-trigger probe
+    with pytest.raises(ValueError, match="RETIRED"):
+        append_token_shards(_wave(spark, 300, 4, "w9"), p1, vocab)
+    from streaming_parquet_spark.streaming.shards import (
+        shard_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+
+    def encode(batch):
+        return batch.select(
+            "doc_id",
+            F.expr("transform(split(text, ' '), w -> crc32(w))").alias(
+                "ids"
+            ),
+        )
+
+    with pytest.raises(Exception, match="RETIRED"):
+        shard_ingest_stream(
+            spark, src, p1, str(tmp_path / "ck"), vocab, encode,
+            budget=16,
+        )
+
+    # drop guards: current refuses, unretired refuses, retired drops
+    with pytest.raises(ValueError, match="current generation"):
+        drop_generation(root, 2)
+    with pytest.raises(ValueError, match="current generation"):
+        retire_generation(root, 2)
+    drop_generation(root, 1)
+    with pytest.raises(ValueError, match="no _manifest sidecar"):
+        read_token_shards(spark, p1)
+    # the retire marker survives the drop: a lost producer replaying
+    # into the emptied path still refuses
+    assert is_retired(p1)
+    with pytest.raises(ValueError, match="RETIRED"):
+        append_token_shards(_wave(spark, 300, 4, "w9"), p1, vocab)
+    # and gen2 is untouched
+    assert _payloads(read_current_shards(spark, root)[0]) == before
+
+
+def test_publish_refusals_and_crash_windows(spark, tmp_path):
+    """publish: unverified/tampered sets, double publish, foreign
+    vocabulary, retired republish, unpublished retire — all refuse;
+    an abandoned (crash mid-promotion) data-only generation stays
+    invisible and its number is never reused."""
+    import glob
+
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+    gen1, p1 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 0, 8, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+
+    # foreign vocabulary refuses before any marker lands
+    other = spark.createDataFrame([(0, "zz")], "id int, piece string")
+    with pytest.raises(ValueError, match="DIFFERENT vocabulary"):
+        publish_generation(spark, root, gen1, vocab_ids=other)
+
+    # tamper a data file -> verify inside publish refuses
+    victim = sorted(
+        glob.glob(os.path.join(p1, "src=w0", "*.parquet"))
+    )[0]
+    blob = open(victim, "rb").read()
+    stash = str(tmp_path / "stash.parquet")  # OUTSIDE the shard dir
+    os.rename(victim, stash)
+    try:
+        # drop the shard's data entirely: observed side vanishes
+        with pytest.raises(ValueError, match="failing verification"):
+            publish_generation(spark, root, gen1)
+    finally:
+        os.rename(stash, victim)
+    assert open(victim, "rb").read() == blob
+
+    publish_generation(spark, root, gen1, vocab_ids=vocab)
+    with pytest.raises(ValueError, match="write-once"):
+        publish_generation(spark, root, gen1)
+    with pytest.raises(ValueError, match="never published"):
+        retire_generation(root, 2)
+    with pytest.raises(ValueError, match="current generation"):
+        drop_generation(root, 1)
+
+    # crash mid-promotion: a data-only gen-2 directory (compacted but
+    # never published).  Readers still resolve gen 1; the number 2 is
+    # burned — the next allocation takes 3.
+    from streaming_parquet_spark.operators.pipeline import (
+        compact_token_shards,
+    )
+
+    g2, p2 = next_generation(root)
+    assert g2 == 2
+    compact_token_shards(spark, p1, p2, n_shards=1)
+    assert current_generation(root) == (1, p1)
+    assert next_generation(root)[0] == 3
+    # finishing the interrupted promotion by hand also works
+    publish_generation(spark, root, 2, vocab_ids=vocab)
+    # committed-but-unretired generations refuse drop (readers may
+    # still be pinned and no retire marker warned producers off)
+    with pytest.raises(ValueError, match="not retired"):
+        drop_generation(root, 1)
+    retire_generation(root, 1)
+    assert current_generation(root)[0] == 2
+    # retire is idempotent
+    retire_generation(root, 1)
+    # marker content is the sidecar's totals
+    marker = json.load(
+        open(os.path.join(root, "_catalog", "commit-00000002.json"))
+    )
+    assert marker["generation"] == 2 and marker["n_shards"] == 1
+    assert marker["n_windows"] == read_token_shards(spark, p2)[0].count()
+    assert verify_token_shards(spark, p2).filter("NOT ok").count() == 0
