@@ -2347,6 +2347,8 @@ def read_rank_shards(
     world_size: int,
     vocab_ids: DataFrame | None = None,
     snapshot: str | list | set | tuple | None = None,
+    cursor: int = 0,
+    pos_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """One trainer rank's slice of a persisted token-shard set:
     recompute the :func:`assign_shards_to_ranks` assignment from the
@@ -2370,10 +2372,31 @@ def read_rank_shards(
     mid-append caveat.  Omit ``snapshot`` only when the producer is
     quiescent (and nothing enforces that — prefer pinning).  A
     pinned key that no longer matches any sidecar row (a compacted
-    or foreign key) raises rather than silently training on less."""
+    or foreign key) raises rather than silently training on less.
+
+    **Mid-epoch resume** (``pos_col`` / ``cursor``): pass ``pos_col``
+    to pin a deterministic within-rank iteration order — ``pos`` runs
+    0..n-1 over the rank's windows in (shard ascending by string key,
+    win ascending) order, the natural sequential-read order of the
+    rank's shard directories.  A preempted trainer that consumed
+    windows ``pos < c`` resumes EXACTLY with ``cursor=c``:
+    resume(cursor) disjoint-unions with the consumed prefix to the
+    rank's full set, every window exactly once, for any cut point and
+    any world_size (hypothesis-gated).  Positions derive from the
+    SIDECAR's per-shard window counts (per-shard offsets, driver-side
+    over the rank's own manifest rows) plus a per-shard row_number —
+    shuffle groups bounded by shard size, no global sort, identical
+    across restarts because both inputs are pinned artifacts.  Same
+    caveat as the assignment itself: positions are a pure function of
+    (sidecar, world_size, snapshot) — resume under the SAME snapshot
+    the epoch started with."""
     if not (0 <= int(rank) < int(world_size)):
         raise ValueError(
             f"read_rank_shards: rank {rank} outside [0, {world_size})"
+        )
+    if int(cursor) < 0:
+        raise ValueError(
+            f"read_rank_shards: cursor must be >= 0 (got {cursor})"
         )
     sidecar, contract = _read_shard_contract(
         spark, path, "read_rank_shards"
@@ -2410,4 +2433,54 @@ def read_rank_shards(
         if mine
         else F.lit(False)
     )
+    if pos_col is not None or int(cursor) > 0:
+        out_col = pos_col or "pos"
+        # per-shard window counts from the sidecar (manifest-sized
+        # collect, shared shape with the weight pairs above); offsets
+        # are an exclusive running sum over the rank's shards in
+        # string-key order — the pinned iteration order
+        counts = {
+            r["shard"]: r["nw"]
+            for r in sidecar.select(
+                F.col("shard").cast("string").alias("shard"),
+                F.coalesce(
+                    F.col("n_windows").cast("bigint"), F.lit(0)
+                ).alias("nw"),
+            ).collect()
+        }
+        offsets, off = [], 0
+        for s in sorted(mine):
+            offsets.append((s, off))
+            off += counts[s]
+        if int(cursor) > int(off):
+            raise ValueError(
+                f"read_rank_shards: cursor {cursor} is past this "
+                f"rank's {off} windows — a stale cursor from a "
+                f"different snapshot/world_size does not resume here"
+            )
+        offdf = spark.createDataFrame(
+            offsets, "__shard_key string, __off bigint"
+        )
+        rn = (
+            F.row_number()
+            .over(
+                W.partitionBy(contract["shard_col"]).orderBy(
+                    contract["win_col"]
+                )
+            )
+            .cast("bigint")
+            - 1
+        )
+        windows = (
+            windows.withColumn("__rn", rn)
+            .join(
+                F.broadcast(offdf),
+                F.col(contract["shard_col"]).cast("string")
+                == F.col("__shard_key"),
+            )
+            .withColumn(out_col, F.col("__off") + F.col("__rn"))
+            .drop("__shard_key", "__off", "__rn")
+        )
+        if int(cursor) > 0:
+            windows = windows.where(F.col(out_col) >= int(cursor))
     return windows, contract
