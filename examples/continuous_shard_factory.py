@@ -232,6 +232,48 @@ def main():
     print(f"dropped gen {pinned_gen} data; current is gen "
           f"{current_generation(root)[0]}")
 
+    # ------------------------------------------- multi-set mixture
+    # training mixes several PACKED sets by weight at read time under
+    # ONE vocabulary: pack a second domain (here: the corpus's
+    # doc_id%3 slice standing in for a code/chat set) with the SAME
+    # frozen artifact, then interleave 3:1.  The key order is exact
+    # integer stride scheduling — deterministic across engines and
+    # restarts; a set under a foreign vocabulary refuses.
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        read_mixture_shards,
+        write_token_shards,
+    )
+
+    # one mixture trains under ONE contract — column names included,
+    # so the code set uses the same 'shard' partition column as the
+    # streamed generation
+    code_docs = spark.table(corpus).filter("doc_id % 3 = 0")
+    code_win = pack_token_windows(
+        encode(code_docs).withColumn(
+            "shard", F.lit("code-0")
+        ), "ids", budget=256, order_col="doc_id", part_col="shard",
+        eos_id=5,
+    )
+    code_set = os.path.join(work, "code_shards")
+    write_token_shards(
+        code_win, code_set, ids, budget=256, shard_col="shard",
+        eos_id=5,
+    )
+    mixed, _mc = read_mixture_shards(
+        spark,
+        {"pretrain": cur_path, "code": code_set},
+        {"pretrain": 3, "code": 1},
+        vocab_ids=ids,
+    )
+    head = [
+        r["mix_source"]
+        for r in mixed.orderBy("mix_key").limit(12).collect()
+    ]
+    n_mix = mixed.count()
+    print(f"mixture: {n_mix} windows, first 12 by key: {head}")
+    assert n_mix == compacted.count() + code_win.count()
+
 
 if __name__ == "__main__":
     main()

@@ -2435,52 +2435,241 @@ def read_rank_shards(
     )
     if pos_col is not None or int(cursor) > 0:
         out_col = pos_col or "pos"
-        # per-shard window counts from the sidecar (manifest-sized
-        # collect, shared shape with the weight pairs above); offsets
-        # are an exclusive running sum over the rank's shards in
-        # string-key order — the pinned iteration order
-        counts = {
-            r["shard"]: r["nw"]
-            for r in sidecar.select(
-                F.col("shard").cast("string").alias("shard"),
-                F.coalesce(
-                    F.col("n_windows").cast("bigint"), F.lit(0)
-                ).alias("nw"),
-            ).collect()
-        }
-        offsets, off = [], 0
-        for s in sorted(mine):
-            offsets.append((s, off))
-            off += counts[s]
-        if int(cursor) > int(off):
+        windows, total = _with_window_positions(
+            windows, sidecar, contract, mine, out_col
+        )
+        if int(cursor) > int(total):
             raise ValueError(
                 f"read_rank_shards: cursor {cursor} is past this "
-                f"rank's {off} windows — a stale cursor from a "
+                f"rank's {total} windows — a stale cursor from a "
                 f"different snapshot/world_size does not resume here"
             )
-        offdf = spark.createDataFrame(
-            offsets, "__shard_key string, __off bigint"
-        )
-        rn = (
-            F.row_number()
-            .over(
-                W.partitionBy(contract["shard_col"]).orderBy(
-                    contract["win_col"]
-                )
-            )
-            .cast("bigint")
-            - 1
-        )
-        windows = (
-            windows.withColumn("__rn", rn)
-            .join(
-                F.broadcast(offdf),
-                F.col(contract["shard_col"]).cast("string")
-                == F.col("__shard_key"),
-            )
-            .withColumn(out_col, F.col("__off") + F.col("__rn"))
-            .drop("__shard_key", "__off", "__rn")
-        )
         if int(cursor) > 0:
             windows = windows.where(F.col(out_col) >= int(cursor))
     return windows, contract
+
+
+def _with_window_positions(
+    windows: DataFrame,
+    sidecar: DataFrame,
+    contract: dict,
+    keys: list,
+    out_col: str,
+) -> tuple[DataFrame, int]:
+    """Deterministic 0..n-1 positions over ``keys``' windows in
+    (shard ascending by string key, win ascending) order — the shared
+    machinery of :func:`read_rank_shards`' resume cursor and
+    :func:`read_mixture_shards`' interleave.  Per-shard offsets come
+    from the SIDECAR's n_windows (an exclusive running sum computed
+    driver-side over the manifest rows — pinned artifact, identical
+    across restarts), broadcast back and added to a per-shard
+    row_number: shuffle groups bounded by shard size, no global sort.
+    Returns (windows + out_col, total window count over keys)."""
+    spark = sidecar.sparkSession
+    counts = {
+        r["shard"]: r["nw"]
+        for r in sidecar.select(
+            F.col("shard").cast("string").alias("shard"),
+            F.coalesce(
+                F.col("n_windows").cast("bigint"), F.lit(0)
+            ).alias("nw"),
+        ).collect()
+    }
+    offsets, off = [], 0
+    for s in sorted(keys):
+        offsets.append((s, off))
+        off += counts[s]
+    offdf = spark.createDataFrame(
+        offsets, "__shard_key string, __off bigint"
+    )
+    rn = (
+        F.row_number()
+        .over(
+            W.partitionBy(contract["shard_col"]).orderBy(
+                contract["win_col"]
+            )
+        )
+        .cast("bigint")
+        - 1
+    )
+    out = (
+        windows.withColumn("__rn", rn)
+        .join(
+            F.broadcast(offdf),
+            F.col(contract["shard_col"]).cast("string")
+            == F.col("__shard_key"),
+        )
+        .withColumn(out_col, F.col("__off") + F.col("__rn"))
+        .drop("__shard_key", "__off", "__rn")
+    )
+    return out, off
+
+
+def read_mixture_shards(
+    spark,
+    sets: dict,
+    weights: dict,
+    vocab_ids: DataFrame | None = None,
+    snapshots: dict | None = None,
+    name_col: str = "mix_source",
+    key_col: str = "mix_key",
+    pos_col: str = "mix_pos",
+) -> tuple[DataFrame, dict]:
+    """Weighted deterministic INTERLEAVE over N token-shard sets under
+    ONE pinned vocabulary — the multi-set mixture read training
+    actually runs (code/web/books packed separately, mixed by weight
+    at read time; VERDICT r10 item 6).  ``sets`` maps a mixture name
+    to a shard-set path, ``weights`` the same names to positive
+    INTEGER parts (e.g. ``{"web": 7, "code": 2, "books": 1}``);
+    reading the result ordered by ``key_col`` visits windows in
+    stride-scheduled weighted-fair order (the classic WFQ / stride
+    virtual-finish-time discipline, public literature): every prefix
+    carries each live set in proportion to its weight within one
+    window per set, and a set that runs dry hands its slots to the
+    rest.  Each source window appears EXACTLY once (hypothesis-gated
+    against a pure-Python reference merge).
+
+    Determinism is pure integer arithmetic, identical across engines,
+    partitionings, and restarts: within-set positions are
+    :func:`read_rank_shards`' pinned (shard, win) order (sidecar
+    offsets + per-shard row_number — :func:`_with_window_positions`),
+    the virtual time of window ``pos`` of set ``s`` is
+    ``(pos+1) * (lcm(weights)/w_s)``, and
+    ``key = vt * n_sets + set_index`` breaks cross-set ties by sorted
+    set name.  No floats anywhere — a float virtual time would let
+    two engines order ties differently.
+
+    The contract must be IDENTICAL across sets — above all the
+    vocabulary fingerprint (mixing two tokenizers' ids is the
+    silent-scramble failure every shard contract exists to stop, and
+    the refusal message says which set disagrees), but also
+    budget/pad/eos/column names, since the union is one trainable
+    frame.  ``snapshots`` optionally pins a key list per set
+    (:func:`shard_snapshot` semantics, validated the same way) so a
+    live producer on any one set cannot skew the mixture mid-epoch.
+
+    Scale: positions/offsets are manifest-sized driver work per set;
+    the data-side cost is one per-shard row_number and a broadcast
+    join per set — no cross-set shuffle at all (the interleave key is
+    a projection; ordering happens at consumption).  Rank-slice the
+    mixture by slicing each SET with read_rank_shards first, or
+    filter ``key_col`` ranges — both compose, because every key is a
+    pure function of pinned artifacts.  Output: the union frame plus
+    (``name_col``, ``pos_col``, ``key_col``); returns
+    (windows, shared contract)."""
+    import math
+    import os as _os
+
+    names = sorted(sets)
+    if not names:
+        raise ValueError("read_mixture_shards: no sets given")
+    if sorted(weights) != names:
+        raise ValueError(
+            f"read_mixture_shards: sets and weights must carry the "
+            f"same names (sets {names}, weights {sorted(weights)})"
+        )
+    w = {}
+    for n in names:
+        w[n] = int(weights[n])
+        if w[n] < 1:
+            raise ValueError(
+                f"read_mixture_shards: weight for {n!r} must be a "
+                f"positive integer (got {weights[n]!r}) — weights are "
+                f"PARTS, not floats; scale them up"
+            )
+    real = {}
+    for n in names:
+        rp = _os.path.realpath(sets[n])
+        if rp in real:
+            raise ValueError(
+                f"read_mixture_shards: {n!r} and {real[rp]!r} name the "
+                f"same shard set ({sets[n]!r}) — each window would "
+                f"appear twice"
+            )
+        real[rp] = n
+    lcm = math.lcm(*w.values())
+    contracts, sidecars = {}, {}
+    for n in names:
+        sidecars[n], contracts[n] = _read_shard_contract(
+            spark, sets[n], "read_mixture_shards"
+        )
+    base = contracts[names[0]]
+    vkeys = ("vocab_size", "vocab_fp_a", "vocab_fp_b")
+    for n in names[1:]:
+        if tuple(contracts[n][k] for k in vkeys) != tuple(
+            base[k] for k in vkeys
+        ):
+            raise ValueError(
+                f"read_mixture_shards: set {n!r} was encoded under a "
+                f"DIFFERENT vocabulary than {names[0]!r} "
+                f"({[contracts[n][k] for k in vkeys]} vs "
+                f"{[base[k] for k in vkeys]}) — mixing two tokenizers' "
+                f"ids silently scrambles every token"
+            )
+        if contracts[n] != base:
+            drift = {
+                k: (base[k], contracts[n][k])
+                for k in base
+                if contracts[n][k] != base[k]
+            }
+            raise ValueError(
+                f"read_mixture_shards: set {n!r} pins a different "
+                f"contract than {names[0]!r} ({names[0]!r} vs {n!r}): "
+                f"{drift} — one mixture trains under one contract"
+            )
+    if vocab_ids is not None:
+        _check_vocab(
+            base, vocab_ids, sets[names[0]], "read_mixture_shards"
+        )
+    parts = []
+    n_sets = len(names)
+    for i, n in enumerate(names):
+        keys = sorted(
+            r["shard"]
+            for r in sidecars[n].select(
+                F.col("shard").cast("string").alias("shard")
+            ).collect()
+        )
+        if snapshots is not None and n in snapshots:
+            want = set(snapshots[n])
+            missing = sorted(want - set(keys))
+            if missing:
+                raise ValueError(
+                    f"read_mixture_shards: snapshot keys "
+                    f"{missing[:5]} for set {n!r} are not in its "
+                    f"sidecar — the pinned set must be a subset of "
+                    f"the published shards"
+                )
+            keys = sorted(want)
+        stride = lcm // w[n]
+        windows = spark.read.parquet(sets[n]).where(
+            F.col(base["shard_col"]).cast("string").isin(keys)
+            if keys
+            else F.lit(False)
+        )
+        positioned, total = _with_window_positions(
+            windows, sidecars[n], base, keys, pos_col
+        )
+        # integer-overflow guard on the key space: (pos+1) * stride *
+        # n_sets must stay inside int64 (manifest-sized arithmetic,
+        # checked once per set)
+        if (total + 1) * stride * n_sets >= 1 << 62:
+            raise ValueError(
+                f"read_mixture_shards: set {n!r} ({total} windows, "
+                f"stride {stride}, {n_sets} sets) would overflow the "
+                f"int64 interleave key — reduce the weight spread "
+                f"(lcm {lcm})"
+            )
+        parts.append(
+            positioned.withColumn(name_col, F.lit(n)).withColumn(
+                key_col,
+                (F.col(pos_col) + 1)
+                * F.lit(int(stride)).cast("bigint")
+                * F.lit(n_sets)
+                + F.lit(i),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out, base

@@ -6671,3 +6671,201 @@ def test_read_rank_shards_resume_cursor_property(spark, tmp_path):
     # cursor == n resumes to an empty (completed) slice
     done, _ = read_rank_shards(spark, path, 0, 3, cursor=n0)
     assert done.count() == 0
+
+
+def test_read_mixture_shards_property(spark, tmp_path):
+    """Hypothesis (VERDICT r10 item 6): the weighted interleave's
+    key order equals a pure-Python stride-scheduling reference merge
+    for ANY positive integer weights — every source window exactly
+    once, every prefix proportional to the live sets' weights within
+    one window per set."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    import math
+
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        read_mixture_shards,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+
+    def make_set(path, lo, n_docs, key):
+        docs = spark.createDataFrame(
+            [(lo + i, key, [(lo + i + j) % 9 + 2 for j in range(5)])
+             for i in range(n_docs)],
+            "doc_id bigint, src string, toks array<int>",
+        )
+        win = pack_token_windows(
+            docs, "toks", 16, order_col="doc_id", part_col="src",
+        )
+        write_token_shards(
+            win, path, vocab, budget=16, shard_col="src"
+        )
+
+    paths = {
+        "web": str(tmp_path / "web"),
+        "code": str(tmp_path / "code"),
+        "books": str(tmp_path / "books"),
+    }
+    make_set(paths["web"], 0, 14, "w")
+    make_set(paths["code"], 100, 6, "c")
+    make_set(paths["books"], 200, 3, "b")
+    spark_counts = {}
+
+    def reference(counts, weights):
+        names = sorted(counts)
+        lcm = math.lcm(*(weights[n] for n in names))
+        entries = [
+            ((p + 1) * (lcm // weights[n]) * len(names) + i, n, p)
+            for i, n in enumerate(names)
+            for p in range(counts[n])
+        ]
+        return [(n, p) for _k, n, p in sorted(entries)]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ws=st.tuples(
+            st.integers(1, 9), st.integers(1, 9), st.integers(1, 9)
+        )
+    )
+    def check(ws):
+        weights = dict(zip(sorted(paths), ws))
+        mixed, contract = read_mixture_shards(
+            spark, paths, weights, vocab_ids=vocab
+        )
+        rows = sorted(
+            (r["mix_key"], r["mix_source"], r["mix_pos"],
+             r["src"], r["win"])
+            for r in mixed.collect()
+        )
+        keys = [k for k, *_ in rows]
+        assert len(keys) == len(set(keys))  # strict total order
+        got = [(n, p) for _k, n, p, _s, _w in rows]
+        if not spark_counts:
+            from collections import Counter
+
+            spark_counts.update(Counter(n for n, _ in got))
+        want = reference(spark_counts, weights)
+        assert got == want
+        # exactly once per source window
+        srcwins = [(n, s, w) for _k, n, _p, s, w in rows]
+        assert len(srcwins) == len(set(srcwins))
+        # prefix proportionality while every set is live: each live
+        # set's share within one window of w_s/W
+        total_w = sum(weights.values())
+        from collections import Counter
+
+        seen = Counter()
+        for m, (n, _p) in enumerate(want, start=1):
+            seen[n] += 1
+            if all(seen[x] < spark_counts[x] for x in spark_counts):
+                for x in spark_counts:
+                    share = m * weights[x] / total_w
+                    assert abs(seen[x] - share) <= len(spark_counts), (
+                        m, x, seen[x], share, weights,
+                    )
+
+    check()
+
+
+def test_read_mixture_shards_refusals(spark, tmp_path):
+    """Mixture refusals: mismatched names, non-positive weights,
+    duplicate paths, foreign vocabulary across sets, contract drift,
+    snapshot keys outside the sidecar — and snapshot pinning keeps a
+    concurrent append out of the mixture."""
+    from streaming_parquet_spark.operators.pipeline import (
+        append_token_shards,
+        pack_token_windows,
+        read_mixture_shards,
+        shard_snapshot,
+        write_token_shards,
+    )
+
+    def vocab_of(n):
+        return spark.createDataFrame(
+            [(i, f"p{i}") for i in range(n)], "id int, piece string"
+        )
+
+    vocab = vocab_of(16)
+
+    def wave(lo, n, key, budget=16):
+        docs = spark.createDataFrame(
+            [(lo + i, key, [(lo + i + j) % 9 + 2 for j in range(5)])
+             for i in range(n)],
+            "doc_id bigint, src string, toks array<int>",
+        )
+        return pack_token_windows(
+            docs, "toks", budget, order_col="doc_id", part_col="src",
+        )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_token_shards(wave(0, 6, "x"), a, vocab, budget=16,
+                       shard_col="src")
+    write_token_shards(wave(100, 4, "y"), b, vocab, budget=16,
+                       shard_col="src")
+
+    with pytest.raises(ValueError, match="same names"):
+        read_mixture_shards(spark, {"a": a, "b": b}, {"a": 1})
+    with pytest.raises(ValueError, match="positive integer"):
+        read_mixture_shards(spark, {"a": a, "b": b}, {"a": 1, "b": 0})
+    with pytest.raises(ValueError, match="positive integer"):
+        read_mixture_shards(
+            spark, {"a": a, "b": b}, {"a": 1, "b": 0.5}
+        )
+    with pytest.raises(ValueError, match="same shard set"):
+        read_mixture_shards(spark, {"a": a, "b": a}, {"a": 1, "b": 1})
+    with pytest.raises(ValueError, match="DIFFERENT vocabulary"):
+        read_mixture_shards(
+            spark, {"a": a, "b": b}, {"a": 1, "b": 1},
+            vocab_ids=vocab_of(3),
+        )
+
+    # a set under a foreign vocabulary refuses set-vs-set
+    c = str(tmp_path / "c")
+    write_token_shards(wave(200, 3, "z"), c, vocab_of(9), budget=16,
+                       shard_col="src")
+    with pytest.raises(ValueError, match="DIFFERENT vocabulary"):
+        read_mixture_shards(
+            spark, {"a": a, "c": c}, {"a": 1, "c": 1}
+        )
+    # contract drift (budget) refuses even under one vocabulary
+    d = str(tmp_path / "d")
+    write_token_shards(wave(300, 3, "q", budget=32), d, vocab,
+                       budget=32, shard_col="src")
+    with pytest.raises(ValueError, match="different contract"):
+        read_mixture_shards(
+            spark, {"a": a, "d": d}, {"a": 1, "d": 1}
+        )
+
+    # snapshot pinning: a concurrent append to b stays out
+    snap = {"a": shard_snapshot(spark, a), "b": shard_snapshot(spark, b)}
+    n_before = read_mixture_shards(
+        spark, {"a": a, "b": b}, {"a": 2, "b": 1}, snapshots=snap
+    )[0].count()
+    append_token_shards(wave(400, 5, "y2"), b, vocab)
+    mixed, _ = read_mixture_shards(
+        spark, {"a": a, "b": b}, {"a": 2, "b": 1}, snapshots=snap
+    )
+    assert mixed.count() == n_before
+    assert mixed.where("src = 'y2'").count() == 0
+    # unpinned, the new shard participates
+    assert read_mixture_shards(
+        spark, {"a": a, "b": b}, {"a": 2, "b": 1}
+    )[0].where("src = 'y2'").count() > 0
+    with pytest.raises(ValueError, match="not in its sidecar"):
+        read_mixture_shards(
+            spark, {"a": a, "b": b}, {"a": 1, "b": 1},
+            snapshots={"b": ["nope"]},
+        )
