@@ -338,10 +338,137 @@ def main() -> None:
             ingest["shards_append_vs_build"] = round(
                 ingest["shards_append_s"] / ingest["shards_build_s"], 2
             )
+            # Compaction of the streamed set (r11): timed cost includes
+            # compact's OWN entry verification scan (refuse-torn-source)
+            # — the honest end-to-end price of the maintenance step.
+            from streaming_parquet_spark.operators.pipeline import (
+                compact_token_shards,
+            )
+
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            cman = compact_token_shards(
+                spark, out, os.path.join(work, "compacted"),
+                shard_tokens=65536,
+            )
+            ingest["compact_s"] = round(time.perf_counter() - t0, 4)
+            ingest["compact_shards"] = float(
+                cman.select("shard").distinct().count()
+            )
         except Exception as exc:
             ingest["shards_error"] = str(exc)[:300]
         finally:
             _shutil.rmtree(work, ignore_errors=True)
+
+    # 10x shard-stream + compaction legs (r11, VERDICT r10 item 7):
+    # the continuous producer over the 10x corpus with an EQUAL-SIZE
+    # append batch (1% of 10x == 10% of 1x docs) pins the O(batch)
+    # append claim at 10x the data — expect ~1x (fixed stream spin-up
+    # dominates; the wave's own work is the same batch); the build and
+    # compaction legs are linear-in-corpus by design, so their ratios
+    # stay well under 10x only because spin-up/verify overhead
+    # dominates at fixture scale — the claim they pin is "no
+    # super-linear cliff", same bar as the other sf1 entries.
+    if (
+        os.environ.get("SPARK_GRAFT_INGEST", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+    ):
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        work10 = _tempfile.mkdtemp(prefix="maw_bench_shards10_")
+        try:
+            from pyspark.sql import functions as F
+
+            from streaming_parquet_spark.functions.portable import (
+                ordered_words_expr,
+                word_hashes_expr,
+            )
+            from streaming_parquet_spark.operators.pipeline import (
+                compact_token_shards,
+            )
+            from streaming_parquet_spark.streaming.shards import (
+                shard_ingest_stream,
+            )
+
+            scale_dir = _ensure_scale_dir(spark, sf_dir, factor=10)
+            docs10 = spark.read.parquet(
+                os.path.join(scale_dir, "documents.parquet")
+            )
+            vocab = spark.createDataFrame(
+                [(0, "<pad>"), (1, "<unk>")], "id int, piece string"
+            )
+            words = (
+                f"filter({ordered_words_expr('spark', 'text')},"
+                f" w -> w != '')"
+            )
+
+            def encode10(batch):
+                return batch.select(
+                    "source",
+                    "doc_id",
+                    F.expr(word_hashes_expr("spark", words)).alias("tok"),
+                )
+
+            src10 = os.path.join(work10, "src")
+            os.makedirs(src10)
+            out10 = os.path.join(work10, "shards")
+            ck10 = os.path.join(work10, "ckpt")
+            docs10.filter(F.col("doc_id") % 100 != 0).write.mode(
+                "append"
+            ).parquet(src10)
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            r1 = shard_ingest_stream(
+                spark, src10, out10, ck10, vocab, encode10,
+                budget=1024, ids_col="tok", part_col="source",
+            )
+            ingest["shards10_build_s"] = round(
+                time.perf_counter() - t0, 4
+            )
+            ingest["shards10_windows"] = float(r1.windows_written)
+            if ingest.get("shards_build_s"):
+                sf1_ratio["shard_stream_build"] = round(
+                    ingest["shards10_build_s"]
+                    / ingest["shards_build_s"], 2
+                )
+            docs10.filter(F.col("doc_id") % 100 == 0).write.mode(
+                "append"
+            ).parquet(src10)
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            r2 = shard_ingest_stream(
+                spark, src10, out10, ck10, vocab, encode10,
+                budget=1024, ids_col="tok", part_col="source",
+            )
+            ingest["shards10_append_s"] = round(
+                time.perf_counter() - t0, 4
+            )
+            ingest["shards10_append_windows"] = float(r2.windows_written)
+            if ingest.get("shards_append_s"):
+                sf1_ratio["shard_stream_append"] = round(
+                    ingest["shards10_append_s"]
+                    / ingest["shards_append_s"], 2
+                )
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            compact_token_shards(
+                spark, out10, os.path.join(work10, "compacted"),
+                shard_tokens=65536,
+            )
+            ingest["compact10_s"] = round(time.perf_counter() - t0, 4)
+            if ingest.get("compact_s"):
+                sf1_ratio["compact_token_shards"] = round(
+                    ingest["compact10_s"] / ingest["compact_s"], 2
+                )
+        except Exception as exc:
+            ingest["shards10_error"] = str(exc)[:300]
+        finally:
+            _shutil.rmtree(work10, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     doc = {
@@ -417,7 +544,16 @@ def main() -> None:
                 " relational family against offset-keyed 10x"
                 " lineitem/orders with 1x dims (fact tables grow, every"
                 " order keeps its exact line multiset, dimension"
-                " fan-out rises 10x)"
+                " fan-out rises 10x)."
+                " r11 entries: shard_stream_append runs an EQUAL-SIZE"
+                " batch against the 10x-grown source+checkpoint (the"
+                " O(batch) claim -> expect ~1x; fixed stream spin-up"
+                " dominates both sides); shard_stream_build and"
+                " compact_token_shards are linear-in-corpus by design"
+                " (compaction's timing includes its own entry verify"
+                " scan) — their bar is 'no super-linear cliff', with"
+                " spin-up/verify overhead keeping fixture-scale ratios"
+                " well under 10x"
             ),
             "multimodal_audio_note": (
                 "r5 flagged 0.27->1.66 s with unchanged code; r6 root"
