@@ -2187,10 +2187,18 @@ def compact_token_shards(
     numbers are a row_number per NEW shard over the old identity:
     one shuffle on the new key, per-group sorts bounded by target
     shard size.  ``dst`` must not exist (the data write is
-    mode='error' — compaction is write-once; swap paths atomically
-    at the catalog/symlink layer above).  Source files are never
-    touched; delete ``src`` only after ``verify_token_shards(dst)``
-    reports every shard ok.  Returns the written manifest."""
+    mode='error' — compaction is write-once; the atomic src->dst
+    promotion lives in ``operators.catalog`` —
+    ``promote_compaction`` chains compact -> verify -> publish ->
+    retire).  Source files are never touched; delete ``src`` only
+    after ``verify_token_shards(dst)`` reports every shard ok (the
+    catalog's ``retire_generation`` + ``drop_generation`` gate this).
+    The source's shard-key set is PINNED at entry (published shards
+    never rewrite, so both the data and manifest legs are exact under
+    concurrent appends) and rechecked before the dst manifest write —
+    a source that grew mid-compaction refuses, leaving dst loudly
+    incomplete and the new wave intact for the next compaction.
+    Returns the written manifest."""
     import math
     import os as _os
 

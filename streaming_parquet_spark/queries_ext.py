@@ -1263,12 +1263,25 @@ def _ensure_streamed_shards(
             F.expr(word_hashes_expr("spark", words)).alias("tok"),
         )
 
-    shard_ingest_stream(
-        spark, src_dir, os.path.join(work, "shards"),
-        os.path.join(work, "ckpt"), vocab, encode,
-        budget=64, ids_col="tok", part_col="source", pad_id=0,
-    )
+    # once per (process, workdir): the staged source is static, so a
+    # repeat call within one process would only spin up an availableNow
+    # stream that finds nothing — measurable dead weight inside the
+    # timed oracle gate now that TWO branches (stream parity +
+    # compaction) share this producer.  Cross-process re-entry still
+    # goes through the checkpointed resume path.
+    if work not in _STREAMED_SETS:
+        shard_ingest_stream(
+            spark, src_dir, os.path.join(work, "shards"),
+            os.path.join(work, "ckpt"), vocab, encode,
+            budget=64, ids_col="tok", part_col="source", pad_id=0,
+        )
+        _STREAMED_SETS.add(work)
     return os.path.join(work, "shards"), vocab, work
+
+
+#: workdirs whose shard stream already ran in THIS process (see
+#: _ensure_streamed_shards; keyed by the pid-scoped workdir path)
+_STREAMED_SETS: set = set()
 
 
 def _render_windows_csv(packed: DataFrame) -> DataFrame:

@@ -6654,6 +6654,15 @@ def test_read_rank_shards_resume_cursor_property(spark, tmp_path):
 
     check()
 
+    # plan shape: the position machinery stays broadcast + per-shard
+    # window — no cartesian, no row-at-a-time Python, no global sort
+    plan = read_rank_shards(spark, path, 0, 3, cursor=2, pos_col="pos")[
+        0
+    ]._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
     # union over ranks with positions = the whole set exactly once,
     # and a stale cursor past the rank's end refuses
     allk = []
@@ -6869,3 +6878,12 @@ def test_read_mixture_shards_refusals(spark, tmp_path):
             spark, {"a": a, "b": b}, {"a": 1, "b": 1},
             snapshots={"b": ["nope"]},
         )
+    # plan shape: the interleave key is a projection over per-set
+    # broadcast position joins — no cross-set shuffle, no cartesian,
+    # no Python in the path
+    plan = read_mixture_shards(
+        spark, {"a": a, "b": b}, {"a": 2, "b": 1}
+    )[0]._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # one/set (win rn)
