@@ -1323,6 +1323,28 @@ def _stream_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _render_windows_csv(with_causal_labels(wins))
 
 
+def _ensure_compacted(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, DataFrame, str]:
+    """The streamed set's compaction, materialized once per (process,
+    dataset) — shared by the compaction-parity and mixture branches.
+    compact_token_shards is write-once, so a completed dst (manifest
+    _SUCCESS present) is reused and a torn one rebuilt.  Returns
+    (src_shards_path, compacted_path, vocab_ids, workdir)."""
+    import shutil as _shutil
+
+    from streaming_parquet_spark.operators.pipeline import (
+        compact_token_shards,
+    )
+
+    shards_path, vocab, work = _ensure_streamed_shards(spark, sf_dir)
+    dst = os.path.join(work, "compacted")
+    if not os.path.exists(os.path.join(dst, "_manifest", "_SUCCESS")):
+        _shutil.rmtree(dst, ignore_errors=True)
+        compact_token_shards(spark, shards_path, dst, n_shards=3)
+    return shards_path, dst, vocab, work
+
+
 def _compact_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPACTION inside the oracle gate (r11 — VERDICT r10 item 1):
     the streamed shard set re-buckets through
@@ -1340,19 +1362,12 @@ def _compact_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per (process, dataset) — compact_token_shards is write-once,
     so a completed dst (manifest _SUCCESS present) is read back, a
     torn one is rebuilt."""
-    import shutil as _shutil
-
     from streaming_parquet_spark.operators.pipeline import (
-        compact_token_shards,
         read_token_shards,
         with_causal_labels,
     )
 
-    shards_path, vocab, work = _ensure_streamed_shards(spark, sf_dir)
-    dst = os.path.join(work, "compacted")
-    if not os.path.exists(os.path.join(dst, "_manifest", "_SUCCESS")):
-        _shutil.rmtree(dst, ignore_errors=True)
-        compact_token_shards(spark, shards_path, dst, n_shards=3)
+    _src, dst, vocab, _work = _ensure_compacted(spark, sf_dir)
     wins, _contract = read_token_shards(spark, dst, vocab_ids=vocab)
     rendered = _render_windows_csv(with_causal_labels(wins)).drop("win")
     from pyspark.sql import Window as W
@@ -1495,6 +1510,105 @@ def _chat_labels_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-",
         ).alias("spans_csv"),
     )
+
+
+def _mix_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-set MIXTURE inside the oracle gate (r11): the
+    streamed set (weight 2) interleaves with its compacted form
+    (weight 1) through operators.pipeline.read_mixture_shards — two
+    distinct shard sets under one pinned vocabulary, stride-scheduled
+    by exact integer virtual time.  DuckDB independently replays the
+    whole chain: within-set (shard asc, win asc) positions, the
+    compaction md5-bucket renumbering (15-hex-digit parse of md5, the
+    same arithmetic compact_token_shards runs), the lcm/weight
+    strides, and the tie-breaking set index — certifying both the
+    interleave ORDER (mix_key is part of the hashed row) and
+    exactly-once per source window through an independent engine."""
+    from streaming_parquet_spark.operators.pipeline import (
+        read_mixture_shards,
+        with_causal_labels,
+    )
+
+    src, dst, vocab, _work = _ensure_compacted(spark, sf_dir)
+    mixed, _c = read_mixture_shards(
+        spark,
+        {"stream": src, "compact": dst},
+        {"stream": 2, "compact": 1},
+        vocab_ids=vocab,
+    )
+    packed = with_causal_labels(mixed)
+    return packed.select(
+        "mix_source",
+        "mix_key",
+        F.array_join(
+            F.expr("transform(ids, x -> CAST(x AS STRING))"), "-"
+        ).alias("ids_csv"),
+        F.array_join(
+            F.expr("transform(labels, x -> CAST(x AS STRING))"), "-"
+        ).alias("labels_csv"),
+        "n_tokens",
+        F.array_join(
+            F.expr("transform(doc_starts, x -> CAST(x AS STRING))"), "-"
+        ).alias("doc_starts_csv"),
+    )
+
+
+def _duck_hex15(h: str) -> str:
+    """Parse the first 15 hex chars of ``h`` into a BIGINT in
+    [0, 16^15) — DuckDB-side replay of Spark's
+    ``conv(substring(md5(k), 1, 15), 16, 10)`` (compact_token_shards'
+    bucket arithmetic).  Same instr/substr construction as
+    portable.hex_word_expr, widened to 60 bits (max term 15 * 16^14 <
+    2^61, sum < 2^60 — exact BIGINT)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {1 + i}, 1)) - 1)"
+        f" * CAST({16 ** (14 - i)} AS BIGINT)"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def _duck_mix_shards() -> str:
+    """Mixture oracle: replay the stream set's and the compacted
+    set's within-set positions, then the 2:1 stride interleave.
+    Strides: sorted names (compact, stream) -> indices (0, 1);
+    weights (1, 2) -> lcm 2 -> strides (2, 1);
+    mix_key = (pos+1) * stride * 2 + index."""
+    md5k = (
+        "md5('wave-00000000-' || source || ':' || CAST(win AS VARCHAR))"
+    )
+    return f"""
+    WITH wins AS ({_duck_pack_windows()}),
+    stream AS (
+      SELECT 'stream' AS mix_source,
+             ROW_NUMBER() OVER (
+               ORDER BY 'wave-00000000-' || source, win) - 1 AS pos,
+             ids_csv, labels_csv, n_tokens, doc_starts_csv
+      FROM wins),
+    cbuck AS (
+      SELECT *, {_duck_hex15(md5k)} % 3 AS bucket,
+             'wave-00000000-' || source || ':' || CAST(win AS VARCHAR)
+               AS old_key
+      FROM wins),
+    cshard AS (
+      SELECT *, 'compact-' || lpad(CAST(bucket AS VARCHAR), 4, '0')
+               AS new_shard,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY old_key)
+               - 1 AS win_new
+      FROM cbuck),
+    compact AS (
+      SELECT 'compact' AS mix_source,
+             ROW_NUMBER() OVER (ORDER BY new_shard, win_new) - 1 AS pos,
+             ids_csv, labels_csv, n_tokens, doc_starts_csv
+      FROM cshard)
+    SELECT mix_source, CAST((pos + 1) * 1 * 2 + 1 AS BIGINT) AS mix_key,
+           ids_csv, labels_csv, n_tokens, doc_starts_csv
+    FROM stream
+    UNION ALL
+    SELECT mix_source, CAST((pos + 1) * 2 * 2 + 0 AS BIGINT) AS mix_key,
+           ids_csv, labels_csv, n_tokens, doc_starts_csv
+    FROM compact
+    """
 
 
 #: preference-pair gate parameters: window budget and the fixed
@@ -1656,6 +1770,14 @@ def _duck_pack_family() -> str:
            n_tokens AS n, prompt_len AS m, ids_csv, labels_csv,
            CAST(NULL AS VARCHAR) AS doc_starts_csv
     FROM ({_duck_pref_pairs()})
+    UNION ALL
+    -- weighted mixture: the stride-scheduled interleave key IS the
+    -- sequence — hashing it certifies the mixture ORDER, not just
+    -- membership
+    SELECT 'mix' AS kind, mix_source AS key, mix_key AS seq,
+           n_tokens AS n, CAST(NULL AS BIGINT) AS m,
+           ids_csv, labels_csv, doc_starts_csv
+    FROM ({_duck_mix_shards()})
     """
 
 
@@ -1689,10 +1811,15 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       assemble_preference_pairs — DuckDB independently replays the
       left-truncate-then-fit arithmetic and completion-only labels;
       key = side, seq = pair_id, m = prompt_len.
+    - kind='mix' (r11): read_mixture_shards interleaves the streamed
+      set (weight 2) with its compacted form (weight 1); seq is the
+      stride-scheduled mix_key itself, so the hash certifies the
+      mixture ORDER — DuckDB replays positions, the compaction md5
+      bucketing, and the lcm/weight strides end to end.
 
     (key, seq, n) are non-null in all branches; m is the bins
     branch's token sum and the pref branch's prompt_len, the csv
-    payloads are the window/pref branches'."""
+    payloads are the window/pref/mix branches'."""
     snull = F.lit(None).cast("string")
     bins = _pack_bins_branch(spark, sf_dir).select(
         F.lit("bins").alias("kind"), F.col("lang").alias("key"),
@@ -1730,12 +1857,19 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ids_csv", "labels_csv",
         F.lit(None).cast("string").alias("doc_starts_csv"),
     )
+    mix = _mix_shards_branch(spark, sf_dir).select(
+        F.lit("mix").alias("kind"), F.col("mix_source").alias("key"),
+        F.col("mix_key").alias("seq"), F.col("n_tokens").alias("n"),
+        F.lit(None).cast("bigint").alias("m"),
+        "ids_csv", "labels_csv", "doc_starts_csv",
+    )
     return (
         bins.unionByName(wins)
         .unionByName(streamed)
         .unionByName(compacted)
         .unionByName(chat)
         .unionByName(pref)
+        .unionByName(mix)
     )
 
 
