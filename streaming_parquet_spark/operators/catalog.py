@@ -8,12 +8,19 @@ token-shard set (``operators.pipeline.write_token_shards`` /
 directory of single-file commit markers:
 
     root/
+      _catalog/claim-00000001         <- allocation markers (exclusive)
       _catalog/commit-00000001.json   <- publish markers (atomic put)
       gen-00000001/                   <- a token-shard set
       gen-00000001/_retired           <- retire marker (refuses appends)
       gen-00000002/
 
 The swap protocol readers and producers rely on:
+
+* **Allocation is exclusive.** :func:`next_generation` reserves its
+  number by exclusively creating ``claim-N`` before returning, so two
+  racing promoters compact into DIFFERENT directories — without the
+  claim they would both pick max+1 and interleave writes into one
+  path, leaving the publish marker to arbitrate over mixed data.
 
 * **Publish is a single-file put, after verification.**
   :func:`publish_generation` refuses unless
@@ -67,6 +74,7 @@ from pyspark.sql import DataFrame
 
 _GEN_RE = re.compile(r"^gen-(\d{8})$")
 _COMMIT_RE = re.compile(r"^commit-(\d{8})\.json$")
+_CLAIM_RE = re.compile(r"^claim-(\d{8})$")
 
 #: marker filename inside a generation that refuses further appends;
 #: probed by append_token_shards and shard_ingest_stream
@@ -107,16 +115,45 @@ def _existing_dirs(root: str) -> list[int]:
     return sorted(out)
 
 
+def _claimed(root: str) -> list[int]:
+    cat = _catalog_dir(root)
+    if not os.path.isdir(cat):
+        return []
+    out = []
+    for name in os.listdir(cat):
+        m = _CLAIM_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def next_generation(root: str) -> tuple[int, str]:
-    """Allocate the next generation number: 1 + the highest of any
-    committed marker or existing gen-* directory (an abandoned,
-    never-published attempt still claims its number — publish markers
-    are write-once, so numbers must never be reused).  Returns
-    (gen, path); the caller writes a shard set into ``path`` and then
-    :func:`publish_generation`\\ s it."""
-    taken = set(_committed(root)) | set(_existing_dirs(root))
-    gen = max(taken, default=0) + 1
-    return gen, generation_path(root, gen)
+    """Allocate the next generation number and RESERVE it: 1 + the
+    highest of any committed marker, claim marker, or existing gen-*
+    directory, claimed by exclusively creating
+    ``_catalog/claim-N`` (``open(..., 'x')`` — the conditional-PUT
+    shape on object stores).  Two racing promoters therefore get
+    DISTINCT numbers instead of interleaving writes into one
+    directory and letting the publish marker arbitrate over mixed
+    data.  An abandoned, never-published attempt keeps its claim —
+    publish markers are write-once, so numbers must never be reused.
+    Returns (gen, path); the caller writes a shard set into ``path``
+    and then :func:`publish_generation`\\ s it."""
+    os.makedirs(_catalog_dir(root), exist_ok=True)
+    taken = (
+        set(_committed(root)) | set(_existing_dirs(root))
+        | set(_claimed(root))
+    )
+    while True:
+        gen = max(taken, default=0) + 1
+        claim = os.path.join(_catalog_dir(root), f"claim-{gen:08d}")
+        try:
+            with open(claim, "x") as f:
+                f.write(json.dumps({"claimed_generation": gen}) + "\n")
+        except FileExistsError:
+            taken.add(gen)  # a racing allocator won this number
+            continue
+        return gen, generation_path(root, gen)
 
 
 def is_retired(path: str) -> bool:

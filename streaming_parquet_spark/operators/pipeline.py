@@ -2260,9 +2260,7 @@ def compact_token_shards(
     # REFUSES a grown source outright, because the caller's next step
     # — retire src after verify — would destroy the new wave.
     pinned = sorted(r["shard"] for r in sidecar.select("shard").collect())
-    windows = spark.read.parquet(src).where(
-        F.col(sc).cast("string").isin(pinned)
-    )
+    windows = _pinned_key_filter(spark.read.parquet(src), sc, pinned)
     old_key = f"concat(CAST({sc} AS STRING), ':', CAST({wc} AS STRING))"
     bucket = F.expr(
         f"CAST(conv(substring(md5({old_key}), 1, 15), 16, 10) "
@@ -2436,10 +2434,8 @@ def read_rank_shards(
         for shard, r, _w in _lpt_assign(pairs, world_size)
         if r == int(rank)
     ]
-    windows = spark.read.parquet(path).where(
-        F.col(contract["shard_col"]).cast("string").isin(mine)
-        if mine
-        else F.lit(False)
+    windows = _pinned_key_filter(
+        spark.read.parquet(path), contract["shard_col"], mine
     )
     if pos_col is not None or int(cursor) > 0:
         out_col = pos_col or "pos"
@@ -2455,6 +2451,37 @@ def read_rank_shards(
         if int(cursor) > 0:
             windows = windows.where(F.col(out_col) >= int(cursor))
     return windows, contract
+
+
+#: past this many pinned shard keys, key filters switch from a
+#: literal IN-list to a broadcast semi-join (see _pinned_key_filter)
+_PIN_ISIN_LIMIT = 1024
+
+
+def _pinned_key_filter(df: DataFrame, shard_col: str, keys) -> DataFrame:
+    """Restrict ``df`` to rows whose shard key (cast to string) is in
+    ``keys`` — the shared filter shape of the compaction pin, the
+    rank read, and the mixture read.  Small pins stay a literal
+    IN-list (static partition pruning at planning time); past
+    ``_PIN_ISIN_LIMIT`` keys the filter becomes a broadcast LEFT SEMI
+    join against a one-column keys frame, because a pin over a
+    100k-shard set must not carry 100k literals through analysis and
+    codegen (plan size grows with the literal count; the semi-join
+    plan is constant-size and partition pruning still happens at
+    runtime — DPP on the partition column).  Row semantics are
+    identical in both shapes."""
+    keys = sorted(keys)
+    if not keys:
+        return df.where(F.lit(False))
+    col = F.col(shard_col).cast("string")
+    if len(keys) <= _PIN_ISIN_LIMIT:
+        return df.where(col.isin(keys))
+    kdf = df.sparkSession.createDataFrame(
+        [(k,) for k in keys], "__pin_key string"
+    )
+    return df.join(
+        F.broadcast(kdf), col == F.col("__pin_key"), "left_semi"
+    )
 
 
 def _with_window_positions(
@@ -2650,10 +2677,8 @@ def read_mixture_shards(
                 )
             keys = sorted(want)
         stride = lcm // w[n]
-        windows = spark.read.parquet(sets[n]).where(
-            F.col(base["shard_col"]).cast("string").isin(keys)
-            if keys
-            else F.lit(False)
+        windows = _pinned_key_filter(
+            spark.read.parquet(sets[n]), base["shard_col"], keys
         )
         positioned, total = _with_window_positions(
             windows, sidecars[n], base, keys, pos_col

@@ -223,3 +223,20 @@ def test_publish_refusals_and_crash_windows(spark, tmp_path):
     assert marker["generation"] == 2 and marker["n_shards"] == 1
     assert marker["n_windows"] == read_token_shards(spark, p2)[0].count()
     assert verify_token_shards(spark, p2).filter("NOT ok").count() == 0
+
+
+def test_next_generation_reserves_exclusively(spark, tmp_path):
+    """Two racing promoters must get DISTINCT generation numbers:
+    allocation itself is the exclusive step (claim marker), not the
+    publish marker — otherwise both compact into the same directory
+    and the winner publishes mixed data."""
+    root = str(tmp_path / "root")
+    g_a, p_a = next_generation(root)
+    g_b, p_b = next_generation(root)  # nothing written into p_a yet
+    assert g_a != g_b and p_a != p_b
+    # claims survive abandonment: numbers are never reused
+    g_c, _ = next_generation(root)
+    assert g_c == max(g_a, g_b) + 1
+    # claim markers are invisible to the committed view
+    with pytest.raises(ValueError, match="no committed"):
+        current_generation(root)

@@ -6887,3 +6887,78 @@ def test_read_mixture_shards_refusals(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # one/set (win rn)
+
+
+def test_pinned_key_filter_semi_join_shape(spark, tmp_path, monkeypatch):
+    """Past _PIN_ISIN_LIMIT keys the compaction pin / rank read /
+    mixture read switch from a literal IN-list to a broadcast LEFT
+    SEMI join (a 100k-shard pin must not carry 100k literals through
+    the plan).  Row semantics must be identical in both shapes, and
+    the semi-join must stay broadcast (no extra shuffle, no
+    cartesian)."""
+    from streaming_parquet_spark.operators import pipeline as P
+    from streaming_parquet_spark.operators.pipeline import (
+        append_token_shards,
+        compact_token_shards,
+        pack_token_windows,
+        read_mixture_shards,
+        read_rank_shards,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+
+    def wave(lo, n, key):
+        docs = spark.createDataFrame(
+            [(lo + i, key, [(lo + i + j) % 9 + 2 for j in range(5)])
+             for i in range(n)],
+            "doc_id bigint, src string, toks array<int>",
+        )
+        return pack_token_windows(
+            docs, "toks", 16, order_col="doc_id", part_col="src",
+        )
+
+    path = str(tmp_path / "shards")
+    write_token_shards(
+        wave(0, 9, "w0"), path, vocab, budget=16, shard_col="src"
+    )
+    for k, lo, n in (("w1", 100, 4), ("w2", 200, 13)):
+        append_token_shards(wave(lo, n, k), path, vocab)
+
+    def rank_rows():
+        df, _ = read_rank_shards(spark, path, 0, 2, pos_col="pos")
+        return sorted(
+            (r["src"], r["win"], r["pos"], tuple(r["ids"]))
+            for r in df.collect()
+        )
+
+    def content(p):
+        return sorted(
+            tuple(r["ids"]) for r in read_token_shards(spark, p)[0].collect()
+        )
+
+    base_rank = rank_rows()
+    base_content = content(path)
+
+    monkeypatch.setattr(P, "_PIN_ISIN_LIMIT", 0)
+
+    # identical rows through the semi-join shape
+    assert rank_rows() == base_rank
+    df, _ = read_rank_shards(spark, path, 0, 2, pos_col="pos")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # compaction pin through the semi-join shape preserves content
+    dst = str(tmp_path / "compacted")
+    compact_token_shards(spark, path, dst, n_shards=2)
+    assert content(dst) == base_content
+
+    # mixture read through the semi-join shape: exactly-once union
+    mixed, _ = read_mixture_shards(
+        spark, {"a": path, "b": dst}, {"a": 2, "b": 1}
+    )
+    assert mixed.count() == 2 * len(base_content)
