@@ -1734,13 +1734,20 @@ def _read_shard_contract(
     format version.  ``caller`` names the API the user actually hit
     in every error — an append/compact/rank-read failure must not
     report itself as a read_token_shards problem."""
+    manifest = _manifest_frame(spark, path, caller)
+    return manifest, _single_contract(manifest, repr(path), caller)
+
+
+def _manifest_frame(spark, path: str, caller: str) -> DataFrame:
+    """The manifest sidecar as a frame, with the absent-sidecar
+    refusal every contract reader shares."""
     import os as _os
 
     from pyspark.errors import AnalysisException
 
     mpath = _os.path.join(path, "_manifest")
     try:
-        manifest = spark.read.parquet(mpath)
+        return spark.read.parquet(mpath)
     except AnalysisException as exc:
         marker = (
             getattr(exc, "getCondition", exc.getErrorClass)() or ""
@@ -1751,7 +1758,35 @@ def _read_shard_contract(
                 f"— not a (completely) written token-shard set"
             ) from exc
         raise
-    return manifest, _single_contract(manifest, repr(path), caller)
+
+
+def _sidecar_snapshot(
+    spark, path: str, caller: str
+) -> tuple[DataFrame, list, dict]:
+    """ONE collect of the manifest sidecar: (manifest frame, rows,
+    contract), where each row is a dict carrying the string shard
+    key, bigint n_windows/n_tokens (nulls coalesced to 0), and the
+    contract columns.  The rank and mixture readers need the
+    contract, the key list, AND per-shard counts — reading them as
+    three separate driver jobs triples the sequential
+    manifest-round-trip latency per set (an object-store listing +
+    scan each time at 100 TB); the snapshot pays it once.  Refusal
+    semantics are identical to :func:`_read_shard_contract`."""
+    manifest = _manifest_frame(spark, path, caller)
+    rows = [
+        r.asDict()
+        for r in manifest.select(
+            F.col("shard").cast("string").alias("shard"),
+            F.coalesce(F.col("n_windows").cast("bigint"), F.lit(0)).alias(
+                "n_windows"
+            ),
+            F.coalesce(F.col("n_tokens").cast("bigint"), F.lit(0)).alias(
+                "n_tokens"
+            ),
+            *_CONTRACT_COLS,
+        ).collect()
+    ]
+    return manifest, rows, _contract_from_rows(rows, repr(path), caller)
 
 
 def _single_contract(
@@ -1762,18 +1797,32 @@ def _single_contract(
     format version — errors prefixed with ``caller``, the API the
     user invoked."""
     rows = manifest.select(*_CONTRACT_COLS).distinct().collect()
+    return _contract_from_rows(
+        [r.asDict() for r in rows], what, caller
+    )
+
+
+def _contract_from_rows(
+    rows: list, what: str, caller: str = "read_token_shards"
+) -> dict:
+    """:func:`_single_contract`'s refusal semantics over
+    already-collected manifest rows (each a dict carrying at least
+    the contract columns) — empty, mixed, and foreign-format sets
+    refuse identically whether the contract came from its own
+    distinct-collect or rode a :func:`_sidecar_snapshot`."""
     if not rows:
         raise ValueError(
             f"{caller}: {what} has an EMPTY manifest — "
             f"no shards were written (write_token_shards over zero "
             f"windows, or a truncated sidecar)"
         )
-    if len(rows) > 1:
+    seen = {tuple(r[c] for c in _CONTRACT_COLS) for r in rows}
+    if len(seen) > 1:
         raise ValueError(
             f"{caller}: {what} carries "
-            f"{len(rows)} distinct contracts — refusing to guess"
+            f"{len(seen)} distinct contracts — refusing to guess"
         )
-    contract = rows[0].asDict()
+    contract = dict(zip(_CONTRACT_COLS, next(iter(seen))))
     if contract["format"] != TOKEN_SHARD_FORMAT:
         raise ValueError(
             f"{caller}: {what} is format "
@@ -2404,12 +2453,14 @@ def read_rank_shards(
         raise ValueError(
             f"read_rank_shards: cursor must be >= 0 (got {cursor})"
         )
-    sidecar, contract = _read_shard_contract(
+    sidecar, srows, contract = _sidecar_snapshot(
         spark, path, "read_rank_shards"
     )
     if vocab_ids is not None:
         _check_vocab(contract, vocab_ids, path, "read_rank_shards")
-    pairs = _shard_weight_pairs(sidecar, "shard", "n_tokens")
+    # (shard, n_tokens) pairs ride the snapshot's single collect —
+    # same null/cast semantics as _shard_weight_pairs
+    pairs = [(r["shard"], r["n_tokens"]) for r in srows]
     if snapshot is not None:
         if isinstance(snapshot, str):
             pairs = [p for p in pairs if p[0] <= snapshot]
@@ -2440,7 +2491,8 @@ def read_rank_shards(
     if pos_col is not None or int(cursor) > 0:
         out_col = pos_col or "pos"
         windows, total = _with_window_positions(
-            windows, sidecar, contract, mine, out_col
+            windows, sidecar, contract, mine, out_col,
+            counts={r["shard"]: r["n_windows"] for r in srows},
         )
         if int(cursor) > int(total):
             raise ValueError(
@@ -2490,6 +2542,7 @@ def _with_window_positions(
     contract: dict,
     keys: list,
     out_col: str,
+    counts: dict | None = None,
 ) -> tuple[DataFrame, int]:
     """Deterministic 0..n-1 positions over ``keys``' windows in
     (shard ascending by string key, win ascending) order — the shared
@@ -2501,15 +2554,18 @@ def _with_window_positions(
     row_number: shuffle groups bounded by shard size, no global sort.
     Returns (windows + out_col, total window count over keys)."""
     spark = sidecar.sparkSession
-    counts = {
-        r["shard"]: r["nw"]
-        for r in sidecar.select(
-            F.col("shard").cast("string").alias("shard"),
-            F.coalesce(
-                F.col("n_windows").cast("bigint"), F.lit(0)
-            ).alias("nw"),
-        ).collect()
-    }
+    if counts is None:
+        # callers holding a _sidecar_snapshot pass its counts instead
+        # of paying a second manifest round trip here
+        counts = {
+            r["shard"]: r["nw"]
+            for r in sidecar.select(
+                F.col("shard").cast("string").alias("shard"),
+                F.coalesce(
+                    F.col("n_windows").cast("bigint"), F.lit(0)
+                ).alias("nw"),
+            ).collect()
+        }
     offsets, off = [], 0
     for s in sorted(keys):
         offsets.append((s, off))
@@ -2623,9 +2679,10 @@ def read_mixture_shards(
             )
         real[rp] = n
     lcm = math.lcm(*w.values())
-    contracts, sidecars = {}, {}
+    contracts, sidecars, snaps = {}, {}, {}
     for n in names:
-        sidecars[n], contracts[n] = _read_shard_contract(
+        # ONE manifest collect per set (contract + keys + counts)
+        sidecars[n], snaps[n], contracts[n] = _sidecar_snapshot(
             spark, sets[n], "read_mixture_shards"
         )
     base = contracts[names[0]]
@@ -2659,12 +2716,7 @@ def read_mixture_shards(
     parts = []
     n_sets = len(names)
     for i, n in enumerate(names):
-        keys = sorted(
-            r["shard"]
-            for r in sidecars[n].select(
-                F.col("shard").cast("string").alias("shard")
-            ).collect()
-        )
+        keys = sorted(r["shard"] for r in snaps[n])
         if snapshots is not None and n in snapshots:
             want = set(snapshots[n])
             missing = sorted(want - set(keys))
@@ -2681,7 +2733,8 @@ def read_mixture_shards(
             spark.read.parquet(sets[n]), base["shard_col"], keys
         )
         positioned, total = _with_window_positions(
-            windows, sidecars[n], base, keys, pos_col
+            windows, sidecars[n], base, keys, pos_col,
+            counts={r["shard"]: r["n_windows"] for r in snaps[n]},
         )
         # integer-overflow guard on the key space: (pos+1) * stride *
         # n_sets must stay inside int64 (manifest-sized arithmetic,

