@@ -2602,6 +2602,7 @@ def read_mixture_shards(
     weights: dict,
     vocab_ids: DataFrame | None = None,
     snapshots: dict | None = None,
+    cursor: int | None = None,
     name_col: str = "mix_source",
     key_col: str = "mix_key",
     pos_col: str = "mix_pos",
@@ -2638,6 +2639,14 @@ def read_mixture_shards(
     frame.  ``snapshots`` optionally pins a key list per set
     (:func:`shard_snapshot` semantics, validated the same way) so a
     live producer on any one set cannot skew the mixture mid-epoch.
+
+    **Mid-epoch resume** (``cursor``): a trainer consuming the
+    mixture in ``key_col`` order checkpoints the last key it
+    consumed and resumes with ``cursor=<that key>`` — keys are a
+    unique total order derived only from pinned artifacts, so the
+    resumed read is exactly the strictly-greater remainder, every
+    window still exactly once (the mixture-order analogue of
+    :func:`read_rank_shards`' ``cursor``).
 
     Scale: positions/offsets are manifest-sized driver work per set;
     the data-side cost is one per-shard row_number and a broadcast
@@ -2758,4 +2767,12 @@ def read_mixture_shards(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    if cursor is not None:
+        # mid-epoch resume, mirroring read_rank_shards' pos cursor:
+        # mix_key is a UNIQUE total order over pinned artifacts, so a
+        # trainer that checkpointed the last key it consumed resumes
+        # with exactly the strictly-greater remainder — the filter is
+        # a projection-level predicate per set (keys never shuffle).
+        # Strictly greater, not >=: the cursor names a CONSUMED key.
+        out = out.where(F.col(key_col) > int(cursor))
     return out, base

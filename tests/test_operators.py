@@ -6962,3 +6962,57 @@ def test_pinned_key_filter_semi_join_shape(spark, tmp_path, monkeypatch):
         spark, {"a": path, "b": dst}, {"a": 2, "b": 1}
     )
     assert mixed.count() == 2 * len(base_content)
+
+
+def test_read_mixture_shards_cursor_resume(spark, tmp_path):
+    """Mid-epoch mixture resume: a trainer that consumed the mixture
+    up to (and including) some mix_key resumes with cursor=<that key>
+    and receives exactly the strictly-greater remainder — consumed ⊎
+    resumed = the full mixture, every window exactly once, for any
+    cut point including none and all."""
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        read_mixture_shards,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+
+    def make_set(path, lo, n_docs, key):
+        docs = spark.createDataFrame(
+            [(lo + i, key, [(lo + i + j) % 9 + 2 for j in range(5)])
+             for i in range(n_docs)],
+            "doc_id bigint, src string, toks array<int>",
+        )
+        write_token_shards(
+            pack_token_windows(
+                docs, "toks", 16, order_col="doc_id", part_col="src"
+            ),
+            path, vocab, budget=16, shard_col="src",
+        )
+
+    paths = {"a": str(tmp_path / "a"), "b": str(tmp_path / "b")}
+    make_set(paths["a"], 0, 10, "x")
+    make_set(paths["b"], 100, 4, "y")
+    weights = {"a": 3, "b": 1}
+
+    full, _ = read_mixture_shards(spark, paths, weights)
+    rows = sorted(
+        (r["mix_key"], r["mix_source"], r["src"], r["win"])
+        for r in full.collect()
+    )
+    n = len(rows)
+    for cut in (0, 1, n // 2, n - 1, n):
+        consumed = rows[:cut]
+        cursor = consumed[-1][0] if consumed else -1
+        resumed, _ = read_mixture_shards(
+            spark, paths, weights, cursor=cursor
+        )
+        got = sorted(
+            (r["mix_key"], r["mix_source"], r["src"], r["win"])
+            for r in resumed.collect()
+        )
+        assert got == rows[cut:], cut
+        assert sorted(consumed + got) == rows
