@@ -112,7 +112,7 @@ def main() -> None:
     # the extra executions double as query-path JIT warmup.
     conversions, conv_fs = _conversion_bench(spark, sf_dir)
 
-    # Two passes, best per query — the reference's criterion harness
+    # Multiple passes, best per query — the reference's criterion harness
     # warms up then samples (benches/throughput.rs); a single pass
     # charges whichever query runs first with the one-time JIT compile
     # of the shared expression machinery (measured: the first minhash
@@ -123,7 +123,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
-    for _pass in range(2):
+    # Three passes, best per query (was two): on a host with bursty
+    # IO/scheduler noise a single repeat leaves ±30% per-query swing
+    # in the min (same-code samples of multimodal_family measured
+    # 6.77 / 2.16 / 2.15 s across runs); a third sample costs ~90 s
+    # and collapses most of it.  The aggregate stays `min` — the same
+    # criterion-style floor the reference bench reports.
+    for _pass in range(3):
         for name, fn in sorted(QUERIES.items()):
             # Spark's CacheManager matches semantically-equal plans, so a
             # second pass could silently reuse a prior pass's persisted
@@ -491,7 +497,7 @@ def main() -> None:
             "master": f"local[{cpus}]",
             "shuffle_partitions": cpus,
             "aqe": True,
-            "runs": 2,
+            "runs": 3,
             "agg": "min",
             "query_warmup": (
                 "1 untimed pre-pass (join/agg/window/embedding-dot"
