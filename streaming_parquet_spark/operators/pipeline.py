@@ -2370,6 +2370,87 @@ def compact_token_shards(
     return manifest
 
 
+def with_epoch_order(
+    windows: DataFrame,
+    epoch: int,
+    shard_col: str = "shard",
+    win_col: str = "win",
+    out_col: str = "epoch_key",
+    granularity: str = "shard",
+) -> DataFrame:
+    """A DIFFERENT deterministic training order per epoch with ZERO
+    data movement: stamps ``out_col`` so that ``ORDER BY (out_col,
+    shard, win)`` is the epoch's consumption order — the per-epoch
+    reshuffle every multi-epoch run needs, as a stateless projection
+    (no shuffle job, nothing re-materialized; at 100 TB re-writing the
+    corpus per epoch is exactly what this avoids).  The key is the
+    same 60-bit md5-prefix integer ``compact_token_shards`` buckets
+    with (``conv(substring(md5(..),1,15),16,10)`` — DuckDB-replayable
+    via the established hex15 arithmetic), seeded by ``epoch``, so
+    the order is a pure function of (data identity, epoch): identical
+    across partitionings, restarts, and engines.
+
+    ``granularity``:
+
+    * ``'shard'`` (default): one key per (shard, epoch) — epochs
+      permute the SHARD visit order while windows stay sequential
+      within each shard.  This is the standard large-scale loader
+      discipline (shard-shuffle + in-order shard reads): storage
+      reads remain sequential per shard directory, and the epoch
+      still decorrelates batch composition.
+    * ``'window'``: one key per (shard, win, epoch) — full
+      window-level decorrelation, at the cost of random access
+      within every shard (fine when shards fit worker memory or the
+      reader buffers; say so before choosing it at scale).
+
+    Composes downstream of :func:`read_rank_shards` (each rank
+    reorders its own slice — ranks stay disjoint) and upstream of a
+    trainer's ``ORDER BY``.  Mid-epoch resume: the triple
+    (out_col, shard, win) is a unique total order; checkpoint the
+    last consumed triple and cut with :func:`resume_epoch_order`.
+    Ties on the 60-bit key are broken by (shard, win) — a collision
+    degrades nothing."""
+    if granularity not in ("shard", "window"):
+        raise ValueError(
+            f"with_epoch_order: granularity must be 'shard' or "
+            f"'window' (got {granularity!r})"
+        )
+    seed = (
+        f"CAST({shard_col} AS STRING)"
+        if granularity == "shard"
+        else f"concat(CAST({shard_col} AS STRING), ':', "
+             f"CAST({win_col} AS STRING))"
+    )
+    key = (
+        f"CAST(conv(substring(md5(concat({seed}, '@', "
+        f"CAST({int(epoch)} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return windows.withColumn(out_col, F.expr(key))
+
+
+def resume_epoch_order(
+    windows: DataFrame,
+    cursor: tuple,
+    out_col: str = "epoch_key",
+    shard_col: str = "shard",
+    win_col: str = "win",
+) -> DataFrame:
+    """Resume an epoch-ordered read: ``cursor`` is the (epoch_key,
+    shard, win) triple of the LAST CONSUMED window; returns the rows
+    strictly after it under the (key, shard string, win) total order
+    — consumed ⊎ resumed = the epoch's full set, exactly once, for
+    any cut (the composite-key analogue of the rank and mixture
+    cursors, needed here because the 60-bit key alone may tie)."""
+    k, s, w = cursor
+    kc = F.col(out_col)
+    sc = F.col(shard_col).cast("string")
+    wc = F.col(win_col)
+    return windows.where(
+        (kc > int(k))
+        | ((kc == int(k)) & ((sc > s) | ((sc == s) & (wc > w))))
+    )
+
+
 def latest_shard_key(spark, path: str) -> str:
     """The lexicographically greatest shard key in a set's sidecar —
     a convenience ``snapshot`` pin for :func:`read_rank_shards`
@@ -2646,7 +2727,12 @@ def read_mixture_shards(
     unique total order derived only from pinned artifacts, so the
     resumed read is exactly the strictly-greater remainder, every
     window still exactly once (the mixture-order analogue of
-    :func:`read_rank_shards`' ``cursor``).
+    :func:`read_rank_shards`' ``cursor``).  Same caveat as there:
+    keys are a pure function of (sets, weights, snapshots) — resume
+    under the SAME triple the cursor was minted with (checkpoint them
+    together); a foreign cursor lands between valid keys and
+    silently skips or repeats, and nothing in the key alone can
+    detect it.
 
     Scale: positions/offsets are manifest-sized driver work per set;
     the data-side cost is one per-shard row_number and a broadcast

@@ -1741,8 +1741,14 @@ def _duck_pack_family() -> str:
            CAST(NULL AS VARCHAR) AS doc_starts_csv
     FROM ({_DUCK_PACK_BINS})
     UNION ALL
+    -- m carries with_epoch_order's per-epoch key (r11): the 60-bit
+    -- md5-prefix integer over (source, win, epoch=2) — DuckDB
+    -- replaying it certifies the epoch reorder is the documented
+    -- pure function of data identity, at zero extra scan cost
     SELECT 'windows' AS kind, source, win, n_tokens,
-           CAST(NULL AS BIGINT), ids_csv, labels_csv, doc_starts_csv
+           {_duck_hex15("md5(source || ':' || CAST(win AS VARCHAR)"
+                        " || '@2')")} AS m,
+           ids_csv, labels_csv, doc_starts_csv
     FROM ({_duck_pack_windows()})
     UNION ALL
     -- the streaming producer must land EXACTLY the batch packer's
@@ -1826,8 +1832,11 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       bucketing, and the lcm/weight strides end to end.
 
     (key, seq, n) are non-null in all branches; m is the bins
-    branch's token sum and the pref branch's prompt_len, the csv
-    payloads are the window/pref/mix branches'."""
+    branch's token sum, the pref branch's prompt_len, and the windows
+    branch's with_epoch_order key (r11 — the per-epoch zero-shuffle
+    reorder, certified as a pure function of (source, win, epoch)
+    through DuckDB's independent md5-prefix replay at zero extra scan
+    cost); the csv payloads are the window/pref/mix branches'."""
     snull = F.lit(None).cast("string")
     bins = _pack_bins_branch(spark, sf_dir).select(
         F.lit("bins").alias("kind"), F.col("lang").alias("key"),
@@ -1844,7 +1853,24 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ids_csv", "labels_csv", "doc_starts_csv",
         )
 
-    wins = winshape(_pack_windows_branch(spark, sf_dir), "windows")
+    # the windows branch's m slot carries with_epoch_order's key
+    # (epoch=2, window granularity): the per-epoch reorder is a pure
+    # projection, so oracling it costs zero extra scans — DuckDB
+    # replays the md5-prefix arithmetic and certifies the key is the
+    # documented pure function of (source, win, epoch)
+    from streaming_parquet_spark.operators.pipeline import (
+        with_epoch_order,
+    )
+
+    wins = with_epoch_order(
+        _pack_windows_branch(spark, sf_dir), epoch=2,
+        shard_col="source", win_col="win", granularity="window",
+    ).select(
+        F.lit("windows").alias("kind"), F.col("source").alias("key"),
+        F.col("win").alias("seq"), F.col("n_tokens").alias("n"),
+        F.col("epoch_key").alias("m"),
+        "ids_csv", "labels_csv", "doc_starts_csv",
+    )
     streamed = winshape(
         _stream_shards_branch(spark, sf_dir), "stream_shards"
     )

@@ -7016,3 +7016,91 @@ def test_read_mixture_shards_cursor_resume(spark, tmp_path):
         )
         assert got == rows[cut:], cut
         assert sorted(consumed + got) == rows
+
+
+def test_with_epoch_order_properties(spark, tmp_path):
+    """Per-epoch reorder without data movement: the (epoch_key, shard,
+    win) triple is a unique total order, identical across
+    partitionings; different epochs permute the shard visit order;
+    granularity='shard' keeps each shard contiguous with windows
+    ascending inside it; resume_epoch_order splits any cut into
+    consumed ⊎ resumed exactly once; and the stamp adds no Exchange."""
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        read_rank_shards,
+        resume_epoch_order,
+        with_epoch_order,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 5}", [(i + j) % 9 + 2 for j in range(5)])
+         for i in range(40)],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    path = str(tmp_path / "shards")
+    write_token_shards(
+        pack_token_windows(
+            docs, "toks", 16, order_col="doc_id", part_col="src"
+        ),
+        path, vocab, budget=16, shard_col="src",
+    )
+    windows, _ = read_rank_shards(spark, path, 0, 1)
+
+    def ordered(epoch, granularity, df=None):
+        out = with_epoch_order(
+            df if df is not None else windows, epoch,
+            shard_col="src", granularity=granularity,
+        )
+        return [
+            (r["epoch_key"], r["src"], r["win"])
+            for r in out.orderBy("epoch_key", "src", "win").collect()
+        ]
+
+    for gran in ("shard", "window"):
+        rows = ordered(3, gran)
+        assert len(rows) == len(set(rows)) and len(rows) > 10
+        # identical across partitionings (pure function of identity)
+        assert rows == ordered(3, gran, windows.repartition(7))
+        # epochs actually permute: some epoch pair disagrees
+        orders = {tuple((s, w) for _k, s, w in ordered(e, gran))
+                  for e in range(4)}
+        assert len(orders) > 1, gran
+        # resume: any cut splits exactly once
+        for cut in (0, 1, len(rows) // 2, len(rows) - 1, len(rows)):
+            consumed = rows[:cut]
+            if consumed:
+                resumed = with_epoch_order(
+                    windows, 3, shard_col="src", granularity=gran
+                )
+                got = sorted(
+                    (r["epoch_key"], r["src"], r["win"])
+                    for r in resume_epoch_order(
+                        resumed, consumed[-1], shard_col="src"
+                    ).collect()
+                )
+                assert got == sorted(rows[cut:]), (gran, cut)
+
+    # granularity='shard': shards contiguous, windows ascending within
+    rows = ordered(5, "shard")
+    seen, last = [], None
+    for _k, s, w in rows:
+        if s != last:
+            assert s not in seen, "shard split by the epoch order"
+            seen.append(s)
+            last = s
+    by_shard = {}
+    for _k, s, w in rows:
+        by_shard.setdefault(s, []).append(w)
+    for s, ws in by_shard.items():
+        assert ws == sorted(ws), s
+
+    # stateless projection: no Exchange added by the stamp
+    plan = (
+        with_epoch_order(windows, 1, shard_col="src")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
