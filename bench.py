@@ -362,6 +362,26 @@ def main() -> None:
             ingest["compact_shards"] = float(
                 cman.select("shard").distinct().count()
             )
+            # Mixture read over the streamed set + its compaction
+            # (r11): the timed cost is the whole reader — per-set
+            # sidecar snapshot, positions, interleave keys, scan —
+            # the per-epoch price a trainer pays to consume the mix.
+            from streaming_parquet_spark.operators.pipeline import (
+                read_mixture_shards,
+            )
+
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            mixed, _mc = read_mixture_shards(
+                spark,
+                {"s": out, "c": os.path.join(work, "compacted")},
+                {"s": 2, "c": 1},
+            )
+            ingest["mixture_windows"] = float(mixed.count())
+            ingest["mixture_read_s"] = round(
+                time.perf_counter() - t0, 4
+            )
         except Exception as exc:
             ingest["shards_error"] = str(exc)[:300]
         finally:
@@ -470,6 +490,30 @@ def main() -> None:
             if ingest.get("compact_s"):
                 sf1_ratio["compact_token_shards"] = round(
                     ingest["compact10_s"] / ingest["compact_s"], 2
+                )
+            # 10x mixture read: the reader's cost is one scan per set
+            # plus manifest-sized driver work — linear by design; the
+            # ratio pins it (same bar as the other sf1 entries)
+            from streaming_parquet_spark.operators.pipeline import (
+                read_mixture_shards,
+            )
+
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            mixed10, _mc10 = read_mixture_shards(
+                spark,
+                {"s": out10, "c": os.path.join(work10, "compacted")},
+                {"s": 2, "c": 1},
+            )
+            ingest["mixture10_windows"] = float(mixed10.count())
+            ingest["mixture10_read_s"] = round(
+                time.perf_counter() - t0, 4
+            )
+            if ingest.get("mixture_read_s"):
+                sf1_ratio["read_mixture_shards"] = round(
+                    ingest["mixture10_read_s"]
+                    / ingest["mixture_read_s"], 2
                 )
         except Exception as exc:
             ingest["shards10_error"] = str(exc)[:300]

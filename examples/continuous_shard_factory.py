@@ -55,6 +55,7 @@ from streaming_parquet_spark.operators.pipeline import (
     shard_snapshot,
     verify_token_shards,
     with_causal_labels,
+    with_epoch_order,
 )
 from streaming_parquet_spark.operators.text import with_quality
 from streaming_parquet_spark.operators.tokenize import (
@@ -199,6 +200,16 @@ def main():
     total = spark.read.parquet(shards).count()
     print(f"ranks read {n} windows of {total} (each exactly once)")
     assert bad == 0 and n == total
+    # epoch 2 visits the same slice in a DIFFERENT deterministic
+    # order — a zero-shuffle projection (shard granularity: shard
+    # visit order permutes, reads stay sequential within each shard)
+    part0, _ = read_rank_shards(spark, shards, 0, 4, ids, snapshot=snap)
+    e2 = with_epoch_order(part0, epoch=2)
+    first = [
+        r["shard"]
+        for r in e2.orderBy("epoch_key", "shard", "win").limit(3).collect()
+    ]
+    print(f"epoch-2 order for rank 0 starts at shards {first}")
 
     # --------------------------------------- retire the wave shards
     # months of small per-wave shards compact into training-sized
