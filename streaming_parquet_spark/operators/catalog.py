@@ -162,7 +162,11 @@ def is_retired(path: str) -> bool:
 
 
 def publish_generation(
-    spark, root: str, gen: int, vocab_ids: DataFrame | None = None
+    spark,
+    root: str,
+    gen: int,
+    vocab_ids: DataFrame | None = None,
+    content_fp: dict | None = None,
 ) -> dict:
     """Make generation ``gen`` the catalog's newest COMMITTED set:
     verify every shard against its sidecar (one partition-discovered
@@ -177,10 +181,20 @@ def publish_generation(
     lose loudly, not last-writer-wins).  Pass ``vocab_ids`` to also
     pin the vocabulary the way :func:`...pipeline.read_token_shards`
     does — a catalog should never promote a set encoded under a
-    foreign tokenizer."""
+    foreign tokenizer.
+
+    The marker also records the set's identity-free CONTENT
+    fingerprint (``shard_set_content_fp`` — invariant under shard
+    renumbering), making every committed generation
+    content-addressable: :func:`promote_compaction` compares the
+    successor's fingerprint against it to PROVE compaction preserved
+    the content before anything is retired.  Pass ``content_fp`` to
+    reuse a fingerprint the caller already computed; omitted, publish
+    computes it (one extra scan beside the verify scan)."""
     from streaming_parquet_spark.operators.pipeline import (
         _check_vocab,
         _read_shard_contract,
+        shard_set_content_fp,
         verify_token_shards,
     )
 
@@ -214,6 +228,8 @@ def publish_generation(
         .agg({"n_windows": "sum", "n_tokens": "sum", "shard": "count"})
         .first()
     )
+    if content_fp is None:
+        content_fp = shard_set_content_fp(spark, path)
     doc = {
         "generation": gen,
         "n_shards": totals["count(shard)"],
@@ -224,6 +240,8 @@ def publish_generation(
         "vocab_size": contract["vocab_size"],
         "vocab_fp_a": contract["vocab_fp_a"],
         "vocab_fp_b": contract["vocab_fp_b"],
+        "content_fp_a": content_fp["fp_a"],
+        "content_fp_b": content_fp["fp_b"],
     }
     os.makedirs(_catalog_dir(root), exist_ok=True)
     tmp = marker + ".tmp"
@@ -353,9 +371,16 @@ def promote_compaction(
 ) -> tuple[int, DataFrame]:
     """The full swap, in the only safe order: compact the CURRENT
     generation into the next one (``compact_token_shards`` — content
-    preserved exactly, source pinned at entry), verify + publish the
-    successor (single-file atomic marker), then retire the source.
-    Returns (new_generation, written manifest).
+    preserved exactly, source pinned at entry), PROVE the
+    preservation (the successor's identity-free content fingerprint
+    must equal the source's — ``shard_set_content_fp`` is invariant
+    under the renumbering compaction performs, so inequality means
+    windows were lost, duplicated, or altered), then verify + publish
+    the successor (single-file atomic marker) and retire the source.
+    The proof runs BEFORE the publish: a content-corrupting
+    compaction leaves an unpublished (invisible) directory and the
+    source untouched, never a committed wrong generation.  Returns
+    (new_generation, written manifest).
 
     A reader racing this sees exactly one complete generation at
     every instant: before the marker lands it resolves the old
@@ -371,13 +396,30 @@ def promote_compaction(
     new_gen, new_path = next_generation(root)
     from streaming_parquet_spark.operators.pipeline import (
         compact_token_shards,
+        shard_set_content_fp,
     )
 
+    # the source's content expectation, pinned BEFORE compaction (a
+    # wave landing after this but before compact's own pin makes the
+    # two fingerprints disagree — a conservative refusal, same stance
+    # as compact's grown-source recheck)
+    src_fp = shard_set_content_fp(spark, old_path)
     manifest = compact_token_shards(
         spark, old_path, new_path,
         n_shards=n_shards, shard_tokens=shard_tokens,
         shard_prefix=shard_prefix,
     )
-    publish_generation(spark, root, new_gen, vocab_ids=vocab_ids)
+    dst_fp = shard_set_content_fp(spark, new_path)
+    if dst_fp != src_fp:
+        raise ValueError(
+            f"promote_compaction: gen {new_gen} at {new_path!r} does "
+            f"NOT carry gen {old_gen}'s content (src {src_fp} vs dst "
+            f"{dst_fp}) — refusing to publish; the directory stays "
+            f"unpublished (invisible to readers) and gen {old_gen} "
+            f"stays current"
+        )
+    publish_generation(
+        spark, root, new_gen, vocab_ids=vocab_ids, content_fp=dst_fp
+    )
     retire_generation(root, old_gen)
     return new_gen, manifest

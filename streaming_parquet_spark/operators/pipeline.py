@@ -2370,6 +2370,75 @@ def compact_token_shards(
     return manifest
 
 
+def shard_set_content_fp(spark, path: str, keys=None) -> dict:
+    """Identity-FREE content fingerprint of a token-shard set:
+    {n_windows, n_tokens, fp_a, fp_b} over the MULTISET of window
+    payloads (n_tokens|ids|doc_starts — shard/win identities
+    excluded), so the value is invariant under compaction's
+    (shard, win) renumbering: src and dst fingerprint equal iff
+    compaction preserved every window's trainable content exactly.
+    The sidecar's own per-shard fps cannot serve here — they digest
+    ``win`` (deliberately: verify must catch a renumbered window
+    in-place), so they change under any rebucketing.
+
+    Duplicate payloads get a content RANK (row_number within the
+    payload-digest group) before the XOR fold — without it two copies
+    of the same window XOR-cancel and a compaction that duplicated
+    one window while dropping another identical pair would
+    fingerprint clean (the even-cancellation weakness
+    ``corpus_fingerprint`` documents; the rank closes it the way the
+    id does there).  Cost: one scan plus a digest-only shuffle
+    (16-byte rows, groups are payload-duplicates — almost always 1) —
+    paid per catalog promotion, not per read.  ``keys`` optionally
+    scopes the scan to a pinned shard-key set
+    (:func:`shard_snapshot` semantics)."""
+    from streaming_parquet_spark.functions.portable import hex_word_expr
+
+    _, contract = _read_shard_contract(
+        spark, path, "shard_set_content_fp"
+    )
+    scanned = spark.read.parquet(path)
+    if keys is not None:
+        scanned = _pinned_key_filter(
+            scanned, contract["shard_col"], keys
+        )
+    d = _window_digest_frame(
+        scanned,
+        contract["shard_col"],
+        contract["win_col"],
+        contract["ids_col"],
+        contract["n_tokens_col"],
+        contract["starts_col"],
+    ).select(
+        F.expr("md5(__win_payload)").alias("__dig"),
+        F.col("__win_n_tokens"),
+    )
+    ranked = d.withColumn(
+        "__rn",
+        F.row_number().over(W.partitionBy("__dig").orderBy("__dig")),
+    )
+    fp = f"md5(concat(__dig, ':', CAST(__rn AS STRING)))"
+    zero = "CAST(0 AS BIGINT)"
+    row = ranked.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.coalesce(
+            F.sum("__win_n_tokens"), F.lit(0).cast("bigint")
+        ).alias("n_tokens"),
+        F.expr(
+            f"coalesce(bit_xor({hex_word_expr(fp, 1)}), {zero})"
+        ).alias("fp_a"),
+        F.expr(
+            f"coalesce(bit_xor({hex_word_expr(fp, 9)}), {zero})"
+        ).alias("fp_b"),
+    ).first()
+    return {
+        "n_windows": row["n_windows"],
+        "n_tokens": row["n_tokens"],
+        "fp_a": row["fp_a"],
+        "fp_b": row["fp_b"],
+    }
+
+
 def with_epoch_order(
     windows: DataFrame,
     epoch: int,

@@ -240,3 +240,101 @@ def test_next_generation_reserves_exclusively(spark, tmp_path):
     # claim markers are invisible to the committed view
     with pytest.raises(ValueError, match="no committed"):
         current_generation(root)
+
+
+def test_content_fingerprint_proves_compaction(spark, tmp_path, monkeypatch):
+    """The identity-free content fingerprint (shard_set_content_fp)
+    is invariant under compaction's renumbering, closes the XOR
+    even-cancellation hole via content ranks, rides the commit
+    marker, and makes promote_compaction REFUSE (before publishing)
+    a compaction that lost a window."""
+    import streaming_parquet_spark.operators.pipeline as P
+    from streaming_parquet_spark.operators.pipeline import (
+        compact_token_shards,
+        pack_token_windows,
+        read_token_shards,
+        shard_set_content_fp,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+    root = str(tmp_path / "root")
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", [(i + j) % 9 + 2 for j in range(5)])
+         for i in range(24)],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    gen1, p1 = next_generation(root)
+    write_token_shards(
+        pack_token_windows(
+            docs, "toks", 16, order_col="doc_id", part_col="src"
+        ),
+        p1, vocab, budget=16, shard_col="src",
+    )
+
+    # invariance: src and its compaction fingerprint equal
+    fp1 = shard_set_content_fp(spark, p1)
+    plain = str(tmp_path / "plain_compact")
+    compact_token_shards(spark, p1, plain, n_shards=2)
+    assert shard_set_content_fp(spark, plain) == fp1
+
+    # duplicate payloads must NOT cancel: [P, P, Q] vs [Q] — a plain
+    # XOR of payload digests would be equal; the content rank breaks it
+    schema = (
+        "shard string, win bigint, ids array<bigint>, "
+        "n_tokens bigint, doc_starts array<bigint>"
+    )
+    P_ids, Q_ids = [2, 3, 4, 0], [5, 6, 0, 0]
+    x = spark.createDataFrame(
+        [("s", 0, P_ids, 3, [0]), ("s", 1, P_ids, 3, [0]),
+         ("s", 2, Q_ids, 2, [0])], schema,
+    )
+    y = spark.createDataFrame([("t", 0, Q_ids, 2, [0])], schema)
+    px, py = str(tmp_path / "x"), str(tmp_path / "y")
+    write_token_shards(x, px, vocab, budget=4)
+    write_token_shards(y, py, vocab, budget=4)
+    fx, fy = (shard_set_content_fp(spark, p) for p in (px, py))
+    assert (fx["fp_a"], fx["fp_b"]) != (fy["fp_a"], fy["fp_b"])
+
+    # publish records the fingerprint; promote proves preservation
+    publish_generation(spark, root, gen1, vocab_ids=vocab)
+    marker = json.load(
+        open(os.path.join(root, "_catalog", f"commit-{gen1:08d}.json"))
+    )
+    assert marker["content_fp_a"] == fp1["fp_a"]
+    assert marker["content_fp_b"] == fp1["fp_b"]
+    gen2, _m = promote_compaction(spark, root, n_shards=2,
+                                  vocab_ids=vocab)
+    m2 = json.load(
+        open(os.path.join(root, "_catalog", f"commit-{gen2:08d}.json"))
+    )
+    assert (m2["content_fp_a"], m2["content_fp_b"]) == (
+        fp1["fp_a"], fp1["fp_b"],
+    )
+
+    # a content-corrupting compaction refuses BEFORE publish: build a
+    # tampered source missing one window, route compact through it
+    cur_gen, cur_path = current_generation(root)
+    wins, _c = read_token_shards(spark, cur_path)
+    sc, wc = _c["shard_col"], _c["win_col"]
+    first = wins.orderBy(sc, wc).first()
+    tampered = str(tmp_path / "tampered")
+    write_token_shards(
+        wins.where(
+            ~((wins[sc] == first[sc]) & (wins[wc] == first[wc]))
+        ),
+        tampered, vocab, budget=16, shard_col=sc,
+    )
+    real_compact = P.compact_token_shards
+
+    def lossy_compact(spark_, src_, dst_, **kw):
+        return real_compact(spark_, tampered, dst_, **kw)
+
+    monkeypatch.setattr(P, "compact_token_shards", lossy_compact)
+    with pytest.raises(ValueError, match="does NOT carry"):
+        promote_compaction(spark, root, n_shards=1, vocab_ids=vocab)
+    monkeypatch.setattr(P, "compact_token_shards", real_compact)
+    # nothing published, nothing retired: the catalog still serves gen2
+    assert current_generation(root)[0] == cur_gen
