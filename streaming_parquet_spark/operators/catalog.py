@@ -186,11 +186,14 @@ def publish_generation(
     The marker also records the set's identity-free CONTENT
     fingerprint (``shard_set_content_fp`` — invariant under shard
     renumbering), making every committed generation
-    content-addressable: :func:`promote_compaction` compares the
-    successor's fingerprint against it to PROVE compaction preserved
-    the content before anything is retired.  Pass ``content_fp`` to
-    reuse a fingerprint the caller already computed; omitted, publish
-    computes it (one extra scan beside the verify scan)."""
+    content-addressable — an auditor can re-fingerprint any
+    generation's data and compare against its marker years later.
+    :func:`promote_compaction` proves the successor carries the
+    current generation's content (fresh src/dst scans, robust to a
+    marker predating this field) before anything is retired.  Pass
+    ``content_fp`` to reuse a fingerprint the caller already
+    computed; omitted, publish computes it (one extra scan beside
+    the verify scan)."""
     from streaming_parquet_spark.operators.pipeline import (
         _check_vocab,
         _read_shard_contract,
