@@ -2370,6 +2370,37 @@ def compact_token_shards(
     return manifest
 
 
+def _mix_affine(epoch: int, name: str, total: int) -> tuple[int, int]:
+    """Affine permutation parameters for one mixture set at one
+    epoch: (a, c) with ``a`` coprime to ``total`` (so ``pos' =
+    (a·pos + c) mod total`` is a bijection on [0, total)), both a
+    pure function of md5(epoch, set name) — driver-side integer
+    math, identical across engines and restarts.  ``a`` stays below
+    ``total`` so the int64 product guard is ``total² < 2^62``
+    (~2.1e9 windows per set — ~10^13 tokens at 4k budgets; split the
+    set before that)."""
+    import hashlib
+    import math as _math
+
+    if total <= 1:
+        return 1, 0
+    if total * total >= 1 << 62:
+        raise ValueError(
+            f"read_mixture_shards: epoch permutation over {total} "
+            f"windows would overflow int64 (total^2 >= 2^62) — split "
+            f"the set"
+        )
+    h = int(
+        hashlib.md5(f"{int(epoch)}@{name}".encode()).hexdigest()[:15],
+        16,
+    )
+    a = (h % total) or 1
+    while _math.gcd(a, total) != 1:
+        a = (a + 1) % total or 1
+    c = (h >> 20) % total
+    return a, c
+
+
 def shard_set_content_fp(spark, path: str, keys=None) -> dict:
     """Identity-FREE content fingerprint of a token-shard set:
     {n_windows, n_tokens, fp_a, fp_b} over the MULTISET of window
@@ -2753,6 +2784,7 @@ def read_mixture_shards(
     vocab_ids: DataFrame | None = None,
     snapshots: dict | None = None,
     cursor: int | None = None,
+    epoch: int | None = None,
     name_col: str = "mix_source",
     key_col: str = "mix_key",
     pos_col: str = "mix_pos",
@@ -2797,11 +2829,26 @@ def read_mixture_shards(
     resumed read is exactly the strictly-greater remainder, every
     window still exactly once (the mixture-order analogue of
     :func:`read_rank_shards`' ``cursor``).  Same caveat as there:
-    keys are a pure function of (sets, weights, snapshots) — resume
-    under the SAME triple the cursor was minted with (checkpoint them
-    together); a foreign cursor lands between valid keys and
-    silently skips or repeats, and nothing in the key alone can
-    detect it.
+    keys are a pure function of (sets, weights, snapshots, epoch) —
+    resume under the SAME tuple the cursor was minted with
+    (checkpoint them together); a foreign cursor lands between valid
+    keys and silently skips or repeats, and nothing in the key alone
+    can detect it.
+
+    **Per-epoch variation** (``epoch``): :func:`with_epoch_order`
+    cannot reorder a mixture (it would destroy the weighted
+    interleave), so ``epoch`` permutes each set's WITHIN-SET
+    positions through an affine bijection ``pos' = (a·pos + c) mod
+    n`` (``a`` odd and coprime to n, derived from md5(epoch, set) —
+    pure integer driver math, engine/restart-invariant) before the
+    stride schedule runs.  The interleave's fairness is untouched —
+    every prefix still carries each set in weight proportion; what
+    changes is WHICH window fills each of a set's slots — and
+    exactly-once is preserved because a bijection is.  Affine is a
+    deliberately weak (structured) shuffle bought at zero data
+    movement; when batch-level decorrelation must be strong,
+    materialize a real permutation with ``global_shuffle`` instead.
+    ``epoch=None`` is bit-identical to the pre-epoch order.
 
     Scale: positions/offsets are manifest-sized driver work per set;
     the data-side cost is one per-shard row_number and a broadcast
@@ -2909,6 +2956,19 @@ def read_mixture_shards(
                 f"stride {stride}, {n_sets} sets) would overflow the "
                 f"int64 interleave key — reduce the weight spread "
                 f"(lcm {lcm})"
+            )
+        if epoch is not None:
+            # affine within-set permutation (see docstring): with the
+            # permuted position in pos_col, the stride schedule below
+            # interleaves a different window into each of this set's
+            # slots while the slot pattern (the fairness) is untouched
+            a, c = _mix_affine(epoch, n, total)
+            positioned = positioned.withColumn(
+                pos_col,
+                (
+                    F.col(pos_col) * F.lit(a).cast("bigint")
+                    + F.lit(c)
+                ) % F.lit(max(total, 1)).cast("bigint"),
             )
         parts.append(
             positioned.withColumn(name_col, F.lit(n)).withColumn(

@@ -7104,3 +7104,68 @@ def test_with_epoch_order_properties(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_read_mixture_shards_epoch_permutation(spark, tmp_path):
+    """epoch= permutes WHICH window fills each of a set's interleave
+    slots while the slot pattern itself (the weighted fairness) is
+    bit-identical: the ordered mix_source sequence matches the
+    epoch-less read for every epoch, the (set, src, win) multiset is
+    unchanged (bijection — exactly once), some epoch actually changes
+    the content order, and the cursor composes under the same epoch."""
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        read_mixture_shards,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+
+    def make_set(path, lo, n_docs, key):
+        docs = spark.createDataFrame(
+            [(lo + i, key, [(lo + i + j) % 9 + 2 for j in range(5)])
+             for i in range(n_docs)],
+            "doc_id bigint, src string, toks array<int>",
+        )
+        write_token_shards(
+            pack_token_windows(
+                docs, "toks", 16, order_col="doc_id", part_col="src"
+            ),
+            path, vocab, budget=16, shard_col="src",
+        )
+
+    paths = {"a": str(tmp_path / "a"), "b": str(tmp_path / "b")}
+    make_set(paths["a"], 0, 12, "x")
+    make_set(paths["b"], 100, 5, "y")
+    weights = {"a": 2, "b": 1}
+
+    def ordered(**kw):
+        m, _ = read_mixture_shards(spark, paths, weights, **kw)
+        return [
+            (r["mix_key"], r["mix_source"], r["src"], r["win"])
+            for r in m.orderBy("mix_key").collect()
+        ]
+
+    base = ordered()
+    slot_pattern = [r[1] for r in base]
+    contents = {tuple(r[1:]) for r in base}
+    orders = {tuple(r[2:] for r in base)}
+    for ep in (0, 1, 7):
+        rows = ordered(epoch=ep)
+        keys = [r[0] for r in rows]
+        assert len(keys) == len(set(keys))
+        # fairness pattern identical; contents a bijection of base
+        assert [r[1] for r in rows] == slot_pattern, ep
+        assert {tuple(r[1:]) for r in rows} == contents, ep
+        orders.add(tuple(r[2:] for r in rows))
+    assert len(orders) > 1, "no epoch changed the content order"
+    # epoch=None is bit-identical to the pre-epoch order
+    assert ordered() == base
+
+    # cursor composes under the same epoch
+    rows = ordered(epoch=7)
+    cut = len(rows) // 3
+    resumed = ordered(epoch=7, cursor=rows[cut - 1][0])
+    assert resumed == rows[cut:]
