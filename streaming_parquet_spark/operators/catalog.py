@@ -193,7 +193,12 @@ def publish_generation(
     marker predating this field) before anything is retired.  Pass
     ``content_fp`` to reuse a fingerprint the caller already
     computed; omitted, publish computes it (one extra scan beside
-    the verify scan)."""
+    the verify scan).  A supplied fingerprint's window/token totals
+    are cross-checked against the sidecar totals before the marker
+    is written (markers are write-once — a stale fp would lie
+    forever); the fp hashes themselves are trusted from the caller,
+    so only pass a fingerprint computed over THIS generation's
+    path (as :func:`promote_compaction` does)."""
     from streaming_parquet_spark.operators.pipeline import (
         _check_vocab,
         _read_shard_contract,
@@ -233,6 +238,28 @@ def publish_generation(
     )
     if content_fp is None:
         content_fp = shard_set_content_fp(spark, path)
+    else:
+        # The caller-supplied fingerprint goes into a WRITE-ONCE marker
+        # that makes the generation content-addressable forever — a
+        # stale or foreign fp would make the audit trail permanently
+        # lie.  The fp hashes themselves are trusted (recomputing them
+        # would erase the reuse saving), but the dict carries the set's
+        # window/token totals, and those must agree with the sidecar
+        # totals already collected above — the cheap tripwire that
+        # catches a fingerprint minted over a different (or since-
+        # grown) set before it is immortalized.
+        for fp_key, tot_key in (
+            ("n_windows", "sum(n_windows)"),
+            ("n_tokens", "sum(n_tokens)"),
+        ):
+            if int(content_fp[fp_key]) != int(totals[tot_key]):
+                raise ValueError(
+                    f"publish_generation: supplied content_fp claims "
+                    f"{fp_key}={content_fp[fp_key]} but gen {gen}'s "
+                    f"sidecar totals {totals[tot_key]} — the "
+                    f"fingerprint was minted over a different set; "
+                    f"omit content_fp to have publish recompute it"
+                )
     doc = {
         "generation": gen,
         "n_shards": totals["count(shard)"],

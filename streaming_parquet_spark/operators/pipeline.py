@@ -2537,17 +2537,24 @@ def resume_epoch_order(
 ) -> DataFrame:
     """Resume an epoch-ordered read: ``cursor`` is the (epoch_key,
     shard, win) triple of the LAST CONSUMED window; returns the rows
-    strictly after it under the (key, shard string, win) total order
-    — consumed ⊎ resumed = the epoch's full set, exactly once, for
+    strictly after it under the (key, shard, win) total order —
+    consumed ⊎ resumed = the epoch's full set, exactly once, for
     any cut (the composite-key analogue of the rank and mixture
-    cursors, needed here because the 60-bit key alone may tie)."""
+    cursors, needed here because the 60-bit key alone may tie).
+
+    The shard tiebreak compares the RAW column — the same order
+    :func:`with_epoch_order` documents for consumption (``ORDER BY
+    (out_col, shard, win)``) — so the cursor's shard value must be
+    the raw value the trainer read, in the column's own type.  A
+    string-typed comparison here would silently diverge for numeric
+    shard columns ('10' < '9' as strings) at a shard-boundary cut."""
     k, s, w = cursor
     kc = F.col(out_col)
-    sc = F.col(shard_col).cast("string")
+    sc = F.col(shard_col)
     wc = F.col(win_col)
     return windows.where(
         (kc > int(k))
-        | ((kc == int(k)) & ((sc > s) | ((sc == s) & (wc > w))))
+        | ((kc == int(k)) & ((sc > F.lit(s)) | ((sc == F.lit(s)) & (wc > w))))
     )
 
 
@@ -2712,8 +2719,11 @@ def _pinned_key_filter(df: DataFrame, shard_col: str, keys) -> DataFrame:
     kdf = df.sparkSession.createDataFrame(
         [(k,) for k in keys], "__pin_key string"
     )
+    # bind the key column through the frame reference, not F.col: a
+    # caller-shaped input that already carries a __pin_key column
+    # would otherwise make the condition an ambiguous reference
     return df.join(
-        F.broadcast(kdf), col == F.col("__pin_key"), "left_semi"
+        F.broadcast(kdf), col == kdf["__pin_key"], "left_semi"
     )
 
 

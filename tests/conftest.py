@@ -1,4 +1,5 @@
 import os
+import tempfile
 
 import pytest
 
@@ -9,10 +10,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    # Per-session warehouse: a previously KILLED run can leave an
+    # orphaned table location (directory on disk, no catalog entry)
+    # that `DROP TABLE IF EXISTS` cannot see and `saveAsTable` then
+    # refuses with LOCATION_ALREADY_EXISTS.  A fresh tmp warehouse per
+    # pytest session makes the suite self-healing against its own
+    # corpses — no fixed-name location ever survives into the next run.
+    warehouse = tempfile.mkdtemp(prefix="maw_test_warehouse_")
     s = get_spark(
         app_name="streaming_parquet_spark_tests",
         master="local[4]",
         shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
     )
     yield s
 

@@ -338,3 +338,40 @@ def test_content_fingerprint_proves_compaction(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(P, "compact_token_shards", real_compact)
     # nothing published, nothing retired: the catalog still serves gen2
     assert current_generation(root)[0] == cur_gen
+
+
+def test_publish_rejects_foreign_content_fp(spark, tmp_path):
+    """A caller-supplied content_fp lands in a WRITE-ONCE marker, so a
+    fingerprint minted over a different set would make the audit trail
+    lie forever (r11 advisory).  publish cross-checks the fp's
+    window/token totals against the sidecar before writing the marker;
+    a matching fp (the promote_compaction path) still publishes."""
+    from streaming_parquet_spark.operators.pipeline import (
+        shard_set_content_fp,
+    )
+
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+    gen1, p1 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 0, 8, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    true_fp = shard_set_content_fp(spark, p1)
+
+    # a fingerprint of a DIFFERENT (smaller) set refuses loudly and
+    # leaves no marker behind
+    foreign = dict(true_fp)
+    foreign["n_windows"] = true_fp["n_windows"] + 1
+    with pytest.raises(ValueError, match="different set"):
+        publish_generation(spark, root, gen1, content_fp=foreign)
+    assert not os.path.exists(
+        os.path.join(root, "_catalog", f"commit-{gen1:08d}.json")
+    )
+    with pytest.raises(ValueError, match="no committed"):
+        current_generation(root)
+
+    # the honest fp (computed over this very path) publishes and is
+    # recorded verbatim
+    doc = publish_generation(spark, root, gen1, content_fp=true_fp)
+    assert doc["content_fp_a"] == true_fp["fp_a"]
+    assert current_generation(root)[0] == gen1

@@ -6963,6 +6963,20 @@ def test_pinned_key_filter_semi_join_shape(spark, tmp_path, monkeypatch):
     )
     assert mixed.count() == 2 * len(base_content)
 
+    # a caller frame that ALREADY carries a __pin_key column must not
+    # make the semi-join condition ambiguous (r11 advisory): the key
+    # side binds through the keys-frame reference
+    poisoned = spark.createDataFrame(
+        [("w0", "decoy"), ("w1", "decoy"), ("zz", "decoy")],
+        "src string, __pin_key string",
+    )
+    got = sorted(
+        r["src"]
+        for r in P._pinned_key_filter(poisoned, "src", ["w0", "w1"])
+        .collect()
+    )
+    assert got == ["w0", "w1"]
+
 
 def test_read_mixture_shards_cursor_resume(spark, tmp_path):
     """Mid-epoch mixture resume: a trainer that consumed the mixture
@@ -7104,6 +7118,37 @@ def test_with_epoch_order_properties(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_resume_epoch_order_numeric_shard_raw_order(spark):
+    """resume_epoch_order's shard tiebreak must follow the RAW column
+    order with_epoch_order documents for consumption (ORDER BY
+    (out_col, shard, win)) — not a string cast, under which '10' < '9'
+    and a cut at a shard boundary of a bigint-keyed set would silently
+    skip the following shard (r11 advisory).  Forced epoch-key ties
+    make the tiebreak load-bearing at every cut."""
+    from streaming_parquet_spark.operators.pipeline import (
+        resume_epoch_order,
+    )
+
+    # one shared epoch_key so (shard, win) decides everything; bigint
+    # shards 2/9/10 order 9 < 10 raw but '10' < '9' as strings
+    rows = [
+        (7, s, w) for s in (2, 9, 10) for w in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "epoch_key bigint, shard bigint, win bigint"
+    )
+    full = sorted(rows)  # raw (key, shard, win) total order
+    for cut in range(len(full) + 1):
+        consumed = full[:cut]
+        if not consumed:
+            continue
+        got = sorted(
+            (r["epoch_key"], r["shard"], r["win"])
+            for r in resume_epoch_order(df, consumed[-1]).collect()
+        )
+        assert got == full[cut:], f"cut={cut}"
 
 
 def test_read_mixture_shards_epoch_permutation(spark, tmp_path):
