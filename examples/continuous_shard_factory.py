@@ -42,10 +42,10 @@ from pyspark.sql import functions as F
 
 from streaming_parquet_spark.operators.catalog import (
     current_generation,
-    drop_generation,
     next_generation,
     promote_compaction,
     publish_generation,
+    sweep_generations,
 )
 from streaming_parquet_spark.operators.dedup import write_lsh_index
 from streaming_parquet_spark.operators.pipeline import (
@@ -238,9 +238,13 @@ def main():
     print(f"promoted gen {pinned_gen} -> {gen2}: "
           f"{compacted.select('shard').distinct().count()} compact "
           f"shards carry all {total} windows; gen {pinned_gen} retired")
-    # after the read-grace window, reclaim the old generation's space
-    drop_generation(root, pinned_gen)
-    print(f"dropped gen {pinned_gen} data; current is gen "
+    # after the read-grace window, reclaim space by POLICY, not by
+    # hand: keep the newest committed generation, drop every retired
+    # one older than that (a longer-lived factory would keep_last_n=2+
+    # so readers pinned before the last promotion still finish)
+    swept = sweep_generations(root, keep_last_n=1)
+    assert swept["dropped"] == [pinned_gen]
+    print(f"swept retired gens {swept['dropped']}; current is gen "
           f"{current_generation(root)[0]}")
 
     # ------------------------------------------- multi-set mixture

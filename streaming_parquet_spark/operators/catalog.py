@@ -51,11 +51,24 @@ At 100 TB: every catalog operation is marker-sized (one JSON file, a
 directory listing of a few dozen markers) except the verification
 inside publish, which is the same one partition-discovered scan
 ``verify_token_shards`` always costs — paid once per publish, i.e.
-once per compaction or bulk load, never per read.  Marker files are
-written via hardlink-from-temp, atomic and exclusive on POSIX
-filesystems; on an object store the equivalent is a conditional PUT
-(if-none-match), the standard single-writer commit primitive —
-the protocol transfers unchanged.
+once per compaction or bulk load, never per read.
+
+The marker plane is a pluggable seam (:class:`MarkerStore`): the
+protocol performs exactly three storage primitives — atomic
+put-if-absent, exists, list — and never touches ``os`` directly for
+markers, so a backend implements those three and the whole swap
+protocol transfers unchanged.  :class:`PosixMarkerStore` (the
+default) uses hardlink-from-temp, atomic and exclusive on POSIX
+filesystems; an object-store backend maps put-if-absent to a
+conditional PUT (if-none-match), the standard single-writer commit
+primitive.  Swap the backend per call (``store=``) or once for the
+process (``DEFAULT_STORE``) — producers' retire probes follow.
+
+Retention is codified, not manual: :func:`list_retired` names the
+reclaim candidates and :func:`sweep_generations` drops every retired
+generation older than the newest ``keep_last_n`` committed ones —
+the read-grace window expressed in promotions — while refusing to
+touch the current generation or anything never retired.
 
 Reference parity note: the reference engine has no catalog (it is a
 single-run converter; cli.rs exposes --state for resume only) — this
@@ -81,6 +94,84 @@ _CLAIM_RE = re.compile(r"^claim-(\d{8})$")
 RETIRED_MARKER = "_retired"
 
 
+class MarkerStore:
+    """The catalog's MARKER-plane storage seam: three primitives are
+    all the swap protocol needs, so implementing them for a backend
+    ports the whole protocol unchanged.  The DATA plane (shard
+    parquet + sidecar) never goes through this — Spark reads/writes
+    it via its own filesystem connectors.
+
+    * ``put_if_absent(path, text) -> bool`` — atomically create the
+      marker with ``text`` iff nothing exists at ``path``; True on
+      win, False if something was already there.  This is the only
+      mutation the protocol performs: allocation claims, commit
+      markers, and retire markers are all single write-once puts.
+      Object stores: a conditional PUT (``If-None-Match: *`` on S3/
+      GCS/ABFS); POSIX: hardlink-from-temp.
+    * ``exists(path) -> bool`` — HEAD-shaped probe.
+    * ``list(prefix) -> list[str]`` — child names directly under a
+      prefix (no recursion); [] when the prefix doesn't exist.
+      Listing a catalog directory is O(generations) — a handful of
+      small names, never O(shards).
+
+    Consistency the protocol assumes: ``put_if_absent`` is atomic and
+    exclusive against concurrent puts of the same path, and a
+    successful put is visible to subsequent ``list``/``exists`` calls
+    (read-after-write — true of POSIX and of every major object store
+    since 2020).  Nothing assumes atomic rename of directories, fsync
+    ordering across paths, or directory semantics at all."""
+
+    def put_if_absent(self, path: str, text: str) -> bool:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+
+class PosixMarkerStore(MarkerStore):
+    """Default backend: local/NFS filesystems.  ``put_if_absent`` is
+    hardlink-from-temp — atomic AND exclusive (``os.replace`` would
+    let a racing second writer silently overwrite the winner), the
+    same primitive the shard sidecar's write-once promise uses."""
+
+    def put_if_absent(self, path: str, text: str) -> bool:
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        return True
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list(self, prefix: str) -> list[str]:
+        if not os.path.isdir(prefix):
+            return []
+        return os.listdir(prefix)
+
+
+#: module-level default so a deployment swaps the backend ONCE and
+#: every probe — including the producers' retire checks — follows
+DEFAULT_STORE = PosixMarkerStore()
+
+
+def _store(store: MarkerStore | None) -> MarkerStore:
+    return store if store is not None else DEFAULT_STORE
+
+
 def generation_path(root: str, gen: int) -> str:
     """The directory of generation ``gen`` under ``root``."""
     if int(gen) < 1:
@@ -92,73 +183,71 @@ def _catalog_dir(root: str) -> str:
     return os.path.join(root, "_catalog")
 
 
-def _committed(root: str) -> list[int]:
-    cat = _catalog_dir(root)
-    if not os.path.isdir(cat):
-        return []
+def _committed(root: str, store: MarkerStore | None = None) -> list[int]:
+    store = _store(store)
     out = []
-    for name in os.listdir(cat):
+    for name in store.list(_catalog_dir(root)):
         m = _COMMIT_RE.match(name)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
 
 
-def _existing_dirs(root: str) -> list[int]:
-    if not os.path.isdir(root):
-        return []
+def _existing_dirs(root: str, store: MarkerStore | None = None) -> list[int]:
+    # gen-* prefixes under the root (data plane, but only their NAMES
+    # matter here — allocation must not collide with an existing set)
+    store = _store(store)
     out = []
-    for name in os.listdir(root):
+    for name in store.list(root):
         m = _GEN_RE.match(name)
-        if m and os.path.isdir(os.path.join(root, name)):
+        if m:
             out.append(int(m.group(1)))
     return sorted(out)
 
 
-def _claimed(root: str) -> list[int]:
-    cat = _catalog_dir(root)
-    if not os.path.isdir(cat):
-        return []
+def _claimed(root: str, store: MarkerStore | None = None) -> list[int]:
+    store = _store(store)
     out = []
-    for name in os.listdir(cat):
+    for name in store.list(_catalog_dir(root)):
         m = _CLAIM_RE.match(name)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
 
 
-def next_generation(root: str) -> tuple[int, str]:
+def next_generation(
+    root: str, store: MarkerStore | None = None
+) -> tuple[int, str]:
     """Allocate the next generation number and RESERVE it: 1 + the
     highest of any committed marker, claim marker, or existing gen-*
-    directory, claimed by exclusively creating
-    ``_catalog/claim-N`` (``open(..., 'x')`` — the conditional-PUT
-    shape on object stores).  Two racing promoters therefore get
+    directory, claimed by an atomic put-if-absent of
+    ``_catalog/claim-N`` (the store's conditional-PUT / exclusive-
+    create primitive).  Two racing promoters therefore get
     DISTINCT numbers instead of interleaving writes into one
     directory and letting the publish marker arbitrate over mixed
     data.  An abandoned, never-published attempt keeps its claim —
     publish markers are write-once, so numbers must never be reused.
     Returns (gen, path); the caller writes a shard set into ``path``
     and then :func:`publish_generation`\\ s it."""
-    os.makedirs(_catalog_dir(root), exist_ok=True)
+    store = _store(store)
     taken = (
-        set(_committed(root)) | set(_existing_dirs(root))
-        | set(_claimed(root))
+        set(_committed(root, store)) | set(_existing_dirs(root, store))
+        | set(_claimed(root, store))
     )
     while True:
         gen = max(taken, default=0) + 1
         claim = os.path.join(_catalog_dir(root), f"claim-{gen:08d}")
-        try:
-            with open(claim, "x") as f:
-                f.write(json.dumps({"claimed_generation": gen}) + "\n")
-        except FileExistsError:
+        if not store.put_if_absent(
+            claim, json.dumps({"claimed_generation": gen}) + "\n"
+        ):
             taken.add(gen)  # a racing allocator won this number
             continue
         return gen, generation_path(root, gen)
 
 
-def is_retired(path: str) -> bool:
+def is_retired(path: str, store: MarkerStore | None = None) -> bool:
     """Whether a shard-set path carries the catalog's retire marker."""
-    return os.path.exists(os.path.join(path, RETIRED_MARKER))
+    return _store(store).exists(os.path.join(path, RETIRED_MARKER))
 
 
 def publish_generation(
@@ -167,6 +256,7 @@ def publish_generation(
     gen: int,
     vocab_ids: DataFrame | None = None,
     content_fp: dict | None = None,
+    store: MarkerStore | None = None,
 ) -> dict:
     """Make generation ``gen`` the catalog's newest COMMITTED set:
     verify every shard against its sidecar (one partition-discovered
@@ -206,16 +296,17 @@ def publish_generation(
         verify_token_shards,
     )
 
+    store = _store(store)
     gen = int(gen)
     path = generation_path(root, gen)
-    if is_retired(path):
+    if is_retired(path, store):
         raise ValueError(
             f"publish_generation: gen {gen} at {path!r} is RETIRED — "
             f"republishing a retired generation would resurrect data "
             f"the catalog already moved past; promote a fresh one"
         )
     marker = os.path.join(_catalog_dir(root), f"commit-{gen:08d}.json")
-    if os.path.exists(marker):
+    if store.exists(marker):
         raise ValueError(
             f"publish_generation: gen {gen} is already published "
             f"({marker!r}) — commit markers are write-once"
@@ -273,34 +364,27 @@ def publish_generation(
         "content_fp_a": content_fp["fp_a"],
         "content_fp_b": content_fp["fp_b"],
     }
-    os.makedirs(_catalog_dir(root), exist_ok=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(doc, f, sort_keys=True)
-        f.write("\n")
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        # hardlink-from-temp: atomic AND exclusive — os.replace would
-        # let a racing second publisher silently overwrite the winner
-        os.link(tmp, marker)
-    except FileExistsError:
+    # ONE atomic-exclusive put — the commit point of the whole swap
+    # (conditional-PUT shape; the POSIX backend hardlinks from temp)
+    if not store.put_if_absent(
+        marker, json.dumps(doc, sort_keys=True) + "\n"
+    ):
         raise ValueError(
             f"publish_generation: gen {gen} was published concurrently "
             f"({marker!r}) — commit markers are write-once"
-        ) from None
-    finally:
-        os.unlink(tmp)
+        )
     return doc
 
 
-def current_generation(root: str) -> tuple[int, str]:
+def current_generation(
+    root: str, store: MarkerStore | None = None
+) -> tuple[int, str]:
     """The newest COMMITTED generation: (gen, path).  Resolving this
     is the reader's pin — hold the returned path for the whole
     epoch (the data outlives retirement until
     :func:`drop_generation`), exactly how ``shard_snapshot`` pins a
     key set within one generation."""
-    gens = _committed(root)
+    gens = _committed(root, store)
     if not gens:
         raise ValueError(
             f"current_generation: {root!r} has no committed "
@@ -311,7 +395,10 @@ def current_generation(root: str) -> tuple[int, str]:
 
 
 def read_current_shards(
-    spark, root: str, vocab_ids: DataFrame | None = None
+    spark,
+    root: str,
+    vocab_ids: DataFrame | None = None,
+    store: MarkerStore | None = None,
 ) -> tuple[DataFrame, dict, int]:
     """Resolve the current generation and read it as a token-shard
     set: (windows, contract, generation).  For rank-sliced training
@@ -322,12 +409,14 @@ def read_current_shards(
         read_token_shards,
     )
 
-    gen, path = current_generation(root)
+    gen, path = current_generation(root, store)
     windows, contract = read_token_shards(spark, path, vocab_ids=vocab_ids)
     return windows, contract, gen
 
 
-def retire_generation(root: str, gen: int) -> str:
+def retire_generation(
+    root: str, gen: int, store: MarkerStore | None = None
+) -> str:
     """Mark generation ``gen`` retired: producers refuse to append to
     it from now on (``append_token_shards`` / ``shard_ingest_stream``
     probe the marker), while its DATA stays readable until
@@ -337,9 +426,10 @@ def retire_generation(root: str, gen: int) -> str:
     successor replaces — promote first) and an unpublished one
     (nothing ever pointed at it; just delete the directory).
     Idempotent: retiring twice is a no-op."""
+    store = _store(store)
     gen = int(gen)
     path = generation_path(root, gen)
-    committed = _committed(root)
+    committed = _committed(root, store)
     if gen not in committed:
         raise ValueError(
             f"retire_generation: gen {gen} was never published — "
@@ -353,34 +443,48 @@ def retire_generation(root: str, gen: int) -> str:
             f"compact -> verify -> publish -> retire in order)"
         )
     marker = os.path.join(path, RETIRED_MARKER)
-    if not os.path.exists(marker):
-        with open(marker, "w") as f:
-            f.write(json.dumps({"retired_generation": gen}) + "\n")
+    # put-if-absent and ignore a loss: two racing retirers of the
+    # same generation are both right, and the marker's content is
+    # identical either way — retire stays idempotent
+    store.put_if_absent(
+        marker, json.dumps({"retired_generation": gen}) + "\n"
+    )
     return marker
 
 
-def drop_generation(root: str, gen: int) -> None:
+def drop_generation(
+    root: str, gen: int, store: MarkerStore | None = None
+) -> None:
     """Delete a RETIRED generation's data (the reclaim step after the
     read-grace window).  Refuses the current generation and any
     generation not yet retired — drop is the only destructive verb
     here and it demands both guards already stood.  The ``_retired``
     marker itself survives, so a lost producer replaying into the
     emptied path still refuses, and the write-once commit marker
-    keeps the generation number from ever being reused."""
+    keeps the generation number from ever being reused.
+
+    The GUARDS run through the marker store; the deletion itself is
+    data-plane (the shard parquet Spark wrote) and uses the local
+    filesystem API — on an object store, reclaim the prefix with the
+    store's own bulk-delete/lifecycle tooling after the same guards.
+    Idempotent: dropping an already-emptied generation is a no-op."""
     import shutil
 
+    store = _store(store)
     gen = int(gen)
     path = generation_path(root, gen)
-    committed = _committed(root)
+    committed = _committed(root, store)
     if committed and gen == committed[-1]:
         raise ValueError(
             f"drop_generation: gen {gen} IS the current generation"
         )
-    if not is_retired(path):
+    if not is_retired(path, store):
         raise ValueError(
             f"drop_generation: gen {gen} is not retired — retire it "
             f"first (readers may still be pinned to it)"
         )
+    if not os.path.isdir(path):
+        return
     for name in os.listdir(path):
         if name == RETIRED_MARKER:
             continue
@@ -398,6 +502,7 @@ def promote_compaction(
     shard_tokens: int | None = None,
     shard_prefix: str = "compact-",
     vocab_ids: DataFrame | None = None,
+    store: MarkerStore | None = None,
 ) -> tuple[int, DataFrame]:
     """The full swap, in the only safe order: compact the CURRENT
     generation into the next one (``compact_token_shards`` — content
@@ -422,8 +527,8 @@ def promote_compaction(
     the next promotion allocates a fresh number) or a published
     successor with the old generation not yet retired (re-run
     :func:`retire_generation` — idempotent)."""
-    old_gen, old_path = current_generation(root)
-    new_gen, new_path = next_generation(root)
+    old_gen, old_path = current_generation(root, store)
+    new_gen, new_path = next_generation(root, store)
     from streaming_parquet_spark.operators.pipeline import (
         compact_token_shards,
         shard_set_content_fp,
@@ -449,7 +554,186 @@ def promote_compaction(
             f"stays current"
         )
     publish_generation(
-        spark, root, new_gen, vocab_ids=vocab_ids, content_fp=dst_fp
+        spark, root, new_gen, vocab_ids=vocab_ids, content_fp=dst_fp,
+        store=store,
     )
-    retire_generation(root, old_gen)
+    retire_generation(root, old_gen, store)
     return new_gen, manifest
+
+
+def read_mixture_current(
+    spark,
+    roots: dict,
+    weights: dict,
+    vocab_ids: DataFrame | None = None,
+    snapshots: dict | None = None,
+    cursor: int | None = None,
+    epoch: int | None = None,
+    pins: dict | None = None,
+    rank: int | None = None,
+    world_size: int | None = None,
+    store: MarkerStore | None = None,
+    name_col: str = "mix_source",
+    key_col: str = "mix_key",
+    pos_col: str = "mix_pos",
+) -> tuple[DataFrame, dict, dict]:
+    """The catalog-aware mixture read: resolve each set's CURRENT
+    committed generation ONCE, hand the resolved paths to
+    ``read_mixture_shards``, and return the pins alongside —
+    (windows, contract, pins) with ``pins`` mapping set name ->
+    generation number.  This closes the last manual pinning step in
+    the factory: a trainer mixing N catalogued sets checkpoints
+    ``pins`` together with its cursor/epoch/weights, and every
+    resume re-reads the EXACT generations the epoch started on —
+    a promotion landing mid-epoch swaps what NEW readers resolve,
+    never what a pinned reader resumes over (the promoted-away
+    data survives until :func:`sweep_generations` /
+    :func:`drop_generation`, the read-grace window).
+
+    ``pins``: pass a checkpoint's pins to resume instead of
+    resolving current — each pin must name a COMMITTED generation of
+    its root (a foreign or never-published pin refuses loudly; a pin
+    whose data was already swept fails the sidecar read, also
+    loudly).  All other parameters (``weights``, ``snapshots``,
+    ``cursor``, ``epoch``) pass through to ``read_mixture_shards``
+    unchanged, with the same caveat: a cursor is only valid under
+    the SAME (pins, weights, snapshots, epoch) tuple it was minted
+    with — checkpoint them as one unit.
+
+    Multi-node: pass ``rank``/``world_size`` to read one rank's
+    slice (``read_mixture_rank`` over the pinned generations — the
+    launcher resolves pins ONCE and hands the same dict to every
+    rank, so all ranks slice an identical universe; the rank-local
+    cursor caveat from there applies).
+
+    Resolution is marker-sized per root (one listing); everything
+    data-side is the mixture read's own cost."""
+    from streaming_parquet_spark.operators.pipeline import (
+        read_mixture_rank,
+        read_mixture_shards,
+    )
+
+    if (rank is None) != (world_size is None):
+        raise ValueError(
+            "read_mixture_current: pass rank and world_size together "
+            "(or neither)"
+        )
+
+    store = _store(store)
+    names = sorted(roots)
+    if not names:
+        raise ValueError("read_mixture_current: no roots given")
+    if pins is None:
+        pins = {n: current_generation(roots[n], store)[0] for n in names}
+    else:
+        if sorted(pins) != names:
+            raise ValueError(
+                f"read_mixture_current: pins and roots must carry the "
+                f"same names (roots {names}, pins {sorted(pins)})"
+            )
+        for n in names:
+            if int(pins[n]) not in _committed(roots[n], store):
+                raise ValueError(
+                    f"read_mixture_current: pin {pins[n]} for set "
+                    f"{n!r} is not a committed generation of "
+                    f"{roots[n]!r} — a checkpoint from a different "
+                    f"catalog (or a never-published attempt) does "
+                    f"not resume here"
+                )
+    pins = {n: int(pins[n]) for n in names}
+    sets = {n: generation_path(roots[n], pins[n]) for n in names}
+    if rank is not None:
+        windows, contract = read_mixture_rank(
+            spark, sets, weights, rank, world_size,
+            vocab_ids=vocab_ids, snapshots=snapshots, cursor=cursor,
+            epoch=epoch, name_col=name_col, key_col=key_col,
+            pos_col=pos_col,
+        )
+    else:
+        windows, contract = read_mixture_shards(
+            spark, sets, weights, vocab_ids=vocab_ids,
+            snapshots=snapshots, cursor=cursor, epoch=epoch,
+            name_col=name_col, key_col=key_col, pos_col=pos_col,
+        )
+    return windows, contract, pins
+
+
+def list_retired(
+    root: str, store: MarkerStore | None = None
+) -> list[int]:
+    """Committed generations carrying a retire marker, ascending —
+    the reclaim candidates a retention policy sweeps.  Marker-sized:
+    one catalog listing plus one exists-probe per committed
+    generation (a handful), never a data scan.  Includes generations
+    whose data was already dropped (the marker outlives the drop by
+    design); :func:`sweep_generations` re-dropping one is a no-op."""
+    store = _store(store)
+    return [
+        g
+        for g in _committed(root, store)
+        if is_retired(generation_path(root, g), store)
+    ]
+
+
+def sweep_generations(
+    root: str,
+    keep_last_n: int = 1,
+    dry_run: bool = False,
+    store: MarkerStore | None = None,
+) -> dict:
+    """Codified retention over retired generations: drop (via the
+    double-guarded :func:`drop_generation`) every RETIRED generation
+    older than the newest ``keep_last_n`` committed ones.  A
+    months-long factory calls this after each promotion instead of
+    hand-tracking which old generation is past its read-grace window
+    — ``keep_last_n`` IS the grace policy, expressed in promotions:
+    a reader that pinned a generation within the last N swaps still
+    finds its data.
+
+    Never touches: the CURRENT generation (it is never retired —
+    :func:`retire_generation` refuses it — and drop refuses it
+    independently); the newest ``keep_last_n`` committed generations
+    even when retired (the grace window); and any NEVER-RETIRED
+    generation regardless of age (no marker warned producers off and
+    readers never got a retirement signal — sweep reports it under
+    ``skipped_unretired`` instead of silently escalating to a
+    destructive retire-and-drop the caller didn't ask for).
+
+    ``keep_last_n`` must be >= 1: a sweep that protects nothing is a
+    typo, not a policy.  ``dry_run=True`` reports the same decision
+    without deleting.  Returns ``{"dropped": [...], "kept_grace":
+    [...], "skipped_unretired": [...]}`` (each ascending;
+    already-emptied retired generations re-report as dropped — the
+    underlying drop is a no-op)."""
+    store = _store(store)
+    if int(keep_last_n) < 1:
+        raise ValueError(
+            f"sweep_generations: keep_last_n must be >= 1 (got "
+            f"{keep_last_n}) — the current generation and the grace "
+            f"window are never sweepable"
+        )
+    committed = _committed(root, store)
+    if not committed:
+        raise ValueError(
+            f"sweep_generations: {root!r} has no committed generation "
+            f"— nothing to retain a policy over"
+        )
+    protected = set(committed[-int(keep_last_n):])
+    dropped, kept_grace, skipped_unretired = [], [], []
+    for g in committed:
+        retired = is_retired(generation_path(root, g), store)
+        if g in protected:
+            if retired:
+                kept_grace.append(g)
+            continue
+        if not retired:
+            skipped_unretired.append(g)
+            continue
+        if not dry_run:
+            drop_generation(root, g, store)
+        dropped.append(g)
+    return {
+        "dropped": dropped,
+        "kept_grace": kept_grace,
+        "skipped_unretired": skipped_unretired,
+    }

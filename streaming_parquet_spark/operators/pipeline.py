@@ -2863,10 +2863,12 @@ def read_mixture_shards(
     Scale: positions/offsets are manifest-sized driver work per set;
     the data-side cost is one per-shard row_number and a broadcast
     join per set — no cross-set shuffle at all (the interleave key is
-    a projection; ordering happens at consumption).  Rank-slice the
-    mixture by slicing each SET with read_rank_shards first, or
-    filter ``key_col`` ranges — both compose, because every key is a
-    pure function of pinned artifacts.  Output: the union frame plus
+    a projection; ordering happens at consumption).  Multi-node
+    training rank-slices the mixture with :func:`read_mixture_rank`
+    (each set sliced by the deterministic LPT assignment, then
+    interleaved rank-locally — exactly-once across the world and
+    per-rank fairness are hypothesis-gated there).  Output: the
+    union frame plus
     (``name_col``, ``pos_col``, ``key_col``); returns
     (windows, shared contract)."""
     import math
@@ -3001,3 +3003,93 @@ def read_mixture_shards(
         # Strictly greater, not >=: the cursor names a CONSUMED key.
         out = out.where(F.col(key_col) > int(cursor))
     return out, base
+
+
+def read_mixture_rank(
+    spark,
+    sets: dict,
+    weights: dict,
+    rank: int,
+    world_size: int,
+    vocab_ids: DataFrame | None = None,
+    snapshots: dict | None = None,
+    cursor: int | None = None,
+    epoch: int | None = None,
+    name_col: str = "mix_source",
+    key_col: str = "mix_key",
+    pos_col: str = "mix_pos",
+) -> tuple[DataFrame, dict]:
+    """One trainer rank's slice of a weighted MIXTURE — the composition
+    ``read_mixture_shards``' docstring promises, made first-class:
+    multi-node training is the normal consumer of a mixture, and this
+    is how each rank reads its share without coordination.
+
+    Each SET is sliced by the same deterministic token-weighted LPT
+    assignment :func:`read_rank_shards` uses (a pure function of the
+    set's sidecar, ``world_size``, and the optional per-set
+    ``snapshots`` pin — every rank recomputes it identically), then
+    the rank's slices interleave under the standard stride schedule.
+    Properties (hypothesis-gated):
+
+    * **Exactly-once across the world**: the union over all ranks of
+      ``read_mixture_rank(..., r, W)`` is the full mixture's window
+      multiset — shard assignments partition each set's keys, and the
+      interleave visits each slice's windows exactly once.
+    * **Per-rank weighted fairness**: a rank consuming its stream in
+      ``key_col`` order sees every set it holds shards of in weight
+      proportion (the stride property holds over whatever key lists
+      feed it).  A set with fewer shards than ranks is simply dry on
+      the unlucky ranks — fairness is per-rank over its LIVE sets,
+      while token-weighted LPT keeps the per-set token totals
+      balanced across ranks, which is what evens the mixture out at
+      the world level.
+    * **Rank-local keys**: positions (and therefore ``key_col``) are
+      computed over the RANK's keys, so each rank's stream is its own
+      dense total order — keys are not comparable across ranks and
+      differ from the ``world_size=1`` keys by construction.
+      ``cursor`` is accordingly rank-local: checkpoint (rank,
+      world_size, snapshots, weights, epoch, cursor) together, the
+      same one-tuple rule as every other reader.  ``epoch`` permutes
+      within the rank-local position space — ranks stay disjoint, so
+      the bijection argument is unchanged.
+
+    Cost: two manifest collects per set (one here for the assignment,
+    one inside the mixture read, both marker-sized driver work); the
+    data-side plan is identical to ``read_mixture_shards`` over the
+    rank's shard directories only — partition pruning does the
+    slicing, no shuffle is added.  Returns (windows, shared
+    contract)."""
+    if not (0 <= int(rank) < int(world_size)):
+        raise ValueError(
+            f"read_mixture_rank: rank {rank} outside [0, {world_size})"
+        )
+    rank_keys = {}
+    for n in sorted(sets):
+        _sidecar, srows, _contract = _sidecar_snapshot(
+            spark, sets[n], "read_mixture_rank"
+        )
+        pairs = [(r["shard"], r["n_tokens"]) for r in srows]
+        if snapshots is not None and n in snapshots:
+            want = set(snapshots[n])
+            missing = sorted(want - {p[0] for p in pairs})
+            if missing:
+                raise ValueError(
+                    f"read_mixture_rank: snapshot keys {missing[:5]} "
+                    f"for set {n!r} are not in its sidecar — the "
+                    f"pinned set must be a subset of the published "
+                    f"shards"
+                )
+            pairs = [p for p in pairs if p[0] in want]
+        rank_keys[n] = sorted(
+            shard
+            for shard, r, _w in _lpt_assign(pairs, int(world_size))
+            if r == int(rank)
+        )
+    # the rank's key lists ride the snapshots parameter: the mixture
+    # read re-validates them (subset check), positions them 0..n-1
+    # rank-locally, and applies weights/epoch/cursor unchanged
+    return read_mixture_shards(
+        spark, sets, weights, vocab_ids=vocab_ids,
+        snapshots=rank_keys, cursor=cursor, epoch=epoch,
+        name_col=name_col, key_col=key_col, pos_col=pos_col,
+    )

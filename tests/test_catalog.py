@@ -375,3 +375,275 @@ def test_publish_rejects_foreign_content_fp(spark, tmp_path):
     doc = publish_generation(spark, root, gen1, content_fp=true_fp)
     assert doc["content_fp_a"] == true_fp["fp_a"]
     assert current_generation(root)[0] == gen1
+
+
+class _MemMarkerStore:
+    """In-memory MarkerStore: the object-store stand-in the seam gate
+    injects — put-if-absent over a dict, no filesystem, no
+    directories.  If the protocol works here AND on POSIX, it uses
+    only the three documented primitives."""
+
+    def __init__(self):
+        self.blobs: dict[str, str] = {}
+
+    def _k(self, path):
+        return os.path.normpath(path)
+
+    def put_if_absent(self, path, text):
+        k = self._k(path)
+        if k in self.blobs:
+            return False
+        self.blobs[k] = text
+        return True
+
+    def exists(self, path):
+        return self._k(path) in self.blobs
+
+    def list(self, prefix):
+        p = self._k(prefix) + os.sep
+        return sorted(
+            {k[len(p):].split(os.sep)[0]
+             for k in self.blobs if k.startswith(p)}
+        )
+
+
+def test_catalog_protocol_through_injected_store(spark, tmp_path, monkeypatch):
+    """The swap protocol must run unchanged through an injected
+    MarkerStore backend (the conditional-PUT object-store shape): the
+    seam gate for VERDICT r11 item 4.  DEFAULT_STORE is swapped for
+    the whole process, so even the producers' retire probes follow —
+    and NO marker may touch the filesystem."""
+    import glob
+
+    import streaming_parquet_spark.operators.catalog as C
+    from streaming_parquet_spark.operators.catalog import (
+        list_retired,
+        sweep_generations,
+    )
+
+    mem = _MemMarkerStore()
+    monkeypatch.setattr(C, "DEFAULT_STORE", mem)
+
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+
+    # allocation races resolve through put_if_absent exclusivity
+    g1, p1 = next_generation(root)
+    g2, p2 = next_generation(root)
+    assert (g1, g2) == (1, 2) and p1 != p2
+    with pytest.raises(ValueError, match="no committed"):
+        current_generation(root)
+
+    write_token_shards(
+        _wave(spark, 0, 10, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    publish_generation(spark, root, g1, vocab_ids=vocab)
+    with pytest.raises(ValueError, match="write-once"):
+        publish_generation(spark, root, g1)
+    assert current_generation(root)[0] == g1
+    before = _payloads(read_current_shards(spark, root)[0])
+
+    # the full swap through the seam; gen 2's claim was burned above,
+    # so promotion lands on gen 3
+    g3, _man = promote_compaction(spark, root, n_shards=1,
+                                  vocab_ids=vocab)
+    assert g3 == 3 and current_generation(root)[0] == g3
+    assert _payloads(read_current_shards(spark, root)[0]) == before
+    assert is_retired(p1) and list_retired(root) == [g1]
+
+    # producers' probes follow the injected backend
+    with pytest.raises(ValueError, match="RETIRED"):
+        append_token_shards(_wave(spark, 300, 4, "w9"), p1, vocab)
+
+    # retention through the seam: grace keeps gen1, then a narrower
+    # sweep drops it (data plane deleted, marker plane intact)
+    assert sweep_generations(root, keep_last_n=2)["kept_grace"] == [g1]
+    assert _payloads(read_token_shards(spark, p1)[0]) == before
+    swept = sweep_generations(root, keep_last_n=1)
+    assert swept["dropped"] == [g1]
+    with pytest.raises(ValueError, match="no _manifest sidecar"):
+        read_token_shards(spark, p1)
+    assert is_retired(p1)  # the marker outlives the drop
+
+    # NOTHING on the marker plane hit the filesystem: no _catalog
+    # directory, no _retired file, while data parquet is on disk
+    assert not os.path.exists(os.path.join(root, "_catalog"))
+    assert not glob.glob(os.path.join(root, "**", "_retired"),
+                         recursive=True)
+    assert glob.glob(os.path.join(root, "gen-*", "_manifest", "*"))
+    # and the markers live in the injected store
+    assert any(k.endswith(".json") for k in mem.blobs)
+
+
+def test_marker_plane_free_of_direct_os(monkeypatch):
+    """The protocol's marker logic must stay implementable on an
+    object store: no direct filesystem calls outside PosixMarkerStore
+    (drop_generation's DATA deletion is the documented data-plane
+    exception — its guards still run through the store)."""
+    import inspect
+
+    import streaming_parquet_spark.operators.catalog as C
+
+    protocol = [
+        C._committed, C._claimed, C._existing_dirs, C.next_generation,
+        C.publish_generation, C.current_generation,
+        C.read_current_shards, C.retire_generation, C.is_retired,
+        C.promote_compaction, C.list_retired, C.sweep_generations,
+    ]
+    forbidden = (
+        "os.listdir", "os.link", "os.makedirs", "os.fsync",
+        "os.replace", "os.path.exists", "os.path.isdir", "open(",
+    )
+    for fn in protocol:
+        src = inspect.getsource(fn)
+        for tok in forbidden:
+            assert tok not in src, f"{fn.__name__} uses {tok}"
+
+
+def test_sweep_generations_policy(spark, tmp_path):
+    """Retention e2e on the default (POSIX) backend: the sweep drops
+    only retired generations past the grace window, refuses a
+    nothing-protected policy, never touches the current generation,
+    and reports (not drops) never-retired stragglers."""
+    from streaming_parquet_spark.operators.catalog import (
+        list_retired,
+        sweep_generations,
+    )
+
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+
+    with pytest.raises(ValueError, match="no committed"):
+        sweep_generations(root)
+
+    g1, p1 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 0, 10, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    publish_generation(spark, root, g1, vocab_ids=vocab)
+    # two promotions: gens 2 and 3; 1 and 2 retired, 3 current
+    g2, _ = promote_compaction(spark, root, n_shards=2, vocab_ids=vocab)
+    g3, _ = promote_compaction(spark, root, n_shards=1, vocab_ids=vocab)
+    assert list_retired(root) == [g1, g2]
+
+    with pytest.raises(ValueError, match="keep_last_n"):
+        sweep_generations(root, keep_last_n=0)
+
+    # dry run decides, deletes nothing
+    plan = sweep_generations(root, keep_last_n=2, dry_run=True)
+    assert plan == {"dropped": [g1], "kept_grace": [g2],
+                    "skipped_unretired": []}
+    assert read_token_shards(spark, p1)[0].count() > 0
+
+    # real sweep: gen1 dropped, gen2 kept by grace, gen3 untouched
+    assert sweep_generations(root, keep_last_n=2)["dropped"] == [g1]
+    with pytest.raises(ValueError, match="no _manifest sidecar"):
+        read_token_shards(spark, p1)
+    n3 = read_current_shards(spark, root)[0].count()
+    assert n3 > 0
+
+    # a never-retired old generation is reported, never dropped: make
+    # one by publishing a fresh successor WITHOUT retiring gen3
+    g4, p4 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 500, 6, "w4"), p4, vocab, budget=16, shard_col="src"
+    )
+    publish_generation(spark, root, g4, vocab_ids=vocab)
+    out = sweep_generations(root, keep_last_n=1)
+    assert out["skipped_unretired"] == [g3]
+    assert g3 not in out["dropped"] and g4 not in out["dropped"]
+    assert read_token_shards(spark, generation_path(root, g3))[0].count() == n3
+    # sweeping again is idempotent (already-dropped re-drop is a no-op)
+    again = sweep_generations(root, keep_last_n=1, dry_run=True)
+    assert again["dropped"] == [g1, g2]
+
+
+def test_read_mixture_current_pins_survive_promotion(spark, tmp_path):
+    """The catalog-aware mixture pin (VERDICT r11 item 5): resolving
+    current generations happens ONCE and the pins travel with the
+    trainer's checkpoint — a promotion landing mid-epoch must not
+    change what a pinned reader resumes over, while a FRESH resolve
+    picks up the new generation.  Foreign pins refuse."""
+    from streaming_parquet_spark.operators.catalog import (
+        read_mixture_current,
+    )
+
+    vocab = _vocab(spark)
+    root_a = str(tmp_path / "web")
+    root_b = str(tmp_path / "code")
+    for root, lo in ((root_a, 0), (root_b, 1000)):
+        g, p = next_generation(root)
+        write_token_shards(
+            _wave(spark, lo, 12, f"w{lo}"), p, vocab, budget=16,
+            shard_col="src",
+        )
+        append_token_shards(_wave(spark, lo + 100, 8, f"x{lo}"), p, vocab)
+        publish_generation(spark, root, g, vocab_ids=vocab)
+
+    roots = {"web": root_a, "code": root_b}
+    weights = {"web": 3, "code": 1}
+    mixed, contract, pins = read_mixture_current(
+        spark, roots, weights, vocab_ids=vocab
+    )
+    assert pins == {"web": 1, "code": 1}
+    rows = sorted(
+        (r["mix_key"], r["mix_source"], tuple(r["ids"]))
+        for r in mixed.select("mix_key", "mix_source", "ids").collect()
+    )
+    cut = len(rows) // 3
+    cursor = rows[cut - 1][0]  # last consumed mix_key
+    expected_rest = rows[cut:]
+
+    # mid-epoch, BOTH sets get promoted (compaction renumbers shards
+    # and re-buckets windows — new generations are differently shaped)
+    promote_compaction(spark, root_a, n_shards=1, vocab_ids=vocab)
+    promote_compaction(spark, root_b, n_shards=1, vocab_ids=vocab)
+
+    # the pinned resume is bit-identical to the pre-promotion plan
+    resumed, _c, pins2 = read_mixture_current(
+        spark, roots, weights, vocab_ids=vocab, pins=pins,
+        cursor=cursor,
+    )
+    assert pins2 == pins
+    got = sorted(
+        (r["mix_key"], r["mix_source"], tuple(r["ids"]))
+        for r in resumed.select("mix_key", "mix_source", "ids").collect()
+    )
+    assert got == expected_rest
+
+    # a fresh resolve sees the NEW generations (and the same content —
+    # promotion proved preservation — under a different bucketing)
+    fresh, _c2, pins3 = read_mixture_current(
+        spark, roots, weights, vocab_ids=vocab
+    )
+    assert pins3 == {"web": 2, "code": 2}
+    assert sorted(
+        (r["mix_source"], tuple(r["ids"]))
+        for r in fresh.select("mix_source", "ids").collect()
+    ) == sorted((s, i) for _k, s, i in rows)
+
+    # foreign pins refuse: never-published and name-drift both
+    with pytest.raises(ValueError, match="not a committed generation"):
+        read_mixture_current(spark, roots, weights,
+                             pins={"web": 9, "code": 1})
+    with pytest.raises(ValueError, match="same names"):
+        read_mixture_current(spark, roots, weights,
+                             pins={"web": 1, "books": 1})
+
+    # rank-sliced under the SAME pins: union over ranks = the pinned
+    # mixture exactly once (the launcher resolves pins once, every
+    # rank slices an identical universe)
+    union = []
+    for r in range(3):
+        part, _c, pr = read_mixture_current(
+            spark, roots, weights, vocab_ids=vocab, pins=pins,
+            rank=r, world_size=3,
+        )
+        assert pr == pins
+        union.extend(
+            (x["mix_source"], tuple(x["ids"]))
+            for x in part.select("mix_source", "ids").collect()
+        )
+    assert sorted(union) == sorted((s, i) for _k, s, i in rows)
+    with pytest.raises(ValueError, match="together"):
+        read_mixture_current(spark, roots, weights, rank=0)

@@ -6789,6 +6789,159 @@ def test_read_mixture_shards_property(spark, tmp_path):
     check()
 
 
+def test_read_mixture_rank_property(spark, tmp_path):
+    """Hypothesis (VERDICT r11 item 1): rank-sliced mixture reads
+    compose — for ANY world_size, weights, per-set snapshot pins,
+    epoch, and cut point, the union over ranks of read_mixture_rank
+    equals the full mixture's window multiset exactly once; each
+    rank's key-ordered stream follows the pure-Python stride
+    reference over its own slice (per-rank weighted fairness); and
+    the rank-local cursor splits any cut into consumed ⊎ resumed
+    exactly once."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    import math
+    from collections import Counter
+
+    from streaming_parquet_spark.operators.pipeline import (
+        pack_token_windows,
+        read_mixture_rank,
+        read_mixture_shards,
+        shard_snapshot,
+        write_token_shards,
+    )
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+
+    def make_set(path, lo, n_docs, key, nparts):
+        docs = spark.createDataFrame(
+            [(lo + i, f"{key}{i % nparts}",
+              [(lo + i + j) % 9 + 2 for j in range(5)])
+             for i in range(n_docs)],
+            "doc_id bigint, src string, toks array<int>",
+        )
+        write_token_shards(
+            pack_token_windows(
+                docs, "toks", 16, order_col="doc_id", part_col="src"
+            ),
+            path, vocab, budget=16, shard_col="src",
+        )
+
+    paths = {
+        "web": str(tmp_path / "web"),
+        "code": str(tmp_path / "code"),
+        "books": str(tmp_path / "books"),
+    }
+    # shard counts straddle world_size: books (1 shard) runs dry on
+    # most ranks — the composition must still be exactly-once
+    make_set(paths["web"], 0, 16, "w", 4)
+    make_set(paths["code"], 100, 8, "c", 2)
+    make_set(paths["books"], 200, 3, "b", 1)
+    all_keys = {n: shard_snapshot(spark, paths[n]) for n in paths}
+
+    def stride_names(counts, weights):
+        """The reference merge's set-name sequence in key order."""
+        names = sorted(counts)
+        lcm = math.lcm(*(weights[n] for n in names))
+        entries = [
+            ((p + 1) * (lcm // weights[n]) * len(names) + i, n)
+            for i, n in enumerate(names)
+            for p in range(counts[n])
+        ]
+        return [n for _k, n in sorted(entries)]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        world=st.integers(1, 5),
+        ws=st.tuples(
+            st.integers(1, 9), st.integers(1, 9), st.integers(1, 9)
+        ),
+        drop_last=st.tuples(st.booleans(), st.booleans(), st.booleans()),
+        epoch=st.one_of(st.none(), st.integers(0, 3)),
+        cutf=st.floats(0.1, 0.9),
+    )
+    def check(world, ws, drop_last, epoch, cutf):
+        weights = dict(zip(sorted(paths), ws))
+        # snapshot pins: optionally drop each set's last shard (but
+        # never below one shard) — the assignment and the full
+        # mixture must respect the SAME pin
+        snaps = {}
+        for n, d in zip(sorted(paths), drop_last):
+            keys = all_keys[n]
+            snaps[n] = keys[:-1] if (d and len(keys) > 1) else keys
+        full, _ = read_mixture_shards(
+            spark, paths, weights, vocab_ids=vocab, snapshots=snaps,
+            epoch=epoch,
+        )
+        full_windows = sorted(
+            (r["mix_source"], r["src"], r["win"])
+            for r in full.select("mix_source", "src", "win").collect()
+        )
+        union, cursor_checked = [], False
+        for rank in range(world):
+            part, _ = read_mixture_rank(
+                spark, paths, weights, rank, world, vocab_ids=vocab,
+                snapshots=snaps, epoch=epoch,
+            )
+            rows = sorted(
+                (r["mix_key"], r["mix_source"], r["mix_pos"],
+                 r["src"], r["win"])
+                for r in part.select(
+                    "mix_key", "mix_source", "mix_pos", "src", "win"
+                ).collect()
+            )
+            keys = [k for k, *_ in rows]
+            assert len(keys) == len(set(keys))  # rank-local total order
+            union.extend((n, s, w) for _k, n, _p, s, w in rows)
+            counts = Counter(n for _k, n, _p, _s, _w in rows)
+            # per-rank fairness: the name sequence in key order IS the
+            # stride reference over the rank's live slice
+            got_names = [n for _k, n, _p, _s, _w in rows]
+            assert got_names == stride_names(counts, weights), (
+                world, rank, weights,
+            )
+            # epoch permutes positions within the rank-local space:
+            # each live set's scheduled positions are exactly 0..c-1
+            for n, c in counts.items():
+                got_pos = sorted(
+                    p for _k, nn, p, _s, _w in rows if nn == n
+                )
+                assert got_pos == list(range(c)), (rank, n)
+            # rank-local cursor: one cut per example, on the first
+            # rank that holds >= 2 windows
+            if not cursor_checked and len(rows) >= 2:
+                cursor_checked = True
+                cut = max(1, min(len(rows) - 1, int(len(rows) * cutf)))
+                resumed, _c = read_mixture_rank(
+                    spark, paths, weights, rank, world,
+                    vocab_ids=vocab, snapshots=snaps, epoch=epoch,
+                    cursor=rows[cut - 1][0],
+                )
+                got = sorted(
+                    (r["mix_key"], r["mix_source"], r["mix_pos"],
+                     r["src"], r["win"])
+                    for r in resumed.select(
+                        "mix_key", "mix_source", "mix_pos", "src",
+                        "win"
+                    ).collect()
+                )
+                assert got == rows[cut:], (world, rank, cut)
+        # exactly-once across the world, same pinned universe
+        assert sorted(union) == full_windows, (world, weights)
+
+    check()
+
+
 def test_read_mixture_shards_refusals(spark, tmp_path):
     """Mixture refusals: mismatched names, non-positive weights,
     duplicate paths, foreign vocabulary across sets, contract drift,
