@@ -88,6 +88,22 @@ def _host_ref_mb_s() -> float:
     return round(64 / (time.perf_counter() - t0), 1)
 
 
+def _bench_workdir_base() -> str | None:
+    """The staging base the conversion legs AND the IO probe share:
+    tmpfs when it has the headroom the conversions need, else the
+    default tmp dir.  ONE decision point, one threshold — if the
+    probe and the conversions chose independently (e.g. different
+    free-space floors), a window could probe tmpfs while converting
+    on disk, and the yardstick would attribute the wrong resource."""
+    if os.path.isdir("/dev/shm"):
+        try:
+            if shutil.disk_usage("/dev/shm").free > 8 << 30:
+                return "/dev/shm"
+        except OSError:
+            pass
+    return None
+
+
 def _host_io_mb_s(base: str | None = None) -> dict:
     """Fixed IO-throughput probe beside the CPU one (VERDICT r11 item
     2): raw write+read MB/s of 256 MiB through the SAME filesystem the
@@ -101,12 +117,8 @@ def _host_io_mb_s(base: str | None = None) -> dict:
     medians, not against an absolute bar."""
     import statistics
 
-    if base is None and os.path.isdir("/dev/shm"):
-        try:
-            if shutil.disk_usage("/dev/shm").free > 2 << 30:
-                base = "/dev/shm"
-        except OSError:
-            pass
+    if base is None:
+        base = _bench_workdir_base()
     chunk = b"\xa5" * (16 << 20)
     n_chunks, mb = 16, 256
     writes, reads = [], []
@@ -1078,13 +1090,7 @@ def _conversion_bench(
     # the PREVIOUS ~700 MB output lands in the NEXT measurement's timing
     # (observed 114-210 MB/s swings for identical work on /tmp). The
     # chosen workdir is recorded in the bench JSON for transparency.
-    base = None
-    if os.path.isdir("/dev/shm"):
-        try:
-            if shutil.disk_usage("/dev/shm").free > 8 << 30:
-                base = "/dev/shm"
-        except OSError:
-            pass
+    base = _bench_workdir_base()
     work = tempfile.mkdtemp(prefix="maw_bench_", dir=base)
     out: dict[str, float] = {}
     try:

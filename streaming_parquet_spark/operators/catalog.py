@@ -25,8 +25,9 @@ The swap protocol readers and producers rely on:
 * **Publish is a single-file put, after verification.**
   :func:`publish_generation` refuses unless
   ``verify_token_shards(gen)`` reports every shard ok, then creates
-  ``commit-N.json`` EXCLUSIVELY (hardlink-from-temp — fails if the
-  marker exists, so two racing publishers cannot both win).  A
+  ``commit-N.json`` EXCLUSIVELY (the store's atomic put-if-absent —
+  fails if the marker exists, so two racing publishers cannot both
+  win).  A
   generation with data but no marker is invisible to readers: a
   reader mid-swap resolves either the old marker or the new one,
   never a half-written set — the same data-then-promise ordering as
@@ -138,21 +139,29 @@ class PosixMarkerStore(MarkerStore):
     same primitive the shard sidecar's write-once promise uses."""
 
     def put_if_absent(self, path: str, text: str) -> bool:
-        parent = os.path.dirname(path)
-        if parent:
-            os.makedirs(parent, exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write(text)
-            f.flush()
-            os.fsync(f.fileno())
+        import tempfile
+
+        parent = os.path.dirname(path) or "."
+        os.makedirs(parent, exist_ok=True)
+        # mkstemp, not a pid-derived name: two THREADS of one process
+        # racing the same marker would share a pid-suffixed tmp (one
+        # truncating the inode the other is about to link); a per-call
+        # unique tmp keeps the primitive atomic within a process too
+        fd, tmp = tempfile.mkstemp(
+            prefix=os.path.basename(path) + ".tmp.", dir=parent
+        )
         try:
-            os.link(tmp, path)
-        except FileExistsError:
-            return False
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                return False
+            return True
         finally:
             os.unlink(tmp)
-        return True
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -195,7 +204,14 @@ def _committed(root: str, store: MarkerStore | None = None) -> list[int]:
 
 def _existing_dirs(root: str, store: MarkerStore | None = None) -> list[int]:
     # gen-* prefixes under the root (data plane, but only their NAMES
-    # matter here — allocation must not collide with an existing set)
+    # matter here — allocation must not collide with an existing set).
+    # On the POSIX backend store.list(root) sees real directories, so
+    # even OUT-OF-PROTOCOL data (a hand-made gen-N with no claim) is
+    # shielded from re-allocation.  A non-POSIX backend lists only the
+    # marker plane: there, every in-protocol generation is covered by
+    # its claim marker, but data imported by hand must be brought in
+    # through next_generation/publish (or given a claim marker) or
+    # allocation cannot see it.
     store = _store(store)
     out = []
     for name in store.list(root):
@@ -314,31 +330,22 @@ def publish_generation(
     _, contract = _read_shard_contract(spark, path, "publish_generation")
     if vocab_ids is not None:
         _check_vocab(contract, vocab_ids, path, "publish_generation")
-    bad = verify_token_shards(spark, path).filter("NOT ok").count()
-    if bad:
-        raise ValueError(
-            f"publish_generation: gen {gen} at {path!r} has {bad} "
-            f"shard(s) failing verification — a generation publishes "
-            f"only after every shard matches its sidecar promise"
-        )
     totals = (
         spark.read.parquet(os.path.join(path, "_manifest"))
         .groupBy()
         .agg({"n_windows": "sum", "n_tokens": "sum", "shard": "count"})
         .first()
     )
-    if content_fp is None:
-        content_fp = shard_set_content_fp(spark, path)
-    else:
+    if content_fp is not None:
         # The caller-supplied fingerprint goes into a WRITE-ONCE marker
         # that makes the generation content-addressable forever — a
         # stale or foreign fp would make the audit trail permanently
         # lie.  The fp hashes themselves are trusted (recomputing them
         # would erase the reuse saving), but the dict carries the set's
         # window/token totals, and those must agree with the sidecar
-        # totals already collected above — the cheap tripwire that
-        # catches a fingerprint minted over a different (or since-
-        # grown) set before it is immortalized.
+        # totals — the cheap, manifest-sized tripwire that catches a
+        # fingerprint minted over a different (or since-grown) set,
+        # checked BEFORE the full verify scan is paid.
         for fp_key, tot_key in (
             ("n_windows", "sum(n_windows)"),
             ("n_tokens", "sum(n_tokens)"),
@@ -351,6 +358,15 @@ def publish_generation(
                     f"fingerprint was minted over a different set; "
                     f"omit content_fp to have publish recompute it"
                 )
+    bad = verify_token_shards(spark, path).filter("NOT ok").count()
+    if bad:
+        raise ValueError(
+            f"publish_generation: gen {gen} at {path!r} has {bad} "
+            f"shard(s) failing verification — a generation publishes "
+            f"only after every shard matches its sidecar promise"
+        )
+    if content_fp is None:
+        content_fp = shard_set_content_fp(spark, path)
     doc = {
         "generation": gen,
         "n_shards": totals["count(shard)"],

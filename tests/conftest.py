@@ -1,4 +1,5 @@
 import os
+import shutil
 import tempfile
 
 import pytest
@@ -24,6 +25,9 @@ def spark():
         extra_conf={"spark.sql.warehouse.dir": warehouse},
     )
     yield s
+    # a COMPLETED run reclaims its warehouse (a killed run leaks one
+    # dir, which the per-session isolation makes harmless)
+    shutil.rmtree(warehouse, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
