@@ -289,6 +289,40 @@ def main():
     print(f"mixture: {n_mix} windows, first 12 by key: {head}")
     assert n_mix == compacted.count() + code_win.count()
 
+    # -------------------------- catalog-pinned, rank-sliced mixture
+    # the production shape: publish the code set as its own catalog
+    # root, resolve BOTH roots' current generations ONCE
+    # (read_mixture_current returns the pins for the trainer
+    # checkpoint), and let each rank read its LPT slice of every set
+    # interleaved rank-locally — union over ranks = the mixture
+    # exactly once, and a promotion landing mid-epoch never moves a
+    # pinned reader (gen data survives until the sweep).
+    from streaming_parquet_spark.operators.catalog import (
+        read_mixture_current,
+    )
+
+    code_root = os.path.join(work, "code_sets")
+    cg, cpath = next_generation(code_root)
+    write_token_shards(
+        code_win, cpath, ids, budget=256, shard_col="shard", eos_id=5
+    )
+    publish_generation(spark, code_root, cg, vocab_ids=ids)
+    roots = {"pretrain": root, "code": code_root}
+    weights = {"pretrain": 3, "code": 1}
+    n_ranks = 0
+    _m, _c, pins = read_mixture_current(spark, roots, weights,
+                                        vocab_ids=ids)
+    for rank in range(4):
+        part, _c, p = read_mixture_current(
+            spark, roots, weights, vocab_ids=ids, pins=pins,
+            rank=rank, world_size=4,
+        )
+        assert p == pins
+        n_ranks += part.count()
+    assert n_ranks == n_mix
+    print(f"pinned mixture {pins}: 4 ranks read {n_ranks} windows "
+          f"(each exactly once)")
+
 
 if __name__ == "__main__":
     main()
