@@ -114,6 +114,12 @@ class MarkerStore:
       prefix (no recursion); [] when the prefix doesn't exist.
       Listing a catalog directory is O(generations) — a handful of
       small names, never O(shards).
+    * ``read(path) -> str`` — GET the marker's text.  The swap
+      protocol itself never reads a marker back (markers are
+      promises, data carries the contract); the READ side of the
+      seam exists for the audit verbs
+      (:func:`audit_generation` re-checks data against its
+      recorded fingerprint).
 
     Consistency the protocol assumes: ``put_if_absent`` is atomic and
     exclusive against concurrent puts of the same path, and a
@@ -129,6 +135,9 @@ class MarkerStore:
         raise NotImplementedError
 
     def list(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+    def read(self, path: str) -> str:
         raise NotImplementedError
 
 
@@ -170,6 +179,10 @@ class PosixMarkerStore(MarkerStore):
         if not os.path.isdir(prefix):
             return []
         return os.listdir(prefix)
+
+    def read(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
 
 
 #: module-level default so a deployment swaps the backend ONCE and
@@ -753,3 +766,125 @@ def sweep_generations(
         "kept_grace": kept_grace,
         "skipped_unretired": skipped_unretired,
     }
+
+
+def audit_generation(
+    spark, root: str, gen: int, store: MarkerStore | None = None
+) -> dict:
+    """Re-check a committed generation's DATA against its write-once
+    commit marker — the audit the content-addressable design exists
+    for: the marker recorded the identity-free content fingerprint
+    and the contract at publish time, so years later (or after a
+    storage migration, a restore from backup, a suspected bit-flip)
+    one scan proves the generation still carries exactly the content
+    it committed.
+
+    Returns ``{"generation", "retired", "dropped", "ok", ...}``:
+
+    * ``ok=True`` — every recorded field (window/token totals, the
+      content fingerprint when the marker carries one, format/
+      budget/vocab contract) matches a FRESH scan; ``fp_checked``
+      says whether the fingerprint comparison ran (markers predating
+      the fp field fall back to totals+contract).
+    * ``ok=False`` — ``mismatches`` maps each disagreeing field to
+      (recorded, actual).  A committed-but-unretired generation whose
+      data is unreadable also reports False (``problem`` explains) —
+      readers may be pinned to data that no longer exists.
+    * ``ok=None, dropped=True`` — a retired generation whose data was
+      reclaimed; nothing to audit, by design.
+
+    Cost: one content-fp scan + one manifest read per audited
+    generation — the same price publish paid, on demand."""
+    store = _store(store)
+    gen = int(gen)
+    marker = os.path.join(_catalog_dir(root), f"commit-{gen:08d}.json")
+    if not store.exists(marker):
+        raise ValueError(
+            f"audit_generation: gen {gen} of {root!r} was never "
+            f"published — only committed generations carry a marker "
+            f"to audit against"
+        )
+    doc = json.loads(store.read(marker))
+    path = generation_path(root, gen)
+    out: dict = {
+        "generation": gen,
+        "retired": is_retired(path, store),
+        "dropped": False,
+    }
+    from streaming_parquet_spark.operators.pipeline import (
+        _read_shard_contract,
+        shard_set_content_fp,
+    )
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        sidecar, contract = _read_shard_contract(
+            spark, path, "audit_generation"
+        )
+    except (ValueError, AnalysisException) as exc:
+        # ValueError: sidecar missing (data present or dir emptied by
+        # drop); AnalysisException: the path itself is gone (rm'd
+        # wholesale) — same question either way: was it retired?
+        if out["retired"]:
+            out.update({"dropped": True, "ok": None})
+            return out
+        out.update({
+            "ok": False,
+            "problem": (
+                f"data unreadable for a committed, UNRETIRED "
+                f"generation ({exc}) — pinned readers may still "
+                f"resolve it"
+            ),
+        })
+        return out
+    try:
+        fp = shard_set_content_fp(spark, path)
+    except AnalysisException as exc:
+        # sidecar readable but the data scan is not (e.g. every data
+        # file of a shard gone) — an incident whether retired or not:
+        # the sidecar promises content the storage no longer serves
+        out.update({
+            "ok": False,
+            "problem": f"content scan failed ({exc})",
+        })
+        return out
+    actual = {
+        "n_shards": sidecar.count(),
+        "n_windows": fp["n_windows"],
+        "n_tokens": fp["n_tokens"],
+        "content_fp_a": fp["fp_a"],
+        "content_fp_b": fp["fp_b"],
+        "format": contract["format"],
+        "budget": contract["budget"],
+        "vocab_size": contract["vocab_size"],
+        "vocab_fp_a": contract["vocab_fp_a"],
+        "vocab_fp_b": contract["vocab_fp_b"],
+    }
+    mismatches = {
+        k: [doc[k], v]
+        for k, v in actual.items()
+        if k in doc and doc[k] != v
+    }
+    out["fp_checked"] = "content_fp_a" in doc
+    out["ok"] = not mismatches
+    if mismatches:
+        out["mismatches"] = mismatches
+    return out
+
+
+def audit_catalog(
+    spark, root: str, store: MarkerStore | None = None
+) -> list[dict]:
+    """:func:`audit_generation` over every committed generation of
+    ``root``, oldest first — the periodic integrity sweep a
+    months-long factory schedules beside :func:`sweep_generations`.
+    Dropped generations report ``ok=None`` (nothing to audit); any
+    ``ok=False`` row is a storage-integrity incident, not a protocol
+    race — the markers are write-once and the data was verified at
+    publish."""
+    store = _store(store)
+    return [
+        audit_generation(spark, root, g, store)
+        for g in _committed(root, store)
+    ]

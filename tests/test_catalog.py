@@ -406,6 +406,9 @@ class _MemMarkerStore:
              for k in self.blobs if k.startswith(p)}
         )
 
+    def read(self, path):
+        return self.blobs[self._k(path)]
+
 
 def test_catalog_protocol_through_injected_store(spark, tmp_path, monkeypatch):
     """The swap protocol must run unchanged through an injected
@@ -465,6 +468,14 @@ def test_catalog_protocol_through_injected_store(spark, tmp_path, monkeypatch):
         read_token_shards(spark, p1)
     assert is_retired(p1)  # the marker outlives the drop
 
+    # the audit verbs read markers through the same seam: dropped gen1
+    # reports ok=None, the live current generation audits clean
+    from streaming_parquet_spark.operators.catalog import audit_catalog
+
+    audit = {a["generation"]: a for a in audit_catalog(spark, root)}
+    assert audit[g1]["dropped"] and audit[g1]["ok"] is None
+    assert audit[g3]["ok"] and audit[g3]["fp_checked"]
+
     # NOTHING on the marker plane hit the filesystem: no _catalog
     # directory, no _retired file, while data parquet is on disk
     assert not os.path.exists(os.path.join(root, "_catalog"))
@@ -489,6 +500,7 @@ def test_marker_plane_free_of_direct_os(monkeypatch):
         C.publish_generation, C.current_generation,
         C.read_current_shards, C.retire_generation, C.is_retired,
         C.promote_compaction, C.list_retired, C.sweep_generations,
+        C.read_mixture_current, C.audit_generation, C.audit_catalog,
     ]
     forbidden = (
         "os.listdir", "os.link", "os.makedirs", "os.fsync",
@@ -647,3 +659,75 @@ def test_read_mixture_current_pins_survive_promotion(spark, tmp_path):
     assert sorted(union) == sorted((s, i) for _k, s, i in rows)
     with pytest.raises(ValueError, match="together"):
         read_mixture_current(spark, roots, weights, rank=0)
+
+
+def test_audit_generation_detects_tamper_and_loss(spark, tmp_path):
+    """The audit the content-addressable markers exist for: a clean
+    generation audits ok (fingerprint checked against a FRESH scan),
+    losing a data file flips ok=False with the disagreeing fields
+    named, a dropped generation reports ok=None, and data vanishing
+    under a committed-but-UNRETIRED generation is an incident, not a
+    skip."""
+    import glob
+
+    from streaming_parquet_spark.operators.catalog import (
+        audit_catalog,
+        audit_generation,
+    )
+
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+    g1, p1 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 0, 10, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    append_token_shards(_wave(spark, 100, 8, "w1"), p1, vocab)
+    publish_generation(spark, root, g1, vocab_ids=vocab)
+    # two compact shards so the tamper below removes one file while
+    # the rest of the set stays scannable (total loss is the root2 leg)
+    g2, _ = promote_compaction(spark, root, n_shards=2, vocab_ids=vocab)
+
+    # clean catalog: both generations audit ok, fingerprints checked
+    rows = {a["generation"]: a for a in audit_catalog(spark, root)}
+    assert rows[g1]["ok"] and rows[g1]["retired"]
+    assert rows[g2]["ok"] and rows[g2]["fp_checked"]
+    with pytest.raises(ValueError, match="never published"):
+        audit_generation(spark, root, 99)
+
+    # tamper: remove one data file from the CURRENT generation — the
+    # fresh scan sees fewer windows, the recorded fp/totals disagree
+    victim = sorted(
+        glob.glob(os.path.join(generation_path(root, g2),
+                               "src=*", "*.parquet"))
+    )[0]
+    stash = str(tmp_path / "stash.parquet")
+    os.rename(victim, stash)
+    try:
+        bad = audit_generation(spark, root, g2)
+        assert bad["ok"] is False
+        assert "content_fp_a" in bad["mismatches"]
+        assert "n_windows" in bad["mismatches"]
+        rec, act = bad["mismatches"]["n_windows"]
+        assert act < rec
+    finally:
+        os.rename(stash, victim)
+    assert audit_generation(spark, root, g2)["ok"]
+
+    # dropped: nothing to audit, by design
+    drop_generation(root, g1)
+    gone = audit_generation(spark, root, g1)
+    assert gone["dropped"] and gone["ok"] is None
+
+    # a committed, UNRETIRED generation whose data vanished is an
+    # integrity incident: build one on a separate root
+    root2 = str(tmp_path / "cat2")
+    h1, q1 = next_generation(root2)
+    write_token_shards(
+        _wave(spark, 0, 6, "w0"), q1, vocab, budget=16, shard_col="src"
+    )
+    publish_generation(spark, root2, h1, vocab_ids=vocab)
+    import shutil
+
+    shutil.rmtree(q1)
+    incident = audit_generation(spark, root2, h1)
+    assert incident["ok"] is False and "UNRETIRED" in incident["problem"]
