@@ -447,6 +447,26 @@ def main() -> None:
             ingest["mixture_read_s"] = round(
                 time.perf_counter() - t0, 4
             )
+            # Rank slice of the same mixture (r12): one rank of 4 —
+            # the multi-node read shape; its extra cost over the full
+            # mixture is one more manifest collect per set plus the
+            # LPT arithmetic, all driver-side and manifest-sized.
+            from streaming_parquet_spark.operators.pipeline import (
+                read_mixture_rank,
+            )
+
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            part, _pc = read_mixture_rank(
+                spark,
+                {"s": out, "c": os.path.join(work, "compacted")},
+                {"s": 2, "c": 1}, rank=0, world_size=4,
+            )
+            ingest["mixture_rank_windows"] = float(part.count())
+            ingest["mixture_rank_read_s"] = round(
+                time.perf_counter() - t0, 4
+            )
         except Exception as exc:
             ingest["shards_error"] = str(exc)[:300]
         finally:
@@ -579,6 +599,30 @@ def main() -> None:
                 sf1_ratio["read_mixture_shards"] = round(
                     ingest["mixture10_read_s"]
                     / ingest["mixture_read_s"], 2
+                )
+            # 10x rank slice (r12): a rank reads ~1/4 of 10x the data
+            # through partition pruning; the assignment itself stays
+            # manifest-sized — the ratio pins both claims together
+            from streaming_parquet_spark.operators.pipeline import (
+                read_mixture_rank,
+            )
+
+            spark.catalog.clearCache()
+            release_materialized()
+            t0 = time.perf_counter()
+            part10, _pc10 = read_mixture_rank(
+                spark,
+                {"s": out10, "c": os.path.join(work10, "compacted")},
+                {"s": 2, "c": 1}, rank=0, world_size=4,
+            )
+            ingest["mixture10_rank_windows"] = float(part10.count())
+            ingest["mixture10_rank_read_s"] = round(
+                time.perf_counter() - t0, 4
+            )
+            if ingest.get("mixture_rank_read_s"):
+                sf1_ratio["read_mixture_rank"] = round(
+                    ingest["mixture10_rank_read_s"]
+                    / ingest["mixture_rank_read_s"], 2
                 )
         except Exception as exc:
             ingest["shards10_error"] = str(exc)[:300]

@@ -428,18 +428,68 @@ def read_current_shards(
     root: str,
     vocab_ids: DataFrame | None = None,
     store: MarkerStore | None = None,
+    gen: int | None = None,
+    rank: int | None = None,
+    world_size: int | None = None,
+    snapshot=None,
+    cursor: int = 0,
+    pos_col: str | None = None,
 ) -> tuple[DataFrame, dict, int]:
     """Resolve the current generation and read it as a token-shard
-    set: (windows, contract, generation).  For rank-sliced training
-    reads, resolve :func:`current_generation` yourself and hand its
-    path to ``read_rank_shards`` — every rank must pin the SAME
-    generation (pass the resolved gen around like a snapshot)."""
+    set: (windows, contract, generation) — the single-set analogue of
+    :func:`read_mixture_current`, with the same pinning discipline:
+
+    * ``gen``: pass a checkpoint's generation to resume instead of
+      resolving current — the pin must name a COMMITTED generation
+      (foreign/never-published refuses; swept data fails the sidecar
+      read, loudly).  The launcher resolves ONCE and hands the same
+      gen to every rank, so all ranks read an identical universe
+      even while a promotion lands mid-epoch.
+    * ``rank``/``world_size``: read one rank's LPT slice
+      (``read_rank_shards`` over the pinned generation);
+      ``snapshot``/``cursor``/``pos_col`` pass through with their
+      caveats (cursor is only valid under the same
+      (gen, world_size, snapshot) tuple — checkpoint them together).
+    """
     from streaming_parquet_spark.operators.pipeline import (
+        read_rank_shards,
         read_token_shards,
     )
 
-    gen, path = current_generation(root, store)
-    windows, contract = read_token_shards(spark, path, vocab_ids=vocab_ids)
+    store = _store(store)
+    if (rank is None) != (world_size is None):
+        raise ValueError(
+            "read_current_shards: pass rank and world_size together "
+            "(or neither)"
+        )
+    if rank is None and (
+        snapshot is not None or int(cursor) != 0 or pos_col is not None
+    ):
+        raise ValueError(
+            "read_current_shards: snapshot/cursor/pos_col are "
+            "rank-read parameters — pass rank and world_size"
+        )
+    if gen is None:
+        gen, path = current_generation(root, store)
+    else:
+        gen = int(gen)
+        if gen not in _committed(root, store):
+            raise ValueError(
+                f"read_current_shards: pin {gen} is not a committed "
+                f"generation of {root!r} — a checkpoint from a "
+                f"different catalog (or a never-published attempt) "
+                f"does not resume here"
+            )
+        path = generation_path(root, gen)
+    if rank is not None:
+        windows, contract = read_rank_shards(
+            spark, path, rank, world_size, vocab_ids=vocab_ids,
+            snapshot=snapshot, cursor=cursor, pos_col=pos_col,
+        )
+    else:
+        windows, contract = read_token_shards(
+            spark, path, vocab_ids=vocab_ids
+        )
     return windows, contract, gen
 
 

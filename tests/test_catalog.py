@@ -660,6 +660,28 @@ def test_read_mixture_current_pins_survive_promotion(spark, tmp_path):
     with pytest.raises(ValueError, match="together"):
         read_mixture_current(spark, roots, weights, rank=0)
 
+    # the single-set analogue carries the same pinning discipline:
+    # gen= pins across the promotion, rank= slices it, foreign pins
+    # and rank-only parameters refuse
+    pinned_ids = sorted(
+        tuple(r["ids"])
+        for r in read_current_shards(spark, root_a, vocab, gen=1)[0]
+        .select("ids").collect()
+    )
+    assert read_current_shards(spark, root_a)[2] == 2  # fresh = new gen
+    sliced = []
+    for r in range(3):
+        part, _c, g = read_current_shards(
+            spark, root_a, vocab, gen=1, rank=r, world_size=3
+        )
+        assert g == 1
+        sliced.extend(tuple(x["ids"]) for x in part.select("ids").collect())
+    assert sorted(sliced) == pinned_ids
+    with pytest.raises(ValueError, match="not a committed"):
+        read_current_shards(spark, root_a, gen=9)
+    with pytest.raises(ValueError, match="rank-read parameters"):
+        read_current_shards(spark, root_a, cursor=5)
+
 
 def test_audit_generation_detects_tamper_and_loss(spark, tmp_path):
     """The audit the content-addressable markers exist for: a clean
@@ -711,6 +733,28 @@ def test_audit_generation_detects_tamper_and_loss(spark, tmp_path):
         assert act < rec
     finally:
         os.rename(stash, victim)
+    assert audit_generation(spark, root, g2)["ok"]
+
+    # markers predating the content-fp field: audit falls back to
+    # totals+contract (fp_checked=False) and still catches a totals
+    # drift.  (Write-once applies to the protocol; the test edits the
+    # file to SIMULATE a pre-fp-era marker.)
+    mpath = os.path.join(root, "_catalog", f"commit-{g2:08d}.json")
+    with open(mpath) as f:
+        recorded = json.load(f)
+    legacy = {k: v for k, v in recorded.items()
+              if not k.startswith("content_fp_")}
+    with open(mpath, "w") as f:
+        json.dump(legacy, f)
+    aud = audit_generation(spark, root, g2)
+    assert aud["ok"] and aud["fp_checked"] is False
+    legacy["n_tokens"] = int(legacy["n_tokens"]) + 1
+    with open(mpath, "w") as f:
+        json.dump(legacy, f)
+    aud = audit_generation(spark, root, g2)
+    assert aud["ok"] is False and "n_tokens" in aud["mismatches"]
+    with open(mpath, "w") as f:
+        json.dump(recorded, f)
     assert audit_generation(spark, root, g2)["ok"]
 
     # dropped: nothing to audit, by design

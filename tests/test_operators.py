@@ -6845,6 +6845,17 @@ def test_read_mixture_rank_property(spark, tmp_path):
     make_set(paths["books"], 200, 3, "b", 1)
     all_keys = {n: shard_snapshot(spark, paths[n]) for n in paths}
 
+    # plan shape (once — it doesn't vary with the drawn parameters):
+    # the rank slice is the mixture's plan behind a key filter — no
+    # cartesian, no Python rows, one win-row_number Exchange per set
+    shaped, _ = read_mixture_rank(
+        spark, paths, {"web": 3, "code": 2, "books": 1}, 0, 2
+    )
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3  # one/set
+
     def stride_names(counts, weights):
         """The reference merge's set-name sequence in key order."""
         names = sorted(counts)
