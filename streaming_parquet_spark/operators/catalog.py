@@ -55,10 +55,11 @@ inside publish, which is the same one partition-discovered scan
 once per compaction or bulk load, never per read.
 
 The marker plane is a pluggable seam (:class:`MarkerStore`): the
-protocol performs exactly three storage primitives — atomic
+swap protocol performs exactly three storage primitives — atomic
 put-if-absent, exists, list — and never touches ``os`` directly for
-markers, so a backend implements those three and the whole swap
-protocol transfers unchanged.  :class:`PosixMarkerStore` (the
+markers; the audit verbs add a fourth, ``read``.  A backend
+implements those four and the whole catalog transfers unchanged
+(three suffice if a deployment never audits).  :class:`PosixMarkerStore` (the
 default) uses hardlink-from-temp, atomic and exclusive on POSIX
 filesystems; an object-store backend maps put-if-absent to a
 conditional PUT (if-none-match), the standard single-writer commit
@@ -96,11 +97,12 @@ RETIRED_MARKER = "_retired"
 
 
 class MarkerStore:
-    """The catalog's MARKER-plane storage seam: three primitives are
-    all the swap protocol needs, so implementing them for a backend
-    ports the whole protocol unchanged.  The DATA plane (shard
-    parquet + sidecar) never goes through this — Spark reads/writes
-    it via its own filesystem connectors.
+    """The catalog's MARKER-plane storage seam: the first three
+    primitives are all the swap protocol needs; ``read`` is required
+    only by the audit verbs — implement all four to port the whole
+    catalog to a backend.  The DATA plane (shard parquet + sidecar)
+    never goes through this — Spark reads/writes it via its own
+    filesystem connectors.
 
     * ``put_if_absent(path, text) -> bool`` — atomically create the
       marker with ``text`` iff nothing exists at ``path``; True on
@@ -159,6 +161,13 @@ class PosixMarkerStore(MarkerStore):
         fd, tmp = tempfile.mkstemp(
             prefix=os.path.basename(path) + ".tmp.", dir=parent
         )
+        # mkstemp creates 0600 and os.link propagates the mode — the
+        # old open(..., 'w') path honored the umask (typically 0644),
+        # and the audit verbs (possibly another uid) READ markers;
+        # restore umask-default permissions before linking
+        um = os.umask(0)
+        os.umask(um)
+        os.chmod(tmp, 0o666 & ~um)
         try:
             with os.fdopen(fd, "w") as f:
                 f.write(text)
@@ -277,6 +286,28 @@ def next_generation(
 def is_retired(path: str, store: MarkerStore | None = None) -> bool:
     """Whether a shard-set path carries the catalog's retire marker."""
     return _store(store).exists(os.path.join(path, RETIRED_MARKER))
+
+
+def _require_rank_pair(rank, world_size, caller: str) -> None:
+    # shared by the single-set and mixture catalog readers so the
+    # refusal semantics cannot drift between them
+    if (rank is None) != (world_size is None):
+        raise ValueError(
+            f"{caller}: pass rank and world_size together (or neither)"
+        )
+
+
+def _require_committed_pin(
+    root: str, gen, store: MarkerStore, caller: str
+) -> int:
+    gen = int(gen)
+    if gen not in _committed(root, store):
+        raise ValueError(
+            f"{caller}: pin {gen} is not a committed generation of "
+            f"{root!r} — a checkpoint from a different catalog (or a "
+            f"never-published attempt) does not resume here"
+        )
+    return gen
 
 
 def publish_generation(
@@ -457,11 +488,7 @@ def read_current_shards(
     )
 
     store = _store(store)
-    if (rank is None) != (world_size is None):
-        raise ValueError(
-            "read_current_shards: pass rank and world_size together "
-            "(or neither)"
-        )
+    _require_rank_pair(rank, world_size, "read_current_shards")
     if rank is None and (
         snapshot is not None or int(cursor) != 0 or pos_col is not None
     ):
@@ -472,14 +499,9 @@ def read_current_shards(
     if gen is None:
         gen, path = current_generation(root, store)
     else:
-        gen = int(gen)
-        if gen not in _committed(root, store):
-            raise ValueError(
-                f"read_current_shards: pin {gen} is not a committed "
-                f"generation of {root!r} — a checkpoint from a "
-                f"different catalog (or a never-published attempt) "
-                f"does not resume here"
-            )
+        gen = _require_committed_pin(
+            root, gen, store, "read_current_shards"
+        )
         path = generation_path(root, gen)
     if rank is not None:
         windows, contract = read_rank_shards(
@@ -692,11 +714,7 @@ def read_mixture_current(
         read_mixture_shards,
     )
 
-    if (rank is None) != (world_size is None):
-        raise ValueError(
-            "read_mixture_current: pass rank and world_size together "
-            "(or neither)"
-        )
+    _require_rank_pair(rank, world_size, "read_mixture_current")
 
     store = _store(store)
     names = sorted(roots)
@@ -711,14 +729,10 @@ def read_mixture_current(
                 f"same names (roots {names}, pins {sorted(pins)})"
             )
         for n in names:
-            if int(pins[n]) not in _committed(roots[n], store):
-                raise ValueError(
-                    f"read_mixture_current: pin {pins[n]} for set "
-                    f"{n!r} is not a committed generation of "
-                    f"{roots[n]!r} — a checkpoint from a different "
-                    f"catalog (or a never-published attempt) does "
-                    f"not resume here"
-                )
+            _require_committed_pin(
+                roots[n], pins[n], store,
+                f"read_mixture_current (set {n!r})",
+            )
     pins = {n: int(pins[n]) for n in names}
     sets = {n: generation_path(roots[n], pins[n]) for n in names}
     if rank is not None:
@@ -837,14 +851,22 @@ def audit_generation(
       says whether the fingerprint comparison ran (markers predating
       the fp field fall back to totals+contract).
     * ``ok=False`` — ``mismatches`` maps each disagreeing field to
-      (recorded, actual).  A committed-but-unretired generation whose
+      (recorded, actual): content loss, same-size corruption, or
+      contract drift.  A committed-but-unretired generation whose
       data is unreadable also reports False (``problem`` explains) —
       readers may be pinned to data that no longer exists.
+    * ``ok=None, grown=True`` — the generation grew past its
+      publish-time floor: producers may append until the retire
+      marker lands, the marker froze the set AS OF publish, and the
+      XOR fingerprint is not subset-checkable (nor can the marker
+      date the growth, so this applies to retired generations too).
+      The grown set's integrity tool is ``verify_token_shards``
+      (per-shard digests); a promotion pins a fresh fingerprint.
     * ``ok=None, dropped=True`` — a retired generation whose data was
       reclaimed; nothing to audit, by design.
 
-    Cost: one content-fp scan + one manifest read per audited
-    generation — the same price publish paid, on demand."""
+    Cost: one manifest collect + one content-fp scan per audited
+    generation — the same scan price publish paid, on demand."""
     store = _store(store)
     gen = int(gen)
     marker = os.path.join(_catalog_dir(root), f"commit-{gen:08d}.json")
@@ -862,14 +884,15 @@ def audit_generation(
         "dropped": False,
     }
     from streaming_parquet_spark.operators.pipeline import (
-        _read_shard_contract,
+        _sidecar_snapshot,
         shard_set_content_fp,
     )
 
     from pyspark.errors import AnalysisException
 
     try:
-        sidecar, contract = _read_shard_contract(
+        # ONE manifest collect carries shard count + contract
+        _sidecar, srows, contract = _sidecar_snapshot(
             spark, path, "audit_generation"
         )
     except (ValueError, AnalysisException) as exc:
@@ -889,7 +912,7 @@ def audit_generation(
         })
         return out
     try:
-        fp = shard_set_content_fp(spark, path)
+        fp = shard_set_content_fp(spark, path, contract=contract)
     except AnalysisException as exc:
         # sidecar readable but the data scan is not (e.g. every data
         # file of a shard gone) — an incident whether retired or not:
@@ -900,7 +923,7 @@ def audit_generation(
         })
         return out
     actual = {
-        "n_shards": sidecar.count(),
+        "n_shards": len(srows),
         "n_windows": fp["n_windows"],
         "n_tokens": fp["n_tokens"],
         "content_fp_a": fp["fp_a"],
@@ -917,8 +940,45 @@ def audit_generation(
         if k in doc and doc[k] != v
     }
     out["fp_checked"] = "content_fp_a" in doc
-    out["ok"] = not mismatches
-    if mismatches:
+    # The marker froze the set AS OF publish, and appending to a
+    # published generation is legal until its retire marker lands —
+    # so totals at-or-above the recorded floor mean GROWTH, not
+    # corruption, and the frozen fp is inconclusive by construction
+    # (XOR fps are not subset-checkable).  This holds for RETIRED
+    # generations too: the normal factory history is publish early,
+    # append waves, promote+retire later, and the marker cannot
+    # date-stamp when the growth happened — the per-shard sidecar
+    # digests (verify_token_shards) are the integrity tool for
+    # anything beyond the published floor.
+    total_keys = [
+        k for k in ("n_shards", "n_windows", "n_tokens") if k in doc
+    ]
+    grown = total_keys and all(
+        int(actual[k]) >= int(doc[k]) for k in total_keys
+    ) and any(int(actual[k]) > int(doc[k]) for k in total_keys)
+    contract_drift = any(
+        k in mismatches
+        for k in ("format", "budget", "vocab_size", "vocab_fp_a",
+                  "vocab_fp_b")
+    )
+    if not mismatches:
+        out["ok"] = True
+    elif grown and not contract_drift:
+        out.update({
+            "ok": None,
+            "grown": True,
+            "recorded_totals": {k: doc[k] for k in total_keys},
+            "actual_totals": {k: actual[k] for k in total_keys},
+            "note": (
+                "generation grew past its publish-time floor (legal "
+                "until retirement; the marker cannot date the "
+                "growth) — the frozen marker cannot attest the grown "
+                "content; verify_token_shards checks the set "
+                "per-shard, and a promotion pins a fresh fingerprint"
+            ),
+        })
+    else:
+        out["ok"] = False
         out["mismatches"] = mismatches
     return out
 
@@ -929,7 +989,8 @@ def audit_catalog(
     """:func:`audit_generation` over every committed generation of
     ``root``, oldest first — the periodic integrity sweep a
     months-long factory schedules beside :func:`sweep_generations`.
-    Dropped generations report ``ok=None`` (nothing to audit); any
+    Dropped and legally-grown generations report ``ok=None`` (see
+    audit_generation — nothing the frozen marker can attest); any
     ``ok=False`` row is a storage-integrity incident, not a protocol
     race — the markers are write-once and the data was verified at
     publish."""

@@ -2401,7 +2401,9 @@ def _mix_affine(epoch: int, name: str, total: int) -> tuple[int, int]:
     return a, c
 
 
-def shard_set_content_fp(spark, path: str, keys=None) -> dict:
+def shard_set_content_fp(
+    spark, path: str, keys=None, contract: dict | None = None
+) -> dict:
     """Identity-FREE content fingerprint of a token-shard set:
     {n_windows, n_tokens, fp_a, fp_b} over the MULTISET of window
     payloads (n_tokens|ids|doc_starts — shard/win identities
@@ -2422,12 +2424,15 @@ def shard_set_content_fp(spark, path: str, keys=None) -> dict:
     (16-byte rows, groups are payload-duplicates — almost always 1) —
     paid per catalog promotion, not per read.  ``keys`` optionally
     scopes the scan to a pinned shard-key set
-    (:func:`shard_snapshot` semantics)."""
+    (:func:`shard_snapshot` semantics); ``contract`` lets a caller
+    that already read the set's manifest (the audit verbs) skip the
+    second manifest round trip."""
     from streaming_parquet_spark.functions.portable import hex_word_expr
 
-    _, contract = _read_shard_contract(
-        spark, path, "shard_set_content_fp"
-    )
+    if contract is None:
+        _, contract = _read_shard_contract(
+            spark, path, "shard_set_content_fp"
+        )
     scanned = spark.read.parquet(path)
     if keys is not None:
         scanned = _pinned_key_filter(

@@ -757,6 +757,20 @@ def test_audit_generation_detects_tamper_and_loss(spark, tmp_path):
         json.dump(recorded, f)
     assert audit_generation(spark, root, g2)["ok"]
 
+    # a published UNRETIRED generation may legally receive appends
+    # (only retire blocks producers): the frozen marker cannot attest
+    # the grown set — audit reports ok=None + grown=True with both
+    # total sets, never a false storage incident
+    append_token_shards(
+        _wave(spark, 500, 4, "w9"), generation_path(root, g2), vocab
+    )
+    grown = audit_generation(spark, root, g2)
+    assert grown["ok"] is None and grown["grown"]
+    assert (
+        grown["actual_totals"]["n_windows"]
+        > grown["recorded_totals"]["n_windows"]
+    )
+
     # dropped: nothing to audit, by design
     drop_generation(root, g1)
     gone = audit_generation(spark, root, g1)
