@@ -323,6 +323,19 @@ def main():
     print(f"pinned mixture {pins}: 4 ranks read {n_ranks} windows "
           f"(each exactly once)")
 
+    # ------------------------------------------------ periodic audit
+    # the content-addressable close of the loop: every committed
+    # generation re-fingerprints against its write-once marker —
+    # ok=True (intact), ok=None (dropped, or legally grown past its
+    # publish-time floor), ok=False (a storage-integrity incident)
+    from streaming_parquet_spark.operators.catalog import audit_catalog
+
+    for r in audit_catalog(spark, root):
+        print(f"audit gen {r['generation']}: ok={r['ok']}"
+              + (" (dropped)" if r.get("dropped") else "")
+              + (" (grown)" if r.get("grown") else ""))
+        assert r["ok"] is not False
+
 
 if __name__ == "__main__":
     main()
