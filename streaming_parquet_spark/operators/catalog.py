@@ -150,24 +150,19 @@ class PosixMarkerStore(MarkerStore):
     same primitive the shard sidecar's write-once promise uses."""
 
     def put_if_absent(self, path: str, text: str) -> bool:
-        import tempfile
+        import uuid
 
         parent = os.path.dirname(path) or "."
         os.makedirs(parent, exist_ok=True)
-        # mkstemp, not a pid-derived name: two THREADS of one process
-        # racing the same marker would share a pid-suffixed tmp (one
-        # truncating the inode the other is about to link); a per-call
-        # unique tmp keeps the primitive atomic within a process too
-        fd, tmp = tempfile.mkstemp(
-            prefix=os.path.basename(path) + ".tmp.", dir=parent
-        )
-        # mkstemp creates 0600 and os.link propagates the mode — the
-        # old open(..., 'w') path honored the umask (typically 0644),
-        # and the audit verbs (possibly another uid) READ markers;
-        # restore umask-default permissions before linking
-        um = os.umask(0)
-        os.umask(um)
-        os.chmod(tmp, 0o666 & ~um)
+        # A per-call unique tmp name keeps the primitive atomic within
+        # one process too (a pid-derived name would let two THREADS
+        # racing the same marker truncate each other's inode), and
+        # os.open with an explicit mode lets the KERNEL apply the
+        # umask atomically — markers stay umask-default-readable (the
+        # audit verbs, possibly another uid, read them) without the
+        # process-global os.umask() probe, which is not thread-safe.
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o666)
         try:
             with os.fdopen(fd, "w") as f:
                 f.write(text)
@@ -848,8 +843,10 @@ def audit_generation(
     * ``ok=True`` — every recorded field (window/token totals, the
       content fingerprint when the marker carries one, format/
       budget/vocab contract) matches a FRESH scan; ``fp_checked``
-      says whether the fingerprint comparison ran (markers predating
-      the fp field fall back to totals+contract).
+      says whether the fingerprint was actually ATTESTED (False on
+      markers predating the fp field — totals+contract fallback —
+      and on the grown path below, where the comparison ran but
+      proved nothing).
     * ``ok=False`` — ``mismatches`` maps each disagreeing field to
       (recorded, actual): content loss, same-size corruption, or
       contract drift.  A committed-but-unretired generation whose
@@ -967,6 +964,11 @@ def audit_generation(
         out.update({
             "ok": None,
             "grown": True,
+            # the fp comparison RAN but attested nothing (the frozen
+            # fp is inconclusive over a grown set) — report it
+            # un-checked so monitoring never records this generation
+            # as fingerprint-verified
+            "fp_checked": False,
             "recorded_totals": {k: doc[k] for k in total_keys},
             "actual_totals": {k: actual[k] for k in total_keys},
             "note": (

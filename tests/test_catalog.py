@@ -789,3 +789,41 @@ def test_audit_generation_detects_tamper_and_loss(spark, tmp_path):
     shutil.rmtree(q1)
     incident = audit_generation(spark, root2, h1)
     assert incident["ok"] is False and "UNRETIRED" in incident["problem"]
+
+
+def test_put_if_absent_thread_safe_and_umask_perms(tmp_path):
+    """The POSIX put-if-absent primitive under an in-process race:
+    16 threads hammering ONE marker path get exactly one winner, no
+    crash (a pid-derived tmp name would truncate a sibling's inode
+    and die with ENOENT), no tmp debris, and the winning marker keeps
+    umask-default permissions (the audit verbs — possibly another
+    uid — read markers; mkstemp's 0600 would have broken them)."""
+    import stat
+    import threading
+
+    from streaming_parquet_spark.operators.catalog import (
+        PosixMarkerStore,
+    )
+
+    store = PosixMarkerStore()
+    target = str(tmp_path / "m")
+    results, errors = [], []
+
+    def race(i):
+        try:
+            results.append(store.put_if_absent(target, f"x{i}"))
+        except Exception as exc:  # noqa: BLE001 - the test's subject
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=race, args=(i,)) for i in range(16)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sum(results) == 1 and len(results) == 16
+    mode = stat.S_IMODE(os.stat(target).st_mode)
+    assert mode & 0o044, oct(mode)  # group/other readable
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
