@@ -1154,7 +1154,27 @@ def _conversion_bench(
         pq_dir = os.path.join(work, "pq_src")
         parquet_bytes = _replicate([src_parquet], pq_dir, 64, ".parquet")
 
+        def _io_w_once() -> float:
+            """One-pass write probe (cheaper than _host_io_mb_s's
+            median-of-3) sampled immediately before each leg, so a
+            degraded leg carries its own window's yardstick instead of
+            inheriting the sweep-start one (r12's pq->pq verdict item:
+            the leg ran minutes after io_pre was sampled)."""
+            chunk = b"\xa5" * (16 << 20)
+            fd, path = tempfile.mkstemp(prefix="maw_ioprobe_", dir=work)
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    t0 = time.perf_counter()
+                    for _i in range(16):
+                        f.write(chunk)
+                    f.flush()
+                    os.fsync(f.fileno())
+                    return round(256 / (time.perf_counter() - t0), 1)
+            finally:
+                os.unlink(path)
+
         def timed(name: str, spec: RunSpec, in_bytes: int) -> None:
+            io_w_pre = _io_w_once()
             # Two warmup runs (the parquet write path's C2 compilation
             # ramps over the first ~3 executions — measured 16s -> 10s ->
             # 5s -> 3.3s on a cold JVM), then best-of-6 measured runs —
@@ -1177,6 +1197,7 @@ def _conversion_bench(
                 "best": max(samples),
                 "median": round(statistics.median(samples), 2),
                 "mb_s_samples": samples,
+                "io_w_pre": io_w_pre,
             }
 
         timed(
@@ -1217,6 +1238,7 @@ def _conversion_bench(
         except Exception:
             pass
         seng = StreamEngine(spark)
+        stream_io_w_pre = _io_w_once()
         s_samples = []
         # PINNED protocol (VERDICT r6 item 5: builder-run 78.5% vs
         # driver-run 94.4% of batch was noise-dominated): a LITERAL
@@ -1244,8 +1266,26 @@ def _conversion_bench(
             "best": max(s_samples),
             "median": round(statistics.median(s_samples), 2),
             "mb_s_samples": s_samples,
+            "io_w_pre": stream_io_w_pre,
         }
 
+        # Same pre-leg hygiene the streaming leg gets (drop the prior
+        # legs' outputs, force a full GC): the pq->pq leg runs LAST,
+        # after 7 streaming runs churned ~5 GB of tmpfs and their jobs'
+        # old-gen garbage — r11/r12 measured that ordering tax on this
+        # leg without the cleanup. The leg itself now takes the
+        # columnar passthrough (engine gates the transform-free pq->pq
+        # onto an Arrow whole-file transcode; the r12 root-cause was
+        # Spark's row-oriented writer at ~7 MB/s/core vs ~34 for the
+        # Arrow encoder — sinks/writers.py:transcode_parquet).
+        for i in range(7):
+            shutil.rmtree(os.path.join(work, f"so_{i}.parquet"),
+                          ignore_errors=True)
+            shutil.rmtree(os.path.join(work, f"sck_{i}"), ignore_errors=True)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         timed(
             "parquet_to_parquet",
             RunSpec(inputs=[pq_dir], out=os.path.join(work, "o3.parquet"),

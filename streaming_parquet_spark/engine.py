@@ -31,11 +31,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from streaming_parquet_spark.plans.align import concat_aligned
+from streaming_parquet_spark.plans.align import _effective_columns, concat_aligned
 from streaming_parquet_spark.plans.unify import UnifiedSchema, unify_schemas
 from streaming_parquet_spark.runspec import RunSpec
 from streaming_parquet_spark.sinks.writers import (
     SinkResult,
+    transcode_parquet,
     write_csv,
     write_jsonl,
     write_orc,
@@ -119,7 +120,16 @@ class Engine:
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            return from_arrow_schema(pq.read_schema(path))
+            # prefer_timestamp_ntz: a tz-less parquet timestamp IS the
+            # unified DATETIME (TimestampNTZ — typesys maps every
+            # datetime kind there), so probing it as NTZ lets the
+            # passthrough gate see the no-cast copy it really is;
+            # tz-adjusted columns still probe as TimestampType and take
+            # the casting plan. Unification is unaffected: both types
+            # fold into the same DATETIME kind.
+            return from_arrow_schema(
+                pq.read_schema(path), prefer_timestamp_ntz=True
+            )
         except Exception:
             return self.spark.read.parquet(path).schema
 
@@ -263,7 +273,8 @@ class Engine:
         )
 
     def dataframe(
-        self, spec: RunSpec, files: list[InputFile] | None = None
+        self, spec: RunSpec, files: list[InputFile] | None = None,
+        schemas: list[T.StructType] | None = None,
     ) -> tuple[DataFrame, UnifiedSchema, list[InputFile]]:
         """Build the aligned UNION ALL DataFrame for a spec (lazy)."""
         files = files if files is not None else self.discover(spec)
@@ -271,7 +282,8 @@ class Engine:
             raise ValueError("no input files discovered")
 
         self._tune_split_size(files)
-        schemas = self.probe_schemas(files, spec)
+        if schemas is None:
+            schemas = self.probe_schemas(files, spec)
         unified = unify_schemas(
             schemas, rename=spec.rename, stringify_conflicts=spec.stringify_conflicts
         )
@@ -359,7 +371,36 @@ class Engine:
         if not spec.out:
             raise ValueError("RunSpec.out is required for run()")
         t0 = time.time()
-        df, _unified, files = self.dataframe(spec)
+        files = self.discover(spec)
+        if not files:
+            raise ValueError("no input files discovered")
+        schemas = self.probe_schemas(files, spec)
+
+        passthrough_cols = self._passthrough_columns(spec, files, schemas)
+        if passthrough_cols is not None:
+            sink = transcode_parquet(
+                self.spark,
+                [(f.path, f.size) for f in files],
+                spec.out,
+                passthrough_cols,
+                compression=spec.compression,
+                zstd_level=spec.zstd_level,
+                max_records_per_file=self._rolling_records(spec, files),
+            )
+            rows = self._parquet_rows(sink.paths)
+            verified = None
+            if spec.verify:
+                verified = self._verify(spec, sink, rows)
+            return RunResult(
+                rows=rows,
+                input_files=len(files),
+                input_bytes=sum(f.size for f in files),
+                output=sink,
+                seconds=time.time() - t0,
+                verified=verified,
+            )
+
+        df, _unified, files = self.dataframe(spec, files=files, schemas=schemas)
 
         max_records = self._rolling_records(spec, files)
         fmt = spec.resolve_out_format()
@@ -460,6 +501,52 @@ class Engine:
         )
 
     # ---- helpers ------------------------------------------------------
+
+    def _passthrough_columns(
+        self,
+        spec: RunSpec,
+        files: list[InputFile],
+        schemas: list[T.StructType],
+    ) -> list[str] | None:
+        """Gate for the columnar passthrough sink (transcode_parquet):
+        returns the sink's column order when the run is a pure parquet
+        transcode — every row leaves exactly as it arrived, so the sink
+        may copy column chunks through Arrow instead of row-pivoting
+        the data through Spark's writer — or None to take the Catalyst
+        plan. The conditions mirror align_dataframe's no-op case: any
+        rename, implied cast, null-fill, widening, or non-parquet side
+        disqualifies, as do single-file mode (coalesce semantics),
+        partitioned output, and content verify (whose checksum must
+        observe the write pass)."""
+        if spec.resolve_out_format() != "parquet":
+            return None
+        if spec.single_file or spec.partition_by:
+            return None
+        if spec.verify and spec.verify_mode == "content":
+            return None
+        if spec.rename:
+            return None
+        if spec.compression.lower() not in ("none", "snappy", "gzip", "zstd"):
+            return None  # let the Spark sink raise its codec error
+        if any(f.format is not InputFormat.PARQUET for f in files):
+            return None
+        unified = unify_schemas(
+            schemas, rename=spec.rename,
+            stringify_conflicts=spec.stringify_conflicts,
+        )
+        cols = _effective_columns(unified, spec.columns, spec.exclude)
+        if not cols:
+            return None
+        distinct = {s.json(): s for s in schemas}
+        for schema in distinct.values():
+            by_name = {fld.name: fld.dataType for fld in schema.fields}
+            for name in cols:
+                target = unified.type_mapping[name].to_spark_type()
+                if isinstance(target, T.NullType):
+                    return None  # align materializes these as string
+                if by_name.get(name) != target:
+                    return None  # missing column or implied cast
+        return cols
 
     @staticmethod
     def _parquet_rows(paths: list[str]) -> int:

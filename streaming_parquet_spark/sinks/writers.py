@@ -32,6 +32,10 @@ class SinkResult:
     paths: list[str]
     bytes_written: int
     files_written: int
+    # Which write path produced the output: "spark" (the Catalyst plan
+    # through Spark's row-oriented writer) or "columnar-passthrough"
+    # (whole-file Arrow transcode inside tasks; see transcode_parquet).
+    via: str = "spark"
 
 
 _PARQUET_CODECS = {
@@ -271,6 +275,174 @@ def write_parquet(
     if single_file and max_records_per_file is None:
         return _finalize_single_file(tmp, out_path, ".parquet")
     return _finalize_rolling(tmp, out_path, ".parquet")
+
+
+# Spark codec name (values of _PARQUET_CODECS) -> pyarrow codec name.
+_ARROW_CODECS = {"none": "NONE", "snappy": "SNAPPY", "gzip": "GZIP",
+                 "zstd": "ZSTD"}
+
+
+def _transcode_bin(
+    bin_index: int,
+    paths: list[str],
+    tmp_dir: str,
+    codec: str,
+    zstd_level: int,
+    columns: list[str],
+    max_records: int | None,
+    row_group_mb: int,
+) -> tuple[int, int, int]:
+    """Executor-side body of the columnar passthrough: transcode one
+    bin of parquet files row-group-at-a-time through pyarrow's C++
+    encoder. Never materializes more than one decoded row group;
+    preserves the input's row grouping (the reference's pq->pq is the
+    same arrow-level copy, writer_parquet.rs:42-101). Returns
+    (files_written, rows, bytes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_codec = _ARROW_CODECS[codec]
+    level = zstd_level if arrow_codec == "ZSTD" else None
+
+    writer: pq.ParquetWriter | None = None
+    out_schema: pa.Schema | None = None
+    seq = rows_in_file = files = total_rows = total_bytes = 0
+    open_path: str | None = None
+
+    def _open() -> None:
+        nonlocal writer, seq, rows_in_file, open_path
+        open_path = os.path.join(
+            tmp_dir, f"part-{bin_index:05d}-{seq:04d}.parquet"
+        )
+        writer = pq.ParquetWriter(
+            open_path, out_schema, compression=arrow_codec,
+            compression_level=level,
+        )
+        seq += 1
+        rows_in_file = 0
+
+    def _close() -> None:
+        nonlocal writer, files, total_bytes
+        if writer is not None:
+            writer.close()
+            writer = None
+            files += 1
+            total_bytes += os.path.getsize(open_path)
+
+    for path in paths:
+        pf = pq.ParquetFile(path)
+        if out_schema is None:
+            # All files passed the identical-schema gate; normalize to
+            # the sink's column order and all-nullable fields (Spark's
+            # writer emits every field optional) and drop source-side
+            # metadata (pandas index blobs etc.) the Spark path would
+            # not carry through.
+            src = pf.schema_arrow
+            out_schema = pa.schema(
+                [src.field(name).with_nullable(True) for name in columns]
+            )
+        for rg in range(pf.metadata.num_row_groups):
+            tbl = pf.read_row_group(rg, columns=columns)
+            tbl = tbl.select(columns).cast(out_schema)
+            total_rows += tbl.num_rows
+            offset = 0
+            while offset < tbl.num_rows:
+                if writer is None:
+                    _open()
+                take = tbl.num_rows - offset
+                if max_records:
+                    room = max_records - rows_in_file
+                    if room <= 0:
+                        _close()
+                        _open()
+                        room = max_records
+                    take = min(take, room)
+                chunk = tbl.slice(offset, take)
+                writer.write_table(chunk, row_group_size=chunk.num_rows)
+                rows_in_file += take
+                offset += take
+            # Row-group parity with the Spark writer's 128 MB
+            # parquet.block.size target (row_group_mb): the transcode
+            # emits one output group per input group, so output groups
+            # inherit the input writer's own block-size bound — a
+            # same-codec copy keeps the reference's grouping the way
+            # its arrow2 path does (writer_parquet.rs:35).
+    _close()
+    return files, total_rows, total_bytes
+
+
+def transcode_parquet(
+    spark,
+    files: list[tuple[str, int]],
+    out_path: str,
+    columns: list[str],
+    compression: str = "none",
+    zstd_level: int = 3,
+    max_records_per_file: int | None = None,
+    row_group_mb: int = 128,
+) -> SinkResult:
+    """Columnar passthrough parquet sink: distribute whole input files
+    to tasks (LPT-packed by size) and transcode each with pyarrow —
+    decode column chunks, re-encode with the target codec — without
+    row-pivoting 10^7s of rows through Spark's row-oriented writer.
+
+    Why this exists: profiled on the conversion bench, Spark's
+    InternalRow parquet write path runs ~5x slower per core than the
+    Arrow C++ encoder (measured ~7 vs ~34 MB/s/core on the bench VM),
+    and pq->pq with an identical schema is a pure transcode — the same
+    operation the reference performs natively (arrow2 read -> write,
+    writer_parquet.rs:42-101). The engine gates this path strictly
+    (Engine._passthrough_columns): any rename, cast, widening, filter,
+    content-verify, or non-parquet side falls back to the Catalyst
+    plan.
+
+    Scale shape: the unit of work is a FILE, tasks carry only path
+    strings (the data plane never crosses the driver or Python/JVM
+    row boundary — pyarrow reads and writes inside the task), and bin
+    count tracks cluster parallelism, so a million-file corpus is
+    ~4x-cores bins of path lists. This is the documented
+    mapPartitions-as-last-resort case: a vectorized file transcode is
+    not expressible through Spark's row-based writer."""
+    sc = spark.sparkContext
+    par = sc.defaultParallelism or 1
+    n_bins = max(1, min(len(files), 4 * par))
+    # LPT: largest file first onto the least-loaded bin.
+    bins: list[list[str]] = [[] for _ in range(n_bins)]
+    loads = [0] * n_bins
+    for path, size in sorted(files, key=lambda fs: -fs[1]):
+        b = loads.index(min(loads))
+        bins[b].append(path)
+        loads[b] += size
+    bins = [b for b in bins if b]
+
+    tmp = _tmp_out_dir(out_path)
+    tasks = list(enumerate(bins))
+
+    def _run(task: tuple[int, list[str]]) -> tuple[int, int, int]:
+        return _transcode_bin(
+            task[0], task[1], tmp, compression, zstd_level, columns,
+            max_records_per_file, row_group_mb,
+        )
+
+    results = sc.parallelize(tasks, len(tasks)).map(_run).collect()
+    if not any(r[0] for r in results):
+        # Every input was empty: keep the sink contract (>=1 readable
+        # output file carrying the schema) the Spark writer provides.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        first = pq.ParquetFile(files[0][0]).schema_arrow
+        schema = pa.schema(
+            [first.field(name).with_nullable(True) for name in columns]
+        )
+        pq.write_table(
+            schema.empty_table(),
+            os.path.join(tmp, "part-00000-0000.parquet"),
+            compression=_ARROW_CODECS[compression],
+        )
+    sink = _finalize_rolling(tmp, out_path, ".parquet")
+    sink.via = "columnar-passthrough"
+    return sink
 
 
 _ORC_CODECS = {
