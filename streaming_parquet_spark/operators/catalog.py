@@ -228,7 +228,10 @@ def _existing_dirs(root: str, store: MarkerStore | None = None) -> list[int]:
     # marker plane: there, every in-protocol generation is covered by
     # its claim marker, but data imported by hand must be brought in
     # through next_generation/publish (or given a claim marker) or
-    # allocation cannot see it.
+    # allocation cannot see it.  Conservative by construction: a stray
+    # REGULAR FILE named gen-NNNNNNNN permanently burns that number
+    # (allocation skips it, nothing reclaims it) — name squatting
+    # wastes a slot but can never collide two writers (ADVICE r12).
     store = _store(store)
     out = []
     for name in store.list(root):
@@ -385,6 +388,18 @@ def publish_generation(
         # totals — the cheap, manifest-sized tripwire that catches a
         # fingerprint minted over a different (or since-grown) set,
         # checked BEFORE the full verify scan is paid.
+        missing = [
+            k for k in ("fp_a", "fp_b", "n_windows", "n_tokens")
+            if k not in content_fp
+        ]
+        if missing:
+            raise ValueError(
+                f"publish_generation: content_fp is missing "
+                f"{missing} — pass the full dict "
+                f"shard_set_content_fp returns (fp_a, fp_b, "
+                f"n_windows, n_tokens), or omit content_fp to have "
+                f"publish recompute it"
+            )
         for fp_key, tot_key in (
             ("n_windows", "sum(n_windows)"),
             ("n_tokens", "sum(n_tokens)"),
@@ -893,20 +908,34 @@ def audit_generation(
             spark, path, "audit_generation"
         )
     except (ValueError, AnalysisException) as exc:
-        # ValueError: sidecar missing (data present or dir emptied by
-        # drop); AnalysisException: the path itself is gone (rm'd
-        # wholesale) — same question either way: was it retired?
-        if out["retired"]:
+        # Distinguish RECLAIMED data (generation dir / sidecar gone —
+        # the retention sweep's legal end state) from a PRESENT but
+        # unreadable sidecar (truncated write, mixed contract rows, a
+        # foreign format version — _sidecar_snapshot raises ValueError
+        # for all of them). Only absence is a benign drop; a readable
+        # directory with a broken sidecar is an integrity incident
+        # even on a retired generation — retirement starts a read-
+        # grace window in which pinned readers still resolve this
+        # data, so "retired" cannot launder corruption into ok=None
+        # (ADVICE r12). The absence probe matches the POSIX data
+        # plane drop_generation reclaims through.
+        absent = not os.path.isdir(os.path.join(path, "_manifest"))
+        if out["retired"] and absent:
             out.update({"dropped": True, "ok": None})
             return out
-        out.update({
-            "ok": False,
-            "problem": (
+        if absent:
+            problem = (
                 f"data unreadable for a committed, UNRETIRED "
                 f"generation ({exc}) — pinned readers may still "
                 f"resolve it"
-            ),
-        })
+            )
+        else:
+            problem = (
+                f"manifest sidecar present but unreadable ({exc}) — "
+                f"corruption or a truncated write, not a retention "
+                f"drop"
+            )
+        out.update({"ok": False, "problem": problem})
         return out
     try:
         fp = shard_set_content_fp(spark, path, contract=contract)

@@ -2552,7 +2552,16 @@ def resume_epoch_order(
     (out_col, shard, win)``) — so the cursor's shard value must be
     the raw value the trainer read, in the column's own type.  A
     string-typed comparison here would silently diverge for numeric
-    shard columns ('10' < '9' as strings) at a shard-boundary cut."""
+    shard columns ('10' < '9' as strings) at a shard-boundary cut.
+
+    Cursor-format note: before r12 this tiebreak compared string
+    CASTS, so a checkpoint whose shard value was stored as the cast
+    string over a NUMERIC shard column predates the contract above —
+    resuming such a cursor through this code can skip/repeat at a
+    shard-boundary cut. The one-tuple checkpoint rule covers the fix
+    (re-checkpoint under the current reader), but the shard value's
+    TYPE is now part of the cursor contract: string shard columns
+    (the shipped writers' layout) are unaffected either way."""
     k, s, w = cursor
     kc = F.col(out_col)
     sc = F.col(shard_col)

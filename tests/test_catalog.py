@@ -791,6 +791,66 @@ def test_audit_generation_detects_tamper_and_loss(spark, tmp_path):
     assert incident["ok"] is False and "UNRETIRED" in incident["problem"]
 
 
+def test_audit_retired_with_corrupt_sidecar_is_incident(spark, tmp_path):
+    """A RETIRED-but-unswept generation sits in a read-grace window —
+    pinned readers still resolve it — so a truncated/corrupted sidecar
+    there is a storage incident (ok=False + problem), NOT a benign
+    drop. Only ABSENT data (the retention sweep's end state) reports
+    dropped (ADVICE r12: any ValueError used to be classed dropped)."""
+    import shutil
+
+    from streaming_parquet_spark.operators.catalog import audit_generation
+
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+    g1, p1 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 0, 8, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    publish_generation(spark, root, g1, vocab_ids=vocab)
+    promote_compaction(spark, root, n_shards=1, vocab_ids=vocab)
+    assert audit_generation(spark, root, g1)["retired"]
+
+    # truncate the sidecar: directory present, manifest unreadable
+    mdir = os.path.join(p1, "_manifest")
+    stash = str(tmp_path / "manifest_stash")
+    shutil.move(mdir, stash)
+    os.makedirs(mdir)
+    try:
+        aud = audit_generation(spark, root, g1)
+        assert aud["ok"] is False
+        assert aud["dropped"] is False
+        assert "sidecar present but unreadable" in aud["problem"]
+    finally:
+        shutil.rmtree(mdir)
+        shutil.move(stash, mdir)
+    # intact again: retired generations audit clean
+    assert audit_generation(spark, root, g1)["ok"]
+    # reclaimed through the protocol verb (which preserves the
+    # _retired marker): the benign drop it always was
+    drop_generation(root, g1)
+    gone = audit_generation(spark, root, g1)
+    assert gone["dropped"] and gone["ok"] is None
+
+
+def test_publish_rejects_partial_content_fp(spark, tmp_path):
+    """A caller-supplied content_fp missing its totals refuses with
+    the explanatory error, not a KeyError (ADVICE r12)."""
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+    g1, p1 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 0, 6, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    with pytest.raises(ValueError, match="missing.*n_windows"):
+        publish_generation(
+            spark, root, g1, vocab_ids=vocab,
+            content_fp={"fp_a": 1, "fp_b": 2},
+        )
+    # the refusal left no marker: a full publish still works
+    publish_generation(spark, root, g1, vocab_ids=vocab)
+
+
 def test_put_if_absent_thread_safe_and_umask_perms(tmp_path):
     """The POSIX put-if-absent primitive under an in-process race:
     16 threads hammering ONE marker path get exactly one winner, no
