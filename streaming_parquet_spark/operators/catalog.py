@@ -189,6 +189,139 @@ class PosixMarkerStore(MarkerStore):
             return f.read()
 
 
+class ObjectMarkerStore(MarkerStore):
+    """Object-store backend: maps the four marker primitives onto the
+    conditional-PUT flat-key API every major object store ships
+    (S3 ``PutObject`` + ``If-None-Match: *``, GCS
+    ``x-goog-if-generation-match: 0``, ABFS ``If-None-Match: *``).
+    The store owns key normalization and directory emulation (child
+    names out of a flat key listing); the injected ``client`` is dumb
+    storage with four calls:
+
+    * ``put_if_absent(key, text) -> bool`` — conditional PUT; False
+      when the key already exists (the 412 path), never overwrite.
+    * ``exists(key) -> bool`` — HEAD.
+    * ``list_keys(prefix) -> list[str]`` — every key under ``prefix``
+      (flat, any depth). Marker listings are O(generations).
+    * ``get(key) -> str`` — GET.
+
+    :class:`S3ObjectClient` adapts a boto3 S3 client to this shape;
+    :class:`InMemoryObjectClient` is the in-process implementation the
+    contract tests run (genuine conditional-PUT semantics under a
+    lock). Paths arriving from the catalog are POSIX-joined strings;
+    ``_key`` strips leading slashes so absolute tmp paths become
+    legal object keys."""
+
+    def __init__(self, client, prefix: str = ""):
+        self.client = client
+        self.prefix = prefix.strip("/")
+
+    def _key(self, path: str) -> str:
+        key = os.path.normpath(path).replace(os.sep, "/").lstrip("/")
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    def put_if_absent(self, path: str, text: str) -> bool:
+        return bool(self.client.put_if_absent(self._key(path), text))
+
+    def exists(self, path: str) -> bool:
+        return bool(self.client.exists(self._key(path)))
+
+    def list(self, prefix: str) -> list[str]:
+        p = self._key(prefix) + "/"
+        return sorted(
+            {
+                k[len(p):].split("/", 1)[0]
+                for k in self.client.list_keys(p)
+                if k.startswith(p) and len(k) > len(p)
+            }
+        )
+
+    def read(self, path: str) -> str:
+        return self.client.get(self._key(path))
+
+
+class S3ObjectClient:
+    """Adapt a boto3 S3 client to :class:`ObjectMarkerStore`'s client
+    shape. Construction takes the ALREADY-BUILT boto3 client (this
+    module never imports boto3 — the dependency stays with the
+    deployment): ``ObjectMarkerStore(S3ObjectClient(boto3.client("s3"),
+    "my-bucket"))``. ``put_if_absent`` is S3's native conditional PUT
+    (``IfNoneMatch="*"`` — GA on S3 since 2024 and on every
+    S3-compatible store that matters); 412 PreconditionFailed /
+    ConditionalRequestConflict mean LOST, anything else re-raises."""
+
+    def __init__(self, boto3_s3_client, bucket: str):
+        self.c = boto3_s3_client
+        self.bucket = bucket
+
+    def put_if_absent(self, key: str, text: str) -> bool:
+        try:
+            self.c.put_object(
+                Bucket=self.bucket, Key=key, Body=text.encode(),
+                IfNoneMatch="*",
+            )
+            return True
+        except Exception as exc:  # botocore ClientError, not imported
+            resp = getattr(exc, "response", None) or {}
+            code = (resp.get("Error") or {}).get("Code")
+            if code in ("PreconditionFailed",
+                        "ConditionalRequestConflict"):
+                return False
+            raise
+
+    def exists(self, key: str) -> bool:
+        try:
+            self.c.head_object(Bucket=self.bucket, Key=key)
+            return True
+        except Exception as exc:
+            resp = getattr(exc, "response", None) or {}
+            code = (resp.get("Error") or {}).get("Code")
+            if code in ("404", "NoSuchKey", "NotFound"):
+                return False
+            raise
+
+    def list_keys(self, prefix: str) -> list[str]:
+        out = []
+        paginator = self.c.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=self.bucket,
+                                       Prefix=prefix):
+            out += [o["Key"] for o in page.get("Contents", [])]
+        return out
+
+    def get(self, key: str) -> str:
+        obj = self.c.get_object(Bucket=self.bucket, Key=key)
+        return obj["Body"].read().decode()
+
+
+class InMemoryObjectClient:
+    """The compliant in-process fake the contract tests inject: a flat
+    key->text dict with GENUINE conditional-PUT semantics (atomic and
+    exclusive under a lock — two racing put_if_absent calls get
+    exactly one True), read-after-write visibility, no directories."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.blobs: dict[str, str] = {}
+
+    def put_if_absent(self, key: str, text: str) -> bool:
+        with self._lock:
+            if key in self.blobs:
+                return False
+            self.blobs[key] = text
+            return True
+
+    def exists(self, key: str) -> bool:
+        return key in self.blobs
+
+    def list_keys(self, prefix: str) -> list[str]:
+        return [k for k in self.blobs if k.startswith(prefix)]
+
+    def get(self, key: str) -> str:
+        return self.blobs[key]
+
+
 #: module-level default so a deployment swaps the backend ONCE and
 #: every probe — including the producers' retire checks — follows
 DEFAULT_STORE = PosixMarkerStore()
@@ -564,7 +697,8 @@ def retire_generation(
 
 
 def drop_generation(
-    root: str, gen: int, store: MarkerStore | None = None
+    root: str, gen: int, store: MarkerStore | None = None,
+    delete_prefix=None,
 ) -> None:
     """Delete a RETIRED generation's data (the reclaim step after the
     read-grace window).  Refuses the current generation and any
@@ -575,10 +709,13 @@ def drop_generation(
     keeps the generation number from ever being reused.
 
     The GUARDS run through the marker store; the deletion itself is
-    data-plane (the shard parquet Spark wrote) and uses the local
-    filesystem API — on an object store, reclaim the prefix with the
-    store's own bulk-delete/lifecycle tooling after the same guards.
-    Idempotent: dropping an already-emptied generation is a no-op."""
+    data-plane.  ``delete_prefix`` injects it: a callable taking the
+    generation path that reclaims everything under it — the seam for
+    an object store's bulk delete (delete-by-prefix / lifecycle
+    tooling), where the retire marker lives in the marker plane and
+    needs no carve-out.  The POSIX default deletes the directory's
+    children EXCEPT the in-tree ``_retired`` marker.  Idempotent:
+    dropping an already-emptied generation is a no-op."""
     import shutil
 
     store = _store(store)
@@ -594,6 +731,9 @@ def drop_generation(
             f"drop_generation: gen {gen} is not retired — retire it "
             f"first (readers may still be pinned to it)"
         )
+    if delete_prefix is not None:
+        delete_prefix(path)
+        return
     if not os.path.isdir(path):
         return
     for name in os.listdir(path):
@@ -783,6 +923,7 @@ def sweep_generations(
     keep_last_n: int = 1,
     dry_run: bool = False,
     store: MarkerStore | None = None,
+    delete_prefix=None,
 ) -> dict:
     """Codified retention over retired generations: drop (via the
     double-guarded :func:`drop_generation`) every RETIRED generation
@@ -804,10 +945,13 @@ def sweep_generations(
 
     ``keep_last_n`` must be >= 1: a sweep that protects nothing is a
     typo, not a policy.  ``dry_run=True`` reports the same decision
-    without deleting.  Returns ``{"dropped": [...], "kept_grace":
-    [...], "skipped_unretired": [...]}`` (each ascending;
-    already-emptied retired generations re-report as dropped — the
-    underlying drop is a no-op)."""
+    without deleting.  ``delete_prefix`` rides through to
+    :func:`drop_generation` — the data-plane reclaim hook, so
+    retention is ONE call on every backend (object stores pass their
+    bulk delete; POSIX keeps the default carve-out).  Returns
+    ``{"dropped": [...], "kept_grace": [...], "skipped_unretired":
+    [...]}`` (each ascending; already-emptied retired generations
+    re-report as dropped — the underlying drop is a no-op)."""
     store = _store(store)
     if int(keep_last_n) < 1:
         raise ValueError(
@@ -833,7 +977,7 @@ def sweep_generations(
             skipped_unretired.append(g)
             continue
         if not dry_run:
-            drop_generation(root, g, store)
+            drop_generation(root, g, store, delete_prefix=delete_prefix)
         dropped.append(g)
     return {
         "dropped": dropped,

@@ -2530,15 +2530,56 @@ def with_epoch_order(
         f"CAST(conv(substring(md5(concat({seed}, '@', "
         f"CAST({int(epoch)} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
     )
-    return windows.withColumn(out_col, F.expr(key))
+    # Stamp (epoch, granularity) as column metadata on the key: a
+    # projection-level mark that travels with the frame, so a resume
+    # carrying a state bundle can refuse a triple minted under a
+    # different epoch/granularity (resume_epoch_order state=).
+    return windows.withColumn(
+        out_col,
+        F.expr(key).alias(
+            out_col,
+            metadata={"epoch": int(epoch), "granularity": granularity},
+        ),
+    )
+
+
+def epoch_order_state(
+    epoch: int,
+    cursor: tuple | list | None,
+    granularity: str = "shard",
+    out_col: str = "epoch_key",
+    shard_col: str = "shard",
+    win_col: str = "win",
+    base: dict | None = None,
+) -> dict:
+    """Mint the checkpoint bundle for an epoch-ordered read: the
+    (epoch_key, shard, win) triple PLUS the (epoch, granularity,
+    column names) it is only meaningful under — so a resume through
+    :func:`resume_epoch_order` ``state=`` refuses a triple minted for
+    a different epoch instead of silently cutting the wrong order.
+    ``base`` optionally chains the underlying rank read's own state
+    bundle (its identity fingerprint rides along integrity-protected;
+    validate the base itself by resuming its reader with ``state=``).
+    Advance the triple with :func:`advance_reader_state`."""
+    identity = {
+        "kind": "epoch_order",
+        "epoch": int(epoch),
+        "granularity": granularity,
+        "cols": [out_col, shard_col, win_col],
+        "base_identity": None if base is None else base["identity_fp"],
+    }
+    return _mint_reader_state(
+        identity, None if cursor is None else list(cursor)
+    )
 
 
 def resume_epoch_order(
     windows: DataFrame,
-    cursor: tuple,
+    cursor: tuple | None = None,
     out_col: str = "epoch_key",
     shard_col: str = "shard",
     win_col: str = "win",
+    state: dict | None = None,
 ) -> DataFrame:
     """Resume an epoch-ordered read: ``cursor`` is the (epoch_key,
     shard, win) triple of the LAST CONSUMED window; returns the rows
@@ -2561,7 +2602,39 @@ def resume_epoch_order(
     shard-boundary cut. The one-tuple checkpoint rule covers the fix
     (re-checkpoint under the current reader), but the shard value's
     TYPE is now part of the cursor contract: string shard columns
-    (the shipped writers' layout) are unaffected either way."""
+    (the shipped writers' layout) are unaffected either way.
+
+    ``state=`` (exclusive with ``cursor``): an
+    :func:`epoch_order_state` bundle — the triple plus the (epoch,
+    granularity, columns) it was minted under, validated against the
+    stamp :func:`with_epoch_order` leaves on the key column, so a
+    wrong-epoch resume refuses instead of cutting a different
+    order."""
+    if (cursor is None) == (state is None):
+        raise ValueError(
+            "resume_epoch_order: pass exactly one of cursor= (the "
+            "raw triple) or state= (an epoch_order_state bundle)"
+        )
+    if state is not None:
+        md = dict(windows.schema[out_col].metadata or {})
+        minted = {
+            "kind": "epoch_order",
+            "epoch": md.get("epoch", "<unstamped frame>"),
+            "granularity": md.get("granularity", "<unstamped frame>"),
+            "cols": [out_col, shard_col, win_col],
+            # the base identity rides integrity-protected; the base
+            # reader validates it for real when resumed with state=
+            "base_identity": state.get("base_identity"),
+        }
+        cursor = _validate_reader_state(
+            state, minted, "resume_epoch_order"
+        )
+        if cursor is None:
+            raise ValueError(
+                "resume_epoch_order: the state bundle carries no "
+                "cursor yet — nothing was consumed; read from the "
+                "start instead of resuming"
+            )
     k, s, w = cursor
     kc = F.col(out_col)
     sc = F.col(shard_col)
@@ -2597,6 +2670,116 @@ def shard_snapshot(spark, path: str) -> list[str]:
     return sorted(r["shard"] for r in sidecar.select("shard").collect())
 
 
+#: reader-state bundle format version (bump on layout change so a
+#: pickled state from a future layout refuses instead of misreading)
+READER_STATE_VERSION = 1
+
+
+def _state_fp(payload) -> str:
+    """Canonical fingerprint of a JSON-able payload: the order- and
+    whitespace-independent md5 every reader-state comparison uses."""
+    import hashlib
+    import json as _json
+
+    return hashlib.md5(
+        _json.dumps(
+            payload, sort_keys=True, separators=(",", ":"), default=str
+        ).encode()
+    ).hexdigest()
+
+
+def _effective_set_fp(rows, keys) -> str:
+    """Fingerprint of an EFFECTIVE shard set: the sorted
+    (shard, n_tokens, n_windows) triples of the post-pin sidecar rows
+    — exactly the inputs the LPT assignment (tokens) and window
+    positions (counts) are pure functions of, so equal fingerprints
+    mean an identical positional space and a cursor transfers
+    exactly."""
+    want = set(keys)
+    return _state_fp(
+        sorted(
+            [str(r["shard"]), int(r["n_tokens"]), int(r["n_windows"])]
+            for r in rows
+            if r["shard"] in want
+        )
+    )
+
+
+def _mint_reader_state(identity: dict, cursor) -> dict:
+    """Seal a reader-state bundle: ``identity`` holds every field the
+    resumed read must agree on; ``cursor`` is the ONE mutable slot
+    (advance it with :func:`advance_reader_state`). ``identity_fp``
+    covers the identity fields so a hand-edited bundle refuses."""
+    state = dict(identity)
+    state["version"] = READER_STATE_VERSION
+    state["identity_fp"] = _state_fp(
+        {**identity, "version": READER_STATE_VERSION}
+    )
+    state["cursor"] = cursor
+    return state
+
+
+def advance_reader_state(state: dict, cursor) -> dict:
+    """A COPY of ``state`` with its cursor moved — the checkpoint a
+    trainer writes after consuming up to ``cursor``. Refuses a bundle
+    whose identity fields were edited (the fingerprint no longer
+    covers them); the identity itself is immutable by construction —
+    a world resize or repin mints a fresh state through its reader."""
+    _check_state_integrity(state, "advance_reader_state")
+    out = dict(state)
+    out["cursor"] = cursor
+    return out
+
+
+def _check_state_integrity(state: dict, caller: str) -> None:
+    if not isinstance(state, dict) or "identity_fp" not in state:
+        raise ValueError(
+            f"{caller}: not a reader-state bundle (expected the dict "
+            f"a reader minted with with_state=True)"
+        )
+    identity = {
+        k: v for k, v in state.items()
+        if k not in ("cursor", "identity_fp")
+    }
+    if _state_fp(identity) != state["identity_fp"]:
+        raise ValueError(
+            f"{caller}: reader-state identity fields were modified "
+            f"after minting (fingerprint mismatch) — only the cursor "
+            f"may change, via advance_reader_state"
+        )
+
+
+def _validate_reader_state(state: dict, minted: dict, caller: str):
+    """Field-by-field refusal: the state a trainer checkpointed must
+    agree with the identity of THIS call on every field — a cursor is
+    only meaningful inside the positional space it was minted in, and
+    a foreign cursor that happens to be in range resumes over the
+    WRONG windows with no in-band signal (VERDICT r12 item 2). Returns
+    the state's cursor on agreement."""
+    _check_state_integrity(state, caller)
+    if state.get("version") != READER_STATE_VERSION:
+        raise ValueError(
+            f"{caller}: reader-state version {state.get('version')!r} "
+            f"is not this build's {READER_STATE_VERSION} — re-mint the "
+            f"state under the running code"
+        )
+    mismatched = {
+        k: (state.get(k, "<absent>"), minted[k])
+        for k in minted
+        if k not in ("cursor", "identity_fp")
+        and state.get(k, "<absent>") != minted[k]
+    }
+    if mismatched:
+        raise ValueError(
+            f"{caller}: reader state does not resume here — "
+            f"disagreeing fields (checkpointed, this call): "
+            f"{mismatched} — a cursor transfers only under the exact "
+            f"(snapshot, weights, world, epoch, vocab) it was minted "
+            f"with; re-mint via with_state=True after any change"
+        )
+    return state["cursor"]
+
+
 def read_rank_shards(
     spark,
     path: str,
@@ -2606,7 +2789,10 @@ def read_rank_shards(
     snapshot: str | list | set | tuple | None = None,
     cursor: int = 0,
     pos_col: str | None = None,
-) -> tuple[DataFrame, dict]:
+    state: dict | None = None,
+    with_state: bool = False,
+    consumed: dict | None = None,
+):
     """One trainer rank's slice of a persisted token-shard set:
     recompute the :func:`assign_shards_to_ranks` assignment from the
     ``_manifest`` sidecar (token-weighted, deterministic — every rank
@@ -2643,13 +2829,33 @@ def read_rank_shards(
     SIDECAR's per-shard window counts (per-shard offsets, driver-side
     over the rank's own manifest rows) plus a per-shard row_number —
     shuffle groups bounded by shard size, no global sort, identical
-    across restarts because both inputs are pinned artifacts.  Same
-    caveat as the assignment itself: positions are a pure function of
-    (sidecar, world_size, snapshot) — resume under the SAME snapshot
-    the epoch started with."""
+    across restarts because both inputs are pinned artifacts.
+
+    **Self-validating checkpoints** (``with_state`` / ``state``):
+    positions are a pure function of (sidecar, world_size, snapshot),
+    and a raw integer cursor carries none of that — a cursor minted
+    under a different snapshot or world that happens to be <= this
+    rank's total would resume silently over the WRONG windows.  Pass
+    ``with_state=True`` to get (windows, contract, state): a bundle
+    carrying the cursor plus a fingerprint of the effective shard set
+    (keys + token/window counts), rank, world_size, vocabulary, and
+    position column.  Checkpoint the bundle (advance its cursor with
+    :func:`advance_reader_state`) and resume with ``state=`` — ANY
+    disagreeing field refuses loudly, naming the fields.
+
+    **Elastic restart** (``consumed``): a per-shard watermark dict
+    from :func:`migrate_rank_cursors` — each shard's first k windows
+    (consumed under the OLD world size) are dropped from this rank's
+    stream, so a resized world finishes the same epoch exactly once.
+    The watermark joins the state identity when both are used."""
     if not (0 <= int(rank) < int(world_size)):
         raise ValueError(
             f"read_rank_shards: rank {rank} outside [0, {world_size})"
+        )
+    if state is not None and int(cursor) > 0:
+        raise ValueError(
+            "read_rank_shards: pass cursor= or state=, not both — "
+            "the state bundle carries its own cursor"
         )
     if int(cursor) < 0:
         raise ValueError(
@@ -2682,6 +2888,29 @@ def read_rank_shards(
                 f"read_rank_shards: snapshot {snapshot!r} matches "
                 f"no shard key in {path!r}"
             )
+    identity = None
+    if state is not None or with_state:
+        out_col = pos_col or "pos"
+        identity = {
+            "kind": "rank",
+            "rank": int(rank),
+            "world_size": int(world_size),
+            "set_fp": _effective_set_fp(srows, [p[0] for p in pairs]),
+            "vocab": [contract["vocab_size"], contract["vocab_fp_a"],
+                      contract["vocab_fp_b"]],
+            "pos_col": out_col,
+            # a migration watermark is part of the resume identity: a
+            # state minted over the filtered stream must not resume an
+            # unfiltered one (or vice versa) — re-reads would be silent
+            "consumed": None if consumed is None else sorted(
+                (str(k), int(v)) for k, v in consumed.items()
+            ),
+        }
+        if state is not None:
+            cursor = _validate_reader_state(
+                state, identity, "read_rank_shards"
+            )
+            pos_col = out_col  # the cursor's order must ride the frame
     mine = [
         shard
         for shard, r, _w in _lpt_assign(pairs, world_size)
@@ -2690,11 +2919,13 @@ def read_rank_shards(
     windows = _pinned_key_filter(
         spark.read.parquet(path), contract["shard_col"], mine
     )
-    if pos_col is not None or int(cursor) > 0:
+    if pos_col is not None or int(cursor) > 0 or with_state \
+            or consumed is not None:
         out_col = pos_col or "pos"
         windows, total = _with_window_positions(
             windows, sidecar, contract, mine, out_col,
             counts={r["shard"]: r["n_windows"] for r in srows},
+            consumed=consumed,
         )
         if int(cursor) > int(total):
             raise ValueError(
@@ -2704,7 +2935,146 @@ def read_rank_shards(
             )
         if int(cursor) > 0:
             windows = windows.where(F.col(out_col) >= int(cursor))
+    if with_state:
+        return windows, contract, _mint_reader_state(identity, int(cursor))
     return windows, contract
+
+
+def consumed_shard_watermarks(
+    spark,
+    path: str,
+    world_size: int,
+    cursors: dict,
+    snapshot: str | list | set | tuple | None = None,
+) -> dict:
+    """Collapse per-rank consumed prefixes under (snapshot,
+    ``world_size``) into per-shard consumed-window counts — the
+    world-size-free representation of mid-epoch progress, and the
+    first half of the elastic migration (:func:`migrate_rank_cursors`).
+
+    Why this is exact: a rank's iteration order is shard-by-shard
+    sequential (shard ascending by string key, win ascending — the
+    pinned order :func:`read_rank_shards` positions), so the prefix
+    ``pos < c_r`` is a run of FULLY consumed shards plus at most one
+    partially consumed one, and the union over ranks (whose shard
+    slices are disjoint) is exactly a per-shard prefix watermark
+    ``{shard: windows consumed}``.  Pure manifest math: one sidecar
+    collect, no data scan.
+
+    ``cursors`` maps rank -> consumed position (missing ranks read
+    nothing); a cursor past its rank's total raises, same as the
+    reader's own range check."""
+    if int(world_size) < 1:
+        raise ValueError(
+            f"consumed_shard_watermarks: world_size must be >= 1 "
+            f"(got {world_size})"
+        )
+    for r in cursors:
+        if not (0 <= int(r) < int(world_size)):
+            raise ValueError(
+                f"consumed_shard_watermarks: cursor rank {r} outside "
+                f"[0, {world_size})"
+            )
+    _sidecar, srows, _contract = _sidecar_snapshot(
+        spark, path, "consumed_shard_watermarks"
+    )
+    pairs = [(r["shard"], r["n_tokens"]) for r in srows]
+    counts = {r["shard"]: int(r["n_windows"]) for r in srows}
+    if snapshot is not None:
+        if isinstance(snapshot, str):
+            pairs = [p for p in pairs if p[0] <= snapshot]
+        else:
+            want = set(snapshot)
+            missing = sorted(want - {p[0] for p in pairs})
+            if missing:
+                raise ValueError(
+                    f"consumed_shard_watermarks: snapshot keys "
+                    f"{missing[:5]} are not in {path!r}'s sidecar"
+                )
+            pairs = [p for p in pairs if p[0] in want]
+    watermarks: dict = {}
+    for r, c in cursors.items():
+        c = int(c)
+        if c < 0:
+            raise ValueError(
+                f"consumed_shard_watermarks: cursor for rank {r} "
+                f"must be >= 0 (got {c})"
+            )
+        mine = sorted(
+            shard
+            for shard, rr, _w in _lpt_assign(pairs, int(world_size))
+            if rr == int(r)
+        )
+        total = sum(counts[s] for s in mine)
+        if c > total:
+            raise ValueError(
+                f"consumed_shard_watermarks: rank {r}'s cursor {c} is "
+                f"past its {total} windows under world_size "
+                f"{world_size} — wrong (snapshot, world) for these "
+                f"cursors"
+            )
+        remaining = c
+        for s in mine:
+            if remaining <= 0:
+                break
+            take = min(counts[s], remaining)
+            if take:
+                watermarks[s] = take
+            remaining -= take
+    return watermarks
+
+
+def migrate_rank_cursors(
+    spark,
+    path: str,
+    old_world: int,
+    cursors: dict,
+    new_world: int,
+    snapshot: str | list | set | tuple | None = None,
+) -> dict:
+    """Elastic mid-epoch restart (VERDICT r12 item 5): map the
+    per-rank consumed positions of a (snapshot, ``old_world``) run to
+    per-rank ``consumed`` watermark dicts under (snapshot,
+    ``new_world``), so a resized world resumes the SAME epoch with
+    every window still read exactly once — pure manifest math, no
+    data scan, no shuffle (the watermark rides the position
+    machinery's existing broadcast join).
+
+    Usage::
+
+        mig = migrate_rank_cursors(spark, path, W_old,
+                                   {r: pos_r, ...}, W_new,
+                                   snapshot=snap)
+        part, c = read_rank_shards(spark, path, r2, W_new,
+                                   snapshot=snap,
+                                   consumed=mig[r2])
+
+    Exactly-once (hypothesis-gated): the old ranks' consumed prefixes
+    ⊎ the union over new ranks of the migrated reads = the snapshot's
+    full window multiset, for ANY resize point and any W_old/W_new.
+    Returns ``{new_rank: {shard: consumed_count}}`` with every new
+    rank present (possibly ``{}``).  The watermark becomes part of
+    the resume identity when combined with ``with_state=True`` —
+    a later checkpoint under the new world refuses to resume without
+    it."""
+    marks = consumed_shard_watermarks(
+        spark, path, old_world, cursors, snapshot=snapshot
+    )
+    _sidecar, srows, _contract = _sidecar_snapshot(
+        spark, path, "migrate_rank_cursors"
+    )
+    pairs = [(r["shard"], r["n_tokens"]) for r in srows]
+    if snapshot is not None:
+        if isinstance(snapshot, str):
+            pairs = [p for p in pairs if p[0] <= snapshot]
+        else:
+            want = set(snapshot)
+            pairs = [p for p in pairs if p[0] in want]
+    out: dict = {r: {} for r in range(int(new_world))}
+    for shard, r, _w in _lpt_assign(pairs, int(new_world)):
+        if shard in marks:
+            out[r][shard] = marks[shard]
+    return out
 
 
 #: past this many pinned shard keys, key filters switch from a
@@ -2748,6 +3118,7 @@ def _with_window_positions(
     keys: list,
     out_col: str,
     counts: dict | None = None,
+    consumed: dict | None = None,
 ) -> tuple[DataFrame, int]:
     """Deterministic 0..n-1 positions over ``keys``' windows in
     (shard ascending by string key, win ascending) order — the shared
@@ -2757,7 +3128,12 @@ def _with_window_positions(
     driver-side over the manifest rows — pinned artifact, identical
     across restarts), broadcast back and added to a per-shard
     row_number: shuffle groups bounded by shard size, no global sort.
-    Returns (windows + out_col, total window count over keys)."""
+    ``consumed`` optionally drops each shard's first k windows (the
+    elastic-migration watermark — see :func:`migrate_rank_cursors`):
+    the threshold rides the SAME broadcast join as the offsets, zero
+    added shuffle.  Returns (windows + out_col, total window count
+    over keys — the UNFILTERED total, so cursor range checks stay
+    world-stable)."""
     spark = sidecar.sparkSession
     if counts is None:
         # callers holding a _sidecar_snapshot pass its counts instead
@@ -2773,10 +3149,11 @@ def _with_window_positions(
         }
     offsets, off = [], 0
     for s in sorted(keys):
-        offsets.append((s, off))
+        skip = 0 if consumed is None else int(consumed.get(s, 0))
+        offsets.append((s, off, off + skip))
         off += counts[s]
     offdf = spark.createDataFrame(
-        offsets, "__shard_key string, __off bigint"
+        offsets, "__shard_key string, __off bigint, __min bigint"
     )
     rn = (
         F.row_number()
@@ -2796,8 +3173,10 @@ def _with_window_positions(
             == F.col("__shard_key"),
         )
         .withColumn(out_col, F.col("__off") + F.col("__rn"))
-        .drop("__shard_key", "__off", "__rn")
     )
+    if consumed is not None:
+        out = out.where(F.col(out_col) >= F.col("__min"))
+    out = out.drop("__shard_key", "__off", "__min", "__rn")
     return out, off
 
 
@@ -2812,7 +3191,9 @@ def read_mixture_shards(
     name_col: str = "mix_source",
     key_col: str = "mix_key",
     pos_col: str = "mix_pos",
-) -> tuple[DataFrame, dict]:
+    state: dict | None = None,
+    with_state: bool = False,
+):
     """Weighted deterministic INTERLEAVE over N token-shard sets under
     ONE pinned vocabulary — the multi-set mixture read training
     actually runs (code/web/books packed separately, mixed by weight
@@ -2852,12 +3233,15 @@ def read_mixture_shards(
     unique total order derived only from pinned artifacts, so the
     resumed read is exactly the strictly-greater remainder, every
     window still exactly once (the mixture-order analogue of
-    :func:`read_rank_shards`' ``cursor``).  Same caveat as there:
-    keys are a pure function of (sets, weights, snapshots, epoch) —
-    resume under the SAME tuple the cursor was minted with
-    (checkpoint them together); a foreign cursor lands between valid
-    keys and silently skips or repeats, and nothing in the key alone
-    can detect it.
+    :func:`read_rank_shards`' ``cursor``).  Keys are a pure function
+    of (sets, weights, snapshots, epoch) — a foreign cursor lands
+    between valid keys and silently skips or repeats, and nothing in
+    the key alone can detect it: pass ``with_state=True`` to get
+    (windows, contract, state) — a bundle carrying the cursor plus a
+    fingerprint of every identity field (per-set effective shard
+    sets, weights, epoch, vocabulary, column names) — checkpoint the
+    bundle (:func:`advance_reader_state` moves its cursor), resume
+    with ``state=``, and any disagreeing field refuses loudly.
 
     **Per-epoch variation** (``epoch``): :func:`with_epoch_order`
     cannot reorder a mixture (it would destroy the weighted
@@ -2891,6 +3275,11 @@ def read_mixture_shards(
     names = sorted(sets)
     if not names:
         raise ValueError("read_mixture_shards: no sets given")
+    if state is not None and cursor is not None:
+        raise ValueError(
+            "read_mixture_shards: pass cursor= or state=, not both — "
+            "the state bundle carries its own cursor"
+        )
     if sorted(weights) != names:
         raise ValueError(
             f"read_mixture_shards: sets and weights must carry the "
@@ -2951,6 +3340,7 @@ def read_mixture_shards(
             base, vocab_ids, sets[names[0]], "read_mixture_shards"
         )
     parts = []
+    set_fps = {}
     n_sets = len(names)
     for i, n in enumerate(names):
         keys = sorted(r["shard"] for r in snaps[n])
@@ -2965,6 +3355,7 @@ def read_mixture_shards(
                     f"the published shards"
                 )
             keys = sorted(want)
+        set_fps[n] = _effective_set_fp(snaps[n], keys)
         stride = lcm // w[n]
         windows = _pinned_key_filter(
             spark.read.parquet(sets[n]), base["shard_col"], keys
@@ -3008,6 +3399,21 @@ def read_mixture_shards(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    identity = None
+    if state is not None or with_state:
+        identity = {
+            "kind": "mixture",
+            "weights": {n: w[n] for n in names},
+            "epoch": None if epoch is None else int(epoch),
+            "set_fps": set_fps,
+            "vocab": [base["vocab_size"], base["vocab_fp_a"],
+                      base["vocab_fp_b"]],
+            "cols": [name_col, key_col, pos_col],
+        }
+        if state is not None:
+            cursor = _validate_reader_state(
+                state, identity, "read_mixture_shards"
+            )
     if cursor is not None:
         # mid-epoch resume, mirroring read_rank_shards' pos cursor:
         # mix_key is a UNIQUE total order over pinned artifacts, so a
@@ -3016,6 +3422,10 @@ def read_mixture_shards(
         # a projection-level predicate per set (keys never shuffle).
         # Strictly greater, not >=: the cursor names a CONSUMED key.
         out = out.where(F.col(key_col) > int(cursor))
+    if with_state:
+        return out, base, _mint_reader_state(
+            identity, None if cursor is None else int(cursor)
+        )
     return out, base
 
 
@@ -3032,7 +3442,9 @@ def read_mixture_rank(
     name_col: str = "mix_source",
     key_col: str = "mix_key",
     pos_col: str = "mix_pos",
-) -> tuple[DataFrame, dict]:
+    state: dict | None = None,
+    with_state: bool = False,
+):
     """One trainer rank's slice of a weighted MIXTURE — the composition
     ``read_mixture_shards``' docstring promises, made first-class:
     multi-node training is the normal consumer of a mixture, and this
@@ -3061,11 +3473,15 @@ def read_mixture_rank(
       computed over the RANK's keys, so each rank's stream is its own
       dense total order — keys are not comparable across ranks and
       differ from the ``world_size=1`` keys by construction.
-      ``cursor`` is accordingly rank-local: checkpoint (rank,
-      world_size, snapshots, weights, epoch, cursor) together, the
-      same one-tuple rule as every other reader.  ``epoch`` permutes
-      within the rank-local position space — ranks stay disjoint, so
-      the bijection argument is unchanged.
+      ``cursor`` is accordingly rank-local, and the one-tuple
+      checkpoint rule is ENFORCEABLE here: ``with_state=True``
+      returns (windows, contract, state) with the rank, world_size,
+      weights, epoch, vocabulary, and each set's rank-local effective
+      shard set fingerprinted together; resuming with ``state=``
+      refuses any disagreeing field instead of trusting the raw
+      cursor.  ``epoch`` permutes within the rank-local position
+      space — ranks stay disjoint, so the bijection argument is
+      unchanged.
 
     Cost: two manifest collects per set (one here for the assignment,
     one inside the mixture read, both marker-sized driver work); the
@@ -3099,11 +3515,38 @@ def read_mixture_rank(
             for shard, r, _w in _lpt_assign(pairs, int(world_size))
             if r == int(rank)
         )
+    if state is not None and cursor is not None:
+        raise ValueError(
+            "read_mixture_rank: pass cursor= or state=, not both — "
+            "the state bundle carries its own cursor"
+        )
     # the rank's key lists ride the snapshots parameter: the mixture
     # read re-validates them (subset check), positions them 0..n-1
-    # rank-locally, and applies weights/epoch/cursor unchanged
-    return read_mixture_shards(
+    # rank-locally, and applies weights/epoch unchanged; the cursor is
+    # applied HERE (same strictly-greater filter) so the state bundle
+    # can be validated against this reader's identity — which is the
+    # inner mixture identity (whose set fingerprints are already
+    # rank-local) plus the explicit (rank, world_size) pair.
+    out, base, inner = read_mixture_shards(
         spark, sets, weights, vocab_ids=vocab_ids,
-        snapshots=rank_keys, cursor=cursor, epoch=epoch,
+        snapshots=rank_keys, cursor=None, epoch=epoch,
         name_col=name_col, key_col=key_col, pos_col=pos_col,
+        with_state=True,
     )
+    identity = {
+        k: v for k, v in inner.items()
+        if k not in ("cursor", "identity_fp", "version")
+    }
+    identity.update(
+        {"kind": "mixture_rank", "rank": int(rank),
+         "world_size": int(world_size)}
+    )
+    if state is not None:
+        cursor = _validate_reader_state(state, identity, "read_mixture_rank")
+    if cursor is not None:
+        out = out.where(F.col(key_col) > int(cursor))
+    if with_state:
+        return out, base, _mint_reader_state(
+            identity, None if cursor is None else int(cursor)
+        )
+    return out, base

@@ -410,12 +410,18 @@ class _MemMarkerStore:
         return self.blobs[self._k(path)]
 
 
-def test_catalog_protocol_through_injected_store(spark, tmp_path, monkeypatch):
-    """The swap protocol must run unchanged through an injected
-    MarkerStore backend (the conditional-PUT object-store shape): the
-    seam gate for VERDICT r11 item 4.  DEFAULT_STORE is swapped for
-    the whole process, so even the producers' retire probes follow —
-    and NO marker may touch the filesystem."""
+@pytest.mark.parametrize("backend", ["mem", "object", "posix"])
+def test_catalog_protocol_through_injected_store(
+    spark, tmp_path, monkeypatch, backend
+):
+    """The swap protocol must run unchanged through EVERY MarkerStore
+    backend — the parameterized contract suite (VERDICT r12 item 3):
+    the raw-dict stand-in, the real ObjectMarkerStore over the
+    compliant conditional-PUT fake client, and POSIX itself.
+    DEFAULT_STORE is swapped for the whole process, so even the
+    producers' retire probes follow — and on non-POSIX backends NO
+    marker may touch the filesystem. Porting to a new store is
+    adding one parametrize entry and running this test."""
     import glob
 
     import streaming_parquet_spark.operators.catalog as C
@@ -424,7 +430,16 @@ def test_catalog_protocol_through_injected_store(spark, tmp_path, monkeypatch):
         sweep_generations,
     )
 
-    mem = _MemMarkerStore()
+    if backend == "mem":
+        mem = _MemMarkerStore()
+        marker_blobs = mem.blobs
+    elif backend == "object":
+        client = C.InMemoryObjectClient()
+        mem = C.ObjectMarkerStore(client, prefix="contract-test")
+        marker_blobs = client.blobs
+    else:
+        mem = C.PosixMarkerStore()
+        marker_blobs = None
     monkeypatch.setattr(C, "DEFAULT_STORE", mem)
 
     root = str(tmp_path / "cat")
@@ -476,14 +491,143 @@ def test_catalog_protocol_through_injected_store(spark, tmp_path, monkeypatch):
     assert audit[g1]["dropped"] and audit[g1]["ok"] is None
     assert audit[g3]["ok"] and audit[g3]["fp_checked"]
 
-    # NOTHING on the marker plane hit the filesystem: no _catalog
-    # directory, no _retired file, while data parquet is on disk
-    assert not os.path.exists(os.path.join(root, "_catalog"))
-    assert not glob.glob(os.path.join(root, "**", "_retired"),
-                         recursive=True)
+    # data parquet is on disk on every backend
     assert glob.glob(os.path.join(root, "gen-*", "_manifest", "*"))
-    # and the markers live in the injected store
-    assert any(k.endswith(".json") for k in mem.blobs)
+    if backend == "posix":
+        # POSIX is the in-tree layout: markers ARE files
+        assert os.path.isdir(os.path.join(root, "_catalog"))
+    else:
+        # NOTHING on the marker plane hit the filesystem: no _catalog
+        # directory, no _retired file — markers live in the store
+        assert not os.path.exists(os.path.join(root, "_catalog"))
+        assert not glob.glob(os.path.join(root, "**", "_retired"),
+                             recursive=True)
+        assert any(k.endswith(".json") for k in marker_blobs)
+
+
+def test_object_client_conditional_put_is_atomic_and_exclusive():
+    """The in-memory object client the contract suite injects must
+    itself honor conditional-PUT semantics under a race: 16 threads
+    hammering one key get exactly one True (the same bar the POSIX
+    backend's hardlink primitive is held to)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import streaming_parquet_spark.operators.catalog as C
+
+    client = C.InMemoryObjectClient()
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        wins = list(
+            pool.map(
+                lambda i: client.put_if_absent("k/marker", f"w{i}"),
+                range(16),
+            )
+        )
+    assert sum(wins) == 1
+    assert client.get("k/marker") == f"w{wins.index(True)}"
+
+
+def test_s3_object_client_adapts_boto_shape():
+    """S3ObjectClient drives a boto3-SHAPED stub (this repo never
+    imports boto3): conditional PUT maps IfNoneMatch to win/lose,
+    head/list/get map through, and ObjectMarkerStore's directory
+    emulation yields child names from the flat keys."""
+    import io
+
+    import streaming_parquet_spark.operators.catalog as C
+
+    class _Err(Exception):
+        def __init__(self, code):
+            self.response = {"Error": {"Code": code}}
+
+    class _StubBoto:
+        def __init__(self):
+            self.objects = {}
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            assert IfNoneMatch == "*"
+            if Key in self.objects:
+                raise _Err("PreconditionFailed")
+            self.objects[Key] = Body
+
+        def head_object(self, Bucket, Key):
+            if Key not in self.objects:
+                raise _Err("404")
+
+        def get_paginator(self, name):
+            stub = self
+
+            class _P:
+                def paginate(self, Bucket, Prefix):
+                    yield {
+                        "Contents": [
+                            {"Key": k}
+                            for k in stub.objects
+                            if k.startswith(Prefix)
+                        ]
+                    }
+
+            return _P()
+
+        def get_object(self, Bucket, Key):
+            return {"Body": io.BytesIO(self.objects[Key])}
+
+    store = C.ObjectMarkerStore(
+        C.S3ObjectClient(_StubBoto(), "bkt"), prefix="cat"
+    )
+    assert store.put_if_absent("/data/root/_catalog/commit-1.json", "{}")
+    assert not store.put_if_absent(
+        "/data/root/_catalog/commit-1.json", "loser"
+    )
+    assert store.exists("/data/root/_catalog/commit-1.json")
+    assert not store.exists("/data/root/_catalog/other.json")
+    assert store.put_if_absent("/data/root/gen-00000001/_retired", "")
+    assert store.list("/data/root") == ["_catalog", "gen-00000001"]
+    assert store.list("/data/root/nothing") == []
+    assert store.read("/data/root/_catalog/commit-1.json") == "{}"
+
+
+def test_sweep_delete_prefix_hook(spark, tmp_path, monkeypatch):
+    """Retention is one call on every backend: sweep_generations
+    passes an injected data-plane delete through to drop_generation,
+    which then performs NO direct filesystem deletion of its own —
+    the hook owns reclaim (the object-store bulk-delete shape)."""
+    import shutil
+
+    import streaming_parquet_spark.operators.catalog as C
+    from streaming_parquet_spark.operators.catalog import (
+        sweep_generations,
+    )
+
+    mem = _MemMarkerStore()
+    monkeypatch.setattr(C, "DEFAULT_STORE", mem)
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+    g1, p1 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 0, 8, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    publish_generation(spark, root, g1, vocab_ids=vocab)
+    promote_compaction(spark, root, n_shards=1, vocab_ids=vocab)
+
+    deleted = []
+
+    def hook(path):
+        deleted.append(path)
+        shutil.rmtree(path, ignore_errors=True)
+
+    # dry_run plans without calling the hook
+    plan = sweep_generations(root, keep_last_n=1, dry_run=True,
+                             delete_prefix=hook)
+    assert plan["dropped"] == [g1] and deleted == []
+    swept = sweep_generations(root, keep_last_n=1, delete_prefix=hook)
+    assert swept["dropped"] == [g1]
+    assert deleted == [p1]
+    assert not os.path.exists(p1)
+    # marker plane intact: still retired, still committed
+    assert is_retired(p1)
+    aud = {a["generation"]: a
+           for a in C.audit_catalog(spark, root)}
+    assert aud[g1]["dropped"] and aud[g1]["ok"] is None
 
 
 def test_marker_plane_free_of_direct_os(monkeypatch):

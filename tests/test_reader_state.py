@@ -1,0 +1,399 @@
+"""Self-validating reader checkpoints (VERDICT r12 item 2): every
+resumable reader can mint a state bundle (with_state=True) whose
+identity covers (effective shard sets, weights, world, epoch, vocab,
+columns); resuming with state= must (a) be bit-identical to the raw
+cursor resume when nothing changed, and (b) REFUSE loudly when ANY
+identity field differs — the silent-wrong window where a foreign
+cursor <= total resumed over wrong rows is closed."""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_parquet_spark.operators.pipeline import (
+    advance_reader_state,
+    epoch_order_state,
+    pack_token_windows,
+    read_mixture_rank,
+    read_mixture_shards,
+    read_rank_shards,
+    resume_epoch_order,
+    shard_snapshot,
+    with_epoch_order,
+    write_token_shards,
+)
+
+
+def _vocab(spark, n=16):
+    return spark.createDataFrame(
+        [(i, f"p{i}") for i in range(n)], "id int, piece string"
+    )
+
+
+def _make_set(spark, vocab, path, lo, n_docs, key, nparts):
+    docs = spark.createDataFrame(
+        [(lo + i, f"{key}{i % nparts}",
+          [(lo + i + j) % 9 + 2 for j in range(5)])
+         for i in range(n_docs)],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    write_token_shards(
+        pack_token_windows(
+            docs, "toks", 16, order_col="doc_id", part_col="src"
+        ),
+        path, vocab, budget=16, shard_col="src",
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("reader_state")
+    vocab = _vocab(spark)
+    paths = {"web": str(tmp / "web"), "code": str(tmp / "code")}
+    _make_set(spark, vocab, paths["web"], 0, 12, "w", 3)
+    _make_set(spark, vocab, paths["code"], 100, 8, "c", 2)
+    # a THIRD set under a different vocabulary (same shape otherwise)
+    other = str(tmp / "othervocab")
+    _make_set(spark, _vocab(spark, 17), other, 0, 12, "w", 3)
+    keys = {n: shard_snapshot(spark, paths[n]) for n in paths}
+    return vocab, paths, keys, other
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_rank_state_roundtrip_and_refusals(spark, corpus):
+    vocab, paths, keys, other = corpus
+    path = paths["web"]
+    df, _c, state = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+        with_state=True,
+    )
+    total = df.count()
+    assert total > 2
+    cut = total // 2
+    ck = advance_reader_state(state, cut)
+
+    # unmutated: state resume == raw cursor resume, bit-identical
+    via_state, _ = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+        state=ck,
+    )
+    via_cursor, _ = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+        cursor=cut, pos_col="pos",
+    )
+    cols = ["src", "win", "pos"]
+    assert _rows(via_state, cols) == _rows(via_cursor, cols)
+    assert len(_rows(via_state, cols)) == total - cut
+
+    # every identity field refuses when the call differs
+    refusals = [
+        dict(rank=1, world_size=2, snapshot=keys["web"]),          # rank
+        dict(rank=0, world_size=3, snapshot=keys["web"]),          # world
+        dict(rank=0, world_size=2, snapshot=keys["web"][:-1]),     # set_fp
+        dict(rank=0, world_size=2, snapshot=keys["web"],
+             pos_col="elsewhere"),                                 # pos_col
+    ]
+    for kw in refusals:
+        with pytest.raises(ValueError, match="does not resume here"):
+            read_rank_shards(spark, path, kw.pop("rank"),
+                             kw.pop("world_size"), vocab_ids=vocab,
+                             state=ck, **kw)
+    # a different SET (and vocabulary) refuses too
+    with pytest.raises(ValueError, match="does not resume here"):
+        read_rank_shards(spark, other, 0, 2, state=ck)
+    # cursor= and state= together refuse
+    with pytest.raises(ValueError, match="not both"):
+        read_rank_shards(spark, path, 0, 2, state=ck, cursor=3)
+    # hand-edited identity refuses at the integrity check
+    forged = dict(ck)
+    forged["world_size"] = 3
+    with pytest.raises(ValueError, match="identity fields were modified"):
+        read_rank_shards(spark, path, 0, 3, snapshot=keys["web"],
+                         state=forged)
+    # foreign version refuses
+    stale = dict(state)
+    stale["version"] = 0
+    import streaming_parquet_spark.operators.pipeline as P
+
+    stale["identity_fp"] = P._state_fp(
+        {k: v for k, v in stale.items()
+         if k not in ("cursor", "identity_fp")}
+    )
+    with pytest.raises(ValueError, match="version"):
+        read_rank_shards(spark, path, 0, 2, snapshot=keys["web"],
+                         state=stale)
+
+
+def test_mixture_state_roundtrip_and_refusals(spark, corpus):
+    vocab, paths, keys, _other = corpus
+    weights = {"web": 3, "code": 1}
+    df, _c, state = read_mixture_shards(
+        spark, paths, weights, vocab_ids=vocab, snapshots=keys,
+        epoch=1, with_state=True,
+    )
+    rows = _rows(df, ["mix_key", "mix_source", "src", "win"])
+    cut_key = rows[len(rows) // 2][0]
+    ck = advance_reader_state(state, cut_key)
+
+    via_state, _ = read_mixture_shards(
+        spark, paths, weights, vocab_ids=vocab, snapshots=keys,
+        epoch=1, state=ck,
+    )
+    via_cursor, _ = read_mixture_shards(
+        spark, paths, weights, vocab_ids=vocab, snapshots=keys,
+        epoch=1, cursor=cut_key,
+    )
+    cols = ["mix_key", "mix_source", "src", "win"]
+    assert _rows(via_state, cols) == _rows(via_cursor, cols)
+
+    for kw in (
+        dict(weights={"web": 2, "code": 1}),                    # weights
+        dict(epoch=2),                                          # epoch
+        dict(snapshots={"web": keys["web"][:-1],
+                        "code": keys["code"]}),                 # set_fps
+        dict(key_col="other_key"),                              # cols
+    ):
+        full = dict(weights=weights, snapshots=keys, epoch=1)
+        full.update(kw)
+        with pytest.raises(ValueError, match="does not resume here"):
+            read_mixture_shards(
+                spark, paths, full.pop("weights"), vocab_ids=vocab,
+                state=ck, **full,
+            )
+    # a RANK reader refuses a mixture state (kind mismatch)
+    with pytest.raises(ValueError, match="does not resume here"):
+        read_rank_shards(spark, paths["web"], 0, 2,
+                         snapshot=keys["web"], state=ck)
+
+
+def test_mixture_rank_state_roundtrip_and_refusals(spark, corpus):
+    vocab, paths, keys, _other = corpus
+    weights = {"web": 2, "code": 1}
+    df, _c, state = read_mixture_rank(
+        spark, paths, weights, 1, 3, vocab_ids=vocab, snapshots=keys,
+        with_state=True,
+    )
+    rows = _rows(df, ["mix_key", "mix_source", "src", "win"])
+    assert rows, "rank 1 of 3 should hold windows in this corpus"
+    cut_key = rows[max(0, len(rows) // 3)][0]
+    ck = advance_reader_state(state, cut_key)
+
+    via_state, _ = read_mixture_rank(
+        spark, paths, weights, 1, 3, vocab_ids=vocab, snapshots=keys,
+        state=ck,
+    )
+    via_cursor, _ = read_mixture_rank(
+        spark, paths, weights, 1, 3, vocab_ids=vocab, snapshots=keys,
+        cursor=cut_key,
+    )
+    cols = ["mix_key", "mix_source", "src", "win"]
+    assert _rows(via_state, cols) == _rows(via_cursor, cols)
+
+    # rank / world / weights mutations refuse
+    with pytest.raises(ValueError, match="does not resume here"):
+        read_mixture_rank(spark, paths, weights, 2, 3,
+                          vocab_ids=vocab, snapshots=keys, state=ck)
+    with pytest.raises(ValueError, match="does not resume here"):
+        read_mixture_rank(spark, paths, weights, 1, 4,
+                          vocab_ids=vocab, snapshots=keys, state=ck)
+    with pytest.raises(ValueError, match="does not resume here"):
+        read_mixture_rank(spark, paths, {"web": 1, "code": 1}, 1, 3,
+                          vocab_ids=vocab, snapshots=keys, state=ck)
+    # the full-mixture reader refuses a rank state (kind + fields)
+    with pytest.raises(ValueError, match="does not resume here"):
+        read_mixture_shards(spark, paths, weights, vocab_ids=vocab,
+                            snapshots=keys, state=ck)
+
+
+def test_epoch_order_state_validates_the_stamp(spark, corpus):
+    vocab, paths, keys, _other = corpus
+    base, _c, rstate = read_rank_shards(
+        spark, paths["web"], 0, 1, vocab_ids=vocab,
+        snapshot=keys["web"], with_state=True,
+    )
+    ordered = with_epoch_order(base, epoch=3, shard_col="src")
+    rows = sorted(
+        (r["epoch_key"], r["src"], r["win"]) for r in ordered.collect()
+    )
+    triple = rows[len(rows) // 2]
+    st = epoch_order_state(3, triple, shard_col="src", base=rstate)
+
+    via_state = resume_epoch_order(ordered, shard_col="src", state=st)
+    via_raw = resume_epoch_order(ordered, triple, shard_col="src")
+    cols = ["epoch_key", "src", "win"]
+    assert _rows(via_state, cols) == _rows(via_raw, cols)
+    assert len(_rows(via_state, cols)) == len(rows) - 1 - len(rows) // 2
+
+    # a frame ordered for a DIFFERENT epoch refuses the state
+    with pytest.raises(ValueError, match="does not resume here"):
+        resume_epoch_order(with_epoch_order(base, epoch=4, shard_col="src"), shard_col="src", state=st)
+    # different granularity refuses
+    with pytest.raises(ValueError, match="does not resume here"):
+        resume_epoch_order(
+            with_epoch_order(base, epoch=3, shard_col="src",
+                             granularity="window"),
+            shard_col="src", state=st,
+        )
+    # an UNSTAMPED frame (a hand-built key column) refuses
+    from pyspark.sql import functions as F
+
+    fake = base.withColumn("epoch_key", F.col("win").cast("bigint"))
+    with pytest.raises(ValueError, match="does not resume here"):
+        resume_epoch_order(fake, shard_col="src", state=st)
+    # exactly one of cursor/state
+    with pytest.raises(ValueError, match="exactly one"):
+        resume_epoch_order(ordered, shard_col="src")
+    with pytest.raises(ValueError, match="exactly one"):
+        resume_epoch_order(ordered, triple, shard_col="src", state=st)
+    # a no-cursor bundle cannot resume
+    with pytest.raises(ValueError, match="no cursor"):
+        resume_epoch_order(ordered, shard_col="src",
+                           state=epoch_order_state(3, None, shard_col="src"))
+
+
+def test_elastic_migration_property(spark, corpus):
+    """Hypothesis (VERDICT r12 item 5): for ANY (W_old, per-rank cut
+    points, W_new), the windows consumed under the old world ⊎ the
+    union over new ranks of reads carrying the migrated watermarks =
+    the snapshot's full window multiset, exactly once."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.pipeline import (
+        migrate_rank_cursors,
+    )
+
+    vocab, paths, keys, _other = corpus
+    path = paths["web"]
+    snap = keys["web"]
+    # the full snapshot multiset, and each (shard, win)'s position
+    full = {}
+    for w in range(1, 6):
+        for r in range(w):
+            df, _ = read_rank_shards(
+                spark, path, r, w, snapshot=snap, pos_col="pos"
+            )
+            full.setdefault(w, {})[r] = _rows(df, ["src", "win", "pos"])
+    world_all = sorted(
+        (s, w) for r in full[1].values() for (s, w, _p) in r
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        w_old=st.integers(1, 5),
+        w_new=st.integers(1, 5),
+        cutf=st.tuples(*[st.floats(0.0, 1.0)] * 5),
+    )
+    def check(w_old, w_new, cutf):
+        cursors = {}
+        consumed = []
+        for r in range(w_old):
+            rows = full[w_old][r]
+            c = int(cutf[r] * len(rows))
+            cursors[r] = c
+            consumed += [(s, w) for (s, w, _p) in rows[:c]]
+        mig = migrate_rank_cursors(
+            spark, path, w_old, cursors, w_new, snapshot=snap
+        )
+        assert sorted(mig) == list(range(w_new))
+        resumed = []
+        for r in range(w_new):
+            df, _ = read_rank_shards(
+                spark, path, r, w_new, snapshot=snap,
+                consumed=mig[r],
+            )
+            resumed += [(s, w) for (s, w, _p) in _rows(
+                df, ["src", "win", "pos"]
+            )]
+        assert sorted(consumed + resumed) == world_all
+
+    check()
+
+    # a cursor past its rank's total under the claimed world refuses
+    with pytest.raises(ValueError, match="past its"):
+        migrate_rank_cursors(
+            spark, path, 2, {0: 10**6}, 3, snapshot=snap
+        )
+
+
+def test_reader_state_property(spark, corpus):
+    """Hypothesis: for ANY (world, rank, weights, epoch, cut), the
+    state-bundle resume is bit-identical to the raw-cursor resume,
+    and a drawn single-field mutation refuses."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    vocab, paths, keys, _other = corpus
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        world=st.integers(1, 4),
+        rank_seed=st.integers(0, 99),
+        w1=st.integers(1, 5),
+        w2=st.integers(1, 5),
+        epoch=st.one_of(st.none(), st.integers(0, 3)),
+        cutf=st.floats(0.0, 0.95),
+        mutation=st.sampled_from(
+            ["rank", "world", "weights", "epoch", "snapshot"]
+        ),
+    )
+    def check(world, rank_seed, w1, w2, epoch, cutf, mutation):
+        rank = rank_seed % world
+        weights = {"web": w1, "code": w2}
+        df, _c, state = read_mixture_rank(
+            spark, paths, weights, rank, world, vocab_ids=vocab,
+            snapshots=keys, epoch=epoch, with_state=True,
+        )
+        rows = _rows(df, ["mix_key", "mix_source", "src", "win"])
+        if not rows:
+            return  # a dry rank holds no windows; nothing to resume
+        cut_key = rows[int(cutf * (len(rows) - 1))][0]
+        ck = advance_reader_state(state, cut_key)
+        via_state, _ = read_mixture_rank(
+            spark, paths, weights, rank, world, vocab_ids=vocab,
+            snapshots=keys, epoch=epoch, state=ck,
+        )
+        expect = [r for r in rows if r[0] > cut_key]
+        assert _rows(
+            via_state, ["mix_key", "mix_source", "src", "win"]
+        ) == expect
+
+        m_rank, m_world, m_weights = rank, world, dict(weights)
+        m_epoch, m_snaps = epoch, keys
+        if mutation == "rank":
+            if world == 1:
+                return
+            m_rank = (rank + 1) % world
+        elif mutation == "world":
+            m_world = world + 1
+        elif mutation == "weights":
+            m_weights["web"] = w1 + 1
+        elif mutation == "epoch":
+            m_epoch = 0 if epoch is None else epoch + 1
+        else:
+            m_snaps = {"web": keys["web"][:-1], "code": keys["code"]}
+        with pytest.raises(ValueError, match="does not resume here"):
+            read_mixture_rank(
+                spark, paths, m_weights, m_rank, m_world,
+                vocab_ids=vocab, snapshots=m_snaps, epoch=m_epoch,
+                state=ck,
+            )
+
+    check()
