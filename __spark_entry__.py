@@ -78,6 +78,11 @@ _RESHAPED_IN = {
     # vs DuckDB's independent replay) — VERDICT r10 item 1: the two
     # surfaces that had only pytest evidence gain driver-oracle rows
     "pipeline_pack_sequences": 11,
+    # r13: + pack branch (interleaved image-text window packing —
+    # pack_multimodal_windows' greedy bucket arithmetic vs DuckDB's
+    # list_reduce replay) — VERDICT r12 item 4, implemented rather
+    # than de-scoped; the registry stays at 100
+    "multimodal_family": 13,
 }
 
 

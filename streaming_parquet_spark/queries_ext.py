@@ -6682,6 +6682,46 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode.unionByName(feats)
 
 
+#: DuckDB replay of the greedy multimodal window packing (the 'pack'
+#: branch): per-doc lengths from the same arithmetic the Spark query
+#: derives its segments with, bucketed by the same row_number, then the
+#: greedy fold replayed with list_reduce (acc = [closed_windows, fill])
+#: — a genuinely cross-engine check of pack_multimodal_windows'
+#: bucket/packing arithmetic (operators/multimodal.py).
+_DUCK_MULTIMODAL_PACK = """
+WITH d AS (
+  SELECT doc_id, source,
+         1 + (n_chars % 50) AS ltext,
+         CASE WHEN doc_id % 3 = 0 THEN 1 + (doc_id % 7) ELSE 0
+         END AS patches
+  FROM documents WHERE doc_id % 5 = 0
+), l AS (
+  SELECT doc_id, source, ltext + patches + 1 AS len, patches,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY doc_id) - 1) / 16) AS BIGINT) AS bucket
+  FROM d
+), b AS (
+  SELECT source, bucket,
+         list_reduce(
+           list_prepend(CAST([0, 0] AS BIGINT[]),
+                        CAST(list([len] ORDER BY doc_id)
+                             AS BIGINT[][])),
+           (acc, x) -> CASE WHEN acc[2] + x[1] <= 96
+                       THEN [acc[1], acc[2] + x[1]]
+                       ELSE [acc[1] + 1, x[1]] END
+         ) AS fold,
+         COUNT(*) AS n_docs,
+         SUM(len) AS total_real,
+         SUM(patches) AS patch_pos
+  FROM l GROUP BY source, bucket
+)
+SELECT source, bucket,
+       fold[1] + CASE WHEN fold[2] > 0 THEN 1 ELSE 0 END AS n_windows,
+       n_docs, total_real, patch_pos
+FROM b
+"""
+
+
 def _duck_multimodal_family() -> str:
     return f"""
     SELECT 'image_meta' AS kind, id, n_bytes,
@@ -6709,6 +6749,14 @@ def _duck_multimodal_family() -> str:
            CAST(NULL AS INTEGER), payload_md5, sample_rate, n_samples,
            duration_sec, format
     FROM ({_duck_multimodal_transform()})
+    UNION ALL
+    SELECT 'pack', bucket, total_real, CAST(n_windows AS INTEGER),
+           n_docs, CAST(patch_pos AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), source
+    FROM ({_DUCK_MULTIMODAL_PACK})
     """
 
 
@@ -6729,6 +6777,15 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       the audio metadata decode.
     - kind='features': the 16-dim feature extraction exploded to (id,
       dim, fval).
+    - kind='pack' (r13): interleaved image-text window packing
+      (pack_multimodal_windows — Arrow-batched greedy bucket packing,
+      images atomic, modality-tagged spans) over deterministic
+      segments derived from the documents table; per (source, bucket)
+      the branch reports the packing arithmetic — id=bucket,
+      frame_idx=n_windows, frame_len=n_docs, n_bytes=total real
+      tokens, dim=image patch positions, format=source — and DuckDB
+      independently replays the greedy fold with list_reduce
+      (_DUCK_MULTIMODAL_PACK).
 
     id is non-null BIGINT in every branch; width/height decay to
     DOUBLE (the resize branch reports them fractionally-typed);
@@ -6760,7 +6817,72 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         inull.alias("channels"), "payload_md5", "sample_rate",
         "n_samples", "duration_sec", "format",
     )
-    return img.unionByName(frames).unionByName(trans)
+    from streaming_parquet_spark.operators.multimodal import (
+        pack_multimodal_windows,
+    )
+
+    # deterministic segments: text length from n_chars, an image on
+    # every doc_id % 3 == 0 with a doc_id-derived patch budget — the
+    # same arithmetic _DUCK_MULTIMODAL_PACK replays per-doc
+    text_seg = F.struct(
+        F.lit("text").alias("modality"),
+        F.sequence(
+            F.lit(3).cast("bigint"),
+            (F.lit(2) + (F.col("n_chars") % 50) + 1).cast("bigint"),
+        ).alias("ids"),
+        F.lit(None).cast("string").alias("ref"),
+        F.lit(None).cast("int").alias("n_patches"),
+    )
+    img_seg = F.struct(
+        F.lit("image").alias("modality"),
+        F.lit(None).cast("array<bigint>").alias("ids"),
+        F.concat(F.lit("img-"), F.col("doc_id")).alias("ref"),
+        (F.lit(1) + F.col("doc_id") % 7).cast("int").alias("n_patches"),
+    )
+    segged = (
+        _t(spark, sf_dir, "documents")
+        .where("doc_id % 5 = 0")
+        .select(
+            "doc_id", "source",
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.array(text_seg, img_seg))
+            .otherwise(F.array(text_seg)).alias("segments"),
+        )
+    )
+    win = pack_multimodal_windows(
+        segged, "segments", budget=96, part_col="source",
+        order_col="doc_id", bucket_docs=16, image_token_id=1, eos_id=2,
+    )
+    patch_len = F.aggregate(
+        F.filter("spans", lambda s: s["modality"] == F.lit("image")),
+        F.lit(0),
+        lambda acc, s: acc + (s["end"] - s["start"]),
+    )
+    pack = (
+        win.groupBy(
+            "source", F.floor(F.col("win") / 16).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+            F.sum(F.size("doc_starts")).alias("n_docs"),
+            F.sum("n_tokens").alias("total_real"),
+            F.sum(patch_len).cast("double").alias("patch_pos"),
+        )
+        .select(
+            F.lit("pack").alias("kind"),
+            F.col("bucket").cast("bigint").alias("id"),
+            F.col("total_real").cast("bigint").alias("n_bytes"),
+            F.col("n_windows").alias("frame_idx"),
+            F.col("n_docs").cast("bigint").alias("frame_len"),
+            F.col("patch_pos").alias("dim"), dnull.alias("fval"),
+            dnull.alias("width"), dnull.alias("height"),
+            inull.alias("channels"), snull.alias("payload_md5"),
+            dnull.alias("sample_rate"), dnull.alias("n_samples"),
+            dnull.alias("duration_sec"),
+            F.col("source").alias("format"),
+        )
+    )
+    return img.unionByName(frames).unionByName(trans).unionByName(pack)
 
 
 def _duck_dedup_exact_family() -> str:

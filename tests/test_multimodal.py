@@ -326,3 +326,192 @@ def test_strict_still_raises_on_non_media(real_media, blobs):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+# --- interleaved image-text window packing ---------------------------
+
+
+def _seg_docs(spark, rows):
+    """rows: list of (doc_id, part, [segments]) where a segment is
+    ('text', [ids]) or ('image', ref, n_patches)."""
+    data = []
+    for doc_id, part, segs in rows:
+        arr = []
+        for s in segs:
+            if s[0] == "text":
+                arr.append(("text", [int(x) for x in s[1]], None, None))
+            else:
+                arr.append(("image", None, s[1], int(s[2])))
+        data.append((doc_id, part, arr))
+    return spark.createDataFrame(
+        data,
+        "doc_id bigint, src string, segments "
+        "array<struct<modality string, ids array<bigint>, "
+        "ref string, n_patches int>>",
+    )
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    from streaming_parquet_spark.operators.multimodal import (
+        pack_multimodal_windows,
+    )
+
+    docs = _seg_docs(spark, [
+        (1, "a", [("text", [5, 6]), ("image", "img-1", 4),
+                  ("text", [7])]),                       # len 7+eos=8
+        (2, "a", [("text", [8, 9, 10])]),                # len 3+eos=4
+        (3, "a", [("image", "img-3", 6)]),               # len 6+eos=7
+        (4, "a", [("text", [11])]),                      # len 1+eos=2
+        (5, "b", [("text", [12, 13]), ("image", "img-5", 2)]),  # 4+eos=5
+    ])
+    return pack_multimodal_windows(
+        docs, "segments", budget=12, part_col="src",
+        image_token_id=1, eos_id=2, pad_id=0,
+    ).collect()
+
+
+def test_multimodal_pack_exactly_once_and_atomic(packed):
+    # every window exactly budget long, n_tokens real
+    for r in packed:
+        assert len(r["ids"]) == 12
+        assert all(x == 0 for x in r["ids"][r["n_tokens"]:])
+    # greedy in-order over part 'a' (budget 12): doc1 (8) + doc2 (4)
+    # fill window 0 exactly; doc3 (7) + doc4 (2) go to window 1
+    a = sorted((r for r in packed if r["src"] == "a"),
+               key=lambda r: r["win"])
+    assert [r["n_tokens"] for r in a] == [12, 9]
+    assert a[0]["doc_starts"] == [0, 8]
+    # spans tile the real tokens and never cross a window boundary
+    for r in packed:
+        spans = sorted(r["spans"], key=lambda s: s["start"])
+        assert spans[0]["start"] == 0
+        assert spans[-1]["end"] == r["n_tokens"]
+        for s, t in zip(spans, spans[1:]):
+            assert s["end"] == t["start"]
+    # the image run is contiguous image_token_ids with its ref
+    img = [s for r in a for s in r["spans"] if s["modality"] == "image"]
+    assert {s["ref"] for s in img} == {"img-1", "img-3"}
+    for r in a:
+        for s in r["spans"]:
+            if s["modality"] == "image":
+                assert all(
+                    x == 1 for x in r["ids"][s["start"]:s["end"]]
+                )
+
+
+def test_multimodal_pack_loss_labels_mask_images(spark):
+    from streaming_parquet_spark.operators.multimodal import (
+        multimodal_loss_spans,
+        pack_multimodal_windows,
+    )
+    from streaming_parquet_spark.operators.pipeline import (
+        with_span_labels,
+    )
+
+    docs = _seg_docs(spark, [
+        (1, "a", [("text", [5, 6]), ("image", "i", 3), ("text", [7, 8])]),
+    ])
+    win = pack_multimodal_windows(
+        docs, "segments", budget=10, part_col="src", image_token_id=1,
+    )
+    lab = with_span_labels(
+        multimodal_loss_spans(win), "loss_spans"
+    ).first()
+    ids, labels, n = lab["ids"], lab["labels"], lab["n_tokens"]
+    assert n == 7
+    # target positions 1 (text) supervise; 2,3,4 (image) mask; 5,6 text
+    assert labels[0] == ids[1]
+    assert labels[1] == -100 and labels[2] == -100 and labels[3] == -100
+    assert labels[4] == ids[5] and labels[5] == ids[6]
+    assert all(x == -100 for x in labels[6:])
+
+
+def test_multimodal_pack_refusals(spark):
+    from streaming_parquet_spark.operators.multimodal import (
+        pack_multimodal_windows,
+    )
+
+    over = _seg_docs(spark, [(1, "a", [("image", "i", 99)])])
+    with pytest.raises(Exception, match="past the 12 budget"):
+        pack_multimodal_windows(
+            over, "segments", budget=12, part_col="src",
+            image_token_id=1,
+        ).collect()
+    noid = _seg_docs(spark, [(1, "a", [("image", "i", 2)])])
+    with pytest.raises(Exception, match="no image_token_id"):
+        pack_multimodal_windows(
+            noid, "segments", budget=12, part_col="src",
+        ).collect()
+
+
+def test_multimodal_pack_partitioning_invariant_and_sharded(spark, tmp_path):
+    """Same windows from any partitioning; the packed frame persists
+    under the sidecar contract with spans riding along."""
+    from streaming_parquet_spark.operators.multimodal import (
+        pack_multimodal_windows,
+    )
+    from streaming_parquet_spark.operators.pipeline import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    rows = []
+    for i in range(40):
+        segs = [("text", [3 + (i + j) % 7 for j in range(1 + i % 4)])]
+        if i % 3 == 0:
+            segs.append(("image", f"img-{i}", 1 + i % 5))
+        rows.append((i, f"s{i % 2}", segs))
+    docs = _seg_docs(spark, rows)
+
+    def run(df):
+        out = pack_multimodal_windows(
+            df, "segments", budget=16, part_col="src",
+            image_token_id=1, eos_id=2, bucket_docs=8,
+        )
+        return sorted(
+            (r["src"], r["win"], tuple(r["ids"]), r["n_tokens"],
+             tuple((s["start"], s["end"], s["modality"], s["ref"])
+                   for s in r["spans"]))
+            for r in out.collect()
+        )
+
+    one = run(docs.coalesce(1))
+    many = run(docs.repartition(7))
+    assert one == many
+
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+    win = pack_multimodal_windows(
+        docs, "segments", budget=16, part_col="src",
+        image_token_id=1, eos_id=2, bucket_docs=8,
+    )
+    path = str(tmp_path / "mmshards")
+    write_token_shards(win, path, vocab, budget=16, shard_col="src",
+                       eos_id=2)
+    back, contract = read_token_shards(spark, path, vocab_ids=vocab)
+    assert contract["budget"] == 16
+    assert "spans" in back.columns
+    assert back.count() == len(one)
+    # spans survive the round trip intact
+    assert sorted(
+        (r["src"], r["win"],
+         tuple((s["start"], s["end"], s["modality"], s["ref"])
+               for s in r["spans"]))
+        for r in back.collect()
+    ) == [(s, w, sp) for (s, w, _i, _n, sp) in one]
+
+
+def test_multimodal_pack_plan_is_arrow_batched(spark):
+    from streaming_parquet_spark.operators.multimodal import (
+        pack_multimodal_windows,
+    )
+
+    docs = _seg_docs(spark, [(1, "a", [("text", [5])])])
+    win = pack_multimodal_windows(
+        docs, "segments", budget=8, part_col="src", image_token_id=1,
+    )
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" in plan
