@@ -1054,16 +1054,19 @@ def audit_generation(
     except (ValueError, AnalysisException) as exc:
         # Distinguish RECLAIMED data (generation dir / sidecar gone —
         # the retention sweep's legal end state) from a PRESENT but
-        # unreadable sidecar (truncated write, mixed contract rows, a
-        # foreign format version — _sidecar_snapshot raises ValueError
-        # for all of them). Only absence is a benign drop; a readable
-        # directory with a broken sidecar is an integrity incident
-        # even on a retired generation — retirement starts a read-
-        # grace window in which pinned readers still resolve this
-        # data, so "retired" cannot launder corruption into ok=None
-        # (ADVICE r12). The absence probe matches the POSIX data
-        # plane drop_generation reclaims through.
-        absent = not os.path.isdir(os.path.join(path, "_manifest"))
+        # unreadable sidecar (truncated write, empty directory, mixed
+        # contract rows, a foreign format version — _sidecar_snapshot
+        # raises ValueError for all of them). Only absence is a benign
+        # drop; a readable directory with a broken sidecar is an
+        # integrity incident even on a retired generation —
+        # retirement starts a read-grace window in which pinned
+        # readers still resolve this data, so "retired" cannot
+        # launder corruption into ok=None (ADVICE r12). Absence is
+        # classified from _manifest_frame's own error taxonomy
+        # (PATH_NOT_FOUND vs present-but-empty), which keeps this
+        # function free of direct filesystem probes — the marker-
+        # plane portability gate covers the audit verbs too.
+        absent = "has no _manifest sidecar" in str(exc)
         if out["retired"] and absent:
             out.update({"dropped": True, "ok": None})
             return out

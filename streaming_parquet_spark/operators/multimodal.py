@@ -621,6 +621,7 @@ def pack_multimodal_windows(
     eos_id: int | None = None,
     out_col: str = "ids",
     spans_col: str = "spans",
+    validate_order: bool = True,
 ) -> DataFrame:
     """Pack interleaved image-text documents into fixed-``budget``
     training windows under the token-shard contract.
@@ -701,7 +702,9 @@ def pack_multimodal_windows(
     seg_name, part_name, order_name = segments_col, part_col, order_col
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_name, kind="mergesort")
+        order_vals = pdf[order_name].to_numpy()
+        seg_vals = pdf[seg_name].to_numpy()
+        order_idx = order_vals.argsort(kind="mergesort")
         part_val = pdf[part_name].iloc[0]
         wins: list[dict] = []
         cur_ids: list[int] = []
@@ -724,12 +727,19 @@ def pack_multimodal_windows(
                 }
             )
 
-        for _idx, row in pdf.iterrows():
-            segs = row[seg_name]
+        for i in order_idx:
+            oid, segs = order_vals[i], seg_vals[i]
             if segs is None:
                 continue
             flat: list[tuple] = []  # (modality, ids list, ref)
             for s in segs:
+                if s is None:
+                    raise ValueError(
+                        f"pack_multimodal_windows: document {oid!r} "
+                        f"carries a NULL segment element — refuse "
+                        f"rather than silently drop content (an "
+                        f"upstream join leak?)"
+                    )
                 m = s["modality"]
                 if m == "text":
                     raw = s["ids"]  # numpy array via Arrow; None possible
@@ -738,22 +748,28 @@ def pack_multimodal_windows(
                         flat.append(("text", ids, None))
                 elif m == "image":
                     raw_np = s["n_patches"]
-                    npatch = 0 if raw_np is None else int(raw_np)
-                    if npatch < 1:
-                        continue
+                    if raw_np is None or int(raw_np) < 1:
+                        raise ValueError(
+                            f"pack_multimodal_windows: image segment "
+                            f"of document {oid!r} has n_patches="
+                            f"{raw_np!r} — every image needs a "
+                            f"positive patch budget (an upstream "
+                            f"decode failure?); drop the segment "
+                            f"explicitly upstream if intended"
+                        )
                     if img_id is None:
                         raise ValueError(
                             "pack_multimodal_windows: document "
-                            f"{row[order_name]!r} carries an image "
-                            "segment but no image_token_id was given"
+                            f"{oid!r} carries an image segment but "
+                            "no image_token_id was given"
                         )
                     flat.append(
-                        ("image", [img_id] * npatch, s["ref"])
+                        ("image", [img_id] * int(raw_np), s["ref"])
                     )
                 else:
                     raise ValueError(
                         f"pack_multimodal_windows: unknown modality "
-                        f"{m!r} in document {row[order_name]!r}"
+                        f"{m!r} in document {oid!r}"
                     )
             if eos is not None and flat:
                 flat.append(("text", [eos], None))
@@ -763,7 +779,7 @@ def pack_multimodal_windows(
             if doc_len > budget:
                 raise ValueError(
                     f"pack_multimodal_windows: document "
-                    f"{row[order_name]!r} is {doc_len} tokens — past "
+                    f"{oid!r} is {doc_len} tokens — past "
                     f"the {budget} budget; documents pack atomically "
                     f"(split oversized documents upstream)"
                 )
@@ -786,12 +802,24 @@ def pack_multimodal_windows(
                      "doc_starts", spans_col],
         )
 
+    from streaming_parquet_spark.operators.pipeline import (
+        _unique_order_guard,
+    )
+
     rn = F.row_number().over(
         W.partitionBy(part_col).orderBy(order_col)
     )
-    bucketed = df.withColumn(
-        "__bucket", ((rn - 1) / bucket_docs_i).cast("bigint")
-    )
+    bucket = ((rn - 1) / bucket_docs_i).cast("bigint")
+    if validate_order:
+        # same determinism contract as the text packers: duplicate
+        # order keys make bucket assignment tie-order-dependent. The
+        # guard rides the SAME window spec as rn (one Exchange+Sort,
+        # reused) and is 0 on every valid row — adding it into the
+        # bucket expression keeps column pruning from eliding it.
+        bucket = bucket + _unique_order_guard(
+            [part_col], order_col, "pack_multimodal_windows"
+        )
+    bucketed = df.withColumn("__bucket", bucket)
     return bucketed.groupBy(part_col, "__bucket").applyInPandas(
         _pack, out_schema
     )

@@ -1752,10 +1752,20 @@ def _manifest_frame(spark, path: str, caller: str) -> DataFrame:
         marker = (
             getattr(exc, "getCondition", exc.getErrorClass)() or ""
         ) + " " + str(exc)
-        if "PATH_NOT_FOUND" in marker or "UNABLE_TO_INFER_SCHEMA" in marker:
+        if "PATH_NOT_FOUND" in marker:
             raise ValueError(
                 f"{caller}: {path!r} has no _manifest sidecar "
                 f"— not a (completely) written token-shard set"
+            ) from exc
+        if "UNABLE_TO_INFER_SCHEMA" in marker:
+            # the sidecar DIRECTORY exists but holds no readable
+            # parquet — a truncated or tampered write, not mere
+            # absence; audit_generation classifies the two differently
+            # (benign drop vs integrity incident)
+            raise ValueError(
+                f"{caller}: {path!r} has an EMPTY _manifest sidecar "
+                f"(directory present, no readable parquet) — a "
+                f"truncated or tampered write"
             ) from exc
         raise
 

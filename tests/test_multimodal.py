@@ -515,3 +515,42 @@ def test_multimodal_pack_plan_is_arrow_batched(spark):
     plan = win._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_multimodal_pack_review_refusals(spark):
+    """r13 review findings: duplicate order keys, NULL segment
+    elements, and NULL/zero n_patches all refuse loudly instead of
+    producing partitioning-dependent or silently-shrunken output."""
+    from streaming_parquet_spark.operators.multimodal import (
+        pack_multimodal_windows,
+    )
+
+    dup = _seg_docs(spark, [
+        (1, "a", [("text", [5])]), (1, "a", [("text", [6])]),
+    ])
+    with pytest.raises(Exception, match="duplicate order key"):
+        pack_multimodal_windows(
+            dup, "segments", budget=8, part_col="src",
+        ).collect()
+    # validate_order=False opts out (same contract as the text packer)
+    assert pack_multimodal_windows(
+        dup, "segments", budget=8, part_col="src", validate_order=False,
+    ).count() >= 1
+
+    nullpatch = _seg_docs(spark, [(7, "a", [("image", "i", 0)])])
+    with pytest.raises(Exception, match="positive patch budget"):
+        pack_multimodal_windows(
+            nullpatch, "segments", budget=8, part_col="src",
+            image_token_id=1,
+        ).collect()
+
+    nullseg = spark.createDataFrame(
+        [(9, "a", [None])],
+        "doc_id bigint, src string, segments "
+        "array<struct<modality string, ids array<bigint>, "
+        "ref string, n_patches int>>",
+    )
+    with pytest.raises(Exception, match="NULL segment element"):
+        pack_multimodal_windows(
+            nullseg, "segments", budget=8, part_col="src",
+        ).collect()
