@@ -1269,19 +1269,14 @@ def _conversion_bench(
             "io_w_pre": stream_io_w_pre,
         }
 
-        # Same pre-leg hygiene the streaming leg gets (drop the prior
-        # legs' outputs, force a full GC): the pq->pq leg runs LAST,
-        # after 7 streaming runs churned ~5 GB of tmpfs and their jobs'
-        # old-gen garbage — r11/r12 measured that ordering tax on this
-        # leg without the cleanup. The leg itself now takes the
-        # columnar passthrough (engine gates the transform-free pq->pq
-        # onto an Arrow whole-file transcode; the r12 root-cause was
-        # Spark's row-oriented writer at ~7 MB/s/core vs ~34 for the
-        # Arrow encoder — sinks/writers.py:transcode_parquet).
-        for i in range(7):
-            shutil.rmtree(os.path.join(work, f"so_{i}.parquet"),
-                          ignore_errors=True)
-            shutil.rmtree(os.path.join(work, f"sck_{i}"), ignore_errors=True)
+        # Same pre-leg GC the streaming leg gets: the pq->pq leg runs
+        # LAST, after 7 streaming runs' jobs filled the old gen (their
+        # tmpfs outputs are already removed per-iteration above — only
+        # the garbage lingers). The leg itself now takes the columnar
+        # passthrough (engine gates the transform-free pq->pq onto an
+        # Arrow whole-file transcode; the r12 root-cause was Spark's
+        # row-oriented writer at ~7 MB/s/core vs ~34 for the Arrow
+        # encoder — sinks/writers.py:transcode_parquet).
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:

@@ -387,7 +387,12 @@ class Engine:
                 zstd_level=spec.zstd_level,
                 max_records_per_file=self._rolling_records(spec, files),
             )
-            rows = self._parquet_rows(sink.paths)
+            # Exact accounting from the INPUT footers: a transcode
+            # preserves rows by contract, and count-verify must
+            # reconcile output against input — counting the output's
+            # own footers on this branch would verify the writer
+            # against itself (review r13).
+            rows = self._parquet_rows([f.path for f in files])
             verified = None
             if spec.verify:
                 verified = self._verify(spec, sink, rows)

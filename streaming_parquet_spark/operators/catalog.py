@@ -247,27 +247,51 @@ class S3ObjectClient:
     deployment): ``ObjectMarkerStore(S3ObjectClient(boto3.client("s3"),
     "my-bucket"))``. ``put_if_absent`` is S3's native conditional PUT
     (``IfNoneMatch="*"`` — GA on S3 since 2024 and on every
-    S3-compatible store that matters); 412 PreconditionFailed /
-    ConditionalRequestConflict mean LOST, anything else re-raises."""
+    S3-compatible store that matters). The error taxonomy matters:
+    412 PreconditionFailed means the key EXISTS (a genuine loss), but
+    409 ConditionalRequestConflict means two conditional PUTs collided
+    IN FLIGHT and both may have failed — AWS documents it retryable,
+    and reading it as a loss could leave NO marker while both racers
+    report success (two retirers racing would leave the generation
+    append-open forever). 409 retries the put with backoff; if
+    retries exhaust, the key's existence decides (exists -> lost;
+    still absent -> raise: the race's outcome is unknowable)."""
 
-    def __init__(self, boto3_s3_client, bucket: str):
+    def __init__(
+        self, boto3_s3_client, bucket: str, put_retries: int = 8
+    ):
         self.c = boto3_s3_client
         self.bucket = bucket
+        self.put_retries = int(put_retries)
 
     def put_if_absent(self, key: str, text: str) -> bool:
-        try:
-            self.c.put_object(
-                Bucket=self.bucket, Key=key, Body=text.encode(),
-                IfNoneMatch="*",
-            )
-            return True
-        except Exception as exc:  # botocore ClientError, not imported
-            resp = getattr(exc, "response", None) or {}
-            code = (resp.get("Error") or {}).get("Code")
-            if code in ("PreconditionFailed",
-                        "ConditionalRequestConflict"):
-                return False
-            raise
+        import time as _time
+
+        last_exc = None
+        for attempt in range(max(1, self.put_retries)):
+            try:
+                self.c.put_object(
+                    Bucket=self.bucket, Key=key, Body=text.encode(),
+                    IfNoneMatch="*",
+                )
+                return True
+            except Exception as exc:  # botocore ClientError, not imported
+                resp = getattr(exc, "response", None) or {}
+                code = (resp.get("Error") or {}).get("Code")
+                if code == "PreconditionFailed":
+                    return False
+                if code == "ConditionalRequestConflict":
+                    last_exc = exc
+                    _time.sleep(min(0.05 * (2 ** attempt), 1.0))
+                    continue
+                raise
+        if self.exists(key):
+            return False
+        raise RuntimeError(
+            f"S3ObjectClient.put_if_absent({key!r}): conditional PUT "
+            f"conflicted {self.put_retries} times and the key is "
+            f"still absent — cannot decide the race"
+        ) from last_exc
 
     def exists(self, key: str) -> bool:
         try:
@@ -712,8 +736,13 @@ def drop_generation(
     data-plane.  ``delete_prefix`` injects it: a callable taking the
     generation path that reclaims everything under it — the seam for
     an object store's bulk delete (delete-by-prefix / lifecycle
-    tooling), where the retire marker lives in the marker plane and
-    needs no carve-out.  The POSIX default deletes the directory's
+    tooling).  The retire marker is RE-ASSERTED through the store
+    after the hook runs: when markers and data share one prefix (an
+    ObjectMarkerStore over the same bucket the shards live in), a
+    bulk prefix delete would otherwise remove ``_retired`` and
+    re-open the reclaimed generation to producer replays — the
+    put-if-absent re-assert is idempotent and a no-op when the
+    marker survived.  The POSIX default deletes the directory's
     children EXCEPT the in-tree ``_retired`` marker.  Idempotent:
     dropping an already-emptied generation is a no-op."""
     import shutil
@@ -733,6 +762,13 @@ def drop_generation(
         )
     if delete_prefix is not None:
         delete_prefix(path)
+        # the hook may have bulk-deleted the in-prefix retire marker
+        # along with the data (see docstring) — restore the dropped
+        # generation's append-refusal before returning
+        store.put_if_absent(
+            os.path.join(path, RETIRED_MARKER),
+            json.dumps({"retired_generation": gen}) + "\n",
+        )
         return
     if not os.path.isdir(path):
         return
@@ -1062,11 +1098,17 @@ def audit_generation(
         # retirement starts a read-grace window in which pinned
         # readers still resolve this data, so "retired" cannot
         # launder corruption into ok=None (ADVICE r12). Absence is
-        # classified from _manifest_frame's own error taxonomy
-        # (PATH_NOT_FOUND vs present-but-empty), which keeps this
-        # function free of direct filesystem probes — the marker-
-        # plane portability gate covers the audit verbs too.
-        absent = "has no _manifest sidecar" in str(exc)
+        # classified from _manifest_frame's TYPED error taxonomy
+        # (ManifestAbsent = PATH_NOT_FOUND; everything else —
+        # present-but-empty, mixed contracts, foreign format — is an
+        # incident), which keeps this function free of direct
+        # filesystem probes — the marker-plane portability gate
+        # covers the audit verbs too.
+        from streaming_parquet_spark.operators.pipeline import (
+            ManifestAbsent,
+        )
+
+        absent = isinstance(exc, ManifestAbsent)
         if out["retired"] and absent:
             out.update({"dropped": True, "ok": None})
             return out

@@ -1738,6 +1738,18 @@ def _read_shard_contract(
     return manifest, _single_contract(manifest, repr(path), caller)
 
 
+class ManifestAbsent(ValueError):
+    """The ``_manifest`` sidecar does not exist at all (PATH_NOT_FOUND
+    shape) — a never-written set or a reclaimed generation. Typed so
+    the audit verbs can classify benign-drop vs integrity-incident
+    without string-matching another module's message (review r13)."""
+
+
+class ManifestUnreadable(ValueError):
+    """The ``_manifest`` directory EXISTS but holds no readable
+    parquet — a truncated or tampered write, never a benign drop."""
+
+
 def _manifest_frame(spark, path: str, caller: str) -> DataFrame:
     """The manifest sidecar as a frame, with the absent-sidecar
     refusal every contract reader shares."""
@@ -1753,7 +1765,7 @@ def _manifest_frame(spark, path: str, caller: str) -> DataFrame:
             getattr(exc, "getCondition", exc.getErrorClass)() or ""
         ) + " " + str(exc)
         if "PATH_NOT_FOUND" in marker:
-            raise ValueError(
+            raise ManifestAbsent(
                 f"{caller}: {path!r} has no _manifest sidecar "
                 f"— not a (completely) written token-shard set"
             ) from exc
@@ -1762,7 +1774,7 @@ def _manifest_frame(spark, path: str, caller: str) -> DataFrame:
             # parquet — a truncated or tampered write, not mere
             # absence; audit_generation classifies the two differently
             # (benign drop vs integrity incident)
-            raise ValueError(
+            raise ManifestUnreadable(
                 f"{caller}: {path!r} has an EMPTY _manifest sidecar "
                 f"(directory present, no readable parquet) — a "
                 f"truncated or tampered write"
@@ -2911,9 +2923,11 @@ def read_rank_shards(
             "pos_col": out_col,
             # a migration watermark is part of the resume identity: a
             # state minted over the filtered stream must not resume an
-            # unfiltered one (or vice versa) — re-reads would be silent
+            # unfiltered one (or vice versa) — re-reads would be
+            # silent. Lists, not tuples: the bundle must survive a
+            # JSON checkpoint round trip and compare equal.
             "consumed": None if consumed is None else sorted(
-                (str(k), int(v)) for k, v in consumed.items()
+                [str(k), int(v)] for k, v in consumed.items()
             ),
         }
         if state is not None:
@@ -3002,6 +3016,12 @@ def consumed_shard_watermarks(
                     f"{missing[:5]} are not in {path!r}'s sidecar"
                 )
             pairs = [p for p in pairs if p[0] in want]
+    # ONE assignment for the whole world (it is a pure function of
+    # (pairs, world_size)); re-running it per cursor entry would make
+    # this O(ranks * S log S) driver work for no reason (review r13)
+    by_rank: dict = {}
+    for shard, rr, _w in _lpt_assign(pairs, int(world_size)):
+        by_rank.setdefault(rr, []).append(shard)
     watermarks: dict = {}
     for r, c in cursors.items():
         c = int(c)
@@ -3010,11 +3030,7 @@ def consumed_shard_watermarks(
                 f"consumed_shard_watermarks: cursor for rank {r} "
                 f"must be >= 0 (got {c})"
             )
-        mine = sorted(
-            shard
-            for shard, rr, _w in _lpt_assign(pairs, int(world_size))
-            if rr == int(r)
-        )
+        mine = sorted(by_rank.get(int(r), []))
         total = sum(counts[s] for s in mine)
         if c > total:
             raise ValueError(

@@ -6711,8 +6711,8 @@ WITH d AS (
                        ELSE [acc[1] + 1, x[1]] END
          ) AS fold,
          COUNT(*) AS n_docs,
-         SUM(len) AS total_real,
-         SUM(patches) AS patch_pos
+         CAST(SUM(len) AS BIGINT) AS total_real,
+         CAST(SUM(patches) AS BIGINT) AS patch_pos
   FROM l GROUP BY source, bucket
 )
 SELECT source, bucket,

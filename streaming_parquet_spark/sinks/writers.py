@@ -290,7 +290,6 @@ def _transcode_bin(
     zstd_level: int,
     columns: list[str],
     max_records: int | None,
-    row_group_mb: int,
 ) -> tuple[int, int, int]:
     """Executor-side body of the columnar passthrough: transcode one
     bin of parquet files row-group-at-a-time through pyarrow's C++
@@ -361,12 +360,12 @@ def _transcode_bin(
                 writer.write_table(chunk, row_group_size=chunk.num_rows)
                 rows_in_file += take
                 offset += take
-            # Row-group parity with the Spark writer's 128 MB
-            # parquet.block.size target (row_group_mb): the transcode
-            # emits one output group per input group, so output groups
-            # inherit the input writer's own block-size bound — a
-            # same-codec copy keeps the reference's grouping the way
-            # its arrow2 path does (writer_parquet.rs:35).
+            # Row-group sizing: the transcode emits one output group
+            # per input group, so output groups inherit the input
+            # writer's own block-size bound (the reference's 128 MB
+            # target, writer_parquet.rs:35) — a same-codec copy keeps
+            # the source grouping the way its arrow2 path does; there
+            # is deliberately no row_group_mb knob here.
     _close()
     return files, total_rows, total_bytes
 
@@ -379,7 +378,6 @@ def transcode_parquet(
     compression: str = "none",
     zstd_level: int = 3,
     max_records_per_file: int | None = None,
-    row_group_mb: int = 128,
 ) -> SinkResult:
     """Columnar passthrough parquet sink: distribute whole input files
     to tasks (LPT-packed by size) and transcode each with pyarrow —
@@ -421,7 +419,7 @@ def transcode_parquet(
     def _run(task: tuple[int, list[str]]) -> tuple[int, int, int]:
         return _transcode_bin(
             task[0], task[1], tmp, compression, zstd_level, columns,
-            max_records_per_file, row_group_mb,
+            max_records_per_file,
         )
 
     results = sc.parallelize(tasks, len(tasks)).map(_run).collect()

@@ -630,6 +630,100 @@ def test_sweep_delete_prefix_hook(spark, tmp_path, monkeypatch):
     assert aud[g1]["dropped"] and aud[g1]["ok"] is None
 
 
+def test_delete_prefix_reasserts_retire_marker(spark, tmp_path, monkeypatch):
+    """A bulk delete_prefix hook that nukes the whole generation
+    prefix (the object-store shape, where markers may share the data
+    bucket) must not re-open the generation to producer replays:
+    drop_generation re-asserts the retire marker through the store
+    after the hook (review r13)."""
+    import shutil
+
+    import streaming_parquet_spark.operators.catalog as C
+
+    mem = _MemMarkerStore()
+    monkeypatch.setattr(C, "DEFAULT_STORE", mem)
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+    g1, p1 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 0, 6, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    publish_generation(spark, root, g1, vocab_ids=vocab)
+    promote_compaction(spark, root, n_shards=1, vocab_ids=vocab)
+
+    def nuke_everything(path):
+        # simulate a prefix bulk delete that removes the marker too
+        shutil.rmtree(path, ignore_errors=True)
+        mem.blobs.pop(mem._k(os.path.join(path, "_retired")), None)
+
+    drop_generation(root, g1, delete_prefix=nuke_everything)
+    assert is_retired(p1)  # re-asserted: replays still refuse
+    with pytest.raises(ValueError, match="RETIRED"):
+        append_token_shards(_wave(spark, 300, 2, "w9"), p1, vocab)
+    from streaming_parquet_spark.operators.catalog import (
+        audit_generation,
+    )
+
+    gone = audit_generation(spark, root, g1)
+    assert gone["dropped"] and gone["ok"] is None
+
+
+def test_s3_client_retries_conditional_conflict():
+    """409 ConditionalRequestConflict means BOTH racing PUTs may have
+    failed (AWS documents it retryable) — the adapter must retry, not
+    report a loss that would leave no marker at all (review r13)."""
+    import io
+
+    import streaming_parquet_spark.operators.catalog as C
+
+    class _Err(Exception):
+        def __init__(self, code):
+            self.response = {"Error": {"Code": code}}
+
+    class _FlakyBoto:
+        """First two conditional PUTs conflict; the third succeeds."""
+
+        def __init__(self):
+            self.objects = {}
+            self.attempts = 0
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            self.attempts += 1
+            if self.attempts <= 2:
+                raise _Err("ConditionalRequestConflict")
+            if Key in self.objects:
+                raise _Err("PreconditionFailed")
+            self.objects[Key] = Body
+
+        def head_object(self, Bucket, Key):
+            if Key not in self.objects:
+                raise _Err("404")
+
+        def get_object(self, Bucket, Key):
+            return {"Body": io.BytesIO(self.objects[Key])}
+
+    flaky = _FlakyBoto()
+    client = C.S3ObjectClient(flaky, "bkt")
+    assert client.put_if_absent("k", "v") is True
+    assert flaky.attempts == 3
+    # a second put genuinely loses (412), no retry storm
+    assert client.put_if_absent("k", "w") is False
+
+    class _AlwaysConflict(_FlakyBoto):
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            raise _Err("ConditionalRequestConflict")
+
+    undecidable = C.S3ObjectClient(_AlwaysConflict(), "bkt",
+                                   put_retries=2)
+    with pytest.raises(RuntimeError, match="cannot decide"):
+        undecidable.put_if_absent("k2", "v")
+    # ...but if the key turns out to exist, the race was simply lost
+    winner = _AlwaysConflict()
+    winner.objects["k3"] = b"x"
+    assert C.S3ObjectClient(winner, "bkt",
+                            put_retries=2).put_if_absent("k3", "v") is False
+
+
 def test_marker_plane_free_of_direct_os(monkeypatch):
     """The protocol's marker logic must stay implementable on an
     object store: no direct filesystem calls outside PosixMarkerStore

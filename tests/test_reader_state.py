@@ -326,6 +326,51 @@ def test_elastic_migration_property(spark, corpus):
         )
 
 
+def test_reader_state_survives_json_checkpoint(spark, corpus):
+    """The bundle's documented life is a trainer checkpoint: a
+    json.dumps/loads round trip (tuples -> lists) must still resume —
+    including the elastic-migration 'consumed' identity field
+    (review r13)."""
+    import json
+
+    from streaming_parquet_spark.operators.pipeline import (
+        migrate_rank_cursors,
+    )
+
+    vocab, paths, keys, _other = corpus
+    path = paths["web"]
+    snap = keys["web"]
+    mig = migrate_rank_cursors(spark, path, 2, {0: 2, 1: 1}, 2,
+                               snapshot=snap)
+    df, _c, state = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=snap,
+        consumed=mig[0], with_state=True,
+    )
+    n = df.count()
+    ck = json.loads(json.dumps(advance_reader_state(state, 1)))
+    via_state, _ = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=snap,
+        consumed=mig[0], state=ck,
+    )
+    assert via_state.count() == df.where("pos >= 1").count()
+    # and omitting the consumed watermark at resume refuses
+    with pytest.raises(ValueError, match="does not resume here"):
+        read_rank_shards(spark, path, 0, 2, vocab_ids=vocab,
+                         snapshot=snap, state=ck)
+    # mixture bundles round-trip too
+    df2, _c2, st2 = read_mixture_shards(
+        spark, paths, {"web": 2, "code": 1}, vocab_ids=vocab,
+        snapshots=keys, with_state=True,
+    )
+    rows = _rows(df2, ["mix_key"])
+    ck2 = json.loads(json.dumps(advance_reader_state(st2, rows[0][0])))
+    resumed, _ = read_mixture_shards(
+        spark, paths, {"web": 2, "code": 1}, vocab_ids=vocab,
+        snapshots=keys, state=ck2,
+    )
+    assert resumed.count() == len(rows) - 1
+
+
 def test_reader_state_property(spark, corpus):
     """Hypothesis: for ANY (world, rank, weights, epoch, cut), the
     state-bundle resume is bit-identical to the raw-cursor resume,
