@@ -211,6 +211,52 @@ def main():
     ]
     print(f"epoch-2 order for rank 0 starts at shards {first}")
 
+    # ------------------------- checkpoint, preempt, resize, resume
+    # (r13) the trainer checkpoints a SELF-VALIDATING state bundle —
+    # cursor + a fingerprint over (effective shard set, rank/world,
+    # vocabulary) — so a resume under ANY changed identity refuses
+    # loudly instead of silently reading the wrong windows; the
+    # bundle survives a JSON checkpoint round trip.
+    import json as _json
+
+    from streaming_parquet_spark.operators.pipeline import (
+        advance_reader_state,
+        migrate_rank_cursors,
+    )
+
+    r0, _c, state = read_rank_shards(
+        spark, shards, 0, 4, ids, snapshot=snap, with_state=True
+    )
+    consumed_r0 = 3  # pretend rank 0 consumed positions 0..2
+    ckpt = _json.loads(
+        _json.dumps(advance_reader_state(state, consumed_r0))
+    )
+    resumed, _ = read_rank_shards(
+        spark, shards, 0, 4, ids, snapshot=snap, state=ckpt
+    )
+    assert resumed.count() == r0.count() - consumed_r0
+    try:
+        read_rank_shards(spark, shards, 0, 8, ids, snapshot=snap,
+                         state=ckpt)
+        raise AssertionError("foreign-world cursor resumed silently")
+    except ValueError as exc:
+        assert "does not resume here" in str(exc)
+    # the cluster resizes 4 -> 3 MID-EPOCH: per-rank positions
+    # collapse to per-shard watermarks (pure manifest math) and
+    # re-express under the new world — the epoch still completes
+    # exactly once
+    mig = migrate_rank_cursors(
+        spark, shards, 4, {0: consumed_r0}, 3, snapshot=snap
+    )
+    remaining = sum(
+        read_rank_shards(spark, shards, r, 3, ids, snapshot=snap,
+                         consumed=mig[r])[0].count()
+        for r in range(3)
+    )
+    assert remaining == total - consumed_r0
+    print(f"resized 4 -> 3 ranks mid-epoch: {remaining} windows left "
+          f"after {consumed_r0} consumed — still exactly once")
+
     # --------------------------------------- retire the wave shards
     # months of small per-wave shards compact into training-sized
     # units in a NEW generation; the swap is compact -> verify ->
