@@ -378,6 +378,7 @@ class Engine:
 
         passthrough_cols = self._passthrough_columns(spec, files, schemas)
         if passthrough_cols is not None:
+            max_records = self._rolling_records(spec, files)
             sink = transcode_parquet(
                 self.spark,
                 [(f.path, f.size) for f in files],
@@ -385,7 +386,10 @@ class Engine:
                 passthrough_cols,
                 compression=spec.compression,
                 zstd_level=spec.zstd_level,
-                max_records_per_file=self._rolling_records(spec, files),
+                max_records_per_file=max_records,
+                # mirror write_parquet exactly: single-file ergonomics
+                # apply only when no roll threshold asks for parts
+                single_file=spec.single_file and max_records is None,
             )
             # Exact accounting from the INPUT footers: a transcode
             # preserves rows by contract, and count-verify must
@@ -520,12 +524,13 @@ class Engine:
         the data through Spark's writer — or None to take the Catalyst
         plan. The conditions mirror align_dataframe's no-op case: any
         rename, implied cast, null-fill, widening, or non-parquet side
-        disqualifies, as do single-file mode (coalesce semantics),
-        partitioned output, and content verify (whose checksum must
-        observe the write pass)."""
+        disqualifies, as do partitioned output and content verify
+        (whose checksum must observe the write pass). Single-file mode
+        stays eligible — the transcoder has its own one-writer path
+        with the same serialized semantics as ``coalesce(1)``."""
         if spec.resolve_out_format() != "parquet":
             return None
-        if spec.single_file or spec.partition_by:
+        if spec.partition_by:
             return None
         if spec.verify and spec.verify_mode == "content":
             return None

@@ -378,11 +378,18 @@ def transcode_parquet(
     compression: str = "none",
     zstd_level: int = 3,
     max_records_per_file: int | None = None,
+    single_file: bool = False,
 ) -> SinkResult:
     """Columnar passthrough parquet sink: distribute whole input files
     to tasks (LPT-packed by size) and transcode each with pyarrow —
     decode column chunks, re-encode with the target codec — without
     row-pivoting 10^7s of rows through Spark's row-oriented writer.
+
+    ``single_file`` (the CLI's DEFAULT ergonomics) streams every input
+    through ONE task into one output file named exactly ``out_path``
+    — the same serialized single-writer semantics the Spark path's
+    ``coalesce(1)`` has, minus the row pivot (~5x on the bench VM:
+    the coalesced plan decodes AND re-encodes in one JVM thread).
 
     Why this exists: profiled on the conversion bench, Spark's
     InternalRow parquet write path runs ~5x slower per core than the
@@ -402,16 +409,20 @@ def transcode_parquet(
     mapPartitions-as-last-resort case: a vectorized file transcode is
     not expressible through Spark's row-based writer."""
     sc = spark.sparkContext
-    par = sc.defaultParallelism or 1
-    n_bins = max(1, min(len(files), 4 * par))
-    # LPT: largest file first onto the least-loaded bin.
-    bins: list[list[str]] = [[] for _ in range(n_bins)]
-    loads = [0] * n_bins
-    for path, size in sorted(files, key=lambda fs: -fs[1]):
-        b = loads.index(min(loads))
-        bins[b].append(path)
-        loads[b] += size
-    bins = [b for b in bins if b]
+    if single_file:
+        # one ordered bin = one writer task = one output file
+        bins: list[list[str]] = [[p for p, _s in files]]
+    else:
+        par = sc.defaultParallelism or 1
+        n_bins = max(1, min(len(files), 4 * par))
+        # LPT: largest file first onto the least-loaded bin.
+        bins = [[] for _ in range(n_bins)]
+        loads = [0] * n_bins
+        for path, size in sorted(files, key=lambda fs: -fs[1]):
+            b = loads.index(min(loads))
+            bins[b].append(path)
+            loads[b] += size
+        bins = [b for b in bins if b]
 
     tmp = _tmp_out_dir(out_path)
     tasks = list(enumerate(bins))
@@ -438,7 +449,10 @@ def transcode_parquet(
             os.path.join(tmp, "part-00000-0000.parquet"),
             compression=_ARROW_CODECS[compression],
         )
-    sink = _finalize_rolling(tmp, out_path, ".parquet")
+    if single_file:
+        sink = _finalize_single_file(tmp, out_path, ".parquet")
+    else:
+        sink = _finalize_rolling(tmp, out_path, ".parquet")
     sink.via = "columnar-passthrough"
     return sink
 

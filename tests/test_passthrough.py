@@ -115,6 +115,40 @@ def test_fast_path_include_exclude_subset(engine, spark, tmp_path):
     assert [f.name for f in fs.fields] == ["id", "name", "val"]
 
 
+def test_fast_path_single_file_matches_coalesced_plan(engine, spark, tmp_path):
+    """The CLI DEFAULT (one output file) is passthrough-eligible: one
+    writer task streams every input into exactly out_path — same
+    serialized semantics as the Spark path's coalesce(1), same values
+    (content verify forces the slow twin for comparison)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(3):
+        _mk_parquet(str(d / f"f{i}.parquet"), n=20, offset=20 * i)
+    out = str(tmp_path / "one.parquet")
+    fast = engine.run(RunSpec(inputs=[str(d)], out=out))  # defaults
+    assert fast.output.via == "columnar-passthrough"
+    assert fast.output.paths == [out]
+    assert fast.output.files_written == 1
+    assert fast.rows == 60
+    slow = engine.run(
+        RunSpec(inputs=[str(d)], out=str(tmp_path / "two.parquet"),
+                verify=True, verify_mode="content")
+    )
+    assert slow.output.via == "spark" and slow.verified is True
+    fs, fr = _rows(spark, fast.output.paths)
+    ss, sr = _rows(spark, slow.output.paths)
+    assert fs == ss and fr == sr
+    # single_file + a roll threshold = rolling parts, same as the
+    # Spark writer's precedence
+    rolled = engine.run(
+        RunSpec(inputs=[str(d)], out=str(tmp_path / "r.parquet"),
+                roll_by_rows=25)
+    )
+    assert rolled.output.via == "columnar-passthrough"
+    assert rolled.output.files_written > 1
+    assert os.path.basename(rolled.output.paths[0]) == "r-0000.parquet"
+
+
 def test_fast_path_zstd_codec(engine, tmp_path):
     d = tmp_path / "in"
     d.mkdir()
@@ -161,7 +195,6 @@ def test_fast_path_empty_inputs_write_schema_file(engine, spark, tmp_path):
     [
         {"rename": {"id": "ident"}},          # rename => alignment
         {"verify": True, "verify_mode": "content"},  # checksum rides write
-        {"single_file": True},                # coalesce(1) semantics
         {"compression": "lz4crap"},           # unsupported codec -> slow raise
     ],
 )
@@ -169,9 +202,8 @@ def test_disqualified_specs_take_catalyst_plan(engine, tmp_path, kwargs):
     d = tmp_path / "in"
     d.mkdir()
     _mk_parquet(str(d / "a.parquet"), n=10)
-    single = kwargs.pop("single_file", False)
     spec = RunSpec(inputs=[str(d)], out=str(tmp_path / "o.parquet"),
-                   single_file=single, **kwargs)
+                   single_file=False, **kwargs)
     if spec.compression == "lz4crap":
         with pytest.raises(ValueError):
             engine.run(spec)
