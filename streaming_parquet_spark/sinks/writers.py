@@ -409,6 +409,13 @@ def transcode_parquet(
     mapPartitions-as-last-resort case: a vectorized file transcode is
     not expressible through Spark's row-based writer."""
     sc = spark.sparkContext
+    if not files:
+        raise ValueError("transcode_parquet: no input files")
+    # Same precedence as every sibling writer (write_parquet etc.):
+    # a roll threshold overrides single-file ergonomics — finalizing
+    # a rolled multi-part tmp as ONE file would silently keep only
+    # the first part.
+    single_file = single_file and max_records_per_file is None
     if single_file:
         # one ordered bin = one writer task = one output file
         bins: list[list[str]] = [[p for p, _s in files]]

@@ -256,3 +256,25 @@ def test_csv_inputs_take_catalyst_plan(engine, tmp_path):
                 single_file=False)
     )
     assert res.output.via == "spark"
+
+
+def test_transcode_api_precedence_and_empty_inputs(engine, spark, tmp_path):
+    """Public-API hardening (review r13): transcode_parquet resolves
+    single_file vs a roll threshold with the sibling writers'
+    precedence (rolling wins — finalizing rolled parts as one file
+    would silently truncate), and refuses an empty file list."""
+    from streaming_parquet_spark.sinks.writers import transcode_parquet
+
+    d = tmp_path / "in"
+    d.mkdir()
+    _mk_parquet(str(d / "a.parquet"), n=25)
+    files = [(str(d / "a.parquet"), os.path.getsize(str(d / "a.parquet")))]
+    sink = transcode_parquet(
+        spark, files, str(tmp_path / "o.parquet"),
+        ["id", "name", "ts", "val"],
+        max_records_per_file=10, single_file=True,
+    )
+    counts = [pq.ParquetFile(p).metadata.num_rows for p in sink.paths]
+    assert sum(counts) == 25 and len(counts) == 3
+    with pytest.raises(ValueError, match="no input files"):
+        transcode_parquet(spark, [], str(tmp_path / "e.parquet"), ["id"])
