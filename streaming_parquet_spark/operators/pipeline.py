@@ -3505,7 +3505,11 @@ def read_mixture_rank(
       weights, epoch, vocabulary, and each set's rank-local effective
       shard set fingerprinted together; resuming with ``state=``
       refuses any disagreeing field instead of trusting the raw
-      cursor.  ``epoch`` permutes within the rank-local position
+      cursor.  The identity is rank-LOCAL on purpose: a global pin
+      change that only touches OTHER ranks' shards leaves this
+      rank's positional space bit-identical, and its resume is
+      accepted — the ranks whose slices actually changed refuse, so
+      a launcher remint is still forced before the world can drift.  ``epoch`` permutes within the rank-local position
       space — ranks stay disjoint, so the bijection argument is
       unchanged.
 

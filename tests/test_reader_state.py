@@ -433,7 +433,20 @@ def test_reader_state_property(spark, corpus):
         elif mutation == "epoch":
             m_epoch = 0 if epoch is None else epoch + 1
         else:
-            m_snaps = {"web": keys["web"][:-1], "code": keys["code"]}
+            # The mixture_rank identity is RANK-LOCAL by design:
+            # dropping a pinned shard that only OTHER ranks hold
+            # leaves this rank's slice (and positional space)
+            # bit-identical, and resuming it is legitimately safe.
+            # To demand a refusal, drop a shard THIS rank holds —
+            # its effective set fingerprint must then change.
+            # rows are (mix_key, mix_source, src, win)
+            held_name, held_shard = rows[0][1], rows[0][2]
+            m_snaps = dict(keys)
+            m_snaps[held_name] = [
+                k for k in keys[held_name] if k != held_shard
+            ]
+            if not m_snaps[held_name]:
+                return  # can't empty a set's pin; nothing to mutate
         with pytest.raises(ValueError, match="does not resume here"):
             read_mixture_rank(
                 spark, paths, m_weights, m_rank, m_world,
