@@ -377,13 +377,19 @@ class Engine:
         schemas = self.probe_schemas(files, spec)
 
         passthrough_cols = self._passthrough_columns(spec, files, schemas)
-        if passthrough_cols is not None:
+        passthrough_schema = (
+            self._passthrough_arrow_schema(files, passthrough_cols)
+            if passthrough_cols is not None
+            else None
+        )
+        if passthrough_cols is not None and passthrough_schema is not None:
             max_records = self._rolling_records(spec, files)
             sink = transcode_parquet(
                 self.spark,
                 [(f.path, f.size) for f in files],
                 spec.out,
                 passthrough_cols,
+                arrow_schema=passthrough_schema,
                 compression=spec.compression,
                 zstd_level=spec.zstd_level,
                 max_records_per_file=max_records,
@@ -557,6 +563,98 @@ class Engine:
                 if by_name.get(name) != target:
                     return None  # missing column or implied cast
         return cols
+
+    @staticmethod
+    def _passthrough_arrow_schema(files: list[InputFile], cols: list[str]):
+        """Arrow-level second half of the passthrough gate: returns the
+        ONE canonical ``pyarrow.Schema`` every transcode bin must write,
+        or None to take the Catalyst plan.
+
+        The Spark-type check above is necessary but not sufficient — it
+        compares probe-derived StructTypes, and two hazards live below
+        that level (ADVICE r13):
+
+        * **Probe/reader divergence.** The footer probe maps parquet
+          INT96 to timestamp[ns] -> TimestampNTZ, but Spark's own reader
+          yields session-tz TIMESTAMP_LTZ for INT96 — so "no cast
+          needed" is wrong, the Catalyst plan would produce different
+          values, and worse, pyarrow re-encodes INT96 as INT64
+          TIMESTAMP(NANOS), which Spark 4 refuses to read at all
+          (PARQUET_TYPE_ILLEGAL). Same story for native ns timestamps
+          and for unsigned ints (Spark reads UINT64 as DECIMAL(20,0)
+          while the probe folds it into LongType). Any such type,
+          anywhere in a gated column's nesting, disqualifies.
+        * **Per-bin schema drift.** Distinct Arrow types can collapse to
+          one Spark type (string vs large_string, timestamp units), so a
+          bin-local "first file wins" schema could emit an output
+          directory whose parts disagree physically — and cast() between
+          them can truncate. The gate therefore requires every file's
+          Arrow type to be IDENTICAL per gated column and hands the one
+          canonical schema to every bin; anything short of identical
+          falls back to Catalyst, which unifies losslessly by
+          construction.
+
+        Footer-only reads, fanned over a driver thread pool — the same
+        cost class as the schema probe that already ran."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want = set(cols)
+
+        def _spark_hostile(t: pa.DataType) -> bool:
+            # Types whose transcoded output Spark cannot read back, or
+            # whose probe mapping disagrees with Spark's reader.
+            if pa.types.is_timestamp(t) and t.unit == "ns":
+                return True
+            if pa.types.is_unsigned_integer(t):
+                return True
+            if (
+                pa.types.is_list(t)
+                or pa.types.is_large_list(t)
+                or pa.types.is_fixed_size_list(t)
+            ):
+                return _spark_hostile(t.value_type)
+            if pa.types.is_struct(t):
+                return any(_spark_hostile(t.field(i).type) for i in range(t.num_fields))
+            if pa.types.is_map(t):
+                return _spark_hostile(t.key_type) or _spark_hostile(t.item_type)
+            return False
+
+        def _probe(path: str):
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            pqs = md.schema
+            int96_roots = {
+                pqs.column(i).path.split(".", 1)[0]
+                for i in range(md.num_columns)
+                if pqs.column(i).physical_type == "INT96"
+            }
+            arrow = pf.schema_arrow
+            return int96_roots, {
+                name: arrow.field(name) for name in arrow.names if name in want
+            }
+
+        try:
+            with ThreadPoolExecutor(max_workers=min(32, len(files))) as pool:
+                probes = list(pool.map(lambda f: _probe(f.path), files))
+        except Exception:
+            return None  # unreadable footer: let the Spark path report it
+        canonical: dict[str, pa.Field] = {}
+        for int96_roots, fields in probes:
+            if int96_roots & want:
+                return None  # Spark reads INT96 as LTZ; the probe said NTZ
+            for name in cols:
+                fld = fields.get(name)
+                if fld is None or _spark_hostile(fld.type):
+                    return None
+                prev = canonical.get(name)
+                if prev is None:
+                    canonical[name] = fld.with_nullable(True)
+                elif prev.type != fld.type:
+                    return None  # same Spark type, different Arrow type
+        return pa.schema([canonical[name] for name in cols])
 
     @staticmethod
     def _parquet_rows(paths: list[str]) -> int:

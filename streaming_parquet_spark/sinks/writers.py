@@ -289,22 +289,25 @@ def _transcode_bin(
     codec: str,
     zstd_level: int,
     columns: list[str],
+    out_schema,
     max_records: int | None,
 ) -> tuple[int, int, int]:
     """Executor-side body of the columnar passthrough: transcode one
     bin of parquet files row-group-at-a-time through pyarrow's C++
     encoder. Never materializes more than one decoded row group;
     preserves the input's row grouping (the reference's pq->pq is the
-    same arrow-level copy, writer_parquet.rs:42-101). Returns
+    same arrow-level copy, writer_parquet.rs:42-101). ``out_schema`` is
+    the ONE canonical Arrow schema the driver computed from every input
+    footer (Engine._passthrough_arrow_schema) — bins must not derive
+    their own from whichever file lands first, or parts of one output
+    directory could disagree physically (ADVICE r13). Returns
     (files_written, rows, bytes)."""
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     arrow_codec = _ARROW_CODECS[codec]
     level = zstd_level if arrow_codec == "ZSTD" else None
 
     writer: pq.ParquetWriter | None = None
-    out_schema: pa.Schema | None = None
     seq = rows_in_file = files = total_rows = total_bytes = 0
     open_path: str | None = None
 
@@ -330,16 +333,6 @@ def _transcode_bin(
 
     for path in paths:
         pf = pq.ParquetFile(path)
-        if out_schema is None:
-            # All files passed the identical-schema gate; normalize to
-            # the sink's column order and all-nullable fields (Spark's
-            # writer emits every field optional) and drop source-side
-            # metadata (pandas index blobs etc.) the Spark path would
-            # not carry through.
-            src = pf.schema_arrow
-            out_schema = pa.schema(
-                [src.field(name).with_nullable(True) for name in columns]
-            )
         for rg in range(pf.metadata.num_row_groups):
             tbl = pf.read_row_group(rg, columns=columns)
             tbl = tbl.select(columns).cast(out_schema)
@@ -375,6 +368,7 @@ def transcode_parquet(
     files: list[tuple[str, int]],
     out_path: str,
     columns: list[str],
+    arrow_schema,
     compression: str = "none",
     zstd_level: int = 3,
     max_records_per_file: int | None = None,
@@ -437,22 +431,17 @@ def transcode_parquet(
     def _run(task: tuple[int, list[str]]) -> tuple[int, int, int]:
         return _transcode_bin(
             task[0], task[1], tmp, compression, zstd_level, columns,
-            max_records_per_file,
+            arrow_schema, max_records_per_file,
         )
 
     results = sc.parallelize(tasks, len(tasks)).map(_run).collect()
     if not any(r[0] for r in results):
         # Every input was empty: keep the sink contract (>=1 readable
         # output file carrying the schema) the Spark writer provides.
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        first = pq.ParquetFile(files[0][0]).schema_arrow
-        schema = pa.schema(
-            [first.field(name).with_nullable(True) for name in columns]
-        )
         pq.write_table(
-            schema.empty_table(),
+            arrow_schema.empty_table(),
             os.path.join(tmp, "part-00000-0000.parquet"),
             compression=_ARROW_CODECS[compression],
         )

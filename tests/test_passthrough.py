@@ -269,12 +269,168 @@ def test_transcode_api_precedence_and_empty_inputs(engine, spark, tmp_path):
     d.mkdir()
     _mk_parquet(str(d / "a.parquet"), n=25)
     files = [(str(d / "a.parquet"), os.path.getsize(str(d / "a.parquet")))]
+    names = ["id", "name", "ts", "val"]
+    src = pq.read_schema(files[0][0])
+    schema = pa.schema([src.field(n).with_nullable(True) for n in names])
     sink = transcode_parquet(
-        spark, files, str(tmp_path / "o.parquet"),
-        ["id", "name", "ts", "val"],
+        spark, files, str(tmp_path / "o.parquet"), names, schema,
         max_records_per_file=10, single_file=True,
     )
     counts = [pq.ParquetFile(p).metadata.num_rows for p in sink.paths]
     assert sum(counts) == 25 and len(counts) == 3
     with pytest.raises(ValueError, match="no input files"):
-        transcode_parquet(spark, [], str(tmp_path / "e.parquet"), ["id"])
+        transcode_parquet(
+            spark, [], str(tmp_path / "e.parquet"), ["id"],
+            pa.schema([pa.field("id", pa.int64())]),
+        )
+
+# ---------------------------------------------------------------------------
+# Arrow-level gate (Engine._passthrough_arrow_schema, ADVICE r13): types
+# the probe and Spark's reader disagree on — or whose transcoded output
+# Spark cannot read back — must take the Catalyst plan, and every bin
+# must write the ONE driver-computed canonical schema.
+# ---------------------------------------------------------------------------
+
+
+def test_int96_timestamps_take_catalyst_plan(engine, spark, tmp_path):
+    """Spark 4's DEFAULT parquet timestamp output is INT96: the Arrow
+    probe maps it to timestamp[ns] -> TimestampNTZ while Spark's own
+    reader yields TIMESTAMP_LTZ, and a pyarrow transcode would emit
+    INT64 TIMESTAMP(NANOS) — unreadable by Spark (PARQUET_TYPE_ILLEGAL).
+    The end-to-end repro from ADVICE r13: Spark-written timestamps must
+    fall back, and the output must read back equal to the input."""
+    import datetime as dt
+
+    d = tmp_path / "in"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 2, 12, 0, 0)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(10), type=pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(hours=i) for i in range(10)],
+                type=pa.timestamp("ns"),
+            ),
+        }),
+        str(d / "a.parquet"),
+        use_deprecated_int96_timestamps=True,
+    )
+    res = engine.run(
+        RunSpec(inputs=[str(d)], out=str(tmp_path / "o.parquet"),
+                single_file=False, verify=True)
+    )
+    assert res.output.via == "spark"
+    assert res.verified is True
+    # The output is Spark-readable and row-count-complete — the exact
+    # failure mode of the pre-fix passthrough was an unreadable sink.
+    assert spark.read.parquet(*res.output.paths).count() == 10
+
+
+def test_int64_nanos_timestamps_take_catalyst_plan(engine, spark, tmp_path):
+    """Native INT64 TIMESTAMP(NANOS) input: Spark's scan rejects the
+    type outright, so the passthrough must not fire (a verbatim copy
+    would emit an output Spark cannot read even when the input itself
+    already cannot be read — the gate falls back and lets the Spark
+    path surface its own error)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(5), type=pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000 + i for i in range(5)],
+                           type=pa.timestamp("ns")),
+        }),
+        str(d / "a.parquet"),
+        version="2.6", coerce_timestamps=None,
+    )
+    # gate refuses: Engine._passthrough_arrow_schema sees unit == ns
+    files = engine.discover(
+        RunSpec(inputs=[str(d)], out=str(tmp_path / "o.parquet"))
+    )
+    assert engine._passthrough_arrow_schema(files, ["id", "ts"]) is None
+
+
+def test_mixed_arrow_string_types_take_catalyst_plan(engine, spark, tmp_path):
+    """string and large_string both probe as Spark StringType, so the
+    Spark-type gate alone would fire and each bin's output schema could
+    depend on which file landed first (ADVICE r13, low). The Arrow gate
+    requires IDENTICAL Arrow types per column across all files."""
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array(range(5), type=pa.int64()),
+                  "s": pa.array(["a"] * 5, type=pa.string())}),
+        str(d / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array(range(5, 10), type=pa.int64()),
+                  "s": pa.array(["b"] * 5, type=pa.large_string())}),
+        str(d / "b.parquet"),
+        store_schema=True,
+    )
+    res = engine.run(
+        RunSpec(inputs=[str(d)], out=str(tmp_path / "o.parquet"),
+                single_file=False)
+    )
+    # Only disqualifying when the large_string survives the footer
+    # round-trip: pyarrow may normalize it to plain string in the
+    # parquet schema, in which case the copy is genuinely uniform.
+    probed = pq.read_schema(str(d / "b.parquet")).field("s").type
+    expected_via = (
+        "spark" if probed == pa.large_string() else "columnar-passthrough"
+    )
+    assert res.output.via == expected_via
+    got = spark.read.parquet(*res.output.paths)
+    assert got.count() == 10
+
+
+def test_unsigned_ints_take_catalyst_plan(engine, spark, tmp_path):
+    """Unsigned parquet ints read back under WIDER Spark types (UINT32
+    -> LongType); the probe cannot represent them, and a verbatim copy
+    would emit physical types the Spark writer itself never produces.
+    Conservative: fall back."""
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array(range(10), type=pa.uint32())}),
+        str(d / "a.parquet"),
+    )
+    res = engine.run(
+        RunSpec(inputs=[str(d)], out=str(tmp_path / "o.parquet"),
+                single_file=False)
+    )
+    assert res.output.via == "spark"
+    rows = sorted(r[0] for r in spark.read.parquet(*res.output.paths).collect())
+    assert rows == list(range(10))
+
+
+def test_eligible_timestamps_still_pass(engine, spark, tmp_path):
+    """Micros NTZ timestamps (pyarrow-written corpora) remain eligible
+    and round-trip value-equal to the Catalyst plan — the fix must not
+    disqualify the common case."""
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(2):
+        _mk_parquet(str(d / f"f{i}.parquet"), n=20, offset=20 * i)
+    fast, slow = _run_both(engine, tmp_path, {}, str(d))
+    assert fast.output.via == "columnar-passthrough"
+    assert slow.output.via == "spark"
+    fs, fr = _rows(spark, fast.output.paths)
+    ss, sr = _rows(spark, slow.output.paths)
+    assert fs == ss and fr == sr
+
+
+def test_all_bins_share_canonical_schema(engine, spark, tmp_path):
+    """Every output part of a multi-bin transcode carries the same
+    physical Arrow schema — the driver-computed canonical one."""
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(8):
+        _mk_parquet(str(d / f"f{i}.parquet"), n=30, offset=30 * i)
+    res = engine.run(
+        RunSpec(inputs=[str(d)], out=str(tmp_path / "o.parquet"),
+                single_file=False)
+    )
+    assert res.output.via == "columnar-passthrough"
+    schemas = {pq.read_schema(p).remove_metadata() for p in res.output.paths}
+    assert len(schemas) == 1
