@@ -439,8 +439,25 @@ def next_generation(
 
 
 def is_retired(path: str, store: MarkerStore | None = None) -> bool:
-    """Whether a shard-set path carries the catalog's retire marker."""
-    return _store(store).exists(os.path.join(path, RETIRED_MARKER))
+    """Whether a shard-set path carries the catalog's retire marker.
+
+    Checks the in-prefix ``_retired`` marker first, then — for paths
+    in the catalog's ``gen-NNNNNNNN`` layout — the out-of-prefix drop
+    tombstone ``_catalog/retired-NNNNNNNN``.  The tombstone exists to
+    close drop_generation's crash window: a bulk prefix delete can
+    erase the in-prefix marker along with the data, and a crash before
+    the re-assert would otherwise re-open the reclaimed generation to
+    producer appends (ADVICE r13)."""
+    store = _store(store)
+    if store.exists(os.path.join(path, RETIRED_MARKER)):
+        return True
+    m = _GEN_RE.match(os.path.basename(path.rstrip("/")))
+    if not m:
+        return False
+    root = os.path.dirname(path.rstrip("/"))
+    return store.exists(
+        os.path.join(_catalog_dir(root), f"retired-{int(m.group(1)):08d}")
+    )
 
 
 def _require_rank_pair(rank, world_size, caller: str) -> None:
@@ -761,6 +778,17 @@ def drop_generation(
             f"first (readers may still be pinned to it)"
         )
     if delete_prefix is not None:
+        # Tombstone FIRST, to a key the bulk delete cannot reach: if
+        # the process dies between the prefix delete and the in-prefix
+        # re-assert below, the generation would otherwise lose both its
+        # data and its retire marker, re-opening the reclaimed number
+        # to producer appends/replays (ADVICE r13).  is_retired checks
+        # this catalog-plane tombstone too, so the refusal stands
+        # through the whole window; put-if-absent keeps it idempotent.
+        store.put_if_absent(
+            os.path.join(_catalog_dir(root), f"retired-{gen:08d}"),
+            json.dumps({"retired_generation": gen}) + "\n",
+        )
         delete_prefix(path)
         # the hook may have bulk-deleted the in-prefix retire marker
         # along with the data (see docstring) — restore the dropped

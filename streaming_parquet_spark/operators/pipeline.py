@@ -2964,12 +2964,36 @@ def read_rank_shards(
     return windows, contract
 
 
+def _snapshot_filter_pairs(
+    srows, snapshot, path: str, caller: str
+) -> list:
+    """Restrict a sidecar snapshot's (shard, n_tokens) pairs to the
+    pinned ``snapshot`` — the ONE filter both halves of the elastic
+    migration use, so the unknown-key refusal cannot drift between
+    them (review r13: migrate silently dropped keys the watermark
+    half refused by name)."""
+    pairs = [(r["shard"], r["n_tokens"]) for r in srows]
+    if snapshot is None:
+        return pairs
+    if isinstance(snapshot, str):
+        return [p for p in pairs if p[0] <= snapshot]
+    want = set(snapshot)
+    missing = sorted(want - {p[0] for p in pairs})
+    if missing:
+        raise ValueError(
+            f"{caller}: snapshot keys {missing[:5]} are not in "
+            f"{path!r}'s sidecar"
+        )
+    return [p for p in pairs if p[0] in want]
+
+
 def consumed_shard_watermarks(
     spark,
     path: str,
     world_size: int,
     cursors: dict,
     snapshot: str | list | set | tuple | None = None,
+    _srows: list | None = None,
 ) -> dict:
     """Collapse per-rank consumed prefixes under (snapshot,
     ``world_size``) into per-shard consumed-window counts — the
@@ -2999,23 +3023,15 @@ def consumed_shard_watermarks(
                 f"consumed_shard_watermarks: cursor rank {r} outside "
                 f"[0, {world_size})"
             )
-    _sidecar, srows, _contract = _sidecar_snapshot(
-        spark, path, "consumed_shard_watermarks"
-    )
-    pairs = [(r["shard"], r["n_tokens"]) for r in srows]
+    if _srows is None:
+        _sidecar, _srows, _contract = _sidecar_snapshot(
+            spark, path, "consumed_shard_watermarks"
+        )
+    srows = _srows
     counts = {r["shard"]: int(r["n_windows"]) for r in srows}
-    if snapshot is not None:
-        if isinstance(snapshot, str):
-            pairs = [p for p in pairs if p[0] <= snapshot]
-        else:
-            want = set(snapshot)
-            missing = sorted(want - {p[0] for p in pairs})
-            if missing:
-                raise ValueError(
-                    f"consumed_shard_watermarks: snapshot keys "
-                    f"{missing[:5]} are not in {path!r}'s sidecar"
-                )
-            pairs = [p for p in pairs if p[0] in want]
+    pairs = _snapshot_filter_pairs(
+        srows, snapshot, path, "consumed_shard_watermarks"
+    )
     # ONE assignment for the whole world (it is a pure function of
     # (pairs, world_size)); re-running it per cursor entry would make
     # this O(ranks * S log S) driver work for no reason (review r13)
@@ -3083,19 +3099,17 @@ def migrate_rank_cursors(
     the resume identity when combined with ``with_state=True`` —
     a later checkpoint under the new world refuses to resume without
     it."""
-    marks = consumed_shard_watermarks(
-        spark, path, old_world, cursors, snapshot=snapshot
-    )
     _sidecar, srows, _contract = _sidecar_snapshot(
         spark, path, "migrate_rank_cursors"
     )
-    pairs = [(r["shard"], r["n_tokens"]) for r in srows]
-    if snapshot is not None:
-        if isinstance(snapshot, str):
-            pairs = [p for p in pairs if p[0] <= snapshot]
-        else:
-            want = set(snapshot)
-            pairs = [p for p in pairs if p[0] in want]
+    # ONE sidecar collect feeds both halves (review r13: the watermark
+    # call re-collected the same snapshot a second time)
+    marks = consumed_shard_watermarks(
+        spark, path, old_world, cursors, snapshot=snapshot, _srows=srows
+    )
+    pairs = _snapshot_filter_pairs(
+        srows, snapshot, path, "migrate_rank_cursors"
+    )
     out: dict = {r: {} for r in range(int(new_world))}
     for shard, r, _w in _lpt_assign(pairs, int(new_world)):
         if shard in marks:

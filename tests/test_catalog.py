@@ -668,6 +668,50 @@ def test_delete_prefix_reasserts_retire_marker(spark, tmp_path, monkeypatch):
     assert gone["dropped"] and gone["ok"] is None
 
 
+def test_drop_crash_between_delete_and_reassert_keeps_refusal(
+    spark, tmp_path, monkeypatch
+):
+    """The crash window ADVICE r13 named: the process dies AFTER the
+    bulk prefix delete (which removed the in-prefix retire marker)
+    but BEFORE the re-assert.  drop_generation now tombstones the
+    retirement at ``_catalog/retired-N`` — outside the generation
+    prefix, unreachable by the bulk delete — BEFORE deleting, so the
+    refusal stands through the whole window and a retried drop is a
+    no-op."""
+    import shutil
+
+    import streaming_parquet_spark.operators.catalog as C
+
+    mem = _MemMarkerStore()
+    monkeypatch.setattr(C, "DEFAULT_STORE", mem)
+    root = str(tmp_path / "cat")
+    vocab = _vocab(spark)
+    g1, p1 = next_generation(root)
+    write_token_shards(
+        _wave(spark, 0, 6, "w0"), p1, vocab, budget=16, shard_col="src"
+    )
+    publish_generation(spark, root, g1, vocab_ids=vocab)
+    promote_compaction(spark, root, n_shards=1, vocab_ids=vocab)
+
+    def nuke_then_die(path):
+        shutil.rmtree(path, ignore_errors=True)
+        mem.blobs.pop(mem._k(os.path.join(path, "_retired")), None)
+        raise RuntimeError("simulated crash mid-drop")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        drop_generation(root, g1, delete_prefix=nuke_then_die)
+    # in-prefix marker is gone, yet the tombstone keeps the refusal up
+    assert not mem.exists(os.path.join(p1, "_retired"))
+    assert is_retired(p1)
+    with pytest.raises(ValueError, match="RETIRED"):
+        append_token_shards(_wave(spark, 300, 2, "w9"), p1, vocab)
+    # the retried drop completes and re-asserts the in-prefix marker
+    drop_generation(root, g1,
+                    delete_prefix=lambda p: shutil.rmtree(p, True))
+    assert mem.exists(os.path.join(p1, "_retired"))
+    assert is_retired(p1)
+
+
 def test_s3_client_retries_conditional_conflict():
     """409 ConditionalRequestConflict means BOTH racing PUTs may have
     failed (AWS documents it retryable) — the adapter must retry, not

@@ -325,6 +325,15 @@ def test_elastic_migration_property(spark, corpus):
             spark, path, 2, {0: 10**6}, 3, snapshot=snap
         )
 
+    # refusal parity (review r13): unknown snapshot keys refuse BY
+    # NAME through both halves of the migration — migrate used to
+    # silently drop keys the watermark half refused
+    with pytest.raises(ValueError, match="not in"):
+        migrate_rank_cursors(
+            spark, path, 2, {0: 0}, 3,
+            snapshot=set(snap) | {"no-such-shard"},
+        )
+
 
 def test_reader_state_survives_json_checkpoint(spark, corpus):
     """The bundle's documented life is a trainer checkpoint: a
