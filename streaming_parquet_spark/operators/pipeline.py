@@ -2694,7 +2694,10 @@ def shard_snapshot(spark, path: str) -> list[str]:
 
 #: reader-state bundle format version (bump on layout change so a
 #: pickled state from a future layout refuses instead of misreading)
-READER_STATE_VERSION = 1
+#: v2: mixture identities gained the "consumed" watermark field
+#: (elastic mixture resize) — a v1 mixture bundle would otherwise
+#: refuse with a confusing field-mismatch instead of "re-mint"
+READER_STATE_VERSION = 2
 
 
 def _state_fp(payload) -> str:
@@ -3117,6 +3120,215 @@ def migrate_rank_cursors(
     return out
 
 
+def consumed_mixture_watermarks(
+    spark,
+    sets: dict,
+    weights: dict,
+    world_size: int,
+    cursors: dict,
+    snapshots: dict | None = None,
+    epoch: int | None = None,
+    _srows_by: dict | None = None,
+) -> dict:
+    """Collapse per-rank consumed MIXTURE prefixes under
+    ((sets, weights, snapshots), ``world_size``) into per-set,
+    per-shard consumed-window counts — the world-size-free
+    representation of mid-epoch mixture progress, and the first half
+    of :func:`migrate_mixture_cursors` (VERDICT r13 item 1: the
+    single-set collapse, applied once per set).
+
+    Why this is exact, in two steps.  (1) A rank consuming its
+    stream in ``mix_key`` order up to cursor ``k`` has consumed, of
+    set ``i`` (sorted-name index) with stride ``stride_i``, exactly
+    the windows with ``(pos+1)*stride_i*n_sets + i <= k`` — i.e. the
+    first ``floor((k - i) / (stride_i * n_sets))`` rank-local
+    positions of that set (clamped to the rank's total): the
+    interleave key is a strictly increasing function of each set's
+    position, so a key prefix IS a per-set position prefix.  Pure
+    integer arithmetic — no data scan.  (2) Each set's rank-local
+    position order is (shard asc by string key, win asc) over the
+    rank's LPT key slice — the same pinned order the single-set
+    reader positions — so the per-set prefix collapses to per-shard
+    watermarks, and the union over ranks (disjoint slices per set)
+    is the set's full watermark dict.  Exactly the
+    :func:`consumed_shard_watermarks` argument, once per set.
+
+    ``cursors`` maps rank -> last consumed ``mix_key``
+    (RANK-LOCAL, :func:`read_mixture_rank` semantics; missing ranks
+    consumed nothing); a cursor past its rank's largest key raises —
+    wrong (sets, weights, snapshots, world) for these cursors.
+
+    ``epoch`` must be None: an epoch-permuted mixture's consumed
+    prefix maps to SCATTERED original positions (the affine bijection
+    runs before the stride schedule), which no per-shard watermark
+    can express — and the permutation parameters are functions of
+    each rank's local total, so they do not survive a resize either.
+    The refusal names the recipe: pause at an epoch boundary and
+    resize there, or finish the epoch under the old world, or restart
+    the epoch under the new world (the loss is at most one partial
+    epoch's ordering, never data).
+
+    Returns ``{set_name: {shard: consumed_count}}`` (sets with no
+    consumption map to ``{}``)."""
+    import math
+
+    if int(world_size) < 1:
+        raise ValueError(
+            f"consumed_mixture_watermarks: world_size must be >= 1 "
+            f"(got {world_size})"
+        )
+    if epoch is not None:
+        raise ValueError(
+            "consumed_mixture_watermarks: an epoch-permuted mixture's "
+            "consumed prefix is not expressible as per-shard "
+            "watermarks (the affine within-set permutation scatters "
+            "it, and its parameters depend on each rank's local "
+            "total) — resize at an epoch boundary, finish the epoch "
+            "under the old world, or restart the epoch under the new "
+            "world"
+        )
+    names = sorted(sets)
+    if not names:
+        raise ValueError("consumed_mixture_watermarks: no sets given")
+    if sorted(weights) != names:
+        raise ValueError(
+            f"consumed_mixture_watermarks: sets and weights must "
+            f"carry the same names (sets {names}, weights "
+            f"{sorted(weights)})"
+        )
+    w = {}
+    for n in names:
+        w[n] = int(weights[n])
+        if w[n] < 1:
+            raise ValueError(
+                f"consumed_mixture_watermarks: weight for {n!r} must "
+                f"be a positive integer (got {weights[n]!r})"
+            )
+    for r in cursors:
+        if not (0 <= int(r) < int(world_size)):
+            raise ValueError(
+                f"consumed_mixture_watermarks: cursor rank {r} "
+                f"outside [0, {world_size})"
+            )
+    lcm = math.lcm(*w.values())
+    n_sets = len(names)
+    counts_by: dict = {}
+    rank_keys: dict = {n: {} for n in names}
+    for n in names:
+        if _srows_by is not None and n in _srows_by:
+            srows = _srows_by[n]
+        else:
+            _sidecar, srows, _contract = _sidecar_snapshot(
+                spark, sets[n], "consumed_mixture_watermarks"
+            )
+        counts_by[n] = {r["shard"]: int(r["n_windows"]) for r in srows}
+        pairs = _snapshot_filter_pairs(
+            srows,
+            None if snapshots is None else snapshots.get(n),
+            sets[n], "consumed_mixture_watermarks",
+        )
+        # ONE LPT per set per world — a pure function of (pairs, W)
+        for shard, rr, _wt in _lpt_assign(pairs, int(world_size)):
+            rank_keys[n].setdefault(rr, []).append(shard)
+    out: dict = {n: {} for n in names}
+    for r, k in cursors.items():
+        k = int(k)
+        if k < 0:
+            raise ValueError(
+                f"consumed_mixture_watermarks: cursor for rank {r} "
+                f"must be >= 0 (got {k})"
+            )
+        max_key = 0
+        per_set: list = []
+        for i, n in enumerate(names):
+            stride = lcm // w[n]
+            mine = sorted(rank_keys[n].get(int(r), []))
+            total = sum(counts_by[n][sh] for sh in mine)
+            c = max(0, min(total, (k - i) // (stride * n_sets)))
+            per_set.append((n, mine, c))
+            if total:
+                max_key = max(max_key, total * stride * n_sets + i)
+        if k > max_key:
+            raise ValueError(
+                f"consumed_mixture_watermarks: rank {r}'s cursor {k} "
+                f"is past its largest key {max_key} under world_size "
+                f"{world_size} — wrong (sets, weights, snapshots, "
+                f"world) for these cursors"
+            )
+        for n, mine, c in per_set:
+            remaining = c
+            for sh in mine:
+                if remaining <= 0:
+                    break
+                take = min(counts_by[n][sh], remaining)
+                if take:
+                    out[n][sh] = take  # slices are disjoint per set
+                remaining -= take
+    return out
+
+
+def migrate_mixture_cursors(
+    spark,
+    sets: dict,
+    weights: dict,
+    old_world: int,
+    cursors: dict,
+    new_world: int,
+    snapshots: dict | None = None,
+    epoch: int | None = None,
+) -> dict:
+    """Elastic mid-epoch restart for a weighted MIXTURE (VERDICT r13
+    item 1): map the per-rank consumed ``mix_key`` cursors of a
+    ((sets, weights, snapshots), ``old_world``) run to per-rank
+    ``consumed`` watermark dicts under the same mixture at
+    ``new_world``, so a resized world resumes the SAME mixture epoch
+    with every window still read exactly once — pure manifest math
+    (one sidecar collect per set), no data scan, no added shuffle
+    (the watermarks ride the position machinery's existing broadcast
+    joins).
+
+    Usage::
+
+        mig = migrate_mixture_cursors(spark, sets, weights, W_old,
+                                      {r: key_r, ...}, W_new,
+                                      snapshots=snaps)
+        part, c = read_mixture_rank(spark, sets, weights, r2, W_new,
+                                    snapshots=snaps,
+                                    consumed=mig[r2])
+
+    Exactly-once (hypothesis-gated): the old ranks' consumed key
+    prefixes ⊎ the union over new ranks of the migrated reads = the
+    mixture's full window multiset, for ANY per-rank cut points and
+    any W_old/W_new.  ``epoch`` must be None — see
+    :func:`consumed_mixture_watermarks` for why and for the named
+    restart recipe.  Returns ``{new_rank: {set: {shard: count}}}``
+    with every new rank present (possibly all-empty)."""
+    names = sorted(sets)
+    # ONE sidecar collect per set feeds both halves (the single-set
+    # migration learned the same lesson, review r13)
+    srows_by = {
+        n: _sidecar_snapshot(spark, sets[n], "migrate_mixture_cursors")[1]
+        for n in names
+    }
+    marks = consumed_mixture_watermarks(
+        spark, sets, weights, old_world, cursors,
+        snapshots=snapshots, epoch=epoch, _srows_by=srows_by,
+    )
+    out: dict = {r: {} for r in range(int(new_world))}
+    for n in names:
+        if not marks[n]:
+            continue
+        pairs = _snapshot_filter_pairs(
+            srows_by[n],
+            None if snapshots is None else snapshots.get(n),
+            sets[n], "migrate_mixture_cursors",
+        )
+        for shard, r, _wt in _lpt_assign(pairs, int(new_world)):
+            if shard in marks[n]:
+                out[r].setdefault(n, {})[shard] = marks[n][shard]
+    return out
+
+
 #: past this many pinned shard keys, key filters switch from a
 #: literal IN-list to a broadcast semi-join (see _pinned_key_filter)
 _PIN_ISIN_LIMIT = 1024
@@ -3233,6 +3445,7 @@ def read_mixture_shards(
     pos_col: str = "mix_pos",
     state: dict | None = None,
     with_state: bool = False,
+    consumed: dict | None = None,
 ):
     """Weighted deterministic INTERLEAVE over N token-shard sets under
     ONE pinned vocabulary — the multi-set mixture read training
@@ -3334,6 +3547,23 @@ def read_mixture_shards(
                 f"positive integer (got {weights[n]!r}) — weights are "
                 f"PARTS, not floats; scale them up"
             )
+    if consumed is not None:
+        unknown = sorted(set(consumed) - set(names))
+        if unknown:
+            raise ValueError(
+                f"read_mixture_shards: consumed watermarks name sets "
+                f"{unknown[:5]} that are not in this mixture "
+                f"({names}) — wrong migration for these sets"
+            )
+        if epoch is not None:
+            raise ValueError(
+                "read_mixture_shards: consumed= cannot combine with "
+                "epoch= — watermarks describe prefixes of the pinned "
+                "(shard asc, win asc) order, and an epoch-permuted "
+                "mixture's consumed prefix is not a per-shard "
+                "watermark; no valid migration mints one (see "
+                "migrate_mixture_cursors)"
+            )
     real = {}
     for n in names:
         rp = _os.path.realpath(sets[n])
@@ -3403,6 +3633,7 @@ def read_mixture_shards(
         positioned, total = _with_window_positions(
             windows, sidecars[n], base, keys, pos_col,
             counts={r["shard"]: r["n_windows"] for r in snaps[n]},
+            consumed=None if consumed is None else consumed.get(n),
         )
         # integer-overflow guard on the key space: (pos+1) * stride *
         # n_sets must stay inside int64 (manifest-sized arithmetic,
@@ -3449,6 +3680,15 @@ def read_mixture_shards(
             "vocab": [base["vocab_size"], base["vocab_fp_a"],
                       base["vocab_fp_b"]],
             "cols": [name_col, key_col, pos_col],
+            # a migration watermark joins the resume identity, same
+            # as read_rank_shards: a state minted over the filtered
+            # stream must not resume an unfiltered one. JSON-stable
+            # nested lists, so a checkpointed bundle compares equal.
+            "consumed": None if consumed is None else sorted(
+                [n, str(k), int(v)]
+                for n, d in consumed.items()
+                for k, v in d.items()
+            ),
         }
         if state is not None:
             cursor = _validate_reader_state(
@@ -3484,6 +3724,7 @@ def read_mixture_rank(
     pos_col: str = "mix_pos",
     state: dict | None = None,
     with_state: bool = False,
+    consumed: dict | None = None,
 ):
     """One trainer rank's slice of a weighted MIXTURE — the composition
     ``read_mixture_shards``' docstring promises, made first-class:
@@ -3575,7 +3816,7 @@ def read_mixture_rank(
         spark, sets, weights, vocab_ids=vocab_ids,
         snapshots=rank_keys, cursor=None, epoch=epoch,
         name_col=name_col, key_col=key_col, pos_col=pos_col,
-        with_state=True,
+        with_state=True, consumed=consumed,
     )
     identity = {
         k: v for k, v in inner.items()

@@ -464,3 +464,154 @@ def test_reader_state_property(spark, corpus):
             )
 
     check()
+
+
+def test_mixture_elastic_migration_property(spark, corpus):
+    """Hypothesis (VERDICT r13 item 1): for ANY (W_old, per-rank
+    consumed mix_key cut points, W_new), the windows the old ranks
+    consumed ⊎ the union over new ranks of reads carrying the
+    migrated per-set watermarks = the mixture's full window multiset,
+    exactly once — the single-set elastic property at the composition
+    pretraining actually runs."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.pipeline import (
+        migrate_mixture_cursors,
+    )
+
+    vocab, paths, keys, _other = corpus
+    weights = {"web": 3, "code": 1}
+    cols = ["mix_source", "src", "win"]
+    # full rank streams in consumption (mix_key) order, per world
+    full = {}
+    for w in range(1, 5):
+        for r in range(w):
+            df, _ = read_mixture_rank(
+                spark, paths, weights, r, w, snapshots=keys
+            )
+            full.setdefault(w, {})[r] = sorted(
+                tuple(row[c] for c in ["mix_key"] + cols)
+                for row in df.collect()
+            )
+    world_all = sorted(t[1:] for t in full[1][0])
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        w_old=st.integers(1, 4),
+        w_new=st.integers(1, 4),
+        cutf=st.tuples(*[st.floats(0.0, 1.0)] * 4),
+    )
+    def check(w_old, w_new, cutf):
+        cursors, consumed = {}, []
+        for r in range(w_old):
+            rows = full[w_old][r]
+            c = int(cutf[r] * len(rows))
+            if c:
+                cursors[r] = rows[c - 1][0]  # last consumed mix_key
+                consumed += [t[1:] for t in rows[:c]]
+            # some ranks checkpoint nothing: leave them out of cursors
+        mig = migrate_mixture_cursors(
+            spark, paths, weights, w_old, cursors, w_new,
+            snapshots=keys,
+        )
+        assert sorted(mig) == list(range(w_new))
+        resumed = []
+        for r in range(w_new):
+            df, _ = read_mixture_rank(
+                spark, paths, weights, r, w_new, snapshots=keys,
+                consumed=mig[r],
+            )
+            resumed += [
+                tuple(row[c] for c in cols) for row in df.collect()
+            ]
+        assert sorted(consumed + resumed) == world_all
+
+    check()
+
+
+def test_mixture_migration_refusals(spark, corpus):
+    from streaming_parquet_spark.operators.pipeline import (
+        consumed_mixture_watermarks,
+        migrate_mixture_cursors,
+    )
+
+    vocab, paths, keys, _other = corpus
+    weights = {"web": 3, "code": 1}
+    # epoch-permuted prefixes are not watermarks: named refusal
+    with pytest.raises(ValueError, match="epoch boundary"):
+        migrate_mixture_cursors(
+            spark, paths, weights, 2, {0: 100}, 3,
+            snapshots=keys, epoch=1,
+        )
+    # a cursor past the rank's largest key refuses
+    with pytest.raises(ValueError, match="past its largest key"):
+        consumed_mixture_watermarks(
+            spark, paths, weights, 2, {0: 10**9}, snapshots=keys,
+        )
+    # the reader refuses watermarks naming a foreign set
+    with pytest.raises(ValueError, match="not in this mixture"):
+        read_mixture_shards(
+            spark, paths, weights, snapshots=keys,
+            consumed={"books": {"x": 1}},
+        )
+    # and refuses consumed= combined with epoch=
+    with pytest.raises(ValueError, match="cannot combine"):
+        read_mixture_shards(
+            spark, paths, weights, snapshots=keys, epoch=1,
+            consumed={"web": {}},
+        )
+    # unknown snapshot keys refuse by name through the migration
+    with pytest.raises(ValueError, match="not in"):
+        migrate_mixture_cursors(
+            spark, paths, weights, 2, {0: 5}, 3,
+            snapshots={"web": list(keys["web"]) + ["no-such"],
+                       "code": keys["code"]},
+        )
+
+
+def test_mixture_consumed_joins_state_identity(spark, corpus):
+    """A state minted over a watermark-filtered mixture must not
+    resume an unfiltered one (and vice versa) — the consumed field is
+    part of the identity, mirroring read_rank_shards."""
+    from streaming_parquet_spark.operators.pipeline import (
+        migrate_mixture_cursors,
+    )
+
+    vocab, paths, keys, _other = corpus
+    weights = {"web": 2, "code": 1}
+    base, _ = read_mixture_rank(
+        spark, paths, weights, 0, 2, snapshots=keys
+    )
+    rows = sorted(r["mix_key"] for r in base.select("mix_key").collect())
+    mig = migrate_mixture_cursors(
+        spark, paths, weights, 2, {0: rows[len(rows) // 2]}, 3,
+        snapshots=keys,
+    )
+    df, _c, state = read_mixture_rank(
+        spark, paths, weights, 1, 3, snapshots=keys,
+        consumed=mig[1], with_state=True,
+    )
+    got = sorted(r["mix_key"] for r in df.select("mix_key").collect())
+    cut = got[len(got) // 2] if got else 0
+    ck = advance_reader_state(state, cut)
+    # same watermarks: resumes
+    again, _ = read_mixture_rank(
+        spark, paths, weights, 1, 3, snapshots=keys,
+        consumed=mig[1], state=ck,
+    )
+    assert sorted(
+        r["mix_key"] for r in again.select("mix_key").collect()
+    ) == [k for k in got if k > cut]
+    # dropped watermarks: refuses
+    with pytest.raises(ValueError, match="does not resume here"):
+        read_mixture_rank(
+            spark, paths, weights, 1, 3, snapshots=keys, state=ck,
+        )
