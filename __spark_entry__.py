@@ -82,7 +82,11 @@ _RESHAPED_IN = {
     # pack_multimodal_windows' greedy bucket arithmetic vs DuckDB's
     # list_reduce replay) — VERDICT r12 item 4, implemented rather
     # than de-scoped; the registry stays at 100
-    "multimodal_family": 13,
+    # r14: + payload branch (the binary payload plane — write/verify
+    # a content-addressed sharded store; per-shard XOR fingerprints
+    # vs DuckDB's independent shard+digest replay) — VERDICT r13
+    # item 2; registry still 100
+    "multimodal_family": 14,
 }
 
 

@@ -19,6 +19,7 @@ from streaming_parquet_spark.functions.portable import (
     band_hash_expr,
     fixed_ln_expr,
     hex_to_i32,
+    hex_word_expr as _hex_word,
     n_words_expr,
     ordered_words_expr,
     dot_expr,
@@ -6722,6 +6723,28 @@ FROM b
 """
 
 
+_DUCK_MULTIMODAL_PAYLOAD = f"""
+WITH pl AS (
+  SELECT DISTINCT text FROM documents
+  WHERE doc_id % 4 = 1 AND text IS NOT NULL
+), r AS (
+  SELECT md5(text) AS ref, lower(hex(CAST(text AS BLOB))) AS ph,
+         octet_length(CAST(text AS BLOB)) AS nb
+  FROM pl
+), s AS (
+  SELECT ({_hex_word("md5(ref)", 1)}) % 8 AS shard, nb,
+         md5(ref || ':' || ph) AS d
+  FROM r
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(bit_xor({_hex_word("d", 1)}) AS VARCHAR) || ':' ||
+       CAST(bit_xor({_hex_word("d", 9)}) AS VARCHAR) AS fps
+FROM s GROUP BY shard
+"""
+
+
 def _duck_multimodal_family() -> str:
     return f"""
     SELECT 'image_meta' AS kind, id, n_bytes,
@@ -6757,6 +6780,15 @@ def _duck_multimodal_family() -> str:
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE), source
     FROM ({_DUCK_MULTIMODAL_PACK})
+    UNION ALL
+    SELECT 'payload', shard, n_bytes,
+           CAST(n_payloads AS INTEGER), n_payloads,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), fps,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), 'ok'
+    FROM ({_DUCK_MULTIMODAL_PAYLOAD})
     """
 
 
@@ -6786,6 +6818,13 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       tokens, dim=image patch positions, format=source — and DuckDB
       independently replays the greedy fold with list_reduce
       (_DUCK_MULTIMODAL_PACK).
+    - kind='payload' (r14): the binary payload plane
+      (mint_payload_refs -> write_payload_store ->
+      verify_payload_store) over the documents table's bytes; the row
+      is the VERIFIED per-shard promise (counts, byte totals, both
+      XOR fps in the string slot, ok) and DuckDB recomputes shard
+      assignment and digests from the raw table
+      (_DUCK_MULTIMODAL_PAYLOAD).
 
     id is non-null BIGINT in every branch; width/height decay to
     DOUBLE (the resize branch reports them fractionally-typed);
@@ -6882,7 +6921,68 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").alias("format"),
         )
     )
-    return img.unionByName(frames).unionByName(trans).unionByName(pack)
+    # kind='payload' (r14): the binary payload plane end-to-end —
+    # content-addressed refs minted from the documents table's bytes,
+    # written as a sharded store under the manifest discipline,
+    # verified in one scan; the row reports the VERIFIED per-shard
+    # promise (counts, byte totals, both XOR fingerprints, ok) and
+    # DuckDB independently recomputes shard assignment and digests
+    # from the raw table (_DUCK_MULTIMODAL_PAYLOAD).  format='ok'
+    # proves verify_payload_store agreed with the sidecar; the fps
+    # ride the string slot because a 64-bit XOR does not survive a
+    # DOUBLE column.
+    from streaming_parquet_spark.operators.multimodal import (
+        attach_binary,
+        mint_payload_refs,
+        verify_payload_store,
+        write_payload_store,
+    )
+    from streaming_parquet_spark.queries_tpch import _stream_workdir
+
+    store = os.path.join(_stream_workdir("maw_payload_", sf_dir), "store")
+    blobs = (
+        mint_payload_refs(
+            attach_binary(
+                _t(spark, sf_dir, "documents").where(
+                    "doc_id % 4 = 1 AND text IS NOT NULL"
+                ),
+                "text", "payload",
+            ),
+            "payload", "ref",
+        )
+        .select("ref", "payload")
+        .dropDuplicates(["ref"])
+    )
+    man = write_payload_store(
+        blobs, store, n_shards=8, mode="overwrite"
+    )
+    payload = (
+        verify_payload_store(spark, store)
+        .join(man.select("shard", "n_bytes"), "shard")
+        .select(
+            F.lit("payload").alias("kind"),
+            F.col("shard").cast("bigint").alias("id"),
+            F.col("n_bytes").alias("n_bytes"),
+            F.col("n_payloads_observed").cast("int").alias("frame_idx"),
+            F.col("n_payloads_promised").cast("bigint").alias("frame_len"),
+            dnull.alias("dim"), dnull.alias("fval"),
+            dnull.alias("width"), dnull.alias("height"),
+            inull.alias("channels"),
+            F.concat_ws(
+                ":",
+                F.col("fp_a_observed").cast("string"),
+                F.col("fp_b_observed").cast("string"),
+            ).alias("payload_md5"),
+            dnull.alias("sample_rate"), dnull.alias("n_samples"),
+            dnull.alias("duration_sec"),
+            F.when(F.col("ok"), F.lit("ok")).otherwise(F.lit("bad"))
+            .alias("format"),
+        )
+    )
+    return (
+        img.unionByName(frames).unionByName(trans).unionByName(pack)
+        .unionByName(payload)
+    )
 
 
 def _duck_dedup_exact_family() -> str:

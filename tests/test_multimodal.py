@@ -554,3 +554,213 @@ def test_multimodal_pack_review_refusals(spark):
         pack_multimodal_windows(
             nullseg, "segments", budget=8, part_col="src",
         ).collect()
+
+
+# --- Binary payload plane (VERDICT r13 item 2) ------------------------
+
+
+def _payloads(spark, n=20, salt=b""):
+    rows = [(i, salt + bytes([i % 251]) * (10 + i)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+
+def test_payload_store_roundtrip_and_verify(spark, tmp_path):
+    from streaming_parquet_spark.operators.multimodal import (
+        mint_payload_refs,
+        read_payload_store,
+        verify_payload_store,
+        write_payload_store,
+    )
+
+    path = str(tmp_path / "store")
+    df = mint_payload_refs(_payloads(spark)).select("ref", "payload")
+    man = write_payload_store(df, path, n_shards=4)
+    rows = man.collect()
+    assert sum(r["n_payloads"] for r in rows) == 20
+    assert sum(r["n_bytes"] for r in rows) == sum(
+        len(r["payload"]) for r in df.collect()
+    )
+    got, contract = read_payload_store(spark, path)
+    assert contract["format"] == "payload-store-v1"
+    assert contract["n_shards"] == 4
+    back = {r["ref"]: bytes(r["payload"]) for r in got.collect()}
+    want = {r["ref"]: bytes(r["payload"]) for r in df.collect()}
+    assert back == want
+    v = verify_payload_store(spark, path)
+    assert v.where(~F.col("ok")).count() == 0
+    assert v.count() == len(rows)
+
+
+def test_payload_store_refuses_duplicate_and_null(spark, tmp_path):
+    from streaming_parquet_spark.operators.multimodal import (
+        mint_payload_refs,
+        write_payload_store,
+    )
+
+    # equal payloads, undeduped: refuse with the dropDuplicates hint
+    df = mint_payload_refs(
+        _payloads(spark, 5).union(_payloads(spark, 5))
+    ).select("ref", "payload")
+    with pytest.raises(ValueError, match="dropDuplicates"):
+        write_payload_store(df, str(tmp_path / "a"), n_shards=2)
+    # two DIFFERENT payloads under one ref: same refusal (forged key)
+    forged = spark.createDataFrame(
+        [("r1", b"aaa"), ("r1", b"bbb")], "ref string, payload binary"
+    )
+    with pytest.raises(ValueError, match="duplicate refs"):
+        write_payload_store(forged, str(tmp_path / "b"), n_shards=2)
+    # a NULL payload raises from the digest projection itself
+    from py4j.protocol import Py4JJavaError
+
+    lost = spark.createDataFrame(
+        [("r1", b"aaa"), ("r2", None)], "ref string, payload binary"
+    )
+    with pytest.raises(Exception) as exc:
+        write_payload_store(lost, str(tmp_path / "c"), n_shards=2)
+    assert "NULL payload" in str(exc.value)
+
+
+def test_payload_store_verify_trichotomy(spark, tmp_path):
+    """Absent shard -> ok=false with 0 observed; tampered blob ->
+    fingerprint mismatch; stray unmanifested shard -> surfaces."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_parquet_spark.operators.multimodal import (
+        mint_payload_refs,
+        verify_payload_store,
+        write_payload_store,
+    )
+
+    path = str(tmp_path / "store")
+    df = mint_payload_refs(_payloads(spark, 30)).select("ref", "payload")
+    man = write_payload_store(df, path, n_shards=3)
+    shards = sorted(r["shard"] for r in man.collect())
+    assert len(shards) == 3
+
+    # tamper: flip a byte inside one shard's parquet payloads
+    sdir = os.path.join(path, f"shard={shards[0]}")
+    part = [f for f in os.listdir(sdir) if f.endswith(".parquet")][0]
+    t = pq.read_table(os.path.join(sdir, part))
+    pl = t.column("payload").to_pylist()
+    pl[0] = bytes(pl[0][:-1]) + bytes([pl[0][-1] ^ 0xFF])
+    pq.write_table(
+        pa.table({"ref": t.column("ref"), "payload": pa.array(
+            pl, type=pa.binary())}),
+        os.path.join(sdir, part),
+    )
+    # drop Hadoop's local-fs .crc sidecar for the rewritten part —
+    # object stores have no such guard, and the point is OUR digest
+    crc = os.path.join(sdir, f".{part}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    # absence: drop another shard directory entirely
+    shutil.rmtree(os.path.join(path, f"shard={shards[1]}"))
+    # stray: a shard with data the manifest never promised
+    os.makedirs(os.path.join(path, "shard=99"))
+    pq.write_table(
+        pa.table({"ref": pa.array(["stray"]),
+                  "payload": pa.array([b"zz"], type=pa.binary())}),
+        os.path.join(path, "shard=99", "part-0.parquet"),
+    )
+    v = {r["shard"]: r for r in verify_payload_store(spark, path).collect()}
+    assert not v[shards[0]]["ok"]  # tamper: counts match, fps differ
+    assert (
+        v[shards[0]]["n_payloads_observed"]
+        == v[shards[0]]["n_payloads_promised"]
+    )
+    assert not v[shards[1]]["ok"]  # absent
+    assert v[shards[1]]["n_payloads_observed"] == 0
+    assert not v[99]["ok"]  # stray
+    assert v[99]["n_payloads_promised"] == 0
+    assert v[shards[2]]["ok"]  # the untouched shard still verifies
+
+
+def test_resolve_payload_refs_strict_and_repair(spark, tmp_path):
+    from streaming_parquet_spark.operators.multimodal import (
+        pack_multimodal_windows,
+        resolve_payload_refs,
+        write_payload_store,
+    )
+
+    store = str(tmp_path / "store")
+    blobs = spark.createDataFrame(
+        [("img-1", b"\x89PNGfake1"), ("img-3", b"\x89PNGfake3"),
+         ("img-5", b"\x89PNGfake5")],
+        "ref string, payload binary",
+    )
+    write_payload_store(blobs, store, n_shards=2)
+    docs = _seg_docs(spark, [
+        (1, "a", [("text", [5, 6]), ("image", "img-1", 4), ("text", [7])]),
+        (2, "a", [("image", "img-3", 6)]),
+        (3, "b", [("text", [12, 13]), ("image", "img-5", 2)]),
+    ])
+    win = pack_multimodal_windows(
+        docs, "segments", budget=12, part_col="src",
+        image_token_id=1, eos_id=2,
+    )
+    out = resolve_payload_refs(win, store, id_cols=("src", "win"))
+    rows = {r["ref"]: bytes(r["payload"]) for r in out.collect()}
+    assert rows == {
+        "img-1": b"\x89PNGfake1", "img-3": b"\x89PNGfake3",
+        "img-5": b"\x89PNGfake5",
+    }
+    # span bounds ride through: each resolved row names its window run
+    for r in out.collect():
+        assert 0 <= r["span_start"] < r["span_end"] <= 12
+        assert r["modality"] == "image"
+
+    # a ref missing from the store: strict raises naming it,
+    # strict=False reports resolved=false
+    docs2 = _seg_docs(spark, [
+        (9, "a", [("image", "img-gone", 3)]),
+    ])
+    win2 = pack_multimodal_windows(
+        docs2, "segments", budget=12, part_col="src",
+        image_token_id=1, eos_id=2,
+    )
+    with pytest.raises(Exception) as exc:
+        resolve_payload_refs(win2, store, id_cols=("src", "win")).collect()
+    assert "img-gone" in str(exc.value)
+    soft = resolve_payload_refs(
+        win2, store, id_cols=("src", "win"), strict=False
+    ).collect()
+    assert len(soft) == 1 and soft[0]["resolved"] is False
+
+
+def test_payload_refs_content_addressed_and_portable_shards(spark, tmp_path):
+    """mint_payload_refs is md5-content-addressed (equal payloads ->
+    equal refs) and the shard assignment is the portable hex-word
+    hash — recomputable from the ref alone, which is what lets
+    resolve_payload_refs prune the store scan."""
+    from streaming_parquet_spark.operators.multimodal import (
+        _payload_shard_expr,
+        mint_payload_refs,
+    )
+    import hashlib
+
+    df = mint_payload_refs(
+        spark.createDataFrame(
+            [(b"same",), (b"same",), (b"other",)], "payload binary"
+        )
+    )
+    rows = df.collect()
+    refs = [r["ref"] for r in rows]
+    assert refs[0] == refs[1] != refs[2]
+    assert refs[0] == hashlib.md5(b"same").hexdigest()
+    shard = df.select(
+        _payload_shard_expr("ref", 7).alias("s"), "ref"
+    ).collect()
+    import duckdb
+
+    from streaming_parquet_spark.functions.portable import hex_word_expr
+
+    con = duckdb.connect()
+    for r in shard:
+        duck = con.execute(
+            f"SELECT ({hex_word_expr('md5(?)', 1)}) % 7"
+            .replace("md5(?)", f"md5('{r['ref']}')")
+        ).fetchone()[0]
+        assert int(duck) == r["s"]
