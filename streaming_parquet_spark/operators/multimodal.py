@@ -1217,3 +1217,192 @@ def resolve_payload_refs(
         ).otherwise(F.col("payload"))
         return joined.withColumn("payload", payload)
     return joined.withColumn("resolved", F.col("payload").isNotNull())
+
+
+# --- Oversized interleaved-document splitter (VERDICT r13 item 3) -----
+
+#: sub_order packs (order, sub_idx) into one bigint: order * 2^20 +
+#: sub_idx — loud refusals guard both factors (below)
+_SPLIT_SHIFT = 1 << 20
+
+
+def split_multimodal_documents(
+    df: DataFrame,
+    segments_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    eos_reserve: int = 1,
+    sub_idx_col: str = "sub_idx",
+    out_order_col: str = "sub_order",
+) -> DataFrame:
+    """Split interleaved image-text documents longer than ``budget``
+    into ordered sub-documents :func:`pack_multimodal_windows`
+    accepts — cutting ONLY inside text runs, never an image (half an
+    image is untrainable), preserving segment order.  The OBELICS-
+    shaped common case: a long image-text web document must become
+    several atomic packer documents without breaking image atomicity.
+
+    Budget accounting matches the packer exactly: a sub-document's
+    content (text ids + image ``n_patches``) is capped at
+    ``budget - eos_reserve``, because the packer appends one eos per
+    document — pass ``eos_reserve=0`` when packing without
+    ``eos_id``.  An image whose ``n_patches`` alone exceeds the cap
+    REFUSES by name (no split can make it fit); so do NULL segment
+    elements, unknown modalities, and non-positive patch counts —
+    the packer's own refusals, shared so the two stages cannot
+    disagree about what a valid document is.
+
+    **Document-boundary semantics** (decided and documented): each
+    sub-document is its own packer document — it gets its own
+    ``doc_starts`` slot and its own eos, exactly as if the corpus had
+    arrived pre-split.  The ORIGINAL boundaries stay recoverable:
+    ``sub_idx_col`` numbers a document's pieces 0..k-1 (``sub_idx ==
+    0`` marks an original document start), and reassembling pieces in
+    ``sub_idx`` order while re-joining adjacent text runs reproduces
+    the original segment stream (hypothesis-gated as token-level
+    identity).  ``out_order_col`` = ``order_col * 2^20 + sub_idx`` is
+    the packer-ready unique order key — strictly monotone in
+    (original order, piece) — guarded loudly: ``order_col`` must be a
+    non-negative integer below 2^42 and no document may split into
+    2^20 or more pieces.
+
+    Empty text runs (and fully empty documents) drop, mirroring the
+    packer.  Scale: a pure per-row transform over Arrow batches
+    (``mapInPandas``) — no shuffle, no state, memory O(batch); at
+    100 TB it inherits the scan's parallelism untouched."""
+    b = int(budget)
+    r = int(eos_reserve)
+    if r < 0:
+        raise ValueError(
+            f"split_multimodal_documents: eos_reserve must be >= 0 "
+            f"(got {eos_reserve})"
+        )
+    if b - r < 1:
+        raise ValueError(
+            f"split_multimodal_documents: budget {budget} minus "
+            f"eos_reserve {eos_reserve} leaves no room for content"
+        )
+    cap = b - r
+    order_t = df.schema[order_col].dataType
+    if not isinstance(order_t, (T.ByteType, T.ShortType,
+                                T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"split_multimodal_documents: {order_col!r} must be an "
+            f"integer column to mint sub_order (got {order_t})"
+        )
+    seg_field = df.schema[segments_col]
+    keep = [f for f in df.schema.fields if f.name != segments_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            seg_field,
+            T.StructField(sub_idx_col, T.IntegerType(), False),
+            T.StructField(out_order_col, T.LongType(), False),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    seg_name, order_name = segments_col, order_col
+
+    def _split_one(oid, segs) -> list:
+        subs: list[list] = []
+        cur: list[dict] = []
+        cur_len = 0
+
+        def _close() -> None:
+            nonlocal cur, cur_len
+            if cur:
+                subs.append(cur)
+                cur, cur_len = [], 0
+
+        for s in segs:
+            if s is None:
+                raise ValueError(
+                    f"split_multimodal_documents: document {oid!r} "
+                    f"carries a NULL segment element — refuse rather "
+                    f"than silently drop content"
+                )
+            m = s["modality"]
+            if m == "text":
+                raw = s["ids"]
+                ids = [] if raw is None else [int(x) for x in raw]
+                while ids:
+                    room = cap - cur_len
+                    if room == 0:
+                        _close()
+                        room = cap
+                    take = ids[:room]
+                    ids = ids[room:]
+                    cur.append(
+                        {"modality": "text", "ids": take,
+                         "ref": None, "n_patches": None}
+                    )
+                    cur_len += len(take)
+            elif m == "image":
+                raw_np = s["n_patches"]
+                if raw_np is None or int(raw_np) < 1:
+                    raise ValueError(
+                        f"split_multimodal_documents: image segment "
+                        f"of document {oid!r} has n_patches="
+                        f"{raw_np!r} — every image needs a positive "
+                        f"patch budget"
+                    )
+                np_i = int(raw_np)
+                if np_i > cap:
+                    raise ValueError(
+                        f"split_multimodal_documents: image "
+                        f"{s['ref']!r} of document {oid!r} needs "
+                        f"{np_i} patches — past the usable budget "
+                        f"{cap} (budget {b} - eos_reserve {r}); "
+                        f"images are atomic and no split can fit it"
+                    )
+                if cur_len + np_i > cap:
+                    _close()
+                cur.append(
+                    {"modality": "image", "ids": None,
+                     "ref": s["ref"], "n_patches": np_i}
+                )
+                cur_len += np_i
+            else:
+                raise ValueError(
+                    f"split_multimodal_documents: unknown modality "
+                    f"{m!r} in document {oid!r}"
+                )
+        _close()
+        return subs
+
+    def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows: list[dict] = []
+            records = pdf.to_dict("records")
+            for row in records:
+                oid = row[order_name]
+                segs = row[seg_name]
+                if segs is None:
+                    continue
+                o = int(oid)
+                if o < 0 or o >= (1 << 42):
+                    raise ValueError(
+                        f"split_multimodal_documents: {order_name}="
+                        f"{oid!r} outside [0, 2^42) — sub_order "
+                        f"cannot pack it losslessly"
+                    )
+                for j, sub in enumerate(_split_one(oid, segs)):
+                    if j >= _SPLIT_SHIFT:
+                        raise ValueError(
+                            f"split_multimodal_documents: document "
+                            f"{oid!r} splits into >= 2^20 pieces — "
+                            f"sub_order cannot number them; raise "
+                            f"the budget"
+                        )
+                    rec = {k: row[k] for k in keep_names}
+                    rec[seg_name] = sub
+                    rec[sub_idx_col] = j
+                    rec[out_order_col] = o * _SPLIT_SHIFT + j
+                    out_rows.append(rec)
+            yield pd.DataFrame(
+                out_rows,
+                columns=keep_names + [seg_name, sub_idx_col,
+                                      out_order_col],
+            )
+
+    return df.mapInPandas(_split, out_schema)
