@@ -1169,3 +1169,153 @@ def test_put_if_absent_thread_safe_and_umask_perms(tmp_path):
     mode = stat.S_IMODE(os.stat(target).st_mode)
     assert mode & 0o044, oct(mode)  # group/other readable
     assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+
+# --- S3ObjectClient conformance against the REAL botocore surface -----
+# (VERDICT r13 item 7). moto is not installed here; botocore's Stubber
+# is the recorded-wire-shape alternative: a genuine boto3 S3 client
+# whose responses/errors are scripted, so parameter serialization
+# (IfNoneMatch on put_object), ClientError construction, the
+# PreconditionFailed / ConditionalRequestConflict / 404 code shapes,
+# and pagination all exercise the real botocore code paths instead of
+# hand-built exception fakes.
+
+
+def _stubbed_s3():
+    botocore = pytest.importorskip("botocore")
+    boto3 = pytest.importorskip("boto3")
+    from botocore.stub import Stubber
+
+    c = boto3.client(
+        "s3", region_name="us-east-1",
+        aws_access_key_id="testing", aws_secret_access_key="testing",
+    )
+    return c, Stubber(c)
+
+
+def test_s3_conformance_put_if_absent_wire_shapes():
+    from streaming_parquet_spark.operators.catalog import S3ObjectClient
+
+    c, stub = _stubbed_s3()
+    cli = S3ObjectClient(c, "bkt", put_retries=3)
+    want = {
+        "Bucket": "bkt", "Key": "k/marker", "Body": b"payload\n",
+        "IfNoneMatch": "*",
+    }
+    # fresh key: one conditional PUT, serialized with IfNoneMatch
+    stub.add_response("put_object", {"ETag": '"e1"'}, want)
+    # existing key: real 412 ClientError with the documented code
+    stub.add_client_error(
+        "put_object", service_error_code="PreconditionFailed",
+        service_message="At least one of the pre-conditions you "
+        "specified did not hold",
+        http_status_code=412, expected_params=want,
+    )
+    # in-flight collision: two real 409s, then success on the retry
+    for _ in range(2):
+        stub.add_client_error(
+            "put_object",
+            service_error_code="ConditionalRequestConflict",
+            service_message="A conflicting conditional operation is "
+            "currently in progress against this resource.",
+            http_status_code=409, expected_params=want,
+        )
+    stub.add_response("put_object", {"ETag": '"e2"'}, want)
+    with stub:
+        assert cli.put_if_absent("k/marker", "payload\n") is True
+        assert cli.put_if_absent("k/marker", "payload\n") is False
+        assert cli.put_if_absent("k/marker", "payload\n") is True
+        stub.assert_no_pending_responses()
+
+
+def test_s3_conformance_conflict_exhaustion_arbitrates_via_exists():
+    from streaming_parquet_spark.operators.catalog import S3ObjectClient
+
+    c, stub = _stubbed_s3()
+    cli = S3ObjectClient(c, "bkt", put_retries=2)
+    want = {
+        "Bucket": "bkt", "Key": "k", "Body": b"x", "IfNoneMatch": "*",
+    }
+    # exhaust retries, then the key EXISTS: the racer that won wrote
+    # it — report a clean loss
+    for _ in range(2):
+        stub.add_client_error(
+            "put_object",
+            service_error_code="ConditionalRequestConflict",
+            http_status_code=409, expected_params=want,
+        )
+    stub.add_response(
+        "head_object", {"ContentLength": 1},
+        {"Bucket": "bkt", "Key": "k"},
+    )
+    # exhaust again, key still ABSENT (head_object's real 404 shape):
+    # the outcome is unknowable — raise
+    for _ in range(2):
+        stub.add_client_error(
+            "put_object",
+            service_error_code="ConditionalRequestConflict",
+            http_status_code=409, expected_params=want,
+        )
+    stub.add_client_error(
+        "head_object", service_error_code="404",
+        service_message="Not Found", http_status_code=404,
+        expected_params={"Bucket": "bkt", "Key": "k"},
+    )
+    with stub:
+        assert cli.put_if_absent("k", "x") is False
+        with pytest.raises(RuntimeError, match="cannot decide"):
+            cli.put_if_absent("k", "x")
+        stub.assert_no_pending_responses()
+
+
+def test_s3_conformance_exists_get_and_pagination():
+    from streaming_parquet_spark.operators.catalog import S3ObjectClient
+
+    c, stub = _stubbed_s3()
+    cli = S3ObjectClient(c, "bkt")
+    stub.add_response(
+        "head_object", {"ContentLength": 3},
+        {"Bucket": "bkt", "Key": "yes"},
+    )
+    stub.add_client_error(
+        "head_object", service_error_code="404",
+        service_message="Not Found", http_status_code=404,
+        expected_params={"Bucket": "bkt", "Key": "no"},
+    )
+    # an auth failure must RAISE, never read as absence
+    stub.add_client_error(
+        "head_object", service_error_code="403",
+        service_message="Forbidden", http_status_code=403,
+        expected_params={"Bucket": "bkt", "Key": "denied"},
+    )
+    # get: real StreamingBody read path
+    import io
+
+    from botocore.response import StreamingBody
+
+    stub.add_response(
+        "get_object",
+        {"Body": StreamingBody(io.BytesIO(b"hello\n"), 6)},
+        {"Bucket": "bkt", "Key": "blob"},
+    )
+    # pagination: two real list_objects_v2 pages via the paginator
+    stub.add_response(
+        "list_objects_v2",
+        {"IsTruncated": True, "NextContinuationToken": "tok",
+         "Contents": [{"Key": "p/a"}, {"Key": "p/b"}]},
+        {"Bucket": "bkt", "Prefix": "p/"},
+    )
+    stub.add_response(
+        "list_objects_v2",
+        {"IsTruncated": False, "Contents": [{"Key": "p/c"}]},
+        {"Bucket": "bkt", "Prefix": "p/", "ContinuationToken": "tok"},
+    )
+    with stub:
+        assert cli.exists("yes") is True
+        assert cli.exists("no") is False
+        with pytest.raises(Exception) as exc:
+            cli.exists("denied")
+        assert "403" in str(exc.value) or "Forbidden" in str(exc.value)
+        assert cli.get("blob") == "hello\n"
+        assert cli.list_keys("p/") == ["p/a", "p/b", "p/c"]
+        stub.assert_no_pending_responses()
