@@ -3511,6 +3511,17 @@ def read_mixture_shards(
     materialize a real permutation with ``global_shuffle`` instead.
     ``epoch=None`` is bit-identical to the pre-epoch order.
 
+    **Elastic restart** (``consumed``): ``{set_name: {shard: k}}``
+    watermark dicts from :func:`migrate_mixture_cursors` — each named
+    set drops its shards' first k windows (consumed under the OLD
+    world) while the remaining windows KEEP their original positions
+    and therefore their original interleave keys, so a resized world
+    finishes the same mixture epoch exactly once.  Unknown set names
+    refuse; combining with ``epoch`` refuses (no valid migration
+    mints an epoch-permuted watermark — see
+    :func:`consumed_mixture_watermarks`); the watermark joins the
+    state identity when both are used.
+
     Scale: positions/offsets are manifest-sized driver work per set;
     the data-side cost is one per-shard row_number and a broadcast
     join per set — no cross-set shuffle at all (the interleave key is
@@ -3772,8 +3783,11 @@ def read_mixture_rank(
     one inside the mixture read, both marker-sized driver work); the
     data-side plan is identical to ``read_mixture_shards`` over the
     rank's shard directories only — partition pruning does the
-    slicing, no shuffle is added.  Returns (windows, shared
-    contract)."""
+    slicing, no shuffle is added.  ``consumed`` passes elastic-restart
+    watermarks through (:func:`migrate_mixture_cursors` returns them
+    per NEW rank — pass ``mig[rank]``); shards outside this rank's
+    slices are ignored, same as the single-set reader.  Returns
+    (windows, shared contract)."""
     if not (0 <= int(rank) < int(world_size)):
         raise ValueError(
             f"read_mixture_rank: rank {rank} outside [0, {world_size})"
