@@ -106,6 +106,10 @@ class RunResult:
 class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        #: per-run parquet footer facts: path -> (arrow schema,
+        #: INT96 root names, num_rows); populated by the schema probe,
+        #: consumed by the passthrough gate and its row accounting
+        self._arrow_probe: dict = {}
 
     # ---- plan construction -------------------------------------------
 
@@ -120,6 +124,24 @@ class Engine:
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
+            # ONE footer read serves the whole run: the Arrow schema,
+            # the INT96 physical roots, and the exact row count are
+            # all in this footer, and the passthrough gate + its row
+            # accounting would otherwise re-open every file (a second
+            # and third driver sweep on a million-file corpus —
+            # review r14). Cached per run; probe_schemas clears it.
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            arrow = pf.schema_arrow
+            self._arrow_probe[path] = (
+                arrow,
+                {
+                    md.schema.column(i).path.split(".", 1)[0]
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).physical_type == "INT96"
+                },
+                md.num_rows,
+            )
             # prefer_timestamp_ntz: a tz-less parquet timestamp IS the
             # unified DATETIME (TimestampNTZ — typesys maps every
             # datetime kind there), so probing it as NTZ lets the
@@ -127,9 +149,7 @@ class Engine:
             # tz-adjusted columns still probe as TimestampType and take
             # the casting plan. Unification is unaffected: both types
             # fold into the same DATETIME kind.
-            return from_arrow_schema(
-                pq.read_schema(path), prefer_timestamp_ntz=True
-            )
+            return from_arrow_schema(arrow, prefer_timestamp_ntz=True)
         except Exception:
             return self.spark.read.parquet(path).schema
 
@@ -179,6 +199,11 @@ class Engine:
         input working and the driver melting.
         """
         from concurrent.futures import ThreadPoolExecutor
+
+        # per-run arrow-probe cache (see _probe_parquet_schema): keyed
+        # by path, valid for exactly this probe's file set — cleared
+        # here so a later run never reads a stale footer's facts
+        self._arrow_probe = {}
 
         out: list[T.StructType | None] = [None] * len(files)
 
@@ -377,12 +402,13 @@ class Engine:
         schemas = self.probe_schemas(files, spec)
 
         passthrough_cols = self._passthrough_columns(spec, files, schemas)
-        passthrough_schema = (
+        passthrough = (
             self._passthrough_arrow_schema(files, passthrough_cols)
             if passthrough_cols is not None
             else None
         )
-        if passthrough_cols is not None and passthrough_schema is not None:
+        if passthrough_cols is not None and passthrough is not None:
+            passthrough_schema, rows = passthrough
             max_records = self._rolling_records(spec, files)
             sink = transcode_parquet(
                 self.spark,
@@ -397,12 +423,12 @@ class Engine:
                 # apply only when no roll threshold asks for parts
                 single_file=spec.single_file and max_records is None,
             )
-            # Exact accounting from the INPUT footers: a transcode
-            # preserves rows by contract, and count-verify must
-            # reconcile output against input — counting the output's
-            # own footers on this branch would verify the writer
-            # against itself (review r13).
-            rows = self._parquet_rows([f.path for f in files])
+            # Exact accounting from the INPUT footers the gate already
+            # read: a transcode preserves rows by contract, and
+            # count-verify must reconcile output against input —
+            # counting the output's own footers on this branch would
+            # verify the writer against itself (review r13); a third
+            # footer sweep here would re-read every file (review r14).
             verified = None
             if spec.verify:
                 verified = self._verify(spec, sink, rows)
@@ -564,11 +590,11 @@ class Engine:
                     return None  # missing column or implied cast
         return cols
 
-    @staticmethod
-    def _passthrough_arrow_schema(files: list[InputFile], cols: list[str]):
-        """Arrow-level second half of the passthrough gate: returns the
-        ONE canonical ``pyarrow.Schema`` every transcode bin must write,
-        or None to take the Catalyst plan.
+    def _passthrough_arrow_schema(self, files: list[InputFile], cols: list[str]):
+        """Arrow-level second half of the passthrough gate: returns
+        (the ONE canonical ``pyarrow.Schema`` every transcode bin must
+        write, the exact input row total from the same footers), or
+        None to take the Catalyst plan.
 
         The Spark-type check above is necessary but not sufficient — it
         compares probe-derived StructTypes, and two hazards live below
@@ -594,8 +620,12 @@ class Engine:
           falls back to Catalyst, which unifies losslessly by
           construction.
 
-        Footer-only reads, fanned over a driver thread pool — the same
-        cost class as the schema probe that already ran."""
+        Zero extra I/O in the normal path: the schema probe's single
+        footer sweep already cached (arrow schema, INT96 roots,
+        num_rows) per file (``self._arrow_probe``); only files whose
+        pyarrow probe fell back to the Spark reader re-read here (a
+        thread-pooled footer read each), and any file unreadable that
+        way disqualifies."""
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow as pa
@@ -631,20 +661,36 @@ class Engine:
                 for i in range(md.num_columns)
                 if pqs.column(i).physical_type == "INT96"
             }
-            arrow = pf.schema_arrow
-            return int96_roots, {
-                name: arrow.field(name) for name in arrow.names if name in want
-            }
+            return pf.schema_arrow, int96_roots, md.num_rows
 
-        try:
-            with ThreadPoolExecutor(max_workers=min(32, len(files))) as pool:
-                probes = list(pool.map(lambda f: _probe(f.path), files))
-        except Exception:
-            return None  # unreadable footer: let the Spark path report it
+        cached = [self._arrow_probe.get(f.path) for f in files]
+        missing = [i for i, c in enumerate(cached) if c is None]
+        if missing:
+            try:
+                with ThreadPoolExecutor(
+                    max_workers=min(32, len(missing))
+                ) as pool:
+                    fresh = list(
+                        pool.map(lambda i: _probe(files[i].path), missing)
+                    )
+            except Exception:
+                return None  # unreadable footer: let Spark report it
+            for i, c in zip(missing, fresh):
+                cached[i] = c
         canonical: dict[str, pa.Field] = {}
-        for int96_roots, fields in probes:
+        total_rows = 0
+        for arrow, int96_roots, n_rows in cached:
+            total_rows += int(n_rows)
             if int96_roots & want:
                 return None  # Spark reads INT96 as LTZ; the probe said NTZ
+            try:
+                fields = {
+                    name: arrow.field(name)
+                    for name in arrow.names
+                    if name in want
+                }
+            except Exception:
+                return None  # duplicate field names etc.
             for name in cols:
                 fld = fields.get(name)
                 if fld is None or _spark_hostile(fld.type):
@@ -654,7 +700,7 @@ class Engine:
                     canonical[name] = fld.with_nullable(True)
                 elif prev.type != fld.type:
                     return None  # same Spark type, different Arrow type
-        return pa.schema([canonical[name] for name in cols])
+        return pa.schema([canonical[name] for name in cols]), total_rows
 
     @staticmethod
     def _parquet_rows(paths: list[str]) -> int:

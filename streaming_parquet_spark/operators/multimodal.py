@@ -1113,6 +1113,14 @@ def verify_payload_store(
                 f"{len(rows)} distinct contracts"
             )
         contract = rows[0].asDict()
+        if contract["format"] != PAYLOAD_STORE_FORMAT:
+            # same refusal as the sidecar path: a foreign format's
+            # digest/shard definition must not verify under v1 rules
+            raise ValueError(
+                f"verify_payload_store: the supplied manifest is "
+                f"format {contract['format']!r}; this build reads "
+                f"{PAYLOAD_STORE_FORMAT!r}"
+            )
 
     ref_col, payload_col = contract["ref_col"], contract["payload_col"]
 
@@ -1182,10 +1190,7 @@ def resolve_payload_refs(
         windows.select(
             *id_cols, F.explode(F.col(spans_col)).alias("__s")
         )
-        .where(
-            (F.col("__s.modality") != F.lit("text"))
-            & F.col("__s.ref").isNotNull()
-        )
+        .where(F.col("__s.modality") != F.lit("text"))
         .select(
             *id_cols,
             F.col("__s.start").alias("span_start"),
@@ -1200,7 +1205,20 @@ def resolve_payload_refs(
         F.col(ref_col).cast("string").alias("ref"),
         F.col(payload_col).alias("payload"),
     )
-    joined = refs.join(right, ["shard", "ref"], "left").drop("shard")
+    # NULL-ref spans must NOT silently vanish (review r14): an image
+    # span packed without a ref is exactly as untrainable as one whose
+    # ref misses the store — but null join keys fall out of an
+    # equi-join, so route them around it (a null-safe join would cost
+    # the prunable equi-join shape for every real ref).
+    with_ref = refs.where(F.col("ref").isNotNull())
+    no_ref = refs.where(F.col("ref").isNull()).drop("shard").withColumn(
+        "payload", F.lit(None).cast("binary")
+    )
+    joined = (
+        with_ref.join(right, ["shard", "ref"], "left")
+        .drop("shard")
+        .unionByName(no_ref)
+    )
     if strict:
         payload = F.when(
             F.col("payload").isNull(),
@@ -1208,10 +1226,11 @@ def resolve_payload_refs(
                 F.concat(
                     F.lit("resolve_payload_refs: unresolved payload "
                           "ref "),
-                    F.col("ref"),
+                    F.coalesce(F.col("ref"), F.lit("<NULL ref>")),
                     F.lit(f" — not in the store at {store_path!r}; "
                           "verify_payload_store names what is "
-                          "missing"),
+                          "missing (a NULL ref was packed without "
+                          "one)"),
                 )
             ).cast("binary"),
         ).otherwise(F.col("payload"))

@@ -3210,6 +3210,18 @@ def consumed_mixture_watermarks(
                 f"consumed_mixture_watermarks: cursor rank {r} "
                 f"outside [0, {world_size})"
             )
+    if snapshots is not None:
+        for n in names:
+            if isinstance(snapshots.get(n), str):
+                raise ValueError(
+                    f"consumed_mixture_watermarks: snapshot for set "
+                    f"{n!r} is a single string — the mixture readers "
+                    f"take explicit key LISTS per set (a string is "
+                    f"the single-set reader's max-key cutoff, which "
+                    f"read_mixture_shards/read_mixture_rank refuse), "
+                    f"so watermarks minted under it would describe a "
+                    f"shard universe no mixture read uses"
+                )
     lcm = math.lcm(*w.values())
     n_sets = len(names)
     counts_by: dict = {}

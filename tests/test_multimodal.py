@@ -959,3 +959,53 @@ def test_split_then_pack_long_document(spark):
         for r in win for s in r["spans"] if s["modality"] == "image"
     ]
     assert sorted(img_spans) == [("im-1", 5), ("im-2", 4)]
+
+
+def test_resolve_payload_refs_null_ref_surfaces(spark, tmp_path):
+    """An image span packed WITHOUT a ref must not vanish from the
+    resolve output (review r14): strict raises naming the null, the
+    repair shape reports resolved=false."""
+    from streaming_parquet_spark.operators.multimodal import (
+        pack_multimodal_windows,
+        resolve_payload_refs,
+        write_payload_store,
+    )
+
+    store = str(tmp_path / "store")
+    write_payload_store(
+        spark.createDataFrame([("r1", b"x")], "ref string, payload binary"),
+        store, n_shards=2,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a", [("image", None, None, 3)])],
+        "doc_id bigint, src string, segments array<struct<"
+        "modality string, ids array<bigint>, ref string, n_patches int>>",
+    )
+    win = pack_multimodal_windows(
+        docs, "segments", budget=8, part_col="src",
+        image_token_id=1, eos_id=2,
+    )
+    with pytest.raises(Exception) as exc:
+        resolve_payload_refs(win, store, id_cols=("src", "win")).collect()
+    assert "NULL ref" in str(exc.value)
+    soft = resolve_payload_refs(
+        win, store, id_cols=("src", "win"), strict=False
+    ).collect()
+    assert len(soft) == 1
+    assert soft[0]["resolved"] is False and soft[0]["ref"] is None
+
+
+def test_verify_payload_store_supplied_manifest_format_check(spark, tmp_path):
+    from streaming_parquet_spark.operators.multimodal import (
+        verify_payload_store,
+        write_payload_store,
+    )
+
+    store = str(tmp_path / "store")
+    man = write_payload_store(
+        spark.createDataFrame([("r1", b"x")], "ref string, payload binary"),
+        store, n_shards=1,
+    )
+    foreign = man.withColumn("format", F.lit("payload-store-v9"))
+    with pytest.raises(ValueError, match="payload-store-v1"):
+        verify_payload_store(spark, store, manifest=foreign)

@@ -615,3 +615,19 @@ def test_mixture_consumed_joins_state_identity(spark, corpus):
         read_mixture_rank(
             spark, paths, weights, 1, 3, snapshots=keys, state=ck,
         )
+
+
+def test_mixture_migration_refuses_string_snapshots(spark, corpus):
+    """The mixture readers take key LISTS per set; a single-set-style
+    string cutoff passed to the migration would mint watermarks over a
+    shard universe no mixture read uses (review r14) — refuse."""
+    from streaming_parquet_spark.operators.pipeline import (
+        consumed_mixture_watermarks,
+    )
+
+    vocab, paths, keys, _other = corpus
+    with pytest.raises(ValueError, match="single string"):
+        consumed_mixture_watermarks(
+            spark, paths, {"web": 3, "code": 1}, 2, {0: 5},
+            snapshots={"web": "zzzz", "code": keys["code"]},
+        )
