@@ -107,8 +107,8 @@ class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         #: per-run parquet footer facts: path -> (arrow schema,
-        #: INT96 root names, num_rows); populated by the schema probe,
-        #: consumed by the passthrough gate and its row accounting
+        #: num_rows); populated by the schema probe, consumed by the
+        #: passthrough gate and its row accounting
         self._arrow_probe: dict = {}
 
     # ---- plan construction -------------------------------------------
@@ -124,24 +124,17 @@ class Engine:
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            # ONE footer read serves the whole run: the Arrow schema,
-            # the INT96 physical roots, and the exact row count are
-            # all in this footer, and the passthrough gate + its row
-            # accounting would otherwise re-open every file (a second
-            # and third driver sweep on a million-file corpus —
-            # review r14). Cached per run; probe_schemas clears it.
+            # ONE footer read serves the whole run: the Arrow schema
+            # and the exact row count are both in this footer, and the
+            # passthrough gate + its row accounting would otherwise
+            # re-open every file (a second and third driver sweep on a
+            # million-file corpus — review r14). Cached per run;
+            # probe_schemas clears it. INT96 needs no separate
+            # tracking: pyarrow renders it as timestamp[ns], which the
+            # gate's hostile-type walk disqualifies.
             pf = pq.ParquetFile(path)
-            md = pf.metadata
             arrow = pf.schema_arrow
-            self._arrow_probe[path] = (
-                arrow,
-                {
-                    md.schema.column(i).path.split(".", 1)[0]
-                    for i in range(md.num_columns)
-                    if md.schema.column(i).physical_type == "INT96"
-                },
-                md.num_rows,
-            )
+            self._arrow_probe[path] = (arrow, pf.metadata.num_rows)
             # prefer_timestamp_ntz: a tz-less parquet timestamp IS the
             # unified DATETIME (TimestampNTZ — typesys maps every
             # datetime kind there), so probing it as NTZ lets the
@@ -606,10 +599,12 @@ class Engine:
           needed" is wrong, the Catalyst plan would produce different
           values, and worse, pyarrow re-encodes INT96 as INT64
           TIMESTAMP(NANOS), which Spark 4 refuses to read at all
-          (PARQUET_TYPE_ILLEGAL). Same story for native ns timestamps
-          and for unsigned ints (Spark reads UINT64 as DECIMAL(20,0)
-          while the probe folds it into LongType). Any such type,
-          anywhere in a gated column's nesting, disqualifies.
+          (PARQUET_TYPE_ILLEGAL). Because pyarrow renders INT96 as
+          timestamp[ns], the ns-unit disqualifier below covers it and
+          native ns timestamps with one check. Same story for unsigned
+          ints (Spark reads UINT64 as DECIMAL(20,0) while the probe
+          folds it into LongType). Any such type, anywhere in a gated
+          column's nesting, disqualifies.
         * **Per-bin schema drift.** Distinct Arrow types can collapse to
           one Spark type (string vs large_string, timestamp units), so a
           bin-local "first file wins" schema could emit an output
@@ -654,14 +649,7 @@ class Engine:
 
         def _probe(path: str):
             pf = pq.ParquetFile(path)
-            md = pf.metadata
-            pqs = md.schema
-            int96_roots = {
-                pqs.column(i).path.split(".", 1)[0]
-                for i in range(md.num_columns)
-                if pqs.column(i).physical_type == "INT96"
-            }
-            return pf.schema_arrow, int96_roots, md.num_rows
+            return pf.schema_arrow, pf.metadata.num_rows
 
         cached = [self._arrow_probe.get(f.path) for f in files]
         missing = [i for i, c in enumerate(cached) if c is None]
@@ -679,10 +667,8 @@ class Engine:
                 cached[i] = c
         canonical: dict[str, pa.Field] = {}
         total_rows = 0
-        for arrow, int96_roots, n_rows in cached:
+        for arrow, n_rows in cached:
             total_rows += int(n_rows)
-            if int96_roots & want:
-                return None  # Spark reads INT96 as LTZ; the probe said NTZ
             try:
                 fields = {
                     name: arrow.field(name)

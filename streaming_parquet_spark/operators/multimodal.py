@@ -1041,6 +1041,33 @@ def write_payload_store(
     return manifest
 
 
+def _payload_contract_of(manifest: DataFrame, what: str, caller: str):
+    """The one pinned contract a payload manifest frame carries —
+    empty, mixed, and foreign-format sets refuse identically whether
+    the frame came from the sidecar or the caller (review r14 pass 2:
+    the two paths had drifted copies of these checks)."""
+    rows = (
+        manifest.select(*_PAYLOAD_CONTRACT_COLS).distinct().collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"{caller}: {what} has an EMPTY payload manifest — no "
+            f"shards were written"
+        )
+    if len(rows) > 1:
+        raise ValueError(
+            f"{caller}: {what} carries {len(rows)} distinct payload "
+            f"contracts — refusing to guess"
+        )
+    contract = rows[0].asDict()
+    if contract["format"] != PAYLOAD_STORE_FORMAT:
+        raise ValueError(
+            f"{caller}: {what} is format {contract['format']!r}; "
+            f"this build reads {PAYLOAD_STORE_FORMAT!r}"
+        )
+    return contract
+
+
 def _payload_contract(spark, path: str, caller: str):
     """(manifest frame, contract dict) of a payload store; refuses an
     absent/unreadable sidecar (pipeline._manifest_frame's taxonomy —
@@ -1049,26 +1076,7 @@ def _payload_contract(spark, path: str, caller: str):
     from streaming_parquet_spark.operators.pipeline import _manifest_frame
 
     manifest = _manifest_frame(spark, path, caller)
-    rows = (
-        manifest.select(*_PAYLOAD_CONTRACT_COLS).distinct().collect()
-    )
-    if not rows:
-        raise ValueError(
-            f"{caller}: {path!r} has an EMPTY payload manifest — no "
-            f"shards were written"
-        )
-    if len(rows) > 1:
-        raise ValueError(
-            f"{caller}: {path!r} carries {len(rows)} distinct payload "
-            f"contracts — refusing to guess"
-        )
-    contract = rows[0].asDict()
-    if contract["format"] != PAYLOAD_STORE_FORMAT:
-        raise ValueError(
-            f"{caller}: {path!r} is format {contract['format']!r}; "
-            f"this build reads {PAYLOAD_STORE_FORMAT!r}"
-        )
-    return manifest, contract
+    return manifest, _payload_contract_of(manifest, repr(path), caller)
 
 
 def read_payload_store(spark, path: str):
@@ -1104,23 +1112,9 @@ def verify_payload_store(
             spark, path, "verify_payload_store"
         )
     else:
-        rows = (
-            manifest.select(*_PAYLOAD_CONTRACT_COLS).distinct().collect()
+        contract = _payload_contract_of(
+            manifest, "the supplied manifest", "verify_payload_store"
         )
-        if len(rows) != 1:
-            raise ValueError(
-                "verify_payload_store: the supplied manifest carries "
-                f"{len(rows)} distinct contracts"
-            )
-        contract = rows[0].asDict()
-        if contract["format"] != PAYLOAD_STORE_FORMAT:
-            # same refusal as the sidecar path: a foreign format's
-            # digest/shard definition must not verify under v1 rules
-            raise ValueError(
-                f"verify_payload_store: the supplied manifest is "
-                f"format {contract['format']!r}; this build reads "
-                f"{PAYLOAD_STORE_FORMAT!r}"
-            )
 
     ref_col, payload_col = contract["ref_col"], contract["payload_col"]
 
@@ -1186,19 +1180,29 @@ def resolve_payload_refs(
     store, contract = read_payload_store(spark, store_path)
     ref_col, payload_col = contract["ref_col"], contract["payload_col"]
     n = int(contract["n_shards"])
+    # a NULL modality is a corrupt span, not a missing payload: the
+    # packer never emits one, and `modality != 'text'` evaluates NULL
+    # there — the row would vanish from BOTH modes (review r14 pass 2)
+    modality = F.when(
+        F.col("__s.modality").isNull(),
+        F.raise_error(
+            F.lit("resolve_payload_refs: span with NULL modality — "
+                  "corrupt spans column (not packer output)")
+        ).cast("string"),
+    ).otherwise(F.col("__s.modality"))
     refs = (
         windows.select(
             *id_cols, F.explode(F.col(spans_col)).alias("__s")
         )
-        .where(F.col("__s.modality") != F.lit("text"))
         .select(
             *id_cols,
             F.col("__s.start").alias("span_start"),
             F.col("__s.end").alias("span_end"),
-            F.col("__s.modality").alias("modality"),
+            modality.alias("modality"),
             F.col("__s.ref").alias("ref"),
             _payload_shard_expr("__s.ref", n).alias("shard"),
         )
+        .where(F.col("modality") != F.lit("text"))
     )
     right = store.select(
         F.col("shard").cast("int").alias("shard"),
@@ -1310,6 +1314,18 @@ def split_multimodal_documents(
             f"integer column to mint sub_order (got {order_t})"
         )
     seg_field = df.schema[segments_col]
+    seg_names = {f.name for f in seg_field.dataType.elementType.fields}
+    extra = sorted(seg_names - {"modality", "ids", "ref", "n_patches"})
+    if extra:
+        # _split_one rebuilds segments from the four contract fields;
+        # silently nulling per-segment metadata would erase it even on
+        # documents that never actually split (review r14 pass 2)
+        raise ValueError(
+            f"split_multimodal_documents: segment struct carries "
+            f"extra field(s) {extra} the splitter cannot carry "
+            f"through a text-run cut — drop or re-attach them around "
+            f"the split"
+        )
     keep = [f for f in df.schema.fields if f.name != segments_col]
     out_schema = T.StructType(
         keep
@@ -1398,6 +1414,16 @@ def split_multimodal_documents(
                 segs = row[seg_name]
                 if segs is None:
                     continue
+                if oid is None or (
+                    isinstance(oid, float) and oid != oid
+                ):
+                    # arrow->pandas renders a NULL int64 as NaN; the
+                    # bare int() would crash without naming the row
+                    raise ValueError(
+                        f"split_multimodal_documents: a document has "
+                        f"NULL {order_name} — sub_order cannot be "
+                        f"minted for it (an upstream join leak?)"
+                    )
                 o = int(oid)
                 if o < 0 or o >= (1 << 42):
                     raise ValueError(

@@ -2699,6 +2699,12 @@ def shard_snapshot(spark, path: str) -> list[str]:
 #: refuse with a confusing field-mismatch instead of "re-mint"
 READER_STATE_VERSION = 2
 
+#: oldest accepted bundle version PER KIND: only the mixture layouts
+#: changed in v2, so a fleet mid-run on single-set or epoch-order
+#: bundles keeps its cursors across the upgrade instead of paying a
+#: blanket re-mint (review r14 pass 2)
+_MIN_STATE_VERSION = {"mixture": 2, "mixture_rank": 2}
+
 
 def _state_fp(payload) -> str:
     """Canonical fingerprint of a JSON-able payload: the order- and
@@ -2782,11 +2788,14 @@ def _validate_reader_state(state: dict, minted: dict, caller: str):
     WRONG windows with no in-band signal (VERDICT r12 item 2). Returns
     the state's cursor on agreement."""
     _check_state_integrity(state, caller)
-    if state.get("version") != READER_STATE_VERSION:
+    floor = _MIN_STATE_VERSION.get(minted.get("kind"), 1)
+    v = state.get("version")
+    if not isinstance(v, int) or v > READER_STATE_VERSION or v < floor:
         raise ValueError(
-            f"{caller}: reader-state version {state.get('version')!r} "
-            f"is not this build's {READER_STATE_VERSION} — re-mint the "
-            f"state under the running code"
+            f"{caller}: reader-state version {v!r} is outside this "
+            f"build's accepted range [{floor}, {READER_STATE_VERSION}] "
+            f"for kind {minted.get('kind')!r} — re-mint the state "
+            f"under the running code"
         )
     mismatched = {
         k: (state.get(k, "<absent>"), minted[k])
@@ -2996,6 +3005,7 @@ def consumed_shard_watermarks(
     world_size: int,
     cursors: dict,
     snapshot: str | list | set | tuple | None = None,
+    consumed: dict | None = None,
     _srows: list | None = None,
 ) -> dict:
     """Collapse per-rank consumed prefixes under (snapshot,
@@ -3014,7 +3024,19 @@ def consumed_shard_watermarks(
 
     ``cursors`` maps rank -> consumed position (missing ranks read
     nothing); a cursor past its rank's total raises, same as the
-    reader's own range check."""
+    reader's own range check.
+
+    ``consumed``: the PRIOR migration's world-level watermarks, when
+    the run being collapsed was itself resumed elastically (a second
+    resize — review r14 pass 2).  The ranks' streams then had
+    per-shard holes; a cursor's position prefix covers the holes
+    BEFORE it (positions are unfiltered), and holes AFTER it belong
+    to windows consumed under the earlier world, so the union of the
+    two per-shard prefixes — a per-shard ``max`` — is exactly the
+    total consumed set.  Without it, a second resize would re-read
+    every window the first migration skipped.  Union over ranks of
+    :func:`migrate_rank_cursors`' per-rank dicts (disjoint) IS the
+    world-level dict."""
     if int(world_size) < 1:
         raise ValueError(
             f"consumed_shard_watermarks: world_size must be >= 1 "
@@ -3066,6 +3088,25 @@ def consumed_shard_watermarks(
             if take:
                 watermarks[s] = take
             remaining -= take
+    if consumed:
+        known = {p[0] for p in pairs}
+        unknown = sorted(set(map(str, consumed)) - known)
+        if unknown:
+            raise ValueError(
+                f"consumed_shard_watermarks: prior watermarks name "
+                f"shards {unknown[:5]} outside this snapshot — wrong "
+                f"(snapshot, migration) pairing"
+            )
+        for shard, k in consumed.items():
+            shard, k = str(shard), int(k)
+            if k < 0 or k > counts[shard]:
+                raise ValueError(
+                    f"consumed_shard_watermarks: prior watermark "
+                    f"{k} for shard {shard!r} outside "
+                    f"[0, {counts[shard]}]"
+                )
+            # two per-shard prefixes union to the larger prefix
+            watermarks[shard] = max(watermarks.get(shard, 0), k)
     return watermarks
 
 
@@ -3076,6 +3117,7 @@ def migrate_rank_cursors(
     cursors: dict,
     new_world: int,
     snapshot: str | list | set | tuple | None = None,
+    consumed: dict | None = None,
 ) -> dict:
     """Elastic mid-epoch restart (VERDICT r12 item 5): map the
     per-rank consumed positions of a (snapshot, ``old_world``) run to
@@ -3101,14 +3143,22 @@ def migrate_rank_cursors(
     rank present (possibly ``{}``).  The watermark becomes part of
     the resume identity when combined with ``with_state=True`` —
     a later checkpoint under the new world refuses to resume without
-    it."""
+    it.
+
+    **Resizing AGAIN mid-epoch**: pass the FIRST migration's
+    world-level watermarks as ``consumed`` (the union of its per-rank
+    dicts — rank slices are disjoint, so a plain dict-merge), or the
+    already-consumed windows the cursors cannot see (holes beyond
+    each rank's cut, and whole ranks that died before their first
+    checkpoint) would be silently re-read (review r14 pass 2)."""
     _sidecar, srows, _contract = _sidecar_snapshot(
         spark, path, "migrate_rank_cursors"
     )
     # ONE sidecar collect feeds both halves (review r13: the watermark
     # call re-collected the same snapshot a second time)
     marks = consumed_shard_watermarks(
-        spark, path, old_world, cursors, snapshot=snapshot, _srows=srows
+        spark, path, old_world, cursors, snapshot=snapshot,
+        consumed=consumed, _srows=srows,
     )
     pairs = _snapshot_filter_pairs(
         srows, snapshot, path, "migrate_rank_cursors"
@@ -3128,6 +3178,7 @@ def consumed_mixture_watermarks(
     cursors: dict,
     snapshots: dict | None = None,
     epoch: int | None = None,
+    consumed: dict | None = None,
     _srows_by: dict | None = None,
 ) -> dict:
     """Collapse per-rank consumed MIXTURE prefixes under
@@ -3167,6 +3218,15 @@ def consumed_mixture_watermarks(
     resize there, or finish the epoch under the old world, or restart
     the epoch under the new world (the loss is at most one partial
     epoch's ordering, never data).
+
+    ``consumed``: the PRIOR migration's world-level watermarks
+    (``{set: {shard: k}}``) when the run being collapsed was itself
+    an elastic resume — a rank's position prefix covers the holes
+    before its cursor and the per-shard ``max`` unions in the holes
+    beyond it, exactly the single-set argument once per set; without
+    it a second resize re-reads what the first skipped (review r14
+    pass 2).  Union of :func:`migrate_mixture_cursors`' per-rank
+    dicts (disjoint per set) IS the world-level dict.
 
     Returns ``{set_name: {shard: consumed_count}}`` (sets with no
     consumption map to ``{}``)."""
@@ -3224,7 +3284,16 @@ def consumed_mixture_watermarks(
                 )
     lcm = math.lcm(*w.values())
     n_sets = len(names)
+    if consumed is not None:
+        unknown_sets = sorted(set(consumed) - set(names))
+        if unknown_sets:
+            raise ValueError(
+                f"consumed_mixture_watermarks: prior watermarks name "
+                f"sets {unknown_sets[:5]} that are not in this "
+                f"mixture ({names})"
+            )
     counts_by: dict = {}
+    universe_by: dict = {}
     rank_keys: dict = {n: {} for n in names}
     for n in names:
         if _srows_by is not None and n in _srows_by:
@@ -3239,6 +3308,7 @@ def consumed_mixture_watermarks(
             None if snapshots is None else snapshots.get(n),
             sets[n], "consumed_mixture_watermarks",
         )
+        universe_by[n] = {p[0] for p in pairs}
         # ONE LPT per set per world — a pure function of (pairs, W)
         for shard, rr, _wt in _lpt_assign(pairs, int(world_size)):
             rank_keys[n].setdefault(rr, []).append(shard)
@@ -3276,6 +3346,25 @@ def consumed_mixture_watermarks(
                 if take:
                     out[n][sh] = take  # slices are disjoint per set
                 remaining -= take
+    if consumed:
+        for n, marks in consumed.items():
+            unknown = sorted(set(map(str, marks)) - universe_by[n])
+            if unknown:
+                raise ValueError(
+                    f"consumed_mixture_watermarks: prior watermarks "
+                    f"for set {n!r} name shards {unknown[:5]} outside "
+                    f"this snapshot — wrong (snapshots, migration) "
+                    f"pairing"
+                )
+            for sh, k in marks.items():
+                sh, k = str(sh), int(k)
+                if k < 0 or k > counts_by[n][sh]:
+                    raise ValueError(
+                        f"consumed_mixture_watermarks: prior "
+                        f"watermark {k} for {n!r}/{sh!r} outside "
+                        f"[0, {counts_by[n][sh]}]"
+                    )
+                out[n][sh] = max(out[n].get(sh, 0), k)
     return out
 
 
@@ -3288,6 +3377,7 @@ def migrate_mixture_cursors(
     new_world: int,
     snapshots: dict | None = None,
     epoch: int | None = None,
+    consumed: dict | None = None,
 ) -> dict:
     """Elastic mid-epoch restart for a weighted MIXTURE (VERDICT r13
     item 1): map the per-rank consumed ``mix_key`` cursors of a
@@ -3313,8 +3403,13 @@ def migrate_mixture_cursors(
     mixture's full window multiset, for ANY per-rank cut points and
     any W_old/W_new.  ``epoch`` must be None — see
     :func:`consumed_mixture_watermarks` for why and for the named
-    restart recipe.  Returns ``{new_rank: {set: {shard: count}}}``
-    with every new rank present (possibly all-empty)."""
+    restart recipe.  Resizing AGAIN mid-epoch: pass the first
+    migration's world-level watermarks as ``consumed`` (the per-set
+    dict-merge of its per-rank outputs), or the holes the cursors
+    cannot see would be re-read — see
+    :func:`consumed_mixture_watermarks`.  Returns
+    ``{new_rank: {set: {shard: count}}}`` with every new rank present
+    (possibly all-empty)."""
     names = sorted(sets)
     # ONE sidecar collect per set feeds both halves (the single-set
     # migration learned the same lesson, review r13)
@@ -3324,7 +3419,8 @@ def migrate_mixture_cursors(
     }
     marks = consumed_mixture_watermarks(
         spark, sets, weights, old_world, cursors,
-        snapshots=snapshots, epoch=epoch, _srows_by=srows_by,
+        snapshots=snapshots, epoch=epoch, consumed=consumed,
+        _srows_by=srows_by,
     )
     out: dict = {r: {} for r in range(int(new_world))}
     for n in names:

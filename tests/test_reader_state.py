@@ -631,3 +631,217 @@ def test_mixture_migration_refuses_string_snapshots(spark, corpus):
             spark, paths, {"web": 3, "code": 1}, 2, {0: 5},
             snapshots={"web": "zzzz", "code": keys["code"]},
         )
+
+
+def test_elastic_double_resize_property(spark, corpus):
+    """A SECOND mid-epoch resize composes (review r14 pass 2): the
+    first migration's world-level watermarks pass as consumed= to the
+    second, and stage-1 consumed ⊎ stage-2 consumed ⊎ the final world's
+    reads = the epoch exactly once — including ranks that died before
+    any stage-2 checkpoint (their holes ride the prior watermarks)."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.pipeline import (
+        migrate_rank_cursors,
+    )
+
+    vocab, paths, keys, _other = corpus
+    path, snap = paths["web"], keys["web"]
+    full = {}
+    for w in range(1, 4):
+        for r in range(w):
+            df, _ = read_rank_shards(
+                spark, path, r, w, snapshot=snap, pos_col="pos"
+            )
+            full.setdefault(w, {})[r] = _rows(df, ["src", "win", "pos"])
+    world_all = sorted((s, w) for r in full[1].values() for (s, w, _p) in r)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        w1=st.integers(1, 3), w2=st.integers(1, 3), w3=st.integers(1, 3),
+        cut1=st.tuples(*[st.floats(0.0, 1.0)] * 3),
+        cut2=st.tuples(*[st.floats(0.0, 1.0)] * 3),
+    )
+    def check(w1, w2, w3, cut1, cut2):
+        cursors1, consumed1 = {}, []
+        for r in range(w1):
+            rows = full[w1][r]
+            c = int(cut1[r] * len(rows))
+            cursors1[r] = c
+            consumed1 += [(s, w) for (s, w, _p) in rows[:c]]
+        mig1 = migrate_rank_cursors(
+            spark, path, w1, cursors1, w2, snapshot=snap
+        )
+        world1: dict = {}
+        for d in mig1.values():
+            world1.update(d)  # rank slices are disjoint
+        cursors2, consumed2 = {}, []
+        for r in range(w2):
+            df, _ = read_rank_shards(
+                spark, path, r, w2, snapshot=snap,
+                consumed=mig1[r], pos_col="pos",
+            )
+            rows = _rows(df, ["src", "win", "pos"])
+            c = int(cut2[r] * len(rows))
+            if c:
+                cursors2[r] = rows[c - 1][2] + 1  # last consumed pos+1
+                consumed2 += [(s, w) for (s, w, _p) in rows[:c]]
+            # c == 0: the rank died before its first checkpoint
+        mig2 = migrate_rank_cursors(
+            spark, path, w2, cursors2, w3, snapshot=snap,
+            consumed=world1,
+        )
+        final = []
+        for r in range(w3):
+            df, _ = read_rank_shards(
+                spark, path, r, w3, snapshot=snap, consumed=mig2[r]
+            )
+            final += [(s, w) for (s, w, _p) in _rows(
+                df, ["src", "win", "pos"]
+            )]
+        assert sorted(consumed1 + consumed2 + final) == world_all
+
+    check()
+
+    # prior watermarks naming foreign shards refuse by name
+    with pytest.raises(ValueError, match="outside this snapshot"):
+        migrate_rank_cursors(
+            spark, path, 2, {0: 0}, 2, snapshot=snap,
+            consumed={"no-such-shard": 1},
+        )
+
+
+def test_mixture_double_resize_property(spark, corpus):
+    """The mixture analogue: two resizes compose exactly-once when the
+    second migration carries the first's world-level watermarks."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from streaming_parquet_spark.operators.pipeline import (
+        migrate_mixture_cursors,
+    )
+
+    vocab, paths, keys, _other = corpus
+    weights = {"web": 3, "code": 1}
+    cols = ["mix_source", "src", "win"]
+    full = {}
+    for w in range(1, 4):
+        for r in range(w):
+            df, _ = read_mixture_rank(
+                spark, paths, weights, r, w, snapshots=keys
+            )
+            full.setdefault(w, {})[r] = sorted(
+                tuple(row[c] for c in ["mix_key"] + cols)
+                for row in df.collect()
+            )
+    world_all = sorted(t[1:] for t in full[1][0])
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        w1=st.integers(1, 3), w2=st.integers(1, 3), w3=st.integers(1, 3),
+        cut1=st.tuples(*[st.floats(0.0, 1.0)] * 3),
+        cut2=st.tuples(*[st.floats(0.0, 1.0)] * 3),
+    )
+    def check(w1, w2, w3, cut1, cut2):
+        cursors1, consumed1 = {}, []
+        for r in range(w1):
+            rows = full[w1][r]
+            c = int(cut1[r] * len(rows))
+            if c:
+                cursors1[r] = rows[c - 1][0]
+                consumed1 += [t[1:] for t in rows[:c]]
+        mig1 = migrate_mixture_cursors(
+            spark, paths, weights, w1, cursors1, w2, snapshots=keys
+        )
+        world1: dict = {}
+        for d in mig1.values():
+            for n, marks in d.items():
+                world1.setdefault(n, {}).update(marks)
+        cursors2, consumed2 = {}, []
+        for r in range(w2):
+            df, _ = read_mixture_rank(
+                spark, paths, weights, r, w2, snapshots=keys,
+                consumed=mig1[r],
+            )
+            rows = sorted(
+                tuple(row[c] for c in ["mix_key"] + cols)
+                for row in df.collect()
+            )
+            c = int(cut2[r] * len(rows))
+            if c:
+                cursors2[r] = rows[c - 1][0]
+                consumed2 += [t[1:] for t in rows[:c]]
+        mig2 = migrate_mixture_cursors(
+            spark, paths, weights, w2, cursors2, w3, snapshots=keys,
+            consumed=world1,
+        )
+        final = []
+        for r in range(w3):
+            df, _ = read_mixture_rank(
+                spark, paths, weights, r, w3, snapshots=keys,
+                consumed=mig2[r],
+            )
+            final += [
+                tuple(row[c] for c in cols) for row in df.collect()
+            ]
+        assert sorted(consumed1 + consumed2 + final) == world_all
+
+    check()
+
+
+def test_rank_state_v1_bundles_still_resume(spark, corpus):
+    """Only the MIXTURE identities changed layout in v2: a v1 bundle
+    for a single-set rank read keeps resuming (review r14 pass 2 —
+    a blanket version refusal would cost every fleet its cursors),
+    while a v1 mixture bundle refuses with the re-mint message."""
+    import streaming_parquet_spark.operators.pipeline as P
+
+    vocab, paths, keys, _other = corpus
+    path = paths["web"]
+    df, _c, state = read_rank_shards(
+        spark, path, 0, 2, snapshot=keys["web"], with_state=True
+    )
+    ck = advance_reader_state(state, 1)
+    v1 = dict(ck)
+    v1["version"] = 1
+    v1["identity_fp"] = P._state_fp(
+        {k: v for k, v in v1.items() if k not in ("cursor", "identity_fp")}
+    )
+    via_v1, _ = read_rank_shards(
+        spark, path, 0, 2, snapshot=keys["web"], state=v1
+    )
+    via_v2, _ = read_rank_shards(
+        spark, path, 0, 2, snapshot=keys["web"], state=ck
+    )
+    cols = ["src", "win", "pos"]
+    assert _rows(via_v1, cols) == _rows(via_v2, cols)
+
+    mdf, _mc, mstate = read_mixture_shards(
+        spark, paths, {"web": 1, "code": 1}, snapshots=keys,
+        with_state=True,
+    )
+    m1 = dict(mstate)
+    m1["version"] = 1
+    m1["identity_fp"] = P._state_fp(
+        {k: v for k, v in m1.items() if k not in ("cursor", "identity_fp")}
+    )
+    with pytest.raises(ValueError, match="accepted range"):
+        read_mixture_shards(
+            spark, paths, {"web": 1, "code": 1}, snapshots=keys,
+            state=m1,
+        )
