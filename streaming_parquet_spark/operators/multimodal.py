@@ -24,6 +24,7 @@ spark.sql.execution.arrow.maxRecordsPerBatch).
 from __future__ import annotations
 
 import hashlib
+import json
 import struct
 import zlib
 from typing import Iterator
@@ -857,6 +858,22 @@ PAYLOAD_STORE_FORMAT = "payload-store-v1"
 
 _PAYLOAD_CONTRACT_COLS = ("format", "n_shards", "ref_col", "payload_col")
 
+#: append_payload_store's return rows (the wave promise, sans contract)
+_PAYLOAD_WAVE_SCHEMA = (
+    "shard int, wave string, n_payloads bigint, n_refs bigint,"
+    " n_bytes bigint, fp_a bigint, fp_b bigint"
+)
+
+#: one sidecar row per (shard, wave): waves make appends attributable
+#: (a crashed append's replay re-digests ITS OWN wave's rows and
+#: repairs), and the per-shard promise is the waves' composition —
+#: counts/bytes add, XOR fingerprints fold
+_PAYLOAD_MANIFEST_SCHEMA = (
+    "shard int, wave string, n_payloads bigint, n_refs bigint,"
+    " n_bytes bigint, fp_a bigint, fp_b bigint, format string,"
+    " n_shards int, ref_col string, payload_col string"
+)
+
 
 def mint_payload_refs(
     df: DataFrame, payload_col: str = "payload", out_col: str = "ref"
@@ -961,6 +978,21 @@ def payload_store_manifest(
     )
 
 
+def _payload_wave_id(batch_man: list) -> str:
+    """Deterministic wave id of a payload batch — a pure function of
+    the batch's per-shard content fingerprints, so a crashed append's
+    REPLAY computes the same id and can find (and repair around) the
+    rows its first attempt landed."""
+    key = json.dumps(
+        sorted(
+            (int(r["shard"]), int(r["fp_a"]), int(r["fp_b"]),
+             int(r["n_payloads"]))
+            for r in batch_man
+        )
+    )
+    return "w-" + hashlib.md5(key.encode()).hexdigest()[:12]
+
+
 def write_payload_store(
     df: DataFrame,
     path: str,
@@ -1014,10 +1046,12 @@ def write_payload_store(
             f"mint_payload_refs for equal payloads; two DIFFERENT "
             f"payloads under one ref are a forged or colliding key"
         )
+    wave = _payload_wave_id(mrows)
     (
         df.select(
             F.col(ref_col),
             F.col(payload_col),
+            F.lit(wave).alias("wave"),
             _payload_shard_expr(ref_col, n).alias("shard"),
         )
         .write.mode(mode)
@@ -1027,15 +1061,14 @@ def write_payload_store(
     manifest = spark.createDataFrame(
         [
             (
-                int(r["shard"]), int(r["n_payloads"]), int(r["n_refs"]),
-                int(r["n_bytes"]), int(r["fp_a"]), int(r["fp_b"]),
-                PAYLOAD_STORE_FORMAT, n, ref_col, payload_col,
+                int(r["shard"]), wave, int(r["n_payloads"]),
+                int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
+                int(r["fp_b"]), PAYLOAD_STORE_FORMAT, n, ref_col,
+                payload_col,
             )
             for r in mrows
         ],
-        "shard int, n_payloads bigint, n_refs bigint, n_bytes bigint,"
-        " fp_a bigint, fp_b bigint, format string, n_shards int,"
-        " ref_col string, payload_col string",
+        _PAYLOAD_MANIFEST_SCHEMA,
     )
     manifest.write.mode(mode).parquet(_os.path.join(path, "_manifest"))
     return manifest
@@ -1126,11 +1159,12 @@ def verify_payload_store(
 
     out = verify_shards(
         spark,
-        manifest.select(
-            F.col("shard").cast("int").alias("shard"),
-            F.col("n_payloads").alias("n_docs"),
-            "fp_a",
-            "fp_b",
+        # the promise per shard is the WAVES' composition: counts add,
+        # XOR fingerprints fold (order-free)
+        manifest.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+            F.sum("n_payloads").alias("n_docs"),
+            F.expr("bit_xor(fp_a)").alias("fp_a"),
+            F.expr("bit_xor(fp_b)").alias("fp_b"),
         ),
         path,
         id_col="__ref_key",
@@ -1451,3 +1485,257 @@ def split_multimodal_documents(
             )
 
     return df.mapInPandas(_split, out_schema)
+
+
+def append_payload_store(
+    df: DataFrame,
+    path: str,
+    ref_col: str | None = None,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Incremental append to a payload store — the pixel-plane
+    analogue of ``pipeline.append_token_shards``, with the dedup axis
+    a content-addressed store actually has: the REF.
+
+    Every parameter derives from the pinned contract (nothing
+    restatable; passing ``ref_col``/``payload_col`` merely ASSERTS
+    against it).  Incoming blobs whose ref already exists are handled
+    by CONTENT: an identical payload is skipped (appending the same
+    image twice is the normal ingest-replay case — a content-addressed
+    ref promises nothing new), while a DIFFERENT payload under an
+    existing ref REFUSES before any write: a forged or colliding key
+    silently replacing pixels is the exact failure the store exists
+    to prevent.  The overlap check joins only the incoming refs'
+    shards (the shard key recomputes from the ref, so the store scan
+    prunes); digest comparison reuses :func:`_payload_digest_frame`
+    on both sides.
+
+    **Crash windows, via wave attribution** (the
+    ``streaming.shards`` discipline): every appended blob carries a
+    ``wave`` id — a pure function of the batch's content
+    (:func:`_payload_wave_id`) — and the sidecar is APPEND-ONLY, one
+    row per (shard, wave).  Data lands first, then the wave's sidecar
+    rows are RE-DERIVED from the data itself (a pruned re-digest of
+    this wave's rows in the touched shards) and appended.  A crash
+    between the legs leaves the store loudly incomplete
+    (:func:`verify_payload_store` fails the touched shards), and
+    REPLAYING the same batch repairs exactly: the already-landed
+    blobs skip as identical content, stragglers land under the same
+    wave id, and the re-digest acknowledges both together.  A replay
+    after full success is a no-op (the wave's sidecar rows already
+    exist and the recomputed digest must agree — disagreement
+    refuses).  Returns the wave's per-shard manifest rows (empty when
+    every ref already lived in an earlier wave)."""
+    import os as _os
+
+    spark = df.sparkSession
+    manifest, contract = _payload_contract(
+        spark, path, "append_payload_store"
+    )
+    rc = contract["ref_col"] if ref_col is None else ref_col
+    pc = contract["payload_col"] if payload_col is None else payload_col
+    if rc != contract["ref_col"] or pc != contract["payload_col"]:
+        raise ValueError(
+            f"append_payload_store: columns ({rc!r}, {pc!r}) do not "
+            f"match the store contract "
+            f"({contract['ref_col']!r}, {contract['payload_col']!r})"
+        )
+    n = int(contract["n_shards"])
+    batch_man = [
+        r.asDict()
+        for r in payload_store_manifest(df, n, rc, pc).collect()
+    ]
+    dup = [r["shard"] for r in batch_man if r["n_refs"] != r["n_payloads"]]
+    if dup:
+        raise ValueError(
+            f"append_payload_store: duplicate refs within the batch "
+            f"in shard(s) {sorted(dup)[:5]} — dropDuplicates(['{rc}']) "
+            f"first"
+        )
+    if not batch_man:
+        return spark.createDataFrame([], _PAYLOAD_WAVE_SCHEMA)
+    wave = _payload_wave_id(batch_man)
+    touched = sorted(int(r["shard"]) for r in batch_man)
+
+    def _wave_rows_from_data() -> list:
+        """Re-derive this wave's sidecar rows from the DATA (pruned to
+        the touched shards) — the one attributable truth a replay and
+        a first attempt agree on."""
+        # refresh FIRST: this scan races our own just-landed files
+        spark.catalog.refreshByPath(path)
+        scanned = spark.read.parquet(path)
+        mine = scanned.where(
+            F.col("shard").cast("int").isin(touched)
+            & (F.col("wave") == F.lit(wave))
+        )
+        got = payload_store_manifest(mine, n, rc, pc).collect()
+        return [r.asDict() for r in got]
+
+    acked = {
+        int(r["shard"]): r.asDict()
+        for r in manifest.where(F.col("wave") == F.lit(wave)).collect()
+    }
+    if acked:
+        # full replay after success: the wave is acknowledged; the
+        # recomputed data digest must agree, then no-op
+        got = {int(r["shard"]): r for r in _wave_rows_from_data()}
+        for sh, row in acked.items():
+            g = got.get(sh)
+            if g is None or (
+                int(g["fp_a"]), int(g["fp_b"]), int(g["n_payloads"])
+            ) != (int(row["fp_a"]), int(row["fp_b"]),
+                  int(row["n_payloads"])):
+                raise ValueError(
+                    f"append_payload_store: wave {wave} is already "
+                    f"acknowledged for shard {sh} but its data rows "
+                    f"digest differently — the store was modified "
+                    f"outside the protocol"
+                )
+        return spark.createDataFrame([], _PAYLOAD_WAVE_SCHEMA)
+
+    # overlap-by-content: existing refs with IDENTICAL payloads skip,
+    # different payloads refuse.  One pruned join; blobs never collect.
+    incoming = _payload_digest_frame(
+        df, rc, pc, shard=_payload_shard_expr(rc, n)
+    )
+    existing = _payload_digest_frame(
+        spark.read.parquet(path), rc, pc, shard=F.col("shard")
+    ).withColumnRenamed("__payload_hex", "__existing_hex")
+    joined = incoming.join(existing, ["shard", "__ref_key"], "left")
+    forged = joined.where(
+        F.col("__existing_hex").isNotNull()
+        & (F.col("__existing_hex") != F.col("__payload_hex"))
+    )
+    bad = [
+        r["__ref_key"]
+        for r in forged.select("__ref_key").limit(5).collect()
+    ]
+    if bad:
+        raise ValueError(
+            f"append_payload_store: ref(s) {bad} already exist with "
+            f"DIFFERENT content — a forged or colliding key; a "
+            f"content-addressed store never silently replaces pixels"
+        )
+    fresh_keys = joined.where(F.col("__existing_hex").isNull()).select(
+        F.col("__ref_key").alias("__fresh_ref")
+    )
+    fresh = df.join(
+        fresh_keys,
+        F.col(rc).cast("string") == F.col("__fresh_ref"),
+        "left_semi",
+    )
+    (
+        fresh.select(
+            F.col(rc), F.col(pc),
+            F.lit(wave).alias("wave"),
+            _payload_shard_expr(rc, n).alias("shard"),
+        )
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    # acknowledge from the data: leftovers of a crashed first attempt
+    # carry the same wave id and fold in here, exactly once
+    wave_rows = _wave_rows_from_data()
+    if wave_rows:
+        spark.createDataFrame(
+            [
+                (
+                    int(r["shard"]), wave, int(r["n_payloads"]),
+                    int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
+                    int(r["fp_b"]), PAYLOAD_STORE_FORMAT, n, rc, pc,
+                )
+                for r in wave_rows
+            ],
+            _PAYLOAD_MANIFEST_SCHEMA,
+        ).write.mode("append").parquet(_os.path.join(path, "_manifest"))
+    return spark.createDataFrame(
+        [
+            (
+                int(r["shard"]), wave, int(r["n_payloads"]),
+                int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
+                int(r["fp_b"]),
+            )
+            for r in wave_rows
+        ],
+        _PAYLOAD_WAVE_SCHEMA,
+    )
+
+
+def orphan_payload_refs(
+    windows: DataFrame,
+    store_path: str,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Blobs no packed window references — the reclaim candidates a
+    payload-retention policy sweeps (documents dropped by dedup or
+    quality filters leave their images behind).  One anti-join of the
+    store's (shard, ref) against the windows' exploded non-text span
+    refs; blobs never leave the executors — the result carries refs
+    and sizes only.  Feed the KEEP side to
+    :func:`compact_payload_store` to materialize the reclaim."""
+    spark = windows.sparkSession
+    store, contract = read_payload_store(spark, store_path)
+    rc, pc = contract["ref_col"], contract["payload_col"]
+    used = (
+        windows.select(F.explode(F.col(spans_col)).alias("__s"))
+        .where(
+            (F.col("__s.modality") != F.lit("text"))
+            & F.col("__s.ref").isNotNull()
+        )
+        .select(F.col("__s.ref").cast("string").alias("__used_ref"))
+        .distinct()
+    )
+    return (
+        store.join(
+            used,
+            F.col(rc).cast("string") == F.col("__used_ref"),
+            "left_anti",
+        )
+        .select(
+            F.col(rc).cast("string").alias("ref"),
+            F.length(F.col(pc)).cast("bigint").alias("n_bytes"),
+        )
+    )
+
+
+def compact_payload_store(
+    spark,
+    src_path: str,
+    dst_path: str,
+    windows: DataFrame,
+    spans_col: str = "spans",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Materialize the referenced subset of a payload store as a NEW
+    verified store — the reclaim step after
+    :func:`orphan_payload_refs` (parquet files cannot delete rows in
+    place; the token plane's compaction has the same shape).  The
+    destination is write-once (:func:`write_payload_store`'s
+    ``mode="error"``), carries the same contract (or a new
+    ``n_shards`` — the shard key recomputes from refs, so re-bucketing
+    is free), and every kept blob round-trips byte-identical by
+    construction (a projection, never a decode).  Verify the dst
+    (:func:`verify_payload_store`) before dropping the src — the same
+    order the catalog's ``promote_compaction`` pins."""
+    store, contract = read_payload_store(spark, src_path)
+    rc, pc = contract["ref_col"], contract["payload_col"]
+    used = (
+        windows.select(F.explode(F.col(spans_col)).alias("__s"))
+        .where(
+            (F.col("__s.modality") != F.lit("text"))
+            & F.col("__s.ref").isNotNull()
+        )
+        .select(F.col("__s.ref").cast("string").alias("__used_ref"))
+        .distinct()
+    )
+    kept = store.join(
+        used,
+        F.col(rc).cast("string") == F.col("__used_ref"),
+        "left_semi",
+    ).select(F.col(rc), F.col(pc))
+    return write_payload_store(
+        kept, dst_path,
+        n_shards=int(contract["n_shards"]) if n_shards is None else int(n_shards),
+        ref_col=rc, payload_col=pc,
+    )

@@ -1009,3 +1009,149 @@ def test_verify_payload_store_supplied_manifest_format_check(spark, tmp_path):
     foreign = man.withColumn("format", F.lit("payload-store-v9"))
     with pytest.raises(ValueError, match="payload-store-v1"):
         verify_payload_store(spark, store, manifest=foreign)
+
+
+# --- payload store lifecycle: append / orphans / compaction ------------
+
+
+def test_payload_store_append_lifecycle(spark, tmp_path):
+    from streaming_parquet_spark.operators.multimodal import (
+        append_payload_store,
+        mint_payload_refs,
+        read_payload_store,
+        verify_payload_store,
+        write_payload_store,
+    )
+
+    path = str(tmp_path / "store")
+    base = mint_payload_refs(_payloads(spark, 10)).select("ref", "payload")
+    write_payload_store(base, path, n_shards=3)
+
+    # a fresh wave lands and the whole store still verifies
+    wave2 = mint_payload_refs(
+        _payloads(spark, 8, salt=b"v2-")
+    ).select("ref", "payload")
+    rows = append_payload_store(wave2, path)
+    assert sum(r["n_payloads"] for r in rows.collect()) == 8
+    v = verify_payload_store(spark, path)
+    assert v.where("NOT ok").count() == 0
+    got, _ = read_payload_store(spark, path)
+    assert got.count() == 18
+
+    # replaying the same batch is a no-op (idempotent by content)
+    again = append_payload_store(wave2, path)
+    assert again.count() == 0
+    assert read_payload_store(spark, path)[0].count() == 18
+    assert verify_payload_store(spark, path).where("NOT ok").count() == 0
+
+    # a batch overlapping older waves with IDENTICAL content skips the
+    # overlap and lands only the genuinely new blobs
+    mixed = base.limit(4).union(
+        mint_payload_refs(_payloads(spark, 3, salt=b"v3-"))
+        .select("ref", "payload")
+    )
+    w3 = append_payload_store(mixed, path)
+    assert sum(r["n_payloads"] for r in w3.collect()) == 3
+    assert read_payload_store(spark, path)[0].count() == 21
+    assert verify_payload_store(spark, path).where("NOT ok").count() == 0
+
+    # a forged key (same ref, different bytes) refuses before writing
+    forged = spark.createDataFrame(
+        [(base.first()["ref"], b"EVIL")], "ref string, payload binary"
+    )
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        append_payload_store(forged, path)
+    assert read_payload_store(spark, path)[0].count() == 21
+
+    # column assertion against the contract
+    with pytest.raises(ValueError, match="do not match"):
+        append_payload_store(wave2, path, ref_col="other")
+
+
+def test_payload_store_append_crash_replay_repairs(spark, tmp_path, monkeypatch):
+    """The crash window: data landed, the wave's sidecar rows did not.
+    verify fails loudly; REPLAYING the same batch repairs — leftovers
+    fold into the same wave id and the re-digest acknowledges them."""
+    import streaming_parquet_spark.operators.multimodal as M
+
+    path = str(tmp_path / "store")
+    base = M.mint_payload_refs(_payloads(spark, 10)).select("ref", "payload")
+    M.write_payload_store(base, path, n_shards=3)
+    wave2 = M.mint_payload_refs(
+        _payloads(spark, 6, salt=b"crash-")
+    ).select("ref", "payload")
+
+    # simulate the crash: land the data leg, then die before the
+    # sidecar append (patch the manifest writer to raise once)
+    real_create = spark.createDataFrame
+    calls = {"n": 0}
+
+    class _Boom(RuntimeError):
+        pass
+
+    def dying_create(data, schema=None, **kw):
+        if schema == M._PAYLOAD_MANIFEST_SCHEMA:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise _Boom("simulated crash before sidecar append")
+        return real_create(data, schema, **kw)
+
+    monkeypatch.setattr(spark, "createDataFrame", dying_create)
+    with pytest.raises(_Boom):
+        M.append_payload_store(wave2, path)
+    monkeypatch.setattr(spark, "createDataFrame", real_create)
+
+    # loudly incomplete: the landed-but-unacknowledged rows flip the
+    # touched shards' fingerprints
+    bad = M.verify_payload_store(spark, path).where("NOT ok").count()
+    assert bad > 0
+
+    # replay repairs: same batch -> same wave id; leftovers skip as
+    # identical content and the wave acknowledges from the data
+    rows = M.append_payload_store(wave2, path)
+    assert sum(r["n_payloads"] for r in rows.collect()) == 6
+    assert M.verify_payload_store(spark, path).where("NOT ok").count() == 0
+    assert M.read_payload_store(spark, path)[0].count() == 16
+    # and a second replay after the repair is a clean no-op
+    assert M.append_payload_store(wave2, path).count() == 0
+
+
+def test_payload_orphans_and_compaction(spark, tmp_path):
+    from streaming_parquet_spark.operators.multimodal import (
+        compact_payload_store,
+        orphan_payload_refs,
+        pack_multimodal_windows,
+        verify_payload_store,
+        write_payload_store,
+        resolve_payload_refs,
+    )
+
+    store = str(tmp_path / "store")
+    blobs = spark.createDataFrame(
+        [("img-1", b"a"), ("img-3", b"b"), ("img-unused", b"c"),
+         ("img-gone2", b"d")],
+        "ref string, payload binary",
+    )
+    write_payload_store(blobs, store, n_shards=2)
+    docs = _seg_docs(spark, [
+        (1, "a", [("text", [5, 6]), ("image", "img-1", 4)]),
+        (2, "a", [("image", "img-3", 6)]),
+    ])
+    win = pack_multimodal_windows(
+        docs, "segments", budget=12, part_col="src",
+        image_token_id=1, eos_id=2,
+    )
+    orphans = {r["ref"] for r in orphan_payload_refs(win, store).collect()}
+    assert orphans == {"img-unused", "img-gone2"}
+
+    dst = str(tmp_path / "compacted")
+    man = compact_payload_store(spark, store, dst, win)
+    assert sum(r["n_payloads"] for r in man.collect()) == 2
+    assert verify_payload_store(spark, dst).where("NOT ok").count() == 0
+    out = resolve_payload_refs(win, dst, id_cols=("src", "win"))
+    assert {r["ref"]: bytes(r["payload"]) for r in out.collect()} == {
+        "img-1": b"a", "img-3": b"b",
+    }
+    # write-once destination
+    with pytest.raises(Exception):
+        compact_payload_store(spark, store, dst, win)
