@@ -853,8 +853,12 @@ def multimodal_loss_spans(
 # REUSED, not copied), and resolvable back onto packed windows' spans
 # with partition pruning on the recomputable shard key.
 
-#: payload-store contract version; readers refuse anything else
-PAYLOAD_STORE_FORMAT = "payload-store-v1"
+#: payload-store contract version; readers refuse anything else.
+#: v2: data rows and sidecar rows carry a ``wave`` id (append
+#: attribution) and the sidecar is per-(shard, wave) — v1 stores
+#: refuse with the pinned format message instead of an unresolved-
+#: column planner error.
+PAYLOAD_STORE_FORMAT = "payload-store-v2"
 
 _PAYLOAD_CONTRACT_COLS = ("format", "n_shards", "ref_col", "payload_col")
 
@@ -1576,8 +1580,12 @@ def append_payload_store(
         for r in manifest.where(F.col("wave") == F.lit(wave)).collect()
     }
     if acked:
-        # full replay after success: the wave is acknowledged; the
-        # recomputed data digest must agree, then no-op
+        # replay after the data leg completed: already-acknowledged
+        # shards must digest-match, and shards the crashed sidecar
+        # append never covered (a PARTIAL sidecar — committer task
+        # files become visible one by one) get their rows appended
+        # NOW, or the store would stay unrepairable while every
+        # replay no-op'd (review r14 pass 3)
         got = {int(r["shard"]): r for r in _wave_rows_from_data()}
         for sh, row in acked.items():
             g = got.get(sh)
@@ -1591,7 +1599,33 @@ def append_payload_store(
                     f"digest differently — the store was modified "
                     f"outside the protocol"
                 )
-        return spark.createDataFrame([], _PAYLOAD_WAVE_SCHEMA)
+        missing = [got[sh] for sh in sorted(set(got) - set(acked))]
+        if missing:
+            spark.createDataFrame(
+                [
+                    (
+                        int(r["shard"]), wave, int(r["n_payloads"]),
+                        int(r["n_refs"]), int(r["n_bytes"]),
+                        int(r["fp_a"]), int(r["fp_b"]),
+                        PAYLOAD_STORE_FORMAT, n, rc, pc,
+                    )
+                    for r in missing
+                ],
+                _PAYLOAD_MANIFEST_SCHEMA,
+            ).write.mode("append").parquet(
+                _os.path.join(path, "_manifest")
+            )
+        return spark.createDataFrame(
+            [
+                (
+                    int(r["shard"]), wave, int(r["n_payloads"]),
+                    int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
+                    int(r["fp_b"]),
+                )
+                for r in missing
+            ],
+            _PAYLOAD_WAVE_SCHEMA,
+        )
 
     # overlap-by-content: existing refs with IDENTICAL payloads skip,
     # different payloads refuse.  One pruned join; blobs never collect.
@@ -1599,7 +1633,13 @@ def append_payload_store(
         df, rc, pc, shard=_payload_shard_expr(rc, n)
     )
     existing = _payload_digest_frame(
-        spark.read.parquet(path), rc, pc, shard=F.col("shard")
+        # static partition filter: the batch's refs can only collide
+        # inside their own hash shards, and runtime DPP is optimizer-
+        # dependent — an append must never re-digest a multi-TB store
+        spark.read.parquet(path).where(
+            F.col("shard").cast("int").isin(touched)
+        ),
+        rc, pc, shard=F.col("shard"),
     ).withColumnRenamed("__payload_hex", "__existing_hex")
     joined = incoming.join(existing, ["shard", "__ref_key"], "left")
     forged = joined.where(
@@ -1662,6 +1702,34 @@ def append_payload_store(
     )
 
 
+def _used_payload_refs(windows: DataFrame, spans_col: str) -> DataFrame:
+    """The distinct non-text span refs of a packed-windows frame — the
+    ONE definition of "referenced" the orphan and compaction verbs
+    share (review r14 pass 3: two drifting copies would disagree on
+    the orphan/keep boundary).  A NULL modality refuses by name, same
+    as resolve_payload_refs: ``NULL != 'text'`` evaluates NULL and the
+    filter would silently classify the blob as an orphan — data loss,
+    not a refusal."""
+    modality = F.when(
+        F.col("__s.modality").isNull(),
+        F.raise_error(
+            F.lit("payload refs: span with NULL modality — corrupt "
+                  "spans column (not packer output)")
+        ).cast("string"),
+    ).otherwise(F.col("__s.modality"))
+    return (
+        windows.select(F.explode(F.col(spans_col)).alias("__s"))
+        .select(
+            modality.alias("__m"),
+            F.col("__s.ref").cast("string").alias("__used_ref"),
+        )
+        .where((F.col("__m") != F.lit("text"))
+               & F.col("__used_ref").isNotNull())
+        .select("__used_ref")
+        .distinct()
+    )
+
+
 def orphan_payload_refs(
     windows: DataFrame,
     store_path: str,
@@ -1677,15 +1745,7 @@ def orphan_payload_refs(
     spark = windows.sparkSession
     store, contract = read_payload_store(spark, store_path)
     rc, pc = contract["ref_col"], contract["payload_col"]
-    used = (
-        windows.select(F.explode(F.col(spans_col)).alias("__s"))
-        .where(
-            (F.col("__s.modality") != F.lit("text"))
-            & F.col("__s.ref").isNotNull()
-        )
-        .select(F.col("__s.ref").cast("string").alias("__used_ref"))
-        .distinct()
-    )
+    used = _used_payload_refs(windows, spans_col)
     return (
         store.join(
             used,
@@ -1720,20 +1780,24 @@ def compact_payload_store(
     order the catalog's ``promote_compaction`` pins."""
     store, contract = read_payload_store(spark, src_path)
     rc, pc = contract["ref_col"], contract["payload_col"]
-    used = (
-        windows.select(F.explode(F.col(spans_col)).alias("__s"))
-        .where(
-            (F.col("__s.modality") != F.lit("text"))
-            & F.col("__s.ref").isNotNull()
-        )
-        .select(F.col("__s.ref").cast("string").alias("__used_ref"))
-        .distinct()
-    )
+    used = _used_payload_refs(windows, spans_col)
     kept = store.join(
         used,
         F.col(rc).cast("string") == F.col("__used_ref"),
         "left_semi",
     ).select(F.col(rc), F.col(pc))
+    # (6) fail at the point of the mistake: a keep set of zero blobs
+    # means the windows reference NOTHING in this store (wrong store,
+    # wrong windows, or an all-orphan corpus) — writing a dst whose
+    # manifest every later reader refuses would surface the error one
+    # step too late (review r14 pass 3)
+    if kept.limit(1).count() == 0:
+        raise ValueError(
+            f"compact_payload_store: the windows reference no blob in "
+            f"{src_path!r} — refusing to write an empty destination "
+            f"store (wrong store/windows pairing, or every blob is an "
+            f"orphan; drop the store instead)"
+        )
     return write_payload_store(
         kept, dst_path,
         n_shards=int(contract["n_shards"]) if n_shards is None else int(n_shards),

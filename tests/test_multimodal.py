@@ -581,7 +581,7 @@ def test_payload_store_roundtrip_and_verify(spark, tmp_path):
         len(r["payload"]) for r in df.collect()
     )
     got, contract = read_payload_store(spark, path)
-    assert contract["format"] == "payload-store-v1"
+    assert contract["format"] == "payload-store-v2"
     assert contract["n_shards"] == 4
     back = {r["ref"]: bytes(r["payload"]) for r in got.collect()}
     want = {r["ref"]: bytes(r["payload"]) for r in df.collect()}
@@ -1007,7 +1007,7 @@ def test_verify_payload_store_supplied_manifest_format_check(spark, tmp_path):
         store, n_shards=1,
     )
     foreign = man.withColumn("format", F.lit("payload-store-v9"))
-    with pytest.raises(ValueError, match="payload-store-v1"):
+    with pytest.raises(ValueError, match="payload-store-v2"):
         verify_payload_store(spark, store, manifest=foreign)
 
 
@@ -1155,3 +1155,96 @@ def test_payload_orphans_and_compaction(spark, tmp_path):
     # write-once destination
     with pytest.raises(Exception):
         compact_payload_store(spark, store, dst, win)
+
+
+def test_payload_pass3_refusals_and_partial_sidecar(spark, tmp_path, monkeypatch):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import streaming_parquet_spark.operators.multimodal as M
+
+    # (a) a foreign-format store refuses with the pinned message, not
+    # an unresolved-column planner error
+    v1 = str(tmp_path / "v1store")
+    os.makedirs(os.path.join(v1, "shard=0"))
+    pq.write_table(
+        pa.table({"ref": pa.array(["r"]),
+                  "payload": pa.array([b"x"], type=pa.binary())}),
+        os.path.join(v1, "shard=0", "part-0.parquet"),
+    )
+    os.makedirs(os.path.join(v1, "_manifest"))
+    pq.write_table(
+        pa.table({
+            "shard": pa.array([0], type=pa.int32()),
+            "n_payloads": pa.array([1]), "n_refs": pa.array([1]),
+            "n_bytes": pa.array([1]), "fp_a": pa.array([0]),
+            "fp_b": pa.array([0]),
+            "format": pa.array(["payload-store-v1"]),
+            "n_shards": pa.array([1], type=pa.int32()),
+            "ref_col": pa.array(["ref"]),
+            "payload_col": pa.array(["payload"]),
+        }),
+        os.path.join(v1, "_manifest", "part-0.parquet"),
+    )
+    df = spark.createDataFrame([("r2", b"y")], "ref string, payload binary")
+    with pytest.raises(ValueError, match="payload-store-v2"):
+        M.append_payload_store(df, v1)
+
+    # (b) NULL-modality spans refuse in orphan/compact, not silently
+    # classify a referenced blob as an orphan
+    store = str(tmp_path / "store")
+    M.write_payload_store(
+        spark.createDataFrame([("img-1", b"a")], "ref string, payload binary"),
+        store, n_shards=1,
+    )
+    corrupt = spark.sql(
+        "SELECT array(named_struct('start', 0, 'end', 3, "
+        "'modality', CAST(NULL AS STRING), 'ref', 'img-1')) AS spans"
+    )
+    with pytest.raises(Exception) as exc:
+        M.orphan_payload_refs(corrupt, store).collect()
+    assert "NULL modality" in str(exc.value)
+
+    # (c) a keep set of zero blobs refuses at compact time
+    unrelated = _seg_docs(spark, [(1, "a", [("text", [5, 6])])])
+    win = M.pack_multimodal_windows(
+        unrelated, "segments", budget=8, part_col="src",
+        image_token_id=1, eos_id=2,
+    )
+    with pytest.raises(ValueError, match="reference no blob"):
+        M.compact_payload_store(spark, store, str(tmp_path / "dst"), win)
+
+    # (d) PARTIAL sidecar for a wave: replay acknowledges the missing
+    # shards instead of no-op'ing while verify fails forever
+    big = str(tmp_path / "big")
+    M.write_payload_store(
+        M.mint_payload_refs(_payloads(spark, 12)).select("ref", "payload"),
+        big, n_shards=3,
+    )
+    wave = M.mint_payload_refs(
+        _payloads(spark, 9, salt=b"pw-")
+    ).select("ref", "payload")
+    rows = M.append_payload_store(wave, big)
+    waved = sorted(r["shard"] for r in rows.collect())
+    assert len(waved) >= 2
+    # simulate the partial sidecar: delete the wave's rows for all but
+    # one shard (rewrite the sidecar without them)
+    wid = rows.first()["wave"]
+    man = spark.read.parquet(os.path.join(big, "_manifest"))
+    keep_shard = waved[0]
+    pruned = man.where(
+        (F.col("wave") != wid) | (F.col("shard") == keep_shard)
+    )
+    pdfm = pruned.toPandas()
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(big, "_manifest"))
+    spark.createDataFrame(pdfm).write.parquet(
+        os.path.join(big, "_manifest")
+    )
+    assert M.verify_payload_store(spark, big).where("NOT ok").count() > 0
+    repaired = M.append_payload_store(wave, big)
+    assert sorted(r["shard"] for r in repaired.collect()) == waved[1:]
+    assert M.verify_payload_store(spark, big).where("NOT ok").count() == 0
+    # and the next replay is a clean no-op
+    assert M.append_payload_store(wave, big).count() == 0
