@@ -959,7 +959,39 @@ def _scale_smoke_scaled_ops(
             )
         return build
 
+    # r14: the binary payload plane's write+verify round-trip at 10x —
+    # hash-sharded blobs, one digest pass each way; expected ~linear
+    # (shard count re-sized with the corpus so per-shard volume stays
+    # constant, the same recipe as planes_for).
+    from streaming_parquet_spark.operators.multimodal import (
+        mint_payload_refs,
+        verify_payload_store,
+        write_payload_store,
+    )
+
+    def payload_roundtrip(src, n_shards, tag):
+        def build():
+            import shutil as _sh
+            import tempfile as _tf
+
+            out = os.path.join(
+                _tf.gettempdir(),
+                f"maw_scale_payload_{os.getpid()}_{tag}",
+            )
+            _sh.rmtree(out, ignore_errors=True)
+            blobs = (
+                mint_payload_refs(
+                    src.selectExpr("CAST(text AS BINARY) AS payload")
+                )
+                .dropDuplicates(["ref"])
+                .select("ref", "payload")
+            )
+            write_payload_store(blobs, out, n_shards=n_shards)
+            return verify_payload_store(spark, out)
+        return build
+
     scaled = {
+        "payload_store_roundtrip": payload_roundtrip(docs, 64, "s"),
         "embed_near_pairs_scaled_planes6": near_pairs(emb, planes_for(n_scale)),
         "dedup_semantic_scaled_k80": semantic(emb, n_centroids_for(n_scale)),
         "dedup_exact_substring": substring(docs),
@@ -968,6 +1000,7 @@ def _scale_smoke_scaled_ops(
         "pack_token_windows": pack(docs),
     }
     base = {
+        "payload_store_roundtrip": payload_roundtrip(docs1, 8, "b"),
         "embed_near_pairs_scaled_planes6": near_pairs(emb1, planes_for(n_base)),
         "dedup_semantic_scaled_k80": semantic(emb1, n_centroids_for(n_base)),
         "dedup_exact_substring": substring(docs1),
