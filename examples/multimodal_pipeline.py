@@ -1,0 +1,168 @@
+"""The interleaved image-text training-data path, end to end: raw
+multimodal documents (text runs + image blobs) become VERIFIED
+trainable windows with both planes under the manifest discipline —
+the token plane through the shard contract, the pixel plane through
+the content-addressed payload store the windows' spans point into.
+
+  ingest    raw rows -> content-addressed blobs (mint_payload_refs)
+            -> write_payload_store (hash-sharded, per-(shard, wave)
+            XOR fingerprints); later waves append_payload_store
+            (identical content skips, forged keys refuse, crashed
+            appends repair by replay)
+  segments  documents as ordered segment streams: text id runs +
+            atomic n_patches image runs carrying their payload refs
+  split     split_multimodal_documents: documents longer than the
+            window budget cut ONLY inside text runs (images atomic);
+            sub_order is the packer-ready unique key
+  pack      pack_multimodal_windows: greedy in-order bucket packing,
+            images never split across windows, modality-tagged spans
+  labels    multimodal_loss_spans + with_span_labels: text positions
+            supervise, image patch positions mask to ignore_index
+  persist   write_token_shards: the token plane under the pinned
+            shard contract (budget, pad/eos, VOCABULARY fingerprint)
+  verify    verify_token_shards (token plane) + verify_payload_store
+            (pixel plane): absence / corruption / tamper all surface
+  resolve   resolve_payload_refs: each window's image spans join back
+            to their blobs with the shard key recomputed from the ref
+            (the store scan prunes); strict mode raises on any ref
+            the store cannot honor
+  retire    orphan_payload_refs + compact_payload_store: blobs
+            stranded by dedup/quality drops sweep into a new
+            write-once store — verify dst before dropping src
+
+Run: python examples/multimodal_pipeline.py [sf_dir] [workdir]
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streaming_parquet_spark import get_spark
+from streaming_parquet_spark.operators.multimodal import (
+    append_payload_store,
+    compact_payload_store,
+    mint_payload_refs,
+    multimodal_loss_spans,
+    orphan_payload_refs,
+    pack_multimodal_windows,
+    resolve_payload_refs,
+    split_multimodal_documents,
+    verify_payload_store,
+    write_payload_store,
+)
+from streaming_parquet_spark.operators.pipeline import (
+    verify_token_shards,
+    with_span_labels,
+    write_token_shards,
+)
+from streaming_parquet_spark.operators.tokenize import (
+    apply_bpe,
+    fit_bpe_merges,
+    subword_vocab,
+)
+
+
+def main(sf_dir: str, work: str) -> None:
+    spark = get_spark(app_name="multimodal-pipeline")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    store = os.path.join(work, "payloads")
+    shards = os.path.join(work, "shards")
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).limit(400)
+
+    # ---- pixel plane: content-addressed payload store ---------------
+    # the fixtures carry no real media; the blobs here are the text
+    # bytes — in production these are the raw image bytes off the lake
+    blobs = (
+        mint_payload_refs(
+            docs.select(F.col("text").cast("binary").alias("payload"))
+        )
+        .dropDuplicates(["ref"])
+        .select("ref", "payload")
+    )
+    first, rest = blobs.limit(300), blobs.subtract(blobs.limit(300))
+    write_payload_store(first, store, n_shards=8)
+    wave = append_payload_store(rest, store)  # later ingest wave
+    assert append_payload_store(rest, store).count() == 0  # replay no-op
+    bad = verify_payload_store(spark, store).where("NOT ok").count()
+    print(f"payload store: +{wave.count()} wave rows, verify bad={bad}")
+
+    # ---- token plane: tokenize, then interleave text with images ----
+    merges = fit_bpe_merges(docs, n_merges=64)
+    enc = apply_bpe(docs, merges).persist()
+    ids = subword_vocab(enc, "bpe_tokens")
+    encoded = apply_bpe(docs, merges, ids=ids).select(
+        "source", "doc_id", "bpe_tokens_ids", "text"
+    )
+    # every third document carries an image whose ref is the document
+    # text's content hash — i.e., a blob the store above really holds
+    text_seg = F.struct(
+        F.lit("text").alias("modality"),
+        F.col("bpe_tokens_ids").cast("array<bigint>").alias("ids"),
+        F.lit(None).cast("string").alias("ref"),
+        F.lit(None).cast("int").alias("n_patches"),
+    )
+    img_seg = F.struct(
+        F.lit("image").alias("modality"),
+        F.lit(None).cast("array<bigint>").alias("ids"),
+        F.md5(F.col("text").cast("binary")).alias("ref"),
+        (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("n_patches"),
+    )
+    segged = encoded.select(
+        "source", "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.array(text_seg, img_seg))
+        .otherwise(F.array(text_seg)).alias("segments"),
+    )
+
+    # ---- split -> pack -> labels -------------------------------------
+    budget = 128
+    sub = split_multimodal_documents(segged, "segments", budget=budget)
+    win = pack_multimodal_windows(
+        sub, "segments", budget=budget, part_col="source",
+        order_col="sub_order", image_token_id=1, eos_id=2,
+    )
+    labeled = with_span_labels(multimodal_loss_spans(win), "loss_spans")
+    n_win = labeled.count()
+    n_masked = labeled.select(
+        F.sum(F.size(F.filter("labels", lambda x: x == -100)))
+    ).first()[0]
+    print(f"packed {n_win} windows; {n_masked} masked label positions")
+
+    # ---- persist + verify BOTH planes --------------------------------
+    write_token_shards(
+        win, shards, ids, budget=budget, shard_col="source"
+    )
+    tok_bad = verify_token_shards(spark, shards).where("NOT ok").count()
+    print(f"token shards verify bad={tok_bad}")
+
+    # ---- resolve the pixel plane back onto the windows ---------------
+    resolved = resolve_payload_refs(
+        win, store, id_cols=("source", "win")
+    )
+    print(f"resolved {resolved.count()} image spans to payloads")
+
+    # ---- retention: sweep blobs no window references ------------------
+    orphans = orphan_payload_refs(win, store)
+    n_orphans = orphans.count()
+    compacted = os.path.join(work, "payloads_compacted")
+    compact_payload_store(spark, store, compacted, win)
+    kept_bad = verify_payload_store(spark, compacted).where("NOT ok").count()
+    print(
+        f"retention: {n_orphans} orphan blobs swept; compacted store "
+        f"verify bad={kept_bad}"
+    )
+    assert bad == tok_bad == kept_bad == 0
+    print("OK: both planes verified end to end")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    wd = sys.argv[2] if len(sys.argv) > 2 else "/tmp/maw_multimodal_example"
+    main(sf, wd)
