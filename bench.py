@@ -971,6 +971,7 @@ def _scale_smoke_scaled_ops(
 
     def payload_roundtrip(src, n_shards, tag):
         def build():
+            import atexit as _ax
             import shutil as _sh
             import tempfile as _tf
 
@@ -979,6 +980,9 @@ def _scale_smoke_scaled_ops(
                 f"maw_scale_payload_{os.getpid()}_{tag}",
             )
             _sh.rmtree(out, ignore_errors=True)
+            # the verify frame is consumed lazily AFTER build()
+            # returns, so cleanup must wait for process exit
+            _ax.register(_sh.rmtree, out, ignore_errors=True)
             blobs = (
                 mint_payload_refs(
                     src.selectExpr("CAST(text AS BINARY) AS payload")
