@@ -1803,3 +1803,150 @@ def compact_payload_store(
         n_shards=int(contract["n_shards"]) if n_shards is None else int(n_shards),
         ref_col=rc, payload_col=pc,
     )
+
+
+class PayloadIngestResult:
+    """What a :func:`payload_ingest_stream` run did: trigger batch ids,
+    rows seen, and blobs actually landed (appends skip content the
+    store already holds, so ``blobs_landed < rows_in`` is the normal
+    replay/duplicate case, not a loss)."""
+
+    def __init__(self) -> None:
+        self.batches: list[int] = []
+        self.rows_in: int = 0
+        self.blobs_landed: int = 0
+
+
+def payload_ingest_stream(
+    spark,
+    source_dir: str,
+    store_path: str,
+    checkpoint: str,
+    *,
+    payload_col: str = "payload",
+    ref_col: str | None = None,
+    n_shards: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> PayloadIngestResult:
+    """Continuously grow a verified payload store from a parquet blob
+    source — the pixel-plane producer beside
+    ``streaming.shards.shard_ingest_stream``'s token-plane one: a
+    checkpointed availableNow file stream whose every trigger lands
+    one content-addressed wave through :func:`append_payload_store`.
+
+    Exactly-once comes from CONTENT, not offsets: a replayed trigger
+    re-appends the same batch, identical blobs skip, a crashed
+    append's leftovers repair under their wave id, and a forged ref
+    (same key, different bytes) fails the trigger loudly — the
+    properties the append already pins, inherited rather than
+    re-implemented.  Source rows carry ``payload_col`` (binary);
+    refs mint as md5 of the bytes unless ``ref_col`` names a column
+    of caller-supplied content-addressed keys.  The FIRST trigger
+    bootstraps the store (``n_shards`` required then; afterwards the
+    pinned contract is authoritative and a disagreeing ``n_shards``
+    refuses).  Cross- and within-batch duplicate payloads collapse to
+    one blob.
+
+    Scale: per-trigger work is one batch manifest + one pruned
+    overlap join + one partitioned append — O(batch), never O(store);
+    ``max_files_per_trigger`` bounds the wave size the way every
+    sibling producer does."""
+    from pyspark.errors import AnalysisException
+
+    from streaming_parquet_spark.operators.pipeline import (
+        ManifestAbsent,
+    )
+
+    result = PayloadIngestResult()
+    try:
+        schema = (
+            spark.read.option("pathGlobFilter", "*.parquet")
+            .parquet(source_dir)
+            .schema
+        )
+    except AnalysisException as exc:
+        marker = (
+            getattr(exc, "getCondition", exc.getErrorClass)() or ""
+        ) + " " + str(exc)
+        if not (
+            "UNABLE_TO_INFER_SCHEMA" in marker
+            or "PATH_NOT_FOUND" in marker
+        ):
+            raise
+        return result  # cold start: nothing delivered yet
+    have_store = True
+    try:
+        _payload_contract(spark, store_path, "payload_ingest_stream")
+    except ManifestAbsent:
+        have_store = False
+    if not have_store and n_shards is None:
+        raise ValueError(
+            "payload_ingest_stream: the store does not exist yet — "
+            "pass n_shards to bootstrap it"
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        result.batches.append(int(batch_id))
+        batch.persist()
+        try:
+            n_in = batch.count()
+            result.rows_in += n_in
+            if n_in == 0:
+                return
+            if ref_col is None:
+                blobs = mint_payload_refs(batch, payload_col, "ref")
+                rc = "ref"
+            else:
+                blobs, rc = batch, ref_col
+            blobs = blobs.select(
+                F.col(rc).cast("string").alias(rc), F.col(payload_col)
+            ).dropDuplicates([rc])
+            bspark = batch.sparkSession
+            try:
+                contract = _payload_contract(
+                    bspark, store_path, "payload_ingest_stream"
+                )[1]
+            except ManifestAbsent:
+                contract = None
+            if contract is None:
+                man = write_payload_store(
+                    blobs, store_path, n_shards=int(n_shards),
+                    ref_col=rc, payload_col=payload_col,
+                )
+            else:
+                if n_shards is not None and int(n_shards) != int(
+                    contract["n_shards"]
+                ):
+                    raise ValueError(
+                        f"payload_ingest_stream: n_shards={n_shards} "
+                        f"disagrees with the store's pinned "
+                        f"{contract['n_shards']} — the contract is "
+                        f"authoritative"
+                    )
+                man = append_payload_store(
+                    blobs, store_path, ref_col=rc,
+                    payload_col=payload_col,
+                )
+            result.blobs_landed += sum(
+                int(r["n_payloads"]) for r in man.collect()
+            )
+        finally:
+            batch.unpersist()
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    stream = reader.parquet(source_dir)
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return result

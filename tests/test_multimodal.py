@@ -1248,3 +1248,66 @@ def test_payload_pass3_refusals_and_partial_sidecar(spark, tmp_path, monkeypatch
     assert M.verify_payload_store(spark, big).where("NOT ok").count() == 0
     # and the next replay is a clean no-op
     assert M.append_payload_store(wave, big).count() == 0
+
+
+def test_payload_ingest_stream_exactly_once_by_content(spark, tmp_path):
+    """The pixel-plane producer: a checkpointed availableNow file
+    stream lands one content-addressed wave per trigger; replays and
+    cross-batch duplicates skip by content; new files land only their
+    genuinely new blobs."""
+    import shutil
+
+    from streaming_parquet_spark.operators.multimodal import (
+        payload_ingest_stream,
+        read_payload_store,
+        verify_payload_store,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # cold start: nothing delivered -> zero batches, no store
+    r0 = payload_ingest_stream(spark, src, store, ckpt, n_shards=3)
+    assert r0.batches == [] and r0.rows_in == 0
+
+    def deliver(name, lo, n, dup_of=None):
+        rows = [
+            (lo + i,
+             (b"blob-%d" % (dup_of + i if dup_of is not None else lo + i))
+             * 3)
+            for i in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "i long, payload binary"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    deliver("a", 0, 10)
+    r1 = payload_ingest_stream(spark, src, store, ckpt, n_shards=3)
+    assert r1.rows_in == 10 and r1.blobs_landed == 10
+    assert verify_payload_store(spark, store).where("NOT ok").count() == 0
+    assert read_payload_store(spark, store)[0].count() == 10
+
+    # resume with no new files: no batches at all
+    r2 = payload_ingest_stream(spark, src, store, ckpt)
+    assert r2.rows_in == 0
+    # a FULL replay (fresh checkpoint) re-reads everything but lands
+    # nothing new — exactly-once by content
+    r3 = payload_ingest_stream(
+        spark, src, store, str(tmp_path / "ckpt2")
+    )
+    assert r3.rows_in == 10 and r3.blobs_landed == 0
+    assert read_payload_store(spark, store)[0].count() == 10
+
+    # a second delivery overlapping the first by content: only the
+    # new blobs land
+    deliver("b", 100, 6, dup_of=5)  # blobs 5..10: 5 dups + 1 new
+    r4 = payload_ingest_stream(spark, src, store, ckpt)
+    assert r4.rows_in == 6 and r4.blobs_landed == 1
+    assert read_payload_store(spark, store)[0].count() == 11
+    assert verify_payload_store(spark, store).where("NOT ok").count() == 0
+
+    # a disagreeing n_shards refuses against the pinned contract
+    deliver("c", 200, 1)
+    with pytest.raises(Exception, match="authoritative"):
+        payload_ingest_stream(spark, src, store, ckpt, n_shards=7)
