@@ -1247,3 +1247,258 @@ def audit_catalog(
         audit_generation(spark, root, g, store)
         for g in _committed(root, store)
     ]
+
+
+# --- Payload-plane generations (VERDICT r14 item 1) -------------------
+#
+# The binary payload store (operators.multimodal) gets the SAME
+# generation discipline the token plane has — the marker plane above is
+# storage-agnostic and plane-agnostic by construction (allocation,
+# commit, retire, tombstoned drop, sweep all operate on markers and
+# paths, never on row schemas), so the payload verbs below only supply
+# the plane-specific halves: what "verified" means (verify_payload_store
+# all-ok) and what "same content" means (payload_set_content_fp, the
+# sharding-invariant XOR fold).  Everything else — next_generation,
+# current_generation, retire_generation, drop_generation,
+# sweep_generations, list_retired — is shared verbatim, which is the
+# point: one swap protocol, two data planes, zero drifting copies.
+#
+# Cross-plane misuse refuses at the contract layer: a payload verb
+# pointed at a token generation hits the sidecar's format pin
+# (payload-store-v2 vs token-shards-v*) and refuses by name, and
+# current_payload_store additionally checks the commit marker's
+# ``plane`` stamp so a reader cannot even RESOLVE a token generation as
+# a payload store.
+
+
+def publish_payload_generation(
+    spark, root: str, gen: int, store: MarkerStore | None = None
+) -> dict:
+    """Make payload generation ``gen`` the catalog's newest COMMITTED
+    store: verify every shard's blobs against the ``_manifest``
+    sidecar (``verify_payload_store`` — the absence/corruption/tamper
+    trichotomy runs BEFORE any reader can resolve the store), then
+    atomically create the single-file commit marker.  Returns the
+    marker's contents.
+
+    Same refusals as the token plane's :func:`publish_generation`:
+    a retired generation (republish would resurrect data producers
+    already moved past), an already-published one (markers are
+    write-once — racing publishers lose loudly), a failing or absent
+    store.  The marker records the store's sharding-invariant CONTENT
+    fingerprint (``payload_set_content_fp`` — XOR over every blob's
+    digest, so an auditor can re-fingerprint the data against the
+    marker years later, and :func:`promote_payload_compaction` can
+    prove content preservation across a re-shard).
+
+    Bootstrap flow for the FIRST generation: ``gen, path =
+    next_generation(root)``; ``write_payload_store(blobs, path,
+    n_shards=...)``; ``publish_payload_generation(spark, root, gen)``.
+    Cost: one data scan (the verify) + manifest-sized folds — the same
+    once-per-publish price the token plane pays."""
+    from streaming_parquet_spark.operators.multimodal import (
+        _payload_contract,
+        payload_set_content_fp,
+        verify_payload_store,
+    )
+
+    store = _store(store)
+    gen = int(gen)
+    path = generation_path(root, gen)
+    if is_retired(path, store):
+        raise ValueError(
+            f"publish_payload_generation: gen {gen} at {path!r} is "
+            f"RETIRED — republishing a retired generation would "
+            f"resurrect data the catalog already moved past; promote "
+            f"a fresh one"
+        )
+    marker = os.path.join(_catalog_dir(root), f"commit-{gen:08d}.json")
+    if store.exists(marker):
+        raise ValueError(
+            f"publish_payload_generation: gen {gen} is already "
+            f"published ({marker!r}) — commit markers are write-once"
+        )
+    manifest, contract = _payload_contract(
+        spark, path, "publish_payload_generation"
+    )
+    bad = verify_payload_store(spark, path).filter("NOT ok").count()
+    if bad:
+        raise ValueError(
+            f"publish_payload_generation: gen {gen} at {path!r} has "
+            f"{bad} shard(s) failing verification — a generation "
+            f"publishes only after every blob matches its sidecar "
+            f"promise"
+        )
+    fp = payload_set_content_fp(manifest)
+    doc = {
+        "generation": gen,
+        "plane": "payload",
+        "format": contract["format"],
+        "n_shards": int(contract["n_shards"]),
+        "ref_col": contract["ref_col"],
+        "payload_col": contract["payload_col"],
+        "n_payloads": fp["n_payloads"],
+        "n_refs": fp["n_refs"],
+        "n_bytes": fp["n_bytes"],
+        "content_fp_a": fp["fp_a"],
+        "content_fp_b": fp["fp_b"],
+    }
+    # ONE atomic-exclusive put — the commit point of the whole swap
+    if not store.put_if_absent(
+        marker, json.dumps(doc, sort_keys=True) + "\n"
+    ):
+        raise ValueError(
+            f"publish_payload_generation: gen {gen} was published "
+            f"concurrently ({marker!r}) — commit markers are "
+            f"write-once"
+        )
+    return doc
+
+
+def current_payload_store(
+    spark,
+    root: str,
+    store: MarkerStore | None = None,
+    gen: int | None = None,
+) -> tuple[int, str, dict]:
+    """Resolve the newest COMMITTED payload generation: (gen, path,
+    contract) — the resolver's pin.  Hand ``path`` to
+    ``resolve_payload_refs`` / ``read_payload_store`` and HOLD it for
+    the whole read (the data outlives retirement until
+    :func:`drop_generation` — the same grace discipline as the token
+    plane), and stamp it into reader state via
+    ``payload_store_identity`` so a resume refuses a since-swapped
+    store.  ``gen``: pass a checkpoint's pin to resume instead of
+    resolving current (must name a committed generation).
+
+    Refuses a generation whose commit marker is not ``plane:
+    "payload"`` — a token generation must never resolve as a blob
+    store — and cross-checks the marker's pinned contract against the
+    sidecar's (they were written by the same publish; disagreement
+    means out-of-protocol surgery).  Marker-sized + one manifest read;
+    never a data scan."""
+    from streaming_parquet_spark.operators.multimodal import (
+        _payload_contract,
+    )
+
+    store = _store(store)
+    if gen is None:
+        gen, path = current_generation(root, store)
+    else:
+        gen = _require_committed_pin(
+            root, gen, store, "current_payload_store"
+        )
+        path = generation_path(root, gen)
+    marker = os.path.join(_catalog_dir(root), f"commit-{gen:08d}.json")
+    doc = json.loads(store.read(marker))
+    if doc.get("plane") != "payload":
+        raise ValueError(
+            f"current_payload_store: gen {gen} of {root!r} is not a "
+            f"payload generation (marker carries "
+            f"format={doc.get('format')!r}) — this root belongs to "
+            f"the token plane; payload stores live under their own "
+            f"catalog root"
+        )
+    contract = _payload_contract(spark, path, "current_payload_store")[1]
+    if (
+        contract["format"] != doc["format"]
+        or int(contract["n_shards"]) != int(doc["n_shards"])
+        or contract["ref_col"] != doc["ref_col"]
+        or contract["payload_col"] != doc["payload_col"]
+    ):
+        raise ValueError(
+            f"current_payload_store: gen {gen}'s sidecar contract "
+            f"disagrees with its write-once commit marker — the store "
+            f"was modified outside the protocol (marker {doc}, "
+            f"sidecar {contract})"
+        )
+    return gen, path, contract
+
+
+def promote_payload_compaction(
+    spark,
+    root: str,
+    windows: DataFrame,
+    spans_col: str = "spans",
+    n_shards: int | None = None,
+    store: MarkerStore | None = None,
+) -> tuple[int, DataFrame]:
+    """The payload plane's full swap, in the only safe order: compact
+    the CURRENT generation's REFERENCED blobs into the next one
+    (``compact_payload_store`` — orphans swept, kept blobs
+    byte-identical), PROVE the preservation, then verify + publish the
+    successor and retire the source.  Returns (new_generation, written
+    manifest).
+
+    The proof: the kept subset's content fingerprint is pinned from a
+    src scan BEFORE the compaction (``_kept_payloads`` is the same
+    definition of "kept" the compaction writes, so the two sides can
+    never disagree about which blobs count), and the successor's
+    sidecar fold must equal it — ``payload_set_content_fp`` is
+    invariant under the re-sharding a new ``n_shards`` performs, so
+    inequality means blobs were lost, duplicated, or altered (or an
+    append landed between the pin and the compaction's own scan — the
+    same conservative refusal stance as the token plane's grown-source
+    recheck).  The proof runs BEFORE the publish: a content-corrupting
+    compaction leaves an unpublished (invisible) directory and the
+    source untouched, never a committed wrong store.  The publish then
+    re-proves the DATA against that sidecar (``verify_payload_store``
+    inside :func:`publish_payload_generation`), closing the chain:
+    src kept content == dst sidecar == dst data.
+
+    A resolver racing this sees exactly one complete store at every
+    instant: before the marker lands, :func:`current_payload_store`
+    resolves the old generation (untouched — compaction never writes
+    into its source); after, the new one.  A producer racing this
+    CANNOT append into the swap: the source is retired at the end
+    (``append_payload_store`` / ``payload_ingest_stream`` probe the
+    marker and refuse), and a wave landing mid-compaction flips the
+    preservation proof — refused, not silently dropped (the r14 gap:
+    manual compact-verify-drop had no such fence).  A crash
+    mid-promotion leaves either a data-only next-gen directory
+    (unpublished — invisible; the next promotion allocates a fresh
+    number) or a published successor with the source not yet retired
+    (re-run :func:`retire_generation` — idempotent)."""
+    from streaming_parquet_spark.operators.multimodal import (
+        _kept_payloads,
+        compact_payload_store,
+        payload_set_content_fp,
+        payload_store_manifest,
+    )
+
+    old_gen, old_path = current_generation(root, store)
+    new_gen, new_path = next_generation(root, store)
+    kept, contract = _kept_payloads(spark, old_path, windows, spans_col)
+    rc, pc = contract["ref_col"], contract["payload_col"]
+    n_dst = int(contract["n_shards"]) if n_shards is None else int(n_shards)
+    # the kept set's content expectation, pinned BEFORE compaction
+    try:
+        src_fp = payload_set_content_fp(
+            payload_store_manifest(kept, n_dst, rc, pc)
+        )
+    except ValueError as exc:
+        if "empty manifest" not in str(exc):
+            raise
+        raise ValueError(
+            f"promote_payload_compaction: the windows reference no "
+            f"blob in gen {old_gen} at {old_path!r} — refusing to "
+            f"promote an empty successor (wrong store/windows pairing, "
+            f"or every blob is an orphan; retire + drop instead)"
+        ) from None
+    manifest = compact_payload_store(
+        spark, old_path, new_path, windows, spans_col, n_shards=n_dst
+    )
+    dst_fp = payload_set_content_fp(manifest)
+    if dst_fp != src_fp:
+        raise ValueError(
+            f"promote_payload_compaction: gen {new_gen} at "
+            f"{new_path!r} does NOT carry gen {old_gen}'s referenced "
+            f"content (src {src_fp} vs dst {dst_fp}) — refusing to "
+            f"publish; the directory stays unpublished (invisible to "
+            f"resolvers) and gen {old_gen} stays current.  An ingest "
+            f"wave landing mid-promotion causes this too — re-run "
+            f"after quiescing producers."
+        )
+    publish_payload_generation(spark, root, new_gen, store=store)
+    retire_generation(root, old_gen, store)
+    return new_gen, manifest

@@ -1795,6 +1795,18 @@ def _sidecar_snapshot(
     scan each time at 100 TB); the snapshot pays it once.  Refusal
     semantics are identical to :func:`_read_shard_contract`."""
     manifest = _manifest_frame(spark, path, caller)
+    missing = [
+        c
+        for c in ("shard", "n_windows", "n_tokens", *_CONTRACT_COLS)
+        if c not in manifest.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"{caller}: {path!r} is not a token-shard manifest "
+            f"(missing contract column(s) {missing}) — a payload "
+            f"store reads through the payload plane's verbs (format "
+            f"{TOKEN_SHARD_FORMAT!r} expected)"
+        )
     rows = [
         r.asDict()
         for r in manifest.select(
@@ -1817,7 +1829,17 @@ def _single_contract(
     """The one pinned contract a manifest frame carries; raises on
     empty (no shards), mixed (two writes interleaved), or a foreign
     format version — errors prefixed with ``caller``, the API the
-    user invoked."""
+    user invoked.  A sidecar LACKING the token contract columns (a
+    payload-store manifest — the cross-plane mistake) refuses by name
+    instead of surfacing an unresolved-column analysis error."""
+    missing = [c for c in _CONTRACT_COLS if c not in manifest.columns]
+    if missing:
+        raise ValueError(
+            f"{caller}: {what} is not a token-shard manifest (missing "
+            f"contract column(s) {missing}) — a payload store reads "
+            f"through the payload plane's verbs (format "
+            f"{TOKEN_SHARD_FORMAT!r} expected)"
+        )
     rows = manifest.select(*_CONTRACT_COLS).distinct().collect()
     return _contract_from_rows(
         [r.asDict() for r in rows], what, caller
