@@ -59,6 +59,32 @@ def corpus(spark, tmp_path_factory):
     return vocab, paths, keys, other
 
 
+@pytest.fixture(scope="module")
+def pstores(spark, tmp_path_factory):
+    """Two payload stores over the SAME blobs but different sharding —
+    the exact swap a resume must refuse (r15: payload_store pins)."""
+    from streaming_parquet_spark.operators.multimodal import (
+        mint_payload_refs,
+        write_payload_store,
+    )
+
+    tmp = tmp_path_factory.mktemp("pstores")
+    blobs = (
+        mint_payload_refs(
+            spark.createDataFrame(
+                [(bytes(f"img-{i}", "utf8"),) for i in range(12)],
+                "payload binary",
+            )
+        )
+        .dropDuplicates(["ref"])
+        .select("ref", "payload")
+    )
+    a, b = str(tmp / "store_a"), str(tmp / "store_b")
+    write_payload_store(blobs, a, n_shards=3)
+    write_payload_store(blobs, b, n_shards=5)  # the re-shard
+    return a, b
+
+
 def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
@@ -335,6 +361,100 @@ def test_elastic_migration_property(spark, corpus):
         )
 
 
+def test_payload_store_pin_roundtrip_and_refusals(spark, corpus,
+                                                  pstores):
+    """The pixel-plane pin (VERDICT r14 Missing 2): a reader minted
+    with payload_store= stamps the store's contract identity into the
+    bundle, and the resume refuses — field named — when the store was
+    re-sharded/swapped, when the pin is dropped on resume, and when a
+    pinless bundle is resumed WITH a pin (both directions of the
+    union compare)."""
+    vocab, paths, keys, _other = corpus
+    store_a, store_b = pstores
+    path = paths["web"]
+
+    df, _c, state = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+        with_state=True, payload_store=store_a,
+    )
+    assert state["payload_store"][1] == "payload-store-v2"
+    assert state["payload_store"][2] == 3  # n_shards rides the pin
+    total = df.count()
+    ck = advance_reader_state(state, total // 2)
+
+    # unmutated: same pin resumes, bit-identical to the raw cursor
+    via_state, _ = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+        state=ck, payload_store=store_a,
+    )
+    via_cursor, _ = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+        cursor=total // 2, pos_col="pos",
+    )
+    cols = ["src", "win", "pos"]
+    assert _rows(via_state, cols) == _rows(via_cursor, cols)
+
+    # re-sharded/swapped store refuses by name
+    with pytest.raises(ValueError, match="payload_store"):
+        read_rank_shards(
+            spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+            state=ck, payload_store=store_b,
+        )
+    # dropping the pin on resume refuses (the stamped half must not
+    # silently fall out of the contract)
+    with pytest.raises(ValueError, match="payload_store"):
+        read_rank_shards(
+            spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+            state=ck,
+        )
+    # a pinless bundle refuses a pinned resume (other direction)
+    _df2, _c2, pinless = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+        with_state=True,
+    )
+    with pytest.raises(ValueError, match="payload_store"):
+        read_rank_shards(
+            spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+            state=advance_reader_state(pinless, 1),
+            payload_store=store_a,
+        )
+
+    # the pin survives a JSON checkpoint round trip
+    import json as _json
+
+    thawed = _json.loads(_json.dumps(ck))
+    via_thawed, _ = read_rank_shards(
+        spark, path, 0, 2, vocab_ids=vocab, snapshot=keys["web"],
+        state=thawed, payload_store=store_a,
+    )
+    assert _rows(via_thawed, cols) == _rows(via_state, cols)
+
+    # mixture + rank-sliced mixture carry the same pin
+    mdf, _mc, mstate = read_mixture_shards(
+        spark, paths, {"web": 1, "code": 1}, vocab_ids=vocab,
+        snapshots=keys, with_state=True, payload_store=store_a,
+    )
+    mck = advance_reader_state(
+        mstate, sorted(r["mix_key"] for r in mdf.collect())[2]
+    )
+    with pytest.raises(ValueError, match="payload_store"):
+        read_mixture_shards(
+            spark, paths, {"web": 1, "code": 1}, vocab_ids=vocab,
+            snapshots=keys, state=mck, payload_store=store_b,
+        )
+    rdf, _rc, rstate = read_mixture_rank(
+        spark, paths, {"web": 1, "code": 1}, 0, 2, vocab_ids=vocab,
+        snapshots=keys, with_state=True, payload_store=store_a,
+    )
+    assert rstate["payload_store"][0] == store_a
+    with pytest.raises(ValueError, match="payload_store"):
+        read_mixture_rank(
+            spark, paths, {"web": 1, "code": 1}, 0, 2,
+            vocab_ids=vocab, snapshots=keys,
+            state=advance_reader_state(rstate, 1),
+        )
+
+
 def test_reader_state_survives_json_checkpoint(spark, corpus):
     """The bundle's documented life is a trainer checkpoint: a
     json.dumps/loads round trip (tuples -> lists) must still resume —
@@ -380,7 +500,7 @@ def test_reader_state_survives_json_checkpoint(spark, corpus):
     assert resumed.count() == len(rows) - 1
 
 
-def test_reader_state_property(spark, corpus):
+def test_reader_state_property(spark, corpus, pstores):
     """Hypothesis: for ANY (world, rank, weights, epoch, cut), the
     state-bundle resume is bit-identical to the raw-cursor resume,
     and a drawn single-field mutation refuses."""
@@ -391,6 +511,7 @@ def test_reader_state_property(spark, corpus):
         pytest.skip("hypothesis not installed")
 
     vocab, paths, keys, _other = corpus
+    store_a, store_b = pstores
 
     @settings(
         max_examples=6,
@@ -405,7 +526,8 @@ def test_reader_state_property(spark, corpus):
         epoch=st.one_of(st.none(), st.integers(0, 3)),
         cutf=st.floats(0.0, 0.95),
         mutation=st.sampled_from(
-            ["rank", "world", "weights", "epoch", "snapshot"]
+            ["rank", "world", "weights", "epoch", "snapshot",
+             "payload_store"]
         ),
     )
     def check(world, rank_seed, w1, w2, epoch, cutf, mutation):
@@ -414,6 +536,7 @@ def test_reader_state_property(spark, corpus):
         df, _c, state = read_mixture_rank(
             spark, paths, weights, rank, world, vocab_ids=vocab,
             snapshots=keys, epoch=epoch, with_state=True,
+            payload_store=store_a,
         )
         rows = _rows(df, ["mix_key", "mix_source", "src", "win"])
         if not rows:
@@ -423,6 +546,7 @@ def test_reader_state_property(spark, corpus):
         via_state, _ = read_mixture_rank(
             spark, paths, weights, rank, world, vocab_ids=vocab,
             snapshots=keys, epoch=epoch, state=ck,
+            payload_store=store_a,
         )
         expect = [r for r in rows if r[0] > cut_key]
         assert _rows(
@@ -430,7 +554,7 @@ def test_reader_state_property(spark, corpus):
         ) == expect
 
         m_rank, m_world, m_weights = rank, world, dict(weights)
-        m_epoch, m_snaps = epoch, keys
+        m_epoch, m_snaps, m_store = epoch, keys, store_a
         if mutation == "rank":
             if world == 1:
                 return
@@ -441,6 +565,8 @@ def test_reader_state_property(spark, corpus):
             m_weights["web"] = w1 + 1
         elif mutation == "epoch":
             m_epoch = 0 if epoch is None else epoch + 1
+        elif mutation == "payload_store":
+            m_store = store_b  # same blobs, re-sharded — must refuse
         else:
             # The mixture_rank identity is RANK-LOCAL by design:
             # dropping a pinned shard that only OTHER ranks hold
@@ -460,7 +586,7 @@ def test_reader_state_property(spark, corpus):
             read_mixture_rank(
                 spark, paths, m_weights, m_rank, m_world,
                 vocab_ids=vocab, snapshots=m_snaps, epoch=m_epoch,
-                state=ck,
+                state=ck, payload_store=m_store,
             )
 
     check()
