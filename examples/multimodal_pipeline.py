@@ -26,9 +26,12 @@ the content-addressed payload store the windows' spans point into.
             to their blobs with the shard key recomputed from the ref
             (the store scan prunes); strict mode raises on any ref
             the store cannot honor
-  retire    orphan_payload_refs + compact_payload_store: blobs
-            stranded by dedup/quality drops sweep into a new
-            write-once store — verify dst before dropping src
+  retire    the catalog path (r15): payload generations under the
+            same swap protocol as the token plane — publish-after-
+            verify, promote_payload_compaction (compact referenced
+            blobs -> prove content preservation -> publish -> retire),
+            producers probe retirement, resolvers pin a generation
+            and keep reading through the drop-grace window
 
 Run: python examples/multimodal_pipeline.py [sf_dir] [workdir]
 """
@@ -42,9 +45,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from streaming_parquet_spark import get_spark
+from streaming_parquet_spark.operators.catalog import (
+    current_payload_store,
+    next_generation,
+    promote_payload_compaction,
+    publish_payload_generation,
+)
 from streaming_parquet_spark.operators.multimodal import (
     append_payload_store,
-    compact_payload_store,
     mint_payload_refs,
     multimodal_loss_spans,
     orphan_payload_refs,
@@ -70,14 +78,14 @@ def main(sf_dir: str, work: str) -> None:
     spark = get_spark(app_name="multimodal-pipeline")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
-    store = os.path.join(work, "payloads")
+    proot = os.path.join(work, "payload_catalog")
     shards = os.path.join(work, "shards")
 
     docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).limit(400)
 
-    # ---- pixel plane: content-addressed payload store ---------------
+    # ---- pixel plane: a payload GENERATION under the catalog --------
     # the fixtures carry no real media; the blobs here are the text
     # bytes — in production these are the raw image bytes off the lake
     blobs = (
@@ -87,12 +95,19 @@ def main(sf_dir: str, work: str) -> None:
         .dropDuplicates(["ref"])
         .select("ref", "payload")
     )
+    gen1, store = next_generation(proot)
     first, rest = blobs.limit(300), blobs.subtract(blobs.limit(300))
     write_payload_store(first, store, n_shards=8)
     wave = append_payload_store(rest, store)  # later ingest wave
     assert append_payload_store(rest, store).count() == 0  # replay no-op
+    doc = publish_payload_generation(spark, proot, gen1)
     bad = verify_payload_store(spark, store).where("NOT ok").count()
-    print(f"payload store: +{wave.count()} wave rows, verify bad={bad}")
+    print(
+        f"payload gen {doc['generation']}: +{wave.count()} wave rows, "
+        f"{doc['n_payloads']} blobs published, verify bad={bad}"
+    )
+    # the resolver's pin: hold this path for the whole epoch
+    _g, store, _contract = current_payload_store(spark, proot)
 
     # ---- token plane: tokenize, then interleave text with images ----
     merges = fit_bpe_merges(docs, n_merges=64)
@@ -148,15 +163,29 @@ def main(sf_dir: str, work: str) -> None:
     )
     print(f"resolved {resolved.count()} image spans to payloads")
 
-    # ---- retention: sweep blobs no window references ------------------
+    # ---- retention: promote a compacted generation --------------------
+    # the catalog runs the whole swap in the only safe order: compact
+    # the referenced blobs into the next generation, PROVE the content
+    # carried over, verify+publish, retire the source.  A resolver
+    # holding the old pin keeps reading (drop-grace window); producers
+    # pointed at the retired store now refuse.
     orphans = orphan_payload_refs(win, store)
     n_orphans = orphans.count()
-    compacted = os.path.join(work, "payloads_compacted")
-    compact_payload_store(spark, store, compacted, win)
+    gen2, _man = promote_payload_compaction(spark, proot, win)
+    _g2, compacted, _c2 = current_payload_store(spark, proot)
     kept_bad = verify_payload_store(spark, compacted).where("NOT ok").count()
+    pinned_ok = resolve_payload_refs(
+        win, store, id_cols=("source", "win")
+    ).count()  # the OLD pin still resolves — grace window
+    try:
+        append_payload_store(blobs.limit(1), store)
+        raise AssertionError("retired store accepted an append")
+    except ValueError:
+        pass
     print(
-        f"retention: {n_orphans} orphan blobs swept; compacted store "
-        f"verify bad={kept_bad}"
+        f"retention: {n_orphans} orphan blobs swept into gen {gen2}; "
+        f"verify bad={kept_bad}; pinned resolver still serves "
+        f"{pinned_ok} spans; retired store refuses producers"
     )
     assert bad == tok_bad == kept_bad == 0
     print("OK: both planes verified end to end")

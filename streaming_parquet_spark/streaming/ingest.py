@@ -90,12 +90,16 @@ from streaming_parquet_spark.operators.similarity import (
 class IngestResult:
     """Per-run tallies: rows seen / filtered / kept per micro-batch
     id.  ``rows_filtered`` counts quality-filter rejections only;
-    dedup drops are ``rows_in - rows_filtered - rows_kept``."""
+    dedup drops are ``rows_in - rows_filtered - rows_kept``.  In
+    continuous mode (``trigger_interval=``) ``query`` holds the live
+    StreamingQuery — counters keep updating per trigger until the
+    caller stops it."""
 
     batches: list[int] = field(default_factory=list)
     rows_in: int = 0
     rows_filtered: int = 0
     rows_kept: int = 0
+    query: object = None
 
 
 def _monitor_signals(
@@ -221,6 +225,7 @@ def _run_ingest(
     monitor_table: str | None = None,
     fingerprint_expr: str | None = None,
     drift_text_col: str | None = None,
+    trigger_interval: str | None = None,
 ) -> IngestResult:
     """The shared exactly-once micro-batch runner (module docstring):
     ``survivors_fn(batch) -> DataFrame`` performs within-batch dedup +
@@ -280,7 +285,6 @@ def _run_ingest(
         filtered = rows = delta = None
         try:
             n_in = batch.count()
-            result.rows_in += n_in
             n_filtered_batch = 0
             # 0. quality pre-filter: persisted because the
             #    filtered-count tally and the dedup stages below both
@@ -297,7 +301,6 @@ def _run_ingest(
                 # (line-splitting) would otherwise tally negative
                 # rejections
                 n_filtered_batch = max(0, n_in - filtered.count())
-                result.rows_filtered += n_filtered_batch
                 src = filtered
             survivors = survivors_fn(src).withColumn(
                 "ingest_batch", F.lit(int(batch_id))
@@ -307,7 +310,6 @@ def _run_ingest(
             # against an index step 4 is about to mutate.
             rows = survivors.persist()
             n = rows.count()
-            result.rows_kept += n
             if n:
                 # 3. corpus delta-append: only ids not in the corpus
                 #    AT ALL (replay-idempotent across partitions — a
@@ -349,6 +351,14 @@ def _run_ingest(
                         (n_in, n_filtered_batch, n, n_appended),
                         signals[0], signals[1],
                     )
+            # tallies land LAST, after every write: in continuous mode
+            # (trigger_interval=) the caller polls these counters to
+            # know a trigger's work is DURABLE before stopping the
+            # query — a mid-trigger tally would let it stop between
+            # the count and the corpus append (r15 drill)
+            result.rows_in += n_in
+            result.rows_filtered += n_filtered_batch
+            result.rows_kept += n
         finally:
             if delta is not None:
                 delta.unpersist()
@@ -365,22 +375,43 @@ def _run_ingest(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = reader.parquet(source_dir)
-    q = (
+    writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
     )
+    if trigger_interval is not None:
+        # the M1 continuous shape: the loop keeps draining new files
+        # every interval until the caller stops the returned query.
+        # The caller owns the post-stop table refresh below (the run
+        # has not ended when we return) — refresh_ingest_tables(...)
+        # packages it.
+        result.query = writer.trigger(
+            processingTime=str(trigger_interval)
+        ).start()
+        return result
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     # foreachBatch runs in a CLONED SparkSession; its appends refresh
     # the clone's table-relation cache, not the caller's. Without this
     # refresh the caller's next spark.table() serves a STALE file
     # listing for any table it had read before the stream ran
     # (observed: an appended sets row present on disk but invisible).
-    for t in refresh_tables:
+    refresh_ingest_tables(spark, refresh_tables)
+    return result
+
+
+def refresh_ingest_tables(
+    spark: SparkSession, tables: tuple[str, ...]
+) -> None:
+    """Refresh the caller-session relation cache for the tables an
+    ingest loop appends to — availableNow runs do this before
+    returning; a CONTINUOUS run (``trigger_interval=``) cannot (it
+    returns while triggers keep firing), so its caller runs this after
+    ``result.query.stop()`` and before reading the tables from the
+    same session."""
+    for t in tables:
         if spark.catalog.tableExists(t):
             spark.catalog.refreshTable(t)
-    return result
 
 
 _MONITOR_SCHEMA = (
@@ -551,10 +582,18 @@ def dedup_ingest_stream(
     filter_fn=None,
     monitor_table: str | None = None,
     monitor_drift: bool = False,
+    trigger_interval: str | None = None,
 ) -> IngestResult:
     """Run the deduplicated-ingest stream over ``source_dir`` (parquet
     files) with an ``availableNow`` trigger: process everything not yet
-    recorded in ``checkpoint``, then stop.  ``table`` is the corpus
+    recorded in ``checkpoint``, then stop.  ``trigger_interval`` (a
+    duration string, e.g. ``"10 seconds"``) switches to the continuous
+    processingTime shape instead — the returned result carries the
+    live ``query``; stop it, then
+    :func:`refresh_ingest_tables` before reading the corpus/index
+    tables from the same session.  Both modes share one checkpoint:
+    stopping a continuous run and restarting availableNow (or vice
+    versa) resumes exactly where the offsets left off.  ``table`` is the corpus
     table (created on first use, partitioned by ``ingest_batch``);
     ``{table}_lsh`` must be an existing LSH index
     (:func:`~streaming_parquet_spark.operators.dedup.write_lsh_index` —
@@ -635,6 +674,7 @@ def dedup_ingest_stream(
         monitor_table=monitor_table,
         fingerprint_expr=text_col,
         drift_text_col=text_col if monitor_drift else None,
+        trigger_interval=trigger_interval,
     )
 
 
@@ -650,6 +690,7 @@ def semantic_ingest_stream(
     max_files_per_trigger: int | None = None,
     filter_fn=None,
     monitor_table: str | None = None,
+    trigger_interval: str | None = None,
 ) -> IngestResult:
     """The EMBEDDING-side twin of :func:`dedup_ingest_stream`: the same
     exactly-once micro-batch loop, with the persisted ANN index
@@ -670,7 +711,8 @@ def semantic_ingest_stream(
     delta fingerprint taken over the STRINGIFIED embedding (vectors
     have no text column; compose against the corpus by fingerprinting
     the same rendering) and no drift leg — term drift is a text
-    signal."""
+    signal.  ``trigger_interval``: same continuous-mode contract as
+    :func:`dedup_ingest_stream`'s."""
     index = f"{table}_ann"
     dims = _ann_index_dims(spark, index)  # fail fast if absent
     cents = read_ann_centroids(spark, index, id_col, vec_col)
@@ -709,4 +751,5 @@ def semantic_ingest_stream(
         monitor_table=monitor_table,
         fingerprint_expr=f"CAST({vec_col} AS STRING)",
         drift_text_col=None,
+        trigger_interval=trigger_interval,
     )

@@ -105,6 +105,9 @@ class ShardIngestResult:
     shards_written: list[str] = field(default_factory=list)
     rows_in: int = 0
     windows_written: int = 0
+    #: continuous mode (trigger_interval=): the live StreamingQuery —
+    #: tallies keep updating per trigger until the caller stops it
+    query: object = None
 
 
 def _try_contract(bspark: SparkSession, path: str):
@@ -246,6 +249,7 @@ def shard_ingest_stream(
     shard_prefix: str = "wave-",
     fim: dict | None = None,
     max_files_per_trigger: int | None = None,
+    trigger_interval: str | None = None,
 ) -> ShardIngestResult:
     """Continuously grow a verified token-shard set from a parquet
     document source (module docstring).  ``encode_fn(batch) ->
@@ -257,7 +261,15 @@ def shard_ingest_stream(
     :func:`operators.pipeline.fim_transform` (e.g. ``dict(pre_id=2,
     mid_id=3, suf_id=4, rate_pct=50)``) applied between encode and
     pack — the sentinels must be ids ``vocab_ids`` reserved at
-    freeze.
+    freeze.  ``trigger_interval``: None (default) drains everything
+    available and stops; a duration string (e.g. ``"10 seconds"``)
+    runs the continuous processingTime shape instead — the returned
+    result carries the live ``query`` (stop via
+    ``result.query.stop()``) and its tallies keep updating per
+    trigger.  Both modes share one checkpoint: a continuous run
+    stopped and restarted availableNow (or vice versa) resumes
+    exactly where the offsets left off, with the same replay-repair
+    semantics per trigger.
 
     ``encode_fn`` MUST be deterministic (encode under a pinned
     artifact, not a freshly fitted one): replay verification digest-
@@ -518,13 +530,16 @@ def shard_ingest_stream(
             "maxFilesPerTrigger", int(max_files_per_trigger)
         )
     stream = reader.parquet(source_dir)
-    q = (
+    writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    if trigger_interval is not None:
+        result.query = writer.trigger(
+            processingTime=str(trigger_interval)
+        ).start()
+        return result
+    writer.trigger(availableNow=True).start().awaitTermination()
     return result
 
 

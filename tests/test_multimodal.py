@@ -1311,3 +1311,68 @@ def test_payload_ingest_stream_exactly_once_by_content(spark, tmp_path):
     deliver("c", 200, 1)
     with pytest.raises(Exception, match="authoritative"):
         payload_ingest_stream(spark, src, store, ckpt, n_shards=7)
+
+
+def test_payload_ingest_continuous_then_available_now(spark, tmp_path):
+    """The r15 trigger drill on the pixel-plane producer: continuous
+    (processingTime) mode bootstraps the store and keeps landing waves
+    as files arrive; stopping and restarting availableNow over the
+    same checkpoint composes — nothing re-lands, and the
+    content-addressed exactly-once property holds across the mode
+    switch."""
+    import time
+
+    from streaming_parquet_spark.operators.multimodal import (
+        payload_ingest_stream,
+        read_payload_store,
+        verify_payload_store,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def deliver(lo, n):
+        spark.createDataFrame(
+            [(lo + i, (b"cblob-%d" % (lo + i)) * 3) for i in range(n)],
+            "i long, payload binary",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def await_(cond, timeout_s=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            if cond():
+                return True
+            time.sleep(0.5)
+        return False
+
+    deliver(0, 8)
+    r = payload_ingest_stream(
+        spark, src, store, ckpt, n_shards=3,
+        trigger_interval="1 seconds",
+    )
+    assert r.query is not None and r.query.isActive
+    try:
+        assert await_(lambda: r.blobs_landed >= 8)  # bootstrap trigger
+        deliver(100, 5)  # lands into the LIVE stream (append wave)
+        assert await_(lambda: r.blobs_landed >= 13)
+    finally:
+        r.query.stop()
+    assert verify_payload_store(spark, store).where("NOT ok").count() == 0
+    assert read_payload_store(spark, store)[0].count() == 13
+
+    # availableNow restart over the same checkpoint: offsets compose —
+    # stopping a continuous query may race the offset commit, so the
+    # last batch MAY replay, but identical content lands nothing
+    r2 = payload_ingest_stream(spark, src, store, ckpt)
+    assert r2.blobs_landed == 0
+    # an overlapping delivery through the availableNow shape lands
+    # only its genuinely new blob
+    spark.createDataFrame(
+        [(200, (b"cblob-0") * 3), (201, (b"cblob-new") * 3)],
+        "i long, payload binary",
+    ).coalesce(1).write.mode("append").parquet(src)
+    r3 = payload_ingest_stream(spark, src, store, ckpt)
+    assert r3.rows_in == 2 and r3.blobs_landed == 1
+    assert read_payload_store(spark, store)[0].count() == 14
+    assert verify_payload_store(spark, store).where("NOT ok").count() == 0

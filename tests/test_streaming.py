@@ -1651,3 +1651,161 @@ def test_shard_ingest_wave_probes_are_o_batch(spark, tmp_path, monkeypatch):
     # batch 0 bootstraps (no sidecar yet -> no probes); batches 1-2
     # probe publication each, ownership only on the first
     assert calls == {"foreign": 1, "published": 2}
+
+
+# ---------------------------------------------------------------- #
+# continuous (processingTime) trigger mode: the M1 service shape    #
+# ---------------------------------------------------------------- #
+
+def _await(cond, timeout_s=90):
+    """Poll a condition until true or timeout — continuous triggers
+    land asynchronously; the drill must not race them."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if cond():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_shard_ingest_continuous_then_available_now(spark, tmp_path):
+    """The r15 trigger drill on the token producer: start continuous
+    (processingTime), land a wave, land a SECOND wave into the live
+    stream, stop, restart availableNow over the same checkpoint — the
+    offsets compose (nothing reprocesses), and a third wave lands
+    through the availableNow shape with full wave parity."""
+    from streaming_parquet_spark.operators.pipeline import (
+        verify_token_shards,
+    )
+    from streaming_parquet_spark.streaming.shards import (
+        shard_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "shards")
+    vocab = _shard_vocab(spark)
+
+    _shard_docs(spark, 0, 12).coalesce(1).write.mode("append").parquet(src)
+    r = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode,
+        budget=64, part_col="split", eos_id=1,
+        trigger_interval="1 seconds",
+    )
+    assert r.query is not None and r.query.isActive
+    try:
+        # wait on windows_written (the LAST tally a trigger updates),
+        # not rows_in — the counters land mid-trigger in order
+        assert _await(lambda: r.windows_written > 0 and r.rows_in >= 12)
+        w1 = r.windows_written
+        # a second wave lands into the LIVE stream
+        _shard_docs(spark, 100, 9, split_of=lambda i: "train").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        assert _await(lambda: r.rows_in >= 21 and r.windows_written > w1)
+    finally:
+        r.query.stop()
+    total = r.windows_written
+
+    # restart availableNow over the same checkpoint: state composes —
+    # stopping a continuous query may race the offset commit, so the
+    # last batch MAY replay, but the replay is digest-verified and
+    # skipped (nothing re-publishes)
+    r2 = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode,
+        budget=64, part_col="split", eos_id=1,
+    )
+    assert r2.query is None  # drain-and-stop mode has no live handle
+    assert r2.windows_written == 0
+
+    # a third wave lands through the availableNow shape
+    _shard_docs(spark, 200, 6).coalesce(1).write.mode("append").parquet(src)
+    r3 = shard_ingest_stream(
+        spark, src, out, ckpt, vocab, _shard_encode,
+        budget=64, part_col="split", eos_id=1,
+    )
+    assert r3.windows_written > 0
+    assert verify_token_shards(spark, out).filter("NOT ok").count() == 0
+    from streaming_parquet_spark.operators.pipeline import (
+        read_token_shards,
+    )
+
+    shards, _c = read_token_shards(spark, out, vocab_ids=vocab)
+    assert shards.count() == total + r3.windows_written
+
+
+def test_dedup_ingest_continuous_then_available_now(spark, tmp_path):
+    """The r15 trigger drill on the dedup loop: continuous mode dedups
+    a live wave, the caller refreshes tables after stop
+    (refresh_ingest_tables — continuous runs cannot refresh for it),
+    and an availableNow restart over the same checkpoint lands only
+    genuinely new files."""
+    import shutil
+
+    from streaming_parquet_spark.operators.dedup import write_lsh_index
+    from streaming_parquet_spark.streaming.ingest import (
+        dedup_ingest_stream,
+        refresh_ingest_tables,
+    )
+
+    def text(i):
+        words = ["alpha", "bravo", "carol", "delta", "echo", "fox"]
+        return " ".join(
+            words[(i * 3 + j * (1 + i % 5)) % len(words)] + str((i + j) % 7)
+            for j in range(10)
+        )
+
+    table = "maw_cont_corpus"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{table}{suffix}"),
+            ignore_errors=True,
+        )
+    seed = spark.createDataFrame(
+        [(0, text(0))], "doc_id long, text string"
+    )
+    write_lsh_index(seed, f"{table}_lsh", num_hashes=16, bands=8)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # wave 1: one dup of the seed, two new docs
+    spark.createDataFrame(
+        [(10, text(0)), (11, text(2)), (12, text(3))],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    r = dedup_ingest_stream(
+        spark, src, table, ckpt, trigger_interval="1 seconds"
+    )
+    assert r.query is not None and r.query.isActive
+    try:
+        assert _await(lambda: r.rows_in >= 3 and r.rows_kept >= 2)
+    finally:
+        r.query.stop()
+    refresh_ingest_tables(
+        spark, (table, f"{table}_lsh_sets", f"{table}_lsh_bands")
+    )
+    assert {r_["doc_id"] for r_ in spark.table(table).collect()} == {11, 12}
+
+    # availableNow restart over the same checkpoint: stopping a
+    # continuous query may race the offset commit, so the last batch
+    # MAY replay — but the replay keeps nothing (exactly-once outcome)
+    r2 = dedup_ingest_stream(spark, src, table, ckpt)
+    assert r2.rows_kept == 0
+    assert {r_["doc_id"] for r_ in spark.table(table).collect()} == {11, 12}
+    # a new wave lands only its genuinely new doc (13 re-ingests 11)
+    spark.createDataFrame(
+        [(13, text(2)), (14, text(5))], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    r3 = dedup_ingest_stream(spark, src, table, ckpt)
+    assert r3.rows_in == 2 and r3.rows_kept == 1
+    assert {r_["doc_id"] for r_ in spark.table(table).collect()} == {
+        11, 12, 14,
+    }
+    for suffix in ("", "_lsh_sets", "_lsh_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
