@@ -20,8 +20,9 @@ the content-addressed payload store the windows' spans point into.
             supervise, image patch positions mask to ignore_index
   persist   write_token_shards: the token plane under the pinned
             shard contract (budget, pad/eos, VOCABULARY fingerprint)
-  verify    verify_token_shards (token plane) + verify_payload_store
-            (pixel plane): absence / corruption / tamper all surface
+  verify    verify_token_shards (token plane); the pixel plane is
+            verified INSIDE publish_payload_generation (publish-after-
+            verify) — absence / corruption / tamper all surface
   resolve   resolve_payload_refs: each window's image spans join back
             to their blobs with the shard key recomputed from the ref
             (the store scan prunes); strict mode raises on any ref
@@ -59,7 +60,6 @@ from streaming_parquet_spark.operators.multimodal import (
     pack_multimodal_windows,
     resolve_payload_refs,
     split_multimodal_documents,
-    verify_payload_store,
     write_payload_store,
 )
 from streaming_parquet_spark.operators.pipeline import (
@@ -100,11 +100,12 @@ def main(sf_dir: str, work: str) -> None:
     write_payload_store(first, store, n_shards=8)
     wave = append_payload_store(rest, store)  # later ingest wave
     assert append_payload_store(rest, store).count() == 0  # replay no-op
+    # publish runs verify_payload_store internally — publish-after-
+    # verify IS the contract, so no second scan is needed here
     doc = publish_payload_generation(spark, proot, gen1)
-    bad = verify_payload_store(spark, store).where("NOT ok").count()
     print(
         f"payload gen {doc['generation']}: +{wave.count()} wave rows, "
-        f"{doc['n_payloads']} blobs published, verify bad={bad}"
+        f"{doc['n_payloads']} blobs published (verified at publish)"
     )
     # the resolver's pin: hold this path for the whole epoch
     _g, store, _contract = current_payload_store(spark, proot)
@@ -171,9 +172,10 @@ def main(sf_dir: str, work: str) -> None:
     # pointed at the retired store now refuse.
     orphans = orphan_payload_refs(win, store)
     n_orphans = orphans.count()
-    gen2, _man = promote_payload_compaction(spark, proot, win)
-    _g2, compacted, _c2 = current_payload_store(spark, proot)
-    kept_bad = verify_payload_store(spark, compacted).where("NOT ok").count()
+    # promote proves content preservation AND re-verifies the new
+    # store's data before the commit marker lands — no extra scan
+    gen2, man = promote_payload_compaction(spark, proot, win)
+    n_kept = sum(int(r["n_payloads"]) for r in man.collect())
     pinned_ok = resolve_payload_refs(
         win, store, id_cols=("source", "win")
     ).count()  # the OLD pin still resolves — grace window
@@ -183,11 +185,12 @@ def main(sf_dir: str, work: str) -> None:
     except ValueError:
         pass
     print(
-        f"retention: {n_orphans} orphan blobs swept into gen {gen2}; "
-        f"verify bad={kept_bad}; pinned resolver still serves "
-        f"{pinned_ok} spans; retired store refuses producers"
+        f"retention: {n_orphans} orphan blobs swept; gen {gen2} "
+        f"published with {n_kept} kept blobs (verified at publish); "
+        f"pinned resolver still serves {pinned_ok} spans; retired "
+        f"store refuses producers"
     )
-    assert bad == tok_bad == kept_bad == 0
+    assert tok_bad == 0
     print("OK: both planes verified end to end")
 
 

@@ -1098,6 +1098,12 @@ def audit_generation(
         )
     doc = json.loads(store.read(marker))
     path = generation_path(root, gen)
+    if doc.get("plane") == "payload":
+        # payload generations audit against their own marker fields
+        # (blob/ref/byte totals + the sharding-invariant fp) — the
+        # dispatch keeps audit_catalog working on payload roots
+        # unchanged
+        return _audit_payload_generation(spark, root, gen, doc, store)
     out: dict = {
         "generation": gen,
         "retired": is_retired(path, store),
@@ -1231,13 +1237,143 @@ def audit_generation(
     return out
 
 
+def _audit_payload_generation(
+    spark, root: str, gen: int, doc: dict, store: MarkerStore
+) -> dict:
+    """:func:`audit_generation`'s payload-plane half (dispatched on
+    the marker's ``plane`` stamp): re-digest the store's DATA and
+    compare against the write-once marker's blob/ref/byte totals and
+    sharding-invariant content fingerprint — the same
+    ok=True / ok=False(+mismatches) / ok=None(grown|dropped)
+    classification as the token plane, because the same protocol
+    facts hold: appending to the CURRENT generation is legal until
+    retirement (r15 review: post-publish waves falsify the frozen
+    totals/fp, and without this verb every audit would misreport
+    legitimate growth as tamper), the XOR fp is not subset-checkable
+    over a grown set, and a reclaimed retired generation has nothing
+    to attest.  The grown set's integrity tool is
+    ``verify_payload_store`` (per-(shard, wave) digests); a promotion
+    pins a fresh fingerprint.  Cost: one data re-digest scan — the
+    price publish paid, on demand."""
+    from pyspark.errors import AnalysisException
+
+    from streaming_parquet_spark.operators.multimodal import (
+        _payload_contract,
+        payload_set_content_fp,
+        payload_store_manifest,
+    )
+    from streaming_parquet_spark.operators.pipeline import ManifestAbsent
+
+    path = generation_path(root, gen)
+    out: dict = {
+        "generation": gen,
+        "plane": "payload",
+        "retired": is_retired(path, store),
+        "dropped": False,
+    }
+    try:
+        _manifest, contract = _payload_contract(
+            spark, path, "audit_payload_generation"
+        )
+    except (ValueError, AnalysisException) as exc:
+        # same taxonomy as the token audit: only ABSENCE of a retired
+        # generation's sidecar is a benign drop; present-but-broken is
+        # an incident regardless of retirement (pinned readers still
+        # resolve retired data through the grace window)
+        absent = isinstance(exc, ManifestAbsent)
+        if out["retired"] and absent:
+            out.update({"dropped": True, "ok": None})
+            return out
+        out.update({
+            "ok": False,
+            "problem": (
+                f"data unreadable for a committed, UNRETIRED "
+                f"generation ({exc}) — pinned readers may still "
+                f"resolve it"
+                if absent
+                else f"manifest sidecar present but unreadable "
+                     f"({exc}) — corruption or a truncated write, "
+                     f"not a retention drop"
+            ),
+        })
+        return out
+    rc, pc = contract["ref_col"], contract["payload_col"]
+    n = int(contract["n_shards"])
+    try:
+        # DATA-level fold: re-digest every blob, not the sidecar —
+        # the audit attests storage, the sidecar is the promise
+        fp = payload_set_content_fp(
+            payload_store_manifest(spark.read.parquet(path), n, rc, pc)
+        )
+    except (ValueError, AnalysisException) as exc:
+        out.update({
+            "ok": False,
+            "problem": f"content scan failed ({exc})",
+        })
+        return out
+    actual = {
+        "format": contract["format"],
+        "n_shards": n,
+        "ref_col": rc,
+        "payload_col": pc,
+        "n_payloads": fp["n_payloads"],
+        "n_refs": fp["n_refs"],
+        "n_bytes": fp["n_bytes"],
+        "content_fp_a": fp["fp_a"],
+        "content_fp_b": fp["fp_b"],
+    }
+    mismatches = {
+        k: [doc[k], v]
+        for k, v in actual.items()
+        if k in doc and doc[k] != v
+    }
+    out["fp_checked"] = "content_fp_a" in doc
+    total_keys = [
+        k for k in ("n_payloads", "n_refs", "n_bytes") if k in doc
+    ]
+    grown = total_keys and all(
+        int(actual[k]) >= int(doc[k]) for k in total_keys
+    ) and any(int(actual[k]) > int(doc[k]) for k in total_keys)
+    # the contract (incl. n_shards — blobs land by the pinned shard
+    # key) can never legally change after publish; drift is always
+    # an incident, growth or not
+    contract_drift = any(
+        k in mismatches
+        for k in ("format", "n_shards", "ref_col", "payload_col")
+    )
+    if not mismatches:
+        out["ok"] = True
+    elif grown and not contract_drift:
+        out.update({
+            "ok": None,
+            "grown": True,
+            "fp_checked": False,
+            "recorded_totals": {k: doc[k] for k in total_keys},
+            "actual_totals": {k: actual[k] for k in total_keys},
+            "note": (
+                "generation grew past its publish-time floor (legal "
+                "until retirement; the marker cannot date the "
+                "growth) — the frozen marker cannot attest the grown "
+                "content; verify_payload_store checks the store "
+                "per-(shard, wave), and a promotion pins a fresh "
+                "fingerprint"
+            ),
+        })
+    else:
+        out["ok"] = False
+        out["mismatches"] = mismatches
+    return out
+
+
 def audit_catalog(
     spark, root: str, store: MarkerStore | None = None
 ) -> list[dict]:
     """:func:`audit_generation` over every committed generation of
     ``root``, oldest first — the periodic integrity sweep a
     months-long factory schedules beside :func:`sweep_generations`.
-    Dropped and legally-grown generations report ``ok=None`` (see
+    Works on token AND payload roots (the per-generation audit
+    dispatches on the marker's plane stamp).  Dropped and
+    legally-grown generations report ``ok=None`` (see
     audit_generation — nothing the frozen marker can attest); any
     ``ok=False`` row is a storage-integrity incident, not a protocol
     race — the markers are write-once and the data was verified at

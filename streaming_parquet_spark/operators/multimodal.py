@@ -1041,6 +1041,7 @@ def write_payload_store(
     ref_col: str = "ref",
     payload_col: str = "payload",
     mode: str = "error",
+    marker_store=None,
 ) -> DataFrame:
     """Persist binary payloads as a verified, content-addressed store:
     one parquet write partitioned by the portable ref-hash shard
@@ -1070,7 +1071,7 @@ def write_payload_store(
 
     from streaming_parquet_spark.operators.pipeline import _refuse_retired
 
-    _refuse_retired(path, "write_payload_store")
+    _refuse_retired(path, "write_payload_store", marker_store)
     spark = df.sparkSession
     n = int(n_shards)
     if n < 1:
@@ -1580,6 +1581,7 @@ def append_payload_store(
     path: str,
     ref_col: str | None = None,
     payload_col: str | None = None,
+    marker_store=None,
 ) -> DataFrame:
     """Incremental append to a payload store — the pixel-plane
     analogue of ``pipeline.append_token_shards``, with the dedup axis
@@ -1618,7 +1620,7 @@ def append_payload_store(
 
     from streaming_parquet_spark.operators.pipeline import _refuse_retired
 
-    _refuse_retired(path, "append_payload_store")
+    _refuse_retired(path, "append_payload_store", marker_store)
     spark = df.sparkSession
     manifest, contract = _payload_contract(
         spark, path, "append_payload_store"
@@ -1908,6 +1910,71 @@ def compact_payload_store(
     )
 
 
+def _repair_torn_payload_bootstrap(
+    spark, path: str, blobs: DataFrame, n: int, rc: str, pc: str
+) -> DataFrame:
+    """Complete a bootstrap write that crashed between its data and
+    sidecar legs (r15 review): ``write_payload_store``'s replay fails
+    on ``mode="error"`` because the data directory exists, and without
+    this repair every restart would fail identically — the one torn
+    state the wave-attributed append machinery did not cover, because
+    a bootstrap has no sidecar to attribute against.
+
+    The replayed trigger holds the SAME batch (the checkpoint logged
+    the file set; refs are content-addressed), so the repair is the
+    append-crash discipline applied to the whole store: re-derive the
+    wave's sidecar rows from the batch, digest-prove the on-disk data
+    IS this batch (same wave id, same per-shard fingerprints — foreign
+    or torn data refuses, never papers over), then append ONLY the
+    sidecar.  Returns the manifest frame ``write_payload_store`` would
+    have returned."""
+    import os as _os
+
+    mrows = [
+        r.asDict()
+        for r in payload_store_manifest(blobs, n, rc, pc).collect()
+    ]
+    wave = _payload_wave_id(mrows)
+    spark.catalog.refreshByPath(path)
+    data = spark.read.parquet(path)
+    torn_msg = (
+        f"_repair_torn_payload_bootstrap: the data at {path!r} is NOT "
+        f"this batch's crashed bootstrap (wave {wave}) — a different "
+        f"producer's store, or an aborted write job's residue; if the "
+        f"directory holds no committed parquet, delete it and replay"
+    )
+    if data.where(F.col("wave") != F.lit(wave)).limit(1).count():
+        raise ValueError(torn_msg)
+    got = {
+        int(r["shard"]): r.asDict()
+        for r in payload_store_manifest(data, n, rc, pc).collect()
+    }
+    want = {int(r["shard"]): r for r in mrows}
+    if {
+        k: (int(v["fp_a"]), int(v["fp_b"]), int(v["n_payloads"]))
+        for k, v in got.items()
+    } != {
+        k: (int(v["fp_a"]), int(v["fp_b"]), int(v["n_payloads"]))
+        for k, v in want.items()
+    }:
+        raise ValueError(torn_msg)
+    manifest = spark.createDataFrame(
+        [
+            (
+                int(r["shard"]), wave, int(r["n_payloads"]),
+                int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
+                int(r["fp_b"]), PAYLOAD_STORE_FORMAT, n, rc, pc,
+            )
+            for r in mrows
+        ],
+        _PAYLOAD_MANIFEST_SCHEMA,
+    )
+    # mode="error": the sidecar is what was MISSING — if it appeared
+    # concurrently, this is not the torn state and must refuse
+    manifest.write.mode("error").parquet(_os.path.join(path, "_manifest"))
+    return manifest
+
+
 class PayloadIngestResult:
     """What a :func:`payload_ingest_stream` run did: trigger batch ids,
     rows seen, and blobs actually landed (appends skip content the
@@ -1934,6 +2001,7 @@ def payload_ingest_stream(
     n_shards: int | None = None,
     max_files_per_trigger: int | None = None,
     trigger_interval: str | None = None,
+    marker_store=None,
 ) -> PayloadIngestResult:
     """Continuously grow a verified payload store from a parquet blob
     source — the pixel-plane producer beside
@@ -1980,8 +2048,9 @@ def payload_ingest_stream(
 
     # refuse a retired store at run START (even a no-op resume): same
     # stance as shard_ingest_stream — a producer pointed at a retired
-    # generation must hear it now, not on a future trigger
-    _refuse_retired(store_path, "payload_ingest_stream")
+    # generation must hear it now, not on a future trigger.
+    # marker_store: probe through the same plane the catalog writes.
+    _refuse_retired(store_path, "payload_ingest_stream", marker_store)
     result = PayloadIngestResult()
     try:
         schema = (
@@ -1998,6 +2067,18 @@ def payload_ingest_stream(
             or "PATH_NOT_FOUND" in marker
         ):
             raise
+        if trigger_interval is not None:
+            # a service-shaped run against a not-yet-delivered source
+            # would return query=None and NEVER ingest anything — the
+            # silent-no-op the continuous contract must not allow
+            raise ValueError(
+                f"payload_ingest_stream: continuous mode "
+                f"(trigger_interval=) needs an inferable source "
+                f"schema, but {source_dir!r} is empty or absent — "
+                f"deliver the first files (or start availableNow, "
+                f"which treats this as a clean cold start) and launch "
+                f"the service then"
+            )
         return result  # cold start: nothing delivered yet
 
     # once-per-run probe state (r14 advisory: the old pre-stream probe
@@ -2007,12 +2088,11 @@ def payload_ingest_stream(
     probe_state = {"have_store": False}
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        result.batches.append(int(batch_id))
         batch.persist()
         try:
             n_in = batch.count()
-            result.rows_in += n_in
             if n_in == 0:
+                result.batches.append(int(batch_id))
                 return
             if ref_col is None:
                 blobs = mint_payload_refs(batch, payload_col, "ref")
@@ -2046,16 +2126,36 @@ def payload_ingest_stream(
                         "exist yet — pass n_shards to bootstrap it"
                     )
             if not probe_state["have_store"]:
-                man = write_payload_store(
-                    blobs, store_path, n_shards=int(n_shards),
-                    ref_col=rc, payload_col=payload_col,
-                )
+                try:
+                    man = write_payload_store(
+                        blobs, store_path, n_shards=int(n_shards),
+                        ref_col=rc, payload_col=payload_col,
+                        marker_store=marker_store,
+                    )
+                except AnalysisException as exc:
+                    wmarker = (
+                        getattr(exc, "getCondition", exc.getErrorClass)()
+                        or ""
+                    ) + " " + str(exc)
+                    if "ALREADY_EXISTS" not in wmarker:
+                        raise
+                    # bootstrap crashed between its data and sidecar
+                    # legs on a previous run — repair, don't wedge
+                    man = _repair_torn_payload_bootstrap(
+                        bspark, store_path, blobs, int(n_shards),
+                        rc, payload_col,
+                    )
                 probe_state["have_store"] = True
             else:
                 man = append_payload_store(
                     blobs, store_path, ref_col=rc,
-                    payload_col=payload_col,
+                    payload_col=payload_col, marker_store=marker_store,
                 )
+            # tallies land LAST, after the wave is durable: a
+            # continuous-mode caller polls these before stopping the
+            # query (r15 drill)
+            result.batches.append(int(batch_id))
+            result.rows_in += n_in
             result.blobs_landed += sum(
                 int(r["n_payloads"]) for r in man.collect()
             )

@@ -1917,6 +1917,7 @@ def append_token_shards(
     windows: DataFrame,
     path: str,
     vocab_ids: DataFrame,
+    marker_store=None,
 ) -> DataFrame:
     """Append NEW shards to an existing token-shard set — the
     incremental form :func:`write_token_shards`'s overwrite/error
@@ -1948,11 +1949,15 @@ def append_token_shards(
     "n_windows_promised > 0")`` — the full-outer check deliberately
     reports every OTHER shard on disk as unmanifested; whole-set
     verification (no ``manifest=``) uses the appended sidecar and
-    covers all waves at once."""
+    covers all waves at once.
+
+    ``marker_store``: the MarkerStore the deployment's catalog verbs
+    use, so the retirement probe sees markers written through a
+    non-POSIX backend (``_refuse_retired``'s contract)."""
     import os as _os
 
     spark = windows.sparkSession
-    _refuse_retired(path, "append_token_shards")
+    _refuse_retired(path, "append_token_shards", marker_store)
     sidecar, contract = _read_shard_contract(
         spark, path, "append_token_shards"
     )
@@ -1991,16 +1996,20 @@ def append_token_shards(
     return manifest
 
 
-def _refuse_retired(path: str, caller: str) -> None:
+def _refuse_retired(path: str, caller: str, store=None) -> None:
     """Producer-side guard for the catalog's retire marker
     (``operators.catalog``): appending to a RETIRED generation would
     grow a set the catalog already compacted past — the windows would
-    never reach a reader and would be destroyed at drop.  One local
-    existence probe; reads deliberately do NOT check (retired data
-    stays readable through the drop-grace window)."""
+    never reach a reader and would be destroyed at drop.  One marker
+    probe; reads deliberately do NOT check (retired data stays
+    readable through the drop-grace window).  ``store``: the SAME
+    MarkerStore the deployment's catalog verbs use — a retirement
+    recorded through an object-store backend is invisible to the
+    default POSIX probe, so producers must probe through the same
+    plane the catalog writes (r15 review)."""
     from streaming_parquet_spark.operators.catalog import is_retired
 
-    if is_retired(path):
+    if is_retired(path, store):
         raise ValueError(
             f"{caller}: {path!r} is a RETIRED generation (catalog "
             f"marker present) — its successor already replaced it; "
@@ -2936,6 +2945,13 @@ def read_rank_shards(
             "read_rank_shards: pass cursor= or state=, not both — "
             "the state bundle carries its own cursor"
         )
+    if payload_store is not None and state is None and not with_state:
+        raise ValueError(
+            "read_rank_shards: payload_store= pins the RESUME "
+            "identity — it only does anything with with_state=True "
+            "(mint) or state= (resume); a plain read would silently "
+            "ignore the pin"
+        )
     if int(cursor) < 0:
         raise ValueError(
             f"read_rank_shards: cursor must be >= 0 (got {cursor})"
@@ -3713,6 +3729,13 @@ def read_mixture_shards(
             "read_mixture_shards: pass cursor= or state=, not both — "
             "the state bundle carries its own cursor"
         )
+    if payload_store is not None and state is None and not with_state:
+        raise ValueError(
+            "read_mixture_shards: payload_store= pins the RESUME "
+            "identity — it only does anything with with_state=True "
+            "(mint) or state= (resume); a plain read would silently "
+            "ignore the pin"
+        )
     if sorted(weights) != names:
         raise ValueError(
             f"read_mixture_shards: sets and weights must carry the "
@@ -3999,6 +4022,13 @@ def read_mixture_rank(
         raise ValueError(
             "read_mixture_rank: pass cursor= or state=, not both — "
             "the state bundle carries its own cursor"
+        )
+    if payload_store is not None and state is None and not with_state:
+        raise ValueError(
+            "read_mixture_rank: payload_store= pins the RESUME "
+            "identity — it only does anything with with_state=True "
+            "(mint) or state= (resume); a plain read would silently "
+            "ignore the pin"
         )
     # the rank's key lists ride the snapshots parameter: the mixture
     # read re-validates them (subset check), positions them 0..n-1

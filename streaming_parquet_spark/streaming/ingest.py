@@ -267,12 +267,21 @@ def _run_ingest(
             "UNABLE_TO_INFER_SCHEMA" in marker or "PATH_NOT_FOUND" in marker
         ):
             raise
+        if trigger_interval is not None:
+            # continuous mode must not silently become a permanent
+            # no-op (query=None, nothing ever ingested) — refuse by
+            # name; availableNow keeps the clean cold-start return
+            raise ValueError(
+                f"{table}: continuous mode (trigger_interval=) needs "
+                f"an inferable source schema, but {source_dir!r} is "
+                f"empty or absent — deliver the first files (or start "
+                f"availableNow) and launch the service then"
+            )
         return IngestResult()
     result = IngestResult()
 
     def process(batch: DataFrame, batch_id: int) -> None:
         bspark = batch.sparkSession
-        result.batches.append(batch_id)
         # Cache the batch: the tally count, the within-batch pair
         # search, and the probe all consume it — without the persist
         # each would re-scan the batch's files.
@@ -356,6 +365,7 @@ def _run_ingest(
             # know a trigger's work is DURABLE before stopping the
             # query — a mid-trigger tally would let it stop between
             # the count and the corpus append (r15 drill)
+            result.batches.append(batch_id)
             result.rows_in += n_in
             result.rows_filtered += n_filtered_batch
             result.rows_kept += n

@@ -250,6 +250,7 @@ def shard_ingest_stream(
     fim: dict | None = None,
     max_files_per_trigger: int | None = None,
     trigger_interval: str | None = None,
+    marker_store=None,
 ) -> ShardIngestResult:
     """Continuously grow a verified token-shard set from a parquet
     document source (module docstring).  ``encode_fn(batch) ->
@@ -289,7 +290,7 @@ def shard_ingest_stream(
     # refuse a retired generation at run START (even a no-op resume:
     # a producer pointed at a retired set is misconfigured and must
     # hear it now, not on whichever future trigger first has data)
-    _refuse_retired(shards_path, "shard_ingest_stream")
+    _refuse_retired(shards_path, "shard_ingest_stream", marker_store)
     try:
         # same glob as the stream below: a README or writer temp file
         # beside the data must not fail the schema probe
@@ -308,6 +309,17 @@ def shard_ingest_stream(
             "UNABLE_TO_INFER_SCHEMA" in marker or "PATH_NOT_FOUND" in marker
         ):
             raise
+        if trigger_interval is not None:
+            # continuous mode must not silently become a permanent
+            # no-op (query=None, nothing ever ingested) — refuse by
+            # name; availableNow keeps the clean cold-start return
+            raise ValueError(
+                f"shard_ingest_stream: continuous mode "
+                f"(trigger_interval=) needs an inferable source "
+                f"schema, but {source_dir!r} is empty or absent — "
+                f"deliver the first files (or start availableNow) and "
+                f"launch the service then"
+            )
         return ShardIngestResult()
     if part_col in (_SHARD, _WIN, _IDS, _NTOK, _STARTS):
         raise ValueError(
@@ -376,15 +388,25 @@ def shard_ingest_stream(
         # catalog can retire this generation while a long-lived
         # producer runs, and the very next wave must refuse instead
         # of growing a set the catalog already compacted past
-        _refuse_retired(shards_path, "shard_ingest_stream")
+        _refuse_retired(shards_path, "shard_ingest_stream",
+                        marker_store)
         bspark = batch.sparkSession
-        result.batches.append(batch_id)
         batch = batch.persist()
         wins = None
+
+        def done(n_rows: int) -> None:
+            # tallies land LAST, on every successful exit path: a
+            # continuous-mode caller polls these to know a trigger's
+            # work is DURABLE before stopping the query (r15 drill) —
+            # a mid-trigger tally would let it stop between the count
+            # and the wave's writes
+            result.batches.append(batch_id)
+            result.rows_in += n_rows
+
         try:
             n_in = batch.count()
-            result.rows_in += n_in
             if n_in == 0:
+                done(0)
                 return
             # one wave = up to two consumers (manifest pass + data
             # write) of an encode-UDF lineage: materialize once
@@ -403,6 +425,7 @@ def shard_ingest_stream(
             manifest = _contract_manifest(wins, want, side_t)
             wave = _manifest_rows(manifest)
             if not wave:
+                done(n_in)
                 return  # every doc encoded empty: no windows, no shard
             keys = sorted(wave)
             published = set()
@@ -485,6 +508,7 @@ def shard_ingest_stream(
                 # == set(keys) by the layout check above: the
                 # crash-after-sidecar replay — verified above, skip
                 result.batches_skipped.append(batch_id)
+                done(n_in)
                 return
             need_data = [k for k in keys if k not in on_disk]
             if need_data:
@@ -516,6 +540,7 @@ def shard_ingest_stream(
             result.windows_written += sum(
                 n for (n, _t, _a, _b2) in wave.values()
             )
+            done(n_in)
         finally:
             if wins is not None:
                 wins.unpersist()

@@ -409,3 +409,219 @@ def test_payload_sweep_retention(spark, tmp_path):
         verify_payload_store(spark, generation_path(root, g3))
         .where("NOT ok").count() == 0
     )
+
+
+def test_payload_audit_classification(spark, tmp_path):
+    """audit_generation dispatches on the marker's plane stamp and
+    classifies payload generations exactly like token ones (r15
+    review): ok=True attested, ok=None grown=True for legal
+    post-publish waves (never misreported as tamper), ok=False with
+    mismatches for real content loss, ok=None dropped=True after
+    reclaim — and audit_catalog runs on a payload root unchanged."""
+    from streaming_parquet_spark.operators.catalog import (
+        audit_catalog,
+        audit_generation,
+    )
+
+    root = str(tmp_path / "paudit")
+    gen1, p1 = next_generation(root)
+    blobs = _blobs(spark, 0, 12)
+    write_payload_store(blobs, p1, n_shards=3)
+    publish_payload_generation(spark, root, gen1)
+
+    row = audit_generation(spark, root, gen1)
+    assert row["plane"] == "payload"
+    assert row["ok"] is True and row["fp_checked"] is True
+
+    # legal growth: a post-publish wave -> ok=None grown, fp unchecked
+    append_payload_store(_blobs(spark, 100, 4), p1)
+    row = audit_generation(spark, root, gen1)
+    assert row["ok"] is None and row["grown"] is True
+    assert row["fp_checked"] is False
+    assert row["recorded_totals"]["n_payloads"] == 12
+    assert row["actual_totals"]["n_payloads"] == 16
+
+    # real content loss: delete one blob file -> ok=False
+    victim = None
+    for dirpath, _dirs, files in os.walk(p1):
+        if "_manifest" in dirpath:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                victim = os.path.join(dirpath, f)
+                break
+        if victim:
+            break
+    os.unlink(victim)
+    spark.catalog.refreshByPath(p1)
+    row = audit_generation(spark, root, gen1)
+    assert row["ok"] is False and "mismatches" in row
+
+    # promote a clean successor from a fresh store, then drop: the
+    # reclaimed retired generation reports ok=None dropped=True
+    root2 = str(tmp_path / "paudit2")
+    g1, q1 = next_generation(root2)
+    write_payload_store(blobs, q1, n_shards=2)
+    publish_payload_generation(spark, root2, g1)
+    windows, _ = _windows_over(spark, blobs, keep_every=2)
+    promote_payload_compaction(spark, root2, windows)
+    drop_generation(root2, g1)
+    rows = audit_catalog(spark, root2)
+    assert [r["generation"] for r in rows] == [1, 2]
+    assert rows[0]["ok"] is None and rows[0]["dropped"] is True
+    assert rows[1]["ok"] is True
+
+
+def test_marker_store_retirement_probe(spark, tmp_path):
+    """Producers probe retirement through the SAME marker plane the
+    catalog writes (r15 review): a retirement recorded via an
+    object-store backend is invisible to the default POSIX probe, so
+    every producer verb takes marker_store= and refuses through it."""
+    from streaming_parquet_spark.operators.catalog import (
+        InMemoryObjectClient,
+        ObjectMarkerStore,
+        retire_generation,
+    )
+    from streaming_parquet_spark.operators.multimodal import (
+        payload_ingest_stream,
+    )
+    from streaming_parquet_spark.operators.pipeline import (
+        append_token_shards,
+        pack_token_windows,
+        write_token_shards,
+    )
+
+    mstore = ObjectMarkerStore(InMemoryObjectClient(), prefix="cat")
+    root = str(tmp_path / "mcat")
+    blobs = _blobs(spark, 0, 8)
+
+    g1, p1 = next_generation(root, store=mstore)
+    write_payload_store(blobs, p1, n_shards=2)
+    publish_payload_generation(spark, root, g1, store=mstore)
+    windows, _ = _windows_over(spark, blobs, keep_every=2)
+    promote_payload_compaction(spark, root, windows, store=mstore)
+
+    # default POSIX probe cannot see the object-store marker; the
+    # injected probe refuses — producers must pass their catalog's
+    # store
+    append_payload_store(_blobs(spark, 50, 1), p1)  # invisible marker
+    with pytest.raises(ValueError, match="RETIRED"):
+        append_payload_store(
+            _blobs(spark, 60, 1), p1, marker_store=mstore
+        )
+    with pytest.raises(ValueError, match="RETIRED"):
+        write_payload_store(
+            _blobs(spark, 60, 1), p1, n_shards=2, marker_store=mstore
+        )
+    with pytest.raises(ValueError, match="RETIRED"):
+        payload_ingest_stream(
+            spark, str(tmp_path / "nosrc"), p1,
+            str(tmp_path / "nock"), marker_store=mstore,
+        )
+
+    # token plane: same seam on append_token_shards
+    vocab = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(16)], "id int, piece string"
+    )
+    troot = str(tmp_path / "tcat")
+    tg, tp = next_generation(troot, store=mstore)
+    docs = spark.createDataFrame(
+        [(i, "w", [(i + j) % 9 + 2 for j in range(7)])
+         for i in range(8)],
+        "doc_id bigint, src string, toks array<int>",
+    )
+    write_token_shards(
+        pack_token_windows(docs, "toks", 16, order_col="doc_id",
+                           part_col="src"),
+        tp, vocab, budget=16, shard_col="src",
+    )
+    retire_marker_path = os.path.join(tp, "_retired")
+    mstore.put_if_absent(retire_marker_path, "{}")
+    wave = pack_token_windows(
+        spark.createDataFrame(
+            [(100 + i, "w2", [(i + j) % 9 + 2 for j in range(7)])
+             for i in range(4)],
+            "doc_id bigint, src string, toks array<int>",
+        ),
+        "toks", 16, order_col="doc_id", part_col="src",
+    )
+    with pytest.raises(ValueError, match="RETIRED"):
+        append_token_shards(wave, tp, vocab, marker_store=mstore)
+
+
+def test_torn_bootstrap_repair(spark, tmp_path, monkeypatch):
+    """A bootstrap write that crashed between its data and sidecar
+    legs no longer wedges the stream (r15 review): the replayed
+    trigger digest-proves the on-disk data is ITS batch and appends
+    only the missing sidecar — and foreign data under the store path
+    still refuses."""
+    import shutil
+
+    import streaming_parquet_spark.operators.multimodal as M
+    from streaming_parquet_spark.operators.multimodal import (
+        payload_ingest_stream,
+        read_payload_store,
+        verify_payload_store,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, (b"tb-%d" % i) * 3) for i in range(9)],
+        "i long, payload binary",
+    ).coalesce(1).write.parquet(src)
+
+    real_write = M.write_payload_store
+
+    def dying_write(df, path, n_shards, ref_col="ref",
+                    payload_col="payload", mode="error",
+                    marker_store=None):
+        # real data leg (via a scratch store), no sidecar, then crash
+        scratch = str(tmp_path / "scratch")
+        shutil.rmtree(scratch, ignore_errors=True)
+        real_write(df, scratch, n_shards, ref_col, payload_col, mode)
+        shutil.rmtree(os.path.join(scratch, "_manifest"))
+        shutil.move(scratch, path)
+        raise RuntimeError("simulated crash between data and sidecar")
+
+    monkeypatch.setattr(M, "write_payload_store", dying_write)
+    with pytest.raises(Exception, match="simulated crash"):
+        payload_ingest_stream(spark, src, store, ckpt, n_shards=2)
+    monkeypatch.undo()
+
+    # the restart replays the trigger and REPAIRS the torn bootstrap
+    r = payload_ingest_stream(spark, src, store, ckpt, n_shards=2)
+    assert r.blobs_landed == 9
+    assert verify_payload_store(spark, store).where("NOT ok").count() == 0
+    assert read_payload_store(spark, store)[0].count() == 9
+
+    # foreign data under the path refuses instead of papering over
+    store2 = str(tmp_path / "store2")
+    ck2 = str(tmp_path / "ck2")
+    write_payload_store(_blobs(spark, 500, 4), store2, n_shards=2)
+    shutil.rmtree(os.path.join(store2, "_manifest"))
+    with pytest.raises(Exception, match="NOT this batch"):
+        payload_ingest_stream(spark, src, store2, ck2, n_shards=2)
+
+
+def test_continuous_mode_refuses_empty_source(spark, tmp_path):
+    """Continuous mode (trigger_interval=) against a not-yet-delivered
+    source refuses by name instead of returning query=None and never
+    ingesting anything (r15 review); availableNow keeps the clean
+    cold-start return."""
+    from streaming_parquet_spark.operators.multimodal import (
+        payload_ingest_stream,
+    )
+
+    src = str(tmp_path / "empty_src")
+    store = str(tmp_path / "store")
+    with pytest.raises(ValueError, match="inferable source"):
+        payload_ingest_stream(
+            spark, src, store, str(tmp_path / "ck"), n_shards=2,
+            trigger_interval="1 seconds",
+        )
+    r = payload_ingest_stream(
+        spark, src, store, str(tmp_path / "ck"), n_shards=2
+    )
+    assert r.batches == [] and r.query is None

@@ -419,6 +419,16 @@ def test_payload_store_pin_roundtrip_and_refusals(spark, corpus,
             payload_store=store_a,
         )
 
+    # a plain read would silently ignore the pin — refuse instead
+    # (r15 review: the caller believes the store is guarded)
+    for reader, args in (
+        (read_rank_shards, (spark, path, 0, 2)),
+        (read_mixture_shards, (spark, paths, {"web": 1, "code": 1})),
+        (read_mixture_rank, (spark, paths, {"web": 1, "code": 1}, 0, 2)),
+    ):
+        with pytest.raises(ValueError, match="payload_store"):
+            reader(*args, payload_store=store_a)
+
     # the pin survives a JSON checkpoint round trip
     import json as _json
 
