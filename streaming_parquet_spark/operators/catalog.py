@@ -1251,16 +1251,18 @@ def _audit_payload_generation(
     totals/fp, and without this verb every audit would misreport
     legitimate growth as tamper), the XOR fp is not subset-checkable
     over a grown set, and a reclaimed retired generation has nothing
-    to attest.  The grown set's integrity tool is
-    ``verify_payload_store`` (per-(shard, wave) digests); a promotion
-    pins a fresh fingerprint.  Cost: one data re-digest scan — the
-    price publish paid, on demand."""
+    to attest.  One improvement over the token audit: the data scan
+    IS ``verify_payload_store`` (per-(shard, wave) digests against
+    the append-only sidecar), so content loss is detected ok=False
+    even in a generation that legally grew — growth only relaxes the
+    MARKER comparison, never the storage check.  Cost: one data
+    re-digest scan — the price publish paid, on demand."""
     from pyspark.errors import AnalysisException
 
     from streaming_parquet_spark.operators.multimodal import (
         _payload_contract,
         payload_set_content_fp,
-        payload_store_manifest,
+        verify_payload_store,
     )
     from streaming_parquet_spark.operators.pipeline import ManifestAbsent
 
@@ -1272,7 +1274,7 @@ def _audit_payload_generation(
         "dropped": False,
     }
     try:
-        _manifest, contract = _payload_contract(
+        manifest, contract = _payload_contract(
             spark, path, "audit_payload_generation"
         )
     except (ValueError, AnalysisException) as exc:
@@ -1300,17 +1302,38 @@ def _audit_payload_generation(
     rc, pc = contract["ref_col"], contract["payload_col"]
     n = int(contract["n_shards"])
     try:
-        # DATA-level fold: re-digest every blob, not the sidecar —
-        # the audit attests storage, the sidecar is the promise
-        fp = payload_set_content_fp(
-            payload_store_manifest(spark.read.parquet(path), n, rc, pc)
-        )
+        # ONE data re-digest scan, against the per-(shard, wave)
+        # sidecar promise — NOT a bare store fold: a totals-only check
+        # would classify "grew by 4 blobs, lost 3" as benign growth
+        # (actual >= floor), silently masking storage loss in any
+        # generation that legally grew (r15 review pass 2).  The
+        # append-only sidecar pins every wave's digests, so verify
+        # detects loss/corruption even past the publish floor.
+        bad = [
+            int(r["shard"])
+            for r in verify_payload_store(spark, path).collect()
+            if not r["ok"]
+        ]
     except (ValueError, AnalysisException) as exc:
         out.update({
             "ok": False,
             "problem": f"content scan failed ({exc})",
         })
         return out
+    if bad:
+        out.update({
+            "ok": False,
+            "problem": (
+                f"shard(s) {sorted(bad)[:5]} fail verification "
+                f"against the sidecar (verify_payload_store) — "
+                f"content loss or corruption, growth notwithstanding"
+            ),
+        })
+        return out
+    # data == sidecar exactly (verify is a full-outer per-shard digest
+    # compare incl. stray shards), so the marker comparison can fold
+    # the SIDECAR — manifest-sized, no second data scan
+    fp = payload_set_content_fp(manifest)
     actual = {
         "format": contract["format"],
         "n_shards": n,
@@ -1586,17 +1609,36 @@ def promote_payload_compaction(
     instant: before the marker lands, :func:`current_payload_store`
     resolves the old generation (untouched — compaction never writes
     into its source); after, the new one.  A producer racing this
-    CANNOT append into the swap: the source is retired at the end
-    (``append_payload_store`` / ``payload_ingest_stream`` probe the
-    marker and refuse), and a wave landing mid-compaction flips the
-    preservation proof — refused, not silently dropped (the r14 gap:
-    manual compact-verify-drop had no such fence).  A crash
-    mid-promotion leaves either a data-only next-gen directory
-    (unpublished — invisible; the next promotion allocates a fresh
-    number) or a published successor with the source not yet retired
-    (re-run :func:`retire_generation` — idempotent)."""
+    cannot LOSE a wave into the swap (the r14 gap: manual
+    compact-verify-drop had no fence at all; r15 review pass 2: the
+    proof alone left the publish-to-retire window open).  Three
+    fences, in order:
+
+    * a wave landing during the compaction flips the preservation
+      proof (kept-subset fps disagree) — clean refusal, source stays
+      current, wave safe;
+    * a wave landing between the proof and the publish trips the
+      PRE-PUBLISH wave-set recheck (sidecar-sized) — same clean
+      refusal, the successor stays unpublished;
+    * a wave landing between the publish and the retirement is
+      RESCUED after the retire marker lands: the source's sidecar is
+      re-read, waves not in the pinned set are appended into the
+      successor from the retired source's own data
+      (content-addressed, idempotent), so the wave survives the
+      eventual drop.  An append still IN FLIGHT when retirement lands
+      fails loudly on its own replay (the retire probe) — never
+      silent.  For a zero-rescue guarantee, quiesce producers first.
+
+    A crash mid-promotion leaves either a data-only next-gen
+    directory (unpublished — invisible; the next promotion allocates
+    a fresh number) or a published successor with the source not yet
+    retired (re-run :func:`retire_generation` — idempotent, though
+    the rescue fence then does not run: re-promote instead when
+    producers were live)."""
     from streaming_parquet_spark.operators.multimodal import (
         _kept_payloads,
+        _payload_contract,
+        append_payload_store,
         compact_payload_store,
         payload_set_content_fp,
         payload_store_manifest,
@@ -1604,6 +1646,17 @@ def promote_payload_compaction(
 
     old_gen, old_path = current_generation(root, store)
     new_gen, new_path = next_generation(root, store)
+
+    def src_waves() -> set:
+        man, _c = _payload_contract(
+            spark, old_path, "promote_payload_compaction"
+        )
+        return {
+            (int(r["shard"]), r["wave"])
+            for r in man.select("shard", "wave").collect()
+        }
+
+    waves0 = src_waves()  # the wave set the proof is about to pin
     kept, contract = _kept_payloads(spark, old_path, windows, spans_col)
     rc, pc = contract["ref_col"], contract["payload_col"]
     n_dst = int(contract["n_shards"]) if n_shards is None else int(n_shards)
@@ -1635,6 +1688,35 @@ def promote_payload_compaction(
             f"wave landing mid-promotion causes this too — re-run "
             f"after quiescing producers."
         )
+    # pre-publish fence: a wave that landed AFTER the proof's pin
+    # would be invisible to the fps above — refuse cleanly while the
+    # successor is still unpublished (sidecar-sized recheck)
+    if src_waves() != waves0:
+        raise ValueError(
+            f"promote_payload_compaction: a producer wave landed in "
+            f"gen {old_gen} during the compaction — the successor at "
+            f"{new_path!r} stays unpublished and gen {old_gen} stays "
+            f"current; re-run (the next promotion will carry the "
+            f"wave), or quiesce producers first"
+        )
     publish_payload_generation(spark, root, new_gen, store=store)
     retire_generation(root, old_gen, store)
+    # post-retire fence: a wave that landed between the publish and
+    # the retirement passed its own retire probe legitimately but is
+    # absent from the successor — rescue it from the retired source's
+    # data (content-addressed append: idempotent, duplicates skip).
+    # After retirement no further wave can land (producers refuse),
+    # so this recheck is final.
+    stranded = src_waves() - waves0
+    if stranded:
+        from pyspark.sql import functions as F
+
+        rc, pc = contract["ref_col"], contract["payload_col"]
+        wave_ids = sorted({w for _s, w in stranded})
+        blobs = (
+            spark.read.parquet(old_path)
+            .where(F.col("wave").isin(wave_ids))
+            .select(F.col(rc), F.col(pc))
+        )
+        append_payload_store(blobs, new_path, marker_store=store)
     return new_gen, manifest

@@ -1034,6 +1034,45 @@ def _payload_wave_id(batch_man: list) -> str:
     return "w-" + hashlib.md5(key.encode()).hexdigest()[:12]
 
 
+def _payload_manifest_frame(
+    spark, rows: list, wave: str, n: int, rc: str, pc: str
+) -> DataFrame:
+    """One wave's ``_manifest`` sidecar rows from
+    :func:`payload_store_manifest`'s collected rows — the ONE
+    construction every sidecar writer shares (the bootstrap write,
+    both of append's legs, the torn-bootstrap repair), so the row
+    layout cannot drift between them (r15 review pass 2 — the same
+    drifted-copies hazard the r14 review fixed for the contract
+    checks)."""
+    return spark.createDataFrame(
+        [
+            (
+                int(r["shard"]), wave, int(r["n_payloads"]),
+                int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
+                int(r["fp_b"]), PAYLOAD_STORE_FORMAT, int(n), rc, pc,
+            )
+            for r in rows
+        ],
+        _PAYLOAD_MANIFEST_SCHEMA,
+    )
+
+
+def _payload_wave_frame(spark, rows: list, wave: str) -> DataFrame:
+    """The same rows in the contract-free :data:`_PAYLOAD_WAVE_SCHEMA`
+    shape append/ingest return to callers."""
+    return spark.createDataFrame(
+        [
+            (
+                int(r["shard"]), wave, int(r["n_payloads"]),
+                int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
+                int(r["fp_b"]),
+            )
+            for r in rows
+        ],
+        _PAYLOAD_WAVE_SCHEMA,
+    )
+
+
 def write_payload_store(
     df: DataFrame,
     path: str,
@@ -1103,17 +1142,8 @@ def write_payload_store(
         .partitionBy("shard")
         .parquet(path)
     )
-    manifest = spark.createDataFrame(
-        [
-            (
-                int(r["shard"]), wave, int(r["n_payloads"]),
-                int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
-                int(r["fp_b"]), PAYLOAD_STORE_FORMAT, n, ref_col,
-                payload_col,
-            )
-            for r in mrows
-        ],
-        _PAYLOAD_MANIFEST_SCHEMA,
+    manifest = _payload_manifest_frame(
+        spark, mrows, wave, n, ref_col, payload_col
     )
     manifest.write.mode(mode).parquet(_os.path.join(path, "_manifest"))
     return manifest
@@ -1690,31 +1720,12 @@ def append_payload_store(
                 )
         missing = [got[sh] for sh in sorted(set(got) - set(acked))]
         if missing:
-            spark.createDataFrame(
-                [
-                    (
-                        int(r["shard"]), wave, int(r["n_payloads"]),
-                        int(r["n_refs"]), int(r["n_bytes"]),
-                        int(r["fp_a"]), int(r["fp_b"]),
-                        PAYLOAD_STORE_FORMAT, n, rc, pc,
-                    )
-                    for r in missing
-                ],
-                _PAYLOAD_MANIFEST_SCHEMA,
+            _payload_manifest_frame(
+                spark, missing, wave, n, rc, pc
             ).write.mode("append").parquet(
                 _os.path.join(path, "_manifest")
             )
-        return spark.createDataFrame(
-            [
-                (
-                    int(r["shard"]), wave, int(r["n_payloads"]),
-                    int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
-                    int(r["fp_b"]),
-                )
-                for r in missing
-            ],
-            _PAYLOAD_WAVE_SCHEMA,
-        )
+        return _payload_wave_frame(spark, missing, wave)
 
     # overlap-by-content: existing refs with IDENTICAL payloads skip,
     # different payloads refuse.  One pruned join; blobs never collect.
@@ -1767,28 +1778,10 @@ def append_payload_store(
     # carry the same wave id and fold in here, exactly once
     wave_rows = _wave_rows_from_data()
     if wave_rows:
-        spark.createDataFrame(
-            [
-                (
-                    int(r["shard"]), wave, int(r["n_payloads"]),
-                    int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
-                    int(r["fp_b"]), PAYLOAD_STORE_FORMAT, n, rc, pc,
-                )
-                for r in wave_rows
-            ],
-            _PAYLOAD_MANIFEST_SCHEMA,
+        _payload_manifest_frame(
+            spark, wave_rows, wave, n, rc, pc
         ).write.mode("append").parquet(_os.path.join(path, "_manifest"))
-    return spark.createDataFrame(
-        [
-            (
-                int(r["shard"]), wave, int(r["n_payloads"]),
-                int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
-                int(r["fp_b"]),
-            )
-            for r in wave_rows
-        ],
-        _PAYLOAD_WAVE_SCHEMA,
-    )
+    return _payload_wave_frame(spark, wave_rows, wave)
 
 
 def _used_payload_refs(windows: DataFrame, spans_col: str) -> DataFrame:
@@ -1958,17 +1951,7 @@ def _repair_torn_payload_bootstrap(
         for k, v in want.items()
     }:
         raise ValueError(torn_msg)
-    manifest = spark.createDataFrame(
-        [
-            (
-                int(r["shard"]), wave, int(r["n_payloads"]),
-                int(r["n_refs"]), int(r["n_bytes"]), int(r["fp_a"]),
-                int(r["fp_b"]), PAYLOAD_STORE_FORMAT, n, rc, pc,
-            )
-            for r in mrows
-        ],
-        _PAYLOAD_MANIFEST_SCHEMA,
-    )
+    manifest = _payload_manifest_frame(spark, mrows, wave, n, rc, pc)
     # mode="error": the sidecar is what was MISSING — if it appeared
     # concurrently, this is not the torn state and must refuse
     manifest.write.mode("error").parquet(_os.path.join(path, "_manifest"))
@@ -2016,12 +1999,15 @@ def payload_ingest_stream(
     properties the append already pins, inherited rather than
     re-implemented.  Source rows carry ``payload_col`` (binary);
     refs mint as md5 of the bytes unless ``ref_col`` names a column
-    of caller-supplied content-addressed keys.  The first NON-EMPTY
-    trigger probes the store once and bootstraps it when absent
-    (``n_shards`` required then; a disagreeing ``n_shards`` against a
-    pinned contract refuses) — one probe per run, not one per trigger:
-    the contract is immutable once pinned, and the append re-reads it
-    internally anyway.  Cross- and within-batch duplicate payloads
+    of caller-supplied content-addressed keys.  The store is probed
+    ONCE, at call time — bootstrap misconfiguration (``n_shards``
+    missing for an absent store, or disagreeing with a pinned
+    contract) refuses before the stream starts, never as a silent
+    no-op or an async query death; the first non-empty trigger then
+    bootstraps when absent (repairing a bootstrap that crashed
+    between its data and sidecar legs), and from then on the append's
+    own contract read is the only manifest access per trigger.
+    Cross- and within-batch duplicate payloads
     collapse to one blob.  A store the catalog RETIRED refuses at run
     start (the producer is misconfigured — its successor already
     replaced it).
@@ -2043,6 +2029,7 @@ def payload_ingest_stream(
 
     from streaming_parquet_spark.operators.pipeline import (
         ManifestAbsent,
+        _refuse_continuous_cold_start,
         _refuse_retired,
     )
 
@@ -2067,25 +2054,38 @@ def payload_ingest_stream(
             or "PATH_NOT_FOUND" in marker
         ):
             raise
-        if trigger_interval is not None:
-            # a service-shaped run against a not-yet-delivered source
-            # would return query=None and NEVER ingest anything — the
-            # silent-no-op the continuous contract must not allow
-            raise ValueError(
-                f"payload_ingest_stream: continuous mode "
-                f"(trigger_interval=) needs an inferable source "
-                f"schema, but {source_dir!r} is empty or absent — "
-                f"deliver the first files (or start availableNow, "
-                f"which treats this as a clean cold start) and launch "
-                f"the service then"
-            )
+        _refuse_continuous_cold_start(
+            trigger_interval, source_dir, "payload_ingest_stream"
+        )
         return result  # cold start: nothing delivered yet
 
-    # once-per-run probe state (r14 advisory: the old pre-stream probe
-    # duplicated the first trigger's) — flips True after the store is
-    # seen or bootstrapped; from then on append's own contract read is
-    # the only manifest access per trigger
-    probe_state = {"have_store": False}
+    # ONE store probe per run, at CALL time (r14 advisory killed the
+    # duplicate per-trigger probe; r15 review pass 2 killed the other
+    # extreme — deferring it into the first trigger turned bootstrap
+    # misconfiguration into a silent no-op on a drained checkpoint, or
+    # an async query death in continuous mode).  The result seeds
+    # probe_state; after the bootstrap write flips it, append's own
+    # contract read is the only manifest access per trigger.
+    try:
+        contract0 = _payload_contract(
+            spark, store_path, "payload_ingest_stream"
+        )[1]
+    except ManifestAbsent:
+        contract0 = None
+    if contract0 is None and n_shards is None:
+        raise ValueError(
+            "payload_ingest_stream: the store does not exist yet — "
+            "pass n_shards to bootstrap it"
+        )
+    if contract0 is not None and n_shards is not None and int(
+        n_shards
+    ) != int(contract0["n_shards"]):
+        raise ValueError(
+            f"payload_ingest_stream: n_shards={n_shards} disagrees "
+            f"with the store's pinned {contract0['n_shards']} — the "
+            f"contract is authoritative"
+        )
+    probe_state = {"have_store": contract0 is not None}
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
@@ -2103,28 +2103,6 @@ def payload_ingest_stream(
                 F.col(rc).cast("string").alias(rc), F.col(payload_col)
             ).dropDuplicates([rc])
             bspark = batch.sparkSession
-            contract = None
-            if not probe_state["have_store"]:
-                try:
-                    contract = _payload_contract(
-                        bspark, store_path, "payload_ingest_stream"
-                    )[1]
-                    probe_state["have_store"] = True
-                except ManifestAbsent:
-                    contract = None
-                if contract is not None and n_shards is not None \
-                        and int(n_shards) != int(contract["n_shards"]):
-                    raise ValueError(
-                        f"payload_ingest_stream: n_shards={n_shards} "
-                        f"disagrees with the store's pinned "
-                        f"{contract['n_shards']} — the contract is "
-                        f"authoritative"
-                    )
-                if contract is None and n_shards is None:
-                    raise ValueError(
-                        "payload_ingest_stream: the store does not "
-                        "exist yet — pass n_shards to bootstrap it"
-                    )
             if not probe_state["have_store"]:
                 try:
                     man = write_payload_store(

@@ -2781,6 +2781,59 @@ def _mint_reader_state(identity: dict, cursor) -> dict:
     return state
 
 
+def _refuse_continuous_cold_start(
+    trigger_interval, source_dir: str, caller: str
+) -> None:
+    """Shared refusal for the three ingest loops' continuous mode
+    (``trigger_interval=``) against an empty/absent source: a file
+    stream needs an inferable schema to START, so a service launched
+    before the first delivery would return ``query=None`` and never
+    ingest anything — a silent permanent no-op.  availableNow keeps
+    its clean cold-start return (zero batches IS the right answer for
+    drain-and-stop).  One definition so the rule cannot drift between
+    the loops (r15 review pass 2); call it from the cold-start branch
+    of the schema probe."""
+    if trigger_interval is not None:
+        raise ValueError(
+            f"{caller}: continuous mode (trigger_interval=) needs an "
+            f"inferable source schema, but {source_dir!r} is empty or "
+            f"absent — deliver the first files (or start availableNow, "
+            f"which treats this as a clean cold start) and launch the "
+            f"service then"
+        )
+
+
+def _check_payload_pin(payload_store, state, with_state,
+                       caller: str) -> None:
+    """Shared guard: ``payload_store=`` is a resume-identity pin and
+    does nothing on a plain read — refuse instead of silently
+    ignoring it (the caller believes the store is guarded).  One
+    definition for all three readers (r15 review pass 2)."""
+    if payload_store is not None and state is None and not with_state:
+        raise ValueError(
+            f"{caller}: payload_store= pins the RESUME identity — it "
+            f"only does anything with with_state=True (mint) or "
+            f"state= (resume); a plain read would silently ignore "
+            f"the pin"
+        )
+
+
+def _with_payload_pin(spark, identity: dict, payload_store) -> dict:
+    """Fold the pixel-plane pin into a reader identity (in place):
+    the store's contract identity under the ``payload_store`` key —
+    the ONE mint every reader shares, so the pin's layout cannot
+    drift between them."""
+    if payload_store is not None:
+        from streaming_parquet_spark.operators.multimodal import (
+            payload_store_identity,
+        )
+
+        identity["payload_store"] = payload_store_identity(
+            spark, payload_store
+        )
+    return identity
+
+
 def advance_reader_state(state: dict, cursor) -> dict:
     """A COPY of ``state`` with its cursor moved — the checkpoint a
     trainer writes after consuming up to ``cursor``. Refuses a bundle
@@ -2945,13 +2998,8 @@ def read_rank_shards(
             "read_rank_shards: pass cursor= or state=, not both — "
             "the state bundle carries its own cursor"
         )
-    if payload_store is not None and state is None and not with_state:
-        raise ValueError(
-            "read_rank_shards: payload_store= pins the RESUME "
-            "identity — it only does anything with with_state=True "
-            "(mint) or state= (resume); a plain read would silently "
-            "ignore the pin"
-        )
+    _check_payload_pin(payload_store, state, with_state,
+                       "read_rank_shards")
     if int(cursor) < 0:
         raise ValueError(
             f"read_rank_shards: cursor must be >= 0 (got {cursor})"
@@ -3003,14 +3051,7 @@ def read_rank_shards(
                 [str(k), int(v)] for k, v in consumed.items()
             ),
         }
-        if payload_store is not None:
-            from streaming_parquet_spark.operators.multimodal import (
-                payload_store_identity,
-            )
-
-            identity["payload_store"] = payload_store_identity(
-                spark, payload_store
-            )
+        _with_payload_pin(spark, identity, payload_store)
         if state is not None:
             cursor = _validate_reader_state(
                 state, identity, "read_rank_shards"
@@ -3729,13 +3770,8 @@ def read_mixture_shards(
             "read_mixture_shards: pass cursor= or state=, not both — "
             "the state bundle carries its own cursor"
         )
-    if payload_store is not None and state is None and not with_state:
-        raise ValueError(
-            "read_mixture_shards: payload_store= pins the RESUME "
-            "identity — it only does anything with with_state=True "
-            "(mint) or state= (resume); a plain read would silently "
-            "ignore the pin"
-        )
+    _check_payload_pin(payload_store, state, with_state,
+                       "read_mixture_shards")
     if sorted(weights) != names:
         raise ValueError(
             f"read_mixture_shards: sets and weights must carry the "
@@ -3893,17 +3929,10 @@ def read_mixture_shards(
                 for k, v in d.items()
             ),
         }
-        if payload_store is not None:
-            # the pixel-plane pin (read_rank_shards' docstring): spans
-            # carrying refs resume only against the exact store
-            # contract they were minted over
-            from streaming_parquet_spark.operators.multimodal import (
-                payload_store_identity,
-            )
-
-            identity["payload_store"] = payload_store_identity(
-                spark, payload_store
-            )
+        # the pixel-plane pin (read_rank_shards' docstring): spans
+        # carrying refs resume only against the exact store contract
+        # they were minted over
+        _with_payload_pin(spark, identity, payload_store)
         if state is not None:
             cursor = _validate_reader_state(
                 state, identity, "read_mixture_shards"
@@ -4023,13 +4052,8 @@ def read_mixture_rank(
             "read_mixture_rank: pass cursor= or state=, not both — "
             "the state bundle carries its own cursor"
         )
-    if payload_store is not None and state is None and not with_state:
-        raise ValueError(
-            "read_mixture_rank: payload_store= pins the RESUME "
-            "identity — it only does anything with with_state=True "
-            "(mint) or state= (resume); a plain read would silently "
-            "ignore the pin"
-        )
+    _check_payload_pin(payload_store, state, with_state,
+                       "read_mixture_rank")
     # the rank's key lists ride the snapshots parameter: the mixture
     # read re-validates them (subset check), positions them 0..n-1
     # rank-locally, and applies weights/epoch unchanged; the cursor is

@@ -267,16 +267,13 @@ def _run_ingest(
             "UNABLE_TO_INFER_SCHEMA" in marker or "PATH_NOT_FOUND" in marker
         ):
             raise
-        if trigger_interval is not None:
-            # continuous mode must not silently become a permanent
-            # no-op (query=None, nothing ever ingested) — refuse by
-            # name; availableNow keeps the clean cold-start return
-            raise ValueError(
-                f"{table}: continuous mode (trigger_interval=) needs "
-                f"an inferable source schema, but {source_dir!r} is "
-                f"empty or absent — deliver the first files (or start "
-                f"availableNow) and launch the service then"
-            )
+        from streaming_parquet_spark.operators.pipeline import (
+            _refuse_continuous_cold_start,
+        )
+
+        _refuse_continuous_cold_start(
+            trigger_interval, source_dir, f"ingest loop for {table!r}"
+        )
         return IngestResult()
     result = IngestResult()
 

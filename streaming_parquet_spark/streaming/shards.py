@@ -309,17 +309,13 @@ def shard_ingest_stream(
             "UNABLE_TO_INFER_SCHEMA" in marker or "PATH_NOT_FOUND" in marker
         ):
             raise
-        if trigger_interval is not None:
-            # continuous mode must not silently become a permanent
-            # no-op (query=None, nothing ever ingested) — refuse by
-            # name; availableNow keeps the clean cold-start return
-            raise ValueError(
-                f"shard_ingest_stream: continuous mode "
-                f"(trigger_interval=) needs an inferable source "
-                f"schema, but {source_dir!r} is empty or absent — "
-                f"deliver the first files (or start availableNow) and "
-                f"launch the service then"
-            )
+        from streaming_parquet_spark.operators.pipeline import (
+            _refuse_continuous_cold_start,
+        )
+
+        _refuse_continuous_cold_start(
+            trigger_interval, source_dir, "shard_ingest_stream"
+        )
         return ShardIngestResult()
     if part_col in (_SHARD, _WIN, _IDS, _NTOK, _STARTS):
         raise ValueError(
@@ -529,13 +525,17 @@ def shard_ingest_stream(
                     .partitionBy(_SHARD)
                     .parquet(shards_path)
                 )
-            else:
-                result.batches_repaired.append(batch_id)
+            repaired = not need_data
             # sidecar AFTER the data — the crash between the two is
             # the repair path above
             manifest.write.mode("append").parquet(
                 os.path.join(shards_path, "_manifest")
             )
+            if repaired:
+                # tallied after the sidecar lands, like every other
+                # counter: a continuous-mode poller must not see the
+                # repair acknowledged while the store is still torn
+                result.batches_repaired.append(batch_id)
             result.shards_written.extend(keys)
             result.windows_written += sum(
                 n for (n, _t, _a, _b2) in wave.values()

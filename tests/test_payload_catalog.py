@@ -441,7 +441,10 @@ def test_payload_audit_classification(spark, tmp_path):
     assert row["recorded_totals"]["n_payloads"] == 12
     assert row["actual_totals"]["n_payloads"] == 16
 
-    # real content loss: delete one blob file -> ok=False
+    # real content loss IN A GROWN STORE: delete one blob file ->
+    # ok=False (the verify-based scan catches loss even past the
+    # publish floor — a totals-only check would call this benign
+    # growth whenever fewer blobs were lost than appended)
     victim = None
     for dirpath, _dirs, files in os.walk(p1):
         if "_manifest" in dirpath:
@@ -455,7 +458,8 @@ def test_payload_audit_classification(spark, tmp_path):
     os.unlink(victim)
     spark.catalog.refreshByPath(p1)
     row = audit_generation(spark, root, gen1)
-    assert row["ok"] is False and "mismatches" in row
+    assert row["ok"] is False
+    assert "fail verification" in row["problem"]
 
     # promote a clean successor from a fresh store, then drop: the
     # reclaimed retired generation reports ok=None dropped=True
@@ -625,3 +629,97 @@ def test_continuous_mode_refuses_empty_source(spark, tmp_path):
         spark, src, store, str(tmp_path / "ck"), n_shards=2
     )
     assert r.batches == [] and r.query is None
+
+
+def test_promote_racing_producer_wave(spark, tmp_path, monkeypatch):
+    """The promote swap's producer fences (r15 review pass 2): a wave
+    landing during the compaction refuses BEFORE publish (successor
+    stays unpublished, source stays current, wave safe); a wave
+    landing between the publish and the retirement is RESCUED into
+    the successor from the retired source — never silently destroyed
+    at drop."""
+    import streaming_parquet_spark.operators.catalog as C
+    import streaming_parquet_spark.operators.multimodal as M
+    from streaming_parquet_spark.operators.multimodal import (
+        read_payload_store,
+    )
+
+    root = str(tmp_path / "prace")
+    gen1, p1 = next_generation(root)
+    blobs = _blobs(spark, 0, 12)
+    write_payload_store(blobs, p1, n_shards=2)
+    publish_payload_generation(spark, root, gen1)
+    windows, _kept = _windows_over(spark, blobs, keep_every=2)
+
+    # (a) wave lands mid-compaction -> pre-publish fence refuses
+    real_compact = M.compact_payload_store
+
+    def racing_compact(spark_, src, dst, win, spans_col="spans",
+                       n_shards=None):
+        man = real_compact(spark_, src, dst, win, spans_col,
+                           n_shards=n_shards)
+        append_payload_store(_blobs(spark, 300, 3), src)
+        return man
+
+    monkeypatch.setattr(M, "compact_payload_store", racing_compact)
+    with pytest.raises(ValueError, match="wave landed"):
+        promote_payload_compaction(spark, root, windows)
+    monkeypatch.undo()
+    assert current_payload_store(spark, root)[0] == gen1  # unswapped
+    # the racing wave is safe in the still-current source
+    assert read_payload_store(spark, p1)[0].count() == 15
+
+    # (b) wave lands between publish and retire -> rescued into the
+    # successor (windows reference 6 of the original 12; the rescue
+    # adds the late wave's 2 blobs on top)
+    real_retire = C.retire_generation
+    late = _blobs(spark, 400, 2)
+    late_refs = {r["ref"] for r in late.select("ref").collect()}
+
+    def racing_retire(root_, gen_, store_=None):
+        append_payload_store(late, generation_path(root_, gen_))
+        return real_retire(root_, gen_, store_)
+
+    monkeypatch.setattr(C, "retire_generation", racing_retire)
+    new_gen, _man = promote_payload_compaction(spark, root, windows)
+    monkeypatch.undo()
+    _g, p_new, _c = current_payload_store(spark, root)
+    store_df = read_payload_store(spark, p_new)[0]
+    got_refs = {r["ref"] for r in store_df.select("ref").collect()}
+    assert late_refs <= got_refs  # rescued
+    assert store_df.count() == 6 + 2
+    assert verify_payload_store(spark, p_new).where("NOT ok").count() == 0
+    # the rescue grew the successor past its marker floor — the audit
+    # classifies that as legal growth, not tamper
+    from streaming_parquet_spark.operators.catalog import (
+        audit_generation,
+    )
+
+    row = audit_generation(spark, root, new_gen)
+    assert row["ok"] is None and row["grown"] is True
+
+
+def test_payload_ingest_bootstrap_refusals_at_call_time(spark,
+                                                        tmp_path):
+    """Bootstrap misconfiguration refuses when the function is CALLED
+    (r15 review pass 2) — deferring it into the first trigger made it
+    a silent no-op on a drained checkpoint and an async query death
+    in continuous mode."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, b"x" * 8)], "i long, payload binary"
+    ).coalesce(1).write.parquet(src)
+
+    # absent store + no n_shards: loud at call time, even though the
+    # checkpoint (fresh here) would have produced a trigger
+    with pytest.raises(ValueError, match="pass n_shards"):
+        payload_ingest_stream(spark, src, store, ckpt)
+
+    r = payload_ingest_stream(spark, src, store, ckpt, n_shards=2)
+    assert r.blobs_landed == 1
+    # drained checkpoint + disagreeing n_shards: still loud at call
+    # time (no trigger will fire)
+    with pytest.raises(ValueError, match="authoritative"):
+        payload_ingest_stream(spark, src, store, ckpt, n_shards=7)
