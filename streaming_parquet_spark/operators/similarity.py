@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
@@ -65,20 +66,32 @@ def _materialize(df: DataFrame, spread: bool = True) -> DataFrame:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     df = df.persist()
     df.count()
-    _PERSISTED.append(df)
-    # A long-lived session (the driver's ~80-query sweep) calls the
-    # dedup/similarity operators repeatedly; keep only the most recent
-    # handful of staged relations cached and release the rest.  The
-    # consuming action for a prior operator has run by the time the next
-    # one stages (the gate is sequential), so non-blocking unpersist of
-    # old entries is safe — worst case a still-running plan recomputes.
-    while len(_PERSISTED) > _PERSIST_KEEP:
-        _PERSISTED.pop(0).unpersist(blocking=False)
+    # Registry mutations are lock-guarded: gate branches may stage
+    # concurrently from driver threads (concurrency.parallel_branches),
+    # and an unguarded append+trim pair could pop a relation another
+    # thread just staged before its consumer ran.
+    with _PERSISTED_LOCK:
+        _PERSISTED.append(df)
+        # A long-lived session (the driver's ~80-query sweep) calls the
+        # dedup/similarity operators repeatedly; keep only the most
+        # recent handful of staged relations cached and release the
+        # rest.  The consuming action for a prior operator has run by
+        # the time the next one stages (gates run one at a time), so
+        # non-blocking unpersist of old entries is safe — worst case a
+        # still-running plan recomputes.
+        while len(_PERSISTED) > _PERSIST_KEEP:
+            _PERSISTED.pop(0).unpersist(blocking=False)
     return df
 
 
+# _PERSIST_KEEP sizes to the widest gate's concurrent staging set
+# (dedup_lsh_recall stages 6 relations across its two pipelines): with
+# branch-parallel builds every one of them can be live at once, so the
+# trim floor must exceed that or a gate would evict its own staging
+# mid-build.
 _PERSISTED: list[DataFrame] = []
-_PERSIST_KEEP = 6
+_PERSIST_KEEP = 8
+_PERSISTED_LOCK = threading.Lock()
 
 
 _SPREAD_MARK: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
@@ -201,8 +214,9 @@ def cap_blocks(
 def release_materialized() -> None:
     """Unpersist every relation staged by ``_materialize`` — call when a
     batch of similarity/dedup work is done and the session lives on."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist(blocking=False)
+    with _PERSISTED_LOCK:
+        while _PERSISTED:
+            _PERSISTED.pop().unpersist(blocking=False)
 
 
 def cosine_topk(

@@ -10,6 +10,7 @@ ORACLES.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession, DataFrame, functions as F
 
@@ -401,6 +402,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical fixpoint, identical rows — the oracle states that by
     emitting the recursive-CTE components once under each tag; a
     divergence between the two algorithms flips the value hash."""
+    from streaming_parquet_spark.concurrency import parallel_branches
     from streaming_parquet_spark.operators.cluster import dedup_clusters
     from streaming_parquet_spark.operators.similarity import _materialize
 
@@ -408,9 +410,17 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=8,
         jaccard_threshold=0.5,
     ), spread=False)
-    a = dedup_clusters(pairs).withColumn("algo", F.lit("minlabel"))
-    b = dedup_clusters(pairs, algorithm="star").withColumn(
-        "algo", F.lit("star")
+    # Both algorithms iterate eager localCheckpoint rounds over the
+    # SAME materialized pair list; run the two loops on driver threads
+    # so their per-round jobs overlap instead of paying each fixed job
+    # latency twice in sequence (guide §2.6).
+    a, b = parallel_branches(
+        lambda: dedup_clusters(pairs).withColumn(
+            "algo", F.lit("minlabel")
+        ),
+        lambda: dedup_clusters(pairs, algorithm="star").withColumn(
+            "algo", F.lit("star")
+        ),
     )
     return a.unionByName(b)
 
@@ -1237,6 +1247,15 @@ def _ensure_streamed_shards(
         shard_ingest_stream,
     )
 
+    with _ARTIFACT_LOCK:
+        return _ensure_streamed_shards_locked(
+            spark, sf_dir, _shutil, _stream_workdir, shard_ingest_stream
+        )
+
+
+def _ensure_streamed_shards_locked(
+    spark, sf_dir, _shutil, _stream_workdir, shard_ingest_stream
+):
     work = _stream_workdir("maw_shardq_", sf_dir)
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir, exist_ok=True)
@@ -1283,6 +1302,13 @@ def _ensure_streamed_shards(
 #: workdirs whose shard stream already ran in THIS process (see
 #: _ensure_streamed_shards; keyed by the pid-scoped workdir path)
 _STREAMED_SETS: set = set()
+
+#: serializes the shared-artifact staging (_ensure_streamed_shards /
+#: _ensure_compacted): gate branches now build on driver threads
+#: (concurrency.parallel_branches), and the stage-once re-entry checks
+#: (set membership, _SUCCESS probe, hardlink) are check-then-act.
+#: RLock because _ensure_compacted nests _ensure_streamed_shards.
+_ARTIFACT_LOCK = threading.RLock()
 
 
 def _render_windows_csv(packed: DataFrame) -> DataFrame:
@@ -1338,12 +1364,15 @@ def _ensure_compacted(
         compact_token_shards,
     )
 
-    shards_path, vocab, work = _ensure_streamed_shards(spark, sf_dir)
-    dst = os.path.join(work, "compacted")
-    if not os.path.exists(os.path.join(dst, "_manifest", "_SUCCESS")):
-        _shutil.rmtree(dst, ignore_errors=True)
-        compact_token_shards(spark, shards_path, dst, n_shards=3)
-    return shards_path, dst, vocab, work
+    with _ARTIFACT_LOCK:
+        shards_path, vocab, work = _ensure_streamed_shards(spark, sf_dir)
+        dst = os.path.join(work, "compacted")
+        if not os.path.exists(
+            os.path.join(dst, "_manifest", "_SUCCESS")
+        ):
+            _shutil.rmtree(dst, ignore_errors=True)
+            compact_token_shards(spark, shards_path, dst, n_shards=3)
+        return shards_path, dst, vocab, work
 
 
 def _compact_shards_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,13 +1867,25 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     reorder, certified as a pure function of (source, win, epoch)
     through DuckDB's independent md5-prefix replay at zero extra scan
     cost); the csv payloads are the window/pref/mix branches'."""
+    from streaming_parquet_spark.concurrency import parallel_branches
+
     snull = F.lit(None).cast("string")
-    bins = _pack_bins_branch(spark, sf_dir).select(
-        F.lit("bins").alias("kind"), F.col("lang").alias("key"),
-        F.col("bin").alias("seq"), F.col("n_docs").alias("n"),
-        F.col("bin_tokens").alias("m"), snull.alias("ids_csv"),
-        snull.alias("labels_csv"), snull.alias("doc_starts_csv"),
-    )
+
+    # Sequence the SHARED on-disk artifacts first (streamed shard set,
+    # then its compaction — both once per process, the second derived
+    # from the first), so every branch builder below is independent
+    # and can run on a driver thread: the stream/compact/mix readers
+    # then only pay their manifest collects, and those overlap the
+    # other branches' staging jobs (guide §2.6).
+    _ensure_compacted(spark, sf_dir)
+
+    def _bins() -> DataFrame:
+        return _pack_bins_branch(spark, sf_dir).select(
+            F.lit("bins").alias("kind"), F.col("lang").alias("key"),
+            F.col("bin").alias("seq"), F.col("n_docs").alias("n"),
+            F.col("bin_tokens").alias("m"), snull.alias("ids_csv"),
+            snull.alias("labels_csv"), snull.alias("doc_starts_csv"),
+        )
 
     def winshape(df: DataFrame, kind: str) -> DataFrame:
         return df.select(
@@ -1863,40 +1904,55 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_epoch_order,
     )
 
-    wins = with_epoch_order(
-        _pack_windows_branch(spark, sf_dir), epoch=2,
-        shard_col="source", win_col="win", granularity="window",
-    ).select(
-        F.lit("windows").alias("kind"), F.col("source").alias("key"),
-        F.col("win").alias("seq"), F.col("n_tokens").alias("n"),
-        F.col("epoch_key").alias("m"),
-        "ids_csv", "labels_csv", "doc_starts_csv",
-    )
-    streamed = winshape(
-        _stream_shards_branch(spark, sf_dir), "stream_shards"
-    )
-    compacted = winshape(
-        _compact_shards_branch(spark, sf_dir), "compact"
-    )
-    chat = _chat_labels_branch(spark, sf_dir).select(
-        F.lit("chat").alias("kind"), F.col("source").alias("key"),
-        F.col("cid").alias("seq"), F.col("n_tokens").alias("n"),
-        F.lit(None).cast("bigint").alias("m"),
-        "ids_csv", "labels_csv",
-        F.col("spans_csv").alias("doc_starts_csv"),
-    )
-    pref = _pref_pairs_branch(spark, sf_dir).select(
-        F.lit("pref").alias("kind"), F.col("side").alias("key"),
-        F.col("pair_id").alias("seq"), F.col("n_tokens").alias("n"),
-        F.col("prompt_len").alias("m"),
-        "ids_csv", "labels_csv",
-        F.lit(None).cast("string").alias("doc_starts_csv"),
-    )
-    mix = _mix_shards_branch(spark, sf_dir).select(
-        F.lit("mix").alias("kind"), F.col("mix_source").alias("key"),
-        F.col("mix_key").alias("seq"), F.col("n_tokens").alias("n"),
-        F.lit(None).cast("bigint").alias("m"),
-        "ids_csv", "labels_csv", "doc_starts_csv",
+    def _wins() -> DataFrame:
+        return with_epoch_order(
+            _pack_windows_branch(spark, sf_dir), epoch=2,
+            shard_col="source", win_col="win", granularity="window",
+        ).select(
+            F.lit("windows").alias("kind"), F.col("source").alias("key"),
+            F.col("win").alias("seq"), F.col("n_tokens").alias("n"),
+            F.col("epoch_key").alias("m"),
+            "ids_csv", "labels_csv", "doc_starts_csv",
+        )
+
+    def _streamed() -> DataFrame:
+        return winshape(
+            _stream_shards_branch(spark, sf_dir), "stream_shards"
+        )
+
+    def _compacted() -> DataFrame:
+        return winshape(
+            _compact_shards_branch(spark, sf_dir), "compact"
+        )
+
+    def _chat() -> DataFrame:
+        return _chat_labels_branch(spark, sf_dir).select(
+            F.lit("chat").alias("kind"), F.col("source").alias("key"),
+            F.col("cid").alias("seq"), F.col("n_tokens").alias("n"),
+            F.lit(None).cast("bigint").alias("m"),
+            "ids_csv", "labels_csv",
+            F.col("spans_csv").alias("doc_starts_csv"),
+        )
+
+    def _pref() -> DataFrame:
+        return _pref_pairs_branch(spark, sf_dir).select(
+            F.lit("pref").alias("kind"), F.col("side").alias("key"),
+            F.col("pair_id").alias("seq"), F.col("n_tokens").alias("n"),
+            F.col("prompt_len").alias("m"),
+            "ids_csv", "labels_csv",
+            F.lit(None).cast("string").alias("doc_starts_csv"),
+        )
+
+    def _mix() -> DataFrame:
+        return _mix_shards_branch(spark, sf_dir).select(
+            F.lit("mix").alias("kind"), F.col("mix_source").alias("key"),
+            F.col("mix_key").alias("seq"), F.col("n_tokens").alias("n"),
+            F.lit(None).cast("bigint").alias("m"),
+            "ids_csv", "labels_csv", "doc_starts_csv",
+        )
+
+    bins, wins, streamed, compacted, chat, pref, mix = parallel_branches(
+        _bins, _wins, _streamed, _compacted, _chat, _pref, _mix
     )
     return (
         bins.unionByName(wins)
@@ -3384,12 +3440,21 @@ def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_sq8_topk,
     )
 
+    from streaming_parquet_spark.concurrency import parallel_branches
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    sq8 = ivf_sq8_topk(
-        emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
-    ).withColumn("method", F.lit("sq8"))
-    pq = ivf_pq_topk(emb, q, k=10).withColumn("method", F.lit("pq"))
+    # the pq tier stages its coarse assignment (persist+count) while
+    # building; overlap the two tier builds on driver threads
+    # (guide §2.6)
+    sq8, pq = parallel_branches(
+        lambda: ivf_sq8_topk(
+            emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
+        ).withColumn("method", F.lit("sq8")),
+        lambda: ivf_pq_topk(emb, q, k=10).withColumn(
+            "method", F.lit("pq")
+        ),
+    )
     return sq8.unionByName(pq)
 
 
@@ -5081,22 +5146,39 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_sq8_topk,
     )
 
+    from streaming_parquet_spark.concurrency import parallel_branches
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     # one exact brute-force baseline, persisted, reused by both tiers
     # (the IVF assignment is deliberately NOT shared: see the A/B note
-    # in embed_ann_ivf_quantized)
-    exact = _materialize(
-        cosine_topk(emb, q, k=10, dims=64).select("query_id", "neighbor_id"),
-        spread=False,
+    # in embed_ann_ivf_quantized); the baseline's staging job and the
+    # pq tier's assignment staging are independent — build the three
+    # pipelines on driver threads so those jobs overlap (guide §2.6)
+    exact, sq8_approx, pq_approx = parallel_branches(
+        lambda: _materialize(
+            cosine_topk(emb, q, k=10, dims=64).select(
+                "query_id", "neighbor_id"
+            ),
+            spread=False,
+        ),
+        lambda: ivf_sq8_topk(
+            emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
+        ),
+        lambda: ivf_pq_topk(
+            emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
+        ),
     )
 
     def recall(approx: DataFrame, tag: str) -> DataFrame:
         a = approx.select("query_id", "neighbor_id").withColumn(
             "hit", F.lit(1)
         )
+        # the approx side is |queries| * k rows (50 here) — broadcast
+        # it so the recall join skips the sort-merge exchange+sorts
+        # the planner picks without stats on the windowed subtree
         return (
-            exact.join(a, ["query_id", "neighbor_id"], "left")
+            exact.join(F.broadcast(a), ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
             .agg(
                 F.count("hit").alias(f"n_hits_{tag}"),
@@ -5106,17 +5188,10 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    sq8 = recall(
-        ivf_sq8_topk(emb, q, k=10, n_centroids=8, n_probe=2, rerank=4,
-                     dims=64),
-        "sq8",
-    )
-    pq = recall(
-        ivf_pq_topk(emb, q, k=10, n_centroids=8, n_probe=2, rerank=4,
-                    dims=64),
-        "pq",
-    )
-    return sq8.join(pq, "query_id")
+    sq8 = recall(sq8_approx, "sq8")
+    pq = recall(pq_approx, "pq")
+    # 5 rows per side: broadcast the final tier join too
+    return sq8.join(F.broadcast(pq), "query_id")
 
 
 # ---------------------------------------------------------------------------
@@ -5287,12 +5362,19 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(
         F.expr(hash_bucket_expr("spark", "doc_id", 100, 3)) < 25
     )
-    truth = prefix_jaccard_pairs(
-        docs, threshold_num=1, threshold_den=2
-    ).select("id_a", "id_b")
-    lsh = minhash_lsh_pairs(
-        docs, num_hashes=16, bands=8, jaccard_threshold=0.5
-    ).select("id_a", "id_b")
+    # The exact-truth and LSH pipelines are independent and each stage
+    # 2 persist+count relations while building — overlap them on driver
+    # threads (guide §2.6).
+    from streaming_parquet_spark.concurrency import parallel_branches
+
+    truth, lsh = parallel_branches(
+        lambda: prefix_jaccard_pairs(
+            docs, threshold_num=1, threshold_den=2
+        ).select("id_a", "id_b"),
+        lambda: minhash_lsh_pairs(
+            docs, num_hashes=16, bands=8, jaccard_threshold=0.5
+        ).select("id_a", "id_b"),
+    )
     hits = truth.join(lsh, ["id_a", "id_b"], "left_semi")
     stats = truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
         hits.agg(F.count(F.lit(1)).alias("n_hit"))
@@ -6476,10 +6558,22 @@ def dedup_minhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         dnull.alias("id_a"), dnull.alias("id_b"), dnull.alias("jaccard"),
     )
 
+    # One staging pass (shingle hashes + band buckets) feeds BOTH pair
+    # branches: capped and uncapped differ only in the cap_blocks
+    # filter applied AFTER staging, so sharing is bit-identical and
+    # halves the persist+count staging jobs the gate pays per run.
+    from streaming_parquet_spark.operators.dedup import (
+        minhash_lsh_staging,
+    )
+
+    staged = minhash_lsh_staging(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=8
+    )
+
     def pairs_branch(kind: str, cap: int | None) -> DataFrame:
         return minhash_lsh_pairs(
             _t(spark, sf_dir, "documents"), num_hashes=16, bands=8,
-            jaccard_threshold=0.2, max_bucket_rows=cap,
+            jaccard_threshold=0.2, max_bucket_rows=cap, staged=staged,
         ).select(
             F.lit(kind).alias("kind"), dnull.alias("doc_id"),
             dnull.alias("m0"), dnull.alias("m1"), dnull.alias("m2"),
@@ -6829,33 +6923,44 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     id is non-null BIGINT in every branch; width/height decay to
     DOUBLE (the resize branch reports them fractionally-typed);
     channels stays INTEGER (image_meta-only)."""
+    from streaming_parquet_spark.concurrency import parallel_branches
+
     inull = F.lit(None).cast("int")
     bnull = F.lit(None).cast("bigint")
     dnull = F.lit(None).cast("double")
     snull = F.lit(None).cast("string")
-    img = multimodal_decode(spark, sf_dir).select(
-        F.lit("image_meta").alias("kind"), "id", "n_bytes",
-        inull.alias("frame_idx"), bnull.alias("frame_len"),
-        dnull.alias("dim"), dnull.alias("fval"),
-        F.col("width").cast("double").alias("width"),
-        F.col("height").cast("double").alias("height"), "channels",
-        snull.alias("payload_md5"), dnull.alias("sample_rate"),
-        dnull.alias("n_samples"), dnull.alias("duration_sec"), "format",
-    )
-    frames = multimodal_meta(spark, sf_dir).select(
-        F.lit("frames").alias("kind"), "id", "n_bytes", "frame_idx",
-        "frame_len", dnull.alias("dim"), dnull.alias("fval"),
-        dnull.alias("width"), dnull.alias("height"),
-        inull.alias("channels"), snull.alias("payload_md5"),
-        dnull.alias("sample_rate"), dnull.alias("n_samples"),
-        dnull.alias("duration_sec"), snull.alias("format"),
-    )
-    trans = multimodal_transform(spark, sf_dir).select(
-        "kind", "id", bnull.alias("n_bytes"), inull.alias("frame_idx"),
-        bnull.alias("frame_len"), "dim", "fval", "width", "height",
-        inull.alias("channels"), "payload_md5", "sample_rate",
-        "n_samples", "duration_sec", "format",
-    )
+
+    def _img() -> DataFrame:
+        return multimodal_decode(spark, sf_dir).select(
+            F.lit("image_meta").alias("kind"), "id", "n_bytes",
+            inull.alias("frame_idx"), bnull.alias("frame_len"),
+            dnull.alias("dim"), dnull.alias("fval"),
+            F.col("width").cast("double").alias("width"),
+            F.col("height").cast("double").alias("height"), "channels",
+            snull.alias("payload_md5"), dnull.alias("sample_rate"),
+            dnull.alias("n_samples"), dnull.alias("duration_sec"),
+            "format",
+        )
+
+    def _frames() -> DataFrame:
+        return multimodal_meta(spark, sf_dir).select(
+            F.lit("frames").alias("kind"), "id", "n_bytes", "frame_idx",
+            "frame_len", dnull.alias("dim"), dnull.alias("fval"),
+            dnull.alias("width"), dnull.alias("height"),
+            inull.alias("channels"), snull.alias("payload_md5"),
+            dnull.alias("sample_rate"), dnull.alias("n_samples"),
+            dnull.alias("duration_sec"), snull.alias("format"),
+        )
+
+    def _trans() -> DataFrame:
+        return multimodal_transform(spark, sf_dir).select(
+            "kind", "id", bnull.alias("n_bytes"),
+            inull.alias("frame_idx"),
+            bnull.alias("frame_len"), "dim", "fval", "width", "height",
+            inull.alias("channels"), "payload_md5", "sample_rate",
+            "n_samples", "duration_sec", "format",
+        )
+
     from streaming_parquet_spark.operators.multimodal import (
         pack_multimodal_windows,
     )
@@ -6888,39 +6993,43 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.array(text_seg)).alias("segments"),
         )
     )
-    win = pack_multimodal_windows(
-        segged, "segments", budget=96, part_col="source",
-        order_col="doc_id", bucket_docs=16, image_token_id=1, eos_id=2,
-    )
-    patch_len = F.aggregate(
-        F.filter("spans", lambda s: s["modality"] == F.lit("image")),
-        F.lit(0),
-        lambda acc, s: acc + (s["end"] - s["start"]),
-    )
-    pack = (
-        win.groupBy(
-            "source", F.floor(F.col("win") / 16).alias("bucket")
+
+    def _pack() -> DataFrame:
+        win = pack_multimodal_windows(
+            segged, "segments", budget=96, part_col="source",
+            order_col="doc_id", bucket_docs=16, image_token_id=1,
+            eos_id=2,
         )
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_windows"),
-            F.sum(F.size("doc_starts")).alias("n_docs"),
-            F.sum("n_tokens").alias("total_real"),
-            F.sum(patch_len).cast("double").alias("patch_pos"),
+        patch_len = F.aggregate(
+            F.filter("spans", lambda s: s["modality"] == F.lit("image")),
+            F.lit(0),
+            lambda acc, s: acc + (s["end"] - s["start"]),
         )
-        .select(
-            F.lit("pack").alias("kind"),
-            F.col("bucket").cast("bigint").alias("id"),
-            F.col("total_real").cast("bigint").alias("n_bytes"),
-            F.col("n_windows").alias("frame_idx"),
-            F.col("n_docs").cast("bigint").alias("frame_len"),
-            F.col("patch_pos").alias("dim"), dnull.alias("fval"),
-            dnull.alias("width"), dnull.alias("height"),
-            inull.alias("channels"), snull.alias("payload_md5"),
-            dnull.alias("sample_rate"), dnull.alias("n_samples"),
-            dnull.alias("duration_sec"),
-            F.col("source").alias("format"),
+        return (
+            win.groupBy(
+                "source", F.floor(F.col("win") / 16).alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_windows"),
+                F.sum(F.size("doc_starts")).alias("n_docs"),
+                F.sum("n_tokens").alias("total_real"),
+                F.sum(patch_len).cast("double").alias("patch_pos"),
+            )
+            .select(
+                F.lit("pack").alias("kind"),
+                F.col("bucket").cast("bigint").alias("id"),
+                F.col("total_real").cast("bigint").alias("n_bytes"),
+                F.col("n_windows").alias("frame_idx"),
+                F.col("n_docs").cast("bigint").alias("frame_len"),
+                F.col("patch_pos").alias("dim"), dnull.alias("fval"),
+                dnull.alias("width"), dnull.alias("height"),
+                inull.alias("channels"), snull.alias("payload_md5"),
+                dnull.alias("sample_rate"), dnull.alias("n_samples"),
+                dnull.alias("duration_sec"),
+                F.col("source").alias("format"),
+            )
         )
-    )
+
     # kind='payload' (r14): the binary payload plane end-to-end —
     # content-addressed refs minted from the documents table's bytes,
     # written as a sharded store under the manifest discipline,
@@ -6939,45 +7048,61 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from streaming_parquet_spark.queries_tpch import _stream_workdir
 
-    store = os.path.join(_stream_workdir("maw_payload_", sf_dir), "store")
-    blobs = (
-        mint_payload_refs(
-            attach_binary(
-                _t(spark, sf_dir, "documents").where(
-                    "doc_id % 4 = 1 AND text IS NOT NULL"
+    def _payload() -> DataFrame:
+        store = os.path.join(
+            _stream_workdir("maw_payload_", sf_dir), "store"
+        )
+        blobs = (
+            mint_payload_refs(
+                attach_binary(
+                    _t(spark, sf_dir, "documents").where(
+                        "doc_id % 4 = 1 AND text IS NOT NULL"
+                    ),
+                    "text", "payload",
                 ),
-                "text", "payload",
-            ),
-            "payload", "ref",
+                "payload", "ref",
+            )
+            .select("ref", "payload")
+            .dropDuplicates(["ref"])
         )
-        .select("ref", "payload")
-        .dropDuplicates(["ref"])
-    )
-    man = write_payload_store(
-        blobs, store, n_shards=8, mode="overwrite"
-    )
-    payload = (
-        verify_payload_store(spark, store)
-        .join(man.select("shard", "n_bytes"), "shard")
-        .select(
-            F.lit("payload").alias("kind"),
-            F.col("shard").cast("bigint").alias("id"),
-            F.col("n_bytes").alias("n_bytes"),
-            F.col("n_payloads_observed").cast("int").alias("frame_idx"),
-            F.col("n_payloads_promised").cast("bigint").alias("frame_len"),
-            dnull.alias("dim"), dnull.alias("fval"),
-            dnull.alias("width"), dnull.alias("height"),
-            inull.alias("channels"),
-            F.concat_ws(
-                ":",
-                F.col("fp_a_observed").cast("string"),
-                F.col("fp_b_observed").cast("string"),
-            ).alias("payload_md5"),
-            dnull.alias("sample_rate"), dnull.alias("n_samples"),
-            dnull.alias("duration_sec"),
-            F.when(F.col("ok"), F.lit("ok")).otherwise(F.lit("bad"))
-            .alias("format"),
+        man = write_payload_store(
+            blobs, store, n_shards=8, mode="overwrite"
         )
+        return (
+            verify_payload_store(spark, store)
+            .join(man.select("shard", "n_bytes"), "shard")
+            .select(
+                F.lit("payload").alias("kind"),
+                F.col("shard").cast("bigint").alias("id"),
+                F.col("n_bytes").alias("n_bytes"),
+                F.col("n_payloads_observed").cast("int").alias(
+                    "frame_idx"
+                ),
+                F.col("n_payloads_promised").cast("bigint").alias(
+                    "frame_len"
+                ),
+                dnull.alias("dim"), dnull.alias("fval"),
+                dnull.alias("width"), dnull.alias("height"),
+                inull.alias("channels"),
+                F.concat_ws(
+                    ":",
+                    F.col("fp_a_observed").cast("string"),
+                    F.col("fp_b_observed").cast("string"),
+                ).alias("payload_md5"),
+                dnull.alias("sample_rate"), dnull.alias("n_samples"),
+                dnull.alias("duration_sec"),
+                F.when(F.col("ok"), F.lit("ok")).otherwise(F.lit("bad"))
+                .alias("format"),
+            )
+        )
+
+    # The payload branch runs a real store write + sidecar collect
+    # while being built; the four plan-only branches pay mapInPandas
+    # schema/plan construction.  Build all five on driver threads so
+    # the payload branch's jobs overlap the others' driver work
+    # (guide §2.6).
+    img, frames, trans, pack, payload = parallel_branches(
+        _img, _frames, _trans, _pack, _payload
     )
     return (
         img.unionByName(frames).unionByName(trans).unionByName(pack)
@@ -7057,14 +7182,22 @@ def dedup_prefix_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       only.
 
     id_a/id_b are non-null in both branches and stay BIGINT."""
+    from streaming_parquet_spark.concurrency import parallel_branches
+
     dnull = F.lit(None).cast("double")
-    jac = dedup_prefix_join(spark, sf_dir).select(
-        F.lit("jaccard").alias("kind"), "id_a", "id_b", "jaccard",
-        dnull.alias("containment"),
-    )
-    con = dedup_containment(spark, sf_dir).select(
-        F.lit("containment").alias("kind"), "id_a", "id_b",
-        dnull.alias("jaccard"), "containment",
+    # Each branch stages two persist+count relations while building
+    # (shingle explode + rarity-keyed rebuild); the branches are
+    # independent, so build them on driver threads and let the staging
+    # jobs overlap (guide §2.6).
+    jac, con = parallel_branches(
+        lambda: dedup_prefix_join(spark, sf_dir).select(
+            F.lit("jaccard").alias("kind"), "id_a", "id_b", "jaccard",
+            dnull.alias("containment"),
+        ),
+        lambda: dedup_containment(spark, sf_dir).select(
+            F.lit("containment").alias("kind"), "id_a", "id_b",
+            dnull.alias("jaccard"), "containment",
+        ),
     )
     return jac.unionByName(con)
 
