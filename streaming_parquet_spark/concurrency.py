@@ -50,19 +50,34 @@ def _pool() -> ThreadPoolExecutor:
         return _POOL
 
 
+#: Thread-local marker set while a builder runs on the shared pool.
+#: A nested parallel_branches call from inside a pool worker runs its
+#: builders INLINE on the caller thread instead of submitting — the
+#: structural guard against the bounded-pool deadlock (every slot
+#: occupied by callers blocking on children that can never be
+#: scheduled).  Gates still use one level of parallelism; nesting is
+#: merely safe now instead of forbidden-by-docstring.
+_IN_POOL = threading.local()
+
+
 def parallel_branches(*builders: Callable[[], Any]) -> list[Any]:
     """Run zero-arg branch builders concurrently, return their results
-    in argument order.  Exceptions propagate (first raised wins, the
-    rest still run to completion on the shared pool).
+    in argument order.
+
+    Failure semantics: the first branch (in argument order) that raised
+    wins; once a failure is seen, queued-but-not-yet-started sibling
+    builders are cancelled so branches with on-disk side effects
+    (store writes, streaming spin-ups) cannot begin AFTER the gate has
+    already failed.  Already-running siblings finish (Spark driver
+    threads aren't interruptible mid-build).
 
     Uses ``pyspark.inheritable_thread_target`` so JVM thread-local
     properties (job group/description/tags) propagate to the worker
     threads — the documented way to submit Spark jobs from driver
-    threads.  Deadlock note: builders must not call parallel_branches
-    themselves (a nested call could exhaust the bounded shared pool);
-    every gate uses it exactly one level deep."""
-    if len(builders) == 1:
-        return [builders[0]()]
+    threads.  Nested calls (a builder that itself calls
+    parallel_branches) run inline on the worker thread — see _IN_POOL."""
+    if len(builders) == 1 or getattr(_IN_POOL, "active", False):
+        return [b() for b in builders]
     try:
         from pyspark import inheritable_thread_target
         from pyspark.sql import SparkSession
@@ -77,5 +92,27 @@ def parallel_branches(*builders: Callable[[], Any]) -> list[Any]:
             wrapped = [inheritable_thread_target(b) for b in builders]
     except Exception:  # pragma: no cover - Connect-only signature drift
         wrapped = list(builders)
-    futures = [_pool().submit(w) for w in wrapped]
-    return [f.result() for f in futures]
+
+    def _run(fn: Callable[[], Any]) -> Any:
+        _IN_POOL.active = True
+        try:
+            return fn()
+        finally:
+            _IN_POOL.active = False
+
+    futures = [_pool().submit(_run, w) for w in wrapped]
+    results: list[Any] = []
+    first_err: BaseException | None = None
+    for f in futures:
+        if first_err is not None:
+            f.cancel()
+            continue
+        try:
+            results.append(f.result())
+        except BaseException as exc:
+            first_err = exc
+            for g in futures:
+                g.cancel()
+    if first_err is not None:
+        raise first_err
+    return results

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import re
 import threading
+import warnings
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
@@ -71,7 +72,7 @@ def _materialize(df: DataFrame, spread: bool = True) -> DataFrame:
     # and an unguarded append+trim pair could pop a relation another
     # thread just staged before its consumer ran.
     with _PERSISTED_LOCK:
-        _PERSISTED.append(df)
+        _PERSISTED.append((_GEN[0], df))
         # A long-lived session (the driver's ~80-query sweep) calls the
         # dedup/similarity operators repeatedly; keep only the most
         # recent handful of staged relations cached and release the
@@ -80,7 +81,26 @@ def _materialize(df: DataFrame, spread: bool = True) -> DataFrame:
         # non-blocking unpersist of old entries is safe — worst case a
         # still-running plan recomputes.
         while len(_PERSISTED) > _PERSIST_KEEP:
-            _PERSISTED.pop(0).unpersist(blocking=False)
+            gen, old = _PERSISTED.pop(0)
+            if gen == _GEN[0]:
+                # Evicting a relation staged since the last
+                # release_materialized() — i.e. during the CURRENT gate
+                # build. Its consumer has likely not run yet, so this
+                # degrades to a silent full recompute: a gate staging
+                # more than _PERSIST_KEEP relations has outgrown the
+                # registry. Loud, so it shows up in logs/bench diffs
+                # instead of as an unexplained slowdown.
+                _SAME_GEN_EVICTIONS[0] += 1
+                warnings.warn(
+                    "similarity._materialize: evicting a relation "
+                    "staged during the current gate build "
+                    f"(_PERSIST_KEEP={_PERSIST_KEEP} exceeded); its "
+                    "consumers will recompute from lineage. Raise "
+                    "_PERSIST_KEEP to cover the widest gate.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            old.unpersist(blocking=False)
     return df
 
 
@@ -89,9 +109,16 @@ def _materialize(df: DataFrame, spread: bool = True) -> DataFrame:
 # branch-parallel builds every one of them can be live at once, so the
 # trim floor must exceed that or a gate would evict its own staging
 # mid-build.
-_PERSISTED: list[DataFrame] = []
+_PERSISTED: list[tuple[int, DataFrame]] = []
 _PERSIST_KEEP = 8
 _PERSISTED_LOCK = threading.Lock()
+#: Generation counter: bumped by release_materialized() (the gate
+#: boundary — the bench and the oracle harness call it between
+#: queries). An eviction of a SAME-generation entry means one gate
+#: staged more than _PERSIST_KEEP relations and just evicted its own
+#: in-flight staging — counted + warned in _materialize.
+_GEN = [0]
+_SAME_GEN_EVICTIONS = [0]
 
 
 _SPREAD_MARK: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
@@ -215,8 +242,9 @@ def release_materialized() -> None:
     """Unpersist every relation staged by ``_materialize`` — call when a
     batch of similarity/dedup work is done and the session lives on."""
     with _PERSISTED_LOCK:
+        _GEN[0] += 1
         while _PERSISTED:
-            _PERSISTED.pop().unpersist(blocking=False)
+            _PERSISTED.pop()[1].unpersist(blocking=False)
 
 
 def cosine_topk(

@@ -48,6 +48,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE size the output partitioning of CACHED plans too
+        # (default false): the engine stages derived relations via
+        # persist+count (similarity._materialize), and with the default
+        # every vocab-sized staged aggregate keeps all
+        # shuffle.partitions post-shuffle partitions — near-empty
+        # partitions whose per-task fixed cost is pure overhead for
+        # every consumer stage (measured r15: the staged text gates ran
+        # FASTER at 8 cores than 32). With AQE allowed to coalesce, the
+        # staged relation's partition count follows its actual bytes at
+        # ANY scale — tiny vocab aggregates collapse to one partition,
+        # corpus-sized stagings stay wide (guide §2.1/§5).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -33,3 +33,19 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_staged_relations():
+    """Gate boundary between tests: drop relations staged by
+    similarity._materialize, exactly as the bench/oracle harness does
+    between queries. Keeps the registry's same-generation eviction
+    warning meaningful (a single test staging > _PERSIST_KEEP relations
+    is the failure mode; consecutive tests rotating through it are not)
+    and stops one test's persists from skewing another's."""
+    yield
+    from streaming_parquet_spark.operators.similarity import (
+        release_materialized,
+    )
+
+    release_materialized()
