@@ -136,13 +136,24 @@ def hll_oracle_sql(
 
 
 def cms_counters(
-    df: DataFrame, hash_col: str, d: int = 3, w: int = 1024
+    df: DataFrame,
+    hash_col: str,
+    d: int = 3,
+    w: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min counter table (row, bucket, c) over item occurrences:
     row i uses the universal hash (A_i*x + B_i) mod (2^31-1) mod w.
     One groupBy over the exploded (row, bucket) pairs; counters
     partial-aggregate map-side, and the whole table is d*w rows —
-    broadcastable no matter the corpus size."""
+    broadcastable no matter the corpus size.
+
+    ``weight_col``: build the same counters from a PRE-AGGREGATED
+    relation of (hash, occurrence_count) rows instead of one row per
+    occurrence. The bucket is a function of the hash alone, so summing
+    the counts per (row, bucket) yields counter-for-counter identical
+    output — but the d-way explode and the md5 hashing upstream run
+    over the vocabulary, not the corpus."""
     rows = F.explode(
         F.array(
             *[
@@ -157,11 +168,19 @@ def cms_counters(
             ]
         )
     )
+    weight = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    )
+    sel = ["rb.row", "rb.bucket"] + (
+        [weight_col] if weight_col is not None else []
+    )
     return (
-        df.select(rows.alias("rb"))
-        .select("rb.row", "rb.bucket")
+        df.select(rows.alias("rb"), *(
+            [F.col(weight_col)] if weight_col is not None else []
+        ))
+        .select(*sel)
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(weight.alias("c"))
     )
 
 

@@ -4174,17 +4174,30 @@ def text_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_estimate,
         hll_registers,
     )
+    from streaming_parquet_spark.operators.similarity import _materialize
 
-    items = _t(spark, sf_dir, "documents").select(
-        "source",
-        F.explode(F.expr(words_expr("spark", "text"))).alias("word"),
+    # One corpus explode, fused: both outputs are functions of the
+    # DISTINCT (source, word) set — exact_distinct counts it, and the
+    # HLL register file is a MAX over rho(word), which duplicates can
+    # never change. Distinct first (the same partial-aggregated
+    # shuffle countDistinct would have paid anyway), stage the
+    # vocab-sized result, and the md5 hashing runs once per distinct
+    # word instead of once per occurrence.
+    dw = _materialize(
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.expr(words_expr("spark", "text"))).alias("word"),
+        )
+        .distinct(),
+        spread=False,
     )
-    hashed = items.select(
+    hashed = dw.select(
         "source", F.expr(hex_to_i32("md5(word)")).alias("h")
     )
     est = hll_estimate(hll_registers(hashed, ["source"], "h"), ["source"])
-    exact = items.groupBy("source").agg(
-        F.countDistinct("word").alias("exact_distinct")
+    exact = dw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     return exact.join(est, "source").select(
         "source", "exact_distinct", "hll_est"
@@ -4486,16 +4499,33 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_probe,
     )
 
-    toks = _t(spark, sf_dir, "documents").select(
-        F.explode(F.expr(ordered_words_expr("spark", "text"))).alias("word")
+    from streaming_parquet_spark.operators.similarity import _materialize
+
+    # One corpus explode, fused: the CMS bucket is a function of the
+    # word's hash alone, so counters built by SUMMING per-word
+    # occurrence counts are counter-for-counter identical to counting
+    # occurrences — and the md5 hashing plus the d-way probe explode
+    # run over the vocabulary, not the corpus. The (word, n, h)
+    # aggregate is staged once and feeds both the counter build and
+    # the top-20 candidate pick (min(h) per word degenerates to h:
+    # one hash per word).
+    wch = _materialize(
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.expr(ordered_words_expr("spark", "text"))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("word", "n", F.expr(hex_to_i32("md5(word)")).alias("h")),
+        spread=False,
     )
-    hashed = toks.select("word", F.expr(hex_to_i32("md5(word)")).alias("h"))
-    counters = cms_counters(hashed, "h")
+    counters = cms_counters(wch, "h", weight_col="n")
     cand = (
-        hashed.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("h").alias("h"))
-        .orderBy(F.col("n").desc(), "word")
+        wch.orderBy(F.col("n").desc(), "word")
         .limit(20)
+        .select("word", "n", "h")
     )
     return cms_probe(counters, cand, "h").select("word", "n", "cms_est")
 

@@ -1926,6 +1926,34 @@ def test_cms_one_sided_error(spark):
     assert exact >= 45
 
 
+def test_cms_counters_weighted_equals_per_occurrence(spark):
+    """cms_counters(weight_col=) over a (hash, count) aggregate must be
+    counter-for-counter identical to the per-occurrence build: the
+    bucket is a function of the hash alone, so summing pre-aggregated
+    counts and counting occurrences reach the same cells with the same
+    totals. (The fused sketch_family gate relies on this.)"""
+    from streaming_parquet_spark.functions.portable import hex_to_i32
+    from streaming_parquet_spark.operators.sketch import cms_counters
+
+    rows = [(f"t{i}",) for i in range(40) for _ in range(40 - i)]
+    df = spark.createDataFrame(rows, "word string").select(
+        "word", F.expr(hex_to_i32("md5(word)")).alias("h")
+    )
+    per_occurrence = sorted(
+        map(tuple, cms_counters(df, "h").collect())
+    )
+    agg = df.groupBy("word", "h").agg(F.count(F.lit(1)).alias("n"))
+    weighted = sorted(
+        map(tuple, cms_counters(agg, "h", weight_col="n").collect())
+    )
+    assert weighted == per_occurrence
+    # dtype parity: sum(bigint) must stay bigint like count()
+    assert (
+        dict(cms_counters(agg, "h", weight_col="n").dtypes)["c"]
+        == dict(cms_counters(df, "h").dtypes)["c"]
+    )
+
+
 def test_prefix_join_exact_recall(spark):
     """The prefix-filter join finds EXACTLY the pairs the unblocked
     all-pairs Jaccard finds at the same threshold — the zero-false-
