@@ -383,15 +383,68 @@ def extract_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for b in pdf[blob_col]:
-                d = hashlib.md5(bytes(b)).digest()
-                feats.append([((d[i % 16] / 255.0) * 2 - 1) for i in range(dims)])
+            feats = [_features_one(bytes(b), dims) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {"id": pdf[id_col].astype("int64"), "features": feats}
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def _features_one(b: bytes, dims: int) -> list[float]:
+    """Per-row md5-seeded fake feature vector — shared by
+    :func:`extract_features` and :func:`probe_media` so both emit
+    bit-identical floats."""
+    d = hashlib.md5(b).digest()
+    return [((d[i % 16] / 255.0) * 2 - 1) for i in range(dims)]
+
+
+def _resize_fn(width: int, height: int, strict: bool):
+    """Per-row resize codec (PIL if installed, else pure-Python PNG
+    decode + nearest-neighbor, else the deterministic digest fake) —
+    extracted so :func:`resize_images` and the fused
+    :func:`probe_media` run the IDENTICAL per-payload function.
+    Construct once per task (guide §4.5), call per row."""
+
+    def _fake_resize(b: bytes) -> bytes:
+        # FAKE resample: digest-seeded bytes, one per target pixel
+        # (single channel) — deterministic and size-correct.
+        seed = hashlib.md5(b).digest()
+        n = width * height
+        return (seed * (n // len(seed) + 1))[:n]
+
+    try:
+        from PIL import Image
+        import io
+
+        def _resize(b: bytes) -> bytes:
+            try:
+                with Image.open(io.BytesIO(b)) as im:
+                    return im.convert("L").resize((width, height)).tobytes()
+            except Exception:
+                if strict:
+                    raise
+                return _fake_resize(b)
+
+    except ImportError:
+        # No codec: decode PNG scanlines in pure Python (stdlib
+        # zlib + unfilter) and nearest-neighbor resample — real
+        # pixels, no dependency. Non-PNG payloads: strict raises,
+        # otherwise the deterministic fake.
+        def _resize(b: bytes) -> bytes:
+            try:
+                sw, sh, pix = decode_png_gray(b)
+            except Exception as exc:
+                if strict:
+                    raise NotImplementedError(
+                        "no image codec installed and payload is not"
+                        " a decodable PNG; install Pillow or use"
+                        " strict=False for the deterministic fake"
+                    ) from exc
+                return _fake_resize(b)
+            return _resize_gray_nearest(sw, sh, pix, width, height)
+
+    return _resize
 
 
 def resize_images(
@@ -417,45 +470,8 @@ def resize_images(
         ]
     )
 
-    def _fake_resize(b: bytes) -> bytes:
-        # FAKE resample: digest-seeded bytes, one per target pixel
-        # (single channel) — deterministic and size-correct.
-        seed = hashlib.md5(b).digest()
-        n = width * height
-        return (seed * (n // len(seed) + 1))[:n]
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image
-            import io
-
-            def _resize(b: bytes) -> bytes:
-                try:
-                    with Image.open(io.BytesIO(b)) as im:
-                        return im.convert("L").resize((width, height)).tobytes()
-                except Exception:
-                    if strict:
-                        raise
-                    return _fake_resize(b)
-
-        except ImportError:
-            # No codec: decode PNG scanlines in pure Python (stdlib
-            # zlib + unfilter) and nearest-neighbor resample — real
-            # pixels, no dependency. Non-PNG payloads: strict raises,
-            # otherwise the deterministic fake.
-            def _resize(b: bytes) -> bytes:
-                try:
-                    sw, sh, pix = decode_png_gray(b)
-                except Exception as exc:
-                    if strict:
-                        raise NotImplementedError(
-                            "no image codec installed and payload is not"
-                            " a decodable PNG; install Pillow or use"
-                            " strict=False for the deterministic fake"
-                        ) from exc
-                    return _fake_resize(b)
-                return _resize_gray_nearest(sw, sh, pix, width, height)
-
+        _resize = _resize_fn(width, height, strict)
         for pdf in it:
             payloads = [_resize(bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame(
@@ -480,6 +496,63 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
+def _audio_probe_fn(strict: bool):
+    """Per-row audio metadata codec (soundfile if installed, else the
+    RIFF/WAVE header parse, else the deterministic digest fake) —
+    extracted so :func:`decode_audio` and the fused :func:`probe_media`
+    run the IDENTICAL per-payload function. Construct once per task,
+    call per row."""
+
+    def _fake_audio(b: bytes) -> tuple[int, int, float, str]:
+        d = hashlib.md5(b).digest()
+        rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+        n = len(b) * 16 + d[1]
+        # duration floored to whole microseconds via integer division —
+        # round(n/rate, 6) is a half-even/half-up portability trap when
+        # n/rate terminates exactly at the 7th decimal (every odd n at
+        # 16 kHz: n/16000 = ...5e-7)
+        return rate, n, (n * 1_000_000 // rate) / 1e6, "fake"
+
+    try:
+        import soundfile as sf
+        import io
+
+        def _probe(b: bytes) -> tuple[int, int, float, str]:
+            try:
+                info = sf.info(io.BytesIO(b))
+                # integer-us floor, same convention as the WAV
+                # parser and fake codec (round() is a half-even
+                # trap on exact 7th-decimal durations)
+                return (
+                    info.samplerate,
+                    info.frames,
+                    (info.frames * 1_000_000 // info.samplerate) / 1e6,
+                    info.format,
+                )
+            except Exception:
+                if strict:
+                    raise
+                return _fake_audio(b)
+
+    except ImportError:
+        # No codec: parse the RIFF/WAVE fmt + data chunks from real
+        # bytes (public container layout). Non-WAV payloads: strict
+        # raises, otherwise the deterministic fake.
+        def _probe(b: bytes) -> tuple[int, int, float, str]:
+            meta = parse_wav_header(b)
+            if meta is not None:
+                return meta
+            if strict:
+                raise NotImplementedError(
+                    "no audio codec installed and payload is not a"
+                    " RIFF/WAVE; install soundfile or use"
+                    " strict=False for the deterministic fake"
+                )
+            return _fake_audio(b)
+
+    return _probe
+
+
 def decode_audio(
     df: DataFrame,
     blob_col: str = "blob",
@@ -493,54 +566,8 @@ def decode_audio(
         [T.StructField("id", T.LongType())] + list(AUDIO_META_SCHEMA.fields)
     )
 
-    def _fake_audio(b: bytes) -> tuple[int, int, float, str]:
-        d = hashlib.md5(b).digest()
-        rate = (8000, 16000, 22050, 44100)[d[0] % 4]
-        n = len(b) * 16 + d[1]
-        # duration floored to whole microseconds via integer division —
-        # round(n/rate, 6) is a half-even/half-up portability trap when
-        # n/rate terminates exactly at the 7th decimal (every odd n at
-        # 16 kHz: n/16000 = ...5e-7)
-        return rate, n, (n * 1_000_000 // rate) / 1e6, "fake"
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import soundfile as sf
-            import io
-
-            def _probe(b: bytes) -> tuple[int, int, float, str]:
-                try:
-                    info = sf.info(io.BytesIO(b))
-                    # integer-us floor, same convention as the WAV
-                    # parser and fake codec (round() is a half-even
-                    # trap on exact 7th-decimal durations)
-                    return (
-                        info.samplerate,
-                        info.frames,
-                        (info.frames * 1_000_000 // info.samplerate) / 1e6,
-                        info.format,
-                    )
-                except Exception:
-                    if strict:
-                        raise
-                    return _fake_audio(b)
-
-        except ImportError:
-            # No codec: parse the RIFF/WAVE fmt + data chunks from real
-            # bytes (public container layout). Non-WAV payloads: strict
-            # raises, otherwise the deterministic fake.
-            def _probe(b: bytes) -> tuple[int, int, float, str]:
-                meta = parse_wav_header(b)
-                if meta is not None:
-                    return meta
-                if strict:
-                    raise NotImplementedError(
-                        "no audio codec installed and payload is not a"
-                        " RIFF/WAVE; install soundfile or use"
-                        " strict=False for the deterministic fake"
-                    )
-                return _fake_audio(b)
-
+        _probe = _audio_probe_fn(strict)
         for pdf in it:
             metas = [_probe(bytes(b)) for b in pdf[blob_col]]
             rates = [m[0] for m in metas]
@@ -558,6 +585,88 @@ def decode_audio(
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, out_schema)
+
+
+#: probe_media's output row: every per-payload decode the multimodal
+#: surface needs, one row per document.
+PROBE_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("audio_format", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def probe_media(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+    dims: int = 16,
+    strict: bool = False,
+) -> DataFrame:
+    """Every per-payload decode in ONE ``mapInPandas`` pass: image
+    metadata (:func:`decode_images`' codec), the resized-payload md5
+    digest (:func:`resize_images`' codec at ``width`` x ``height``,
+    digested as ``md5(lower(hex(bytes)))`` — the exact expression the
+    JVM applies to ``resized_bytes``), audio metadata
+    (:func:`decode_audio`'s codec), and the ``dims``-dim feature
+    vector (:func:`extract_features`' codec). One row per document.
+
+    Why fused: each of the four operators ships the SAME payload bytes
+    JVM -> Python -> JVM independently — four Arrow serializations of
+    the corpus's heaviest column for four decodes that can run side by
+    side on bytes already in hand (guide §4.1: you cannot remove the
+    boundary cost, but you control how many times the columns cross).
+    The per-row codecs are the operators' own functions (shared
+    helpers), so every value is bit-identical to running the four
+    operators separately; downstream consumers project/explode from
+    this one narrow metadata row (guide §8: decide with small rows,
+    move the heavy bytes once)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _resize = _resize_fn(width, height, strict)
+        _probe = _audio_probe_fn(strict)
+        for pdf in it:
+            bs = [bytes(b) for b in pdf[blob_col]]
+            metas = [_decode_one(b, strict) for b in bs]
+            audio = [_probe(b) for b in bs]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(b) for b in bs],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "channels": [m[2] for m in metas],
+                    "format": [m[3] for m in metas],
+                    "payload_md5": [
+                        hashlib.md5(
+                            _resize(b).hex().encode()
+                        ).hexdigest()
+                        for b in bs
+                    ],
+                    "sample_rate": [a[0] for a in audio],
+                    "n_samples": [a[1] for a in audio],
+                    "duration_sec": [a[2] for a in audio],
+                    "audio_format": [a[3] for a in audio],
+                    "features": [_features_one(b, dims) for b in bs],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, PROBE_MEDIA_SCHEMA
+    )
 
 
 def sample_frames(
@@ -1117,31 +1226,43 @@ def write_payload_store(
         raise ValueError(
             f"write_payload_store: n_shards must be >= 1 (got {n_shards})"
         )
-    mrows = [
-        r.asDict()
-        for r in payload_store_manifest(df, n, ref_col, payload_col)
-        .collect()
-    ]
-    dup = [r["shard"] for r in mrows if r["n_refs"] != r["n_payloads"]]
-    if dup:
-        raise ValueError(
-            f"write_payload_store: duplicate refs in shard(s) "
-            f"{sorted(dup)[:5]} — dropDuplicates(['{ref_col}']) after "
-            f"mint_payload_refs for equal payloads; two DIFFERENT "
-            f"payloads under one ref are a forged or colliding key"
+    # The manifest digest pass and the data write are two actions over
+    # the SAME input: without a persist the caller's lineage (typically
+    # mint_payload_refs + a dropDuplicates shuffle of the full payload
+    # bytes) executes twice. Persist around the pair — the second pass
+    # reads the materialized rows instead of re-minting and
+    # re-shuffling every blob (guide §5: reuse + recompute cost both
+    # favor the cache here; MEMORY_AND_DISK spills rather than OOMs at
+    # scale). Unpersisted before return, success or raise.
+    df = df.persist()
+    try:
+        mrows = [
+            r.asDict()
+            for r in payload_store_manifest(df, n, ref_col, payload_col)
+            .collect()
+        ]
+        dup = [r["shard"] for r in mrows if r["n_refs"] != r["n_payloads"]]
+        if dup:
+            raise ValueError(
+                f"write_payload_store: duplicate refs in shard(s) "
+                f"{sorted(dup)[:5]} — dropDuplicates(['{ref_col}']) after "
+                f"mint_payload_refs for equal payloads; two DIFFERENT "
+                f"payloads under one ref are a forged or colliding key"
+            )
+        wave = _payload_wave_id(mrows)
+        (
+            df.select(
+                F.col(ref_col),
+                F.col(payload_col),
+                F.lit(wave).alias("wave"),
+                _payload_shard_expr(ref_col, n).alias("shard"),
+            )
+            .write.mode(mode)
+            .partitionBy("shard")
+            .parquet(path)
         )
-    wave = _payload_wave_id(mrows)
-    (
-        df.select(
-            F.col(ref_col),
-            F.col(payload_col),
-            F.lit(wave).alias("wave"),
-            _payload_shard_expr(ref_col, n).alias("shard"),
-        )
-        .write.mode(mode)
-        .partitionBy("shard")
-        .parquet(path)
-    )
+    finally:
+        df.unpersist(blocking=False)
     manifest = _payload_manifest_frame(
         spark, mrows, wave, n, ref_col, payload_col
     )

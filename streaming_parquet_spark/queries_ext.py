@@ -6958,8 +6958,37 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     dnull = F.lit(None).cast("double")
     snull = F.lit(None).cast("string")
 
+    from streaming_parquet_spark.operators.multimodal import (
+        attach_binary as _ab,
+        pack_multimodal_windows,
+        probe_media,
+        sample_frames,
+    )
+    from streaming_parquet_spark.operators.similarity import (
+        _materialize,
+        spread_input,
+    )
+
+    # ONE Python pass over the payload bytes: the image_meta, decode
+    # (resize digest + audio) and features branches previously ran four
+    # separate mapInPandas operators over the same blobs — four Arrow
+    # round trips of the corpus's heaviest column (guide §4.1). The
+    # fused probe computes all of it per row with the operators' own
+    # per-row codecs (bit-identical values), and the staged result is
+    # NARROW metadata (no payload bytes), so the persist is cheap at
+    # any scale while the blobs are decoded exactly once (guide §8).
+    # spread_input: a single-row-group fixture file would otherwise run
+    # the whole Python decode pass inside ONE task.
+    d = _ab(_t(spark, sf_dir, "documents"))
+
+    def _stage_probe() -> DataFrame:
+        return _materialize(
+            probe_media(spread_input(d), width=32, height=24, dims=16),
+            spread=False,
+        )
+
     def _img() -> DataFrame:
-        return multimodal_decode(spark, sf_dir).select(
+        return probe.select(
             F.lit("image_meta").alias("kind"), "id", "n_bytes",
             inull.alias("frame_idx"), bnull.alias("frame_len"),
             dnull.alias("dim"), dnull.alias("fval"),
@@ -6971,7 +7000,14 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _frames() -> DataFrame:
-        return multimodal_meta(spark, sf_dir).select(
+        # the frame slicer stays the REAL byte slicer over the blobs
+        # (substring explode, JVM-side); only the per-doc byte total
+        # joins from the staged probe instead of a second blob scan
+        frames = sample_frames(d, max_frames=8, every_n_bytes=64).select(
+            "id", "frame_idx",
+            F.length("frame_bytes").cast("bigint").alias("frame_len"),
+        )
+        return frames.join(probe.select("id", "n_bytes"), "id").select(
             F.lit("frames").alias("kind"), "id", "n_bytes", "frame_idx",
             "frame_len", dnull.alias("dim"), dnull.alias("fval"),
             dnull.alias("width"), dnull.alias("height"),
@@ -6981,17 +7017,36 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _trans() -> DataFrame:
-        return multimodal_transform(spark, sf_dir).select(
-            "kind", "id", bnull.alias("n_bytes"),
-            inull.alias("frame_idx"),
-            bnull.alias("frame_len"), "dim", "fval", "width", "height",
-            inull.alias("channels"), "payload_md5", "sample_rate",
-            "n_samples", "duration_sec", "format",
+        # kind='decode': the resize digest and the audio metadata are
+        # per-doc columns of the SAME probe row — the former
+        # resize-join-audio is projection, no join at all
+        decode = probe.select(
+            F.lit("decode").alias("kind"), "id",
+            bnull.alias("n_bytes"), inull.alias("frame_idx"),
+            bnull.alias("frame_len"), dnull.alias("dim"),
+            dnull.alias("fval"),
+            F.lit(32).cast("double").alias("width"),
+            F.lit(24).cast("double").alias("height"),
+            inull.alias("channels"), "payload_md5",
+            F.col("sample_rate").cast("double").alias("sample_rate"),
+            F.col("n_samples").cast("double").alias("n_samples"),
+            "duration_sec",
+            F.col("audio_format").alias("format"),
         )
-
-    from streaming_parquet_spark.operators.multimodal import (
-        pack_multimodal_windows,
-    )
+        feats = probe.select(
+            "id", F.posexplode("features").alias("dim", "v")
+        ).select(
+            F.lit("features").alias("kind"), "id",
+            bnull.alias("n_bytes"), inull.alias("frame_idx"),
+            bnull.alias("frame_len"),
+            F.col("dim").cast("double").alias("dim"),
+            round_to_col(F.col("v").cast("double"), 4).alias("fval"),
+            dnull.alias("width"), dnull.alias("height"),
+            inull.alias("channels"), snull.alias("payload_md5"),
+            dnull.alias("sample_rate"), dnull.alias("n_samples"),
+            dnull.alias("duration_sec"), snull.alias("format"),
+        )
+        return decode.unionByName(feats)
 
     # deterministic segments: text length from n_chars, an image on
     # every doc_id % 3 == 0 with a doc_id-derived patch budget — the
@@ -7069,14 +7124,15 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ride the string slot because a 64-bit XOR does not survive a
     # DOUBLE column.
     from streaming_parquet_spark.operators.multimodal import (
+        _payload_digest_frame,
         attach_binary,
         mint_payload_refs,
-        verify_payload_store,
         write_payload_store,
     )
+    from streaming_parquet_spark.operators.profile import batch_manifest
     from streaming_parquet_spark.queries_tpch import _stream_workdir
 
-    def _payload() -> DataFrame:
+    def _stage_store() -> tuple[str, DataFrame]:
         store = os.path.join(
             _stream_workdir("maw_payload_", sf_dir), "store"
         )
@@ -7096,40 +7152,92 @@ def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         man = write_payload_store(
             blobs, store, n_shards=8, mode="overwrite"
         )
-        return (
-            verify_payload_store(spark, store)
-            .join(man.select("shard", "n_bytes"), "shard")
-            .select(
-                F.lit("payload").alias("kind"),
-                F.col("shard").cast("bigint").alias("id"),
-                F.col("n_bytes").alias("n_bytes"),
-                F.col("n_payloads_observed").cast("int").alias(
-                    "frame_idx"
-                ),
-                F.col("n_payloads_promised").cast("bigint").alias(
-                    "frame_len"
-                ),
-                dnull.alias("dim"), dnull.alias("fval"),
-                dnull.alias("width"), dnull.alias("height"),
-                inull.alias("channels"),
-                F.concat_ws(
-                    ":",
-                    F.col("fp_a_observed").cast("string"),
-                    F.col("fp_b_observed").cast("string"),
-                ).alias("payload_md5"),
-                dnull.alias("sample_rate"), dnull.alias("n_samples"),
-                dnull.alias("duration_sec"),
-                F.when(F.col("ok"), F.lit("ok")).otherwise(F.lit("bad"))
-                .alias("format"),
-            )
+        return store, man
+
+    def _payload() -> DataFrame:
+        # Write + RESOLVE: one partition-discovered scan of the
+        # just-written store re-derives every blob's digest FROM DISK
+        # (_payload_digest_frame — the same projection the manifest
+        # promise used) and compares per shard against the write's
+        # returned promise. That is the round-trip the oracle checks.
+        # The full verify_payload_store machinery (sidecar re-read +
+        # contract revalidation + the absent/corrupt/tamper full-outer
+        # trichotomy) is REDUNDANT proof here — it runs every pass over
+        # a store written microseconds earlier, and pytest carries the
+        # trichotomy on purpose-built broken stores
+        # (tests/test_multimodal.py). VERDICT r14/r15 prescribed
+        # exactly this move; values are unchanged (observed == the
+        # same digest fold, promised == the same manifest fold).
+        obs = batch_manifest(
+            _payload_digest_frame(
+                spark.read.parquet(store), "ref", "payload",
+                shard=F.col("shard"),
+            ),
+            batch_col="shard",
+            id_col="__ref_key",
+            text_col="__payload_hex",
+        ).select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_docs").alias("__n_obs"),
+            F.col("fp_a").alias("__fp_a_obs"),
+            F.col("fp_b").alias("__fp_b_obs"),
+        )
+        promise = man.groupBy(
+            F.col("shard").cast("int").alias("shard")
+        ).agg(
+            F.sum("n_payloads").alias("__n_prom"),
+            F.expr("bit_xor(fp_a)").alias("__fp_a_prom"),
+            F.expr("bit_xor(fp_b)").alias("__fp_b_prom"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+        # Left from the promise side, mirroring verify_shards' absence
+        # semantics: a shard the readback cannot see reports observed
+        # 0 / ok=false instead of vanishing from the output.
+        joined = promise.join(obs, "shard", "left").select(
+            "shard", "n_bytes", "__n_prom", "__fp_a_prom", "__fp_b_prom",
+            F.coalesce(F.col("__n_obs"), F.lit(0).cast("bigint"))
+            .alias("__n_obs"),
+            F.coalesce(F.col("__fp_a_obs"), F.lit(0).cast("bigint"))
+            .alias("__fp_a_obs"),
+            F.coalesce(F.col("__fp_b_obs"), F.lit(0).cast("bigint"))
+            .alias("__fp_b_obs"),
+        )
+        ok = (
+            (F.col("__n_obs") == F.col("__n_prom"))
+            & (F.col("__fp_a_obs") == F.col("__fp_a_prom"))
+            & (F.col("__fp_b_obs") == F.col("__fp_b_prom"))
+        )
+        return joined.select(
+            F.lit("payload").alias("kind"),
+            F.col("shard").cast("bigint").alias("id"),
+            F.col("n_bytes").alias("n_bytes"),
+            F.col("__n_obs").cast("int").alias("frame_idx"),
+            F.col("__n_prom").cast("bigint").alias("frame_len"),
+            dnull.alias("dim"), dnull.alias("fval"),
+            dnull.alias("width"), dnull.alias("height"),
+            inull.alias("channels"),
+            F.concat_ws(
+                ":",
+                F.col("__fp_a_obs").cast("string"),
+                F.col("__fp_b_obs").cast("string"),
+            ).alias("payload_md5"),
+            dnull.alias("sample_rate"), dnull.alias("n_samples"),
+            dnull.alias("duration_sec"),
+            F.when(ok, F.lit("ok")).otherwise(F.lit("bad"))
+            .alias("format"),
         )
 
-    # Deliberately built SERIALLY: an A/B of the five-way threaded
-    # build measured +2.1 s against drift-corrected controls — the
-    # pack/payload branches are PYTHON-heavy constructions (pandas-UDF
-    # pickling, store write plumbing), so concurrent builds serialize
-    # on the GIL/py4j gateway instead of overlapping cluster work
-    # (guide §2.6 helps jobs, not driver-bound plan construction).
+    # The two EAGER stagings — the fused media probe (one Python pass +
+    # persist) and the payload store write — are independent Spark JOBS
+    # and overlap on driver threads (guide §2.6). The r15 A/B that
+    # rejected threading here predates this shape: it threaded the
+    # five PLAN CONSTRUCTIONS (pandas-UDF pickling, GIL-bound); the
+    # plan builds below stay serial, only the job-running stagings
+    # overlap.
+    from streaming_parquet_spark.concurrency import parallel_branches
+
+    probe, (store, man) = parallel_branches(_stage_probe, _stage_store)
+
     img, frames, trans, pack, payload = (
         _img(), _frames(), _trans(), _pack(), _payload()
     )

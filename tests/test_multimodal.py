@@ -98,6 +98,46 @@ def test_decode_audio_meta(blobs):
         assert abs(r["duration_sec"] - r["n_samples"] / r["sample_rate"]) < 1e-4
 
 
+def test_probe_media_matches_individual_operators(blobs):
+    """The fused single-pass probe must be column-for-column identical
+    to running decode_images / resize_images(+jvm digest) /
+    decode_audio / extract_features separately — the multimodal_family
+    gate swaps the four passes for this one."""
+    from streaming_parquet_spark.operators.multimodal import (
+        decode_audio,
+        probe_media,
+        resize_images,
+    )
+
+    got = {r["id"]: r for r in probe_media(
+        blobs, width=8, height=4, dims=16).collect()}
+    assert len(got) == 50
+
+    img = {r["id"]: r for r in decode_images(blobs).collect()}
+    for i, r in img.items():
+        g = got[i]
+        assert (g["n_bytes"], g["width"], g["height"], g["channels"],
+                g["format"]) == (r["n_bytes"], r["width"], r["height"],
+                                 r["channels"], r["format"])
+
+    # resize digest: the gate's exact JVM expression over resized_bytes
+    dig = {r["id"]: r["d"] for r in resize_images(blobs, width=8, height=4)
+           .select("id", F.md5(F.lower(F.hex("resized_bytes"))).alias("d"))
+           .collect()}
+    assert {i: g["payload_md5"] for i, g in got.items()} == dig
+
+    aud = {r["id"]: r for r in decode_audio(blobs).collect()}
+    for i, r in aud.items():
+        g = got[i]
+        assert (g["sample_rate"], g["n_samples"], g["duration_sec"],
+                g["audio_format"]) == (r["sample_rate"], r["n_samples"],
+                                       r["duration_sec"], r["format"])
+
+    feats = {r["id"]: list(r["features"]) for r in extract_features(
+        blobs, dims=16).collect()}
+    assert {i: list(g["features"]) for i, g in got.items()} == feats
+
+
 # --- Real-bytes strict tier: pure-Python PNG / WAV parsing -----------
 # Fixtures are genuine container bytes built from the public specs
 # (PNG signature/IHDR/IDAT/IEND with CRCs; RIFF/WAVE fmt+data), so the
