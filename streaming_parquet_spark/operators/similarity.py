@@ -338,11 +338,19 @@ def similarity_pairs(
             )
             for i in range(dims)
         ]
+        # spread=True (explicit repartition — AQE never coalesces it):
+        # this staging feeds BOTH sides of the pairwise dot join with no
+        # exchange in between, so the cached partition count IS the
+        # quadratic stage's parallelism. spread_input alone does not
+        # guarantee width here — on a DERIVED input (e.g. an ivf_assign
+        # aggregate) it declines to repartition, and the byte-tiny
+        # flattened staging then collapses under cached-plan AQE
+        # coalescing, serializing the pair scoring (measured: the
+        # semantic-dedup gate's exec tripled).
         base = _materialize(
             spread_input(df.select(*cols)).select(
                 "id", *(["blk"] if block_col else []), *flat_cols
             ),
-            spread=False,  # spread BEFORE the 64-way flatten instead
         )
         if block_col and max_block_rows is not None:
             base = cap_blocks(base, ["blk"], max_block_rows)
@@ -375,7 +383,9 @@ def similarity_pairs(
                 "sim",
             )
         )
-    base = _materialize(spread_input(df.select(*cols)), spread=False)
+    # spread=True for the same reason as the flattened branch above:
+    # the staging feeds both sides of the pairwise join directly.
+    base = _materialize(spread_input(df.select(*cols)))
     if block_col and max_block_rows is not None:
         base = cap_blocks(base, ["blk"], max_block_rows)
     a, b = base.alias("a"), base.alias("b")
@@ -1511,9 +1521,16 @@ def ivf_pq_topk(
         # argmax (a broadcast NLJ over the corpus) executes twice. A
         # caller-supplied ``assigned`` (merged gates; the ingested
         # posting-list table at 100 TB) shares one build across tiers.
+        # spread=True (an EXPLICIT repartition, which AQE never
+        # coalesces): the staged assignment feeds pq_encode's
+        # compute-dense subspace scoring directly — no exchange in
+        # between — so the cached partition count IS that stage's
+        # parallelism. With spread=False the post-shuffle staging is
+        # byte-sized tiny and AQE's cached-plan coalescing collapses it
+        # to one partition, serializing the encode (measured +1.3 s on
+        # the ivf gate when the cached-plan coalescing flag landed).
         assigned = _materialize(
             ivf_assign(corpus, cents, id_col, vec_col, dims),
-            spread=False,  # ivf_assign spreads its own input
         )
     codes = pq_encode(
         assigned.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
