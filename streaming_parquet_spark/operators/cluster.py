@@ -73,11 +73,16 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     base.unpersist()
+    # NOT eagerly checkpointed: the initial label set is consumed
+    # exactly once (round 1's join), whose own checkpoint then replaces
+    # it — an eager materialization here is one whole extra fixed-cost
+    # job per CC call (the rounds are job-latency-bound: near-dup
+    # graphs are tiny after coalesce). The lineage below round 1 stays
+    # O(1) because it hangs off the edges checkpoint.
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
 
     try:
@@ -174,13 +179,15 @@ def connected_components_star(
     )
     # Self-pairs carry no connectivity but DO put their node in the
     # output (contract: every node appearing in ``pairs``) — the label
-    # version gets this for free; track them explicitly here.
+    # version gets this for free; track them explicitly here. NOT
+    # eagerly checkpointed (that is one more fixed-cost job per call):
+    # consumed once by the final union, re-deriving its tiny lineage
+    # from the caller's pair frame there (callers materialize pairs).
     singles = (
         base.filter(F.col("s") == F.col("d"))
         .select(F.col("s").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     base.unpersist()
 

@@ -196,7 +196,13 @@ def tfidf_topk(
     )
     scored = (
         # vocab-sized by construction (one row per distinct term) —
-        # broadcast it so the score join never sort-merges
+        # broadcast it so the score join never sort-merges. CAVEAT at
+        # extreme vocabulary scale (ADVICE r15): the forced hint builds
+        # the broadcast by re-running the explode lineage and is capped
+        # at 8 GB — a deployment whose distinct-term count approaches
+        # that should _materialize(dfreq) instead (exact stats, auto
+        # broadcast only when it fits). A/B'd here: the eager staging
+        # costs +0.4 s per gate at fixture scale, so the hint stays.
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
