@@ -23,7 +23,11 @@ from __future__ import annotations
 import atexit
 import threading
 from collections.abc import Callable
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import (
+    FIRST_EXCEPTION,
+    ThreadPoolExecutor,
+    wait,
+)
 from typing import Any
 
 #: One long-lived pool shared by every parallel_branches call. Under
@@ -64,12 +68,14 @@ def parallel_branches(*builders: Callable[[], Any]) -> list[Any]:
     """Run zero-arg branch builders concurrently, return their results
     in argument order.
 
-    Failure semantics: the first branch (in argument order) that raised
-    wins; once a failure is seen, queued-but-not-yet-started sibling
-    builders are cancelled so branches with on-disk side effects
-    (store writes, streaming spin-ups) cannot begin AFTER the gate has
-    already failed.  Already-running siblings finish (Spark driver
-    threads aren't interruptible mid-build).
+    Failure semantics: the first failing branch (in argument order)
+    wins; the MOMENT any branch fails, queued-but-not-yet-started
+    sibling builders are cancelled so branches with on-disk side
+    effects (store writes, streaming spin-ups) cannot begin after the
+    gate has already failed, and the call WAITS for already-running
+    siblings to drain (Spark driver threads aren't interruptible
+    mid-build) before re-raising — so a failed gate's side effects
+    never interleave with whatever the caller does next.
 
     Uses ``pyspark.inheritable_thread_target`` so JVM thread-local
     properties (job group/description/tags) propagate to the worker
@@ -101,18 +107,19 @@ def parallel_branches(*builders: Callable[[], Any]) -> list[Any]:
             _IN_POOL.active = False
 
     futures = [_pool().submit(_run, w) for w in wrapped]
-    results: list[Any] = []
-    first_err: BaseException | None = None
-    for f in futures:
-        if first_err is not None:
-            f.cancel()
-            continue
-        try:
-            results.append(f.result())
-        except BaseException as exc:
-            first_err = exc
-            for g in futures:
-                g.cancel()
-    if first_err is not None:
-        raise first_err
-    return results
+    # Block until every future completes OR one fails — the wait
+    # returns at the first failure even while earlier-argument branches
+    # are still running, which is what lets the cancellation fire
+    # before a queued side-effecting sibling gets a freed slot.
+    wait(futures, return_when=FIRST_EXCEPTION)
+    if any(
+        not f.cancelled() and f.done() and f.exception() is not None
+        for f in futures
+    ):
+        for g in futures:
+            g.cancel()
+        wait(futures)  # drain running siblings before surfacing
+        for f in futures:
+            if not f.cancelled() and f.exception() is not None:
+                raise f.exception()
+    return [f.result() for f in futures]

@@ -46,6 +46,11 @@ def connected_components(
     from id. Only nodes appearing in ``pairs`` are returned (isolated
     docs are their own cluster by definition — callers left-join).
     """
+    if max_iter < 1:
+        # the initial label set is lazy (it rides round 1's job); with
+        # no rounds the returned frame would hang off checkpoint blocks
+        # the finally block below has already released
+        raise ValueError(f"max_iter must be >= 1 (got {max_iter})")
     # Materialize the pair list ONCE: it feeds both union branches and
     # every iteration, and without this the (potentially expensive)
     # upstream pair-generation lineage — e.g. an LSH band join — would
@@ -159,11 +164,22 @@ def connected_components_star(
     Rewire counts ride each phase's materialization as Observations;
     the driver sees two scalars per round."""
     spark = pairs.sparkSession
-    base = pairs.select(
-        F.col(src_col).cast("long").alias("s"),
-        F.col(dst_col).cast("long").alias("d"),
-    ).persist()
+    # The self-pair count rides the sizing count as an Observation —
+    # one action answers both questions, no extra job.
+    obs_self = Observation()
+    base = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("s"),
+            F.col(dst_col).cast("long").alias("d"),
+        )
+        .observe(
+            obs_self,
+            F.sum((F.col("s") == F.col("d")).cast("long")).alias("n_self"),
+        )
+        .persist()
+    )
     n_pairs = base.count()
+    n_self = int(obs_self.get["n_self"] or 0)
     # Right-size like connected_components: the dup graph is tiny
     # relative to the corpus; full-width rounds are scheduling overhead.
     p = max(
@@ -179,16 +195,22 @@ def connected_components_star(
     )
     # Self-pairs carry no connectivity but DO put their node in the
     # output (contract: every node appearing in ``pairs``) — the label
-    # version gets this for free; track them explicitly here. NOT
-    # eagerly checkpointed (that is one more fixed-cost job per call):
-    # consumed once by the final union, re-deriving its tiny lineage
-    # from the caller's pair frame there (callers materialize pairs).
-    singles = (
-        base.filter(F.col("s") == F.col("d"))
-        .select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
+    # version gets this for free; track them explicitly here. Pair
+    # generators emit id_a < id_b, so the common case is ZERO
+    # self-pairs: substitute an empty literal (no job, and no lineage
+    # hanging off the caller's possibly-expensive pair frame after
+    # base is unpersisted). Only when self-pairs exist is the eager
+    # checkpoint paid, while base is still cached.
+    if n_self == 0:
+        singles = spark.createDataFrame([], "id long, component long")
+    else:
+        singles = (
+            base.filter(F.col("s") == F.col("d"))
+            .select(F.col("s").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
     base.unpersist()
 
     for _ in range(max_iter):

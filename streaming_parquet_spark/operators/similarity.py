@@ -384,8 +384,13 @@ def similarity_pairs(
             )
         )
     # spread=True for the same reason as the flattened branch above:
-    # the staging feeds both sides of the pairwise join directly.
-    base = _materialize(spread_input(df.select(*cols)))
+    # the staging feeds both sides of the pairwise join directly. No
+    # inner spread_input here — unlike the flattened branch (whose
+    # inner spread parallelizes the 64-way flatten projection), the
+    # projection is trivial, so the _materialize repartition alone
+    # guarantees width and a second round-robin would just chain an
+    # identical exchange.
+    base = _materialize(df.select(*cols))
     if block_col and max_block_rows is not None:
         base = cap_blocks(base, ["blk"], max_block_rows)
     a, b = base.alias("a"), base.alias("b")
